@@ -1,0 +1,47 @@
+"""Table catalog over the driver's parquet fixtures (TESTDATA.md).
+
+``load`` returns plain DataFrames — scans stay declarative so Catalyst can
+push filters/projections into the parquet reader (check with
+``df.explain``: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast in star joins at any realistic
+# scale factor (region/nation are bounded; supplier/customer/part grow with
+# sf but stay orders of magnitude under the fact tables).
+BROADCASTABLE = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
