@@ -1,0 +1,251 @@
+"""Snapshot sink + source: distributed write and read of keyed-state files.
+
+Mirrors the reference's savepoint lifecycle (SURVEY.md §2.1 S2/S3/S7/S8,
+§3 EP2) with Spark-native physics:
+
+- **Write** (S7): the only shuffle in the pipeline —
+  ``repartition(parallelism, op_index) → sortWithinPartitions(key_group,
+  state_id) → mapInPandas`` streaming one file per operator index in the
+  key-group section format (writer/functions/RocksDBSavepointWriter.java:
+  132-175: per-keygroup sections, state-id shorts, metadata-follows flag on
+  the last key of a run, 0xFFFF end-of-key-group mark, per-keygroup offset
+  bookkeeping). Only per-file handle metadata is collected to the driver,
+  never data rows (OperatorStateWriter.java:253 collects handles only).
+- **Metadata** (S8): a driver-side JSON ``_bravo_metadata`` carrying
+  max_parallelism/parallelism, the state-name↔id mapping and per-file
+  key-group offsets (StateMetadataUtils.java:103-125,189-194 analog).
+- **Read** (S2/S3/S5): splits are (file, key-group-ranges); empty key groups
+  (no offset recorded) are skipped like ValidOffsetsIterator.java:25-46. One
+  Spark partition per split; finer-than-subtask parallelism (split by key
+  group) is supported — the reference noted this as future work
+  (RocksDBKeyedStateInputFormat.java:46-47).
+- **State-name pushdown** (F1): the reader takes a state-name filter that
+  skips key/value payload bytes without decoding
+  (RocksDBSavepointIterator.java:178-191 semantics, implemented in
+  codecs.flink.iter_key_group_section).
+
+At 100 TB: files scale with parallelism × state volume; reads scale with
+#splits = #files × #keygroup-chunks, so a 1000-executor cluster gets full
+parallelism regardless of the snapshot's original subtask count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bravo_spark.codecs import flink as fc
+from bravo_spark.sources.staterows import (
+    STATE_ROW_SCHEMA,
+    with_key_group_column,
+    with_operator_index_column,
+)
+
+METADATA_FILE = "_bravo_metadata"
+
+
+@dataclass
+class SavepointMeta:
+    max_parallelism: int
+    parallelism: int
+    state_ids: dict[str, int]  # state name -> state id (positional, §1.2)
+    files: list[dict] = field(default_factory=list)
+    # each file entry: {"path": str, "op_index": int,
+    #                   "offsets": {key_group(str): byte offset}}
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": 1,
+                "max_parallelism": self.max_parallelism,
+                "parallelism": self.parallelism,
+                "state_ids": self.state_ids,
+                "files": self.files,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "SavepointMeta":
+        d = json.loads(s)
+        return SavepointMeta(
+            max_parallelism=d["max_parallelism"],
+            parallelism=d["parallelism"],
+            state_ids={k: int(v) for k, v in d["state_ids"].items()},
+            files=d["files"],
+        )
+
+
+def write_savepoint(
+    rows: DataFrame,
+    path: str,
+    *,
+    max_parallelism: int,
+    parallelism: int,
+    state_ids: dict[str, int] | None = None,
+) -> SavepointMeta:
+    """Shuffle state rows to their operator index, sort by (key_group,
+    state_id), stream one section file per operator index; assemble metadata
+    on the driver from per-file handles."""
+    spark = rows.sparkSession
+    os.makedirs(path, exist_ok=True)
+
+    if state_ids is None:
+        names = [r[0] for r in rows.select("state_name").distinct().collect()]
+        state_ids = {n: i for i, n in enumerate(sorted(names))}
+    ids = dict(state_ids)
+
+    routed = with_key_group_column(rows, max_parallelism=max_parallelism)
+    routed = with_operator_index_column(
+        routed, max_parallelism=max_parallelism, parallelism=parallelism
+    )
+    sid_map = F.create_map(*[x for k, v in ids.items() for x in (F.lit(k), F.lit(v))])
+    routed = routed.withColumn("state_id", sid_map[F.col("state_name")].cast("int"))
+
+    # repartition hashes op_index into `parallelism` partitions, so a
+    # partition can receive several operator indexes (hash collision); the
+    # in-partition sort leads with op_index and the writer rolls to a new
+    # file whenever it changes — still exactly one file per operator index.
+    shuffled = routed.repartition(parallelism, "op_index").sortWithinPartitions(
+        "op_index", "key_group", "state_id"
+    )
+
+    def write_partition(batches: Iterator[pd.DataFrame]):
+        # Streaming single-pass writer: rows arrive sorted by (op_index,
+        # key_group, state_id); emit one section per key group, track
+        # offsets. Mirrors RocksDBSavepointWriter.java:132-166 but writes
+        # sections via the codec layer.
+        state = {"fh": None, "path": None, "op": None, "kg": None}
+        offsets: dict[int, int] = {}
+        entries: list[tuple[int, bytes, bytes]] = []
+        done: list[tuple[int, str, dict[int, int]]] = []
+
+        def flush_kg():
+            if state["fh"] is not None and entries:
+                offsets[state["kg"]] = state["fh"].tell()
+                state["fh"].write(fc.write_key_group_section(entries))
+            entries.clear()
+
+        def close_file():
+            flush_kg()
+            if state["fh"] is not None:
+                state["fh"].close()
+                done.append((state["op"], state["path"], dict(offsets)))
+                offsets.clear()
+                state.update(fh=None, path=None, op=None, kg=None)
+
+        for pdf in batches:
+            for kg, opi, sid, kns, val in zip(
+                pdf["key_group"], pdf["op_index"], pdf["state_id"],
+                pdf["key_ns"], pdf["value"],
+            ):
+                opi, kg = int(opi), int(kg)
+                if state["op"] is not None and opi != state["op"]:
+                    close_file()
+                if state["fh"] is None:
+                    fpath = os.path.join(path, f"op-{opi}-{uuid.uuid4().hex}")
+                    state.update(fh=open(fpath, "wb"), path=fpath, op=opi, kg=kg)
+                if kg != state["kg"]:
+                    flush_kg()
+                    state["kg"] = kg
+                entries.append((int(sid), bytes(kns), bytes(val)))
+        close_file()
+        if done:
+            yield pd.DataFrame(
+                {
+                    "op_index": [d[0] for d in done],
+                    "file": [d[1] for d in done],
+                    "offsets": [
+                        json.dumps({str(k): v for k, v in d[2].items()}) for d in done
+                    ],
+                }
+            )
+
+    handle_schema = "op_index int, file string, offsets string"
+    handles = (
+        shuffled.select("key_group", "op_index", "state_id", "key_ns", "value")
+        .mapInPandas(write_partition, schema=handle_schema)
+        .collect()  # handles only — KB-scale, like OperatorStateWriter.java:253
+    )
+
+    meta = SavepointMeta(max_parallelism, parallelism, ids)
+    for h in handles:
+        meta.files.append(
+            {
+                "path": h["file"],
+                "op_index": int(h["op_index"]),
+                "offsets": {k: int(v) for k, v in json.loads(h["offsets"]).items()},
+            }
+        )
+    with open(os.path.join(path, METADATA_FILE), "w") as f:
+        f.write(meta.to_json())
+    _ = spark  # session retained for API symmetry
+    return meta
+
+
+def read_savepoint_meta(path: str) -> SavepointMeta:
+    with open(os.path.join(path, METADATA_FILE)) as f:
+        return SavepointMeta.from_json(f.read())
+
+
+def read_savepoint(
+    spark: SparkSession,
+    path: str,
+    *,
+    state_filter: Callable[[str], bool] | None = None,
+    state_names: list[str] | None = None,
+    splits_per_file: int = 8,
+) -> DataFrame:
+    """Scan a written savepoint back into the universal state-row relation.
+
+    ``state_names``/``state_filter`` are pushed into the byte scan (F1): the
+    decoder skips non-selected states' payloads without materializing them.
+    Each file is divided into up to ``splits_per_file`` key-group chunks for
+    parallelism beyond the writer's subtask count.
+    """
+    meta = read_savepoint_meta(path)
+    if state_names is not None:
+        selected = set(state_names)
+        state_filter = lambda n: n in selected  # noqa: E731
+    elif state_filter is None:
+        state_filter = lambda _n: True  # noqa: E731
+
+    id_to_name = {v: k for k, v in meta.state_ids.items()}
+
+    splits: list[tuple[str, list[tuple[int, int, int]]]] = []
+    for fmeta in meta.files:
+        size = os.path.getsize(fmeta["path"])
+        # valid-offset iteration (S5): only key groups with recorded offsets
+        kgs = sorted((int(k), v) for k, v in fmeta["offsets"].items())
+        if not kgs:
+            continue
+        spans = []
+        for i, (kg, off) in enumerate(kgs):
+            end = kgs[i + 1][1] if i + 1 < len(kgs) else size
+            spans.append((kg, off, end))
+        n = max(1, min(splits_per_file, len(spans)))
+        chunk = (len(spans) + n - 1) // n
+        for i in range(0, len(spans), chunk):
+            splits.append((fmeta["path"], spans[i : i + chunk]))
+
+    sc = spark.sparkContext
+    rdd = sc.parallelize(splits, numSlices=max(1, len(splits)))
+
+    def scan(split):
+        fpath, spans = split
+        with open(fpath, "rb") as f:
+            for _kg, off, end in spans:
+                f.seek(off)
+                buf = f.read(end - off)
+                yield from fc.iter_key_group_section(buf, id_to_name, state_filter)
+
+    decoded = rdd.flatMap(scan)
+    return spark.createDataFrame(decoded, schema=STATE_ROW_SCHEMA)

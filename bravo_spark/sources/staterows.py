@@ -1,0 +1,387 @@
+"""The universal state-row relation and its typed projections.
+
+Reference data model (SURVEY.md §1.1): every piece of keyed state is a
+``KeyedStateRow = (state_name, key_ns_bytes, value_bytes)``
+(types/KeyedStateRow.java:35-45). Here that's a DataFrame with schema
+``STATE_ROW_SCHEMA``; the "readers" of the reference (flatMap filter+project+
+decode, reader/ValueStateKVReader.java:39-62 etc.) become
+``filter(state_name) → mapInPandas(batch decode)`` — Arrow-batched, one
+Python hop total, never row-at-a-time UDFs.
+
+Scale note: decode is embarrassingly parallel and preserves partitioning;
+the only shuffle in any snapshot pipeline is the writer's repartition by
+operator index (writer.py). Filter on state_name happens BEFORE decode so
+Catalyst can prune whole partitions when the source partitions by state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bravo_spark.codecs import flink as fc
+from bravo_spark.codecs import hashes as kh
+
+STATE_ROW_SCHEMA = StructType(
+    [
+        StructField("state_name", StringType(), False),
+        StructField("key_ns", BinaryType(), False),
+        StructField("value", BinaryType(), False),
+    ]
+)
+
+_SPARK_TYPES: dict[str, DataType] = {
+    "int": IntegerType(),
+    "long": LongType(),
+    "short": IntegerType(),
+    "boolean": BooleanType(),
+    "double": DoubleType(),
+    "float": FloatType(),
+    "string": StringType(),
+    "bytes": BinaryType(),
+}
+
+
+def spark_type_for(codec: fc.Codec) -> DataType:
+    try:
+        return _SPARK_TYPES[codec.name]
+    except KeyError:
+        raise KeyError(f"no Spark type mapping for codec {codec.name!r}") from None
+
+
+# ---------------------------------------------------------------------------
+# filters on the raw relation (SURVEY §2.3 F2/F3/F4)
+# ---------------------------------------------------------------------------
+
+
+def filter_states(rows: DataFrame, names: list[str]) -> DataFrame:
+    """F2 — keep rows of the named states (writer/functions/RowFilter.java:27-39)."""
+    return rows.filter(F.col("state_name").isin(names))
+
+
+def exclude_states(rows: DataFrame, names: list[str]) -> DataFrame:
+    """F3 — complement: the untouched rows kept for write-back
+    (reader/OperatorStateReader.java:131-140)."""
+    return rows.filter(~F.col("state_name").isin(names))
+
+
+# ---------------------------------------------------------------------------
+# typed readers (SURVEY §2.2 P1-P7): state rows -> typed DataFrames
+# ---------------------------------------------------------------------------
+
+
+def _decode_batches(
+    rows_iter: Iterator[pd.DataFrame],
+    decode_row,
+    out_cols: list[str],
+):
+    for pdf in rows_iter:
+        out: dict[str, list] = {c: [] for c in out_cols}
+        for key_ns, value in zip(pdf["key_ns"], pdf["value"]):
+            for rec in decode_row(bytes(key_ns), bytes(value)):
+                for c, v in zip(out_cols, rec):
+                    out[c].append(v)
+        yield pd.DataFrame(out, columns=out_cols)
+
+
+def _reader(
+    rows: DataFrame,
+    state_name: str,
+    decode_row,
+    schema: StructType,
+) -> DataFrame:
+    filtered = rows.filter(F.col("state_name") == state_name).select("key_ns", "value")
+    cols = [f.name for f in schema.fields]
+    return filtered.mapInPandas(
+        lambda it: _decode_batches(it, decode_row, cols), schema=schema
+    )
+
+
+def read_value_kv(
+    rows: DataFrame,
+    state_name: str,
+    key_codec: fc.Codec,
+    value_codec: fc.Codec,
+    *,
+    max_parallelism: int = 128,
+    ttl: bool = False,
+    namespace_codec: fc.Codec = fc.VOID_NAMESPACE,
+) -> DataFrame:
+    """P1 — value state as (key, value) (reader/ValueStateKVReader.java:39-62)."""
+    prefix = fc.key_group_prefix_bytes(max_parallelism)
+
+    def decode(key_ns: bytes, value: bytes):
+        r = fc.ByteReader(key_ns, prefix)
+        key = key_codec.decode(r)
+        yield (key, fc.decode_value_state(value, value_codec, ttl=ttl))
+
+    schema = StructType(
+        [
+            StructField("key", spark_type_for(key_codec), True),
+            StructField("value", spark_type_for(value_codec), True),
+        ]
+    )
+    return _reader(rows, state_name, decode, schema)
+
+
+def read_value_values(
+    rows: DataFrame,
+    state_name: str,
+    value_codec: fc.Codec,
+    *,
+    ttl: bool = False,
+) -> DataFrame:
+    """P2 — value state, values only (reader/ValueStateValueReader.java:35-54)."""
+
+    def decode(_key_ns: bytes, value: bytes):
+        yield (fc.decode_value_state(value, value_codec, ttl=ttl),)
+
+    schema = StructType([StructField("value", spark_type_for(value_codec), True)])
+    return _reader(rows, state_name, decode, schema)
+
+
+def read_list_flatten(
+    rows: DataFrame,
+    state_name: str,
+    key_codec: fc.Codec,
+    element_codec: fc.Codec,
+    *,
+    max_parallelism: int = 128,
+    ttl: bool = False,
+) -> DataFrame:
+    """P3 — list state exploded to (key, element)
+    (reader/ListStateFlattenReader.java:39-63)."""
+    prefix = fc.key_group_prefix_bytes(max_parallelism)
+
+    def decode(key_ns: bytes, value: bytes):
+        r = fc.ByteReader(key_ns, prefix)
+        key = key_codec.decode(r)
+        for el in fc.decode_list_state(value, element_codec, ttl=ttl):
+            yield (key, el)
+
+    schema = StructType(
+        [
+            StructField("key", spark_type_for(key_codec), True),
+            StructField("value", spark_type_for(element_codec), True),
+        ]
+    )
+    return _reader(rows, state_name, decode, schema)
+
+
+def read_list_as_list(
+    rows: DataFrame,
+    state_name: str,
+    key_codec: fc.Codec,
+    element_codec: fc.Codec,
+    *,
+    max_parallelism: int = 128,
+    ttl: bool = False,
+) -> DataFrame:
+    """P4 — list state as (key, ARRAY<V>) (reader/ListStateListReader.java:43-60)."""
+    prefix = fc.key_group_prefix_bytes(max_parallelism)
+
+    def decode(key_ns: bytes, value: bytes):
+        r = fc.ByteReader(key_ns, prefix)
+        key = key_codec.decode(r)
+        yield (key, fc.decode_list_state(value, element_codec, ttl=ttl))
+
+    schema = StructType(
+        [
+            StructField("key", spark_type_for(key_codec), True),
+            StructField("value", ArrayType(spark_type_for(element_codec)), True),
+        ]
+    )
+    return _reader(rows, state_name, decode, schema)
+
+
+def read_map_entries(
+    rows: DataFrame,
+    state_name: str,
+    key_codec: fc.Codec,
+    map_key_codec: fc.Codec,
+    value_codec: fc.Codec,
+    *,
+    max_parallelism: int = 128,
+    ttl: bool = False,
+) -> DataFrame:
+    """P5 — map state as (key, map_key, value) triplets
+    (reader/MapStateKKVReader.java:51-82). Null map values are rejected, as
+    in the reference (:78-80)."""
+    prefix = fc.key_group_prefix_bytes(max_parallelism)
+
+    def decode(key_ns: bytes, value: bytes):
+        r = fc.ByteReader(key_ns, prefix)
+        key = key_codec.decode(r)
+        fc.VOID_NAMESPACE.decode(r)
+        map_key = map_key_codec.decode(r)
+        v = fc.decode_map_value(value, value_codec, ttl=ttl)
+        if v is None:
+            raise ValueError("MapStates with null values are not supported")
+        yield (key, map_key, v)
+
+    schema = StructType(
+        [
+            StructField("key", spark_type_for(key_codec), True),
+            StructField("map_key", spark_type_for(map_key_codec), True),
+            StructField("value", spark_type_for(value_codec), True),
+        ]
+    )
+    return _reader(rows, state_name, decode, schema)
+
+
+def read_map_values(
+    rows: DataFrame,
+    state_name: str,
+    value_codec: fc.Codec,
+    *,
+    ttl: bool = False,
+) -> DataFrame:
+    """P6 — map state values only (reader/MapStateValueReader.java:35-56)."""
+
+    def decode(_key_ns: bytes, value: bytes):
+        v = fc.decode_map_value(value, value_codec, ttl=ttl)
+        if v is None:
+            raise ValueError("MapStates with null values are not supported")
+        yield (v,)
+
+    schema = StructType([StructField("value", spark_type_for(value_codec), True)])
+    return _reader(rows, state_name, decode, schema)
+
+
+WINDOW_STATE_NAME = "window-contents"
+
+
+def read_window_kv(
+    rows: DataFrame,
+    key_codec: fc.Codec,
+    value_codec: fc.Codec,
+    *,
+    max_parallelism: int = 128,
+    ttl: bool = False,
+) -> DataFrame:
+    """P7 — window operator state under the fixed name 'window-contents'
+    (reader/KeyedStateReader.java:46-48,258-273). The window namespace bytes
+    (TimeWindow start/end longs) follow the key; we skip them like the
+    reference's value reader does."""
+    prefix = fc.key_group_prefix_bytes(max_parallelism)
+
+    def decode(key_ns: bytes, value: bytes):
+        r = fc.ByteReader(key_ns, prefix)
+        key = key_codec.decode(r)
+        yield (key, fc.decode_value_state(value, value_codec, ttl=ttl))
+
+    schema = StructType(
+        [
+            StructField("key", spark_type_for(key_codec), True),
+            StructField("value", spark_type_for(value_codec), True),
+        ]
+    )
+    return _reader(rows, WINDOW_STATE_NAME, decode, schema)
+
+
+# ---------------------------------------------------------------------------
+# inverse projection (SURVEY §2.2 P9): typed (key, value) -> state rows
+# ---------------------------------------------------------------------------
+
+
+def kv_to_state_rows(
+    kv: DataFrame,
+    state_name: str,
+    key_codec: fc.Codec,
+    value_codec: fc.Codec,
+    *,
+    max_parallelism: int = 128,
+    kind: str = "value",
+    map_key_codec: fc.Codec | None = None,
+) -> DataFrame:
+    """(key, value) → KeyedStateRow with Flink-parity key-group routing
+    (writer/functions/ValueStateToKeyedStateRow.java:34-68). ``kind`` selects
+    the value payload layout: 'value' | 'list' | 'map' (map expects columns
+    key, map_key, value)."""
+
+    def encode(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            names, keys, vals = [], [], []
+            if kind == "map":
+                it: Any = zip(pdf["key"], pdf["map_key"], pdf["value"])
+            else:
+                it = zip(pdf["key"], pdf["value"])
+            for rec in it:
+                if kind == "map":
+                    k, mk, v = rec
+                    kns = fc.encode_key_ns(
+                        _py(k), key_codec, max_parallelism,
+                        map_key=_py(mk), map_key_codec=map_key_codec,
+                    )
+                    payload = fc.encode_map_value(_py(v), value_codec)
+                elif kind == "list":
+                    k, v = rec
+                    kns = fc.encode_key_ns(_py(k), key_codec, max_parallelism)
+                    payload = fc.encode_list_state(list(v), value_codec)
+                else:
+                    k, v = rec
+                    kns = fc.encode_key_ns(_py(k), key_codec, max_parallelism)
+                    payload = fc.encode_value_state(_py(v), value_codec)
+                names.append(state_name)
+                keys.append(kns)
+                vals.append(payload)
+            yield pd.DataFrame(
+                {"state_name": names, "key_ns": keys, "value": vals},
+                columns=["state_name", "key_ns", "value"],
+            )
+
+    return kv.mapInPandas(encode, schema=STATE_ROW_SCHEMA)
+
+
+def _py(v):
+    """numpy scalar → python scalar for the codec layer."""
+    return v.item() if hasattr(v, "item") else v
+
+
+# ---------------------------------------------------------------------------
+# routing columns (SURVEY §2.9 E1/E2) as JVM-side expressions
+# ---------------------------------------------------------------------------
+
+
+def with_key_group_column(
+    rows: DataFrame, *, max_parallelism: int = 128, col: str = "key_ns", out: str = "key_group"
+) -> DataFrame:
+    """Decode the key-group prefix bytes (1-2 big-endian bytes, flag bit
+    masked) without touching Python — stays in whole-stage codegen."""
+    prefix = fc.key_group_prefix_bytes(max_parallelism)
+    raw = F.conv(F.hex(F.substring(F.col(col), 1, prefix)), 16, 10).cast("int")
+    # mask the metadata-follows flag bit (always the MSB of byte 0)
+    mask = 0x7F if prefix == 1 else 0x7FFF
+    return rows.withColumn(out, raw.bitwiseAND(F.lit(mask)))
+
+
+def with_operator_index_column(
+    rows: DataFrame,
+    *,
+    max_parallelism: int,
+    parallelism: int,
+    key_group_col: str = "key_group",
+    out: str = "op_index",
+) -> DataFrame:
+    """E2 — keyGroup * parallelism / maxParallelism (types/KeyedStateRow.java:65-68)."""
+    return rows.withColumn(
+        out,
+        F.floor(F.col(key_group_col) * F.lit(parallelism) / F.lit(max_parallelism)).cast("int"),
+    )

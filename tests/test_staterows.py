@@ -1,0 +1,171 @@
+"""Reader/writer round-trips over the universal state-row relation,
+mirroring the reference's conformance tests (SURVEY.md §5, FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from bravo_spark.codecs import flink as fc
+from bravo_spark.codecs import hashes as kh
+from bravo_spark.sources import savepoint as sp
+from bravo_spark.sources import staterows as sr
+
+
+def _kv_df(spark, rows, key_type="int", value_type="int"):
+    return spark.createDataFrame(rows, schema=f"key {key_type}, value {value_type}")
+
+
+def test_value_state_roundtrip(spark):
+    # FIXTURES 2.1: count per key {(1,2),(2,1)}
+    kv = _kv_df(spark, [(1, 2), (2, 1)])
+    rows = sr.kv_to_state_rows(kv, "Count", fc.INT, fc.INT)
+    back = sr.read_value_kv(rows, "Count", fc.INT, fc.INT)
+    assert sorted(tuple(r) for r in back.collect()) == [(1, 2), (2, 1)]
+
+
+def test_value_state_keygroup_parity(spark):
+    kv = _kv_df(spark, [(k, k * 10) for k in range(20)])
+    rows = sr.kv_to_state_rows(kv, "Count", fc.INT, fc.INT)
+    got = sr.with_key_group_column(rows, max_parallelism=128).select("key_ns", "key_group")
+    for r in got.collect():
+        _, key, _, _ = fc.decode_key_ns(bytes(r["key_ns"]), fc.INT, 128)
+        assert r["key_group"] == kh.assign_to_key_group(key, 128)
+
+
+def test_value_values_only(spark):
+    kv = _kv_df(spark, [(1, 5), (2, 7)])
+    rows = sr.kv_to_state_rows(kv, "Count", fc.INT, fc.INT)
+    vals = sorted(r["value"] for r in sr.read_value_values(rows, "Count", fc.INT).collect())
+    assert vals == [5, 7]
+
+
+def test_state_name_filters(spark):
+    a = sr.kv_to_state_rows(_kv_df(spark, [(1, 1)]), "a", fc.INT, fc.INT)
+    b = sr.kv_to_state_rows(_kv_df(spark, [(2, 2)]), "b", fc.INT, fc.INT)
+    both = a.unionByName(b)  # U1 bag union
+    assert sr.filter_states(both, ["a"]).count() == 1
+    assert sr.exclude_states(both, ["a"]).count() == 1
+    assert both.count() == 2
+
+
+def test_list_state_flatten_and_list_duality(spark):
+    # FIXTURES 2.5/2.8: {(1,[1,2,1]),(2,[3])}
+    pdf = pd.DataFrame({"key": [1, 2], "value": [[1, 2, 1], [3]]})
+    kv = spark.createDataFrame(pdf, schema="key int, value array<int>")
+    rows = sr.kv_to_state_rows(kv, "List", fc.INT, fc.INT, kind="list")
+    flat = sorted(tuple(r) for r in sr.read_list_flatten(rows, "List", fc.INT, fc.INT).collect())
+    assert flat == [(1, 1), (1, 2), (2, 3)] or flat == sorted([(1, 1), (1, 2), (1, 1), (2, 3)])
+    aslist = {r["key"]: r["value"] for r in sr.read_list_as_list(rows, "List", fc.INT, fc.INT).collect()}
+    assert aslist == {1: [1, 2, 1], 2: [3]}
+
+
+def test_map_state_entries_and_values(spark):
+    # FIXTURES 2.4: {(1,'1',2),(1,'2',1),(2,'3',1)}
+    rows_src = [(1, "1", 2), (1, "2", 1), (2, "3", 1)]
+    kv = spark.createDataFrame(rows_src, schema="key int, map_key string, value int")
+    rows = sr.kv_to_state_rows(kv, "Count", fc.INT, fc.INT, kind="map", map_key_codec=fc.STRING)
+    entries = sorted(tuple(r) for r in sr.read_map_entries(rows, "Count", fc.INT, fc.STRING, fc.INT).collect())
+    assert entries == sorted(rows_src)
+    vals = sorted(r["value"] for r in sr.read_map_values(rows, "Count", fc.INT).collect())
+    assert vals == [1, 1, 2]
+
+
+def test_ttl_value_state(spark):
+    # TTL-wrapped payloads: 8-byte ts prefix skipped on read (FIXTURES 2.5)
+    kv = _kv_df(spark, [(1, 1), (2, 3)])
+    rows = kv.mapInPandas(
+        lambda it: (
+            pd.DataFrame(
+                {
+                    "state_name": ["Val"] * len(p),
+                    "key_ns": [fc.encode_key_ns(int(k), fc.INT, 128) for k in p["key"]],
+                    "value": [
+                        fc.encode_value_state(int(v), fc.INT, ttl_ts=1234567) for v in p["value"]
+                    ],
+                }
+            )
+            for p in it
+        ),
+        schema=sr.STATE_ROW_SCHEMA,
+    )
+    got = sorted(tuple(r) for r in sr.read_value_kv(rows, "Val", fc.INT, fc.INT, ttl=True).collect())
+    assert got == [(1, 1), (2, 3)]
+
+
+def test_type_change_migration(spark):
+    # FIXTURES 2.2: read state written as STRING, re-write as INT (X2 override)
+    kv = spark.createDataFrame([(1, "3"), (3, "6")], schema="key int, value string")
+    rows = sr.kv_to_state_rows(kv, "sum", fc.INT, fc.STRING)
+    as_str = sr.read_value_kv(rows, "sum", fc.INT, fc.STRING)
+    migrated = as_str.withColumn("value", F.col("value").cast("int"))
+    rows2 = sr.kv_to_state_rows(migrated, "sum", fc.INT, fc.INT)
+    back = sorted(tuple(r) for r in sr.read_value_kv(rows2, "sum", fc.INT, fc.INT).collect())
+    assert back == [(1, 3), (3, 6)]
+
+
+def test_savepoint_write_read_roundtrip(spark, tmp_path):
+    # EP2 analog of ValueStateTransformationTest: two states, write, re-read.
+    kv1 = _kv_df(spark, [(k, k * 2) for k in range(50)])
+    kv2 = _kv_df(spark, [(k, k + 1000) for k in range(30)])
+    rows = sr.kv_to_state_rows(kv1, "Count", fc.INT, fc.INT).unionByName(
+        sr.kv_to_state_rows(kv2, "Sum", fc.INT, fc.INT)
+    )
+    meta = sp.write_savepoint(
+        rows, str(tmp_path / "sv"), max_parallelism=128, parallelism=4
+    )
+    assert len(meta.files) == 4 or len(meta.files) <= 4  # ≤ parallelism files
+    back = sp.read_savepoint(spark, str(tmp_path / "sv"))
+    got1 = sorted(tuple(r) for r in sr.read_value_kv(back, "Count", fc.INT, fc.INT).collect())
+    assert got1 == [(k, k * 2) for k in range(50)]
+    got2 = sorted(tuple(r) for r in sr.read_value_kv(back, "Sum", fc.INT, fc.INT).collect())
+    assert got2 == [(k, k + 1000) for k in range(30)]
+
+
+def test_savepoint_pushdown_reads_only_selected_state(spark, tmp_path):
+    kv1 = _kv_df(spark, [(k, k) for k in range(40)])
+    kv2 = _kv_df(spark, [(k, -k) for k in range(40)])
+    rows = sr.kv_to_state_rows(kv1, "a", fc.INT, fc.INT).unionByName(
+        sr.kv_to_state_rows(kv2, "b", fc.INT, fc.INT)
+    )
+    sp.write_savepoint(rows, str(tmp_path / "sv"), max_parallelism=128, parallelism=2)
+    only_a = sp.read_savepoint(spark, str(tmp_path / "sv"), state_names=["a"])
+    names = {r["state_name"] for r in only_a.select("state_name").distinct().collect()}
+    assert names == {"a"}
+    assert only_a.count() == 40
+
+
+def test_savepoint_roundtrip_transform_pattern(spark, tmp_path):
+    # The reference's flagship transform (README.md:127-166): read Count,
+    # double it, join-enrich with deltas, keep untouched states, write back.
+    counts = _kv_df(spark, [(1, 2), (2, 1), (3, 5)])
+    other = _kv_df(spark, [(9, 9)])
+    rows = sr.kv_to_state_rows(counts, "Count", fc.INT, fc.INT).unionByName(
+        sr.kv_to_state_rows(other, "Keep", fc.INT, fc.INT)
+    )
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    sp.write_savepoint(rows, src, max_parallelism=128, parallelism=2)
+
+    all_rows = sp.read_savepoint(spark, src)
+    parsed = sr.read_value_kv(all_rows, "Count", fc.INT, fc.INT)
+    deltas = _kv_df(spark, [(0, 100), (3, 1000), (1, 100), (2, 1000)]).withColumnRenamed(
+        "value", "delta"
+    )
+    updated = (
+        parsed.withColumn("value", F.col("value") * 2)
+        .join(deltas, on="key", how="inner")
+        .select("key", (F.col("value") + F.col("delta")).alias("value"))
+    )
+    new_rows = sr.kv_to_state_rows(updated, "Count", fc.INT, fc.INT).unionByName(
+        sr.exclude_states(all_rows, ["Count"])  # F3 migrate-untouched
+    )
+    sp.write_savepoint(new_rows, dst, max_parallelism=128, parallelism=2)
+
+    back = sp.read_savepoint(spark, dst)
+    got = sorted(tuple(r) for r in sr.read_value_kv(back, "Count", fc.INT, fc.INT).collect())
+    assert got == [(1, 104), (2, 1002), (3, 1010)]
+    kept = sorted(tuple(r) for r in sr.read_value_kv(back, "Keep", fc.INT, fc.INT).collect())
+    assert kept == [(9, 9)]
