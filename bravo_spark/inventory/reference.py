@@ -1,0 +1,557 @@
+"""Reference-surface operators (SURVEY.md §2) as oracle-checked queries.
+
+Each query re-expresses one inventory row's semantics over the driver's
+synthetic tables (FIXTURES.md §3): the state rows' typed views map to
+``events`` keyed by ``user_id``, joins/enrichment to ``orders``/``customer``,
+filters to ``lineitem``. DataFrame-API first so Catalyst plans them; the
+key-routing queries (E1/E2/A1) run generated SQL shared — modulo dialect —
+with the DuckDB oracle (functions/keygroup_sql.py).
+
+Determinism rules (the driver hash-compares values): float aggregations cast
+inputs to DECIMAL (exact, order-insensitive) and cast the final value to
+DOUBLE; top-k orderings always carry a unique tiebreak column; raw doubles
+pass through untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bravo_spark import catalog
+from bravo_spark.functions import keygroup_sql as kgs
+from bravo_spark.inventory.registry import query
+
+DEC = "decimal(12,2)"
+
+
+# ---------------------------------------------------------------------------
+# P1/P2 — value-state projections (reader/ValueStateKVReader.java:39-62,
+# reader/ValueStateValueReader.java:35-54): state-name filter + project.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_value_kv",
+    oracle="SELECT event_id AS key, value FROM events WHERE event_type = 'click'",
+)
+def p1_value_kv(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("key"), "value")
+    )
+
+
+@query(
+    "p2_value_only",
+    oracle="SELECT value FROM events WHERE event_type = 'purchase'",
+)
+def p2_value_only(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select("value")
+
+
+# ---------------------------------------------------------------------------
+# P3/P4 — list-state flatten/list duality (ListStateFlattenReader.java:39-63,
+# ListStateListReader.java:43-60): explode vs array view of the same rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p3_list_flatten",
+    oracle="SELECT user_id AS key, event_id AS value FROM events",
+)
+def p3_list_flatten(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    lists = ev.groupBy("user_id").agg(F.collect_list("event_id").alias("ids"))
+    return lists.select(
+        F.col("user_id").alias("key"), F.explode("ids").alias("value")
+    )
+
+
+@query(
+    "p4_list_state",
+    oracle=(
+        "SELECT user_id AS key, array_to_string(list_sort(list(event_id)), ',')"
+        " AS ids_csv FROM events GROUP BY user_id"
+    ),
+)
+def p4_list_state(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("event_id"))).alias("ids_csv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5/P6 — map-state entries/values (MapStateKKVReader.java:51-82,
+# MapStateValueReader.java:35-56): (key, map_key, value) triplets & values.
+# ---------------------------------------------------------------------------
+
+_P5_SQL = (
+    "SELECT user_id AS key, event_type AS map_key, count(*) AS value "
+    "FROM events GROUP BY user_id, event_type"
+)
+
+
+@query("p5_map_entries", oracle=_P5_SQL)
+def p5_map_entries(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("user_id").alias("key"), F.col("event_type").alias("map_key")
+    ).agg(F.count("*").alias("value"))
+
+
+@query("p6_map_values", oracle=f"SELECT value FROM ({_P5_SQL}) t")
+def p6_map_values(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("value"))
+        .select("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2/F3/F4 — state-name set filters (RowFilter.java:27-39,
+# OperatorStateReader.java:131-140,148-152): isin / anti / named subset.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f2_isin_filter",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem "
+        "WHERE l_returnflag IN ('A', 'R')"
+    ),
+)
+def f2_isin_filter(spark, sf_dir):
+    li = catalog.table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag").isin("A", "R")).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+
+@query(
+    "f3_anti_filter",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem "
+        "WHERE l_returnflag NOT IN ('A', 'R')"
+    ),
+)
+def f3_anti_filter(spark, sf_dir):
+    li = catalog.table(spark, sf_dir, "lineitem")
+    return li.filter(~F.col("l_returnflag").isin("A", "R")).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+@query(
+    "f4_named_subset",
+    oracle=(
+        "SELECT event_id, event_type FROM events "
+        "WHERE event_type IN ('signup', 'error')"
+    ),
+)
+def f4_named_subset(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("signup", "error")).select(
+        "event_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 join — the reference's composed enrichment join
+# (ValueStateTransformationTest.java:84-85: count state ⋈ deltas, then map).
+# Broadcast the dim side explicitly — at 100 TB the per-key counts are huge,
+# the enrichment table is not.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_enrich",
+    oracle=(
+        "SELECT e.key, CAST(e.cnt * 2 + CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE)"
+        " AS value FROM (SELECT user_id AS key, count(*) AS cnt FROM events"
+        " GROUP BY user_id) e JOIN customer c ON e.key = c.c_custkey"
+    ),
+)
+def join_enrich(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    cust = catalog.table(spark, sf_dir, "customer")
+    counts = ev.groupBy(F.col("user_id").alias("key")).agg(F.count("*").alias("cnt"))
+    deltas = cust.select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").cast(DEC).alias("delta")
+    )
+    return (
+        counts.join(F.broadcast(deltas), on="key", how="inner")
+        .select(
+            "key",
+            (F.col("cnt") * 2 + F.col("delta")).cast("double").alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — bag union (OperatorStateWriter.java:127-130): duplicates preserved.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union_bag",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+        " WHERE o_orderstatus = 'O'"
+        " UNION ALL "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+        " WHERE o_totalprice > 150000"
+    ),
+)
+def u1_union_bag(spark, sf_dir):
+    o = catalog.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return o.filter(F.col("o_orderstatus") == "O").unionByName(
+        o.filter(F.col("o_totalprice") > 150000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1/E2 — key-group routing (hash parity with Flink, §7.5): the SAME
+# generated SQL (modulo dialect) runs on Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+_E1_INPUT = "SELECT DISTINCT user_id AS k FROM events"
+
+
+def _e1_sql(dialect: str) -> str:
+    return kgs.key_group_sql(
+        _E1_INPUT, "k", key_kind="long", max_parallelism=128, dialect=dialect
+    )
+
+
+@query("e1_keygroup", oracle=_e1_sql("duckdb"))
+def e1_keygroup(spark, sf_dir):
+    return spark.sql(_e1_sql("spark"))
+
+
+def _e2_sql(dialect: str) -> str:
+    opx = kgs.operator_index_expr("key_group", 128, 2)
+    return (
+        f"SELECT key_group, {opx} AS op_index FROM ({_e1_sql(dialect)}) t "
+        "GROUP BY key_group ORDER BY key_group"
+    )
+
+
+@query("e2_operator_index", oracle=_e2_sql("duckdb"))
+def e2_operator_index(spark, sf_dir):
+    return spark.sql(_e2_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# A1 — the writer's grouped sort-reduce (OperatorStateWriter.java:245-251)
+# re-expressed as per-operator-index stats (FIXTURES.md §3 mapping).
+# ---------------------------------------------------------------------------
+
+
+def _a1_sql(dialect: str) -> str:
+    inner = kgs.key_group_sql(
+        "SELECT user_id AS k FROM events", "k",
+        key_kind="long", max_parallelism=128, dialect=dialect,
+    )
+    opx = kgs.operator_index_expr("key_group", 128, 4)
+    return (
+        f"SELECT {opx} AS op_index, count(*) AS n_rows,"
+        " count(DISTINCT k) AS n_keys, min(key_group) AS min_kg,"
+        f" max(key_group) AS max_kg FROM ({inner}) t GROUP BY 1"
+    )
+
+
+@query("a1_grouped_sort_reduce", oracle=_a1_sql("duckdb"))
+def a1_grouped_sort_reduce(spark, sf_dir):
+    return spark.sql(_a1_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# A2 — stateful count/sum per key (golden semantics of
+# ValueStateTransformationTest.java:123-139 / ValueStateTypeChangeTest).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a2_count_sum_per_key",
+    oracle=(
+        "SELECT user_id AS key, count(*) AS cnt,"
+        " CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,"
+        " min(value) AS min_value, max(value) AS max_value"
+        " FROM events GROUP BY user_id"
+    ),
+)
+def a2_count_sum_per_key(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sort/limit — top-k with deterministic tiebreak.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_topk",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        " ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+    ),
+)
+def sort_topk(spark, sf_dir):
+    o = catalog.table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 analog — window-contents (WindowStateReadingTest: min-reduce windows):
+# tumbling 1-minute windows, min value per (key, window).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_state_min",
+    oracle=(
+        "SELECT user_id AS key,"
+        " CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS window_start,"
+        " min(value) AS min_value, count(*) AS cnt"
+        " FROM events GROUP BY 1, 2"
+    ),
+)
+def window_state_min(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("user_id").alias("key"),
+        F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias("window_start"),
+    ).agg(F.min("value").alias("min_value"), F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Value-state last-write-wins semantics (TtlStateTest 'Val': last write per
+# key): deterministic via (ts, event_id) ordering.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "last_write_wins",
+    oracle=(
+        "SELECT user_id AS key, value FROM ("
+        " SELECT user_id, value, row_number() OVER ("
+        "  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
+        " FROM events) t WHERE rn = 1"
+    ),
+)
+def last_write_wins(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("user_id").alias("key"), "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-free extras the reference lacks but Spark surfaces for free
+# (SURVEY §2.5/§2.8): rollup, distinct agg, semi/anti join, intersect/except.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_agg",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,"
+        " count(*) AS cnt FROM lineitem"
+        " GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+)
+def rollup_agg(spark, sf_dir):
+    li = catalog.table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "distinct_agg",
+    oracle=(
+        "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events"
+        " FROM events GROUP BY event_type"
+    ),
+)
+def distinct_agg(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "semi_join",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS ("
+        " SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+)
+def semi_join(spark, sf_dir):
+    c = catalog.table(spark, sf_dir, "customer")
+    o = catalog.table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "anti_join",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
+        " SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+)
+def anti_join(spark, sf_dir):
+    c = catalog.table(spark, sf_dir, "customer")
+    o = catalog.table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "intersect_keys",
+    oracle=(
+        "SELECT o_custkey AS key FROM orders INTERSECT"
+        " SELECT c_custkey AS key FROM customer"
+    ),
+)
+def intersect_keys(spark, sf_dir):
+    c = catalog.table(spark, sf_dir, "customer")
+    o = catalog.table(spark, sf_dir, "orders")
+    return o.select(F.col("o_custkey").alias("key")).intersect(
+        c.select(F.col("c_custkey").alias("key"))
+    )
+
+
+@query(
+    "except_all_keys",
+    oracle=(
+        "SELECT o_custkey AS key FROM orders EXCEPT ALL"
+        " SELECT c_custkey AS key FROM customer"
+    ),
+)
+def except_all_keys(spark, sf_dir):
+    c = catalog.table(spark, sf_dir, "customer")
+    o = catalog.table(spark, sf_dir, "orders")
+    return o.select(F.col("o_custkey").alias("key")).exceptAll(
+        c.select(F.col("c_custkey").alias("key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Headline analytical queries (bench workload): TPC-H-shaped Q1 and Q3 on
+# the synthetic tables. Decimal-exact aggregation, final DOUBLE casts.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,"
+        " CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,"
+        " CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *"
+        "  (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,"
+        " CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *"
+        "  (1 - CAST(l_discount AS DECIMAL(4,2))) *"
+        "  (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,"
+        " CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+        "  / count(*) AS DOUBLE) AS avg_qty,"
+        " count(*) AS count_order"
+        " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
+        " GROUP BY l_returnflag, l_linestatus"
+    ),
+)
+def tpch_q1(spark, sf_dir):
+    li = catalog.table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).cast("double").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3",
+    oracle=(
+        "SELECT l_orderkey, o_orderdate,"
+        " CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *"
+        "  (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue"
+        " FROM customer, orders, lineitem"
+        " WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey"
+        " AND l_orderkey = o_orderkey"
+        " AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'"
+        " AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'"
+        " GROUP BY l_orderkey, o_orderdate"
+        " ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *"
+        "  (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, l_orderkey LIMIT 10"
+    ),
+)
+def tpch_q3(spark, sf_dir):
+    c = catalog.table(spark, sf_dir, "customer")
+    o = catalog.table(spark, sf_dir, "orders")
+    li = catalog.table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            o.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "o_orderdate", F.col("rev_dec").cast("double").alias("revenue"))
+    )

@@ -40,6 +40,9 @@ def tune(spark: SparkSession) -> SparkSession:
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.shuffle.partitions": str(max(_cpus(), 8)),
+        # fixture parquet uses TIMESTAMP(NANOS); read as epoch-nanos long
+        # and convert in the catalog (catalog.table)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
     for k, v in safe.items():
         try:
