@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is fully materialized via a
+count-ish action (collect on already-small results would hide exchange cost;
+we use ``df.write.format("noop")`` semantics via count()+collect of tiny
+results instead — see _run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "join_enrich",
+    "a2_count_sum_per_key",
+    "window_state_min",
+    "last_write_wins",
+    "snapshot_roundtrip",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_lang_id",
+    "text_token_count",
+    "ann_cosine_topk",
+    "ann_lsh_bucket",
+    "streaming_window_counts",
+]
+
+
+def _run(df) -> int:
+    # force full materialization of every row (not just count pushdown):
+    # cache-free foreach-style action via rdd-less collect of a count per
+    # partition is overkill; count() after a localCheckpoint-free plan still
+    # executes the full plan because our plans all aggregate/shuffle.
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from bravo_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="bravo_bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + parquet footers once (not timed)
+    qs["p1_value_kv"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        n = _run(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

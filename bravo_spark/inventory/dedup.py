@@ -1,1 +1,290 @@
-"""placeholder — populated in a later commit this round."""
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each designed for 100 TB first and oracle-checked at test SF:
+
+- **exact**: hash-groupBy on normalized text — one shuffle on a 128-bit
+  digest; no data-scale collects.
+- **n-gram Jaccard**: exact all-pairs similarity via an inverted index
+  (shingle → doc postings join). The shingle join IS the scale path: it
+  shuffles on shingle (not doc²), and Catalyst/AQE handles postings skew.
+- **MinHash + LSH**: signatures from a deterministic md5-derived hash
+  family, banded; candidate pairs = any shared band. Fully deterministic,
+  so even the LSH output is oracle-checkable — the oracle recomputes the
+  same signatures in SQL.
+- **SimHash**: 32-bit fingerprint from per-word hashes; near-dups share
+  fingerprints (grouped), avoiding any pairwise join at scale.
+
+Determinism: every hash is md5-derived (both engines agree bit-for-bit);
+Jaccard's single double division is IEEE-identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bravo_spark import catalog
+from bravo_spark.inventory.registry import query
+
+TOKEN_RE = "[a-z0-9]+"
+
+# shared SQL fragments (valid in both Spark SQL and DuckDB unless noted)
+_NORM = "lower(text)"
+
+
+@query(
+    "dedup_exact",
+    oracle=(
+        "SELECT md5(lower(text)) AS sig, min(doc_id) AS keep_id,"
+        " count(*) AS n_copies FROM documents GROUP BY 1"
+    ),
+)
+def dedup_exact(spark, sf_dir):
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.lower("text")).alias("sig")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact all-pairs via inverted shingle index)
+# ---------------------------------------------------------------------------
+
+_JACCARD_T = 0.5
+
+
+def _shingles_df(spark, sf_dir):
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("ws"),
+    ).filter(F.size("ws") >= 3)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws)-3),"
+                " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+            )
+        ).alias("sh"),
+    ).distinct()
+
+
+_NGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
+  FROM documents WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(ws)-1),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_T}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+# 32-bit hash of a shingle under permutation j, derived purely from md5 so
+# Spark and DuckDB agree bit-for-bit: hex32(md5(j || ':' || shingle)).
+
+
+def _h32_spark(j: int) -> str:
+    return (
+        f"cast(conv(substring(md5(concat('{j}', ':', sh)), 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def _h32_duck(j: int) -> str:
+    return f"CAST(('0x' || substr(md5(concat('{j}', ':', sh)), 1, 8)) AS BIGINT)"
+
+
+def _minhash_sql(dialect: str) -> str:
+    h32 = _h32_spark if dialect == "spark" else _h32_duck
+    mins = ", ".join(f"min({h32(j)}) AS m{j}" for j in range(N_HASHES))
+    if dialect == "spark":
+        sh_src = (
+            "SELECT doc_id, explode(transform(sequence(0, size(ws)-3),"
+            " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh FROM ("
+            f"SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}', 0) AS ws"
+            " FROM documents) t WHERE size(ws) >= 3"
+        )
+    else:
+        sh_src = (
+            "SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),"
+            " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM ("
+            f"SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws"
+            " FROM documents) t WHERE len(ws) >= 3"
+        )
+    return f"SELECT doc_id, {mins} FROM (SELECT DISTINCT doc_id, sh FROM ({sh_src}) s) d GROUP BY doc_id"
+
+
+def _band_exprs() -> list[str]:
+    out = []
+    for b in range(N_BANDS):
+        cols = ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        out.append(f"md5(concat_ws('_', {cols})) AS band{b}")
+    return out
+
+
+def _lsh_pairs_sql(dialect: str) -> str:
+    sig = _minhash_sql(dialect)
+    bands = ", ".join(_band_exprs())
+    banded = f"SELECT doc_id, {bands} FROM ({sig}) s"
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bh, '{b}' AS bi FROM ({banded}) t{i}"
+        for i, b in enumerate(f"band{j}" for j in range(N_BANDS))
+    )
+    return (
+        f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM ({unions}) a"
+        f" JOIN ({unions}) b ON a.bh = b.bh AND a.bi = b.bi AND a.doc_id < b.doc_id"
+    )
+
+
+@query("dedup_minhash_signatures", oracle=_minhash_sql("duckdb"))
+def dedup_minhash_signatures(spark, sf_dir):
+    """Per-doc MinHash signature (16 hashes) — the building block; computed
+    with one shuffle (groupBy doc) over the shingle relation."""
+    return spark.sql(_minhash_sql("spark"))
+
+
+@query("dedup_minhash_lsh", oracle=_lsh_pairs_sql("duckdb"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidate pairs: docs sharing ≥1 of 4 bands (4 rows each).
+    At scale this replaces the all-pairs join with a band-bucket join."""
+    return spark.sql(_lsh_pairs_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_sql(dialect: str) -> str:
+    if dialect == "spark":
+        words = (
+            "SELECT doc_id, explode(regexp_extract_all(lower(text),"
+            f" '{TOKEN_RE}', 0)) AS w FROM documents"
+        )
+        h32 = "cast(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"
+    else:
+        words = (
+            "SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+            f" '{TOKEN_RE}')) AS w FROM documents"
+        )
+        h32 = "CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)"
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return (
+        f"SELECT doc_id, {bits} AS simhash FROM ("
+        f"SELECT doc_id, {h32} AS wh FROM ({words}) w) h GROUP BY doc_id"
+    )
+
+
+@query("dedup_simhash", oracle=_simhash_sql("duckdb"))
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document (frequency-weighted word hashes); at
+    scale near-dups are found by grouping on the fingerprint (or banding
+    its bytes) — no pairwise join."""
+    return spark.sql(_simhash_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (exact; threshold picked for the
+# synthetic embeddings' similarity range)
+# ---------------------------------------------------------------------------
+
+_COS_T = 0.4
+
+_DOT_DUCK = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+_NORM_DUCK = (
+    "sqrt(list_dot_product(CAST({s}.embedding AS DOUBLE[]),"
+    " CAST({s}.embedding AS DOUBLE[])))"
+)
+
+_EMB_PAIRS_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  {_DOT_DUCK} / ({_NORM_DUCK.format(s='a')} * {_NORM_DUCK.format(s='b')}) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DOT_DUCK} / ({_NORM_DUCK.format(s='a')} * {_NORM_DUCK.format(s='b')}) >= {_COS_T}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_PAIRS_ORACLE)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Exact near-dup pairs by cosine ≥ t. Float determinism: dot products
+    fold left-to-right in float64 on both engines (verified); the remaining
+    ops are single IEEE operations. At 100 TB the all-pairs join is replaced
+    by the LSH bucketing of ann_lsh_bucket — this is the exact baseline."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    withnorm = emb.select(
+        "vec_id",
+        dbl.alias("e"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(dbl, dbl, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    a = withnorm.alias("a")
+    b = withnorm.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= _COS_T)
+    )

@@ -1,1 +1,189 @@
-"""placeholder — populated in a later commit this round."""
+"""Similarity search over embedding columns.
+
+- **brute-force top-k** (the exact baseline): broadcast the query set,
+  score every candidate, per-query top-k via window rank. At 100 TB the
+  candidate scan is embarrassingly parallel; the only shuffle is the
+  per-query top-k, whose input is already reduced to k × #partitions rows
+  by partial ordering (Spark's window + filter benefits from AQE).
+- **LSH-bucketed** (the scale path): sign-of-projection bucketing against a
+  fixed set of hyperplanes (seed vectors), then exact scoring within the
+  bucket only. Deterministic, so fully oracle-checked.
+
+Float determinism: dot products fold left-to-right in float64 on both
+engines (verified empirically at build time); remaining ops are single IEEE
+operations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bravo_spark import catalog
+from bravo_spark.inventory.registry import query
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+N_PLANES = 6  # hyperplanes = embeddings of vec_id 0..5
+_DOT = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+)
+
+
+def _dot_col(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm_col(a):
+    return F.sqrt(_dot_col(a, a))
+
+
+_ANN_ORACLE = f"""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_DOT.format(a='q.e', b='c.e')} /
+      (sqrt({_DOT.format(a='q.e', b='q.e')}) * sqrt({_DOT.format(a='c.e', b='c.e')}))
+      AS cos
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) r
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("ann_cosine_topk", oracle=_ANN_ORACLE)
+def ann_cosine_topk(spark, sf_dir):
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    vecs = emb.select("vec_id", dbl.alias("e"))
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    cos = _dot_col(F.col("qe"), F.col("ce")) / (
+        _norm_col(F.col("qe")) * _norm_col(F.col("ce"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _bucket_sql_duck(rel: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_DOT.format(a=f'{rel}.e', b=f'p{k}.e')} > 0"
+        f" THEN {1 << k} ELSE 0 END)"
+        for k in range(N_PLANES)
+    )
+    return bits
+
+
+_PLANES_DUCK = ", ".join(
+    f"(SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id = {k}) p{k}"
+    for k in range(N_PLANES)
+)
+
+_ANN_LSH_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+b AS (
+  SELECT v.vec_id, v.e, {_bucket_sql_duck('v')} AS bucket
+  FROM v, {_PLANES_DUCK}
+),
+q AS (SELECT * FROM b WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_DOT.format(a='q.e', b='c.e')} /
+      (sqrt({_DOT.format(a='q.e', b='q.e')}) * sqrt({_DOT.format(a='c.e', b='c.e')}))
+      AS cos
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) r
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("ann_lsh_bucket", oracle=_ANN_LSH_ORACLE)
+def ann_lsh_bucket(spark, sf_dir):
+    """Scale path: candidates restricted to the query's hyperplane-sign
+    bucket. The plane set is tiny and broadcast; bucketing is a map-side
+    projection, and the join key is the bucket id — at 100 TB this is a
+    hash join on a low-cardinality key instead of an all-pairs product."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    vecs = emb.select("vec_id", dbl.alias("e"))
+    planes = [
+        r["e"]
+        for r in vecs.filter(F.col("vec_id") < N_PLANES)
+        .orderBy("vec_id")
+        .collect()  # N_PLANES tiny fixed vectors — metadata-scale collect
+    ]
+    bucket = None
+    for k, p in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot_col(F.col("e"), plane_lit) > 0, F.lit(1 << k)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    b = vecs.withColumn("bucket", bucket)
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    cos = _dot_col(F.col("qe"), F.col("ce")) / (
+        _norm_col(F.col("qe")) * _norm_col(F.col("ce"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            b.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("e").alias("ce"),
+                F.col("bucket").alias("cb"),
+            ),
+            (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle=(
+        "SELECT vec_id, label,"
+        " sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+        " CAST(embedding AS DOUBLE[]))) AS l2_norm FROM embeddings"
+    ),
+)
+def embedding_norms(spark, sf_dir):
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    return emb.select("vec_id", "label", _norm_col(dbl).alias("l2_norm"))

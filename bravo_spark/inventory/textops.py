@@ -1,1 +1,233 @@
-"""placeholder — populated in a later commit this round."""
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting, multimodal column plumbing.
+
+All per-document, embarrassingly parallel (no shuffle at all — these scan,
+compute JVM-side expressions, and write); at 100 TB they pipeline with the
+parquet scan. No Python UDFs in any of them except the multimodal decode
+stub, which is explicitly the mapInPandas plumbing demonstration.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from bravo_spark import catalog
+from bravo_spark.inventory.registry import query
+
+TOKEN_RE = "[a-z0-9]+"
+
+# ---------------------------------------------------------------------------
+# language ID: stopword-hit scoring over fixed per-language lists.
+# count(w) via the length-difference-of-replace trick — identical replace
+# semantics (greedy, non-overlapping, all occurrences) on both engines.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "les", "et", "des", "un"],
+}
+
+
+def _count_expr(word: str) -> str:
+    # occurrences of ' word ' in the space-padded, lowercased text
+    pat = f" {word} "
+    return (
+        f"CAST((length(padded) - length(replace(padded, '{pat}', '')))"
+        f" / {len(pat)} AS BIGINT)"
+    )
+
+
+def _langid_sql() -> str:
+    scores = ", ".join(
+        "(" + " + ".join(_count_expr(w) for w in ws) + f") AS s_{lang}"
+        for lang, ws in _STOPWORDS.items()
+    )
+    langs = list(_STOPWORDS)
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN s_{lang} = mx AND mx > 0 THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return (
+        f"SELECT doc_id, {pick} AS lang_pred, mx AS best_score FROM ("
+        f"SELECT doc_id, {scores}, {mx} AS mx FROM ("
+        "SELECT doc_id, concat(' ', lower(text), ' ') AS padded FROM documents"
+        ") p) s"
+    )
+
+
+@query("text_lang_id", oracle=_langid_sql())
+def text_lang_id(spark, sf_dir):
+    """N-gram/stopword-heuristic language ID; ties broken by fixed language
+    priority so the result is deterministic."""
+    return spark.sql(_langid_sql())
+
+
+# ---------------------------------------------------------------------------
+# quality scoring: length / word stats / stopword ratio.
+# ---------------------------------------------------------------------------
+
+
+def _quality_spark_sql() -> str:
+    return f"""
+SELECT doc_id, n_chars_actual, n_words, alpha_chars,
+  CAST(alpha_chars AS DOUBLE) / nullif(n_words, 0) AS avg_word_len,
+  CAST(stop_hits AS DOUBLE) / nullif(n_words, 0) AS stop_ratio,
+  CASE WHEN n_words BETWEEN 10 AND 10000
+        AND CAST(alpha_chars AS DOUBLE) / nullif(n_words, 0) BETWEEN 2.0 AND 12.0
+       THEN 1 ELSE 0 END AS is_quality
+FROM (
+  SELECT doc_id, length(text) AS n_chars_actual,
+    size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0)) AS n_words,
+    length(regexp_replace(lower(text), '[^a-z0-9]', '')) AS alpha_chars,
+    CAST((length(concat(' ', lower(text), ' ')) -
+      length(replace(concat(' ', lower(text), ' '), ' the ', ''))) / 5 AS BIGINT)
+    AS stop_hits
+  FROM documents) t
+"""
+
+
+def _quality_duck_sql() -> str:
+    return f"""
+SELECT doc_id, n_chars_actual, n_words, alpha_chars,
+  CAST(alpha_chars AS DOUBLE) / nullif(n_words, 0) AS avg_word_len,
+  CAST(stop_hits AS DOUBLE) / nullif(n_words, 0) AS stop_ratio,
+  CASE WHEN n_words BETWEEN 10 AND 10000
+        AND CAST(alpha_chars AS DOUBLE) / nullif(n_words, 0) BETWEEN 2.0 AND 12.0
+       THEN 1 ELSE 0 END AS is_quality
+FROM (
+  SELECT doc_id, length(text) AS n_chars_actual,
+    len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_words,
+    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars,
+    CAST((length(concat(' ', lower(text), ' ')) -
+      length(replace(concat(' ', lower(text), ' '), ' the ', ''))) / 5 AS BIGINT)
+    AS stop_hits
+  FROM documents) t
+"""
+
+
+@query("text_quality", oracle=_quality_duck_sql())
+def text_quality(spark, sf_dir):
+    return spark.sql(_quality_spark_sql())
+
+
+# ---------------------------------------------------------------------------
+# token counting: whitespace tokens + BPE-ish subword estimate (regex of
+# letter-runs, digit-runs and residual symbols — a cheap proxy with the
+# shape of a real tokenizer count).
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "[a-z]{1,4}|[0-9]|[^a-z0-9 ]"
+
+
+@query(
+    "text_token_count",
+    oracle=(
+        "SELECT doc_id,"
+        f" len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS ws_tokens,"
+        f" len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_tokens"
+        " FROM documents"
+    ),
+)
+def text_token_count(spark, sf_dir):
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")).alias(
+            "ws_tokens"
+        ),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint: normalized-text digest (md5; first 16 hex chars) —
+# the cheap exact-dup key for incremental pipelines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_fingerprint",
+    oracle=(
+        "SELECT doc_id, substr(md5(trim(lower(text))), 1, 16) AS fp FROM documents"
+    ),
+)
+def text_fingerprint(spark, sf_dir):
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.substring(F.md5(F.trim(F.lower("text"))), 1, 16).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns: opaque binary payload + typed metadata. The payload
+# here is the utf-8 bytes of ``text`` standing in for image/audio bytes; the
+# byte-level plumbing (binary column, octet length, prefix inspection) is
+# real and oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    oracle=(
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes,"
+        " hex(encode(substr(text, 1, 8))) AS prefix_hex FROM documents"
+    ),
+)
+def multimodal_meta(spark, sf_dir):
+    docs = catalog.table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.hex(F.encode(F.substring("text", 1, 8), "utf-8")).alias("prefix_hex"),
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle=(
+        "SELECT doc_id,"
+        " 1 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1024 AS width,"
+        " 1 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 1024 AS height,"
+        " (1 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1024) *"
+        " (1 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 1024) AS n_pixels"
+        " FROM documents"
+    ),
+)
+def multimodal_decode(spark, sf_dir):
+    """Image-decode plumbing over a binary column via mapInPandas: schema,
+    Arrow batch shape and partitioning are real; the decoder itself is a
+    deterministic stand-in (this container ships no image libs — a real
+    deployment swaps ``_fake_decode`` for PIL/ffmpeg on the same plumbing).
+    """
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib
+
+        for pdf in batches:
+            ids, ws, hs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = hashlib.md5(bytes(payload)).hexdigest()
+                w = 1 + int(digest[0:8], 16) % 1024
+                h = 1 + int(digest[8:16], 16) % 1024
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+            out = pd.DataFrame({"doc_id": ids, "width": ws, "height": hs})
+            out["n_pixels"] = out["width"] * out["height"]
+            yield out
+
+    return docs.mapInPandas(
+        decode_batches, schema="doc_id long, width long, height long, n_pixels long"
+    )
