@@ -36,9 +36,11 @@ def snapshot_roundtrip(spark, sf_dir):
         tempfile.gettempdir(), f"bravo_snapshot_rt_{os.getpid()}"
     )
     shutil.rmtree(out, ignore_errors=True)
-    sp.write_savepoint(rows, out, max_parallelism=128, parallelism=4)
-    back = sp.read_savepoint(spark, out, state_names=["Count"])
-    return sr.read_value_kv(back, "Count", fc.LONG, fc.LONG, max_parallelism=128)
+    sp.write_savepoint(
+        rows, out, max_parallelism=128, parallelism=4, state_ids={"Count": 0}
+    )
+    # fused scan+decode (S2+P1 in one hop, like the reference's readers)
+    return sp.read_savepoint_kv(spark, out, "Count", fc.LONG, fc.LONG)
 
 
 @query(
@@ -66,6 +68,8 @@ def snapshot_state_filter(spark, sf_dir):
     )
     out = os.path.join(tempfile.gettempdir(), f"bravo_snapshot_sf_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
-    sp.write_savepoint(rows, out, max_parallelism=128, parallelism=4)
-    back = sp.read_savepoint(spark, out, state_names=["clicks"])
-    return sr.read_value_kv(back, "clicks", fc.LONG, fc.LONG)
+    sp.write_savepoint(
+        rows, out, max_parallelism=128, parallelism=4,
+        state_ids={"clicks": 0, "views": 1},
+    )
+    return sp.read_savepoint_kv(spark, out, "clicks", fc.LONG, fc.LONG)

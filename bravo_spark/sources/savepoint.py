@@ -211,6 +211,13 @@ def read_savepoint(
     Each file is divided into up to ``splits_per_file`` key-group chunks for
     parallelism beyond the writer's subtask count.
     """
+    splits, id_to_name, state_filter = _plan_scan(
+        path, state_names, state_filter, splits_per_file
+    )
+    return _scan_df(spark, splits, id_to_name, state_filter)
+
+
+def _plan_scan(path, state_names, state_filter, splits_per_file):
     meta = read_savepoint_meta(path)
     if state_names is not None:
         selected = set(state_names)
@@ -235,17 +242,97 @@ def read_savepoint(
         chunk = (len(spans) + n - 1) // n
         for i in range(0, len(spans), chunk):
             splits.append((fmeta["path"], spans[i : i + chunk]))
+    return splits, id_to_name, state_filter
 
-    sc = spark.sparkContext
-    rdd = sc.parallelize(splits, numSlices=max(1, len(splits)))
 
-    def scan(split):
-        fpath, spans = split
-        with open(fpath, "rb") as f:
-            for _kg, off, end in spans:
-                f.seek(off)
-                buf = f.read(end - off)
-                yield from fc.iter_key_group_section(buf, id_to_name, state_filter)
+def _split_frame(spark: SparkSession, splits):
+    rows = [
+        (fpath, json.dumps(spans)) for fpath, spans in splits
+    ]
+    n = max(1, len(rows))
+    return (
+        spark.createDataFrame(rows, schema="file string, spans string")
+        .repartition(n)  # one scan split per task
+    )
 
-    decoded = rdd.flatMap(scan)
-    return spark.createDataFrame(decoded, schema=STATE_ROW_SCHEMA)
+
+def _scan_splits(pdf_iter, id_to_name, state_filter):
+    for pdf in pdf_iter:
+        for fpath, spans_json in zip(pdf["file"], pdf["spans"]):
+            names, keys, vals = [], [], []
+            with open(fpath, "rb") as f:
+                for _kg, off, end in json.loads(spans_json):
+                    f.seek(off)
+                    buf = f.read(end - off)
+                    for name, key, val in fc.iter_key_group_section(
+                        buf, id_to_name, state_filter
+                    ):
+                        names.append(name)
+                        keys.append(key)
+                        vals.append(val)
+            yield pd.DataFrame(
+                {"state_name": names, "key_ns": keys, "value": vals},
+                columns=["state_name", "key_ns", "value"],
+            )
+
+
+def _scan_df(spark, splits, id_to_name, state_filter) -> DataFrame:
+    """Arrow-batched scan: split metadata DataFrame → mapInPandas decoder.
+    One Python hop, no row pickling (vs. parallelize+createDataFrame)."""
+    from bravo_spark.sources.staterows import STATE_ROW_SCHEMA as _schema
+
+    return _split_frame(spark, splits).mapInPandas(
+        lambda it: _scan_splits(it, id_to_name, state_filter), schema=_schema
+    )
+
+
+def read_savepoint_kv(
+    spark: SparkSession,
+    path: str,
+    state_name: str,
+    key_codec,
+    value_codec,
+    *,
+    max_parallelism: int = 128,
+    ttl: bool = False,
+    splits_per_file: int = 8,
+) -> DataFrame:
+    """Fused S2+P1: scan *and* decode one value state in a single Python
+    hop — the exact analog of the reference's flatMap readers, which filter
+    + project + deserialize inside the scan (reader/ValueStateKVReader.java:
+    39-62). Saves one Arrow exchange vs read_savepoint → read_value_kv."""
+    from bravo_spark.codecs import flink as _fc
+    from bravo_spark.sources.staterows import spark_type_for
+
+    from pyspark.sql.types import StructField, StructType
+
+    splits, id_to_name, state_filter = _plan_scan(
+        path, [state_name], None, splits_per_file
+    )
+    prefix = _fc.key_group_prefix_bytes(max_parallelism)
+    schema = StructType(
+        [
+            StructField("key", spark_type_for(key_codec), True),
+            StructField("value", spark_type_for(value_codec), True),
+        ]
+    )
+
+    def scan_decode(pdf_iter):
+        for pdf in pdf_iter:
+            keys, vals = [], []
+            for fpath, spans_json in zip(pdf["file"], pdf["spans"]):
+                with open(fpath, "rb") as f:
+                    for _kg, off, end in json.loads(spans_json):
+                        f.seek(off)
+                        buf = f.read(end - off)
+                        for _n, kns, raw in fc.iter_key_group_section(
+                            buf, id_to_name, state_filter
+                        ):
+                            r = fc.ByteReader(kns, prefix)
+                            keys.append(key_codec.decode(r))
+                            vals.append(
+                                fc.decode_value_state(raw, value_codec, ttl=ttl)
+                            )
+            yield pd.DataFrame({"key": keys, "value": vals}, columns=["key", "value"])
+
+    return _split_frame(spark, splits).mapInPandas(scan_decode, schema=schema)
