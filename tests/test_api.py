@@ -1,0 +1,168 @@
+"""API-facade tests mirroring the reference's conformance suite (SURVEY §5):
+ValueStateTransformationTest, KeyedStateAddRemoveTest,
+BroadcastStateTransformationTest, TtlStateTest list/map reads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bravo_spark import api
+from bravo_spark.sources import operator_state as ops
+from bravo_spark.sources import savepoint as sp
+from bravo_spark.sources import staterows as sr
+
+
+def _bootstrap(spark, tmp_path, name="Count", rows=((1, 2), (2, 1), (3, 5))):
+    kv = spark.createDataFrame(list(rows), "key int, value int")
+    w = api.OperatorStateWriter(
+        None, str(tmp_path / "base"), spark=spark, max_parallelism=128, parallelism=2
+    )
+    w.add_value_state(name, kv, api.INT, api.INT)
+    w.write_all()
+    return str(tmp_path / "base")
+
+
+def test_transformation_roundtrip(spark, tmp_path):
+    # ValueStateTransformationTest.java:55-100: read, double, enrich, write,
+    # re-read; untouched states migrate.
+    base = _bootstrap(spark, tmp_path)
+    reader = api.OperatorStateReader(spark, base)
+    counts = reader.read_value_kv("Count", api.INT, api.INT)
+    deltas = spark.createDataFrame(
+        [(0, 100), (3, 1000), (1, 100), (2, 1000)], "key int, delta int"
+    )
+    updated = (
+        counts.withColumn("value", F.col("value") * 2)
+        .join(deltas, "key")
+        .select("key", (F.col("value") + F.col("delta")).alias("value"))
+    )
+    writer = api.OperatorStateWriter(reader, str(tmp_path / "v2"))
+    writer.add_value_state("Count", updated, api.INT, api.INT)
+    writer.add_keyed_state_rows(reader.unread_state_rows())
+    writer.write_all()
+
+    r2 = api.OperatorStateReader(spark, str(tmp_path / "v2"))
+    got = sorted(tuple(r) for r in r2.read_value_kv("Count", api.INT, api.INT).collect())
+    assert got == [(1, 104), (2, 1002), (3, 1010)]
+
+
+def test_add_remove_states(spark, tmp_path):
+    # KeyedStateAddRemoveTest.java:73-95: bootstrap a new state onto an
+    # operator, delete another, restore.
+    base = _bootstrap(spark, tmp_path, name="seen")
+    reader = api.OperatorStateReader(spark, base)
+    writer = api.OperatorStateWriter(reader, str(tmp_path / "v2"))
+    boot = spark.createDataFrame([(1, 100), (2, 100)], "key int, value int")
+    writer.create_new_value_state("count", boot, api.INT, api.INT)
+    writer.delete_keyed_state("seen")
+    writer.write_all()
+
+    r2 = api.OperatorStateReader(spark, str(tmp_path / "v2"))
+    names = {
+        r["state_name"]
+        for r in r2.all_keyed_state_rows().select("state_name").distinct().collect()
+    }
+    assert names == {"count"}
+    got = sorted(tuple(r) for r in r2.read_value_kv("count", api.INT, api.INT).collect())
+    assert got == [(1, 100), (2, 100)]
+
+
+def test_broadcast_state_transformation(spark, tmp_path):
+    # BroadcastStateTransformationTest.java:87-118: non-keyed broadcast state
+    # read + transform + write (FIXTURES 2.7: {(true,[1])} -> {(true,[2,3])}).
+    base = _bootstrap(spark, tmp_path)
+    b = ops.OperatorStateBackend()
+    b.get_broadcast_state("filteredKeys")[True] = [1]
+    ops.write_operator_state(base, [b, ops.OperatorStateBackend()])
+
+    reader = api.OperatorStateReader(spark, base)
+    assert reader.operator_state_backend(0).get_broadcast_state("filteredKeys") == {
+        True: [1]
+    }
+
+    writer = api.OperatorStateWriter(reader, str(tmp_path / "v2"))
+    writer.add_keyed_state_rows(reader.all_keyed_state_rows())
+
+    def transform(_subtask: int, backend: ops.OperatorStateBackend) -> None:
+        backend.get_broadcast_state("filteredKeys")[True] = [2, 3]
+
+    writer.transform_non_keyed_state(transform)
+    writer.write_all()
+
+    r2 = api.OperatorStateReader(spark, str(tmp_path / "v2"))
+    for i in range(2):
+        assert r2.operator_state_backend(i).get_broadcast_state("filteredKeys") == {
+            True: [2, 3]
+        }
+    # keyed state migrated untouched alongside
+    got = sorted(tuple(r) for r in r2.read_value_kv("Count", api.INT, api.INT).collect())
+    assert got == [(1, 2), (2, 1), (3, 5)]
+
+
+def test_list_and_union_state_redistribution(spark, tmp_path):
+    path = str(tmp_path / "sv")
+    b0, b1 = ops.OperatorStateBackend(), ops.OperatorStateBackend()
+    b0.get_list_state("buf").extend([1, 2])
+    b1.get_list_state("buf").extend([3])
+    b0.get_union_state("offsets").append("p0:10")
+    b1.get_union_state("offsets").append("p1:20")
+    ops.write_operator_state(path, [b0, b1])
+
+    # rescale 2 -> 3: list splits round-robin, union goes everywhere
+    scaled = ops.read_operator_state(path, parallelism=3)
+    all_list = sorted(v for b in scaled for v in b.get_list_state("buf"))
+    assert all_list == [1, 2, 3]
+    for b in scaled:
+        assert sorted(b.get_union_state("offsets")) == ["p0:10", "p1:20"]
+
+
+def test_reader_memoizes_scan_and_tracks_reads(spark, tmp_path):
+    base = _bootstrap(spark, tmp_path)
+    extra = spark.createDataFrame([(9, 9)], "key int, value int")
+    rows = sr.kv_to_state_rows(extra, "Other", api.INT, api.INT)
+    all_rows = sp.read_savepoint(spark, base).unionByName(rows)
+    sp.write_savepoint(
+        all_rows, str(tmp_path / "two"), max_parallelism=128, parallelism=2
+    )
+    reader = api.OperatorStateReader(spark, str(tmp_path / "two"))
+    assert reader.all_keyed_state_rows() is reader.all_keyed_state_rows()
+    reader.read_value_kv("Count", api.INT, api.INT).collect()
+    unread = {
+        r["state_name"]
+        for r in reader.unread_state_rows().select("state_name").distinct().collect()
+    }
+    assert unread == {"Other"}
+
+
+def test_window_reader_via_api(spark, tmp_path):
+    # window-contents rows: key + TimeWindow namespace after the key bytes
+    import pandas as pd
+
+    from bravo_spark.codecs import flink as fc
+
+    data = [("1", 1), ("2", 3)]
+    kv = spark.createDataFrame(data, "key string, value int")
+
+    def enc(batches):
+        for pdf in batches:
+            out = {"state_name": [], "key_ns": [], "value": []}
+            for k, v in zip(pdf["key"], pdf["value"]):
+                ns = fc.write_long(0) + fc.write_long(60_000)  # TimeWindow(0,1min)
+                kns = fc.encode_key_ns(
+                    str(k), fc.STRING, 128,
+                    namespace_codec=fc.Codec("tw", lambda _v: ns, None), namespace=None,
+                )
+                out["state_name"].append("window-contents")
+                out["key_ns"].append(kns)
+                out["value"].append(fc.encode_value_state(int(v), fc.INT))
+            yield pd.DataFrame(out)
+
+    rows = kv.mapInPandas(enc, schema=sr.STATE_ROW_SCHEMA)
+    sp.write_savepoint(
+        rows, str(tmp_path / "w"), max_parallelism=128, parallelism=2
+    )
+    reader = api.OperatorStateReader(spark, str(tmp_path / "w"))
+    got = sorted(
+        tuple(r) for r in reader.read_window_kv(api.STRING, api.INT).collect()
+    )
+    assert got == [("1", 1), ("2", 3)]
