@@ -555,3 +555,61 @@ def tpch_q3(spark, sf_dir):
         .limit(10)
         .select("l_orderkey", "o_orderdate", F.col("rev_dec").cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference relational extras: cube grouping and as-of join (the
+# time-series enrichment primitive Spark lacks as a builtin; expressed as
+# range-join + per-key argmin, the composition the Spark docs recommend).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cube_agg",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,"
+        " count(*) AS cnt FROM lineitem"
+        " GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+)
+def cube_agg(spark, sf_dir):
+    li = catalog.table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "asof_join",
+    oracle=(
+        "SELECT o_orderkey, event_id AS asof_event, value AS asof_value FROM ("
+        " SELECT o.o_orderkey, e.event_id, e.value, row_number() OVER ("
+        "  PARTITION BY o.o_orderkey ORDER BY e.ts, e.event_id) AS rn"
+        " FROM orders o JOIN events e ON e.user_id = o.o_custkey"
+        "  AND e.ts >= o.o_orderdate) t WHERE rn = 1"
+    ),
+)
+def asof_join(spark, sf_dir):
+    """As-of join: for each order, the first event of that customer at or
+    after the order date. Expressed as an equi-join on the key plus a range
+    predicate, then per-row argmin via window — Catalyst plans the equi part
+    as a hash join, so the range filter never becomes a cross product. At
+    100 TB the same plan holds: shuffle on the key, per-key ordered scan."""
+    o = catalog.table(spark, sf_dir, "orders")
+    ev = catalog.table(spark, sf_dir, "events")
+    joined = o.join(
+        ev,
+        (ev.user_id == o.o_custkey) & (ev.ts >= o.o_orderdate),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            F.col("event_id").alias("asof_event"),
+            F.col("value").alias("asof_value"),
+        )
+    )

@@ -1,0 +1,93 @@
+"""Plan-quality regression tests: the physical plans Catalyst produces for
+our queries must keep the properties that make them scale — broadcast for
+dim joins, predicate pushdown into the parquet scan, column pruning, and no
+gratuitous shuffles. A correctness-green query that loses one of these is a
+perf bug at 100 TB even though every test stays green — so they're pinned
+here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+
+    def plan_of(name: str) -> str:
+        return qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_join_enrich_broadcasts_dim(plans):
+    p = plans("join_enrich")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_join_enrich_prunes_columns(plans):
+    # counts side should scan ONLY user_id
+    assert "struct<user_id:bigint>" in plans("join_enrich")
+
+
+def test_isin_filter_pushed_to_scan(plans):
+    p = plans("f2_isin_filter")
+    assert "In(l_returnflag" in p  # PushedFilters
+
+
+def test_p1_pushes_equality_and_prunes(plans):
+    p = plans("p1_value_kv")
+    assert "EqualTo(event_type,click)" in p
+    # only the 3 needed columns reach the scan
+    assert "struct<event_id:bigint,event_type:string,value:double>" in p
+
+
+def test_tpch_q3_pushes_date_ranges_and_broadcasts(plans):
+    p = plans("tpch_q3")
+    assert "BroadcastHashJoin" in p
+    assert "GreaterThan(l_shipdate" in p
+    assert "LessThan(o_orderdate" in p
+
+
+def test_scan_only_ops_have_no_shuffle(plans):
+    # per-document ops are map-only: any Exchange is a regression
+    for name in ("text_fingerprint", "text_token_count", "multimodal_meta"):
+        assert "Exchange" not in plans(name), name
+
+
+def test_single_shuffle_aggregations(plans):
+    # partial (map-side) agg + one exchange + final agg
+    p = plans("a2_count_sum_per_key")
+    assert p.count("Exchange") == 1
+    assert "HashAggregate" in p
+
+
+def test_snapshot_write_plan_is_single_shuffle(spark, tmp_path):
+    from bravo_spark.codecs import flink as fc
+    from bravo_spark.sources import staterows as sr
+    from bravo_spark.sources.staterows import (
+        with_key_group_column,
+        with_operator_index_column,
+    )
+
+    kv = spark.createDataFrame([(1, 1)], "key int, value int")
+    rows = sr.kv_to_state_rows(kv, "s", fc.INT, fc.INT)
+    routed = with_operator_index_column(
+        with_key_group_column(rows, max_parallelism=128),
+        max_parallelism=128,
+        parallelism=2,
+    )
+    shuffled = routed.repartition(2, "op_index").sortWithinPartitions(
+        "op_index", "key_group"
+    )
+    p = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1  # the op-index repartition, nothing else
+    # the key-group extraction must be a JVM expression, not a Python UDF
+    assert "pythonUDF" not in p.lower() or "MapInPandas" in p
