@@ -254,7 +254,8 @@ def encode_key_ns(
     from bravo_spark.codecs import hashes
 
     if key_group is None:
-        key_group = hashes.assign_to_key_group(key, max_parallelism)
+        kind = key_codec.name if key_codec.name in ("int", "long", "string") else None
+        key_group = hashes.assign_to_key_group(key, max_parallelism, kind)
     out = bytearray()
     out += write_key_group(key_group, key_group_prefix_bytes(max_parallelism))
     out += key_codec.encode(key)

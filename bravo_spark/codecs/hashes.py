@@ -50,13 +50,20 @@ def java_string_hash(s: str) -> int:
     return _to_signed32(h)
 
 
-def java_hash(key) -> int:
+def java_hash(key, kind: str | None = None) -> int:
+    """Java hashCode of ``key``. ``kind`` ('int'|'long'|'string'|'boolean')
+    pins the Java type — Integer vs Long hashCode differ for negative
+    values, so typed callers (the codecs) always pass it; the heuristic
+    default covers untyped use."""
+    if kind == "int":
+        return java_int_hash(key)
+    if kind == "long":
+        return java_long_hash(key)
+    if kind == "string":
+        return java_string_hash(key)
     if isinstance(key, bool):
         return 1231 if key else 1237
     if isinstance(key, int):
-        # Flink keys are typed; callers with true 64-bit keys should use
-        # java_long_hash explicitly. Default to Integer semantics in the
-        # int32 range, Long outside it.
         if INT_MIN <= key < 2**31:
             return java_int_hash(key)
         return java_long_hash(key)
@@ -88,9 +95,9 @@ def flink_murmur_hash(code: int) -> int:
     return 0
 
 
-def assign_to_key_group(key, max_parallelism: int) -> int:
+def assign_to_key_group(key, max_parallelism: int, kind: str | None = None) -> int:
     """Flink KeyGroupRangeAssignment.assignToKeyGroup."""
-    return flink_murmur_hash(java_hash(key)) % max_parallelism
+    return flink_murmur_hash(java_hash(key, kind)) % max_parallelism
 
 
 def operator_index_for_key_group(key_group: int, max_parallelism: int, parallelism: int) -> int:

@@ -317,9 +317,14 @@ def read_savepoint_kv(
         ]
     )
 
+    from bravo_spark.codecs import vectorized as vz
+
+    use_fast = vz.is_fixed(key_codec) and vz.is_fixed(value_codec)
+
     def scan_decode(pdf_iter):
         for pdf in pdf_iter:
-            keys, vals = [], []
+            raw_keys: list[bytes] = []
+            raw_vals: list[bytes] = []
             for fpath, spans_json in zip(pdf["file"], pdf["spans"]):
                 with open(fpath, "rb") as f:
                     for _kg, off, end in json.loads(spans_json):
@@ -328,11 +333,24 @@ def read_savepoint_kv(
                         for _n, kns, raw in fc.iter_key_group_section(
                             buf, id_to_name, state_filter
                         ):
-                            r = fc.ByteReader(kns, prefix)
-                            keys.append(key_codec.decode(r))
-                            vals.append(
-                                fc.decode_value_state(raw, value_codec, ttl=ttl)
-                            )
+                            raw_keys.append(kns)
+                            raw_vals.append(raw)
+            fast = (
+                vz.decode_kv_fixed(
+                    raw_keys, raw_vals, key_codec, value_codec,
+                    max_parallelism, ttl=ttl,
+                )
+                if use_fast
+                else None
+            )
+            if fast is not None:
+                yield pd.DataFrame({"key": fast[0], "value": fast[1]})
+                continue
+            keys, vals = [], []
+            for kns, raw in zip(raw_keys, raw_vals):
+                r = fc.ByteReader(kns, prefix)
+                keys.append(key_codec.decode(r))
+                vals.append(fc.decode_value_state(raw, value_codec, ttl=ttl))
             yield pd.DataFrame({"key": keys, "value": vals}, columns=["key", "value"])
 
     return _split_frame(spark, splits).mapInPandas(scan_decode, schema=schema)

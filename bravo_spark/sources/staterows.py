@@ -124,7 +124,11 @@ def read_value_kv(
     ttl: bool = False,
     namespace_codec: fc.Codec = fc.VOID_NAMESPACE,
 ) -> DataFrame:
-    """P1 — value state as (key, value) (reader/ValueStateKVReader.java:39-62)."""
+    """P1 — value state as (key, value) (reader/ValueStateKVReader.java:39-62).
+
+    Fixed-width codec pairs decode through the numpy fast path
+    (codecs.vectorized); everything else uses the scalar codecs.
+    """
     prefix = fc.key_group_prefix_bytes(max_parallelism)
 
     def decode(key_ns: bytes, value: bytes):
@@ -138,6 +142,28 @@ def read_value_kv(
             StructField("value", spark_type_for(value_codec), True),
         ]
     )
+
+    from bravo_spark.codecs import vectorized as vz
+
+    if vz.is_fixed(key_codec) and vz.is_fixed(value_codec):
+        filtered = rows.filter(F.col("state_name") == state_name).select(
+            "key_ns", "value"
+        )
+
+        def decode_fast(batches: Iterator[pd.DataFrame]):
+            for pdf in batches:
+                fast = vz.decode_kv_fixed(
+                    [bytes(b) for b in pdf["key_ns"]],
+                    [bytes(b) for b in pdf["value"]],
+                    key_codec, value_codec, max_parallelism, ttl=ttl,
+                )
+                if fast is None:  # ragged rows — scalar fallback
+                    yield from _decode_batches(iter([pdf]), decode, ["key", "value"])
+                else:
+                    yield pd.DataFrame({"key": fast[0], "value": fast[1]})
+
+        return filtered.mapInPandas(decode_fast, schema=schema)
+
     return _reader(rows, state_name, decode, schema)
 
 
@@ -317,7 +343,28 @@ def kv_to_state_rows(
     key, map_key, value)."""
 
     def encode(batches: Iterator[pd.DataFrame]):
+        from bravo_spark.codecs import vectorized as vz
+
         for pdf in batches:
+            if kind == "value" and vz.is_fixed(key_codec) and vz.is_fixed(value_codec):
+                fast = vz.encode_kv_fixed(
+                    pdf["key"].to_numpy(),
+                    pdf["value"].to_numpy(),
+                    key_codec,
+                    value_codec,
+                    max_parallelism,
+                )
+                if fast is not None:
+                    kns_list, val_list = fast
+                    yield pd.DataFrame(
+                        {
+                            "state_name": [state_name] * len(kns_list),
+                            "key_ns": kns_list,
+                            "value": val_list,
+                        },
+                        columns=["state_name", "key_ns", "value"],
+                    )
+                    continue
             names, keys, vals = [], [], []
             if kind == "map":
                 it: Any = zip(pdf["key"], pdf["map_key"], pdf["value"])
