@@ -11,3 +11,4 @@ from bravo_spark.inventory import dedup  # noqa: F401
 from bravo_spark.inventory import textops  # noqa: F401
 from bravo_spark.inventory import similarity  # noqa: F401
 from bravo_spark.inventory import streaming  # noqa: F401
+from bravo_spark.inventory import sampling  # noqa: F401

@@ -1,0 +1,141 @@
+"""Deterministic sampling / splitting / sessionization for training-data
+pipelines.
+
+Hash-based sampling is the only kind that survives distribution: it needs no
+coordination, no state, re-runs identically on any cluster layout, and
+composes with incremental data (a document's split never changes when new
+data arrives). All hashes are md5-derived so the DuckDB oracle agrees
+bit-for-bit. Sessionization is the canonical per-key stateful operator,
+expressed with native window functions (JVM-side, single shuffle on the
+session key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bravo_spark import catalog
+from bravo_spark.inventory.registry import query
+
+
+def _h32_spark(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _h32_duck(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "train_val_split",
+    oracle=(
+        "SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id"
+        " FROM (SELECT doc_id, CASE WHEN"
+        f" {_h32_duck('CAST(doc_id AS VARCHAR)')} % 100 < 90"
+        " THEN 'train' ELSE 'val' END AS split FROM documents) t GROUP BY split"
+    ),
+)
+def train_val_split(spark, sf_dir):
+    """90/10 split keyed on a stable document-id hash — assignment is a
+    pure map-side expression; no shuffle until the (tiny) audit aggregate."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    h = F.expr(_h32_spark("CAST(doc_id AS STRING)"))
+    split = F.when(h % 100 < 90, F.lit("train")).otherwise(F.lit("val"))
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@query(
+    "hash_sample",
+    oracle=(
+        "SELECT event_id, user_id FROM events WHERE"
+        f" {_h32_duck('CAST(event_id AS VARCHAR)')} % 10000 < 100"
+    ),
+)
+def hash_sample(spark, sf_dir):
+    """Deterministic ~1% sample — re-runs and re-partitions identically."""
+    ev = catalog.table(spark, sf_dir, "events")
+    h = F.expr(_h32_spark("CAST(event_id AS STRING)"))
+    return ev.filter(h % 10000 < 100).select("event_id", "user_id")
+
+
+@query(
+    "stratified_sample",
+    oracle=(
+        "SELECT event_type, count(*) AS n FROM (SELECT event_type FROM events"
+        f" WHERE {_h32_duck('CAST(event_id AS VARCHAR)')} % 100 <"
+        " CASE event_type WHEN 'purchase' THEN 50 WHEN 'error' THEN 50 ELSE 5 END"
+        ") t GROUP BY event_type"
+    ),
+)
+def stratified_sample(spark, sf_dir):
+    """Per-stratum rates (oversample rare classes) with the same stable
+    hash; rates are a broadcastable CASE, not a join."""
+    ev = catalog.table(spark, sf_dir, "events")
+    h = F.expr(_h32_spark("CAST(event_id AS STRING)"))
+    rate = (
+        F.when(F.col("event_type").isin("purchase", "error"), F.lit(50)).otherwise(
+            F.lit(5)
+        )
+    )
+    return (
+        ev.filter(h % 100 < rate)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "sessionize",
+    oracle=(
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id,"
+        " count(*) AS n_events,"
+        " min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_sec,"
+        " max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_sec"
+        " FROM ("
+        "  SELECT user_id, ts, sum(is_new) OVER ("
+        "   PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS UNBOUNDED PRECEDING) AS session_id"
+        "  FROM ("
+        "   SELECT user_id, ts, event_id,"
+        "    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "     IS NULL OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER ("
+        "     PARTITION BY user_id ORDER BY ts, event_id))) > 1800"
+        "    THEN 1 ELSE 0 END AS is_new FROM events) g) s"
+        " GROUP BY user_id, session_id"
+    ),
+)
+def sessionize(spark, sf_dir):
+    """Session windows (30-min gap) as native window functions: one shuffle
+    on the session key, lag + running sum — the per-key stateful pattern
+    without any Python. (The Structured Streaming equivalent is
+    ``session_window(ts, '30 minutes')``.)"""
+    ev = catalog.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gap_new = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (sec - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("is_new", gap_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(sec).alias("start_sec"),
+            F.max(sec).alias("end_sec"),
+        )
+    )
