@@ -128,6 +128,19 @@ class OperatorStateReader:
             max_parallelism=self.max_parallelism, ttl=ttl,
         )
 
+    def read_window_kv_with_bounds(self, key_codec, value_codec, *, ttl=False) -> DataFrame:
+        """P7 full — window-contents with TimeWindow (start, end) decoded."""
+        self._mark(sr.WINDOW_STATE_NAME)
+        return sr.read_window_kv_with_bounds(
+            self.keyed_state_rows([sr.WINDOW_STATE_NAME]), key_codec, value_codec,
+            max_parallelism=self.max_parallelism, ttl=ttl,
+        )
+
+    def read_custom(self, name, decode_row, schema) -> DataFrame:
+        """X1 — user-defined reader fn(key_ns, value) -> iterable of tuples."""
+        self._mark(name)
+        return sr.read_custom(self.keyed_state_rows([name]), name, decode_row, schema)
+
     # --- non-keyed state (EP3 read side) ---
 
     def operator_state_backend(self, subtask: int) -> ops.OperatorStateBackend:

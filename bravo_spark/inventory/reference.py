@@ -613,3 +613,59 @@ def asof_join(spark, sf_dir):
             F.col("value").alias("asof_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resilient aggregation: two-phase salted groupBy. The result is
+# EXACTLY the plain per-key aggregate (the oracle computes it directly);
+# the salt only changes the physical shuffle so one hot key spreads over
+# 16 partial groups before the final combine. AQE's skew handling covers
+# joins; salting covers aggregations with pathological key skew.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salted_skew_agg",
+    oracle=(
+        "SELECT event_type AS key, count(*) AS cnt,"
+        " CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value"
+        " FROM events GROUP BY event_type"
+    ),
+)
+def salted_skew_agg(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", (F.col("event_id") % 16).cast("int"))
+    partial = salted.groupBy(F.col("event_type").alias("key"), "salt").agg(
+        F.count("*").alias("c"),
+        F.sum(F.col("value").cast(DEC)).alias("s"),
+    )
+    return partial.groupBy("key").agg(
+        F.sum("c").alias("cnt"), F.sum("s").cast("double").alias("sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles: Spark `percentile` and DuckDB `quantile_cont` use the
+# same linear-interpolation definition; inputs are cast to DOUBLE first so
+# both interpolate in the same domain.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "percentiles",
+    oracle=(
+        "SELECT l_returnflag,"
+        " quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50,"
+        " quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS p90,"
+        " quantile_cont(CAST(l_quantity AS DOUBLE), 0.99) AS p99"
+        " FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def percentiles(spark, sf_dir):
+    li = catalog.table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.5)).alias("p50"),
+        F.percentile(q, F.lit(0.9)).alias("p90"),
+        F.percentile(q, F.lit(0.99)).alias("p99"),
+    )

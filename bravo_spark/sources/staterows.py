@@ -432,3 +432,42 @@ def with_operator_index_column(
         out,
         F.floor(F.col(key_group_col) * F.lit(parallelism) / F.lit(max_parallelism)).cast("int"),
     )
+
+
+def read_custom(rows: DataFrame, state_name: str, decode_row, schema: StructType) -> DataFrame:
+    """X1 — user-defined reader: ``decode_row(key_ns, value) -> iterable of
+    tuples`` matching ``schema`` (the reference's custom-KeyedStateReader
+    extension point, reader/KeyedStateReader.java:40-41: one row → 0..n
+    typed rows). Runs Arrow-batched like the built-in readers."""
+    return _reader(rows, state_name, decode_row, schema)
+
+
+def read_window_kv_with_bounds(
+    rows: DataFrame,
+    key_codec: fc.Codec,
+    value_codec: fc.Codec,
+    *,
+    max_parallelism: int = 128,
+    ttl: bool = False,
+) -> DataFrame:
+    """P7 (full) — window-contents rows with the TimeWindow namespace
+    decoded: the 16 namespace bytes after the key are (start, end) epoch-ms
+    longs (Flink TimeWindow.Serializer layout)."""
+    prefix = fc.key_group_prefix_bytes(max_parallelism)
+
+    def decode(key_ns: bytes, value: bytes):
+        r = fc.ByteReader(key_ns, prefix)
+        key = key_codec.decode(r)
+        w_start = fc.read_long(r)
+        w_end = fc.read_long(r)
+        yield (key, w_start, w_end, fc.decode_value_state(value, value_codec, ttl=ttl))
+
+    schema = StructType(
+        [
+            StructField("key", spark_type_for(key_codec), True),
+            StructField("window_start", LongType(), True),
+            StructField("window_end", LongType(), True),
+            StructField("value", spark_type_for(value_codec), True),
+        ]
+    )
+    return _reader(rows, WINDOW_STATE_NAME, decode, schema)
