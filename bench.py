@@ -33,6 +33,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucket",
     "streaming_window_counts",
+    "streaming_stateful_counts",
+    "sessionize",
 ]
 
 

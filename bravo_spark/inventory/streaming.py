@@ -73,3 +73,60 @@ def streaming_window_counts(spark, sf_dir):
     q.awaitTermination(300)
     _ = static  # catalog registration side effect retained
     return spark.table(name)
+
+
+@query(
+    "streaming_stateful_counts",
+    oracle=(
+        "SELECT user_id AS key, count(*) AS cnt,"
+        " CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value"
+        " FROM events GROUP BY user_id"
+    ),
+)
+def streaming_stateful_counts(spark, sf_dir):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running (count, decimal-cent sum) kept in GroupState — the
+    pattern for operators Structured Streaming lacks as builtins. With an
+    availableNow trigger the final state equals the batch aggregate, which
+    is exactly what the oracle computes. The sum is kept in integer cents
+    inside the state so accumulation order can't perturb the float result.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .selectExpr("user_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            cents += int(pdf["cents"].sum())
+        state.update((cnt, cents))
+        yield _pd.DataFrame(
+            {"key": [key[0]], "cnt": [cnt], "sum_value": [cents / 100.0]}
+        )
+
+    agg = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="key long, cnt long, sum_value double",
+        stateStructType="cnt long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

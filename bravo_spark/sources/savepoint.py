@@ -52,11 +52,25 @@ from bravo_spark.sources.staterows import (
 METADATA_FILE = "_bravo_metadata"
 
 
+def _snappy_or_none():
+    """Per-key-group Snappy compression (StateMetadataUtils.java:142-146 /
+    RocksDBSavepointWriter.java:71-72 analog) is gated on python-snappy,
+    which this container does not ship; sections are framed-Snappy streams
+    when available, raw otherwise."""
+    try:
+        import snappy  # type: ignore
+
+        return snappy
+    except ImportError:
+        return None
+
+
 @dataclass
 class SavepointMeta:
     max_parallelism: int
     parallelism: int
     state_ids: dict[str, int]  # state name -> state id (positional, §1.2)
+    compression: bool = False  # per-key-group Snappy (framed) when True
     files: list[dict] = field(default_factory=list)
     # each file entry: {"path": str, "op_index": int,
     #                   "offsets": {key_group(str): byte offset}}
@@ -68,6 +82,7 @@ class SavepointMeta:
                 "max_parallelism": self.max_parallelism,
                 "parallelism": self.parallelism,
                 "state_ids": self.state_ids,
+                "compression": self.compression,
                 "files": self.files,
             },
             indent=1,
@@ -80,6 +95,7 @@ class SavepointMeta:
             max_parallelism=d["max_parallelism"],
             parallelism=d["parallelism"],
             state_ids={k: int(v) for k, v in d["state_ids"].items()},
+            compression=bool(d.get("compression", False)),
             files=d["files"],
         )
 
@@ -91,12 +107,18 @@ def write_savepoint(
     max_parallelism: int,
     parallelism: int,
     state_ids: dict[str, int] | None = None,
+    compression: bool = False,
 ) -> SavepointMeta:
     """Shuffle state rows to their operator index, sort by (key_group,
     state_id), stream one section file per operator index; assemble metadata
     on the driver from per-file handles."""
     spark = rows.sparkSession
     os.makedirs(path, exist_ok=True)
+    if compression and _snappy_or_none() is None:
+        raise RuntimeError(
+            "compression=True requires the python-snappy package, which is "
+            "not installed; write uncompressed (compression=False) instead"
+        )
 
     if state_ids is None:
         names = [r[0] for r in rows.select("state_name").distinct().collect()]
@@ -131,7 +153,10 @@ def write_savepoint(
         def flush_kg():
             if state["fh"] is not None and entries:
                 offsets[state["kg"]] = state["fh"].tell()
-                state["fh"].write(fc.write_key_group_section(entries))
+                buf = fc.write_key_group_section(entries)
+                if compression:
+                    buf = _snappy_or_none().StreamCompressor().compress(buf)
+                state["fh"].write(buf)
             entries.clear()
 
         def close_file():
@@ -176,7 +201,7 @@ def write_savepoint(
         .collect()  # handles only — KB-scale, like OperatorStateWriter.java:253
     )
 
-    meta = SavepointMeta(max_parallelism, parallelism, ids)
+    meta = SavepointMeta(max_parallelism, parallelism, ids, compression=compression)
     for h in handles:
         meta.files.append(
             {
@@ -211,10 +236,10 @@ def read_savepoint(
     Each file is divided into up to ``splits_per_file`` key-group chunks for
     parallelism beyond the writer's subtask count.
     """
-    splits, id_to_name, state_filter = _plan_scan(
+    splits, id_to_name, state_filter, compressed = _plan_scan(
         path, state_names, state_filter, splits_per_file
     )
-    return _scan_df(spark, splits, id_to_name, state_filter)
+    return _scan_df(spark, splits, id_to_name, state_filter, compressed)
 
 
 def _plan_scan(path, state_names, state_filter, splits_per_file):
@@ -242,7 +267,7 @@ def _plan_scan(path, state_names, state_filter, splits_per_file):
         chunk = (len(spans) + n - 1) // n
         for i in range(0, len(spans), chunk):
             splits.append((fmeta["path"], spans[i : i + chunk]))
-    return splits, id_to_name, state_filter
+    return splits, id_to_name, state_filter, meta.compression
 
 
 def _split_frame(spark: SparkSession, splits):
@@ -256,7 +281,8 @@ def _split_frame(spark: SparkSession, splits):
     )
 
 
-def _scan_splits(pdf_iter, id_to_name, state_filter):
+def _scan_splits(pdf_iter, id_to_name, state_filter, compressed=False):
+    snappy = _snappy_or_none() if compressed else None
     for pdf in pdf_iter:
         for fpath, spans_json in zip(pdf["file"], pdf["spans"]):
             names, keys, vals = [], [], []
@@ -264,6 +290,8 @@ def _scan_splits(pdf_iter, id_to_name, state_filter):
                 for _kg, off, end in json.loads(spans_json):
                     f.seek(off)
                     buf = f.read(end - off)
+                    if snappy is not None:
+                        buf = snappy.StreamDecompressor().decompress(buf)
                     for name, key, val in fc.iter_key_group_section(
                         buf, id_to_name, state_filter
                     ):
@@ -276,13 +304,17 @@ def _scan_splits(pdf_iter, id_to_name, state_filter):
             )
 
 
-def _scan_df(spark, splits, id_to_name, state_filter) -> DataFrame:
+def _scan_df(spark, splits, id_to_name, state_filter, compressed=False) -> DataFrame:
     """Arrow-batched scan: split metadata DataFrame → mapInPandas decoder.
     One Python hop, no row pickling (vs. parallelize+createDataFrame)."""
     from bravo_spark.sources.staterows import STATE_ROW_SCHEMA as _schema
 
+    if compressed and _snappy_or_none() is None:
+        raise RuntimeError("savepoint is Snappy-compressed but python-snappy is absent")
+
     return _split_frame(spark, splits).mapInPandas(
-        lambda it: _scan_splits(it, id_to_name, state_filter), schema=_schema
+        lambda it: _scan_splits(it, id_to_name, state_filter, compressed),
+        schema=_schema,
     )
 
 
@@ -306,9 +338,12 @@ def read_savepoint_kv(
 
     from pyspark.sql.types import StructField, StructType
 
-    splits, id_to_name, state_filter = _plan_scan(
+    splits, id_to_name, state_filter, compressed = _plan_scan(
         path, [state_name], None, splits_per_file
     )
+    if compressed and _snappy_or_none() is None:
+        raise RuntimeError("savepoint is Snappy-compressed but python-snappy is absent")
+    snappy_mod = _snappy_or_none() if compressed else None
     prefix = _fc.key_group_prefix_bytes(max_parallelism)
     schema = StructType(
         [
@@ -330,6 +365,8 @@ def read_savepoint_kv(
                     for _kg, off, end in json.loads(spans_json):
                         f.seek(off)
                         buf = f.read(end - off)
+                        if snappy_mod is not None:
+                            buf = snappy_mod.StreamDecompressor().decompress(buf)
                         for _n, kns, raw in fc.iter_key_group_section(
                             buf, id_to_name, state_filter
                         ):

@@ -169,3 +169,29 @@ def test_savepoint_roundtrip_transform_pattern(spark, tmp_path):
     assert got == [(1, 104), (2, 1002), (3, 1010)]
     kept = sorted(tuple(r) for r in sr.read_value_kv(back, "Keep", fc.INT, fc.INT).collect())
     assert kept == [(9, 9)]
+
+
+def test_compression_gate_without_snappy(spark, tmp_path):
+    # python-snappy is absent in this container: asking for compression must
+    # fail loudly, not write garbage.
+    import pytest as _pytest
+
+    from bravo_spark.sources.savepoint import _snappy_or_none
+
+    kv = _kv_df(spark, [(1, 1)])
+    rows = sr.kv_to_state_rows(kv, "s", fc.INT, fc.INT)
+    if _snappy_or_none() is None:
+        with _pytest.raises(RuntimeError, match="python-snappy"):
+            sp.write_savepoint(
+                rows, str(tmp_path / "c"), max_parallelism=128, parallelism=1,
+                compression=True,
+            )
+    else:  # environment with snappy: full round trip
+        sp.write_savepoint(
+            rows, str(tmp_path / "c"), max_parallelism=128, parallelism=1,
+            compression=True,
+        )
+        got = sr.read_value_kv(
+            sp.read_savepoint(spark, str(tmp_path / "c")), "s", fc.INT, fc.INT
+        ).collect()
+        assert [tuple(r) for r in got] == [(1, 1)]
