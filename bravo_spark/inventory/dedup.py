@@ -96,7 +96,10 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_T}
 
 @query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark, sf_dir):
-    sh = _shingles_df(spark, sf_dir)
+    # the shingle relation feeds the self-join twice plus the size table;
+    # materialize it once (at 100 TB this is "build the inverted index
+    # once", the standard shape) instead of recomputing tokenization 3×
+    sh = _shingles_df(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -190,8 +193,35 @@ def dedup_minhash_signatures(spark, sf_dir):
 @query("dedup_minhash_lsh", oracle=_lsh_pairs_sql("duckdb"))
 def dedup_minhash_lsh(spark, sf_dir):
     """LSH candidate pairs: docs sharing ≥1 of 4 bands (4 rows each).
-    At scale this replaces the all-pairs join with a band-bucket join."""
-    return spark.sql(_lsh_pairs_sql("spark"))
+    At scale this replaces the all-pairs join with a band-bucket join.
+
+    The banded-signature relation is computed ONCE and cached, then
+    self-joined — the generated single-statement SQL (kept as the oracle)
+    would evaluate the signature pipeline on both sides of the join.
+    """
+    from pyspark.sql import functions as _F
+
+    sig = spark.sql(_minhash_sql("spark"))
+    sig.selectExpr("doc_id", *_band_exprs()).createOrReplaceTempView("_mh_banded")
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, band{j} AS bh, 'band{j}' AS bi FROM _mh_banded"
+        for j in range(N_BANDS)
+    )
+    banded = spark.sql(unions).cache()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (_F.col("a.bh") == _F.col("b.bh"))
+            & (_F.col("a.bi") == _F.col("b.bi"))
+            & (_F.col("a.doc_id") < _F.col("b.doc_id")),
+        )
+        .select(
+            _F.col("a.doc_id").alias("doc_a"), _F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

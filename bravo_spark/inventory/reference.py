@@ -669,3 +669,94 @@ def percentiles(spark, sf_dir):
         F.percentile(q, F.lit(0.9)).alias("p90"),
         F.percentile(q, F.lit(0.99)).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured columns: JSON property extraction (events.props) — the
+# schema-on-read path for property bags; extraction is a JVM-side expression
+# that pipelines with the scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_extract_agg",
+    oracle=(
+        "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,"
+        " count(*) AS cnt, count(DISTINCT user_id) AS n_users"
+        " FROM events GROUP BY 1"
+    ),
+)
+def json_extract_agg(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deeper relational shapes: 5-way star join (TPC-H Q5 shape) and
+# group-having over a join (Q18 shape).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q5_star",
+    oracle=(
+        "SELECT n_name,"
+        " CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *"
+        "  (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue"
+        " FROM customer, orders, lineitem, supplier, nation, region"
+        " WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey"
+        " AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+        " AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey"
+        " AND r_name = 'ASIA' GROUP BY n_name"
+    ),
+)
+def tpch_q5_star(spark, sf_dir):
+    """Star join: fact lineitem⋈orders with three broadcastable dims; the
+    region/nation/supplier chain collapses into broadcast hash joins."""
+    c = catalog.table(spark, sf_dir, "customer")
+    o = catalog.table(spark, sf_dir, "orders")
+    li = catalog.table(spark, sf_dir, "lineitem")
+    s = catalog.table(spark, sf_dir, "supplier")
+    n = catalog.table(spark, sf_dir, "nation")
+    r = catalog.table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(dims), (li.l_suppkey == F.col("s_suppkey"))
+              & (c.c_nationkey == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q18_having",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, total_qty FROM ("
+        " SELECT o_orderkey, o_custkey,"
+        "  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty"
+        " FROM orders, lineitem WHERE o_orderkey = l_orderkey"
+        " GROUP BY o_orderkey, o_custkey) t WHERE total_qty > 150"
+    ),
+)
+def tpch_q18_having(spark, sf_dir):
+    o = catalog.table(spark, sf_dir, "orders")
+    li = catalog.table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
