@@ -201,10 +201,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     """
     from pyspark.sql import functions as _F
 
+    import uuid as _uuid
+
+    view = f"_mh_banded_{_uuid.uuid4().hex[:8]}"  # collision-safe per call
     sig = spark.sql(_minhash_sql("spark"))
-    sig.selectExpr("doc_id", *_band_exprs()).createOrReplaceTempView("_mh_banded")
+    sig.selectExpr("doc_id", *_band_exprs()).createOrReplaceTempView(view)
     unions = " UNION ALL ".join(
-        f"SELECT doc_id, band{j} AS bh, 'band{j}' AS bi FROM _mh_banded"
+        f"SELECT doc_id, band{j} AS bh, 'band{j}' AS bi FROM {view}"
         for j in range(N_BANDS)
     )
     banded = spark.sql(unions).cache()
@@ -317,4 +320,73 @@ def dedup_embedding_cosine(spark, sf_dir):
             cos.alias("cos"),
         )
         .filter(F.col("cos") >= _COS_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over the near-dup pair graph.
+# The iterative min-label propagation below is the standard distributed CC
+# (what GraphFrames does); each iteration is one join+aggregate, and the
+# loop runs on the driver until a fixpoint — the legitimate Spark pattern
+# for iterative algorithms. The oracle computes the same components with a
+# recursive CTE (fine at oracle scale; the Spark path is the 100 TB path).
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql('duckdb')}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTER_ORACLE)
+def dedup_clusters(spark, sf_dir):
+    from pyspark.sql import functions as _F
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).cache()
+    edges = (
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+        .unionByName(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
+        .cache()
+    )
+    # labels start as self; propagate min(neighbor label) until fixpoint
+    labels = edges.select(_F.col("a").alias("node")).distinct().withColumn(
+        "label", _F.col("node")
+    )
+    for _ in range(20):  # diameter bound; graphs here converge in ~log(n)
+        neigh = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(_F.col("a").alias("node"))
+            .agg(_F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                _F.least(
+                    _F.col("label"), _F.coalesce(_F.col("nlabel"), _F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(_F.col("n.label") != _F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels.select(
+        _F.col("node").alias("doc_id"), _F.col("label").alias("cluster_id")
     )

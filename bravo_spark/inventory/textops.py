@@ -231,3 +231,31 @@ def multimodal_decode(spark, sf_dir):
     return docs.mapInPandas(
         decode_batches, schema="doc_id long, width long, height long, n_pixels long"
     )
+
+
+@query(
+    "word_freq_topk",
+    oracle=(
+        "SELECT w, cnt FROM ("
+        " SELECT w, count(*) AS cnt, row_number() OVER ("
+        "  ORDER BY count(*) DESC, w) AS rk"
+        " FROM (SELECT unnest(regexp_extract_all(lower(text),"
+        f" '{TOKEN_RE}')) AS w FROM documents) t GROUP BY w) r"
+        " WHERE rk <= 50"
+    ),
+)
+def word_freq_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-50 words by frequency (tie-broken by the
+    word itself). The classic two-phase count — map-side partial agg, one
+    shuffle on the word, then a tiny global top-k."""
+    from pyspark.sql import Window as _W
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("w")
+    )
+    counts = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    rk = F.row_number().over(_W.orderBy(F.col("cnt").desc(), F.col("w")))
+    return counts.withColumn("rk", rk).filter(F.col("rk") <= 50).select("w", "cnt")

@@ -195,3 +195,35 @@ def test_compression_gate_without_snappy(spark, tmp_path):
             sp.read_savepoint(spark, str(tmp_path / "c")), "s", fc.INT, fc.INT
         ).collect()
         assert [tuple(r) for r in got] == [(1, 1)]
+
+
+def test_savepoint_file_roundtrip_map_and_list_states(spark, tmp_path):
+    # map and list payloads survive the FILE format (not just the in-memory
+    # relation): write both through the savepoint and re-read.
+    map_rows = sr.kv_to_state_rows(
+        spark.createDataFrame(
+            [(1, "a", 10), (1, "b", 20), (2, "a", 30)],
+            "key int, map_key string, value int",
+        ),
+        "m", fc.INT, fc.INT, kind="map", map_key_codec=fc.STRING,
+    )
+    pdf = pd.DataFrame({"key": [7, 8], "value": [[1, 2], [3]]})
+    list_rows = sr.kv_to_state_rows(
+        spark.createDataFrame(pdf, schema="key int, value array<int>"),
+        "l", fc.INT, fc.INT, kind="list",
+    )
+    sp.write_savepoint(
+        map_rows.unionByName(list_rows), str(tmp_path / "ml"),
+        max_parallelism=128, parallelism=2,
+    )
+    back = sp.read_savepoint(spark, str(tmp_path / "ml"))
+    entries = sorted(
+        tuple(r)
+        for r in sr.read_map_entries(back, "m", fc.INT, fc.STRING, fc.INT).collect()
+    )
+    assert entries == [(1, "a", 10), (1, "b", 20), (2, "a", 30)]
+    lists = {
+        r["key"]: r["value"]
+        for r in sr.read_list_as_list(back, "l", fc.INT, fc.INT).collect()
+    }
+    assert lists == {7: [1, 2], 8: [3]}
