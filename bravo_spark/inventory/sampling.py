@@ -139,3 +139,65 @@ def sessionize(spark, sf_dir):
             F.max(sec).alias("end_sec"),
         )
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle=(
+        "SELECT count(*) AS n_users,"
+        " CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS signed_up,"
+        " CAST(sum(CASE WHEN first_signup IS NOT NULL AND"
+        "  first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS converted"
+        " FROM ("
+        "  SELECT user_id,"
+        "   min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,"
+        "   min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase"
+        "  FROM events GROUP BY user_id) u"
+    ),
+)
+def funnel_conversion(spark, sf_dir):
+    """Event-sequence funnel (signup → later purchase): conditional min per
+    key, then ordering predicates — one shuffle, no self-join (the naive
+    events⋈events formulation would be quadratic per user)."""
+    ev = catalog.table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("fs"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("fs").isNotNull(), 1).otherwise(0)).alias("signed_up"),
+        F.sum(
+            F.when(F.col("fs").isNotNull() & (F.col("fp") > F.col("fs")), 1).otherwise(0)
+        ).alias("converted"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle=(
+        "SELECT cohort_day, activity_day, count(DISTINCT user_id) AS active_users"
+        " FROM ("
+        "  SELECT e.user_id,"
+        "   CAST(floor(epoch(date_trunc('day', c.first_ts))) AS BIGINT) AS cohort_day,"
+        "   CAST(floor(epoch(date_trunc('day', e.ts))) AS BIGINT) AS activity_day"
+        "  FROM events e JOIN ("
+        "   SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id) c"
+        "  ON e.user_id = c.user_id) t"
+        " GROUP BY cohort_day, activity_day"
+    ),
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: first-seen day × activity day. The cohort
+    table is per-key-small and broadcast back onto the fact scan."""
+    ev = catalog.table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = ev.join(F.broadcast(cohorts), "user_id")
+    return joined.select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("day", "first_ts")).alias("cohort_day"),
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("activity_day"),
+    ).groupBy("cohort_day", "activity_day").agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
