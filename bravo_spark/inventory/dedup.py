@@ -96,26 +96,11 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_T}
 
 @query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark, sf_dir):
-    # the shingle relation feeds the self-join twice plus the size table;
-    # materialize it once (at 100 TB this is "build the inverted index
-    # once", the standard shape) instead of recomputing tokenization 3×
-    sh = _shingles_df(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _JACCARD_T)
+    from bravo_spark import llmops
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    return llmops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=_JACCARD_T
     )
 
 
@@ -187,43 +172,23 @@ def _lsh_pairs_sql(dialect: str) -> str:
 def dedup_minhash_signatures(spark, sf_dir):
     """Per-doc MinHash signature (16 hashes) — the building block; computed
     with one shuffle (groupBy doc) over the shingle relation."""
-    return spark.sql(_minhash_sql("spark"))
+    from bravo_spark import llmops
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    return llmops.minhash_signatures(docs, "doc_id", "text", n_hashes=N_HASHES)
 
 
 @query("dedup_minhash_lsh", oracle=_lsh_pairs_sql("duckdb"))
 def dedup_minhash_lsh(spark, sf_dir):
     """LSH candidate pairs: docs sharing ≥1 of 4 bands (4 rows each).
-    At scale this replaces the all-pairs join with a band-bucket join.
+    At scale this replaces the all-pairs join with a band-bucket join; the
+    banded relation is computed once and cached (the single-statement SQL
+    kept as the oracle would evaluate the signature pipeline twice)."""
+    from bravo_spark import llmops
 
-    The banded-signature relation is computed ONCE and cached, then
-    self-joined — the generated single-statement SQL (kept as the oracle)
-    would evaluate the signature pipeline on both sides of the join.
-    """
-    from pyspark.sql import functions as _F
-
-    import uuid as _uuid
-
-    view = f"_mh_banded_{_uuid.uuid4().hex[:8]}"  # collision-safe per call
-    sig = spark.sql(_minhash_sql("spark"))
-    sig.selectExpr("doc_id", *_band_exprs()).createOrReplaceTempView(view)
-    unions = " UNION ALL ".join(
-        f"SELECT doc_id, band{j} AS bh, 'band{j}' AS bi FROM {view}"
-        for j in range(N_BANDS)
-    )
-    banded = spark.sql(unions).cache()
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (_F.col("a.bh") == _F.col("b.bh"))
-            & (_F.col("a.bi") == _F.col("b.bi"))
-            & (_F.col("a.doc_id") < _F.col("b.doc_id")),
-        )
-        .select(
-            _F.col("a.doc_id").alias("doc_a"), _F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    docs = catalog.table(spark, sf_dir, "documents")
+    return llmops.minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, n_bands=N_BANDS
     )
 
 
@@ -261,7 +226,10 @@ def dedup_simhash(spark, sf_dir):
     """32-bit SimHash per document (frequency-weighted word hashes); at
     scale near-dups are found by grouping on the fingerprint (or banding
     its bytes) — no pairwise join."""
-    return spark.sql(_simhash_sql("spark"))
+    from bravo_spark import llmops
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    return llmops.simhash32(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -350,43 +318,7 @@ FROM reach GROUP BY node
 
 @query("dedup_clusters", oracle=_CLUSTER_ORACLE)
 def dedup_clusters(spark, sf_dir):
-    from pyspark.sql import functions as _F
+    from bravo_spark import llmops
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).cache()
-    edges = (
-        pairs.selectExpr("doc_a AS a", "doc_b AS b")
-        .unionByName(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
-        .cache()
-    )
-    # labels start as self; propagate min(neighbor label) until fixpoint
-    labels = edges.select(_F.col("a").alias("node")).distinct().withColumn(
-        "label", _F.col("node")
-    )
-    for _ in range(20):  # diameter bound; graphs here converge in ~log(n)
-        neigh = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy(_F.col("a").alias("node"))
-            .agg(_F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                _F.least(
-                    _F.col("label"), _F.coalesce(_F.col("nlabel"), _F.col("label"))
-                ).alias("label"),
-            )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(_F.col("n.label") != _F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.cache()
-        if changed == 0:
-            break
-    return labels.select(
-        _F.col("node").alias("doc_id"), _F.col("label").alias("cluster_id")
-    )
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return llmops.connected_components(pairs)

@@ -61,28 +61,11 @@ WHERE rank <= {TOP_K}
 
 @query("ann_cosine_topk", oracle=_ANN_ORACLE)
 def ann_cosine_topk(spark, sf_dir):
+    from bravo_spark import llmops
+
     emb = catalog.table(spark, sf_dir, "embeddings")
-    dbl = F.col("embedding").cast("array<double>")
-    vecs = emb.select("vec_id", dbl.alias("e"))
-    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
-    cos = _dot_col(F.col("qe"), F.col("ce")) / (
-        _norm_col(F.col("qe")) * _norm_col(F.col("ce"))
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos", "rank")
+    return llmops.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K
     )
 
 
