@@ -15,3 +15,4 @@ and in genuinely non-relational operators.
 __version__ = "0.1.0"
 
 from bravo_spark.session import get_spark  # noqa: F401
+from bravo_spark import llmops  # noqa: F401,E402

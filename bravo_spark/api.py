@@ -248,6 +248,62 @@ class OperatorStateWriter:
         return meta
 
 
+def rescale_savepoint(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    new_parallelism: int,
+    new_max_parallelism: int | None = None,
+    key_codecs: dict[str, tuple] | None = None,
+) -> sp.SavepointMeta:
+    """The reference's change-max-parallelism use case (README.md:44).
+
+    Changing **parallelism** only re-shuffles existing rows to new operator
+    indexes (key groups are invariant) — pure byte-level, no decode.
+    Changing **max_parallelism** changes the key-group function itself, so
+    affected states must be decoded and re-encoded: pass ``key_codecs`` as
+    ``{state_name: (key_codec, value_codec)}`` for every value state in the
+    snapshot. Non-keyed operator state is carried over with Flink's
+    rescale semantics (list split / union+broadcast everywhere).
+    """
+    reader = OperatorStateReader(spark, src_path)
+    old_maxp = reader.meta.max_parallelism
+    maxp = new_max_parallelism or old_maxp
+
+    if maxp == old_maxp:
+        rows = reader.all_keyed_state_rows()
+    else:
+        if not key_codecs:
+            raise ValueError(
+                "changing max_parallelism requires key_codecs to re-route keys"
+            )
+        missing = set(reader.meta.state_ids) - set(key_codecs)
+        if missing:
+            raise ValueError(f"key_codecs missing for states: {sorted(missing)}")
+        parts = []
+        for name, (kc, vc) in key_codecs.items():
+            kv = reader.read_value_kv(name, kc, vc)
+            parts.append(
+                sr.kv_to_state_rows(kv, name, kc, vc, max_parallelism=maxp)
+            )
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p)
+
+    meta = sp.write_savepoint(
+        rows,
+        dst_path,
+        max_parallelism=maxp,
+        parallelism=new_parallelism,
+        state_ids=dict(reader.meta.state_ids),
+    )
+    backends = ops.read_operator_state(src_path, parallelism=new_parallelism)
+    if backends:
+        ops.write_operator_state(dst_path, backends)
+    return meta
+
+
 # codec shortcuts for API users
 INT, LONG, STRING, BOOL, DOUBLE, FLOAT, BYTES = (
     fc.INT, fc.LONG, fc.STRING, fc.BOOL, fc.DOUBLE, fc.FLOAT, fc.BYTES,

@@ -166,3 +166,47 @@ def test_window_reader_via_api(spark, tmp_path):
         tuple(r) for r in reader.read_window_kv(api.STRING, api.INT).collect()
     )
     assert got == [("1", 1), ("2", 3)]
+
+
+def test_rescale_parallelism_only(spark, tmp_path):
+    # parallelism 2 -> 5 without decode: key groups invariant, data intact
+    base = _bootstrap(spark, tmp_path, rows=[(k, k * 7) for k in range(40)])
+    meta = api.rescale_savepoint(
+        spark, base, str(tmp_path / "up"), new_parallelism=5
+    )
+    assert meta.parallelism == 5 and meta.max_parallelism == 128
+    r = api.OperatorStateReader(spark, str(tmp_path / "up"))
+    got = sorted(tuple(x) for x in r.read_value_kv("Count", api.INT, api.INT).collect())
+    assert got == [(k, k * 7) for k in range(40)]
+
+
+def test_rescale_max_parallelism_reroutes_keys(spark, tmp_path):
+    from bravo_spark.codecs import flink as fc
+    from bravo_spark.codecs import hashes as kh
+
+    base = _bootstrap(spark, tmp_path, rows=[(k, k) for k in range(30)])
+    meta = api.rescale_savepoint(
+        spark, base, str(tmp_path / "wide"),
+        new_parallelism=4, new_max_parallelism=4096,
+        key_codecs={"Count": (api.INT, api.INT)},
+    )
+    assert meta.max_parallelism == 4096
+    back = sp.read_savepoint(spark, str(tmp_path / "wide"))
+    # key groups must follow the NEW hash function
+    for row in back.collect():
+        kg, key, _, _ = fc.decode_key_ns(bytes(row["key_ns"]), fc.INT, 4096)
+        assert kg == kh.assign_to_key_group(key, 4096, "int")
+    r = api.OperatorStateReader(spark, str(tmp_path / "wide"))
+    got = sorted(tuple(x) for x in r.read_value_kv("Count", api.INT, api.INT).collect())
+    assert got == [(k, k) for k in range(30)]
+
+
+def test_rescale_max_parallelism_requires_codecs(spark, tmp_path):
+    import pytest as _pytest
+
+    base = _bootstrap(spark, tmp_path)
+    with _pytest.raises(ValueError, match="key_codecs"):
+        api.rescale_savepoint(
+            spark, base, str(tmp_path / "x"),
+            new_parallelism=2, new_max_parallelism=256,
+        )
