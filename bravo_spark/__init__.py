@@ -16,3 +16,4 @@ __version__ = "0.1.0"
 
 from bravo_spark.session import get_spark  # noqa: F401
 from bravo_spark import llmops  # noqa: F401,E402
+from bravo_spark import api  # noqa: F401,E402

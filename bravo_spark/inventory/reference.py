@@ -760,3 +760,45 @@ def tpch_q18_having(spark, sf_dir):
         .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 scalar-function surface: string/date/math expressions "for free"
+# from pyspark.sql.functions, exercised per-row and oracle-checked.
+# Divergence-prone functions (round-half modes, libm pow/log) deliberately
+# avoided; everything here is exact or a single IEEE operation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_functions",
+    oracle=(
+        "SELECT o_orderkey,"
+        " upper(substr(o_orderpriority, 1, 8)) AS prio_u,"
+        " length(o_orderpriority) AS prio_len,"
+        " concat(o_orderstatus, '-', CAST(o_orderkey % 7 AS VARCHAR)) AS tag,"
+        " year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,"
+        " date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,"
+        " abs(o_totalprice - 100000.0) AS dist,"
+        " greatest(o_totalprice, 100000.0) AS hi,"
+        " least(o_totalprice, 100000.0) AS lo,"
+        " sqrt(o_totalprice) AS root"
+        " FROM orders"
+    ),
+)
+def scalar_functions(spark, sf_dir):
+    o = catalog.table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_u"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", F.col("o_orderstatus"), (F.col("o_orderkey") % 7).cast("string")).alias("tag"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("hi"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("lo"),
+        F.sqrt("o_totalprice").alias("root"),
+    )

@@ -201,3 +201,55 @@ def retention_cohorts(spark, sf_dir):
     ).groupBy("cohort_day", "activity_day").agg(
         F.count_distinct("user_id").alias("active_users")
     )
+
+
+@query(
+    "per_key_trend",
+    oracle=(
+        "SELECT user_id, n,"
+        " CASE WHEN den = 0 THEN 0.0"
+        "  ELSE CAST(num AS DOUBLE) / den END AS slope_cents_per_sec"
+        " FROM ("
+        "  SELECT user_id, count(*) AS n,"
+        "   CAST(count(*) AS BIGINT) * sum(x * y) - sum(x) * sum(y) AS num,"
+        "   CAST(count(*) AS BIGINT) * sum(x * x) - sum(x) * sum(x) AS den"
+        "  FROM ("
+        "   SELECT user_id,"
+        "    CAST(floor(epoch(ts)) AS BIGINT) - min(CAST(floor(epoch(ts)) AS BIGINT))"
+        "     OVER (PARTITION BY user_id) AS x,"
+        "    CAST(round(value * 100) AS BIGINT) AS y"
+        "   FROM events) t GROUP BY user_id) s"
+    ),
+)
+def per_key_trend(spark, sf_dir):
+    """Per-key OLS slope via ``applyInPandas`` — the batch grouped-UDF
+    surface (one shuffle on the key, Arrow batches per group). All sums are
+    integers (seconds offset × cents), so pandas and SQL aggregation agree
+    exactly; only the final division is float. The closed-form SQL is the
+    oracle."""
+    import pandas as pd
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = (pdf["sec"] - pdf["sec"].min()).astype("int64")
+        y = pdf["cents"].astype("int64")
+        n = len(pdf)
+        num = int(n * int((x * y).sum()) - int(x.sum()) * int(y.sum()))
+        den = int(n * int((x * x).sum()) - int(x.sum()) ** 2)
+        s = 0.0 if den == 0 else num / den
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [n],
+                "slope_cents_per_sec": [s],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        slope, schema="user_id long, n long, slope_cents_per_sec double"
+    )
