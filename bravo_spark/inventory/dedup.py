@@ -27,9 +27,6 @@ from bravo_spark.inventory.registry import query
 
 TOKEN_RE = "[a-z0-9]+"
 
-# shared SQL fragments (valid in both Spark SQL and DuckDB unless noted)
-_NORM = "lower(text)"
-
 
 @query(
     "dedup_exact",
@@ -50,23 +47,6 @@ def dedup_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _JACCARD_T = 0.5
-
-
-def _shingles_df(spark, sf_dir):
-    docs = catalog.table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("ws"),
-    ).filter(F.size("ws") >= 3)
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(ws)-3),"
-                " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
-            )
-        ).alias("sh"),
-    ).distinct()
 
 
 _NGRAM_ORACLE = f"""
