@@ -802,3 +802,43 @@ def scalar_functions(spark, sf_dir):
         F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("lo"),
         F.sqrt("o_totalprice").alias("root"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-frame analytics: moving aggregates, lag deltas, ranks — the
+# §2.6 surface beyond plain row_number. Frames ordered by (ts, event_id)
+# so every result is deterministic; moving sums are decimal-exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_analytics",
+    oracle=(
+        "SELECT event_id,"
+        " CAST(mov_sum AS DOUBLE) AS mov_sum_5,"
+        " secs_since_prev, rk FROM ("
+        " SELECT event_id,"
+        "  sum(CAST(value AS DECIMAL(12,2))) OVER ("
+        "   PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov_sum,"
+        "  CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT))"
+        "   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS secs_since_prev,"
+        "  rank() OVER (PARTITION BY user_id ORDER BY"
+        "   CAST(value AS DECIMAL(12,2)) DESC, event_id) AS rk"
+        " FROM events) t"
+    ),
+)
+def window_analytics(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-4, Window.currentRow)
+    sec = F.unix_timestamp("ts")
+    wrank = Window.partitionBy("user_id").orderBy(
+        F.col("value").cast(DEC).desc(), F.col("event_id")
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(frame).cast("double").alias("mov_sum_5"),
+        (sec - F.lag(sec).over(w)).alias("secs_since_prev"),
+        F.rank().over(wrank).alias("rk"),
+    )

@@ -259,3 +259,26 @@ def word_freq_topk(spark, sf_dir):
     counts = words.groupBy("w").agg(F.count("*").alias("cnt"))
     rk = F.row_number().over(_W.orderBy(F.col("cnt").desc(), F.col("w")))
     return counts.withColumn("rk", rk).filter(F.col("rk") <= 50).select("w", "cnt")
+
+
+@query(
+    "text_levenshtein_pairs",
+    oracle=(
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist"
+        " FROM documents a JOIN documents b"
+        " ON a.doc_id < b.doc_id AND a.doc_id < 15 AND b.doc_id < 15"
+    ),
+)
+def text_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance similarity on a bounded candidate set (here: id-range;
+    in production: LSH candidates) — exact integer distances, JVM-side.
+    All-pairs Levenshtein is O(n²·m²), which is exactly why the LSH/minhash
+    operators exist to bound the candidate set first."""
+    docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 15)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 40).alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 40).alias("tb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.levenshtein("ta", "tb").alias("dist"))
+    )
