@@ -170,3 +170,56 @@ def embedding_norms(spark, sf_dir):
     emb = catalog.table(spark, sf_dir, "embeddings")
     dbl = F.col("embedding").cast("array<double>")
     return emb.select("vec_id", "label", _norm_col(dbl).alias("l2_norm"))
+
+
+@query(
+    "doc_embedding_join",
+    oracle=(
+        "SELECT d.doc_id, d.lang, d.n_chars, e.label,"
+        " sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        "  CAST(e.embedding AS DOUBLE[]))) AS l2_norm"
+        " FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"
+    ),
+)
+def doc_embedding_join(spark, sf_dir):
+    """Cross-modal join: text metadata ⋈ embedding vectors on the shared
+    id — the shape of every multimodal training-data pipeline (1:1 keyed
+    join; at scale both sides bucket on the id so it is co-located)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    e = emb.select(F.col("vec_id").alias("doc_id"), "label", _norm_col(dbl).alias("l2_norm"))
+    return docs.select("doc_id", "lang", "n_chars").join(e, "doc_id")
+
+
+_RECALL_ORACLE = f"""
+WITH exact_tk AS ({_ANN_ORACLE}),
+lsh_tk AS ({_ANN_LSH_ORACLE})
+SELECT e.query_id,
+  CAST(count(l.neighbor_id) AS BIGINT) AS hits,
+  CAST(count(l.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM exact_tk e LEFT JOIN lsh_tk l
+  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@query("ann_recall_eval", oracle=_RECALL_ORACLE)
+def ann_recall_eval(spark, sf_dir):
+    """Evaluation operator: recall@k of the LSH-bucketed ANN against the
+    exact top-k — the measurement loop every approximate index needs.
+    Composes two registered operators; entirely engine-side."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = (
+        ann_lsh_bucket(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            (F.count("hit").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )
