@@ -8,6 +8,12 @@
 - **LSH-bucketed** (the scale path): sign-of-projection bucketing against a
   fixed set of hyperplanes (seed vectors), then exact scoring within the
   bucket only. Deterministic, so fully oracle-checked.
+- **recall@k evaluation** closes the loop: on these *unclustered* random
+  fixture embeddings single-probe bucketing measures 0-40% recall — the
+  honest number the eval operator exists to surface. Production tuning
+  (fewer planes, multi-probe over neighboring buckets, or IVF on real
+  clustered data) trades candidate-set size for recall; the exact
+  operator is always the correctness baseline.
 
 Float determinism: dot products fold left-to-right in float64 on both
 engines (verified empirically at build time); remaining ops are single IEEE
