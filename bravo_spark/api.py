@@ -262,10 +262,13 @@ def rescale_savepoint(
     Changing **parallelism** only re-shuffles existing rows to new operator
     indexes (key groups are invariant) — pure byte-level, no decode.
     Changing **max_parallelism** changes the key-group function itself, so
-    affected states must be decoded and re-encoded: pass ``key_codecs`` as
-    ``{state_name: (key_codec, value_codec)}`` for every value state in the
-    snapshot. Non-keyed operator state is carried over with Flink's
-    rescale semantics (list split / union+broadcast everywhere).
+    each row's key-group prefix must be recomputed: pass ``key_codecs`` as
+    ``{state_name: key_codec}`` (a ``(key_codec, value_codec)`` tuple is
+    also accepted; the value codec is ignored) for every state in the
+    snapshot. Only the key is decoded — key bytes, namespace, and the value
+    payload pass through untouched, so value/list/map/TTL states are all
+    rescaled losslessly. Non-keyed operator state is carried over with
+    Flink's rescale semantics (list split / union+broadcast everywhere).
     """
     reader = OperatorStateReader(spark, src_path)
     old_maxp = reader.meta.max_parallelism
@@ -281,15 +284,16 @@ def rescale_savepoint(
         missing = set(reader.meta.state_ids) - set(key_codecs)
         if missing:
             raise ValueError(f"key_codecs missing for states: {sorted(missing)}")
-        parts = []
-        for name, (kc, vc) in key_codecs.items():
-            kv = reader.read_value_kv(name, kc, vc)
-            parts.append(
-                sr.kv_to_state_rows(kv, name, kc, vc, max_parallelism=maxp)
-            )
-        rows = parts[0]
-        for p in parts[1:]:
-            rows = rows.unionByName(p)
+        kcs = {
+            name: (c[0] if isinstance(c, tuple) else c)
+            for name, c in key_codecs.items()
+        }
+        rows = sr.reroute_state_rows(
+            reader.all_keyed_state_rows(),
+            kcs,
+            old_max_parallelism=old_maxp,
+            new_max_parallelism=maxp,
+        )
 
     meta = sp.write_savepoint(
         rows,

@@ -47,7 +47,11 @@ TIMESTAMP_COLS = {
 # repeated query invocations don't re-pay parquet footer/schema analysis
 # (~100 ms × 10 tables per call otherwise — dominates small-SF benchmarks).
 _table_cache: dict[tuple[int, str, str], DataFrame] = {}
-_views_registered: set[tuple[int, str]] = set()
+# session -> sf_dir whose tables the temp views currently point at. Views are
+# session-global state, so the guard must be "last registered dir" per
+# session, not a seen-set: alternating sf_dirs within one session must
+# re-register or spark.sql-based queries silently read the wrong dataset.
+_views_registered: dict[int, str] = {}
 
 
 def _session_key(spark: SparkSession) -> int:
@@ -73,9 +77,9 @@ def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    key = (_session_key(spark), sf_dir)
-    if key in _views_registered:
+    key = _session_key(spark)
+    if _views_registered.get(key) == sf_dir:
         return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _views_registered.add(key)
+    _views_registered[key] = sf_dir

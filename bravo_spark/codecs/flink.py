@@ -238,6 +238,37 @@ def read_key_group(r: ByteReader, prefix_bytes: int) -> int:
 # --- key-and-namespace bytes ---
 
 
+def is_ambiguous_key_possible(key_codec: Codec, namespace_codec: Codec) -> bool:
+    """RocksDBUtils.isAmbiguousKeyPossible:89-92 — when BOTH the key and the
+    namespace serializers are variable-length, RocksDB appends each field's
+    byte length (as little-endian bytes, one per consumed 8 bits) after the
+    field so the key/namespace boundary stays decodable."""
+    return key_codec.fixed_length < 0 and namespace_codec.fixed_length < 0
+
+
+def _write_var_int_bytes(length: int) -> bytes:
+    # RocksDBUtils.writeVariableIntBytes: emit (value & 0xFF), shift by 8,
+    # repeat while non-zero — always at least one byte
+    out = bytearray()
+    v = length
+    while True:
+        out.append(v & 0xFF)
+        v >>= 8
+        if v == 0:
+            return bytes(out)
+
+
+def _skip_var_int_bytes(r: ByteReader, length: int) -> None:
+    # RocksDBUtils.readVariableIntBytes: skip as many bytes as the writer
+    # emitted for this length
+    v = length
+    while True:
+        r.skip(1)
+        v >>= 8
+        if v == 0:
+            return
+
+
 def encode_key_ns(
     key: Any,
     key_codec: Codec,
@@ -256,10 +287,17 @@ def encode_key_ns(
     if key_group is None:
         kind = key_codec.name if key_codec.name in ("int", "long", "string") else None
         key_group = hashes.assign_to_key_group(key, max_parallelism, kind)
+    ambiguous = is_ambiguous_key_possible(key_codec, namespace_codec)
     out = bytearray()
     out += write_key_group(key_group, key_group_prefix_bytes(max_parallelism))
-    out += key_codec.encode(key)
-    out += namespace_codec.encode(namespace)
+    kb = key_codec.encode(key)
+    out += kb
+    if ambiguous:  # RocksDBUtils.writeKey:106-121
+        out += _write_var_int_bytes(len(kb))
+    nb = namespace_codec.encode(namespace)
+    out += nb
+    if ambiguous:  # RocksDBUtils.writeNameSpace:72-88
+        out += _write_var_int_bytes(len(nb))
     if map_key is not None:
         if map_key_codec is None:
             raise ValueError("map_key given without map_key_codec")
@@ -276,10 +314,17 @@ def decode_key_ns(
     map_key_codec: Codec | None = None,
 ):
     """Inverse of encode_key_ns → (key_group, key, namespace, map_key)."""
+    ambiguous = is_ambiguous_key_possible(key_codec, namespace_codec)
     r = ByteReader(buf)
     kg = read_key_group(r, key_group_prefix_bytes(max_parallelism))
+    before = r.pos
     key = key_codec.decode(r)
+    if ambiguous:  # RocksDBUtils.readKey:45-57
+        _skip_var_int_bytes(r, r.pos - before)
+    before = r.pos
     ns = namespace_codec.decode(r)
+    if ambiguous:  # RocksDBUtils.readNamespace:59-70
+        _skip_var_int_bytes(r, r.pos - before)
     mk = map_key_codec.decode(r) if map_key_codec is not None else None
     return kg, key, ns, mk
 

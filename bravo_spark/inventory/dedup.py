@@ -47,6 +47,12 @@ def dedup_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _JACCARD_T = 0.5
+# posting-list skew cap: shingles in more documents than this are excluded
+# from candidate generation (the exact verify keeps Jaccard values exact).
+# Fixture shingle df maxes at 7 (sf0.01) / 25 (sf0.1), so 100 changes
+# nothing at test scale while bounding the self-join's hot partitions at
+# corpus scale — one ubiquitous 3-gram can no longer create a doc² bucket.
+_MAX_SHINGLE_DF = 100
 
 
 _NGRAM_ORACLE = f"""
@@ -60,9 +66,18 @@ WITH toks AS (
   FROM toks
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_MAX_SHINGLE_DF}
+), shc AS (
+  SELECT s.doc_id, s.sh FROM sh s JOIN rare r USING (sh)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
 ), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -80,7 +95,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     docs = catalog.table(spark, sf_dir, "documents")
     return llmops.ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=_JACCARD_T
+        docs, "doc_id", "text", threshold=_JACCARD_T,
+        max_shingle_df=_MAX_SHINGLE_DF,
     )
 
 
@@ -268,6 +284,56 @@ def dedup_embedding_cosine(spark, sf_dir):
             cos.alias("cos"),
         )
         .filter(F.col("cos") >= _COS_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup via LSH candidates → exact-cosine verify: the scale
+# path a user should reach by default (llmops.embedding_near_dup_pairs).
+# Candidates come from byte-bands of the 256-bit signature (equi-join on
+# (band, value) — no BroadcastNestedLoopJoin anywhere in the plan, pinned
+# by tests/test_plans.py), then exact cosine decides. The all-pairs form
+# above remains only as the exact baseline.
+# ---------------------------------------------------------------------------
+
+_LSH_BAND_BITS = 8
+_LSH_BANDS_PER_WORD = 32 // _LSH_BAND_BITS
+
+
+def _emb_lsh_oracle() -> str:
+    from bravo_spark.inventory.similarity import sketch_words_cte
+
+    return f"""
+WITH {sketch_words_cte()},
+bands AS (
+  SELECT vec_id, w * {_LSH_BANDS_PER_WORD} + s AS bi,
+         (word >> (s * {_LSH_BAND_BITS})) & {(1 << _LSH_BAND_BITS) - 1} AS bh
+  FROM words, range({_LSH_BANDS_PER_WORD}) rs(s)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.bh = b.bh AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+  {_DOT_DUCK} / ({_NORM_DUCK.format(s='a')} * {_NORM_DUCK.format(s='b')}) AS cos
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE {_DOT_DUCK} / ({_NORM_DUCK.format(s='a')} * {_NORM_DUCK.format(s='b')}) >= {_COS_T}
+"""
+
+
+@query("dedup_embedding_lsh", oracle=_emb_lsh_oracle())
+def dedup_embedding_lsh(spark, sf_dir):
+    from bravo_spark import llmops
+    from bravo_spark.inventory.similarity import SKETCH_DIM, SKETCH_PLANES
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    return llmops.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=_COS_T, dim=SKETCH_DIM, n_planes=SKETCH_PLANES,
+        band_bits=_LSH_BAND_BITS,
     )
 
 

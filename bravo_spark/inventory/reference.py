@@ -425,15 +425,22 @@ def semi_join(spark, sf_dir):
 @query(
     "anti_join",
     oracle=(
-        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
-        " SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        "SELECT o_orderkey, o_custkey FROM orders o WHERE NOT EXISTS ("
+        " SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey"
+        " AND c.c_mktsegment = 'BUILDING')"
     ),
 )
 def anti_join(spark, sf_dir):
-    c = catalog.table(spark, sf_dir, "customer")
+    """Anti-join against a filtered build side. The fixture gives every
+    customer an order, so the customer-without-orders form is vacuously
+    empty (spark=0, oracle=0 proves nothing); anti-joining orders against
+    the BUILDING segment yields a non-empty, hash-discriminating result."""
+    c = catalog.table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
     o = catalog.table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    return o.join(c, o.o_custkey == c.c_custkey, "left_anti").select(
+        "o_orderkey", "o_custkey"
     )
 
 

@@ -129,4 +129,16 @@ def streaming_stateful_counts(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name)
+    # update mode appends one row per key per micro-batch; availableNow can
+    # run several batches (one per input file), so keep only the final state
+    # per key. cnt is monotonically increasing within a key, making
+    # max-cnt-first deterministic.
+    from pyspark.sql import Window
+
+    sink = spark.table(name)
+    w = Window.partitionBy("key").orderBy(F.col("cnt").desc())
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -123,6 +123,16 @@ def write_savepoint(
     if state_ids is None:
         names = [r[0] for r in rows.select("state_name").distinct().collect()]
         state_ids = {n: i for i, n in enumerate(sorted(names))}
+    else:
+        # an unmapped state would otherwise surface only deep inside the
+        # partition writer as an opaque int(NaN) TypeError
+        names = [r[0] for r in rows.select("state_name").distinct().collect()]
+        missing = sorted(set(names) - set(state_ids))
+        if missing:
+            raise ValueError(
+                f"state_ids has no entry for states present in rows: "
+                f"{missing}; provided: {sorted(state_ids)}"
+            )
     ids = dict(state_ids)
 
     routed = with_key_group_column(rows, max_parallelism=max_parallelism)

@@ -402,6 +402,64 @@ def _py(v):
     return v.item() if hasattr(v, "item") else v
 
 
+def reroute_state_rows(
+    rows: DataFrame,
+    key_codecs: dict[str, fc.Codec],
+    *,
+    old_max_parallelism: int,
+    new_max_parallelism: int,
+) -> DataFrame:
+    """Re-route state rows to the key-group function of a new
+    max_parallelism WITHOUT interpreting payloads.
+
+    Only the key-group prefix of ``key_ns`` depends on max_parallelism; the
+    serialized key, namespace, map-key, and the whole value payload are
+    invariant. So we decode just enough of ``key_ns`` to recover the key
+    object (to recompute Flink's assignment hash, E1), then splice
+    ``[new prefix][original bytes after old prefix]`` — value/list/map/TTL
+    payloads all pass through byte-for-byte, making the operation safe for
+    every state kind (reference KeyGroupRangeAssignment semantics).
+    """
+    old_pfx = fc.key_group_prefix_bytes(old_max_parallelism)
+    new_pfx = fc.key_group_prefix_bytes(new_max_parallelism)
+
+    def reroute(batches: Iterator[pd.DataFrame]):
+        from bravo_spark.codecs import hashes
+
+        kinds = {
+            n: (c.name if c.name in ("int", "long", "string") else None)
+            for n, c in key_codecs.items()
+        }
+        for pdf in batches:
+            out_kns = []
+            for name, kns in zip(pdf["state_name"], pdf["key_ns"]):
+                codec = key_codecs.get(name)
+                if codec is None:
+                    raise ValueError(
+                        f"no key codec for state {name!r}; have "
+                        f"{sorted(key_codecs)}"
+                    )
+                buf = bytes(kns)
+                r = fc.ByteReader(buf, old_pfx)
+                key = codec.decode(r)
+                kg = hashes.assign_to_key_group(
+                    key, new_max_parallelism, kinds[name]
+                )
+                out_kns.append(
+                    fc.write_key_group(kg, new_pfx) + buf[old_pfx:]
+                )
+            yield pd.DataFrame(
+                {
+                    "state_name": pdf["state_name"],
+                    "key_ns": out_kns,
+                    "value": pdf["value"],
+                },
+                columns=["state_name", "key_ns", "value"],
+            )
+
+    return rows.mapInPandas(reroute, schema=STATE_ROW_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # routing columns (SURVEY §2.9 E1/E2) as JVM-side expressions
 # ---------------------------------------------------------------------------

@@ -150,7 +150,9 @@ def test_window_reader_via_api(spark, tmp_path):
                 ns = fc.write_long(0) + fc.write_long(60_000)  # TimeWindow(0,1min)
                 kns = fc.encode_key_ns(
                     str(k), fc.STRING, 128,
-                    namespace_codec=fc.Codec("tw", lambda _v: ns, None), namespace=None,
+                    # TimeWindow.Serializer is fixed-length 16 — not ambiguous
+                    namespace_codec=fc.Codec("tw", lambda _v: ns, None, 16),
+                    namespace=None,
                 )
                 out["state_name"].append("window-contents")
                 out["key_ns"].append(kns)
@@ -199,6 +201,86 @@ def test_rescale_max_parallelism_reroutes_keys(spark, tmp_path):
     r = api.OperatorStateReader(spark, str(tmp_path / "wide"))
     got = sorted(tuple(x) for x in r.read_value_kv("Count", api.INT, api.INT).collect())
     assert got == [(k, k) for k in range(30)]
+
+
+def test_rescale_max_parallelism_preserves_all_state_kinds(spark, tmp_path):
+    # regression: rescale must NOT reinterpret payloads — list states used to
+    # truncate to their first element and map states mis-parsed when the old
+    # path decoded everything as a plain value state. The byte-level reroute
+    # leaves value/list/map/TTL payloads untouched.
+    from bravo_spark.codecs import flink as fc
+
+    lists = spark.createDataFrame(
+        [(1, [10, 11, 12]), (2, [20]), (3, [30, 31])],
+        "key int, value array<int>",
+    )
+    maps = spark.createDataFrame(
+        [(1, "a", 100), (1, "b", 101), (2, "c", 200)],
+        "key int, map_key string, value int",
+    )
+    ttl_kv = spark.createDataFrame([(7, 70), (8, 80)], "key int, value int")
+
+    def enc_ttl(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"state_name": [], "key_ns": [], "value": []}
+            for k, v in zip(pdf["key"], pdf["value"]):
+                out["state_name"].append("ttlv")
+                out["key_ns"].append(fc.encode_key_ns(int(k), fc.INT, 128))
+                out["value"].append(
+                    fc.encode_value_state(int(v), fc.INT, ttl_ts=1234567890123)
+                )
+            yield pd.DataFrame(out)
+
+    rows = (
+        sr.kv_to_state_rows(lists, "lst", api.INT, api.INT, kind="list")
+        .unionByName(
+            sr.kv_to_state_rows(
+                maps, "mp", api.INT, api.INT, kind="map", map_key_codec=api.STRING
+            )
+        )
+        .unionByName(ttl_kv.mapInPandas(enc_ttl, schema=sr.STATE_ROW_SCHEMA))
+    )
+    base = str(tmp_path / "mixed")
+    sp.write_savepoint(rows, base, max_parallelism=128, parallelism=2)
+
+    meta = api.rescale_savepoint(
+        spark, base, str(tmp_path / "mixed-wide"),
+        new_parallelism=3, new_max_parallelism=4096,
+        key_codecs={"lst": api.INT, "mp": api.INT, "ttlv": api.INT},
+    )
+    assert meta.max_parallelism == 4096
+
+    r = api.OperatorStateReader(spark, str(tmp_path / "mixed-wide"))
+    got_lists = sorted(
+        (x["key"], list(x["value"]))
+        for x in r.read_list_as_list("lst", api.INT, api.INT).collect()
+    )
+    assert got_lists == [(1, [10, 11, 12]), (2, [20]), (3, [30, 31])]
+    got_maps = sorted(
+        tuple(x)
+        for x in r.read_map_entries(
+            "mp", api.INT, api.STRING, api.INT
+        ).collect()
+    )
+    assert got_maps == [(1, "a", 100), (1, "b", 101), (2, "c", 200)]
+    got_ttl = sorted(
+        tuple(x) for x in r.read_value_kv("ttlv", api.INT, api.INT, ttl=True).collect()
+    )
+    assert got_ttl == [(7, 70), (8, 80)]
+
+
+def test_write_savepoint_rejects_unmapped_state(spark, tmp_path):
+    import pytest as _pytest
+
+    kv = spark.createDataFrame([(1, 2)], "key int, value int")
+    rows = sr.kv_to_state_rows(kv, "present", api.INT, api.INT)
+    with _pytest.raises(ValueError, match="present"):
+        sp.write_savepoint(
+            rows, str(tmp_path / "bad"), max_parallelism=128, parallelism=1,
+            state_ids={"other": 0},
+        )
 
 
 def test_rescale_max_parallelism_requires_codecs(spark, tmp_path):

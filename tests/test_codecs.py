@@ -139,6 +139,42 @@ def test_key_ns_two_byte_prefix():
     assert kg == h.assign_to_key_group(77, 4096) and key == 77
 
 
+def test_key_ns_ambiguous_var_len_suffixes():
+    # var-len key + var-len namespace → RocksDB appends each field's byte
+    # length after it (RocksDBUtils.writeKey/writeNameSpace with
+    # ambiguousKeyPossible=true); fixed namespaces must NOT get suffixes
+    ns_codec = fc.STRING
+    buf = fc.encode_key_ns(
+        "ab", fc.STRING, 128, namespace_codec=ns_codec, namespace="ns"
+    )
+    # layout: [1B kg][key "ab"=3B][len 1B][ns "ns"=3B][len 1B]
+    assert len(buf) == 1 + 3 + 1 + 3 + 1
+    assert buf[4] == 3 and buf[8] == 3  # little-endian single length bytes
+    kg, key, ns, mk = fc.decode_key_ns(
+        buf, fc.STRING, 128, namespace_codec=ns_codec
+    )
+    assert (key, ns, mk) == ("ab", "ns", None)
+    # void (fixed) namespace stays suffix-free
+    assert len(fc.encode_key_ns("ab", fc.STRING, 128)) == 1 + 3 + 1
+
+
+def test_key_ns_ambiguous_multi_byte_length():
+    # a 300-byte key needs a 2-byte little-endian length suffix
+    key = "k" * 298  # string codec: 1-byte len marker? (var-len) — measure
+    buf_plain = fc.STRING.encode(key)
+    buf = fc.encode_key_ns(
+        key, fc.STRING, 128, namespace_codec=fc.STRING, namespace="n"
+    )
+    klen = len(buf_plain)
+    assert klen > 255
+    # suffix bytes: klen & 0xFF, klen >> 8
+    assert buf[1 + klen] == (klen & 0xFF) and buf[1 + klen + 1] == (klen >> 8)
+    _, k2, ns2, _ = fc.decode_key_ns(
+        buf, fc.STRING, 128, namespace_codec=fc.STRING
+    )
+    assert k2 == key and ns2 == "n"
+
+
 def test_key_ns_map_state():
     buf = fc.encode_key_ns(5, fc.INT, 128, map_key="mk", map_key_codec=fc.STRING)
     kg, key, ns, mk = fc.decode_key_ns(buf, fc.INT, 128, map_key_codec=fc.STRING)

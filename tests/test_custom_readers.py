@@ -50,7 +50,8 @@ def test_window_bounds_reader(spark, tmp_path):
                 ns = fc.write_long(int(ws)) + fc.write_long(int(we))
                 kns = fc.encode_key_ns(
                     str(k), fc.STRING, 128,
-                    namespace_codec=fc.Codec("tw", lambda _v, _ns=ns: _ns, None),
+                    # TimeWindow.Serializer is fixed-length 16 — not ambiguous
+                    namespace_codec=fc.Codec("tw", lambda _v, _ns=ns: _ns, None, 16),
                 )
                 out["state_name"].append("window-contents")
                 out["key_ns"].append(kns)

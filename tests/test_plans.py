@@ -69,6 +69,30 @@ def test_single_shuffle_aggregations(plans):
     assert "HashAggregate" in p
 
 
+def test_embedding_lsh_dedup_has_no_nested_loop_join(plans):
+    # the LSH→exact-verify composition must stay an equi-join pipeline;
+    # a BroadcastNestedLoopJoin would mean the all-pairs product leaked back
+    p = plans("dedup_embedding_lsh")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_sketch_ann_ranking_is_broadcast(plans):
+    # query signatures broadcast against the skinny signature relation; the
+    # only nested-loop join allowed is the tiny broadcast q≠c pairing
+    p = plans("ann_sketch_topk")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ngram_jaccard_caps_posting_lists(plans):
+    # the df-capped candidate path keeps an aggregate (the shingle document-
+    # frequency cap) upstream of the self-join
+    p = plans("dedup_ngram_jaccard")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_snapshot_write_plan_is_single_shuffle(spark, tmp_path):
     from bravo_spark.codecs import flink as fc
     from bravo_spark.sources import staterows as sr
