@@ -44,6 +44,64 @@ def snapshot_roundtrip(spark, sf_dir):
 
 
 @query(
+    "checkpoint_roundtrip",
+    oracle="SELECT user_id AS key, count(*) AS value FROM events GROUP BY user_id",
+)
+def checkpoint_roundtrip(spark, sf_dir):
+    """S4 — incremental (RocksDB SST) checkpoint read, oracle-checked.
+
+    Fixture: two SST "levels" built with the pure-Python writer
+    (sources/sst.py). L1 holds PARTIAL per-user counts (even event_ids,
+    seq 1) plus ghost keys; L0 holds the TOTAL counts (seq 2) plus
+    tombstones for the ghosts. The reader must apply full LSM semantics —
+    newest-seq shadowing and tombstones — for the merged relation to equal
+    the plain grouped count the oracle computes; any resolution bug makes
+    partial counts or ghost keys leak into the hash."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from bravo_spark.sources import checkpoint as ck
+    from bravo_spark.sources import sst as sstmod
+
+    ev = catalog.table(spark, sf_dir, "events")
+    total = ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    partial = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )  # fixture construction only — a real checkpoint arrives from Flink
+
+    def val(cnt: int) -> bytes:
+        return fc.encode_value_state(int(cnt), fc.LONG)
+
+    ghosts = [10_000_000 + g for g in range(5)]
+    l1 = [
+        (fc.encode_key_ns(int(r["user_id"]), fc.LONG, 128), 1, sstmod.TYPE_VALUE, val(r["cnt"]))
+        for r in partial
+    ] + [
+        (fc.encode_key_ns(g, fc.LONG, 128), 1, sstmod.TYPE_VALUE, val(99))
+        for g in ghosts
+    ]
+    l0 = [
+        (fc.encode_key_ns(int(r["user_id"]), fc.LONG, 128), 2, sstmod.TYPE_VALUE, val(r["cnt"]))
+        for r in total
+    ] + [
+        (fc.encode_key_ns(g, fc.LONG, 128), 2, sstmod.TYPE_DELETION, b"")
+        for g in ghosts
+    ]
+
+    out = _os.path.join(_tempfile.gettempdir(), f"bravo_ckpt_rt_{_os.getpid()}")
+    _shutil.rmtree(out, ignore_errors=True)
+    ck.write_sst_fixture(out, {"Count": l1})
+    ck.write_sst_fixture(out, {"Count": l0})
+
+    rows = ck.read_incremental_checkpoint(spark, out)
+    return sr.read_value_kv(rows, "Count", fc.LONG, fc.LONG)
+
+
+@query(
     "snapshot_state_filter",
     oracle=(
         "SELECT user_id AS key, count(*) AS value FROM events"

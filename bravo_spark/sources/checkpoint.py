@@ -1,0 +1,175 @@
+"""Incremental (RocksDB) checkpoint source — SURVEY.md §2 S4.
+
+The reference restores the checkpoint into a local RocksDB and iterates
+column families (reader/inputformat/RocksDBCheckpointIterator.java:57-254,
+executor-local scratch dirs per RocksDBKeyedStateInputFormat.java:70-84).
+RocksDB does the LSM resolution transparently; here the same semantics are
+computed AS A DATAFLOW, which is the shape that scales:
+
+1. **Parallel SST scan** — one Spark task per SST file (mapInPandas over a
+   file-list frame), emitting raw ``(state_name, key_ns, seq, vtype,
+   value)``. Column-family pushdown skips whole files from the footer +
+   properties block alone, before any data-block I/O.
+2. **One shuffle on (state_name, key_ns)** groups every version of a user
+   key — across levels, across files.
+3. **JVM-side resolution** (builtin array expressions, no Python):
+   newest non-merge entry is the base (highest seq wins — LSM shadowing);
+   tombstones (type 0/7) delete; merge operands (type 2) newer than the
+   base concatenate onto it with the ','-delimiter of Flink's
+   StringAppendOperator (list state appends —
+   RocksDBCheckpointIterator.java:62-63 sets the same operator).
+
+The output is the universal state-row relation (state_name, key_ns, value)
+— identical to the full-snapshot source, so every P1-P9 reader works
+unchanged on incremental checkpoints.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bravo_spark.sources import sst as sstmod
+
+_RAW_SCHEMA = "state_name string, key_ns binary, seq long, vtype int, value binary"
+
+
+def list_sst_files(ckpt_dir: str) -> list[str]:
+    """SSTs of a transferred incremental checkpoint (shared state). Sorted
+    for determinism; MANIFEST/CURRENT/OPTIONS (private state) are not needed
+    because each SST carries its column family in its properties block and
+    a checkpoint references live files only."""
+    files = sorted(glob.glob(os.path.join(ckpt_dir, "*.sst")))
+    if not files:
+        raise FileNotFoundError(f"no .sst files under {ckpt_dir}")
+    return files
+
+
+def _scan_ssts(
+    pdf_iter: Iterator[pd.DataFrame], state_filter: Callable[[str], bool]
+):
+    for pdf in pdf_iter:
+        for path in pdf["path"]:
+            reader = sstmod.SstReader(path)
+            name = reader.column_family_name
+            if name == "default" or not state_filter(name):
+                continue  # CF pushdown: footer+props read, data blocks skipped
+            names, keys, seqs, types, vals = [], [], [], [], []
+            for user_key, seq, vtype, value in reader.iter_entries():
+                names.append(name)
+                keys.append(user_key)
+                seqs.append(seq)
+                types.append(vtype)
+                vals.append(value)
+            yield pd.DataFrame(
+                {
+                    "state_name": names,
+                    "key_ns": keys,
+                    "seq": seqs,
+                    "vtype": types,
+                    "value": vals,
+                },
+                columns=["state_name", "key_ns", "seq", "vtype", "value"],
+            )
+
+
+# LSM resolution over the per-key version array, entirely in builtin
+# expressions. ``es`` is collect_list(struct(seq, vtype, value)).
+_PARTS_SQL = """
+CASE WHEN _base IS NOT NULL AND _base.vtype = 1 THEN array(_base.value)
+     ELSE cast(array() AS array<binary>) END
+|| transform(
+     array_sort(filter(es, x -> x.vtype = 2
+                           AND (_barrier IS NULL OR x.seq > _barrier))),
+     x -> x.value)
+"""
+
+_VALUE_SQL = """
+CASE WHEN size(parts) = 0 THEN NULL
+     ELSE aggregate(slice(parts, 2, size(parts) - 1), element_at(parts, 1),
+                    (acc, x) -> concat(acc, X'2C', x))
+END
+"""
+
+
+def read_incremental_checkpoint(
+    spark: SparkSession,
+    ckpt_dir: str,
+    *,
+    state_filter: Callable[[str], bool] | None = None,
+    state_names: list[str] | None = None,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """Incremental checkpoint → universal state-row relation."""
+    if state_names is not None:
+        selected = set(state_names)
+        state_filter = lambda n: n in selected  # noqa: E731
+    elif state_filter is None:
+        state_filter = lambda _n: True  # noqa: E731
+
+    paths = files if files is not None else list_sst_files(ckpt_dir)
+    frame = spark.createDataFrame(
+        [(p,) for p in paths], schema="path string"
+    ).repartition(max(1, len(paths)))  # one SST per task
+
+    raw = frame.mapInPandas(
+        lambda it: _scan_ssts(it, state_filter), schema=_RAW_SCHEMA
+    )
+    resolved = (
+        raw.groupBy("state_name", "key_ns")
+        .agg(F.collect_list(F.struct("seq", "vtype", "value")).alias("es"))
+        .withColumn(
+            "_barrier",
+            F.expr("array_max(transform(filter(es, x -> x.vtype != 2), x -> x.seq))"),
+        )
+        .withColumn(
+            "_base",
+            # try_element_at: ANSI-safe on the empty array when every
+            # version of the key is a merge operand (no base yet)
+            F.expr(
+                "try_element_at(filter(es, x -> x.vtype != 2 AND x.seq = _barrier), 1)"
+            ),
+        )
+        .withColumn("parts", F.expr(_PARTS_SQL))
+        .withColumn("value", F.expr(_VALUE_SQL))
+        .filter(F.col("value").isNotNull())
+        .select("state_name", "key_ns", "value")
+    )
+    return resolved
+
+
+def write_sst_fixture(
+    path: str,
+    entries: dict[str, list[tuple[bytes, int, int, bytes]]],
+    *,
+    compression: int = sstmod.NO_COMPRESSION,
+    cf_ids: dict[str, int] | None = None,
+) -> list[str]:
+    """Test/bootstrap helper: one SST per column family from
+    ``{state_name: [(user_key, seq, vtype, value), ...]}``. Entries are
+    sorted to internal-key order here; file numbering mimics RocksDB's
+    ``<number>.sst``."""
+    os.makedirs(path, exist_ok=True)
+    existing = glob.glob(os.path.join(path, "*.sst"))
+    next_no = 1 + max(
+        (int(os.path.basename(p).split(".")[0]) for p in existing), default=0
+    )
+    out = []
+    for i, (name, rows) in enumerate(sorted(entries.items())):
+        fpath = os.path.join(path, f"{next_no + i:06d}.sst")
+        cf_id = (cf_ids or {}).get(name, i + 1)
+        with sstmod.SstWriter(
+            fpath, column_family=name, column_family_id=cf_id,
+            compression=compression,
+        ) as w:
+            for user_key, seq, vtype, value in sorted(
+                rows, key=lambda r: (r[0], -r[1])
+            ):
+                w.add(user_key, seq, vtype, value)
+        out.append(fpath)
+    return out

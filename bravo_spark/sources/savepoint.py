@@ -52,17 +52,30 @@ from bravo_spark.sources.staterows import (
 METADATA_FILE = "_bravo_metadata"
 
 
-def _snappy_or_none():
+def _frame_compress(buf: bytes) -> bytes:
     """Per-key-group Snappy compression (StateMetadataUtils.java:142-146 /
-    RocksDBSavepointWriter.java:71-72 analog) is gated on python-snappy,
-    which this container does not ship; sections are framed-Snappy streams
-    when available, raw otherwise."""
+    RocksDBSavepointWriter.java:71-72 analog): sections are framed-Snappy
+    streams. Uses the C binding when present, else the pure-Python codec
+    (codecs/snappy.py) — same wire format either way."""
     try:
         import snappy  # type: ignore
 
-        return snappy
+        return snappy.StreamCompressor().compress(buf)
     except ImportError:
-        return None
+        from bravo_spark.codecs import snappy as psnappy
+
+        return psnappy.frame_compress(buf)
+
+
+def _frame_decompress(buf: bytes) -> bytes:
+    try:
+        import snappy  # type: ignore
+
+        return snappy.StreamDecompressor().decompress(buf)
+    except ImportError:
+        from bravo_spark.codecs import snappy as psnappy
+
+        return psnappy.frame_decompress(buf)
 
 
 @dataclass
@@ -114,12 +127,6 @@ def write_savepoint(
     on the driver from per-file handles."""
     spark = rows.sparkSession
     os.makedirs(path, exist_ok=True)
-    if compression and _snappy_or_none() is None:
-        raise RuntimeError(
-            "compression=True requires the python-snappy package, which is "
-            "not installed; write uncompressed (compression=False) instead"
-        )
-
     if state_ids is None:
         names = [r[0] for r in rows.select("state_name").distinct().collect()]
         state_ids = {n: i for i, n in enumerate(sorted(names))}
@@ -165,7 +172,7 @@ def write_savepoint(
                 offsets[state["kg"]] = state["fh"].tell()
                 buf = fc.write_key_group_section(entries)
                 if compression:
-                    buf = _snappy_or_none().StreamCompressor().compress(buf)
+                    buf = _frame_compress(buf)
                 state["fh"].write(buf)
             entries.clear()
 
@@ -292,7 +299,6 @@ def _split_frame(spark: SparkSession, splits):
 
 
 def _scan_splits(pdf_iter, id_to_name, state_filter, compressed=False):
-    snappy = _snappy_or_none() if compressed else None
     for pdf in pdf_iter:
         for fpath, spans_json in zip(pdf["file"], pdf["spans"]):
             names, keys, vals = [], [], []
@@ -300,8 +306,8 @@ def _scan_splits(pdf_iter, id_to_name, state_filter, compressed=False):
                 for _kg, off, end in json.loads(spans_json):
                     f.seek(off)
                     buf = f.read(end - off)
-                    if snappy is not None:
-                        buf = snappy.StreamDecompressor().decompress(buf)
+                    if compressed:
+                        buf = _frame_decompress(buf)
                     for name, key, val in fc.iter_key_group_section(
                         buf, id_to_name, state_filter
                     ):
@@ -318,9 +324,6 @@ def _scan_df(spark, splits, id_to_name, state_filter, compressed=False) -> DataF
     """Arrow-batched scan: split metadata DataFrame → mapInPandas decoder.
     One Python hop, no row pickling (vs. parallelize+createDataFrame)."""
     from bravo_spark.sources.staterows import STATE_ROW_SCHEMA as _schema
-
-    if compressed and _snappy_or_none() is None:
-        raise RuntimeError("savepoint is Snappy-compressed but python-snappy is absent")
 
     return _split_frame(spark, splits).mapInPandas(
         lambda it: _scan_splits(it, id_to_name, state_filter, compressed),
@@ -351,9 +354,6 @@ def read_savepoint_kv(
     splits, id_to_name, state_filter, compressed = _plan_scan(
         path, [state_name], None, splits_per_file
     )
-    if compressed and _snappy_or_none() is None:
-        raise RuntimeError("savepoint is Snappy-compressed but python-snappy is absent")
-    snappy_mod = _snappy_or_none() if compressed else None
     prefix = _fc.key_group_prefix_bytes(max_parallelism)
     schema = StructType(
         [
@@ -375,8 +375,8 @@ def read_savepoint_kv(
                     for _kg, off, end in json.loads(spans_json):
                         f.seek(off)
                         buf = f.read(end - off)
-                        if snappy_mod is not None:
-                            buf = snappy_mod.StreamDecompressor().decompress(buf)
+                        if compressed:
+                            buf = _frame_decompress(buf)
                         for _n, kns, raw in fc.iter_key_group_section(
                             buf, id_to_name, state_filter
                         ):

@@ -1,0 +1,396 @@
+"""Pure-Python RocksDB SST (BlockBasedTable) reader and writer.
+
+The reference reads incremental checkpoints by opening the transferred
+RocksDB instance with the native library and iterating each state's column
+family (reader/inputformat/RocksDBCheckpointIterator.java:57-254). No
+native RocksDB binding ships in this environment, so this module parses the
+on-disk BlockBasedTable format directly — footer → metaindex → properties /
+index block → data blocks → restart-point key decode — following the
+PUBLIC format documentation (rocksdb/table/block_based/*, leveldb
+table_format.md).
+
+What the reader yields per SST entry:
+
+    (user_key: bytes, seq: int, vtype: int, value: bytes)
+
+where ``user_key`` is Flink's key bytes (key-group prefix + key + namespace
+— exactly the ``key_ns`` of our state rows), and (seq, vtype) come from the
+8-byte internal-key trailer (seq << 8 | type, little-endian). LSM merge
+semantics across SSTs (shadowing by sequence number, tombstones, merge
+operands) are applied DISTRIBUTIVELY in sources/checkpoint.py, not here.
+
+The writer produces structurally faithful tables (restart intervals,
+properties/metaindex/index blocks, real block-trailer CRC32Cs, optional
+raw-Snappy block compression, correct footer magic): golden-vector tests
+parse hand-built files, and the checkpoint_roundtrip query reads multi-SST
+fixtures with shadowing/tombstones/merges. Byte-validation against a
+native-RocksDB-produced file is not possible in this container and is
+called out in COVERAGE.md.
+
+Value types (rocksdb/db/dbformat.h): 0 deletion, 1 value, 2 merge,
+7 single-deletion.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Iterator
+
+from bravo_spark.codecs import crc32c
+from bravo_spark.codecs import snappy as psnappy
+
+# rocksdb/table/format.cc
+BLOCK_BASED_MAGIC = 0x88E241B785F4CFF7
+LEGACY_BLOCK_BASED_MAGIC = 0xDB4775248B80FB57
+
+# block trailer compression byte (rocksdb/include/rocksdb/options.h)
+NO_COMPRESSION = 0
+SNAPPY_COMPRESSION = 1
+
+# internal-key value types
+TYPE_DELETION = 0
+TYPE_VALUE = 1
+TYPE_MERGE = 2
+TYPE_SINGLE_DELETION = 7
+
+PROP_BLOCK_KEY = b"rocksdb.properties"
+PROP_CF_NAME = b"rocksdb.column.family.name"
+PROP_CF_ID = b"rocksdb.column.family.id"
+PROP_MERGE_OPERATOR = b"rocksdb.merge.operator"
+
+_FOOTER_NEW = 53  # 1B checksum + 2 handles (≤40B) + 4B version + 8B magic
+_FOOTER_LEGACY = 48
+
+
+def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("uvarint too long")
+
+
+def _write_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        if v < 0x80:
+            out.append(v)
+            return bytes(out)
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+
+
+@dataclass(frozen=True)
+class BlockHandle:
+    offset: int
+    size: int
+
+    def encode(self) -> bytes:
+        return _write_uvarint(self.offset) + _write_uvarint(self.size)
+
+    @staticmethod
+    def decode(buf: bytes, pos: int = 0) -> tuple["BlockHandle", int]:
+        off, pos = _read_uvarint(buf, pos)
+        size, pos = _read_uvarint(buf, pos)
+        return BlockHandle(off, size), pos
+
+
+def iter_block_entries(block: bytes) -> Iterator[tuple[bytes, bytes]]:
+    """Decode a restart-point block into (key, value) pairs
+    (rocksdb/table/block_based/block_builder.cc layout: per entry
+    [shared][non_shared][value_len] varints, key delta, value; then
+    uint32 restart offsets and a uint32 restart count)."""
+    if len(block) < 4:
+        raise ValueError("block too short")
+    (num_restarts,) = struct.unpack("<I", block[-4:])
+    if num_restarts & 0x80000000:
+        raise ValueError(
+            "packed restart count (data_block_hash_index / format_version>=4 "
+            "index features) not supported"
+        )
+    restarts_off = len(block) - 4 - 4 * num_restarts
+    if restarts_off < 0:
+        raise ValueError("corrupt block: restart array overruns block")
+    pos = 0
+    key = b""
+    while pos < restarts_off:
+        shared, pos = _read_uvarint(block, pos)
+        non_shared, pos = _read_uvarint(block, pos)
+        value_len, pos = _read_uvarint(block, pos)
+        key = key[:shared] + block[pos : pos + non_shared]
+        pos += non_shared
+        value = block[pos : pos + value_len]
+        pos += value_len
+        yield key, value
+
+
+def parse_internal_key(ikey: bytes) -> tuple[bytes, int, int]:
+    """internal key = user_key + fixed64 LE (seq << 8 | type)."""
+    if len(ikey) < 8:
+        raise ValueError("internal key shorter than 8-byte trailer")
+    (trailer,) = struct.unpack("<Q", ikey[-8:])
+    return ikey[:-8], trailer >> 8, trailer & 0xFF
+
+
+def make_internal_key(user_key: bytes, seq: int, vtype: int) -> bytes:
+    return user_key + struct.pack("<Q", (seq << 8) | vtype)
+
+
+class SstReader:
+    """One BlockBasedTable file. Parses the footer/metaindex/properties on
+    open (cheap — no data blocks touched), so column-family pushdown can
+    skip whole files before any data I/O."""
+
+    def __init__(self, path: str, *, verify_checksums: bool = False):
+        self.path = path
+        self.verify_checksums = verify_checksums
+        with open(path, "rb") as f:
+            self._buf = f.read()
+        if len(self._buf) < _FOOTER_LEGACY:
+            raise ValueError(f"{path}: too short to be an SST")
+        self._parse_footer()
+        self.properties = self._read_properties()
+
+    # --- structure ---
+
+    def _parse_footer(self) -> None:
+        buf = self._buf
+        (magic,) = struct.unpack("<Q", buf[-8:])
+        if magic == BLOCK_BASED_MAGIC:
+            (version,) = struct.unpack("<I", buf[-12:-8])
+            if version == 0:
+                raise ValueError("format_version 0 with new magic")
+            footer = buf[-_FOOTER_NEW:]
+            self.checksum_type = footer[0]
+            pos = 1
+            self.metaindex_handle, pos = BlockHandle.decode(footer, pos)
+            self.index_handle, pos = BlockHandle.decode(footer, pos)
+            self.format_version = version
+        elif magic == LEGACY_BLOCK_BASED_MAGIC:
+            footer = buf[-_FOOTER_LEGACY:]
+            self.checksum_type = 1  # legacy footers imply crc32c
+            pos = 0
+            self.metaindex_handle, pos = BlockHandle.decode(footer, pos)
+            self.index_handle, pos = BlockHandle.decode(footer, pos)
+            self.format_version = 0
+        else:
+            raise ValueError(f"{self.path}: not a block-based SST (bad magic)")
+
+    def read_block(self, handle: BlockHandle) -> bytes:
+        raw = self._buf[handle.offset : handle.offset + handle.size]
+        trailer = self._buf[handle.offset + handle.size : handle.offset + handle.size + 5]
+        if len(raw) != handle.size or len(trailer) != 5:
+            raise ValueError(f"{self.path}: block handle out of range")
+        compression = trailer[0]
+        if self.verify_checksums and self.checksum_type == 1:
+            (stored,) = struct.unpack("<I", trailer[1:5])
+            actual = crc32c.mask(crc32c.crc32c(raw + trailer[:1]))
+            if stored != actual:
+                raise ValueError(f"{self.path}: block checksum mismatch")
+        if compression == NO_COMPRESSION:
+            return raw
+        if compression == SNAPPY_COMPRESSION:
+            return psnappy.decompress(raw)
+        raise ValueError(
+            f"{self.path}: unsupported block compression {compression} "
+            "(only none/snappy)"
+        )
+
+    def _read_properties(self) -> dict[bytes, bytes]:
+        meta = self.read_block(self.metaindex_handle)
+        for name, value in iter_block_entries(meta):
+            if name == PROP_BLOCK_KEY:
+                handle, _ = BlockHandle.decode(value)
+                return dict(iter_block_entries(self.read_block(handle)))
+        return {}
+
+    # --- convenience ---
+
+    @property
+    def column_family_name(self) -> str:
+        return self.properties.get(PROP_CF_NAME, b"default").decode()
+
+    @property
+    def column_family_id(self) -> int:
+        raw = self.properties.get(PROP_CF_ID)
+        if raw is None:
+            return 0
+        v, _ = _read_uvarint(raw, 0)
+        return v
+
+    def iter_entries(self) -> Iterator[tuple[bytes, int, int, bytes]]:
+        """All (user_key, seq, vtype, value) in the table, file order. The
+        index block's KEYS are separators we don't need; only its VALUES
+        (data-block handles) are used — every data block is walked."""
+        index = self.read_block(self.index_handle)
+        for _sep, hval in iter_block_entries(index):
+            handle, pos = BlockHandle.decode(hval)
+            if pos != len(hval):
+                raise ValueError(
+                    f"{self.path}: index value has trailing bytes "
+                    "(delta-encoded index values not supported)"
+                )
+            for ikey, value in iter_block_entries(self.read_block(handle)):
+                user_key, seq, vtype = parse_internal_key(ikey)
+                yield user_key, seq, vtype, value
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+class _BlockBuilder:
+    def __init__(self, restart_interval: int = 16):
+        self.restart_interval = restart_interval
+        self.buf = bytearray()
+        self.restarts = [0]
+        self.counter = 0
+        self.last_key = b""
+
+    def add(self, key: bytes, value: bytes) -> None:
+        shared = 0
+        if self.counter < self.restart_interval:
+            m = min(len(key), len(self.last_key))
+            while shared < m and key[shared] == self.last_key[shared]:
+                shared += 1
+        else:
+            self.restarts.append(len(self.buf))
+            self.counter = 0
+        self.buf += _write_uvarint(shared)
+        self.buf += _write_uvarint(len(key) - shared)
+        self.buf += _write_uvarint(len(value))
+        self.buf += key[shared:]
+        self.buf += value
+        self.counter += 1
+        self.last_key = key
+
+    def finish(self) -> bytes:
+        out = bytearray(self.buf)
+        for r in self.restarts:
+            out += struct.pack("<I", r)
+        out += struct.pack("<I", len(self.restarts))
+        return bytes(out)
+
+    @property
+    def size(self) -> int:
+        return len(self.buf) + 4 * len(self.restarts) + 4
+
+
+class SstWriter:
+    """Minimal but structurally faithful BlockBasedTable writer (new-format
+    footer, version 2). Entries must be added in internal-key order:
+    user_key ascending, then seq DESCENDING (rocksdb InternalKeyComparator)."""
+
+    def __init__(
+        self,
+        path: str,
+        *,
+        column_family: str = "default",
+        column_family_id: int = 0,
+        block_size: int = 4096,
+        compression: int = NO_COMPRESSION,
+        merge_operator: str | None = "StringAppendOperator",
+    ):
+        self.path = path
+        self.cf_name = column_family
+        self.cf_id = column_family_id
+        self.block_size = block_size
+        self.compression = compression
+        self.merge_operator = merge_operator
+        self._f = open(path, "wb")
+        self._offset = 0
+        self._data = _BlockBuilder()
+        self._index_entries: list[tuple[bytes, BlockHandle]] = []
+        self._last_ikey = b""
+        self._num_entries = 0
+        self._closed = False
+
+    def add(self, user_key: bytes, seq: int, vtype: int, value: bytes) -> None:
+        ikey = make_internal_key(user_key, seq, vtype)
+        prev_user, prev_seq, _ = (
+            parse_internal_key(self._last_ikey) if self._last_ikey else (b"", None, None)
+        )
+        if self._last_ikey and (
+            user_key < prev_user or (user_key == prev_user and seq >= prev_seq)
+        ):
+            raise ValueError("entries must be sorted by (user_key asc, seq desc)")
+        self._data.add(ikey, value)
+        self._last_ikey = ikey
+        self._num_entries += 1
+        if self._data.size >= self.block_size:
+            self._flush_data_block()
+
+    def _write_block(self, content: bytes, compression: int) -> BlockHandle:
+        if compression == SNAPPY_COMPRESSION:
+            comp = psnappy.compress(content)
+            if len(comp) < len(content):
+                content, ctype = comp, SNAPPY_COMPRESSION
+            else:
+                ctype = NO_COMPRESSION
+        else:
+            ctype = NO_COMPRESSION
+        handle = BlockHandle(self._offset, len(content))
+        trailer = bytes([ctype]) + struct.pack(
+            "<I", crc32c.mask(crc32c.crc32c(content + bytes([ctype])))
+        )
+        self._f.write(content)
+        self._f.write(trailer)
+        self._offset += len(content) + 5
+        return handle
+
+    def _flush_data_block(self) -> None:
+        if not self._data.buf:
+            return
+        handle = self._write_block(self._data.finish(), self.compression)
+        self._index_entries.append((self._last_ikey, handle))
+        self._data = _BlockBuilder()
+
+    def _properties_block(self) -> bytes:
+        props: dict[bytes, bytes] = {
+            PROP_CF_NAME: self.cf_name.encode(),
+            PROP_CF_ID: _write_uvarint(self.cf_id),
+            b"rocksdb.num.entries": _write_uvarint(self._num_entries),
+        }
+        if self.merge_operator:
+            props[PROP_MERGE_OPERATOR] = self.merge_operator.encode()
+        b = _BlockBuilder(restart_interval=1)  # property blocks restart per key
+        for k in sorted(props):
+            b.add(k, props[k])
+        return b.finish()
+
+    def finish(self) -> None:
+        if self._closed:
+            return
+        self._flush_data_block()
+        # meta blocks are never compressed
+        props_handle = self._write_block(self._properties_block(), NO_COMPRESSION)
+        meta = _BlockBuilder(restart_interval=1)
+        meta.add(PROP_BLOCK_KEY, props_handle.encode())
+        metaindex_handle = self._write_block(meta.finish(), NO_COMPRESSION)
+        index = _BlockBuilder(restart_interval=1)
+        for sep, handle in self._index_entries:
+            index.add(sep, handle.encode())
+        index_handle = self._write_block(index.finish(), NO_COMPRESSION)
+        # footer: [checksum type][handles padded to 40][version][magic]
+        handles = metaindex_handle.encode() + index_handle.encode()
+        footer = bytes([1]) + handles + b"\x00" * (40 - len(handles))
+        footer += struct.pack("<I", 2)
+        footer += struct.pack("<Q", BLOCK_BASED_MAGIC)
+        assert len(footer) == _FOOTER_NEW
+        self._f.write(footer)
+        self._f.close()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if not self._closed:
+            self.finish()

@@ -1,0 +1,273 @@
+"""RocksDB SST reader/writer + incremental-checkpoint source (S4).
+
+Golden vectors are HAND-BUILT byte streams following the published
+BlockBasedTable layout (leveldb table_format.md + rocksdb format.cc), so
+the reader is pinned to the format, not to our own writer. The writer is
+then validated against the reader, and the Spark source against full LSM
+semantics: cross-SST shadowing, tombstones, and StringAppend merge
+operands."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from bravo_spark.codecs import crc32c, flink as fc
+from bravo_spark.codecs import snappy as psnappy
+from bravo_spark.sources import checkpoint as ck
+from bravo_spark.sources import sst
+
+
+def _uvar(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        if v < 0x80:
+            out.append(v)
+            return bytes(out)
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+
+
+def _block(entries, restart_interval=16) -> bytes:
+    """Hand-roll a restart-point block (no shared-prefix compression: every
+    entry written with shared=0, which is always legal)."""
+    buf = bytearray()
+    restarts = [0]
+    counter = 0
+    for k, v in entries:
+        if counter >= restart_interval:
+            restarts.append(len(buf))
+            counter = 0
+        buf += _uvar(0) + _uvar(len(k)) + _uvar(len(v)) + k + v
+        counter += 1
+    for r in restarts:
+        buf += struct.pack("<I", r)
+    buf += struct.pack("<I", len(restarts))
+    return bytes(buf)
+
+
+def _ikey(user_key: bytes, seq: int, vtype: int) -> bytes:
+    return user_key + struct.pack("<Q", (seq << 8) | vtype)
+
+
+def _hand_built_sst(tmp_path, *, compress_data=False):
+    """Assemble a two-data-block SST byte-by-byte."""
+    out = bytearray()
+
+    def emit(content: bytes, ctype: int) -> sst.BlockHandle:
+        h = sst.BlockHandle(len(out), len(content))
+        out.extend(content)
+        out.append(ctype)
+        out.extend(
+            struct.pack("<I", crc32c.mask(crc32c.crc32c(content + bytes([ctype]))))
+        )
+        return h
+
+    d1 = _block([(_ikey(b"k1", 5, 1), b"v1"), (_ikey(b"k2", 6, 1), b"v2")])
+    d2 = _block([(_ikey(b"k3", 7, 1), b"v3")])
+    if compress_data:
+        h1 = emit(psnappy.compress(d1), sst.SNAPPY_COMPRESSION)
+        h2 = emit(psnappy.compress(d2), sst.SNAPPY_COMPRESSION)
+    else:
+        h1 = emit(d1, sst.NO_COMPRESSION)
+        h2 = emit(d2, sst.NO_COMPRESSION)
+
+    props = _block(
+        [
+            (b"rocksdb.column.family.id", _uvar(3)),
+            (b"rocksdb.column.family.name", b"Count"),
+        ],
+        restart_interval=1,
+    )
+    ph = emit(props, sst.NO_COMPRESSION)
+    meta = _block([(b"rocksdb.properties", ph.encode())], restart_interval=1)
+    mh = emit(meta, sst.NO_COMPRESSION)
+    index = _block(
+        [(_ikey(b"k2", 6, 1), h1.encode()), (_ikey(b"k3", 7, 1), h2.encode())],
+        restart_interval=1,
+    )
+    ih = emit(index, sst.NO_COMPRESSION)
+
+    handles = mh.encode() + ih.encode()
+    footer = bytes([1]) + handles + b"\x00" * (40 - len(handles))
+    footer += struct.pack("<I", 2) + struct.pack("<Q", sst.BLOCK_BASED_MAGIC)
+    assert len(footer) == 53
+    out.extend(footer)
+
+    p = tmp_path / "golden.sst"
+    p.write_bytes(bytes(out))
+    return str(p)
+
+
+def test_reader_parses_hand_built_sst(tmp_path):
+    r = sst.SstReader(_hand_built_sst(tmp_path), verify_checksums=True)
+    assert r.column_family_name == "Count"
+    assert r.column_family_id == 3
+    got = list(r.iter_entries())
+    assert got == [
+        (b"k1", 5, 1, b"v1"),
+        (b"k2", 6, 1, b"v2"),
+        (b"k3", 7, 1, b"v3"),
+    ]
+
+
+def test_reader_parses_snappy_compressed_blocks(tmp_path):
+    r = sst.SstReader(
+        _hand_built_sst(tmp_path, compress_data=True), verify_checksums=True
+    )
+    assert [k for k, *_ in r.iter_entries()] == [b"k1", b"k2", b"k3"]
+
+
+def test_reader_rejects_bad_magic(tmp_path):
+    p = tmp_path / "junk.sst"
+    p.write_bytes(b"\x00" * 100)
+    with pytest.raises(ValueError, match="magic"):
+        sst.SstReader(str(p))
+
+
+def test_block_shared_prefix_decode():
+    # delta-encoded keys: "applepie" after "apple" shares 5 bytes
+    buf = bytearray()
+    buf += _uvar(0) + _uvar(5) + _uvar(1) + b"apple" + b"A"
+    buf += _uvar(5) + _uvar(3) + _uvar(1) + b"pie" + b"B"
+    buf += struct.pack("<I", 0) + struct.pack("<I", 1)
+    got = list(sst.iter_block_entries(bytes(buf)))
+    assert got == [(b"apple", b"A"), (b"applepie", b"B")]
+
+
+def test_writer_reader_roundtrip_multi_block(tmp_path):
+    p = str(tmp_path / "w.sst")
+    rows = [(f"key{i:05d}".encode(), 100 + i, 1, f"val{i}".encode() * 7) for i in range(500)]
+    with sst.SstWriter(p, column_family="S", column_family_id=2, block_size=512) as w:
+        for k, s, t, v in rows:
+            w.add(k, s, t, v)
+    r = sst.SstReader(p, verify_checksums=True)
+    assert r.column_family_name == "S"
+    assert list(r.iter_entries()) == rows
+    # multiple data blocks actually produced
+    assert len(list(sst.iter_block_entries(r.read_block(r.index_handle)))) > 5
+
+
+def test_writer_compression_roundtrip(tmp_path):
+    p = str(tmp_path / "c.sst")
+    rows = [(f"k{i:04d}".encode(), i + 1, 1, b"x" * 100) for i in range(200)]
+    with sst.SstWriter(
+        p, column_family="S", compression=sst.SNAPPY_COMPRESSION, block_size=1024
+    ) as w:
+        for k, s, t, v in rows:
+            w.add(k, s, t, v)
+    r = sst.SstReader(p, verify_checksums=True)
+    assert list(r.iter_entries()) == rows
+
+
+def test_writer_rejects_unsorted(tmp_path):
+    w = sst.SstWriter(str(tmp_path / "x.sst"))
+    w.add(b"b", 2, 1, b"")
+    with pytest.raises(ValueError, match="sorted"):
+        w.add(b"a", 1, 1, b"")
+    with pytest.raises(ValueError, match="sorted"):
+        w.add(b"b", 3, 1, b"")  # same key must have DESCENDING seq
+    w.finish()
+
+
+# --- Spark source: LSM merge semantics ---
+
+
+def _kns(key: int) -> bytes:
+    return fc.encode_key_ns(key, fc.INT, 128)
+
+
+def test_checkpoint_lsm_semantics(spark, tmp_path):
+    d = str(tmp_path / "ckpt")
+    # L1 (older): base values + a key that will be deleted + list operand
+    ck.write_sst_fixture(
+        d,
+        {
+            "Count": [
+                (_kns(1), 10, sst.TYPE_VALUE, fc.encode_value_state(100, fc.INT)),
+                (_kns(2), 11, sst.TYPE_VALUE, fc.encode_value_state(200, fc.INT)),
+                (_kns(3), 12, sst.TYPE_VALUE, fc.encode_value_state(300, fc.INT)),
+            ],
+            "clicks": [
+                (_kns(7), 13, sst.TYPE_MERGE, fc.INT.encode(70)),
+            ],
+        },
+    )
+    # L0 (newer): shadow key 1, tombstone key 2, append to the list
+    ck.write_sst_fixture(
+        d,
+        {
+            "Count": [
+                (_kns(1), 20, sst.TYPE_VALUE, fc.encode_value_state(111, fc.INT)),
+                (_kns(2), 21, sst.TYPE_DELETION, b""),
+            ],
+            "clicks": [
+                (_kns(7), 22, sst.TYPE_MERGE, fc.INT.encode(71)),
+            ],
+        },
+    )
+
+    rows = ck.read_incremental_checkpoint(spark, d)
+    from bravo_spark.sources import staterows as sr
+
+    counts = sorted(
+        tuple(r) for r in sr.read_value_kv(rows, "Count", fc.INT, fc.INT).collect()
+    )
+    assert counts == [(1, 111), (3, 300)]  # shadowed + tombstoned applied
+
+    lists = sorted(
+        (r["key"], list(r["value"]))
+        for r in sr.read_list_as_list(rows, "clicks", fc.INT, fc.INT).collect()
+    )
+    # merge operands concatenated oldest→newest with the ',' delimiter
+    assert lists == [(7, [70, 71])]
+
+
+def test_checkpoint_state_name_pushdown(spark, tmp_path):
+    d = str(tmp_path / "ckpt2")
+    ck.write_sst_fixture(
+        d,
+        {
+            "keep": [(_kns(1), 1, sst.TYPE_VALUE, fc.encode_value_state(1, fc.INT))],
+            "skip": [(_kns(2), 2, sst.TYPE_VALUE, fc.encode_value_state(2, fc.INT))],
+        },
+    )
+    rows = ck.read_incremental_checkpoint(spark, d, state_names=["keep"])
+    names = {r["state_name"] for r in rows.collect()}
+    assert names == {"keep"}
+
+
+def test_checkpoint_merge_on_top_of_base_value(spark, tmp_path):
+    # Put base followed by newer merge operands: final = base , op1 , op2
+    d = str(tmp_path / "ckpt3")
+    ck.write_sst_fixture(
+        d,
+        {"l": [(_kns(5), 30, sst.TYPE_VALUE, fc.INT.encode(1))]},
+    )
+    ck.write_sst_fixture(
+        d,
+        {"l": [(_kns(5), 31, sst.TYPE_MERGE, fc.INT.encode(2))]},
+    )
+    ck.write_sst_fixture(
+        d,
+        {"l": [(_kns(5), 32, sst.TYPE_MERGE, fc.INT.encode(3))]},
+    )
+    rows = ck.read_incremental_checkpoint(spark, d)
+    from bravo_spark.sources import staterows as sr
+
+    got = [
+        (r["key"], list(r["value"]))
+        for r in sr.read_list_as_list(rows, "l", fc.INT, fc.INT).collect()
+    ]
+    assert got == [(5, [1, 2, 3])]
+
+
+def test_checkpoint_single_delete_tombstone(spark, tmp_path):
+    d = str(tmp_path / "ckpt4")
+    ck.write_sst_fixture(
+        d, {"s": [(_kns(9), 40, sst.TYPE_VALUE, fc.encode_value_state(9, fc.INT))]}
+    )
+    ck.write_sst_fixture(d, {"s": [(_kns(9), 41, sst.TYPE_SINGLE_DELETION, b"")]})
+    rows = ck.read_incremental_checkpoint(spark, d)
+    assert rows.count() == 0

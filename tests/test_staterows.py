@@ -171,30 +171,32 @@ def test_savepoint_roundtrip_transform_pattern(spark, tmp_path):
     assert kept == [(9, 9)]
 
 
-def test_compression_gate_without_snappy(spark, tmp_path):
-    # python-snappy is absent in this container: asking for compression must
-    # fail loudly, not write garbage.
-    import pytest as _pytest
-
-    from bravo_spark.sources.savepoint import _snappy_or_none
-
-    kv = _kv_df(spark, [(1, 1)])
+def test_compressed_savepoint_roundtrip(spark, tmp_path):
+    # per-key-group framed-Snappy sections (pure-Python codec when the C
+    # binding is absent): full write→read round trip, plus both reader
+    # paths (generic scan and the fused scan+decode)
+    kv = _kv_df(spark, [(k, k * 11) for k in range(40)])
     rows = sr.kv_to_state_rows(kv, "s", fc.INT, fc.INT)
-    if _snappy_or_none() is None:
-        with _pytest.raises(RuntimeError, match="python-snappy"):
-            sp.write_savepoint(
-                rows, str(tmp_path / "c"), max_parallelism=128, parallelism=1,
-                compression=True,
-            )
-    else:  # environment with snappy: full round trip
-        sp.write_savepoint(
-            rows, str(tmp_path / "c"), max_parallelism=128, parallelism=1,
-            compression=True,
-        )
-        got = sr.read_value_kv(
+    sp.write_savepoint(
+        rows, str(tmp_path / "c"), max_parallelism=128, parallelism=2,
+        compression=True,
+    )
+    meta = sp.read_savepoint_meta(str(tmp_path / "c"))
+    assert meta.compression is True
+    got = sorted(
+        tuple(r)
+        for r in sr.read_value_kv(
             sp.read_savepoint(spark, str(tmp_path / "c")), "s", fc.INT, fc.INT
         ).collect()
-        assert [tuple(r) for r in got] == [(1, 1)]
+    )
+    assert got == [(k, k * 11) for k in range(40)]
+    fused = sorted(
+        tuple(r)
+        for r in sp.read_savepoint_kv(
+            spark, str(tmp_path / "c"), "s", fc.INT, fc.INT
+        ).collect()
+    )
+    assert fused == got
 
 
 def test_savepoint_file_roundtrip_map_and_list_states(spark, tmp_path):
