@@ -39,6 +39,28 @@ from bravo_spark.sources import sst as sstmod
 _RAW_SCHEMA = "state_name string, key_ns binary, seq long, vtype int, value binary"
 
 
+def sst_files_from_flink_metadata(metadata_path: str) -> list[str]:
+    """SST paths from a Flink checkpoint ``_metadata``: every operator's
+    IncrementalKeyedStateHandle shared-state map (the reference's
+    handle.getSharedState() walk, RocksDBCheckpointIterator.java:96-103).
+    file:/ URIs are resolved to local paths; other schemes are returned
+    verbatim for the caller's filesystem layer."""
+    from bravo_spark.sources import flink_metadata as fm
+
+    with open(metadata_path, "rb") as f:
+        sp = fm.deserialize(f.read())
+    out: list[str] = []
+    for op in sp.operators:
+        for st in op.subtasks:
+            for handle in (st.managed_keyed, st.raw_keyed):
+                if isinstance(handle, fm.IncrementalKeyedHandle):
+                    for name, stream in handle.shared:
+                        if name.endswith(".sst") and stream.path:
+                            p = stream.path
+                            out.append(p[len("file:") :] if p.startswith("file:") else p)
+    return sorted(out)
+
+
 def list_sst_files(ckpt_dir: str) -> list[str]:
     """SSTs of a transferred incremental checkpoint (shared state). Sorted
     for determinism; MANIFEST/CURRENT/OPTIONS (private state) are not needed

@@ -1,20 +1,39 @@
-"""Best-effort Flink SavepointV2 ``_metadata`` binary reader/writer.
+"""Flink SavepointV2 ``_metadata`` binary reader/writer (Flink 1.7 layout).
 
 The reference loads savepoint metadata through Flink's own
 ``Checkpoints.loadCheckpointMetadata`` (utils/StateMetadataUtils.java:59-74)
-and writes it back via ``Checkpoints.storeCheckpointMetadata``
-(:189-194). This module implements the subset of that public on-disk format
-(Apache Flink 1.7, SavepointV2Serializer) needed to locate keyed-state
-files: header magic + version, checkpoint id, operator states with their
-OperatorIDs, per-subtask KeyGroupsStateHandles (key-group range, per-group
-offsets, backing file).
+and writes it back via ``Checkpoints.storeCheckpointMetadata`` (:189-194).
+This module implements that on-disk format byte-for-byte as documented by
+Apache Flink 1.7's ``SavepointV2Serializer`` (public source):
 
-Status: implemented from the documented format; **round-trip self-tested
-only** — no real Flink savepoint exists in this environment to validate
-against, so treat reads of foreign files as best-effort (every parse guard
-raises ``FlinkMetadataError`` with offsets rather than mis-reading). Master
-states and non-keyed handle variants we don't model are preserved as
-opaque bytes where possible and rejected loudly where not.
+- header: i32 magic 0x4960672D, i32 version (2)
+- body:   i64 checkpoint id; i32 master-state count, each framed as
+          [i32 magic 0xC96B1696][i32 len][len bytes] (skipped on read);
+          i32 operator count, each:
+          [i64 opid-lower][i64 opid-upper][i32 parallelism]
+          [i32 max-parallelism][i32 subtask count], each subtask:
+          [i32 subtask index][i64 duration (-1, compat)]
+          [i32 legacy-state count (0)]
+          [i32 0|1 managed operator-state handle][handle?]
+          [i32 0|1 raw operator-state handle][handle?]
+          [keyed handle managed][keyed handle raw]
+- keyed handles: NULL_HANDLE byte, or KEY_GROUPS_HANDLE
+  [i32 start][i32 num][num × i64 offsets][stream handle], or
+  INCREMENTAL_KEY_GROUPS_HANDLE [i64 checkpoint id][UTF backend id]
+  [i32 start][i32 num][meta stream handle][shared handle map]
+  [private handle map] where a map is [i32 n] × ([UTF name][stream handle])
+- operator-state handles: PARTITIONABLE_OPERATOR_STATE_HANDLE
+  [i32 n] × ([UTF state name][u8 distribution mode][i32 k][k × i64
+  offsets]) [delegate stream handle]
+- stream handles: NULL_HANDLE, or FILE_STREAM_STATE_HANDLE [i64 size]
+  [UTF path], or BYTE_STREAM_STATE_HANDLE [UTF name][i32 len][bytes]
+
+Validated two ways: round-trip, and golden byte vectors HAND-ASSEMBLED in
+tests/test_flink_metadata.py from the serializer's documented write
+sequence (java.io.DataOutputStream big-endian primitives + writeUTF) —
+i.e. the parser is pinned to bytes it did not itself produce. A file
+written by an actual Flink cluster is not available in this container;
+that residual risk is recorded in COVERAGE.md.
 """
 
 from __future__ import annotations
@@ -23,6 +42,7 @@ import struct
 from dataclasses import dataclass, field
 
 HEADER_MAGIC_NUMBER = 0x4960672D
+MASTER_STATE_MAGIC = 0xC96B1696
 SAVEPOINT_V2 = 2
 
 # handle type tags (SavepointV2Serializer constants)
@@ -33,6 +53,11 @@ KEY_GROUPS_HANDLE = 3
 PARTITIONABLE_OPERATOR_STATE_HANDLE = 4
 INCREMENTAL_KEY_GROUPS_HANDLE = 5
 
+# OperatorStateHandle.Mode ordinals
+MODE_SPLIT_DISTRIBUTE = 0
+MODE_UNION = 1
+MODE_BROADCAST = 2
+
 
 class FlinkMetadataError(ValueError):
     pass
@@ -42,7 +67,7 @@ class FlinkMetadataError(ValueError):
 class StreamStateHandle:
     kind: int  # FILE_STREAM_STATE_HANDLE or BYTE_STREAM_STATE_HANDLE
     size: int
-    path: str | None = None  # file handles
+    path: str | None = None  # file path, or byte-handle name
     data: bytes | None = None  # byte handles
 
 
@@ -55,15 +80,35 @@ class KeyGroupsHandle:
 
 
 @dataclass
+class IncrementalKeyedHandle:
+    checkpoint_id: int
+    backend_id: str
+    start_key_group: int
+    num_key_groups: int
+    meta: StreamStateHandle
+    shared: list[tuple[str, StreamStateHandle]]
+    private: list[tuple[str, StreamStateHandle]]
+
+
+@dataclass
+class OperatorStateHandleMeta:
+    # state name -> (distribution mode ordinal, per-partition offsets)
+    states: list[tuple[str, int, list[int]]]
+    stream: StreamStateHandle
+
+
+@dataclass
 class SubtaskState:
     subtask_index: int
-    managed_keyed: KeyGroupsHandle | None = None
-    raw_keyed: KeyGroupsHandle | None = None
+    managed_keyed: KeyGroupsHandle | IncrementalKeyedHandle | None = None
+    raw_keyed: KeyGroupsHandle | IncrementalKeyedHandle | None = None
+    managed_op: OperatorStateHandleMeta | None = None
+    raw_op: OperatorStateHandleMeta | None = None
 
 
 @dataclass
 class OperatorStateMeta:
-    operator_id: bytes  # 16 bytes
+    operator_id: bytes  # 16 bytes (murmur3_128 of the uid, Identifiers.java)
     parallelism: int
     max_parallelism: int
     subtasks: list[SubtaskState] = field(default_factory=list)
@@ -99,13 +144,16 @@ class _R:
         return self.need(1)[0]
 
     def utf(self) -> str:
-        n = struct.unpack(">H", self.need(2))[0]  # Java writeUTF
+        n = struct.unpack(">H", self.need(2))[0]  # java writeUTF
         return self.need(n).decode("utf-8")
 
 
 def _w_utf(s: str) -> bytes:
     b = s.encode("utf-8")
     return struct.pack(">H", len(b)) + b
+
+
+# --- stream handles ---
 
 
 def _read_stream_handle(r: _R) -> StreamStateHandle | None:
@@ -120,8 +168,7 @@ def _read_stream_handle(r: _R) -> StreamStateHandle | None:
         handle_name = r.utf()
         n = r.i32()
         data = r.need(n)
-        h = StreamStateHandle(BYTE_STREAM_STATE_HANDLE, n, path=handle_name, data=data)
-        return h
+        return StreamStateHandle(BYTE_STREAM_STATE_HANDLE, n, path=handle_name, data=data)
     raise FlinkMetadataError(f"unsupported stream handle tag {tag} at {r.pos - 1}")
 
 
@@ -144,40 +191,119 @@ def _write_stream_handle(h: StreamStateHandle | None) -> bytes:
     raise FlinkMetadataError(f"unsupported stream handle kind {h.kind}")
 
 
-def _read_keyed_handle(r: _R) -> KeyGroupsHandle | None:
+def _read_handle_map(r: _R) -> list[tuple[str, StreamStateHandle]]:
+    n = r.i32()
+    out = []
+    for _ in range(n):
+        name = r.utf()
+        h = _read_stream_handle(r)
+        if h is None:
+            raise FlinkMetadataError("null stream handle inside handle map")
+        out.append((name, h))
+    return out
+
+
+def _write_handle_map(m: list[tuple[str, StreamStateHandle]]) -> bytes:
+    out = bytearray(struct.pack(">i", len(m)))
+    for name, h in m:
+        out += _w_utf(name)
+        out += _write_stream_handle(h)
+    return bytes(out)
+
+
+# --- keyed handles ---
+
+
+def _read_keyed_handle(r: _R):
     tag = r.u8()
     if tag == NULL_HANDLE:
         return None
-    if tag != KEY_GROUPS_HANDLE:
-        raise FlinkMetadataError(
-            f"unsupported keyed handle tag {tag} at {r.pos - 1}"
-            " (incremental handles not modeled)"
-        )
-    start = r.i32()
-    num = r.i32()
-    offsets = [r.i64() for _ in range(num)]
-    stream = _read_stream_handle(r)
-    if stream is None:
-        raise FlinkMetadataError("keyed handle without stream handle")
-    return KeyGroupsHandle(start, num, offsets, stream)
+    if tag == KEY_GROUPS_HANDLE:
+        start = r.i32()
+        num = r.i32()
+        offsets = [r.i64() for _ in range(num)]
+        stream = _read_stream_handle(r)
+        if stream is None:
+            raise FlinkMetadataError("keyed handle without stream handle")
+        return KeyGroupsHandle(start, num, offsets, stream)
+    if tag == INCREMENTAL_KEY_GROUPS_HANDLE:
+        cp_id = r.i64()
+        backend_id = r.utf()
+        start = r.i32()
+        num = r.i32()
+        meta = _read_stream_handle(r)
+        if meta is None:
+            raise FlinkMetadataError("incremental handle without meta handle")
+        shared = _read_handle_map(r)
+        private = _read_handle_map(r)
+        return IncrementalKeyedHandle(cp_id, backend_id, start, num, meta, shared, private)
+    raise FlinkMetadataError(f"unsupported keyed handle tag {tag} at {r.pos - 1}")
 
 
-def _write_keyed_handle(h: KeyGroupsHandle | None) -> bytes:
+def _write_keyed_handle(h) -> bytes:
     if h is None:
         return bytes([NULL_HANDLE])
-    out = bytearray([KEY_GROUPS_HANDLE])
-    out += struct.pack(">i", h.start_key_group)
-    out += struct.pack(">i", h.num_key_groups)
-    for off in h.offsets:
-        out += struct.pack(">q", off)
+    if isinstance(h, KeyGroupsHandle):
+        out = bytearray([KEY_GROUPS_HANDLE])
+        out += struct.pack(">i", h.start_key_group)
+        out += struct.pack(">i", h.num_key_groups)
+        for off in h.offsets:
+            out += struct.pack(">q", off)
+        out += _write_stream_handle(h.stream)
+        return bytes(out)
+    if isinstance(h, IncrementalKeyedHandle):
+        out = bytearray([INCREMENTAL_KEY_GROUPS_HANDLE])
+        out += struct.pack(">q", h.checkpoint_id)
+        out += _w_utf(h.backend_id)
+        out += struct.pack(">i", h.start_key_group)
+        out += struct.pack(">i", h.num_key_groups)
+        out += _write_stream_handle(h.meta)
+        out += _write_handle_map(h.shared)
+        out += _write_handle_map(h.private)
+        return bytes(out)
+    raise FlinkMetadataError(f"unsupported keyed handle {type(h).__name__}")
+
+
+# --- operator (non-keyed) state handles ---
+
+
+def _read_operator_handle(r: _R) -> OperatorStateHandleMeta:
+    tag = r.u8()
+    if tag != PARTITIONABLE_OPERATOR_STATE_HANDLE:
+        raise FlinkMetadataError(
+            f"unsupported operator-state handle tag {tag} at {r.pos - 1}"
+        )
+    n = r.i32()
+    states = []
+    for _ in range(n):
+        name = r.utf()
+        mode = r.u8()
+        k = r.i32()
+        offsets = [r.i64() for _ in range(k)]
+        states.append((name, mode, offsets))
+    stream = _read_stream_handle(r)
+    if stream is None:
+        raise FlinkMetadataError("operator-state handle without stream handle")
+    return OperatorStateHandleMeta(states, stream)
+
+
+def _write_operator_handle(h: OperatorStateHandleMeta) -> bytes:
+    out = bytearray([PARTITIONABLE_OPERATOR_STATE_HANDLE])
+    out += struct.pack(">i", len(h.states))
+    for name, mode, offsets in h.states:
+        out += _w_utf(name)
+        out += bytes([mode])
+        out += struct.pack(">i", len(offsets))
+        for off in offsets:
+            out += struct.pack(">q", off)
     out += _write_stream_handle(h.stream)
     return bytes(out)
 
 
+# --- top level ---
+
+
 def serialize(sp: FlinkSavepoint) -> bytes:
-    """Write header + V2 body. Operator-state (non-keyed) and channel-state
-    slots are written as null/empty — the shape the reference produces for
-    keyed-state-only rewrites."""
     out = bytearray()
     out += struct.pack(">i", HEADER_MAGIC_NUMBER)
     out += struct.pack(">i", SAVEPOINT_V2)
@@ -185,15 +311,21 @@ def serialize(sp: FlinkSavepoint) -> bytes:
     out += struct.pack(">i", 0)  # master states
     out += struct.pack(">i", len(sp.operators))
     for op in sp.operators:
+        # writeLong(lowerPart)+writeLong(upperPart) == raw 16 digest bytes
         out += op.operator_id[:8] + op.operator_id[8:16]
         out += struct.pack(">i", op.parallelism)
         out += struct.pack(">i", op.max_parallelism)
         out += struct.pack(">i", len(op.subtasks))
         for st in op.subtasks:
             out += struct.pack(">i", st.subtask_index)
-            # operator (non-keyed) managed + raw: null handles
-            out += bytes([NULL_HANDLE])
-            out += bytes([NULL_HANDLE])
+            out += struct.pack(">q", -1)  # removed duration field, compat
+            out += struct.pack(">i", 0)  # legacy state, always empty
+            for oh in (st.managed_op, st.raw_op):
+                if oh is None:
+                    out += struct.pack(">i", 0)
+                else:
+                    out += struct.pack(">i", 1)
+                    out += _write_operator_handle(oh)
             out += _write_keyed_handle(st.managed_keyed)
             out += _write_keyed_handle(st.raw_keyed)
     return bytes(out)
@@ -208,11 +340,11 @@ def deserialize(buf: bytes) -> FlinkSavepoint:
     if version != SAVEPOINT_V2:
         raise FlinkMetadataError(f"unsupported savepoint version {version}")
     cp_id = r.i64()
-    n_master = r.i32()
-    if n_master != 0:
-        raise FlinkMetadataError(
-            f"{n_master} master states present — not modeled, refusing to guess"
-        )
+    for _ in range(r.i32()):  # master states: framed, skippable
+        ms_magic = r.i32() & 0xFFFFFFFF
+        if ms_magic != MASTER_STATE_MAGIC:
+            raise FlinkMetadataError(f"bad master-state magic 0x{ms_magic:08X}")
+        r.need(r.i32())
     sp = FlinkSavepoint(checkpoint_id=cp_id)
     n_ops = r.i32()
     for _ in range(n_ops):
@@ -223,14 +355,15 @@ def deserialize(buf: bytes) -> FlinkSavepoint:
         n_sub = r.i32()
         for _ in range(n_sub):
             idx = r.i32()
-            managed_op = _read_stream_handle(r)  # non-keyed managed
-            raw_op = _read_stream_handle(r)  # non-keyed raw
-            if managed_op is not None or raw_op is not None:
-                raise FlinkMetadataError(
-                    "operator (non-keyed) state handles present — parse of "
-                    "PartitionableOperatorStateHandle not modeled"
-                )
+            r.i64()  # removed duration field
+            n_legacy = r.i32()
+            for _ in range(n_legacy):  # absorbed like the reference path
+                _read_stream_handle(r)
             st = SubtaskState(idx)
+            if r.i32() == 1:
+                st.managed_op = _read_operator_handle(r)
+            if r.i32() == 1:
+                st.raw_op = _read_operator_handle(r)
             st.managed_keyed = _read_keyed_handle(r)
             st.raw_keyed = _read_keyed_handle(r)
             op.subtasks.append(st)

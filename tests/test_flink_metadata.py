@@ -1,6 +1,14 @@
-"""Round-trip self-tests for the best-effort Flink _metadata codec."""
+"""Flink SavepointV2 ``_metadata`` codec tests.
+
+The golden vectors below are HAND-ASSEMBLED with a direct emulation of
+``java.io.DataOutputStream`` (big-endian primitives + writeUTF), following
+Flink 1.7's SavepointV2Serializer write sequence statement by statement —
+independently of bravo_spark's own serializer — so ``deserialize`` is
+pinned to foreign bytes, not to a self-round-trip."""
 
 from __future__ import annotations
+
+import struct
 
 import pytest
 
@@ -8,40 +16,217 @@ from bravo_spark.codecs.hashes import operator_id
 from bravo_spark.sources import flink_metadata as fm
 
 
-def _sample() -> fm.FlinkSavepoint:
-    h = fm.KeyGroupsHandle(
-        start_key_group=0,
-        num_key_groups=64,
-        offsets=[0] * 10 + list(range(100, 640, 10)),
-        stream=fm.StreamStateHandle(
-            fm.FILE_STREAM_STATE_HANDLE, 12345, path="file:/cp/op-0-abc"
-        ),
-    )
-    op = fm.OperatorStateMeta(operator_id("my-op"), parallelism=2, max_parallelism=128)
-    op.subtasks.append(fm.SubtaskState(0, managed_keyed=h))
-    op.subtasks.append(fm.SubtaskState(1, managed_keyed=None))
-    return fm.FlinkSavepoint(checkpoint_id=7, operators=[op])
+class Dos:
+    """java.io.DataOutputStream emulation (the serializer's output side)."""
+
+    def __init__(self):
+        self.b = bytearray()
+
+    def write_int(self, v):
+        self.b += struct.pack(">i", v)
+        return self
+
+    def write_long(self, v):
+        self.b += struct.pack(">q", v)
+        return self
+
+    def write_byte(self, v):
+        self.b.append(v & 0xFF)
+        return self
+
+    def write_utf(self, s):
+        e = s.encode("utf-8")
+        self.b += struct.pack(">H", len(e)) + e
+        return self
+
+    def write(self, raw):
+        self.b += raw
+        return self
+
+
+def _golden_savepoint_bytes() -> bytes:
+    """Checkpoints.storeCheckpointMetadata + SavepointV2Serializer.serialize
+    for: checkpoint 42, one master state (skippable), one operator
+    (uid 'my-op', parallelism 2, maxp 128) with two subtasks:
+    subtask 0 → managed keyed KeyGroupsStateHandle (groups 0-63, offsets
+    i*100, file handle), plus a managed operator-state handle
+    (one UNION state 'offsets' with 2 offsets, byte-stream delegate);
+    subtask 1 → raw keyed ByteStream-backed handle only."""
+    d = Dos()
+    d.write_int(0x4960672D)  # header magic
+    d.write_int(2)  # savepoint version
+    d.write_long(42)  # checkpoint id
+
+    # one master state: magic + framed payload (content arbitrary)
+    payload = Dos().write_int(1).write_utf("ms").write_int(3).write(b"abc").b
+    d.write_int(1)
+    d.write_int(0xC96B1696 - (1 << 32))  # writeInt of the (signed) magic
+    d.write_int(len(payload))
+    d.write(bytes(payload))
+
+    d.write_int(1)  # one operator
+    oid = operator_id("my-op")
+    d.write(oid[:8])  # writeLong(lowerPart)
+    d.write(oid[8:16])  # writeLong(upperPart)
+    d.write_int(2)  # parallelism
+    d.write_int(128)  # max parallelism
+    d.write_int(2)  # collected subtask states
+
+    # --- subtask 0 ---
+    d.write_int(0)  # subtask index
+    d.write_long(-1)  # removed duration field
+    d.write_int(0)  # legacy state count
+    # managed operator state present
+    d.write_int(1)
+    d.write_byte(4)  # PARTITIONABLE_OPERATOR_STATE_HANDLE
+    d.write_int(1)  # one state
+    d.write_utf("offsets")
+    d.write_byte(1)  # Mode.UNION ordinal
+    d.write_int(2)
+    d.write_long(0)
+    d.write_long(17)
+    d.write_byte(1)  # BYTE_STREAM_STATE_HANDLE delegate
+    d.write_utf("bytehandle")
+    d.write_int(4)
+    d.write(b"DATA")
+    # raw operator state absent
+    d.write_int(0)
+    # managed keyed: KEY_GROUPS_HANDLE
+    d.write_byte(3)
+    d.write_int(0)  # start key group
+    d.write_int(64)  # num key groups
+    for i in range(64):
+        d.write_long(i * 100)
+    d.write_byte(2)  # FILE_STREAM_STATE_HANDLE
+    d.write_long(12345)
+    d.write_utf("file:/cp/op-0-abc")
+    # raw keyed: null
+    d.write_byte(0)
+
+    # --- subtask 1 ---
+    d.write_int(1)
+    d.write_long(-1)
+    d.write_int(0)
+    d.write_int(0)  # no managed op state
+    d.write_int(0)  # no raw op state
+    d.write_byte(0)  # managed keyed null
+    d.write_byte(3)  # raw keyed KEY_GROUPS_HANDLE
+    d.write_int(64)
+    d.write_int(64)
+    for i in range(64):
+        d.write_long(7000 + i)
+    d.write_byte(1)  # byte-stream handle
+    d.write_utf("raw")
+    d.write_int(2)
+    d.write(b"\x01\x02")
+
+    return bytes(d.b)
+
+
+def test_parses_foreign_golden_bytes():
+    sp = fm.deserialize(_golden_savepoint_bytes())
+    assert sp.checkpoint_id == 42
+    assert len(sp.operators) == 1
+    op = sp.operators[0]
+    assert op.operator_id == operator_id("my-op")
+    assert (op.parallelism, op.max_parallelism) == (2, 128)
+
+    st0, st1 = op.subtasks
+    assert st0.subtask_index == 0
+    assert st0.managed_op is not None
+    assert st0.managed_op.states == [("offsets", fm.MODE_UNION, [0, 17])]
+    assert st0.managed_op.stream.kind == fm.BYTE_STREAM_STATE_HANDLE
+    assert st0.managed_op.stream.data == b"DATA"
+    mk = st0.managed_keyed
+    assert (mk.start_key_group, mk.num_key_groups) == (0, 64)
+    assert mk.offsets[13] == 1300
+    assert mk.stream.kind == fm.FILE_STREAM_STATE_HANDLE
+    assert (mk.stream.size, mk.stream.path) == (12345, "file:/cp/op-0-abc")
+    assert st0.raw_keyed is None
+
+    assert st1.managed_keyed is None and st1.managed_op is None
+    rk = st1.raw_keyed
+    assert (rk.start_key_group, rk.num_key_groups) == (64, 64)
+    assert rk.offsets[0] == 7000
+    assert rk.stream.data == b"\x01\x02"
+
+
+def test_golden_bytes_reserialize_identically():
+    """serialize(deserialize(x)) == x modulo the master state we skip — so
+    rebuild the golden WITHOUT the master state and require exact bytes."""
+    full = _golden_savepoint_bytes()
+    sp = fm.deserialize(full)
+    # excise the master-state frame: [count=1][magic][len][payload]
+    # header = magic+version+cpid = 16 bytes; then i32 count at 16
+    (mlen,) = struct.unpack(">i", full[24:28])
+    no_master = full[:16] + struct.pack(">i", 0) + full[28 + mlen :]
+    assert fm.serialize(sp) == no_master
+
+
+def test_incremental_handle_golden():
+    """IncrementalKeyedStateHandle branch of serializeKeyedStateHandle —
+    checkpoint id, backend id UTF, range, meta handle, shared+private maps."""
+    d = Dos()
+    d.write_int(0x4960672D).write_int(2).write_long(7)
+    d.write_int(0)  # masters
+    d.write_int(1)  # one operator
+    oid = operator_id("inc-op")
+    d.write(oid)
+    d.write_int(1).write_int(128).write_int(1)
+    d.write_int(0)  # subtask 0
+    d.write_long(-1).write_int(0).write_int(0).write_int(0)
+    d.write_byte(5)  # INCREMENTAL_KEY_GROUPS_HANDLE
+    d.write_long(99)  # checkpoint id
+    d.write_utf("backend-uuid-1")
+    d.write_int(0).write_int(128)
+    d.write_byte(1).write_utf("meta").write_int(1).write(b"M")  # meta handle
+    # shared: two sst files
+    d.write_int(2)
+    d.write_utf("000007.sst")
+    d.write_byte(2).write_long(111).write_utf("file:/shared/000007.sst")
+    d.write_utf("000009.sst")
+    d.write_byte(2).write_long(222).write_utf("file:/shared/000009.sst")
+    # private: MANIFEST
+    d.write_int(1)
+    d.write_utf("MANIFEST-000004")
+    d.write_byte(2).write_long(333).write_utf("file:/private/MANIFEST-000004")
+    d.write_byte(0)  # raw keyed null
+
+    sp = fm.deserialize(bytes(d.b))
+    h = sp.operators[0].subtasks[0].managed_keyed
+    assert isinstance(h, fm.IncrementalKeyedHandle)
+    assert (h.checkpoint_id, h.backend_id) == (99, "backend-uuid-1")
+    assert (h.start_key_group, h.num_key_groups) == (0, 128)
+    assert h.meta.data == b"M"
+    assert [(n, s.path) for n, s in h.shared] == [
+        ("000007.sst", "file:/shared/000007.sst"),
+        ("000009.sst", "file:/shared/000009.sst"),
+    ]
+    assert h.private[0][0] == "MANIFEST-000004"
+    # and the writer reproduces the exact foreign bytes
+    assert fm.serialize(sp) == bytes(d.b)
 
 
 def test_roundtrip():
-    sp = _sample()
-    buf = fm.serialize(sp)
-    back = fm.deserialize(buf)
+    h = fm.KeyGroupsHandle(
+        0, 64, [0] * 10 + list(range(100, 640, 10)),
+        fm.StreamStateHandle(fm.FILE_STREAM_STATE_HANDLE, 12345, path="file:/cp/op-0-abc"),
+    )
+    op = fm.OperatorStateMeta(operator_id("my-op"), 2, 128)
+    op.subtasks.append(fm.SubtaskState(0, managed_keyed=h))
+    op.subtasks.append(fm.SubtaskState(1))
+    sp = fm.FlinkSavepoint(7, [op])
+    back = fm.deserialize(fm.serialize(sp))
     assert back.checkpoint_id == 7
-    assert back.operators[0].operator_id == operator_id("my-op")
-    assert back.operators[0].parallelism == 2
-    st0 = back.operators[0].subtasks[0]
-    assert st0.managed_keyed.num_key_groups == 64
-    assert st0.managed_keyed.offsets[15] == 150
-    assert st0.managed_keyed.stream.path == "file:/cp/op-0-abc"
+    assert back.operators[0].subtasks[0].managed_keyed.offsets[15] == 150
     assert back.operators[0].subtasks[1].managed_keyed is None
 
 
 def test_header_layout_golden():
     buf = fm.serialize(fm.FlinkSavepoint(checkpoint_id=1))
-    # magic 0x4960672D, version 2, checkpoint id 1, 0 master, 0 operators
-    assert buf == bytes.fromhex("4960672d" "00000002" "0000000000000001"
-                                "00000000" "00000000")
+    assert buf == bytes.fromhex(
+        "4960672d" "00000002" "0000000000000001" "00000000" "00000000"
+    )
 
 
 def test_bad_magic_rejected():
@@ -50,16 +235,17 @@ def test_bad_magic_rejected():
 
 
 def test_trailing_bytes_rejected():
-    buf = fm.serialize(_sample()) + b"\x99"
+    buf = _golden_savepoint_bytes() + b"\x99"
     with pytest.raises(fm.FlinkMetadataError, match="trailing"):
         fm.deserialize(buf)
 
 
-def test_unsupported_incremental_handle_rejected():
-    sp = _sample()
-    buf = bytearray(fm.serialize(sp))
-    # corrupt the KEY_GROUPS_HANDLE tag into INCREMENTAL (5)
-    idx = buf.index(bytes([fm.KEY_GROUPS_HANDLE]))
-    buf[idx] = fm.INCREMENTAL_KEY_GROUPS_HANDLE
-    with pytest.raises(fm.FlinkMetadataError, match="unsupported keyed handle"):
-        fm.deserialize(bytes(buf))
+def test_unknown_keyed_tag_rejected():
+    d = Dos()
+    d.write_int(0x4960672D).write_int(2).write_long(1).write_int(0)
+    d.write_int(1)
+    d.write(operator_id("x")).write_int(1).write_int(128).write_int(1)
+    d.write_int(0).write_long(-1).write_int(0).write_int(0).write_int(0)
+    d.write_byte(9)  # bogus keyed tag
+    with pytest.raises(fm.FlinkMetadataError, match="keyed handle tag 9"):
+        fm.deserialize(bytes(d.b))

@@ -10,6 +10,7 @@ operands."""
 from __future__ import annotations
 
 import struct
+from os import path as os_path
 
 import pytest
 
@@ -261,6 +262,41 @@ def test_checkpoint_merge_on_top_of_base_value(spark, tmp_path):
         for r in sr.read_list_as_list(rows, "l", fc.INT, fc.INT).collect()
     ]
     assert got == [(5, [1, 2, 3])]
+
+
+def test_checkpoint_via_flink_metadata(spark, tmp_path):
+    # full interop chain: a SavepointV2 _metadata with an incremental handle
+    # whose shared-state map names the SSTs → file discovery → LSM read
+    from bravo_spark.codecs.hashes import operator_id
+    from bravo_spark.sources import flink_metadata as fm
+
+    d = str(tmp_path / "ck")
+    files = ck.write_sst_fixture(
+        d, {"s": [(_kns(3), 8, sst.TYPE_VALUE, fc.encode_value_state(33, fc.INT))]}
+    )
+    h = fm.IncrementalKeyedHandle(
+        checkpoint_id=5, backend_id="b-1", start_key_group=0, num_key_groups=128,
+        meta=fm.StreamStateHandle(fm.BYTE_STREAM_STATE_HANDLE, 1, path="m", data=b"x"),
+        shared=[
+            (os_path.basename(p), fm.StreamStateHandle(
+                fm.FILE_STREAM_STATE_HANDLE, os_path.getsize(p), path=f"file:{p}"))
+            for p in files
+        ],
+        private=[],
+    )
+    op = fm.OperatorStateMeta(operator_id("op"), 1, 128)
+    op.subtasks.append(fm.SubtaskState(0, managed_keyed=h))
+    meta_path = str(tmp_path / "_metadata")
+    with open(meta_path, "wb") as f:
+        f.write(fm.serialize(fm.FlinkSavepoint(5, [op])))
+
+    ssts = ck.sst_files_from_flink_metadata(meta_path)
+    assert ssts == files
+    rows = ck.read_incremental_checkpoint(spark, "", files=ssts)
+    from bravo_spark.sources import staterows as sr
+
+    got = [tuple(r) for r in sr.read_value_kv(rows, "s", fc.INT, fc.INT).collect()]
+    assert got == [(3, 33)]
 
 
 def test_checkpoint_single_delete_tombstone(spark, tmp_path):
