@@ -48,10 +48,11 @@ def dedup_exact(spark, sf_dir):
 
 _JACCARD_T = 0.5
 # posting-list skew cap: shingles in more documents than this are excluded
-# from candidate generation (the exact verify keeps Jaccard values exact).
-# Fixture shingle df maxes at 7 (sf0.01) / 25 (sf0.1), so 100 changes
-# nothing at test scale while bounding the self-join's hot partitions at
-# corpus scale — one ubiquitous 3-gram can no longer create a doc² bucket.
+# from the similarity computation (Jaccard over the rare-shingle profile —
+# the n-gram analog of stopword removal). Fixture shingle df maxes at 7
+# (sf0.01) / 25 (sf0.1), so 100 changes nothing at test scale while
+# bounding every posting list at corpus scale — one ubiquitous 3-gram can
+# no longer create a doc² bucket in the self-join.
 _MAX_SHINGLE_DF = 100
 
 
@@ -59,25 +60,20 @@ _NGRAM_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
   FROM documents WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= 3
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id,
     unnest(list_transform(range(1, len(ws)-1),
       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
   FROM toks
+), rare AS (
+  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= {_MAX_SHINGLE_DF}
+), sh AS (
+  SELECT s.doc_id, s.sh FROM sh0 s JOIN rare r USING (sh)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), rare AS (
-  SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_MAX_SHINGLE_DF}
-), shc AS (
-  SELECT s.doc_id, s.sh FROM sh s JOIN rare r USING (sh)
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
 ), inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS i
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

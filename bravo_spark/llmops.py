@@ -62,50 +62,34 @@ def ngram_jaccard_pairs(
     self-join twice plus the size table.
 
     ``max_shingle_df`` caps posting-list skew: shingles appearing in more
-    than this many documents are dropped from CANDIDATE GENERATION only (a
-    ubiquitous stop-shingle otherwise creates a quadratic hot partition at
-    scale). Candidate pairs are then verified with an EXACT intersection
-    count over the uncapped shingle sets, so reported Jaccard values are
-    exact; a pair is missed only if ALL its shared shingles exceed the cap
-    — near-dups share many rare shingles, so a corpus-scaled cap loses
-    nothing in practice."""
-    sh = shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-
-    if max_shingle_df is None:
-        a, b = sh.alias("a"), sh.alias("b")
-        inter = (
-            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-            .agg(F.count("*").alias("i"))
-        )
-    else:
+    than this many documents are excluded from the similarity computation
+    entirely (candidate generation AND intersection/size counts) — Jaccard
+    over each document's RARE-shingle profile, the n-gram analog of
+    stopword removal. A ubiquitous stop-shingle otherwise creates a
+    quadratic hot partition at scale; excluding it bounds every posting
+    list at ``max_shingle_df`` while near-dups keep their (overwhelmingly
+    rare) shared shingles. Cost: one extra groupBy on shingle — the
+    self-join then reuses that partitioning."""
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
         rare = (
             sh.groupBy("sh")
             .agg(F.count("*").alias("dfc"))
             .filter(F.col("dfc") <= max_shingle_df)
             .select("sh")
         )
-        shc = sh.join(rare, "sh")
-        a, b = shc.alias("a"), shc.alias("b")
-        cand = (
-            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-            .distinct()
-        )
-        # exact verify: intersection over the FULL shingle sets, joined only
-        # for the (few) candidate pairs
-        fa = sh.select(F.col("id").alias("doc_a"), "sh")
-        fb = sh.select(F.col("id").alias("doc_b"), "sh")
-        inter = (
-            cand.join(fa, "doc_a")
-            .join(fb, ["doc_b", "sh"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("i"))
-        )
+        sh = sh.join(rare, "sh")
+    sh = sh.cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
     return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
