@@ -849,3 +849,168 @@ def window_analytics(spark, sf_dir):
         (sec - F.lag(sec).over(w)).alias("secs_since_prev"),
         F.rank().over(wrank).alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join-type breadth: outer joins, range join, correlated scalar subquery
+# (§2.4 extensions — the reference only needs the inner enrichment join, but
+# a migrating user's query mix includes all of these)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "left_outer_join",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, c_name FROM orders o LEFT JOIN"
+        " (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c"
+        " ON o.o_custkey = c.c_custkey"
+    ),
+)
+def left_outer_join(spark, sf_dir):
+    """Left join against a filtered build side: nulls preserved for the
+    non-matching majority (the filter keeps the broadcast side small)."""
+    c = (
+        catalog.table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    o = catalog.table(spark, sf_dir, "orders")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+@query(
+    "full_outer_join",
+    oracle=(
+        "SELECT coalesce(e.user_id, s.user_id) AS user_id, e.n_errors, s.n_signups"
+        " FROM (SELECT user_id, count(*) AS n_errors FROM events"
+        "       WHERE event_type = 'error' GROUP BY user_id) e"
+        " FULL OUTER JOIN"
+        "      (SELECT user_id, count(*) AS n_signups FROM events"
+        "       WHERE event_type = 'signup' GROUP BY user_id) s"
+        " ON e.user_id = s.user_id"
+    ),
+)
+def full_outer_join(spark, sf_dir):
+    """Full outer join of two sparse per-user aggregates — nulls on both
+    sides exercise the outer semantics the hash must reproduce."""
+    ev = catalog.table(spark, sf_dir, "events")
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_errors"))
+    )
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_signups"))
+    )
+    e, s = errs.alias("e"), sign.alias("s")
+    return e.join(s, F.col("e.user_id") == F.col("s.user_id"), "full").select(
+        F.coalesce(F.col("e.user_id"), F.col("s.user_id")).alias("user_id"),
+        "n_errors",
+        "n_signups",
+    )
+
+
+@query(
+    "range_join_clicks_before_purchase",
+    oracle=(
+        "SELECT p.event_id AS purchase_id, count(*) AS clicks_1h_before"
+        " FROM events p JOIN events c"
+        " ON c.user_id = p.user_id AND c.event_type = 'click'"
+        " AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts"
+        " WHERE p.event_type = 'purchase'"
+        " GROUP BY p.event_id"
+    ),
+)
+def range_join_clicks_before_purchase(spark, sf_dir):
+    """Banded range join with an equi component: the join key is user_id
+    (hash-shuffleable), the time band is a post-join filter — at 100 TB this
+    stays a hash join, never a cross product (pinned in test_plans)."""
+    ev = catalog.table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts")),
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("clicks_1h_before"))
+    )
+
+
+@query(
+    "scalar_subquery_counts",
+    oracle=(
+        "SELECT c_custkey, c_name,"
+        " (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        " AS n_orders FROM customer c"
+    ),
+)
+def scalar_subquery_counts(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst rewrites it to an aggregate +
+    left outer join; the oracle runs the textual form."""
+    return spark.sql(
+        "SELECT c_custkey, c_name,"
+        " (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        " AS n_orders FROM customer c"
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation breadth: pivot and grouping sets
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "pivot_event_values",
+    oracle=(
+        "SELECT user_id, "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(value AS"
+            f" DECIMAL(12,2)) END) AS DOUBLE) AS {t}_value"
+            for t in _EVENT_TYPES
+        )
+        + " FROM events GROUP BY user_id"
+    ),
+)
+def pivot_event_values(spark, sf_dir):
+    """Pivot with EXPLICIT values (the scale-correct form — implicit pivot
+    needs a distinct-scan job first). Decimal accumulation keeps the float
+    result order-insensitive."""
+    ev = catalog.table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double"))
+    )
+    return piv.select(
+        "user_id", *[F.col(t).alias(f"{t}_value") for t in _EVENT_TYPES]
+    )
+
+
+_GSETS_SQL = (
+    "SELECT event_type, ub, count(*) AS n,"
+    " CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value"
+    " FROM (SELECT event_type, user_id % 10 AS ub, value FROM events) t"
+    " GROUP BY GROUPING SETS ((event_type, ub), (event_type), ())"
+)
+
+
+@query("grouping_sets_agg", oracle=_GSETS_SQL)
+def grouping_sets_agg(spark, sf_dir):
+    """GROUPING SETS — one pass, partial aggregation per set; identical
+    null-marker semantics on both engines."""
+    return spark.sql(_GSETS_SQL)

@@ -319,6 +319,110 @@ def ann_sketch_recall_eval(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-flat (llmops.ivf_topk): deterministic centroids = corpus vectors
+# [N_QUERIES, N_QUERIES + IVF_NLIST); assignment and probing by max cosine.
+# ---------------------------------------------------------------------------
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+_IVF_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+_ANN_IVF_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v
+         WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_NLIST}),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        {_IVF_COS.format(a='v.e', b='c.ce')} DESC, c.cid) AS rn
+    FROM v CROSS JOIN cent c) t
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        {_IVF_COS.format(a='v.e', b='c.ce')} DESC, c.cid) AS rn
+    FROM v CROSS JOIN cent c WHERE v.vec_id < {N_QUERIES}) t
+  WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    {_IVF_COS.format(a='q.e', b='c.e')} AS cos
+  FROM cand
+  JOIN v q ON q.vec_id = cand.query_id
+  JOIN v c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) r
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("ann_ivf_topk", oracle=_ANN_IVF_ORACLE)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN with fixed deterministic centroids and nprobe=4: the
+    cell-partitioned scale path for CLUSTERED embedding spaces (each query
+    touches ~nprobe/nlist of the corpus). Honestly evaluated next to
+    sketch_topk by the recall queries — on these structureless fixtures the
+    sketch wins; on real clustered data the inverted file prunes harder."""
+    from bravo_spark import llmops
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    cents = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_NLIST)
+    )
+    return llmops.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        cents,
+        k=TOP_K,
+        n_probe=IVF_NPROBE,
+    )
+
+
+_IVF_RECALL_ORACLE = f"""
+WITH exact_tk AS ({_ANN_ORACLE}),
+ivf_tk AS ({_ANN_IVF_ORACLE})
+SELECT e.query_id,
+  CAST(count(l.neighbor_id) AS BIGINT) AS hits,
+  CAST(count(l.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM exact_tk e LEFT JOIN ivf_tk l
+  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@query("ann_ivf_recall_eval", oracle=_IVF_RECALL_ORACLE)
+def ann_ivf_recall_eval(spark, sf_dir):
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            (F.count("hit").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )
+
+
 _RECALL_ORACLE = f"""
 WITH exact_tk AS ({_ANN_ORACLE}),
 lsh_tk AS ({_ANN_LSH_ORACLE})

@@ -142,3 +142,88 @@ def streaming_stateful_counts(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@query(
+    "streaming_static_join",
+    oracle=(
+        "SELECT c.c_mktsegment, count(*) AS cnt,"
+        " CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value"
+        " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        " GROUP BY c.c_mktsegment"
+    ),
+)
+def streaming_static_join(spark, sf_dir):
+    """Stream-static enrichment join: the streaming micro-batch side joins a
+    static dimension (re-broadcast per batch by Spark), then aggregates in
+    complete mode — the canonical streaming enrichment shape. availableNow
+    makes the result equal the batch join the oracle computes."""
+    cust = catalog.table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "value")
+    )
+    agg = (
+        stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"stream_sjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
+    "streaming_dedup_counts",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
+    ),
+)
+def streaming_dedup_counts(spark, sf_dir):
+    """Streaming deduplication: the source is doubled (self-union), then
+    ``dropDuplicates`` on the event id keeps exactly-once semantics in
+    dedup state before the aggregate — so the result equals the plain
+    grouped count over the UN-duplicated table. Production shape is
+    ``dropDuplicatesWithinWatermark`` to bound state; availableNow needs no
+    watermark."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select("event_id", "event_type")
+        )
+
+    doubled = src().unionByName(src())
+    agg = (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

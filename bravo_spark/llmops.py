@@ -396,6 +396,79 @@ def sketch_topk(
     )
 
 
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: every vector is assigned to its highest-
+    cosine centroid (broadcast, map-side after one small cross join); a
+    query scans only its ``n_probe`` nearest cells. The probe join is an
+    equi-join on cell id — at 100 TB the corpus shuffles once on cell and
+    each query touches ~n_probe/n_list of it.
+
+    Centroids are caller-provided (deterministic — e.g. a fixed corpus
+    sample or offline k-means); a Lloyd refinement is a driver loop over
+    this same assignment primitive. On clustered embeddings IVF prunes
+    hard at high recall; on structureless data prefer sketch_topk (the
+    recall/candidate trade is measured by the ann_*_recall_eval queries)."""
+    dbl = F.col(vec_col).cast("array<double>")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, qq: p * qq), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    cent = centroids.select(
+        F.col(id_col).alias("cid"), dbl.alias("ce")
+    )
+    cv = candidates.select(F.col(id_col).alias("id"), dbl.alias("e"))
+    qv = queries.select(F.col(id_col).alias("id"), dbl.alias("e"))
+    ccos = dot(F.col("e"), F.col("ce")) / (
+        F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))
+    )
+    wc = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
+
+    def assign(rel: DataFrame, top: int) -> DataFrame:
+        return (
+            rel.join(F.broadcast(cent))
+            .select("id", "e", "cid", ccos.alias("ccos"))
+            .withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") <= top)
+            .select("id", "e", "cid")
+        )
+
+    cells = assign(cv, 1)
+    probes = assign(qv, n_probe).select(
+        F.col("id").alias("query_id"), F.col("e").alias("qe"), "cid"
+    )
+    cos = dot(F.col("qe"), F.col("ce2")) / (
+        F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce2"), F.col("ce2")))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            cells.select(
+                F.col("id").alias("neighbor_id"), F.col("e").alias("ce2"), "cid"
+            ),
+            "cid",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -93,6 +93,19 @@ def test_ngram_jaccard_caps_posting_lists(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_range_join_keeps_equi_component(plans):
+    # the time band must ride on the user_id hash join as a post-filter;
+    # a cross product here is quadratic at scale
+    p = plans("range_join_clicks_before_purchase")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_left_outer_join_broadcasts_filtered_dim(plans):
+    p = plans("left_outer_join")
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p
+
+
 def test_snapshot_write_plan_is_single_shuffle(spark, tmp_path):
     from bravo_spark.codecs import flink as fc
     from bravo_spark.sources import staterows as sr
