@@ -12,3 +12,4 @@ from bravo_spark.inventory import textops  # noqa: F401
 from bravo_spark.inventory import similarity  # noqa: F401
 from bravo_spark.inventory import streaming  # noqa: F401
 from bravo_spark.inventory import sampling  # noqa: F401
+from bravo_spark.inventory import formats  # noqa: F401

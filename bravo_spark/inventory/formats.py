@@ -1,0 +1,112 @@
+"""Source/sink format breadth: JSON-lines and CSV round-trips.
+
+The reference's only source is the savepoint binary; a migrating user's
+pipelines also ingest flat files. Each query writes a projection of
+``events`` through the format under test (distributed write — no
+collect), reads it back with an EXPLICIT schema (never inferSchema: schema
+inference is a full extra pass over 100 TB), and aggregates — so the
+oracle, which aggregates the original parquet table directly, catches any
+round-trip loss in either direction.
+
+Timestamps travel as epoch-micros longs: both formats are lossy/ambiguous
+around timezone rendering, and integer transport sidesteps the whole
+class (the same rule the fixture's nanos columns follow).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bravo_spark import catalog
+from bravo_spark.inventory.registry import query
+
+_AGG_ORACLE = (
+    "SELECT event_type, count(*) AS cnt,"
+    " CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,"
+    " max(user_id) AS max_user"
+    " FROM events GROUP BY event_type"
+)
+
+_COLS = ("event_id", "user_id", "event_type", "value")
+_SCHEMA = "event_id long, user_id long, event_type string, value double"
+
+
+def _roundtrip(spark, sf_dir, fmt: str):
+    ev = catalog.table(spark, sf_dir, "events").select(*_COLS)
+    out = os.path.join(tempfile.gettempdir(), f"bravo_fmt_{fmt}_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    writer = ev.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(out)
+    reader = spark.read.schema(_SCHEMA)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    back = getattr(reader, fmt)(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+@query("json_source_roundtrip", oracle=_AGG_ORACLE)
+def json_source_roundtrip(spark, sf_dir):
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@query("csv_source_roundtrip", oracle=_AGG_ORACLE)
+def csv_source_roundtrip(spark, sf_dir):
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+_BUCKET_ORACLE = (
+    "SELECT a.user_id, a.n_clicks, b.n_purchases FROM"
+    " (SELECT user_id, count(*) AS n_clicks FROM events"
+    "  WHERE event_type = 'click' GROUP BY user_id) a"
+    " JOIN"
+    " (SELECT user_id, count(*) AS n_purchases FROM events"
+    "  WHERE event_type = 'purchase' GROUP BY user_id) b"
+    " ON a.user_id = b.user_id"
+)
+
+
+@query("bucketed_join", oracle=_BUCKET_ORACLE)
+def bucketed_join(spark, sf_dir):
+    """Co-located join via bucketing — the 100 TB answer to repeated joins
+    on the same key: both sides are written ``bucketBy(user_id)`` +
+    ``sortBy`` once, after which every join on user_id is Exchange-free
+    (bucket pruning gives each task matching buckets; pinned in
+    test_plans). The write pays one shuffle; every downstream join pays
+    none."""
+    ev = catalog.table(spark, sf_dir, "events")
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = []
+    for etype in ("click", "purchase"):
+        name = f"bravo_bucketed_{etype}_{tag}"
+        names.append(name)
+        if not spark.catalog.tableExists(name):
+            # a previous session may have left the managed location behind
+            # without a catalog entry — clear it or saveAsTable refuses
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = os.path.join(wh.removeprefix("file:"), name)
+            shutil.rmtree(loc, ignore_errors=True)
+            (
+                ev.filter(F.col("event_type") == etype)
+                .groupBy("user_id")
+                .agg(F.count("*").alias(f"n_{etype}s"))
+                .write.bucketBy(8, "user_id")
+                .sortBy("user_id")
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    a = spark.table(names[0])
+    b = spark.table(names[1])
+    return a.join(b, "user_id").select("user_id", "n_clicks", "n_purchases")

@@ -1014,3 +1014,160 @@ def grouping_sets_agg(spark, sf_dir):
     """GROUPING SETS — one pass, partial aggregation per set; identical
     null-marker semantics on both engines."""
     return spark.sql(_GSETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# more TPC-H shapes (adapted to the fixture's column subset)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q4_shaped",
+    oracle=(
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders o"
+        " WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+        " AND o_orderdate < TIMESTAMP '1996-07-01'"
+        " AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+        "   AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)"
+        " GROUP BY o_orderpriority"
+    ),
+)
+def tpch_q4_shaped(spark, sf_dir):
+    """Q4 shape: date-windowed orders with a correlated EXISTS against the
+    fact table (left-semi join on orderkey + range predicate), grouped by
+    priority. The semi join shuffles on orderkey; the date filter pushes to
+    the orders scan."""
+    o = catalog.table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = catalog.table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "tpch_q10_returns",
+    oracle=(
+        "SELECT c_custkey, c_name, revenue, n_name FROM ("
+        " SELECT c.c_custkey, c.c_name, n.n_name,"
+        "  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))"
+        "   * (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue"
+        " FROM customer c"
+        " JOIN orders o ON c.c_custkey = o.o_custkey"
+        " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+        " WHERE l.l_returnflag = 'R'"
+        " GROUP BY 1, 2, 3) t"
+        " ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+)
+def tpch_q10_returns(spark, sf_dir):
+    """Q10 shape: returned-item revenue per customer, nation-enriched,
+    top 20. Nation broadcasts; the fact join shuffles on orderkey; decimal
+    accumulation keeps the double deterministic."""
+    c = catalog.table(spark, sf_dir, "customer")
+    o = catalog.table(spark, sf_dir, "orders")
+    li = catalog.table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = catalog.table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(14,2)"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo",
+    oracle=(
+        "SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_revenue_pct FROM ("
+        " SELECT sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN"
+        "   CAST(l.l_extendedprice AS DECIMAL(14,2))"
+        "   * (1 - CAST(l.l_discount AS DECIMAL(14,2))) ELSE 0 END) AS promo,"
+        "  sum(CAST(l.l_extendedprice AS DECIMAL(14,2))"
+        "   * (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS total"
+        " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+        " WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l.l_shipdate < TIMESTAMP '1996-02-01') t"
+    ),
+)
+def tpch_q14_promo(spark, sf_dir):
+    """Q14 shape: promo revenue share in a ship month. Part broadcasts if
+    small (AQE decides); both sums accumulate in DECIMAL so the final
+    single division is the only float op."""
+    li = catalog.table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = catalog.table(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(14,2)"))
+    )
+    promo = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    )
+    agg = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(promo.alias("promo"), F.sum(rev).alias("total"))
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo") / F.col("total"))
+        .cast("double")
+        .alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "hourly_counts_gapfill",
+    oracle=(
+        "WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,"
+        " date_trunc('hour', max(ts)) AS hi FROM events),"
+        " hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h"
+        "  FROM bounds),"
+        " counts AS (SELECT date_trunc('hour', ts) AS h, count(*) AS cnt"
+        "  FROM events GROUP BY 1)"
+        " SELECT CAST(floor(epoch(hours.h)) AS BIGINT) AS hour_start,"
+        "  coalesce(counts.cnt, 0) AS cnt"
+        " FROM hours LEFT JOIN counts ON hours.h = counts.h"
+    ),
+)
+def hourly_counts_gapfill(spark, sf_dir):
+    """Time-bucket rollup with gap filling: a generated dense hour spine
+    left-joins the sparse per-hour counts (the hypertable/time_bucket_gapfill
+    shape). The spine generation is one row → sequence() → explode — no
+    driver loop, no collect."""
+    ev = catalog.table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("h")
+    )
+    counts = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        hours.join(counts, "h", "left")
+        .select(
+            F.unix_timestamp("h").alias("hour_start"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )

@@ -106,6 +106,28 @@ def test_left_outer_join_broadcasts_filtered_dim(plans):
     assert "BroadcastHashJoin" in p and "LeftOuter" in p
 
 
+def test_bucketed_join_is_exchange_free(spark, plans):
+    # both sides bucketed+sorted on the join key: the join itself must not
+    # shuffle — that's the whole point of paying the bucketed write once.
+    # At fixture scale Spark prefers broadcast (also shuffle-free); disable
+    # it to prove the bucketed sort-merge path is what backs the query at
+    # sizes where broadcast stops being an option.
+    import __spark_entry__ as e
+
+    # build first (the query wrapper's tune() resets confs), then disable
+    # broadcast before the lazy planning happens
+    df = e.queries()["bucketed_join"](spark, SF)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+        assert "Bucketed: true" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_snapshot_write_plan_is_single_shuffle(spark, tmp_path):
     from bravo_spark.codecs import flink as fc
     from bravo_spark.sources import staterows as sr
