@@ -469,6 +469,80 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Lloyd's k-means as a driver loop over DataFrame iterations — the
+    centroid-refinement companion to ivf_topk (the same pattern as
+    connected_components: one shuffle per iteration, driver only sees the
+    loop counter). Deterministic end-to-end:
+
+    - init: the ``n_clusters`` lowest-id vectors (no RNG);
+    - assignment: max cosine, ties to the lowest centroid id;
+    - update: per-dimension mean accumulated in DECIMAL(28,16) — exact and
+      order-insensitive, so results don't wobble with partitioning.
+
+    Returns (cid, centroid array<double>). Each iteration materializes only
+    n_clusters × dim rows to the driver (metadata-scale) to re-broadcast
+    centroids — the data-scale work stays distributed."""
+    dbl = F.col(vec_col).cast("array<double>")
+    vecs = df.select(F.col(id_col).alias("id"), dbl.alias("e")).cache()
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, qq: p * qq), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    init = (
+        vecs.orderBy("id")
+        .limit(n_clusters)
+        .collect()  # n_clusters rows — metadata-scale
+    )
+    centroids = [(i, list(r["e"])) for i, r in enumerate(init)]
+
+    for _ in range(n_iter):
+        cent_df = F.broadcast(
+            vecs.sparkSession.createDataFrame(
+                centroids, "cid int, ce array<double>"
+            )
+        )
+        ccos = dot(F.col("e"), F.col("ce")) / (
+            F.sqrt(dot(F.col("e"), F.col("e")))
+            * F.sqrt(dot(F.col("ce"), F.col("ce")))
+        )
+        wc = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
+        assigned = (
+            vecs.join(cent_df)
+            .select("id", "e", "cid", ccos.alias("ccos"))
+            .withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            assigned.select("cid", F.posexplode("e").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.avg(F.col("x").cast("decimal(28,16)")).cast("double").alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("cid", F.expr("transform(pm, p -> p.m)").alias("ce"))
+            .collect()  # n_clusters rows
+        )
+        new = {r["cid"]: list(r["ce"]) for r in means}
+        # empty cells keep their previous centroid
+        centroids = [(cid, new.get(cid, ce)) for cid, ce in centroids]
+
+    vecs.unpersist()
+    return df.sparkSession.createDataFrame(centroids, "cid int, ce array<double>")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

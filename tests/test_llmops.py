@@ -103,3 +103,90 @@ def test_cosine_topk_self_similarity(spark):
     top = llmops.cosine_topk(df, q, k=3).collect()
     assert top[0]["neighbor_id"] == 100 and top[0]["rank"] == 1
     assert top[0]["cos"] == pytest.approx(1.0, abs=1e-12)
+
+
+def _planted_vectors(n=120, dim=32, n_dups=12, noise=0.08, seed=11):
+    """Random corpus + planted near-identical copies (the high-cosine
+    regime embedding dedup actually targets)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    planted = []
+    for j in range(n_dups):
+        src = j % n
+        v = base[src] + noise * rng.normal(size=dim)
+        rows.append((1000 + j, [float(x) for x in v]))
+        planted.append((src, 1000 + j))
+    return rows, planted
+
+
+def test_sketch_topk_finds_planted_neighbor(spark):
+    rows, planted = _planted_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") >= 1000)
+    top = llmops.sketch_topk(
+        df, queries, dim=32, k=1, n_planes=128, n_candidates=12
+    ).collect()
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in top}
+    hits = sum(1 for src, dup in planted if rank1.get(dup) == src)
+    # near-identical vectors must survive Hamming ranking at C=10%
+    assert hits >= 11, f"{hits}/12 planted dups found; {rank1}"
+
+
+def test_embedding_near_dup_pairs_high_threshold_recall(spark):
+    rows, planted = _planted_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in llmops.embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.9, dim=32, n_planes=128
+        ).collect()
+    }
+    found = sum(1 for p in planted if p in pairs)
+    assert found >= 11, f"{found}/12; pairs={sorted(pairs)[:20]}"
+    # precision: every reported pair is genuinely >= threshold by planting
+    assert all(a < 1000 and b >= 1000 for a, b in pairs)
+
+
+def test_kmeans_centroids_deterministic_and_separates_clusters(spark):
+    import numpy as np
+
+    # two well-separated blobs -> 2-means must split them exactly
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(x) for x in rng.normal(loc=+5, scale=0.2, size=8)]))
+    for i in range(40, 80):
+        rows.append((i, [float(x) for x in rng.normal(loc=-5, scale=0.2, size=8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = llmops.kmeans_centroids(df, n_clusters=2, n_iter=4).collect()
+    c2 = llmops.kmeans_centroids(df, n_clusters=2, n_iter=4).collect()
+    # decimal-accumulated means: bit-identical across runs
+    assert sorted((r["cid"], r["ce"]) for r in c1) == sorted(
+        (r["cid"], r["ce"]) for r in c2
+    )
+    signs = sorted(1 if r["ce"][0] > 0 else -1 for r in c1)
+    assert signs == [-1, 1]  # one centroid per blob
+
+    # composes with ivf_topk: rename to the id/vec column contract
+    cents = spark.createDataFrame(
+        [(r["cid"], r["ce"]) for r in c1], "vec_id long, embedding array<double>"
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    top = llmops.ivf_topk(df, q, cents, k=3, n_probe=1).collect()
+    assert all(r["neighbor_id"] < 40 for r in top)  # stays in its blob's cell
+
+
+def test_ivf_topk_exact_duplicate_same_cell(spark):
+    rows, planted = _planted_vectors(noise=0.0)  # exact copies
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter(F.col("vec_id") < 16)
+    queries = df.filter(F.col("vec_id") >= 1000)
+    top = llmops.ivf_topk(df, queries, cents, k=1, n_probe=2).collect()
+    rank1 = {r["query_id"]: (r["neighbor_id"], r["cos"]) for r in top}
+    # an exact copy lands in the same cell as its source by construction
+    for src, dup in planted:
+        nid, cos = rank1[dup]
+        assert nid == src and cos == pytest.approx(1.0, abs=1e-12)
