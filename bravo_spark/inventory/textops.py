@@ -282,3 +282,104 @@ def text_levenshtein_pairs(spark, sf_dir):
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.levenshtein("ta", "tb").alias("dist"))
     )
+
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"  # no backslashes: dialect-safe
+_PHONE_RE = "555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH pii AS (
+  SELECT doc_id,
+    concat('contact user', doc_id, '@example.com or 555-',
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' re: ',
+           substr(text, 1, 40)) AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g') AS clean,
+  CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+FROM pii
+"""
+
+
+@query("text_redact_pii", oracle=_PII_ORACLE)
+def text_redact_pii(spark, sf_dir):
+    """PII scrubbing — the redaction pass every training-data pipeline runs
+    before tokenization. The fixtures are synthetic and PII-free, so the
+    query first APPENDS deterministic doc_id-derived PII, then scrubs it:
+    the oracle proves both the match counts and the redacted strings, so a
+    regex-dialect divergence (the patterns avoid backslash classes for
+    exactly that reason) or replacement bug breaks the hash. Map-side only —
+    zero shuffles at any scale."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "), F.substring("text", 1, 40),
+    )
+    with_pii = docs.select("doc_id", t.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>",
+    )
+    return with_pii.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+    )
+
+
+_FRAME_ORACLE = """
+WITH f AS (
+  SELECT doc_id, text,
+         1 + octet_length(encode(text)) % 120 AS n_frames
+  FROM documents
+), s AS (
+  SELECT DISTINCT doc_id, text, (i * n_frames) // 4 AS frame_idx
+  FROM f, unnest(range(4)) t(i)
+)
+SELECT doc_id, frame_idx,
+       substr(md5(text || ':' || CAST(frame_idx AS VARCHAR)), 1, 8) AS frame_sig
+FROM s
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: a 1→n ``mapInPandas`` over the opaque
+    payload that emits k uniformly-spaced frame indices per document plus a
+    per-frame digest (the stand-in for the extracted frame bytes — a real
+    deployment swaps the digest for an ffmpeg/PIL crop on the SAME batch
+    shape). The synthetic frame count derives from payload length, so the
+    oracle can reproduce every row exactly."""
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def sample_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = 1 + len(raw) % 120
+                for frame in sorted({(i * n_frames) // 4 for i in range(4)}):
+                    ids.append(doc_id)
+                    idxs.append(frame)
+                    sigs.append(
+                        hashlib.md5(
+                            raw + b":" + str(frame).encode()
+                        ).hexdigest()[:8]
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_sig": sigs}
+            )
+
+    return docs.mapInPandas(
+        sample_batches, schema="doc_id long, frame_idx long, frame_sig string"
+    )

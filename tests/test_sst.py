@@ -120,6 +120,39 @@ def test_reader_parses_snappy_compressed_blocks(tmp_path):
     assert [k for k, *_ in r.iter_entries()] == [b"k1", b"k2", b"k3"]
 
 
+def test_reader_parses_legacy_footer(tmp_path):
+    # pre-format_version-1 files: 48-byte footer, no checksum-type byte,
+    # legacy magic (rocksdb kLegacyBlockBasedTableMagicNumber)
+    out = bytearray()
+
+    def emit(content: bytes) -> sst.BlockHandle:
+        h = sst.BlockHandle(len(out), len(content))
+        out.extend(content)
+        out.append(sst.NO_COMPRESSION)
+        out.extend(
+            struct.pack("<I", crc32c.mask(crc32c.crc32c(content + b"\x00")))
+        )
+        return h
+
+    d1 = emit(_block([(_ikey(b"k", 1, 1), b"v")]))
+    props = _block(
+        [(b"rocksdb.column.family.name", b"S")], restart_interval=1
+    )
+    ph = emit(props)
+    mh = emit(_block([(b"rocksdb.properties", ph.encode())], restart_interval=1))
+    ih = emit(_block([(_ikey(b"k", 1, 1), d1.encode())], restart_interval=1))
+    handles = mh.encode() + ih.encode()
+    footer = handles + b"\x00" * (40 - len(handles))
+    footer += struct.pack("<Q", sst.LEGACY_BLOCK_BASED_MAGIC)
+    assert len(footer) == 48
+    out.extend(footer)
+    p = tmp_path / "legacy.sst"
+    p.write_bytes(bytes(out))
+    r = sst.SstReader(str(p))
+    assert r.format_version == 0 and r.column_family_name == "S"
+    assert list(r.iter_entries()) == [(b"k", 1, 1, b"v")]
+
+
 def test_reader_rejects_bad_magic(tmp_path):
     p = tmp_path / "junk.sst"
     p.write_bytes(b"\x00" * 100)
