@@ -227,3 +227,58 @@ def streaming_dedup_counts(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "streaming_session_windows",
+    oracle=(
+        "SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,"
+        " CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS end_us,"
+        " count(*) AS n_events FROM ("
+        "  SELECT user_id, ts, sum(is_new) OVER ("
+        "   PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS UNBOUNDED PRECEDING) AS sid"
+        "  FROM ("
+        "   SELECT user_id, ts, event_id,"
+        "    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "     IS NULL OR epoch(ts) - epoch(lag(ts) OVER ("
+        "     PARTITION BY user_id ORDER BY ts, event_id)) >= 1800.0"
+        "    THEN 1 ELSE 0 END AS is_new FROM events) g) s"
+        " GROUP BY user_id, sid"
+    ),
+)
+def streaming_session_windows(spark, sf_dir):
+    """Native streaming session windows: ``session_window(ts, '30 min')``
+    merges events with gaps < 30 min and closes the window 30 min after the
+    last event. The oracle mirrors that exact boundary (raw-epoch gap
+    >= 1800.0 starts a new session — NOT the floored-seconds form, which
+    would disagree on fractional-second gaps). Complete-mode availableNow
+    equals the batch islands computation."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts")
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
