@@ -171,6 +171,7 @@ def write_sst_fixture(
     *,
     compression: int = sstmod.NO_COMPRESSION,
     cf_ids: dict[str, int] | None = None,
+    **writer_opts,
 ) -> list[str]:
     """Test/bootstrap helper: one SST per column family from
     ``{state_name: [(user_key, seq, vtype, value), ...]}``. Entries are
@@ -187,7 +188,7 @@ def write_sst_fixture(
         cf_id = (cf_ids or {}).get(name, i + 1)
         with sstmod.SstWriter(
             fpath, column_family=name, column_family_id=cf_id,
-            compression=compression,
+            compression=compression, **writer_opts,
         ) as w:
             for user_key, seq, vtype, value in sorted(
                 rows, key=lambda r: (r[0], -r[1])

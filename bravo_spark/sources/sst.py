@@ -47,6 +47,16 @@ LEGACY_BLOCK_BASED_MAGIC = 0xDB4775248B80FB57
 # block trailer compression byte (rocksdb/include/rocksdb/options.h)
 NO_COMPRESSION = 0
 SNAPPY_COMPRESSION = 1
+ZLIB_COMPRESSION = 2
+BZIP2_COMPRESSION = 3
+# present in the format but no codec ships in this container — read_block
+# raises naming the algorithm so the gap is explicit, not a corrupt-file error
+_UNSUPPORTED_COMPRESSION = {4: "lz4", 5: "lz4hc", 6: "xpress", 7: "zstd"}
+
+# rocksdb/include/rocksdb/table.h BlockBasedTableOptions::IndexType
+INDEX_BINARY_SEARCH = 0
+INDEX_HASH_SEARCH = 1
+INDEX_TWO_LEVEL = 2
 
 # internal-key value types
 TYPE_DELETION = 0
@@ -58,9 +68,25 @@ PROP_BLOCK_KEY = b"rocksdb.properties"
 PROP_CF_NAME = b"rocksdb.column.family.name"
 PROP_CF_ID = b"rocksdb.column.family.id"
 PROP_MERGE_OPERATOR = b"rocksdb.merge.operator"
+PROP_INDEX_TYPE = b"rocksdb.block.based.table.index.type"
 
 _FOOTER_NEW = 53  # 1B checksum + 2 handles (≤40B) + 4B version + 8B magic
 _FOOTER_LEGACY = 48
+
+
+def _sized_decompress(raw: bytes, decompress) -> bytes:
+    """RocksDB compress_format_version 2 prepends the decompressed size as a
+    varint32 before the codec stream (util/compression.h) for codecs that
+    don't carry it natively (zlib, bzip2, lz4, zstd); format version 1 is the
+    bare stream. Try the sized layout first and fall back, so both read."""
+    try:
+        size, pos = _read_uvarint(raw, 0)
+        out = decompress(raw[pos:])
+        if len(out) == size:
+            return out
+    except Exception:
+        pass
+    return decompress(raw)
 
 
 def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
@@ -197,9 +223,18 @@ class SstReader:
             return raw
         if compression == SNAPPY_COMPRESSION:
             return psnappy.decompress(raw)
+        if compression == ZLIB_COMPRESSION:
+            import zlib
+
+            return _sized_decompress(raw, zlib.decompress)
+        if compression == BZIP2_COMPRESSION:
+            import bz2
+
+            return _sized_decompress(raw, bz2.decompress)
+        name = _UNSUPPORTED_COMPRESSION.get(compression, str(compression))
         raise ValueError(
-            f"{self.path}: unsupported block compression {compression} "
-            "(only none/snappy)"
+            f"{self.path}: block compressed with {name}, no {name} codec in "
+            "this environment (supported: none/snappy/zlib/bzip2)"
         )
 
     def _read_properties(self) -> dict[bytes, bytes]:
@@ -224,18 +259,45 @@ class SstReader:
         v, _ = _read_uvarint(raw, 0)
         return v
 
+    @property
+    def index_type(self) -> int:
+        raw = self.properties.get(PROP_INDEX_TYPE)
+        if raw is None:
+            return INDEX_BINARY_SEARCH
+        v, _ = _read_uvarint(raw, 0)
+        return v
+
+    def _decode_handle(self, hval: bytes, what: str) -> BlockHandle:
+        handle, pos = BlockHandle.decode(hval)
+        if pos != len(hval):
+            raise ValueError(
+                f"{self.path}: {what} value has trailing bytes "
+                "(delta-encoded index values not supported)"
+            )
+        return handle
+
+    def iter_data_handles(self) -> Iterator[BlockHandle]:
+        """Data-block handles in file order. A two-level (partitioned) index
+        — RocksDB's default for large files, where a monolithic index block
+        would not fit in block cache — adds one indirection: top-level
+        entries point at index-partition blocks, whose entries point at data
+        blocks. Hash-search indexes (type 1) keep the binary-search entry
+        layout plus a prefix meta block we don't need for a full scan."""
+        index = self.read_block(self.index_handle)
+        if self.index_type == INDEX_TWO_LEVEL:
+            for _sep, hval in iter_block_entries(index):
+                part = self._decode_handle(hval, "top-level index")
+                for _s2, hv2 in iter_block_entries(self.read_block(part)):
+                    yield self._decode_handle(hv2, "index-partition")
+        else:
+            for _sep, hval in iter_block_entries(index):
+                yield self._decode_handle(hval, "index")
+
     def iter_entries(self) -> Iterator[tuple[bytes, int, int, bytes]]:
         """All (user_key, seq, vtype, value) in the table, file order. The
         index block's KEYS are separators we don't need; only its VALUES
         (data-block handles) are used — every data block is walked."""
-        index = self.read_block(self.index_handle)
-        for _sep, hval in iter_block_entries(index):
-            handle, pos = BlockHandle.decode(hval)
-            if pos != len(hval):
-                raise ValueError(
-                    f"{self.path}: index value has trailing bytes "
-                    "(delta-encoded index values not supported)"
-                )
+        for handle in self.iter_data_handles():
             for ikey, value in iter_block_entries(self.read_block(handle)):
                 user_key, seq, vtype = parse_internal_key(ikey)
                 yield user_key, seq, vtype, value
@@ -297,13 +359,19 @@ class SstWriter:
         block_size: int = 4096,
         compression: int = NO_COMPRESSION,
         merge_operator: str | None = "StringAppendOperator",
+        index_type: int = INDEX_BINARY_SEARCH,
+        index_partition_entries: int = 64,
     ):
+        if index_type not in (INDEX_BINARY_SEARCH, INDEX_TWO_LEVEL):
+            raise ValueError("index_type must be INDEX_BINARY_SEARCH or INDEX_TWO_LEVEL")
         self.path = path
         self.cf_name = column_family
         self.cf_id = column_family_id
         self.block_size = block_size
         self.compression = compression
         self.merge_operator = merge_operator
+        self.index_type = index_type
+        self.index_partition_entries = index_partition_entries
         self._f = open(path, "wb")
         self._offset = 0
         self._data = _BlockBuilder()
@@ -330,10 +398,22 @@ class SstWriter:
     def _write_block(self, content: bytes, compression: int) -> BlockHandle:
         if compression == SNAPPY_COMPRESSION:
             comp = psnappy.compress(content)
-            if len(comp) < len(content):
-                content, ctype = comp, SNAPPY_COMPRESSION
-            else:
-                ctype = NO_COMPRESSION
+        elif compression == ZLIB_COMPRESSION:
+            import zlib
+
+            # compress_format_version 2: varint32 decompressed size + stream
+            comp = _write_uvarint(len(content)) + zlib.compress(content)
+        elif compression == BZIP2_COMPRESSION:
+            import bz2
+
+            comp = _write_uvarint(len(content)) + bz2.compress(content)
+        elif compression == NO_COMPRESSION:
+            comp = None
+        else:
+            name = _UNSUPPORTED_COMPRESSION.get(compression, str(compression))
+            raise ValueError(f"no {name} codec in this environment")
+        if comp is not None and len(comp) < len(content):
+            content, ctype = comp, compression
         else:
             ctype = NO_COMPRESSION
         handle = BlockHandle(self._offset, len(content))
@@ -356,6 +436,7 @@ class SstWriter:
         props: dict[bytes, bytes] = {
             PROP_CF_NAME: self.cf_name.encode(),
             PROP_CF_ID: _write_uvarint(self.cf_id),
+            PROP_INDEX_TYPE: _write_uvarint(self.index_type),
             b"rocksdb.num.entries": _write_uvarint(self._num_entries),
         }
         if self.merge_operator:
@@ -364,6 +445,25 @@ class SstWriter:
         for k in sorted(props):
             b.add(k, props[k])
         return b.finish()
+
+    def _write_index(self) -> BlockHandle:
+        if self.index_type == INDEX_TWO_LEVEL:
+            # partition the separator→handle entries; top level maps each
+            # partition's last separator to the partition block's handle
+            top = _BlockBuilder(restart_interval=1)
+            n = max(1, self.index_partition_entries)
+            for i in range(0, len(self._index_entries), n):
+                chunk = self._index_entries[i : i + n]
+                part = _BlockBuilder(restart_interval=1)
+                for sep, handle in chunk:
+                    part.add(sep, handle.encode())
+                part_handle = self._write_block(part.finish(), NO_COMPRESSION)
+                top.add(chunk[-1][0], part_handle.encode())
+            return self._write_block(top.finish(), NO_COMPRESSION)
+        index = _BlockBuilder(restart_interval=1)
+        for sep, handle in self._index_entries:
+            index.add(sep, handle.encode())
+        return self._write_block(index.finish(), NO_COMPRESSION)
 
     def finish(self) -> None:
         if self._closed:
@@ -374,10 +474,7 @@ class SstWriter:
         meta = _BlockBuilder(restart_interval=1)
         meta.add(PROP_BLOCK_KEY, props_handle.encode())
         metaindex_handle = self._write_block(meta.finish(), NO_COMPRESSION)
-        index = _BlockBuilder(restart_interval=1)
-        for sep, handle in self._index_entries:
-            index.add(sep, handle.encode())
-        index_handle = self._write_block(index.finish(), NO_COMPRESSION)
+        index_handle = self._write_index()
         # footer: [checksum type][handles padded to 40][version][magic]
         handles = metaindex_handle.encode() + index_handle.encode()
         footer = bytes([1]) + handles + b"\x00" * (40 - len(handles))

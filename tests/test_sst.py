@@ -195,6 +195,151 @@ def test_writer_compression_roundtrip(tmp_path):
     assert list(r.iter_entries()) == rows
 
 
+@pytest.mark.parametrize(
+    "ctype", [sst.ZLIB_COMPRESSION, sst.BZIP2_COMPRESSION]
+)
+def test_writer_zlib_bzip2_roundtrip(tmp_path, ctype):
+    p = str(tmp_path / f"c{ctype}.sst")
+    rows = [(f"k{i:04d}".encode(), i + 1, 1, b"payload" * 20) for i in range(200)]
+    with sst.SstWriter(p, column_family="S", compression=ctype, block_size=1024) as w:
+        for k, s, t, v in rows:
+            w.add(k, s, t, v)
+    r = sst.SstReader(p, verify_checksums=True)
+    assert list(r.iter_entries()) == rows
+    # at least one block actually stored compressed
+    assert any(
+        r._buf[h.offset + h.size] == ctype for h in r.iter_data_handles()
+    )
+
+
+def test_reader_zlib_format_v1_bare_stream(tmp_path):
+    # compress_format_version 1 writes the bare zlib stream with no
+    # decompressed-size varint prefix; the reader must accept both layouts
+    import zlib
+
+    out = bytearray()
+
+    def emit(content: bytes, ctype: int) -> sst.BlockHandle:
+        h = sst.BlockHandle(len(out), len(content))
+        out.extend(content)
+        out.append(ctype)
+        out.extend(
+            struct.pack("<I", crc32c.mask(crc32c.crc32c(content + bytes([ctype]))))
+        )
+        return h
+
+    d1 = _block([(_ikey(b"zk", 3, 1), b"zv" * 50)])
+    h1 = emit(zlib.compress(d1), sst.ZLIB_COMPRESSION)
+    props = _block([(b"rocksdb.column.family.name", b"Z")], restart_interval=1)
+    ph = emit(props, sst.NO_COMPRESSION)
+    mh = emit(_block([(b"rocksdb.properties", ph.encode())], restart_interval=1), 0)
+    ih = emit(_block([(_ikey(b"zk", 3, 1), h1.encode())], restart_interval=1), 0)
+    handles = mh.encode() + ih.encode()
+    footer = bytes([1]) + handles + b"\x00" * (40 - len(handles))
+    footer += struct.pack("<I", 2) + struct.pack("<Q", sst.BLOCK_BASED_MAGIC)
+    p = tmp_path / "v1zlib.sst"
+    p.write_bytes(bytes(out) + footer)
+    r = sst.SstReader(str(p), verify_checksums=True)
+    assert list(r.iter_entries()) == [(b"zk", 3, 1, b"zv" * 50)]
+
+
+def test_reader_names_unsupported_compression(tmp_path):
+    out = bytearray()
+
+    def emit(content: bytes, ctype: int) -> sst.BlockHandle:
+        h = sst.BlockHandle(len(out), len(content))
+        out.extend(content)
+        out.append(ctype)
+        out.extend(
+            struct.pack("<I", crc32c.mask(crc32c.crc32c(content + bytes([ctype]))))
+        )
+        return h
+
+    d1 = emit(b"\x28\xb5\x2f\xfd fake zstd frame", 7)  # kZSTD
+    props = _block([(b"rocksdb.column.family.name", b"Z")], restart_interval=1)
+    ph = emit(props, sst.NO_COMPRESSION)
+    mh = emit(_block([(b"rocksdb.properties", ph.encode())], restart_interval=1), 0)
+    ih = emit(_block([(_ikey(b"k", 1, 1), d1.encode())], restart_interval=1), 0)
+    handles = mh.encode() + ih.encode()
+    footer = bytes([1]) + handles + b"\x00" * (40 - len(handles))
+    footer += struct.pack("<I", 2) + struct.pack("<Q", sst.BLOCK_BASED_MAGIC)
+    p = tmp_path / "zstd.sst"
+    p.write_bytes(bytes(out) + footer)
+    with pytest.raises(ValueError, match="zstd"):
+        list(sst.SstReader(str(p)).iter_entries())
+
+
+def test_writer_two_level_index_roundtrip(tmp_path):
+    p = str(tmp_path / "2l.sst")
+    rows = [(f"key{i:05d}".encode(), 1000 + i, 1, f"v{i}".encode()) for i in range(600)]
+    with sst.SstWriter(
+        p,
+        column_family="S",
+        block_size=256,
+        index_type=sst.INDEX_TWO_LEVEL,
+        index_partition_entries=8,
+    ) as w:
+        for k, s, t, v in rows:
+            w.add(k, s, t, v)
+    r = sst.SstReader(p, verify_checksums=True)
+    assert r.index_type == sst.INDEX_TWO_LEVEL
+    # top-level index holds partition handles, strictly fewer than data blocks
+    n_top = len(list(sst.iter_block_entries(r.read_block(r.index_handle))))
+    n_data = len(list(r.iter_data_handles()))
+    assert 1 < n_top < n_data
+    assert list(r.iter_entries()) == rows
+
+
+def test_reader_hand_built_two_level_index(tmp_path):
+    # golden partitioned index: pins the reader to the FORMAT (index block →
+    # partition blocks → data blocks), not to our writer's emission order
+    out = bytearray()
+
+    def emit(content: bytes) -> sst.BlockHandle:
+        h = sst.BlockHandle(len(out), len(content))
+        out.extend(content)
+        out.append(sst.NO_COMPRESSION)
+        out.extend(struct.pack("<I", crc32c.mask(crc32c.crc32c(content + b"\x00"))))
+        return h
+
+    d1 = emit(_block([(_ikey(b"a", 1, 1), b"va")]))
+    d2 = emit(_block([(_ikey(b"b", 2, 1), b"vb")]))
+    d3 = emit(_block([(_ikey(b"c", 3, 1), b"vc")]))
+    part1 = emit(
+        _block(
+            [(_ikey(b"a", 1, 1), d1.encode()), (_ikey(b"b", 2, 1), d2.encode())],
+            restart_interval=1,
+        )
+    )
+    part2 = emit(_block([(_ikey(b"c", 3, 1), d3.encode())], restart_interval=1))
+    props = _block(
+        [
+            (b"rocksdb.block.based.table.index.type", _uvar(2)),
+            (b"rocksdb.column.family.name", b"P"),
+        ],
+        restart_interval=1,
+    )
+    ph = emit(props)
+    mh = emit(_block([(b"rocksdb.properties", ph.encode())], restart_interval=1))
+    top = _block(
+        [(_ikey(b"b", 2, 1), part1.encode()), (_ikey(b"c", 3, 1), part2.encode())],
+        restart_interval=1,
+    )
+    ih = emit(top)
+    handles = mh.encode() + ih.encode()
+    footer = bytes([1]) + handles + b"\x00" * (40 - len(handles))
+    footer += struct.pack("<I", 2) + struct.pack("<Q", sst.BLOCK_BASED_MAGIC)
+    p = tmp_path / "2lg.sst"
+    p.write_bytes(bytes(out) + footer)
+    r = sst.SstReader(str(p), verify_checksums=True)
+    assert r.index_type == sst.INDEX_TWO_LEVEL
+    assert list(r.iter_entries()) == [
+        (b"a", 1, 1, b"va"),
+        (b"b", 2, 1, b"vb"),
+        (b"c", 3, 1, b"vc"),
+    ]
+
+
 def test_writer_rejects_unsorted(tmp_path):
     w = sst.SstWriter(str(tmp_path / "x.sst"))
     w.add(b"b", 2, 1, b"")
