@@ -217,6 +217,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # the final labels cache is already materialized by the `changed` count;
+    # the edge relations are no longer needed (lineage recomputes if evicted)
+    edges.unpersist()
+    p.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
