@@ -20,8 +20,16 @@ def plans(spark):
 
     qs = e.queries()
 
-    def plan_of(name: str) -> str:
-        return qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    def plan_of(name: str, mode: str = "simple") -> str:
+        jqe = qs[name](spark, SF)._jdf.queryExecution()
+        if mode == "formatted":
+            # toString() truncates long PushedFilters lists; formatted
+            # explain prints each scan's full filter set
+            jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+            return jqe.explainString(jmode)
+        return jqe.executedPlan().toString()
 
     return plan_of
 
@@ -126,6 +134,39 @@ def test_bucketed_join_is_exchange_free(spark, plans):
         assert "Bucketed: true" in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q6_pushes_all_predicates_to_scan(plans):
+    # date range, discount band, quantity cap all reach PushedFilters —
+    # at 100 TB this query is a pruned scan plus a one-row exchange
+    p = plans("tpch_q6_forecast", "formatted")
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount" in p
+    assert "LessThan(l_quantity" in p
+
+
+def test_q7_broadcasts_both_nation_roles(plans):
+    p = plans("tpch_q7_volume")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q19_extracts_per_side_implications(plans):
+    # Catalyst must derive brand ∈ {...} for the part scan from the
+    # OR-of-ANDs; losing this makes the join input the full part table
+    p = plans("tpch_q19_disjunctive", "formatted")
+    # the full OR-of-ANDs is pushed to BOTH scans (part sees the brand/size
+    # disjunction, lineitem the quantity disjunction)
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in p
+    assert p.count("Or(Or(And(") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q22_anti_join_is_broadcast(plans):
+    p = plans("tpch_q22_global_sales")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
 
 
 def test_snapshot_write_plan_is_single_shuffle(spark, tmp_path):
