@@ -364,3 +364,45 @@ def dedup_clusters(spark, sf_dir):
 
     pairs = dedup_minhash_lsh(spark, sf_dir)
     return llmops.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: word-n-gram overlap between the training corpus
+# and a held-out evaluation set (doc_id % 97 = 0 plays the benchmark here).
+# The eval shingle relation broadcasts; train shingles stream past it.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(0, len(ws) - {_DECON_N - 1}),
+    i -> concat_ws(' ', {", ".join(f"ws[i+{k+1}]" for k in range(_DECON_N))})
+  ))) AS sh
+  FROM toks WHERE len(ws) >= {_DECON_N}
+),
+ev AS (SELECT doc_id AS eval_id, sh FROM grams WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, sh FROM grams WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_shared_ngrams,
+       count(DISTINCT ev.eval_id) AS n_eval_docs
+FROM tr JOIN ev ON tr.sh = ev.sh
+GROUP BY tr.doc_id
+"""
+
+
+@query("decontaminate_overlap", oracle=_DECON_ORACLE)
+def decontaminate_overlap(spark, sf_dir):
+    """Training docs contaminated by the pseudo-benchmark (any shared word
+    4-gram), with overlap counts. llmops.decontaminate: broadcast the eval
+    shingles, one shuffle on the train side."""
+    from bravo_spark import llmops
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return llmops.decontaminate(tr, ev, "doc_id", "text", n=_DECON_N)

@@ -110,3 +110,44 @@ def bucketed_join(spark, sf_dir):
     a = spark.table(names[0])
     b = spark.table(names[1])
     return a.join(b, "user_id").select("user_id", "n_clicks", "n_purchases")
+
+
+@query("orc_source_roundtrip", oracle=_AGG_ORACLE)
+def orc_source_roundtrip(spark, sf_dir):
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+_PRUNE_ORACLE = (
+    "SELECT event_type, count(*) AS cnt, max(user_id) AS max_user"
+    " FROM events WHERE event_type IN ('click', 'purchase')"
+    " GROUP BY event_type"
+)
+
+
+@query("partitioned_prune_scan", oracle=_PRUNE_ORACLE)
+def partitioned_prune_scan(spark, sf_dir):
+    """Hive-style partitioned layout + partition pruning — the first lever
+    at 100 TB: a predicate on the partition column never touches the other
+    partitions' files (directory-level pruning, before any parquet footer
+    is read). The write uses partitionBy(event_type); the read's IN filter
+    shows up as PartitionFilters in the scan (pinned in test_plans), so the
+    scan reads 2 of 5 directories."""
+    ev = catalog.table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"bravo_part_events_{tag}_{os.getpid()}"
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.max("user_id").alias("max_user")
+    )

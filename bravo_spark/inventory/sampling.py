@@ -253,3 +253,34 @@ def per_key_trend(spark, sf_dir):
     return ev.groupBy("user_id").applyInPandas(
         slope, schema="user_id long, n long, slope_cents_per_sec double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture sampling: per-source target rates applied by deterministic
+# hash — the "data mixing" step of a training pipeline. Pure map-side row
+# assignment (no shuffle); the rate table is a literal CASE, so at 100 TB
+# this is a scan that emits the mixed corpus directly.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = [("src0", 10000), ("src1", 5000), ("src2", 2500)]  # per 10k
+_MIX_DEFAULT = 1000
+
+
+def _mix_sql(h32, strtype: str = "VARCHAR") -> str:
+    rate = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES
+    ) + f" ELSE {_MIX_DEFAULT} END"
+    h = h32(f"concat('mix:', CAST(doc_id AS {strtype}))")
+    return (
+        "SELECT doc_id, source FROM ("
+        f" SELECT doc_id, source, {h} % 10000 AS u, {rate} AS rate"
+        " FROM documents) t WHERE u < rate"
+    )
+
+
+@query("domain_mixture_sample", oracle=_mix_sql(_h32_duck))
+def domain_mixture_sample(spark, sf_dir):
+    """Weighted per-domain downsampling (100% / 50% / 25% / 10% tiers) via
+    the shared md5 hash — identical row selection on every engine, rerun,
+    and cluster layout."""
+    return spark.sql(_mix_sql(_h32_spark, "STRING"))

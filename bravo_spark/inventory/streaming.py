@@ -282,3 +282,66 @@ def streaming_session_windows(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle=(
+        "SELECT c.event_id AS click_id, p.event_id AS buy_id, c.user_id,"
+        " CAST(epoch_us(c.ts) AS BIGINT) AS click_us,"
+        " CAST(epoch_us(p.ts) AS BIGINT) AS buy_us"
+        " FROM events c JOIN events p ON p.user_id = c.user_id"
+        " AND c.event_type = 'click' AND p.event_type = 'purchase'"
+        " AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"
+    ),
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join: purchases joined to the
+    same user's clicks from the preceding 30 minutes. Both sides carry a
+    1-hour watermark and the join condition bounds event time in both
+    directions — exactly what Spark needs to age out buffered state, so at
+    scale the state store holds only ~90 minutes of events per side. The
+    equi-key (user_id) makes it a shuffled hash join on user, never a
+    product. availableNow processes everything in one batch, so append-mode
+    output equals the batch join the oracle computes."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type, prefix):
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    clicks, buys = side("click", "click"), side("purchase", "buy")
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "click_user = buy_user AND buy_ts >= click_ts"
+            " AND buy_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        "click_id",
+        F.col("buy_id"),
+        F.col("click_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("buy_ts").alias("buy_us"),
+    )
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

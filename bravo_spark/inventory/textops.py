@@ -383,3 +383,49 @@ def multimodal_frame_sample(spark, sf_dir):
     return docs.mapInPandas(
         sample_batches, schema="doc_id long, frame_idx long, frame_sig string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (the Gopher-rules family): unique-word fraction and
+# top-word dominance per document. Two grouped aggregations — (doc, word)
+# then (doc) — both shuffling on doc_id, so the second reuses the first's
+# partitioning; all ratios are single IEEE divisions over exact int counts.
+# ---------------------------------------------------------------------------
+
+_REP_KEEP = (
+    "CASE WHEN CAST(n_unique AS DOUBLE) / n_words >= 0.2"
+    " AND CAST(top_c AS DOUBLE) / n_words <= 0.2 THEN 1 ELSE 0 END"
+)
+
+
+def _repetition_sql(dialect: str) -> str:
+    if dialect == "duckdb":
+        toks = (
+            "SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+            f" '{TOKEN_RE}')) AS w FROM documents"
+        )
+    else:
+        toks = (
+            "SELECT doc_id, explode(regexp_extract_all(lower(text),"
+            f" '{TOKEN_RE}', 0)) AS w FROM documents"
+        )
+    return (
+        "SELECT doc_id, n_words, n_unique,"
+        " CAST(n_unique AS DOUBLE) / n_words AS uniq_frac,"
+        " CAST(top_c AS DOUBLE) / n_words AS top_word_frac,"
+        f" {_REP_KEEP} AS keep"
+        " FROM ("
+        " SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,"
+        "  count(*) AS n_unique, max(c) AS top_c"
+        " FROM (SELECT doc_id, w, count(*) AS c FROM"
+        f" ({toks}) t GROUP BY doc_id, w) wc"
+        " GROUP BY doc_id) agg"
+    )
+
+
+@query("text_repetition", oracle=_repetition_sql("duckdb"))
+def text_repetition(spark, sf_dir):
+    """Per-document repetition metrics: vocabulary richness (unique-word
+    fraction) and most-frequent-word dominance, with a keep flag at the
+    usual quality-filter thresholds."""
+    return spark.sql(_repetition_sql("spark"))

@@ -150,6 +150,38 @@ def minhash_lsh_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥1 word
+    n-gram with an evaluation set. Returns (doc_id, n_shared_ngrams,
+    n_eval_docs); inner-join the complement (or anti-join the flagged ids)
+    to get the clean corpus.
+
+    Scale: the train side shuffles on shingle once; the eval side is a
+    benchmark — thousands of documents, not billions — so its shingle
+    relation BROADCASTS and the whole check is map-side against the train
+    shingle stream. n=5 word-grams is the usual contamination window
+    (long enough that coincidental overlap is rare)."""
+    tr = shingles(train, id_col, text_col, n)
+    ev = shingles(eval_df, id_col, text_col, n).select(
+        "sh", F.col("id").alias("eval_id")
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.countDistinct("sh").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash): 32-bit frequency-weighted fingerprint; near-dups are
     found by grouping/banding the fingerprint — no pairwise join."""

@@ -169,6 +169,14 @@ def test_q22_anti_join_is_broadcast(plans):
     assert "CartesianProduct" not in p
 
 
+def test_partitioned_scan_prunes_directories(plans):
+    # the event_type IN (...) predicate must hit PartitionFilters (pruned
+    # before any file is opened), not just a post-scan Filter
+    p = plans("partitioned_prune_scan")
+    assert "PartitionFilters: [" in p
+    assert "event_type#" in p.split("PartitionFilters:")[1][:200]
+
+
 def test_snapshot_write_plan_is_single_shuffle(spark, tmp_path):
     from bravo_spark.codecs import flink as fc
     from bravo_spark.sources import staterows as sr
