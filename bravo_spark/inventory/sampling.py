@@ -284,3 +284,43 @@ def domain_mixture_sample(spark, sf_dir):
     the shared md5 hash — identical row selection on every engine, rerun,
     and cluster layout."""
     return spark.sql(_mix_sql(_h32_spark, "STRING"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-token-capacity training bins.
+# Packing is per-source shard (PARTITION BY source) — the scalable shape:
+# a global greedy pack is inherently sequential, while per-shard packing
+# parallelizes across shards and is what a real pipeline does anyway. The
+# bin id is floor(exclusive-prefix-tokens / capacity): deterministic given
+# the (source, doc_id) order, one window + one groupBy shuffle.
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 512
+
+
+def _pack_sql(dialect: str) -> str:
+    if dialect == "duckdb":
+        ntok = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+        bin_id = f"CAST(start_tok // {_PACK_CAP} AS BIGINT)"
+    else:
+        ntok = "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+        bin_id = f"CAST(start_tok div {_PACK_CAP} AS BIGINT)"
+    return (
+        "SELECT source, bin_id, count(*) AS n_docs,"
+        " CAST(sum(n_tok) AS BIGINT) AS n_tokens,"
+        " min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM ("
+        f" SELECT source, doc_id, n_tok, {bin_id} AS bin_id FROM ("
+        "  SELECT source, doc_id, n_tok,"
+        "   CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+        "   AS start_tok"
+        f"  FROM (SELECT source, doc_id, {ntok} AS n_tok FROM documents) t) c) b"
+        " GROUP BY source, bin_id"
+    )
+
+
+@query("sequence_pack", oracle=_pack_sql("duckdb"))
+def sequence_pack(spark, sf_dir):
+    """Token-capacity bin assignment for training-sequence packing (512
+    tokens per bin, packed per source shard)."""
+    return spark.sql(_pack_sql("spark"))

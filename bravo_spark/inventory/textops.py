@@ -429,3 +429,39 @@ def text_repetition(spark, sf_dir):
     fraction) and most-frequent-word dominance, with a keep flag at the
     usual quality-filter thresholds."""
     return spark.sql(_repetition_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Text normalization: the standard pre-tokenization cleanup, entirely
+# JVM-side expressions (zero shuffles, zero Python).
+# ---------------------------------------------------------------------------
+
+
+def _normalize_sql(dialect: str) -> str:
+    # strip control chars -> collapse whitespace runs -> trim -> lowercase.
+    # The fixture text is already clean, so the operator runs on a
+    # deterministically dirtied copy (case flips, BEL/TAB injection, pad
+    # whitespace) and must recover exactly ``text || ' endmark'`` — the
+    # value hash proves every stage actually fired.
+    # Spark SQL string literals process backslash escapes (the regex needs
+    # \\x); DuckDB literals are verbatim and the replace takes a 'g' flag.
+    bs = "\\\\" if dialect == "spark" else "\\"
+    flags = "" if dialect == "spark" else ", 'g'"
+    dirty = "concat('  ', upper(text), chr(9), chr(7), ' ENDMARK  ')"
+    inner = (
+        f"trim(regexp_replace(regexp_replace({dirty},"
+        f" '[{bs}x00-{bs}x08{bs}x0b-{bs}x1f{bs}x7f]', ''{flags}),"
+        f" '[ {bs}t{bs}r{bs}n]+', ' '{flags}))"
+    )
+    return (
+        f"SELECT doc_id, lower({inner}) AS norm_text,"
+        f" CASE WHEN lower({inner}) = concat(text, ' endmark')"
+        "  THEN 1 ELSE 0 END AS recovered,"
+        f" length(lower({inner})) AS norm_chars"
+        " FROM documents"
+    )
+
+
+@query("text_normalize", oracle=_normalize_sql("duckdb"))
+def text_normalize(spark, sf_dir):
+    return spark.sql(_normalize_sql("spark"))
