@@ -406,3 +406,54 @@ def decontaminate_overlap(spark, sf_dir):
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)
     return llmops.decontaminate(tr, ev, "doc_id", "text", n=_DECON_N)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new ingest batch (doc_id % 5 = 0 plays today's
+# batch) checked against the existing corpus — exact digests + shared LSH
+# bands, both as semi joins keyed on digest/band. The corpus never pairs
+# with itself: O(batch), not O(corpus²).
+# ---------------------------------------------------------------------------
+
+
+def _incremental_oracle() -> str:
+    sig = _minhash_sql("duckdb")
+    bands = ", ".join(_band_exprs())
+    banded = f"SELECT doc_id, {bands} FROM ({sig}) s"
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bh, '{b}' AS bi FROM ({banded}) u{i}"
+        for i, b in enumerate(f"band{j}" for j in range(N_BANDS))
+    )
+    return f"""
+WITH un AS ({unions}),
+near AS (
+  SELECT DISTINCT n.doc_id FROM un n
+  JOIN un c ON n.bi = c.bi AND n.bh = c.bh
+  WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+),
+exact AS (
+  SELECT DISTINCT n.doc_id FROM documents n
+  JOIN documents c ON md5(lower(n.text)) = md5(lower(c.text))
+  WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+)
+SELECT d.doc_id,
+  CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+  CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup
+FROM documents d
+LEFT JOIN exact e ON d.doc_id = e.doc_id
+LEFT JOIN near nr ON d.doc_id = nr.doc_id
+WHERE d.doc_id % 5 = 0 AND (e.doc_id IS NOT NULL OR nr.doc_id IS NOT NULL)
+"""
+
+
+@query("dedup_incremental_batch", oracle=_incremental_oracle())
+def dedup_incremental_batch(spark, sf_dir):
+    """New-batch-vs-corpus dedup flags via llmops.dedup_against_corpus."""
+    from bravo_spark import llmops
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return llmops.dedup_against_corpus(
+        new, corpus, "doc_id", "text", n_hashes=N_HASHES, n_bands=N_BANDS
+    )

@@ -111,7 +111,7 @@ def minhash_signatures(
     return sh.groupBy(F.col("id").alias("doc_id")).agg(*mins)
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -120,9 +120,10 @@ def minhash_lsh_pairs(
     n_bands: int = 4,
     n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs: documents agreeing on ≥1 LSH band. The
-    banded relation is computed once and cached; the join key is
-    (band index, band hash) — a bucket join, never doc²."""
+    """Banded LSH relation: (doc_id, bh, bi) — one row per document per
+    band, where bh is the md5 of that band's signature slice. This is the
+    joinable surface for both self-dedup (minhash_lsh_pairs) and
+    incremental dedup against an existing corpus (dedup_against_corpus)."""
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, n=n)
     band_cols = []
@@ -136,7 +137,24 @@ def minhash_lsh_pairs(
             "doc_id", F.col(f"band{b}").alias("bh"), F.lit(f"band{b}").alias("bi")
         )
         stacked = part if stacked is None else stacked.unionByName(part)
-    stacked = stacked.cache()
+    return stacked
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: documents agreeing on ≥1 LSH band. The
+    banded relation is computed once and cached; the join key is
+    (band index, band hash) — a bucket join, never doc²."""
+    stacked = minhash_bands(
+        df, id_col, text_col, n_hashes=n_hashes, n_bands=n_bands, n=n
+    ).cache()
     a, b_ = stacked.alias("a"), stacked.alias("b")
     return (
         a.join(
@@ -147,6 +165,53 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental-ingest dedup: flag NEW documents that duplicate an
+    EXISTING corpus — (doc_id, exact_dup, near_dup), one row per flagged
+    new document. Exact = identical normalized text digest; near = any
+    shared MinHash-LSH band.
+
+    Scale shape: the corpus side reduces to two skinny distinct relations
+    (128-bit digests; (band, hash) pairs) that only ever meet the new batch
+    in semi joins keyed on digest/band — the corpus is never re-paired with
+    itself, and a daily batch joins in O(batch) not O(corpus²)."""
+    new_sig = new_df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.lower(text_col)).alias("sig")
+    )
+    cor_sig = corpus.select(F.md5(F.lower(text_col)).alias("sig")).distinct()
+    exact = (
+        new_sig.join(cor_sig, "sig", "left_semi")
+        .select("doc_id")
+        .withColumn("exact_dup", F.lit(1))
+    )
+    nb = minhash_bands(new_df, id_col, text_col, n_hashes=n_hashes, n_bands=n_bands, n=n)
+    cb = (
+        minhash_bands(corpus, id_col, text_col, n_hashes=n_hashes, n_bands=n_bands, n=n)
+        .select("bh", "bi")
+        .distinct()
+    )
+    near = (
+        nb.join(cb, ["bh", "bi"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup", F.lit(1))
+    )
+    return exact.join(near, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("exact_dup", F.lit(0)).alias("exact_dup"),
+        F.coalesce("near_dup", F.lit(0)).alias("near_dup"),
     )
 
 

@@ -190,3 +190,50 @@ def test_ivf_topk_exact_duplicate_same_cell(spark):
     for src, dup in planted:
         nid, cos = rank1[dup]
         assert nid == src and cos == pytest.approx(1.0, abs=1e-12)
+
+
+def test_decontaminate_flags_planted_contamination(spark):
+    df, _ = _corpus(spark)
+    # eval set: two docs; one training doc copies eval doc 0's text exactly
+    ev = df.filter(F.col("doc_id").isin(0, 1))
+    leaked_text = df.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    train = df.filter(~F.col("doc_id").isin(0, 1)).unionByName(
+        spark.createDataFrame([(999, leaked_text)], "doc_id long, text string")
+    )
+    flagged = {
+        r["doc_id"]: r
+        for r in llmops.decontaminate(train, ev, "doc_id", "text", n=5).collect()
+    }
+    assert 999 in flagged
+    # the verbatim copy shares every 5-gram of eval doc 0
+    assert flagged[999]["n_shared_ngrams"] >= 50
+    assert flagged[999]["n_eval_docs"] >= 1
+
+
+def test_decontaminate_clean_corpus_unflagged(spark):
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    assert llmops.decontaminate(train, ev, "doc_id", "text", n=5).count() == 0
+
+
+def test_dedup_against_corpus_flags(spark):
+    df, _ = _corpus(spark)
+    corpus = df
+    base = df.filter(F.col("doc_id") == 3).collect()[0]["text"]
+    near = base.rsplit(" ", 2)[0] + " swapped token"
+    new = spark.createDataFrame(
+        [(500, base), (501, near), (502, "utterly unrelated fresh content "
+          "with vocabulary nothing shares at all whatsoever")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["exact_dup"], r["near_dup"]) for r in
+           llmops.dedup_against_corpus(new, corpus, "doc_id", "text").collect()}
+    assert got[500] == (1, 1)          # verbatim copy: exact AND near
+    assert got.get(501, (0, 0))[1] == 1  # perturbed copy: near
+    assert 502 not in got              # novel doc: unflagged
