@@ -1,0 +1,111 @@
+"""Spark state-store queries: read and rewrite Structured Streaming state.
+
+The reference's whole purpose is operating on a streaming engine's
+checkpointed state from the outside (reference README.md:7-24 — read a
+Flink savepoint as a dataset, patch it, write a valid savepoint back).
+These queries prove the same capability against Spark's OWN state backend
+(sources/spark_state.py): run a real streaming aggregation, then
+
+- ``spark_state_read``: parse the HDFSBackedStateStoreProvider files
+  ourselves (snappy/lz4 framing, UnsafeRow codec) and show the decoded
+  state equals the batch aggregation — the oracle computes exactly that;
+- ``spark_state_rewrite``: patch the state like a bravo user would (drop a
+  poisoned key, adjust counters), write spec-valid delta files back with
+  Spark's own key→partition routing, and re-read them; the oracle applies
+  the same patch to the batch aggregation.
+
+``tests/test_spark_state.py`` goes one step further and RESTARTS a real
+streaming query on rewritten files — the end-to-end proof the bytes are
+Spark-compatible.
+
+Scale: the streaming agg shuffles once on the grouping key; the state scan
+is one task per state partition touching only that partition's files
+(exactly the store's own layout); the rewrite shuffles once on the store's
+``pmod(hash(key), n)`` routing.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from bravo_spark.inventory.registry import query
+from bravo_spark.sources.spark_state import read_spark_state, write_spark_state
+
+
+def _run_streaming_agg(spark, sf_dir: str) -> str:
+    """Run a per-event-type streaming aggregation to a fresh checkpoint and
+    return the checkpoint dir. count(*) and sum(floor(value)) keep the agg
+    buffers integer-typed, so state values are deterministic across engines
+    (float sums are order-dependent; see the decimal trick elsewhere)."""
+    ckpt = tempfile.mkdtemp(prefix="bravo_spark_state_")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.floor("value").cast("long")).alias("sum_floor"),
+    )
+    name = f"state_agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return ckpt
+
+
+def _renamed_state(spark, ckpt: str):
+    """State DataFrame with stable output names (the store's own value
+    attribute names are internal), plus the raw frame for write-back."""
+    st = read_spark_state(spark, ckpt)
+    raw_cols = st.columns  # [partition_id, <key>, <cnt buf>, <sum buf>]
+    out = st.select(
+        F.col(raw_cols[1]).alias("event_type"),
+        F.col(raw_cols[2]).alias("cnt"),
+        F.col(raw_cols[3]).alias("sum_floor"),
+    )
+    return st, out
+
+
+@query(
+    "spark_state_read",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt,"
+        " CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor"
+        " FROM events GROUP BY 1"
+    ),
+)
+def spark_state_read(spark, sf_dir):
+    ckpt = _run_streaming_agg(spark, sf_dir)
+    _, out = _renamed_state(spark, ckpt)
+    return out
+
+
+@query(
+    "spark_state_rewrite",
+    oracle=(
+        "SELECT event_type, count(*) + 1000 AS cnt,"
+        " CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor"
+        " FROM events WHERE event_type <> 'click' GROUP BY 1"
+    ),
+)
+def spark_state_rewrite(spark, sf_dir):
+    ckpt = _run_streaming_agg(spark, sf_dir)
+    st, _ = _renamed_state(spark, ckpt)
+    key_col, cnt_col = st.columns[1], st.columns[2]
+    patched = st.drop("partition_id").where(F.col(key_col) != "click").withColumn(
+        cnt_col, F.col(cnt_col) + F.lit(1000)
+    )
+    write_spark_state(spark, ckpt, patched)
+    _, out = _renamed_state(spark, ckpt)
+    return out

@@ -1,0 +1,495 @@
+"""Spark Structured Streaming state-store source/sink.
+
+The reference reads and rewrites Flink savepoints so operators' state can be
+queried, patched, and bootstrapped outside the running job
+(reference README.md:7-24). This module is the same capability for Spark's
+OWN streaming state: HDFSBackedStateStoreProvider checkpoints
+(``<ckpt>/state/<operator>/<partition>/<version>.delta|.snapshot``) are
+parsed, decoded, and rewritten — so a Spark user can audit state, fix a
+poisoned key, or bootstrap an aggregation, exactly the bravo workflow but
+against Structured Streaming checkpoints.
+
+On-disk format (sql/execution/streaming/state/HDFSBackedStateStoreProvider):
+
+- each file is a compression stream (``spark.sql.streaming.stateStore.
+  compression.codec``): lz4-java block framing (default) or xerial-snappy
+  framing — both implemented here in pure Python (read: both; write:
+  snappy, whose raw codec we already ship in codecs/snappy.py);
+- inside: records ``[keyLen int BE][key][valueLen int BE][value]``,
+  valueLen -1 = tombstone (delta files only), keyLen -1 = EOF;
+- key/value bytes are UnsafeRow: 8-byte null-bit header word(s), 8-byte
+  slots per field, var-length fields appended 8-byte-aligned with
+  (offset << 32 | size) in the slot;
+- state at version N = greatest snapshot ≤ N + deltas up to N (we replay
+  exactly that, applying tombstones);
+- per-partition ``_metadata/schema`` carries the key/value StructType
+  JSONs, so reading needs no schema from the caller.
+
+Scale: one Spark task per state partition (mapPartitions over partition
+ids); each task touches only its partition's files — the same split the
+store itself uses. The writer routes rows with ``pmod(hash(key), n)`` —
+Spark's Murmur3 HashPartitioning — so rewritten files land exactly where
+the restarted query expects them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import time
+
+from bravo_spark.codecs import snappy as psnappy
+from bravo_spark.codecs.crc32c import crc32c
+
+SNAPPY_MAGIC = b"\x82SNAPPY\x00"
+LZ4_MAGIC = b"LZ4Block"
+
+_SUPPORTED = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+              T.BooleanType, T.StringType, T.BinaryType, T.TimestampType,
+              T.ShortType, T.ByteType)
+
+
+# ---------------------------------------------------------------------------
+# compression framings
+# ---------------------------------------------------------------------------
+
+
+def _lz4_block_decompress(src: bytes, dlen: int) -> bytes:
+    """Raw LZ4 block decode (lz4_Block_format.md). Pure Python — fine for
+    state files (tens of MB per partition at most); the hot data path of
+    the engine never goes through here."""
+    dst = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        dst += src[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # last sequence: literals only
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        ml = token & 0xF
+        if ml == 15:
+            while True:
+                b = src[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        start = len(dst) - off
+        if start < 0:
+            raise ValueError("corrupt LZ4 block: offset before start")
+        for k in range(ml):  # may overlap — must copy byte-wise
+            dst.append(dst[start + k])
+    if len(dst) != dlen:
+        raise ValueError(f"LZ4 block decoded {len(dst)} bytes, expected {dlen}")
+    return bytes(dst)
+
+
+def decode_stream(raw: bytes) -> bytes:
+    """Un-frame a state file: xerial-snappy or lz4-java block stream."""
+    if raw[:8] == SNAPPY_MAGIC:
+        pos, out = 16, bytearray()  # skip magic + version + compat ints
+        while pos < len(raw):
+            (blen,) = struct.unpack(">I", raw[pos : pos + 4])
+            pos += 4
+            out += psnappy.decompress(raw[pos : pos + blen])
+            pos += blen
+        return bytes(out)
+    if raw[:8] == LZ4_MAGIC:
+        # lz4-java LZ4BlockOutputStream: EVERY block repeats the 8-byte
+        # magic, then token, compressedLen, originalLen, checksum (LE ints)
+        pos, out = 0, bytearray()
+        while pos + 21 <= len(raw):
+            if raw[pos : pos + 8] != LZ4_MAGIC:
+                raise ValueError(f"bad LZ4Block magic at offset {pos}")
+            token = raw[pos + 8]
+            clen, dlen, _cksum = struct.unpack("<iii", raw[pos + 9 : pos + 21])
+            pos += 21
+            if dlen == 0:
+                break
+            payload = raw[pos : pos + clen]
+            pos += clen
+            method = token & 0xF0
+            if method == 0x10:  # stored raw
+                out += payload
+            elif method == 0x20:
+                out += _lz4_block_decompress(payload, dlen)
+            else:
+                raise ValueError(f"unknown LZ4Block method 0x{method:02x}")
+        return bytes(out)
+    raise ValueError(
+        "unrecognized state-file framing (supported: xerial snappy, "
+        "lz4-java block; set spark.sql.streaming.stateStore.compression."
+        "codec=snappy for checkpoints this module will also WRITE)"
+    )
+
+
+def encode_stream_snappy(payload: bytes, block_size: int = 32 * 1024) -> bytes:
+    out = bytearray(SNAPPY_MAGIC)
+    out += struct.pack(">II", 1, 1)
+    for i in range(0, len(payload), block_size):
+        comp = psnappy.compress(payload[i : i + block_size])
+        out += struct.pack(">I", len(comp))
+        out += comp
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# UnsafeRow codec (flat schemas)
+# ---------------------------------------------------------------------------
+
+
+def _check_schema(schema: T.StructType) -> None:
+    for f in schema.fields:
+        if not isinstance(f.dataType, _SUPPORTED):
+            raise ValueError(
+                f"UnsafeRow codec: unsupported field type {f.dataType} "
+                f"({f.name}); flat primitive/string/binary schemas only"
+            )
+
+
+def decode_unsafe_row(buf: bytes, schema: T.StructType) -> tuple:
+    nf = len(schema.fields)
+    header = 8 * ((nf + 63) // 64)
+    (bits,) = struct.unpack("<Q", buf[0:8]) if nf <= 64 else (
+        int.from_bytes(buf[0:header], "little"),
+    )
+    out = []
+    for i, f in enumerate(schema.fields):
+        if bits >> i & 1:
+            out.append(None)
+            continue
+        slot = header + 8 * i
+        dt = f.dataType
+        if isinstance(dt, T.LongType):
+            out.append(struct.unpack_from("<q", buf, slot)[0])
+        elif isinstance(dt, T.TimestampType):
+            import datetime as _dt
+
+            us = struct.unpack_from("<q", buf, slot)[0]
+            out.append(
+                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+            )
+        elif isinstance(dt, T.IntegerType):
+            out.append(struct.unpack_from("<i", buf, slot)[0])
+        elif isinstance(dt, T.ShortType):
+            out.append(struct.unpack_from("<h", buf, slot)[0])
+        elif isinstance(dt, T.ByteType):
+            out.append(struct.unpack_from("<b", buf, slot)[0])
+        elif isinstance(dt, T.DoubleType):
+            out.append(struct.unpack_from("<d", buf, slot)[0])
+        elif isinstance(dt, T.FloatType):
+            out.append(struct.unpack_from("<f", buf, slot)[0])
+        elif isinstance(dt, T.BooleanType):
+            out.append(bool(buf[slot]))
+        else:  # string / binary
+            (oas,) = struct.unpack_from("<q", buf, slot)
+            off, size = oas >> 32, oas & 0xFFFFFFFF
+            data = buf[off : off + size]
+            out.append(data.decode() if isinstance(dt, T.StringType) else data)
+    return tuple(out)
+
+
+def encode_unsafe_row(values: tuple, schema: T.StructType) -> bytes:
+    nf = len(schema.fields)
+    header = 8 * ((nf + 63) // 64)
+    bits = 0
+    fixed = bytearray(header + 8 * nf)
+    var = bytearray()
+    for i, (v, f) in enumerate(zip(values, schema.fields)):
+        slot = header + 8 * i
+        if v is None:
+            bits |= 1 << i
+            continue
+        dt = f.dataType
+        if isinstance(dt, T.LongType):
+            struct.pack_into("<q", fixed, slot, int(v))
+        elif isinstance(dt, T.TimestampType):
+            import datetime as _dt
+
+            epoch = _dt.datetime(1970, 1, 1)
+            us = int((v.replace(tzinfo=None) - epoch).total_seconds() * 1_000_000)
+            struct.pack_into("<q", fixed, slot, us)
+        elif isinstance(dt, T.IntegerType):
+            struct.pack_into("<i", fixed, slot, int(v))
+        elif isinstance(dt, T.ShortType):
+            struct.pack_into("<h", fixed, slot, int(v))
+        elif isinstance(dt, T.ByteType):
+            struct.pack_into("<b", fixed, slot, int(v))
+        elif isinstance(dt, T.DoubleType):
+            struct.pack_into("<d", fixed, slot, float(v))
+        elif isinstance(dt, T.FloatType):
+            struct.pack_into("<f", fixed, slot, float(v))
+        elif isinstance(dt, T.BooleanType):
+            fixed[slot] = 1 if v else 0
+        else:
+            data = v.encode() if isinstance(v, str) else bytes(v)
+            off = header + 8 * nf + len(var)
+            struct.pack_into("<q", fixed, slot, (off << 32) | len(data))
+            var += data
+            if len(data) % 8:
+                var += b"\x00" * (8 - len(data) % 8)
+    fixed[0:header] = bits.to_bytes(header, "little")
+    return bytes(fixed) + bytes(var)
+
+
+def _finalize_state_file(path: str) -> None:
+    """Re-issue the integrity metadata Spark checks on load: the
+    ChecksumCheckpointFileManager sidecar (``<file>.crc`` JSON with the
+    CRC32C and size of the main file — stale ones fail the restart with
+    CHECKPOINT_FILE_CHECKSUM_VERIFICATION_FAILED) and Hadoop's own
+    ``.<name>.crc`` dotfiles for both."""
+    data = open(path, "rb").read()
+    v = crc32c(data)
+    if v >= 1 << 31:
+        v -= 1 << 32  # Java signed int
+    doc = {
+        "algorithm": "CRC32C",
+        "value": v,
+        "mainFileSize": len(data),
+        "timestampMs": int(time.time() * 1000),
+    }
+    with open(path + ".crc", "w") as f:
+        json.dump(doc, f, separators=(",", ":"))
+    d, name = os.path.split(path)
+    for stale in (f".{name}.crc", f".{name}.crc.crc"):
+        p = os.path.join(d, stale)
+        if os.path.exists(p):
+            os.remove(p)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint layout
+# ---------------------------------------------------------------------------
+
+
+def _state_dir(checkpoint_dir: str, operator_id: int) -> str:
+    return os.path.join(checkpoint_dir, "state", str(operator_id))
+
+
+def _partitions(sdir: str) -> list[int]:
+    return sorted(
+        int(d) for d in os.listdir(sdir) if d.isdigit()
+    )
+
+
+def read_state_schema(
+    checkpoint_dir: str, operator_id: int = 0
+) -> tuple[T.StructType, T.StructType]:
+    """Key/value StructTypes from the store's own ``_metadata/schema``
+    (StateSchemaCompatibilityChecker file: version tag + two writeUTF JSON
+    payloads)."""
+    sdir = _state_dir(checkpoint_dir, operator_id)
+    pid = _partitions(sdir)[0]
+    raw = open(os.path.join(sdir, str(pid), "_metadata", "schema"), "rb").read()
+    jsons = re.findall(rb'\{"type":"struct".*?\]\}', raw)
+    if len(jsons) < 2:
+        raise ValueError("could not locate key/value schemas in schema file")
+    key = T.StructType.fromJson(json.loads(jsons[0]))
+    value = T.StructType.fromJson(json.loads(jsons[1]))
+    return key, value
+
+
+def _iter_records(payload: bytes):
+    pos = 0
+    while pos + 4 <= len(payload):
+        (klen,) = struct.unpack(">i", payload[pos : pos + 4])
+        pos += 4
+        if klen == -1:
+            return
+        key = payload[pos : pos + klen]
+        pos += klen
+        (vlen,) = struct.unpack(">i", payload[pos : pos + 4])
+        pos += 4
+        if vlen == -1:
+            yield key, None  # tombstone
+        else:
+            yield key, payload[pos : pos + vlen]
+            pos += vlen
+
+
+def _load_partition_state(pdir: str, version: int) -> dict[bytes, bytes]:
+    """Replay greatest snapshot ≤ version + deltas up to version."""
+    snaps = [
+        int(f.split(".")[0])
+        for f in os.listdir(pdir)
+        if f.endswith(".snapshot") and int(f.split(".")[0]) <= version
+    ]
+    state: dict[bytes, bytes] = {}
+    start = 1
+    if snaps:
+        sv = max(snaps)
+        payload = decode_stream(open(os.path.join(pdir, f"{sv}.snapshot"), "rb").read())
+        for k, v in _iter_records(payload):
+            if v is not None:
+                state[k] = v
+        start = sv + 1
+    for ver in range(start, version + 1):
+        path = os.path.join(pdir, f"{ver}.delta")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"missing delta {path} for version {version}")
+        for k, v in _iter_records(decode_stream(open(path, "rb").read())):
+            if v is None:
+                state.pop(k, None)
+            else:
+                state[k] = v
+    return state
+
+
+def latest_version(checkpoint_dir: str, operator_id: int = 0) -> int:
+    sdir = _state_dir(checkpoint_dir, operator_id)
+    vers = [
+        int(f.split(".")[0])
+        for p in _partitions(sdir)
+        for f in os.listdir(os.path.join(sdir, str(p)))
+        if f.endswith(".delta")
+    ]
+    if not vers:
+        raise FileNotFoundError(f"no state versions under {sdir}")
+    return max(vers)
+
+
+def read_spark_state(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    *,
+    operator_id: int = 0,
+    version: int | None = None,
+) -> DataFrame:
+    """The state of a Structured Streaming operator as a DataFrame:
+    ``partition_id`` + key columns + value columns (value names prefixed
+    ``value_`` on collision). One task per state partition."""
+    if version is None:
+        version = latest_version(checkpoint_dir, operator_id)
+    key_schema, value_schema = read_state_schema(checkpoint_dir, operator_id)
+    _check_schema(key_schema)
+    _check_schema(value_schema)
+    sdir = _state_dir(checkpoint_dir, operator_id)
+    parts = _partitions(sdir)
+
+    key_names = [f.name for f in key_schema.fields]
+    val_names = [
+        (f"value_{f.name}" if f.name in key_names else f.name)
+        for f in value_schema.fields
+    ]
+    out_schema = T.StructType(
+        [T.StructField("partition_id", T.IntegerType(), False)]
+        + [T.StructField(n, f.dataType, True) for n, f in zip(key_names, key_schema.fields)]
+        + [T.StructField(n, f.dataType, True) for n, f in zip(val_names, value_schema.fields)]
+    )
+
+    def scan(pids):
+        for pid in pids:
+            state = _load_partition_state(os.path.join(sdir, str(pid)), version)
+            for kb, vb in state.items():
+                yield (
+                    (pid,)
+                    + decode_unsafe_row(kb, key_schema)
+                    + decode_unsafe_row(vb, value_schema)
+                )
+
+    rdd = spark.sparkContext.parallelize(parts, max(1, len(parts)))
+    return spark.createDataFrame(rdd.mapPartitions(lambda it: scan(list(it))), out_schema)
+
+
+def write_spark_state(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    df: DataFrame,
+    *,
+    operator_id: int = 0,
+    version: int | None = None,
+) -> int:
+    """Rewrite one state version so that, after replay, the operator's
+    state equals ``df`` exactly (keys of the current state missing from
+    ``df`` get tombstones). ``df`` must carry the store's key columns and
+    value columns (names per ``read_state_schema``); rows are routed to
+    partitions with Spark's own ``pmod(murmur3(key), n)`` so a restarted
+    query finds every key where it expects it. Returns the version written.
+    """
+    if version is None:
+        version = latest_version(checkpoint_dir, operator_id)
+    key_schema, value_schema = read_state_schema(checkpoint_dir, operator_id)
+    _check_schema(key_schema)
+    _check_schema(value_schema)
+    sdir = _state_dir(checkpoint_dir, operator_id)
+    parts = _partitions(sdir)
+    n = len(parts)
+    key_names = [f.name for f in key_schema.fields]
+    val_names = [
+        (f"value_{f.name}" if f.name in key_names else f.name)
+        for f in value_schema.fields
+    ]
+    missing = [c for c in key_names + val_names if c not in df.columns]
+    if missing:
+        raise ValueError(f"state DataFrame missing columns: {missing}")
+
+    routed = df.select(
+        F.pmod(F.hash(*key_names), F.lit(n)).cast("int").alias("_pid"),
+        *key_names,
+        *val_names,
+    ).repartition(n, "_pid")
+
+    nk = len(key_names)
+
+    def write_partition(rows):
+        by_pid: dict[int, dict[bytes, bytes]] = {}
+        for r in rows:
+            pid = r["_pid"]
+            kb = encode_unsafe_row(tuple(r[1 : 1 + nk]), key_schema)
+            vb = encode_unsafe_row(tuple(r[1 + nk :]), value_schema)
+            by_pid.setdefault(pid, {})[kb] = vb
+        for pid, desired in by_pid.items():
+            pdir = os.path.join(sdir, str(pid))
+            current = _load_partition_state(pdir, version)
+            payload = bytearray()
+            for kb, vb in desired.items():
+                payload += struct.pack(">i", len(kb)) + kb
+                payload += struct.pack(">i", len(vb)) + vb
+            for kb in current:
+                if kb not in desired:
+                    payload += struct.pack(">i", len(kb)) + kb
+                    payload += struct.pack(">i", -1)
+            payload += struct.pack(">i", -1)
+            tmp = os.path.join(pdir, f".{version}.delta.tmp")
+            with open(tmp, "wb") as f:
+                f.write(encode_stream_snappy(bytes(payload)))
+            final = os.path.join(pdir, f"{version}.delta")
+            os.replace(tmp, final)
+            _finalize_state_file(final)
+            yield pid
+
+    # partitions with no desired rows still need their tombstone-only delta
+    touched = set(routed.rdd.mapPartitions(write_partition).collect())
+    for pid in parts:
+        if pid in touched:
+            continue
+        pdir = os.path.join(sdir, str(pid))
+        current = _load_partition_state(pdir, version)
+        payload = bytearray()
+        for kb in current:
+            payload += struct.pack(">i", len(kb)) + kb + struct.pack(">i", -1)
+        payload += struct.pack(">i", -1)
+        final = os.path.join(pdir, f"{version}.delta")
+        with open(final, "wb") as f:
+            f.write(encode_stream_snappy(bytes(payload)))
+        _finalize_state_file(final)
+    return version
