@@ -199,3 +199,31 @@ def test_snapshot_write_plan_is_single_shuffle(spark, tmp_path):
     assert p.count("Exchange") == 1  # the op-index repartition, nothing else
     # the key-group extraction must be a JVM expression, not a Python UDF
     assert "pythonUDF" not in p.lower() or "MapInPandas" in p
+
+
+def test_q2_min_cost_window_after_broadcast_dims(plans):
+    # region restriction broadcasts; the correlated-min decorrelation is a
+    # window over p_partkey (one shuffle), never a self-join of the cost
+    # relation
+    p = plans("tpch_q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q11_threshold_is_one_row_broadcast(plans):
+    # the uncorrelated scalar total reaches the filter as a broadcast of a
+    # single aggregated row, and both consumers of the grouped relation
+    # read the cached per-partkey aggregates — the fact pipeline runs once
+    p = plans("tpch_q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in p
+    # both consumers hit the cache (the plan string still *prints* the
+    # cached relation's defining parquet scans, so don't count those)
+    assert p.count("InMemoryTableScan") >= 2
+
+
+def test_q21_decorrelates_to_semi_and_anti(plans):
+    p = plans("tpch_q21_waiting_supplier")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
