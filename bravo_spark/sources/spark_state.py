@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 
 import time
 
+from bravo_spark.codecs import lz4 as plz4
 from bravo_spark.codecs import snappy as psnappy
 from bravo_spark.codecs.crc32c import crc32c
 
@@ -61,46 +62,7 @@ _SUPPORTED = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
 # ---------------------------------------------------------------------------
 
 
-def _lz4_block_decompress(src: bytes, dlen: int) -> bytes:
-    """Raw LZ4 block decode (lz4_Block_format.md). Pure Python — fine for
-    state files (tens of MB per partition at most); the hot data path of
-    the engine never goes through here."""
-    dst = bytearray()
-    i, n = 0, len(src)
-    while i < n:
-        token = src[i]
-        i += 1
-        lit = token >> 4
-        if lit == 15:
-            while True:
-                b = src[i]
-                i += 1
-                lit += b
-                if b != 255:
-                    break
-        dst += src[i : i + lit]
-        i += lit
-        if i >= n:
-            break  # last sequence: literals only
-        off = src[i] | (src[i + 1] << 8)
-        i += 2
-        ml = token & 0xF
-        if ml == 15:
-            while True:
-                b = src[i]
-                i += 1
-                ml += b
-                if b != 255:
-                    break
-        ml += 4
-        start = len(dst) - off
-        if start < 0:
-            raise ValueError("corrupt LZ4 block: offset before start")
-        for k in range(ml):  # may overlap — must copy byte-wise
-            dst.append(dst[start + k])
-    if len(dst) != dlen:
-        raise ValueError(f"LZ4 block decoded {len(dst)} bytes, expected {dlen}")
-    return bytes(dst)
+_lz4_block_decompress = plz4.decompress_block  # shared raw-block decoder
 
 
 def decode_stream(raw: bytes) -> bytes:

@@ -38,6 +38,7 @@ from dataclasses import dataclass
 from typing import Iterator
 
 from bravo_spark.codecs import crc32c
+from bravo_spark.codecs import lz4 as plz4
 from bravo_spark.codecs import snappy as psnappy
 
 # rocksdb/table/format.cc
@@ -49,9 +50,11 @@ NO_COMPRESSION = 0
 SNAPPY_COMPRESSION = 1
 ZLIB_COMPRESSION = 2
 BZIP2_COMPRESSION = 3
+LZ4_COMPRESSION = 4
+LZ4HC_COMPRESSION = 5  # same block format as LZ4; HC is an encoder choice
 # present in the format but no codec ships in this container — read_block
 # raises naming the algorithm so the gap is explicit, not a corrupt-file error
-_UNSUPPORTED_COMPRESSION = {4: "lz4", 5: "lz4hc", 6: "xpress", 7: "zstd"}
+_UNSUPPORTED_COMPRESSION = {6: "xpress", 7: "zstd"}
 
 # rocksdb/include/rocksdb/table.h BlockBasedTableOptions::IndexType
 INDEX_BINARY_SEARCH = 0
@@ -156,6 +159,41 @@ def iter_block_entries(block: bytes) -> Iterator[tuple[bytes, bytes]]:
         yield key, value
 
 
+def iter_index_handles_delta(block: bytes) -> Iterator[BlockHandle]:
+    """Decode an index block written with value-delta-encoding
+    (format_version >= 4, ``rocksdb.index.value.is.delta.encoded`` = 1;
+    block_builder.cc + block.h IndexBlockIter::DecodeCurrentValue):
+    entries carry NO value-length varint; a restart entry (shared == 0)
+    stores a full BlockHandle, later entries store only a zigzag varint of
+    (size - prev_size) — the offset is implied as
+    prev.offset + prev.size + 5-byte block trailer."""
+    if len(block) < 4:
+        raise ValueError("block too short")
+    (num_restarts,) = struct.unpack("<I", block[-4:])
+    if num_restarts & 0x80000000:
+        raise ValueError("packed restart count not supported in index blocks")
+    restarts_off = len(block) - 4 - 4 * num_restarts
+    if restarts_off < 0:
+        raise ValueError("corrupt index block: restart array overruns block")
+    pos = 0
+    prev: BlockHandle | None = None
+    while pos < restarts_off:
+        shared, pos = _read_uvarint(block, pos)
+        non_shared, pos = _read_uvarint(block, pos)
+        pos += non_shared  # separator key — not needed for a full scan
+        if shared == 0:
+            off, pos = _read_uvarint(block, pos)
+            size, pos = _read_uvarint(block, pos)
+            prev = BlockHandle(off, size)
+        else:
+            if prev is None:
+                raise ValueError("corrupt index block: delta before restart")
+            zz, pos = _read_uvarint(block, pos)
+            delta = (zz >> 1) ^ -(zz & 1)  # zigzag-signed size delta
+            prev = BlockHandle(prev.offset + prev.size + 5, prev.size + delta)
+        yield prev
+
+
 def parse_internal_key(ikey: bytes) -> tuple[bytes, int, int]:
     """internal key = user_key + fixed64 LE (seq << 8 | type)."""
     if len(ikey) < 8:
@@ -231,10 +269,15 @@ class SstReader:
             import bz2
 
             return _sized_decompress(raw, bz2.decompress)
+        if compression in (LZ4_COMPRESSION, LZ4HC_COMPRESSION):
+            # raw LZ4 blocks carry no length; compress_format_version 2
+            # always prepends the decompressed size as a varint32
+            size, pos = _read_uvarint(raw, 0)
+            return plz4.decompress_block(raw[pos:], size)
         name = _UNSUPPORTED_COMPRESSION.get(compression, str(compression))
         raise ValueError(
             f"{self.path}: block compressed with {name}, no {name} codec in "
-            "this environment (supported: none/snappy/zlib/bzip2)"
+            "this environment (supported: none/snappy/zlib/bzip2/lz4)"
         )
 
     def _read_properties(self) -> dict[bytes, bytes]:
@@ -284,11 +327,27 @@ class SstReader:
         blocks. Hash-search indexes (type 1) keep the binary-search entry
         layout plus a prefix meta block we don't need for a full scan."""
         index = self.read_block(self.index_handle)
+        delta = self.properties.get(
+            b"rocksdb.index.value.is.delta.encoded", b"\x00"
+        ) in (b"\x01", b"1")
         if self.index_type == INDEX_TWO_LEVEL:
-            for _sep, hval in iter_block_entries(index):
-                part = self._decode_handle(hval, "top-level index")
-                for _s2, hv2 in iter_block_entries(self.read_block(part)):
-                    yield self._decode_handle(hv2, "index-partition")
+            parts = (
+                list(iter_index_handles_delta(index))
+                if delta
+                else [
+                    self._decode_handle(hval, "top-level index")
+                    for _sep, hval in iter_block_entries(index)
+                ]
+            )
+            for part in parts:
+                sub = self.read_block(part)
+                if delta:
+                    yield from iter_index_handles_delta(sub)
+                else:
+                    for _s2, hv2 in iter_block_entries(sub):
+                        yield self._decode_handle(hv2, "index-partition")
+        elif delta:
+            yield from iter_index_handles_delta(index)
         else:
             for _sep, hval in iter_block_entries(index):
                 yield self._decode_handle(hval, "index")
