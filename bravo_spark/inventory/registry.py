@@ -6,7 +6,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bravo_spark import catalog
+from bravo_spark import catalog, llmops
 from bravo_spark.session import tune
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -21,6 +21,9 @@ def query(name: str, oracle: str | None = None):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune(spark)
             catalog.register_views(spark, sf_dir)
+            # caches from the PREVIOUS query have served their evaluation;
+            # drain them so repeated queries never accrete executor memory
+            llmops.release_caches()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

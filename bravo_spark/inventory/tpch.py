@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bravo_spark import catalog
+from bravo_spark import catalog, llmops
 from bravo_spark.inventory.registry import query
 
 _DEC = "decimal(14,2)"
@@ -575,8 +575,8 @@ def tpch_q11_important_stock(spark, sf_dir):
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(val).alias("val"))
-        .cache()
     )
+    v = llmops._cache(v)
     total = v.agg(
         (F.sum("val") * F.lit("0.001").cast("decimal(6,4)")).alias("threshold")
     )

@@ -19,6 +19,25 @@ from pyspark.sql import functions as F
 
 TOKEN_RE = "[a-z0-9]+"
 
+# Intermediates cached by this module, so long-running sessions can bound
+# executor memory: release_caches() unpersists everything still live
+# (unpersist is always safe — a not-yet-evaluated consumer just recomputes).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate this module has cached. Called by the
+    inventory query wrapper before each query (caches live exactly one
+    query cycle) and usable directly in long sessions."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def _h32(expr: str) -> str:
     """32-bit md5-derived hash as a Spark SQL fragment (matches the DuckDB
@@ -79,7 +98,7 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(rare, "sh")
-    sh = sh.cache()
+    sh = _cache(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
@@ -90,9 +109,12 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count("*").alias("i"))
     )
+    # sizes has one row PER DOCUMENT — never broadcast it (at 10⁹ docs that
+    # is a multi-GB driver-built broadcast). Plain shuffle joins; AQE still
+    # broadcasts when the relation is genuinely small at runtime.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -152,9 +174,9 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs: documents agreeing on ≥1 LSH band. The
     banded relation is computed once and cached; the join key is
     (band index, band hash) — a bucket join, never doc²."""
-    stacked = minhash_bands(
-        df, id_col, text_col, n_hashes=n_hashes, n_bands=n_bands, n=n
-    ).cache()
+    stacked = _cache(
+        minhash_bands(df, id_col, text_col, n_hashes=n_hashes, n_bands=n_bands, n=n)
+    )
     a, b_ = stacked.alias("a"), stacked.alias("b")
     return (
         a.join(
@@ -318,6 +340,7 @@ def connected_components(
     # the edge relations are no longer needed (lineage recomputes if evicted)
     edges.unpersist()
     p.unpersist()
+    _LIVE_CACHES.append(labels)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -682,7 +705,7 @@ def embedding_near_dup_pairs(
                 .alias("bh"),
             )
             stacked = part if stacked is None else stacked.unionByName(part)
-    stacked = stacked.cache()
+    stacked = _cache(stacked)
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(

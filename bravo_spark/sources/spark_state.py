@@ -253,21 +253,82 @@ def _partitions(sdir: str) -> list[int]:
     )
 
 
+def _read_java_utf(raw: bytes, pos: int) -> tuple[str, int]:
+    """One ``DataOutputStream.writeUTF`` payload: 2-byte BE length + bytes
+    (modified UTF-8; schema JSON is ASCII so plain decode suffices)."""
+    if pos + 2 > len(raw):
+        raise ValueError(f"truncated writeUTF length at offset {pos}")
+    (n,) = struct.unpack_from(">H", raw, pos)
+    pos += 2
+    if pos + n > len(raw):
+        raise ValueError(f"truncated writeUTF payload at offset {pos}")
+    return raw[pos : pos + n].decode("utf-8"), pos + n
+
+
+def _parse_schema_file(raw: bytes) -> tuple[T.StructType, T.StructType]:
+    """Structural parse of the StateSchemaCompatibilityChecker schema file
+    (sql/execution/streaming/state/SchemaHelper.scala): ``writeUTF("v<N>")``
+    then, per schema, v1 = one writeUTF JSON; v2 = ``writeInt(numChunks)``
+    + that many writeUTF chunks (schemas longer than writeUTF's 65535-byte
+    cap are split). Structural parsing — unlike regex scraping — surfaces
+    nested/struct-typed fields as a clear error from _check_schema instead
+    of an invalid JSON slice."""
+    tag, pos = _read_java_utf(raw, 0)
+    if not re.fullmatch(r"v\d+", tag):
+        raise ValueError(f"unrecognized state schema file version tag {tag!r}")
+    version = int(tag[1:])
+
+    def one_schema(pos: int) -> tuple[T.StructType, int]:
+        if version == 1:
+            js, pos = _read_java_utf(raw, pos)
+        else:
+            (chunks,) = struct.unpack_from(">i", raw, pos)
+            pos += 4
+            if not 0 < chunks < 1 << 16:
+                raise ValueError(f"implausible schema chunk count {chunks}")
+            parts = []
+            for _ in range(chunks):
+                part, pos = _read_java_utf(raw, pos)
+                parts.append(part)
+            js = "".join(parts)
+        try:
+            parsed = json.loads(js)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"invalid schema JSON in state schema file: {e}") from e
+        return T.StructType.fromJson(parsed), pos
+
+    key, pos = one_schema(pos)
+    value, pos = one_schema(pos)
+    return key, value
+
+
+def write_state_schema(
+    pdir: str, key_schema: T.StructType, value_schema: T.StructType
+) -> None:
+    """Write a ``_metadata/schema`` file in the v2 layout (used when
+    bootstrapping a store directory, and by tests as a fixture writer)."""
+    def utf(s: str) -> bytes:
+        b = s.encode("utf-8")
+        return struct.pack(">H", len(b)) + b
+
+    def chunked(schema: T.StructType) -> bytes:
+        js = json.dumps(schema.jsonValue(), separators=(",", ":"))
+        chunks = [js[i : i + 65535] for i in range(0, len(js), 65535)] or [""]
+        return struct.pack(">i", len(chunks)) + b"".join(utf(c) for c in chunks)
+
+    os.makedirs(os.path.join(pdir, "_metadata"), exist_ok=True)
+    with open(os.path.join(pdir, "_metadata", "schema"), "wb") as f:
+        f.write(utf("v2") + chunked(key_schema) + chunked(value_schema))
+
+
 def read_state_schema(
     checkpoint_dir: str, operator_id: int = 0
 ) -> tuple[T.StructType, T.StructType]:
-    """Key/value StructTypes from the store's own ``_metadata/schema``
-    (StateSchemaCompatibilityChecker file: version tag + two writeUTF JSON
-    payloads)."""
+    """Key/value StructTypes from the store's own ``_metadata/schema``."""
     sdir = _state_dir(checkpoint_dir, operator_id)
     pid = _partitions(sdir)[0]
     raw = open(os.path.join(sdir, str(pid), "_metadata", "schema"), "rb").read()
-    jsons = re.findall(rb'\{"type":"struct".*?\]\}', raw)
-    if len(jsons) < 2:
-        raise ValueError("could not locate key/value schemas in schema file")
-    key = T.StructType.fromJson(json.loads(jsons[0]))
-    value = T.StructType.fromJson(json.loads(jsons[1]))
-    return key, value
+    return _parse_schema_file(raw)
 
 
 def _iter_records(payload: bytes):
@@ -404,7 +465,20 @@ def write_spark_state(
     if missing:
         raise ValueError(f"state DataFrame missing columns: {missing}")
 
-    routed = df.select(
+    # Cast to the store's exact field types before hashing/encoding: Spark's
+    # Murmur3 hashes IntegerType and LongType differently, so a drifted key
+    # type (int vs long) would route keys to the wrong partition — and a
+    # restarted query would then duplicate the key in the right one.
+    typed = df.select(
+        *[
+            F.col(c).cast(f.dataType).alias(c)
+            for c, f in zip(
+                key_names + val_names,
+                list(key_schema.fields) + list(value_schema.fields),
+            )
+        ]
+    )
+    routed = typed.select(
         F.pmod(F.hash(*key_names), F.lit(n)).cast("int").alias("_pid"),
         *key_names,
         *val_names,
@@ -419,39 +493,66 @@ def write_spark_state(
             kb = encode_unsafe_row(tuple(r[1 : 1 + nk]), key_schema)
             vb = encode_unsafe_row(tuple(r[1 + nk :]), value_schema)
             by_pid.setdefault(pid, {})[kb] = vb
-        for pid, desired in by_pid.items():
-            pdir = os.path.join(sdir, str(pid))
-            current = _load_partition_state(pdir, version)
-            payload = bytearray()
-            for kb, vb in desired.items():
-                payload += struct.pack(">i", len(kb)) + kb
-                payload += struct.pack(">i", len(vb)) + vb
-            for kb in current:
-                if kb not in desired:
-                    payload += struct.pack(">i", len(kb)) + kb
-                    payload += struct.pack(">i", -1)
-            payload += struct.pack(">i", -1)
-            tmp = os.path.join(pdir, f".{version}.delta.tmp")
-            with open(tmp, "wb") as f:
-                f.write(encode_stream_snappy(bytes(payload)))
-            final = os.path.join(pdir, f"{version}.delta")
-            os.replace(tmp, final)
-            _finalize_state_file(final)
+        for pid in by_pid:
+            _rewrite_partition_version(os.path.join(sdir, str(pid)), version, by_pid[pid])
             yield pid
 
     # partitions with no desired rows still need their tombstone-only delta
     touched = set(routed.rdd.mapPartitions(write_partition).collect())
     for pid in parts:
-        if pid in touched:
-            continue
-        pdir = os.path.join(sdir, str(pid))
-        current = _load_partition_state(pdir, version)
-        payload = bytearray()
-        for kb in current:
-            payload += struct.pack(">i", len(kb)) + kb + struct.pack(">i", -1)
-        payload += struct.pack(">i", -1)
-        final = os.path.join(pdir, f"{version}.delta")
-        with open(final, "wb") as f:
-            f.write(encode_stream_snappy(bytes(payload)))
-        _finalize_state_file(final)
+        if pid not in touched:
+            _rewrite_partition_version(os.path.join(sdir, str(pid)), version, {})
     return version
+
+
+def _rewrite_partition_version(
+    pdir: str, version: int, desired: dict[bytes, bytes]
+) -> None:
+    """Replace one partition's ``{version}.delta`` (and, if present,
+    ``{version}.snapshot``) so the operator's state at ``version`` equals
+    ``desired`` exactly, whichever load path Spark takes.
+
+    Tombstones must cover every key that could exist in the state the
+    restarted query replays the new delta ON TOP OF — state at
+    ``version - 1`` — plus every key the ORIGINAL ``{version}.delta``
+    touched (a key the old delta tombstoned is absent from state AT
+    ``version``, so diffing against that would silently resurrect it).
+    Extra tombstones for never-present keys are harmless no-ops.
+
+    If store maintenance already wrote ``{version}.snapshot``, both Spark's
+    HDFSBackedStateStoreProvider and our reader load it directly and never
+    replay the delta — so the snapshot is rewritten too (snapshots carry no
+    tombstones: exactly the desired entries)."""
+    base_keys = set(_load_partition_state(pdir, version - 1))
+    old_delta = os.path.join(pdir, f"{version}.delta")
+    if os.path.exists(old_delta):
+        for kb, _ in _iter_records(decode_stream(open(old_delta, "rb").read())):
+            base_keys.add(kb)
+
+    payload = bytearray()
+    for kb, vb in desired.items():
+        payload += struct.pack(">i", len(kb)) + kb
+        payload += struct.pack(">i", len(vb)) + vb
+    for kb in base_keys:
+        if kb not in desired:
+            payload += struct.pack(">i", len(kb)) + kb
+            payload += struct.pack(">i", -1)
+    payload += struct.pack(">i", -1)
+    tmp = os.path.join(pdir, f".{version}.delta.tmp")
+    with open(tmp, "wb") as f:
+        f.write(encode_stream_snappy(bytes(payload)))
+    os.replace(tmp, old_delta)
+    _finalize_state_file(old_delta)
+
+    snap = os.path.join(pdir, f"{version}.snapshot")
+    if os.path.exists(snap):
+        spayload = bytearray()
+        for kb, vb in desired.items():
+            spayload += struct.pack(">i", len(kb)) + kb
+            spayload += struct.pack(">i", len(vb)) + vb
+        spayload += struct.pack(">i", -1)
+        stmp = os.path.join(pdir, f".{version}.snapshot.tmp")
+        with open(stmp, "wb") as f:
+            f.write(encode_stream_snappy(bytes(spayload)))
+        os.replace(stmp, snap)
+        _finalize_state_file(snap)

@@ -237,3 +237,25 @@ def test_dedup_against_corpus_flags(spark):
     assert got[500] == (1, 1)          # verbatim copy: exact AND near
     assert got.get(501, (0, 0))[1] == 1  # perturbed copy: near
     assert 502 not in got              # novel doc: unflagged
+
+
+def test_release_caches_leaves_cache_manager_empty(spark):
+    """Every llmops entry point that caches an intermediate registers it for
+    release: after evaluation + release_caches(), Spark's CacheManager must
+    hold nothing (long sessions stay memory-bounded)."""
+    spark.catalog.clearCache()
+    df, _ = _corpus(spark)
+    llmops.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    pairs = llmops.minhash_lsh_pairs(df, "doc_id", "text")
+    llmops.connected_components(pairs).collect()
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    llmops.embedding_near_dup_pairs(
+        vecs, "vec_id", "embedding", threshold=0.9, dim=8
+    ).collect()
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    llmops.release_caches()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert llmops._LIVE_CACHES == []

@@ -101,6 +101,36 @@ def test_ngram_jaccard_caps_posting_lists(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_ngram_jaccard_never_hints_per_document_broadcast(spark):
+    # the sizes relation has one row PER DOCUMENT (≈10⁹ rows at 100 TB) —
+    # an explicit F.broadcast on it is a driver-side scale-killer. With
+    # auto-broadcast disabled, any BroadcastExchange left in the plan can
+    # only come from a hint, so the plan must have none (AQE may still
+    # broadcast at runtime when the relation is GENUINELY small — that is
+    # the desired behavior and doesn't show in the static plan).
+    from bravo_spark import catalog, llmops
+
+    docs = catalog.table(spark, SF, "documents")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable auto-broadcast BEFORE building (cache() plans its fragment
+    # eagerly) so any BroadcastExchange left can only come from a hint;
+    # drop cached fragments from earlier tests, which were planned with
+    # auto-broadcast on and would be substituted into this plan
+    llmops.release_caches()
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = llmops.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_shingle_df=100
+        )
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in p
+        assert "CartesianProduct" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        llmops.release_caches()
+
+
 def test_range_join_keeps_equi_component(plans):
     # the time band must ride on the user_id hash join as a post-filter;
     # a cross product here is quadratic at scale

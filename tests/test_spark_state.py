@@ -10,6 +10,8 @@ README.md:24-44)."""
 
 from __future__ import annotations
 
+import json
+import os
 import struct
 import uuid
 
@@ -175,6 +177,157 @@ def test_rewrite_then_restart(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(inp)
     out2 = _run_agg(spark, inp, ckpt)
     assert out2 == {"a": (103, 13), "b": (1, 7)}
+
+
+# ---------------------------------------------------------------------------
+# rewrite semantics on synthetic stores (tombstones, snapshots, type drift)
+# ---------------------------------------------------------------------------
+
+_KEY_SCHEMA = T.StructType([T.StructField("k", T.StringType())])
+_VAL_SCHEMA = T.StructType([T.StructField("cnt", T.LongType())])
+
+
+def _mk_store(tmp_path, n_parts=2):
+    """Synthetic HDFSBackedStateStoreProvider layout: schema file + helpers
+    to append delta/snapshot files built with the module's own encoders."""
+    ckpt = str(tmp_path / "ckpt")
+    sdir = ss._state_dir(ckpt, 0)
+    for pid in range(n_parts):
+        pdir = os.path.join(sdir, str(pid))
+        os.makedirs(pdir, exist_ok=True)
+        ss.write_state_schema(pdir, _KEY_SCHEMA, _VAL_SCHEMA)
+    return ckpt, sdir
+
+
+def _payload(entries):
+    out = bytearray()
+    for k, v in entries:
+        kb = ss.encode_unsafe_row((k,), _KEY_SCHEMA)
+        out += struct.pack(">i", len(kb)) + kb
+        if v is None:
+            out += struct.pack(">i", -1)
+        else:
+            vb = ss.encode_unsafe_row((v,), _VAL_SCHEMA)
+            out += struct.pack(">i", len(vb)) + vb
+    out += struct.pack(">i", -1)
+    return bytes(out)
+
+
+def _put_file(sdir, pid, name, entries):
+    with open(os.path.join(sdir, str(pid), name), "wb") as f:
+        f.write(ss.encode_stream_snappy(_payload(entries)))
+
+
+def _pid_of(spark, k, n):
+    return (
+        spark.createDataFrame([(k,)], "k string")
+        .select(F.pmod(F.hash("k"), F.lit(n)).cast("int").alias("p"))
+        .collect()[0]["p"]
+    )
+
+
+def test_rewrite_tombstones_keys_deleted_by_original_delta(spark, tmp_path):
+    """The decisive ADVICE case: the original {version}.delta tombstoned k2,
+    so k2 is absent from state AT version — but the restart replays the new
+    delta on top of version-1 state, where k2 exists. The rewritten delta
+    must re-tombstone it or k2 silently resurrects."""
+    ckpt, sdir = _mk_store(tmp_path, n_parts=1)
+    _put_file(sdir, 0, "1.delta", [("k1", 1), ("k2", 5)])
+    _put_file(sdir, 0, "2.delta", [("k1", 2), ("k2", None)])  # k2 tombstoned
+
+    keep = spark.createDataFrame([("k1", 2)], "k string, cnt long")
+    ss.write_spark_state(spark, ckpt, keep, version=2)
+
+    # replay exactly what a restarted query replays: v1 state + new 2.delta
+    replayed = ss._load_partition_state(os.path.join(sdir, "0"), 2)
+    decoded = {
+        ss.decode_unsafe_row(kb, _KEY_SCHEMA)[0]: ss.decode_unsafe_row(vb, _VAL_SCHEMA)[0]
+        for kb, vb in replayed.items()
+    }
+    assert decoded == {"k1": 2}, "tombstoned key resurrected by rewrite"
+
+
+def test_rewrite_replaces_maintenance_snapshot(spark, tmp_path):
+    """If maintenance wrote {version}.snapshot, Spark loads it directly and
+    never replays the delta — a delta-only rewrite would be a silent no-op."""
+    ckpt, sdir = _mk_store(tmp_path, n_parts=1)
+    _put_file(sdir, 0, "1.delta", [("a", 1), ("b", 2)])
+    _put_file(sdir, 0, "2.delta", [("a", 10)])
+    _put_file(sdir, 0, "2.snapshot", [("a", 10), ("b", 2)])
+
+    ss.write_spark_state(
+        spark, ckpt, spark.createDataFrame([("a", 99)], "k string, cnt long"), version=2
+    )
+    # snapshot load path (what Spark takes when the snapshot exists)
+    snap = ss.decode_stream(open(os.path.join(sdir, "0", "2.snapshot"), "rb").read())
+    got = {
+        ss.decode_unsafe_row(kb, _KEY_SCHEMA)[0]: ss.decode_unsafe_row(vb, _VAL_SCHEMA)[0]
+        for kb, vb in ss._iter_records(snap)
+        if vb is not None
+    }
+    assert got == {"a": 99}
+    # delta replay path agrees
+    replayed = ss._load_partition_state(os.path.join(sdir, "0"), 2)
+    assert {
+        ss.decode_unsafe_row(kb, _KEY_SCHEMA)[0] for kb in replayed
+    } == {"a"}
+
+
+def test_write_casts_drifted_key_types(spark, tmp_path):
+    """A patched df whose key column drifted to int must still route by the
+    store's LongType hash — Murmur3 hashes int and long differently."""
+    key_schema = T.StructType([T.StructField("k", T.LongType())])
+    val_schema = T.StructType([T.StructField("cnt", T.LongType())])
+    ckpt = str(tmp_path / "ckpt")
+    sdir = ss._state_dir(ckpt, 0)
+    n = 4
+    for pid in range(n):
+        pdir = os.path.join(sdir, str(pid))
+        os.makedirs(pdir)
+        ss.write_state_schema(pdir, key_schema, val_schema)
+        with open(os.path.join(pdir, "1.delta"), "wb") as f:
+            f.write(ss.encode_stream_snappy(struct.pack(">i", -1)))
+
+    drifted = spark.createDataFrame([(7, 3), (11, 4)], "k int, cnt int")
+    ss.write_spark_state(spark, ckpt, drifted, version=1)
+    got = ss.read_spark_state(spark, ckpt, version=1)
+    rows = {r["k"]: (r["partition_id"], r["cnt"]) for r in got.collect()}
+    exp_pids = {
+        r["k"]: r["p"]
+        for r in spark.createDataFrame([(7,), (11,)], "k long")
+        .select("k", F.pmod(F.hash("k"), F.lit(n)).cast("int").alias("p"))
+        .collect()
+    }
+    assert rows == {7: (exp_pids[7], 3), 11: (exp_pids[11], 4)}
+
+
+def test_schema_file_structural_parse_v1_v2_chunked():
+    def utf(s):
+        b = s.encode()
+        return struct.pack(">H", len(b)) + b
+
+    kj = json.dumps(_KEY_SCHEMA.jsonValue())
+    vj = json.dumps(_VAL_SCHEMA.jsonValue())
+    # v1: version tag + two bare writeUTF payloads
+    k, v = ss._parse_schema_file(utf("v1") + utf(kj) + utf(vj))
+    assert (k, v) == (_KEY_SCHEMA, _VAL_SCHEMA)
+    # v2 with a key schema split across chunks mid-token
+    half = len(kj) // 2
+    raw = (
+        utf("v2")
+        + struct.pack(">i", 2) + utf(kj[:half]) + utf(kj[half:])
+        + struct.pack(">i", 1) + utf(vj)
+    )
+    k, v = ss._parse_schema_file(raw)
+    assert (k, v) == (_KEY_SCHEMA, _VAL_SCHEMA)
+    with pytest.raises(ValueError, match="version tag"):
+        ss._parse_schema_file(utf("garbage") + utf(kj) + utf(vj))
+    # nested type parses structurally, then fails loudly in _check_schema
+    nested = T.StructType([T.StructField("s", T.StructType([T.StructField("x", T.LongType())]))])
+    nj = json.dumps(nested.jsonValue())
+    k, _ = ss._parse_schema_file(utf("v2") + struct.pack(">i", 1) + utf(nj) + struct.pack(">i", 1) + utf(vj))
+    with pytest.raises(ValueError, match="unsupported field type"):
+        ss._check_schema(k)
 
 
 def test_write_validates_missing_columns(spark, tmp_path):
