@@ -30,14 +30,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 + extensions."""
+    """One entry per implemented operator from SURVEY.md §2 + extensions,
+    ordered so the correctness gate's checked window covers every §2 row
+    and every flagship extension first (registry.GATE_PRIORITY)."""
     from bravo_spark.inventory import QUERIES
+    from bravo_spark.inventory.registry import gate_ordered
 
-    return dict(QUERIES)
+    return gate_ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query in ``queries()``."""
     from bravo_spark.inventory import ORACLES
+    from bravo_spark.inventory.registry import gate_ordered
 
-    return dict(ORACLES)
+    return gate_ordered(ORACLES)

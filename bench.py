@@ -63,19 +63,27 @@ def main() -> None:
     # warm the JVM + parquet footers once (not timed)
     qs["p1_value_kv"](spark, sf_dir).count()
 
-    # steady-state timing: run each query twice, report the faster run —
-    # the first pass pays one-time JVM whole-stage-codegen compilation
-    # (observed 2-10× inflation), which amortizes to zero on real workloads.
+    # steady-state timing: 1 untimed warm-up run (pays the one-time JVM
+    # whole-stage-codegen compilation, observed 2-10× inflation) + 3 timed
+    # runs; report the MIN with the per-query spread so a real plan
+    # regression is distinguishable from run-to-run jitter (streaming
+    # queries are ±2× noisy run-to-run).
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in names:
-        best, n = None, 0
-        for _ in range(2):
+        n = _run(qs[name](spark, sf_dir))  # warm-up, untimed
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             n = _run(qs[name](spark, sf_dir))
-            el = time.perf_counter() - t0
-            best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        spreads[name] = [round(r, 3) for r in sorted(runs)]
+        print(
+            f"# {name}: min={timings[name]:.3f}s max={max(runs):.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -86,6 +94,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

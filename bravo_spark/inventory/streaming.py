@@ -76,6 +76,67 @@ def streaming_window_counts(spark, sf_dir):
 
 
 @query(
+    "streaming_window_counts_watermarked",
+    oracle=(
+        "WITH wm AS (SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000"
+        " AS wm_us FROM events)"
+        " SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,"
+        " event_type, count(*) AS cnt,"
+        " CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value"
+        " FROM events, wm"
+        " GROUP BY 1, 2, wm_us"
+        " HAVING (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600)"
+        "  * 1000000 <= wm_us"
+    ),
+)
+def streaming_window_counts_watermarked(spark, sf_dir):
+    """The BOUNDED-STATE production shape of streaming_window_counts:
+    ``withWatermark("ts", "1 hour")`` + append mode, so state for a window
+    is dropped (and the window emitted exactly once) when the watermark
+    passes its end — at scale the store holds ~2 hours of windows instead
+    of all history, and the sink is append-only (no complete-mode rescan).
+
+    Determinism of the emitted set: availableNow processes the data, then
+    runs the trailing no-data micro-batch that advances the watermark to
+    ``max(event_time) - 1h`` and flushes every window whose end <= that
+    watermark (ms precision — Spark tracks watermarks in milliseconds).
+    The oracle computes exactly that closed-window set; open windows
+    (the last ~2 hours of the fixture) stay buffered, exactly as a live
+    query would hold them awaiting late data."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    name = f"stream_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
     "streaming_stateful_counts",
     oracle=(
         "SELECT user_id AS key, count(*) AS cnt,"

@@ -1,0 +1,62 @@
+"""Pins on the query registry and the correctness-gate window.
+
+The driver checks the FIRST 50 entries of ``queries()`` against their
+oracles. These tests pin that window's composition so adding a query can
+never silently push a SURVEY §2 operator or a flagship extension out of
+the gate.
+"""
+
+from __future__ import annotations
+
+from bravo_spark.inventory.registry import GATE_PRIORITY
+
+
+def _entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_gate_priority_is_exactly_the_window():
+    assert len(GATE_PRIORITY) == 50
+    assert len(set(GATE_PRIORITY)) == 50, "duplicate names in GATE_PRIORITY"
+
+
+def test_gate_priority_names_all_registered():
+    qs = _entry().queries()
+    missing = [n for n in GATE_PRIORITY if n not in qs]
+    assert not missing, f"GATE_PRIORITY names not registered: {missing}"
+
+
+def test_first_window_is_gate_priority_in_order():
+    qs = list(_entry().queries())
+    assert qs[: len(GATE_PRIORITY)] == GATE_PRIORITY
+
+
+def test_every_gate_query_has_an_oracle():
+    # the gate window must produce hash-checked rows, not weaker rows-only
+    # checks — so every windowed query needs DuckDB oracle SQL
+    osql = _entry().oracle_sql()
+    missing = [n for n in GATE_PRIORITY if n not in osql]
+    assert not missing, f"gate queries without oracles: {missing}"
+
+
+def test_flagship_families_inside_window():
+    window = set(GATE_PRIORITY)
+    for name in (
+        "snapshot_roundtrip", "checkpoint_roundtrip",
+        "spark_state_read", "spark_state_rewrite",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_embedding_lsh", "dedup_clusters", "dedup_incremental_batch",
+        "ann_cosine_topk", "ann_sketch_topk", "ann_ivf_topk",
+        "streaming_window_counts", "streaming_window_counts_watermarked",
+        "streaming_stream_stream_join",
+        "tpch_q1", "tpch_q3",
+    ):
+        assert name in window, f"{name} fell out of the correctness gate"
+
+
+def test_oracle_and_query_keys_consistent():
+    e = _entry()
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
