@@ -1,15 +1,88 @@
-"""Pure-Python raw LZ4 block decoder (lz4_Block_format.md).
+"""Pure-Python raw LZ4 block codec (lz4_Block_format.md).
 
 Used for RocksDB SST blocks (kLZ4Compression / kLZ4HCCompression — HC
 changes only the encoder's match search, the block format is identical)
 and for lz4-java's LZ4BlockOutputStream framing in Spark state files.
-Decode-only: everything we WRITE uses snappy, which round-trips with the
-sibling codec in ``codecs/snappy.py``. Pure Python is fine here — state
-and SST blocks are tens of KB and the engine's hot data path (parquet,
-shuffle) never goes through this module.
+``compress_block`` is a greedy single-candidate encoder — spec-valid
+output any LZ4 decoder accepts, tuned for correctness not ratio; it
+exists so ``SstWriter`` can emit lz4 blocks for fixtures and bootstrap.
+Pure Python is fine here — state and SST blocks are tens of KB and the
+engine's hot data path (parquet, shuffle) never goes through this module.
 """
 
 from __future__ import annotations
+
+# spec end-of-block rules (lz4_Block_format.md): the last 5 bytes are
+# always literals, and the last match must start >= 12 bytes before the
+# end of the block — inputs shorter than 13 bytes are literal-only.
+_MFLIMIT = 12
+_LAST_LITERALS = 5
+_MAX_OFFSET = 0xFFFF
+
+
+def _ext_len(out: bytearray, v: int) -> None:
+    # extended length: the token nibble holds 15, then 255-bytes + final
+    rem = v - 15
+    while rem >= 255:
+        out.append(255)
+        rem -= 255
+    out.append(rem)
+
+
+def _emit(
+    out: bytearray,
+    literals: bytes | memoryview,
+    offset: int | None = None,
+    mlen: int = 0,
+) -> None:
+    lit = len(literals)
+    tok_lit = 15 if lit >= 15 else lit
+    if offset is None:  # final sequence: literals only, no match part
+        out.append(tok_lit << 4)
+        if lit >= 15:
+            _ext_len(out, lit)
+        out += literals
+        return
+    m = mlen - 4  # minmatch is 4, encoded as 0
+    tok_m = 15 if m >= 15 else m
+    out.append((tok_lit << 4) | tok_m)
+    if lit >= 15:
+        _ext_len(out, lit)
+    out += literals
+    out.append(offset & 0xFF)
+    out.append(offset >> 8)
+    if m >= 15:
+        _ext_len(out, m)
+
+
+def compress_block(src: bytes) -> bytes:
+    """Encode ``src`` as one raw LZ4 block (greedy, 4-byte hash matches)."""
+    n = len(src)
+    out = bytearray()
+    if n < 13:
+        _emit(out, src)
+        return bytes(out)
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+    match_limit = n - _MFLIMIT
+    end_limit = n - _LAST_LITERALS
+    while i <= match_limit:
+        key = src[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > _MAX_OFFSET or src[cand : cand + 4] != key:
+            i += 1
+            continue
+        mlen = 4
+        cap = end_limit - i
+        while mlen < cap and src[cand + mlen] == src[i + mlen]:
+            mlen += 1
+        _emit(out, src[anchor:i], i - cand, mlen)
+        i += mlen
+        anchor = i
+    _emit(out, src[anchor:])
+    return bytes(out)
 
 
 def decompress_block(src: bytes, dlen: int) -> bytes:

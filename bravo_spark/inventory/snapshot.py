@@ -94,8 +94,11 @@ def checkpoint_roundtrip(spark, sf_dir):
 
     out = _os.path.join(_tempfile.gettempdir(), f"bravo_ckpt_rt_{_os.getpid()}")
     _shutil.rmtree(out, ignore_errors=True)
-    ck.write_sst_fixture(out, {"Count": l1})
-    ck.write_sst_fixture(out, {"Count": l0})
+    # mixed block codecs across levels, as a real RocksDB often has
+    # (bottommost_compression vs compression): the read path must
+    # dispatch snappy and lz4 blocks within one checkpoint
+    ck.write_sst_fixture(out, {"Count": l1}, compression=sstmod.SNAPPY_COMPRESSION)
+    ck.write_sst_fixture(out, {"Count": l0}, compression=sstmod.LZ4_COMPRESSION)
 
     rows = ck.read_incremental_checkpoint(spark, out)
     return sr.read_value_kv(rows, "Count", fc.LONG, fc.LONG)

@@ -270,9 +270,16 @@ class SstReader:
 
             return _sized_decompress(raw, bz2.decompress)
         if compression in (LZ4_COMPRESSION, LZ4HC_COMPRESSION):
-            # raw LZ4 blocks carry no length; compress_format_version 2
-            # always prepends the decompressed size as a varint32
-            size, pos = _read_uvarint(raw, 0)
+            # raw LZ4 blocks carry no length. compress_format_version is
+            # 2 for table format_version >= 2 (format.h
+            # GetCompressFormatForVersion): a varint32 decompressed size;
+            # version 1 (legacy tables) memcpy's the native size_t — an
+            # 8-byte little-endian length on every platform RocksDB ships.
+            if self.format_version >= 2:
+                size, pos = _read_uvarint(raw, 0)
+            else:
+                (size,) = struct.unpack("<Q", raw[:8])
+                pos = 8
             return plz4.decompress_block(raw[pos:], size)
         name = _UNSUPPORTED_COMPRESSION.get(compression, str(compression))
         raise ValueError(
@@ -466,6 +473,8 @@ class SstWriter:
             import bz2
 
             comp = _write_uvarint(len(content)) + bz2.compress(content)
+        elif compression in (LZ4_COMPRESSION, LZ4HC_COMPRESSION):
+            comp = _write_uvarint(len(content)) + plz4.compress_block(content)
         elif compression == NO_COMPRESSION:
             comp = None
         else:

@@ -243,6 +243,121 @@ def test_reader_zlib_format_v1_bare_stream(tmp_path):
     assert list(r.iter_entries()) == [(b"zk", 3, 1, b"zv" * 50)]
 
 
+def _hand_lz4_literal_run(data: bytes) -> bytes:
+    """Hand-encode ``data`` as a raw LZ4 block: one literal-only sequence
+    per lz4_Block_format.md (token high nibble 15 + 255-run extension).
+    Deliberately NOT codecs.lz4.compress_block — pins the reader to the
+    published format, not to our own encoder. Match-copy decode is pinned
+    separately by the golden vectors in test_spark_state.py."""
+    out = bytearray()
+    lit = len(data)
+    if lit < 15:
+        out.append(lit << 4)
+    else:
+        out.append(0xF0)
+        rem = lit - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += data
+    return bytes(out)
+
+
+def test_reader_parses_lz4_blocks_format_v2(tmp_path):
+    # format_version 2 table => compress_format_version 2: lz4 payload is
+    # varint32 decompressed size + raw block (rocksdb util/compression.h)
+    out = bytearray()
+
+    def emit(content: bytes, ctype: int) -> sst.BlockHandle:
+        h = sst.BlockHandle(len(out), len(content))
+        out.extend(content)
+        out.append(ctype)
+        out.extend(
+            struct.pack("<I", crc32c.mask(crc32c.crc32c(content + bytes([ctype]))))
+        )
+        return h
+
+    d1 = _block([(_ikey(b"k1", 5, 1), b"v1"), (_ikey(b"k2", 6, 1), b"v2")])
+    h1 = emit(_uvar(len(d1)) + _hand_lz4_literal_run(d1), sst.LZ4_COMPRESSION)
+    d2 = _block([(_ikey(b"k3", 7, 1), b"v3")])
+    # HC byte dispatches through the same block format
+    h2 = emit(_uvar(len(d2)) + _hand_lz4_literal_run(d2), sst.LZ4HC_COMPRESSION)
+    props = _block([(b"rocksdb.column.family.name", b"L")], restart_interval=1)
+    ph = emit(props, sst.NO_COMPRESSION)
+    mh = emit(_block([(b"rocksdb.properties", ph.encode())], restart_interval=1), 0)
+    ih = emit(
+        _block(
+            [(_ikey(b"k2", 6, 1), h1.encode()), (_ikey(b"k3", 7, 1), h2.encode())],
+            restart_interval=1,
+        ),
+        0,
+    )
+    handles = mh.encode() + ih.encode()
+    footer = bytes([1]) + handles + b"\x00" * (40 - len(handles))
+    footer += struct.pack("<I", 2) + struct.pack("<Q", sst.BLOCK_BASED_MAGIC)
+    p = tmp_path / "lz4.sst"
+    p.write_bytes(bytes(out) + footer)
+    r = sst.SstReader(str(p), verify_checksums=True)
+    assert r.column_family_name == "L"
+    assert list(r.iter_entries()) == [
+        (b"k1", 5, 1, b"v1"),
+        (b"k2", 6, 1, b"v2"),
+        (b"k3", 7, 1, b"v3"),
+    ]
+
+
+def test_reader_parses_lz4_legacy_8byte_size_prefix(tmp_path):
+    # pre-v2 tables (legacy footer): compress_format_version 1 memcpy's
+    # the native size_t -> 8-byte little-endian length before the block
+    out = bytearray()
+
+    def emit(content: bytes, ctype: int) -> sst.BlockHandle:
+        h = sst.BlockHandle(len(out), len(content))
+        out.extend(content)
+        out.append(ctype)
+        out.extend(
+            struct.pack("<I", crc32c.mask(crc32c.crc32c(content + bytes([ctype]))))
+        )
+        return h
+
+    d1 = _block([(_ikey(b"k", 9, 1), b"legacy-v")])
+    h1 = emit(
+        struct.pack("<Q", len(d1)) + _hand_lz4_literal_run(d1),
+        sst.LZ4_COMPRESSION,
+    )
+    props = _block([(b"rocksdb.column.family.name", b"S")], restart_interval=1)
+    ph = emit(props, sst.NO_COMPRESSION)
+    mh = emit(_block([(b"rocksdb.properties", ph.encode())], restart_interval=1), 0)
+    ih = emit(_block([(_ikey(b"k", 9, 1), h1.encode())], restart_interval=1), 0)
+    handles = mh.encode() + ih.encode()
+    footer = handles + b"\x00" * (40 - len(handles))
+    footer += struct.pack("<Q", sst.LEGACY_BLOCK_BASED_MAGIC)
+    p = tmp_path / "legacy_lz4.sst"
+    p.write_bytes(bytes(out) + footer)
+    r = sst.SstReader(str(p))
+    assert r.format_version == 0
+    assert list(r.iter_entries()) == [(b"k", 9, 1, b"legacy-v")]
+
+
+def test_writer_lz4_roundtrip(tmp_path):
+    for ctype in (sst.LZ4_COMPRESSION, sst.LZ4HC_COMPRESSION):
+        p = str(tmp_path / f"c{ctype}.sst")
+        rows = [
+            (f"k{i:04d}".encode(), i + 1, 1, b"payload" * 20) for i in range(200)
+        ]
+        with sst.SstWriter(
+            p, column_family="S", compression=ctype, block_size=1024
+        ) as w:
+            for k, s, t, v in rows:
+                w.add(k, s, t, v)
+        r = sst.SstReader(p, verify_checksums=True)
+        assert list(r.iter_entries()) == rows
+        assert any(
+            r._buf[h.offset + h.size] == ctype for h in r.iter_data_handles()
+        )
+
+
 def test_reader_names_unsupported_compression(tmp_path):
     out = bytearray()
 
@@ -401,6 +516,42 @@ def test_checkpoint_lsm_semantics(spark, tmp_path):
     )
     # merge operands concatenated oldest→newest with the ',' delimiter
     assert lists == [(7, [70, 71])]
+
+
+def test_checkpoint_lz4_compressed_ssts(spark, tmp_path):
+    # checkpoint_roundtrip variant: the same LSM shadow/tombstone fixture
+    # with every SST's data blocks lz4-compressed (kLZ4Compression)
+    d = str(tmp_path / "ckpt_lz4")
+    ck.write_sst_fixture(
+        d,
+        {
+            "Count": [
+                (_kns(1), 10, sst.TYPE_VALUE, fc.encode_value_state(100, fc.INT)),
+                (_kns(2), 11, sst.TYPE_VALUE, fc.encode_value_state(200, fc.INT)),
+            ],
+        },
+        compression=sst.LZ4_COMPRESSION,
+        block_size=64,  # force several lz4 blocks, not one
+    )
+    ck.write_sst_fixture(
+        d,
+        {
+            "Count": [
+                (_kns(1), 20, sst.TYPE_VALUE, fc.encode_value_state(111, fc.INT)),
+                (_kns(2), 21, sst.TYPE_DELETION, b""),
+                (_kns(3), 22, sst.TYPE_VALUE, fc.encode_value_state(300, fc.INT)),
+            ],
+        },
+        compression=sst.LZ4_COMPRESSION,
+        block_size=64,
+    )
+    rows = ck.read_incremental_checkpoint(spark, d)
+    from bravo_spark.sources import staterows as sr
+
+    counts = sorted(
+        tuple(r) for r in sr.read_value_kv(rows, "Count", fc.INT, fc.INT).collect()
+    )
+    assert counts == [(1, 111), (3, 300)]
 
 
 def test_checkpoint_state_name_pushdown(spark, tmp_path):
