@@ -454,3 +454,211 @@ def ann_recall_eval(spark, sf_dir):
             (F.count("hit").cast("double") / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+# --- clustered-fixture IVF: Lloyd refinement demonstrated where IVF is
+# actually applicable (reference has no ANN at all; this is extension
+# surface measured honestly — the structureless-fixture evals above stay
+# as the pessimistic bound) ---------------------------------------------
+#
+# The fixture derives a CLUSTERED 16-dim integer-component vector set from
+# the embeddings table's vec_ids: cluster t = md5(id) % 12 (hash-based, so
+# the 12 seed vectors id<12 do NOT land one-per-cluster), vector =
+# 2*center(t) + md5 noise in [-3,3]. Integer components make every Lloyd
+# mean EXACT cross-engine (bigint sum / count in IEEE double), so the
+# refined centroids — and everything downstream — hash-match DuckDB.
+
+_CK = 12  # true clusters == k-means k
+_CDIM = 16
+_CSCALE = 2
+_CNPROBE = 1
+_LLOYD_ITERS = 2
+
+_CLUSTER_ID_SPARK = (
+    "(CAST(conv(substring(md5(concat('c', vec_id)), 1, 8), 16, 10) AS BIGINT)"
+    f" % {_CK})"
+)
+_CV_SPARK = (
+    f"transform(sequence(0, {_CDIM - 1}), d -> CAST("
+    f" {_CSCALE}*((({_CLUSTER_ID_SPARK}*37 + d*11) % 19) - 9)"
+    " + (CAST(conv(substring(md5(concat(vec_id, '_', d)), 1, 8), 16, 10)"
+    "    AS BIGINT) % 7 - 3)"
+    " AS DOUBLE))"
+)
+
+_CLUSTER_ID_DUCK = (
+    "(CAST(('0x' || substr(md5(concat('c', vec_id)), 1, 8)) AS BIGINT)"
+    f" % {_CK})"
+)
+_CV_DUCK = (
+    f"list_transform(range(0, {_CDIM}), d -> CAST("
+    f" {_CSCALE}*((({_CLUSTER_ID_DUCK}*37 + d*11) % 19) - 9)"
+    " + (CAST(('0x' || substr(md5(concat(vec_id, '_', d)), 1, 8)) AS BIGINT)"
+    "    % 7 - 3)"
+    " AS DOUBLE))"
+)
+
+_CCOS = (
+    f"{_DOT.format(a='{a}', b='{b}')} / (sqrt({_DOT.format(a='{a}', b='{a}')})"
+    f" * sqrt({_DOT.format(a='{b}', b='{b}')}))"
+)
+
+
+def _lloyd_ctes() -> str:
+    """The shared oracle prefix: fixture + _LLOYD_ITERS assignment/update
+    rounds, ending in a centroid relation named ``cent_f``."""
+
+    def _asg(cent_rel: str) -> str:
+        return f"""
+  SELECT id, e, cid FROM (
+    SELECT v.id, v.e, c.cid,
+      row_number() OVER (PARTITION BY v.id ORDER BY
+        {_CCOS.format(a='v.e', b='c.ce')} DESC, c.cid) rn
+    FROM cv v CROSS JOIN {cent_rel} c) t WHERE rn = 1"""
+
+    def _cent(asg_rel: str) -> str:
+        return f"""
+  SELECT cid, list(m ORDER BY pos) AS ce FROM (
+    SELECT a.cid, d.pos,
+      CAST(CAST(sum(a.e[d.pos + 1]) AS BIGINT) AS DOUBLE) / count(*) AS m
+    FROM {asg_rel} a CROSS JOIN dims d GROUP BY a.cid, d.pos) GROUP BY cid"""
+
+    ctes = [
+        f"""cv AS (
+  SELECT vec_id AS id, {_CV_DUCK} AS e FROM embeddings)""",
+        f"seeds AS (SELECT id AS cid, e AS ce FROM cv WHERE id < {_CK})",
+        f"dims AS (SELECT unnest(range(0, {_CDIM})) AS pos)",
+    ]
+    prev = "seeds"
+    for i in range(_LLOYD_ITERS):
+        ctes.append(f"asg{i} AS ({_asg(prev)})")
+        ctes.append(f"cent{i} AS ({_cent(f'asg{i}')})")
+        prev = f"cent{i}"
+    ctes.append(f"cent_f AS (SELECT * FROM {prev})")
+    return ",\n".join(ctes)
+
+
+_LLOYD_CENT_ORACLE = f"""
+WITH {_lloyd_ctes()}
+SELECT cid, CAST(d.pos AS INTEGER) AS pos, ce[d.pos + 1] AS centroid
+FROM cent_f CROSS JOIN dims d
+"""
+
+_IVF_CLUSTERED_ORACLE = f"""
+WITH {_lloyd_ctes()},
+asg_f AS (
+  SELECT id, e, cid FROM (
+    SELECT v.id, v.e, c.cid,
+      row_number() OVER (PARTITION BY v.id ORDER BY
+        {_CCOS.format(a='v.e', b='c.ce')} DESC, c.cid) rn
+    FROM cv v CROSS JOIN cent_f c) t WHERE rn = 1),
+probes AS (
+  SELECT id AS query_id, e AS qe, cid FROM (
+    SELECT v.id, v.e, c.cid,
+      row_number() OVER (PARTITION BY v.id ORDER BY
+        {_CCOS.format(a='v.e', b='c.ce')} DESC, c.cid) rn
+    FROM cv v CROSS JOIN cent_f c WHERE v.id < {N_QUERIES}) t
+  WHERE rn <= {_CNPROBE}),
+ivf_tk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.id AS neighbor_id,
+      row_number() OVER (PARTITION BY p.query_id ORDER BY
+        {_CCOS.format(a='p.qe', b='a.e')} DESC, a.id) AS rank
+    FROM probes p JOIN asg_f a ON a.cid = p.cid AND a.id <> p.query_id) r
+  WHERE rank <= {TOP_K}),
+exact_tk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.id AS query_id, c.id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.id ORDER BY
+        {_CCOS.format(a='q.e', b='c.e')} DESC, c.id) AS rank
+    FROM cv q JOIN cv c ON q.id <> c.id WHERE q.id < {N_QUERIES}) r
+  WHERE rank <= {TOP_K})
+SELECT e.query_id AS query_id,
+  CAST(count(l.neighbor_id) AS BIGINT) AS hits,
+  CAST(count(l.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM exact_tk e LEFT JOIN ivf_tk l
+  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+def _clustered_cv(spark, sf_dir):
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    return emb.select(F.col("vec_id").alias("id"), F.expr(_CV_SPARK).alias("e"))
+
+
+def _lloyd_refine(cv):
+    """_LLOYD_ITERS Lloyd rounds as pure DataFrame ops (no driver collect:
+    the centroid relation is K×D rows, broadcast between rounds). Means are
+    bigint-sum / count — exact for the integer-component fixture, so the
+    result is bit-identical to the DuckDB oracle."""
+    cent = cv.filter(F.col("id") < _CK).select(
+        F.col("id").alias("cid"), F.col("e").alias("ce")
+    )
+    for _ in range(_LLOYD_ITERS):
+        ccos = _dot_col(F.col("e"), F.col("ce")) / (
+            _norm_col(F.col("e")) * _norm_col(F.col("ce"))
+        )
+        wc = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
+        assigned = (
+            cv.join(F.broadcast(cent))
+            .select("id", "e", "cid", ccos.alias("ccos"))
+            .withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("e").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                (F.sum("x").cast("bigint").cast("double") / F.count("*")).alias("m")
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.expr("transform(pm, p -> p.m)").alias("ce"))
+        )
+    return cent
+
+
+@query("kmeans_lloyd_centroids", oracle=_LLOYD_CENT_ORACLE)
+def kmeans_lloyd_centroids(spark, sf_dir):
+    """Lloyd k-means refinement pinned cross-engine: every (cluster, dim)
+    centroid coordinate after 2 assignment/update rounds hash-matches the
+    unrolled DuckDB computation. Companion API: llmops.kmeans_centroids
+    (decimal-mean variant for arbitrary float corpora)."""
+    return _lloyd_refine(_clustered_cv(spark, sf_dir)).select(
+        "cid", F.posexplode("ce").alias("pos", "centroid")
+    )
+
+
+@query("ann_ivf_clustered_recall", oracle=_IVF_CLUSTERED_ORACLE)
+def ann_ivf_clustered_recall(spark, sf_dir):
+    """IVF-flat on data IVF is FOR — hash-clustered vectors, Lloyd-refined
+    centroids, single-probe (each query scans ~1/12 of the corpus): recall
+    0.96 at k=5, vs 0.30 single-probe on the structureless fixture
+    (ann_ivf_recall_eval). tests/test_llmops.py gates the mean at >=0.8."""
+    from bravo_spark import llmops
+
+    cv = _clustered_cv(spark, sf_dir)
+    cent = _lloyd_refine(cv).select(
+        F.col("cid").alias("id"), F.col("ce").alias("e")
+    )
+    ivf = llmops.ivf_topk(
+        cv,
+        cv.filter(F.col("id") < N_QUERIES),
+        cent,
+        id_col="id",
+        vec_col="e",
+        k=TOP_K,
+        n_probe=_CNPROBE,
+    ).select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    exact = llmops.cosine_topk(
+        cv, cv.filter(F.col("id") < N_QUERIES), id_col="id", vec_col="e", k=TOP_K
+    ).select("query_id", "neighbor_id")
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            (F.count("hit").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )
