@@ -72,6 +72,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``table`` + a round-robin repartition to the session's parallelism,
+    applied ONLY when the scan yields fewer splits than cores. The fixture
+    parquet is a single row group, so Spark's byte-range splitting cannot
+    parallelize it and every map stage above it runs on one core — fatal
+    for CPU-heavy per-document work (digests, regex shingling). At
+    production scale inputs carry many row groups/files, the condition is
+    false, and this is a plain scan with no extra shuffle."""
+    df = table(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, cores // 2):
+        df = df.repartition(cores)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

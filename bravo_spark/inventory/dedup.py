@@ -89,7 +89,7 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_T}
 def dedup_ngram_jaccard(spark, sf_dir):
     from bravo_spark import llmops
 
-    docs = catalog.table(spark, sf_dir, "documents")
+    docs = catalog.table_spread(spark, sf_dir, "documents")
     return llmops.ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=_JACCARD_T,
         max_shingle_df=_MAX_SHINGLE_DF,
@@ -104,18 +104,22 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
-# 32-bit hash of a shingle under permutation j, derived purely from md5 so
-# Spark and DuckDB agree bit-for-bit: hex32(md5(j || ':' || shingle)).
+# 32-bit hash of a shingle under permutation j: the two 32-bit halves of ONE
+# md5 digest combine as (a + j·b) mod 2^32 (Kirsch–Mitzenmacher double
+# hashing) — one digest per shingle instead of N_HASHES, bit-identical on
+# both engines. Matches llmops.minhash_signatures exactly.
 
 
 def _h32_spark(j: int) -> str:
-    return (
-        f"cast(conv(substring(md5(concat('{j}', ':', sh)), 1, 8), 16, 10) AS BIGINT)"
-    )
+    a = "cast(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)"
+    b = "cast(conv(substring(md5(sh), 9, 8), 16, 10) AS BIGINT)"
+    return f"({a} + {j} * {b}) % 4294967296"
 
 
 def _h32_duck(j: int) -> str:
-    return f"CAST(('0x' || substr(md5(concat('{j}', ':', sh)), 1, 8)) AS BIGINT)"
+    a = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
+    b = "CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT)"
+    return f"({a} + {j} * {b}) % 4294967296"
 
 
 def _minhash_sql(dialect: str) -> str:
@@ -163,10 +167,11 @@ def _lsh_pairs_sql(dialect: str) -> str:
 @query("dedup_minhash_signatures", oracle=_minhash_sql("duckdb"))
 def dedup_minhash_signatures(spark, sf_dir):
     """Per-doc MinHash signature (16 hashes) — the building block; computed
-    with one shuffle (groupBy doc) over the shingle relation."""
+    entirely map-side (per-doc shingle arrays, one md5 per shingle,
+    permutations by double hashing): zero shuffles."""
     from bravo_spark import llmops
 
-    docs = catalog.table(spark, sf_dir, "documents")
+    docs = catalog.table_spread(spark, sf_dir, "documents")
     return llmops.minhash_signatures(docs, "doc_id", "text", n_hashes=N_HASHES)
 
 
@@ -178,7 +183,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     kept as the oracle would evaluate the signature pipeline twice)."""
     from bravo_spark import llmops
 
-    docs = catalog.table(spark, sf_dir, "documents")
+    docs = catalog.table_spread(spark, sf_dir, "documents")
     return llmops.minhash_lsh_pairs(
         docs, "doc_id", "text", n_hashes=N_HASHES, n_bands=N_BANDS
     )
@@ -220,7 +225,7 @@ def dedup_simhash(spark, sf_dir):
     its bytes) — no pairwise join."""
     from bravo_spark import llmops
 
-    docs = catalog.table(spark, sf_dir, "documents")
+    docs = catalog.table_spread(spark, sf_dir, "documents")
     return llmops.simhash32(docs, "doc_id", "text")
 
 
@@ -402,7 +407,7 @@ def decontaminate_overlap(spark, sf_dir):
     shingles, one shuffle on the train side."""
     from bravo_spark import llmops
 
-    docs = catalog.table(spark, sf_dir, "documents")
+    docs = catalog.table_spread(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)
     return llmops.decontaminate(tr, ev, "doc_id", "text", n=_DECON_N)
@@ -451,7 +456,7 @@ def dedup_incremental_batch(spark, sf_dir):
     """New-batch-vs-corpus dedup flags via llmops.dedup_against_corpus."""
     from bravo_spark import llmops
 
-    docs = catalog.table(spark, sf_dir, "documents")
+    docs = catalog.table_spread(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return llmops.dedup_against_corpus(

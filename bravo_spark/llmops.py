@@ -123,14 +123,34 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, n_hashes: int = 16, n: int = 3
 ) -> DataFrame:
-    """(id, m0..m{n_hashes-1}): one shuffle (groupBy id) over the shingle
-    relation; each permutation is an independent md5-derived hash."""
-    sh = shingles(df, id_col, text_col, n)
+    """(doc_id, m0..m{n_hashes-1}), computed entirely map-side: the distinct
+    shingle set is a per-document array (set semantics via array_distinct —
+    no global distinct shuffle), each shingle is digested ONCE, and the
+    n_hashes permutations derive from the two md5 halves as
+    ``(a + j·b) mod 2^32`` (Kirsch–Mitzenmacher double hashing). Zero
+    shuffles and one digest per shingle — at 100 TB the signatures pipeline
+    with the scan; the only shuffle in a minhash dedup is the band join."""
+    idx = ", ".join(f"ws[i+{k}]" for k in range(n))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)").alias("ws"),
+    ).filter(F.size("ws") >= n)
+    ab = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(array_distinct(transform(sequence(0, size(ws)-{n}),"
+            f" i -> concat_ws(' ', {idx}))),"
+            " s -> struct("
+            "cast(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) AS ha,"
+            " cast(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT) AS hb))"
+        ).alias("hs"),
+    )
     mins = [
-        F.min(F.expr(_h32(f"concat('{j}', ':', sh)"))).alias(f"m{j}")
+        F.expr(f"array_min(transform(hs, h -> (h.ha + {j} * h.hb) % 4294967296))")
+        .alias(f"m{j}")
         for j in range(n_hashes)
     ]
-    return sh.groupBy(F.col("id").alias("doc_id")).agg(*mins)
+    return ab.select("doc_id", *mins)
 
 
 def minhash_bands(
@@ -148,18 +168,15 @@ def minhash_bands(
     incremental dedup against an existing corpus (dedup_against_corpus)."""
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, n=n)
-    band_cols = []
+    entries = []
     for b in range(n_bands):
         cols = ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
-        band_cols.append(F.expr(f"md5(concat_ws('_', {cols}))").alias(f"band{b}"))
-    banded = sig.select("doc_id", *band_cols)
-    stacked = None
-    for b in range(n_bands):
-        part = banded.select(
-            "doc_id", F.col(f"band{b}").alias("bh"), F.lit(f"band{b}").alias("bi")
-        )
-        stacked = part if stacked is None else stacked.unionByName(part)
-    return stacked
+        entries.append(f"'band{b}', md5(concat_ws('_', {cols}))")
+    # single explode pass — a union of per-band projections would recompute
+    # the whole signature pipeline once per band
+    return sig.select(
+        "doc_id", F.explode(F.expr(f"map({', '.join(entries)})")).alias("bi", "bh")
+    ).select("doc_id", "bh", "bi")
 
 
 def minhash_lsh_pairs(
