@@ -465,3 +465,69 @@ def _normalize_sql(dialect: str) -> str:
 @query("text_normalize", oracle=_normalize_sql("duckdb"))
 def text_normalize(spark, sf_dir):
     return spark.sql(_normalize_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: full-text ranking over the corpus for a fixed query set.
+# Rational-idf BM25 (see llmops.bm25_topk) — every score is an exact
+# integer ratio summed in micro-units, so even the ranking scores
+# hash-match the oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (0, ("hash", "table", "scan")),
+    (1, ("merge", "batch", "row")),
+    (2, ("slow", "fast", "value")),
+]
+_BM25_K = 10
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM dl
+), q(query_id, term) AS (VALUES {vals}),
+hits AS (
+  SELECT query_id, term, doc_id, count(*) AS tf
+  FROM toks JOIN q ON tok = term GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS dfreq FROM hits GROUP BY 1
+), scored AS (
+  SELECT query_id, doc_id,
+    CAST(SUM(CAST((CAST(22 AS HUGEINT) * total_toks * tf
+              * (2*n_docs - 2*dfreq + 1) * 1000000)
+        // (CAST(2*dfreq + 1 AS HUGEINT)
+            * (10*total_toks*tf + 3*total_toks + 9*dl.dl*n_docs))
+        AS BIGINT)) AS BIGINT) AS score_e6
+  FROM hits JOIN dl USING (doc_id) JOIN dfreq USING (term), stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_e6, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score_e6 DESC, doc_id) AS rank
+  FROM scored) r
+WHERE rank <= {_BM25_K}
+"""
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark, sf_dir):
+    """Top-10 documents per query by BM25 (llmops.bm25_topk): broadcast
+    query terms, doc-keyed tf/dl shuffles, term-count-sized df/stats
+    broadcasts — the retrieval shape that scales to the full corpus."""
+    from bravo_spark import llmops
+
+    docs = catalog.table_spread(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    return llmops.bm25_topk(docs, qdf, "doc_id", "text", k=_BM25_K)

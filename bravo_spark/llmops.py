@@ -401,6 +401,79 @@ def cosine_topk(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Top-k documents per query by BM25: (query_id, doc_id, score_e6,
+    rank). ``queries`` is a small (query_id, term) relation — broadcast.
+
+    Scoring is the log-free rational-idf BM25 variant with k1=6/5, b=3/4:
+    idf(t) = (N - df + ½)/(df + ½) (Robertson–Spärck Jones without the
+    log). Every per-term score is then an exact ratio of integers, so it
+    is computed in DECIMAL(38,0) and emitted as micro-units
+    (``score_e6 = Σ_t ⌊10⁶·P_t/Q_t⌋``, a BIGINT): bit-identical across
+    engines and an ORDER-FREE integer sum — no float summation anywhere.
+    With P = 22·T·tf·(2N−2df+1) and Q = (2df+1)·(10·T·tf + 3T + 9·dl·N),
+    where T = total corpus tokens, dl = document length.
+
+    Scale: tokenize+tf shuffles on doc_id only; df(t) and the (N, T)
+    stats are term-count-sized and broadcast; the final top-k windows by
+    query_id. No doc×doc or doc×corpus products anywhere."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
+    ).distinct()
+    hits = (
+        toks.join(F.broadcast(qt), toks.tok == qt.term)
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = (
+        hits.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("dfreq"))
+    )
+    units = F.expr(
+        "CAST(CAST(22 AS DECIMAL(38,0)) * total_toks * tf"
+        " * (2*n_docs - 2*dfreq + 1) * 1000000 AS DECIMAL(38,0))"
+        " div (CAST(2*dfreq + 1 AS DECIMAL(38,0))"
+        " * (10*total_toks*tf + 3*total_toks + 9*dl*n_docs))"
+    )
+    scored = (
+        hits.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", units.alias("u"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("u").alias("score_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_e6", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sketch-and-rescore ANN: wide bit signatures + Hamming ranking + exact
 # rescore. On data without cluster structure, single-bucket LSH recall

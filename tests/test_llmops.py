@@ -270,3 +270,34 @@ def test_ivf_clustered_recall_gate(spark, sf_dir):
     rows = ann_ivf_clustered_recall(spark, sf_dir).collect()
     mean = sum(r["recall_at_k"] for r in rows) / len(rows)
     assert mean >= 0.8, f"clustered IVF recall {mean:.2f} < 0.8"
+
+
+def test_bm25_ranks_relevant_and_rare_terms_first(spark):
+    """BM25 retrieval properties on a hand-built corpus: a document dense
+    in the query term outranks one that mentions it once, and a rare-term
+    match outranks a common-term match (idf)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra grazing"),
+            (2, "zebra in the savanna with many other animals around it"),
+            (3, "the common word appears here like everywhere"),
+            (4, "the common word and one okapi sighting"),
+            (5, "the common word again and again the common word"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "zebra"), (1, "okapi"), (1, "common")],
+        "query_id int, term string",
+    )
+    rows = llmops.bm25_topk(docs, queries, "doc_id", "text", k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    q0 = [d for _, d in sorted(by_q[0])]
+    assert q0 == [1, 2], f"tf ordering wrong: {q0}"
+    # query 1: doc 4 matches the rare 'okapi' plus 'common'; docs 3/5 match
+    # only the ubiquitous 'common' — idf must put doc 4 first
+    q1 = [d for _, d in sorted(by_q[1])]
+    assert q1[0] == 4, f"idf ordering wrong: {q1}"
+    assert set(q1) == {3, 4, 5}
