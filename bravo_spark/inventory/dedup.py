@@ -462,3 +462,41 @@ def dedup_incremental_batch(spark, sf_dir):
     return llmops.dedup_against_corpus(
         new, corpus, "doc_id", "text", n_hashes=N_HASHES, n_bands=N_BANDS
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022): documents sharing any exact run
+# of WINDOW consecutive tokens — the distributed inverted-window equivalent
+# of the paper's suffix-array dedup (llmops.substring_collision_pairs).
+# ---------------------------------------------------------------------------
+
+_SUB_WINDOW = 15
+
+
+def _substring_oracle() -> str:
+    n = _SUB_WINDOW
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
+  FROM documents
+), wins AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+{n - 1}], ' ')) AS w
+  FROM (
+    SELECT doc_id, ws, unnest(range(1, len(ws) - {n} + 2)) AS i
+    FROM toks WHERE len(ws) >= {n})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("dedup_substring", oracle=_substring_oracle())
+def dedup_substring(spark, sf_dir):
+    """Exact {n}-token substring collision pairs over the corpus."""
+    from bravo_spark import llmops
+
+    docs = catalog.table_spread(spark, sf_dir, "documents")
+    return llmops.substring_collision_pairs(
+        docs, "doc_id", "text", window=_SUB_WINDOW
+    )

@@ -120,6 +120,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def substring_collision_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 20,
+    max_window_df: int | None = None,
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): pairs of documents sharing at least one
+    EXACT run of ``window`` consecutive tokens, with the count of distinct
+    shared windows — (doc_a, doc_b, n_shared). The suffix-array construction
+    of the paper is replaced by the distributed equivalent: an inverted index
+    of fixed-length token windows, which finds the same ≥window-token overlaps
+    without any global sort.
+
+    Scale: windows are md5-digested BEFORE the shuffle so the exchange moves
+    32-byte keys, not ~100-char strings; shuffles on window-hash only (never
+    doc²). ``max_window_df`` drops degenerate windows (boilerplate headers)
+    appearing in more than that many documents, bounding every posting list —
+    same skew bound as ``ngram_jaccard_pairs``."""
+    w = (
+        shingles(df, id_col, text_col, window)
+        .select("id", F.md5("sh").alias("w"))
+    )
+    if max_window_df is not None:
+        rare = (
+            w.groupBy("w")
+            .agg(F.count("*").alias("dfc"))
+            .filter(F.col("dfc") <= max_window_df)
+            .select("w")
+        )
+        w = w.join(rare, "w")
+    a, b = w.alias("a"), w.alias("b")
+    return (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, n_hashes: int = 16, n: int = 3
 ) -> DataFrame:

@@ -301,3 +301,29 @@ def test_bm25_ranks_relevant_and_rare_terms_first(spark):
     q1 = [d for _, d in sorted(by_q[1])]
     assert q1[0] == 4, f"idf ordering wrong: {q1}"
     assert set(q1) == {3, 4, 5}
+
+
+def test_substring_collisions_find_exact_run_only(spark):
+    """Docs sharing an exact 15-token run collide; docs with shorter shared
+    runs or mere vocabulary overlap do not."""
+    rng = random.Random(3)
+    run = " ".join(rng.choice(WORDS) for _ in range(15))
+    short_run = " ".join(rng.choice(WORDS) for _ in range(10))
+    pad = lambda: " ".join(rng.choice(WORDS) for _ in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, pad() + " " + run + " " + pad()),
+            (2, run + " " + pad()),
+            (3, pad() + " " + short_run),
+            (4, short_run + " " + pad()),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in llmops.substring_collision_pairs(
+            docs, "doc_id", "text", window=15
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (3, 4) not in pairs
