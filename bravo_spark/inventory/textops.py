@@ -531,3 +531,58 @@ def text_bm25_topk(spark, sf_dir):
         "query_id int, term string",
     )
     return llmops.bm25_topk(docs, qdf, "doc_id", "text", k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# Composed quality-filter pipeline: Gopher/C4-style named rules evaluated
+# in one map-side pass, each emitted as a flag plus the final keep decision
+# (so a pipeline can audit WHY a document was dropped, not just that it
+# was). All-expression, no UDFs — at 100 TB this is a pure scan+project.
+# Rules follow Rae et al. 2021 (Gopher §A1.1) and Raffel et al. 2020 (C4):
+# word-count bounds, mean-word-length band, symbol ratio, stopword floor.
+# ---------------------------------------------------------------------------
+
+
+def _quality_filter_sql(dialect: str) -> str:
+    n_words = (
+        f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))"
+        if dialect == "spark"
+        else f"len(regexp_extract_all(lower(text), '{TOKEN_RE}'))"
+    )
+    alpha = (
+        "length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+        if dialect == "duckdb"
+        else "length(regexp_replace(lower(text), '[^a-z0-9]', ''))"
+    )
+    # count of ' the ' occurrences as the stopword proxy (dialect-identical)
+    stop_hits = (
+        "CAST((length(concat(' ', lower(text), ' ')) -"
+        " length(replace(concat(' ', lower(text), ' '), ' the ', ''))) / 5"
+        " AS BIGINT)"
+    )
+    return f"""
+SELECT doc_id,
+  CASE WHEN n_words < 50 THEN 1 ELSE 0 END AS flag_too_short,
+  CASE WHEN n_words > 10000 THEN 1 ELSE 0 END AS flag_too_long,
+  CASE WHEN n_words > 0 AND (CAST(alpha_chars AS DOUBLE) / nullif(n_words, 0) < 3.0
+         OR CAST(alpha_chars AS DOUBLE) / nullif(n_words, 0) > 10.0)
+       THEN 1 ELSE 0 END AS flag_word_len,
+  CASE WHEN CAST(alpha_chars AS DOUBLE) / nullif(n_chars, 0) < 0.60
+       THEN 1 ELSE 0 END AS flag_symbol_ratio,
+  CASE WHEN CAST(stop_hits AS DOUBLE) / nullif(n_words, 0) < 0.01
+       THEN 1 ELSE 0 END AS flag_stopword_floor,
+  CASE WHEN n_words BETWEEN 50 AND 10000
+        AND CAST(alpha_chars AS DOUBLE) / nullif(n_words, 0) BETWEEN 3.0 AND 10.0
+        AND CAST(alpha_chars AS DOUBLE) / nullif(n_chars, 0) >= 0.60
+        AND CAST(stop_hits AS DOUBLE) / nullif(n_words, 0) >= 0.01
+       THEN 1 ELSE 0 END AS kept
+FROM (
+  SELECT doc_id, length(text) AS n_chars, {n_words} AS n_words,
+         {alpha} AS alpha_chars, {stop_hits} AS stop_hits
+  FROM documents) t
+"""
+
+
+@query("quality_filter_pipeline", oracle=_quality_filter_sql("duckdb"))
+def quality_filter_pipeline(spark, sf_dir):
+    return spark.sql(_quality_filter_sql("spark"))

@@ -327,3 +327,26 @@ def test_substring_collisions_find_exact_run_only(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert (3, 4) not in pairs
+
+
+def test_quality_filter_rules_trip_individually(spark):
+    """Each Gopher/C4 rule fires on a doc built to violate exactly it."""
+    from bravo_spark.inventory.textops import _quality_filter_sql
+
+    good = "the " + " ".join(f"word{i}" for i in range(99))  # 100 words, has 'the'
+    docs = [
+        (1, good),                                     # kept
+        (2, "the short doc"),                          # too_short
+        (3, "the " + "word " * 49 + "x" * 2000),       # word_len (mean len high)
+        (4, "the " + "!! ?? ## " * 40 + "word " * 49), # symbol_ratio
+        (5, " ".join(f"word{i}" for i in range(100))), # stopword_floor (no 'the')
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    rows = {r["doc_id"]: r for r in spark.sql(_quality_filter_sql("spark")).collect()}
+    assert rows[1]["kept"] == 1
+    assert rows[2]["flag_too_short"] == 1 and rows[2]["kept"] == 0
+    assert rows[3]["flag_word_len"] == 1 and rows[3]["kept"] == 0
+    assert rows[4]["flag_symbol_ratio"] == 1 and rows[4]["kept"] == 0
+    assert rows[5]["flag_stopword_floor"] == 1 and rows[5]["kept"] == 0
