@@ -1171,3 +1171,48 @@ def hourly_counts_gapfill(spark, sf_dir):
             F.coalesce("cnt", F.lit(0)).alias("cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates — the 100 TB path for distinct counts and
+# quantiles. Exact count(DISTINCT) shuffles every distinct value; HLL++
+# (approx_count_distinct) and t-digest-style quantile sketches
+# (approx_percentile) are map-side-mergeable fixed-size sketches — the only
+# viable shape at 10⁹⁺ groups. Sketches aren't bit-portable across engines,
+# so the oracle contract is: emit the EXACT values plus a flag that the
+# Spark sketch landed within tolerance of the Spark-exact truth; the oracle
+# recomputes the exact values and asserts the flag. The sketch is thereby
+# accuracy-gated against ground truth on every driver run.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "approx_sketch_accuracy",
+    oracle=(
+        "SELECT event_type, count(DISTINCT user_id) AS exact_users,"
+        " quantile_cont(CAST(value AS DOUBLE), 0.5) AS exact_p50,"
+        " 1 AS hll_ok, 1 AS tdigest_ok"
+        " FROM events GROUP BY event_type"
+    ),
+)
+def approx_sketch_accuracy(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("hll_users"),
+        F.percentile(v, F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx(v, F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+    )
+    hll_ok = (
+        F.abs(F.col("hll_users") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    ).cast("int")
+    td_ok = (
+        F.abs(F.col("approx_p50") - F.col("exact_p50"))
+        <= 0.02 * F.abs(F.col("exact_p50"))
+    ).cast("int")
+    return agg.select(
+        "event_type", "exact_users", "exact_p50",
+        hll_ok.alias("hll_ok"), td_ok.alias("tdigest_ok"),
+    )
