@@ -87,17 +87,17 @@ def ngram_jaccard_pairs(
     stopword removal. A ubiquitous stop-shingle otherwise creates a
     quadratic hot partition at scale; excluding it bounds every posting
     list at ``max_shingle_df`` while near-dups keep their (overwhelmingly
-    rare) shared shingles. Cost: one extra groupBy on shingle — the
-    self-join then reuses that partitioning."""
+    rare) shared shingles. The cap is applied as a count-over-window on
+    the shingle partitioning — ONE tokenize pass and one exchange on
+    shingle (a groupBy+join formulation tokenizes the corpus twice)."""
     sh = shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("dfc"))
+        w = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("dfc", F.count("*").over(w))
             .filter(F.col("dfc") <= max_shingle_df)
-            .select("sh")
+            .drop("dfc")
         )
-        sh = sh.join(rare, "sh")
     sh = _cache(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
