@@ -324,3 +324,55 @@ def sequence_pack(spark, sf_dir):
     """Token-capacity bin assignment for training-sequence packing (512
     tokens per bin, packed per source shard)."""
     return spark.sql(_pack_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: train/val assignment by NEAR-DUP CLUSTER, not by
+# document — a near-duplicate pair can never straddle the split (the classic
+# eval-leakage failure when splitting per-document). Composition of the LSH
+# dedup clusters with the deterministic hash split: cluster representatives
+# are hashed, singletons hash their own id. All joins are the bucketed LSH
+# shapes — no doc² anywhere; the split itself is a map-side expression.
+# ---------------------------------------------------------------------------
+
+
+def _leakage_oracle() -> str:
+    from bravo_spark.inventory.dedup import _lsh_pairs_sql
+
+    bucket = _h32_duck("CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)")
+    return f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql('duckdb')}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+  CASE WHEN {bucket} % 100 < 90 THEN 'train' ELSE 'val' END AS split
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+"""
+
+
+@query("leakage_safe_split", oracle=_leakage_oracle())
+def leakage_safe_split(spark, sf_dir):
+    from bravo_spark import llmops
+    from bravo_spark.inventory.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    cc = llmops.connected_components(pairs)
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id")
+    j = docs.join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    h = F.expr(_h32_spark("CAST(cluster_id AS STRING)"))
+    return j.withColumn(
+        "split", F.when(h % 100 < 90, F.lit("train")).otherwise(F.lit("val"))
+    )

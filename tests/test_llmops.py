@@ -350,3 +350,21 @@ def test_quality_filter_rules_trip_individually(spark):
     assert rows[3]["flag_word_len"] == 1 and rows[3]["kept"] == 0
     assert rows[4]["flag_symbol_ratio"] == 1 and rows[4]["kept"] == 0
     assert rows[5]["flag_stopword_floor"] == 1 and rows[5]["kept"] == 0
+
+
+def test_leakage_safe_split_never_splits_near_dups(spark, sf_dir):
+    """Semantic gate: every LSH near-dup pair lands on the SAME side of the
+    split — the whole point of splitting by cluster."""
+    from bravo_spark.inventory.dedup import dedup_minhash_lsh
+    from bravo_spark.inventory.sampling import leakage_safe_split
+
+    split = {r["doc_id"]: r["split"] for r in leakage_safe_split(spark, sf_dir).collect()}
+    pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+    assert pairs, "fixture has no near-dup pairs; test is vacuous"
+    straddling = [
+        (r["doc_a"], r["doc_b"])
+        for r in pairs
+        if split[r["doc_a"]] != split[r["doc_b"]]
+    ]
+    assert not straddling, f"near-dup pairs straddle the split: {straddling[:5]}"
+    assert set(split.values()) == {"train", "val"}
