@@ -586,3 +586,96 @@ FROM (
 @query("quality_filter_pipeline", oracle=_quality_filter_sql("duckdb"))
 def quality_filter_pipeline(spark, sf_dir):
     return spark.sql(_quality_filter_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize + feature-extract: completes the decode / resize /
+# feature-extract / frame-sample family. Resize is metadata arithmetic —
+# pure integer expressions (JVM-side, no UDF); feature-extract exercises the
+# Arrow array<double> batch shape through mapInPandas. Decoders are
+# deterministic stand-ins (no image libs in this container); the Spark-side
+# plumbing — schema, batching, partitioning — is real.
+# ---------------------------------------------------------------------------
+
+_DIMS_DUCK = (
+    "1 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1024",
+    "1 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 1024",
+)
+_DIMS_SPARK = (
+    "1 + cast(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) % 1024",
+    "1 + cast(conv(substring(md5(text), 9, 8), 16, 10) AS BIGINT) % 1024",
+)
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, {_DIMS_DUCK[0]} AS w, {_DIMS_DUCK[1]} AS h FROM documents)
+SELECT doc_id, w, h,
+  CASE WHEN greatest(w, h) <= 256 THEN w
+       ELSE greatest(1, (w * 256) // greatest(w, h)) END AS out_w,
+  CASE WHEN greatest(w, h) <= 256 THEN h
+       ELSE greatest(1, (h * 256) // greatest(w, h)) END AS out_h
+FROM dims
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    """Aspect-preserving fit into a 256×256 box in pure integer arithmetic
+    (bit-identical across engines; no float scale factor)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    dims = docs.select(
+        "doc_id",
+        F.expr(_DIMS_SPARK[0]).alias("w"),
+        F.expr(_DIMS_SPARK[1]).alias("h"),
+    )
+    fit = lambda side: F.expr(
+        f"CASE WHEN greatest(w, h) <= 256 THEN {side}"
+        f" ELSE greatest(1, ({side} * 256) div greatest(w, h)) END"
+    )
+    return dims.select(
+        "doc_id", "w", "h", fit("w").alias("out_w"), fit("h").alias("out_h")
+    )
+
+
+@query(
+    "multimodal_embed",
+    oracle=(
+        "SELECT doc_id, ["
+        + ", ".join(
+            f"CAST(('0x' || substr(md5(text || '{j}'), 1, 8)) AS BIGINT)"
+            " % 1000 / 1000.0"
+            for j in range(8)
+        )
+        + "] AS embedding FROM documents"
+    ),
+)
+def multimodal_embed(spark, sf_dir):
+    """Feature extraction over a binary payload via mapInPandas returning
+    array<double> — the Arrow batch shape a real vision/audio encoder would
+    use (swap the md5 stand-in for the model forward pass)."""
+    docs = catalog.table_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def embed_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib
+
+        for pdf in batches:
+            embs = [
+                [
+                    int(
+                        hashlib.md5(
+                            bytes(payload) + str(j).encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % 1000
+                    / 1000.0
+                    for j in range(8)
+                ]
+                for payload in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
+
+    return docs.mapInPandas(embed_batches, "doc_id long, embedding array<double>")
