@@ -257,3 +257,27 @@ def test_q21_decorrelates_to_semi_and_anti(plans):
     assert "LeftSemi" in p
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_bm25_no_cartesian_and_tiny_broadcasts_only(plans):
+    # query terms, df(t) and the 1-row stats relation broadcast; anything
+    # doc-sized must shuffle. The only nested-loop allowed is the 1-row
+    # stats crossJoin.
+    p = plans("text_bm25_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_substring_dedup_is_hash_equi_join(plans):
+    # inverted window index: equi-join on the window digest, never doc²
+    p = plans("dedup_substring")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_multimodal_resize_is_map_only(plans):
+    assert "Exchange" not in plans("multimodal_resize")
+
+
+def test_quality_filter_is_map_only(plans):
+    assert "Exchange" not in plans("quality_filter_pipeline")
