@@ -34,15 +34,17 @@ GATE_PRIORITY = [
     # Spark state-store read/rewrite surgery (the bravo workflow on Spark's
     # own checkpoints)
     "spark_state_read", "spark_state_rewrite",
-    # dedup family
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    # dedup family (embedding_cosine is the exact baseline of embedding_lsh
+    # and stays mirror-verified; substring dedup is its own family)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_substring",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_clusters", "dedup_incremental_batch", "decontaminate_overlap",
-    # ANN family
+    # ANN + retrieval family
     "ann_cosine_topk", "ann_sketch_topk", "ann_lsh_bucket", "ann_ivf_topk",
-    # streaming (all six + the watermarked bounded-state variant)
+    "text_bm25_topk",
+    # streaming (static_join is the simplest shape; mirror-verified)
     "streaming_window_counts", "streaming_window_counts_watermarked",
-    "streaming_stateful_counts", "streaming_static_join",
+    "streaming_stateful_counts",
     "streaming_dedup_counts", "streaming_session_windows",
     "streaming_stream_stream_join",
     # headline TPC-H

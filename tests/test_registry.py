@@ -46,9 +46,11 @@ def test_flagship_families_inside_window():
     for name in (
         "snapshot_roundtrip", "checkpoint_roundtrip",
         "spark_state_read", "spark_state_rewrite",
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_substring",
+        "dedup_minhash_lsh",
         "dedup_embedding_lsh", "dedup_clusters", "dedup_incremental_batch",
         "ann_cosine_topk", "ann_sketch_topk", "ann_ivf_topk",
+        "text_bm25_topk",
         "streaming_window_counts", "streaming_window_counts_watermarked",
         "streaming_stream_stream_join",
         "tpch_q1", "tpch_q3",
