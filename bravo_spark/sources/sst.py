@@ -75,6 +75,13 @@ PROP_INDEX_TYPE = b"rocksdb.block.based.table.index.type"
 
 _FOOTER_NEW = 53  # 1B checksum + 2 handles (≤40B) + 4B version + 8B magic
 _FOOTER_LEGACY = 48
+# format_version >= 6 replaces the two handles with: extended magic (4B),
+# footer checksum (4B), base context checksum (4B), metaindex SIZE (4B,
+# uint32 LE — the metaindex is always the last block before the footer, so
+# its offset is implied), zero padding to 40B. The index handle moves into
+# the metaindex under the key b"rocksdb.index".
+_EXTENDED_MAGIC = b"\x3e\x00\x7a\x00"
+_V6_INDEX_KEY = b"rocksdb.index"
 
 
 def _sized_decompress(raw: bytes, decompress) -> bytes:
@@ -232,13 +239,29 @@ class SstReader:
                 raise ValueError("format_version 0 with new magic")
             footer = buf[-_FOOTER_NEW:]
             self.checksum_type = footer[0]
-            pos = 1
-            self.metaindex_handle, pos = BlockHandle.decode(footer, pos)
-            self.index_handle, pos = BlockHandle.decode(footer, pos)
             self.format_version = version
+            if version >= 6:
+                if footer[1:5] != _EXTENDED_MAGIC:
+                    raise ValueError(
+                        f"{self.path}: format_version {version} footer "
+                        "missing extended magic"
+                    )
+                self.base_context_checksum = struct.unpack("<I", footer[9:13])[0]
+                (meta_size,) = struct.unpack("<I", footer[13:17])
+                meta_off = len(buf) - _FOOTER_NEW - 5 - meta_size
+                if meta_off < 0:
+                    raise ValueError(f"{self.path}: v6 metaindex out of range")
+                self.metaindex_handle = BlockHandle(meta_off, meta_size)
+                self.index_handle = None  # resolved from the metaindex
+            else:
+                self.base_context_checksum = 0
+                pos = 1
+                self.metaindex_handle, pos = BlockHandle.decode(footer, pos)
+                self.index_handle, pos = BlockHandle.decode(footer, pos)
         elif magic == LEGACY_BLOCK_BASED_MAGIC:
             footer = buf[-_FOOTER_LEGACY:]
             self.checksum_type = 1  # legacy footers imply crc32c
+            self.base_context_checksum = 0
             pos = 0
             self.metaindex_handle, pos = BlockHandle.decode(footer, pos)
             self.index_handle, pos = BlockHandle.decode(footer, pos)
@@ -252,9 +275,26 @@ class SstReader:
         if len(raw) != handle.size or len(trailer) != 5:
             raise ValueError(f"{self.path}: block handle out of range")
         compression = trailer[0]
-        if self.verify_checksums and self.checksum_type == 1:
+        if self.verify_checksums:
+            if self.checksum_type != 1:
+                raise ValueError(
+                    f"{self.path}: checksum verification requested but the "
+                    f"file uses checksum type {self.checksum_type} (only "
+                    "crc32c=1 is implemented; modern RocksDB defaults to "
+                    "XXH3=4 — re-read with verify_checksums=False)"
+                )
             (stored,) = struct.unpack("<I", trailer[1:5])
             actual = crc32c.mask(crc32c.crc32c(raw + trailer[:1]))
+            if self.base_context_checksum:
+                # format_version >= 6 adds (base_context_checksum XOR
+                # lower32(block offset)) to every block checksum
+                # (format.cc ChecksumModifierForContext), so a block copied
+                # byte-identically to another file/offset fails verification.
+                # Modifier shape confirmed against rocksdbjni-written files.
+                actual = (
+                    actual
+                    + (self.base_context_checksum ^ (handle.offset & 0xFFFFFFFF))
+                ) & 0xFFFFFFFF
             if stored != actual:
                 raise ValueError(f"{self.path}: block checksum mismatch")
         if compression == NO_COMPRESSION:
@@ -264,7 +304,17 @@ class SstReader:
         if compression == ZLIB_COMPRESSION:
             import zlib
 
-            return _sized_decompress(raw, zlib.decompress)
+            def _zlib(data: bytes) -> bytes:
+                # RocksDB's default CompressionOptions.window_bits is -14:
+                # a RAW deflate stream, no zlib header (confirmed against
+                # rocksdbjni-written blocks). Positive window_bits configs
+                # emit the framed form, so accept both.
+                try:
+                    return zlib.decompress(data, -15)
+                except zlib.error:
+                    return zlib.decompress(data)
+
+            return _sized_decompress(raw, _zlib)
         if compression == BZIP2_COMPRESSION:
             import bz2
 
@@ -289,11 +339,19 @@ class SstReader:
 
     def _read_properties(self) -> dict[bytes, bytes]:
         meta = self.read_block(self.metaindex_handle)
+        props: dict[bytes, bytes] = {}
         for name, value in iter_block_entries(meta):
             if name == PROP_BLOCK_KEY:
                 handle, _ = BlockHandle.decode(value)
-                return dict(iter_block_entries(self.read_block(handle)))
-        return {}
+                props = dict(iter_block_entries(self.read_block(handle)))
+            elif name == _V6_INDEX_KEY and self.index_handle is None:
+                self.index_handle, _ = BlockHandle.decode(value)
+        if self.index_handle is None:
+            raise ValueError(
+                f"{self.path}: format_version {self.format_version} file "
+                "has no rocksdb.index entry in its metaindex"
+            )
+        return props
 
     # --- convenience ---
 

@@ -1,0 +1,178 @@
+"""Cross-validation against REAL RocksDB, in-container.
+
+Spark ships rocksdbjni (the exact library a Flink TaskManager embeds for
+RocksDB state backends), reachable through the session JVM. These tests
+close the "no genuine RocksDB-produced file" residual for the SST side in
+both directions:
+
+- files written by real RocksDB (``org.rocksdb.SstFileWriter`` and a live
+  ``org.rocksdb.RocksDB`` flush) are read byte-exactly by the pure-Python
+  ``SstReader`` — per codec, with crc32c checksum verification including
+  the format_version>=6 context-checksum modifier;
+- files written by our ``SstWriter`` are accepted and iterated by real
+  RocksDB's ``SstFileReader`` with checksum verification on.
+
+Reference parity: the reference opens checkpoints with an embedded RocksDB
+(bravo's RocksDBCheckpointIterator.java:57-254); we parse the format
+directly, so proving byte-level agreement with the real implementation is
+the whole ballgame.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bravo_spark.sources import sst as sstmod
+
+
+@pytest.fixture(scope="module")
+def jvm(spark):
+    j = spark._jvm
+    # force-load the native library the same way Spark's state store does
+    j.org.rocksdb.RocksDB.loadLibrary()
+    return j
+
+
+def _entries(n=400):
+    return [
+        (("key%05d" % i).encode(), (b"payload-%d|" % i) * (1 + i % 7))
+        for i in range(n)
+    ]
+
+
+def _write_native_sst(jvm, path, codec_name, entries, checksum="kCRC32c"):
+    opts = jvm.org.rocksdb.Options()
+    tbl = jvm.org.rocksdb.BlockBasedTableConfig()
+    tbl.setChecksumType(getattr(jvm.org.rocksdb.ChecksumType, checksum))
+    opts.setTableFormatConfig(tbl)
+    opts.setCompressionType(
+        getattr(jvm.org.rocksdb.CompressionType, codec_name)
+    )
+    w = jvm.org.rocksdb.SstFileWriter(jvm.org.rocksdb.EnvOptions(), opts)
+    w.open(path)
+    for k, v in entries:
+        w.put(k, v)
+    w.finish()
+
+
+NATIVE_CODECS = [
+    "NO_COMPRESSION",
+    "SNAPPY_COMPRESSION",
+    "ZLIB_COMPRESSION",
+    "BZIP2_COMPRESSION",
+    "LZ4_COMPRESSION",
+]
+
+
+def test_native_written_ssts_read_byte_exactly(jvm, tmp_path):
+    """Every codec we claim: rocksdbjni writes, pure Python reads, entries
+    byte-exact, crc32c verified (incl. the v6 context modifier)."""
+    entries = _entries()
+    done = []
+    for codec in NATIVE_CODECS:
+        path = str(tmp_path / f"{codec}.sst")
+        try:
+            _write_native_sst(jvm, path, codec, entries)
+        except Exception as exc:  # codec not compiled into this jni build
+            print(f"skip {codec}: {exc}")
+            continue
+        r = sstmod.SstReader(path, verify_checksums=True)
+        got = [(k, v) for k, _seq, _t, v in r.iter_entries()]
+        assert got == entries, f"{codec}: entry mismatch"
+        assert r.format_version >= 6, "modern rocksdbjni writes v6+"
+        done.append(codec)
+    # snappy is RocksDB's floor; if even that didn't run the jvm is broken
+    assert "NO_COMPRESSION" in done and "SNAPPY_COMPRESSION" in done
+    print("codecs cross-validated:", done)
+
+
+def test_native_xxh3_checksums_read_unverified(jvm, tmp_path):
+    """Modern default checksums (XXH3) read fine unverified; asking for
+    verification names the unsupported checksum type."""
+    path = str(tmp_path / "xxh3.sst")
+    entries = _entries(50)
+    _write_native_sst(jvm, path, "SNAPPY_COMPRESSION", entries, checksum="kXXH3")
+    got = [(k, v) for k, _s, _t, v in sstmod.SstReader(path).iter_entries()]
+    assert got == entries
+    with pytest.raises(ValueError, match="checksum type 4"):
+        list(
+            sstmod.SstReader(path, verify_checksums=True).iter_entries()
+        )
+
+
+def test_native_zstd_block_raises_named_error(jvm, tmp_path):
+    """A REAL zstd-compressed SST must fail with an error naming the codec
+    (no silent garbage) — the documented behavior for codecs without a
+    pure-Python decoder in this environment."""
+    path = str(tmp_path / "zstd.sst")
+    try:
+        _write_native_sst(jvm, path, "ZSTD_COMPRESSION", _entries(50))
+    except Exception:
+        pytest.skip("zstd not compiled into this rocksdbjni")
+    with pytest.raises(ValueError, match="zstd"):
+        list(sstmod.SstReader(path).iter_entries())
+
+
+def test_our_writer_accepted_by_native_reader(jvm, tmp_path):
+    """SstWriter output iterates cleanly under real RocksDB with checksum
+    verification on — the write side of the format contract."""
+    for codec, codec_id in [("plain", 0), ("snappy", 1)]:
+        path = str(tmp_path / f"ours_{codec}.sst")
+        w = sstmod.SstWriter(path, compression=codec_id)
+        entries = _entries(300)
+        for k, v in entries:
+            w.add(k, 0, sstmod.TYPE_VALUE, v)
+        w.finish()
+
+        opts = jvm.org.rocksdb.Options()
+        r = jvm.org.rocksdb.SstFileReader(opts)
+        r.open(path)
+        r.verifyChecksum()
+        ro = jvm.org.rocksdb.ReadOptions()
+        ro.setVerifyChecksums(True)
+        it = r.newIterator(ro)
+        it.seekToFirst()
+        got = []
+        while it.isValid():
+            got.append((bytes(it.key()), bytes(it.value())))
+            it.next()
+        assert got == entries, f"{codec}: native reader saw different entries"
+
+
+def test_live_rocksdb_flush_seqnos_and_tombstones(jvm, tmp_path):
+    """A real database: puts, an overwrite, a delete, then flush — the
+    flushed SST must carry real sequence numbers, the tombstone, and
+    shadowing exactly as our LSM-merge semantics assume."""
+    dbdir = str(tmp_path / "db")
+    opts = jvm.org.rocksdb.Options()
+    opts.setCreateIfMissing(True)
+    opts.setCompressionType(jvm.org.rocksdb.CompressionType.SNAPPY_COMPRESSION)
+    db = jvm.org.rocksdb.RocksDB.open(opts, dbdir)
+    try:
+        db.put(b"alpha", b"v1")
+        db.put(b"beta", b"v2")
+        db.put(b"alpha", b"v1-new")  # shadows the first put
+        db.delete(b"beta")  # tombstone
+        db.put(b"gamma", b"v3")
+        fo = jvm.org.rocksdb.FlushOptions()
+        fo.setWaitForFlush(True)
+        db.flush(fo)
+    finally:
+        db.close()
+    ssts = [f for f in os.listdir(dbdir) if f.endswith(".sst")]
+    assert ssts, "flush produced no SST"
+    rows = []
+    for f in ssts:
+        rows += list(
+            sstmod.SstReader(os.path.join(dbdir, f)).iter_entries()
+        )
+    by_key = {}
+    for ukey, seq, vtype, value in rows:
+        assert seq > 0, "live writes carry nonzero seqnos"
+        if ukey not in by_key or seq > by_key[ukey][0]:
+            by_key[ukey] = (seq, vtype, value)
+    assert by_key[b"alpha"][1:] == (sstmod.TYPE_VALUE, b"v1-new")
+    assert by_key[b"beta"][1] == sstmod.TYPE_DELETION
+    assert by_key[b"gamma"][1:] == (sstmod.TYPE_VALUE, b"v3")
