@@ -33,7 +33,7 @@ GATE_PRIORITY = [
     "u1_union_bag", "sort_topk", "last_write_wins",
     # Spark state-store read/rewrite surgery (the bravo workflow on Spark's
     # own checkpoints)
-    "spark_state_read", "spark_state_rewrite",
+    "spark_state_read", "spark_state_rewrite", "rocksdb_state_read",
     # dedup family (embedding_cosine is the exact baseline of embedding_lsh
     # and stays mirror-verified; substring dedup is its own family)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_substring",
@@ -50,7 +50,7 @@ GATE_PRIORITY = [
     # headline TPC-H
     "tpch_q1", "tpch_q3",
     # text / multimodal flagships
-    "text_lang_id", "text_quality", "text_token_count",
+    "text_lang_id", "text_quality",
     "multimodal_decode",
     # sampling flagship
     "sessionize",

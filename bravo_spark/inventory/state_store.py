@@ -109,3 +109,48 @@ def spark_state_rewrite(spark, sf_dir):
     write_spark_state(spark, ckpt, patched)
     _, out = _renamed_state(spark, ckpt)
     return out
+
+
+def _run_streaming_agg_rocksdb(spark, sf_dir: str) -> str:
+    """Same aggregation as ``_run_streaming_agg`` but checkpointed through
+    Spark's RocksDBStateStoreProvider — the state lands as REAL
+    rocksdbjni-written SST files inside per-partition zips."""
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prop, None)
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return _run_streaming_agg(spark, sf_dir)
+    finally:
+        if old is None:
+            spark.conf.unset(prop)
+        else:
+            spark.conf.set(prop, old)
+
+
+@query(
+    "rocksdb_state_read",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt,"
+        " CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor"
+        " FROM events GROUP BY 1"
+    ),
+)
+def rocksdb_state_read(spark, sf_dir):
+    """State surgery read against Spark's RocksDB provider: the checkpoint
+    is genuine rocksdbjni output (modern format_version 6 SSTs), parsed by
+    the pure-Python SST reader + UnsafeRow decoder — the same decode chain
+    a Flink RocksDB savepoint takes through sources/checkpoint.py."""
+    from bravo_spark.sources.rocksdb_state import read_rocksdb_spark_state
+
+    ckpt = _run_streaming_agg_rocksdb(spark, sf_dir)
+    st = read_rocksdb_spark_state(spark, ckpt)
+    raw_cols = st.columns
+    return st.select(
+        F.col(raw_cols[1]).alias("event_type"),
+        F.col(raw_cols[2]).alias("cnt"),
+        F.col(raw_cols[3]).alias("sum_floor"),
+    )
