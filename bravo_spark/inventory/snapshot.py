@@ -134,3 +134,37 @@ def snapshot_state_filter(spark, sf_dir):
         state_ids={"clicks": 0, "views": 1},
     )
     return sp.read_savepoint_kv(spark, out, "clicks", fc.LONG, fc.LONG)
+
+
+@query(
+    "snapshot_rescale",
+    oracle="SELECT user_id AS key, count(*) AS value FROM events GROUP BY user_id",
+)
+def snapshot_rescale(spark, sf_dir):
+    """The reference's change-max-parallelism use case (README.md:44) as an
+    oracle-checked query: write a savepoint at max_parallelism=128, rescale
+    it to parallelism=7 / max_parallelism=4096 (every key-group prefix
+    recomputed through the 2-byte path), read the RESCALED savepoint back.
+    State must survive both transforms byte-losslessly, so the oracle stays
+    the plain grouped count."""
+    from bravo_spark import api
+
+    ev = catalog.table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("value")
+    )
+    rows = sr.kv_to_state_rows(counts, "Count", fc.LONG, fc.LONG, max_parallelism=128)
+    base = os.path.join(tempfile.gettempdir(), f"bravo_rescale_{os.getpid()}")
+    src, dst = base + "_src", base + "_dst"
+    for d in (src, dst):
+        shutil.rmtree(d, ignore_errors=True)
+    sp.write_savepoint(
+        rows, src, max_parallelism=128, parallelism=4, state_ids={"Count": 0}
+    )
+    api.rescale_savepoint(
+        spark, src, dst,
+        new_parallelism=7,
+        new_max_parallelism=4096,
+        key_codecs={"Count": fc.LONG},
+    )
+    return sp.read_savepoint_kv(spark, dst, "Count", fc.LONG, fc.LONG)

@@ -338,18 +338,25 @@ def read_savepoint_kv(
     key_codec,
     value_codec,
     *,
-    max_parallelism: int = 128,
+    max_parallelism: int | None = None,
     ttl: bool = False,
     splits_per_file: int = 8,
 ) -> DataFrame:
     """Fused S2+P1: scan *and* decode one value state in a single Python
     hop — the exact analog of the reference's flatMap readers, which filter
     + project + deserialize inside the scan (reader/ValueStateKVReader.java:
-    39-62). Saves one Arrow exchange vs read_savepoint → read_value_kv."""
+    39-62). Saves one Arrow exchange vs read_savepoint → read_value_kv.
+
+    ``max_parallelism`` defaults to the value recorded in the savepoint's
+    own metadata — the key-group prefix width (1 vs 2 bytes) depends on it,
+    so a wrong value silently mis-splits every key."""
     from bravo_spark.codecs import flink as _fc
     from bravo_spark.sources.staterows import spark_type_for
 
     from pyspark.sql.types import StructField, StructType
+
+    if max_parallelism is None:
+        max_parallelism = read_savepoint_meta(path).max_parallelism
 
     splits, id_to_name, state_filter, compressed = _plan_scan(
         path, [state_name], None, splits_per_file

@@ -292,3 +292,26 @@ def test_rescale_max_parallelism_requires_codecs(spark, tmp_path):
             spark, base, str(tmp_path / "x"),
             new_parallelism=2, new_max_parallelism=256,
         )
+
+
+def test_read_savepoint_kv_defaults_to_meta_max_parallelism(spark, tmp_path):
+    """The fused reader must take the key-group prefix width from the
+    savepoint's own metadata: at max_parallelism 4096 (2-byte prefix) an
+    assumed 128 default silently mis-splits every key."""
+    from bravo_spark.codecs import flink as fc
+    from bravo_spark.sources import savepoint as sp
+    from bravo_spark.sources import staterows as sr
+
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(40)], "key long, value long"
+    )
+    rows = sr.kv_to_state_rows(df, "Count", fc.LONG, fc.LONG, max_parallelism=4096)
+    out = str(tmp_path / "wide")
+    sp.write_savepoint(
+        rows, out, max_parallelism=4096, parallelism=3, state_ids={"Count": 0}
+    )
+    got = sorted(
+        (r["key"], r["value"])
+        for r in sp.read_savepoint_kv(spark, out, "Count", fc.LONG, fc.LONG).collect()
+    )
+    assert got == [(k, k * 10) for k in range(40)]
