@@ -68,10 +68,11 @@ def latest_version(
 ) -> int:
     sdir = _state_dir(checkpoint_dir, operator_id, store_name)
     vers = [
-        int(f[:-4])
+        int(stem)
         for p in _partition_dirs(sdir)
         for f in os.listdir(os.path.join(sdir, str(p)))
-        if f.endswith(".zip") and f[:-4].isdigit()
+        for stem, _, ext in [f.partition(".")]
+        if ext in ("zip", "changelog") and stem.isdigit()
     ]
     if not vers:
         raise FileNotFoundError(f"no committed RocksDB versions under {sdir}")
@@ -79,6 +80,44 @@ def latest_version(
 
 
 def _load_partition_state(pdir: str, version: int) -> dict[bytes, bytes]:
+    """One partition's state at ``version``.
+
+    Two on-disk shapes, matching RocksDBStateStoreProvider's two commit
+    modes: every version has a full ``{v}.zip`` (default), or — with
+    changelog checkpointing (``...stateStore.rocksdb.changelogCheckpointing
+    .enabled``) — a ``{v}.changelog`` of the version's puts/deletes, with
+    zip snapshots only when background maintenance uploads one. State =
+    greatest zip ≤ version, then changelogs replayed up to version. The
+    changelog is lz4-java/snappy framed with the same int-length-prefixed
+    record layout as the HDFS provider's delta files, so the framing and
+    record iterator are shared with sources/spark_state.py."""
+    if os.path.exists(os.path.join(pdir, f"{version}.changelog")):
+        from bravo_spark.sources.spark_state import _iter_records, decode_stream
+
+        zips = [
+            int(f.partition(".")[0])
+            for f in os.listdir(pdir)
+            if f.endswith(".zip")
+            and f.partition(".")[0].isdigit()
+            and int(f.partition(".")[0]) <= version
+        ]
+        state = _load_zip_state(pdir, max(zips)) if zips else {}
+        for ver in range(max(zips) + 1 if zips else 1, version + 1):
+            path = os.path.join(pdir, f"{ver}.changelog")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"missing changelog {path} for version {version}"
+                )
+            for k, v in _iter_records(decode_stream(open(path, "rb").read())):
+                if v is None:
+                    state.pop(k, None)
+                else:
+                    state[k] = v
+        return state
+    return _load_zip_state(pdir, version)
+
+
+def _load_zip_state(pdir: str, version: int) -> dict[bytes, bytes]:
     """Resolve one partition's LSM at ``version``: union the version's live
     SSTs, keep the highest-seq record per key, drop tombstones."""
     meta = _version_metadata(pdir, version)

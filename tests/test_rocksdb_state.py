@@ -176,3 +176,48 @@ def test_read_rocksdb_state_with_time_travel(spark, tmp_path):
             "org.apache.spark.sql.execution.streaming.state."
             "HDFSBackedStateStoreProvider",
         )
+
+
+def test_read_rocksdb_changelog_checkpointing(spark, tmp_path):
+    """Changelog-checkpointing mode: versions commit as {v}.changelog (no
+    per-version zip). State must replay correctly at the latest version AND
+    time-travel to version 1."""
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    cl = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(cl, "true")
+    try:
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 5)], "k string, v int"
+        ).coalesce(1).write.parquet(inp)
+        out1 = _run_agg(spark, inp, ckpt)
+        spark.createDataFrame(
+            [("a", 10), ("c", 4)], "k string, v int"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        out2 = _run_agg(spark, inp, ckpt)
+
+        import glob
+
+        assert glob.glob(f"{ckpt}/state/0/*/*.changelog"), "no changelog files"
+        assert rs.latest_version(ckpt) == 2
+        got2 = {
+            r[1]: (r[2], r[3])
+            for r in rs.read_rocksdb_spark_state(spark, ckpt).collect()
+        }
+        assert got2 == out2
+        got1 = {
+            r[1]: (r[2], r[3])
+            for r in rs.read_rocksdb_spark_state(spark, ckpt, version=1).collect()
+        }
+        assert got1 == out1
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(cl, "false")
