@@ -243,14 +243,21 @@ def _finalize_state_file(path: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _state_dir(checkpoint_dir: str, operator_id: int) -> str:
+def _state_dir(checkpoint_dir: str, operator_id: int, store_name: str | None = None) -> str:
     return os.path.join(checkpoint_dir, "state", str(operator_id))
 
 
-def _partitions(sdir: str) -> list[int]:
+def _partitions(sdir: str, store_name: str | None = None) -> list[int]:
     return sorted(
         int(d) for d in os.listdir(sdir) if d.isdigit()
     )
+
+
+def _pdir(sdir: str, pid: int, store_name: str | None = None) -> str:
+    """One partition's file dir; named stores (stream-stream join sides)
+    nest one level deeper: ``state/<op>/<pid>/<store_name>/``."""
+    p = os.path.join(sdir, str(pid))
+    return p if store_name is None else os.path.join(p, store_name)
 
 
 def _read_java_utf(raw: bytes, pos: int) -> tuple[str, int]:
@@ -377,12 +384,14 @@ def _load_partition_state(pdir: str, version: int) -> dict[bytes, bytes]:
     return state
 
 
-def latest_version(checkpoint_dir: str, operator_id: int = 0) -> int:
+def latest_version(
+    checkpoint_dir: str, operator_id: int = 0, store_name: str | None = None
+) -> int:
     sdir = _state_dir(checkpoint_dir, operator_id)
     vers = [
         int(f.split(".")[0])
         for p in _partitions(sdir)
-        for f in os.listdir(os.path.join(sdir, str(p)))
+        for f in os.listdir(_pdir(sdir, p, store_name))
         if f.endswith(".delta")
     ]
     if not vers:
@@ -396,17 +405,35 @@ def read_spark_state(
     *,
     operator_id: int = 0,
     version: int | None = None,
+    store_name: str | None = None,
+    key_schema: T.StructType | None = None,
+    value_schema: T.StructType | None = None,
 ) -> DataFrame:
     """The state of a Structured Streaming operator as a DataFrame:
     ``partition_id`` + key columns + value columns (value names prefixed
-    ``value_`` on collision). One task per state partition."""
+    ``value_`` on collision). One task per state partition.
+
+    Operators with a single default store (aggregations, dropDuplicates)
+    self-describe through the checkpoint's schema file. Multi-store
+    operators — a stream-stream join keeps four stores per partition
+    (``left-keyToNumValues``, ``left-keyWithIndexToValue``, right-side
+    twins) — write no schema file (their layouts are fixed by the plan),
+    so pass ``store_name`` plus explicit ``key_schema``/``value_schema``:
+    e.g. keyToNumValues has the join key as key schema and one LongType
+    ``count`` value column."""
     if version is None:
-        version = latest_version(checkpoint_dir, operator_id)
-    key_schema, value_schema = read_state_schema(checkpoint_dir, operator_id)
+        version = latest_version(checkpoint_dir, operator_id, store_name)
+    if key_schema is None or value_schema is None:
+        if store_name is not None:
+            raise ValueError(
+                "named stores have no checkpoint schema file; pass "
+                "key_schema and value_schema explicitly"
+            )
+        key_schema, value_schema = read_state_schema(checkpoint_dir, operator_id)
     _check_schema(key_schema)
     _check_schema(value_schema)
-    sdir = _state_dir(checkpoint_dir, operator_id)
-    parts = _partitions(sdir)
+    sdir = _state_dir(checkpoint_dir, operator_id, store_name)
+    parts = _partitions(sdir, store_name)
 
     key_names = [f.name for f in key_schema.fields]
     val_names = [
@@ -421,7 +448,7 @@ def read_spark_state(
 
     def scan(pids):
         for pid in pids:
-            state = _load_partition_state(os.path.join(sdir, str(pid)), version)
+            state = _load_partition_state(_pdir(sdir, pid, store_name), version)
             for kb, vb in state.items():
                 yield (
                     (pid,)

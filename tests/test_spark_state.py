@@ -338,3 +338,92 @@ def test_write_validates_missing_columns(spark, tmp_path):
     bad = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError, match="missing columns"):
         ss.write_spark_state(spark, ckpt, bad)
+
+
+def test_read_stream_stream_join_named_stores(spark, tmp_path):
+    """A stream-stream interval join keeps four named stores per partition
+    with NO checkpoint schema file (layouts are fixed by the plan). Read
+    all four with explicit schemas and check cross-store consistency:
+    keyToNumValues counts equal the per-key cardinality of
+    keyWithIndexToValue, for both sides."""
+    sf = "/root/testdata/sf0.001"
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+
+    left = (
+        src()
+        .select("user_id", F.timestamp_seconds(F.col("ts") / 1e9).alias("lts"))
+        .withWatermark("lts", "10 minutes")
+    )
+    right = (
+        src()
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.timestamp_seconds(F.col("ts") / 1e9).alias("rts"),
+        )
+        .withWatermark("rts", "10 minutes")
+    )
+    j = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert spark.table(name).count() > 0
+
+    # named stores require explicit schemas
+    with pytest.raises(ValueError, match="explicit"):
+        ss.read_spark_state(spark, ckpt, store_name="left-keyToNumValues")
+
+    for side, ts_name in (("left", "lts"), ("right", "rts")):
+        key_field = "user_id" if side == "left" else "r_user"
+        counts = ss.read_spark_state(
+            spark,
+            ckpt,
+            store_name=f"{side}-keyToNumValues",
+            key_schema=T.StructType([T.StructField(key_field, T.LongType())]),
+            value_schema=T.StructType([T.StructField("count", T.LongType())]),
+        )
+        rows = ss.read_spark_state(
+            spark,
+            ckpt,
+            store_name=f"{side}-keyWithIndexToValue",
+            key_schema=T.StructType(
+                [
+                    T.StructField(key_field, T.LongType()),
+                    T.StructField("index", T.LongType()),
+                ]
+            ),
+            # join stateFormatVersion 2: buffered input row + matched flag
+            value_schema=T.StructType(
+                [
+                    T.StructField(key_field, T.LongType()),
+                    T.StructField(ts_name, T.TimestampType()),
+                    T.StructField("matched", T.BooleanType()),
+                ]
+            ),
+        )
+        n_per_key = {
+            r[key_field]: r["count"] for r in counts.collect()
+        }
+        buffered = rows.groupBy(key_field).count().collect()
+        buf_per_key = {r[key_field]: r["count"] for r in buffered}
+        assert n_per_key == buf_per_key, f"{side}: count/index stores disagree"
+        assert sum(n_per_key.values()) > 0
