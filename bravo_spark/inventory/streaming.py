@@ -24,6 +24,22 @@ from bravo_spark import catalog
 from bravo_spark.inventory.registry import query
 
 
+def _normalize_ts(df, col: str = "ts"):
+    """Event-time column to session-zone TimestampType, whatever the
+    fixture generation stored: TIMESTAMP(NANOS) parquet arrives as an
+    epoch-nanos BIGINT (``spark.sql.legacy.parquet.nanosAsLong``), plain
+    microsecond parquet as TIMESTAMP_NTZ (Spark's no-UTC-marker
+    inference). Session timezone is pinned to UTC (session.py), so the
+    NTZ→TZ cast is value-preserving and both layouts land on identical
+    instants."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 @query(
     "streaming_window_counts",
     oracle=(
@@ -43,7 +59,7 @@ def streaming_window_counts(spark, sf_dir):
         # the events table by glob
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(_normalize_ts)
     )
     agg = (
         stream
@@ -108,7 +124,7 @@ def streaming_window_counts_watermarked(spark, sf_dir):
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(_normalize_ts)
         .withWatermark("ts", "1 hour")
     )
     agg = (
@@ -320,7 +336,7 @@ def streaming_session_windows(spark, sf_dir):
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(_normalize_ts)
         .select("user_id", "ts")
     )
     agg = (
@@ -372,7 +388,7 @@ def streaming_stream_stream_join(spark, sf_dir):
             spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(_normalize_ts)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),

@@ -357,16 +357,25 @@ def test_read_stream_stream_join_named_stores(spark, tmp_path):
             .parquet(sf)
         )
 
+    ts_type = dict(spark.read.parquet(f"{sf}/events.parquet").dtypes)["ts"]
+
+    def event_ts():
+        # nanos-long fixtures vs native timestamp fixtures (see
+        # inventory/streaming._normalize_ts)
+        if ts_type == "bigint":
+            return F.timestamp_seconds(F.col("ts") / 1e9)
+        return F.col("ts").cast("timestamp")
+
     left = (
         src()
-        .select("user_id", F.timestamp_seconds(F.col("ts") / 1e9).alias("lts"))
+        .select("user_id", event_ts().alias("lts"))
         .withWatermark("lts", "10 minutes")
     )
     right = (
         src()
         .select(
             F.col("user_id").alias("r_user"),
-            F.timestamp_seconds(F.col("ts") / 1e9).alias("rts"),
+            event_ts().alias("rts"),
         )
         .withWatermark("rts", "10 minutes")
     )
