@@ -52,9 +52,11 @@ ZLIB_COMPRESSION = 2
 BZIP2_COMPRESSION = 3
 LZ4_COMPRESSION = 4
 LZ4HC_COMPRESSION = 5  # same block format as LZ4; HC is an encoder choice
+ZSTD_COMPRESSION = 7  # varint32 decompressed size + zstd frame (always —
+# kZSTD postdates compress_format_version 2, util/compression.h)
 # present in the format but no codec ships in this container — read_block
 # raises naming the algorithm so the gap is explicit, not a corrupt-file error
-_UNSUPPORTED_COMPRESSION = {6: "xpress", 7: "zstd"}
+_UNSUPPORTED_COMPRESSION = {6: "xpress"}
 
 # rocksdb/include/rocksdb/table.h BlockBasedTableOptions::IndexType
 INDEX_BINARY_SEARCH = 0
@@ -331,10 +333,14 @@ class SstReader:
                 (size,) = struct.unpack("<Q", raw[:8])
                 pos = 8
             return plz4.decompress_block(raw[pos:], size)
+        if compression == ZSTD_COMPRESSION:
+            from bravo_spark.codecs import zstd as pzstd
+
+            return _sized_decompress(raw, pzstd.decompress)
         name = _UNSUPPORTED_COMPRESSION.get(compression, str(compression))
         raise ValueError(
             f"{self.path}: block compressed with {name}, no {name} codec in "
-            "this environment (supported: none/snappy/zlib/bzip2/lz4)"
+            "this environment (supported: none/snappy/zlib/bzip2/lz4/zstd)"
         )
 
     def _read_properties(self) -> dict[bytes, bytes]:

@@ -63,6 +63,7 @@ NATIVE_CODECS = [
     "ZLIB_COMPRESSION",
     "BZIP2_COMPRESSION",
     "LZ4_COMPRESSION",
+    "ZSTD_COMPRESSION",
 ]
 
 
@@ -102,17 +103,21 @@ def test_native_xxh3_checksums_read_unverified(jvm, tmp_path):
         )
 
 
-def test_native_zstd_block_raises_named_error(jvm, tmp_path):
-    """A REAL zstd-compressed SST must fail with an error naming the codec
-    (no silent garbage) — the documented behavior for codecs without a
-    pure-Python decoder in this environment."""
-    path = str(tmp_path / "zstd.sst")
-    try:
-        _write_native_sst(jvm, path, "ZSTD_COMPRESSION", _entries(50))
-    except Exception:
-        pytest.skip("zstd not compiled into this rocksdbjni")
-    with pytest.raises(ValueError, match="zstd"):
-        list(sstmod.SstReader(path).iter_entries())
+def test_native_xpress_block_raises_named_error(jvm, tmp_path):
+    """A codec without a pure-Python decoder must fail with an error naming
+    it (no silent garbage). xpress is Windows-only so the jni build always
+    lacks it — exercise the error path by spoofing the trailer byte on an
+    uncompressed block instead."""
+    path = str(tmp_path / "plain.sst")
+    _write_native_sst(jvm, path, "NO_COMPRESSION", _entries(20))
+    handle = next(sstmod.SstReader(path).iter_data_handles())
+    patched = bytearray(open(path, "rb").read())
+    # the compression byte is the first trailer byte after the block body
+    patched[handle.offset + handle.size] = 6  # kXpressCompression
+    p2 = str(tmp_path / "xpress.sst")
+    open(p2, "wb").write(bytes(patched))
+    with pytest.raises(ValueError, match="xpress"):
+        list(sstmod.SstReader(p2, verify_checksums=False).iter_entries())
 
 
 def test_our_writer_accepted_by_native_reader(jvm, tmp_path):

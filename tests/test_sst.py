@@ -370,7 +370,7 @@ def test_reader_names_unsupported_compression(tmp_path):
         )
         return h
 
-    d1 = emit(b"\x28\xb5\x2f\xfd fake zstd frame", 7)  # kZSTD
+    d1 = emit(b"fake xpress block", 6)  # kXpressCompression
     props = _block([(b"rocksdb.column.family.name", b"Z")], restart_interval=1)
     ph = emit(props, sst.NO_COMPRESSION)
     mh = emit(_block([(b"rocksdb.properties", ph.encode())], restart_interval=1), 0)
@@ -378,9 +378,9 @@ def test_reader_names_unsupported_compression(tmp_path):
     handles = mh.encode() + ih.encode()
     footer = bytes([1]) + handles + b"\x00" * (40 - len(handles))
     footer += struct.pack("<I", 2) + struct.pack("<Q", sst.BLOCK_BASED_MAGIC)
-    p = tmp_path / "zstd.sst"
+    p = tmp_path / "xpress.sst"
     p.write_bytes(bytes(out) + footer)
-    with pytest.raises(ValueError, match="zstd"):
+    with pytest.raises(ValueError, match="xpress"):
         list(sst.SstReader(str(p)).iter_entries())
 
 
