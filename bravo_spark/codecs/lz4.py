@@ -12,6 +12,8 @@ engine's hot data path (parquet, shuffle) never goes through this module.
 
 from __future__ import annotations
 
+import struct as _struct
+
 # spec end-of-block rules (lz4_Block_format.md): the last 5 bytes are
 # always literals, and the last match must start >= 12 bytes before the
 # end of the block — inputs shorter than 13 bytes are literal-only.
@@ -82,6 +84,88 @@ def compress_block(src: bytes) -> bytes:
         i += mlen
         anchor = i
     _emit(out, src[anchor:])
+    return bytes(out)
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """XXH32 — lz4-java's per-block checksum (LZ4BlockOutputStream uses
+    seed 0x9747b28c over the UNCOMPRESSED data)."""
+    P1, P2, P3, P4, P5 = (
+        2654435761, 2246822519, 3266489917, 668265263, 374761393)
+    M = 0xFFFFFFFF
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & M
+
+    n = len(data)
+    idx = 0
+    if n >= 16:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        while idx <= n - 16:
+            a, b, c, d = _struct.unpack_from("<IIII", data, idx)
+            v1 = (rotl((v1 + a * P2) & M, 13) * P1) & M
+            v2 = (rotl((v2 + b * P2) & M, 13) * P1) & M
+            v3 = (rotl((v3 + c * P2) & M, 13) * P1) & M
+            v4 = (rotl((v4 + d * P2) & M, 13) * P1) & M
+            idx += 16
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while idx <= n - 4:
+        (w,) = _struct.unpack_from("<I", data, idx)
+        h = (rotl((h + w * P3) & M, 17) * P4) & M
+        idx += 4
+    while idx < n:
+        h = (rotl((h + data[idx] * P5) & M, 11) * P1) & M
+        idx += 1
+    h ^= h >> 15
+    h = (h * P2) & M
+    h ^= h >> 13
+    h = (h * P3) & M
+    h ^= h >> 16
+    return h
+
+
+LZ4_BLOCK_MAGIC = b"LZ4Block"
+_LZ4_JAVA_SEED = 0x9747B28C
+_METHOD_RAW = 0x10
+_METHOD_LZ4 = 0x20
+
+
+def encode_stream(payload: bytes, block_size: int = 32 * 1024) -> bytes:
+    """Frame ``payload`` as an lz4-java ``LZ4BlockOutputStream`` stream —
+    the layout Spark's state-store files use under the default
+    ``spark.sql.streaming.stateStore.compression.codec=lz4``. Per block:
+    magic, token (method | log2(blockSize)-10), compressedLen,
+    originalLen, XXH32(seed 0x9747b28c) of the original bytes (all LE
+    ints), then the block; terminated by an empty RAW block. lz4-java's
+    reader verifies the checksum, so it must be bit-exact."""
+    level = max((block_size - 1).bit_length() - 10, 0)
+    token_raw = _METHOD_RAW | level
+    token_lz4 = _METHOD_LZ4 | level
+    out = bytearray()
+    for i in range(0, len(payload), block_size):
+        chunk = payload[i : i + block_size]
+        comp = compress_block(chunk)
+        # lz4-java keeps only the low 28 bits of the hash
+        check = xxh32(chunk, _LZ4_JAVA_SEED) & 0xFFFFFFF
+        if len(comp) >= len(chunk):
+            out += LZ4_BLOCK_MAGIC
+            out += bytes([token_raw])
+            out += _struct.pack("<iiI", len(chunk), len(chunk), check)
+            out += chunk
+        else:
+            out += LZ4_BLOCK_MAGIC
+            out += bytes([token_lz4])
+            out += _struct.pack("<iiI", len(comp), len(chunk), check)
+            out += comp
+    out += LZ4_BLOCK_MAGIC
+    out += bytes([token_raw])
+    out += _struct.pack("<iii", 0, 0, 0)
     return bytes(out)
 
 

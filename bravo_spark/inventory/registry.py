@@ -32,8 +32,10 @@ GATE_PRIORITY = [
     "join_enrich", "a1_grouped_sort_reduce", "a2_count_sum_per_key",
     "u1_union_bag", "sort_topk", "last_write_wins",
     # Spark state-store read/rewrite surgery (the bravo workflow on Spark's
-    # own checkpoints)
-    "spark_state_read", "spark_state_rewrite", "rocksdb_state_read",
+    # own checkpoints). rocksdb_state_rewrite subsumes the read path (it
+    # re-reads through the same SST+changelog chain after surgery);
+    # rocksdb_state_read stays mirror-verified.
+    "spark_state_read", "spark_state_rewrite", "rocksdb_state_rewrite",
     # dedup family (embedding_cosine is the exact baseline of embedding_lsh
     # and stays mirror-verified; substring dedup is its own family)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_substring",

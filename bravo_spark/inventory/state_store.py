@@ -154,3 +154,66 @@ def rocksdb_state_read(spark, sf_dir):
         F.col(raw_cols[2]).alias("cnt"),
         F.col(raw_cols[3]).alias("sum_floor"),
     )
+
+
+def _run_streaming_agg_rocksdb_changelog(spark, sf_dir: str) -> str:
+    """RocksDB provider WITH changelog checkpointing — the mode whose
+    committed versions this module can rewrite."""
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    cl = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    old_p = spark.conf.get(prop, None)
+    old_c = spark.conf.get(cl, None)
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(cl, "true")
+    try:
+        return _run_streaming_agg(spark, sf_dir)
+    finally:
+        for k, old in ((prop, old_p), (cl, old_c)):
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+@query(
+    "rocksdb_state_rewrite",
+    oracle=(
+        "SELECT event_type, count(*) + 1000 AS cnt,"
+        " CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor"
+        " FROM events WHERE event_type <> 'click' GROUP BY 1"
+    ),
+)
+def rocksdb_state_rewrite(spark, sf_dir):
+    """State surgery WRITE against Spark's RocksDB provider (changelog
+    checkpointing): patch the aggregation state — drop a key, bump the
+    counters — rewrite the committed version's changelog with tombstone
+    semantics mirrored from the HDFS writer, and re-read it through the
+    SST+changelog replay chain. ``tests/test_rocksdb_state.py`` restarts
+    the real query on the rewritten changelog for the end-to-end proof."""
+    from bravo_spark.sources.rocksdb_state import (
+        read_rocksdb_spark_state,
+        write_rocksdb_spark_state,
+    )
+
+    ckpt = _run_streaming_agg_rocksdb_changelog(spark, sf_dir)
+    st = read_rocksdb_spark_state(spark, ckpt)
+    key_col, cnt_col = st.columns[1], st.columns[2]
+    patched = (
+        st.drop("partition_id")
+        .where(F.col(key_col) != "click")
+        .withColumn(cnt_col, F.col(cnt_col) + F.lit(1000))
+    )
+    write_rocksdb_spark_state(spark, ckpt, patched)
+    out = read_rocksdb_spark_state(spark, ckpt)
+    return out.select(
+        F.col(out.columns[1]).alias("event_type"),
+        F.col(out.columns[2]).alias("cnt"),
+        F.col(out.columns[3]).alias("sum_floor"),
+    )

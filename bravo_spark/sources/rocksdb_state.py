@@ -82,6 +82,8 @@ def latest_version(
 def _load_partition_state(pdir: str, version: int) -> dict[bytes, bytes]:
     """One partition's state at ``version``.
 
+    Version 0 is the empty pre-first-commit state.
+
     Two on-disk shapes, matching RocksDBStateStoreProvider's two commit
     modes: every version has a full ``{v}.zip`` (default), or — with
     changelog checkpointing (``...stateStore.rocksdb.changelogCheckpointing
@@ -91,6 +93,8 @@ def _load_partition_state(pdir: str, version: int) -> dict[bytes, bytes]:
     changelog is lz4-java/snappy framed with the same int-length-prefixed
     record layout as the HDFS provider's delta files, so the framing and
     record iterator are shared with sources/spark_state.py."""
+    if version == 0:
+        return {}
     if os.path.exists(os.path.join(pdir, f"{version}.changelog")):
         from bravo_spark.sources.spark_state import _iter_records, decode_stream
 
@@ -196,3 +200,170 @@ def read_rocksdb_spark_state(
 
     rdd = spark.sparkContext.parallelize(parts, max(1, len(parts)))
     return spark.createDataFrame(rdd.mapPartitions(lambda it: scan(list(it))), out_schema)
+
+
+def write_rocksdb_spark_state(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    df: DataFrame,
+    *,
+    operator_id: int = 0,
+    version: int | None = None,
+    store_name: str = "default",
+) -> int:
+    """Rewrite one committed version of a RocksDB-provider store so that,
+    after the restarted query loads it, the operator's state equals ``df``
+    exactly — the same surgery contract as the HDFS-backed
+    ``write_spark_state``.
+
+    Only changelog-checkpointing mode is rewritable
+    (``spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
+    .enabled``): the version's ``{v}.changelog`` is replaced with puts for
+    ``df``'s rows plus tombstones for every key the replayed base (state at
+    v-1 ∪ keys the original changelog touched) could contain — tombstone
+    semantics mirrored from the HDFS writer. Default (zip-per-version)
+    checkpoints would need a RocksDB MANIFEST/VersionEdit writer to rewrite
+    and are rejected with this explanation.
+
+    If store maintenance also uploaded ``{v}.zip``, RocksDB's loader would
+    prefer it and ignore the changelog — so the zip is deleted after
+    verifying the partition still replays (an older zip or empty base plus
+    an unbroken changelog chain up to ``v``). Rows route to partitions with
+    Spark's own ``pmod(murmur3(key), n)``; key/value columns are cast to
+    the store's exact schema types first (Murmur3 is type-sensitive)."""
+    from pyspark.sql import functions as F
+
+    from bravo_spark.sources.spark_state import encode_unsafe_row
+
+    if version is None:
+        version = latest_version(checkpoint_dir, operator_id, store_name)
+    key_schema, value_schema = read_state_schema(checkpoint_dir, operator_id)
+    _check_schema(key_schema)
+    _check_schema(value_schema)
+    sdir = _state_dir(checkpoint_dir, operator_id, store_name)
+    parts = _partition_dirs(sdir)
+    n = len(parts)
+
+    for pid in parts:
+        pdir = os.path.join(sdir, str(pid))
+        if not os.path.exists(os.path.join(pdir, f"{version}.changelog")):
+            raise ValueError(
+                f"partition {pid} has no {version}.changelog: only "
+                "changelog-checkpointing RocksDB stores are rewritable "
+                "(zip-per-version checkpoints would need a RocksDB "
+                "MANIFEST writer); enable spark.sql.streaming.stateStore."
+                "rocksdb.changelogCheckpointing.enabled"
+            )
+
+    key_names = [f.name for f in key_schema.fields]
+    val_names = [
+        (f"value_{f.name}" if f.name in key_names else f.name)
+        for f in value_schema.fields
+    ]
+    missing = [c for c in key_names + val_names if c not in df.columns]
+    if missing:
+        raise ValueError(f"state DataFrame missing columns: {missing}")
+
+    typed = df.select(
+        *[
+            F.col(c).cast(f.dataType).alias(c)
+            for c, f in zip(
+                key_names + val_names,
+                list(key_schema.fields) + list(value_schema.fields),
+            )
+        ]
+    )
+    routed = typed.select(
+        F.pmod(F.hash(*key_names), F.lit(n)).cast("int").alias("_pid"),
+        *key_names,
+        *val_names,
+    ).repartition(n, "_pid")
+
+    nk = len(key_names)
+    vb = bytes([STATE_ENCODING_VERSION])
+
+    def write_partition(rows):
+        by_pid: dict[int, dict[bytes, bytes]] = {}
+        for r in rows:
+            pid = r["_pid"]
+            kb = vb + encode_unsafe_row(tuple(r[1 : 1 + nk]), key_schema)
+            val = vb + encode_unsafe_row(tuple(r[1 + nk :]), value_schema)
+            by_pid.setdefault(pid, {})[kb] = val
+        for pid in by_pid:
+            _rewrite_changelog_version(
+                os.path.join(sdir, str(pid)), version, by_pid[pid]
+            )
+            yield pid
+
+    touched = set(routed.rdd.mapPartitions(write_partition).collect())
+    for pid in parts:
+        if pid not in touched:
+            _rewrite_changelog_version(os.path.join(sdir, str(pid)), version, {})
+    return version
+
+
+def _rewrite_changelog_version(
+    pdir: str, version: int, desired: dict[bytes, bytes]
+) -> None:
+    """Replace one partition's ``{version}.changelog`` so replayed state at
+    ``version`` equals ``desired``; delete a shadowing ``{version}.zip``
+    (after verifying replayability without it) since the loader prefers
+    snapshots and would ignore the changelog."""
+    import struct
+
+    from bravo_spark.sources.spark_state import (
+        _finalize_state_file,
+        _iter_records,
+        decode_stream,
+        encode_stream_like,
+    )
+
+    zip_path = os.path.join(pdir, f"{version}.zip")
+    if os.path.exists(zip_path):
+        # replay must work from the pre-version base once the zip is gone
+        older = [
+            int(f.partition(".")[0])
+            for f in os.listdir(pdir)
+            if f.endswith(".zip")
+            and f.partition(".")[0].isdigit()
+            and int(f.partition(".")[0]) < version
+        ]
+        start = max(older) + 1 if older else 1
+        chain = [
+            v
+            for v in range(start, version + 1)
+            if not os.path.exists(os.path.join(pdir, f"{v}.changelog"))
+        ]
+        if chain:
+            raise ValueError(
+                f"cannot drop shadowing snapshot {zip_path}: changelog "
+                f"chain broken at versions {chain}"
+            )
+        os.remove(zip_path)
+        for crc in (
+            os.path.join(pdir, f"{version}.zip.crc"),
+            os.path.join(pdir, f".{version}.zip.crc"),
+        ):
+            if os.path.exists(crc):
+                os.remove(crc)
+
+    base_keys = set(_load_partition_state(pdir, version - 1))
+    clog = os.path.join(pdir, f"{version}.changelog")
+    old_raw = open(clog, "rb").read()
+    for kb, _ in _iter_records(decode_stream(old_raw)):
+        base_keys.add(kb)
+
+    payload = bytearray()
+    for kb, val in desired.items():
+        payload += struct.pack(">i", len(kb)) + kb
+        payload += struct.pack(">i", len(val)) + val
+    for kb in base_keys:
+        if kb not in desired:
+            payload += struct.pack(">i", len(kb)) + kb
+            payload += struct.pack(">i", -1)
+    payload += struct.pack(">i", -1)
+    tmp = os.path.join(pdir, f".{version}.changelog.tmp")
+    with open(tmp, "wb") as f:
+        f.write(encode_stream_like(old_raw, bytes(payload)))
+    os.replace(tmp, clog)
+    _finalize_state_file(clog)

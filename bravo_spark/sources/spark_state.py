@@ -13,8 +13,11 @@ On-disk format (sql/execution/streaming/state/HDFSBackedStateStoreProvider):
 
 - each file is a compression stream (``spark.sql.streaming.stateStore.
   compression.codec``): lz4-java block framing (default) or xerial-snappy
-  framing — both implemented here in pure Python (read: both; write:
-  snappy, whose raw codec we already ship in codecs/snappy.py);
+  framing — both implemented here in pure Python, read AND write (the
+  lz4-java framing incl. its 28-bit XXH32 block checksums is bit-exact to
+  the real library; rewrites sniff the original file and keep its codec,
+  since a restarted query decompresses with its session-configured codec,
+  not by sniffing);
 - inside: records ``[keyLen int BE][key][valueLen int BE][value]``,
   valueLen -1 = tombstone (delta files only), keyLen -1 = EOF;
 - key/value bytes are UnsafeRow: 8-byte null-bit header word(s), 8-byte
@@ -51,6 +54,7 @@ from bravo_spark.codecs.crc32c import crc32c
 
 SNAPPY_MAGIC = b"\x82SNAPPY\x00"
 LZ4_MAGIC = b"LZ4Block"
+ZSTD_FRAME_MAGIC = b"\x28\xb5\x2f\xfd"
 
 _SUPPORTED = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
               T.BooleanType, T.StringType, T.BinaryType, T.TimestampType,
@@ -97,10 +101,13 @@ def decode_stream(raw: bytes) -> bytes:
             else:
                 raise ValueError(f"unknown LZ4Block method 0x{method:02x}")
         return bytes(out)
+    if raw[:4] == ZSTD_FRAME_MAGIC:
+        from bravo_spark.codecs import zstd as pzstd
+
+        return pzstd.decompress(raw)
     raise ValueError(
         "unrecognized state-file framing (supported: xerial snappy, "
-        "lz4-java block; set spark.sql.streaming.stateStore.compression."
-        "codec=snappy for checkpoints this module will also WRITE)"
+        "lz4-java block, zstd frames; lzf is not)"
     )
 
 
@@ -112,6 +119,26 @@ def encode_stream_snappy(payload: bytes, block_size: int = 32 * 1024) -> bytes:
         out += struct.pack(">I", len(comp))
         out += comp
     return bytes(out)
+
+
+def encode_stream_like(original: bytes | None, payload: bytes) -> bytes:
+    """Frame ``payload`` with the same codec as ``original`` — a restarted
+    query decompresses state files with its session-configured codec
+    (``spark.sql.streaming.stateStore.compression.codec``), NOT by
+    sniffing, so a rewritten file must keep the original's framing. With
+    no original to imitate, use lz4 (Spark's default codec). The lz4-java
+    framing is bit-exact to the real library's reader, checksum included
+    (codecs/lz4.py, cross-validated in test_spark_state)."""
+    if original is not None and original[:8] == SNAPPY_MAGIC:
+        return encode_stream_snappy(payload)
+    if original is not None and original[:4] == ZSTD_FRAME_MAGIC:
+        raise ValueError(
+            "cannot rewrite a zstd-compressed state file: this module "
+            "decodes zstd (codecs/zstd.py) but ships no encoder; rerun "
+            "the query with codec lz4 or snappy to make its state "
+            "rewritable"
+        )
+    return plz4.encode_stream(payload)
 
 
 # ---------------------------------------------------------------------------
@@ -552,8 +579,10 @@ def _rewrite_partition_version(
     tombstones: exactly the desired entries)."""
     base_keys = set(_load_partition_state(pdir, version - 1))
     old_delta = os.path.join(pdir, f"{version}.delta")
+    old_raw = None
     if os.path.exists(old_delta):
-        for kb, _ in _iter_records(decode_stream(open(old_delta, "rb").read())):
+        old_raw = open(old_delta, "rb").read()
+        for kb, _ in _iter_records(decode_stream(old_raw)):
             base_keys.add(kb)
 
     payload = bytearray()
@@ -567,12 +596,13 @@ def _rewrite_partition_version(
     payload += struct.pack(">i", -1)
     tmp = os.path.join(pdir, f".{version}.delta.tmp")
     with open(tmp, "wb") as f:
-        f.write(encode_stream_snappy(bytes(payload)))
+        f.write(encode_stream_like(old_raw, bytes(payload)))
     os.replace(tmp, old_delta)
     _finalize_state_file(old_delta)
 
     snap = os.path.join(pdir, f"{version}.snapshot")
     if os.path.exists(snap):
+        old_snap = open(snap, "rb").read()
         spayload = bytearray()
         for kb, vb in desired.items():
             spayload += struct.pack(">i", len(kb)) + kb
@@ -580,6 +610,6 @@ def _rewrite_partition_version(
         spayload += struct.pack(">i", -1)
         stmp = os.path.join(pdir, f".{version}.snapshot.tmp")
         with open(stmp, "wb") as f:
-            f.write(encode_stream_snappy(bytes(spayload)))
+            f.write(encode_stream_like(old_snap, bytes(spayload)))
         os.replace(stmp, snap)
         _finalize_state_file(snap)

@@ -45,7 +45,7 @@ def test_flagship_families_inside_window():
     window = set(GATE_PRIORITY)
     for name in (
         "snapshot_roundtrip", "checkpoint_roundtrip",
-        "spark_state_read", "spark_state_rewrite", "rocksdb_state_read",
+        "spark_state_read", "spark_state_rewrite", "rocksdb_state_rewrite",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_substring",
         "dedup_minhash_lsh",
         "dedup_embedding_lsh", "dedup_clusters", "dedup_incremental_batch",

@@ -221,3 +221,79 @@ def test_read_rocksdb_changelog_checkpointing(spark, tmp_path):
             "HDFSBackedStateStoreProvider",
         )
         spark.conf.set(cl, "false")
+
+
+def test_rocksdb_rewrite_then_restart(spark, tmp_path):
+    """State surgery on the RocksDB provider, proven by the real query:
+    patch a counter and tombstone a key in a changelog-checkpointing
+    store, then restart the query on new input — Spark's own RocksDB must
+    replay OUR changelog and continue from the patched values."""
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    cl = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(cl, "true")
+    try:
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 5)], "k string, v int"
+        ).coalesce(1).write.parquet(inp)
+        assert _run_agg(spark, inp, ckpt) == {"a": (2, 3), "b": (1, 5)}
+
+        st = rs.read_rocksdb_spark_state(spark, ckpt)
+        cnt_col = st.columns[2]
+        patched = (
+            st.drop("partition_id")
+            .where(F.col("k") != "b")  # tombstone b
+            .withColumn(cnt_col, F.col(cnt_col) + F.lit(100))
+        )
+        ver = rs.write_rocksdb_spark_state(spark, ckpt, patched)
+        assert ver == rs.latest_version(ckpt)
+
+        # our reader sees the patch
+        got = {
+            r[1]: (r[2], r[3])
+            for r in rs.read_rocksdb_spark_state(spark, ckpt).collect()
+        }
+        assert got == {"a": (102, 3)}
+
+        # the decisive step: restart the REAL query on our changelog
+        spark.createDataFrame(
+            [("a", 10), ("b", 7)], "k string, v int"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        out2 = _run_agg(spark, inp, ckpt)
+        assert out2 == {"a": (103, 13), "b": (1, 7)}
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(cl, "false")
+
+
+def test_rocksdb_rewrite_rejects_zip_only_store(spark, tmp_path):
+    """Default (zip-per-version) RocksDB checkpoints are not rewritable;
+    the error must say why and name the enabling conf."""
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1)], "k string, v int"
+        ).coalesce(1).write.parquet(inp)
+        _run_agg(spark, inp, ckpt)
+        st = rs.read_rocksdb_spark_state(spark, ckpt)
+        with pytest.raises(ValueError, match="changelogCheckpointing"):
+            rs.write_rocksdb_spark_state(spark, ckpt, st.drop("partition_id"))
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )

@@ -87,6 +87,38 @@ def test_snappy_stream_roundtrip():
     assert ss.decode_stream(framed) == payload
 
 
+def test_lz4_java_framing_write_cross_validated(spark):
+    """Our lz4-java encoder must be accepted by the REAL lz4-java reader
+    (checksum verified) and vice versa — the bit-level contract a restarted
+    default-codec query depends on."""
+    from bravo_spark.codecs.lz4 import encode_stream
+
+    j = spark._jvm
+    payloads = [b"", b"x", b"state row " * 8000, bytes(range(256)) * 300]
+    for p in payloads:
+        bis = j.java.io.ByteArrayInputStream(bytearray(encode_stream(p)))
+        got = bytes(j.net.jpountz.lz4.LZ4BlockInputStream(bis).readAllBytes())
+        assert got == p
+        bos = j.java.io.ByteArrayOutputStream()
+        los = j.net.jpountz.lz4.LZ4BlockOutputStream(bos)
+        if p:
+            los.write(bytearray(p))
+        los.close()
+        assert ss.decode_stream(bytes(bos.toByteArray())) == p
+
+
+def test_zstd_state_stream_decode_cross_validated(spark):
+    """Spark's codec=zstd writes plain zstd frames (zstd-jni); our frame
+    decoder must read them."""
+    j = spark._jvm
+    payload = b"zstd state payload " * 4000
+    bos = j.java.io.ByteArrayOutputStream()
+    zos = j.com.github.luben.zstd.ZstdOutputStream(bos)
+    zos.write(bytearray(payload))
+    zos.close()
+    assert ss.decode_stream(bytes(bos.toByteArray())) == payload
+
+
 def test_record_framing_tombstone_and_eof():
     payload = (
         struct.pack(">i", 3) + b"key" + struct.pack(">i", 2) + b"vv"
@@ -172,6 +204,41 @@ def test_rewrite_then_restart(spark, tmp_path):
     assert got == {"a": (102, 3)}
 
     # the decisive step: more input, restart the REAL query on our files
+    spark.createDataFrame(
+        [("a", 10), ("b", 7)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    out2 = _run_agg(spark, inp, ckpt)
+    assert out2 == {"a": (103, 13), "b": (1, 7)}
+
+
+def test_rewrite_then_restart_default_lz4_codec(spark, tmp_path):
+    """Same restart proof under the DEFAULT state-store codec (lz4): the
+    rewrite must sniff the original framing and emit lz4-java blocks the
+    restarted query's real decompressor accepts."""
+    spark.conf.set("spark.sql.streaming.stateStore.compression.codec", "lz4")
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    assert _run_agg(spark, inp, ckpt) == {"a": (2, 3), "b": (1, 5)}
+
+    # the files really are lz4-framed
+    sdir = ss._state_dir(ckpt, 0)
+    pid = ss._partitions(sdir)[0]
+    ver = ss.latest_version(ckpt)
+    delta = os.path.join(sdir, str(pid), f"{ver}.delta")
+    assert open(delta, "rb").read(8) == ss.LZ4_MAGIC
+
+    st = ss.read_spark_state(spark, ckpt)
+    cnt_col = st.columns[2]
+    patched = (
+        st.drop("partition_id")
+        .where(F.col("k") != "b")
+        .withColumn(cnt_col, F.col(cnt_col) + F.lit(100))
+    )
+    ss.write_spark_state(spark, ckpt, patched)
+    assert open(delta, "rb").read(8) == ss.LZ4_MAGIC  # codec preserved
+
     spark.createDataFrame(
         [("a", 10), ("b", 7)], "k string, v int"
     ).coalesce(1).write.mode("append").parquet(inp)
