@@ -246,13 +246,13 @@ def write_rocksdb_spark_state(
 
     for pid in parts:
         pdir = os.path.join(sdir, str(pid))
-        if not os.path.exists(os.path.join(pdir, f"{version}.changelog")):
+        if not os.path.exists(
+            os.path.join(pdir, f"{version}.changelog")
+        ) and not os.path.exists(os.path.join(pdir, f"{version}.zip")):
             raise ValueError(
-                f"partition {pid} has no {version}.changelog: only "
-                "changelog-checkpointing RocksDB stores are rewritable "
-                "(zip-per-version checkpoints would need a RocksDB "
-                "MANIFEST writer); enable spark.sql.streaming.stateStore."
-                "rocksdb.changelogCheckpointing.enabled"
+                f"partition {pid} has neither {version}.changelog nor "
+                f"{version}.zip — version {version} was never committed "
+                "there"
             )
 
     key_names = [f.name for f in key_schema.fields]
@@ -305,10 +305,17 @@ def write_rocksdb_spark_state(
 def _rewrite_changelog_version(
     pdir: str, version: int, desired: dict[bytes, bytes]
 ) -> None:
-    """Replace one partition's ``{version}.changelog`` so replayed state at
-    ``version`` equals ``desired``; delete a shadowing ``{version}.zip``
-    (after verifying replayability without it) since the loader prefers
-    snapshots and would ignore the changelog."""
+    """Replace one partition's committed ``version`` so loaded state equals
+    ``desired``.
+
+    Changelog mode: rewrite ``{version}.changelog`` (puts + tombstones).
+    Zip-per-version mode (no changelog): rebuild ``{version}.zip`` as a
+    complete RocksDB checkpoint — pure-Python SST + MANIFEST/CURRENT
+    (sources/rocksdb_manifest.py) — that Spark's real RocksDB opens on
+    restart. A zip that merely SHADOWS a changelog (maintenance snapshot)
+    is deleted after verifying the changelog chain still replays, since
+    the loader prefers snapshots and would ignore the rewritten
+    changelog."""
     import struct
 
     from bravo_spark.sources.spark_state import (
@@ -319,6 +326,9 @@ def _rewrite_changelog_version(
     )
 
     zip_path = os.path.join(pdir, f"{version}.zip")
+    if not os.path.exists(os.path.join(pdir, f"{version}.changelog")):
+        _rewrite_zip_version(pdir, version, desired)
+        return
     if os.path.exists(zip_path):
         # replay must work from the pre-version base once the zip is gone
         older = [
@@ -367,3 +377,62 @@ def _rewrite_changelog_version(
         f.write(encode_stream_like(old_raw, bytes(payload)))
     os.replace(tmp, clog)
     _finalize_state_file(clog)
+
+
+def _rewrite_zip_version(
+    pdir: str, version: int, desired: dict[bytes, bytes]
+) -> None:
+    """Rebuild ``{version}.zip`` as a fresh single-SST RocksDB checkpoint
+    holding exactly ``desired`` (zip-per-version stores carry full state,
+    so no tombstones are needed — the zip IS the state). The member layout
+    mirrors what RocksDBFileManager uploads: a ``metadata`` json naming
+    the SST (stored beside the zip under ``SSTs/`` with a
+    ``<local>-<uuid>.sst`` dfs name) plus the MANIFEST/CURRENT/empty-WAL
+    files RocksDB needs to open the directory. Table properties include
+    the raw-size/deletion counters compaction divides by (sources/sst.py).
+    Old SST files of the replaced version stay behind as orphans — the
+    store's own maintenance deletes unreferenced files."""
+    import json as _json
+    import shutil
+    import tempfile
+    import uuid as _uuid
+    import zipfile
+
+    from bravo_spark.sources.rocksdb_manifest import build_db_dir
+    from bravo_spark.sources.spark_state import _finalize_state_file
+
+    tmp = tempfile.mkdtemp(prefix="bravo_rocksdb_zip_")
+    try:
+        sizes = build_db_dir(tmp, sorted(desired.items()))
+        sst_local = next(n for n in sizes if n.endswith(".sst"))
+        dfs_name = f"{sst_local.split('.')[0]}-{_uuid.uuid4()}.sst"
+        ssts_dir = os.path.join(pdir, "SSTs")
+        os.makedirs(ssts_dir, exist_ok=True)
+        shutil.copyfile(
+            os.path.join(tmp, sst_local), os.path.join(ssts_dir, dfs_name)
+        )
+        meta = {
+            "sstFiles": [
+                {
+                    "localFileName": sst_local,
+                    "dfsSstFileName": dfs_name,
+                    "sizeBytes": sizes[sst_local],
+                }
+            ],
+            "numKeys": len(desired),
+            "numInternalKeys": 0,
+            "columnFamilyMapping": {},
+            "columnFamilyTypeMap": {},
+            "maxColumnFamilyId": 0,
+        }
+        ztmp = os.path.join(pdir, f".{version}.zip.tmp")
+        with zipfile.ZipFile(ztmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for name in sizes:
+                if name.endswith(".sst"):
+                    continue  # SSTs travel via SSTs/, not the zip
+                z.write(os.path.join(tmp, name), name)
+            z.writestr("metadata", "v1\n" + _json.dumps(meta))
+        os.replace(ztmp, os.path.join(pdir, f"{version}.zip"))
+        _finalize_state_file(os.path.join(pdir, f"{version}.zip"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -508,6 +508,11 @@ class SstWriter:
         self._index_entries: list[tuple[bytes, BlockHandle]] = []
         self._last_ikey = b""
         self._num_entries = 0
+        self._raw_key_size = 0
+        self._raw_value_size = 0
+        self._num_deletions = 0
+        self._num_merges = 0
+        self._data_bytes = 0
         self._closed = False
 
     def add(self, user_key: bytes, seq: int, vtype: int, value: bytes) -> None:
@@ -522,6 +527,17 @@ class SstWriter:
         self._data.add(ikey, value)
         self._last_ikey = ikey
         self._num_entries += 1
+        # raw sizes are over INTERNAL keys (user key + 8-byte trailer);
+        # deletion counts feed compaction's compensated-size math, which
+        # DIVIDES by (entries - deletions) — a DB open on a file claiming
+        # zero raw size SIGFPEs in ComputeCompensatedSizes, so these
+        # properties are required for full-DB use, not decoration.
+        self._raw_key_size += len(ikey)
+        self._raw_value_size += len(value)
+        if vtype in (TYPE_DELETION, TYPE_SINGLE_DELETION):
+            self._num_deletions += 1
+        if vtype == TYPE_MERGE:
+            self._num_merges += 1
         if self._data.size >= self.block_size:
             self._flush_data_block()
 
@@ -561,6 +577,7 @@ class SstWriter:
         if not self._data.buf:
             return
         handle = self._write_block(self._data.finish(), self.compression)
+        self._data_bytes += handle.size
         self._index_entries.append((self._last_ikey, handle))
         self._data = _BlockBuilder()
 
@@ -570,6 +587,12 @@ class SstWriter:
             PROP_CF_ID: _write_uvarint(self.cf_id),
             PROP_INDEX_TYPE: _write_uvarint(self.index_type),
             b"rocksdb.num.entries": _write_uvarint(self._num_entries),
+            b"rocksdb.raw.key.size": _write_uvarint(self._raw_key_size),
+            b"rocksdb.raw.value.size": _write_uvarint(self._raw_value_size),
+            b"rocksdb.deleted.keys": _write_uvarint(self._num_deletions),
+            b"rocksdb.num.range-deletions": _write_uvarint(0),
+            b"rocksdb.merge.operands": _write_uvarint(self._num_merges),
+            b"rocksdb.data.size": _write_uvarint(self._data_bytes),
         }
         if self.merge_operator:
             props[PROP_MERGE_OPERATOR] = self.merge_operator.encode()

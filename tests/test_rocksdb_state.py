@@ -274,9 +274,12 @@ def test_rocksdb_rewrite_then_restart(spark, tmp_path):
         spark.conf.set(cl, "false")
 
 
-def test_rocksdb_rewrite_rejects_zip_only_store(spark, tmp_path):
-    """Default (zip-per-version) RocksDB checkpoints are not rewritable;
-    the error must say why and name the enabling conf."""
+def test_rocksdb_rewrite_then_restart_zip_mode(spark, tmp_path):
+    """Zip-per-version (default) RocksDB checkpoints rewrite too: the
+    version's zip is rebuilt as a pure-Python RocksDB checkpoint — our
+    SST + MANIFEST/CURRENT (sources/rocksdb_manifest.py) — and the
+    restarted query's REAL RocksDB must open it and continue from the
+    patched state."""
     prop = "spark.sql.streaming.stateStore.providerClass"
     spark.conf.set(
         prop,
@@ -285,15 +288,64 @@ def test_rocksdb_rewrite_rejects_zip_only_store(spark, tmp_path):
     try:
         inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
         spark.createDataFrame(
-            [("a", 1)], "k string, v int"
+            [("a", 1), ("a", 2), ("b", 5)], "k string, v int"
         ).coalesce(1).write.parquet(inp)
-        _run_agg(spark, inp, ckpt)
+        assert _run_agg(spark, inp, ckpt) == {"a": (2, 3), "b": (1, 5)}
+
         st = rs.read_rocksdb_spark_state(spark, ckpt)
-        with pytest.raises(ValueError, match="changelogCheckpointing"):
-            rs.write_rocksdb_spark_state(spark, ckpt, st.drop("partition_id"))
+        cnt_col = st.columns[2]
+        patched = (
+            st.drop("partition_id")
+            .where(F.col("k") != "b")  # tombstone b
+            .withColumn(cnt_col, F.col(cnt_col) + F.lit(100))
+        )
+        rs.write_rocksdb_spark_state(spark, ckpt, patched)
+
+        # our reader sees the patch through the rebuilt zip
+        got = {
+            r[1]: (r[2], r[3])
+            for r in rs.read_rocksdb_spark_state(spark, ckpt).collect()
+        }
+        assert got == {"a": (102, 3)}
+
+        # the decisive step: restart — Spark's real RocksDB opens OUR
+        # MANIFEST + SST
+        spark.createDataFrame(
+            [("a", 10), ("b", 7)], "k string, v int"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        out2 = _run_agg(spark, inp, ckpt)
+        assert out2 == {"a": (103, 13), "b": (1, 7)}
     finally:
         spark.conf.set(
             prop,
             "org.apache.spark.sql.execution.streaming.state."
             "HDFSBackedStateStoreProvider",
         )
+
+
+def test_manifest_writer_db_opened_by_real_rocksdb(spark, tmp_path):
+    """The pure-Python DB-directory builder must produce a database real
+    RocksDB opens with no repair: iterate + point-get byte-exactly."""
+    from bravo_spark.sources.rocksdb_manifest import build_db_dir
+
+    j = spark._jvm
+    j.org.rocksdb.RocksDB.loadLibrary()
+    path = str(tmp_path / "pydb")
+    entries = [((b"key%04d" % i), (b"payload-%d|" % i) * (1 + i % 3)) for i in range(300)]
+    build_db_dir(path, entries)
+    opts = j.org.rocksdb.Options()
+    opts.setCreateIfMissing(False)
+    opts.setParanoidChecks(True)
+    db = j.org.rocksdb.RocksDB.open(opts, path)
+    try:
+        it = db.newIterator()
+        it.seekToFirst()
+        got = []
+        while it.isValid():
+            got.append((bytes(it.key()), bytes(it.value())))
+            it.next()
+        assert got == sorted(entries)
+        assert bytes(db.get(b"key0123")) == entries[123][1]
+        assert db.get(b"missing") is None
+    finally:
+        db.close()
