@@ -168,3 +168,40 @@ def snapshot_rescale(spark, sf_dir):
         key_codecs={"Count": fc.LONG},
     )
     return sp.read_savepoint_kv(spark, dst, "Count", fc.LONG, fc.LONG)
+
+
+@query(
+    "checkpoint_write_roundtrip",
+    oracle="SELECT user_id AS key, count(*) AS value FROM events GROUP BY user_id",
+)
+def checkpoint_write_roundtrip(spark, sf_dir):
+    """S4 write half — beyond the reference, which only writes FULL
+    savepoints: per-user counts are serialized into per-subtask RocksDB
+    databases (one column family per state, MANIFEST/CURRENT from
+    sources/rocksdb_manifest.py) and read back through the incremental-
+    checkpoint scan. Real rocksdbjni opens the same directories in
+    tests/test_rocksdb_state.py; here the oracle pins the value-level
+    round-trip. One shuffle out (keygroup routing), one shuffle back
+    (LSM grouping) — both on state keys, never collected."""
+    from bravo_spark.sources import checkpoint as ck
+
+    ev = catalog.table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    rows = sr.kv_to_state_rows(
+        counts.select(
+            F.col("user_id").alias("key"), F.col("cnt").alias("value")
+        ),
+        "Count",
+        fc.LONG,
+        fc.LONG,
+        max_parallelism=128,
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"bravo_ckpt_write_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ck.write_incremental_checkpoint(
+        rows, out, max_parallelism=128, parallelism=4
+    )
+    back = ck.read_incremental_checkpoint(spark, out)
+    return sr.read_value_kv(back, "Count", fc.LONG, fc.LONG)

@@ -66,7 +66,10 @@ def list_sst_files(ckpt_dir: str) -> list[str]:
     for determinism; MANIFEST/CURRENT/OPTIONS (private state) are not needed
     because each SST carries its column family in its properties block and
     a checkpoint references live files only."""
-    files = sorted(glob.glob(os.path.join(ckpt_dir, "*.sst")))
+    files = sorted(
+        glob.glob(os.path.join(ckpt_dir, "*.sst"))
+        + glob.glob(os.path.join(ckpt_dir, "op-*", "*.sst"))
+    )
     if not files:
         raise FileNotFoundError(f"no .sst files under {ckpt_dir}")
     return files
@@ -196,3 +199,92 @@ def write_sst_fixture(
                 w.add(user_key, seq, vtype, value)
         out.append(fpath)
     return out
+
+
+def write_incremental_checkpoint(
+    rows: DataFrame,
+    path: str,
+    *,
+    max_parallelism: int,
+    parallelism: int,
+    state_ids: dict[str, int] | None = None,
+) -> dict:
+    """The write half of S4 — one step beyond the reference, which only
+    writes FULL savepoints (writer/OperatorStateWriter.java:225-283) and
+    treats incremental checkpoints as read-only input
+    (RocksDBCheckpointIterator.java:57-254): serialize the universal state
+    relation back into per-subtask RocksDB databases, the exact on-disk
+    shape a RocksDB-backend restore opens.
+
+    Layout: ``{path}/op-{i}/`` is a complete, openable RocksDB directory —
+    one column family per state (CF name = state name, matching what the
+    backend creates at restore), one L0 SST per CF, MANIFEST/CURRENT/WAL
+    from sources/rocksdb_manifest.py. Real rocksdbjni opens every subtask
+    dir (tests prove it); our own reader round-trips it by CF-name scan.
+
+    Distribution mirrors the savepoint writer (A1): one shuffle routing
+    each key to its operator index via Flink's keygroup assignment, then a
+    single pass per subtask; only {filename: size} manifests return to the
+    driver. Returns the checkpoint manifest (also written as
+    ``_bravo_checkpoint.json``)."""
+    import json as _json
+
+    from bravo_spark.sources.staterows import (
+        with_key_group_column,
+        with_operator_index_column,
+    )
+    from bravo_spark.sources.rocksdb_manifest import build_db_dir_multi_cf
+
+    spark = rows.sparkSession
+    os.makedirs(path, exist_ok=True)
+    names = [r[0] for r in rows.select("state_name").distinct().collect()]
+    if state_ids is None:
+        state_ids = {n: i for i, n in enumerate(sorted(names))}
+    missing = sorted(set(names) - set(state_ids))
+    if missing:
+        raise ValueError(f"state_ids missing entries for: {missing}")
+    cf_ids = {n: i + 1 for n, i in state_ids.items()}  # CF 0 = default
+
+    routed = with_key_group_column(rows, max_parallelism=max_parallelism)
+    routed = with_operator_index_column(
+        routed, max_parallelism=max_parallelism, parallelism=parallelism
+    )
+    shuffled = routed.repartition(parallelism, "op_index")
+
+    def write_partition(pdf_iter):
+        by_op: dict[int, dict[str, list]] = {}
+        for pdf in pdf_iter:
+            for sn, kns, val, op in zip(
+                pdf["state_name"], pdf["key_ns"], pdf["value"], pdf["op_index"]
+            ):
+                by_op.setdefault(int(op), {}).setdefault(sn, []).append(
+                    (bytes(kns), 1, sstmod.TYPE_VALUE, bytes(val))
+                )
+        out = []
+        for op, families in by_op.items():
+            dbdir = os.path.join(path, f"op-{op}")
+            sizes = build_db_dir_multi_cf(dbdir, families, cf_ids=cf_ids)
+            out.append(
+                pd.DataFrame(
+                    {"op_index": [op], "files": [_json.dumps(sizes)]}
+                )
+            )
+        if out:
+            yield from out
+
+    manifests = shuffled.mapInPandas(
+        write_partition, schema="op_index int, files string"
+    ).collect()  # handle-only collect, data stays in executors
+
+    meta = {
+        "version": 1,
+        "max_parallelism": max_parallelism,
+        "parallelism": parallelism,
+        "state_ids": state_ids,
+        "subtasks": {
+            str(r["op_index"]): _json.loads(r["files"]) for r in manifests
+        },
+    }
+    with open(os.path.join(path, "_bravo_checkpoint.json"), "w") as f:
+        _json.dump(meta, f, indent=1)
+    return meta

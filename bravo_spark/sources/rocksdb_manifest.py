@@ -46,6 +46,9 @@ TAG_LOG_NUMBER = 2
 TAG_NEXT_FILE_NUMBER = 3
 TAG_LAST_SEQUENCE = 4
 TAG_NEW_FILE2 = 100
+TAG_COLUMN_FAMILY = 200  # selects the CF an edit applies to (default 0)
+TAG_COLUMN_FAMILY_ADD = 201
+TAG_MAX_COLUMN_FAMILY = 203
 
 DEFAULT_COMPARATOR = b"leveldb.BytewiseComparator"
 
@@ -71,10 +74,15 @@ def encode_version_edit(
     next_file_number: int | None = None,
     last_sequence: int | None = None,
     new_files: list[tuple[int, int, int, bytes, bytes, int, int]] = (),
+    column_family: int | None = None,
+    column_family_add: bytes | None = None,
+    max_column_family: int | None = None,
 ) -> bytes:
     """One VersionEdit. ``new_files`` entries are (level, file_number,
     file_size, smallest_internal_key, largest_internal_key,
-    smallest_seqno, largest_seqno)."""
+    smallest_seqno, largest_seqno). ``column_family`` scopes the edit to
+    that CF id; with ``column_family_add`` it is the id the named new CF
+    receives."""
     out = bytearray()
     if comparator is not None:
         out += _varint(TAG_COMPARATOR) + _lenpref(comparator)
@@ -84,11 +92,17 @@ def encode_version_edit(
         out += _varint(TAG_NEXT_FILE_NUMBER) + _varint(next_file_number)
     if last_sequence is not None:
         out += _varint(TAG_LAST_SEQUENCE) + _varint(last_sequence)
+    if max_column_family is not None:
+        out += _varint(TAG_MAX_COLUMN_FAMILY) + _varint(max_column_family)
     for level, fno, size, smallest, largest, sseq, lseq in new_files:
         out += _varint(TAG_NEW_FILE2)
         out += _varint(level) + _varint(fno) + _varint(size)
         out += _lenpref(smallest) + _lenpref(largest)
         out += _varint(sseq) + _varint(lseq)
+    if column_family is not None:
+        out += _varint(TAG_COLUMN_FAMILY) + _varint(column_family)
+    if column_family_add is not None:
+        out += _varint(TAG_COLUMN_FAMILY_ADD) + _lenpref(column_family_add)
     return bytes(out)
 
 
@@ -124,6 +138,97 @@ def write_log(records: list[bytes]) -> bytes:
             if done:
                 break
     return bytes(out)
+
+
+def build_db_dir_multi_cf(
+    path: str,
+    families: dict[str, list[tuple[bytes, int, int, bytes]]],
+    *,
+    cf_ids: dict[str, int] | None = None,
+    manifest_number: int = 1,
+    wal_number: int = 2,
+) -> dict[str, int]:
+    """Create an openable RocksDB directory with one column family (and
+    one L0 SST) per entry of ``families``: {cf_name: [(user_key, seq,
+    vtype, value), ...]} — the layout Flink's RocksDB backend keeps state
+    in (one CF per registered state, default CF empty). ``cf_ids``
+    assigns explicit ids (default: 1, 2, ... in sorted-name order).
+    Returns {filename: size}.
+
+    MANIFEST structure: a base edit for the default CF (comparator,
+    log/next-file/last-sequence numbers, max CF id), then per family a
+    kColumnFamilyAdd edit followed by a CF-scoped edit registering its
+    SST — the same record sequence a live RocksDB emits for
+    CreateColumnFamily + flush. Real rocksdbjni must open the result
+    (tests cross-validate, incl. listColumnFamilies)."""
+    os.makedirs(path, exist_ok=True)
+    names = sorted(families)
+    ids = dict(cf_ids or {n: i + 1 for i, n in enumerate(names)})
+    next_file = max(manifest_number, wal_number) + 1
+    sizes: dict[str, int] = {}
+    edits: list[bytes] = []
+    max_seq = 1
+    cf_files: dict[str, tuple[int, int, bytes, bytes, int, int]] = {}
+    for name in names:
+        rows = sorted(families[name], key=lambda r: (r[0], -r[1]))
+        if not rows:
+            continue
+        fno = next_file
+        next_file += 1
+        sst_name = f"{fno:06d}.sst"
+        sst_path = os.path.join(path, sst_name)
+        with sstmod.SstWriter(
+            sst_path, column_family=name, column_family_id=ids[name]
+        ) as w:
+            for ukey, seq, vtype, value in rows:
+                w.add(ukey, seq, vtype, value)
+                max_seq = max(max_seq, seq)
+        size = os.path.getsize(sst_path)
+        sizes[sst_name] = size
+        k0, s0, t0 = rows[0][0], rows[0][1], rows[0][2]
+        kl, sl, tl = rows[-1][0], rows[-1][1], rows[-1][2]
+        smallest = sstmod.make_internal_key(k0, s0, t0)
+        largest = sstmod.make_internal_key(kl, sl, tl)
+        seqs = [r[1] for r in rows]
+        cf_files[name] = (fno, size, smallest, largest, min(seqs), max(seqs))
+    edits.append(
+        encode_version_edit(
+            comparator=DEFAULT_COMPARATOR,
+            log_number=wal_number,
+            next_file_number=next_file,
+            last_sequence=max_seq,
+            max_column_family=max(ids.values(), default=0),
+        )
+    )
+    for name in names:
+        edits.append(
+            encode_version_edit(
+                column_family=ids[name], column_family_add=name.encode()
+            )
+        )
+        if name in cf_files:
+            fno, size, smallest, largest, sseq, lseq = cf_files[name]
+            edits.append(
+                encode_version_edit(
+                    comparator=DEFAULT_COMPARATOR,
+                    column_family=ids[name],
+                    log_number=wal_number,
+                    new_files=[(0, fno, size, smallest, largest, sseq, lseq)],
+                )
+            )
+    manifest_name = f"MANIFEST-{manifest_number:06d}"
+    data = write_log(edits)
+    with open(os.path.join(path, manifest_name), "wb") as f:
+        f.write(data)
+    sizes[manifest_name] = len(data)
+    cur = manifest_name.encode() + b"\n"
+    with open(os.path.join(path, "CURRENT"), "wb") as f:
+        f.write(cur)
+    sizes["CURRENT"] = len(cur)
+    wal_name = f"{wal_number:06d}.log"
+    open(os.path.join(path, wal_name), "wb").close()
+    sizes[wal_name] = 0
+    return sizes
 
 
 def build_db_dir(

@@ -349,3 +349,55 @@ def test_manifest_writer_db_opened_by_real_rocksdb(spark, tmp_path):
         assert db.get(b"missing") is None
     finally:
         db.close()
+
+
+def test_write_incremental_checkpoint_roundtrip_and_native_open(spark, tmp_path):
+    """The write half of S4: state rows -> per-subtask RocksDB dirs ->
+    (a) our reader round-trips them, (b) REAL RocksDB opens every subtask
+    directory with the expected column families — the core step of a
+    RocksDB-backend restore."""
+    from bravo_spark.codecs import flink as fc
+    from bravo_spark.sources import checkpoint as ck
+    from bravo_spark.sources import staterows as sr
+
+    kvs = [(i, i * 10) for i in range(200)]
+    kv_df = spark.createDataFrame(kvs, "key long, value long")
+    rows = sr.kv_to_state_rows(
+        kv_df, "Count", fc.LONG, fc.LONG, max_parallelism=128
+    )
+    out = str(tmp_path / "ckpt")
+    meta = ck.write_incremental_checkpoint(
+        rows, out, max_parallelism=128, parallelism=3
+    )
+    assert set(meta["subtasks"]) == {"0", "1", "2"}
+
+    back = ck.read_incremental_checkpoint(spark, out)
+    got = {
+        r["key"]: r["value"]
+        for r in sr.read_value_kv(back, "Count", fc.LONG, fc.LONG).collect()
+    }
+    assert got == dict(kvs)
+
+    j = spark._jvm
+    j.org.rocksdb.RocksDB.loadLibrary()
+    total = 0
+    for op in meta["subtasks"]:
+        dbdir = f"{out}/op-{op}"
+        cfs = [bytes(c).decode() for c in j.org.rocksdb.RocksDB.listColumnFamilies(
+            j.org.rocksdb.Options(), dbdir)]
+        assert set(cfs) == {"default", "Count"}
+        descs = j.java.util.ArrayList()
+        cfo = j.org.rocksdb.ColumnFamilyOptions()
+        for n in cfs:
+            descs.add(j.org.rocksdb.ColumnFamilyDescriptor(n.encode(), cfo))
+        handles = j.java.util.ArrayList()
+        db = j.org.rocksdb.RocksDB.open(j.org.rocksdb.DBOptions(), dbdir, descs, handles)
+        try:
+            it = db.newIterator(handles.get(cfs.index("Count")))
+            it.seekToFirst()
+            while it.isValid():
+                total += 1
+                it.next()
+        finally:
+            db.close()
+    assert total == len(kvs)  # every key landed in exactly one subtask DB
