@@ -336,17 +336,35 @@ def kv_to_state_rows(
     max_parallelism: int = 128,
     kind: str = "value",
     map_key_codec: fc.Codec | None = None,
+    ttl_ts: int | None = None,
+    ttl_col: str | None = None,
 ) -> DataFrame:
     """(key, value) → KeyedStateRow with Flink-parity key-group routing
     (writer/functions/ValueStateToKeyedStateRow.java:34-68). ``kind`` selects
     the value payload layout: 'value' | 'list' | 'map' (map expects columns
-    key, map_key, value)."""
+    key, map_key, value).
+
+    TTL write-back — BEYOND the reference, whose writer throws on
+    TTL-wrapped descriptors (writer/OperatorStateWriter.java:182-184):
+    ``ttl_ts`` stamps every value with one last-access timestamp (epoch
+    millis — the bootstrap semantic: all entries freshly written at T);
+    ``ttl_col`` names a per-row millis column instead. The payload gains
+    the 8-byte prefix P8 readers strip (``ttl=True``), for value, list
+    (per element), and map (per entry) states alike."""
+    if ttl_ts is not None and ttl_col is not None:
+        raise ValueError("pass ttl_ts or ttl_col, not both")
 
     def encode(batches: Iterator[pd.DataFrame]):
         from bravo_spark.codecs import vectorized as vz
 
         for pdf in batches:
-            if kind == "value" and vz.is_fixed(key_codec) and vz.is_fixed(value_codec):
+            if (
+                kind == "value"
+                and ttl_ts is None
+                and ttl_col is None
+                and vz.is_fixed(key_codec)
+                and vz.is_fixed(value_codec)
+            ):
                 fast = vz.encode_kv_fixed(
                     pdf["key"].to_numpy(),
                     pdf["value"].to_numpy(),
@@ -366,26 +384,28 @@ def kv_to_state_rows(
                     )
                     continue
             names, keys, vals = [], [], []
+            ttls = pdf[ttl_col] if ttl_col is not None else None
             if kind == "map":
                 it: Any = zip(pdf["key"], pdf["map_key"], pdf["value"])
             else:
                 it = zip(pdf["key"], pdf["value"])
-            for rec in it:
+            for i, rec in enumerate(it):
+                ts = ttl_ts if ttls is None else int(ttls.iloc[i])
                 if kind == "map":
                     k, mk, v = rec
                     kns = fc.encode_key_ns(
                         _py(k), key_codec, max_parallelism,
                         map_key=_py(mk), map_key_codec=map_key_codec,
                     )
-                    payload = fc.encode_map_value(_py(v), value_codec)
+                    payload = fc.encode_map_value(_py(v), value_codec, ttl_ts=ts)
                 elif kind == "list":
                     k, v = rec
                     kns = fc.encode_key_ns(_py(k), key_codec, max_parallelism)
-                    payload = fc.encode_list_state(list(v), value_codec)
+                    payload = fc.encode_list_state(list(v), value_codec, ttl_ts=ts)
                 else:
                     k, v = rec
                     kns = fc.encode_key_ns(_py(k), key_codec, max_parallelism)
-                    payload = fc.encode_value_state(_py(v), value_codec)
+                    payload = fc.encode_value_state(_py(v), value_codec, ttl_ts=ts)
                 names.append(state_name)
                 keys.append(kns)
                 vals.append(payload)

@@ -229,3 +229,52 @@ def test_savepoint_file_roundtrip_map_and_list_states(spark, tmp_path):
         for r in sr.read_list_as_list(back, "l", fc.INT, fc.INT).collect()
     }
     assert lists == {7: [1, 2], 8: [3]}
+
+
+def test_ttl_write_back_roundtrip(spark):
+    """TTL write-back (beyond the reference, whose writer throws on TTL
+    descriptors, OperatorStateWriter.java:182-184): rows written with a
+    TTL stamp must read back through the P8 ttl=True readers, for value,
+    list, and map kinds; and a full savepoint write/read cycle preserves
+    the stamped payloads byte-for-byte."""
+    kv = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "key int, value int")
+    rows = sr.kv_to_state_rows(kv, "Val", fc.INT, fc.INT, ttl_ts=999_000)
+    got = sorted(
+        tuple(r)
+        for r in sr.read_value_kv(rows, "Val", fc.INT, fc.INT, ttl=True).collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # the 8-byte stamp really is in front of the payload
+    payload = rows.select("value").first()[0]
+    assert payload[:8] == fc.write_long(999_000)
+
+    # per-row stamps via ttl_col
+    kv2 = spark.createDataFrame(
+        [(1, 10, 111), (2, 20, 222)], "key int, value int, ts long"
+    )
+    rows2 = sr.kv_to_state_rows(kv2, "Val", fc.INT, fc.INT, ttl_col="ts")
+    stamps = {
+        bytes(r["value"])[:8]
+        for r in rows2.select("value").collect()
+    }
+    assert stamps == {fc.write_long(111), fc.write_long(222)}
+
+    # list + map kinds
+    lst = spark.createDataFrame([(1, [7, 8])], "key int, value array<int>")
+    lrows = sr.kv_to_state_rows(lst, "L", fc.INT, fc.INT, kind="list", ttl_ts=5)
+    lback = sr.read_list_as_list(lrows, "L", fc.INT, fc.INT, ttl=True).collect()
+    assert sorted(tuple(r) for r in lback) == [(1, [7, 8])]
+
+    mp = spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 6)], "key int, map_key string, value int"
+    )
+    mrows = sr.kv_to_state_rows(
+        mp, "M", fc.INT, fc.INT, kind="map", map_key_codec=fc.STRING, ttl_ts=5
+    )
+    mback = sr.read_map_entries(
+        mrows, "M", fc.INT, fc.STRING, fc.INT, ttl=True
+    ).collect()
+    assert sorted(tuple(r) for r in mback) == [(1, "a", 5), (1, "b", 6)]
+
+    with pytest.raises(ValueError, match="not both"):
+        sr.kv_to_state_rows(kv, "Val", fc.INT, fc.INT, ttl_ts=1, ttl_col="x")
