@@ -31,6 +31,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
+from bravo_spark import catalog
 from bravo_spark.inventory.registry import query
 from bravo_spark.sources.spark_state import read_spark_state, write_spark_state
 
@@ -217,3 +218,89 @@ def rocksdb_state_rewrite(spark, sf_dir):
         F.col(out.columns[2]).alias("cnt"),
         F.col(out.columns[3]).alias("sum_floor"),
     )
+
+
+def _run_agg_over(spark, df_writer, inp, ckpt):
+    """Append ``df_writer``'s parquet to ``inp`` then run the streaming agg
+    batch against ``ckpt``."""
+    import uuid as _uuid
+
+    agg_schema = (
+        "event_type string, user_id long, value double"
+    )
+    stream = (
+        spark.readStream.schema(agg_schema).parquet(inp)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.floor("value").cast("long")).alias("sum_floor"),
+    )
+    name = f"rw_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
+    "checkpoint_rewind",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt,"
+        " CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor"
+        " FROM events GROUP BY 1"
+    ),
+)
+def checkpoint_rewind(spark, sf_dir):
+    """Undo-a-poisoned-batch surgery: batch 0 aggregates the even events;
+    batch 1 ingests poison (value×1000); ``rewind_checkpoint`` truncates
+    the offsets/commits/seen-files logs back to batch 0; the poison file is
+    replaced by the true odd half and the query restarted. The final state
+    must equal the clean full-events aggregation — which is exactly what
+    the oracle computes. Proves log-surgery correctness end-to-end against
+    Spark's own replay machinery."""
+    import os
+    import shutil
+    import tempfile
+
+    from bravo_spark.sources.spark_state import rewind_checkpoint
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    import glob as _glob
+
+    work = tempfile.mkdtemp(prefix="bravo_rewind_")
+    inp = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(inp)
+    even = ev.filter(F.col("user_id") % 2 == 0)
+    odd = ev.filter(F.col("user_id") % 2 == 1)
+
+    def land(df, name):
+        # the file stream source lists only the top level: materialize the
+        # batch as a single parquet FILE directly under the input dir
+        tmp = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        shutil.copyfile(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(inp, name),
+        )
+        shutil.rmtree(tmp)
+
+    land(even, "b0.parquet")
+    _run_agg_over(spark, None, inp, ckpt)
+
+    land(odd.withColumn("value", F.col("value") * 1000), "b1.parquet")
+    _run_agg_over(spark, None, inp, ckpt)
+
+    rewind_checkpoint(ckpt, 0)
+    os.remove(os.path.join(inp, "b1.parquet"))
+    land(odd, "b1.parquet")
+    out = _run_agg_over(spark, None, inp, ckpt)
+    return out.select("event_type", "cnt", "sum_floor")

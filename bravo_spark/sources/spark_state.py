@@ -613,3 +613,51 @@ def _rewrite_partition_version(
             f.write(encode_stream_like(old_snap, bytes(spayload)))
         os.replace(stmp, snap)
         _finalize_state_file(snap)
+
+
+def rewind_checkpoint(checkpoint_dir: str, batch_id: int) -> list[str]:
+    """Rewind a Structured Streaming checkpoint so the restarted query
+    resumes as if ``batch_id`` were the last completed batch — the "undo a
+    poisoned batch" surgery: rewind, fix (or remove) the bad input, restart;
+    combined with ``write_spark_state`` the state itself can be patched too.
+
+    Mechanics: progress lives in three batch-indexed text logs —
+    ``offsets/<b>`` (planned batches), ``commits/<b>`` (completed batches),
+    ``sources/<i>/<b>`` (per-source metadata, e.g. FileStreamSource's
+    seen-files log; entries after the rewind point must go, or replayed
+    files would be skipped as already-seen). Entries > ``batch_id`` are
+    deleted (with their Hadoop ``.crc`` sidecars). State-store files of
+    later versions are left in place: providers load exactly the version
+    the replayed batch asks for and overwrite forward, so stale newer
+    versions are inert. Returns the deleted paths."""
+    if not os.path.isdir(os.path.join(checkpoint_dir, "offsets")):
+        raise FileNotFoundError(f"{checkpoint_dir} has no offsets log")
+    committed = [
+        int(f)
+        for f in os.listdir(os.path.join(checkpoint_dir, "commits"))
+        if f.isdigit()
+    ]
+    if batch_id not in committed:
+        raise ValueError(
+            f"batch {batch_id} is not a committed batch (have: "
+            f"{sorted(committed)})"
+        )
+    removed: list[str] = []
+    log_dirs = [
+        os.path.join(checkpoint_dir, "offsets"),
+        os.path.join(checkpoint_dir, "commits"),
+    ]
+    sources_root = os.path.join(checkpoint_dir, "sources")
+    if os.path.isdir(sources_root):
+        for src in os.listdir(sources_root):
+            log_dirs.append(os.path.join(sources_root, src))
+    for d in log_dirs:
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            stem = f[1:-4] if f.startswith(".") and f.endswith(".crc") else f
+            if stem.isdigit() and int(stem) > batch_id:
+                p = os.path.join(d, f)
+                os.remove(p)
+                removed.append(p)
+    return removed

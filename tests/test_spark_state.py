@@ -503,3 +503,49 @@ def test_read_stream_stream_join_named_stores(spark, tmp_path):
         buf_per_key = {r[key_field]: r["count"] for r in buffered}
         assert n_per_key == buf_per_key, f"{side}: count/index stores disagree"
         assert sum(n_per_key.values()) > 0
+
+
+def test_rewind_checkpoint_undo_poisoned_batch(spark, tmp_path):
+    """The rewind surgery: batch 0 is good, batch 1 is poisoned. Rewind to
+    batch 0, replace the poisoned file with corrected input, restart — the
+    final state must look as if the poison never ran (file-source seen-log
+    trimmed, offsets/commits truncated, state resumed from version 1)."""
+    spark.conf.set("spark.sql.streaming.stateStore.compression.codec", "lz4")
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    assert _run_agg(spark, inp, ckpt) == {"a": (1, 1), "b": (1, 2)}
+
+    # batch 1: poisoned values
+    poison = str(tmp_path / "poison.parquet")
+    spark.createDataFrame(
+        [("a", 1_000_000)], "k string, v int"
+    ).coalesce(1).write.parquet(poison)
+    import glob as _glob
+    import shutil as _shutil
+
+    pfile = _glob.glob(f"{poison}/part-*.parquet")[0]
+    dst = os.path.join(inp, "batch1.parquet")
+    _shutil.copyfile(pfile, dst)
+    assert _run_agg(spark, inp, ckpt) == {"a": (2, 1_000_001), "b": (1, 2)}
+
+    removed = ss.rewind_checkpoint(ckpt, 0)
+    assert any("/commits/1" in p for p in removed)
+    assert any("/offsets/1" in p for p in removed)
+    assert any("/sources/0/1" in p for p in removed)
+
+    # replace the poisoned file with the corrected one (same path, so the
+    # trimmed seen-log re-discovers it)
+    os.remove(dst)
+    good = str(tmp_path / "good.parquet")
+    spark.createDataFrame(
+        [("a", 10)], "k string, v int"
+    ).coalesce(1).write.parquet(good)
+    _shutil.copyfile(_glob.glob(f"{good}/part-*.parquet")[0], dst)
+
+    out = _run_agg(spark, inp, ckpt)
+    assert out == {"a": (2, 11), "b": (1, 2)}
+
+    with pytest.raises(ValueError, match="not a committed batch"):
+        ss.rewind_checkpoint(ckpt, 99)
