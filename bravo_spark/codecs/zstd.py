@@ -445,7 +445,9 @@ def _decode_block(block: bytes, out: bytearray, fstate: _FrameState) -> None:
     elif b0 < 255:
         nseq, pos = ((b0 - 128) << 8) | block[pos + 1], pos + 2
     else:
-        nseq = block[pos + 1] | (block[pos + 2] << 8) | 0x7F00
+        # RFC 8878 §3.1.1.3.2.1: byte0==255 → nseq = byte1 + (byte2<<8) + 0x7F00
+        # (addition, NOT bitwise OR — the 16-bit value may overlap 0x7F00).
+        nseq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
         pos += 3
     scm = block[pos]
     pos += 1

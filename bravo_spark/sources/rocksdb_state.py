@@ -216,14 +216,18 @@ def write_rocksdb_spark_state(
     exactly — the same surgery contract as the HDFS-backed
     ``write_spark_state``.
 
-    Only changelog-checkpointing mode is rewritable
+    Both checkpoint layouts are rewritable. Changelog mode
     (``spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
     .enabled``): the version's ``{v}.changelog`` is replaced with puts for
     ``df``'s rows plus tombstones for every key the replayed base (state at
     v-1 ∪ keys the original changelog touched) could contain — tombstone
     semantics mirrored from the HDFS writer. Default (zip-per-version)
-    checkpoints would need a RocksDB MANIFEST/VersionEdit writer to rewrite
-    and are rejected with this explanation.
+    checkpoints: ``{v}.zip`` is rebuilt as a complete single-SST RocksDB
+    checkpoint (pure-Python SST + MANIFEST/CURRENT/empty-WAL via
+    ``rocksdb_manifest.build_db_dir``, plus the ``metadata`` json naming
+    the SST's dfs name under ``SSTs/``) holding exactly ``df`` — no
+    tombstones needed since the zip IS the full state; orphaned SSTs of
+    the replaced version are left for store maintenance to collect.
 
     If store maintenance also uploaded ``{v}.zip``, RocksDB's loader would
     prefer it and ignore the changelog — so the zip is deleted after

@@ -615,6 +615,90 @@ def _rewrite_partition_version(
         _finalize_state_file(snap)
 
 
+def _source_log_cuts(checkpoint_dir: str, batch_id: int) -> dict[str, int]:
+    """Per-source rewind cut: the ``sources/<i>`` seen-files log is indexed
+    by the SOURCE's logOffset, not the engine batch id (FileStreamSource
+    increments its offset only on batches that found new files), so the
+    correct cut for source ``i`` is the logOffset recorded in
+    ``offsets/<batch_id>``. Sources whose offset is not a logOffset JSON
+    (e.g. Kafka topic maps) keep the engine batch id as a conservative cut.
+    """
+    path = os.path.join(checkpoint_dir, "offsets", str(batch_id))
+    cuts: dict[str, int] = {}
+    try:
+        lines = open(path).read().splitlines()
+    except OSError:
+        return cuts
+    # line 0 = "v1", line 1 = batch metadata JSON, then one line per source
+    for i, ln in enumerate(lines[2:]):
+        if ln == "-":  # source had produced no offset by this batch
+            cuts[str(i)] = -1
+            continue
+        try:
+            obj = json.loads(ln)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and set(obj) == {"logOffset"}:
+            cuts[str(i)] = int(obj["logOffset"])
+    return cuts
+
+
+def _rewind_compactible_log(d: str, cut: int, removed: list[str]) -> None:
+    """Handle CompactibleFileStreamLog dirs (FileStreamSource seen-files
+    logs). A ``<n>.compact`` file embeds the union of ALL entries up to
+    ``n`` — the plain files it superseded are cleaned up after compaction —
+    so a compact file newer than the rewind cut can neither be kept
+    (post-rewind input would stay marked already-seen) nor deleted outright
+    (the pre-cut history it compacted would be lost). Each entry carries
+    the source-log batch that added it, so the history is rewritten
+    instead: entries with ``batchId <= cut`` become a new
+    ``<cut>.compact`` (the restarted log re-derives its compact interval
+    from the latest compact id, so any id is a valid compaction batch),
+    and everything newer is deleted."""
+    newer = sorted(
+        int(f[: -len(".compact")])
+        for f in os.listdir(d)
+        if f.endswith(".compact")
+        and f[: -len(".compact")].isdigit()
+        and int(f[: -len(".compact")]) > cut
+    )
+    if not newer:
+        return
+    latest = os.path.join(d, f"{newer[-1]}.compact")
+    lines = open(latest).read().splitlines()
+    version, entries = lines[0], [ln for ln in lines[1:] if ln]
+    kept = []
+    for ln in entries:
+        entry = json.loads(ln)
+        if "batchId" not in entry:
+            raise ValueError(
+                f"{latest}: entry has no batchId — unknown compactible-log "
+                "format, refusing to rewrite (deleting it would lose the "
+                "seen-files history it compacted)"
+            )
+        if int(entry["batchId"]) <= cut:
+            kept.append(ln)
+    if cut >= 0:
+        target = os.path.join(d, f"{cut}.compact")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join([version] + kept))
+        os.replace(tmp, target)
+    # the rewritten compact supersedes any plain file at the cut id and any
+    # stale Hadoop checksum sidecars for either name
+    for stale in (str(cut), f".{cut}.crc", f".{cut}.compact.crc"):
+        p = os.path.join(d, stale)
+        if os.path.exists(p):
+            os.remove(p)
+            removed.append(p)
+    for n in newer:
+        for name in (f"{n}.compact", f".{n}.compact.crc"):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                os.remove(p)
+                removed.append(p)
+
+
 def rewind_checkpoint(checkpoint_dir: str, batch_id: int) -> list[str]:
     """Rewind a Structured Streaming checkpoint so the restarted query
     resumes as if ``batch_id`` were the last completed batch — the "undo a
@@ -625,8 +709,13 @@ def rewind_checkpoint(checkpoint_dir: str, batch_id: int) -> list[str]:
     ``offsets/<b>`` (planned batches), ``commits/<b>`` (completed batches),
     ``sources/<i>/<b>`` (per-source metadata, e.g. FileStreamSource's
     seen-files log; entries after the rewind point must go, or replayed
-    files would be skipped as already-seen). Entries > ``batch_id`` are
-    deleted (with their Hadoop ``.crc`` sidecars). State-store files of
+    files would be skipped as already-seen). Entries past the rewind point
+    are deleted (with their Hadoop ``.crc`` sidecars); for the sources
+    logs the rewind point is the source's own logOffset recorded in
+    ``offsets/<batch_id>`` (it lags the engine batch id on empty batches),
+    and ``<n>.compact`` files — written every compact-interval batches and
+    embedding the full seen-files history — are rewritten to the cut
+    rather than deleted (entries are batch-tagged). State-store files of
     later versions are left in place: providers load exactly the version
     the replayed batch asks for and overwrite forward, so stale newer
     versions are inert. Returns the deleted paths."""
@@ -643,20 +732,24 @@ def rewind_checkpoint(checkpoint_dir: str, batch_id: int) -> list[str]:
             f"{sorted(committed)})"
         )
     removed: list[str] = []
+    cuts = _source_log_cuts(checkpoint_dir, batch_id)
     log_dirs = [
-        os.path.join(checkpoint_dir, "offsets"),
-        os.path.join(checkpoint_dir, "commits"),
+        (os.path.join(checkpoint_dir, "offsets"), batch_id),
+        (os.path.join(checkpoint_dir, "commits"), batch_id),
     ]
     sources_root = os.path.join(checkpoint_dir, "sources")
     if os.path.isdir(sources_root):
         for src in os.listdir(sources_root):
-            log_dirs.append(os.path.join(sources_root, src))
-    for d in log_dirs:
+            log_dirs.append(
+                (os.path.join(sources_root, src), cuts.get(src, batch_id))
+            )
+    for d, cut in log_dirs:
         if not os.path.isdir(d):
             continue
+        _rewind_compactible_log(d, cut, removed)
         for f in os.listdir(d):
             stem = f[1:-4] if f.startswith(".") and f.endswith(".crc") else f
-            if stem.isdigit() and int(stem) > batch_id:
+            if stem.isdigit() and int(stem) > cut:
                 p = os.path.join(d, f)
                 os.remove(p)
                 removed.append(p)

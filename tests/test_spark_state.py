@@ -549,3 +549,63 @@ def test_rewind_checkpoint_undo_poisoned_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not a committed batch"):
         ss.rewind_checkpoint(ckpt, 99)
+
+
+def test_rewind_checkpoint_past_compaction(spark, tmp_path):
+    """>10 source-log batches so FileStreamSource's seen-files log compacts
+    (default interval 10 -> sources/0/9.compact embeds ALL history and the
+    plain entries it superseded become redundant). Rewinding to batch 7
+    must REWRITE that history to 7.compact: keeping 9.compact would mark
+    batches 8-11's files as already-seen (silent data loss on replay),
+    deleting it outright would lose batches 0-7's entries (full re-read)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(inp)
+    one = str(tmp_path / "one.parquet")
+    spark.createDataFrame(
+        [("a", 1)], "k string, v int"
+    ).coalesce(1).write.parquet(one)
+    part = _glob.glob(f"{one}/part-*.parquet")[0]
+    for i in range(12):
+        _shutil.copyfile(part, os.path.join(inp, f"b{i:02d}.parquet"))
+
+    schema = spark.read.parquet(inp).schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+        )
+        agg = stream.groupBy("k").agg(
+            F.count("*").alias("cnt"), F.sum("v").alias("sv")
+        )
+        name = f"state_t_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {r["k"]: (r["cnt"], r["sv"]) for r in spark.table(name).collect()}
+
+    assert run() == {"a": (12, 12)}
+    srcdir = os.path.join(ckpt, "sources", "0")
+    assert os.path.exists(os.path.join(srcdir, "9.compact"))
+
+    ss.rewind_checkpoint(ckpt, 7)
+    assert not os.path.exists(os.path.join(srcdir, "9.compact"))
+    lines = open(os.path.join(srcdir, "7.compact")).read().splitlines()
+    assert lines[0].startswith("v")
+    entries = [json.loads(ln) for ln in lines[1:] if ln]
+    assert {e["batchId"] for e in entries} == set(range(8))
+    assert len(entries) == 8
+
+    # state resumes at count 8; exactly the 4 post-rewind files are
+    # re-discovered (keep-compact => 10, delete-compact => 20, both wrong)
+    assert run() == {"a": (12, 12)}
