@@ -87,18 +87,36 @@ def ngram_jaccard_pairs(
     stopword removal. A ubiquitous stop-shingle otherwise creates a
     quadratic hot partition at scale; excluding it bounds every posting
     list at ``max_shingle_df`` while near-dups keep their (overwhelmingly
-    rare) shared shingles. The cap is applied as a count-over-window on
-    the shingle partitioning — ONE tokenize pass and one exchange on
-    shingle (a groupBy+join formulation tokenizes the corpus twice)."""
+    rare) shared shingles. The cap is the FREQUENT-shingle set
+    (``groupBy(sh).count() > cap`` — partial aggregation collapses a hot
+    shingle map-side, and the result is tiny by construction: ≤ corpus
+    shingle volume / cap rows) broadcast into a left-anti join — map-side,
+    zero skew. A window-count formulation would instead require every row
+    of a hot shingle in ONE task (AQE cannot split a window partition),
+    recreating exactly the quadratic hot spot the cap exists to bound.
+    The frequent-set branch deliberately re-tokenizes instead of caching
+    the pre-filter shingle relation: its map-side partial aggregation
+    collapses to distinct-shingle cardinality while it pipelines with the
+    scan, whereas materializing the full (id, sh) relation into executor
+    memory a second time costs more than the extra CPU pass (measured at
+    sf0.1, and the memory-pressure argument only strengthens at 100 TB).
+    The capped relation is re-partitioned AND sorted on ``sh`` into the
+    cache: the self-join below is a sort-merge join on ``sh``, and a cache
+    that already carries hash(sh) partitioning and in-partition order
+    gives it both sides exchange-free and sort-free. That exchange is
+    skew-free precisely because the hot shingles are already gone — the
+    same pre-shuffled layout built BEFORE the cap (as the window
+    formulation did) would bottleneck on the hot keys."""
     sh = shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
-        w = Window.partitionBy("sh")
-        sh = (
-            sh.withColumn("dfc", F.count("*").over(w))
-            .filter(F.col("dfc") <= max_shingle_df)
-            .drop("dfc")
+        frequent = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("dfc"))
+            .filter(F.col("dfc") > max_shingle_df)
+            .select("sh")
         )
-    sh = _cache(sh)
+        sh = sh.join(F.broadcast(frequent), "sh", "left_anti")
+    sh = _cache(sh.repartition("sh").sortWithinPartitions("sh"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))

@@ -99,15 +99,23 @@ def test_ngram_jaccard_caps_posting_lists(plans):
     p = plans("dedup_ngram_jaccard")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    # the cap must be a broadcast anti-join against the tiny frequent-
+    # shingle set, never a count-over-window on sh: a window needs every
+    # row of a hot shingle in ONE task — the exact skew the cap bounds —
+    # and AQE cannot split a window partition
+    assert "Window" not in p
+    assert "LeftAnti, BuildRight" in p
 
 
 def test_ngram_jaccard_never_hints_per_document_broadcast(spark):
     # the sizes relation has one row PER DOCUMENT (≈10⁹ rows at 100 TB) —
     # an explicit F.broadcast on it is a driver-side scale-killer. With
     # auto-broadcast disabled, any BroadcastExchange left in the plan can
-    # only come from a hint, so the plan must have none (AQE may still
-    # broadcast at runtime when the relation is GENUINELY small — that is
-    # the desired behavior and doesn't show in the static plan).
+    # only come from a hint; the ONLY hinted broadcast allowed is the
+    # frequent-shingle anti-join build side (≤ shingle volume / cap rows —
+    # bounded by construction, not by luck). AQE may still broadcast other
+    # joins at runtime when a relation is GENUINELY small — that is the
+    # desired behavior and doesn't show in the static plan.
     from bravo_spark import catalog, llmops
 
     docs = catalog.table(spark, SF, "documents")
@@ -124,7 +132,11 @@ def test_ngram_jaccard_never_hints_per_document_broadcast(spark):
             docs, "doc_id", "text", threshold=0.5, max_shingle_df=100
         )
         p = df._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastExchange" not in p
+        bcast_joins = [
+            ln for ln in p.splitlines() if "BroadcastHashJoin" in ln
+        ]
+        assert bcast_joins, "frequent-shingle anti-join missing"
+        assert all("LeftAnti" in ln for ln in bcast_joins), bcast_joins
         assert "CartesianProduct" not in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
