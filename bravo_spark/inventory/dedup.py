@@ -471,6 +471,12 @@ def dedup_incremental_batch(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SUB_WINDOW = 15
+# posting-list skew cap, same rationale as _MAX_SHINGLE_DF: 15-token
+# boilerplate windows (headers, license blocks) in more documents than
+# this are dropped before the self-join. Fixture window df maxes well
+# below 100, so the cap changes nothing at test scale while bounding
+# every posting list at corpus scale.
+_MAX_WINDOW_DF = 100
 
 
 def _substring_oracle() -> str:
@@ -479,11 +485,15 @@ def _substring_oracle() -> str:
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
   FROM documents
-), wins AS (
+), wins0 AS (
   SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+{n - 1}], ' ')) AS w
   FROM (
     SELECT doc_id, ws, unnest(range(1, len(ws) - {n} + 2)) AS i
     FROM toks WHERE len(ws) >= {n})
+), frequent AS (
+  SELECT w FROM wins0 GROUP BY w HAVING count(*) > {_MAX_WINDOW_DF}
+), wins AS (
+  SELECT doc_id, w FROM wins0 WHERE w NOT IN (SELECT w FROM frequent)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
 FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
@@ -498,5 +508,6 @@ def dedup_substring(spark, sf_dir):
 
     docs = catalog.table_spread(spark, sf_dir, "documents")
     return llmops.substring_collision_pairs(
-        docs, "doc_id", "text", window=_SUB_WINDOW
+        docs, "doc_id", "text", window=_SUB_WINDOW,
+        max_window_df=_MAX_WINDOW_DF,
     )

@@ -156,21 +156,25 @@ def substring_collision_pairs(
 
     Scale: windows are md5-digested BEFORE the shuffle so the exchange moves
     32-byte keys, not ~100-char strings; shuffles on window-hash only (never
-    doc²). ``max_window_df`` drops degenerate windows (boilerplate headers)
-    appearing in more than that many documents, bounding every posting list —
-    same skew bound as ``ngram_jaccard_pairs``."""
+    doc²). ``max_window_df`` drops degenerate windows (boilerplate headers,
+    license blocks) appearing in more than that many documents, bounding
+    every posting list — same skew bound as ``ngram_jaccard_pairs``, and
+    applied the same way: the FREQUENT set is tiny by construction
+    (≤ window volume / cap rows), so it broadcasts into a map-side
+    left-anti join; an equi-join against the huge rare set would shuffle
+    the whole relation an extra time."""
     w = (
         shingles(df, id_col, text_col, window)
         .select("id", F.md5("sh").alias("w"))
     )
     if max_window_df is not None:
-        rare = (
+        frequent = (
             w.groupBy("w")
             .agg(F.count("*").alias("dfc"))
-            .filter(F.col("dfc") <= max_window_df)
+            .filter(F.col("dfc") > max_window_df)
             .select("w")
         )
-        w = w.join(rare, "w")
+        w = w.join(F.broadcast(frequent), "w", "left_anti")
     a, b = w.alias("a"), w.alias("b")
     return (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id")))

@@ -107,6 +107,16 @@ def test_ngram_jaccard_caps_posting_lists(plans):
     assert "LeftAnti, BuildRight" in p
 
 
+def test_substring_dedup_caps_posting_lists(plans):
+    # same skew bound as ngram-Jaccard: broadcast anti-join against the
+    # frequent-window set, never a window-count and never a shuffle join
+    # against the (huge) rare set
+    p = plans("dedup_substring")
+    assert "Window" not in p
+    assert "LeftAnti, BuildRight" in p
+    assert "CartesianProduct" not in p
+
+
 def test_ngram_jaccard_never_hints_per_document_broadcast(spark):
     # the sizes relation has one row PER DOCUMENT (≈10⁹ rows at 100 TB) —
     # an explicit F.broadcast on it is a driver-side scale-killer. With
