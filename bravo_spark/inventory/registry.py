@@ -20,11 +20,13 @@ ORACLES: dict[str, str] = {}
 # Everything else stays registered and is verified by the local mirror
 # (tools/check_oracle.py); test_registry pins this list's integrity.
 GATE_PRIORITY = [
-    # §2.3 projections P1-P6
+    # §2.3 projections P1-P5 (p6_map_values duplicates P5's decode path
+    # and is mirror-verified to make gate room for the PQ/recall rows)
     "p1_value_kv", "p2_value_only", "p3_list_flatten", "p4_list_state",
-    "p5_map_entries", "p6_map_values",
-    # §2 filters F2-F4 (F1/F5 are exercised by snapshot_state_filter/P1-P6)
-    "f2_isin_filter", "f3_anti_filter", "f4_named_subset",
+    "p5_map_entries",
+    # §2 filters F2-F3 (F1/F5 are exercised by snapshot_state_filter/P1-P6;
+    # f4_named_subset duplicates F2's isin path and is mirror-verified)
+    "f2_isin_filter", "f3_anti_filter",
     # §2.1/2.2 savepoint lifecycle S1-S9 + E1-E2 + P7
     "snapshot_roundtrip", "checkpoint_roundtrip", "snapshot_state_filter",
     "e1_keygroup", "e2_operator_index", "window_state_min",
@@ -41,8 +43,10 @@ GATE_PRIORITY = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_substring",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_clusters", "dedup_incremental_batch", "decontaminate_overlap",
-    # ANN + retrieval family
+    # ANN + retrieval family (incl. the PQ path and the sketch recall
+    # eval, rotated into the gate in round 4)
     "ann_cosine_topk", "ann_sketch_topk", "ann_lsh_bucket", "ann_ivf_topk",
+    "ann_pq_topk", "ann_sketch_recall_eval",
     "text_bm25_topk",
     # streaming (static_join is the simplest shape; mirror-verified)
     "streaming_window_counts", "streaming_window_counts_watermarked",
