@@ -192,7 +192,12 @@ def minhash_signatures(
     n_hashes permutations derive from the two md5 halves as
     ``(a + j·b) mod 2^32`` (Kirsch–Mitzenmacher double hashing). Zero
     shuffles and one digest per shingle — at 100 TB the signatures pipeline
-    with the scan; the only shuffle in a minhash dedup is the band join."""
+    with the scan; the only shuffle in a minhash dedup is the band join.
+
+    All n_hashes minima come from ONE ``aggregate`` traversal of the
+    shingle array (running 16-long min vector, lambda-indexed ``transform``
+    for the permutation id) — an ``array_min(transform(...))`` per
+    permutation would re-scan the array n_hashes times per document."""
     idx = ", ".join(f"ws[i+{k}]" for k in range(n))
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -208,12 +213,17 @@ def minhash_signatures(
             " cast(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT) AS hb))"
         ).alias("hs"),
     )
-    mins = [
-        F.expr(f"array_min(transform(hs, h -> (h.ha + {j} * h.hb) % 4294967296))")
-        .alias(f"m{j}")
-        for j in range(n_hashes)
-    ]
-    return ab.select("doc_id", *mins)
+    mins = ab.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(hs, array_repeat(cast(4294967296 as bigint),"
+            f" {n_hashes}), (acc, h) -> transform(acc,"
+            " (a, j) -> least(a, (h.ha + j * h.hb) % 4294967296)))"
+        ).alias("mm"),
+    )
+    return mins.select(
+        "doc_id", *[F.col("mm")[j].alias(f"m{j}") for j in range(n_hashes)]
+    )
 
 
 def minhash_bands(
