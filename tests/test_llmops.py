@@ -91,6 +91,32 @@ def test_connected_components_transitivity(spark):
     assert got[20] == got[21] == got[22] == 20
 
 
+def test_connected_components_planted_star_and_chain(spark):
+    """Skew + diameter quality probe for the large-star/small-star
+    contraction: a celebrity node with 400 leaves (the skewed-degree shape
+    that hot-spots per-round joins), a 300-link chain (diameter 300 —
+    label PROPAGATION would need 300 rounds, contraction needs O(log n)),
+    and a bridge merging the star into the chain's tail."""
+    celeb = [(5000, 5001 + i) for i in range(400)]
+    chain = [(i, i + 1) for i in range(1, 301)]
+    bridge = [(301, 5000)]  # chain tail — star center
+    singles = [(9000, 9001)]
+    pairs = spark.createDataFrame(
+        celeb + chain + bridge + singles, "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in llmops.connected_components(pairs, max_iter=20).collect()
+    }
+    # star ∪ chain is ONE component whose min id is the chain head (1)
+    merged = (
+        {i for i in range(1, 302)} | {5000} | {5001 + i for i in range(400)}
+    )
+    assert all(got[n] == 1 for n in merged)
+    assert got[9000] == got[9001] == 9000
+    assert len(got) == len(merged) + 2
+
+
 def test_cosine_topk_self_similarity(spark):
     import numpy as np
 
