@@ -40,6 +40,7 @@ from typing import Iterator
 from bravo_spark.codecs import crc32c
 from bravo_spark.codecs import lz4 as plz4
 from bravo_spark.codecs import snappy as psnappy
+from bravo_spark.codecs import xxh
 
 # rocksdb/table/format.cc
 BLOCK_BASED_MAGIC = 0x88E241B785F4CFF7
@@ -277,16 +278,29 @@ class SstReader:
         if len(raw) != handle.size or len(trailer) != 5:
             raise ValueError(f"{self.path}: block handle out of range")
         compression = trailer[0]
-        if self.verify_checksums:
-            if self.checksum_type != 1:
-                raise ValueError(
-                    f"{self.path}: checksum verification requested but the "
-                    f"file uses checksum type {self.checksum_type} (only "
-                    "crc32c=1 is implemented; modern RocksDB defaults to "
-                    "XXH3=4 — re-read with verify_checksums=False)"
-                )
+        if self.verify_checksums and self.checksum_type != 0:
             (stored,) = struct.unpack("<I", trailer[1:5])
-            actual = crc32c.mask(crc32c.crc32c(raw + trailer[:1]))
+            if self.checksum_type == 1:  # kCRC32c
+                actual = crc32c.mask(crc32c.crc32c(raw + trailer[:1]))
+            elif self.checksum_type == 2:  # kxxHash
+                actual = xxh.xxh32(raw + trailer[:1])
+            elif self.checksum_type == 3:  # kxxHash64 (low 32 bits)
+                actual = xxh.xxh64(raw + trailer[:1]) & 0xFFFFFFFF
+            elif self.checksum_type == 4:  # kXXH3 (modern default)
+                # XXH3 has no cheap one-byte extend, so RocksDB hashes the
+                # block WITHOUT the type byte and folds it in afterwards:
+                # checksum ^= type_byte * 0x6b9083d9 (format.h
+                # ModifyChecksumForLastByte; multiplier confirmed
+                # empirically against rocksdbjni-written kXXH3 files with
+                # compressed blocks, where the type byte is nonzero).
+                actual = (
+                    xxh.xxh3_64(raw) ^ (trailer[0] * 0x6B9083D9)
+                ) & 0xFFFFFFFF
+            else:
+                raise ValueError(
+                    f"{self.path}: unknown checksum type "
+                    f"{self.checksum_type}"
+                )
             if self.base_context_checksum:
                 # format_version >= 6 adds (base_context_checksum XOR
                 # lower32(block offset)) to every block checksum

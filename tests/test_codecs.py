@@ -271,3 +271,36 @@ def test_key_group_section_property_roundtrip(raw_rows):
     names = {i: f"s{i}" for i in range(4)}
     got = list(fc.iter_key_group_section(buf, names))
     assert [(g[1], g[2]) for g in got] == [(e[1], e[2]) for e in entries]
+
+
+# ---------------------------------------------------------------------------
+# xxHash family (codecs/xxh.py) — public reference vectors; the deeper
+# cross-validation (lz4-java XXHashFactory for 32/64, rocksdbjni kXXH3 SST
+# files for XXH3 incl. the >240-byte long path) lives in
+# tests/test_rocksdb_native.py
+# ---------------------------------------------------------------------------
+
+
+def test_xxh_reference_vectors():
+    from bravo_spark.codecs.xxh import xxh3_64, xxh32, xxh64
+
+    spam = b"Nobody inspects the spammish repetition"
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(spam) == 0xE2293B2F
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64(spam) == 0xFBCEA83C8A378BF1
+    assert xxh3_64(b"") == 0x2D06800538D394C2
+
+
+def test_xxh3_all_length_classes_deterministic():
+    from bravo_spark.codecs.xxh import xxh3_64
+
+    base = bytes(range(256)) * 40
+    seen = set()
+    for n in (1, 3, 4, 8, 9, 16, 17, 128, 129, 240, 241, 1024, 1025, 5000):
+        h = xxh3_64(base[:n])
+        assert 0 <= h <= 0xFFFFFFFFFFFFFFFF
+        seen.add(h)
+    assert len(seen) == 14  # every length class yields a distinct hash

@@ -89,17 +89,33 @@ def test_native_written_ssts_read_byte_exactly(jvm, tmp_path):
     print("codecs cross-validated:", done)
 
 
-def test_native_xxh3_checksums_read_unverified(jvm, tmp_path):
-    """Modern default checksums (XXH3) read fine unverified; asking for
-    verification names the unsupported checksum type."""
-    path = str(tmp_path / "xxh3.sst")
-    entries = _entries(50)
-    _write_native_sst(jvm, path, "SNAPPY_COMPRESSION", entries, checksum="kXXH3")
-    got = [(k, v) for k, _s, _t, v in sstmod.SstReader(path).iter_entries()]
+@pytest.mark.parametrize(
+    "checksum", ["kCRC32c", "kxxHash", "kxxHash64", "kXXH3"]
+)
+def test_native_checksum_types_verified(jvm, tmp_path, checksum):
+    """Every RocksDB builtin checksum type — including the modern default
+    kXXH3 with its last-byte modifier and the fv6 context modifier — is
+    VERIFIED (not skipped) on files written by real rocksdbjni, with
+    compressed blocks so the type byte is nonzero."""
+    path = str(tmp_path / f"{checksum}.sst")
+    entries = _entries(3000)  # several blocks, incl. the XXH3 long path
+    _write_native_sst(jvm, path, "SNAPPY_COMPRESSION", entries, checksum=checksum)
+    r = sstmod.SstReader(path, verify_checksums=True)
+    got = [(k, v) for k, _s, _t, v in r.iter_entries()]
     assert got == entries
-    with pytest.raises(ValueError, match="checksum type 4"):
+    assert r.checksum_type == {
+        "kCRC32c": 1, "kxxHash": 2, "kxxHash64": 3, "kXXH3": 4
+    }[checksum]
+
+    # corruption anywhere in a data block must be DETECTED, whatever type
+    buf = bytearray(open(path, "rb").read())
+    h = next(iter(sstmod.SstReader(path).iter_data_handles()))
+    buf[h.offset + h.size // 2] ^= 0xFF
+    corrupt = str(tmp_path / f"{checksum}_corrupt.sst")
+    open(corrupt, "wb").write(bytes(buf))
+    with pytest.raises(Exception, match="checksum|corrupt|snappy|decompress"):
         list(
-            sstmod.SstReader(path, verify_checksums=True).iter_entries()
+            sstmod.SstReader(corrupt, verify_checksums=True).iter_entries()
         )
 
 
