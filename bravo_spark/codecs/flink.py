@@ -185,6 +185,9 @@ class Codec:
     encode: Callable[[Any], bytes]
     decode: Callable[[ByteReader], Any]
     fixed_length: int = -1  # -1 = variable (Flink TypeSerializer.getLength())
+    # POJO codecs carry their member (name, Codec) pairs so readers can map
+    # the value to a Spark StructType; None for scalar/opaque codecs
+    fields: tuple = None
 
 
 def _mk_fixed(name: str, writer, reader, length: int) -> Codec:
@@ -218,6 +221,63 @@ def tuple_codec(*codecs: Codec) -> Codec:
         return tuple(c.decode(r) for c in codecs)
 
     return Codec("tuple<" + ",".join(c.name for c in codecs) + ">", enc, dec, -1)
+
+
+# --- POJO (flink-core PojoSerializer) ---
+
+POJO_IS_NULL = 1
+POJO_NO_SUBCLASS = 2
+POJO_IS_SUBCLASS = 4
+POJO_IS_TAGGED_SUBCLASS = 8
+
+
+def pojo_codec(fields) -> Codec:
+    """Flink PojoSerializer wire format (flink-core
+    ``PojoSerializer.serialize``/``deserialize``): one flags byte
+    (IS_NULL=1, NO_SUBCLASS=2, IS_SUBCLASS=4, IS_TAGGED_SUBCLASS=8), then
+    for each declared field a boolean null marker (1 = field absent)
+    followed by the field serializer's bytes. ``fields`` is an ordered
+    sequence of (name, Codec) pairs — the field order IS the wire order,
+    exactly as the metadata-declared field serializers restore it in the
+    reference (reader/OperatorStateReader.java:100-104); plugging this
+    codec into any reader is the X2 deserializer-override hook
+    (reader/KeyedStateReader.java:114-158).
+
+    Subclass records (IS_SUBCLASS writes the class name, IS_TAGGED_SUBCLASS
+    a registry tag, then the SUBCLASS serializer's fields) need a JVM class
+    registry to resolve; they raise a named error rather than mis-decode.
+    Values decode to dicts keyed by field name (a Spark struct column)."""
+    fields = tuple((str(n), c) for n, c in fields)
+
+    def enc(value) -> bytes:
+        if value is None:
+            return bytes([POJO_IS_NULL])
+        out = bytearray([POJO_NO_SUBCLASS])
+        for fname, c in fields:
+            v = value[fname] if isinstance(value, dict) else getattr(value, fname)
+            if v is None:
+                out += b"\x01"
+            else:
+                out += b"\x00" + c.encode(v)
+        return bytes(out)
+
+    def dec(r: ByteReader):
+        flags = r.read(1)[0]
+        if flags & POJO_IS_NULL:
+            return None
+        if flags & (POJO_IS_SUBCLASS | POJO_IS_TAGGED_SUBCLASS):
+            raise ValueError(
+                "PojoSerializer subclass record (flags "
+                f"{flags:#x}) needs the writing job's class registry; "
+                "supply a custom codec for subclass POJOs"
+            )
+        return {
+            fname: (None if r.read(1)[0] else c.decode(r))
+            for fname, c in fields
+        }
+
+    name = "pojo<" + ",".join(f"{n}:{c.name}" for n, c in fields) + ">"
+    return Codec(name, enc, dec, -1, fields)
 
 
 # --- keygroup prefix (SURVEY §1.1; 1 byte iff maxParallelism <= 128) ---

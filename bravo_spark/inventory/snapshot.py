@@ -205,3 +205,51 @@ def checkpoint_write_roundtrip(spark, sf_dir):
     )
     back = ck.read_incremental_checkpoint(spark, out)
     return sr.read_value_kv(back, "Count", fc.LONG, fc.LONG)
+
+
+@query(
+    "pojo_value_kv",
+    oracle=(
+        "SELECT user_id AS key, count(*) AS cnt,"
+        " CASE WHEN count(*) % 2 = 0 THEN NULL ELSE min(event_type) END"
+        " AS tag FROM events GROUP BY user_id"
+    ),
+)
+def pojo_value_kv(spark, sf_dir):
+    """P1 over a PojoSerializer-encoded value state — the X2 deserializer
+    hook with a composite type (flink-core PojoSerializer wire format:
+    flags byte + per-field null marker + field bytes, matching the
+    metadata-declared-serializer restore at
+    reader/OperatorStateReader.java:100-104). A two-field POJO (long cnt,
+    nullable string tag — even counts carry a NULL tag, exercising the
+    null markers) round-trips encode → savepoint write → scan → decode;
+    the oracle recomputes the aggregation relationally."""
+    pj = fc.pojo_codec([("cnt", fc.LONG), ("tag", fc.STRING)])
+    ev = catalog.table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("c"), F.min("event_type").alias("mt")
+    )
+    src = agg.select(
+        "key",
+        F.struct(
+            F.col("c").alias("cnt"),
+            F.when(F.col("c") % 2 == 0, F.lit(None)).otherwise(
+                F.col("mt")
+            ).alias("tag"),
+        ).alias("value"),
+    )
+    rows = sr.kv_to_state_rows(src, "PojoCount", fc.LONG, pj, max_parallelism=128)
+    out = os.path.join(tempfile.gettempdir(), f"bravo_pojo_rt_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    sp.write_savepoint(
+        rows, out, max_parallelism=128, parallelism=4,
+        state_ids={"PojoCount": 0},
+    )
+    kv = sr.read_value_kv(
+        sp.read_savepoint(spark, out), "PojoCount", fc.LONG, pj,
+    )
+    return kv.select(
+        "key",
+        F.col("value.cnt").alias("cnt"),
+        F.col("value.tag").alias("tag"),
+    )

@@ -60,6 +60,13 @@ _SPARK_TYPES: dict[str, DataType] = {
 
 
 def spark_type_for(codec: fc.Codec) -> DataType:
+    if codec.fields is not None:  # POJO -> struct of its members
+        return StructType(
+            [
+                StructField(n, spark_type_for(c), True)
+                for n, c in codec.fields
+            ]
+        )
     try:
         return _SPARK_TYPES[codec.name]
     except KeyError:

@@ -304,3 +304,47 @@ def test_xxh3_all_length_classes_deterministic():
         assert 0 <= h <= 0xFFFFFFFFFFFFFFFF
         seen.add(h)
     assert len(seen) == 14  # every length class yields a distinct hash
+
+
+# ---------------------------------------------------------------------------
+# POJO codec (flink-core PojoSerializer wire format)
+# ---------------------------------------------------------------------------
+
+
+def test_pojo_codec_golden_vectors():
+    import struct
+
+    pj = fc.pojo_codec([("cnt", fc.LONG), ("tag", fc.STRING), ("opt", fc.INT)])
+    value = {"cnt": 5, "tag": "ab", "opt": None}
+    # PojoSerializer.serialize: flags byte NO_SUBCLASS=2, then per field a
+    # boolean null marker + field serializer bytes
+    expect = (
+        b"\x02"
+        + b"\x00" + struct.pack(">q", 5)
+        + b"\x00" + fc.write_string("ab")
+        + b"\x01"
+    )
+    assert pj.encode(value) == expect
+    assert pj.decode(fc.ByteReader(expect)) == value
+    # null POJO: IS_NULL flag alone
+    assert pj.encode(None) == b"\x01"
+    assert pj.decode(fc.ByteReader(b"\x01")) is None
+
+
+def test_pojo_codec_subclass_flags_raise():
+    import pytest as _pytest
+
+    pj = fc.pojo_codec([("a", fc.INT)])
+    for flags in (4, 8):  # IS_SUBCLASS / IS_TAGGED_SUBCLASS
+        with _pytest.raises(ValueError, match="subclass"):
+            pj.decode(fc.ByteReader(bytes([flags]) + b"junk"))
+
+
+def test_pojo_codec_value_state_roundtrip():
+    pj = fc.pojo_codec([("cnt", fc.LONG), ("tag", fc.STRING)])
+    for v in ({"cnt": 1, "tag": "x"}, {"cnt": -9, "tag": None}, None):
+        buf = fc.encode_value_state(v, pj)
+        assert fc.decode_value_state(buf, pj) == v
+    # TTL-wrapped POJO (P8 composition)
+    buf = fc.encode_value_state({"cnt": 7, "tag": "t"}, pj, ttl_ts=123456)
+    assert fc.decode_value_state(buf, pj, ttl=True) == {"cnt": 7, "tag": "t"}
