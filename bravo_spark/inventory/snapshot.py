@@ -56,50 +56,125 @@ def checkpoint_roundtrip(spark, sf_dir):
     tombstones for the ghosts. The reader must apply full LSM semantics —
     newest-seq shadowing and tombstones — for the merged relation to equal
     the plain grouped count the oracle computes; any resolution bug makes
-    partial counts or ghost keys leak into the hash."""
+    partial counts or ghost keys leak into the hash.
+
+    The fixture itself is built DISTRIBUTED: per-user aggregates are
+    encoded executor-side, hash-partitioned on key bytes, sorted to
+    internal-key order within partitions (kns asc, seq desc — Spark's
+    unsigned binary ordering IS RocksDB's bytewise comparator), and each
+    task streams its rows into per-level SstWriters; only filenames return
+    to the driver. No per-key collect — the same posture as a real
+    checkpoint, which arrives from Flink at key-cardinality scale."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
+
+    import pandas as _pd
 
     from bravo_spark.sources import checkpoint as ck
     from bravo_spark.sources import sst as sstmod
 
     ev = catalog.table(spark, sf_dir, "events")
-    total = ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    total = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
     partial = (
         ev.filter(F.col("event_id") % 2 == 0)
         .groupBy("user_id")
         .agg(F.count("*").alias("cnt"))
-        .collect()
-    )  # fixture construction only — a real checkpoint arrives from Flink
+    )
+    ghosts = spark.range(10_000_000, 10_000_005).select(
+        F.col("id").alias("user_id")
+    )
 
-    def val(cnt: int) -> bytes:
-        return fc.encode_value_state(int(cnt), fc.LONG)
+    lvl1 = (
+        partial.unionByName(
+            ghosts.select("user_id", F.lit(99).cast("long").alias("cnt"))
+        )
+        .select(
+            "user_id", "cnt",
+            F.lit(1).alias("seq"),
+            F.lit(sstmod.TYPE_VALUE).alias("vtype"),
+            F.lit(1).alias("level"),
+        )
+    )
+    lvl0 = (
+        total.select(
+            "user_id", "cnt",
+            F.lit(2).alias("seq"),
+            F.lit(sstmod.TYPE_VALUE).alias("vtype"),
+            F.lit(0).alias("level"),
+        )
+        .unionByName(
+            ghosts.select(
+                "user_id",
+                F.lit(None).cast("long").alias("cnt"),
+                F.lit(2).alias("seq"),
+                F.lit(sstmod.TYPE_DELETION).alias("vtype"),
+                F.lit(0).alias("level"),
+            )
+        )
+    )
 
-    ghosts = [10_000_000 + g for g in range(5)]
-    l1 = [
-        (fc.encode_key_ns(int(r["user_id"]), fc.LONG, 128), 1, sstmod.TYPE_VALUE, val(r["cnt"]))
-        for r in partial
-    ] + [
-        (fc.encode_key_ns(g, fc.LONG, 128), 1, sstmod.TYPE_VALUE, val(99))
-        for g in ghosts
-    ]
-    l0 = [
-        (fc.encode_key_ns(int(r["user_id"]), fc.LONG, 128), 2, sstmod.TYPE_VALUE, val(r["cnt"]))
-        for r in total
-    ] + [
-        (fc.encode_key_ns(g, fc.LONG, 128), 2, sstmod.TYPE_DELETION, b"")
-        for g in ghosts
-    ]
+    def encode(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "level": pdf["level"],
+                    "kns": [
+                        fc.encode_key_ns(int(u), fc.LONG, 128)
+                        for u in pdf["user_id"]
+                    ],
+                    "seq": pdf["seq"],
+                    "vtype": pdf["vtype"],
+                    "val": [
+                        b""
+                        if int(vt) == sstmod.TYPE_DELETION
+                        else fc.encode_value_state(int(c), fc.LONG)
+                        for vt, c in zip(pdf["vtype"], pdf["cnt"])
+                    ],
+                }
+            )
 
     out = _os.path.join(_tempfile.gettempdir(), f"bravo_ckpt_rt_{_os.getpid()}")
     _shutil.rmtree(out, ignore_errors=True)
+    _os.makedirs(out)
+
+    encoded = (
+        lvl1.unionByName(lvl0)
+        .mapInPandas(encode, schema="level int, kns binary, seq long, vtype int, val binary")
+        .repartition(4, "kns")
+        .sortWithinPartitions("kns", F.col("seq").desc())
+    )
+
     # mixed block codecs across levels, as a real RocksDB often has
     # (bottommost_compression vs compression): the read path must
     # dispatch snappy and lz4 blocks within one checkpoint
-    ck.write_sst_fixture(out, {"Count": l1}, compression=sstmod.SNAPPY_COMPRESSION)
-    ck.write_sst_fixture(out, {"Count": l0}, compression=sstmod.LZ4_COMPRESSION)
+    compr = {0: sstmod.LZ4_COMPRESSION, 1: sstmod.SNAPPY_COMPRESSION}
 
+    def write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        writers: dict[int, sstmod.SstWriter] = {}
+        paths: dict[int, str] = {}
+        for pdf in batches:
+            for lv, kns, seq, vt, val in zip(
+                pdf["level"], pdf["kns"], pdf["seq"], pdf["vtype"], pdf["val"]
+            ):
+                lv = int(lv)
+                w = writers.get(lv)
+                if w is None:
+                    paths[lv] = _os.path.join(out, f"{1 + pid * 2 + lv:06d}.sst")
+                    w = writers[lv] = sstmod.SstWriter(
+                        paths[lv], column_family="Count", column_family_id=1,
+                        compression=compr[lv],
+                    )
+                w.add(bytes(kns), int(seq), int(vt), bytes(val))
+        for lv, w in writers.items():
+            w.finish()
+        if writers:
+            yield _pd.DataFrame({"file": sorted(paths.values())})
+
+    encoded.mapInPandas(write, schema="file string").collect()  # names only
     rows = ck.read_incremental_checkpoint(spark, out)
     return sr.read_value_kv(rows, "Count", fc.LONG, fc.LONG)
 
