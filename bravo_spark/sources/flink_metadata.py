@@ -145,7 +145,13 @@ class _R:
 
     def utf(self) -> str:
         n = struct.unpack(">H", self.need(2))[0]  # java writeUTF
-        return self.need(n).decode("utf-8")
+        raw = self.need(n)
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise FlinkMetadataError(
+                f"damaged writeUTF payload at {self.pos - n}: {exc}"
+            ) from None
 
 
 def _w_utf(s: str) -> bytes:

@@ -249,3 +249,68 @@ def test_unknown_keyed_tag_rejected():
     d.write_byte(9)  # bogus keyed tag
     with pytest.raises(fm.FlinkMetadataError, match="keyed handle tag 9"):
         fm.deserialize(bytes(d.b))
+
+
+# ---------------------------------------------------------------------------
+# refusal + fuzz hardening: the writer must REFUSE what it cannot
+# re-serialize, and the parser must fail with FlinkMetadataError (never a
+# stray IndexError/struct.error, never a silent mis-parse) on damaged input
+# ---------------------------------------------------------------------------
+
+
+def test_writer_refuses_foreign_handle_kinds():
+    sp = fm.FlinkSavepoint(1)
+    op = fm.OperatorStateMeta(operator_id("x"), 1, 128)
+    bogus_stream = fm.StreamStateHandle(kind=77, size=1, data=b"z")
+    op.subtasks.append(
+        fm.SubtaskState(
+            0,
+            managed_keyed=fm.KeyGroupsHandle(0, 128, [0] * 128, bogus_stream),
+        )
+    )
+    sp.operators.append(op)
+    with pytest.raises(fm.FlinkMetadataError, match="stream handle kind"):
+        fm.serialize(sp)
+
+    class NotAHandle:
+        pass
+
+    op.subtasks[0].managed_keyed = NotAHandle()
+    with pytest.raises(fm.FlinkMetadataError, match="unsupported keyed"):
+        fm.serialize(sp)
+
+
+def _no_master_golden() -> bytes:
+    full = _golden_savepoint_bytes()
+    (mlen,) = struct.unpack(">i", full[24:28])
+    return full[:16] + struct.pack(">i", 0) + full[28 + mlen :]
+
+
+def test_fuzz_every_truncation_raises_cleanly():
+    buf = _no_master_golden()
+    for i in range(len(buf)):
+        with pytest.raises(fm.FlinkMetadataError):
+            fm.deserialize(buf[:i])
+
+
+def test_fuzz_bitflips_refused_or_stable():
+    """Flip every byte of a golden savepoint: deserialize must either
+    refuse with FlinkMetadataError or yield an object whose own
+    serialization is a FIXPOINT (parse->print->parse->print is stable) —
+    i.e. damage is either detected or normalized, never amplified into a
+    metadata file the next reader sees differently."""
+    base = _no_master_golden()
+    refused = stable = 0
+    for i in range(len(base)):
+        mut = bytearray(base)
+        mut[i] ^= 0xFF
+        try:
+            sp = fm.deserialize(bytes(mut))
+        except fm.FlinkMetadataError:
+            refused += 1
+            continue
+        out = fm.serialize(sp)
+        assert fm.serialize(fm.deserialize(out)) == out, f"unstable at byte {i}"
+        stable += 1
+    # sanity: both classes must actually occur on a real golden
+    assert refused > 0 and stable > 0
