@@ -1,0 +1,272 @@
+"""Kryo-subset codec: the primitive wire formats Flink's KryoSerializer
+emits for generic (non-POJO, non-tuple) state types.
+
+The reference restores whatever ``TypeSerializer`` the snapshot metadata
+names (``utils/StateMetadataUtils.java:149-162``); for generic types that is
+Flink's Kryo wrapper, which calls ``kryo.writeClassAndObject`` per value
+(auto-reset, so every value is self-contained). This module implements the
+public Kryo stream format for the DEFAULT registrations — the nine
+primitive-wrapper classes Kryo registers on construction, in order:
+int=0, String=1, float=2, boolean=3, byte=4, char=5, short=6, long=7,
+double=8 — plus the unregistered-class-name form used for ``byte[]``.
+Layout per value::
+
+    [class tag: varint(registration_id + 2); 0 = null, 1 = class-name form]
+    [reference marker: varint 1, only when reference tracking is on and the
+     type is reference-tracked (String, arrays — not primitive wrappers)]
+    [payload: serializer-specific]
+
+Payloads: int/long are zigzag varints (7-bit groups, 0x80 continuation);
+float/double are fixed 4/8-byte big-endian IEEE bits; boolean/byte one
+byte; char/short fixed 2-byte big-endian; String is one of three forms —
+0x80|len+1 varint-flag header (bits 0-5 + 0x40 continuation in the first
+byte, then 7-bit groups) followed by UTF-8, OR bare ASCII bytes with the
+last char's high bit set, OR 0x80 alone for null.
+
+Every branch is cross-validated in tests/test_kryo.py against the real
+Kryo shipped inside this Spark's JVM (both reference-tracking settings,
+both directions). Back-references (marker > 1) and non-default
+registration ids are refused by name — they need the writing job's
+registration state, which callers can supply via the X2 custom-codec hook.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from bravo_spark.codecs.flink import ByteReader, Codec
+
+_TAG_NULL = 0
+_TAG_NAME = 1
+# Kryo constructor registrations, in order (Kryo.java: int, String, float,
+# boolean, byte, char, short, long, double) — tag = id + 2
+_ID_INT, _ID_STRING, _ID_FLOAT, _ID_BOOL = 0, 1, 2, 3
+_ID_BYTE, _ID_CHAR, _ID_SHORT, _ID_LONG, _ID_DOUBLE = 4, 5, 6, 7, 8
+
+
+class KryoError(ValueError):
+    pass
+
+
+# --- varints (7-bit little-endian groups, 0x80 = continuation) ---
+
+
+def read_varint(r: ByteReader) -> int:
+    # Kryo caps variable-length longs at 9 bytes: bytes 1-8 hold 7-bit
+    # groups with 0x80 continuation, the 9th holds bits 56-63 WHOLE (no
+    # continuation bit — Input.readVarLong)
+    result = 0
+    for i in range(8):
+        b = r.read(1)[0]
+        result |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            return result
+    return result | (r.read(1)[0] << 56)
+
+
+def write_varint(v: int) -> bytes:
+    out = bytearray()
+    for _ in range(8):
+        if v < 0x80:
+            out.append(v)
+            return bytes(out)
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v & 0xFF)  # 9th byte: bits 56-63 whole (Output.writeVarLong)
+    return bytes(out)
+
+
+def _zz_enc(v: int, bits: int) -> int:
+    mask = (1 << bits) - 1
+    return ((v << 1) ^ (v >> (bits - 1))) & mask
+
+
+def _zz_dec(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+# --- strings (Kryo Output.writeString / Input.readString) ---
+
+
+def read_kryo_string(r: ByteReader) -> str | None:
+    b0 = r.read(1)[0]
+    if b0 & 0x80:  # varint-flag length form
+        length = b0 & 0x3F
+        if b0 & 0x40:
+            shift = 6
+            while True:
+                b = r.read(1)[0]
+                length |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        if length == 0:
+            return None
+        n_chars = length - 1
+        # UTF-8, char-counted: consume exactly n_chars codepoints
+        out = []
+        for _ in range(n_chars):
+            c = r.read(1)[0]
+            if c < 0x80:
+                out.append(c.to_bytes(1, "big"))
+            elif c < 0xE0:
+                out.append(bytes([c]) + r.read(1))
+            elif c < 0xF0:
+                out.append(bytes([c]) + r.read(2))
+            else:
+                # Kryo chars are UTF-16 units; 4-byte sequences never occur
+                raise KryoError(f"invalid Kryo UTF-8 lead byte {c:#x}")
+        return b"".join(out).decode("utf-8")
+    # ASCII form: bytes until the high-bit-marked last char
+    chars = bytearray([b0])
+    while not chars[-1] & 0x80:
+        chars.append(r.read(1)[0])
+    chars[-1] &= 0x7F
+    return chars.decode("ascii")
+
+
+def write_kryo_string(s: str | None) -> bytes:
+    if s is None:
+        return b"\x80"
+    # always emit the varint-flag + UTF-8 form — spec-valid for any string
+    # and what Kryo itself emits outside the short-pure-ASCII fast path
+    length = len(s) + 1
+    first = 0x80 | (length & 0x3F)
+    rest = bytearray()
+    length >>= 6
+    if length:
+        first |= 0x40
+        while True:
+            if length < 0x80:
+                rest.append(length)
+                break
+            rest.append((length & 0x7F) | 0x80)
+            length >>= 7
+    return bytes([first]) + bytes(rest) + s.encode("utf-8")
+
+
+# --- tagged values ---
+
+_EXPECT = {
+    # expect name (doubles as the Flink-codec name for Spark type mapping)
+    "int": _ID_INT,
+    "string": _ID_STRING,
+    "float": _ID_FLOAT,
+    "boolean": _ID_BOOL,
+    "byte": _ID_BYTE,
+    "char": _ID_CHAR,
+    "short": _ID_SHORT,
+    "long": _ID_LONG,
+    "double": _ID_DOUBLE,
+    "bytes": None,  # class-name form "[B"
+}
+
+
+def _read_ref_marker(r: ByteReader) -> None:
+    m = read_varint(r)
+    if m != 1:
+        raise KryoError(
+            f"Kryo reference marker {m}: back-references need the writing "
+            "stream's object graph — only self-contained values decode"
+        )
+
+
+def read_kryo_value(r: ByteReader, *, references: bool = True):
+    """Decode one ``writeClassAndObject`` value. Returns the Python value
+    (None for a null class tag)."""
+    tag = read_varint(r)
+    if tag == _TAG_NULL:
+        return None
+    if tag == _TAG_NAME:
+        name_id = read_varint(r)
+        if name_id != 0:
+            raise KryoError(
+                f"Kryo class-name back-reference {name_id}: only "
+                "self-contained values decode"
+            )
+        cls = read_kryo_string(r)
+        if cls != "[B":
+            raise KryoError(
+                f"unregistered Kryo class {cls!r}: supply a custom codec"
+            )
+        if references:
+            _read_ref_marker(r)
+        n = read_varint(r)  # length + 1, 0 = null
+        return None if n == 0 else bytes(r.read(n - 1))
+    rid = tag - 2
+    if rid == _ID_INT:
+        return _zz_dec(read_varint(r))
+    if rid == _ID_STRING:
+        if references:
+            _read_ref_marker(r)
+        return read_kryo_string(r)
+    if rid == _ID_FLOAT:
+        return struct.unpack(">f", r.read(4))[0]
+    if rid == _ID_BOOL:
+        return r.read(1)[0] != 0
+    if rid == _ID_BYTE:
+        return struct.unpack(">b", r.read(1))[0]
+    if rid == _ID_CHAR:
+        return chr(struct.unpack(">H", r.read(2))[0])
+    if rid == _ID_SHORT:
+        return struct.unpack(">h", r.read(2))[0]
+    if rid == _ID_LONG:
+        return _zz_dec(read_varint(r))
+    if rid == _ID_DOUBLE:
+        return struct.unpack(">d", r.read(8))[0]
+    raise KryoError(
+        f"Kryo registration id {rid}: beyond the default registrations — "
+        "supply a custom codec for job-registered classes"
+    )
+
+
+def write_kryo_value(value, expect: str, *, references: bool = True) -> bytes:
+    """Encode one value as ``writeClassAndObject`` bytes of the ``expect``
+    type (a key of ``_EXPECT``)."""
+    if expect not in _EXPECT:
+        raise KryoError(f"unsupported Kryo expect type {expect!r}")
+    if value is None:
+        return write_varint(_TAG_NULL)
+    if expect == "bytes":
+        out = write_varint(_TAG_NAME) + write_varint(0) + write_kryo_string("[B")
+        if references:
+            out += write_varint(1)
+        return out + write_varint(len(value) + 1) + bytes(value)
+    rid = _EXPECT[expect]
+    out = write_varint(rid + 2)
+    if rid == _ID_INT:
+        return out + write_varint(_zz_enc(int(value), 32))
+    if rid == _ID_STRING:
+        if references:
+            out += write_varint(1)
+        return out + write_kryo_string(value)
+    if rid == _ID_FLOAT:
+        return out + struct.pack(">f", value)
+    if rid == _ID_BOOL:
+        return out + (b"\x01" if value else b"\x00")
+    if rid == _ID_BYTE:
+        return out + struct.pack(">b", int(value))
+    if rid == _ID_CHAR:
+        return out + struct.pack(">H", ord(value))
+    if rid == _ID_SHORT:
+        return out + struct.pack(">h", int(value))
+    if rid == _ID_LONG:
+        return out + write_varint(_zz_enc(int(value), 64))
+    return out + struct.pack(">d", value)
+
+
+def kryo_codec(expect: str = "string", *, references: bool = True) -> Codec:
+    """A :class:`~bravo_spark.codecs.flink.Codec` for Kryo-serialized state
+    values (the X2 deserializer-override hook). ``expect`` names the value
+    type and doubles as the codec name, so Spark column types resolve
+    through the normal mapping; the decoded class tag must agree with it.
+    ``references`` mirrors ``kryo.setReferences`` of the writing job."""
+
+    def enc(v) -> bytes:
+        return write_kryo_value(v, expect, references=references)
+
+    def dec(r: ByteReader):
+        v = read_kryo_value(r, references=references)
+        return v
+
+    return Codec(f"{expect}", enc, dec, -1)

@@ -328,3 +328,36 @@ def pojo_value_kv(spark, sf_dir):
         F.col("value.cnt").alias("cnt"),
         F.col("value.tag").alias("tag"),
     )
+
+
+@query(
+    "kryo_value_kv",
+    oracle=(
+        "SELECT user_id AS key, count(*) AS value FROM events"
+        " GROUP BY user_id"
+    ),
+)
+def kryo_value_kv(spark, sf_dir):
+    """P1 over a KRYO-serialized value state — the X2 hook with the
+    generic-type serializer Flink falls back to when a state type has no
+    dedicated TypeSerializer. Values are Kryo ``writeClassAndObject``
+    longs (class tag + zigzag varint, reference tracking on), the codec
+    cross-validated against the JVM's real Kryo in tests/test_kryo.py;
+    the oracle recomputes the counts relationally."""
+    from bravo_spark.codecs.kryo import kryo_codec
+
+    kc = kryo_codec("long", references=True)
+    ev = catalog.table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("value")
+    )
+    rows = sr.kv_to_state_rows(counts, "KryoCount", fc.LONG, kc, max_parallelism=128)
+    out = os.path.join(tempfile.gettempdir(), f"bravo_kryo_rt_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    sp.write_savepoint(
+        rows, out, max_parallelism=128, parallelism=4,
+        state_ids={"KryoCount": 0},
+    )
+    return sr.read_value_kv(
+        sp.read_savepoint(spark, out), "KryoCount", fc.LONG, kc,
+    )

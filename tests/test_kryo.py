@@ -1,0 +1,140 @@
+"""Kryo-subset codec vs the REAL Kryo inside this Spark's JVM.
+
+Both directions, both reference-tracking settings: bytes written by
+``kryo.writeClassAndObject`` decode to equal Python values, and bytes from
+``write_kryo_value`` are read back by ``kryo.readClassAndObject`` to the
+original value (py4j unboxes the JVM result, which also pins the class
+TAG: a wrong tag materializes as the wrong Java class). Types py4j cannot
+construct (Float/Short/Byte/Character auto-unbox on the way in) are
+validated decode-side-only through the JVM read-back."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bravo_spark.codecs import kryo as kr
+from bravo_spark.codecs.flink import ByteReader
+
+
+@pytest.fixture(scope="module")
+def jk(spark):
+    j = spark._jvm
+    mk = j.com.esotericsoftware.kryo.Kryo
+
+    class H:
+        def __init__(self):
+            self.j = j
+            self.kryos = {}
+            for refs in (True, False):
+                k = mk()
+                k.setReferences(refs)
+                self.kryos[refs] = k
+
+        def write(self, value, refs):
+            out = j.com.esotericsoftware.kryo.io.Output(1 << 16, -1)
+            self.kryos[refs].writeClassAndObject(out, value)
+            b = bytes(out.toBytes())
+            out.close()
+            return b
+
+        def read(self, data, refs):
+            inp = j.com.esotericsoftware.kryo.io.Input(data)
+            v = self.kryos[refs].readClassAndObject(inp)
+            inp.close()
+            return v
+
+    return H()
+
+
+STRINGS = [
+    "hello",
+    "hello world!",
+    "",
+    "a",
+    "héllo✓ unicode ∀x",
+    "x" * 200,
+    "y" * 100 + "é",
+    "z" * 20000 + "é",
+    None,
+]
+
+
+@pytest.mark.parametrize("refs", [True, False])
+def test_strings_both_directions(jk, refs):
+    for s in STRINGS:
+        native = jk.write(s, refs)
+        assert kr.read_kryo_value(ByteReader(native), references=refs) == s
+        ours = kr.write_kryo_value(s, "string", references=refs)
+        assert jk.read(ours, refs) == s
+
+
+@pytest.mark.parametrize("refs", [True, False])
+def test_integers_both_directions(jk, refs):
+    # py4j sends Python ints < 2^31 as Integer, larger as Long — use that
+    # to hit both registrations natively
+    for v in (0, 1, -1, 42, -42, 300, 2**30, -(2**30)):
+        native = jk.write(jk.j.java.lang.Integer(v), refs)
+        assert kr.read_kryo_value(ByteReader(native), references=refs) == v
+        assert jk.read(kr.write_kryo_value(v, "int", references=refs), refs) == v
+    for v in (2**40, -(2**40), 977, -3, 2**62, 2**63 - 1, -(2**63)):
+        native = jk.write(jk.j.java.lang.Long(v), refs)
+        assert kr.read_kryo_value(ByteReader(native), references=refs) == v
+        assert jk.read(kr.write_kryo_value(v, "long", references=refs), refs) == v
+
+
+@pytest.mark.parametrize("refs", [True, False])
+def test_double_bool_null_both_directions(jk, refs):
+    for v in (1.5, -0.25, 1e300, math.pi):
+        native = jk.write(v, refs)  # py4j float -> java.lang.Double
+        assert kr.read_kryo_value(ByteReader(native), references=refs) == v
+        assert jk.read(kr.write_kryo_value(v, "double", references=refs), refs) == v
+    for v in (True, False):
+        native = jk.write(v, refs)
+        assert kr.read_kryo_value(ByteReader(native), references=refs) is v
+        assert jk.read(kr.write_kryo_value(v, "boolean", references=refs), refs) == v
+    assert kr.read_kryo_value(ByteReader(jk.write(None, refs)), references=refs) is None
+    assert jk.read(kr.write_kryo_value(None, "string", references=refs), refs) is None
+
+
+@pytest.mark.parametrize("refs", [True, False])
+def test_byte_array_both_directions(jk, refs):
+    for payload in (b"\x01\x02\xff", b"", bytes(range(256))):
+        native = jk.write(bytearray(payload), refs)
+        assert kr.read_kryo_value(ByteReader(native), references=refs) == payload
+        ours = kr.write_kryo_value(payload, "bytes", references=refs)
+        assert bytes(jk.read(ours, refs)) == payload
+
+
+@pytest.mark.parametrize(
+    "expect,value",
+    [("float", 2.5), ("float", -0.125), ("short", -7), ("short", 32000),
+     ("byte", 3), ("byte", -128), ("char", "Z"), ("char", "é")],
+)
+def test_unboxable_types_via_jvm_readback(jk, expect, value):
+    # py4j cannot PASS these wrapper types (auto-unboxing), but the JVM
+    # read-back pins both tag and payload: a wrong registration id would
+    # materialize as a different class and unbox to a different value
+    for refs in (True, False):
+        ours = kr.write_kryo_value(value, expect, references=refs)
+        assert jk.read(ours, refs) == value
+        # and our own decoder round-trips what we wrote
+        assert kr.read_kryo_value(ByteReader(ours), references=refs) == value
+
+
+def test_refusals_are_named():
+    # back-reference marker
+    data = kr.write_varint(3) + kr.write_varint(2)
+    with pytest.raises(kr.KryoError, match="reference marker"):
+        kr.read_kryo_value(ByteReader(data), references=True)
+    # non-default registration id
+    with pytest.raises(kr.KryoError, match="registration id 40"):
+        kr.read_kryo_value(ByteReader(kr.write_varint(42)), references=False)
+    # unregistered class by name
+    bogus = (
+        kr.write_varint(1) + kr.write_varint(0)
+        + kr.write_kryo_string("com.example.Foo")
+    )
+    with pytest.raises(kr.KryoError, match="com.example.Foo"):
+        kr.read_kryo_value(ByteReader(bogus), references=False)
