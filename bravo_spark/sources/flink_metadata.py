@@ -118,6 +118,13 @@ class OperatorStateMeta:
 class FlinkSavepoint:
     checkpoint_id: int
     operators: list[OperatorStateMeta] = field(default_factory=list)
+    # master (coordinator) states, carried as OPAQUE payload frames and
+    # re-emitted verbatim — the same splice-don't-reencode policy the
+    # reference applies to serializer snapshots
+    # (utils/StateMetadataUtils.java:103-125 keeps everything it does not
+    # replace). Each entry is the raw bytes between the per-state magic and
+    # the next frame (i.e. the length-prefixed payload).
+    master_states: list[bytes] = field(default_factory=list)
 
 
 class _R:
@@ -314,7 +321,11 @@ def serialize(sp: FlinkSavepoint) -> bytes:
     out += struct.pack(">i", HEADER_MAGIC_NUMBER)
     out += struct.pack(">i", SAVEPOINT_V2)
     out += struct.pack(">q", sp.checkpoint_id)
-    out += struct.pack(">i", 0)  # master states
+    out += struct.pack(">i", len(sp.master_states))
+    for payload in sp.master_states:
+        out += struct.pack(">I", MASTER_STATE_MAGIC)
+        out += struct.pack(">i", len(payload))
+        out += payload
     out += struct.pack(">i", len(sp.operators))
     for op in sp.operators:
         # writeLong(lowerPart)+writeLong(upperPart) == raw 16 digest bytes
@@ -346,12 +357,13 @@ def deserialize(buf: bytes) -> FlinkSavepoint:
     if version != SAVEPOINT_V2:
         raise FlinkMetadataError(f"unsupported savepoint version {version}")
     cp_id = r.i64()
-    for _ in range(r.i32()):  # master states: framed, skippable
+    masters: list[bytes] = []
+    for _ in range(r.i32()):  # master states: framed, carried opaque
         ms_magic = r.i32() & 0xFFFFFFFF
         if ms_magic != MASTER_STATE_MAGIC:
             raise FlinkMetadataError(f"bad master-state magic 0x{ms_magic:08X}")
-        r.need(r.i32())
-    sp = FlinkSavepoint(checkpoint_id=cp_id)
+        masters.append(r.need(r.i32()))
+    sp = FlinkSavepoint(checkpoint_id=cp_id, master_states=masters)
     n_ops = r.i32()
     for _ in range(n_ops):
         op_id = r.need(16)

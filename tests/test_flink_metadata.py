@@ -152,15 +152,12 @@ def test_parses_foreign_golden_bytes():
 
 
 def test_golden_bytes_reserialize_identically():
-    """serialize(deserialize(x)) == x modulo the master state we skip — so
-    rebuild the golden WITHOUT the master state and require exact bytes."""
+    """serialize(deserialize(x)) == x, INCLUDING the master-state frame,
+    which is carried as an opaque payload and re-emitted verbatim."""
     full = _golden_savepoint_bytes()
     sp = fm.deserialize(full)
-    # excise the master-state frame: [count=1][magic][len][payload]
-    # header = magic+version+cpid = 16 bytes; then i32 count at 16
-    (mlen,) = struct.unpack(">i", full[24:28])
-    no_master = full[:16] + struct.pack(">i", 0) + full[28 + mlen :]
-    assert fm.serialize(sp) == no_master
+    assert len(sp.master_states) == 1
+    assert fm.serialize(sp) == full
 
 
 def test_incremental_handle_golden():
@@ -280,14 +277,8 @@ def test_writer_refuses_foreign_handle_kinds():
         fm.serialize(sp)
 
 
-def _no_master_golden() -> bytes:
-    full = _golden_savepoint_bytes()
-    (mlen,) = struct.unpack(">i", full[24:28])
-    return full[:16] + struct.pack(">i", 0) + full[28 + mlen :]
-
-
 def test_fuzz_every_truncation_raises_cleanly():
-    buf = _no_master_golden()
+    buf = _golden_savepoint_bytes()
     for i in range(len(buf)):
         with pytest.raises(fm.FlinkMetadataError):
             fm.deserialize(buf[:i])
@@ -299,7 +290,7 @@ def test_fuzz_bitflips_refused_or_stable():
     serialization is a FIXPOINT (parse->print->parse->print is stable) —
     i.e. damage is either detected or normalized, never amplified into a
     metadata file the next reader sees differently."""
-    base = _no_master_golden()
+    base = _golden_savepoint_bytes()
     refused = stable = 0
     for i in range(len(base)):
         mut = bytearray(base)
