@@ -303,3 +303,47 @@ def test_multimodal_resize_is_map_only(plans):
 
 def test_quality_filter_is_map_only(plans):
     assert "Exchange" not in plans("quality_filter_pipeline")
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """Scale-posture pin: the session's AQE skew-join config actually
+    fires. A planted celebrity key (1/3 of a 300k-row fact) joined to a
+    dim under shuffle-join conditions must show SortMergeJoin(skew=true)
+    in the FINAL adaptive plan — the mechanism the 100 TB design leans on
+    for residual join skew (hot shingles/keys are pre-filtered by design,
+    AQE catches what remains)."""
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 3 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(500).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k", "inner")
+        assert len(j.collect()) == 100333
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p, "AQE skew split did not fire"
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
