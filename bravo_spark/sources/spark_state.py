@@ -699,6 +699,105 @@ def _rewind_compactible_log(d: str, cut: int, removed: list[str]) -> None:
                 removed.append(p)
 
 
+def rewind_file_sink(output_dir: str, batch_id: int) -> list[str]:
+    """Complete a poisoned-batch rewind for exactly-once FILE-SINK output:
+    ``rewind_checkpoint`` resets the engine/source logs, but the sink's
+    ``_spark_metadata`` log still lists the bad batches' part files — a
+    log-aware reader (``spark.read`` on the output dir) would keep seeing
+    them, and the replayed batches would append DUPLICATES next to them.
+    Deletes sink-log entries > ``batch_id`` and the part files they
+    reference; returns the deleted paths.
+
+    Sink entries carry no batch tag (``SinkFileStatus``), so a
+    ``<n>.compact`` newer than the cut cannot be split entry-by-entry like
+    the source log's; instead the cut's history is REBUILT from the best
+    compact ≤ cut plus the per-batch plain files after it, and the rewind
+    is refused (with the reason) if retention already cleaned those up."""
+    md = os.path.join(output_dir, "_spark_metadata")
+    if not os.path.isdir(md):
+        raise FileNotFoundError(f"{output_dir} has no _spark_metadata sink log")
+
+    def parse(p: str) -> tuple[str, list[str]]:
+        lines = open(p).read().splitlines()
+        return lines[0], [ln for ln in lines[1:] if ln]
+
+    plain: dict[int, str] = {}
+    compacts: dict[int, str] = {}
+    for f in os.listdir(md):
+        if f.endswith(".compact") and f[: -len(".compact")].isdigit():
+            compacts[int(f[: -len(".compact")])] = f
+        elif f.isdigit():
+            plain[int(f)] = f
+
+    removed: list[str] = []
+    doomed: list[str] = []  # entry lines of batches > cut
+    newer = sorted(c for c in compacts if c > batch_id)
+    if newer:
+        base = max((c for c in compacts if c <= batch_id), default=None)
+        need = list(range(0 if base is None else base + 1, batch_id + 1))
+        missing = [b for b in need if b not in plain]
+        if missing:
+            raise ValueError(
+                f"cannot rewind {md} past compaction: sink entries carry "
+                f"no batch tag and plain log files {missing} were already "
+                f"cleaned up — the pre-rewind history inside "
+                f"{compacts[newer[-1]]} cannot be split by batch"
+            )
+        keep: list[str] = []
+        version = "v1"
+        if base is not None:
+            version, es = parse(os.path.join(md, compacts[base]))
+            keep.extend(es)
+        for b in need:
+            version, es = parse(os.path.join(md, plain[b]))
+            keep.extend(es)
+        _, all_es = parse(os.path.join(md, compacts[newer[-1]]))
+        kept = set(keep)
+        doomed.extend(e for e in all_es if e not in kept)
+        target = os.path.join(md, f"{batch_id}.compact")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join([version] + keep))
+        os.replace(tmp, target)
+        # the rebuilt compact supersedes the plain file at the cut id
+        for stale in (str(batch_id), f".{batch_id}.crc",
+                      f".{batch_id}.compact.crc"):
+            p = os.path.join(md, stale)
+            if os.path.exists(p):
+                os.remove(p)
+                removed.append(p)
+
+    for b, f in sorted(plain.items()) + sorted(compacts.items()):
+        if b <= batch_id:
+            continue
+        p = os.path.join(md, f)
+        if not f.endswith(".compact"):
+            _, es = parse(p)
+            doomed.extend(es)
+        os.remove(p)
+        removed.append(p)
+        crc = os.path.join(md, f".{f}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+            removed.append(crc)
+
+    from urllib.parse import unquote, urlparse
+
+    for ln in dict.fromkeys(doomed):  # de-dup, keep order
+        try:
+            ent = json.loads(ln)
+        except ValueError:
+            continue
+        if ent.get("action") == "delete":
+            continue
+        path = ent.get("path", "")
+        local = unquote(urlparse(path).path) if "://" in path else path
+        if local and os.path.exists(local):
+            os.remove(local)
+            removed.append(local)
+    return removed
+
+
 def rewind_checkpoint(checkpoint_dir: str, batch_id: int) -> list[str]:
     """Rewind a Structured Streaming checkpoint so the restarted query
     resumes as if ``batch_id`` were the last completed batch — the "undo a

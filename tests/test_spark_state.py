@@ -609,3 +609,77 @@ def test_rewind_checkpoint_past_compaction(spark, tmp_path):
     # state resumes at count 8; exactly the 4 post-rewind files are
     # re-discovered (keep-compact => 10, delete-compact => 20, both wrong)
     assert run() == {"a": (12, 12)}
+
+
+def test_rewind_file_sink_with_checkpoint(spark, tmp_path):
+    """The FULL poisoned-batch undo for a parquet sink: rewind the
+    checkpoint (engine/source logs) AND the sink's _spark_metadata log —
+    which compacts at batch 9 and whose entries carry no batch tag, so the
+    compact history must be rebuilt from the surviving per-batch plain
+    files. After restart, a log-aware read of the output dir must see
+    exactly one copy of every input row: stale sink entries would show
+    duplicates for the replayed batches, over-deletion would lose rows."""
+    import glob as _glob
+    import shutil as _shutil
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+    one = str(tmp_path / "one.parquet")
+    spark.createDataFrame(
+        [("a", 1)], "k string, v int"
+    ).coalesce(1).write.parquet(one)
+    part = _glob.glob(f"{one}/part-*.parquet")[0]
+    for i in range(12):
+        _shutil.copyfile(part, os.path.join(inp, f"b{i:02d}.parquet"))
+    schema = spark.read.parquet(inp).schema
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    assert spark.read.parquet(outp).count() == 12
+    sinkdir = os.path.join(outp, "_spark_metadata")
+    assert os.path.exists(os.path.join(sinkdir, "9.compact"))
+
+    ss.rewind_checkpoint(ckpt, 7)
+    removed = ss.rewind_file_sink(outp, 7)
+    # rebuilt compact at the cut; bad batches' part files gone
+    assert os.path.exists(os.path.join(sinkdir, "7.compact"))
+    assert not os.path.exists(os.path.join(sinkdir, "9.compact"))
+    assert sum(1 for p in removed if p.endswith(".parquet")) == 4
+    assert spark.read.parquet(outp).count() == 8
+
+    run()  # replays batches 8-11
+    out = spark.read.parquet(outp)
+    assert out.count() == 12
+    assert out.groupBy().sum("v").collect()[0][0] == 12
+
+
+def test_rewind_file_sink_refuses_uncoverable_compaction(tmp_path):
+    """If retention already removed the per-batch plain files a compact
+    rebuild needs, the rewind must refuse by name — sink entries carry no
+    batch tag, so guessing would corrupt the exactly-once log."""
+    md = tmp_path / "out" / "_spark_metadata"
+    md.mkdir(parents=True)
+    ent = '{"path":"file:///x/part-%d.parquet","size":1,"isDir":false,"modificationTime":0,"blockReplication":1,"blockSize":1,"action":"add"}'
+    all_entries = []
+    for b in range(10):
+        line = ent % b
+        all_entries.append(line)
+        if b != 3:  # batch 3's plain file was cleaned up
+            (md / str(b)).write_text("v1\n" + line)
+    (md / "9.compact").write_text("v1\n" + "\n".join(all_entries))
+    with pytest.raises(ValueError, match=r"\[3\] were already"):
+        ss.rewind_file_sink(str(tmp_path / "out"), 7)
