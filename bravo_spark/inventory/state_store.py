@@ -304,3 +304,77 @@ def checkpoint_rewind(spark, sf_dir):
     land(odd, "b1.parquet")
     out = _run_agg_over(spark, None, inp, ckpt)
     return out.select("event_type", "cnt", "sum_floor")
+
+
+@query(
+    "file_sink_rewind",
+    oracle="SELECT event_type, count(*) AS cnt FROM events GROUP BY 1",
+)
+def file_sink_rewind(spark, sf_dir):
+    """Poisoned-batch undo with an exactly-once FILE SINK: batch 0 streams
+    the even half into a parquet sink, batch 1 a poisoned odd half (rows
+    duplicated); ``rewind_checkpoint`` + ``rewind_file_sink`` reset BOTH
+    sides' logs to batch 0 (the sink's _spark_metadata de-lists and
+    deletes the bad part files), the input is fixed, and the restarted
+    query appends the clean odd half. The final log-aware read of the
+    output dir must equal the clean per-type counts — a stale sink entry
+    would double-count the undone batch, over-deletion would lose the
+    committed one."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from bravo_spark.sources.spark_state import (
+        rewind_checkpoint,
+        rewind_file_sink,
+    )
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    work = tempfile.mkdtemp(prefix="bravo_sink_rewind_")
+    inp = os.path.join(work, "in")
+    outp = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(inp)
+    even = ev.filter(F.col("user_id") % 2 == 0)
+    odd = ev.filter(F.col("user_id") % 2 == 1)
+
+    def land(df, name):
+        tmp = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        shutil.copyfile(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(inp, name),
+        )
+        shutil.rmtree(tmp)
+
+    def run_batch():
+        schema = spark.read.parquet(inp).schema
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(inp)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    land(even, "b0.parquet")
+    run_batch()
+    land(odd.unionByName(odd), "b1.parquet")  # poison: doubled rows
+    run_batch()
+
+    rewind_checkpoint(ckpt, 0)
+    rewind_file_sink(outp, 0)
+    os.remove(os.path.join(inp, "b1.parquet"))
+    land(odd, "b1.parquet")
+    run_batch()
+    return (
+        spark.read.parquet(outp)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
