@@ -361,3 +361,32 @@ def kryo_value_kv(spark, sf_dir):
     return sr.read_value_kv(
         sp.read_savepoint(spark, out), "KryoCount", fc.LONG, kc,
     )
+
+
+@query(
+    "snapshot_roundtrip_compressed",
+    oracle=(
+        "SELECT user_id AS key, count(*) AS value FROM events"
+        " GROUP BY user_id"
+    ),
+)
+def snapshot_roundtrip_compressed(spark, sf_dir):
+    """snapshot_roundtrip with per-keygroup Snappy compression enabled —
+    the SnappyStreamCompressionDecorator framing Flink applies when the
+    snapshot declares compression (utils/StateMetadataUtils.java:142-146),
+    exercised through write AND read at query scale (unit vectors live in
+    test_staterows/test_snappy)."""
+    ev = catalog.table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("value")
+    )
+    rows = sr.kv_to_state_rows(counts, "Count", fc.LONG, fc.LONG, max_parallelism=128)
+    out = os.path.join(
+        tempfile.gettempdir(), f"bravo_snapshot_rtc_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    sp.write_savepoint(
+        rows, out, max_parallelism=128, parallelism=4,
+        state_ids={"Count": 0}, compression=True,
+    )
+    return sp.read_savepoint_kv(spark, out, "Count", fc.LONG, fc.LONG)
