@@ -103,7 +103,10 @@ def read_kryo_string(r: ByteReader) -> str | None:
         if length == 0:
             return None
         n_chars = length - 1
-        # UTF-8, char-counted: consume exactly n_chars codepoints
+        # Kryo "chars" are UTF-16 code units, written as CESU-8: astral
+        # characters arrive as TWO 3-byte surrogate sequences (each one
+        # unit), never as a 4-byte UTF-8 sequence — consume exactly
+        # n_chars units, then merge surrogate pairs
         out = []
         for _ in range(n_chars):
             c = r.read(1)[0]
@@ -114,23 +117,41 @@ def read_kryo_string(r: ByteReader) -> str | None:
             elif c < 0xF0:
                 out.append(bytes([c]) + r.read(2))
             else:
-                # Kryo chars are UTF-16 units; 4-byte sequences never occur
-                raise KryoError(f"invalid Kryo UTF-8 lead byte {c:#x}")
-        return b"".join(out).decode("utf-8")
+                raise KryoError(
+                    f"invalid Kryo UTF-8 lead byte {c:#x} (chars are "
+                    "UTF-16 units; 4-byte sequences never occur)"
+                )
+        try:
+            units = b"".join(out).decode("utf-8", "surrogatepass")
+            return units.encode("utf-16-be", "surrogatepass").decode(
+                "utf-16-be"
+            )
+        except UnicodeDecodeError as exc:
+            raise KryoError(f"damaged Kryo string payload: {exc}") from None
     # ASCII form: bytes until the high-bit-marked last char
     chars = bytearray([b0])
     while not chars[-1] & 0x80:
         chars.append(r.read(1)[0])
     chars[-1] &= 0x7F
-    return chars.decode("ascii")
+    try:
+        return chars.decode("ascii")
+    except UnicodeDecodeError as exc:
+        raise KryoError(f"damaged Kryo ASCII string: {exc}") from None
 
 
 def write_kryo_string(s: str | None) -> bytes:
     if s is None:
         return b"\x80"
-    # always emit the varint-flag + UTF-8 form — spec-valid for any string
-    # and what Kryo itself emits outside the short-pure-ASCII fast path
-    length = len(s) + 1
+    # always emit the varint-flag + CESU-8 form — spec-valid for any
+    # string and what Kryo itself emits outside the short-pure-ASCII fast
+    # path. The length counts UTF-16 units and astral characters encode
+    # as two 3-byte surrogate sequences (Kryo writes char-by-char).
+    u16 = s.encode("utf-16-be")
+    units = [int.from_bytes(u16[i : i + 2], "big") for i in range(0, len(u16), 2)]
+    body = b"".join(
+        chr(u).encode("utf-8", "surrogatepass") for u in units
+    )
+    length = len(units) + 1
     first = 0x80 | (length & 0x3F)
     rest = bytearray()
     length >>= 6
@@ -142,7 +163,7 @@ def write_kryo_string(s: str | None) -> bytes:
                 break
             rest.append((length & 0x7F) | 0x80)
             length >>= 7
-    return bytes([first]) + bytes(rest) + s.encode("utf-8")
+    return bytes([first]) + bytes(rest) + body
 
 
 # --- tagged values ---
@@ -171,12 +192,23 @@ def _read_ref_marker(r: ByteReader) -> None:
         )
 
 
-def read_kryo_value(r: ByteReader, *, references: bool = True):
+def read_kryo_value(
+    r: ByteReader, *, references: bool = True, expect: str | None = None
+):
     """Decode one ``writeClassAndObject`` value. Returns the Python value
-    (None for a null class tag)."""
+    (None for a null class tag). With ``expect`` set, a class tag other
+    than the expected type's is refused by name at decode time — not left
+    to surface as an opaque Arrow cast error columns away."""
     tag = read_varint(r)
     if tag == _TAG_NULL:
         return None
+    if expect is not None:
+        want = _TAG_NAME if expect == "bytes" else _EXPECT[expect] + 2
+        if tag != want:
+            raise KryoError(
+                f"Kryo class tag {tag} where a {expect!r} value "
+                f"(tag {want}) was expected"
+            )
     if tag == _TAG_NAME:
         name_id = read_varint(r)
         if name_id != 0:
@@ -258,15 +290,18 @@ def write_kryo_value(value, expect: str, *, references: bool = True) -> bytes:
 def kryo_codec(expect: str = "string", *, references: bool = True) -> Codec:
     """A :class:`~bravo_spark.codecs.flink.Codec` for Kryo-serialized state
     values (the X2 deserializer-override hook). ``expect`` names the value
-    type and doubles as the codec name, so Spark column types resolve
-    through the normal mapping; the decoded class tag must agree with it.
-    ``references`` mirrors ``kryo.setReferences`` of the writing job."""
+    type (``kryo<expect>`` becomes the codec name — deliberately DISTINCT
+    from the plain fixed-width codec names, which dispatch readers onto
+    the numpy fixed-byte fast path that would bypass Kryo framing); the
+    decoded class tag must agree with it. ``references`` mirrors
+    ``kryo.setReferences`` of the writing job."""
+    if expect not in _EXPECT:
+        raise KryoError(f"unsupported Kryo expect type {expect!r}")
 
     def enc(v) -> bytes:
         return write_kryo_value(v, expect, references=references)
 
     def dec(r: ByteReader):
-        v = read_kryo_value(r, references=references)
-        return v
+        return read_kryo_value(r, references=references, expect=expect)
 
-    return Codec(f"{expect}", enc, dec, -1)
+    return Codec(f"kryo<{expect}>", enc, dec, -1)

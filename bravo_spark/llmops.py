@@ -470,9 +470,11 @@ def connected_components(
             F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
         )
     ).cache()
-    _LIVE_CACHES.append(labels)
-    _LIVE_CACHES.append(e)
-    nodes.unpersist()
+    # nodes must stay cached until labels materializes (labels.cache() is
+    # lazy — unpersisting nodes here would force the caller's first action
+    # to re-scan pairs); all three are released by the next query cycle's
+    # release_caches()
+    _LIVE_CACHES.extend((labels, e, nodes))
     return labels
 
 

@@ -67,8 +67,16 @@ def spark_type_for(codec: fc.Codec) -> DataType:
                 for n, c in codec.fields
             ]
         )
+    name = codec.name
+    if name.startswith("kryo<") and name.endswith(">"):
+        # kryo<X> carries X's column type but must NOT be named X: the
+        # plain name would dispatch onto the fixed-width numpy fast path,
+        # silently bypassing Kryo framing on both read and write
+        name = name[len("kryo<") : -1]
+        if name == "char":
+            name = "string"
     try:
-        return _SPARK_TYPES[codec.name]
+        return _SPARK_TYPES[name]
     except KeyError:
         raise KeyError(f"no Spark type mapping for codec {codec.name!r}") from None
 

@@ -54,6 +54,8 @@ STRINGS = [
     "",
     "a",
     "héllo✓ unicode ∀x",
+    "astral \U0001D11E\U0001F389 mix",  # non-BMP: CESU-8 surrogate pairs
+    "\U0001F600" * 40,
     "x" * 200,
     "y" * 100 + "é",
     "z" * 20000 + "é",
@@ -121,6 +123,26 @@ def test_unboxable_types_via_jvm_readback(jk, expect, value):
         assert jk.read(ours, refs) == value
         # and our own decoder round-trips what we wrote
         assert kr.read_kryo_value(ByteReader(ours), references=refs) == value
+
+
+def test_kryo_codec_never_matches_fixed_fast_path():
+    # the codec must NOT be named like a plain fixed-width codec: readers
+    # dispatch on the name onto a numpy fixed-byte fast path that would
+    # silently bypass Kryo framing on both read and write
+    from bravo_spark.codecs import vectorized as vz
+    from bravo_spark.codecs.kryo import kryo_codec
+    from bravo_spark.sources.staterows import spark_type_for
+
+    for expect in ("long", "int", "double", "boolean", "string"):
+        c = kryo_codec(expect)
+        assert not vz.is_fixed(c), expect
+        spark_type_for(c)  # still maps to a Spark column type
+
+
+def test_tag_mismatch_refused_by_name(jk):
+    ours = kr.write_kryo_value("text", "string", references=True)
+    with pytest.raises(kr.KryoError, match="'long'"):
+        kr.read_kryo_value(ByteReader(ours), references=True, expect="long")
 
 
 def test_refusals_are_named():
