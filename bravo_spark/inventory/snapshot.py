@@ -390,3 +390,41 @@ def snapshot_roundtrip_compressed(spark, sf_dir):
         state_ids={"Count": 0}, compression=True,
     )
     return sp.read_savepoint_kv(spark, out, "Count", fc.LONG, fc.LONG)
+
+
+@query(
+    "type_change_migration",
+    oracle=(
+        "SELECT user_id AS key,"
+        " CAST(CAST(sum(CAST(floor(value) AS BIGINT)) AS VARCHAR) AS BIGINT)"
+        " AS value FROM events GROUP BY user_id"
+    ),
+)
+def type_change_migration(spark, sf_dir):
+    """The reference's schema-migration workflow at query scale
+    (ValueStateTypeChangeTest.java:75-94): state written with a STRING
+    serializer is read back under the X2 deserializer override, values
+    re-typed to LONG, written to a NEW savepoint with the long serializer,
+    and re-read — two full binary round-trips with a type change between
+    them. The oracle's double cast mirrors the string detour."""
+    ev = catalog.table(spark, sf_dir, "events")
+    sums = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.sum(F.floor("value").cast("long")).cast("string").alias("value")
+    )
+    rows = sr.kv_to_state_rows(sums, "sum", fc.LONG, fc.STRING, max_parallelism=128)
+    out1 = os.path.join(tempfile.gettempdir(), f"bravo_mig1_{os.getpid()}")
+    out2 = os.path.join(tempfile.gettempdir(), f"bravo_mig2_{os.getpid()}")
+    for d in (out1, out2):
+        shutil.rmtree(d, ignore_errors=True)
+    sp.write_savepoint(
+        rows, out1, max_parallelism=128, parallelism=4, state_ids={"sum": 0}
+    )
+    as_str = sr.read_value_kv(
+        sp.read_savepoint(spark, out1), "sum", fc.LONG, fc.STRING
+    )
+    migrated = as_str.withColumn("value", F.col("value").cast("long"))
+    rows2 = sr.kv_to_state_rows(migrated, "sum", fc.LONG, fc.LONG, max_parallelism=128)
+    sp.write_savepoint(
+        rows2, out2, max_parallelism=128, parallelism=4, state_ids={"sum": 0}
+    )
+    return sp.read_savepoint_kv(spark, out2, "sum", fc.LONG, fc.LONG)
