@@ -683,3 +683,38 @@ def test_rewind_file_sink_refuses_uncoverable_compaction(tmp_path):
     (md / "9.compact").write_text("v1\n" + "\n".join(all_entries))
     with pytest.raises(ValueError, match=r"\[3\] were already"):
         ss.rewind_file_sink(str(tmp_path / "out"), 7)
+
+
+def test_rewind_file_sink_plain_only(tmp_path):
+    """No compaction involved: logs > cut are deleted along with exactly
+    the part files they list; the covered prefix is untouched."""
+    out = tmp_path / "out"
+    md = out / "_spark_metadata"
+    md.mkdir(parents=True)
+    ent = '{"path":"%s","size":1,"isDir":false,"modificationTime":0,"blockReplication":1,"blockSize":1,"action":"add"}'
+    for b in range(5):
+        part = out / f"part-{b}.parquet"
+        part.write_bytes(b"data")
+        (md / str(b)).write_text("v1\n" + ent % f"file://{part}")
+    removed = ss.rewind_file_sink(str(out), 2)
+    assert sorted(os.path.basename(p) for p in removed) == [
+        "3", "4", "part-3.parquet", "part-4.parquet"
+    ]
+    assert (md / "2").exists() and (out / "part-2.parquet").exists()
+
+
+def test_source_log_cuts_parse_offsets_file(tmp_path):
+    """Per-source rewind cuts come from offsets/<batch>: logOffset JSONs
+    map to their value, '-' (no offset yet) maps to -1, and non-logOffset
+    sources (e.g. Kafka topic maps) are left to the engine-batch default."""
+    od = tmp_path / "offsets"
+    od.mkdir()
+    (od / "7").write_text(
+        "v1\n"
+        '{"batchWatermarkMs":0,"batchTimestampMs":1}\n'
+        '{"logOffset":5}\n'
+        "-\n"
+        '{"topic-a":{"0":123}}\n'
+    )
+    cuts = ss._source_log_cuts(str(tmp_path), 7)
+    assert cuts == {"0": 5, "1": -1}
