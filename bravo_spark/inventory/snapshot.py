@@ -428,3 +428,57 @@ def type_change_migration(spark, sf_dir):
         rows2, out2, max_parallelism=128, parallelism=4, state_ids={"sum": 0}
     )
     return sp.read_savepoint_kv(spark, out2, "sum", fc.LONG, fc.LONG)
+
+
+@query(
+    "operator_state_roundtrip",
+    oracle=(
+        "SELECT event_type AS k, count(*) + 1 AS cnt FROM events"
+        " GROUP BY event_type"
+    ),
+)
+def operator_state_roundtrip(spark, sf_dir):
+    """S6/S9/X3 — non-keyed operator state, end-to-end: per-type counts
+    become a 2-subtask backend (list state holds the type names split
+    round-robin, broadcast state the counts map), snapshotted, transformed
+    by a user callback (every count bumped — the X3 BiConsumer semantics,
+    writer/OperatorStateWriter.java:285-329), and restored REDISTRIBUTED
+    at parallelism 3 (list splits, broadcast copies — the reference's
+    DefaultOperatorStateBackend restore, OperatorStateReader.java:161-211).
+    The output keys come from the redistributed list state and the values
+    from the transformed broadcast state, so both must round-trip for the
+    hash to match. Non-keyed state is driver-resident BY DESIGN (reference
+    README.md:115-117: it must fit in memory) — the per-type collect here
+    is that contract, not a scale leak."""
+    from bravo_spark.sources import operator_state as ops
+
+    ev = catalog.table(spark, sf_dir, "events")
+    counts = {
+        r["event_type"]: r["c"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    b0, b1 = ops.OperatorStateBackend(), ops.OperatorStateBackend()
+    types = sorted(counts)
+    for i, t in enumerate(types):
+        (b0 if i % 2 == 0 else b1).get_list_state("types").append(t)
+    for t, c in counts.items():
+        b0.get_broadcast_state("counts")[t] = int(c)
+        b1.get_broadcast_state("counts")[t] = int(c)
+    src = os.path.join(tempfile.gettempdir(), f"bravo_ops1_{os.getpid()}")
+    dst = os.path.join(tempfile.gettempdir(), f"bravo_ops2_{os.getpid()}")
+    for d in (src, dst):
+        shutil.rmtree(d, ignore_errors=True)
+    ops.write_operator_state(src, [b0, b1])
+
+    def bump(_i, b):
+        m = b.get_broadcast_state("counts")
+        for t in m:
+            m[t] += 1
+
+    ops.transform_operator_state(src, dst, bump)
+    backends = ops.read_operator_state(dst, parallelism=3)
+    merged = backends[0].get_broadcast_state("counts")
+    got_types = sorted(x for b in backends for x in b.get_list_state("types"))
+    return spark.createDataFrame(
+        [(t, merged[t]) for t in got_types], "k string, cnt long"
+    )
