@@ -482,3 +482,83 @@ def operator_state_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         [(t, merged[t]) for t in got_types], "k string, cnt long"
     )
+
+
+@query(
+    "ttl_state_roundtrip",
+    oracle=(
+        "SELECT user_id AS key, count(*) AS value FROM events"
+        " GROUP BY user_id"
+    ),
+)
+def ttl_state_roundtrip(spark, sf_dir):
+    """P8 at query scale, write AND read — BEYOND the reference, whose
+    writer refuses TTL descriptors (writer/OperatorStateWriter.java:182-184):
+    counts are written TTL-wrapped (8-byte last-access-millis prefix per
+    value), savepoint round-tripped, and read with ``ttl=True`` unwrapping.
+    A wrong prefix width or a missed unwrap shifts every value by 8 bytes
+    and breaks the hash."""
+    ev = catalog.table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("value")
+    )
+    rows = sr.kv_to_state_rows(
+        counts, "Count", fc.LONG, fc.LONG, max_parallelism=128,
+        ttl_ts=1_700_000_000_000,
+    )
+    out = os.path.join(tempfile.gettempdir(), f"bravo_ttl_rt_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    sp.write_savepoint(
+        rows, out, max_parallelism=128, parallelism=4, state_ids={"Count": 0}
+    )
+    return sr.read_value_kv(
+        sp.read_savepoint(spark, out), "Count", fc.LONG, fc.LONG, ttl=True
+    )
+
+
+@query(
+    "custom_reader_expand",
+    oracle=(
+        "SELECT user_id AS key, 'c' AS part, count(*) AS v FROM events"
+        " GROUP BY user_id UNION ALL"
+        " SELECT user_id AS key, 'd' AS part, count(*) * 2 AS v FROM events"
+        " GROUP BY user_id"
+    ),
+)
+def custom_reader_expand(spark, sf_dir):
+    """X1 — user-defined flatMap reader at query scale
+    (reader/KeyedStateReader.java:40-41: one state row → 0..n typed rows):
+    a custom decoder expands every count into two tagged rows (the count
+    and its double), straight from the raw state-row bytes."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    ev = catalog.table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("value")
+    )
+    rows = sr.kv_to_state_rows(counts, "Count", fc.LONG, fc.LONG, max_parallelism=128)
+    out = os.path.join(tempfile.gettempdir(), f"bravo_x1_rt_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    sp.write_savepoint(
+        rows, out, max_parallelism=128, parallelism=4, state_ids={"Count": 0}
+    )
+
+    def expand(key_ns: bytes, value: bytes):
+        r = fc.ByteReader(key_ns, fc.key_group_prefix_bytes(128))
+        key = fc.LONG.decode(r)
+        v = fc.decode_value_state(value, fc.LONG)
+        yield (key, "c", v)
+        yield (key, "d", v * 2)
+
+    schema = StructType(
+        [
+            StructField("key", LongType(), True),
+            StructField("part", StringType(), True),
+            StructField("v", LongType(), True),
+        ]
+    )
+    return sr.read_custom(
+        sp.read_savepoint(spark, out), "Count", expand, schema
+    )
