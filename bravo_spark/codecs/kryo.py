@@ -123,20 +123,21 @@ def read_kryo_string(r: ByteReader) -> str | None:
                 )
         try:
             units = b"".join(out).decode("utf-8", "surrogatepass")
+            # surrogatepass both ways: unpaired surrogates are legal Java
+            # strings and real Kryo round-trips them — pairs merge to
+            # astral characters, lone units survive
             return units.encode("utf-16-be", "surrogatepass").decode(
-                "utf-16-be"
+                "utf-16-be", "surrogatepass"
             )
         except UnicodeDecodeError as exc:
             raise KryoError(f"damaged Kryo string payload: {exc}") from None
-    # ASCII form: bytes until the high-bit-marked last char
+    # ASCII form: bytes until the high-bit-marked last char (all forced
+    # below 0x80 by construction, so the decode cannot fail)
     chars = bytearray([b0])
     while not chars[-1] & 0x80:
         chars.append(r.read(1)[0])
     chars[-1] &= 0x7F
-    try:
-        return chars.decode("ascii")
-    except UnicodeDecodeError as exc:
-        raise KryoError(f"damaged Kryo ASCII string: {exc}") from None
+    return chars.decode("ascii")
 
 
 def write_kryo_string(s: str | None) -> bytes:
@@ -145,13 +146,24 @@ def write_kryo_string(s: str | None) -> bytes:
     # always emit the varint-flag + CESU-8 form — spec-valid for any
     # string and what Kryo itself emits outside the short-pure-ASCII fast
     # path. The length counts UTF-16 units and astral characters encode
-    # as two 3-byte surrogate sequences (Kryo writes char-by-char).
-    u16 = s.encode("utf-16-be")
-    units = [int.from_bytes(u16[i : i + 2], "big") for i in range(0, len(u16), 2)]
-    body = b"".join(
-        chr(u).encode("utf-8", "surrogatepass") for u in units
-    )
-    length = len(units) + 1
+    # as two 3-byte surrogate sequences (Kryo writes char-by-char);
+    # surrogatepass keeps unpaired surrogates (legal Java strings) intact.
+    if all(ord(c) <= 0xFFFF for c in s):
+        # BMP-only: CESU-8 == UTF-8 and unit count == len(s) — skip the
+        # per-unit loop on the common path
+        body = s.encode("utf-8", "surrogatepass")
+        n_units = len(s)
+    else:
+        u16 = s.encode("utf-16-be", "surrogatepass")
+        units = [
+            int.from_bytes(u16[i : i + 2], "big")
+            for i in range(0, len(u16), 2)
+        ]
+        body = b"".join(
+            chr(u).encode("utf-8", "surrogatepass") for u in units
+        )
+        n_units = len(units)
+    length = n_units + 1
     first = 0x80 | (length & 0x3F)
     rest = bytearray()
     length >>= 6

@@ -248,6 +248,35 @@ def _run_agg_over(spark, df_writer, inp, ckpt):
     return spark.table(name)
 
 
+def _rewind_workdir(tag: str) -> str:
+    """pid-named work dir for the rewind queries — recreated (not leaked)
+    on every run, like the snapshot.py fixtures."""
+    import os
+    import shutil
+
+    work = os.path.join(tempfile.gettempdir(), f"bravo_{tag}_{os.getpid()}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(os.path.join(work, "in"))
+    return work
+
+
+def _land_batch(work: str, df, name: str) -> None:
+    """Materialize a batch as a single parquet FILE directly under the
+    input dir — the file stream source lists only the top level, so a
+    nested dir (or multiple part files) would not be one ingestible file."""
+    import glob
+    import os
+    import shutil
+
+    tmp = os.path.join(work, f"stage_{name}")
+    df.coalesce(1).write.parquet(tmp)
+    shutil.copyfile(
+        glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+        os.path.join(work, "in", name),
+    )
+    shutil.rmtree(tmp)
+
+
 @query(
     "checkpoint_rewind",
     oracle=(
@@ -265,43 +294,27 @@ def checkpoint_rewind(spark, sf_dir):
     the oracle computes. Proves log-surgery correctness end-to-end against
     Spark's own replay machinery."""
     import os
-    import shutil
-    import tempfile
 
     from bravo_spark.sources.spark_state import rewind_checkpoint
 
     ev = catalog.table(spark, sf_dir, "events").select(
         "event_type", "user_id", "value"
     )
-    import glob as _glob
-
-    work = tempfile.mkdtemp(prefix="bravo_rewind_")
+    work = _rewind_workdir("rewind")
     inp = os.path.join(work, "in")
     ckpt = os.path.join(work, "ckpt")
-    os.makedirs(inp)
     even = ev.filter(F.col("user_id") % 2 == 0)
     odd = ev.filter(F.col("user_id") % 2 == 1)
 
-    def land(df, name):
-        # the file stream source lists only the top level: materialize the
-        # batch as a single parquet FILE directly under the input dir
-        tmp = os.path.join(work, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        shutil.copyfile(
-            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
-            os.path.join(inp, name),
-        )
-        shutil.rmtree(tmp)
-
-    land(even, "b0.parquet")
+    _land_batch(work, even, "b0.parquet")
     _run_agg_over(spark, None, inp, ckpt)
 
-    land(odd.withColumn("value", F.col("value") * 1000), "b1.parquet")
+    _land_batch(work, odd.withColumn("value", F.col("value") * 1000), "b1.parquet")
     _run_agg_over(spark, None, inp, ckpt)
 
     rewind_checkpoint(ckpt, 0)
     os.remove(os.path.join(inp, "b1.parquet"))
-    land(odd, "b1.parquet")
+    _land_batch(work, odd, "b1.parquet")
     out = _run_agg_over(spark, None, inp, ckpt)
     return out.select("event_type", "cnt", "sum_floor")
 
@@ -320,10 +333,7 @@ def file_sink_rewind(spark, sf_dir):
     output dir must equal the clean per-type counts — a stale sink entry
     would double-count the undone batch, over-deletion would lose the
     committed one."""
-    import glob as _glob
     import os
-    import shutil
-    import tempfile
 
     from bravo_spark.sources.spark_state import (
         rewind_checkpoint,
@@ -333,22 +343,12 @@ def file_sink_rewind(spark, sf_dir):
     ev = catalog.table(spark, sf_dir, "events").select(
         "event_type", "user_id", "value"
     )
-    work = tempfile.mkdtemp(prefix="bravo_sink_rewind_")
+    work = _rewind_workdir("sink_rewind")
     inp = os.path.join(work, "in")
     outp = os.path.join(work, "out")
     ckpt = os.path.join(work, "ckpt")
-    os.makedirs(inp)
     even = ev.filter(F.col("user_id") % 2 == 0)
     odd = ev.filter(F.col("user_id") % 2 == 1)
-
-    def land(df, name):
-        tmp = os.path.join(work, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        shutil.copyfile(
-            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
-            os.path.join(inp, name),
-        )
-        shutil.rmtree(tmp)
 
     def run_batch():
         schema = spark.read.parquet(inp).schema
@@ -363,15 +363,15 @@ def file_sink_rewind(spark, sf_dir):
         )
         q.awaitTermination(300)
 
-    land(even, "b0.parquet")
+    _land_batch(work, even, "b0.parquet")
     run_batch()
-    land(odd.unionByName(odd), "b1.parquet")  # poison: doubled rows
+    _land_batch(work, odd.unionByName(odd), "b1.parquet")  # poison: doubled
     run_batch()
 
     rewind_checkpoint(ckpt, 0)
     rewind_file_sink(outp, 0)
     os.remove(os.path.join(inp, "b1.parquet"))
-    land(odd, "b1.parquet")
+    _land_batch(work, odd, "b1.parquet")
     run_batch()
     return (
         spark.read.parquet(outp)

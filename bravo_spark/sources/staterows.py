@@ -73,8 +73,8 @@ def spark_type_for(codec: fc.Codec) -> DataType:
         # plain name would dispatch onto the fixed-width numpy fast path,
         # silently bypassing Kryo framing on both read and write
         name = name[len("kryo<") : -1]
-        if name == "char":
-            name = "string"
+        # kryo-only type names that lack a plain-codec mapping
+        name = {"char": "string", "byte": "int"}.get(name, name)
     try:
         return _SPARK_TYPES[name]
     except KeyError:

@@ -133,13 +133,14 @@ def test_kryo_codec_never_matches_fixed_fast_path():
     from bravo_spark.codecs.kryo import kryo_codec
     from bravo_spark.sources.staterows import spark_type_for
 
-    for expect in ("long", "int", "double", "boolean", "string"):
+    for expect in ("long", "int", "double", "boolean", "string", "byte",
+                   "char", "short", "float", "bytes"):
         c = kryo_codec(expect)
         assert not vz.is_fixed(c), expect
         spark_type_for(c)  # still maps to a Spark column type
 
 
-def test_tag_mismatch_refused_by_name(jk):
+def test_tag_mismatch_refused_by_name():
     ours = kr.write_kryo_value("text", "string", references=True)
     with pytest.raises(kr.KryoError, match="'long'"):
         kr.read_kryo_value(ByteReader(ours), references=True, expect="long")
