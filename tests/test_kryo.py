@@ -161,3 +161,13 @@ def test_refusals_are_named():
     )
     with pytest.raises(kr.KryoError, match="com.example.Foo"):
         kr.read_kryo_value(ByteReader(bogus), references=False)
+
+
+def test_lone_surrogates_roundtrip_pure_python():
+    # legal Java strings (e.g. truncated mid-emoji) that real Kryo writes
+    # as single CESU-8 units; py4j cannot transport them, so this pins our
+    # own encode/decode symmetry
+    for s in ("\ud800", "x\udfffy", "\ud800" * 3):
+        buf = kr.write_kryo_string(s)
+        got = kr.read_kryo_string(ByteReader(buf))
+        assert got == s
