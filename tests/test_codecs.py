@@ -348,3 +348,22 @@ def test_pojo_codec_value_state_roundtrip():
     # TTL-wrapped POJO (P8 composition)
     buf = fc.encode_value_state({"cnt": 7, "tag": "t"}, pj, ttl_ts=123456)
     assert fc.decode_value_state(buf, pj, ttl=True) == {"cnt": 7, "tag": "t"}
+
+
+def test_composite_codecs_in_list_and_map_states():
+    """Codec composition: POJO elements inside list state and Kryo values
+    inside map state ride the same separator/null-flag/TTL machinery as
+    primitives — no special-casing anywhere."""
+    from bravo_spark.codecs.kryo import kryo_codec
+
+    pj = fc.pojo_codec([("n", fc.INT), ("s", fc.STRING)])
+    elems = [{"n": 1, "s": "a"}, {"n": -2, "s": None}, None]
+    buf = fc.encode_list_state(elems, pj)
+    assert fc.decode_list_state(buf, pj) == elems
+    buf_ttl = fc.encode_list_state(elems, pj, ttl_ts=123)
+    assert fc.decode_list_state(buf_ttl, pj, ttl=True) == elems
+
+    kc = kryo_codec("string", references=True)
+    for v in ("héllo", "", None):
+        mb = fc.encode_map_value(v, kc, ttl_ts=456)
+        assert fc.decode_map_value(mb, kc, ttl=True) == v
