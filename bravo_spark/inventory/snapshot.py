@@ -58,13 +58,17 @@ def checkpoint_roundtrip(spark, sf_dir):
     the plain grouped count the oracle computes; any resolution bug makes
     partial counts or ghost keys leak into the hash.
 
-    The fixture itself is built DISTRIBUTED: per-user aggregates are
+    The fixture's COMPUTE is distributed: per-user aggregates are
     encoded executor-side, hash-partitioned on key bytes, sorted to
     internal-key order within partitions (kns asc, seq desc — Spark's
     unsigned binary ordering IS RocksDB's bytewise comparator), and each
     task streams its rows into per-level SstWriters; only filenames return
-    to the driver. No per-key collect — the same posture as a real
-    checkpoint, which arrives from Flink at key-cardinality scale."""
+    to the driver — no per-key collect. The write TARGET, however, is a
+    driver-chosen local tempdir, so executor-written files are visible to
+    the driver-side read only because tests run in local mode; on a real
+    cluster this fixture (not the read path under test) would need ``out``
+    on shared storage (the real inputs it stands in for — Flink
+    checkpoints — already live there)."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile

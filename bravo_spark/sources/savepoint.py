@@ -124,7 +124,14 @@ def write_savepoint(
 ) -> SavepointMeta:
     """Shuffle state rows to their operator index, sort by (key_group,
     state_id), stream one section file per operator index; assemble metadata
-    on the driver from per-file handles."""
+    on the driver from per-file handles.
+
+    ``max_parallelism`` MUST equal the value the rows were encoded with
+    (``kv_to_state_rows`` and friends embed a 1- or 2-byte key-group
+    prefix inside ``key_ns`` sized by it); the writer re-derives each
+    row's key group from that prefix, so a mismatch mis-reads key bytes
+    as group bytes. Sections whose derived group falls outside
+    ``[0, max_parallelism)`` are refused by name rather than written."""
     spark = rows.sparkSession
     os.makedirs(path, exist_ok=True)
     if state_ids is None:
@@ -196,6 +203,14 @@ def write_savepoint(
                     fpath = os.path.join(path, f"op-{opi}-{uuid.uuid4().hex}")
                     state.update(fh=open(fpath, "wb"), path=fpath, op=opi, kg=kg)
                 if kg != state["kg"]:
+                    if not 0 <= kg < max_parallelism:
+                        raise ValueError(
+                            f"derived key group {kg} is outside "
+                            f"[0, {max_parallelism}) — rows were encoded "
+                            "with a different max_parallelism than "
+                            "write_savepoint was given (the key-group "
+                            "prefix width inside key_ns no longer matches)"
+                        )
                     flush_kg()
                     state["kg"] = kg
                 entries.append((int(sid), bytes(kns), bytes(val)))

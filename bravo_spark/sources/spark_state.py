@@ -652,16 +652,22 @@ def _rewind_compactible_log(d: str, cut: int, removed: list[str]) -> None:
     (the pre-cut history it compacted would be lost). Each entry carries
     the source-log batch that added it, so the history is rewritten
     instead: entries with ``batchId <= cut`` become a new
-    ``<cut>.compact`` (the restarted log re-derives its compact interval
-    from the latest compact id, so any id is a valid compaction batch),
-    and everything newer is deleted."""
-    newer = sorted(
+    ``<cut>.compact``, and every OTHER compact file is deleted — older
+    ones too, not just newer.  With two or more compacts on disk Spark's
+    ``CompactibleFileStreamLog`` derives its interval from the gap
+    between the latest two compact ids, so an unaligned cut (e.g.
+    compacts left at 9 and 13 -> interval 4) would make
+    ``getAllValidBatches`` expect ``11.compact`` and fail on restart;
+    with exactly one compact remaining, ``deriveCompactInterval`` picks
+    an interval for which ``cut`` IS a compaction batch.  The older
+    compacts' entries all carry ``batchId <= their id < cut``, so the
+    rebuilt ``<cut>.compact`` is a superset and nothing is lost."""
+    all_compacts = sorted(
         int(f[: -len(".compact")])
         for f in os.listdir(d)
-        if f.endswith(".compact")
-        and f[: -len(".compact")].isdigit()
-        and int(f[: -len(".compact")]) > cut
+        if f.endswith(".compact") and f[: -len(".compact")].isdigit()
     )
+    newer = [n for n in all_compacts if n > cut]
     if not newer:
         return
     latest = os.path.join(d, f"{newer[-1]}.compact")
@@ -691,7 +697,9 @@ def _rewind_compactible_log(d: str, cut: int, removed: list[str]) -> None:
         if os.path.exists(p):
             os.remove(p)
             removed.append(p)
-    for n in newer:
+    for n in all_compacts:
+        if n == cut:
+            continue
         for name in (f"{n}.compact", f".{n}.compact.crc"):
             p = os.path.join(d, name)
             if os.path.exists(p):
@@ -712,14 +720,43 @@ def rewind_file_sink(output_dir: str, batch_id: int) -> list[str]:
     ``<n>.compact`` newer than the cut cannot be split entry-by-entry like
     the source log's; instead the cut's history is REBUILT from the best
     compact ≤ cut plus the per-batch plain files after it, and the rewind
-    is refused (with the reason) if retention already cleaned those up."""
+    is refused (with the reason) if retention already cleaned those up.
+    Kept-vs-doomed comparison is by parsed ``(path, action)`` key — never
+    raw line equality, which would misclassify committed entries (and
+    delete their part files) on any cross-version JSON field-order or
+    whitespace difference — and every log entry is parsed BEFORE any file
+    is touched: an unparseable entry is a refusal, not silent data loss.
+    After the rebuild exactly one compact (``<cut>.compact``) remains on
+    disk — older compacts are deleted too, or Spark would derive the
+    compact interval from the (now unaligned) gap between the latest two
+    compact ids and fail to find the intermediate compact on restart."""
     md = os.path.join(output_dir, "_spark_metadata")
     if not os.path.isdir(md):
         raise FileNotFoundError(f"{output_dir} has no _spark_metadata sink log")
 
-    def parse(p: str) -> tuple[str, list[str]]:
+    def parse(p: str) -> tuple[str, list[dict]]:
         lines = open(p).read().splitlines()
-        return lines[0], [ln for ln in lines[1:] if ln]
+        entries = []
+        for ln in lines[1:]:
+            if not ln:
+                continue
+            try:
+                ent = json.loads(ln)
+            except ValueError as exc:
+                raise ValueError(
+                    f"{p}: unparseable sink-log entry {ln!r} — refusing to "
+                    "rewind (cannot tell which part files it commits)"
+                ) from exc
+            if not isinstance(ent, dict) or "path" not in ent:
+                raise ValueError(
+                    f"{p}: sink-log entry has no 'path' field — unknown "
+                    "sink-log format, refusing to rewind"
+                )
+            entries.append(ent)
+        return lines[0], entries
+
+    def key(ent: dict) -> tuple[str, str]:
+        return ent["path"], ent.get("action", "add")
 
     plain: dict[int, str] = {}
     compacts: dict[int, str] = {}
@@ -729,8 +766,10 @@ def rewind_file_sink(output_dir: str, batch_id: int) -> list[str]:
         elif f.isdigit():
             plain[int(f)] = f
 
-    removed: list[str] = []
-    doomed: list[str] = []  # entry lines of batches > cut
+    # ---- parse phase: read every log this rewind depends on BEFORE
+    # mutating anything, so a malformed log refuses cleanly ----
+    doomed: list[dict] = []  # entries of batches > cut
+    rebuild: tuple[str, list[dict]] | None = None
     newer = sorted(c for c in compacts if c > batch_id)
     if newer:
         base = max((c for c in compacts if c <= batch_id), default=None)
@@ -743,7 +782,7 @@ def rewind_file_sink(output_dir: str, batch_id: int) -> list[str]:
                 f"cleaned up — the pre-rewind history inside "
                 f"{compacts[newer[-1]]} cannot be split by batch"
             )
-        keep: list[str] = []
+        keep: list[dict] = []
         version = "v1"
         if base is not None:
             version, es = parse(os.path.join(md, compacts[base]))
@@ -752,12 +791,21 @@ def rewind_file_sink(output_dir: str, batch_id: int) -> list[str]:
             version, es = parse(os.path.join(md, plain[b]))
             keep.extend(es)
         _, all_es = parse(os.path.join(md, compacts[newer[-1]]))
-        kept = set(keep)
-        doomed.extend(e for e in all_es if e not in kept)
+        kept_keys = {key(e) for e in keep}
+        doomed.extend(e for e in all_es if key(e) not in kept_keys)
+        rebuild = (version, keep)
+    for b in sorted(plain):
+        if b > batch_id:
+            doomed.extend(parse(os.path.join(md, plain[b]))[1])
+
+    # ---- mutate phase ----
+    removed: list[str] = []
+    if rebuild is not None:
+        version, keep = rebuild
         target = os.path.join(md, f"{batch_id}.compact")
         tmp = target + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write("\n".join([version] + keep))
+            fh.write("\n".join([version] + [json.dumps(e) for e in keep]))
         os.replace(tmp, target)
         # the rebuilt compact supersedes the plain file at the cut id
         for stale in (str(batch_id), f".{batch_id}.crc",
@@ -768,12 +816,14 @@ def rewind_file_sink(output_dir: str, batch_id: int) -> list[str]:
                 removed.append(p)
 
     for b, f in sorted(plain.items()) + sorted(compacts.items()):
-        if b <= batch_id:
+        # logs past the cut always go; once a compact was rebuilt at the
+        # cut, OLDER compacts go too (their entries are a subset of the
+        # rebuilt history) so exactly one compact remains
+        stale_compact = (rebuild is not None and f.endswith(".compact")
+                         and b != batch_id)
+        if b <= batch_id and not stale_compact:
             continue
         p = os.path.join(md, f)
-        if not f.endswith(".compact"):
-            _, es = parse(p)
-            doomed.extend(es)
         os.remove(p)
         removed.append(p)
         crc = os.path.join(md, f".{f}.crc")
@@ -783,14 +833,15 @@ def rewind_file_sink(output_dir: str, batch_id: int) -> list[str]:
 
     from urllib.parse import unquote, urlparse
 
-    for ln in dict.fromkeys(doomed):  # de-dup, keep order
-        try:
-            ent = json.loads(ln)
-        except ValueError:
+    seen: set[tuple[str, str]] = set()
+    for ent in doomed:
+        k = key(ent)
+        if k in seen:
             continue
+        seen.add(k)
         if ent.get("action") == "delete":
             continue
-        path = ent.get("path", "")
+        path = ent["path"]
         local = unquote(urlparse(path).path) if "://" in path else path
         if local and os.path.exists(local):
             os.remove(local)

@@ -283,6 +283,24 @@ def test_write_savepoint_rejects_unmapped_state(spark, tmp_path):
         )
 
 
+def test_write_savepoint_rejects_mismatched_max_parallelism(spark, tmp_path):
+    """Rows encoded at max_parallelism=128 carry a 1-byte key-group prefix;
+    writing them at 4096 would re-read 2 bytes as the group (shifting every
+    key by a byte on the way back out) — silent corruption. The writer must
+    refuse when the derived group falls outside [0, max_parallelism)."""
+    import pytest as _pytest
+
+    kv = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "key long, value long"
+    )
+    rows = sr.kv_to_state_rows(kv, "Count", api.LONG, api.LONG)  # maxp 128
+    with _pytest.raises(Exception, match="different max_parallelism"):
+        sp.write_savepoint(
+            rows, str(tmp_path / "bad"), max_parallelism=4096, parallelism=2,
+            state_ids={"Count": 0},
+        )
+
+
 def test_rescale_max_parallelism_requires_codecs(spark, tmp_path):
     import pytest as _pytest
 

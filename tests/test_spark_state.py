@@ -685,6 +685,163 @@ def test_rewind_file_sink_refuses_uncoverable_compaction(tmp_path):
         ss.rewind_file_sink(str(tmp_path / "out"), 7)
 
 
+def test_rewind_file_sink_two_compacts_deletes_older(tmp_path):
+    """Compacts at 4 and 9 (interval 5), cut at 7: the rebuilt 7.compact
+    must be the ONLY compact left.  Leaving 4.compact would make Spark's
+    CompactibleFileStreamLog derive compactInterval = 7-4 = 3 on restart
+    and look for compacts the log never wrote (IllegalStateException).
+    The newer compact serializes its entries with a DIFFERENT JSON field
+    order than the plain files — raw-line comparison would classify every
+    committed entry as doomed and delete its part file; the (path, action)
+    key comparison must not."""
+    out = tmp_path / "out"
+    md = out / "_spark_metadata"
+    md.mkdir(parents=True)
+    ent = ('{"path":"%s","size":1,"isDir":false,"modificationTime":0,'
+           '"blockReplication":1,"blockSize":1,"action":"add"}')
+    # same entry, different field order (as a newer Spark version might)
+    ent_reordered = ('{"action":"add","path":"%s","size":1,"isDir":false,'
+                     '"modificationTime":0,"blockReplication":1,"blockSize":1}')
+    paths = []
+    for b in range(10):
+        part = out / f"part-{b}.parquet"
+        part.write_bytes(b"data")
+        paths.append(f"file://{part}")
+    for b in range(10):
+        if b not in (4, 9):
+            (md / str(b)).write_text("v1\n" + ent % paths[b])
+    (md / "4.compact").write_text(
+        "v1\n" + "\n".join(ent % paths[b] for b in range(5)))
+    (md / "9.compact").write_text(
+        "v1\n" + "\n".join(ent_reordered % paths[b] for b in range(10)))
+
+    removed = ss.rewind_file_sink(str(out), 7)
+
+    compacts = sorted(f for f in os.listdir(md) if f.endswith(".compact"))
+    assert compacts == ["7.compact"]
+    lines = open(md / "7.compact").read().splitlines()
+    assert lines[0] == "v1"
+    kept = [json.loads(ln)["path"] for ln in lines[1:] if ln]
+    assert sorted(kept) == sorted(paths[:8])
+    # only batches 8-9's part files deleted; 0-7's survive
+    gone = sorted(os.path.basename(p) for p in removed
+                  if p.endswith(".parquet"))
+    assert gone == ["part-8.parquet", "part-9.parquet"]
+    for b in range(8):
+        assert (out / f"part-{b}.parquet").exists()
+
+
+def test_rewind_file_sink_refuses_unparseable_entry(tmp_path):
+    """A sink-log entry that isn't JSON (or lacks 'path') must refuse the
+    whole rewind BEFORE touching any file — guessing which part files an
+    opaque entry commits risks silent data loss."""
+    out = tmp_path / "out"
+    md = out / "_spark_metadata"
+    md.mkdir(parents=True)
+    ent = ('{"path":"file://%s/part-%d.parquet","size":1,"isDir":false,'
+           '"modificationTime":0,"blockReplication":1,"blockSize":1,'
+           '"action":"add"}')
+    for b in range(5):
+        (md / str(b)).write_text("v1\n" + ent % (out, b))
+    (md / "4").write_text("v1\nnot-json-at-all")
+    before = sorted(os.listdir(md))
+    with pytest.raises(ValueError, match="unparseable sink-log entry"):
+        ss.rewind_file_sink(str(out), 2)
+    assert sorted(os.listdir(md)) == before  # nothing mutated
+
+
+def test_rewind_source_log_two_compacts_deletes_older(tmp_path):
+    """_rewind_compactible_log with compacts at 4 and 9, cut 7: rebuilt
+    7.compact embeds batches <= 7 and the OLDER 4.compact is deleted too,
+    so the restarted log sees exactly one compaction batch."""
+    d = tmp_path / "sources" / "0"
+    d.mkdir(parents=True)
+    ent = '{"path":"file:///in/b%02d.parquet","timestamp":1,"batchId":%d}'
+    (d / "4.compact").write_text(
+        "v1\n" + "\n".join(ent % (b, b) for b in range(5)))
+    (d / "9.compact").write_text(
+        "v1\n" + "\n".join(ent % (b, b) for b in range(10)))
+    removed: list[str] = []
+    ss._rewind_compactible_log(str(d), 7, removed)
+    assert sorted(f for f in os.listdir(d) if f.endswith(".compact")) == [
+        "7.compact"
+    ]
+    entries = [json.loads(ln) for ln in
+               open(d / "7.compact").read().splitlines()[1:] if ln]
+    assert {e["batchId"] for e in entries} == set(range(8))
+
+
+def test_rewind_two_compacts_unaligned_cut_restart(spark, tmp_path):
+    """End-to-end ADVICE repro: with compactInterval=4 the source and sink
+    logs compact at batches 3, 7, 11.  Rewinding to batch 4 (unaligned)
+    rebuilds 4.compact; if the older 3.compact survived, restart would
+    derive compactInterval = 4-3 = 1 and expect EVERY log file to be a
+    compact — IllegalStateException or silent seen-files loss.  After the
+    fix the restarted query replays exactly batches 5-11, and a log-aware
+    read sees exactly one copy of every row."""
+    import glob as _glob
+    import shutil as _shutil
+
+    sink_k = "spark.sql.streaming.fileSink.log.compactInterval"
+    src_k = "spark.sql.streaming.fileSource.log.compactInterval"
+    old = {k: spark.conf.get(k, None) for k in (sink_k, src_k)}
+    spark.conf.set(sink_k, "4")
+    spark.conf.set(src_k, "4")
+    try:
+        inp = str(tmp_path / "in")
+        outp = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(inp)
+        one = str(tmp_path / "one.parquet")
+        spark.createDataFrame(
+            [("a", 1)], "k string, v int"
+        ).coalesce(1).write.parquet(one)
+        part = _glob.glob(f"{one}/part-*.parquet")[0]
+        for i in range(12):
+            _shutil.copyfile(part, os.path.join(inp, f"b{i:02d}.parquet"))
+        schema = spark.read.parquet(inp).schema
+
+        def run():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(inp)
+                .writeStream.format("parquet")
+                .option("path", outp)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run()
+        sinkdir = os.path.join(outp, "_spark_metadata")
+        assert os.path.exists(os.path.join(sinkdir, "11.compact"))
+        assert os.path.exists(os.path.join(sinkdir, "7.compact"))
+
+        ss.rewind_checkpoint(ckpt, 4)
+        ss.rewind_file_sink(outp, 4)
+        assert sorted(
+            f for f in os.listdir(sinkdir) if f.endswith(".compact")
+        ) == ["4.compact"]
+        srcdir = os.path.join(ckpt, "sources", "0")
+        assert sorted(
+            f for f in os.listdir(srcdir) if f.endswith(".compact")
+        ) == ["4.compact"]
+        assert spark.read.parquet(outp).count() == 5
+
+        run()  # replays batches 5-11 against the single-compact logs
+        out = spark.read.parquet(outp)
+        assert out.count() == 12
+        assert out.groupBy().sum("v").collect()[0][0] == 12
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_rewind_file_sink_plain_only(tmp_path):
     """No compaction involved: logs > cut are deleted along with exactly
     the part files they list; the covered prefix is untouched."""
