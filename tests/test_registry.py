@@ -46,14 +46,21 @@ def test_flagship_families_inside_window():
     for name in (
         "snapshot_roundtrip", "checkpoint_roundtrip",
         "spark_state_read", "spark_state_rewrite", "rocksdb_state_rewrite",
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_substring",
+        # r5 rotation: the reference-fidelity conformance analogs
+        "pojo_value_kv", "kryo_value_kv", "ttl_state_roundtrip",
+        "type_change_migration", "custom_reader_expand",
+        "operator_state_roundtrip", "snapshot_roundtrip_compressed",
+        "file_sink_rewind",
+        "dedup_exact", "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
-        "dedup_embedding_lsh", "dedup_clusters", "dedup_incremental_batch",
+        "dedup_embedding_lsh", "dedup_clusters",
         "ann_cosine_topk", "ann_sketch_topk", "ann_ivf_topk",
         "text_bm25_topk",
         "streaming_window_counts", "streaming_window_counts_watermarked",
-        "streaming_stream_stream_join",
+        "streaming_stateful_counts",
         "tpch_q1", "tpch_q3",
+        "tpch_q6_forecast", "tpch_q9_product_profit",
+        "tpch_q21_waiting_supplier",
     ):
         assert name in window, f"{name} fell out of the correctness gate"
 
