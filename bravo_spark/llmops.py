@@ -899,17 +899,25 @@ def embedding_near_dup_pairs(
     per_word = 32 // band_bits
     mask = (1 << band_bits) - 1
     sig = sketch_signatures(df, id_col, vec_col, dim=dim, n_planes=n_planes)
-    stacked = None
-    for w in range(n_words):
-        for s in range(per_word):
-            part = sig.select(
-                "id",
+    # one explode over an array of (band index, band hash) structs — a
+    # SINGLE scan of the signature relation (and thus of the corpus); the
+    # former per-band unionByName stacking rescanned and re-projected it
+    # once per band (32× the corpus I/O when the cache was cold)
+    bands = F.array(
+        *[
+            F.struct(
                 F.lit(w * per_word + s).alias("bi"),
                 F.shiftright(F.col(f"w{w}"), s * band_bits)
                 .bitwiseAND(F.lit(mask))
                 .alias("bh"),
             )
-            stacked = part if stacked is None else stacked.unionByName(part)
+            for w in range(n_words)
+            for s in range(per_word)
+        ]
+    )
+    stacked = sig.select("id", F.explode(bands).alias("band")).select(
+        "id", F.col("band.bi").alias("bi"), F.col("band.bh").alias("bh")
+    )
     stacked = _cache(stacked)
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (

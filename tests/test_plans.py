@@ -85,6 +85,21 @@ def test_embedding_lsh_dedup_has_no_nested_loop_join(plans):
     assert "CartesianProduct" not in p
 
 
+def test_embedding_lsh_band_stacking_is_single_scan(plans):
+    # the (band, hash) stacking must be one explode over one signature
+    # pass — the former 32-way unionByName re-evaluated the signature
+    # mapInPandas (a full corpus scan + 256 dot products per row) once
+    # per band leg when populating the cache. The printed plan shows the
+    # cached fragment once per join side (2×, each with ONE embeddings
+    # scan) + the two exact-verify sides = at most 4 scans; a union
+    # stacking shows ~33+.
+    p = plans("dedup_embedding_lsh")
+    assert "Union" not in p
+    assert p.count("Scan parquet") <= 4, p.count("Scan parquet")
+    # each cached-fragment print contains a single explode generator
+    assert p.count("Generate explode") <= 2
+
+
 def test_sketch_ann_ranking_is_broadcast(plans):
     # query signatures broadcast against the skinny signature relation; the
     # only nested-loop join allowed is the tiny broadcast q≠c pairing
