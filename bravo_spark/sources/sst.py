@@ -287,12 +287,19 @@ class SstReader:
             elif self.checksum_type == 3:  # kxxHash64 (low 32 bits)
                 actual = xxh.xxh64(raw + trailer[:1]) & 0xFFFFFFFF
             elif self.checksum_type == 4:  # kXXH3 (modern default)
-                # XXH3 has no cheap one-byte extend, so RocksDB hashes the
-                # block WITHOUT the type byte and folds it in afterwards:
-                # checksum ^= type_byte * 0x6b9083d9 (format.h
-                # ModifyChecksumForLastByte; multiplier confirmed
-                # empirically against rocksdbjni-written kXXH3 files with
-                # compressed blocks, where the type byte is nonzero).
+                # RocksDB's ComputeBuiltinChecksum (table/format.cc) special-
+                # cases kXXH3: the hash covers data[0..len-2] — everything
+                # EXCEPT the last byte (here the compression-type trailer
+                # byte) — and the last byte is folded in afterwards via
+                # ModifyChecksumForLastByte (table/format.h):
+                #   checksum ^ (uint8(last_byte) * kRandomPrime)
+                # with kRandomPrime = 0x6b9083d9 (an odd multiplier that
+                # spreads the byte across all 32 bits; XOR keeps the
+                # modifier commutative with the fv6 context modifier below).
+                # Cross-validated against rocksdbjni-written kXXH3 files
+                # over data/index/properties/metaindex blocks, every codec
+                # this container ships (type bytes 0x00/0x01/0x04/0x06/0x07)
+                # and format_version 5 and 6 (test_rocksdb_native.py).
                 actual = (
                     xxh.xxh3_64(raw) ^ (trailer[0] * 0x6B9083D9)
                 ) & 0xFFFFFFFF

@@ -42,10 +42,13 @@ def _entries(n=400):
     ]
 
 
-def _write_native_sst(jvm, path, codec_name, entries, checksum="kCRC32c"):
+def _write_native_sst(jvm, path, codec_name, entries, checksum="kCRC32c",
+                      format_version=None):
     opts = jvm.org.rocksdb.Options()
     tbl = jvm.org.rocksdb.BlockBasedTableConfig()
     tbl.setChecksumType(getattr(jvm.org.rocksdb.ChecksumType, checksum))
+    if format_version is not None:
+        tbl.setFormatVersion(format_version)
     opts.setTableFormatConfig(tbl)
     opts.setCompressionType(
         getattr(jvm.org.rocksdb.CompressionType, codec_name)
@@ -117,6 +120,65 @@ def test_native_checksum_types_verified(jvm, tmp_path, checksum):
         list(
             sstmod.SstReader(corrupt, verify_checksums=True).iter_entries()
         )
+
+
+@pytest.mark.parametrize("fv", [5, 6])
+@pytest.mark.parametrize(
+    "codec",
+    ["NO_COMPRESSION", "SNAPPY_COMPRESSION", "ZLIB_COMPRESSION",
+     "LZ4_COMPRESSION", "ZSTD_COMPRESSION"],
+)
+def test_native_xxh3_modifier_matrix(jvm, tmp_path, codec, fv):
+    """Pins the kXXH3 last-byte modifier — RocksDB's
+    ComputeBuiltinChecksum hashes everything but the trailing type byte,
+    then applies ModifyChecksumForLastByte: ``checksum ^ (last_byte *
+    0x6b9083d9)`` (table/format.h) — against rocksdbjni-written vectors
+    over EVERY block type the reader touches (metaindex + properties at
+    init, index + data on iteration), every codec this container ships
+    (type bytes 0x00/0x01/0x02/0x04/0x07) and format_version 5 AND 6
+    (fv6 adds the per-context offset modifier on top). An empirically
+    fitted constant that happened to match only snappy data blocks would
+    fail somewhere in this matrix."""
+    path = str(tmp_path / f"xxh3_{codec}_{fv}.sst")
+    entries = _entries(1500)
+    _write_native_sst(jvm, path, codec, entries, checksum="kXXH3",
+                      format_version=fv)
+    r = sstmod.SstReader(path, verify_checksums=True)
+    assert r.format_version == fv
+    assert r.checksum_type == 4
+    assert (r.base_context_checksum != 0) == (fv >= 6)
+    assert [(k, v) for k, _s, _t, v in r.iter_entries()] == entries
+
+    # the type byte is covered ONLY by the modifier: flipping a data
+    # block's trailer byte (block bytes and stored checksum untouched)
+    # must fail verification — proves the modifier really depends on the
+    # last byte, not just on the block body
+    h = next(iter(r.iter_data_handles()))
+    buf = bytearray(open(path, "rb").read())
+    buf[h.offset + h.size] = 1 if buf[h.offset + h.size] == 0 else 0
+    p2 = str(tmp_path / "typeflip.sst")
+    open(p2, "wb").write(bytes(buf))
+    with pytest.raises(Exception, match="checksum mismatch"):
+        list(sstmod.SstReader(p2, verify_checksums=True).iter_entries())
+
+    # non-data blocks are verified too: one flipped byte inside the
+    # index block body must be detected on iteration...
+    buf = bytearray(open(path, "rb").read())
+    ih = r.index_handle
+    buf[ih.offset + ih.size // 2] ^= 0xFF
+    p3 = str(tmp_path / "idxflip.sst")
+    open(p3, "wb").write(bytes(buf))
+    with pytest.raises(Exception, match="checksum"):
+        list(sstmod.SstReader(p3, verify_checksums=True).iter_entries())
+
+    # ...and one inside the metaindex block already at open()
+    buf = bytearray(open(path, "rb").read())
+    mh = r.metaindex_handle
+    buf[mh.offset + mh.size // 2] ^= 0xFF
+    p4 = str(tmp_path / "metaflip.sst")
+    open(p4, "wb").write(bytes(buf))
+    with pytest.raises(Exception, match="checksum"):
+        sstmod.SstReader(p4, verify_checksums=True)
 
 
 def test_native_xpress_block_raises_named_error(jvm, tmp_path):
