@@ -25,9 +25,17 @@ last char's high bit set, OR 0x80 alone for null.
 
 Every branch is cross-validated in tests/test_kryo.py against the real
 Kryo shipped inside this Spark's JVM (both reference-tracking settings,
-both directions). Back-references (marker > 1) and non-default
-registration ids are refused by name — they need the writing job's
-registration state, which callers can supply via the X2 custom-codec hook.
+both directions). Back-references (marker > 1) are refused by name — they
+need the writing stream's object graph.
+
+Job-registered classes (the reference restores *whatever* serializer the
+snapshot metadata names, ``reader/OperatorStateReader.java:100-104``)
+decode through a user-supplied ``registrations`` mapping: ``{id: Codec}``
+mirrors the writing job's ``kryo.register(Cls)`` order (user ids start at
+9, after the constructor registrations), and ``{"fully.qualified.Name":
+Codec}`` covers the unregistered class-name form. The payload ``Codec``
+describes the registered serializer's wire format; without an entry the
+refusal names the id/class so the user knows exactly what to supply.
 """
 
 from __future__ import annotations
@@ -42,6 +50,9 @@ _TAG_NAME = 1
 # boolean, byte, char, short, long, double) — tag = id + 2
 _ID_INT, _ID_STRING, _ID_FLOAT, _ID_BOOL = 0, 1, 2, 3
 _ID_BYTE, _ID_CHAR, _ID_SHORT, _ID_LONG, _ID_DOUBLE = 4, 5, 6, 7, 8
+# user registrations start after the constructor's nine (Kryo.java
+# getNextRegistrationId on a fresh instance)
+_FIRST_USER_ID = 9
 
 
 class KryoError(ValueError):
@@ -205,17 +216,31 @@ def _read_ref_marker(r: ByteReader) -> None:
 
 
 def read_kryo_value(
-    r: ByteReader, *, references: bool = True, expect: str | None = None
+    r: ByteReader,
+    *,
+    references: bool = True,
+    expect: str | int | None = None,
+    registrations: dict | None = None,
 ):
     """Decode one ``writeClassAndObject`` value. Returns the Python value
     (None for a null class tag). With ``expect`` set, a class tag other
     than the expected type's is refused by name at decode time — not left
-    to surface as an opaque Arrow cast error columns away."""
+    to surface as an opaque Arrow cast error columns away.
+
+    ``expect`` may be a default-registration name (``_EXPECT`` key), a
+    registration id ≥ 9, or a fully-qualified class name; the latter two
+    need a matching ``registrations`` entry supplying the payload codec."""
+    regs = registrations or {}
     tag = read_varint(r)
     if tag == _TAG_NULL:
         return None
     if expect is not None:
-        want = _TAG_NAME if expect == "bytes" else _EXPECT[expect] + 2
+        if isinstance(expect, int):
+            want = expect + 2
+        elif expect in _EXPECT and expect != "bytes":
+            want = _EXPECT[expect] + 2
+        else:  # "bytes" or a custom class name — both use the name form
+            want = _TAG_NAME
         if tag != want:
             raise KryoError(
                 f"Kryo class tag {tag} where a {expect!r} value "
@@ -229,15 +254,36 @@ def read_kryo_value(
                 "self-contained values decode"
             )
         cls = read_kryo_string(r)
+        if isinstance(expect, str) and expect not in _EXPECT and cls != expect:
+            raise KryoError(
+                f"Kryo class {cls!r} where a {expect!r} value was expected"
+            )
+        codec = regs.get(cls)
+        if codec is not None:
+            if references:
+                _read_ref_marker(r)
+            return codec.decode(r)
         if cls != "[B":
             raise KryoError(
-                f"unregistered Kryo class {cls!r}: supply a custom codec"
+                f"unregistered Kryo class {cls!r}: supply a payload codec "
+                f"via registrations={{{cls!r}: codec}}"
             )
         if references:
             _read_ref_marker(r)
         n = read_varint(r)  # length + 1, 0 = null
         return None if n == 0 else bytes(r.read(n - 1))
     rid = tag - 2
+    if rid >= _FIRST_USER_ID:
+        codec = regs.get(rid)
+        if codec is None:
+            raise KryoError(
+                f"Kryo registration id {rid}: beyond the default "
+                "registrations — supply the writing job's codec via "
+                f"registrations={{{rid}: codec}}"
+            )
+        if references:
+            _read_ref_marker(r)
+        return codec.decode(r)
     if rid == _ID_INT:
         return _zz_dec(read_varint(r))
     if rid == _ID_STRING:
@@ -258,19 +304,42 @@ def read_kryo_value(
         return _zz_dec(read_varint(r))
     if rid == _ID_DOUBLE:
         return struct.unpack(">d", r.read(8))[0]
-    raise KryoError(
-        f"Kryo registration id {rid}: beyond the default registrations — "
-        "supply a custom codec for job-registered classes"
-    )
+    raise KryoError(f"Kryo registration id {rid} has no decoder")
 
 
-def write_kryo_value(value, expect: str, *, references: bool = True) -> bytes:
+def write_kryo_value(
+    value,
+    expect: str | int,
+    *,
+    references: bool = True,
+    registrations: dict | None = None,
+) -> bytes:
     """Encode one value as ``writeClassAndObject`` bytes of the ``expect``
-    type (a key of ``_EXPECT``)."""
-    if expect not in _EXPECT:
-        raise KryoError(f"unsupported Kryo expect type {expect!r}")
+    type (a key of ``_EXPECT``, a registration id ≥ 9, or a class name —
+    the latter two encode via their ``registrations`` payload codec)."""
+    regs = registrations or {}
     if value is None:
         return write_varint(_TAG_NULL)
+    if isinstance(expect, int):
+        codec = regs.get(expect)
+        if codec is None:
+            raise KryoError(
+                f"Kryo registration id {expect}: no payload codec supplied"
+            )
+        out = write_varint(expect + 2)
+        if references:
+            out += write_varint(1)
+        return out + codec.encode(value)
+    if expect not in _EXPECT:
+        codec = regs.get(expect)
+        if codec is None:
+            raise KryoError(f"unsupported Kryo expect type {expect!r}")
+        out = (
+            write_varint(_TAG_NAME) + write_varint(0) + write_kryo_string(expect)
+        )
+        if references:
+            out += write_varint(1)
+        return out + codec.encode(value)
     if expect == "bytes":
         out = write_varint(_TAG_NAME) + write_varint(0) + write_kryo_string("[B")
         if references:
@@ -299,21 +368,53 @@ def write_kryo_value(value, expect: str, *, references: bool = True) -> bytes:
     return out + struct.pack(">d", value)
 
 
-def kryo_codec(expect: str = "string", *, references: bool = True) -> Codec:
+def kryo_codec(
+    expect: str | int = "string",
+    *,
+    references: bool = True,
+    registrations: dict | None = None,
+) -> Codec:
     """A :class:`~bravo_spark.codecs.flink.Codec` for Kryo-serialized state
     values (the X2 deserializer-override hook). ``expect`` names the value
     type (``kryo<expect>`` becomes the codec name — deliberately DISTINCT
     from the plain fixed-width codec names, which dispatch readers onto
     the numpy fixed-byte fast path that would bypass Kryo framing); the
     decoded class tag must agree with it. ``references`` mirrors
-    ``kryo.setReferences`` of the writing job."""
-    if expect not in _EXPECT:
-        raise KryoError(f"unsupported Kryo expect type {expect!r}")
+    ``kryo.setReferences`` of the writing job.
+
+    ``registrations`` mirrors the writing job's custom ``kryo.register``
+    calls: ``{id: payload_codec}`` in registration order (user ids start
+    at 9) and/or ``{"fully.qualified.Name": payload_codec}`` for classes
+    Kryo writes by name. ``expect`` may then be one of those ids/names.
+    Ids below 9 are refused — they'd shadow Kryo's fixed constructor
+    registrations (int=0 … double=8)."""
+    regs = dict(registrations or {})
+    for k in regs:
+        if isinstance(k, int) and k < _FIRST_USER_ID:
+            raise KryoError(
+                f"registration id {k} shadows a Kryo default registration "
+                f"(user ids start at {_FIRST_USER_ID})"
+            )
+    if isinstance(expect, int) or expect not in _EXPECT:
+        if expect not in regs:
+            raise KryoError(
+                f"unsupported Kryo expect type {expect!r} (not a default "
+                "registration and no registrations entry)"
+            )
 
     def enc(v) -> bytes:
-        return write_kryo_value(v, expect, references=references)
+        return write_kryo_value(
+            v, expect, references=references, registrations=regs
+        )
 
     def dec(r: ByteReader):
-        return read_kryo_value(r, references=references, expect=expect)
+        return read_kryo_value(
+            r, references=references, expect=expect, registrations=regs
+        )
 
-    return Codec(f"kryo<{expect}>", enc, dec, -1)
+    # a custom-class payload codec that declares fields (dict values, like
+    # pojo_codec) keeps them visible so readers map the value to a Spark
+    # struct column
+    payload = regs.get(expect)
+    fields = payload.fields if payload is not None else None
+    return Codec(f"kryo<{expect}>", enc, dec, -1, fields=fields)

@@ -368,6 +368,73 @@ def kryo_value_kv(spark, sf_dir):
 
 
 @query(
+    "kryo_custom_class",
+    oracle=(
+        "SELECT user_id AS key, count(*) AS total,"
+        " count(*) FILTER (WHERE event_type = 'click') AS clicks"
+        " FROM events GROUP BY user_id"
+    ),
+)
+def kryo_custom_class(spark, sf_dir):
+    """X2 with a JOB-REGISTERED Kryo class: the reference restores
+    whatever serializer the snapshot metadata names via reflection
+    (reader/OperatorStateReader.java:100-104, utils/
+    StateMetadataUtils.java:149-162) — for a job that called
+    ``kryo.register(UserStats.class)`` the wire value is ``[varint tag
+    id+2][ref marker][custom payload]``. Our analog: a
+    ``registrations={9: payload_codec}`` mapping (9 = first user id on
+    Flink's Kryo 2.24) carrying the registered serializer's wire spec —
+    here two varints (total, clicks) — exercised through encode →
+    savepoint write → scan → decode; the tag/marker/varint framing is
+    JVM-cross-validated in tests/test_kryo.py
+    (test_registered_custom_class_both_directions)."""
+    from bravo_spark.codecs import kryo as kr
+    from bravo_spark.codecs.kryo import kryo_codec
+
+    def enc(v) -> bytes:
+        t = v["total"] if isinstance(v, dict) else getattr(v, "total")
+        c = v["clicks"] if isinstance(v, dict) else getattr(v, "clicks")
+        return kr.write_varint(int(t)) + kr.write_varint(int(c))
+
+    def dec(r):
+        return {"total": kr.read_varint(r), "clicks": kr.read_varint(r)}
+
+    payload = fc.Codec(
+        "user-stats", enc, dec, -1,
+        fields=(("total", fc.LONG), ("clicks", fc.LONG)),
+    )
+    kc = kryo_codec(9, references=True, registrations={9: payload})
+    ev = catalog.table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("t"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+    )
+    src = agg.select(
+        "key",
+        F.struct(
+            F.col("t").alias("total"), F.col("c").alias("clicks")
+        ).alias("value"),
+    )
+    rows = sr.kv_to_state_rows(src, "UserStats", fc.LONG, kc, max_parallelism=128)
+    out = os.path.join(
+        tempfile.gettempdir(), f"bravo_kryo_cc_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    sp.write_savepoint(
+        rows, out, max_parallelism=128, parallelism=4,
+        state_ids={"UserStats": 0},
+    )
+    kv = sr.read_value_kv(
+        sp.read_savepoint(spark, out), "UserStats", fc.LONG, kc,
+    )
+    return kv.select(
+        "key",
+        F.col("value.total").alias("total"),
+        F.col("value.clicks").alias("clicks"),
+    )
+
+
+@query(
     "snapshot_roundtrip_compressed",
     oracle=(
         "SELECT user_id AS key, count(*) AS value FROM events"

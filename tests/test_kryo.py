@@ -171,3 +171,110 @@ def test_lone_surrogates_roundtrip_pure_python():
         buf = kr.write_kryo_string(s)
         got = kr.read_kryo_string(ByteReader(buf))
         assert got == s
+
+
+# --- user-supplied registrations (the reference restores any metadata-named
+# serializer; registrations={} is our spec-bearing analog) ---
+
+
+def _date_payload_codec():
+    """java.util.Date under Kryo's DefaultSerializers.DateSerializer:
+    payload = writeVarLong(getTime(), true) — an optimizePositive varint
+    of the epoch millis."""
+    from bravo_spark.codecs.flink import Codec
+
+    return Codec(
+        "date-millis",
+        lambda v: kr.write_varint(int(v)),
+        lambda r: kr.read_varint(r),
+        -1,
+    )
+
+
+@pytest.mark.parametrize("refs", [True, False])
+def test_registered_custom_class_both_directions(jk, refs):
+    """kryo.register(java.util.Date.class) takes id 9 on a fresh Kryo; a
+    registrations={9: codec} mapping must decode the JVM's bytes and
+    produce bytes the JVM reads back — both reference settings."""
+    j = jk.j
+    k = j.com.esotericsoftware.kryo.Kryo()
+    k.setReferences(refs)
+    reg = k.register(j.java.lang.Class.forName("java.util.Date"))
+    # Flink's Kryo 2.24 hands the first user class id 9; the Kryo 4 in
+    # this JVM registers void as id 9 so Date lands on 10 — the mapping
+    # is keyed by whatever id the writing job's register() produced
+    rid = reg.getId()
+    assert rid >= 9
+
+    def jwrite(value):
+        out = j.com.esotericsoftware.kryo.io.Output(1 << 16, -1)
+        k.writeClassAndObject(out, value)
+        b = bytes(out.toBytes())
+        out.close()
+        return b
+
+    def jread(data):
+        inp = j.com.esotericsoftware.kryo.io.Input(data)
+        v = k.readClassAndObject(inp)
+        inp.close()
+        return v
+
+    regs = {rid: _date_payload_codec()}
+    for millis in (0, 1, 1700000000123, 2**41):
+        native = jwrite(j.java.util.Date(millis))
+        got = kr.read_kryo_value(
+            ByteReader(native), references=refs, expect=rid, registrations=regs
+        )
+        assert got == millis
+        ours = kr.write_kryo_value(
+            millis, rid, references=refs, registrations=regs
+        )
+        assert ours == native  # byte-exact, not just value-equal
+        assert jread(ours).getTime() == millis
+
+
+@pytest.mark.parametrize("refs", [True, False])
+def test_unregistered_custom_class_by_name(jk, refs):
+    """Without register(), Kryo writes the fully-qualified class name; a
+    registrations={'java.util.Date': codec} entry must decode it and our
+    encoder's name-form bytes must read back in the JVM."""
+    j = jk.j
+    regs = {"java.util.Date": _date_payload_codec()}
+    millis = 1712345678901
+    native = jk.write(j.java.util.Date(millis), refs)
+    got = kr.read_kryo_value(
+        ByteReader(native), references=refs, expect="java.util.Date",
+        registrations=regs,
+    )
+    assert got == millis
+    ours = kr.write_kryo_value(
+        millis, "java.util.Date", references=refs, registrations=regs
+    )
+    assert jk.read(ours, refs).getTime() == millis
+
+
+def test_kryo_codec_registration_validation():
+    from bravo_spark.codecs.kryo import kryo_codec
+
+    # ids below 9 would shadow the constructor registrations
+    with pytest.raises(kr.KryoError, match="shadows"):
+        kryo_codec(9, registrations={1: _date_payload_codec()})
+    # expect naming an id/class with no registrations entry
+    with pytest.raises(kr.KryoError, match="unsupported"):
+        kryo_codec(11)
+    with pytest.raises(kr.KryoError, match="unsupported"):
+        kryo_codec("com.example.Missing")
+    # a valid custom codec round-trips through the Codec interface
+    c = kryo_codec(9, registrations={9: _date_payload_codec()})
+    assert c.name == "kryo<9>"
+    buf = c.encode(123456789)
+    assert c.decode(ByteReader(buf)) == 123456789
+
+
+def test_registered_id_wrong_expect_refused():
+    regs = {9: _date_payload_codec(), 10: _date_payload_codec()}
+    buf = kr.write_kryo_value(5, 9, references=False, registrations=regs)
+    with pytest.raises(kr.KryoError, match="tag"):
+        kr.read_kryo_value(
+            ByteReader(buf), references=False, expect=10, registrations=regs
+        )
