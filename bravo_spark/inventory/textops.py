@@ -198,38 +198,47 @@ def multimodal_meta(spark, sf_dir):
         " 1 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1024 AS width,"
         " 1 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 1024 AS height,"
         " (1 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1024) *"
-        " (1 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 1024) AS n_pixels"
+        " (1 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 1024) AS n_pixels,"
+        " 'synthetic' AS source"
         " FROM documents"
     ),
 )
 def multimodal_decode(spark, sf_dir):
-    """Image-decode plumbing over a binary column via mapInPandas: schema,
-    Arrow batch shape and partitioning are real; the decoder itself is a
-    deterministic stand-in (this container ships no image libs — a real
-    deployment swaps ``_fake_decode`` for PIL/ffmpeg on the same plumbing).
-    """
+    """Image-decode over a binary column via mapInPandas, with PER-PAYLOAD
+    runtime selection (inventory/multimodal.py): real image containers
+    (PNG/GIF/JPEG magic) decode their TRUE dims from the format headers —
+    pure Python, no image library — while non-image payloads (this
+    synthetic corpus) fall back to deterministic md5 stand-ins the oracle
+    reproduces. The ``source`` column exposes which tier fired, so the
+    oracle also proves the selector never mistakes a text payload for an
+    image; Pillow, when installed, adds pixel-level decode on the same
+    plumbing (skip-marked tests in test_multimodal.py)."""
+    from bravo_spark.inventory import multimodal as mm
+
     docs = catalog.table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
 
     def decode_batches(batches: Iterator[pd.DataFrame]):
-        import hashlib
-
         for pdf in batches:
-            ids, ws, hs = [], [], []
+            ids, ws, hs, srcs = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                digest = hashlib.md5(bytes(payload)).hexdigest()
-                w = 1 + int(digest[0:8], 16) % 1024
-                h = 1 + int(digest[8:16], 16) % 1024
+                w, h, src = mm.decode_meta(bytes(payload))
                 ids.append(doc_id)
                 ws.append(w)
                 hs.append(h)
-            out = pd.DataFrame({"doc_id": ids, "width": ws, "height": hs})
+                srcs.append(src)
+            out = pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs}
+            )
             out["n_pixels"] = out["width"] * out["height"]
+            out["source"] = srcs
             yield out
 
     return docs.mapInPandas(
-        decode_batches, schema="doc_id long, width long, height long, n_pixels long"
+        decode_batches,
+        schema="doc_id long, width long, height long, n_pixels long,"
+               " source string",
     )
 
 
@@ -622,7 +631,10 @@ FROM dims
 )
 def multimodal_resize(spark, sf_dir):
     """Aspect-preserving fit into a 256×256 box in pure integer arithmetic
-    (bit-identical across engines; no float scale factor)."""
+    (bit-identical across engines; no float scale factor). The CASE
+    expression is the SQL mirror of ``multimodal.fit_box`` (pinned equal
+    in test_multimodal.py); real pixel resampling on the fitted shape is
+    ``multimodal.resize_pixels`` — Pillow-backed, import-guarded."""
     docs = catalog.table(spark, sf_dir, "documents")
     dims = docs.select(
         "doc_id",
