@@ -28,12 +28,17 @@ Apache Flink 1.7's ``SavepointV2Serializer`` (public source):
 - stream handles: NULL_HANDLE, or FILE_STREAM_STATE_HANDLE [i64 size]
   [UTF path], or BYTE_STREAM_STATE_HANDLE [UTF name][i32 len][bytes]
 
-Validated two ways: round-trip, and golden byte vectors HAND-ASSEMBLED in
+Validated three ways: round-trip; golden byte vectors HAND-ASSEMBLED in
 tests/test_flink_metadata.py from the serializer's documented write
-sequence (java.io.DataOutputStream big-endian primitives + writeUTF) —
-i.e. the parser is pinned to bytes it did not itself produce. A file
-written by an actual Flink cluster is not available in this container;
-that residual risk is recorded in COVERAGE.md.
+sequence (java.io.DataOutputStream big-endian primitives + writeUTF —
+MODIFIED UTF-8: NUL as C0 80, astral chars as CESU-8 surrogate pairs);
+and a foreign-layout vector exercising sections this module's writer
+never produces (legacy state entries, zero-subtask operators,
+BROADCAST/empty-offset states, incremental handles on the raw side,
+literal modified-UTF-8 name bytes) — i.e. the parser is pinned to bytes
+it did not and COULD not itself produce. A file written by an actual
+Flink cluster is not available in this container; that residual risk is
+recorded in COVERAGE.md.
 """
 
 from __future__ import annotations
@@ -154,15 +159,80 @@ class _R:
         n = struct.unpack(">H", self.need(2))[0]  # java writeUTF
         raw = self.need(n)
         try:
-            return raw.decode("utf-8")
-        except UnicodeDecodeError as exc:
+            return _java_utf_decode(raw)
+        except ValueError as exc:
             raise FlinkMetadataError(
                 f"damaged writeUTF payload at {self.pos - n}: {exc}"
             ) from None
 
 
+def _java_utf_decode(raw: bytes) -> str:
+    """``DataInputStream.readUTF`` — MODIFIED UTF-8, not standard: NUL is
+    the two-byte form 0xC0 0x80, astral characters are CESU-8 surrogate
+    pairs (two 3-byte sequences), and 4-byte sequences never occur."""
+    units: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        b = raw[i]
+        if b < 0x80:
+            units.append(chr(b))
+            i += 1
+        elif b >> 5 == 0b110:
+            if i + 2 > n:
+                raise ValueError(f"truncated 2-byte sequence at {i}")
+            units.append(chr(((b & 0x1F) << 6) | (raw[i + 1] & 0x3F)))
+            i += 2
+        elif b >> 4 == 0b1110:
+            if i + 3 > n:
+                raise ValueError(f"truncated 3-byte sequence at {i}")
+            units.append(
+                chr(
+                    ((b & 0x0F) << 12)
+                    | ((raw[i + 1] & 0x3F) << 6)
+                    | (raw[i + 2] & 0x3F)
+                )
+            )
+            i += 3
+        else:
+            raise ValueError(
+                f"invalid modified-UTF-8 lead byte {b:#x} at {i} "
+                "(writeUTF never emits 4-byte sequences)"
+            )
+    # merge CESU-8 surrogate pairs into astral characters; lone units
+    # (legal Java strings) survive
+    return (
+        "".join(units)
+        .encode("utf-16-be", "surrogatepass")
+        .decode("utf-16-be", "surrogatepass")
+    )
+
+
+def _java_utf_encode(s: str) -> bytes:
+    """``DataOutputStream.writeUTF`` body: per UTF-16 unit — 1 byte for
+    U+0001..U+007F, 2 bytes for NUL and U+0080..U+07FF, 3 bytes above
+    (astral characters become surrogate-pair units first)."""
+    u16 = s.encode("utf-16-be", "surrogatepass")
+    out = bytearray()
+    for i in range(0, len(u16), 2):
+        c = (u16[i] << 8) | u16[i + 1]
+        if 0x01 <= c <= 0x7F:
+            out.append(c)
+        elif c <= 0x7FF:
+            out.append(0xC0 | (c >> 6))
+            out.append(0x80 | (c & 0x3F))
+        else:
+            out.append(0xE0 | (c >> 12))
+            out.append(0x80 | ((c >> 6) & 0x3F))
+            out.append(0x80 | (c & 0x3F))
+    return bytes(out)
+
+
 def _w_utf(s: str) -> bytes:
-    b = s.encode("utf-8")
+    b = _java_utf_encode(s)
+    if len(b) > 0xFFFF:
+        raise FlinkMetadataError(
+            f"writeUTF body of {len(b)} bytes exceeds the u16 length frame"
+        )
     return struct.pack(">H", len(b)) + b
 
 

@@ -35,8 +35,24 @@ class Dos:
         return self
 
     def write_utf(self, s):
-        e = s.encode("utf-8")
-        self.b += struct.pack(">H", len(e)) + e
+        # DataOutputStream.writeUTF is MODIFIED UTF-8: NUL -> C0 80,
+        # astral -> CESU-8 surrogate pairs (emulated independently of the
+        # library's encoder: per-UTF-16-unit, straight from the JDK spec)
+        e = bytearray()
+        u16 = s.encode("utf-16-be", "surrogatepass")
+        for i in range(0, len(u16), 2):
+            c = (u16[i] << 8) | u16[i + 1]
+            if 0x01 <= c <= 0x7F:
+                e.append(c)
+            elif c <= 0x7FF:
+                e += bytes([0xC0 | (c >> 6), 0x80 | (c & 0x3F)])
+            else:
+                e += bytes([
+                    0xE0 | (c >> 12),
+                    0x80 | ((c >> 6) & 0x3F),
+                    0x80 | (c & 0x3F),
+                ])
+        self.b += struct.pack(">H", len(e)) + bytes(e)
         return self
 
     def write(self, raw):
@@ -305,3 +321,135 @@ def test_fuzz_bitflips_refused_or_stable():
         stable += 1
     # sanity: both classes must actually occur on a real golden
     assert refused > 0 and stable > 0
+
+
+# --- sections our own writer NEVER produces: the parser must handle the
+# full SavepointV2Serializer surface, not just its own round-trip ---
+
+
+def _foreign_layout_bytes() -> bytes:
+    """A savepoint exercising optional sections and orderings
+    bravo_spark's writer has never emitted: two master states, a
+    modified-UTF-8 state name with an embedded NUL and an astral char
+    (hand-encoded byte literals, straight from the JDK writeUTF spec), a
+    BROADCAST-mode state with an empty offsets list, an operator with
+    ZERO subtasks, and a subtask whose RAW keyed handle is incremental
+    while managed is null."""
+    d = Dos()
+    d.write_int(0x4960672D).write_int(2).write_long(7)
+    # two master states, arbitrary payloads
+    d.write_int(2)
+    for payload in (b"\x01\x02\x03", b""):
+        d.write_int(0xC96B1696 - (1 << 32)).write_int(len(payload)).write(payload)
+    d.write_int(2)  # two operators
+
+    # operator 0: zero subtasks (a stateless chain member)
+    d.write(operator_id("stateless-op")).write_int(4).write_int(128)
+    d.write_int(0)
+
+    # operator 1: one subtask
+    d.write(operator_id("weird-op")).write_int(1).write_int(128)
+    d.write_int(1)
+    d.write_int(0)  # subtask index
+    d.write_long(-1)  # removed duration
+    d.write_int(0)  # legacy state count
+    # managed operator-state handle with a BROADCAST state whose name is
+    # "st\x00ate\U0001F389": modified UTF-8 is 73 74 C0 80 61 74 65 then
+    # CESU-8 surrogates ED A0 BC ED BE 89 — 13 bytes, written literally
+    # so the vector's provenance is the JDK spec, not any encoder
+    d.write_int(1)
+    d.write_byte(4)  # PARTITIONABLE_OPERATOR_STATE_HANDLE
+    d.write_int(1)  # one state
+    d.write(struct.pack(">H", 13))
+    d.write(bytes([0x73, 0x74, 0xC0, 0x80, 0x61, 0x74, 0x65,
+                   0xED, 0xA0, 0xBC, 0xED, 0xBE, 0x89]))
+    d.write_byte(2)  # MODE_BROADCAST
+    d.write_int(0)  # EMPTY offsets list
+    d.write_byte(1)  # byte-stream delegate, empty body
+    d.write_utf("empty-delegate")
+    d.write_int(0)
+    d.write_int(0)  # no raw operator-state handle
+    d.write_byte(0)  # managed keyed: NULL
+    # raw keyed: INCREMENTAL (our writer only ever put incremental
+    # handles on the managed side)
+    d.write_byte(5)
+    d.write_long(7).write_utf("backend-αβ")
+    d.write_int(32).write_int(32)
+    d.write_byte(2)  # meta: file handle
+    d.write_long(100).write_utf("file:/cp-7/meta")
+    d.write_int(1)  # shared map: one entry
+    d.write_utf("001.sst")
+    d.write_byte(2)
+    d.write_long(4096).write_utf("file:/shared/001.sst")
+    d.write_int(0)  # private map: empty
+    return bytes(d.b)
+
+
+def test_foreign_layout_parses():
+    sp = fm.deserialize(_foreign_layout_bytes())
+    assert sp.checkpoint_id == 7
+    assert sp.master_states == [b"\x01\x02\x03", b""]
+    assert len(sp.operators) == 2
+    assert sp.operators[0].subtasks == []
+    (st,) = sp.operators[1].subtasks
+    (name, mode, offsets) = st.managed_op.states[0]
+    assert name == "st\x00ate\U0001F389"  # NUL + astral via modified UTF-8
+    assert mode == fm.MODE_BROADCAST
+    assert offsets == []
+    assert st.managed_op.stream.data == b""
+    assert st.managed_keyed is None
+    rk = st.raw_keyed
+    assert isinstance(rk, fm.IncrementalKeyedHandle)
+    assert rk.backend_id == "backend-αβ"
+    assert rk.shared == [("001.sst", fm.StreamStateHandle(
+        fm.FILE_STREAM_STATE_HANDLE, 4096, path="file:/shared/001.sst"))]
+
+
+def test_foreign_layout_reserializes_byte_exactly():
+    raw = _foreign_layout_bytes()
+    assert fm.serialize(fm.deserialize(raw)) == raw
+
+
+def test_legacy_state_entries_absorbed():
+    """Flink <1.4 jobs carried per-subtask legacy operator state; 1.7's
+    serializer still reads/writes the (now always-empty-in-new-files)
+    section. A foreign file with a legacy entry must parse — the entry is
+    absorbed like the reference's load path does — and reserialize to the
+    EQUIVALENT file with the legacy section emptied (not byte-exact by
+    design; asserting the documented drop)."""
+    d = Dos()
+    d.write_int(0x4960672D).write_int(2).write_long(3)
+    d.write_int(0)  # no master states
+    d.write_int(1)
+    d.write(operator_id("old-op")).write_int(1).write_int(128)
+    d.write_int(1)
+    d.write_int(0)  # subtask index
+    d.write_long(-1)
+    d.write_int(1)  # ONE legacy state handle
+    d.write_byte(2)  # file stream handle
+    d.write_long(55).write_utf("file:/legacy/blob")
+    d.write_int(0)  # no managed op handle
+    d.write_int(0)  # no raw op handle
+    d.write_byte(0)  # managed keyed null
+    d.write_byte(0)  # raw keyed null
+    raw = bytes(d.b)
+    sp = fm.deserialize(raw)
+    (st,) = sp.operators[0].subtasks
+    assert st.managed_op is None and st.managed_keyed is None
+    out = fm.serialize(sp)
+    assert out != raw  # legacy section dropped...
+    sp2 = fm.deserialize(out)  # ...but the rest survives equivalent
+    assert sp2.operators[0].operator_id == sp.operators[0].operator_id
+
+
+def test_modified_utf8_roundtrip_through_writer():
+    """Names our writer re-emits must use writeUTF's modified UTF-8 so a
+    JVM DataInputStream.readUTF can read them back."""
+    for name in ("plain", "st\x00ate", "emoji-\U0001F389", "αβγ߿"):
+        body = fm._w_utf(name)
+        # independent decode per the JDK spec (the Dos emulation inverse)
+        n = struct.unpack(">H", body[:2])[0]
+        raw = body[2 : 2 + n]
+        assert b"\x00" not in raw  # NUL never appears as a raw zero byte
+        assert not any(b >= 0xF0 for b in raw)  # no 4-byte sequences
+        assert fm._R(body).utf() == name
