@@ -137,16 +137,6 @@ def write_savepoint(
     if state_ids is None:
         names = [r[0] for r in rows.select("state_name").distinct().collect()]
         state_ids = {n: i for i, n in enumerate(sorted(names))}
-    else:
-        # an unmapped state would otherwise surface only deep inside the
-        # partition writer as an opaque int(NaN) TypeError
-        names = [r[0] for r in rows.select("state_name").distinct().collect()]
-        missing = sorted(set(names) - set(state_ids))
-        if missing:
-            raise ValueError(
-                f"state_ids has no entry for states present in rows: "
-                f"{missing}; provided: {sorted(state_ids)}"
-            )
     ids = dict(state_ids)
 
     routed = with_key_group_column(rows, max_parallelism=max_parallelism)
@@ -154,7 +144,15 @@ def write_savepoint(
         routed, max_parallelism=max_parallelism, parallelism=parallelism
     )
     sid_map = F.create_map(*[x for k, v in ids.items() for x in (F.lit(k), F.lit(v))])
-    routed = routed.withColumn("state_id", sid_map[F.col("state_name")].cast("int"))
+    # a caller-supplied state_ids mapping is validated EXECUTOR-side via a
+    # -1 sentinel (checked per section below), not by a driver-side
+    # distinct() — that pre-check re-ran the entire upstream pipeline (a
+    # second full pass over the state relation at 100 TB) just to name
+    # missing states before the real one
+    routed = routed.withColumn(
+        "state_id",
+        F.coalesce(sid_map[F.col("state_name")].cast("int"), F.lit(-1)),
+    )
 
     # repartition hashes op_index into `parallelism` partitions, so a
     # partition can receive several operator indexes (hash collision); the
@@ -196,7 +194,14 @@ def write_savepoint(
                 pdf["key_group"], pdf["op_index"], pdf["state_id"],
                 pdf["key_ns"], pdf["value"],
             ):
-                opi, kg = int(opi), int(kg)
+                opi, kg, sid = int(opi), int(kg), int(sid)
+                if sid < 0:
+                    raise ValueError(
+                        "rows contain a state_name with no state_ids "
+                        f"entry (provided: {sorted(ids)}) — cover every "
+                        "state present, or omit state_ids to derive the "
+                        "mapping from the data"
+                    )
                 if state["op"] is not None and opi != state["op"]:
                     close_file()
                 if state["fh"] is None:
@@ -213,7 +218,7 @@ def write_savepoint(
                         )
                     flush_kg()
                     state["kg"] = kg
-                entries.append((int(sid), bytes(kns), bytes(val)))
+                entries.append((sid, bytes(kns), bytes(val)))
         close_file()
         if done:
             yield pd.DataFrame(

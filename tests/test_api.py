@@ -276,7 +276,10 @@ def test_write_savepoint_rejects_unmapped_state(spark, tmp_path):
 
     kv = spark.createDataFrame([(1, 2)], "key int, value int")
     rows = sr.kv_to_state_rows(kv, "present", api.INT, api.INT)
-    with _pytest.raises(ValueError, match="present"):
+    # validation is executor-side (no extra driver pass over the relation),
+    # so the refusal arrives wrapped in Spark's Python exception; it names
+    # the provided mapping so the missing state is identifiable
+    with _pytest.raises(Exception, match="state_ids"):
         sp.write_savepoint(
             rows, str(tmp_path / "bad"), max_parallelism=128, parallelism=1,
             state_ids={"other": 0},
