@@ -48,7 +48,7 @@ GATE_PRIORITY = [
     "pojo_value_kv", "kryo_value_kv", "ttl_state_roundtrip",
     "type_change_migration", "custom_reader_expand",
     "operator_state_roundtrip", "snapshot_roundtrip_compressed",
-    "file_sink_rewind",
+    "file_sink_rewind", "kryo_custom_class",
     # dedup family (embedding_cosine is the exact baseline of embedding_lsh
     # and stays mirror-verified; simhash/substring/incremental/decontaminate
     # rotated out in r5 after four driver-green rounds)
@@ -69,8 +69,10 @@ GATE_PRIORITY = [
     "tpch_q1", "tpch_q3",
     "tpch_q6_forecast", "tpch_q9_product_profit",
     "tpch_q21_waiting_supplier",
-    # text / multimodal flagships
-    "text_lang_id",
+    # text / multimodal flagships (lang_id rotated out in r5 — four
+    # driver-green rounds, map-only plan shared with the mirror-held
+    # text family; multimodal_decode stays: its schema grew a source
+    # column this round)
     "multimodal_decode",
 ]
 

@@ -50,7 +50,7 @@ def test_flagship_families_inside_window():
         "pojo_value_kv", "kryo_value_kv", "ttl_state_roundtrip",
         "type_change_migration", "custom_reader_expand",
         "operator_state_roundtrip", "snapshot_roundtrip_compressed",
-        "file_sink_rewind",
+        "file_sink_rewind", "kryo_custom_class",
         "dedup_exact", "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_embedding_lsh", "dedup_clusters",
