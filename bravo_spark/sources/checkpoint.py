@@ -237,12 +237,12 @@ def write_incremental_checkpoint(
 
     spark = rows.sparkSession
     os.makedirs(path, exist_ok=True)
-    names = [r[0] for r in rows.select("state_name").distinct().collect()]
     if state_ids is None:
+        # deriving the mapping needs a names pass; a CALLER-supplied
+        # mapping is validated executor-side instead (below) so the
+        # upstream pipeline runs exactly once
+        names = [r[0] for r in rows.select("state_name").distinct().collect()]
         state_ids = {n: i for i, n in enumerate(sorted(names))}
-    missing = sorted(set(names) - set(state_ids))
-    if missing:
-        raise ValueError(f"state_ids missing entries for: {missing}")
     cf_ids = {n: i + 1 for n, i in state_ids.items()}  # CF 0 = default
 
     routed = with_key_group_column(rows, max_parallelism=max_parallelism)
@@ -262,6 +262,12 @@ def write_incremental_checkpoint(
                 )
         out = []
         for op, families in by_op.items():
+            unmapped = sorted(set(families) - set(cf_ids))
+            if unmapped:
+                raise ValueError(
+                    f"state_ids missing entries for: {unmapped} "
+                    f"(provided: {sorted(cf_ids)})"
+                )
             dbdir = os.path.join(path, f"op-{op}")
             sizes = build_db_dir_multi_cf(dbdir, families, cf_ids=cf_ids)
             out.append(
