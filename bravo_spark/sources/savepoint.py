@@ -264,14 +264,17 @@ def read_savepoint(
     *,
     state_filter: Callable[[str], bool] | None = None,
     state_names: list[str] | None = None,
-    splits_per_file: int = 8,
+    splits_per_file: int | None = None,
 ) -> DataFrame:
     """Scan a written savepoint back into the universal state-row relation.
 
     ``state_names``/``state_filter`` are pushed into the byte scan (F1): the
     decoder skips non-selected states' payloads without materializing them.
-    Each file is divided into up to ``splits_per_file`` key-group chunks for
-    parallelism beyond the writer's subtask count.
+    Split sizing is byte-targeted (the ``maxPartitionBytes`` posture): each
+    file yields ``ceil(bytes / TARGET_SPLIT_BYTES)`` key-group chunks, so a
+    tiny savepoint is one task per file while a multi-GB subtask file fans
+    out across the cluster. ``splits_per_file`` overrides with a fixed
+    per-file count.
     """
     splits, id_to_name, state_filter, compressed = _plan_scan(
         path, state_names, state_filter, splits_per_file
@@ -279,7 +282,13 @@ def read_savepoint(
     return _scan_df(spark, splits, id_to_name, state_filter, compressed)
 
 
-def _plan_scan(path, state_names, state_filter, splits_per_file):
+# Per-split byte target for the adaptive scan plan — the Python-side
+# analog of spark.sql.files.maxPartitionBytes, sized smaller because each
+# byte here crosses the Arrow boundary and is decoded in Python.
+TARGET_SPLIT_BYTES = 32 * 1024 * 1024
+
+
+def _plan_scan(path, state_names, state_filter, splits_per_file=None):
     meta = read_savepoint_meta(path)
     if state_names is not None:
         selected = set(state_names)
@@ -300,10 +309,32 @@ def _plan_scan(path, state_names, state_filter, splits_per_file):
         for i, (kg, off) in enumerate(kgs):
             end = kgs[i + 1][1] if i + 1 < len(kgs) else size
             spans.append((kg, off, end))
-        n = max(1, min(splits_per_file, len(spans)))
-        chunk = (len(spans) + n - 1) // n
-        for i in range(0, len(spans), chunk):
-            splits.append((fmeta["path"], spans[i : i + chunk]))
+        total = sum(end - off for _kg, off, end in spans)
+        if splits_per_file is None:
+            # adaptive: tiny files → one task (job-overhead floor dominates
+            # below ~tens of MB); huge files → one task per TARGET bytes,
+            # not a fixed 8 — at 100 TB the per-file fan-out must grow with
+            # the file, and key groups are the only safe cut points.
+            n = max(1, min(-(-total // TARGET_SPLIT_BYTES), len(spans)))
+        else:
+            n = max(1, min(splits_per_file, len(spans)))
+        if n == 1:
+            splits.append((fmeta["path"], spans))
+            continue
+        # greedy byte-balanced packing: key-group sizes skew (hot keys),
+        # so cut on accumulated bytes rather than span count
+        budget = total / n
+        cur: list[tuple[int, int, int]] = []
+        acc = 0
+        for span in spans:
+            cur.append(span)
+            acc += span[2] - span[1]
+            if acc >= budget:
+                splits.append((fmeta["path"], cur))
+                cur = []
+                acc = 0
+        if cur:
+            splits.append((fmeta["path"], cur))
     return splits, id_to_name, state_filter, meta.compression
 
 
@@ -360,7 +391,7 @@ def read_savepoint_kv(
     *,
     max_parallelism: int | None = None,
     ttl: bool = False,
-    splits_per_file: int = 8,
+    splits_per_file: int | None = None,
 ) -> DataFrame:
     """Fused S2+P1: scan *and* decode one value state in a single Python
     hop — the exact analog of the reference's flatMap readers, which filter

@@ -278,3 +278,52 @@ def test_ttl_write_back_roundtrip(spark):
 
     with pytest.raises(ValueError, match="not both"):
         sr.kv_to_state_rows(kv, "Val", fc.INT, fc.INT, ttl_ts=1, ttl_col="x")
+
+
+def test_adaptive_scan_splits(tmp_path):
+    """Byte-targeted split planning: tiny files collapse to one task; a file
+    whose selected spans exceed TARGET_SPLIT_BYTES fans out, cutting on
+    accumulated bytes (skewed key groups don't unbalance the tasks)."""
+    import os as _os
+
+    kg_sizes = {0: 40, 1: 40, 2: 40, 3: sp.TARGET_SPLIT_BYTES, 4: 60}
+    fpath = tmp_path / "op-0-test"
+    offsets, pos = {}, 0
+    with open(fpath, "wb") as f:
+        for kg, size in kg_sizes.items():
+            offsets[str(kg)] = pos
+            f.write(b"\x00" * size)
+            pos += size
+    meta = sp.SavepointMeta(128, 1, {"Count": 0})
+    meta.files.append({"path": str(fpath), "op_index": 0, "offsets": offsets})
+    with open(tmp_path / sp.METADATA_FILE, "w") as f:
+        f.write(meta.to_json())
+
+    # adaptive: ~2x target bytes -> 2 splits, cut lands after the fat kg
+    splits, _ids, _filt, _comp = sp._plan_scan(str(tmp_path), None, None)
+    assert len(splits) == 2
+    sizes = [sum(e - o for _kg, o, e in spans) for _f, spans in splits]
+    assert max(sizes) <= kg_sizes[3] + 3 * 40  # no split is pathological
+    covered = sorted(kg for _f, spans in splits for kg, _o, _e in spans)
+    assert covered == [0, 1, 2, 3, 4]
+
+    # tiny file: same plan with a small TARGET via explicit override=None
+    # but bytes under target -> exactly one split
+    small = sp.SavepointMeta(128, 1, {"Count": 0})
+    fpath2 = tmp_path / "op-0-small"
+    with open(fpath2, "wb") as f:
+        f.write(b"\x00" * 400)
+    small.files.append(
+        {"path": str(fpath2), "op_index": 0,
+         "offsets": {str(kg): kg * 80 for kg in range(5)}}
+    )
+    d2 = tmp_path / "small"
+    _os.makedirs(d2)
+    with open(d2 / sp.METADATA_FILE, "w") as f:
+        f.write(small.to_json())
+    splits2, _i, _f2, _c = sp._plan_scan(str(d2), None, None)
+    assert len(splits2) == 1 and len(splits2[0][1]) == 5
+
+    # explicit override keeps the fixed per-file behavior
+    splits3, *_ = sp._plan_scan(str(d2), None, None, splits_per_file=5)
+    assert len(splits3) == 5
