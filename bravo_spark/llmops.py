@@ -46,7 +46,11 @@ def _h32(expr: str) -> str:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, sh). Map-side only."""
+    """Distinct word n-gram shingles per document: (id, sh). Map-side only —
+    within-document dedup is ``array_distinct`` over the per-row shingle
+    array BEFORE the explode (a document's shingles live in one row), not a
+    post-explode ``distinct()``, which would shuffle the entire (id, sh)
+    relation just to dedup groups that never span rows."""
     idx = ", ".join(f"ws[i+{k}]" for k in range(n))
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -55,9 +59,13 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     return toks.select(
         "id",
         F.explode(
-            F.expr(f"transform(sequence(0, size(ws)-{n}), i -> concat_ws(' ', {idx}))")
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(ws)-{n}), i -> concat_ws(' ', {idx}))"
+                )
+            )
         ).alias("sh"),
-    ).distinct()
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
