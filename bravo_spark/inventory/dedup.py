@@ -511,3 +511,75 @@ def dedup_substring(spark, sf_dir):
         docs, "doc_id", "text", window=_SUB_WINDOW,
         max_window_df=_MAX_WINDOW_DF,
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (RefinedWeb / C4 boilerplate strip): lines appearing in
+# more than _LINE_DF_CAP distinct documents are removed from every document
+# (llmops.line_dedup_clean). The fixture documents are single-line, so the
+# query builds deterministic multi-line "pages" around each: two global
+# boilerplate lines (df = corpus), a per-source line (df = 25 per source
+# group), a per-triple line (df <= 3), and a per-document line (df = 1) —
+# the cap of 10 removes exactly the global + per-source lines and keeps
+# body, per-triple, and per-document lines.
+# ---------------------------------------------------------------------------
+
+_LINE_DF_CAP = 10
+_NAV_LINE = "NAV: home products docs contact about"
+_FOOT_LINE = "COPYRIGHT 2026 example corpus all rights reserved"
+
+
+def _line_dedup_oracle() -> str:
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+    '{_NAV_LINE}' || chr(10) ||
+    'SRC: mirror of ' || source || ' collection index' || chr(10) ||
+    text || chr(10) ||
+    'GROUP: shard ' || CAST(doc_id // 3 AS VARCHAR) || ' of corpus' || chr(10) ||
+    'REF: document ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+    '{_FOOT_LINE}' AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM pages
+), freq AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS dfc FROM lines
+    WHERE length(line) >= 10 GROUP BY line) t
+  WHERE dfc > {_LINE_DF_CAP}
+)
+SELECT l.doc_id,
+  coalesce(string_agg(CASE WHEN f.line IS NULL THEN l.line END,
+                      chr(10) ORDER BY l.pos), '') AS clean_text,
+  count(CASE WHEN f.line IS NOT NULL THEN 1 END) AS n_removed
+FROM lines l LEFT JOIN freq f ON l.line = f.line
+GROUP BY l.doc_id
+"""
+
+
+@query("dedup_lines", oracle=_line_dedup_oracle())
+def dedup_lines(spark, sf_dir):
+    """Cross-document line-level boilerplate removal over synthetic pages."""
+    from bravo_spark import llmops
+
+    docs = catalog.table_spread(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit(_NAV_LINE),
+            F.concat(F.lit("SRC: mirror of "), F.col("source"),
+                     F.lit(" collection index")),
+            F.col("text"),
+            F.concat(F.lit("GROUP: shard "),
+                     F.expr("CAST(doc_id div 3 AS STRING)"),
+                     F.lit(" of corpus")),
+            F.concat(F.lit("REF: document "), F.col("doc_id").cast("string")),
+            F.lit(_FOOT_LINE),
+        ).alias("text"),
+    )
+    return llmops.line_dedup_clean(
+        pages, "doc_id", "text", max_line_df=_LINE_DF_CAP
+    )

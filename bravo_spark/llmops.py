@@ -146,6 +146,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def line_dedup_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_line_df: int,
+    min_len: int = 10,
+) -> DataFrame:
+    """Cross-document line-level dedup (the RefinedWeb / C4 boilerplate
+    strip): lines of at least ``min_len`` characters appearing in more than
+    ``max_line_df`` distinct documents are removed from EVERY document;
+    remaining lines are reassembled in original order. Returns
+    (doc_id, clean_text, n_removed) — one row per input document, empty
+    string when every line was boilerplate.
+
+    Scale shape: the frequent-line set is tiny by construction (at most
+    corpus line volume / max_line_df rows), so it BROADCASTS into the line
+    stream — the big (doc, pos, line) relation is never shuffled for the
+    membership test. Per-document doc-frequency dedup is ``array_distinct``
+    over the per-row line array (map-side; a document's lines live in one
+    row pre-explode), so the frequency aggregation's partial combine
+    collapses hot boilerplate before its one shuffle. The only shuffle of
+    the full relation is the final reassembly groupBy(doc) — which no
+    formulation avoids, since the output is again one row per document.
+    Lines travel the frequency path as md5 digests, not ~100-char strings."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    eligible = F.filter(
+        F.array_distinct(F.split(F.col(text_col), "\n")),
+        lambda l: F.length(l) >= min_len,
+    )
+    frequent = (
+        df.select(F.explode(eligible).alias("line"))
+        .select(F.md5("line").alias("lh"))
+        .groupBy("lh")
+        .agg(F.count("*").alias("dfc"))
+        .filter(F.col("dfc") > max_line_df)
+        .select("lh", F.lit(1).alias("dup"))
+    )
+    marked = lines.join(
+        F.broadcast(frequent), F.md5(F.col("line")) == F.col("lh"), "left"
+    )
+    kept = F.when(F.col("dup").isNull(), F.struct("pos", "line"))
+    return marked.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["line"]),
+        ).alias("clean_text"),
+        F.count(F.when(F.col("dup") == 1, 1)).alias("n_removed"),
+    )
+
+
 def substring_collision_pairs(
     df: DataFrame,
     id_col: str,

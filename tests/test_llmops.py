@@ -394,3 +394,42 @@ def test_leakage_safe_split_never_splits_near_dups(spark, sf_dir):
     ]
     assert not straddling, f"near-dup pairs straddle the split: {straddling[:5]}"
     assert set(split.values()) == {"train", "val"}
+
+
+def test_line_dedup_clean(spark):
+    from bravo_spark import llmops
+
+    boiler = "SHARED BOILERPLATE LINE"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nunique body one\nshort\n{boiler}"),
+            (2, f"{boiler}\nunique body two"),
+            (3, f"{boiler}\nunique body three"),
+            (4, "no boilerplate here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in llmops.line_dedup_clean(
+            docs, "doc_id", "text", max_line_df=2
+        ).collect()
+    }
+    # boiler df=3 > 2 -> removed everywhere, BOTH occurrences in doc 1;
+    # "short" is under min_len and survives even though it would be rare
+    assert out[1] == ("unique body one\nshort", 2)
+    assert out[2] == ("unique body two", 1)
+    assert out[3] == ("unique body three", 1)
+    assert out[4] == ("no boilerplate here at all", 0)
+
+    # all-boilerplate document collapses to empty string, not null
+    docs2 = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, boiler)], "doc_id long, text string"
+    )
+    out2 = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in llmops.line_dedup_clean(
+            docs2, "doc_id", "text", max_line_df=2
+        ).collect()
+    }
+    assert out2 == {1: ("", 1), 2: ("", 1), 3: ("", 1)}

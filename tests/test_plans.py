@@ -362,3 +362,13 @@ def test_aqe_splits_planted_skew_join(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_line_dedup_broadcasts_frequent_set(plans):
+    # the big (doc, pos, line) relation must meet the frequent-line set via
+    # a broadcast join, never a shuffle join; the only shuffles are the
+    # frequency agg (digest-sized rows, map-side combined) and the
+    # per-document reassembly groupBy.
+    p = plans("dedup_lines")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
