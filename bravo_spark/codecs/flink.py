@@ -57,6 +57,17 @@ class ByteReader:
 # --- primitives (Java DataOutput: big-endian, fixed width) ---
 
 
+def merge_utf16_surrogates(s: str) -> str:
+    """Collapse CESU-8-style surrogate PAIRS into astral characters while
+    letting lone surrogates (legal in Java strings) survive — the shared
+    final step of every Java modified-UTF-8 decode (DataInput.readUTF,
+    Kryo strings): both wire formats transport UTF-16 units, so a decoded
+    Python string may hold d800-dfff units that Java semantics join."""
+    return s.encode("utf-16-be", "surrogatepass").decode(
+        "utf-16-be", "surrogatepass"
+    )
+
+
 def write_bool(v: bool) -> bytes:
     return b"\x01" if v else b"\x00"
 

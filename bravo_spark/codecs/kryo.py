@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import struct
 
-from bravo_spark.codecs.flink import ByteReader, Codec
+from bravo_spark.codecs.flink import ByteReader, Codec, merge_utf16_surrogates
 
 _TAG_NULL = 0
 _TAG_NAME = 1
@@ -134,12 +134,8 @@ def read_kryo_string(r: ByteReader) -> str | None:
                 )
         try:
             units = b"".join(out).decode("utf-8", "surrogatepass")
-            # surrogatepass both ways: unpaired surrogates are legal Java
-            # strings and real Kryo round-trips them — pairs merge to
-            # astral characters, lone units survive
-            return units.encode("utf-16-be", "surrogatepass").decode(
-                "utf-16-be", "surrogatepass"
-            )
+            # pairs merge to astral characters, lone units survive
+            return merge_utf16_surrogates(units)
         except UnicodeDecodeError as exc:
             raise KryoError(f"damaged Kryo string payload: {exc}") from None
     # ASCII form: bytes until the high-bit-marked last char (all forced

@@ -37,15 +37,37 @@ _JPEG_SOF = {
 }
 
 
-def sniff_format(payload: bytes) -> str | None:
-    """'png' | 'gif' | 'jpeg' | None by container magic."""
+def sniff_format(payload: bytes, *, strict: bool = False) -> str | None:
+    """'png' | 'gif' | 'jpeg' | None by container magic.
+
+    PNG's 0x89 and JPEG's 0xFF magic bytes cannot begin valid UTF-8 text,
+    but GIF's magic is printable ASCII — a text document can start with
+    'GIF87a'. ``strict=True`` (used by the per-payload tier selector)
+    additionally requires GIF's structural invariant: a valid block
+    introducer right after the logical screen descriptor / global color
+    table, which ASCII prose essentially never satisfies by accident."""
     if payload.startswith(_PNG_MAGIC):
         return "png"
     if payload[:6] in _GIF_MAGICS:
-        return "gif"
+        if not strict or _gif_plausible(payload):
+            return "gif"
+        return None
     if payload.startswith(_JPEG_MAGIC):
         return "jpeg"
     return None
+
+
+def _gif_plausible(payload: bytes) -> bool:
+    # after the 13-byte header (+ global color table of 3*2^(N+1) bytes
+    # when flagged) the next byte must introduce a block: image descriptor
+    # 0x2C, extension 0x21, or trailer 0x3B (GIF89a spec §§18-20)
+    if len(payload) < 14:
+        return False
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    return pos < len(payload) and payload[pos] in (0x2C, 0x21, 0x3B)
 
 
 def parse_image_dims(payload: bytes) -> tuple[int, int]:
@@ -113,8 +135,10 @@ def fake_dims(payload: bytes, *, modulus: int = 1024) -> tuple[int, int]:
 def decode_meta(payload: bytes) -> tuple[int, int, str]:
     """(width, height, source): real header dims for real image payloads
     ('header'), md5 stand-ins for anything else ('synthetic'). The per-row
-    runtime selection means the same job works on a mixed corpus."""
-    if sniff_format(payload) is not None:
+    runtime selection means the same job works on a mixed corpus; the
+    strict sniff keeps text that merely STARTS with GIF's ASCII magic on
+    the synthetic tier instead of decoding prose bytes as dims."""
+    if sniff_format(payload, strict=True) is not None:
         w, h = parse_image_dims(payload)
         return w, h, "header"
     w, h = fake_dims(payload)

@@ -50,7 +50,13 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     within-document dedup is ``array_distinct`` over the per-row shingle
     array BEFORE the explode (a document's shingles live in one row), not a
     post-explode ``distinct()``, which would shuffle the entire (id, sh)
-    relation just to dedup groups that never span rows."""
+    relation just to dedup groups that never span rows.
+
+    PRECONDITION (as for every text op in this module): ``df`` has one row
+    per ``id_col`` value. Pre-chunked corpora (several rows per document)
+    must be reassembled first — duplicate (id, sh) pairs from sibling
+    chunks would otherwise inflate the count(*)-based set sizes and
+    intersections downstream."""
     idx = ", ".join(f"ws[i+{k}]" for k in range(n))
     toks = df.select(
         F.col(id_col).alias("id"),

@@ -260,14 +260,19 @@ def write_incremental_checkpoint(
                 by_op.setdefault(int(op), {}).setdefault(sn, []).append(
                     (bytes(kns), 1, sstmod.TYPE_VALUE, bytes(val))
                 )
+        # validate EVERY operator's states before writing the first byte:
+        # per-op validation inside the write loop would leave earlier ops'
+        # db dirs in the shared output path when a later op aborts the task
+        unmapped = sorted(
+            {n for fams in by_op.values() for n in fams} - set(cf_ids)
+        )
+        if unmapped:
+            raise ValueError(
+                f"state_ids missing entries for: {unmapped} "
+                f"(provided: {sorted(cf_ids)})"
+            )
         out = []
         for op, families in by_op.items():
-            unmapped = sorted(set(families) - set(cf_ids))
-            if unmapped:
-                raise ValueError(
-                    f"state_ids missing entries for: {unmapped} "
-                    f"(provided: {sorted(cf_ids)})"
-                )
             dbdir = os.path.join(path, f"op-{op}")
             sizes = build_db_dir_multi_cf(dbdir, families, cf_ids=cf_ids)
             out.append(

@@ -46,6 +46,8 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
+from bravo_spark.codecs.flink import merge_utf16_surrogates
+
 HEADER_MAGIC_NUMBER = 0x4960672D
 MASTER_STATE_MAGIC = 0xC96B1696
 SAVEPOINT_V2 = 2
@@ -180,11 +182,21 @@ def _java_utf_decode(raw: bytes) -> str:
         elif b >> 5 == 0b110:
             if i + 2 > n:
                 raise ValueError(f"truncated 2-byte sequence at {i}")
+            if raw[i + 1] & 0xC0 != 0x80:
+                # readUTF checks (char2 & 0xC0) != 0x80 and throws
+                raise ValueError(
+                    f"invalid continuation byte {raw[i + 1]:#x} at {i + 1}"
+                )
             units.append(chr(((b & 0x1F) << 6) | (raw[i + 1] & 0x3F)))
             i += 2
         elif b >> 4 == 0b1110:
             if i + 3 > n:
                 raise ValueError(f"truncated 3-byte sequence at {i}")
+            if raw[i + 1] & 0xC0 != 0x80 or raw[i + 2] & 0xC0 != 0x80:
+                bad = i + 1 if raw[i + 1] & 0xC0 != 0x80 else i + 2
+                raise ValueError(
+                    f"invalid continuation byte {raw[bad]:#x} at {bad}"
+                )
             units.append(
                 chr(
                     ((b & 0x0F) << 12)
@@ -200,11 +212,7 @@ def _java_utf_decode(raw: bytes) -> str:
             )
     # merge CESU-8 surrogate pairs into astral characters; lone units
     # (legal Java strings) survive
-    return (
-        "".join(units)
-        .encode("utf-16-be", "surrogatepass")
-        .decode("utf-16-be", "surrogatepass")
-    )
+    return merge_utf16_surrogates("".join(units))
 
 
 def _java_utf_encode(s: str) -> bytes:

@@ -202,20 +202,23 @@ def write_savepoint(
                         "state present, or omit state_ids to derive the "
                         "mapping from the data"
                     )
+                # range-check EVERY row, not just group changes: the first
+                # group of a section file is recorded at file open, and a
+                # single-group file would otherwise never re-compare
+                if not 0 <= kg < max_parallelism:
+                    raise ValueError(
+                        f"derived key group {kg} is outside "
+                        f"[0, {max_parallelism}) — rows were encoded "
+                        "with a different max_parallelism than "
+                        "write_savepoint was given (the key-group "
+                        "prefix width inside key_ns no longer matches)"
+                    )
                 if state["op"] is not None and opi != state["op"]:
                     close_file()
                 if state["fh"] is None:
                     fpath = os.path.join(path, f"op-{opi}-{uuid.uuid4().hex}")
                     state.update(fh=open(fpath, "wb"), path=fpath, op=opi, kg=kg)
                 if kg != state["kg"]:
-                    if not 0 <= kg < max_parallelism:
-                        raise ValueError(
-                            f"derived key group {kg} is outside "
-                            f"[0, {max_parallelism}) — rows were encoded "
-                            "with a different max_parallelism than "
-                            "write_savepoint was given (the key-group "
-                            "prefix width inside key_ns no longer matches)"
-                        )
                     flush_kg()
                     state["kg"] = kg
                 entries.append((sid, bytes(kns), bytes(val)))

@@ -336,3 +336,23 @@ def test_read_savepoint_kv_defaults_to_meta_max_parallelism(spark, tmp_path):
         for r in sp.read_savepoint_kv(spark, out, "Count", fc.LONG, fc.LONG).collect()
     )
     assert got == [(k, k * 10) for k in range(40)]
+
+
+def test_write_savepoint_rejects_out_of_range_first_group(spark, tmp_path):
+    """The range refusal must fire even when the bad group is the FIRST (and
+    only) group of its section file — the file-open path records the group
+    without a change-comparison, which previously skipped validation."""
+    import pytest as _pytest
+
+    # max_parallelism=100 keeps the 1-byte prefix but leaves groups
+    # 100..127 representable-and-invalid; a single row in group 120 is the
+    # whole file, so only a per-row check can catch it
+    rows = spark.createDataFrame(
+        [("Count", bytes([120, 0, 0, 0, 1, 0]), b"\x00" * 8)],
+        "state_name string, key_ns binary, value binary",
+    )
+    with _pytest.raises(Exception, match="different max_parallelism"):
+        sp.write_savepoint(
+            rows, str(tmp_path / "bad"), max_parallelism=100, parallelism=1,
+            state_ids={"Count": 0},
+        )

@@ -453,3 +453,21 @@ def test_modified_utf8_roundtrip_through_writer():
         assert b"\x00" not in raw  # NUL never appears as a raw zero byte
         assert not any(b >= 0xF0 for b in raw)  # no 4-byte sequences
         assert fm._R(body).utf() == name
+
+
+def test_java_utf_decode_rejects_bad_continuation_bytes():
+    """readUTF throws UTFDataFormatException when a multi-byte sequence's
+    continuation byte isn't 10xxxxxx; the parser must refuse (not decode a
+    garbage character) for the same inputs — in both the 2- and 3-byte
+    branches."""
+    import pytest as _pytest
+
+    from bravo_spark.sources.flink_metadata import _java_utf_decode
+
+    # valid round-trips still pass
+    assert _java_utf_decode(b"\xc3\xa9") == "é"
+    assert _java_utf_decode(b"\xe2\x82\xac") == "€"
+
+    for bad in (b"\xc3A", b"\xe2A\xac", b"\xe2\x82A"):
+        with _pytest.raises(ValueError, match="continuation byte"):
+            _java_utf_decode(bad)

@@ -167,3 +167,27 @@ def test_decode_query_runtime_selection(spark):
     assert got[3] == (1920, 1080, "header")
     fw, fh = mm.fake_dims(b"just some text")
     assert got[4] == (fw, fh, "synthetic")
+
+
+def test_text_with_gif_magic_stays_synthetic():
+    """GIF's magic is printable ASCII, so prose can start with it; the
+    strict sniff used by the tier selector must keep such payloads on the
+    deterministic-fake tier rather than decoding text bytes as dims."""
+    prose = "GIF87a is one of two versions of the format".encode()
+    assert mm.sniff_format(prose) == "gif"  # magic-only: ambiguous
+    assert mm.sniff_format(prose, strict=True) is None
+    _w, _h, src = mm.decode_meta(prose)
+    assert src == "synthetic"
+
+    # real GIFs pass strict: trailer right after the screen descriptor...
+    g = _gif(13, 37)
+    assert mm.sniff_format(g, strict=True) == "gif"
+    assert mm.decode_meta(g) == (13, 37, "header")
+    # ...and with a flagged global color table before the first block
+    packed = 0x80  # table present, size 2^(0+1)=2 entries -> 6 bytes
+    g2 = (
+        b"GIF89a" + struct.pack("<HH", 5, 7) + bytes([packed, 0, 0])
+        + b"\x00" * 6 + b"\x2c"
+    )
+    assert mm.sniff_format(g2, strict=True) == "gif"
+    assert mm.decode_meta(g2) == (5, 7, "header")
