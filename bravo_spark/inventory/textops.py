@@ -527,6 +527,33 @@ WHERE rank <= {_BM25_K}
 """
 
 
+_RARITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), stats AS (
+  SELECT sum(c) AS n_total, count(*) AS v FROM counts
+)
+SELECT doc_id, count(*) AS n_toks,
+  CAST(SUM(CAST(n_total + v AS HUGEINT) * 1000000 // (c + 1))
+       // count(*) AS BIGINT) AS rarity_e6
+FROM toks JOIN counts USING (tok), stats
+GROUP BY doc_id
+"""
+
+
+@query("text_rarity", oracle=_RARITY_ORACLE)
+def text_rarity(spark, sf_dir):
+    """Mean inverse-token-probability quality score (llmops.token_rarity):
+    the CCNet-style corpus-LM rarity signal in log-free rational form."""
+    from bravo_spark import llmops
+
+    docs = catalog.table_spread(spark, sf_dir, "documents")
+    return llmops.token_rarity(docs, "doc_id", "text")
+
+
 @query("text_bm25_topk", oracle=_bm25_oracle())
 def text_bm25_topk(spark, sf_dir):
     """Top-10 documents per query by BM25 (llmops.bm25_topk): broadcast

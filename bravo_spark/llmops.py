@@ -584,6 +584,51 @@ def cosine_topk(
     )
 
 
+def token_rarity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-statistics document rarity score: (doc_id, n_toks, rarity_e6)
+    where rarity_e6 is the mean ADD-ONE-SMOOTHED inverse token probability
+    in integer micro-units — mean over the document's tokens of
+    ``(N + V) * 1e6 div (c(tok) + 1)`` with N = corpus token count,
+    V = vocabulary size, c = corpus frequency.
+
+    This is the CCNet-style (Wenzek et al. 2019) corpus-LM quality signal
+    in its log-free rational form: documents dominated by rare/garbled
+    tokens score high, boilerplate scores low. Staying rational (integer
+    division only, like the BM25 variant above) keeps the score bit-exact
+    across engines — ln/exp are not correctly-rounded and would break the
+    oracle hash.
+
+    Scale shape: the token relation is cached and used twice (frequency
+    aggregation, then the frequency join); both shuffles key on ``tok``
+    with map-side partial aggregation, the (N, V) statistics are a one-row
+    broadcast, and the final per-document reduction is the one unavoidable
+    shuffle on doc_id. No UDFs, no data-scale collects."""
+    toks = _cache(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+            ).alias("tok"),
+        )
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v")
+    )
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.expr(
+                "CAST(sum(CAST(n_total + v AS DECIMAL(38,0)) * 1000000"
+                " div (c + 1)) div count(*) AS BIGINT)"
+            ).alias("rarity_e6"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -433,3 +433,23 @@ def test_line_dedup_clean(spark):
         ).collect()
     }
     assert out2 == {1: ("", 1), 2: ("", 1), 3: ("", 1)}
+
+
+def test_token_rarity(spark):
+    from bravo_spark import llmops
+
+    # "zzz" appears once in the corpus; "the" dominates — the rare-token
+    # document must score strictly higher, and the exact micro-unit values
+    # follow from the add-one formula: inv(tok) = (N + V) * 1e6 // (c + 1)
+    docs = spark.createDataFrame(
+        [(1, "the the the"), (2, "zzz the the")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_toks"], r["rarity_e6"])
+        for r in llmops.token_rarity(docs, "doc_id", "text").collect()
+    }
+    # N = 6 tokens, V = 2 -> inv(the) = 8e6 // 6 = 1333333, inv(zzz) = 8e6 // 2
+    assert out[1] == (3, 1333333)
+    assert out[2] == (3, (1333333 * 2 + 4_000_000) // 3)
+    assert out[2][1] > out[1][1]
