@@ -636,3 +636,44 @@ def test_checkpoint_single_delete_tombstone(spark, tmp_path):
     ck.write_sst_fixture(d, {"s": [(_kns(9), 41, sst.TYPE_SINGLE_DELETION, b"")]})
     rows = ck.read_incremental_checkpoint(spark, d)
     assert rows.count() == 0
+
+
+def test_reader_refuses_or_survives_corruption(tmp_path):
+    """Systematic corruption fuzz: every single-byte flip in the footer /
+    index region and every truncation must either raise a named ValueError
+    or still return exactly the original entries (a flip that lands in
+    slack space) — never silently return different data. Block checksums
+    plus handle range checks are what make this hold."""
+    p = str(tmp_path / "base.sst")
+    rows = [
+        (f"key{i:05d}".encode(), 100 + i, 1, f"val{i}".encode() * 7)
+        for i in range(300)
+    ]
+    with sst.SstWriter(p, column_family="S", column_family_id=2,
+                       block_size=512) as w:
+        for k, s, t, v in rows:
+            w.add(k, s, t, v)
+    data = open(p, "rb").read()
+    expected = rows
+
+    mp = str(tmp_path / "mut.sst")
+
+    def attempt(buf: bytes) -> None:
+        with open(mp, "wb") as f:
+            f.write(buf)
+        try:
+            got = list(sst.SstReader(mp, verify_checksums=True).iter_entries())
+        except ValueError:
+            return  # named refusal — fine
+        assert got == expected, "corruption silently changed the data"
+
+    # footer + trailing index region: flip each byte two ways
+    for pos in range(max(0, len(data) - 160), len(data)):
+        for delta in (0x01, 0x80):
+            attempt(data[:pos] + bytes([data[pos] ^ delta]) + data[pos + 1:])
+    # a sample of data-block flips (checksums must catch them)
+    for pos in range(0, len(data) - 160, 97):
+        attempt(data[:pos] + bytes([data[pos] ^ 0xFF]) + data[pos + 1:])
+    # truncations
+    for cut in (0, 1, 10, 47, 48, 52, len(data) // 2, len(data) - 1):
+        attempt(data[:cut])
