@@ -583,3 +583,59 @@ def dedup_lines(spark, sf_dir):
     return llmops.line_dedup_clean(
         pages, "doc_id", "text", max_line_df=_LINE_DF_CAP
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup with SPAN REMOVAL — the actual output of Lee et al.
+# 2022's dedup tool (llmops.substring_dedup_clean): every token covered by
+# a repeated window is cut, survivors reassembled. A smaller window than
+# dedup_substring's so the fixture corpus genuinely loses spans.
+# ---------------------------------------------------------------------------
+
+_CLEAN_WINDOW = 10
+
+
+def _substring_clean_oracle() -> str:
+    k = _CLEAN_WINDOW
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
+  FROM documents
+), wins AS (
+  SELECT doc_id, i AS start, md5(array_to_string(ws[i:i+{k - 1}], ' ')) AS h
+  FROM (
+    SELECT doc_id, ws, unnest(range(1, len(ws) - {k} + 2)) AS i
+    FROM base WHERE len(ws) >= {k}) t
+), duph AS (
+  SELECT h FROM wins GROUP BY h HAVING count(*) > 1
+), tok AS (
+  SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos
+  FROM base
+), covp AS (
+  SELECT DISTINCT doc_id, unnest(range(start, start + {k})) AS pos
+  FROM wins WHERE h IN (SELECT h FROM duph)
+), kept AS (
+  SELECT t.doc_id, t.tok, t.pos FROM tok t
+  ANTI JOIN covp c ON t.doc_id = c.doc_id AND t.pos = c.pos
+), totals AS (
+  SELECT doc_id, len(ws) AS n FROM base WHERE len(ws) > 0
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       t.n - coalesce(a.n_kept, 0) AS n_removed
+FROM totals t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("dedup_substring_clean", oracle=_substring_clean_oracle())
+def dedup_substring_clean(spark, sf_dir):
+    """Corpus with every repeated 10-token run removed, per document."""
+    from bravo_spark import llmops
+
+    docs = catalog.table_spread(spark, sf_dir, "documents")
+    return llmops.substring_dedup_clean(
+        docs, "doc_id", "text", window=_CLEAN_WINDOW
+    )

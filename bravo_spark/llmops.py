@@ -584,6 +584,83 @@ def cosine_topk(
     )
 
 
+def substring_dedup_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 15,
+) -> DataFrame:
+    """Exact-substring dedup with SPAN REMOVAL (the actual output of Lee et
+    al. 2022's tool, where ``substring_collision_pairs`` above only reports
+    the collisions): every token covered by a ``window``-token run that
+    occurs more than once in the corpus — across documents OR repeated
+    within one — is removed, and each document's surviving tokens are
+    reassembled in order. Returns (doc_id, clean_text, n_removed) over the
+    normalized token stream (the same stream the paper's suffix array
+    works on); documents with zero tokens are dropped.
+
+    Scale shape: duplicate detection shuffles window DIGESTS once (the
+    same inverted-index posture as the pair finder); covered positions
+    collapse per document via collect_set into an array that joins back to
+    the ONE-ROW-PER-DOCUMENT relation, and the rebuild is a map-side
+    higher-order ``filter(ws, (x, i) -> ...)`` — the token-level relation
+    is never shuffled, and no driver-side data collects exist."""
+    k = window
+    base = _cache(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+            ).alias("ws"),
+        ).filter(F.size("ws") > 0)
+    )
+    wins = (
+        base.filter(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ws)-{k}), i -> "
+                    f"struct(i AS start, md5(concat_ws(' ', slice(ws, i+1, {k}))) AS h))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    )
+    duph = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    cov = (
+        wins.join(duph, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(start, start + {k - 1})")).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
+    )
+    joined = base.join(cov, "doc_id", "left")
+    clean = F.when(
+        F.col("cov").isNull(), F.concat_ws(" ", F.col("ws"))
+    ).otherwise(
+        F.concat_ws(
+            " ", F.expr("filter(ws, (x, i) -> NOT array_contains(cov, i))")
+        )
+    )
+    n_removed = F.when(F.col("cov").isNull(), F.lit(0)).otherwise(
+        F.size("cov")
+    )
+    return joined.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_removed.cast("long").alias("n_removed"),
+    )
+
+
 def token_rarity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Corpus-statistics document rarity score: (doc_id, n_toks, rarity_e6)
     where rarity_e6 is the mean ADD-ONE-SMOOTHED inverse token probability

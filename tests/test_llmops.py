@@ -453,3 +453,57 @@ def test_token_rarity(spark):
     assert out[1] == (3, 1333333)
     assert out[2] == (3, (1333333 * 2 + 4_000_000) // 3)
     assert out[2][1] > out[1][1]
+
+
+def test_substring_dedup_clean(spark):
+    from bravo_spark import llmops
+
+    run = "alpha beta gamma delta"  # 4-token duplicated run
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {run} three four"),
+            (2, f"five six seven {run} eight"),
+            (3, "nine ten eleven twelve thirteen"),
+            (4, run),  # nothing but the duplicated run
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in llmops.substring_dedup_clean(
+            docs, "doc_id", "text", window=4
+        ).collect()
+    }
+    assert out[1] == ("one two three four", 4)
+    assert out[2] == ("five six seven eight", 4)
+    assert out[3] == ("nine ten eleven twelve thirteen", 0)
+    assert out[4] == ("", 4)  # fully-boilerplate doc -> empty, not dropped
+
+    # WITHIN-document repetition is also a duplicate (Lee et al. semantics)
+    docs2 = spark.createDataFrame(
+        [(1, f"{run} mid {run}"), (2, "totally unrelated text here")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in llmops.substring_dedup_clean(
+            docs2, "doc_id", "text", window=4
+        ).collect()
+    }
+    assert out2[1] == ("mid", 8)
+    assert out2[2] == ("totally unrelated text here", 0)
+
+    # overlapping duplicated windows merge: shared positions counted once
+    run6 = "p q r s t u"  # doc 5/6 share a 6-token run -> windows at 0,1,2
+    docs3 = spark.createDataFrame(
+        [(5, f"{run6} tail5"), (6, f"head6 {run6}")],
+        "doc_id long, text string",
+    )
+    out3 = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in llmops.substring_dedup_clean(
+            docs3, "doc_id", "text", window=4
+        ).collect()
+    }
+    assert out3[5] == ("tail5", 6)
+    assert out3[6] == ("head6", 6)
