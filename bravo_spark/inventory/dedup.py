@@ -639,3 +639,45 @@ def dedup_substring_clean(spark, sf_dir):
     return llmops.substring_dedup_clean(
         docs, "doc_id", "text", window=_CLEAN_WINDOW
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup materializer: pairs -> clusters -> kept corpus (the step a real
+# pipeline actually ships — one minimum-id representative per near-dup
+# cluster, singletons untouched). Composes the LSH pair finder with
+# llmops.keep_cluster_representatives; the oracle recomputes the clusters
+# with a recursive CTE over the same deterministic LSH pairs.
+# ---------------------------------------------------------------------------
+
+_KEEP_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql('duckdb')}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY 1)
+SELECT d.doc_id, coalesce(s.n, 1) AS cluster_size
+FROM documents d
+LEFT JOIN cl ON d.doc_id = cl.doc_id
+LEFT JOIN sizes s ON cl.cluster_id = s.cluster_id
+WHERE cl.doc_id IS NULL OR cl.doc_id = cl.cluster_id
+"""
+
+
+@query("dedup_keep_corpus", oracle=_KEEP_ORACLE)
+def dedup_keep_corpus(spark, sf_dir):
+    """Kept (deduplicated) corpus after MinHash-LSH clustering."""
+    from bravo_spark import llmops
+
+    docs = catalog.table_spread(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    kept = llmops.keep_cluster_representatives(
+        docs.select("doc_id"), pairs
+    )
+    return kept.select("doc_id", F.col("cluster_size").cast("long"))

@@ -348,6 +348,38 @@ def minhash_lsh_pairs(
     )
 
 
+def keep_cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Materialize the DEDUPLICATED CORPUS from near-dup pairs: connected
+    components over the pair graph, keep the minimum-id representative of
+    every cluster plus all singletons. Returns the kept rows of ``docs``
+    with a ``cluster_size`` column (1 for singletons) — the step that turns
+    any pair-producing dedup above into an actual cleaned dataset.
+
+    Scale shape: the component relation only contains documents that
+    appear in a pair (the near-dup minority), so the corpus-sized side is
+    touched by exactly one join on ``id_col``; cluster sizes aggregate the
+    small component relation. No driver-side collects beyond
+    connected_components' O(1) fixpoint fingerprints."""
+    cl = connected_components(pairs, a_col, b_col, max_iter=max_iter).select(
+        F.col("doc_id").alias("__cc_id"), F.col("cluster_id").alias("__cc_cluster")
+    )
+    sizes = cl.groupBy("__cc_cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        docs.join(cl, docs[id_col] == cl["__cc_id"], "left")
+        .filter(F.col("__cc_id").isNull() | (F.col("__cc_id") == F.col("__cc_cluster")))
+        .join(sizes, "__cc_cluster", "left")
+        .select(*docs.columns, F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"))
+    )
+
+
 def dedup_against_corpus(
     new_df: DataFrame,
     corpus: DataFrame,

@@ -507,3 +507,20 @@ def test_substring_dedup_clean(spark):
     }
     assert out3[5] == ("tail5", 6)
     assert out3[6] == ("head6", 6)
+
+
+def test_keep_cluster_representatives(spark):
+    from bravo_spark import llmops
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    kept = {
+        r["doc_id"]: r["cluster_size"]
+        for r in llmops.keep_cluster_representatives(docs, pairs).collect()
+    }
+    # {1,2,3} -> rep 1 (size 3); {5,6} -> rep 5 (size 2); 4 is a singleton
+    assert kept == {1: 3, 4: 1, 5: 2}
