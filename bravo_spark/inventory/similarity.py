@@ -788,3 +788,41 @@ def ann_pq_recall_eval(spark, sf_dir):
             (F.count("hit").cast("double") / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (llmops.quantize_embeddings): the 4x storage
+# compression step. Map-only; even the float vmin/vmax and the micro-unit
+# reconstruction error hash-match the oracle because every step is a
+# single IEEE operation both engines round identically.
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), mm AS (
+  SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM base
+), q AS (
+  SELECT vec_id, v, vmin, vmax, vmax - vmin AS rng,
+    CASE WHEN vmax = vmin THEN list_transform(v, x -> 0)
+         ELSE list_transform(v, x -> CAST(least(floor((x - vmin) * 255
+              / (vmax - vmin)), 255) AS INT)) END AS codes
+  FROM mm
+)
+SELECT vec_id, vmin, vmax, codes,
+  CAST(floor(CASE WHEN rng = 0 THEN 0 ELSE
+    list_max(list_transform(range(1, len(v) + 1),
+      i -> abs(v[i] - (vmin + codes[i] * rng / 255)))) END
+    * 1000000) AS BIGINT) AS err_e6
+FROM q
+"""
+
+
+@query("embedding_quantize", oracle=_QUANT_ORACLE)
+def embedding_quantize(spark, sf_dir):
+    """Per-vector int8 min-max quantization with reconstruction-error audit."""
+    from bravo_spark import llmops
+
+    emb = catalog.table_spread(spark, sf_dir, "embeddings")
+    return llmops.quantize_embeddings(emb, "vec_id", "embedding", bits=8)

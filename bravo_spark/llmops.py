@@ -578,6 +578,50 @@ def connected_components(
     return labels
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, *, bits: int = 8
+) -> DataFrame:
+    """Per-vector min-max scalar quantization of a float embedding column:
+    (id, vmin, vmax, codes, err_e6) where ``codes`` holds each component as
+    an integer level in [0, 2^bits - 1] and ``err_e6`` is the maximum
+    absolute reconstruction error in integer micro-units. The storage
+    compression step of an embedding pipeline (float32 → int8 is 4×
+    smaller); ``vmin + code * (vmax - vmin) / levels`` dequantizes.
+
+    Map-only — per-vector statistics mean zero shuffles at any corpus
+    size. Determinism: every step is a single IEEE operation (sub, mul,
+    div, floor) that both engines round identically, so even the
+    float-valued vmin/vmax and the micro-unit error hash-match the SQL
+    oracle; no transcendentals anywhere."""
+    levels = (1 << bits) - 1
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__v"),
+        )
+        .withColumn("vmin", F.expr("array_min(__v)"))
+        .withColumn("vmax", F.expr("array_max(__v)"))
+        .withColumn(
+            "codes",
+            F.expr(
+                "CASE WHEN vmax = vmin THEN transform(__v, x -> 0)"
+                f" ELSE transform(__v, x -> CAST(least(floor((x - vmin)"
+                f" * {levels} / (vmax - vmin)), {levels}) AS INT)) END"
+            ),
+        )
+        .withColumn(
+            "err_e6",
+            F.expr(
+                "CAST(floor(CASE WHEN vmax = vmin THEN CAST(0 AS DOUBLE) ELSE"
+                " array_max(zip_with(__v, codes,"
+                f" (x, c) -> abs(x - (vmin + c * (vmax - vmin) / {levels}))))"
+                " END * 1000000) AS BIGINT)"
+            ),
+        )
+    )
+    return staged.select(id_col, "vmin", "vmax", "codes", "err_e6")
+
+
 def cosine_topk(
     candidates: DataFrame,
     queries: DataFrame,

@@ -524,3 +524,26 @@ def test_keep_cluster_representatives(spark):
     }
     # {1,2,3} -> rep 1 (size 3); {5,6} -> rep 5 (size 2); 4 is a singleton
     assert kept == {1: 3, 4: 1, 5: 2}
+
+
+def test_quantize_embeddings(spark):
+    from bravo_spark import llmops
+
+    docs = spark.createDataFrame(
+        [(1, [0.0, 0.5, 1.0]), (2, [2.0, 2.0, 2.0]), (3, [-1.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in llmops.quantize_embeddings(
+            docs, "vec_id", "embedding", bits=8
+        ).collect()
+    }
+    assert out[1]["codes"] == [0, 127, 255]  # floor(0.5*255) = 127
+    assert (out[1]["vmin"], out[1]["vmax"]) == (0.0, 1.0)
+    # flat vector: all-zero codes, zero error
+    assert out[2]["codes"] == [0, 0, 0] and out[2]["err_e6"] == 0
+    # reconstruction error bounded by one level: range/255 in micro-units
+    for r in out.values():
+        rng = r["vmax"] - r["vmin"]
+        assert 0 <= r["err_e6"] <= int(rng * 1e6 / 255) + 1

@@ -372,3 +372,11 @@ def test_line_dedup_broadcasts_frequent_set(plans):
     p = plans("dedup_lines")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_embedding_quantize_is_map_only(plans):
+    # per-vector quantization must not join or aggregate; the only
+    # permissible Exchange is the fixture-spread round-robin repartition
+    p = plans("embedding_quantize")
+    assert p.count("Exchange") <= 1
+    assert "Join" not in p and "HashAggregate" not in p
