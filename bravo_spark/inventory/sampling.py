@@ -376,3 +376,38 @@ def leakage_safe_split(spark, sf_dir):
     return j.withColumn(
         "split", F.when(h % 100 < 90, F.lit("train")).otherwise(F.lit("val"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle + shard assignment — the randomize-and-shard
+# step before writing training data. A true global permutation would need a
+# single-partition row_number (a scale-killer); instead the shard is a
+# map-side hash (so assignment never shuffles) and the within-shard order
+# is a window PARTITIONED BY shard — every shard numbers its rows in
+# parallel. Reading shards in order then yields a corpus-wide
+# pseudo-random document order, reproducible from the salt alone.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+_SHUFFLE_SALT = "'_shuf1'"
+
+
+def _shard_sql(dialect: str) -> str:
+    h32 = _h32_spark if dialect == "spark" else _h32_duck
+    cast_s = (
+        "CAST(doc_id AS STRING)" if dialect == "spark"
+        else "CAST(doc_id AS VARCHAR)"
+    )
+    h = h32(f"concat({cast_s}, {_SHUFFLE_SALT})")
+    return (
+        f"SELECT doc_id, shard, CAST(row_number() OVER ("
+        " PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos"
+        f" FROM (SELECT doc_id, {h} AS h, CAST({h} % {_N_SHARDS} AS BIGINT)"
+        " AS shard FROM documents) t"
+    )
+
+
+@query("shard_shuffle", oracle=_shard_sql("duckdb"))
+def shard_shuffle(spark, sf_dir):
+    """Salt-reproducible pseudo-random shard + position for every document."""
+    return spark.sql(_shard_sql("spark"))

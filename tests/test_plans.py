@@ -380,3 +380,12 @@ def test_embedding_quantize_is_map_only(plans):
     p = plans("embedding_quantize")
     assert p.count("Exchange") <= 1
     assert "Join" not in p and "HashAggregate" not in p
+
+
+def test_shard_shuffle_window_is_partition_parallel(plans):
+    # the within-shard numbering must be a window partitioned by shard —
+    # a global row_number would plan a SinglePartition exchange, the
+    # classic scale-killer for corpus-wide permutations
+    p = plans("shard_shuffle")
+    assert "SinglePartition" not in p
+    assert "Window" in p
