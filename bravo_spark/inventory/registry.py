@@ -76,6 +76,12 @@ GATE_PRIORITY = [
     "multimodal_decode",
 ]
 
+# r6 rotation candidates (registered + mirror-green in r5, never
+# driver-checked): dedup_lines, dedup_substring_clean, dedup_keep_corpus,
+# text_rarity, embedding_quantize, shard_shuffle — swap in for rows that
+# will then hold 5+ driver-green rounds (e.g. p2/p3, f2/f3, u1_union_bag,
+# sort_topk, tpch_q1).
+
 
 def gate_ordered(mapping: dict) -> dict:
     """``mapping`` reordered so GATE_PRIORITY names come first (in that
