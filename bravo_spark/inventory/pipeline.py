@@ -1,0 +1,135 @@
+"""The composed nightly-pipeline query: one keep/drop decision per document
+with a full audit trail of WHY — the end-to-end shape a production
+training-data pipeline actually ships, assembled from the engine's proven
+components rather than re-implemented:
+
+- ``exact_dup``     — not the minimum-id holder of its identical-text group
+- ``near_dup``      — in a MinHash-LSH cluster, not its representative
+- ``low_quality``   — fails the Gopher/C4 rule set (quality_filter_pipeline)
+- ``contaminated``  — shares a 4-gram with the eval slice (doc_id % 97 = 0)
+- ``keep``          — a training doc with none of the above
+
+Every component keeps its own scale shape (digest groupBy, band-bucket
+join + O(log n) contraction, pure scan+project rules, broadcast eval
+shingles); the composition only adds doc_id-keyed joins of doc-count-sized
+flag relations. The oracle recomputes the whole decision in one SQL
+statement — the recursive-CTE cluster labels included — so the pipeline's
+end-to-end agreement is hash-checked, not just each stage's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bravo_spark import catalog
+from bravo_spark.inventory.dedup import (
+    _DECON_N,
+    _DECON_ORACLE,
+    _lsh_pairs_sql,
+    dedup_minhash_lsh,
+)
+from bravo_spark.inventory.registry import query
+from bravo_spark.inventory.textops import _quality_filter_sql
+
+
+def _pipeline_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql('duckdb')}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+exact AS (
+  SELECT doc_id, CASE WHEN doc_id <> min_id THEN 1 ELSE 0 END AS exact_dup
+  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text)))
+        AS min_id FROM documents) t
+),
+qual AS (SELECT doc_id, kept FROM ({_quality_filter_sql('duckdb')}) q),
+decon AS (SELECT doc_id FROM ({_DECON_ORACLE}) dd)
+SELECT d.doc_id,
+  CASE WHEN d.doc_id % 97 = 0 THEN 1 ELSE 0 END AS is_eval,
+  e.exact_dup,
+  CASE WHEN cl.doc_id IS NOT NULL AND cl.doc_id <> cl.cluster_id
+       THEN 1 ELSE 0 END AS near_dup,
+  CASE WHEN q.kept = 0 THEN 1 ELSE 0 END AS low_quality,
+  CASE WHEN dc.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated,
+  CASE WHEN d.doc_id % 97 <> 0 AND e.exact_dup = 0
+        AND (cl.doc_id IS NULL OR cl.doc_id = cl.cluster_id)
+        AND q.kept = 1 AND dc.doc_id IS NULL
+       THEN 1 ELSE 0 END AS keep
+FROM documents d
+JOIN exact e USING (doc_id)
+LEFT JOIN cl ON d.doc_id = cl.doc_id
+JOIN qual q USING (doc_id)
+LEFT JOIN decon dc ON d.doc_id = dc.doc_id
+"""
+
+
+@query("pipeline_clean_corpus", oracle=_pipeline_oracle())
+def pipeline_clean_corpus(spark, sf_dir):
+    """Per-document keep/drop with audit flags, composed from the engine's
+    dedup/quality/decontamination components."""
+    from bravo_spark import llmops
+
+    docs = catalog.table_spread(spark, sf_dir, "documents")
+
+    exact = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy(F.md5(F.lower("text")))),
+            1,
+        )
+        .otherwise(0)
+        .alias("exact_dup"),
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    cl = llmops.connected_components(pairs).select(
+        F.col("doc_id"), F.col("cluster_id")
+    )
+
+    qual = spark.sql(_quality_filter_sql("spark")).select("doc_id", "kept")
+
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    decon = llmops.decontaminate(tr, ev, "doc_id", "text", n=_DECON_N).select(
+        F.col("doc_id").alias("__dc_id"), F.lit(1).alias("__dc")
+    )
+
+    out = (
+        docs.select("doc_id")
+        .join(exact, "doc_id")
+        .join(cl, "doc_id", "left")
+        .join(qual, "doc_id")
+        .join(decon, F.col("doc_id") == F.col("__dc_id"), "left")
+    )
+    near = F.when(
+        F.col("cluster_id").isNotNull()
+        & (F.col("doc_id") != F.col("cluster_id")),
+        1,
+    ).otherwise(0)
+    keep = F.when(
+        (F.col("doc_id") % 97 != 0)
+        & (F.col("exact_dup") == 0)
+        & (F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
+        & (F.col("kept") == 1)
+        & F.col("__dc").isNull(),
+        1,
+    ).otherwise(0)
+    return out.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 0, 1).otherwise(0).alias("is_eval"),
+        "exact_dup",
+        near.alias("near_dup"),
+        F.when(F.col("kept") == 0, 1).otherwise(0).alias("low_quality"),
+        F.when(F.col("__dc").isNotNull(), 1).otherwise(0).alias("contaminated"),
+        keep.alias("keep"),
+    )
