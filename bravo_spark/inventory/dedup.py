@@ -347,8 +347,14 @@ def dedup_embedding_lsh(spark, sf_dir):
 # recursive CTE (fine at oracle scale; the Spark path is the 100 TB path).
 # ---------------------------------------------------------------------------
 
-_CLUSTER_ORACLE = f"""
-WITH RECURSIVE pairs AS ({_lsh_pairs_sql('duckdb')}),
+def _cluster_cte_sql() -> str:
+    """Shared recursive-CTE prelude computing MinHash-LSH near-dup cluster
+    labels — CTEs ``pairs``/``edges``/``reach``/``cl`` (cl: doc_id,
+    cluster_id). Every oracle needing cluster labels composes this ONE
+    definition (compose as ``WITH RECURSIVE {_cluster_cte_sql()}, ...``),
+    so a change to cluster semantics cannot desynchronize one oracle from
+    the Spark implementation."""
+    return f"""pairs AS ({_lsh_pairs_sql('duckdb')}),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
@@ -357,9 +363,13 @@ reach(node, label) AS (
   SELECT a, a FROM edges
   UNION
   SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
-)
-SELECT node AS doc_id, min(label) AS cluster_id
-FROM reach GROUP BY node
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)"""
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_cluster_cte_sql()}
+SELECT doc_id, cluster_id FROM cl
 """
 
 
@@ -650,17 +660,7 @@ def dedup_substring_clean(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _KEEP_ORACLE = f"""
-WITH RECURSIVE pairs AS ({_lsh_pairs_sql('duckdb')}),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-reach(node, label) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
-),
-cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+WITH RECURSIVE {_cluster_cte_sql()},
 sizes AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY 1)
 SELECT d.doc_id, coalesce(s.n, 1) AS cluster_size
 FROM documents d

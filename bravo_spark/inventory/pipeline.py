@@ -26,7 +26,7 @@ from bravo_spark import catalog
 from bravo_spark.inventory.dedup import (
     _DECON_N,
     _DECON_ORACLE,
-    _lsh_pairs_sql,
+    _cluster_cte_sql,
     dedup_minhash_lsh,
 )
 from bravo_spark.inventory.registry import query
@@ -35,17 +35,7 @@ from bravo_spark.inventory.textops import _quality_filter_sql
 
 def _pipeline_oracle() -> str:
     return f"""
-WITH RECURSIVE pairs AS ({_lsh_pairs_sql('duckdb')}),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-reach(node, label) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
-),
-cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+WITH RECURSIVE {_cluster_cte_sql()},
 exact AS (
   SELECT doc_id, CASE WHEN doc_id <> min_id THEN 1 ELSE 0 END AS exact_dup
   FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text)))

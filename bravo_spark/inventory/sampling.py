@@ -337,27 +337,15 @@ def sequence_pack(spark, sf_dir):
 
 
 def _leakage_oracle() -> str:
-    from bravo_spark.inventory.dedup import _lsh_pairs_sql
+    from bravo_spark.inventory.dedup import _cluster_cte_sql
 
     bucket = _h32_duck("CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)")
     return f"""
-WITH RECURSIVE pairs AS ({_lsh_pairs_sql('duckdb')}),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-reach(node, label) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
-),
-clusters AS (
-  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
-)
+WITH RECURSIVE {_cluster_cte_sql()}
 SELECT d.doc_id,
   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
   CASE WHEN {bucket} % 100 < 90 THEN 'train' ELSE 'val' END AS split
-FROM documents d LEFT JOIN clusters c USING (doc_id)
+FROM documents d LEFT JOIN cl c USING (doc_id)
 """
 
 

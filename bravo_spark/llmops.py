@@ -720,11 +720,18 @@ def substring_dedup_clean(
         .agg(F.collect_set("p").alias("cov"))
     )
     joined = base.join(cov, "doc_id", "left")
+    # kept positions via array_except (hash-set, linear in |ws| + |cov|) —
+    # a filter with array_contains(cov, i) would be O(|ws| × |cov|),
+    # quadratic for the boilerplate-heavy documents this op targets
     clean = F.when(
         F.col("cov").isNull(), F.concat_ws(" ", F.col("ws"))
     ).otherwise(
         F.concat_ws(
-            " ", F.expr("filter(ws, (x, i) -> NOT array_contains(cov, i))")
+            " ",
+            F.expr(
+                "transform(array_except(sequence(0, size(ws) - 1), cov),"
+                " p -> ws[p])"
+            ),
         )
     )
     n_removed = F.when(F.col("cov").isNull(), F.lit(0)).otherwise(
