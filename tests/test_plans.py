@@ -389,3 +389,11 @@ def test_shard_shuffle_window_is_partition_parallel(plans):
     p = plans("shard_shuffle")
     assert "SinglePartition" not in p
     assert "Window" in p
+
+
+def test_pipeline_compose_has_no_cartesian_product(plans):
+    # the composed clean-corpus query joins five flag relations on doc_id;
+    # a CartesianProduct (or non-equi nested loop) would mean a join lost
+    # its key during composition
+    p = plans("pipeline_clean_corpus")
+    assert "CartesianProduct" not in p
