@@ -471,3 +471,34 @@ def test_java_utf_decode_rejects_bad_continuation_bytes():
     for bad in (b"\xc3A", b"\xe2A\xac", b"\xe2\x82A"):
         with _pytest.raises(ValueError, match="continuation byte"):
             _java_utf_decode(bad)
+
+
+def test_java_utf_property_roundtrip():
+    """Property: encode→decode is the identity for any Python string the
+    JVM could hold — BMP text, astral characters (CESU-8 pairs), NUL
+    (C0 80), and LONE surrogates (legal in Java strings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bravo_spark.sources.flink_metadata import (
+        _java_utf_decode,
+        _java_utf_encode,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=60))
+    def roundtrip(s):
+        assert _java_utf_decode(_java_utf_encode(s)) == s
+
+    roundtrip()
+
+    # explicit cases hypothesis's default alphabet never generates
+    for s in ("\x00", "a\x00b", "\ud800", "x\udfffy", "\U0001f600",
+              "😀"):  # the last: an already-paired surrogate pair
+        got = _java_utf_decode(_java_utf_encode(s))
+        # a d800/de00 pair merges to the astral char (Java string equality
+        # is on UTF-16 units, where those are the same string)
+        want = s.encode("utf-16-be", "surrogatepass").decode(
+            "utf-16-be", "surrogatepass"
+        )
+        assert got == want
