@@ -633,3 +633,43 @@ def custom_reader_expand(spark, sf_dir):
     return sr.read_custom(
         sp.read_savepoint(spark, out), "Count", expand, schema
     )
+
+
+@query(
+    "snapshot_datasource_scan",
+    oracle="SELECT user_id AS key, count(*) AS value FROM events GROUP BY user_id",
+)
+def snapshot_datasource_scan(spark, sf_dir):
+    """The savepoint scan through Spark's OWN source integration:
+    ``spark.read.format("bravo_savepoint")`` (sources/datasource.py, the
+    PySpark Python DataSource API) with a second decoy state present —
+    the ``state_name`` predicate is absorbed by ``pushFilters`` into the
+    byte scan (F1 through the engine's pushdown contract), so the decoy's
+    payloads are length-skipped, never decoded, and the result equals the
+    plain grouped count the oracle computes."""
+    from bravo_spark.sources import datasource as ds
+
+    ev = catalog.table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("value")
+    )
+    rows = sr.kv_to_state_rows(counts, "Count", fc.LONG, fc.LONG, max_parallelism=128)
+    decoy = sr.kv_to_state_rows(
+        counts.select("key", (F.col("value") * 1000).alias("value")),
+        "Decoy", fc.LONG, fc.LONG, max_parallelism=128,
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"bravo_snapshot_ds_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    sp.write_savepoint(
+        rows.unionByName(decoy), out, max_parallelism=128, parallelism=4,
+        state_ids={"Count": 0, "Decoy": 1},
+    )
+    ds.register(spark)
+    scanned = (
+        spark.read.format("bravo_savepoint")
+        .load(out)
+        .filter(F.col("state_name") == "Count")
+    )
+    return sr.read_value_kv(scanned, "Count", fc.LONG, fc.LONG)

@@ -1,0 +1,83 @@
+"""The bravo_savepoint Python DataSource: spark.read integration, filter
+pushdown into the byte scan, split planning, option narrowing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bravo_spark.codecs import flink as fc
+from bravo_spark.sources import datasource as ds
+from bravo_spark.sources import savepoint as sp
+from bravo_spark.sources import staterows as sr
+
+
+def _two_state_savepoint(spark, tmp_path, compression=False):
+    kv = spark.createDataFrame(
+        [(k, k * 10) for k in range(40)], "key int, value int"
+    )
+    rows = sr.kv_to_state_rows(kv, "Count", fc.INT, fc.INT)
+    other = sr.kv_to_state_rows(kv, "Other", fc.INT, fc.INT)
+    out = str(tmp_path / "sp")
+    sp.write_savepoint(
+        rows.unionByName(other), out, max_parallelism=128, parallelism=2,
+        state_ids={"Count": 0, "Other": 1}, compression=compression,
+    )
+    return out
+
+
+def test_datasource_scan_and_decode(spark, tmp_path):
+    out = _two_state_savepoint(spark, tmp_path)
+    ds.register(spark)
+    df = spark.read.format("bravo_savepoint").load(out)
+    assert df.count() == 80
+
+    filt = df.filter(F.col("state_name") == "Count")
+    got = sorted(
+        tuple(r)
+        for r in sr.read_value_kv(filt, "Count", fc.INT, fc.INT).collect()
+    )
+    assert got == [(k, k * 10) for k in range(40)]
+
+    # the pushed predicate is ABSORBED: the post-scan Filter keeps only
+    # the isnotnull guard, no state_name equality remains Spark-side
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan bravo_savepoint" in plan
+    assert "= Count" not in plan and "Count)" not in plan
+
+    # re-register is a no-op, and In() pushdown returns both states
+    ds.register(spark)
+    assert df.filter(F.col("state_name").isin("Count", "Other")).count() == 80
+
+
+def test_datasource_compressed_and_option_narrowing(spark, tmp_path):
+    out = _two_state_savepoint(spark, tmp_path, compression=True)
+    ds.register(spark)
+    narrowed = (
+        spark.read.format("bravo_savepoint")
+        .option("state_names", "Other")
+        .load(out)
+    )
+    assert narrowed.count() == 40
+    # option + contradictory pushed filter intersect to the empty set
+    assert narrowed.filter(F.col("state_name") == "Count").count() == 0
+
+
+def test_push_filters_unit():
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In
+
+    r = ds.SavepointScanReader({"path": "/nonexistent"})
+    other = GreaterThanOrEqual(("key_ns",), b"")
+    remaining = list(
+        r.pushFilters(
+            [EqualTo(("state_name",), "A"), In(("state_name",), ("A", "B")), other]
+        )
+    )
+    assert remaining == [other]  # name predicates absorbed, rest yielded
+    assert r.state_names == {"A"}  # EqualTo({A}) ∩ In({A,B})
+
+
+def test_datasource_requires_path():
+    with pytest.raises(ValueError, match="path"):
+        ds.SavepointScanReader({})
