@@ -640,13 +640,17 @@ def custom_reader_expand(spark, sf_dir):
     oracle="SELECT user_id AS key, count(*) AS value FROM events GROUP BY user_id",
 )
 def snapshot_datasource_scan(spark, sf_dir):
-    """The savepoint scan through Spark's OWN source integration:
-    ``spark.read.format("bravo_savepoint")`` (sources/datasource.py, the
-    PySpark Python DataSource API) with a second decoy state present —
-    the ``state_name`` predicate is absorbed by ``pushFilters`` into the
-    byte scan (F1 through the engine's pushdown contract), so the decoy's
-    payloads are length-skipped, never decoded, and the result equals the
-    plain grouped count the oracle computes."""
+    """The savepoint round trip through Spark's OWN source integration
+    (sources/datasource.py, the PySpark Python DataSource API), both
+    directions: ``df.write.format("bravo_savepoint")`` serializes the
+    state rows (S7 through the engine's sink contract), then
+    ``spark.read.format("bravo_savepoint")`` scans them back with a decoy
+    state present — the ``state_name`` predicate is absorbed by
+    ``pushFilters`` into the byte scan (F1 through the engine's pushdown
+    contract), so the decoy's payloads are length-skipped, never decoded,
+    and the result equals the plain grouped count the oracle computes."""
+    import json as _json
+
     from bravo_spark.sources import datasource as ds
 
     ev = catalog.table(spark, sf_dir, "events")
@@ -662,11 +666,16 @@ def snapshot_datasource_scan(spark, sf_dir):
         tempfile.gettempdir(), f"bravo_snapshot_ds_{os.getpid()}"
     )
     shutil.rmtree(out, ignore_errors=True)
-    sp.write_savepoint(
-        rows.unionByName(decoy), out, max_parallelism=128, parallelism=4,
-        state_ids={"Count": 0, "Decoy": 1},
-    )
     ds.register(spark)
+    (
+        rows.unionByName(decoy)
+        .write.format("bravo_savepoint")
+        .option("state_ids", _json.dumps({"Count": 0, "Decoy": 1}))
+        .option("max_parallelism", "128")
+        .option("parallelism", "4")
+        .mode("overwrite")
+        .save(out)
+    )
     scanned = (
         spark.read.format("bravo_savepoint")
         .load(out)

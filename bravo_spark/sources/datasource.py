@@ -30,13 +30,22 @@ from __future__ import annotations
 
 import json
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
+
+
+@dataclass
+class SavepointCommit(WriterCommitMessage):
+    files: str  # JSON list of {path, op_index, offsets}
 
 STATE_ROW_DDL = "state_name string, key_ns binary, value binary"
 
@@ -51,6 +60,9 @@ class SavepointDataSource(DataSource):
 
     def reader(self, schema) -> "SavepointScanReader":
         return SavepointScanReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "SavepointWriter":
+        return SavepointWriter(self.options, overwrite)
 
 
 class SavepointScanReader(DataSourceReader):
@@ -134,6 +146,133 @@ class SavepointScanReader(DataSourceReader):
             ],
             names=["state_name", "key_ns", "value"],
         )
+
+
+class SavepointWriter(DataSourceWriter):
+    """``df.write.format("bravo_savepoint")`` — S7 through the engine's
+    sink contract. Each task sorts ITS rows by (op_index, key_group,
+    state_id) and streams section files (several tasks may contribute
+    files for the same operator index; the scan concatenates partial
+    key-group sections, so results are correct under ANY upstream
+    partitioning). For the one-file-per-operator layout a Flink restore
+    expects, pre-shape with ``repartition(parallelism, "op_index")`` —
+    or use ``write_savepoint``, which owns its shuffle. Requires
+    ``state_ids`` as a JSON option: tasks cannot globally collect names.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        import os
+
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "bravo_savepoint write needs .save('/path') or .option('path', ...)"
+            )
+        sids = options.get("state_ids")
+        if not sids:
+            raise ValueError(
+                'bravo_savepoint write requires .option("state_ids", '
+                '\'{"Name": 0, ...}\') — executor tasks cannot derive the '
+                "global name→id mapping"
+            )
+        self.path = path
+        self.state_ids: dict[str, int] = {
+            str(k): int(v) for k, v in json.loads(sids).items()
+        }
+        self.max_parallelism = int(options.get("max_parallelism", "128"))
+        self.parallelism = int(options.get("parallelism", "1"))
+        self.compression = str(options.get("compression", "false")).lower() == "true"
+        if overwrite and os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, rows):
+        import os
+        import uuid as _uuid
+
+        from bravo_spark.codecs import flink as fc
+        from bravo_spark.sources.savepoint import _frame_compress
+
+        prefix = fc.key_group_prefix_bytes(self.max_parallelism)
+        mask = 0x7F if prefix == 1 else 0x7FFF
+        buffered = []
+        for row in rows:
+            kns = bytes(row.key_ns)
+            kg = int.from_bytes(kns[:prefix], "big") & mask
+            if not 0 <= kg < self.max_parallelism:
+                raise ValueError(
+                    f"derived key group {kg} is outside "
+                    f"[0, {self.max_parallelism}) — rows were encoded with "
+                    "a different max_parallelism than the writer was given"
+                )
+            sid = self.state_ids.get(row.state_name)
+            if sid is None:
+                raise ValueError(
+                    f"state_ids has no entry for {row.state_name!r} "
+                    f"(provided: {sorted(self.state_ids)})"
+                )
+            op = kg * self.parallelism // self.max_parallelism
+            buffered.append((op, kg, sid, kns, bytes(row.value)))
+        buffered.sort(key=lambda t: t[:3])
+
+        files = []
+        i, n = 0, len(buffered)
+        while i < n:
+            op = buffered[i][0]
+            fpath = os.path.join(self.path, f"op-{op}-{_uuid.uuid4().hex}")
+            offsets: dict[int, int] = {}
+            with open(fpath, "wb") as f:
+                while i < n and buffered[i][0] == op:
+                    kg = buffered[i][1]
+                    entries = []
+                    while i < n and buffered[i][0] == op and buffered[i][1] == kg:
+                        _op, _kg, sid, kns, val = buffered[i]
+                        entries.append((sid, kns, val))
+                        i += 1
+                    offsets[kg] = f.tell()
+                    buf = fc.write_key_group_section(entries)
+                    if self.compression:
+                        buf = _frame_compress(buf)
+                    f.write(buf)
+            files.append(
+                {"path": fpath, "op_index": op,
+                 "offsets": {str(k): v for k, v in offsets.items()}}
+            )
+        return SavepointCommit(json.dumps(files))
+
+    def commit(self, messages):
+        import os
+
+        from bravo_spark.sources.savepoint import METADATA_FILE, SavepointMeta
+
+        meta = SavepointMeta(
+            self.max_parallelism, self.parallelism, dict(self.state_ids),
+            compression=self.compression,
+        )
+        for m in messages:
+            if m is None:
+                continue
+            for fm in json.loads(m.files):
+                meta.files.append(
+                    {"path": fm["path"], "op_index": int(fm["op_index"]),
+                     "offsets": {k: int(v) for k, v in fm["offsets"].items()}}
+                )
+        with open(os.path.join(self.path, METADATA_FILE), "w") as f:
+            f.write(meta.to_json())
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            if m is None:
+                continue
+            for fm in json.loads(m.files):
+                try:
+                    os.remove(fm["path"])
+                except OSError:
+                    pass
 
 
 def register(spark) -> None:

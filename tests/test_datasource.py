@@ -81,3 +81,59 @@ def test_push_filters_unit():
 def test_datasource_requires_path():
     with pytest.raises(ValueError, match="path"):
         ds.SavepointScanReader({})
+
+
+def test_datasource_writer_roundtrip(spark, tmp_path):
+    import json as _json
+
+    ds.register(spark)
+    kv = spark.createDataFrame(
+        [(k, k * 10) for k in range(60)], "key int, value int"
+    )
+    rows = sr.kv_to_state_rows(kv, "Count", fc.INT, fc.INT)
+    out = str(tmp_path / "w")
+    (
+        rows.write.format("bravo_savepoint")
+        .option("state_ids", _json.dumps({"Count": 0}))
+        .option("max_parallelism", "128")
+        .option("parallelism", "3")
+        .mode("overwrite")
+        .save(out)
+    )
+    meta = sp.read_savepoint_meta(out)
+    assert meta.parallelism == 3 and meta.state_ids == {"Count": 0}
+    # correct under arbitrary upstream partitioning (several partial files
+    # per op are legal; the scan concatenates sections)
+    back = sr.read_value_kv(sp.read_savepoint(spark, out), "Count", fc.INT, fc.INT)
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (k, k * 10) for k in range(60)
+    ]
+
+    # pre-shaped on op_index -> exactly one file per operator index
+    shaped = sr.with_operator_index_column(
+        sr.with_key_group_column(rows, max_parallelism=128),
+        max_parallelism=128, parallelism=3,
+    )
+    out2 = str(tmp_path / "w2")
+    (
+        shaped.repartition(3, "op_index")
+        .select("state_name", "key_ns", "value")
+        .write.format("bravo_savepoint")
+        .option("state_ids", _json.dumps({"Count": 0}))
+        .option("max_parallelism", "128")
+        .option("parallelism", "3")
+        .mode("append")
+        .save(out2)
+    )
+    assert len(sp.read_savepoint_meta(out2).files) == 3
+
+    # refusals: missing state_ids; unmapped state name
+    with pytest.raises(Exception, match="state_ids"):
+        rows.write.format("bravo_savepoint").mode("overwrite").save(out)
+    with pytest.raises(Exception, match="no entry"):
+        (
+            rows.write.format("bravo_savepoint")
+            .option("state_ids", _json.dumps({"Wrong": 0}))
+            .mode("overwrite")
+            .save(str(tmp_path / "w3"))
+        )
