@@ -35,7 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceWriter,
+    DataSourceArrowWriter,
     EqualTo,
     In,
     InputPartition,
@@ -47,7 +47,12 @@ from pyspark.sql.datasource import (
 class SavepointCommit(WriterCommitMessage):
     files: str  # JSON list of {path, op_index, offsets}
 
-STATE_ROW_DDL = "state_name string, key_ns binary, value binary"
+def _state_row_schema():
+    """The canonical universal state-row schema, imported lazily so this
+    module stays import-light on executors."""
+    from bravo_spark.sources.staterows import STATE_ROW_SCHEMA
+
+    return STATE_ROW_SCHEMA
 
 
 class SavepointDataSource(DataSource):
@@ -55,8 +60,8 @@ class SavepointDataSource(DataSource):
     def name(cls) -> str:
         return "bravo_savepoint"
 
-    def schema(self) -> str:
-        return STATE_ROW_DDL
+    def schema(self):
+        return _state_row_schema()
 
     def reader(self, schema) -> "SavepointScanReader":
         return SavepointScanReader(self.options)
@@ -99,6 +104,11 @@ class SavepointScanReader(DataSourceReader):
     def partitions(self):
         from bravo_spark.sources.savepoint import _plan_scan
 
+        if self.state_names is not None and not self.state_names:
+            # option ∩ pushed filters is provably empty — no bytes to scan
+            return [InputPartition(json.dumps(
+                {"ids": {}, "names": [], "compressed": False,
+                 "file": None, "spans": []}))]
         names = sorted(self.state_names) if self.state_names is not None else None
         splits, id_to_name, _filt, compressed = _plan_scan(self.path, names, None)
         payload_base = {
@@ -116,8 +126,7 @@ class SavepointScanReader(DataSourceReader):
     def read(self, partition: InputPartition):
         import pyarrow as pa
 
-        from bravo_spark.codecs import flink as fc
-        from bravo_spark.sources.savepoint import _frame_decompress
+        from bravo_spark.sources.savepoint import iter_file_spans
 
         spec = json.loads(partition.value)
         if spec["file"] is None:
@@ -126,18 +135,13 @@ class SavepointScanReader(DataSourceReader):
         allowed = set(spec["names"]) if spec["names"] is not None else None
         state_filter = (lambda n: n in allowed) if allowed is not None else (lambda _n: True)
         names, keys, vals = [], [], []
-        with open(spec["file"], "rb") as f:
-            for _kg, off, end in spec["spans"]:
-                f.seek(off)
-                buf = f.read(end - off)
-                if spec["compressed"]:
-                    buf = _frame_decompress(buf)
-                for name, key, val in fc.iter_key_group_section(
-                    buf, id_to_name, state_filter
-                ):
-                    names.append(name)
-                    keys.append(key)
-                    vals.append(val)
+        for name, key, val in iter_file_spans(
+            spec["file"], spec["spans"], id_to_name, state_filter,
+            spec["compressed"],
+        ):
+            names.append(name)
+            keys.append(key)
+            vals.append(val)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(names, type=pa.string()),
@@ -148,17 +152,33 @@ class SavepointScanReader(DataSourceReader):
         )
 
 
-class SavepointWriter(DataSourceWriter):
+class SavepointWriter(DataSourceArrowWriter):
     """``df.write.format("bravo_savepoint")`` — S7 through the engine's
-    sink contract. Each task sorts ITS rows by (op_index, key_group,
-    state_id) and streams section files (several tasks may contribute
-    files for the same operator index; the scan concatenates partial
-    key-group sections, so results are correct under ANY upstream
-    partitioning). For the one-file-per-operator layout a Flink restore
-    expects, pre-shape with ``repartition(parallelism, "op_index")`` —
-    or use ``write_savepoint``, which owns its shuffle. Requires
-    ``state_ids`` as a JSON option: tasks cannot globally collect names.
-    """
+    sink contract. Each task receives Arrow batches (no per-row pickling),
+    sorts ITS rows by (op_index, key_group, state_id), and streams section
+    files (several tasks may contribute files for the same operator index;
+    the scan concatenates partial key-group sections, so results are
+    correct under ANY upstream partitioning). For the one-file-per-operator
+    layout a Flink restore expects, pre-shape with
+    ``repartition(parallelism, "op_index")`` — or use ``write_savepoint``,
+    which owns its shuffle AND sorts engine-side (this writer holds one
+    task partition in memory for the sort; size upstream partitions
+    accordingly).
+
+    Durability protocol: new files land under unique names next to the
+    existing savepoint; nothing pre-existing is touched until ``commit``.
+    - overwrite: commit writes the new metadata FIRST, then deletes the
+      files the old metadata referenced — a failed job aborts cleanly
+      (only the new files are removed) and the original savepoint stays
+      readable throughout, so read-then-overwrite of the same path works.
+    - append: commit MERGES metadata — max_parallelism/compression must
+      match and state_ids must agree on shared names; prior files remain
+      listed, so earlier appends stay visible.
+
+    ``state_ids`` and ``max_parallelism`` are REQUIRED options: tasks
+    cannot collect the global name→id mapping, and a defaulted
+    max_parallelism would silently mis-derive every key group (the prefix
+    width inside key_ns depends on it)."""
 
     def __init__(self, options, overwrite: bool):
         import os
@@ -175,20 +195,25 @@ class SavepointWriter(DataSourceWriter):
                 '\'{"Name": 0, ...}\') — executor tasks cannot derive the '
                 "global name→id mapping"
             )
+        maxp = options.get("max_parallelism")
+        if not maxp:
+            raise ValueError(
+                'bravo_savepoint write requires .option("max_parallelism", '
+                "...) matching the value the rows were ENCODED with — a "
+                "default would silently mis-read key bytes as group bytes "
+                "when it disagrees with the key_ns prefix width"
+            )
         self.path = path
+        self.overwrite = overwrite
         self.state_ids: dict[str, int] = {
             str(k): int(v) for k, v in json.loads(sids).items()
         }
-        self.max_parallelism = int(options.get("max_parallelism", "128"))
+        self.max_parallelism = int(maxp)
         self.parallelism = int(options.get("parallelism", "1"))
         self.compression = str(options.get("compression", "false")).lower() == "true"
-        if overwrite and os.path.isdir(path):
-            import shutil
-
-            shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
 
-    def write(self, rows):
+    def write(self, batches):
         import os
         import uuid as _uuid
 
@@ -198,23 +223,25 @@ class SavepointWriter(DataSourceWriter):
         prefix = fc.key_group_prefix_bytes(self.max_parallelism)
         mask = 0x7F if prefix == 1 else 0x7FFF
         buffered = []
-        for row in rows:
-            kns = bytes(row.key_ns)
-            kg = int.from_bytes(kns[:prefix], "big") & mask
-            if not 0 <= kg < self.max_parallelism:
-                raise ValueError(
-                    f"derived key group {kg} is outside "
-                    f"[0, {self.max_parallelism}) — rows were encoded with "
-                    "a different max_parallelism than the writer was given"
-                )
-            sid = self.state_ids.get(row.state_name)
-            if sid is None:
-                raise ValueError(
-                    f"state_ids has no entry for {row.state_name!r} "
-                    f"(provided: {sorted(self.state_ids)})"
-                )
-            op = kg * self.parallelism // self.max_parallelism
-            buffered.append((op, kg, sid, kns, bytes(row.value)))
+        for batch in batches:
+            d = batch.to_pydict()
+            for sn, kns, val in zip(d["state_name"], d["key_ns"], d["value"]):
+                kns = bytes(kns)
+                kg = int.from_bytes(kns[:prefix], "big") & mask
+                if not 0 <= kg < self.max_parallelism:
+                    raise ValueError(
+                        f"derived key group {kg} is outside "
+                        f"[0, {self.max_parallelism}) — rows were encoded with "
+                        "a different max_parallelism than the writer was given"
+                    )
+                sid = self.state_ids.get(sn)
+                if sid is None:
+                    raise ValueError(
+                        f"state_ids has no entry for {sn!r} "
+                        f"(provided: {sorted(self.state_ids)})"
+                    )
+                op = kg * self.parallelism // self.max_parallelism
+                buffered.append((op, kg, sid, kns, bytes(val)))
         buffered.sort(key=lambda t: t[:3])
 
         files = []
@@ -242,37 +269,85 @@ class SavepointWriter(DataSourceWriter):
             )
         return SavepointCommit(json.dumps(files))
 
+    def _new_files(self, messages):
+        out = []
+        for m in messages or []:
+            if m is None:
+                continue
+            out.extend(json.loads(m.files))
+        return out
+
     def commit(self, messages):
         import os
 
-        from bravo_spark.sources.savepoint import METADATA_FILE, SavepointMeta
+        from bravo_spark.sources.savepoint import (
+            METADATA_FILE,
+            SavepointMeta,
+            read_savepoint_meta,
+        )
+
+        meta_path = os.path.join(self.path, METADATA_FILE)
+        prior = read_savepoint_meta(self.path) if os.path.exists(meta_path) else None
 
         meta = SavepointMeta(
             self.max_parallelism, self.parallelism, dict(self.state_ids),
             compression=self.compression,
         )
-        for m in messages:
-            if m is None:
-                continue
-            for fm in json.loads(m.files):
-                meta.files.append(
-                    {"path": fm["path"], "op_index": int(fm["op_index"]),
-                     "offsets": {k: int(v) for k, v in fm["offsets"].items()}}
+        if prior is not None and not self.overwrite:
+            # append: refuse silent incompatibility, keep prior files listed
+            if prior.max_parallelism != self.max_parallelism:
+                raise ValueError(
+                    f"append with max_parallelism={self.max_parallelism} onto "
+                    f"a savepoint written at {prior.max_parallelism} — the "
+                    "key-group prefix widths disagree"
                 )
-        with open(os.path.join(self.path, METADATA_FILE), "w") as f:
+            if prior.compression != self.compression:
+                raise ValueError(
+                    "append cannot mix compressed and uncompressed sections "
+                    f"(existing savepoint compression={prior.compression})"
+                )
+            for name, sid in prior.state_ids.items():
+                ours = meta.state_ids.get(name)
+                if ours is not None and ours != sid:
+                    raise ValueError(
+                        f"append state_ids conflict for {name!r}: existing id "
+                        f"{sid}, new id {ours}"
+                    )
+                meta.state_ids.setdefault(name, sid)
+            by_id: dict[int, str] = {}
+            for name, sid in meta.state_ids.items():
+                if sid in by_id:
+                    raise ValueError(
+                        f"append state_ids conflict: id {sid} maps to both "
+                        f"{by_id[sid]!r} and {name!r}"
+                    )
+                by_id[sid] = name
+            meta.files.extend(prior.files)
+        for fm in self._new_files(messages):
+            meta.files.append(
+                {"path": fm["path"], "op_index": int(fm["op_index"]),
+                 "offsets": {k: int(v) for k, v in fm["offsets"].items()}}
+            )
+        with open(meta_path, "w") as f:
             f.write(meta.to_json())
+        if prior is not None and self.overwrite:
+            # old data is dropped only AFTER the new metadata is durable
+            keep = {fm["path"] for fm in meta.files}
+            for old in prior.files:
+                if old["path"] not in keep:
+                    try:
+                        os.remove(old["path"])
+                    except OSError:
+                        pass
 
     def abort(self, messages):
         import os
 
-        for m in messages or []:
-            if m is None:
-                continue
-            for fm in json.loads(m.files):
-                try:
-                    os.remove(fm["path"])
-                except OSError:
-                    pass
+        for fm in self._new_files(messages):
+            try:
+                os.remove(fm["path"])
+            except OSError:
+                pass
 
 
 def register(spark) -> None:

@@ -352,22 +352,31 @@ def _split_frame(spark: SparkSession, splits):
     )
 
 
+def iter_file_spans(fpath, spans, id_to_name, state_filter, compressed=False):
+    """The byte-scan inner loop shared by every scan front end (mapInPandas
+    readers here, the bravo_savepoint DataSource): open one section file,
+    read the given (key_group, start, end) spans, decompress when the
+    savepoint is Snappy-framed, and decode → (state_name, key_ns, value)."""
+    with open(fpath, "rb") as f:
+        for _kg, off, end in spans:
+            f.seek(off)
+            buf = f.read(end - off)
+            if compressed:
+                buf = _frame_decompress(buf)
+            yield from fc.iter_key_group_section(buf, id_to_name, state_filter)
+
+
 def _scan_splits(pdf_iter, id_to_name, state_filter, compressed=False):
     for pdf in pdf_iter:
         for fpath, spans_json in zip(pdf["file"], pdf["spans"]):
             names, keys, vals = [], [], []
-            with open(fpath, "rb") as f:
-                for _kg, off, end in json.loads(spans_json):
-                    f.seek(off)
-                    buf = f.read(end - off)
-                    if compressed:
-                        buf = _frame_decompress(buf)
-                    for name, key, val in fc.iter_key_group_section(
-                        buf, id_to_name, state_filter
-                    ):
-                        names.append(name)
-                        keys.append(key)
-                        vals.append(val)
+            for name, key, val in iter_file_spans(
+                fpath, json.loads(spans_json), id_to_name, state_filter,
+                compressed,
+            ):
+                names.append(name)
+                keys.append(key)
+                vals.append(val)
             yield pd.DataFrame(
                 {"state_name": names, "key_ns": keys, "value": vals},
                 columns=["state_name", "key_ns", "value"],
@@ -432,17 +441,12 @@ def read_savepoint_kv(
             raw_keys: list[bytes] = []
             raw_vals: list[bytes] = []
             for fpath, spans_json in zip(pdf["file"], pdf["spans"]):
-                with open(fpath, "rb") as f:
-                    for _kg, off, end in json.loads(spans_json):
-                        f.seek(off)
-                        buf = f.read(end - off)
-                        if compressed:
-                            buf = _frame_decompress(buf)
-                        for _n, kns, raw in fc.iter_key_group_section(
-                            buf, id_to_name, state_filter
-                        ):
-                            raw_keys.append(kns)
-                            raw_vals.append(raw)
+                for _n, kns, raw in iter_file_spans(
+                    fpath, json.loads(spans_json), id_to_name, state_filter,
+                    compressed,
+                ):
+                    raw_keys.append(kns)
+                    raw_vals.append(raw)
             fast = (
                 vz.decode_kv_fixed(
                     raw_keys, raw_vals, key_codec, value_codec,

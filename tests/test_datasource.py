@@ -127,13 +127,96 @@ def test_datasource_writer_roundtrip(spark, tmp_path):
     )
     assert len(sp.read_savepoint_meta(out2).files) == 3
 
-    # refusals: missing state_ids; unmapped state name
+    # refusals: missing state_ids; missing max_parallelism; unmapped name
     with pytest.raises(Exception, match="state_ids"):
         rows.write.format("bravo_savepoint").mode("overwrite").save(out)
+    with pytest.raises(Exception, match="max_parallelism"):
+        (
+            rows.write.format("bravo_savepoint")
+            .option("state_ids", _json.dumps({"Count": 0}))
+            .mode("overwrite")
+            .save(str(tmp_path / "w3"))
+        )
     with pytest.raises(Exception, match="no entry"):
         (
             rows.write.format("bravo_savepoint")
             .option("state_ids", _json.dumps({"Wrong": 0}))
+            .option("max_parallelism", "128")
             .mode("overwrite")
             .save(str(tmp_path / "w3"))
         )
+
+
+def test_datasource_writer_append_merges_and_overwrite_is_deferred(
+    spark, tmp_path
+):
+    """The durability protocol: append must keep earlier data visible
+    (metadata merge), and a FAILED overwrite must leave the original
+    savepoint fully readable (old files are deleted only in commit,
+    after the new metadata is durable)."""
+    import json as _json
+
+    ds.register(spark)
+    out = str(tmp_path / "sp")
+
+    def write(kv_rows, state, mode, ids):
+        (
+            kv_rows.write.format("bravo_savepoint")
+            .option("state_ids", _json.dumps(ids))
+            .option("max_parallelism", "128")
+            .option("parallelism", "2")
+            .mode(mode)
+            .save(out)
+        )
+        _ = state
+
+    kv1 = spark.createDataFrame([(k, k) for k in range(10)], "key int, value int")
+    rows1 = sr.kv_to_state_rows(kv1, "A", fc.INT, fc.INT)
+    write(rows1, "A", "overwrite", {"A": 0})
+
+    kv2 = spark.createDataFrame([(k, k) for k in range(10, 30)], "key int, value int")
+    rows2 = sr.kv_to_state_rows(kv2, "B", fc.INT, fc.INT)
+    write(rows2, "B", "append", {"B": 1})
+
+    df = spark.read.format("bravo_savepoint").load(out)
+    assert df.count() == 30  # append did NOT orphan the first write
+    meta = sp.read_savepoint_meta(out)
+    assert meta.state_ids == {"A": 0, "B": 1}
+
+    # append with a conflicting id for an existing name refuses
+    with pytest.raises(Exception, match="conflict"):
+        write(rows2, "B", "append", {"B": 0})
+
+    # failed overwrite (unmapped state) leaves the original intact
+    with pytest.raises(Exception, match="no entry"):
+        write(rows1, "A", "overwrite", {"Nope": 0})
+    assert spark.read.format("bravo_savepoint").load(out).count() == 30
+
+    # successful overwrite replaces data AND removes the old files
+    import os
+
+    before = {f for f in os.listdir(out) if f.startswith("op-")}
+    write(rows1, "A", "overwrite", {"A": 0})
+    after = {f for f in os.listdir(out) if f.startswith("op-")}
+    assert spark.read.format("bravo_savepoint").load(out).count() == 10
+    assert not (before & after)  # every pre-overwrite file is gone
+
+
+def test_datasource_empty_selection_short_circuits(spark, tmp_path):
+    out = _two_state_savepoint(spark, tmp_path)
+    ds.register(spark)
+    empty = (
+        spark.read.format("bravo_savepoint")
+        .option("state_names", "Other")
+        .load(out)
+        .filter(F.col("state_name") == "Count")
+    )
+    assert empty.count() == 0
+    # provably-empty selection plans the single no-op sentinel partition
+    r = ds.SavepointScanReader({"path": out, "state_names": "Other"})
+    list(r.pushFilters([__import__("pyspark").sql.datasource.EqualTo(("state_name",), "Count")]))
+    parts = r.partitions()
+    assert len(parts) == 1
+    import json as _json
+
+    assert _json.loads(parts[0].value)["file"] is None
