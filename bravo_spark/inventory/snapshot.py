@@ -682,3 +682,44 @@ def snapshot_datasource_scan(spark, sf_dir):
         .filter(F.col("state_name") == "Count")
     )
     return sr.read_value_kv(scanned, "Count", fc.LONG, fc.LONG)
+
+
+@query(
+    "checkpoint_datasource_scan",
+    oracle="SELECT user_id AS key, count(*) AS value FROM events GROUP BY user_id",
+)
+def checkpoint_datasource_scan(spark, sf_dir):
+    """The incremental-checkpoint scan through Spark's OWN source
+    integration: ``spark.read.format("bravo_checkpoint")`` yields the raw
+    per-version SST relation, the ``state_name`` predicate is absorbed by
+    ``pushFilters`` into COLUMN-FAMILY pruning (a decoy CF's files cost a
+    footer+properties read, their data blocks never touched), and
+    ``resolve_lsm`` + the value reader recover the grouped counts the
+    oracle computes."""
+    from bravo_spark.sources import checkpoint as ck
+    from bravo_spark.sources import datasource as ds
+
+    ev = catalog.table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    kv = counts.select(
+        F.col("user_id").alias("key"), F.col("cnt").alias("value")
+    )
+    rows = sr.kv_to_state_rows(kv, "Count", fc.LONG, fc.LONG, max_parallelism=128)
+    decoy = sr.kv_to_state_rows(
+        kv.select("key", (F.col("value") * 1000).alias("value")),
+        "Decoy", fc.LONG, fc.LONG, max_parallelism=128,
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"bravo_ckpt_ds_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ck.write_incremental_checkpoint(
+        rows.unionByName(decoy), out, max_parallelism=128, parallelism=4
+    )
+    ds.register(spark)
+    raw = (
+        spark.read.format("bravo_checkpoint")
+        .load(out)
+        .filter(F.col("state_name") == "Count")
+    )
+    return sr.read_value_kv(ck.resolve_lsm(raw), "Count", fc.LONG, fc.LONG)

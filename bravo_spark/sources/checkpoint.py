@@ -145,6 +145,17 @@ def read_incremental_checkpoint(
     raw = frame.mapInPandas(
         lambda it: _scan_ssts(it, state_filter), schema=_RAW_SCHEMA
     )
+    return resolve_lsm(raw)
+
+
+def resolve_lsm(raw: DataFrame) -> DataFrame:
+    """LSM resolution over the raw per-version SST relation
+    (state_name, key_ns, seq, vtype, value): newest-seq shadowing,
+    tombstones, StringAppend merge-operand folding — one shuffle on
+    (state_name, key_ns), everything else builtin expressions. Shared by
+    ``read_incremental_checkpoint`` and the ``bravo_checkpoint``
+    DataSource front door (sources/datasource.py), whose scan yields the
+    same raw relation."""
     resolved = (
         raw.groupBy("state_name", "key_ns")
         .agg(F.collect_list(F.struct("seq", "vtype", "value")).alias("es"))

@@ -350,10 +350,106 @@ class SavepointWriter(DataSourceArrowWriter):
                 pass
 
 
+class CheckpointDataSource(DataSource):
+    """``spark.read.format("bravo_checkpoint").load(ckpt_dir)`` — the
+    incremental-checkpoint (RocksDB SST) scan through the engine's source
+    contract. Yields the RAW per-version relation (state_name, key_ns,
+    seq, vtype, value): apply :func:`bravo_spark.sources.checkpoint.
+    resolve_lsm` on top for the merged view, exactly as
+    ``read_incremental_checkpoint`` does.
+
+    ``state_name`` EqualTo/In predicates reach ``pushFilters`` and become
+    COLUMN-FAMILY pruning: each SST names its column family in its
+    properties block, so a non-selected file costs a footer+properties
+    read and its data blocks are never touched."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bravo_checkpoint"
+
+    def schema(self) -> str:
+        return "state_name string, key_ns binary, seq long, vtype int, value binary"
+
+    def reader(self, schema) -> "CheckpointScanReader":
+        return CheckpointScanReader(self.options)
+
+
+class CheckpointScanReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "bravo_checkpoint needs a checkpoint directory: "
+                ".load('/path/to/checkpoint') or .option('path', ...)"
+            )
+        self.path = path
+        names = options.get("state_names")
+        self.state_names: set[str] | None = (
+            {n.strip() for n in names.split(",") if n.strip()} if names else None
+        )
+
+    def _narrow(self, names: set[str]) -> None:
+        self.state_names = (
+            names if self.state_names is None else self.state_names & names
+        )
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("state_name",):
+                self._narrow({f.value})
+            elif isinstance(f, In) and f.attribute == ("state_name",):
+                self._narrow(set(f.value))
+            else:
+                yield f
+
+    def partitions(self):
+        from bravo_spark.sources.checkpoint import list_sst_files
+
+        if self.state_names is not None and not self.state_names:
+            return [InputPartition(json.dumps({"file": None, "names": []}))]
+        names = sorted(self.state_names) if self.state_names is not None else None
+        return [
+            InputPartition(json.dumps({"file": p, "names": names}))
+            for p in list_sst_files(self.path)
+        ]
+
+    def read(self, partition: InputPartition):
+        import pyarrow as pa
+
+        from bravo_spark.sources import sst as sstmod
+
+        spec = json.loads(partition.value)
+        if spec["file"] is None:
+            return
+        allowed = set(spec["names"]) if spec["names"] is not None else None
+        reader = sstmod.SstReader(spec["file"])
+        cf = reader.column_family_name
+        if cf == "default" or (allowed is not None and cf not in allowed):
+            return  # CF pruning: footer+props read only, data blocks skipped
+        names, keys, seqs, types, vals = [], [], [], [], []
+        for user_key, seq, vtype, value in reader.iter_entries():
+            names.append(cf)
+            keys.append(user_key)
+            seqs.append(seq)
+            types.append(vtype)
+            vals.append(value)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(names, type=pa.string()),
+                pa.array(keys, type=pa.binary()),
+                pa.array(seqs, type=pa.int64()),
+                pa.array(types, type=pa.int32()),
+                pa.array(vals, type=pa.binary()),
+            ],
+            names=["state_name", "key_ns", "seq", "vtype", "value"],
+        )
+
+
 def register(spark) -> None:
-    """Idempotently register the ``bravo_savepoint`` format on a session."""
-    try:
-        spark.dataSource.register(SavepointDataSource)
-    except Exception as exc:  # already registered → keep the session's copy
-        if "already" not in str(exc).lower():
-            raise
+    """Idempotently register the bravo formats on a session."""
+    for source in (SavepointDataSource, CheckpointDataSource):
+        try:
+            spark.dataSource.register(source)
+        except Exception as exc:  # already registered → keep the session's copy
+            if "already" not in str(exc).lower():
+                raise

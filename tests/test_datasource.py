@@ -220,3 +220,51 @@ def test_datasource_empty_selection_short_circuits(spark, tmp_path):
     import json as _json
 
     assert _json.loads(parts[0].value)["file"] is None
+
+
+def test_checkpoint_datasource_scan(spark, tmp_path):
+    """bravo_checkpoint format: raw per-version SST relation, CF pruning
+    via pushed state_name predicates, resolve_lsm equivalence with the
+    library read path."""
+    import json as _json
+
+    from bravo_spark.sources import checkpoint as ck
+
+    kv = spark.createDataFrame(
+        [(k, k * 10) for k in range(50)], "key long, value long"
+    )
+    rows = sr.kv_to_state_rows(kv, "Count", fc.LONG, fc.LONG)
+    decoy = sr.kv_to_state_rows(kv, "Decoy", fc.LONG, fc.LONG)
+    out = str(tmp_path / "ckpt")
+    ck.write_incremental_checkpoint(
+        rows.unionByName(decoy), out, max_parallelism=128, parallelism=2
+    )
+    ds.register(spark)
+
+    raw = spark.read.format("bravo_checkpoint").load(out)
+    only = raw.filter(F.col("state_name") == "Count")
+    got = sorted(
+        tuple(r)
+        for r in sr.read_value_kv(
+            ck.resolve_lsm(only), "Count", fc.LONG, fc.LONG
+        ).collect()
+    )
+    assert got == [(k, k * 10) for k in range(50)]
+    # equivalent to the library path
+    lib = sorted(
+        tuple(r)
+        for r in sr.read_value_kv(
+            ck.read_incremental_checkpoint(spark, out, state_names=["Count"]),
+            "Count", fc.LONG, fc.LONG,
+        ).collect()
+    )
+    assert got == lib
+    # the pushed predicate is absorbed (only the isnotnull guard remains)
+    plan = only._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan bravo_checkpoint" in plan and "= Count" not in plan
+
+    # provably-empty selection plans the no-op sentinel
+    r = ds.CheckpointScanReader({"path": out, "state_names": "Decoy"})
+    list(r.pushFilters([__import__("pyspark").sql.datasource.EqualTo(("state_name",), "Count")]))
+    parts = r.partitions()
+    assert len(parts) == 1 and _json.loads(parts[0].value)["file"] is None
