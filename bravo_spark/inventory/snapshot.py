@@ -714,7 +714,9 @@ def checkpoint_datasource_scan(spark, sf_dir):
     )
     shutil.rmtree(out, ignore_errors=True)
     ck.write_incremental_checkpoint(
-        rows.unionByName(decoy), out, max_parallelism=128, parallelism=4
+        rows.unionByName(decoy), out, max_parallelism=128, parallelism=4,
+        state_ids={"Count": 0, "Decoy": 1},  # statically known — skips the
+        # name-derivation pass that would re-run the upstream aggregation
     )
     ds.register(spark)
     raw = (

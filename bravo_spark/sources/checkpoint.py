@@ -75,22 +75,48 @@ def list_sst_files(ckpt_dir: str) -> list[str]:
     return files
 
 
+def discover_sst_files(ckpt_dir: str) -> list[str]:
+    """SSTs of a checkpoint directory in EITHER layout: a Flink checkpoint
+    (``_metadata`` present → walk its incremental handles' shared-state
+    maps) or a transferred/self-written directory (glob). Shared by
+    ``read_incremental_checkpoint`` callers and the ``bravo_checkpoint``
+    DataSource, so both front doors accept the same inputs."""
+    meta = os.path.join(ckpt_dir, "_metadata")
+    if os.path.exists(meta):
+        return sst_files_from_flink_metadata(meta)
+    return list_sst_files(ckpt_dir)
+
+
+def iter_sst_entries(path: str, state_filter: Callable[[str], bool]):
+    """Scan ONE SST with CF pruning → (state_name, key_ns, seq, vtype,
+    value) rows. The column family named in the properties block decides
+    in O(footer+props) whether any data block is read at all; 'default'
+    (Flink's unused CF 0) is always skipped. The one per-file loop both
+    scan front doors (mapInPandas and the DataSource) share."""
+    reader = sstmod.SstReader(path)
+    name = reader.column_family_name
+    if name == "default" or not state_filter(name):
+        return  # CF pushdown: footer+props read, data blocks skipped
+    for user_key, seq, vtype, value in reader.iter_entries():
+        yield name, user_key, seq, vtype, value
+
+
 def _scan_ssts(
     pdf_iter: Iterator[pd.DataFrame], state_filter: Callable[[str], bool]
 ):
     for pdf in pdf_iter:
         for path in pdf["path"]:
-            reader = sstmod.SstReader(path)
-            name = reader.column_family_name
-            if name == "default" or not state_filter(name):
-                continue  # CF pushdown: footer+props read, data blocks skipped
             names, keys, seqs, types, vals = [], [], [], [], []
-            for user_key, seq, vtype, value in reader.iter_entries():
+            for name, user_key, seq, vtype, value in iter_sst_entries(
+                path, state_filter
+            ):
                 names.append(name)
                 keys.append(user_key)
                 seqs.append(seq)
                 types.append(vtype)
                 vals.append(value)
+            if not names:
+                continue
             yield pd.DataFrame(
                 {
                     "state_name": names,
@@ -137,7 +163,7 @@ def read_incremental_checkpoint(
     elif state_filter is None:
         state_filter = lambda _n: True  # noqa: E731
 
-    paths = files if files is not None else list_sst_files(ckpt_dir)
+    paths = files if files is not None else discover_sst_files(ckpt_dir)
     frame = spark.createDataFrame(
         [(p,) for p in paths], schema="path string"
     ).repartition(max(1, len(paths)))  # one SST per task

@@ -70,13 +70,19 @@ class SavepointDataSource(DataSource):
         return SavepointWriter(self.options, overwrite)
 
 
-class SavepointScanReader(DataSourceReader):
+class _StateNamePushdownReader(DataSourceReader):
+    """Shared base for the bravo scan readers: path/state_names option
+    parsing and the ``state_name`` EqualTo/In pushdown contract live in
+    ONE place, so both formats absorb predicates identically."""
+
+    _WHAT = "a directory"
+
     def __init__(self, options):
         path = options.get("path")
         if not path:
             raise ValueError(
-                "bravo_savepoint needs a savepoint directory: "
-                ".load('/path/to/savepoint') or .option('path', ...)"
+                f"{type(self).__name__} needs {self._WHAT}: "
+                ".load('/path') or .option('path', ...)"
             )
         self.path = path
         names = options.get("state_names")
@@ -100,6 +106,10 @@ class SavepointScanReader(DataSourceReader):
                 self._narrow(set(f.value))
             else:
                 yield f
+
+
+class SavepointScanReader(_StateNamePushdownReader):
+    _WHAT = "a savepoint directory"
 
     def partitions(self):
         from bravo_spark.sources.savepoint import _plan_scan
@@ -368,71 +378,54 @@ class CheckpointDataSource(DataSource):
         return "bravo_checkpoint"
 
     def schema(self) -> str:
-        return "state_name string, key_ns binary, seq long, vtype int, value binary"
+        from bravo_spark.sources.checkpoint import _RAW_SCHEMA
+
+        return _RAW_SCHEMA
 
     def reader(self, schema) -> "CheckpointScanReader":
         return CheckpointScanReader(self.options)
 
 
-class CheckpointScanReader(DataSourceReader):
-    def __init__(self, options):
-        path = options.get("path")
-        if not path:
-            raise ValueError(
-                "bravo_checkpoint needs a checkpoint directory: "
-                ".load('/path/to/checkpoint') or .option('path', ...)"
-            )
-        self.path = path
-        names = options.get("state_names")
-        self.state_names: set[str] | None = (
-            {n.strip() for n in names.split(",") if n.strip()} if names else None
-        )
-
-    def _narrow(self, names: set[str]) -> None:
-        self.state_names = (
-            names if self.state_names is None else self.state_names & names
-        )
-
-    def pushFilters(self, filters):
-        for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("state_name",):
-                self._narrow({f.value})
-            elif isinstance(f, In) and f.attribute == ("state_name",):
-                self._narrow(set(f.value))
-            else:
-                yield f
+class CheckpointScanReader(_StateNamePushdownReader):
+    _WHAT = "a checkpoint directory"
 
     def partitions(self):
-        from bravo_spark.sources.checkpoint import list_sst_files
+        from bravo_spark.sources.checkpoint import discover_sst_files
 
         if self.state_names is not None and not self.state_names:
             return [InputPartition(json.dumps({"file": None, "names": []}))]
         names = sorted(self.state_names) if self.state_names is not None else None
+        # either layout: a Flink checkpoint (_metadata walk) or a
+        # transferred/self-written directory (glob) — same discovery the
+        # library path uses
         return [
             InputPartition(json.dumps({"file": p, "names": names}))
-            for p in list_sst_files(self.path)
+            for p in discover_sst_files(self.path)
         ]
 
     def read(self, partition: InputPartition):
         import pyarrow as pa
 
-        from bravo_spark.sources import sst as sstmod
+        from bravo_spark.sources.checkpoint import iter_sst_entries
 
         spec = json.loads(partition.value)
         if spec["file"] is None:
             return
         allowed = set(spec["names"]) if spec["names"] is not None else None
-        reader = sstmod.SstReader(spec["file"])
-        cf = reader.column_family_name
-        if cf == "default" or (allowed is not None and cf not in allowed):
-            return  # CF pruning: footer+props read only, data blocks skipped
+        state_filter = (
+            (lambda n: n in allowed) if allowed is not None else (lambda _n: True)
+        )
         names, keys, seqs, types, vals = [], [], [], [], []
-        for user_key, seq, vtype, value in reader.iter_entries():
-            names.append(cf)
+        for name, user_key, seq, vtype, value in iter_sst_entries(
+            spec["file"], state_filter
+        ):
+            names.append(name)
             keys.append(user_key)
             seqs.append(seq)
             types.append(vtype)
             vals.append(value)
+        if not names:
+            return
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(names, type=pa.string()),

@@ -268,3 +268,53 @@ def test_checkpoint_datasource_scan(spark, tmp_path):
     list(r.pushFilters([__import__("pyspark").sql.datasource.EqualTo(("state_name",), "Count")]))
     parts = r.partitions()
     assert len(parts) == 1 and _json.loads(parts[0].value)["file"] is None
+
+
+def test_checkpoint_datasource_flink_layout(spark, tmp_path):
+    """A genuine Flink checkpoint directory (_metadata whose incremental
+    handles name the shared SSTs, which live elsewhere) must be readable
+    through spark.read.format("bravo_checkpoint") — partitions() routes
+    discovery through the _metadata walk, same as the library path."""
+    import os as _os
+
+    from bravo_spark.codecs.hashes import operator_id
+    from bravo_spark.sources import checkpoint as ck
+    from bravo_spark.sources import flink_metadata as fm
+    from bravo_spark.sources import sst as sstmod
+
+    shared = str(tmp_path / "shared")
+    kns = fc.encode_key_ns(3, fc.INT, 128)
+    files = ck.write_sst_fixture(
+        shared,
+        {"s": [(kns, 8, sstmod.TYPE_VALUE, fc.encode_value_state(33, fc.INT))]},
+    )
+    h = fm.IncrementalKeyedHandle(
+        checkpoint_id=5, backend_id="b-1", start_key_group=0,
+        num_key_groups=128,
+        meta=fm.StreamStateHandle(
+            fm.BYTE_STREAM_STATE_HANDLE, 1, path="m", data=b"x"
+        ),
+        shared=[
+            (_os.path.basename(p), fm.StreamStateHandle(
+                fm.FILE_STREAM_STATE_HANDLE, _os.path.getsize(p),
+                path=f"file:{p}"))
+            for p in files
+        ],
+        private=[],
+    )
+    op = fm.OperatorStateMeta(operator_id("op"), 1, 128)
+    op.subtasks.append(fm.SubtaskState(0, managed_keyed=h))
+    chk = tmp_path / "chk-5"
+    chk.mkdir()
+    with open(chk / "_metadata", "wb") as f:
+        f.write(fm.serialize(fm.FlinkSavepoint(5, [op])))
+
+    ds.register(spark)
+    raw = spark.read.format("bravo_checkpoint").load(str(chk))
+    got = [
+        tuple(r)
+        for r in sr.read_value_kv(
+            ck.resolve_lsm(raw), "s", fc.INT, fc.INT
+        ).collect()
+    ]
+    assert got == [(3, 33)]
