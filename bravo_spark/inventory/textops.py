@@ -527,6 +527,33 @@ WHERE rank <= {_BM25_K}
 """
 
 
+_BPE_ORACLE = f"""
+WITH vocab AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+    FROM documents) t
+  GROUP BY w HAVING length(w) >= 2
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                i -> substring(w, i, 2))) AS pair, wc
+  FROM vocab
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 100
+"""
+
+
+@query("bpe_pair_counts", oracle=_BPE_ORACLE)
+def bpe_pair_counts(spark, sf_dir):
+    """Top adjacent-character merge candidates, vocabulary-weighted — the
+    first BPE training iteration (llmops.bpe_pair_counts)."""
+    from bravo_spark import llmops
+
+    docs = catalog.table_spread(spark, sf_dir, "documents")
+    return llmops.bpe_pair_counts(docs, "text", top_k=100)
+
+
 _RARITY_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok

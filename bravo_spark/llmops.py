@@ -744,6 +744,47 @@ def substring_dedup_clean(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, *, top_k: int = 100
+) -> DataFrame:
+    """The first iteration of BPE tokenizer training at corpus scale:
+    count adjacent character pairs, weighted by word frequency, and return
+    the ``top_k`` merge candidates as (pair, cnt).
+
+    The scale insight is the classic BPE optimization: pair counting runs
+    over the VOCABULARY (distinct words × their corpus frequency), not the
+    token stream — the first shuffle collapses a trillion-token corpus to
+    its vocab (map-side combined), the second aggregates vocab-sized pair
+    rows, and the top-k is Spark's distributed TakeOrderedAndProject (no
+    single-partition window). Ties break on the pair string for
+    determinism."""
+    vocab = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(top_k)
+    )
+
+
 def token_rarity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Corpus-statistics document rarity score: (doc_id, n_toks, rarity_e6)
     where rarity_e6 is the mean ADD-ONE-SMOOTHED inverse token probability

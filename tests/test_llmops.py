@@ -547,3 +547,18 @@ def test_quantize_embeddings(spark):
     for r in out.values():
         rng = r["vmax"] - r["vmin"]
         assert 0 <= r["err_e6"] <= int(rng * 1e6 / 255) + 1
+
+
+def test_bpe_pair_counts(spark):
+    from bravo_spark import llmops
+
+    # "abab" x3 + "abc": pairs ab(2/word *3 + 1) = 7, ba(1*3) = 3, bc = 1
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abab abc"), (3, "x")],  # "x" too short
+        "doc_id long, text string",
+    )
+    got = [
+        (r["pair"], r["cnt"])
+        for r in llmops.bpe_pair_counts(docs, "text", top_k=10).collect()
+    ]
+    assert got == [("ab", 7), ("ba", 3), ("bc", 1)]

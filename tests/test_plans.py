@@ -397,3 +397,11 @@ def test_pipeline_compose_has_no_cartesian_product(plans):
     # its key during composition
     p = plans("pipeline_clean_corpus")
     assert "CartesianProduct" not in p
+
+
+def test_bpe_pair_counts_topk_is_distributed(plans):
+    # the top-k must be Spark's TakeOrderedAndProject, never a
+    # single-partition window sort over the full pair relation
+    p = plans("bpe_pair_counts")
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
