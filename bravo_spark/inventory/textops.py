@@ -554,6 +554,23 @@ def bpe_pair_counts(spark, sf_dir):
     return llmops.bpe_pair_counts(docs, "text", top_k=100)
 
 
+@query("bpe_train_merges")
+def bpe_train_merges(spark, sf_dir):
+    """Ordered BPE merge list (5 training iterations) as (rank, left,
+    right). An iterative algorithm — per-round argmax + vocabulary rewrite
+    — with no closed-form SQL, so no oracle is registered (the driver
+    records a rows-only check); exact correctness is pinned by byte-level
+    agreement with a pure-Python reference BPE in test_llmops."""
+    from bravo_spark import llmops
+
+    docs = catalog.table_spread(spark, sf_dir, "documents")
+    merges = llmops.bpe_train(docs, "text", n_merges=5)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
 _RARITY_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok

@@ -785,6 +785,83 @@ def bpe_pair_counts(
     )
 
 
+def bpe_train(
+    df: DataFrame, text_col: str, *, n_merges: int = 10
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges on the corpus; returns the ordered
+    merge list [(left, right), ...] — the artifact a tokenizer ships.
+
+    Iterative-algorithm posture (same as ``connected_components``): the
+    vocabulary relation (distinct words × frequency — the only state)
+    stays distributed; each round collects exactly ONE row (the argmax
+    pair — metadata-scale), applies the merge as a higher-order
+    ``aggregate`` over each word's symbol array (exact left-to-right
+    non-overlapping semantics, the BPE convention), and truncates lineage
+    with ``localCheckpoint`` so the plan doesn't grow with the merge
+    count. Ties break on (left, right) for determinism."""
+    spark = df.sparkSession
+    vocab = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .filter(F.length("w") >= 2)
+        .select(F.expr("split(w, '')").alias("syms"), "wc")
+    )
+    vocab = vocab.localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        l_lit = left.replace("\\", "\\\\").replace("'", "\\'")
+        r_lit = right.replace("\\", "\\\\").replace("'", "\\'")
+        # exact left-to-right merge: fold the symbol array, joining a
+        # symbol into the accumulator's tail when (tail, symbol) is the
+        # chosen pair — non-overlapping because the joined tail no longer
+        # equals `left`
+        merge_expr = (
+            "aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),"
+            f" (acc, x) -> CASE WHEN element_at(acc, -1) = '{l_lit}'"
+            f" AND x = '{r_lit}'"
+            f" THEN concat(slice(acc, 1, size(acc) - 1),"
+            f" array(concat('{l_lit}', '{r_lit}')))"
+            " ELSE concat(acc, array(x)) END)"
+        )
+        vocab = (
+            vocab.select(F.expr(merge_expr).alias("syms"), "wc")
+            # a fully-merged word (one symbol left) can never contribute a
+            # pair again — dropping it both shrinks the state and keeps
+            # the pair transform's sequence(1, size-1) well-formed under
+            # ANSI (sequence(1, 0) would count DOWN and index out of range)
+            .filter(F.size("syms") >= 2)
+            .localCheckpoint()
+        )
+    _ = spark  # session retained for API symmetry
+    return merges
+
+
 def token_rarity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Corpus-statistics document rarity score: (doc_id, n_toks, rarity_e6)
     where rarity_e6 is the mean ADD-ONE-SMOOTHED inverse token probability

@@ -562,3 +562,56 @@ def test_bpe_pair_counts(spark):
         for r in llmops.bpe_pair_counts(docs, "text", top_k=10).collect()
     ]
     assert got == [("ab", 7), ("ba", 3), ("bc", 1)]
+
+
+def test_bpe_train_matches_reference(spark):
+    """bpe_train's distributed loop must equal a straightforward pure-Python
+    BPE (argmax pair by (count desc, pair asc); exact left-to-right
+    non-overlapping merge) on the same corpus."""
+    import re as _re
+
+    from bravo_spark import llmops
+
+    def ref_bpe(texts, n):
+        vocab = {}
+        for t in texts:
+            for w in _re.findall("[a-z0-9]+", t.lower()):
+                if len(w) >= 2:
+                    vocab[tuple(w)] = vocab.get(tuple(w), 0) + 1
+        merges = []
+        for _ in range(n):
+            counts = {}
+            for syms, c in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + c
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            new = {}
+            for syms, c in vocab.items():
+                out = [syms[0]]
+                for x in syms[1:]:
+                    if out[-1] == best[0] and x == best[1]:
+                        out[-1] = out[-1] + x
+                    else:
+                        out.append(x)
+                new[tuple(out)] = new.get(tuple(out), 0) + c
+            vocab = new
+        return merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat and the bat batter",
+        "aaa abab banana bandana",
+        "thee there theory theory theory",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = llmops.bpe_train(docs, "text", n_merges=8)
+    assert got == ref_bpe(texts, 8)
+    # overlap semantics: "aaa" merges (a,a) left-to-right, never the
+    # overlapping middle pair — encoded in the reference agreement above,
+    # and the merge list is non-empty and ordered
+    assert len(got) == 8
