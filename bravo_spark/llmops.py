@@ -744,21 +744,12 @@ def substring_dedup_clean(
     )
 
 
-def bpe_pair_counts(
-    df: DataFrame, text_col: str, *, top_k: int = 100
-) -> DataFrame:
-    """The first iteration of BPE tokenizer training at corpus scale:
-    count adjacent character pairs, weighted by word frequency, and return
-    the ``top_k`` merge candidates as (pair, cnt).
-
-    The scale insight is the classic BPE optimization: pair counting runs
-    over the VOCABULARY (distinct words × their corpus frequency), not the
-    token stream — the first shuffle collapses a trillion-token corpus to
-    its vocab (map-side combined), the second aggregates vocab-sized pair
-    rows, and the top-k is Spark's distributed TakeOrderedAndProject (no
-    single-partition window). Ties break on the pair string for
-    determinism."""
-    vocab = (
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, wc): distinct words × corpus frequency, words of ≥2 chars — the
+    shared state both BPE entry points train on. The groupBy is the classic
+    BPE scale move: it collapses a trillion-token corpus to its vocabulary
+    (map-side combined) before any pair work happens."""
+    return (
         df.select(
             F.explode(
                 F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
@@ -768,6 +759,21 @@ def bpe_pair_counts(
         .agg(F.count("*").alias("wc"))
         .filter(F.length("w") >= 2)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, *, top_k: int = 100
+) -> DataFrame:
+    """The first iteration of BPE tokenizer training at corpus scale:
+    count adjacent character pairs, weighted by word frequency, and return
+    the ``top_k`` merge candidates as (pair, cnt).
+
+    Pair counting runs over the VOCABULARY (``_word_vocab``), not the
+    token stream; the second shuffle aggregates vocab-sized pair rows,
+    and the top-k is Spark's distributed TakeOrderedAndProject (no
+    single-partition window). Ties break on the pair string for
+    determinism."""
+    vocab = _word_vocab(df, text_col)
     pairs = vocab.select(
         F.explode(
             F.expr(
@@ -799,17 +805,8 @@ def bpe_train(
     non-overlapping semantics, the BPE convention), and truncates lineage
     with ``localCheckpoint`` so the plan doesn't grow with the merge
     count. Ties break on (left, right) for determinism."""
-    spark = df.sparkSession
-    vocab = (
-        df.select(
-            F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
-            ).alias("w")
-        )
-        .groupBy("w")
-        .agg(F.count("*").alias("wc"))
-        .filter(F.length("w") >= 2)
-        .select(F.expr("split(w, '')").alias("syms"), "wc")
+    vocab = _word_vocab(df, text_col).select(
+        F.expr("split(w, '')").alias("syms"), "wc"
     )
     vocab = vocab.localCheckpoint()
 
@@ -849,6 +846,7 @@ def bpe_train(
             f" array(concat('{l_lit}', '{r_lit}')))"
             " ELSE concat(acc, array(x)) END)"
         )
+        prev = vocab
         vocab = (
             vocab.select(F.expr(merge_expr).alias("syms"), "wc")
             # a fully-merged word (one symbol left) can never contribute a
@@ -856,9 +854,12 @@ def bpe_train(
             # the pair transform's sequence(1, size-1) well-formed under
             # ANSI (sequence(1, 0) would count DOWN and index out of range)
             .filter(F.size("syms") >= 2)
-            .localCheckpoint()
+            .localCheckpoint()  # eager — prev's blocks are reclaimable now
         )
-    _ = spark  # session retained for API symmetry
+        prev.unpersist()
+    # the final checkpoint drains with the other intermediates at the next
+    # release_caches() (registry query wrapper / long-session callers)
+    _LIVE_CACHES.append(vocab)
     return merges
 
 
