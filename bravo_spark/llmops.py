@@ -863,6 +863,65 @@ def bpe_train(
     return merges
 
 
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize with a trained BPE merge list: (id, tokens array<string>)
+    — the inference half of ``bpe_train``. Standard rank-priority
+    application: within each word, the lowest-rank applicable merge fires
+    first, repeatedly, exactly like shipped tokenizers replay their merge
+    table.
+
+    Map-only; the merge table is a driver-side constant captured by an
+    Arrow-batched ``mapInPandas`` (tokenization is inherently per-text
+    compute — the batch path is the fast one, never a row-at-a-time UDF)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    import re as _re
+
+    token_re = _re.compile(TOKEN_RE)
+
+    def encode_word(w: str, cache: dict) -> list[str]:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        syms = list(w)
+        while len(syms) > 1:
+            best_i, best_rank = -1, len(ranks)
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]), len(ranks))
+                if r < best_rank:
+                    best_i, best_rank = i, r
+            if best_i < 0 or best_rank >= len(ranks):
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[w] = syms
+        return syms
+
+    def tokenize(batches):
+        import pandas as _pd
+
+        cache: dict = {}
+        for pdf in batches:
+            ids, toks = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                out: list[str] = []
+                for w in token_re.findall(str(text).lower()):
+                    out.extend(encode_word(w, cache))
+                ids.append(doc_id)
+                toks.append(out)
+            yield _pd.DataFrame({id_col: ids, out_col: toks})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        tokenize, schema=f"{id_col} {id_type}, {out_col} array<string>"
+    )
+
+
 def token_rarity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Corpus-statistics document rarity score: (doc_id, n_toks, rarity_e6)
     where rarity_e6 is the mean ADD-ONE-SMOOTHED inverse token probability

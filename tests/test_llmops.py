@@ -615,3 +615,49 @@ def test_bpe_train_matches_reference(spark):
     # overlapping middle pair — encoded in the reference agreement above,
     # and the merge list is non-empty and ordered
     assert len(got) == 8
+
+
+def test_bpe_apply_consistent_with_training(spark):
+    """Applying a trained merge list must reproduce the segmentation the
+    training loop itself converged to: replaying the merges IN ORDER
+    (each exhaustively, left-to-right) over every word equals
+    rank-priority application — possible because a merge's constituents
+    always carry strictly lower ranks than pairs they later form."""
+    import re as _re
+
+    from bravo_spark import llmops
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat and the bat batter",
+        "aaa abab banana bandana",
+        "thee there theory theory theory",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = llmops.bpe_train(docs, "text", n_merges=8)
+
+    def ref_apply(text):
+        out = []
+        for w in _re.findall("[a-z0-9]+", text.lower()):
+            syms = list(w)
+            for left, right in merges:
+                folded = [syms[0]]
+                for x in syms[1:]:
+                    if folded[-1] == left and x == right:
+                        folded[-1] = folded[-1] + x
+                    else:
+                        folded.append(x)
+                syms = folded
+            out.extend(syms)
+        return out
+
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in llmops.bpe_apply(docs, "doc_id", "text", merges).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_apply(t), (i, got[i], ref_apply(t))
+
+    assert all(isinstance(tok, str) and tok for toks in got.values() for tok in toks)
