@@ -399,3 +399,37 @@ def _shard_sql(dialect: str) -> str:
 def shard_shuffle(spark, sf_dir):
     """Salt-reproducible pseudo-random shard + position for every document."""
     return spark.sql(_shard_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture report: per-source document/token counts and corpus shares
+# in exact integer ppm — the diagnostic a mixture-weighted training run is
+# tuned against. One aggregation shuffle; the corpus total is a one-row
+# broadcast join; shares are integer division, bit-identical across
+# engines.
+# ---------------------------------------------------------------------------
+
+
+def _mixture_report_sql(dialect: str) -> str:
+    ntok = (
+        "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+        if dialect == "spark"
+        else "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    )
+    intdiv = "div" if dialect == "spark" else "//"
+    return (
+        "SELECT source, n_docs, n_tokens,"
+        f" CAST(n_tokens * 1000000 {intdiv} total_tokens AS BIGINT)"
+        " AS token_share_ppm FROM ("
+        " SELECT source, count(*) AS n_docs,"
+        f" CAST(sum({ntok}) AS BIGINT) AS n_tokens"
+        " FROM documents GROUP BY source) p,"
+        " (SELECT CAST(sum(" + ntok + ") AS BIGINT) AS total_tokens"
+        " FROM documents) t"
+    )
+
+
+@query("source_mixture_report", oracle=_mixture_report_sql("duckdb"))
+def source_mixture_report(spark, sf_dir):
+    """Per-source docs/tokens and exact ppm token share of the corpus."""
+    return spark.sql(_mixture_report_sql("spark"))
