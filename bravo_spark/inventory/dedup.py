@@ -681,3 +681,56 @@ def dedup_keep_corpus(spark, sf_dir):
         docs.select("doc_id"), pairs
     )
     return kept.select("doc_id", F.col("cluster_size").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# LSH quality eval: precision/recall of the MinHash-LSH candidate pairs
+# against the exact Jaccard >= threshold ground truth — the dedup analog of
+# the ANN recall evals, in exact integer ppm. Quantifies the
+# candidate-generation trade-off the banding parameters buy.
+# ---------------------------------------------------------------------------
+
+_LSH_EVAL_ORACLE = f"""
+WITH exact AS (SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE}) x),
+cand AS ({_lsh_pairs_sql('duckdb')}),
+hit AS (
+  SELECT count(*) AS n_hit FROM cand c
+  JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+), sizes AS (
+  SELECT (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM cand) AS n_cand
+)
+SELECT n_exact, n_cand, n_hit,
+  CASE WHEN n_cand = 0 THEN 0
+       ELSE CAST(n_hit * 1000000 // n_cand AS BIGINT) END AS precision_ppm,
+  CASE WHEN n_exact = 0 THEN 0
+       ELSE CAST(n_hit * 1000000 // n_exact AS BIGINT) END AS recall_ppm
+FROM sizes, hit
+"""
+
+
+@query("dedup_lsh_quality_eval", oracle=_LSH_EVAL_ORACLE)
+def dedup_lsh_quality_eval(spark, sf_dir):
+    """Precision/recall (exact integer ppm) of the LSH candidate pairs vs
+    the exact-Jaccard ground truth the pair finder computes."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    hit = cand.join(exact, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_hit")
+    )
+    sizes = (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(cand.agg(F.count("*").alias("n_cand")))
+    )
+    return (
+        sizes.crossJoin(F.broadcast(hit))
+        .selectExpr(
+            "n_exact", "n_cand", "n_hit",
+            "CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(n_hit * 1000000 div n_cand AS BIGINT) END"
+            " AS precision_ppm",
+            "CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(n_hit * 1000000 div n_exact AS BIGINT) END"
+            " AS recall_ppm",
+        )
+    )
