@@ -80,7 +80,8 @@ GATE_PRIORITY = [
 # driver-checked): dedup_lines, dedup_substring_clean, dedup_keep_corpus,
 # text_rarity, embedding_quantize, shard_shuffle, pipeline_clean_corpus,
 # snapshot_datasource_scan / checkpoint_datasource_scan (the DataSource
-# write+pushdown-read contracts), bpe_pair_counts —
+# write+pushdown-read contracts), bpe_pair_counts,
+# dedup_lsh_quality_eval, source_mixture_report —
 # swap in for rows that
 # will then hold 5+ driver-green rounds (e.g. p2/p3, f2/f3, u1_union_bag,
 # sort_topk, tpch_q1).
