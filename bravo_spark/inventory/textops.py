@@ -762,3 +762,35 @@ def multimodal_embed(spark, sf_dir):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
 
     return docs.mapInPandas(embed_batches, "doc_id long, embedding array<double>")
+
+
+# ---------------------------------------------------------------------------
+# Token-length distribution: fixed-width integer buckets — the
+# length-histogram diagnostic behind truncation/packing decisions. One
+# aggregation shuffle; integer division keeps buckets engine-exact.
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 32
+
+
+def _length_hist_sql(dialect: str) -> str:
+    ntok = (
+        f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))"
+        if dialect == "spark"
+        else f"len(regexp_extract_all(lower(text), '{TOKEN_RE}'))"
+    )
+    intdiv = "div" if dialect == "spark" else "//"
+    return (
+        f"SELECT CAST(b AS BIGINT) AS bucket,"
+        f" CAST(b * {_HIST_WIDTH} AS BIGINT) AS lo_tokens,"
+        f" CAST((b + 1) * {_HIST_WIDTH} - 1 AS BIGINT) AS hi_tokens,"
+        " count(*) AS n_docs FROM ("
+        f" SELECT {ntok} {intdiv} {_HIST_WIDTH} AS b FROM documents) t"
+        " GROUP BY b"
+    )
+
+
+@query("text_length_histogram", oracle=_length_hist_sql("duckdb"))
+def text_length_histogram(spark, sf_dir):
+    """Document token-count histogram in fixed 32-token buckets."""
+    return spark.sql(_length_hist_sql("spark"))
