@@ -45,7 +45,14 @@ def _h32(expr: str) -> str:
     return f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    *,
+    assert_unique: bool = False,
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, sh). Map-side only —
     within-document dedup is ``array_distinct`` over the per-row shingle
     array BEFORE the explode (a document's shingles live in one row), not a
@@ -56,12 +63,35 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     per ``id_col`` value. Pre-chunked corpora (several rows per document)
     must be reassembled first — duplicate (id, sh) pairs from sibling
     chunks would otherwise inflate the count(*)-based set sizes and
-    intersections downstream."""
+    intersections downstream. Pass ``assert_unique=True`` to verify the
+    precondition inside the plan (one extra shuffle on id): a violating
+    corpus then raises instead of silently corrupting similarity scores."""
     idx = ", ".join(f"ws[i+{k}]" for k in range(n))
     toks = df.select(
         F.col(id_col).alias("id"),
         F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)").alias("ws"),
-    ).filter(F.size("ws") >= n)
+    )
+    if assert_unique:
+        from pyspark.sql import Window
+
+        toks = (
+            toks.withColumn(
+                "_nrows", F.count(F.lit(1)).over(Window.partitionBy("id"))
+            )
+            .withColumn(
+                "ws",
+                F.when(
+                    F.col("_nrows") > 1,
+                    F.expr(
+                        "raise_error(concat('shingles(): duplicate rows for "
+                        "id ', cast(id AS string), ' — one row per document "
+                        "is required (reassemble chunks first)'))"
+                    ).cast("array<string>"),
+                ).otherwise(F.col("ws")),
+            )
+            .drop("_nrows")
+        )
+    toks = toks.filter(F.size("ws") >= n)
     return toks.select(
         "id",
         F.explode(

@@ -316,6 +316,12 @@ class SavepointWriter(DataSourceArrowWriter):
                     "append cannot mix compressed and uncompressed sections "
                     f"(existing savepoint compression={prior.compression})"
                 )
+            if prior.parallelism != self.parallelism:
+                raise ValueError(
+                    f"append with parallelism={self.parallelism} onto a "
+                    f"savepoint written at {prior.parallelism} — the prior "
+                    "files' op-index layout was computed with the old value"
+                )
             for name, sid in prior.state_ids.items():
                 ours = meta.state_ids.get(name)
                 if ours is not None and ours != sid:
@@ -338,8 +344,15 @@ class SavepointWriter(DataSourceArrowWriter):
                 {"path": fm["path"], "op_index": int(fm["op_index"]),
                  "offsets": {k: int(v) for k, v in fm["offsets"].items()}}
             )
-        with open(meta_path, "w") as f:
+        # the metadata swap must be atomic: a crash mid-write would
+        # otherwise truncate _bravo_metadata and leave the savepoint
+        # unreadable, breaking the durability protocol documented above
+        tmp_path = meta_path + ".tmp"
+        with open(tmp_path, "w") as f:
             f.write(meta.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_path, meta_path)
         if prior is not None and self.overwrite:
             # old data is dropped only AFTER the new metadata is durable
             keep = {fm["path"] for fm in meta.files}
@@ -398,10 +411,15 @@ class CheckpointScanReader(_StateNamePushdownReader):
         # either layout: a Flink checkpoint (_metadata walk) or a
         # transferred/self-written directory (glob) — same discovery the
         # library path uses
+        # metadata that references no .sst files (heap-state / full
+        # savepoints) must still yield a well-formed empty relation:
+        # Spark replaces an empty partitions list with [None], which
+        # would crash read(None) — mirror SavepointScanReader's
+        # {file: None} fallback partition
         return [
             InputPartition(json.dumps({"file": p, "names": names}))
             for p in discover_sst_files(self.path)
-        ]
+        ] or [InputPartition(json.dumps({"file": None, "names": names}))]
 
     def read(self, partition: InputPartition):
         import pyarrow as pa

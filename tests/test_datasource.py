@@ -318,3 +318,65 @@ def test_checkpoint_datasource_flink_layout(spark, tmp_path):
         ).collect()
     ]
     assert got == [(3, 33)]
+
+
+def test_checkpoint_datasource_no_sst_files_yields_empty(spark, tmp_path):
+    """A _metadata referencing no .sst files (heap-state / full-savepoint
+    checkpoints) must scan as an EMPTY relation, not crash: Spark replaces
+    an empty partitions() list with [None], so the reader plans the same
+    {file: None} sentinel partition the savepoint reader uses."""
+    import json as _json
+
+    from bravo_spark.codecs.hashes import operator_id
+    from bravo_spark.sources import flink_metadata as fm
+
+    op = fm.OperatorStateMeta(operator_id("op"), 1, 128)
+    chk = tmp_path / "chk-empty"
+    chk.mkdir()
+    with open(chk / "_metadata", "wb") as f:
+        f.write(fm.serialize(fm.FlinkSavepoint(7, [op])))
+
+    r = ds.CheckpointScanReader({"path": str(chk)})
+    parts = r.partitions()
+    assert len(parts) == 1
+    assert _json.loads(parts[0].value)["file"] is None
+
+    ds.register(spark)
+    assert spark.read.format("bravo_checkpoint").load(str(chk)).count() == 0
+
+
+def test_datasource_writer_append_parallelism_mismatch_refuses(
+    spark, tmp_path
+):
+    """Appending with a different parallelism must refuse: the prior files'
+    op-index layout was computed with the old value, so silently adopting
+    the new one would mislead restore shaping."""
+    import json as _json
+
+    ds.register(spark)
+    out = str(tmp_path / "sp")
+    kv = spark.createDataFrame([(k, k) for k in range(10)], "key int, value int")
+    rows = sr.kv_to_state_rows(kv, "A", fc.INT, fc.INT)
+
+    def write(state_rows, mode, ids, par):
+        (
+            state_rows.write.format("bravo_savepoint")
+            .option("state_ids", _json.dumps(ids))
+            .option("max_parallelism", "128")
+            .option("parallelism", str(par))
+            .mode(mode)
+            .save(out)
+        )
+
+    write(rows, "overwrite", {"A": 0}, 2)
+    kv2 = spark.createDataFrame([(k, k) for k in range(10, 20)], "key int, value int")
+    rows2 = sr.kv_to_state_rows(kv2, "B", fc.INT, fc.INT)
+    with pytest.raises(Exception, match="parallelism"):
+        write(rows2, "append", {"B": 1}, 3)
+    # matching parallelism still appends fine
+    write(rows2, "append", {"B": 1}, 2)
+    assert spark.read.format("bravo_savepoint").load(out).count() == 20
+    # the atomic-swap temp file never survives a successful commit
+    import os as _os
+
+    assert not [p for p in _os.listdir(out) if p.endswith(".tmp")]

@@ -661,3 +661,26 @@ def test_bpe_apply_consistent_with_training(spark):
         assert got[i] == ref_apply(t), (i, got[i], ref_apply(t))
 
     assert all(isinstance(tok, str) and tok for toks in got.values() for tok in toks)
+
+
+def test_shingles_assert_unique_guard(spark):
+    """assert_unique=True makes the one-row-per-id precondition fail
+    loudly inside the plan instead of silently corrupting similarity
+    scores (pre-chunked corpora would inflate count(*)-based set sizes)."""
+    ok = spark.createDataFrame(
+        [("a", "one two three four"), ("b", "five six seven")],
+        "id string, text string",
+    )
+    got = llmops.shingles(ok, "id", "text", assert_unique=True)
+    assert got.count() == 3  # 2 + 1 shingles, guard is transparent
+
+    chunked = spark.createDataFrame(
+        [("a", "one two three"), ("a", "two three four")],
+        "id string, text string",
+    )
+    with pytest.raises(Exception, match="duplicate rows for id"):
+        llmops.shingles(chunked, "id", "text", assert_unique=True).count()
+    # default stays guard-free: plan shape (map-only) unchanged
+    plan = llmops.shingles(chunked, "id", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
