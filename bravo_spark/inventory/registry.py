@@ -20,19 +20,24 @@ ORACLES: dict[str, str] = {}
 # Everything else stays registered and is verified by the local mirror
 # (tools/check_oracle.py); test_registry pins this list's integrity.
 GATE_PRIORITY = [
-    # §2.3 projections P1-P5 (p6_map_values duplicates P5's decode path
-    # and is mirror-verified to make gate room for the PQ/recall rows)
-    "p1_value_kv", "p2_value_only", "p3_list_flatten", "p4_list_state",
-    "p5_map_entries",
-    # §2 filters F2-F3 (F1/F5 are exercised by snapshot_state_filter/P1-P6;
-    # f4_named_subset duplicates F2's isin path and is mirror-verified)
-    "f2_isin_filter", "f3_anti_filter",
+    # §2.3 projections (p2/p3 rotated out in r6 after 5 driver-green
+    # rounds — each shares p1/p4's decode path; p6_map_values duplicates
+    # P5's and has been mirror-verified since r4)
+    "p1_value_kv", "p4_list_state", "p5_map_entries",
+    # §2 filters (f2/f3 rotated out in r6 after 5 driver-green rounds —
+    # the F-path stays driver-covered by snapshot_state_filter's pushdown
+    # and the two new DataSource scan contracts below)
     # §2.1/2.2 savepoint lifecycle S1-S9 + E1-E2 + P7
     "snapshot_roundtrip", "checkpoint_roundtrip", "snapshot_state_filter",
     "e1_keygroup", "e2_operator_index", "window_state_min",
-    # §2.4-2.8 relational core
-    "join_enrich", "a1_grouped_sort_reduce", "a2_count_sum_per_key",
-    "u1_union_bag", "sort_topk", "last_write_wins",
+    # §2.4-2.8 relational core (join_enrich/a2/u1/sort_topk rotated out in
+    # r6 after 5 driver-green rounds: joins stay driver-covered by
+    # tpch_q3/q9/q21, aggregation by a1, and all four by plan pins)
+    "a1_grouped_sort_reduce", "last_write_wins",
+    # r6 rotation: the engine-integration DataSource contracts get their
+    # first DRIVER-side check (pushFilters absorption, Arrow batch read,
+    # write-commit durability — paths no prior gate row touches)
+    "snapshot_datasource_scan", "checkpoint_datasource_scan",
     # Spark state-store read/rewrite surgery (the bravo workflow on Spark's
     # own checkpoints). rocksdb_state_rewrite subsumes the read path (it
     # re-reads through the same SST+changelog chain after surgery);
@@ -49,42 +54,58 @@ GATE_PRIORITY = [
     "type_change_migration", "custom_reader_expand",
     "operator_state_roundtrip", "snapshot_roundtrip_compressed",
     "file_sink_rewind", "kryo_custom_class",
-    # dedup family (embedding_cosine is the exact baseline of embedding_lsh
-    # and stays mirror-verified; simhash/substring/incremental/decontaminate
-    # rotated out in r5 after four driver-green rounds)
-    "dedup_exact", "dedup_ngram_jaccard",
+    # dedup family (dedup_exact rotated out in r6 after 5 driver-green
+    # rounds — its one-shuffle digest groupBy is the base of the retained
+    # pipeline_clean_corpus; embedding_cosine is the exact baseline of
+    # embedding_lsh; simhash/substring/incremental/decontaminate rotated
+    # out in r5 after four driver-green rounds)
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_embedding_lsh",
     "dedup_clusters",
-    # ANN + retrieval family (pq/recall-eval driver-proven in r4, rotated
-    # back out)
-    "ann_cosine_topk", "ann_sketch_topk", "ann_lsh_bucket", "ann_ivf_topk",
+    # r6 rotation: the r5 dedup/pipeline additions get their first driver
+    # check (line-level boilerplate, Lee-et-al span removal, cluster→kept
+    # corpus, LSH precision/recall eval, composed end-to-end decision)
+    "dedup_lines", "dedup_substring_clean", "dedup_keep_corpus",
+    "dedup_lsh_quality_eval", "pipeline_clean_corpus",
+    # ANN + retrieval family (ann_cosine_topk rotated out in r6 after 5
+    # driver-green rounds — it is the exact baseline the retained
+    # sketch/lsh/ivf rows rescore against; pq/recall-eval driver-proven
+    # in r4)
+    "ann_sketch_topk", "ann_lsh_bucket", "ann_ivf_topk",
     "text_bm25_topk",
-    # streaming (static_join is the simplest shape; dedup/session/ss-join
-    # rotated out in r5 — each was driver-green r1-r4 and shares the
-    # micro-batch/state path with the retained three)
-    "streaming_window_counts", "streaming_window_counts_watermarked",
+    # streaming (plain window_counts rotated out in r6 after 5 driver-green
+    # rounds — the retained watermarked variant runs the same micro-batch
+    # window path plus bounded state; static_join/dedup/session/ss-join
+    # rotated out in r5)
+    "streaming_window_counts_watermarked",
     "streaming_stateful_counts",
-    # TPC-H: headline pair + the three most distinctive long-tail plans
-    # (pushdown-only q6, 6-way join q9, triple-correlated-exists q21)
-    "tpch_q1", "tpch_q3",
+    # TPC-H: headline q3 + the three most distinctive long-tail plans
+    # (pushdown-only q6, 6-way join q9, triple-correlated-exists q21);
+    # tpch_q1 rotated out in r6 after 5 driver-green rounds
+    "tpch_q3",
     "tpch_q6_forecast", "tpch_q9_product_profit",
     "tpch_q21_waiting_supplier",
+    # r6 rotation: the r5 text/sampling/embedding additions get their
+    # first driver check
+    "text_rarity", "embedding_quantize", "shard_shuffle",
+    "bpe_pair_counts", "source_mixture_report",
     # text / multimodal flagships (lang_id rotated out in r5 — four
     # driver-green rounds, map-only plan shared with the mirror-held
     # text family; multimodal_decode stays: its schema grew a source
-    # column this round)
+    # column in r5)
     "multimodal_decode",
 ]
 
-# r6 rotation candidates (registered + mirror-green in r5, never
-# driver-checked): dedup_lines, dedup_substring_clean, dedup_keep_corpus,
-# text_rarity, embedding_quantize, shard_shuffle, pipeline_clean_corpus,
-# snapshot_datasource_scan / checkpoint_datasource_scan (the DataSource
-# write+pushdown-read contracts), bpe_pair_counts,
-# dedup_lsh_quality_eval, source_mixture_report —
-# swap in for rows that
-# will then hold 5+ driver-green rounds (e.g. p2/p3, f2/f3, u1_union_bag,
-# sort_topk, tpch_q1).
+# r7 rotation candidates (mirror-green, never driver-checked): the TPC-H
+# long tail — tpch_q2 (window-decorrelated min), tpch_q19 (disjunctive
+# pushdown), tpch_q20 (semi-join chain), tpch_q22 (broadcast anti) are the
+# four most distinctive plans and go first; then q7/q8/q11/q12/q13/q15/
+# q16/q17 over r7-r8 to retire the whole tail. Swap in for rows that will
+# then hold 6+ driver-green rounds (e.g. p1_value_kv, p4/p5,
+# window_state_min, a1_grouped_sort_reduce, last_write_wins,
+# dedup_minhash_lsh, ann_sketch_topk, and the r5 conformance rows once
+# they hold two driver-green rounds). The rotation ledger (which rows were
+# driver-checked in which round) lives in COVERAGE.md.
 
 
 def gate_ordered(mapping: dict) -> dict:

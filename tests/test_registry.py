@@ -51,16 +51,25 @@ def test_flagship_families_inside_window():
         "type_change_migration", "custom_reader_expand",
         "operator_state_roundtrip", "snapshot_roundtrip_compressed",
         "file_sink_rewind", "kryo_custom_class",
-        "dedup_exact", "dedup_ngram_jaccard",
+        # r6 rotation: the DataSource contracts + r5 dedup/text/sampling
+        # additions (dedup_exact/ann_cosine_topk/streaming_window_counts/
+        # tpch_q1 rotated out after 5 driver-green rounds — each retained
+        # a sibling covering its path)
+        "snapshot_datasource_scan", "checkpoint_datasource_scan",
+        "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_embedding_lsh", "dedup_clusters",
-        "ann_cosine_topk", "ann_sketch_topk", "ann_ivf_topk",
+        "dedup_lines", "dedup_substring_clean", "dedup_keep_corpus",
+        "dedup_lsh_quality_eval", "pipeline_clean_corpus",
+        "ann_sketch_topk", "ann_ivf_topk",
         "text_bm25_topk",
-        "streaming_window_counts", "streaming_window_counts_watermarked",
+        "streaming_window_counts_watermarked",
         "streaming_stateful_counts",
-        "tpch_q1", "tpch_q3",
+        "tpch_q3",
         "tpch_q6_forecast", "tpch_q9_product_profit",
         "tpch_q21_waiting_supplier",
+        "text_rarity", "embedding_quantize", "shard_shuffle",
+        "bpe_pair_counts", "source_mixture_report",
     ):
         assert name in window, f"{name} fell out of the correctness gate"
 
