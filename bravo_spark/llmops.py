@@ -821,6 +821,78 @@ def bpe_pair_counts(
     )
 
 
+def _pair_counts_of(vocab: DataFrame, sign: int = 1) -> DataFrame:
+    """(l, r, cnt): adjacent-pair counts of a (syms, wc) vocabulary
+    relation, weighted by ``sign * wc``. ``sign=-1`` produces the
+    retraction half of an incremental delta. Words must have ≥2 symbols
+    (ANSI ``sequence(1, 0)`` would count DOWN) — both callers guarantee
+    it."""
+    return (
+        vocab.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                )
+            ).alias("p"),
+            (F.col("wc") * F.lit(sign)).alias("d"),
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("d").alias("cnt"))
+    )
+
+
+def _bpe_round(
+    vocab: DataFrame, pair_counts: DataFrame, left: str, right: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One incremental BPE merge round: apply the (left, right) merge and
+    maintain the pair-count state from ONLY the affected words.
+
+    Returns (new_vocab, new_pair_counts, affected) — all lazy; callers
+    checkpoint. The delta aggregation (explode + groupBy) runs over the
+    AFFECTED words alone (those whose symbol stream contains the pair);
+    the untouched rest of the vocabulary is carried by a map-side filter,
+    never re-exploded. Per-round shuffle work is therefore proportional
+    to the affected-word pair volume plus the (much smaller) pair-count
+    merge, not to the whole vocabulary — the property that makes a
+    32k-100k-merge production train feasible, vs. the naive
+    recount-everything round."""
+    l_lit = left.replace("\\", "\\\\").replace("'", "\\'")
+    r_lit = right.replace("\\", "\\\\").replace("'", "\\'")
+    has_pair = F.expr(
+        f"exists(sequence(1, size(syms) - 1),"
+        f" i -> syms[i - 1] = '{l_lit}' AND syms[i] = '{r_lit}')"
+    )
+    # exact left-to-right merge: fold the symbol array, joining a symbol
+    # into the accumulator's tail when (tail, symbol) is the chosen pair —
+    # non-overlapping because the joined tail no longer equals `left`
+    merge_expr = (
+        "aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),"
+        f" (acc, x) -> CASE WHEN element_at(acc, -1) = '{l_lit}'"
+        f" AND x = '{r_lit}'"
+        f" THEN concat(slice(acc, 1, size(acc) - 1),"
+        f" array(concat('{l_lit}', '{r_lit}')))"
+        " ELSE concat(acc, array(x)) END)"
+    )
+    affected = vocab.filter(has_pair)
+    merged = affected.select(F.expr(merge_expr).alias("syms"), "wc")
+    # a fully-merged word (one symbol left) can never contribute a pair
+    # again — dropping it shrinks the state and keeps _pair_counts_of's
+    # sequence well-formed
+    merged_kept = merged.filter(F.size("syms") >= 2)
+    delta = _pair_counts_of(affected, -1).unionByName(
+        _pair_counts_of(merged_kept, 1)
+    )
+    new_counts = (
+        pair_counts.unionByName(delta)
+        .groupBy("l", "r")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+    new_vocab = vocab.filter(~has_pair).unionByName(merged_kept)
+    return new_vocab, new_counts, affected
+
+
 def bpe_train(
     df: DataFrame, text_col: str, *, n_merges: int = 10
 ) -> list[tuple[str, str]]:
@@ -828,33 +900,35 @@ def bpe_train(
     merge list [(left, right), ...] — the artifact a tokenizer ships.
 
     Iterative-algorithm posture (same as ``connected_components``): the
-    vocabulary relation (distinct words × frequency — the only state)
-    stays distributed; each round collects exactly ONE row (the argmax
-    pair — metadata-scale), applies the merge as a higher-order
-    ``aggregate`` over each word's symbol array (exact left-to-right
-    non-overlapping semantics, the BPE convention), and truncates lineage
-    with ``localCheckpoint`` so the plan doesn't grow with the merge
-    count. Ties break on (left, right) for determinism."""
+    state is TWO distributed relations — the vocabulary (distinct words ×
+    frequency, as symbol arrays) and the adjacent-pair counts, maintained
+    INCREMENTALLY. Each round collects exactly ONE row (the argmax pair —
+    metadata-scale), then updates the pair counts from only the words
+    containing the merged pair (retraction + insertion delta via
+    :func:`_bpe_round`); untouched words are never re-exploded. The naive
+    alternative — recount every pair across the whole vocabulary per
+    round — makes a production 32k-100k-merge train ~n_merges full-corpus
+    scans; here per-round shuffle work tracks the affected-word volume,
+    which shrinks as training converges. Both state relations truncate
+    lineage with ``localCheckpoint`` so the plan doesn't grow with the
+    merge count. Ties break on (left, right) for determinism — the
+    incremental counts are integer-exact, so the argmax sequence is
+    identical to the full-recount formulation's."""
     vocab = _word_vocab(df, text_col).select(
         F.expr("split(w, '')").alias("syms"), "wc"
     )
     vocab = vocab.localCheckpoint()
+    # the round's union (untouched ∪ merged) concatenates partition lists;
+    # without a coalesce the vocabulary's partition count would DOUBLE per
+    # round (exponential task explosion by merge ~15) — pin it to the
+    # initial shuffle's count for the whole train
+    n_parts = max(vocab.rdd.getNumPartitions(), 1)
+    pair_counts = _pair_counts_of(vocab).localCheckpoint()
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (
-            vocab.select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
-                    )
-                ).alias("p"),
-                "wc",
-            )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("wc").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "l", "r")
+            pair_counts.orderBy(F.col("cnt").desc(), "l", "r")
             .limit(1)
             .collect()
         )
@@ -862,34 +936,17 @@ def bpe_train(
             break
         left, right = top[0]["l"], top[0]["r"]
         merges.append((left, right))
-        l_lit = left.replace("\\", "\\\\").replace("'", "\\'")
-        r_lit = right.replace("\\", "\\\\").replace("'", "\\'")
-        # exact left-to-right merge: fold the symbol array, joining a
-        # symbol into the accumulator's tail when (tail, symbol) is the
-        # chosen pair — non-overlapping because the joined tail no longer
-        # equals `left`
-        merge_expr = (
-            "aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),"
-            f" (acc, x) -> CASE WHEN element_at(acc, -1) = '{l_lit}'"
-            f" AND x = '{r_lit}'"
-            f" THEN concat(slice(acc, 1, size(acc) - 1),"
-            f" array(concat('{l_lit}', '{r_lit}')))"
-            " ELSE concat(acc, array(x)) END)"
-        )
-        prev = vocab
-        vocab = (
-            vocab.select(F.expr(merge_expr).alias("syms"), "wc")
-            # a fully-merged word (one symbol left) can never contribute a
-            # pair again — dropping it both shrinks the state and keeps
-            # the pair transform's sequence(1, size-1) well-formed under
-            # ANSI (sequence(1, 0) would count DOWN and index out of range)
-            .filter(F.size("syms") >= 2)
-            .localCheckpoint()  # eager — prev's blocks are reclaimable now
-        )
-        prev.unpersist()
-    # the final checkpoint drains with the other intermediates at the next
+        new_vocab, new_counts, _ = _bpe_round(vocab, pair_counts, left, right)
+        prev_v, prev_c = vocab, pair_counts
+        # eager checkpoints — prev blocks are reclaimable afterwards
+        vocab = new_vocab.coalesce(n_parts).localCheckpoint()
+        pair_counts = new_counts.localCheckpoint()
+        prev_v.unpersist()
+        prev_c.unpersist()
+    # the final checkpoints drain with the other intermediates at the next
     # release_caches() (registry query wrapper / long-session callers)
     _LIVE_CACHES.append(vocab)
+    _LIVE_CACHES.append(pair_counts)
     return merges
 
 

@@ -684,3 +684,100 @@ def test_shingles_assert_unique_guard(spark):
     plan = llmops.shingles(chunked, "id", "text")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _ref_bpe(texts, n):
+    """Straightforward pure-Python BPE (argmax by (count desc, pair asc),
+    exact left-to-right non-overlapping merges) — the byte-exact oracle
+    the distributed loop must equal."""
+    import re as _re
+
+    vocab = {}
+    for t in texts:
+        for w in _re.findall("[a-z0-9]+", t.lower()):
+            if len(w) >= 2:
+                vocab[tuple(w)] = vocab.get(tuple(w), 0) + 1
+    merges = []
+    for _ in range(n):
+        counts = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new = {}
+        for syms, c in vocab.items():
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == best[0] and x == best[1]:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    return merges
+
+
+def test_bpe_round_work_scales_with_affected_words(spark):
+    """The incremental round's delta aggregation must touch ONLY words
+    containing the merged pair: with one affected word among many, the
+    affected relation is that single word, the untouched words survive by
+    a map-side filter (no re-explode), and the maintained pair counts are
+    integer-exact against a full recount of the new vocabulary."""
+    from bravo_spark import llmops
+
+    # 1 word contains (q, z); 200 do not
+    rows = [(["q", "z", "x"], 7)] + [
+        (list(f"w{i:03d}"), i + 1) for i in range(200)
+    ]
+    vocab = spark.createDataFrame(
+        rows, "syms array<string>, wc long"
+    ).localCheckpoint()
+    counts = llmops._pair_counts_of(vocab).localCheckpoint()
+
+    new_vocab, new_counts, affected = llmops._bpe_round(vocab, counts, "q", "z")
+    assert affected.count() == 1
+    assert [tuple(r) for r in affected.collect()] == [(["q", "z", "x"], 7)]
+
+    # maintained counts == full recount (the exactness invariant that
+    # keeps the argmax sequence identical to the recount formulation)
+    maintained = {(r["l"], r["r"]): r["cnt"] for r in new_counts.collect()}
+    recount = {
+        (r["l"], r["r"]): r["cnt"]
+        for r in llmops._pair_counts_of(new_vocab).collect()
+    }
+    assert maintained == recount
+    assert ("q", "z") not in maintained and maintained[("qz", "x")] == 7
+
+    # plan shape: the delta branches aggregate over a FILTERED scan (the
+    # exists predicate sits below the explode), so unaffected words are
+    # never exploded
+    plan = new_counts._sc._jvm.PythonSQLUtils.explainString(
+        new_counts._jdf.queryExecution(), "extended"
+    ) if False else new_counts._jdf.queryExecution().optimizedPlan().toString()
+    assert "exists(" in plan.lower() or "Filter" in plan
+
+
+def test_bpe_train_100_merges_bounded_and_exact(spark):
+    """A 100-merge train must complete (bounded per-round work) and stay
+    byte-exact vs the pure-Python reference across the long horizon —
+    the incremental pair-count maintenance never drifts."""
+    from bravo_spark import llmops
+
+    # deterministic varied corpus: syllable-product words, skewed weights
+    sylls = ["ba", "ne", "ko", "ri", "ta", "lu", "mo", "se"]
+    words = []
+    for i, a in enumerate(sylls):
+        for j, b in enumerate(sylls):
+            words.extend([a + b] * (1 + (i * 3 + j) % 5))
+            words.append(a + b + sylls[(i + j) % 8])
+    texts = [" ".join(words[k::7]) for k in range(7)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = llmops.bpe_train(docs, "text", n_merges=100)
+    want = _ref_bpe(texts, 100)
+    assert got == want
+    assert len(got) == 100  # the corpus genuinely sustains 100 merges
