@@ -9,9 +9,13 @@ Three tiers, selected at runtime per payload:
    §B.2.2). This is a REAL decode of the metadata a 100 TB pipeline
    actually filters on (dims, aspect, megapixels) — no image library
    needed.
-2. **Pixel operations** (PIL, import-guarded): full decode and
-   resampling when Pillow is installed; a named :class:`ImportError`
-   otherwise — never silent garbage.
+2. **Pixel operations**: PNG payloads in the common profile (8-bit,
+   non-interlaced) decode, resample, and re-encode PURE-PYTHON (stdlib
+   ``zlib`` inflate + RFC 2083 scanline un-filtering) — real pixels with
+   zero dependencies, bit-identical in every environment. Other
+   containers (JPEG/GIF) and exotic PNG profiles use Pillow when
+   installed, a named :class:`ImportError` otherwise — never silent
+   garbage.
 3. **Deterministic fake** (fallback for payloads that are not images,
    e.g. the synthetic text corpus): md5-derived dims, stable across
    engines so oracle SQL can reproduce them.
@@ -154,18 +158,201 @@ def pil_available() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# Pure-Python PNG pixel codec (RFC 2083): stdlib zlib inflate + scanline
+# un-filtering. Covers the common profile — 8-bit depth, color types 0
+# (gray), 2 (RGB), 3 (palette, depalettized to RGB), 4 (gray+alpha), 6
+# (RGBA), no interlace. Everything else raises a NAMED ValueError and
+# decode_pixels falls through to Pillow when present. This makes the
+# pixel tier real and testable with no dependency at all; Pillow remains
+# the fast path for JPEG/GIF and exotic PNG profiles.
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_MODE = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk; validates the length framing
+    (CRCs are carried but not verified — zlib's own checksum guards the
+    pixel data)."""
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > n:
+            raise ValueError("PNG chunk truncated")
+        yield typ, payload[pos + 8 : end]
+        if typ == b"IEND":
+            return
+        pos = end + 4
+    raise ValueError("PNG payload has no IEND")
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes:
+    """Reverse per-scanline filtering (RFC 2083 §6): each scanline is a
+    filter-type byte then ``w * bpp`` filtered bytes; reconstruction uses
+    the left (a), up (b), and up-left (c) reconstructed neighbors."""
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel stream truncated")
+    out = bytearray(h * stride)
+    prev_start = -1
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        if ftype == 0:  # None
+            out[o : o + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                a = out[o + i - bpp] if i >= bpp else 0
+                out[o + i] = (line[i] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                b = out[prev_start + i] if y else 0
+                out[o + i] = (line[i] + b) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = out[o + i - bpp] if i >= bpp else 0
+                b = out[prev_start + i] if y else 0
+                out[o + i] = (line[i] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = out[o + i - bpp] if i >= bpp else 0
+                b = out[prev_start + i] if y else 0
+                c = out[prev_start + i - bpp] if (y and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                out[o + i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} is invalid")
+        prev_start = o
+    return bytes(out)
+
+
+def png_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
+    """(width, height, mode, raw) — pure-Python PNG pixel decode for the
+    common profile; named ValueError on unsupported profiles (16-bit,
+    interlaced, sub-byte palettes). Palette images are depalettized to
+    RGB so downstream consumers see channels, not indices."""
+    import zlib
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("payload is not a PNG")
+    ihdr = plte = None
+    idat = bytearray()
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.extend(data)
+    if ihdr is None:
+        raise ValueError("PNG payload has no IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {ctype} is invalid")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG compression/filter method must be 0")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"non-positive image dims {w}x{h}")
+    bpp = _PNG_CHANNELS[ctype]
+    raw = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG has no PLTE chunk")
+        rgb = bytearray(len(raw) * 3)
+        for i, idx in enumerate(raw):
+            off = idx * 3
+            if off + 3 > len(plte):
+                raise ValueError(f"palette index {idx} out of range")
+            rgb[i * 3 : i * 3 + 3] = plte[off : off + 3]
+        return w, h, "RGB", bytes(rgb)
+    return w, h, _PNG_MODE[ctype], raw
+
+
+def png_encode(w: int, h: int, mode: str, raw: bytes) -> bytes:
+    """Minimal spec-correct PNG writer (8-bit, filter 0 per scanline) —
+    the inverse of :func:`png_decode_pixels` for L/LA/RGB/RGBA."""
+    import zlib
+
+    ctype = {"L": 0, "RGB": 2, "LA": 4, "RGBA": 6}.get(mode)
+    if ctype is None:
+        raise ValueError(f"mode {mode!r} unsupported (L/LA/RGB/RGBA)")
+    bpp = _PNG_CHANNELS[ctype]
+    stride = w * bpp
+    if len(raw) != h * stride:
+        raise ValueError(f"raw length {len(raw)} != {h}x{stride}")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    scan = b"".join(
+        b"\x00" + raw[y * stride : (y + 1) * stride] for y in range(h)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _resample_nearest(
+    raw: bytes, w: int, h: int, bpp: int, out_w: int, out_h: int
+) -> bytes:
+    """Integer nearest-neighbor resample — deterministic across every
+    environment (no float scale factor, no library-version drift)."""
+    out = bytearray(out_w * out_h * bpp)
+    for y in range(out_h):
+        src_row = (y * h // out_h) * w * bpp
+        dst_row = y * out_w * bpp
+        for x in range(out_w):
+            s = src_row + (x * w // out_w) * bpp
+            d = dst_row + x * bpp
+            out[d : d + bpp] = raw[s : s + bpp]
+    return bytes(out)
+
+
 def decode_pixels(payload: bytes):
-    """Full pixel decode via Pillow → (width, height, mode, raw bytes).
-    Import-guarded: a named error, not a fake, when Pillow is absent —
-    pixel values cannot be faked honestly."""
+    """Full pixel decode → (width, height, mode, raw bytes).
+
+    PNG payloads in the common profile decode via the PURE-PYTHON codec
+    above (same result whether or not Pillow is installed); everything
+    else (JPEG/GIF, exotic PNG profiles) uses Pillow when present and
+    raises a named error otherwise — pixel values are never faked."""
+    if payload.startswith(_PNG_MAGIC):
+        try:
+            return png_decode_pixels(payload)
+        except ValueError:
+            if not pil_available():
+                raise
     try:
         import io
 
         import PIL.Image
     except ImportError as exc:
         raise ImportError(
-            "pixel decode needs Pillow (pip install pillow); header-level "
-            "decode_meta works without it"
+            "pixel decode needs Pillow (pip install pillow) for non-PNG "
+            "payloads; PNG decodes pure-Python, and header-level "
+            "decode_meta works for every container"
         ) from exc
     img = PIL.Image.open(io.BytesIO(payload))
     img.load()
@@ -183,19 +370,39 @@ def fit_box(w: int, h: int, box: int = 256) -> tuple[int, int]:
 
 
 def resize_pixels(payload: bytes, *, box: int = 256) -> bytes:
-    """Real resample via Pillow (PNG-encoded output); named ImportError
-    without it."""
+    """Real pixel resample into a ``box``×``box`` fit, PNG-encoded output.
+
+    PNG inputs in the common profile run fully pure-Python (decode →
+    integer nearest-neighbor resample → encode) so the SAME bytes come
+    out in every environment; non-PNG inputs resample via Pillow
+    (nearest, to match) with a named ImportError when it is absent."""
+    if payload.startswith(_PNG_MAGIC):
+        try:
+            w, h, mode, raw = png_decode_pixels(payload)
+        except ValueError:
+            if not pil_available():
+                raise
+        else:
+            out_w, out_h = fit_box(w, h, box)
+            bpp = len(mode)
+            return png_encode(
+                out_w, out_h, mode,
+                _resample_nearest(raw, w, h, bpp, out_w, out_h),
+            )
     try:
         import io
 
         import PIL.Image
     except ImportError as exc:
         raise ImportError(
-            "pixel resize needs Pillow; the dims-only fit (fit_box) works "
-            "without it"
+            "pixel resize needs Pillow for non-PNG payloads; PNG resizes "
+            "pure-Python, and the dims-only fit (fit_box) works for every "
+            "container"
         ) from exc
     img = PIL.Image.open(io.BytesIO(payload))
     out_w, out_h = fit_box(img.width, img.height, box)
     buf = io.BytesIO()
-    img.resize((out_w, out_h)).save(buf, format="PNG")
+    img.resize((out_w, out_h), resample=PIL.Image.Resampling.NEAREST).save(
+        buf, format="PNG"
+    )
     return buf.getvalue()

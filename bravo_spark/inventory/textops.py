@@ -211,8 +211,8 @@ def multimodal_decode(spark, sf_dir):
     synthetic corpus) fall back to deterministic md5 stand-ins the oracle
     reproduces. The ``source`` column exposes which tier fired, so the
     oracle also proves the selector never mistakes a text payload for an
-    image; Pillow, when installed, adds pixel-level decode on the same
-    plumbing (skip-marked tests in test_multimodal.py)."""
+    image; the pixel tier (pure-Python PNG codec, Pillow for the rest)
+    runs on the same plumbing — see ``multimodal_pixel_resize``."""
     from bravo_spark.inventory import multimodal as mm
 
     docs = catalog.table(spark, sf_dir, "documents").select(
@@ -239,6 +239,70 @@ def multimodal_decode(spark, sf_dir):
         decode_batches,
         schema="doc_id long, width long, height long, n_pixels long,"
                " source string",
+    )
+
+
+@query(
+    "multimodal_pixel_resize",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+    1 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 32 AS w,
+    1 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 32 AS h
+  FROM documents),
+fit AS (
+  SELECT doc_id, w, h,
+    CASE WHEN greatest(w, h) <= 16 THEN w
+         ELSE greatest(1, (w * 16) // greatest(w, h)) END AS out_w,
+    CASE WHEN greatest(w, h) <= 16 THEN h
+         ELSE greatest(1, (h * 16) // greatest(w, h)) END AS out_h
+  FROM dims)
+SELECT doc_id, w, h, out_w, out_h, out_w * out_h AS raw_len FROM fit
+""",
+)
+def multimodal_pixel_resize(spark, sf_dir):
+    """REAL pixel-tier plumbing end-to-end, zero image libraries: per row,
+    build a small grayscale PNG (dims md5-derived so the oracle knows
+    them; deterministic gradient content), run the pure-Python RFC 2083
+    pipeline — ``png_encode`` → ``resize_pixels`` (inflate, un-filter,
+    integer nearest-neighbor, re-encode) → ``png_decode_pixels`` — and
+    report the dims and raw-byte length of the ACTUAL decoded output.
+    Every reported number comes from decoding real bytes the pipeline
+    produced, so a wrong stride, filter reconstruction, or resample grid
+    breaks the hash; pixel VALUES are golden-pinned in
+    test_multimodal.py (not SQL-expressible). Arrow-batched mapInPandas,
+    map-only plan — the exact shape a 100 TB image-corpus resize job
+    has, with the decode swapped for the heavier real codec."""
+    from bravo_spark.inventory import multimodal as mm
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = _hl.md5(bytes(payload)).hexdigest()
+                w = 1 + int(digest[0:8], 16) % 32
+                h = 1 + int(digest[8:16], 16) % 32
+                raw = bytes((x * y) % 256 for y in range(h) for x in range(w))
+                png = mm.png_encode(w, h, "L", raw)
+                out_w, out_h, mode, out_raw = mm.png_decode_pixels(
+                    mm.resize_pixels(png, box=16)
+                )
+                assert mode == "L"
+                rows.append((doc_id, w, h, out_w, out_h, len(out_raw)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "w", "h", "out_w", "out_h", "raw_len"]
+            )
+
+    return docs.mapInPandas(
+        resize_batches,
+        schema="doc_id long, w long, h long, out_w long, out_h long,"
+               " raw_len long",
     )
 
 
@@ -705,7 +769,8 @@ def multimodal_resize(spark, sf_dir):
     (bit-identical across engines; no float scale factor). The CASE
     expression is the SQL mirror of ``multimodal.fit_box`` (pinned equal
     in test_multimodal.py); real pixel resampling on the fitted shape is
-    ``multimodal.resize_pixels`` — Pillow-backed, import-guarded."""
+    ``multimodal.resize_pixels`` — pure-Python for PNG (exercised
+    end-to-end by ``multimodal_pixel_resize``), Pillow for the rest."""
     docs = catalog.table(spark, sf_dir, "documents")
     dims = docs.select(
         "doc_id",

@@ -109,27 +109,153 @@ def test_fit_box_matches_sql_mirror():
 
 
 def test_pixel_tier_refuses_by_name_without_pillow():
+    """Non-PNG containers still need Pillow; the refusal is named. PNG
+    is handled pure-Python and never reaches this path."""
     if mm.pil_available():
         pytest.skip("Pillow installed — refusal path not reachable")
     with pytest.raises(ImportError, match="Pillow"):
-        mm.decode_pixels(_png(4, 4))
+        mm.decode_pixels(_jpeg(4, 4))
     with pytest.raises(ImportError, match="Pillow"):
-        mm.resize_pixels(_png(4, 4))
+        mm.resize_pixels(_jpeg(4, 4))
 
 
-@pytest.mark.skipif(not mm.pil_available(), reason="Pillow not installed")
 def test_pixel_tier_real_decode():
+    """PNG pixel decode is pure-Python — runs everywhere, no skip."""
     payload = _png(12, 5)
     w, h, mode, raw = mm.decode_pixels(payload)
-    assert (w, h) == (12, 5)
+    assert (w, h, mode) == (12, 5, "L")
     assert len(raw) == 12 * 5  # 8-bit grayscale
     assert raw == b"\x00" * 60
 
 
-@pytest.mark.skipif(not mm.pil_available(), reason="Pillow not installed")
 def test_pixel_tier_real_resize():
     out = mm.resize_pixels(_png(512, 128))
     assert mm.parse_image_dims(out) == (256, 64)
+    # the output is itself a decodable common-profile PNG
+    w, h, mode, raw = mm.png_decode_pixels(out)
+    assert (w, h, mode) == (256, 64, "L") and raw == b"\x00" * (256 * 64)
+
+
+def _png_rgb(w: int, h: int, pixel_fn, filters) -> bytes:
+    """Spec-built RGB PNG with chosen per-scanline filter types — the
+    encoder side of the filter algebra (RFC 2083 §6), so the decoder's
+    un-filtering is exercised against independently constructed bytes."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rows = [
+        [pixel_fn(x, y) for x in range(w)] for y in range(h)
+    ]  # list of list of (r, g, b)
+    flat = [
+        bytes(c for px in row for c in px) for row in rows
+    ]
+    bpp = 3
+    scan = bytearray()
+    prev = bytes(w * bpp)
+    for y, row in enumerate(flat):
+        ft = filters[y % len(filters)]
+        scan.append(ft)
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] - a
+            elif ft == 2:
+                v = row[i] - b
+            elif ft == 3:
+                v = row[i] - ((a + b) >> 1)
+            else:  # 4: Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[i] - pred
+            scan.append(v & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilter_all_filter_types():
+    """Every RFC 2083 filter type (None/Sub/Up/Average/Paeth) reconstructs
+    the same gradient image."""
+    pixel = lambda x, y: ((x * 7) % 256, (y * 11) % 256, (x * y) % 256)
+    want = bytes(
+        c for y in range(9) for x in range(13) for c in pixel(x, y)
+    )
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = _png_rgb(13, 9, pixel, filters)
+        w, h, mode, raw = mm.png_decode_pixels(payload)
+        assert (w, h, mode) == (13, 9, "RGB"), filters
+        assert raw == want, f"filter set {filters} mis-reconstructed"
+
+
+def test_png_roundtrip_and_resample():
+    """encode → decode is the identity; nearest-neighbor resample picks
+    exact source pixels (integer grid, no interpolation drift)."""
+    pixel = lambda x, y: ((x * 37) % 256, (y * 53) % 256, (x + y) % 256)
+    raw = bytes(c for y in range(8) for x in range(32) for c in pixel(x, y))
+    payload = mm.png_encode(32, 8, "RGB", raw)
+    assert mm.parse_image_dims(payload) == (32, 8)
+    assert mm.png_decode_pixels(payload) == (32, 8, "RGB", raw)
+
+    out = mm.resize_pixels(payload, box=4)  # 32x8 -> 4x1
+    w, h, mode, got = mm.png_decode_pixels(out)
+    assert (w, h, mode) == (4, 1, "RGB")
+    # row y=0, columns x*32//4 = 0, 8, 16, 24
+    want = b"".join(bytes(pixel(x, 0)) for x in (0, 8, 16, 24))
+    assert got == want
+
+
+def test_png_palette_depalettizes():
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))  # red, green, blue
+    idx = b"\x00" + bytes((0, 1, 2)) + b"\x00" + bytes((2, 1, 0))
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(idx)) + chunk(b"IEND", b"")
+    )
+    w, h, mode, raw = mm.png_decode_pixels(payload)
+    assert (w, h, mode) == (3, 2, "RGB")
+    assert raw == bytes(
+        (255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255, 0, 255, 0, 255, 0, 0)
+    )
+
+
+def test_png_unsupported_profiles_refused_by_name():
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    base = lambda ihdr: (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        mm.png_decode_pixels(base(struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)))
+    with pytest.raises(ValueError, match="interlaced"):
+        mm.png_decode_pixels(base(struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)))
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.png_decode_pixels(base(struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)))
 
 
 def test_decode_query_runtime_selection(spark):
