@@ -34,11 +34,14 @@ TTL_BYTES = 8
 
 
 class ByteReader:
-    __slots__ = ("buf", "pos")
+    # kryo_refs carries the per-value Kryo reference-resolution context
+    # (codecs/kryo.py) so nested container codecs share the one graph
+    __slots__ = ("buf", "pos", "kryo_refs")
 
     def __init__(self, buf: bytes, pos: int = 0):
         self.buf = buf
         self.pos = pos
+        self.kryo_refs = None
 
     def read(self, n: int) -> bytes:
         b = self.buf[self.pos : self.pos + n]

@@ -25,8 +25,12 @@ last char's high bit set, OR 0x80 alone for null.
 
 Every branch is cross-validated in tests/test_kryo.py against the real
 Kryo shipped inside this Spark's JVM (both reference-tracking settings,
-both directions). Back-references (marker > 1) are refused by name — they
-need the writing stream's object graph.
+both directions). Reference resolution is supported for the ACYCLIC case:
+back-reference markers (> 1) return the already-decoded object from the
+per-value graph, and repeated class names resolve through the per-value
+nameId cache. CYCLIC graphs (a back-reference to an object still being
+constructed) are refused by name — they cannot materialize as a value
+column.
 
 Job-registered classes (the reference restores *whatever* serializer the
 snapshot metadata names, ``reader/OperatorStateReader.java:100-104``)
@@ -41,6 +45,7 @@ refusal names the id/class so the user knows exactly what to supply.
 from __future__ import annotations
 
 import struct
+import threading
 
 from bravo_spark.codecs.flink import ByteReader, Codec, merge_utf16_surrogates
 
@@ -202,13 +207,61 @@ _EXPECT = {
 }
 
 
-def _read_ref_marker(r: ByteReader) -> None:
+class _RefCtx:
+    """Per-top-level-value Kryo resolution state (auto-reset means one
+    ``writeClassAndObject`` value is one graph): ``objects`` mirrors
+    MapReferenceResolver's read-object table (ids assigned in first-
+    occurrence preorder), ``class_names`` mirrors the ClassResolver's
+    nameId → class cache (used regardless of ``setReferences``)."""
+
+    __slots__ = ("objects", "class_names")
+
+    def __init__(self):
+        self.objects: list = []
+        self.class_names: dict[int, str] = {}
+
+
+# sentinel for a reserved-but-unfilled read slot: a back-reference landing
+# on it means the object graph is CYCLIC (the object refers to itself
+# through some chain), which a value decoder cannot materialize
+_PENDING = object()
+
+
+def _read_ref(r: ByteReader):
+    """Consume one reference marker (Kryo.readReferenceOrNull): returns
+    ``("new", slot)`` when a fresh object follows (slot reserved, fill it
+    after decoding — Kryo's nextReadId reservation order) or
+    ``("ref", obj)`` for an ACYCLIC back-reference to an already-decoded
+    object. Cyclic back-references (the slot is still pending) are
+    refused by name."""
     m = read_varint(r)
-    if m != 1:
+    ctx = r.kryo_refs
+    if m == 1:
+        if ctx is None:
+            return "new", -1
+        ctx.objects.append(_PENDING)
+        return "new", len(ctx.objects) - 1
+    idx = m - 2
+    if ctx is None or not 0 <= idx < len(ctx.objects):
         raise KryoError(
-            f"Kryo reference marker {m}: back-references need the writing "
-            "stream's object graph — only self-contained values decode"
+            f"Kryo back-reference to read-id {idx}: no such object in "
+            "this value's graph — damaged stream or reference-tracking "
+            "mismatch with the writing job"
         )
+    obj = ctx.objects[idx]
+    if obj is _PENDING:
+        raise KryoError(
+            f"cyclic Kryo back-reference (read-id {idx} is still being "
+            "constructed): cyclic object graphs cannot decode to a value "
+            "column — only acyclic graphs are supported"
+        )
+    return "ref", obj
+
+
+def _fill_ref(r: ByteReader, slot: int, value):
+    if slot >= 0 and r.kryo_refs is not None:
+        r.kryo_refs.objects[slot] = value
+    return value
 
 
 def read_kryo_value(
@@ -225,8 +278,32 @@ def read_kryo_value(
 
     ``expect`` may be a default-registration name (``_EXPECT`` key), a
     registration id ≥ 9, or a fully-qualified class name; the latter two
-    need a matching ``registrations`` entry supplying the payload codec."""
+    need a matching ``registrations`` entry supplying the payload codec.
+
+    Reference-resolution markers are honored for the ACYCLIC case: a
+    back-reference returns the already-decoded object, class-name ids
+    resolve through the per-value nameId cache (Kryo writes a repeated
+    class's name once per value), and container payload codecs (e.g.
+    :func:`object_array_codec`) share the graph through the reader.
+    Cyclic graphs are refused by name — they cannot materialize as a
+    value column."""
     regs = registrations or {}
+    top_level = r.kryo_refs is None
+    if top_level:
+        # auto-reset: one writeClassAndObject value == one graph
+        r.kryo_refs = _RefCtx()
+    try:
+        return _read_tagged(
+            r, references=references, expect=expect, regs=regs
+        )
+    finally:
+        if top_level:
+            r.kryo_refs = None
+
+
+def _read_tagged(
+    r: ByteReader, *, references: bool, expect, regs: dict
+):
     tag = read_varint(r)
     if tag == _TAG_NULL:
         return None
@@ -244,12 +321,12 @@ def read_kryo_value(
             )
     if tag == _TAG_NAME:
         name_id = read_varint(r)
-        if name_id != 0:
-            raise KryoError(
-                f"Kryo class-name back-reference {name_id}: only "
-                "self-contained values decode"
-            )
-        cls = read_kryo_string(r)
+        names = r.kryo_refs.class_names
+        if name_id in names:
+            cls = names[name_id]  # repeated class: name written once
+        else:
+            cls = read_kryo_string(r)
+            names[name_id] = cls
         if isinstance(expect, str) and expect not in _EXPECT and cls != expect:
             raise KryoError(
                 f"Kryo class {cls!r} where a {expect!r} value was expected"
@@ -257,7 +334,10 @@ def read_kryo_value(
         codec = regs.get(cls)
         if codec is not None:
             if references:
-                _read_ref_marker(r)
+                kind, got = _read_ref(r)
+                if kind == "ref":
+                    return got
+                return _fill_ref(r, got, codec.decode(r))
             return codec.decode(r)
         if cls != "[B":
             raise KryoError(
@@ -265,8 +345,14 @@ def read_kryo_value(
                 f"via registrations={{{cls!r}: codec}}"
             )
         if references:
-            _read_ref_marker(r)
-        n = read_varint(r)  # length + 1, 0 = null
+            kind, got = _read_ref(r)
+            if kind == "ref":
+                return got
+            n = read_varint(r)  # length + 1, 0 = null
+            return _fill_ref(
+                r, got, None if n == 0 else bytes(r.read(n - 1))
+            )
+        n = read_varint(r)
         return None if n == 0 else bytes(r.read(n - 1))
     rid = tag - 2
     if rid >= _FIRST_USER_ID:
@@ -278,13 +364,19 @@ def read_kryo_value(
                 f"registrations={{{rid}: codec}}"
             )
         if references:
-            _read_ref_marker(r)
+            kind, got = _read_ref(r)
+            if kind == "ref":
+                return got
+            return _fill_ref(r, got, codec.decode(r))
         return codec.decode(r)
     if rid == _ID_INT:
         return _zz_dec(read_varint(r))
     if rid == _ID_STRING:
         if references:
-            _read_ref_marker(r)
+            kind, got = _read_ref(r)
+            if kind == "ref":
+                return got
+            return _fill_ref(r, got, read_kryo_string(r))
         return read_kryo_string(r)
     if rid == _ID_FLOAT:
         return struct.unpack(">f", r.read(4))[0]
@@ -303,6 +395,24 @@ def read_kryo_value(
     raise KryoError(f"Kryo registration id {rid} has no decoder")
 
 
+_WRITE_TLS = threading.local()
+
+
+def _write_class_name(cls: str) -> bytes:
+    """writeClass name form with per-value nameId caching: the first
+    occurrence of a class within one value writes its nameId followed by
+    the name string; repeats write the nameId ALONE — exactly what Kryo's
+    ClassResolver emits (and what :func:`_read_tagged` reads back). The
+    cache lives for one top-level write (auto-reset semantics)."""
+    names = getattr(_WRITE_TLS, "names", None)
+    if names is None:  # bare nested call — single-class form
+        return write_varint(0) + write_kryo_string(cls)
+    if cls in names:
+        return write_varint(names[cls])
+    names[cls] = len(names)
+    return write_varint(names[cls]) + write_kryo_string(cls)
+
+
 def write_kryo_value(
     value,
     expect: str | int,
@@ -312,7 +422,31 @@ def write_kryo_value(
 ) -> bytes:
     """Encode one value as ``writeClassAndObject`` bytes of the ``expect``
     type (a key of ``_EXPECT``, a registration id ≥ 9, or a class name —
-    the latter two encode via their ``registrations`` payload codec)."""
+    the latter two encode via their ``registrations`` payload codec).
+
+    Duplicate objects inside one value are written as fresh objects, not
+    back-references — stream-legal (the reader simply assigns each its
+    own read-id); class NAMES do cache per value, as Kryo requires."""
+    top_level = getattr(_WRITE_TLS, "names", None) is None
+    if top_level:
+        _WRITE_TLS.names = {}
+    try:
+        return _write_tagged(
+            value, expect, references=references,
+            registrations=registrations,
+        )
+    finally:
+        if top_level:
+            _WRITE_TLS.names = None
+
+
+def _write_tagged(
+    value,
+    expect: str | int,
+    *,
+    references: bool = True,
+    registrations: dict | None = None,
+) -> bytes:
     regs = registrations or {}
     if value is None:
         return write_varint(_TAG_NULL)
@@ -330,14 +464,12 @@ def write_kryo_value(
         codec = regs.get(expect)
         if codec is None:
             raise KryoError(f"unsupported Kryo expect type {expect!r}")
-        out = (
-            write_varint(_TAG_NAME) + write_varint(0) + write_kryo_string(expect)
-        )
+        out = write_varint(_TAG_NAME) + _write_class_name(expect)
         if references:
             out += write_varint(1)
         return out + codec.encode(value)
     if expect == "bytes":
-        out = write_varint(_TAG_NAME) + write_varint(0) + write_kryo_string("[B")
+        out = write_varint(_TAG_NAME) + _write_class_name("[B")
         if references:
             out += write_varint(1)
         return out + write_varint(len(value) + 1) + bytes(value)
@@ -414,3 +546,66 @@ def kryo_codec(
     payload = regs.get(expect)
     fields = payload.fields if payload is not None else None
     return Codec(f"kryo<{expect}>", enc, dec, -1, fields=fields)
+
+
+def _infer_element_expect(v) -> str:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, int):
+        return "int" if -(2**31) <= v < 2**31 else "long"
+    if isinstance(v, float):
+        return "double"
+    raise KryoError(
+        f"cannot infer a Kryo element type for {type(v).__name__}; "
+        "encode via an explicit registrations payload codec"
+    )
+
+
+def object_array_codec(
+    *, references: bool = True, registrations: dict | None = None
+) -> Codec:
+    """Payload codec for Kryo's ObjectArraySerializer over ``Object[]``
+    (non-final element type): ``varint(length + 1)`` then each element as
+    a full ``writeClassAndObject`` — class tag + reference marker +
+    payload. Use as ``registrations={"[Ljava.lang.Object;": object_array_
+    codec(...)}``.
+
+    Elements share the enclosing value's reference graph through the
+    reader, so duplicate objects arrive as back-references (decoded to
+    the already-read value) and a repeated element class writes its name
+    once (nameId cache) — both JVM-cross-validated in tests/test_kryo.py.
+    Encoding infers element tags from the Python types (bool/str/bytes/
+    int/float) and writes duplicates as fresh objects (stream-legal)."""
+    regs = registrations or {}
+
+    def enc(vals) -> bytes:
+        if vals is None:
+            return write_varint(0)
+        out = write_varint(len(vals) + 1)
+        for v in vals:
+            if v is None:
+                out += write_varint(_TAG_NULL)
+            else:
+                out += _write_tagged(
+                    v, _infer_element_expect(v),
+                    references=references, registrations=regs,
+                )
+        return out
+
+    def dec(r: ByteReader):
+        n = read_varint(r)
+        if n == 0:
+            return None
+        # read_kryo_value reuses the enclosing value's graph when this
+        # codec runs nested (r.kryo_refs already set) and creates a fresh
+        # one when called standalone
+        return [
+            read_kryo_value(r, references=references, registrations=regs)
+            for _ in range(n - 1)
+        ]
+
+    return Codec("kryo-object-array", enc, dec, -1)

@@ -147,9 +147,9 @@ def test_tag_mismatch_refused_by_name():
 
 
 def test_refusals_are_named():
-    # back-reference marker
+    # back-reference to a read-id that was never assigned
     data = kr.write_varint(3) + kr.write_varint(2)
-    with pytest.raises(kr.KryoError, match="reference marker"):
+    with pytest.raises(kr.KryoError, match="no such object"):
         kr.read_kryo_value(ByteReader(data), references=True)
     # non-default registration id
     with pytest.raises(kr.KryoError, match="registration id 40"):
@@ -278,3 +278,117 @@ def test_registered_id_wrong_expect_refused():
         kr.read_kryo_value(
             ByteReader(buf), references=False, expect=10, registrations=regs
         )
+
+
+# --- reference resolution: acyclic back-references + class-name ids ---
+
+OBJ_ARRAY = "[Ljava.lang.Object;"
+
+
+def _arr_regs(refs):
+    # the array codec shares the SAME registrations mapping so elements
+    # (Dates, even nested Object[]s) resolve through it
+    regs = {"java.util.Date": _date_payload_codec()}
+    regs[OBJ_ARRAY] = kr.object_array_codec(references=refs, registrations=regs)
+    return regs
+
+
+@pytest.mark.parametrize("refs", [True, False])
+def test_object_array_both_directions(jk, refs):
+    """Object[] of mixed defaults: JVM bytes decode to the Python list;
+    our bytes read back in the JVM element-for-element."""
+    j = jk.j
+    arr = j.java.lang.reflect.Array.newInstance(
+        j.java.lang.Class.forName("java.lang.Object"), 4
+    )
+    j.java.lang.reflect.Array.set(arr, 0, "first")
+    j.java.lang.reflect.Array.set(arr, 1, j.java.lang.Integer(42))
+    j.java.lang.reflect.Array.set(arr, 2, None)
+    j.java.lang.reflect.Array.set(arr, 3, "second")
+    native = jk.write(arr, refs)
+    got = kr.read_kryo_value(
+        ByteReader(native), references=refs, expect=OBJ_ARRAY,
+        registrations=_arr_regs(refs),
+    )
+    assert got == ["first", 42, None, "second"]
+
+    ours = kr.write_kryo_value(
+        ["first", 42, None, "second"], OBJ_ARRAY,
+        references=refs, registrations=_arr_regs(refs),
+    )
+    back = jk.read(ours, refs)
+    assert [back[0], back[1], back[2], back[3]] == ["first", 42, None, "second"]
+
+
+@pytest.mark.parametrize("refs", [True, False])
+def test_class_name_id_reuse_across_elements(jk, refs):
+    """Two unregistered Dates in one array: Kryo writes 'java.util.Date'
+    ONCE, the second element carries only the cached nameId — with
+    references on AND off (the class-name cache is independent of
+    setReferences)."""
+    j = jk.j
+    arr = j.java.lang.reflect.Array.newInstance(
+        j.java.lang.Class.forName("java.lang.Object"), 2
+    )
+    j.java.lang.reflect.Array.set(arr, 0, j.java.util.Date(1111))
+    j.java.lang.reflect.Array.set(arr, 1, j.java.util.Date(2222))
+    native = jk.write(arr, refs)
+    assert native.count(b"java.util.Dat") == 1  # name written once
+    got = kr.read_kryo_value(
+        ByteReader(native), references=refs, expect=OBJ_ARRAY,
+        registrations=_arr_regs(refs),
+    )
+    assert got == [1111, 2222]
+
+
+def test_acyclic_back_reference_same_instance(jk):
+    """The SAME Date instance twice: the second element is a genuine
+    back-reference marker (read-id of the first), and decodes to the
+    already-read value."""
+    j = jk.j
+    arr = j.java.lang.reflect.Array.newInstance(
+        j.java.lang.Class.forName("java.lang.Object"), 3
+    )
+    d = j.java.util.Date(777777)
+    j.java.lang.reflect.Array.set(arr, 0, d)
+    j.java.lang.reflect.Array.set(arr, 1, j.java.lang.Integer(5))
+    j.java.lang.reflect.Array.set(arr, 2, d)
+    native = jk.write(arr, True)
+    got = kr.read_kryo_value(
+        ByteReader(native), references=True, expect=OBJ_ARRAY,
+        registrations=_arr_regs(True),
+    )
+    assert got == [777777, 5, 777777]
+    # the payload really is a back-reference: the millis varint appears once
+    assert native.count(kr.write_varint(777777)) == 1
+
+
+def test_cyclic_back_reference_refused_by_name(jk):
+    """arr[0] = arr — the JVM happily writes the cycle; our decoder must
+    refuse it BY NAME (the slot is still pending), never hang or return
+    garbage."""
+    j = jk.j
+    arr = j.java.lang.reflect.Array.newInstance(
+        j.java.lang.Class.forName("java.lang.Object"), 1
+    )
+    j.java.lang.reflect.Array.set(arr, 0, arr)
+    native = jk.write(arr, True)
+    with pytest.raises(kr.KryoError, match="cyclic"):
+        kr.read_kryo_value(
+            ByteReader(native), references=True, expect=OBJ_ARRAY,
+            registrations=_arr_regs(True),
+        )
+
+
+def test_object_array_codec_standalone_roundtrip():
+    """The Codec interface works outside a savepoint read (fresh graph
+    per call), including nested byte[] elements whose '[B' name must hit
+    the write-side nameId cache the second time."""
+    c = kr.kryo_codec(
+        OBJ_ARRAY, references=True, registrations=_arr_regs(True)
+    )
+    vals = ["a", 7, None, b"\x01\x02", True, 2.5, b"\x03", "a"]
+    buf = c.encode(vals)
+    assert c.decode(ByteReader(buf)) == vals
+    # '[B' appears once in the stream (second byte[] reuses the nameId)
+    assert buf.count(kr.write_kryo_string("[B")) == 1
