@@ -405,3 +405,39 @@ def test_bpe_pair_counts_topk_is_distributed(plans):
     p = plans("bpe_pair_counts")
     assert "TakeOrderedAndProject" in p
     assert "Window" not in p
+
+
+def test_datasource_isin_pushdown_fully_absorbed(spark, tmp_path):
+    """The engine front door (spark.read.format("bravo_savepoint")) with
+    an isin(state_name) predicate: the filter must be ABSORBED by
+    pushFilters into the byte scan — no state_name comparison may remain
+    in a post-scan Filter (only the isnotnull guard Spark keeps). Guards
+    the DataSource contract against Spark upgrades, mirroring the
+    library-path pin in test_snapshot_write_plan_is_single_shuffle."""
+    from pyspark.sql import functions as F
+
+    from bravo_spark.codecs import flink as fc
+    from bravo_spark.sources import datasource as ds
+    from bravo_spark.sources import savepoint as sp
+    from bravo_spark.sources import staterows as sr
+
+    kv = spark.createDataFrame([(k, k) for k in range(8)], "key int, value int")
+    rows = sr.kv_to_state_rows(kv, "Count", fc.INT, fc.INT).unionByName(
+        sr.kv_to_state_rows(kv, "Other", fc.INT, fc.INT)
+    )
+    out = str(tmp_path / "sp")
+    sp.write_savepoint(
+        rows, out, max_parallelism=128, parallelism=2,
+        state_ids={"Count": 0, "Other": 1},
+    )
+    ds.register(spark)
+    df = spark.read.format("bravo_savepoint").load(out).filter(
+        F.col("state_name").isin("Count", "Other")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan bravo_savepoint" in plan
+    # the isin comparison is gone from the Spark-side Filter: neither
+    # value literal survives above the scan
+    post_scan = plan.split("BatchScan")[0]
+    assert "Count" not in post_scan and "Other" not in post_scan
+    assert df.count() == 16
