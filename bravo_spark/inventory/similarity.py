@@ -826,3 +826,90 @@ def embedding_quantize(spark, sf_dir):
 
     emb = catalog.table_spread(spark, sf_dir, "embeddings")
     return llmops.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+
+
+# ---------------------------------------------------------------------------
+# kNN label-vote evaluation: the canonical "are these embeddings any good"
+# check a training-data pipeline runs when vectors carry ground-truth
+# labels — exact top-k neighbors per sampled query, majority vote, per-
+# label accuracy counts. Integer outputs only, so the whole eval is
+# hash-checked.
+# ---------------------------------------------------------------------------
+
+N_LABEL_QUERIES = 50
+
+_KNN_LABEL_ORACLE = f"""
+WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e
+           FROM embeddings WHERE vec_id < {N_LABEL_QUERIES}),
+     c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e
+           FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+    {_DOT.format(a='q.e', b='c.e')} /
+      (sqrt({_DOT.format(a='q.e', b='q.e')}) * sqrt({_DOT.format(a='c.e', b='c.e')}))
+      AS cos
+  FROM q JOIN c ON q.vec_id <> c.vec_id),
+topk AS (
+  SELECT query_id, n_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank FROM scored) r
+  WHERE rank <= {TOP_K}),
+votes AS (
+  SELECT query_id, n_label, count(*) AS v FROM topk
+  GROUP BY query_id, n_label),
+pred AS (
+  SELECT query_id, n_label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY v DESC, n_label) AS rk FROM votes) p
+  WHERE rk = 1)
+SELECT q.label,
+  count(*) AS n_queries,
+  CAST(sum(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct
+FROM pred p JOIN q ON q.vec_id = p.query_id
+GROUP BY q.label
+"""
+
+
+@query("ann_knn_label_eval", oracle=_KNN_LABEL_ORACLE)
+def ann_knn_label_eval(spark, sf_dir):
+    """Per-label kNN classification accuracy over sampled queries: exact
+    cosine top-k (queries broadcast, candidates stream — the same
+    embarrassingly-parallel scan as ann_cosine_topk), neighbor labels
+    majority-voted with deterministic (count desc, label asc) tie-break,
+    then (label, n_queries, n_correct). The labels join touches the tiny
+    top-k relation, never the full corpus twice; output is integer-only
+    so the hash check covers the whole pipeline."""
+    from bravo_spark import llmops
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    topk = llmops.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < N_LABEL_QUERIES), k=TOP_K
+    )
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        topk.join(lab, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("v").desc(), "n_label")
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    truth = emb.filter(F.col("vec_id") < N_LABEL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "label"
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+    )

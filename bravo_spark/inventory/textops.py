@@ -859,3 +859,26 @@ def _length_hist_sql(dialect: str) -> str:
 def text_length_histogram(spark, sf_dir):
     """Document token-count histogram in fixed 32-token buckets."""
     return spark.sql(_length_hist_sql("spark"))
+
+
+def _langid_accuracy_sql() -> str:
+    """Confusion matrix of the stopword-heuristic language ID against the
+    corpus's ground-truth ``lang`` column — dialect-shared, like
+    ``_langid_sql`` itself."""
+    return (
+        f"SELECT d.lang AS true_lang, p.lang_pred AS pred_lang,"
+        f" count(*) AS n_docs"
+        f" FROM documents d JOIN ({_langid_sql()}) p ON d.doc_id = p.doc_id"
+        f" GROUP BY d.lang, p.lang_pred"
+    )
+
+
+@query("text_langid_accuracy", oracle=_langid_accuracy_sql())
+def text_langid_accuracy(spark, sf_dir):
+    """Language-ID quality evaluation: the (true_lang, pred_lang, n_docs)
+    confusion matrix of ``text_lang_id``'s heuristic against the corpus's
+    ground-truth ``lang`` column — the acceptance gate a pipeline runs
+    before trusting a classifier to route 100 TB. Map-side prediction,
+    one count aggregation; the join keys on doc_id (1:1, co-partitioned
+    at scale)."""
+    return spark.sql(_langid_accuracy_sql())
