@@ -392,3 +392,30 @@ def test_object_array_codec_standalone_roundtrip():
     assert c.decode(ByteReader(buf)) == vals
     # '[B' appears once in the stream (second byte[] reuses the nameId)
     assert buf.count(kr.write_kryo_string("[B")) == 1
+
+
+# --- property test: object arrays round-trip for arbitrary element mixes ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ELEMENT = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-(2**63), 2**63 - 1),
+    st.floats(allow_nan=False, width=64),
+    st.text(max_size=40),
+    st.binary(max_size=40),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals=st.lists(_ELEMENT, max_size=12), refs=st.booleans())
+def test_object_array_roundtrip_property(vals, refs):
+    """Arbitrary element mixes (nulls, dup strings/bytes → write-side
+    nameId reuse, full-range ints, astral text) round-trip through the
+    Codec interface under both reference settings."""
+    regs = {}
+    regs[OBJ_ARRAY] = kr.object_array_codec(references=refs, registrations=regs)
+    c = kr.kryo_codec(OBJ_ARRAY, references=refs, registrations=regs)
+    got = c.decode(ByteReader(c.encode(vals)))
+    assert got == [bytes(v) if isinstance(v, bytearray) else v for v in vals]

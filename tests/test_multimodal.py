@@ -317,3 +317,51 @@ def test_text_with_gif_magic_stays_synthetic():
     )
     assert mm.sniff_format(g2, strict=True) == "gif"
     assert mm.decode_meta(g2) == (5, 7, "header")
+
+
+# --- property tests: the PNG codec holds for arbitrary images ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_MODES = st.sampled_from(["L", "LA", "RGB", "RGBA"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    mode=_MODES,
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_png_encode_decode_identity_property(w, h, mode, seed):
+    """encode → decode is the identity for every mode/shape/content."""
+    import random
+
+    rnd = random.Random(seed)
+    raw = bytes(rnd.randrange(256) for _ in range(w * h * len(mode)))
+    assert mm.png_decode_pixels(mm.png_encode(w, h, mode, raw)) == (
+        w, h, mode, raw,
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    box=st.integers(1, 24),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_png_resize_property(w, h, box, seed):
+    """resize_pixels output: exact fit_box dims, decodable, and every
+    output pixel is a pixel of the source (nearest-neighbor picks, never
+    interpolates)."""
+    import random
+
+    rnd = random.Random(seed)
+    raw = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    out = mm.resize_pixels(mm.png_encode(w, h, "RGB", raw), box=box)
+    ow, oh, mode, got = mm.png_decode_pixels(out)
+    assert (ow, oh) == mm.fit_box(w, h, box) and mode == "RGB"
+    src_pixels = {raw[i : i + 3] for i in range(0, len(raw), 3)}
+    for i in range(0, len(got), 3):
+        assert got[i : i + 3] in src_pixels
