@@ -422,3 +422,121 @@ def streaming_stream_stream_join(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas runs a protobuf-RPC driver worker
+    (StreamingPythonRunner); without the protobuf package that worker
+    crashes at startup, so the query registers only where it can run.
+    This container ships no protobuf (and installs are off-limits) — on a
+    real cluster the query appears automatically."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+def _register_tws():
+    if not _tws_available():
+        return None
+    return query(
+        "streaming_tws_counts",
+        oracle=(
+            "SELECT user_id AS key, count(*) AS cnt,"
+            " CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value"
+            " FROM events GROUP BY user_id"
+        ),
+    )
+
+
+_tws_query = _register_tws()
+
+
+def streaming_tws_counts(spark, sf_dir):
+    """Custom stateful streaming operator via ``transformWithStateInPandas``
+    — Spark 4's successor to applyInPandasWithState (SPARK-49564, the
+    arbitrary-state v2 API): a ``StatefulProcessor`` with named
+    ``ValueState``, Arrow-batched rows per key, and (unused here) timers
+    and list/map state. Requires the RocksDB state-store provider — at
+    scale exactly what a production deployment runs (incremental
+    checkpointing, changelog); the conf is scoped to this query and
+    restored after. Same integer-cents determinism and final-state
+    semantics as streaming_stateful_counts, so both stateful APIs are
+    proven against the one batch oracle."""
+    import pandas as _pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .selectExpr("user_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+    )
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._agg = handle.getValueState("agg", "cnt long, cents long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, cents = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                cnt += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._agg.update((cnt, cents))
+            yield _pd.DataFrame(
+                {"key": [key[0]], "cnt": [cnt], "sum_value": [cents / 100.0]}
+            )
+
+        def close(self):
+            pass
+
+    agg = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CountProcessor(),
+        outputStructType="key long, cnt long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    # final state per key (update mode emits once per key per micro-batch;
+    # cnt is monotone within a key)
+    from pyspark.sql import Window
+
+    sink = spark.table(name)
+    w = Window.partitionBy("key").orderBy(F.col("cnt").desc())
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+if _tws_query is not None:
+    streaming_tws_counts = _tws_query(streaming_tws_counts)

@@ -781,3 +781,14 @@ def test_bpe_train_100_merges_bounded_and_exact(spark):
     want = _ref_bpe(texts, 100)
     assert got == want
     assert len(got) == 100  # the corpus genuinely sustains 100 merges
+
+
+def test_tws_query_is_env_gated():
+    """transformWithStateInPandas needs protobuf for its driver worker;
+    the query must register exactly when that dependency exists, so the
+    mirror/gate never carries a row that crashes at startup."""
+    import __spark_entry__ as e
+
+    from bravo_spark.inventory import streaming as stm
+
+    assert ("streaming_tws_counts" in e.queries()) == stm._tws_available()
