@@ -252,6 +252,8 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     idat = bytearray()
     for typ, data in _png_chunks(payload):
         if typ == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"IHDR must be 13 bytes, got {len(data)}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"PLTE":
             plte = data
@@ -270,8 +272,15 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
         raise ValueError("interlaced (Adam7) PNG unsupported")
     if w <= 0 or h <= 0:
         raise ValueError(f"non-positive image dims {w}x{h}")
+    if w * h > 1 << 26:  # 64 Mpx decompression-bomb guard: a tiny IDAT
+        # can claim arbitrary dims; refuse before allocating w*h buffers
+        raise ValueError(f"image dims {w}x{h} exceed the 64-megapixel cap")
     bpp = _PNG_CHANNELS[ctype]
-    raw = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"damaged PNG pixel stream: {exc}") from None
+    raw = _png_unfilter(inflated, w, h, bpp)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG has no PLTE chunk")

@@ -365,3 +365,47 @@ def test_png_resize_property(w, h, box, seed):
     src_pixels = {raw[i : i + 3] for i in range(0, len(raw), 3)}
     for i in range(0, len(got), 3):
         assert got[i : i + 3] in src_pixels
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    cut=st.integers(0, 200),
+    flip_pos=st.integers(0, 199),
+    flip_val=st.integers(1, 255),
+    mode=st.sampled_from(["truncate", "flip", "both"]),
+)
+def test_png_decoder_malformed_inputs_fail_cleanly(cut, flip_pos, flip_val, mode):
+    """Arbitrary truncations/corruptions of a valid PNG must either decode
+    or raise ValueError — never hang, never leak struct/zlib internals,
+    never return garbage silently accepted as a different shape."""
+    base = mm.png_encode(9, 7, "RGB", bytes((i * 13) % 256 for i in range(9 * 7 * 3)))
+    data = bytearray(base)
+    if mode in ("truncate", "both"):
+        data = data[: max(8, len(data) - cut % len(data))]
+    if mode in ("flip", "both") and flip_pos < len(data):
+        data[flip_pos] ^= flip_val
+    try:
+        w, h, m, raw = mm.png_decode_pixels(bytes(data))
+    except ValueError:
+        return  # named, controlled refusal
+    assert len(raw) == w * h * len(m)
+
+
+def test_png_decompression_bomb_capped():
+    """A tiny IDAT claiming giant dims must refuse BEFORE allocating."""
+    import struct as _st
+    import zlib as _zl
+
+    def chunk(tag, body):
+        return (
+            _st.pack(">I", len(body)) + tag + body
+            + _st.pack(">I", _zl.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _st.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 0, 0, 0, 0)  # 1 Gpx
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zl.compress(b"\x00")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="megapixel"):
+        mm.png_decode_pixels(bomb)
