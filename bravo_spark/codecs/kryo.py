@@ -609,3 +609,79 @@ def object_array_codec(
         ]
 
     return Codec("kryo-object-array", enc, dec, -1)
+
+
+def collection_codec(
+    *, references: bool = True, registrations: dict | None = None
+) -> Codec:
+    """Payload codec for Kryo's CollectionSerializer over plain
+    ``java.util.ArrayList``-style collections (no generics optimization):
+    ``varint(size)`` — NOTE: no +1, unlike arrays — then each element as
+    a full ``writeClassAndObject``. Use as
+    ``registrations={"java.util.ArrayList": collection_codec(...)}``.
+    Elements share the enclosing value's reference graph; encoding infers
+    element tags like :func:`object_array_codec`."""
+    regs = registrations or {}
+
+    def enc(vals) -> bytes:
+        out = write_varint(len(vals))
+        for v in vals:
+            if v is None:
+                out += write_varint(_TAG_NULL)
+            else:
+                out += _write_tagged(
+                    v, _infer_element_expect(v),
+                    references=references, registrations=regs,
+                )
+        return out
+
+    def dec(r: ByteReader):
+        n = read_varint(r)
+        return [
+            read_kryo_value(r, references=references, registrations=regs)
+            for _ in range(n)
+        ]
+
+    return Codec("kryo-collection", enc, dec, -1)
+
+
+def map_codec(
+    *, references: bool = True, registrations: dict | None = None
+) -> Codec:
+    """Payload codec for Kryo's MapSerializer over plain
+    ``java.util.HashMap``-style maps: ``varint(size)``, then each entry's
+    key and value as full ``writeClassAndObject`` streams. Use as
+    ``registrations={"java.util.HashMap": map_codec(...)}``. A decoded
+    key that is unhashable in Python (e.g. a nested collection) is
+    refused by name."""
+    regs = registrations or {}
+
+    def enc(d) -> bytes:
+        out = write_varint(len(d))
+        for kk, vv in d.items():
+            for v in (kk, vv):
+                if v is None:
+                    out += write_varint(_TAG_NULL)
+                else:
+                    out += _write_tagged(
+                        v, _infer_element_expect(v),
+                        references=references, registrations=regs,
+                    )
+        return out
+
+    def dec(r: ByteReader):
+        n = read_varint(r)
+        out = {}
+        for _ in range(n):
+            kk = read_kryo_value(r, references=references, registrations=regs)
+            vv = read_kryo_value(r, references=references, registrations=regs)
+            try:
+                out[kk] = vv
+            except TypeError:
+                raise KryoError(
+                    f"Kryo map key of type {type(kk).__name__} is not "
+                    "hashable in Python — decode via a custom codec"
+                ) from None
+        return out
+
+    return Codec("kryo-map", enc, dec, -1)

@@ -419,3 +419,59 @@ def test_object_array_roundtrip_property(vals, refs):
     c = kr.kryo_codec(OBJ_ARRAY, references=refs, registrations=regs)
     got = c.decode(ByteReader(c.encode(vals)))
     assert got == [bytes(v) if isinstance(v, bytearray) else v for v in vals]
+
+
+@pytest.mark.parametrize("refs", [True, False])
+def test_arraylist_both_directions(jk, refs):
+    """java.util.ArrayList under CollectionSerializer: varint size (no
+    +1), elements as writeClassAndObject — JVM bytes decode to the Python
+    list and our bytes read back element-for-element."""
+    j = jk.j
+    regs = {"java.util.ArrayList": kr.collection_codec(references=refs)}
+    lst = j.java.util.ArrayList()
+    lst.add("ab")
+    lst.add(j.java.lang.Integer(7))
+    lst.add(None)
+    lst.add("ab")
+    native = jk.write(lst, refs)
+    got = kr.read_kryo_value(
+        ByteReader(native), references=refs,
+        expect="java.util.ArrayList", registrations=regs,
+    )
+    assert got == ["ab", 7, None, "ab"]
+    # empty collection
+    assert kr.read_kryo_value(
+        ByteReader(jk.write(j.java.util.ArrayList(), refs)),
+        references=refs, expect="java.util.ArrayList", registrations=regs,
+    ) == []
+    # our encoding reads back in the JVM
+    ours = kr.write_kryo_value(
+        ["ab", 7, None, "ab"], "java.util.ArrayList",
+        references=refs, registrations=regs,
+    )
+    back = jk.read(ours, refs)
+    assert [back[0], back[1], back[2], back[3]] == ["ab", 7, None, "ab"]
+
+
+@pytest.mark.parametrize("refs", [True, False])
+def test_hashmap_both_directions(jk, refs):
+    """java.util.HashMap under MapSerializer: varint size, key+value as
+    writeClassAndObject per entry."""
+    j = jk.j
+    regs = {"java.util.HashMap": kr.map_codec(references=refs)}
+    m = j.java.util.HashMap()
+    m.put("a", "x")
+    m.put("b", j.java.lang.Integer(9))
+    native = jk.write(m, refs)
+    got = kr.read_kryo_value(
+        ByteReader(native), references=refs,
+        expect="java.util.HashMap", registrations=regs,
+    )
+    assert got == {"a": "x", "b": 9}
+    ours = kr.write_kryo_value(
+        {"a": "x", "b": 9}, "java.util.HashMap",
+        references=refs, registrations=regs,
+    )
+    back = jk.read(ours, refs)
+    assert back.get("a") == "x" and back.get("b") == 9
+    assert back.size() == 2
