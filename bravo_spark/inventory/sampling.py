@@ -433,3 +433,65 @@ def _mixture_report_sql(dialect: str) -> str:
 def source_mixture_report(spark, sf_dir):
     """Per-source docs/tokens and exact ppm token share of the corpus."""
     return spark.sql(_mixture_report_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture: the standard low-resource upweighting move
+# (multilingual/multi-source training, T=2 i.e. alpha=0.5): sampling
+# weight w_i = sqrt(n_tokens_i) flattens the raw token distribution, then
+# a fixed budget is allocated by largest-remainder rounding so the
+# per-source token targets sum EXACTLY to the budget. All arithmetic is
+# either a single correctly-rounded IEEE op (sqrt — deterministic in
+# every engine) floored to integers, or exact integer division — so even
+# the allocation tie-breaks hash-match across engines.
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000  # tokens to allocate across sources
+
+
+def _mixture_temperature_sql(dialect: str) -> str:
+    ntok = (
+        "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+        if dialect == "spark"
+        else "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    )
+    intdiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs, CAST(sum({ntok}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+weighted AS (
+  SELECT source, n_docs, n_tokens,
+    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+  FROM per_source),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM weighted),
+base AS (
+  SELECT source, n_docs, n_tokens, w,
+    CAST(w * 1000000 {intdiv} sw AS BIGINT) AS share_ppm,
+    CAST(w * {_MIX_BUDGET} {intdiv} sw AS BIGINT) AS alloc,
+    CAST(w * {_MIX_BUDGET} % sw AS BIGINT) AS rem
+  FROM weighted, tot),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+    (SELECT {_MIX_BUDGET} - sum(alloc) FROM base) AS leftover
+  FROM base)
+SELECT source, n_docs, n_tokens, w, share_ppm,
+  CAST(alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+    AS token_budget
+FROM ranked
+"""
+
+
+@query(
+    "source_mixture_temperature",
+    oracle=_mixture_temperature_sql("duckdb"),
+)
+def source_mixture_temperature(spark, sf_dir):
+    """Temperature-flattened (alpha=0.5) source mixture with an exact
+    largest-remainder budget allocation: per-source sqrt(token) weights,
+    integer-ppm shares, and token budgets that sum to exactly the global
+    budget (floor allocations, then +1 to the largest remainders with a
+    deterministic (remainder desc, source) tie-break). One aggregation
+    shuffle over the corpus; everything after runs on the ~#sources-row
+    relation — metadata-scale at any corpus size."""
+    return spark.sql(_mixture_temperature_sql("spark"))
