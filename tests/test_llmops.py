@@ -754,9 +754,7 @@ def test_bpe_round_work_scales_with_affected_words(spark):
     # plan shape: the delta branches aggregate over a FILTERED scan (the
     # exists predicate sits below the explode), so unaffected words are
     # never exploded
-    plan = new_counts._sc._jvm.PythonSQLUtils.explainString(
-        new_counts._jdf.queryExecution(), "extended"
-    ) if False else new_counts._jdf.queryExecution().optimizedPlan().toString()
+    plan = new_counts._jdf.queryExecution().optimizedPlan().toString()
     assert "exists(" in plan.lower() or "Filter" in plan
 
 
