@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import struct
 import threading
+from contextlib import contextmanager
 
 from bravo_spark.codecs.flink import ByteReader, Codec, merge_utf16_surrogates
 
@@ -288,17 +289,11 @@ def read_kryo_value(
     Cyclic graphs are refused by name — they cannot materialize as a
     value column."""
     regs = registrations or {}
-    top_level = r.kryo_refs is None
-    if top_level:
-        # auto-reset: one writeClassAndObject value == one graph
-        r.kryo_refs = _RefCtx()
-    try:
+    # auto-reset: one writeClassAndObject value == one graph
+    with _read_graph(r):
         return _read_tagged(
             r, references=references, expect=expect, regs=regs
         )
-    finally:
-        if top_level:
-            r.kryo_refs = None
 
 
 def _read_tagged(
@@ -398,15 +393,48 @@ def _read_tagged(
 _WRITE_TLS = threading.local()
 
 
+@contextmanager
+def _read_graph(r: ByteReader):
+    """One shared reference graph per top-level value on the READ side.
+    Every decode entry point (read_kryo_value, container codec .decode)
+    opens this scope; nested opens are no-ops, so elements of a container
+    share the enclosing value's graph whichever door the decode came
+    through."""
+    top = r.kryo_refs is None
+    if top:
+        r.kryo_refs = _RefCtx()
+    try:
+        yield
+    finally:
+        if top:
+            r.kryo_refs = None
+
+
+@contextmanager
+def _write_names():
+    """WRITE-side twin of :func:`_read_graph`: one nameId cache per
+    top-level value, whichever encode entry point opened it. Without a
+    shared cache a container writing two name-form elements would emit
+    nameId 0 + the full name twice — bytes every conforming reader
+    (including ours) misparses."""
+    top = getattr(_WRITE_TLS, "names", None) is None
+    if top:
+        _WRITE_TLS.names = {}
+    try:
+        yield
+    finally:
+        if top:
+            _WRITE_TLS.names = None
+
+
 def _write_class_name(cls: str) -> bytes:
     """writeClass name form with per-value nameId caching: the first
     occurrence of a class within one value writes its nameId followed by
     the name string; repeats write the nameId ALONE — exactly what Kryo's
     ClassResolver emits (and what :func:`_read_tagged` reads back). The
-    cache lives for one top-level write (auto-reset semantics)."""
-    names = getattr(_WRITE_TLS, "names", None)
-    if names is None:  # bare nested call — single-class form
-        return write_varint(0) + write_kryo_string(cls)
+    cache lives for one top-level write (auto-reset semantics); every
+    encode entry point opens :func:`_write_names`, so it is always set."""
+    names = _WRITE_TLS.names
     if cls in names:
         return write_varint(names[cls])
     names[cls] = len(names)
@@ -427,17 +455,11 @@ def write_kryo_value(
     Duplicate objects inside one value are written as fresh objects, not
     back-references — stream-legal (the reader simply assigns each its
     own read-id); class NAMES do cache per value, as Kryo requires."""
-    top_level = getattr(_WRITE_TLS, "names", None) is None
-    if top_level:
-        _WRITE_TLS.names = {}
-    try:
+    with _write_names():
         return _write_tagged(
             value, expect, references=references,
             registrations=registrations,
         )
-    finally:
-        if top_level:
-            _WRITE_TLS.names = None
 
 
 def _write_tagged(
@@ -585,28 +607,30 @@ def object_array_codec(
     def enc(vals) -> bytes:
         if vals is None:
             return write_varint(0)
-        out = write_varint(len(vals) + 1)
-        for v in vals:
-            if v is None:
-                out += write_varint(_TAG_NULL)
-            else:
-                out += _write_tagged(
-                    v, _infer_element_expect(v),
-                    references=references, registrations=regs,
-                )
+        with _write_names():
+            out = write_varint(len(vals) + 1)
+            for v in vals:
+                if v is None:
+                    out += write_varint(_TAG_NULL)
+                else:
+                    out += _write_tagged(
+                        v, _infer_element_expect(v),
+                        references=references, registrations=regs,
+                    )
         return out
 
     def dec(r: ByteReader):
-        n = read_varint(r)
-        if n == 0:
-            return None
-        # read_kryo_value reuses the enclosing value's graph when this
-        # codec runs nested (r.kryo_refs already set) and creates a fresh
-        # one when called standalone
-        return [
-            read_kryo_value(r, references=references, registrations=regs)
-            for _ in range(n - 1)
-        ]
+        # ONE graph for the whole array, nested or standalone — a
+        # per-element graph would desync nameId-cached class names and
+        # back-references between elements
+        with _read_graph(r):
+            n = read_varint(r)
+            if n == 0:
+                return None
+            return [
+                read_kryo_value(r, references=references, registrations=regs)
+                for _ in range(n - 1)
+            ]
 
     return Codec("kryo-object-array", enc, dec, -1)
 
@@ -624,23 +648,25 @@ def collection_codec(
     regs = registrations or {}
 
     def enc(vals) -> bytes:
-        out = write_varint(len(vals))
-        for v in vals:
-            if v is None:
-                out += write_varint(_TAG_NULL)
-            else:
-                out += _write_tagged(
-                    v, _infer_element_expect(v),
-                    references=references, registrations=regs,
-                )
+        with _write_names():
+            out = write_varint(len(vals))
+            for v in vals:
+                if v is None:
+                    out += write_varint(_TAG_NULL)
+                else:
+                    out += _write_tagged(
+                        v, _infer_element_expect(v),
+                        references=references, registrations=regs,
+                    )
         return out
 
     def dec(r: ByteReader):
-        n = read_varint(r)
-        return [
-            read_kryo_value(r, references=references, registrations=regs)
-            for _ in range(n)
-        ]
+        with _read_graph(r):
+            n = read_varint(r)
+            return [
+                read_kryo_value(r, references=references, registrations=regs)
+                for _ in range(n)
+            ]
 
     return Codec("kryo-collection", enc, dec, -1)
 
@@ -657,31 +683,37 @@ def map_codec(
     regs = registrations or {}
 
     def enc(d) -> bytes:
-        out = write_varint(len(d))
-        for kk, vv in d.items():
-            for v in (kk, vv):
-                if v is None:
-                    out += write_varint(_TAG_NULL)
-                else:
-                    out += _write_tagged(
-                        v, _infer_element_expect(v),
-                        references=references, registrations=regs,
-                    )
+        with _write_names():
+            out = write_varint(len(d))
+            for kk, vv in d.items():
+                for v in (kk, vv):
+                    if v is None:
+                        out += write_varint(_TAG_NULL)
+                    else:
+                        out += _write_tagged(
+                            v, _infer_element_expect(v),
+                            references=references, registrations=regs,
+                        )
         return out
 
     def dec(r: ByteReader):
-        n = read_varint(r)
-        out = {}
-        for _ in range(n):
-            kk = read_kryo_value(r, references=references, registrations=regs)
-            vv = read_kryo_value(r, references=references, registrations=regs)
-            try:
-                out[kk] = vv
-            except TypeError:
-                raise KryoError(
-                    f"Kryo map key of type {type(kk).__name__} is not "
-                    "hashable in Python — decode via a custom codec"
-                ) from None
-        return out
+        with _read_graph(r):
+            n = read_varint(r)
+            out = {}
+            for _ in range(n):
+                kk = read_kryo_value(
+                    r, references=references, registrations=regs
+                )
+                vv = read_kryo_value(
+                    r, references=references, registrations=regs
+                )
+                try:
+                    out[kk] = vv
+                except TypeError:
+                    raise KryoError(
+                        f"Kryo map key of type {type(kk).__name__} is not "
+                        "hashable in Python — decode via a custom codec"
+                    ) from None
+            return out
 
     return Codec("kryo-map", enc, dec, -1)

@@ -276,10 +276,23 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
         # can claim arbitrary dims; refuse before allocating w*h buffers
         raise ValueError(f"image dims {w}x{h} exceed the 64-megapixel cap")
     bpp = _PNG_CHANNELS[ctype]
+    # bounded inflate: the stream must decompress to EXACTLY h scanlines
+    # (h * (stride+1) bytes). A plain zlib.decompress would allocate
+    # whatever the stream inflates to — a small-dims header with a
+    # gigabyte IDAT bypasses the megapixel cap above — so cap the output
+    # at the expected size and refuse both short and oversized streams.
+    expected = h * (w * bpp + 1)
+    dec = zlib.decompressobj()
     try:
-        inflated = zlib.decompress(bytes(idat))
+        inflated = dec.decompress(bytes(idat), expected)
+        extra = dec.decompress(dec.unconsumed_tail, 1) + dec.flush()
     except zlib.error as exc:
         raise ValueError(f"damaged PNG pixel stream: {exc}") from None
+    if len(inflated) != expected or extra:
+        raise ValueError(
+            f"PNG pixel stream inflates to {len(inflated) + len(extra)}+ "
+            f"bytes where exactly {expected} are expected for {w}x{h}"
+        )
     raw = _png_unfilter(inflated, w, h, bpp)
     if ctype == 3:
         if plte is None:

@@ -456,6 +456,11 @@ def _mixture_temperature_sql(dialect: str) -> str:
         else "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
     )
     intdiv = "div" if dialect == "spark" else "//"
+    # every total is a window over the ALREADY-AGGREGATED #sources-row
+    # relation (sum(w) OVER (), sum(alloc) OVER ()) — a scalar-subquery /
+    # cross-join formulation would inline the per_source aggregation into
+    # each reference and re-scan the corpus per total (measured: 8 parquet
+    # scans); this shape scans documents exactly once
     return f"""
 WITH per_source AS (
   SELECT source, count(*) AS n_docs, CAST(sum({ntok}) AS BIGINT) AS n_tokens
@@ -464,17 +469,18 @@ weighted AS (
   SELECT source, n_docs, n_tokens,
     CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
   FROM per_source),
-tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM weighted),
 base AS (
+  SELECT *, CAST(sum(w) OVER () AS BIGINT) AS sw FROM weighted),
+alloc AS (
   SELECT source, n_docs, n_tokens, w,
     CAST(w * 1000000 {intdiv} sw AS BIGINT) AS share_ppm,
     CAST(w * {_MIX_BUDGET} {intdiv} sw AS BIGINT) AS alloc,
     CAST(w * {_MIX_BUDGET} % sw AS BIGINT) AS rem
-  FROM weighted, tot),
+  FROM base),
 ranked AS (
   SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
-    (SELECT {_MIX_BUDGET} - sum(alloc) FROM base) AS leftover
-  FROM base)
+    CAST({_MIX_BUDGET} - sum(alloc) OVER () AS BIGINT) AS leftover
+  FROM alloc)
 SELECT source, n_docs, n_tokens, w, share_ppm,
   CAST(alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
     AS token_budget

@@ -475,3 +475,23 @@ def test_hashmap_both_directions(jk, refs):
     back = jk.read(ours, refs)
     assert back.get("a") == "x" and back.get("b") == 9
     assert back.size() == 2
+
+
+def test_container_codec_standalone_decode_shares_one_graph():
+    """Calling a container payload codec's .decode directly (no enclosing
+    read_kryo_value) must still give ALL elements one shared graph: a
+    per-element graph would desync nameId-cached class names between
+    elements (the second b'' element's cached '[B' would be re-read as
+    payload bytes)."""
+    regs = {}
+    regs[OBJ_ARRAY] = kr.object_array_codec(references=True, registrations=regs)
+    c = kr.kryo_codec(OBJ_ARRAY, references=True, registrations=regs)
+    buf = c.encode([b"aa", None, b"bb"])
+    # strip the outer class header + ref marker, then decode the payload
+    # codec standalone — the mode its docstring advertises
+    r = ByteReader(buf)
+    kr.read_varint(r)  # NAME tag
+    kr.read_varint(r)  # nameId
+    kr.read_kryo_string(r)  # class name
+    kr.read_varint(r)  # ref marker (new)
+    assert regs[OBJ_ARRAY].decode(r) == [b"aa", None, b"bb"]

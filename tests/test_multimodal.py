@@ -409,3 +409,27 @@ def test_png_decompression_bomb_capped():
     )
     with pytest.raises(ValueError, match="megapixel"):
         mm.png_decode_pixels(bomb)
+
+
+def test_png_idat_bomb_with_small_dims_refused():
+    """A small-dims header whose IDAT inflates far beyond h scanlines must
+    refuse with a bounded allocation — the inflate is capped at the
+    expected pixel-stream size, so the bomb never materializes."""
+    import struct as _st
+    import zlib as _zl
+
+    def chunk(tag, body):
+        return (
+            _st.pack(">I", len(body)) + tag + body
+            + _st.pack(">I", _zl.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _st.pack(">IIBBBBB", 10, 10, 8, 0, 0, 0, 0)  # claims 10x10
+    bomb_idat = _zl.compress(b"\x00" * (64 << 20))  # inflates to 64 MB
+    assert len(bomb_idat) < 1 << 17  # the payload itself is tiny
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb_idat) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates"):
+        mm.png_decode_pixels(bomb)
