@@ -100,12 +100,15 @@ GATE_PRIORITY = [
 # long tail — tpch_q2 (window-decorrelated min), tpch_q19 (disjunctive
 # pushdown), tpch_q20 (semi-join chain), tpch_q22 (broadcast anti) are the
 # four most distinctive plans and go first; then q7/q8/q11/q12/q13/q15/
-# q16/q17 over r7-r8 to retire the whole tail. Swap in for rows that will
-# then hold 6+ driver-green rounds (e.g. p1_value_kv, p4/p5,
-# window_state_min, a1_grouped_sort_reduce, last_write_wins,
-# dedup_minhash_lsh, ann_sketch_topk, and the r5 conformance rows once
-# they hold two driver-green rounds). The rotation ledger (which rows were
-# driver-checked in which round) lives in COVERAGE.md.
+# q16/q17 over r7-r8 to retire the whole tail. Also first-eligible: the
+# r6 additions multimodal_pixel_resize (real pixel pipeline),
+# ann_knn_label_eval, text_langid_accuracy, source_mixture_temperature.
+# Swap in for rows that will then hold 6+ driver-green rounds (e.g.
+# p1_value_kv, p4/p5, window_state_min, a1_grouped_sort_reduce,
+# last_write_wins, dedup_minhash_lsh, ann_sketch_topk, and the r5
+# conformance rows once they hold two driver-green rounds). The rotation
+# ledger (which rows were driver-checked in which round) lives in
+# COVERAGE.md.
 
 
 def gate_ordered(mapping: dict) -> dict:
