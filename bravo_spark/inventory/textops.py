@@ -882,3 +882,67 @@ def text_langid_accuracy(spark, sf_dir):
     one count aggregation; the join keys on doc_id (1:1, co-partitioned
     at scale)."""
     return spark.sql(_langid_accuracy_sql())
+
+
+def _dup_ngram_sql(dialect: str) -> str:
+    """Gopher-style duplicate n-gram dominance (Rae et al. 2021 §A1.1):
+    per document, the fraction of characters covered by the MOST FREQUENT
+    duplicated word 2-gram and 3-gram, in integer micro-units. Fractions
+    use c * length(gram) over the space-joined token stream length — the
+    log-free rational form, bit-identical across engines."""
+    if dialect == "spark":
+        toks = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+        n_ws, joined = "size(ws)", "length(concat_ws(' ', ws))"
+        g2 = ("explode(transform(sequence(0, size(ws) - 2),"
+              " i -> concat(ws[i], ' ', ws[i + 1])))")
+        g3 = ("explode(transform(sequence(0, size(ws) - 3),"
+              " i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2])))")
+        intdiv = "div"
+    else:
+        toks = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+        n_ws, joined = "len(ws)", "length(array_to_string(ws, ' '))"
+        g2 = ("unnest(list_transform(range(1, len(ws)),"
+              " i -> ws[i] || ' ' || ws[i + 1]))")
+        g3 = ("unnest(list_transform(range(1, len(ws) - 1),"
+              " i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))")
+        intdiv = "//"
+
+    def top_dup(gexpr: str, min_words: int) -> str:
+        return f"""(
+  SELECT doc_id, max(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup
+  FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, {gexpr} AS g FROM toks WHERE {n_ws} >= {min_words}) x
+    GROUP BY doc_id, g) cnt
+  GROUP BY doc_id)"""
+
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS ws FROM documents),
+base AS (
+  SELECT doc_id, {n_ws} AS n_words, {joined} AS total_chars
+  FROM toks WHERE {n_ws} >= 2),
+d2 AS {top_dup(g2, 2)},
+d3 AS {top_dup(g3, 3)}
+SELECT b.doc_id, b.n_words,
+  CAST(coalesce(d2.dup, 0) * 1000000 {intdiv} b.total_chars AS BIGINT)
+    AS dup2_frac_e6,
+  CAST(coalesce(d3.dup, 0) * 1000000 {intdiv} b.total_chars AS BIGINT)
+    AS dup3_frac_e6,
+  CASE WHEN coalesce(d2.dup, 0) * 1000000 {intdiv} b.total_chars <= 200000
+        AND coalesce(d3.dup, 0) * 1000000 {intdiv} b.total_chars <= 180000
+       THEN 1 ELSE 0 END AS keep
+FROM base b
+LEFT JOIN d2 ON d2.doc_id = b.doc_id
+LEFT JOIN d3 ON d3.doc_id = b.doc_id
+"""
+
+
+@query("text_dup_ngram_stats", oracle=_dup_ngram_sql("duckdb"))
+def text_dup_ngram_stats(spark, sf_dir):
+    """Gopher duplicate-n-gram repetition filter: per-document top
+    duplicated 2-/3-gram character coverage with the paper's 0.20/0.18
+    keep thresholds — the within-document complement of the corpus-level
+    dedup family. Scale shape: the n-gram relations shuffle on doc_id
+    with map-side partial max; joins are 1:1 on doc_id (co-partitioned);
+    no UDFs anywhere."""
+    return spark.sql(_dup_ngram_sql("spark"))

@@ -441,3 +441,13 @@ def test_datasource_isin_pushdown_fully_absorbed(spark, tmp_path):
     post_scan = plan.split("BatchScan")[0]
     assert "Count" not in post_scan and "Other" not in post_scan
     assert df.count() == 16
+
+
+def test_q20_semi_join_chain(plans):
+    """Q20's part-promotion shape must decorrelate to a semi-join chain
+    (no correlated re-execution, no cartesian) with the small dims
+    broadcast — one of the four most distinctive TPC-H tail plans."""
+    p = plans("tpch_q20_part_promotion")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "LeftSemi" in p or "ExistenceJoin" in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
