@@ -495,3 +495,35 @@ def test_container_codec_standalone_decode_shares_one_graph():
     kr.read_kryo_string(r)  # class name
     kr.read_varint(r)  # ref marker (new)
     assert regs[OBJ_ARRAY].decode(r) == [b"aa", None, b"bb"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    cut=st.integers(0, 64),
+    flip_pos=st.integers(0, 63),
+    flip_val=st.integers(1, 255),
+    mode=st.sampled_from(["truncate", "flip", "both"]),
+    refs=st.booleans(),
+)
+def test_decoder_malformed_streams_fail_cleanly(cut, flip_pos, flip_val, mode, refs):
+    """Arbitrary truncations/corruptions of a valid container stream must
+    either decode or raise a controlled error (KryoError / EOFError) —
+    never hang (huge claimed lengths drain the buffer and hit EOF, they
+    don't allocate) and never leak other exception types."""
+    regs = {}
+    regs[OBJ_ARRAY] = kr.object_array_codec(references=refs, registrations=regs)
+    base = kr.write_kryo_value(
+        ["abc", 7, b"\x01\x02", None, "abc"], OBJ_ARRAY,
+        references=refs, registrations=regs,
+    )
+    data = bytearray(base)
+    if mode in ("truncate", "both"):
+        data = data[: max(1, len(data) - cut % len(data))]
+    if mode in ("flip", "both") and flip_pos < len(data):
+        data[flip_pos] ^= flip_val
+    try:
+        kr.read_kryo_value(
+            ByteReader(bytes(data)), references=refs, registrations=regs
+        )
+    except (kr.KryoError, EOFError):
+        pass  # named, controlled refusals
