@@ -810,7 +810,7 @@ WITH base AS (
               / (vmax - vmin)), 255) AS INT)) END AS codes
   FROM mm
 )
-SELECT vec_id, vmin, vmax, codes,
+SELECT vec_id, vmin, vmax, array_to_string(codes, ',') AS codes_csv,
   CAST(floor(CASE WHEN rng = 0 THEN 0 ELSE
     list_max(list_transform(range(1, len(v) + 1),
       i -> abs(v[i] - (vmin + codes[i] * rng / 255)))) END
@@ -821,11 +821,22 @@ FROM q
 
 @query("embedding_quantize", oracle=_QUANT_ORACLE)
 def embedding_quantize(spark, sf_dir):
-    """Per-vector int8 min-max quantization with reconstruction-error audit."""
+    """Per-vector int8 min-max quantization with reconstruction-error audit.
+
+    The ``codes`` vector is serialized to a CSV string for the checked
+    projection: the driver's pandas canonicalizer sorts the frame by every
+    column, and a bare array cell is unhashable there (the one red row in
+    CORRECTNESS_r06). Engine users call ``llmops.quantize_embeddings``
+    directly and keep the typed array column."""
     from bravo_spark import llmops
 
     emb = catalog.table_spread(spark, sf_dir, "embeddings")
-    return llmops.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    q = llmops.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    return q.select(
+        "vec_id", "vmin", "vmax",
+        F.array_join(F.col("codes"), ",").alias("codes_csv"),
+        "err_e6",
+    )
 
 
 # ---------------------------------------------------------------------------

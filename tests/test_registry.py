@@ -78,3 +78,22 @@ def test_oracle_and_query_keys_consistent():
     e = _entry()
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
+
+
+def test_gate_queries_have_driver_sortable_schemas(spark):
+    """The driver canonicalizes results with pandas ``sort_values`` over
+    every column; a top-level array/map cell is unhashable there and burns
+    the gate slot with a harness TypeError instead of a value check (the
+    one red row in CORRECTNESS_r06, ``embedding_quantize``). Pin: no gate
+    query may expose an ArrayType/MapType column — serialize to CSV/hex in
+    the checked projection (engine APIs keep the typed columns)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    qs = _entry().queries()
+    offenders = []
+    for name in GATE_PRIORITY:
+        schema = qs[name](spark, "/root/testdata/sf0.001").schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert not offenders, f"unsortable gate columns: {offenders}"

@@ -52,6 +52,19 @@ def canon(v):
     return str(v)
 
 
+def driver_shape_error(df) -> str | None:
+    """Re-enact the driver's canonicalization (pandas ``sort_values`` over
+    every column) and return the error string if the frame's cell shapes
+    would crash it — e.g. a bare ndarray/list column is unhashable in
+    pandas' lexsort factorize (the CORRECTNESS_r06 ``embedding_quantize``
+    failure). A gate-rotation candidate must pass this on BOTH frames."""
+    try:
+        df.sort_values(by=sorted(df.columns))
+        return None
+    except Exception as exc:  # noqa: BLE001 - any crash here crashes the driver
+        return f"{type(exc).__name__}: {exc}"
+
+
 def frame_digest(df) -> tuple[int, list[str], str]:
     """(row_count, sorted column names, order-insensitive value hash)."""
     cols = sorted(df.columns)
@@ -73,6 +86,7 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entry
+    from bravo_spark.inventory.registry import GATE_PRIORITY
     from bravo_spark.session import get_spark
 
     spark = get_spark(app_name="oracle_check", master="local[8]")
@@ -109,6 +123,19 @@ def main() -> int:
             traceback.print_exc(limit=8)
             failures += 1
             continue
+        shape_errs = [
+            f"{side} frame would crash the driver canonicalizer: {err}"
+            for side, frame in (("spark", sdf), ("oracle", odf))
+            if (err := driver_shape_error(frame))
+        ]
+        if shape_errs:
+            # fatal for gate-window queries, loud warning for the rest
+            tag = "FAIL" if name in GATE_PRIORITY else "warn"
+            for msg in shape_errs:
+                print(f"[{tag}] {name}: {msg}")
+            if name in GATE_PRIORITY:
+                failures += 1
+                continue
         sc_, scols, shash = frame_digest(sdf)
         oc_, ocols, ohash = frame_digest(odf)
         ok = (sc_, scols, shash) == (oc_, ocols, ohash)
