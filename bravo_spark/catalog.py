@@ -47,11 +47,6 @@ TIMESTAMP_COLS = {
 # repeated query invocations don't re-pay parquet footer/schema analysis
 # (~100 ms × 10 tables per call otherwise — dominates small-SF benchmarks).
 _table_cache: dict[tuple[int, str, str], DataFrame] = {}
-# session -> sf_dir whose tables the temp views currently point at. Views are
-# session-global state, so the guard must be "last registered dir" per
-# session, not a seen-set: alternating sf_dirs within one session must
-# re-register or spark.sql-based queries silently read the wrong dataset.
-_views_registered: dict[int, str] = {}
 
 
 def _session_key(spark: SparkSession) -> int:
@@ -92,9 +87,14 @@ def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    key = _session_key(spark)
-    if _views_registered.get(key) == sf_dir:
-        return
+    """Point the session's temp views at ``sf_dir``'s tables —
+    unconditionally. Temp views are session-global mutable state anyone
+    (a test, a user notebook cell) may clobber with a same-named frame;
+    a "last registered dir" guard here turned that into a silent
+    wrong-dataset read (the r7 suite-order failure). Re-registering is
+    driver-only and cheap because the expensive parquet analysis is
+    memoized per (session, sf_dir, table) in ``_table_cache`` —
+    ``createOrReplaceTempView`` on a cached plan is a catalog-map update,
+    ~1 ms × 10 tables."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _views_registered[key] = sf_dir

@@ -648,6 +648,17 @@ def collection_codec(
     regs = registrations or {}
 
     def enc(vals) -> bytes:
+        if vals is None:
+            # unlike ObjectArraySerializer's length+1 scheme, Kryo's
+            # collection payload has no in-band null representation —
+            # null collections are encoded one level up by the
+            # writeClassAndObject NULL class tag, which this payload
+            # codec never sees when used standalone
+            raise KryoError(
+                "kryo-collection cannot encode None standalone — a null "
+                "collection is a class-tag-level NULL; encode it through "
+                "write_kryo_value, or pass an empty list"
+            )
         with _write_names():
             out = write_varint(len(vals))
             for v in vals:
@@ -683,6 +694,12 @@ def map_codec(
     regs = registrations or {}
 
     def enc(d) -> bytes:
+        if d is None:
+            raise KryoError(
+                "kryo-map cannot encode None standalone — a null map is a "
+                "class-tag-level NULL; encode it through write_kryo_value, "
+                "or pass an empty dict"
+            )
         with _write_names():
             out = write_varint(len(d))
             for kk, vv in d.items():

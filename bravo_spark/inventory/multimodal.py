@@ -341,13 +341,21 @@ def _resample_nearest(
     raw: bytes, w: int, h: int, bpp: int, out_w: int, out_h: int
 ) -> bytes:
     """Integer nearest-neighbor resample — deterministic across every
-    environment (no float scale factor, no library-version drift)."""
+    environment (no float scale factor, no library-version drift).
+
+    Sample grid is CENTER-based — source index ``floor((d + 0.5) * in /
+    out)``, computed exactly as ``(2d + 1) * in // (2 * out)`` — the same
+    convention Pillow's NEAREST uses (``ImagingScaleAffine`` starts at
+    ``scale * 0.5`` and truncates), so a payload resized by the pure-PNG
+    tier and by the Pillow tier picks identical pixels. The corner-based
+    ``d * in // out`` grid this previously used systematically favors the
+    top-left on downscale and never samples the last row/column."""
     out = bytearray(out_w * out_h * bpp)
     for y in range(out_h):
-        src_row = (y * h // out_h) * w * bpp
+        src_row = ((2 * y + 1) * h // (2 * out_h)) * w * bpp
         dst_row = y * out_w * bpp
         for x in range(out_w):
-            s = src_row + (x * w // out_w) * bpp
+            s = src_row + ((2 * x + 1) * w // (2 * out_w)) * bpp
             d = dst_row + x * bpp
             out[d : d + bpp] = raw[s : s + bpp]
     return bytes(out)

@@ -20,58 +20,63 @@ ORACLES: dict[str, str] = {}
 # Everything else stays registered and is verified by the local mirror
 # (tools/check_oracle.py); test_registry pins this list's integrity.
 GATE_PRIORITY = [
-    # §2.3 projections (p2/p3 rotated out in r6 after 5 driver-green
-    # rounds — each shares p1/p4's decode path; p6_map_values duplicates
-    # P5's and has been mirror-verified since r4)
-    "p1_value_kv", "p4_list_state", "p5_map_entries",
+    # §2.3 projections: p1/p4/p5 rotated out in r8 after SEVEN driver-green
+    # rounds each (r1-r7) — their decode paths stay driver-covered by the
+    # retained snapshot/checkpoint roundtrips and the DataSource scans,
+    # and rocksdb_state_read (in) re-exercises the SST value path.
     # §2 filters (f2/f3 rotated out in r6 after 5 driver-green rounds —
     # the F-path stays driver-covered by snapshot_state_filter's pushdown
-    # and the two new DataSource scan contracts below)
-    # §2.1/2.2 savepoint lifecycle S1-S9 + E1-E2 + P7
+    # and the DataSource scan contracts below)
+    # §2.1/2.2 savepoint lifecycle S1-S9 + E1-E2 (window_state_min rotated
+    # out in r8 after 7 driver-green rounds; P7 shares the P1 decode path
+    # plus pytest-pinned TimeWindow bounds)
     "snapshot_roundtrip", "checkpoint_roundtrip", "snapshot_state_filter",
-    "e1_keygroup", "e2_operator_index", "window_state_min",
-    # §2.4-2.8 relational core (join_enrich/a2/u1/sort_topk rotated out in
-    # r6 after 5 driver-green rounds: joins stay driver-covered by
-    # tpch_q3/q9/q21, aggregation by a1, and all four by plan pins)
-    "a1_grouped_sort_reduce", "last_write_wins",
-    # r6 rotation: the engine-integration DataSource contracts get their
-    # first DRIVER-side check (pushFilters absorption, Arrow batch read,
-    # write-commit durability — paths no prior gate row touches)
+    "e1_keygroup", "e2_operator_index",
+    # §2.4-2.8 relational core: a1/last_write_wins rotated out in r8 after
+    # 7 driver-green rounds — grouped sort-reduce stays driver-covered by
+    # the savepoint writer inside snapshot_roundtrip, window functions by
+    # sessionize-family mirror rows + tpch_q2 (in, window-decorrelated)
+    # r6 rotation: the engine-integration DataSource contracts
+    # (pushFilters absorption, Arrow batch read, write-commit durability)
     "snapshot_datasource_scan", "checkpoint_datasource_scan",
     # Spark state-store read/rewrite surgery (the bravo workflow on Spark's
-    # own checkpoints). rocksdb_state_rewrite subsumes the read path (it
-    # re-reads through the same SST+changelog chain after surgery);
-    # rocksdb_state_read stays mirror-verified.
+    # own checkpoints). r8 rotation: rocksdb_state_read gets its FIRST
+    # driver check (zip time-travel + changelog replay read path —
+    # rewrite exercises it only post-surgery).
     "spark_state_read", "spark_state_rewrite", "rocksdb_state_rewrite",
-    # round-5 rotation: the reference-fidelity conformance analogs
-    # (TtlStateTest, ValueStateTypeChangeTest, BroadcastStateTransformation,
-    # the POJO/Kryo codecs, the compressed snapshot path, and the
-    # checkpoint/file-sink rewind surgery) get their first DRIVER-side
-    # oracle check; they displace multiply-proven LLM/streaming rows that
-    # each share a decode/plan path with a retained sibling and were
-    # driver-green in rounds 1-4 (mirror-verified henceforth).
-    "pojo_value_kv", "kryo_value_kv", "ttl_state_roundtrip",
-    "type_change_migration", "custom_reader_expand",
-    "operator_state_roundtrip", "snapshot_roundtrip_compressed",
+    "rocksdb_state_read",
+    # r8 rotation: checkpoint_write_roundtrip's first driver check — the
+    # write_incremental_checkpoint → pure-Python RocksDB DB → re-read
+    # loop, the one S7-beyond-reference path the gate never saw.
+    "checkpoint_write_roundtrip",
+    # reference-fidelity conformance analogs (r5 rotation). r8: pojo/kryo
+    # value rows, the compressed-snapshot variant, and custom_reader_expand
+    # rotated out after three driver-green rounds (r5-r7) — kryo_custom_class
+    # retains the full Kryo path incl. registrations, snapshot_roundtrip
+    # the uncompressed sibling of the same section codec, and the UDTF
+    # expand shape stays pytest-pinned in test_custom_readers.
+    "ttl_state_roundtrip",
+    "type_change_migration",
+    "operator_state_roundtrip",
     "file_sink_rewind", "kryo_custom_class",
     # dedup family (dedup_exact rotated out in r6 after 5 driver-green
-    # rounds — its one-shuffle digest groupBy is the base of the retained
-    # pipeline_clean_corpus; embedding_cosine is the exact baseline of
-    # embedding_lsh; simhash/substring/incremental/decontaminate rotated
-    # out in r5 after four driver-green rounds)
+    # rounds; dedup_minhash_lsh rotated out in r8 after 7 — its band-bucket
+    # equi-join survives inside dedup_lsh_quality_eval and dedup_clusters'
+    # pair input; embedding_cosine is the exact baseline of embedding_lsh)
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_embedding_lsh",
+    "dedup_embedding_lsh",
     "dedup_clusters",
-    # r6 rotation: the r5 dedup/pipeline additions get their first driver
-    # check (line-level boilerplate, Lee-et-al span removal, cluster→kept
-    # corpus, LSH precision/recall eval, composed end-to-end decision)
+    # r6 rotation: the r5 dedup/pipeline additions (line-level boilerplate,
+    # Lee-et-al span removal, cluster→kept corpus, LSH precision/recall
+    # eval, composed end-to-end decision)
     "dedup_lines", "dedup_substring_clean", "dedup_keep_corpus",
     "dedup_lsh_quality_eval", "pipeline_clean_corpus",
-    # ANN + retrieval family (ann_cosine_topk rotated out in r6 after 5
-    # driver-green rounds — it is the exact baseline the retained
-    # sketch/lsh/ivf rows rescore against; pq/recall-eval driver-proven
-    # in r4)
-    "ann_sketch_topk", "ann_lsh_bucket", "ann_ivf_topk",
+    # ANN + retrieval family (ann_cosine_topk rotated out in r6 — it is
+    # the exact baseline the retained lsh/ivf rows rescore against;
+    # ann_sketch_topk rotated out in r8 after 7 driver-green rounds, its
+    # Hamming-rank path recall-gated in pytest). r8 in: ann_knn_label_eval
+    # (exact top-k + deterministic majority vote, never driver-checked).
+    "ann_lsh_bucket", "ann_ivf_topk", "ann_knn_label_eval",
     "text_bm25_topk",
     # streaming (plain window_counts rotated out in r6 after 5 driver-green
     # rounds — the retained watermarked variant runs the same micro-batch
@@ -79,34 +84,43 @@ GATE_PRIORITY = [
     # rotated out in r5)
     "streaming_window_counts_watermarked",
     "streaming_stateful_counts",
-    # TPC-H: headline q3 + the three most distinctive long-tail plans
-    # (pushdown-only q6, 6-way join q9, triple-correlated-exists q21);
-    # tpch_q1 rotated out in r6 after 5 driver-green rounds
+    # TPC-H: headline q3 + the most distinctive long-tail plans. r8
+    # rotation: q2 (window-decorrelated min), q19 (disjunctive per-side
+    # pushdown), q20 (semi-join chain), q22 (broadcast anti) get their
+    # first driver check alongside the retained q6/q9/q21.
     "tpch_q3",
     "tpch_q6_forecast", "tpch_q9_product_profit",
     "tpch_q21_waiting_supplier",
-    # r6 rotation: the r5 text/sampling/embedding additions get their
-    # first driver check
+    "tpch_q2_min_cost_supplier", "tpch_q19_disjunctive",
+    "tpch_q20_part_promotion", "tpch_q22_global_sales",
+    # r6 rotation: the r5 text/sampling/embedding additions
     "text_rarity", "embedding_quantize", "shard_shuffle",
     "bpe_pair_counts", "source_mixture_report",
-    # text / multimodal flagships (lang_id rotated out in r5 — four
-    # driver-green rounds, map-only plan shared with the mirror-held
-    # text family; multimodal_decode stays: its schema grew a source
-    # column in r5)
+    # r8 rotation: the r6 additions' first driver check — the real pixel
+    # pipeline, the Gopher dup-ngram filter, the lang-id confusion matrix,
+    # the temperature mixture (div-by-zero guard landed first), and
+    # sequence_pack for the sampling family's distinct bin-packing plan.
+    "multimodal_pixel_resize", "text_dup_ngram_stats",
+    "text_langid_accuracy", "source_mixture_temperature",
+    "sequence_pack",
+    # text / multimodal flagships (lang_id rotated out in r5;
+    # multimodal_decode stays: tier-selector source column)
     "multimodal_decode",
 ]
 
-# r7 rotation candidates (mirror-green, never driver-checked): the TPC-H
-# long tail — tpch_q2 (window-decorrelated min), tpch_q19 (disjunctive
-# pushdown), tpch_q20 (semi-join chain), tpch_q22 (broadcast anti) are the
-# four most distinctive plans and go first; then q7/q8/q11/q12/q13/q15/
-# q16/q17 over r7-r8 to retire the whole tail. Also first-eligible: the
-# r6 additions multimodal_pixel_resize (real pixel pipeline),
-# ann_knn_label_eval, text_langid_accuracy, source_mixture_temperature.
-# Swap in for rows that will then hold 6+ driver-green rounds (e.g.
-# p1_value_kv, p4/p5, window_state_min, a1_grouped_sort_reduce,
-# last_write_wins, dedup_minhash_lsh, ann_sketch_topk, and the r5
-# conformance rows once they hold two driver-green rounds). The rotation
+# r9 rotation candidates (mirror-green, never driver-checked): the rest of
+# the TPC-H tail — q7/q8/q11/q12/q13/q15/q16/q17 (plus shaped q4/q5/q10/
+# q14/q18) over r9-r10 to retire the whole tail; the sampling family
+# (domain_mixture_sample, hash_sample, stratified_sample, train_val_split,
+# funnel_conversion, retention_cohorts, per_key_trend,
+# hourly_counts_gapfill); formats (json/csv/orc roundtrips, bucketed_join,
+# partitioned_prune_scan); relational breadth (outer joins, range_join,
+# scalar_subquery_counts, pivot, grouping_sets, salted_skew_agg,
+# percentiles, approx_sketch_accuracy); checkpoint_rewind. Swap in for
+# rows that will then hold 3+ consecutive driver-green rounds (the r6
+# rotation wave: DataSource scans, dedup_lines/substring_clean/
+# keep_corpus/lsh_quality_eval, text_rarity, embedding_quantize,
+# shard_shuffle, bpe_pair_counts, source_mixture_report). The rotation
 # ledger (which rows were driver-checked in which round) lives in
 # COVERAGE.md.
 

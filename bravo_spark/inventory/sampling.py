@@ -472,14 +472,24 @@ weighted AS (
 base AS (
   SELECT *, CAST(sum(w) OVER () AS BIGINT) AS sw FROM weighted),
 alloc AS (
+  -- sw = 0 means every source tokenized to zero (degenerate corpus):
+  -- Spark div and DuckDB // both yield NULL there, but NULL would then
+  -- leak into the leftover window arithmetic with engine-dependent CASE
+  -- behavior — pin the degenerate allocation to all-zero budgets instead
   SELECT source, n_docs, n_tokens, w,
-    CAST(w * 1000000 {intdiv} sw AS BIGINT) AS share_ppm,
-    CAST(w * {_MIX_BUDGET} {intdiv} sw AS BIGINT) AS alloc,
-    CAST(w * {_MIX_BUDGET} % sw AS BIGINT) AS rem
+    CAST(CASE WHEN sw = 0 THEN 0
+              ELSE w * 1000000 {intdiv} sw END AS BIGINT) AS share_ppm,
+    CAST(CASE WHEN sw = 0 THEN 0
+              ELSE w * {_MIX_BUDGET} {intdiv} sw END AS BIGINT) AS alloc,
+    CAST(CASE WHEN sw = 0 THEN 0
+              ELSE w * {_MIX_BUDGET} % sw END AS BIGINT) AS rem,
+    sw
   FROM base),
 ranked AS (
   SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
-    CAST({_MIX_BUDGET} - sum(alloc) OVER () AS BIGINT) AS leftover
+    CAST(CASE WHEN sw = 0 THEN 0
+              ELSE {_MIX_BUDGET} - sum(alloc) OVER () END AS BIGINT)
+      AS leftover
   FROM alloc)
 SELECT source, n_docs, n_tokens, w, share_ppm,
   CAST(alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)

@@ -353,6 +353,14 @@ class SavepointWriter(DataSourceArrowWriter):
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp_path, meta_path)
+        # the rename itself is only durable once the PARENT DIRECTORY's
+        # entry is flushed — without this a power loss after replace can
+        # resurface the old (or no) _bravo_metadata on ext4/xfs
+        dir_fd = os.open(os.path.dirname(meta_path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
         if prior is not None and self.overwrite:
             # old data is dropped only AFTER the new metadata is durable
             keep = {fm["path"] for fm in meta.files}

@@ -367,10 +367,19 @@ def test_quality_filter_rules_trip_individually(spark):
         (4, "the " + "!! ?? ## " * 40 + "word " * 49), # symbol_ratio
         (5, " ".join(f"word{i}" for i in range(100))), # stopword_floor (no 'the')
     ]
+    # this clobbers the session-global `documents` fixture view — drop it
+    # afterwards so later tests in the shared session never read this
+    # 5-row frame (the r7 suite-order failure; register_views also now
+    # re-registers unconditionally as the second line of defense)
     spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView(
         "documents"
     )
-    rows = {r["doc_id"]: r for r in spark.sql(_quality_filter_sql("spark")).collect()}
+    try:
+        rows = {
+            r["doc_id"]: r for r in spark.sql(_quality_filter_sql("spark")).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
     assert rows[1]["kept"] == 1
     assert rows[2]["flag_too_short"] == 1 and rows[2]["kept"] == 0
     assert rows[3]["flag_word_len"] == 1 and rows[3]["kept"] == 0

@@ -213,8 +213,9 @@ def test_png_roundtrip_and_resample():
     out = mm.resize_pixels(payload, box=4)  # 32x8 -> 4x1
     w, h, mode, got = mm.png_decode_pixels(out)
     assert (w, h, mode) == (4, 1, "RGB")
-    # row y=0, columns x*32//4 = 0, 8, 16, 24
-    want = b"".join(bytes(pixel(x, 0)) for x in (0, 8, 16, 24))
+    # center-based grid (Pillow's NEAREST convention): row (2*0+1)*8//2=4,
+    # columns (2x+1)*32//8 = 4, 12, 20, 28
+    want = b"".join(bytes(pixel(x, 4)) for x in (4, 12, 20, 28))
     assert got == want
 
 

@@ -57,9 +57,12 @@ def driver_shape_error(df) -> str | None:
     every column) and return the error string if the frame's cell shapes
     would crash it — e.g. a bare ndarray/list column is unhashable in
     pandas' lexsort factorize (the CORRECTNESS_r06 ``embedding_quantize``
-    failure). A gate-rotation candidate must pass this on BOTH frames."""
+    failure). A gate-rotation candidate must pass this on BOTH frames.
+    Probing the first 100 rows suffices — the crash is a property of the
+    cell TYPES, identical in every row of a column — and avoids paying a
+    second full-frame sort per query on large --sf fixtures."""
     try:
-        df.sort_values(by=sorted(df.columns))
+        df.head(100).sort_values(by=sorted(df.columns))
         return None
     except Exception as exc:  # noqa: BLE001 - any crash here crashes the driver
         return f"{type(exc).__name__}: {exc}"
