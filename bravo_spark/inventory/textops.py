@@ -618,17 +618,72 @@ def bpe_pair_counts(spark, sf_dir):
     return llmops.bpe_pair_counts(docs, "text", top_k=100)
 
 
-@query("bpe_train_merges")
+_BPE_MERGES = 5
+# a word's tokenization, encoded boundary-safe for string rewriting: every
+# symbol individually wrapped in '|' ("|a||b||c|"). The per-round merge is
+# then a plain replace of '|l||r|' with '|lr|' — left-to-right and
+# NON-overlapping exactly like the BPE fold, because each symbol owns its
+# own delimiters (a shared single separator would let " a a a " consume
+# its neighbor's boundary and under-merge). Symbols are [a-z0-9]+ so '|'
+# can never occur inside one.
+_BPE_SYMS = "string_split(trim(e, '|'), '||')"
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    """DuckDB oracle for ``llmops.bpe_train``: the training loop UNROLLED
+    into ``n_merges`` chained CTE stages (pair recount → (cnt DESC, l, r)
+    argmax → boundary-safe vocabulary rewrite). The full per-round recount
+    is the semantics the Spark engine's incremental pair maintenance must
+    be equivalent to, so this is the exact cross-engine check; validated
+    symbol-for-symbol against an independent pure-Python BPE on the real
+    fixture corpus."""
+    parts = [
+        f"""WITH words AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+    FROM documents)
+  GROUP BY w HAVING length(w) >= 2),
+v0 AS (
+  SELECT '|' || array_to_string(regexp_extract_all(w, '.'), '||') || '|'
+           AS e,
+         wc
+  FROM words)"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"""p{k} AS (
+  SELECT t.p[1] AS l, t.p[2] AS r, sum(wc) AS c
+  FROM v{k}, unnest(list_filter(
+    list_zip({_BPE_SYMS}, {_BPE_SYMS}[2:]),
+    z -> z[2] IS NOT NULL)) AS t(p)
+  GROUP BY 1, 2),
+m{k} AS (SELECT l, r FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+v{k + 1} AS (
+  SELECT replace(e, '|' || m.l || '||' || m.r || '|',
+                 '|' || m.l || m.r || '|') AS e, wc
+  FROM v{k}, m{k} m)"""
+        )
+    sel = " UNION ALL ".join(
+        f'SELECT {k} AS rank, l AS "left", r AS "right" FROM m{k}'
+        for k in range(n_merges)
+    )
+    return ",\n".join(parts) + f"\nSELECT * FROM ({sel}) ORDER BY rank"
+
+
+@query("bpe_train_merges", oracle=_bpe_merges_oracle(_BPE_MERGES))
 def bpe_train_merges(spark, sf_dir):
     """Ordered BPE merge list (5 training iterations) as (rank, left,
-    right). An iterative algorithm — per-round argmax + vocabulary rewrite
-    — with no closed-form SQL, so no oracle is registered (the driver
-    records a rows-only check); exact correctness is pinned by byte-level
-    agreement with a pure-Python reference BPE in test_llmops."""
+    right). The iterative per-round argmax + vocabulary rewrite IS
+    SQL-expressible for a fixed merge count — the oracle unrolls the loop
+    into chained CTEs with a boundary-safe string rewrite — so the last
+    rows-only driver check is now a full hash-checked oracle pair; exact
+    engine correctness at depth is additionally pinned by byte-level
+    agreement with a pure-Python reference BPE at 100 merges in
+    test_llmops."""
     from bravo_spark import llmops
 
     docs = catalog.table_spread(spark, sf_dir, "documents")
-    merges = llmops.bpe_train(docs, "text", n_merges=5)
+    merges = llmops.bpe_train(docs, "text", n_merges=_BPE_MERGES)
     return spark.createDataFrame(
         [(i, l, r) for i, (l, r) in enumerate(merges)],
         "rank int, left string, right string",
