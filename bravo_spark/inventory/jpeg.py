@@ -1,0 +1,765 @@
+"""Pure-Python baseline JPEG codec (decode + encode), no image libraries.
+
+Closes the last multimodal refusal path: JFIF baseline sequential-DCT
+payloads (SOF0/SOF1, Huffman entropy coding, 8-bit samples, grayscale or
+YCbCr, any 1-4 sampling factors incl. 4:2:0 / 4:2:2, restart markers)
+decode to raw pixels in-container, with numpy carrying the 8×8 DCT math.
+Everything outside that profile — progressive (SOF2), hierarchical,
+arithmetic coding, 12-bit precision, CMYK — refuses BY NAME so a caller
+can route those payloads to Pillow where it exists; pixel values are
+never faked.
+
+The encoder is the test harness's ground-truth generator (and a usable
+4:4:4 baseline writer): standard Annex K quantization tables with the
+conventional quality scaling and the Annex K.3.3 Huffman tables, so its
+output is a spec-conforming stream any decoder accepts. Decoder
+correctness is pinned by encode→decode round trips (flat fields exact to
+±1, gradients within quantization error) plus unit vectors for the
+bit-reader, Huffman canonicalization, and IDCT — see
+tests/test_multimodal.py.
+
+Reference parity note: the reference engine has no image path at all
+(king/bravo is Flink-state-only); this module serves the driver-mandated
+multimodal family (SURVEY §2 extensions), same tier contract as the PNG
+codec in inventory/multimodal.py.
+
+Scale shape: decode/encode run per-row inside Arrow-batched
+``mapInPandas`` plumbing (multimodal.decode_pixels / resize_pixels) — a
+map-only plan whose per-payload cost is the codec itself, exactly how a
+100 TB image-corpus job distributes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["JpegError", "jpeg_decode_pixels", "jpeg_encode"]
+
+
+class JpegError(ValueError):
+    """Malformed or out-of-profile JPEG; message names the reason."""
+
+
+# ---------------------------------------------------------------------------
+# Shared tables
+# ---------------------------------------------------------------------------
+
+# zigzag index: ZIGZAG[i] = position in the 8x8 block (row-major) of the
+# i-th coefficient in zigzag order (ITU-T T.81 Figure 5)
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# Annex K.1/K.2 example quantization tables (the de-facto standard bases)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K.3.3 standard Huffman tables as (BITS[1..16], HUFFVAL)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II matrix C: forward = C @ B @ C.T, inverse =
+    C.T @ B @ C. float64 — deterministic on every IEEE platform."""
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    c[0, :] = 1 / np.sqrt(2)
+    c[1:, :] *= 1.0
+    return c * 0.5
+
+
+_C = _dct_matrix()
+
+
+# ---------------------------------------------------------------------------
+# Huffman (canonical, T.81 Annex C/F)
+# ---------------------------------------------------------------------------
+
+
+class _HuffTable:
+    """Canonical Huffman decoder state: mincode/maxcode/valptr per length
+    (T.81 F.2.2.3 DECODE procedure)."""
+
+    def __init__(self, bits: list[int], values: list[int]):
+        if len(bits) != 16:
+            raise JpegError("DHT: BITS must have 16 entries")
+        if sum(bits) != len(values):
+            raise JpegError("DHT: code count does not match value count")
+        if sum(bits) == 0:
+            raise JpegError("DHT: empty Huffman table")
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            self.valptr[length] = k
+            self.mincode[length] = code
+            code += n
+            k += n
+            self.maxcode[length] = code - 1 if n else -1
+            if n and code > (1 << length):
+                raise JpegError("DHT: over-subscribed Huffman table")
+            code <<= 1
+        self.values = values
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 stuffing;
+    stops at any non-RST marker (T.81 F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None  # marker that ended the segment
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                # past the end: feed 1-bits (spec'd pad); real overruns
+                # surface as a marker/length error upstream
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                elif nxt is None:
+                    raise JpegError("truncated entropy stream at 0xFF")
+                else:
+                    self.marker = nxt  # segment ends here
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def decode(self, table: _HuffTable) -> int:
+        code = self.read_bit()
+        length = 1
+        while code > table.maxcode[length]:
+            if length >= 16:
+                raise JpegError("Huffman decode: code longer than 16 bits")
+            code = (code << 1) | self.read_bit()
+            length += 1
+        return table.values[table.valptr[length] + code - table.mincode[length]]
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 F.2.1.3.1)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            # scan forward: entropy data must end with the marker
+            while self.pos < len(self.data):
+                if (
+                    self.data[self.pos] == 0xFF
+                    and self.pos + 1 < len(self.data)
+                    and self.data[self.pos + 1] != 0x00
+                ):
+                    self.marker = self.data[self.pos + 1]
+                    break
+                self.pos += 1
+        if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
+            raise JpegError(
+                f"expected RST marker at restart interval, got "
+                f"{self.marker!r}"
+            )
+        self.pos += 2
+        self.marker = None
+
+
+def _extend(v: int, t: int) -> int:
+    """EXTEND (T.81 F.2.2.1): map the t-bit magnitude v to its signed
+    coefficient value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
+    """Decode a baseline sequential JPEG → (width, height, mode, raw).
+
+    mode is "L" (1 component) or "RGB" (3 components, JFIF YCbCr). Out-of-
+    profile streams raise :class:`JpegError` naming the feature (so the
+    tiered dispatcher can hand them to Pillow); malformed streams raise
+    :class:`JpegError` naming the defect — never hang, never fake pixels.
+    """
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (missing SOI)")
+
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None  # (w, h, components)
+    restart_interval = 0
+    pos = 2
+
+    while True:
+        if pos + 2 > len(payload):
+            raise JpegError("truncated JPEG: no SOS before end of data")
+        if payload[pos] != 0xFF:
+            raise JpegError(f"marker expected at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # standalone markers
+        if marker == 0xD9:
+            raise JpegError("EOI before SOS (no image data)")
+        if pos + 2 > len(payload):
+            raise JpegError("truncated marker segment header")
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seglen < 2 or pos + seglen > len(payload):
+            raise JpegError("marker segment overruns payload")
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                if i + n > len(body):
+                    raise JpegError("DQT table overruns segment")
+                if pq:
+                    vals = np.frombuffer(body[i : i + n], dtype=">u2").astype(np.int32)
+                else:
+                    vals = np.frombuffer(body[i : i + n], dtype=np.uint8).astype(np.int32)
+                table = np.zeros(64, dtype=np.int32)
+                table[ZIGZAG] = vals  # stored in zigzag order
+                qt[tq] = table
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if i + 16 > len(body):
+                    raise JpegError("DHT BITS overruns segment")
+                bits = list(body[i : i + 16])
+                i += 16
+                n = sum(bits)
+                if i + n > len(body):
+                    raise JpegError("DHT values overrun segment")
+                table = _HuffTable(bits, list(body[i : i + n]))
+                i += n
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            if frame is not None:
+                raise JpegError("multiple SOF segments")
+            precision = body[0]
+            if precision != 8:
+                raise JpegError(f"unsupported sample precision {precision} (only 8-bit)")
+            h_img = struct.unpack(">H", body[1:3])[0]
+            w_img = struct.unpack(">H", body[3:5])[0]
+            ncomp = body[5]
+            if w_img == 0 or h_img == 0:
+                raise JpegError("zero image dimension")
+            if ncomp not in (1, 3):
+                raise JpegError(
+                    f"unsupported component count {ncomp} (grayscale or YCbCr only)"
+                )
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                h_s, v_s = hv >> 4, hv & 0x0F
+                if not (1 <= h_s <= 4 and 1 <= v_s <= 4):
+                    raise JpegError(f"bad sampling factors {h_s}x{v_s}")
+                comps.append({"id": cid, "h": h_s, "v": v_s, "tq": tq})
+            frame = (w_img, h_img, comps)
+        elif marker == 0xC2:
+            raise JpegError("progressive JPEG (SOF2) not supported pure-Python")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[0:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = body[0]
+            w_img, h_img, comps = frame
+            if ns != len(comps):
+                raise JpegError(
+                    "non-interleaved multi-scan JPEG not supported pure-Python"
+                )
+            scan_sel = {}
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scan_sel[cs] = (tdta >> 4, tdta & 0x0F)
+            return _decode_scan(
+                payload, pos, frame, qt, huff_dc, huff_ac, scan_sel,
+                restart_interval,
+            )
+        # APPn / COM / others: skipped
+
+    raise JpegError("unreachable")
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    qt,
+    huff_dc,
+    huff_ac,
+    scan_sel,
+    restart_interval: int,
+) -> tuple[int, int, str, bytes]:
+    w_img, h_img, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w_img + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h_img + 8 * vmax - 1) // (8 * vmax)
+    # hard ceiling against forged-dims memory bombs: the planes this scan
+    # would materialize (same posture as the PNG codec's inflate bound)
+    total_px = sum(
+        (mcux * c["h"] * 8) * (mcuy * c["v"] * 8) for c in comps
+    )
+    if total_px > 64_000_000:
+        raise JpegError("image too large for in-container decode (>64 MP planes)")
+
+    planes = []
+    for c in comps:
+        if c["tq"] not in qt:
+            raise JpegError(f"component references missing DQT table {c['tq']}")
+        if c["id"] not in scan_sel:
+            raise JpegError("SOS component id not in frame")
+        td, ta = scan_sel[c["id"]]
+        if td not in huff_dc or ta not in huff_ac:
+            raise JpegError("SOS references missing Huffman table")
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = scan_sel[c["id"]]
+                dct, act = huff_dc[td], huff_ac[ta]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = _decode_block(br, dct, act)
+                        coeffs[0] += pred[ci]
+                        pred[ci] = coeffs[0]
+                        block = (coeffs * q).reshape(8, 8).astype(np.float64)
+                        px = _C.T @ block @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+
+    # upsample to full resolution and crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            # integer replication matches the MCU geometry exactly because
+            # hmax/h and vmax/v are the per-axis subsampling ratios
+            if hmax % c["h"] or vmax % c["v"]:
+                raise JpegError(
+                    f"non-integral sampling ratio {c['h']}x{c['v']} vs "
+                    f"{hmax}x{vmax}"
+                )
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h_img, :w_img])
+
+    if len(comps) == 1:
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return w_img, h_img, "L", out.tobytes()
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return w_img, h_img, "RGB", out.tobytes()
+
+
+def _decode_block(br: _BitReader, dct: _HuffTable, act: _HuffTable) -> np.ndarray:
+    """One 8×8 block of dequantization-ready coefficients in NATURAL
+    (row-major) order; [0] is the DC *difference* (caller adds the
+    predictor)."""
+    coeffs = np.zeros(64, dtype=np.int32)
+    t = br.decode(dct)
+    if t > 15:
+        raise JpegError("DC category > 15")
+    coeffs[0] = _extend(br.receive(t), t)
+    k = 1
+    while k < 64:
+        rs = br.decode(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC run past end of block")
+        coeffs[ZIGZAG[k]] = _extend(br.receive(s), s)
+        k += 1
+    return coeffs
+
+
+# ---------------------------------------------------------------------------
+# Encoder (baseline, 4:4:4, standard tables)
+# ---------------------------------------------------------------------------
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """Conventional quality scaling (the same formula the ubiquitous
+    libjpeg-derived encoders use): 1-100 → per-entry scale of the Annex K
+    base table, clamped to [1, 255]."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+
+def _encode_table(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) from a canonical (BITS, HUFFVAL) spec."""
+    out = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, magnitude bits) for a coefficient value (T.81 F.1.2.1.1:
+    negatives encode as value-1 in ``category`` bits)."""
+    t = abs(v).bit_length()
+    return t, (v if v >= 0 else v - 1) & ((1 << t) - 1)
+
+
+def _encode_plane_blocks(
+    bw: _BitWriter,
+    plane: np.ndarray,
+    q: np.ndarray,
+    dc_tab,
+    ac_tab,
+    pred: int,
+) -> int:
+    h, w = plane.shape
+    for y0 in range(0, h, 8):
+        for x0 in range(0, w, 8):
+            block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+            coeffs = _C @ block @ _C.T
+            # round-half-away quantization, the conventional choice
+            zz = coeffs.reshape(-1)[ZIGZAG]
+            qz = np.sign(zz) * np.floor(np.abs(zz) / q.reshape(-1)[ZIGZAG] + 0.5)
+            qz = qz.astype(np.int64)
+            diff = int(qz[0]) - pred
+            pred = int(qz[0])
+            t, bits_ = _magnitude(diff)
+            code, n = dc_tab[t]
+            bw.write(code, n)
+            bw.write(bits_, t)
+            run = 0
+            last_nz = int(np.max(np.nonzero(qz)[0])) if np.any(qz[1:]) else 0
+            for k in range(1, 64):
+                v = int(qz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, n = ac_tab[0xF0]  # ZRL
+                    bw.write(code, n)
+                    run -= 16
+                t, bits_ = _magnitude(v)
+                code, n = ac_tab[(run << 4) | t]
+                bw.write(code, n)
+                bw.write(bits_, t)
+                run = 0
+            if last_nz < 63:
+                code, n = ac_tab[0x00]  # EOB
+                bw.write(code, n)
+    return pred
+
+
+_SAMPLINGS = {
+    # mode-RGB sampling name -> (h, v) factor per component (Y, Cb, Cr)
+    "444": [(1, 1), (1, 1), (1, 1)],
+    "422": [(2, 1), (1, 1), (1, 1)],
+    "420": [(2, 2), (1, 1), (1, 1)],
+}
+
+
+def _box_downsample(p: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Average fx×fy boxes (the conventional chroma decimation); edges are
+    replicated first so partial boxes stay well-defined."""
+    h, w = p.shape
+    ph = (h + fy - 1) // fy * fy
+    pw = (w + fx - 1) // fx * fx
+    p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def jpeg_encode(
+    w: int,
+    h: int,
+    mode: str,
+    raw: bytes,
+    *,
+    quality: int = 90,
+    sampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode raw pixels as a baseline sequential JFIF JPEG. mode "L"
+    (w*h bytes) or "RGB" (w*h*3); ``sampling`` picks the chroma geometry
+    ("444" no subsampling — tightest round trip; "422"/"420" the
+    bandwidth-shaped layouts cameras emit); ``restart_interval`` > 0
+    writes DRI + RSTn markers every that-many MCUs. Lossy by nature: flat
+    fields survive within ±1, detail within the quantization error of
+    ``quality``."""
+    if mode not in ("L", "RGB"):
+        raise JpegError(f"jpeg_encode supports L/RGB, not {mode!r}")
+    bpp = 1 if mode == "L" else 3
+    if len(raw) != w * h * bpp:
+        raise JpegError(f"raw length {len(raw)} != {w}x{h}x{bpp}")
+    if w == 0 or h == 0:
+        raise JpegError("zero image dimension")
+    if w > 65535 or h > 65535:
+        raise JpegError("dimension exceeds JPEG 16-bit limit")
+    if sampling not in _SAMPLINGS:
+        raise JpegError(f"unknown sampling {sampling!r} (444/422/420)")
+
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, bpp).astype(np.float64)
+    if mode == "L":
+        planes = [px[:, :, 0]]
+        factors = [(1, 1)]
+        qts = [_scaled_qt(_QT_LUMA, quality)]
+        qids = [0]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        factors = _SAMPLINGS[sampling]
+        hmax = max(f[0] for f in factors)
+        vmax = max(f[1] for f in factors)
+        planes = [
+            y,
+            _box_downsample(cb, hmax // factors[1][0], vmax // factors[1][1]),
+            _box_downsample(cr, hmax // factors[2][0], vmax // factors[2][1]),
+        ]
+        qts = [_scaled_qt(_QT_LUMA, quality), _scaled_qt(_QT_CHROMA, quality)]
+        qids = [0, 1, 1]
+    ncomp = len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # pad each plane to its MCU-grid size by edge replication
+    padded = []
+    for (fh, fv), p in zip(factors, planes):
+        th, tw = mcuy * fv * 8, mcux * fh * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tq, q in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(q.reshape(-1)[ZIGZAG[i]]) for i in range(64))
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        out += bytes([ci + 1, (fh << 4) | fv, qids[ci]])
+    tables = (
+        [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+        if ncomp == 1
+        else [
+            (0x00, _DC_LUMA), (0x10, _AC_LUMA),
+            (0x01, _DC_CHROMA), (0x11, _AC_CHROMA),
+        ]
+    )
+    for tclass, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals)) + bytes([tclass])
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        td_ta = 0x00 if ci == 0 else 0x11
+        out += bytes([ci + 1, td_ta])
+    out += b"\x00\x3f\x00"  # Ss/Se/AhAl for baseline
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    dc_tabs = [_encode_table(*_DC_LUMA)] + [_encode_table(*_DC_CHROMA)] * (ncomp - 1)
+    ac_tabs = [_encode_table(*_AC_LUMA)] + [_encode_table(*_AC_CHROMA)] * (ncomp - 1)
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                fh, fv = factors[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by) * 8
+                        x0 = (mx * fh + bx) * 8
+                        preds[ci] = _encode_plane_blocks(
+                            bw, padded[ci][y0 : y0 + 8, x0 : x0 + 8],
+                            qts[qids[ci]], dc_tabs[ci], ac_tabs[ci], preds[ci],
+                        )
+            mcu_count += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -365,13 +365,26 @@ def decode_pixels(payload: bytes):
     """Full pixel decode → (width, height, mode, raw bytes).
 
     PNG payloads in the common profile decode via the PURE-PYTHON codec
-    above (same result whether or not Pillow is installed); everything
-    else (JPEG/GIF, exotic PNG profiles) uses Pillow when present and
-    raises a named error otherwise — pixel values are never faked."""
+    above, and baseline sequential JPEG (SOF0/SOF1 — the overwhelming
+    majority of real-world JPEG, incl. 4:2:0/4:2:2) via the pure-Python
+    DCT codec in inventory/jpeg.py — same result whether or not Pillow is
+    installed. Everything else (progressive JPEG, GIF, exotic PNG
+    profiles) uses Pillow when present and raises a named error otherwise
+    — pixel values are never faked."""
     if payload.startswith(_PNG_MAGIC):
         try:
             return png_decode_pixels(payload)
         except ValueError:
+            if not pil_available():
+                raise
+    elif payload.startswith(_JPEG_MAGIC):
+        from bravo_spark.inventory.jpeg import JpegError, jpeg_decode_pixels
+
+        try:
+            return jpeg_decode_pixels(payload)
+        except JpegError:
+            # out-of-profile (progressive/arithmetic/12-bit/CMYK) or
+            # malformed: only Pillow can tell us more
             if not pil_available():
                 raise
     try:
@@ -380,9 +393,10 @@ def decode_pixels(payload: bytes):
         import PIL.Image
     except ImportError as exc:
         raise ImportError(
-            "pixel decode needs Pillow (pip install pillow) for non-PNG "
-            "payloads; PNG decodes pure-Python, and header-level "
-            "decode_meta works for every container"
+            "pixel decode needs Pillow (pip install pillow) for non-PNG/"
+            "non-baseline-JPEG payloads; PNG and baseline JPEG decode "
+            "pure-Python, and header-level decode_meta works for every "
+            "container"
         ) from exc
     img = PIL.Image.open(io.BytesIO(payload))
     img.load()
@@ -402,32 +416,43 @@ def fit_box(w: int, h: int, box: int = 256) -> tuple[int, int]:
 def resize_pixels(payload: bytes, *, box: int = 256) -> bytes:
     """Real pixel resample into a ``box``×``box`` fit, PNG-encoded output.
 
-    PNG inputs in the common profile run fully pure-Python (decode →
-    integer nearest-neighbor resample → encode) so the SAME bytes come
-    out in every environment; non-PNG inputs resample via Pillow
-    (nearest, to match) with a named ImportError when it is absent."""
+    PNG inputs in the common profile AND baseline sequential JPEG run
+    fully pure-Python (decode → integer nearest-neighbor resample →
+    PNG-encode) so the SAME bytes come out in every environment; the
+    remaining containers resample via Pillow (nearest, same grid) with a
+    named ImportError when it is absent."""
+    decoded = None
     if payload.startswith(_PNG_MAGIC):
         try:
-            w, h, mode, raw = png_decode_pixels(payload)
+            decoded = png_decode_pixels(payload)
         except ValueError:
             if not pil_available():
                 raise
-        else:
-            out_w, out_h = fit_box(w, h, box)
-            bpp = len(mode)
-            return png_encode(
-                out_w, out_h, mode,
-                _resample_nearest(raw, w, h, bpp, out_w, out_h),
-            )
+    elif payload.startswith(_JPEG_MAGIC):
+        from bravo_spark.inventory.jpeg import JpegError, jpeg_decode_pixels
+
+        try:
+            decoded = jpeg_decode_pixels(payload)
+        except JpegError:
+            if not pil_available():
+                raise
+    if decoded is not None:
+        w, h, mode, raw = decoded
+        out_w, out_h = fit_box(w, h, box)
+        bpp = len(mode)
+        return png_encode(
+            out_w, out_h, mode,
+            _resample_nearest(raw, w, h, bpp, out_w, out_h),
+        )
     try:
         import io
 
         import PIL.Image
     except ImportError as exc:
         raise ImportError(
-            "pixel resize needs Pillow for non-PNG payloads; PNG resizes "
-            "pure-Python, and the dims-only fit (fit_box) works for every "
-            "container"
+            "pixel resize needs Pillow for payloads outside the pure-"
+            "Python tiers (PNG common profile, baseline JPEG); the dims-"
+            "only fit (fit_box) works for every container"
         ) from exc
     img = PIL.Image.open(io.BytesIO(payload))
     out_w, out_h = fit_box(img.width, img.height, box)

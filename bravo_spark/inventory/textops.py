@@ -307,6 +307,72 @@ def multimodal_pixel_resize(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+SELECT doc_id,
+  8 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 25 AS w,
+  8 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 25 AS h,
+  CAST(1 AS BIGINT) AS within_tol
+FROM documents
+""",
+)
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """The pure-Python baseline JPEG codec (inventory/jpeg.py) proven
+    end-to-end per row: md5-derived dims → deterministic RGB gradient →
+    ``jpeg_encode`` (4:4:4, q95) → ``jpeg_decode_pixels`` → report the
+    DECODED dims and a within-tolerance flag (max per-channel error ≤ 3 —
+    the DCT quantization floor for smooth content at q95). The oracle
+    derives the dims from the same md5 and asserts within_tol = 1 for
+    every document, so a stride, Huffman, dequantization, or color-space
+    regression flips real rows red; exact pixel bounds per sampling/
+    restart variant are pinned in tests/test_jpeg.py (not SQL-
+    expressible). Arrow-batched mapInPandas, map-only plan — the per-
+    payload codec cost IS the job, exactly how a 100 TB image-corpus
+    transcode distributes."""
+    from bravo_spark.inventory.jpeg import jpeg_decode_pixels, jpeg_encode
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def roundtrip_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = _hl.md5(bytes(payload)).hexdigest()
+                w = 8 + int(digest[0:8], 16) % 25
+                h = 8 + int(digest[8:16], 16) % 25
+                # wrap-free gradients (dims ≤ 32, so x*7 ≤ 217, y*6 ≤ 186)
+                # — a modulo wrap would put a step edge in the content and
+                # DCT ringing past the smooth-content tolerance
+                raw = bytes(
+                    (x * 7, y * 6, x * 3 + y * 3)[c]
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                enc = jpeg_encode(w, h, "RGB", raw, quality=95)
+                got_w, got_h, mode, out = jpeg_decode_pixels(enc)
+                assert mode == "RGB"
+                max_err = max(
+                    abs(a - b) for a, b in zip(out, raw)
+                ) if out else 0
+                rows.append(
+                    (doc_id, got_w, got_h, 1 if max_err <= 3 else 0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "w", "h", "within_tol"]
+            )
+
+    return docs.mapInPandas(
+        roundtrip_batches,
+        schema="doc_id long, w long, h long, within_tol long",
+    )
+
+
+@query(
     "word_freq_topk",
     oracle=(
         "SELECT w, cnt FROM ("

@@ -502,3 +502,85 @@ def test_java_utf_property_roundtrip():
             "utf-16-be", "surrogatepass"
         )
         assert got == want
+
+
+def test_writer_property_fuzz_roundtrip():
+    """WRITER fuzz (r8): random savepoint object graphs — mixed
+    KeyGroups/Incremental keyed handles, file/byte stream handles, all
+    operator-state distribution modes, names that stress modified UTF-8
+    (NUL, astral, combining) — must deserialize back to an EQUAL graph
+    and re-serialize to the IDENTICAL bytes (fixpoint). The dual of the
+    truncation/bitflip reader fuzz above: the writer can never emit a
+    layout the strict parser reads differently."""
+    import random
+
+    alphabet = "ab0/-éĀ\U0001F600\x00́"
+
+    for seed in range(40):
+        rnd = random.Random(seed)
+
+        def rnd_str():
+            return "".join(
+                rnd.choice(alphabet) for _ in range(rnd.randrange(0, 12))
+            )
+
+        def rnd_stream():
+            if rnd.random() < 0.5:
+                return fm.StreamStateHandle(
+                    fm.FILE_STREAM_STATE_HANDLE, rnd.randrange(1 << 30),
+                    path="file:/cp/" + rnd_str(),
+                )
+            data = bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 40)))
+            return fm.StreamStateHandle(
+                fm.BYTE_STREAM_STATE_HANDLE, len(data),
+                path=rnd_str(), data=data,
+            )
+
+        def rnd_keyed():
+            if rnd.random() < 0.6:
+                n = rnd.randrange(1, 16)
+                return fm.KeyGroupsHandle(
+                    rnd.randrange(0, 64), n,
+                    [rnd.randrange(1 << 20) for _ in range(n)], rnd_stream(),
+                )
+            return fm.IncrementalKeyedHandle(
+                rnd.randrange(1 << 16), rnd_str() or "backend",
+                rnd.randrange(0, 32), rnd.randrange(1, 8), rnd_stream(),
+                [(rnd_str(), rnd_stream()) for _ in range(rnd.randrange(0, 3))],
+                [(rnd_str(), rnd_stream()) for _ in range(rnd.randrange(0, 3))],
+            )
+
+        def rnd_opstate():
+            return fm.OperatorStateHandleMeta(
+                [
+                    (rnd_str(), rnd.randrange(3),
+                     sorted(rnd.randrange(1 << 20)
+                            for _ in range(rnd.randrange(1, 4))))
+                    for _ in range(rnd.randrange(1, 3))
+                ],
+                rnd_stream(),
+            )
+
+        ops = []
+        for _ in range(rnd.randrange(1, 4)):
+            parallelism = rnd.randrange(1, 5)
+            op = fm.OperatorStateMeta(
+                bytes(rnd.randrange(256) for _ in range(16)),
+                parallelism, 128,
+            )
+            for i in range(parallelism):
+                op.subtasks.append(
+                    fm.SubtaskState(
+                        i,
+                        managed_keyed=rnd_keyed() if rnd.random() < 0.7 else None,
+                        raw_keyed=rnd_keyed() if rnd.random() < 0.3 else None,
+                        managed_op=rnd_opstate() if rnd.random() < 0.5 else None,
+                        raw_op=rnd_opstate() if rnd.random() < 0.2 else None,
+                    )
+                )
+            ops.append(op)
+        sp = fm.FlinkSavepoint(rnd.randrange(1 << 40), ops)
+        buf = fm.serialize(sp)
+        back = fm.deserialize(buf)
+        assert back == sp, f"graph changed through the wire (seed {seed})"
+        assert fm.serialize(back) == buf, f"not a fixpoint (seed {seed})"

@@ -109,13 +109,21 @@ def test_fit_box_matches_sql_mirror():
 
 
 def test_pixel_tier_refuses_by_name_without_pillow():
-    """Non-PNG containers still need Pillow; the refusal is named. PNG
-    is handled pure-Python and never reaches this path."""
+    """Containers outside the pure-Python tiers (PNG common profile,
+    baseline JPEG) still need Pillow; the refusal is named. A JPEG whose
+    marker stream is header-only (no scan data) refuses with the JPEG
+    codec's own named error — it IS in-profile, just malformed."""
     if mm.pil_available():
         pytest.skip("Pillow installed — refusal path not reachable")
     with pytest.raises(ImportError, match="Pillow"):
-        mm.decode_pixels(_jpeg(4, 4))
+        mm.decode_pixels(_gif(4, 4))
     with pytest.raises(ImportError, match="Pillow"):
+        mm.resize_pixels(_gif(4, 4))
+    from bravo_spark.inventory.jpeg import JpegError
+
+    with pytest.raises(JpegError, match="EOI before SOS"):
+        mm.decode_pixels(_jpeg(4, 4))
+    with pytest.raises(JpegError, match="EOI before SOS"):
         mm.resize_pixels(_jpeg(4, 4))
 
 

@@ -677,3 +677,57 @@ def test_reader_refuses_or_survives_corruption(tmp_path):
     # truncations
     for cut in (0, 1, 10, 47, 48, 52, len(data) // 2, len(data) - 1):
         attempt(data[:cut])
+
+
+def test_writer_property_fuzz_roundtrip():
+    """WRITER fuzz (r8): arbitrary entry sets — binary keys incl. 0xFF and
+    shared prefixes, empty values, delete/value/merge/single-delete types,
+    multiple seqs per key — across every block size × codec × index type
+    combination must re-read EXACTLY through the checksum-verifying
+    reader. This is the reader-corruption fuzz's dual: it proves the
+    writer never emits a stream the strict reader mis-parses (restart
+    points, partitioned index boundaries, compression fallbacks when a
+    block doesn't shrink)."""
+    import itertools
+    import random
+    import tempfile
+    from os import path as _p
+
+    codecs_ = [
+        sst.NO_COMPRESSION, sst.SNAPPY_COMPRESSION, sst.ZLIB_COMPRESSION,
+        sst.BZIP2_COMPRESSION, sst.LZ4_COMPRESSION,
+    ]
+    cases = list(itertools.product([64, 1024], codecs_,
+                                   [sst.INDEX_BINARY_SEARCH, sst.INDEX_TWO_LEVEL]))
+    rnd = random.Random(0xBEEF)
+    with tempfile.TemporaryDirectory() as td:
+        for case_i, (block_size, compression, index_type) in enumerate(cases):
+            n = rnd.randrange(1, 150)
+            keys = sorted(
+                {bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 24)))
+                 for _ in range(n)}
+            )
+            # a run of shared-prefix keys stresses restart-point delta coding
+            keys = sorted(set(keys) | {b"prefix" + bytes([i]) for i in range(9)})
+            entries = []
+            for k in keys:
+                seqs = sorted(
+                    {rnd.randrange(1 << 40) for _ in range(rnd.randrange(1, 3))},
+                    reverse=True,
+                )
+                for s in seqs:
+                    vtype = rnd.choice([0, 1, 1, 1, 2, 7])
+                    val = (b"" if vtype in (0, 7) else
+                           bytes(rnd.randrange(256)
+                                 for _ in range(rnd.randrange(0, 120))))
+                    entries.append((k, s, vtype, val))
+            p = _p.join(td, f"fuzz{case_i}.sst")
+            with sst.SstWriter(
+                p, column_family="F", column_family_id=3,
+                block_size=block_size, compression=compression,
+                index_type=index_type, index_partition_entries=4,
+            ) as w:
+                for k, s, t, v in entries:
+                    w.add(k, s, t, v)
+            got = list(sst.SstReader(p, verify_checksums=True).iter_entries())
+            assert got == entries, (block_size, compression, index_type)
