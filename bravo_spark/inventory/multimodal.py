@@ -364,13 +364,13 @@ def _resample_nearest(
 def decode_pixels(payload: bytes):
     """Full pixel decode → (width, height, mode, raw bytes).
 
-    PNG payloads in the common profile decode via the PURE-PYTHON codec
-    above, and baseline sequential JPEG (SOF0/SOF1 — the overwhelming
-    majority of real-world JPEG, incl. 4:2:0/4:2:2) via the pure-Python
-    DCT codec in inventory/jpeg.py — same result whether or not Pillow is
-    installed. Everything else (progressive JPEG, GIF, exotic PNG
-    profiles) uses Pillow when present and raises a named error otherwise
-    — pixel values are never faked."""
+    All three major containers decode PURE-PYTHON — PNG (common profile,
+    codec above), baseline sequential JPEG (SOF0/SOF1 incl. 4:2:0/4:2:2,
+    inventory/jpeg.py), and GIF87a/89a first frame (full LZW,
+    inventory/gif.py) — same result whether or not Pillow is installed.
+    The remainder (progressive JPEG, exotic PNG profiles) uses Pillow
+    when present and raises a named error otherwise — pixel values are
+    never faked."""
     if payload.startswith(_PNG_MAGIC):
         try:
             return png_decode_pixels(payload)
@@ -387,15 +387,23 @@ def decode_pixels(payload: bytes):
             # malformed: only Pillow can tell us more
             if not pil_available():
                 raise
+    elif payload[:6] in _GIF_MAGICS:
+        from bravo_spark.inventory.gif import GifError, gif_decode_pixels
+
+        try:
+            return gif_decode_pixels(payload)
+        except GifError:
+            if not pil_available():
+                raise
     try:
         import io
 
         import PIL.Image
     except ImportError as exc:
         raise ImportError(
-            "pixel decode needs Pillow (pip install pillow) for non-PNG/"
-            "non-baseline-JPEG payloads; PNG and baseline JPEG decode "
-            "pure-Python, and header-level decode_meta works for every "
+            "pixel decode needs Pillow (pip install pillow) for payloads "
+            "outside the pure-Python tiers (PNG common profile, baseline "
+            "JPEG, GIF); header-level decode_meta works for every "
             "container"
         ) from exc
     img = PIL.Image.open(io.BytesIO(payload))
@@ -416,8 +424,8 @@ def fit_box(w: int, h: int, box: int = 256) -> tuple[int, int]:
 def resize_pixels(payload: bytes, *, box: int = 256) -> bytes:
     """Real pixel resample into a ``box``×``box`` fit, PNG-encoded output.
 
-    PNG inputs in the common profile AND baseline sequential JPEG run
-    fully pure-Python (decode → integer nearest-neighbor resample →
+    PNG (common profile), baseline sequential JPEG, and GIF first frames
+    run fully pure-Python (decode → integer nearest-neighbor resample →
     PNG-encode) so the SAME bytes come out in every environment; the
     remaining containers resample via Pillow (nearest, same grid) with a
     named ImportError when it is absent."""
@@ -436,6 +444,14 @@ def resize_pixels(payload: bytes, *, box: int = 256) -> bytes:
         except JpegError:
             if not pil_available():
                 raise
+    elif payload[:6] in _GIF_MAGICS:
+        from bravo_spark.inventory.gif import GifError, gif_decode_pixels
+
+        try:
+            decoded = gif_decode_pixels(payload)
+        except GifError:
+            if not pil_available():
+                raise
     if decoded is not None:
         w, h, mode, raw = decoded
         out_w, out_h = fit_box(w, h, box)
@@ -451,8 +467,8 @@ def resize_pixels(payload: bytes, *, box: int = 256) -> bytes:
     except ImportError as exc:
         raise ImportError(
             "pixel resize needs Pillow for payloads outside the pure-"
-            "Python tiers (PNG common profile, baseline JPEG); the dims-"
-            "only fit (fit_box) works for every container"
+            "Python tiers (PNG common profile, baseline JPEG, GIF); the "
+            "dims-only fit (fit_box) works for every container"
         ) from exc
     img = PIL.Image.open(io.BytesIO(payload))
     out_w, out_h = fit_box(img.width, img.height, box)

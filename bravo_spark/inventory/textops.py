@@ -373,6 +373,62 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_gif_roundtrip",
+    oracle="""
+SELECT doc_id,
+  4 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 29 AS w,
+  4 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 29 AS h,
+  CAST(1 AS BIGINT) AS exact
+FROM documents
+""",
+)
+def multimodal_gif_roundtrip(spark, sf_dir):
+    """The pure-Python GIF codec (inventory/gif.py) proven end-to-end per
+    row: md5-derived dims → ≤256-color deterministic pattern →
+    ``gif_encode`` (LZW) → ``gif_decode_pixels`` → report decoded dims
+    and an EXACTNESS flag. GIF is palette-lossless, so unlike the JPEG
+    tier's tolerance audit the oracle asserts BYTE-EXACT recovery for
+    every document — any LZW, palette, or compositing regression flips
+    real rows red. Arrow-batched mapInPandas, map-only plan."""
+    from bravo_spark.inventory.gif import gif_decode_pixels, gif_encode
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def roundtrip_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = _hl.md5(bytes(payload)).hexdigest()
+                w = 4 + int(digest[0:8], 16) % 29
+                h = 4 + int(digest[8:16], 16) % 29
+                # 16x16-cell color grid: ≤256 distinct colors at any dims
+                raw = bytes(
+                    ((x * 16) % 256, (y * 16) % 256, 40)[c]
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                enc = gif_encode(w, h, "RGB", raw)
+                got_w, got_h, mode, out = gif_decode_pixels(enc)
+                assert mode == "RGB"
+                rows.append(
+                    (doc_id, got_w, got_h, 1 if out == raw else 0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "w", "h", "exact"]
+            )
+
+    return docs.mapInPandas(
+        roundtrip_batches,
+        schema="doc_id long, w long, h long, exact long",
+    )
+
+
+@query(
     "word_freq_topk",
     oracle=(
         "SELECT w, cnt FROM ("

@@ -110,21 +110,28 @@ def test_fit_box_matches_sql_mirror():
 
 def test_pixel_tier_refuses_by_name_without_pillow():
     """Containers outside the pure-Python tiers (PNG common profile,
-    baseline JPEG) still need Pillow; the refusal is named. A JPEG whose
-    marker stream is header-only (no scan data) refuses with the JPEG
-    codec's own named error — it IS in-profile, just malformed."""
+    baseline JPEG, GIF) still need Pillow; the refusal is named. JPEG/GIF
+    payloads whose marker streams are header-only (no image data) refuse
+    with their own codec's named error — they ARE in-profile, just
+    malformed."""
     if mm.pil_available():
         pytest.skip("Pillow installed — refusal path not reachable")
+    bmp = b"BM" + bytes(64)  # a container with no pure-Python tier
     with pytest.raises(ImportError, match="Pillow"):
-        mm.decode_pixels(_gif(4, 4))
+        mm.decode_pixels(bmp)
     with pytest.raises(ImportError, match="Pillow"):
-        mm.resize_pixels(_gif(4, 4))
+        mm.resize_pixels(bmp)
+    from bravo_spark.inventory.gif import GifError
     from bravo_spark.inventory.jpeg import JpegError
 
     with pytest.raises(JpegError, match="EOI before SOS"):
         mm.decode_pixels(_jpeg(4, 4))
     with pytest.raises(JpegError, match="EOI before SOS"):
         mm.resize_pixels(_jpeg(4, 4))
+    with pytest.raises(GifError, match="no image data"):
+        mm.decode_pixels(_gif(4, 4))
+    with pytest.raises(GifError, match="no image data"):
+        mm.resize_pixels(_gif(4, 4))
 
 
 def test_pixel_tier_real_decode():
