@@ -30,7 +30,13 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["GifError", "gif_decode_pixels", "gif_iter_frames", "gif_encode"]
+__all__ = [
+    "GifError",
+    "gif_decode_pixels",
+    "gif_iter_frames",
+    "gif_encode",
+    "gif_encode_animation",
+]
 
 _MAX_PIXELS = 64_000_000  # same in-container plane ceiling as PNG/JPEG tiers
 
@@ -345,4 +351,61 @@ def gif_encode(w: int, h: int, mode: str, raw: bytes) -> bytes:
         chunk = lzw[i : i + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_encode_animation(
+    w: int, h: int, frames: list[bytes], *, delay_cs: int = 10
+) -> bytes:
+    """Multi-frame GIF89a from full-screen RGB frames (each w*h*3 bytes):
+    one GLOBAL palette across all frames (≤256 distinct colors total,
+    refuse by name beyond — same no-quantization contract as
+    :func:`gif_encode`), a NETSCAPE loop extension, and a per-frame
+    graphic control block carrying ``delay_cs``. Decodes frame-for-frame
+    via :func:`gif_iter_frames` byte-exactly."""
+    if not frames:
+        raise GifError("animation needs at least one frame")
+    for i, f in enumerate(frames):
+        if len(f) != w * h * 3:
+            raise GifError(f"frame {i} length {len(f)} != {w}x{h}x3")
+    if w == 0 or h == 0 or w > 65535 or h > 65535:
+        raise GifError("bad GIF dimensions")
+
+    palette: dict[tuple[int, int, int], int] = {}
+    for f in frames:
+        for i in range(0, len(f), 3):
+            p = (f[i], f[i + 1], f[i + 2])
+            if p not in palette:
+                if len(palette) == 256:
+                    raise GifError(
+                        "more than 256 distinct colors across frames — "
+                        "GIF would quantize; encode frames as PNG instead"
+                    )
+                palette[p] = len(palette)
+    bits = max(1, (len(palette) - 1).bit_length())
+    table_n = 1 << bits
+    colors = list(palette)
+    colors += [(0, 0, 0)] * (table_n - len(colors))
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    for c in colors:
+        out += bytes(c)
+    # NETSCAPE 2.0 infinite-loop application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = max(2, bits)
+    for f in frames:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([min_code])
+        lzw = _lzw_encode(
+            min_code,
+            bytes(palette[(f[i], f[i + 1], f[i + 2])] for i in range(0, len(f), 3)),
+        )
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

@@ -9,13 +9,15 @@ Three tiers, selected at runtime per payload:
    §B.2.2). This is a REAL decode of the metadata a 100 TB pipeline
    actually filters on (dims, aspect, megapixels) — no image library
    needed.
-2. **Pixel operations**: PNG payloads in the common profile (8-bit,
-   non-interlaced) decode, resample, and re-encode PURE-PYTHON (stdlib
-   ``zlib`` inflate + RFC 2083 scanline un-filtering) — real pixels with
-   zero dependencies, bit-identical in every environment. Other
-   containers (JPEG/GIF) and exotic PNG profiles use Pillow when
-   installed, a named :class:`ImportError` otherwise — never silent
-   garbage.
+2. **Pixel operations**: all three major containers decode PURE-PYTHON —
+   PNG in the common profile (8-bit, non-interlaced; stdlib ``zlib``
+   inflate + RFC 2083 scanline un-filtering, below), baseline sequential
+   JPEG (``inventory/jpeg.py``: Huffman + numpy IDCT, 4:2:0/4:2:2,
+   restart markers), and GIF87a/89a (``inventory/gif.py``: full LZW,
+   interlace, transparency) — real pixels with zero dependencies,
+   bit-identical in every environment. The remainder (progressive JPEG,
+   exotic PNG profiles) uses Pillow when installed, a named
+   :class:`ImportError` otherwise — never silent garbage.
 3. **Deterministic fake** (fallback for payloads that are not images,
    e.g. the synthetic text corpus): md5-derived dims, stable across
    engines so oracle SQL can reproduce them.

@@ -429,6 +429,143 @@ def multimodal_gif_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_gif_frame_sample",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+    2 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 6 AS n_frames
+  FROM documents)
+SELECT doc_id, n_frames, unnest(list_distinct(
+  [CAST(0 AS BIGINT), n_frames // 2, n_frames - 1])) AS frame_idx,
+  CAST(1 AS BIGINT) AS exact
+FROM meta
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_gif_frame_sample(spark, sf_dir):
+    """REAL frame sampling over an animated container, end-to-end pure
+    Python: per document, build an animated GIF (md5-derived frame count,
+    deterministic per-frame palette pattern), then decode it back with
+    ``gif_iter_frames`` and keep the first/middle/last frames — the
+    uniform-k sampling a video-training pipeline runs, with the decode
+    step REAL instead of the digest stand-in ``multimodal_frame_sample``
+    uses for opaque video bytes. Each sampled frame's decoded pixels are
+    compared against the generator (GIF is lossless), so the oracle can
+    assert exact = 1 for every row; any LZW or multi-frame compositing
+    regression flips real rows red. 1→k mapInPandas, map-only plan."""
+    from bravo_spark.inventory.gif import gif_encode_animation, gif_iter_frames
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def sample_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib as _hl
+
+        w, h = 16, 12
+
+        def frame_raw(k: int) -> bytes:
+            # 16 colors per frame × ≤7 frames ≤ 112 distinct total — well
+            # under the 256-color global-palette lossless bound
+            return bytes(
+                ((x + k) % 4 * 64, (y + k) % 4 * 64, (k % 4) * 64)[c]
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = _hl.md5(bytes(payload)).hexdigest()
+                n = 2 + int(digest[0:8], 16) % 6
+                frames = [frame_raw(k) for k in range(n)]
+                anim = gif_encode_animation(w, h, frames)
+                decoded = {
+                    i: raw for i, _, _, _, raw in gif_iter_frames(anim)
+                }
+                assert len(decoded) == n
+                for idx in sorted({0, n // 2, n - 1}):
+                    ok = 1 if decoded[idx] == frames[idx] else 0
+                    rows.append((doc_id, n, idx, ok))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "frame_idx", "exact"]
+            )
+
+    return docs.mapInPandas(
+        sample_batches,
+        schema="doc_id long, n_frames long, frame_idx long, exact long",
+    )
+
+
+@query(
+    "audio_wav_features",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+    200 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 800 AS n,
+    100 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 900 AS amp,
+    5 + CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) % 36 AS period
+  FROM documents)
+SELECT doc_id, n AS n_frames, n // 8 AS duration_ms, amp AS peak,
+  amp * 1000 AS rms_milli, (n - 1) // period AS zero_crossings
+FROM params
+""",
+)
+def audio_wav_features(spark, sf_dir):
+    """The AUDIO modality end-to-end, pure Python (inventory/audio.py):
+    per document, synthesize a square wave with md5-derived amplitude /
+    period / length, container it as real 16-bit PCM RIFF/WAVE, then
+    DECODE the bytes back and extract integer-exact signal features
+    (peak, RMS in milli-units, zero crossings, duration). A square wave's
+    features have closed forms — RMS = amplitude exactly — so the oracle
+    recomputes every value from the same md5 and the driver's hash check
+    covers the whole WAV parse + PCM decode + DSP path; byte-level codec
+    pins (8/24/32-bit, foreign-encoder files, truncation fuzz) live in
+    tests/test_audio.py. Arrow-batched mapInPandas, map-only plan."""
+    from bravo_spark.inventory.audio import pcm_features, wav_encode
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def feature_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = _hl.md5(bytes(payload)).hexdigest()
+                n = 200 + int(digest[0:8], 16) % 800
+                amp = 100 + int(digest[8:16], 16) % 900
+                period = 5 + int(digest[16:24], 16) % 36
+                wave = [
+                    amp if (i // period) % 2 == 0 else -amp for i in range(n)
+                ]
+                feats = pcm_features(wav_encode(8000, 1, 16, wave))
+                rows.append(
+                    (
+                        doc_id, feats["n_frames"], feats["duration_ms"],
+                        feats["peak"], feats["rms_milli"],
+                        feats["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "duration_ms", "peak",
+                    "rms_milli", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        feature_batches,
+        schema="doc_id long, n_frames long, duration_ms long, peak long,"
+               " rms_milli long, zero_crossings long",
+    )
+
+
+@query(
     "word_freq_topk",
     oracle=(
         "SELECT w, cnt FROM ("

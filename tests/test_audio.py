@@ -1,0 +1,157 @@
+"""Pure-Python WAV/PCM codec + integer signal features (inventory/audio.py).
+
+Ground truth: integer PCM is lossless — encode→decode round trips
+value-exactly at every supported depth — and square/constant signals
+have closed-form features. Foreign-encoder files (CPython's audiodata
+fixtures at 8/16/24/32-bit) pin the parser against real-world layouts;
+truncation/bitflip fuzz pins the never-hang contract.
+"""
+
+from __future__ import annotations
+
+import glob
+import struct
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from bravo_spark.inventory import audio as A
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+def test_roundtrip_value_exact_all_depths(bits):
+    lo = 0 if bits == 8 else -(1 << (bits - 1))
+    hi = 255 if bits == 8 else (1 << (bits - 1)) - 1
+    samples = [lo, hi, 0 if bits != 8 else 128] * 10 + [
+        (i * 7919) % (hi - lo + 1) + lo for i in range(40)
+    ]
+    payload = A.wav_encode(11025, 1, bits, samples)
+    sr, ch, got_bits, got = A.wav_decode(payload)
+    assert (sr, ch, got_bits) == (11025, 1, bits)
+    assert got == samples
+
+
+def test_encode_decode_byte_fixpoint():
+    samples = [((i * 37) % 2000) - 1000 for i in range(600)]
+    p1 = A.wav_encode(8000, 2, 16, samples)
+    sr, ch, bits, got = A.wav_decode(p1)
+    assert A.wav_encode(sr, ch, bits, got) == p1
+
+
+def test_square_wave_features_closed_form():
+    amp, period, n = 1000, 25, 400
+    wave = [amp if (i // period) % 2 == 0 else -amp for i in range(n)]
+    f = A.pcm_features(A.wav_encode(8000, 1, 16, wave))
+    assert f == {
+        "n_frames": n,
+        "duration_ms": n * 1000 // 8000,
+        "peak": amp,
+        "rms_milli": amp * 1000,  # square wave: RMS == amplitude, exactly
+        "zero_crossings": (n - 1) // period,
+    }
+
+
+def test_zero_samples_carry_previous_sign():
+    # +1, 0, -1: one crossing (the zero inherits +), then -1 → +1: two
+    wave = [1, 0, -1, 1]
+    f = A.pcm_features(A.wav_encode(8000, 1, 16, wave))
+    assert f["zero_crossings"] == 2
+
+
+def test_first_channel_only_features():
+    # channel 0 constant, channel 1 alternating: features see channel 0
+    inter = []
+    for i in range(100):
+        inter += [500, 500 if i % 2 == 0 else -500]
+    f = A.pcm_features(A.wav_encode(8000, 2, 16, inter))
+    assert f["peak"] == 500 and f["zero_crossings"] == 0
+    assert f["rms_milli"] == 500 * 1000
+
+
+def test_eight_bit_recentering():
+    # 8-bit WAV is unsigned; features re-center by -128
+    f = A.pcm_features(A.wav_encode(8000, 1, 8, [128] * 50))
+    assert f["peak"] == 0 and f["rms_milli"] == 0
+    f = A.pcm_features(A.wav_encode(8000, 1, 8, [228] * 50))
+    assert f["peak"] == 100
+
+
+def test_out_of_profile_refusals_name_the_codec():
+    base = bytearray(A.wav_encode(8000, 1, 16, [0] * 10))
+    fmt_at = base.find(b"fmt ") + 8
+    for code, name in [(3, "IEEE float"), (7, "mu-law"), (0xFFFE, "extensible")]:
+        mut = bytearray(base)
+        struct.pack_into("<H", mut, fmt_at, code)
+        with pytest.raises(A.WavError, match=name):
+            A.wav_decode(bytes(mut))
+    with pytest.raises(A.WavError, match="RIFF"):
+        A.wav_decode(b"OggS" + bytes(40))
+
+
+def test_forged_size_bomb_refused():
+    """A data chunk whose size field claims gigabytes must refuse on the
+    framing check, not allocate."""
+    base = bytearray(A.wav_encode(8000, 1, 16, [0] * 10))
+    data_at = base.find(b"data")
+    struct.pack_into("<I", base, data_at + 4, 2_000_000_000)
+    with pytest.raises(A.WavError, match="overruns"):
+        A.wav_decode(bytes(base))
+
+
+def test_trailing_partial_frame_tolerated():
+    payload = A.wav_encode(8000, 2, 16, [1, 2, 3, 4]) + b""
+    # chop one byte off the data chunk and fix the size fields
+    raw = bytearray(payload)
+    raw[-1:] = b""
+    struct.pack_into("<I", raw, 4, len(raw) - 8)
+    data_at = bytes(raw).find(b"data")
+    struct.pack_into("<I", raw, data_at + 4, len(raw) - data_at - 8)
+    sr, ch, bits, samples = A.wav_decode(bytes(raw))
+    assert samples == [1, 2]  # the torn frame is dropped whole
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cut=st.integers(0, 120),
+    flip_pos=st.integers(0, 119),
+    flip_val=st.integers(1, 255),
+    mode=st.sampled_from(["truncate", "flip", "both"]),
+)
+def test_malformed_streams_fail_cleanly(cut, flip_pos, flip_val, mode):
+    good = A.wav_encode(8000, 1, 16, [((i * 31) % 400) - 200 for i in range(50)])
+    data = bytearray(good)
+    if mode in ("truncate", "both"):
+        data = data[: max(4, len(data) - cut % len(data))]
+    if mode in ("flip", "both") and len(data) > 5:
+        p = 4 + flip_pos % (len(data) - 4)
+        data[p] ^= flip_val
+    try:
+        sr, ch, bits, samples = A.wav_decode(bytes(data))
+        assert sr >= 1 and ch >= 1 and bits in (8, 16, 24, 32)
+    except (A.WavError, ValueError):
+        pass
+
+
+_REAL_WAVS = sorted(
+    glob.glob(
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+        "test/audiodata/pluck-pcm*.wav"
+    )
+)
+
+
+@pytest.mark.skipif(not _REAL_WAVS, reason="no foreign-encoder WAVs on disk")
+def test_foreign_encoder_files_parse_and_roundtrip():
+    """CPython's audio fixtures (one source signal at 8/16/24/32-bit)
+    parse to consistent meta, and re-encoding the decoded samples
+    reproduces a stream our decoder reads back identically."""
+    assert len(_REAL_WAVS) >= 3
+    metas = []
+    for path in _REAL_WAVS:
+        payload = open(path, "rb").read()
+        sr, ch, bits, n, ms = A.wav_meta(payload)
+        metas.append((sr, ch, n, ms))
+        sr2, ch2, bits2, samples = A.wav_decode(payload)
+        re = A.wav_encode(sr2, ch2, bits2, samples)
+        assert A.wav_decode(re)[3] == samples
+    assert len(set(metas)) == 1  # same recording at every depth

@@ -234,3 +234,32 @@ def test_decode_pixels_dispatches_gif_pure_python():
     rw, rh, rm, rraw = mm.png_decode_pixels(png)
     assert (rw, rh) == mm.fit_box(20, 12, 8) and rm == "RGB"
     assert len(rraw) == rw * rh * 3
+
+
+def test_animation_roundtrip_frame_exact():
+    """gif_encode_animation → gif_iter_frames recovers every frame
+    byte-for-byte (global palette, NETSCAPE loop block skipped as an
+    extension, per-frame GCE carried)."""
+    w, h = 9, 7
+    frames = [
+        bytes(((x + k) % 4 * 64, (y + k) % 4 * 64, k * 64)[c]
+              for y in range(h) for x in range(w) for c in range(3))
+        for k in range(4)
+    ]
+    anim = G.gif_encode_animation(w, h, frames, delay_cs=5)
+    got = list(G.gif_iter_frames(anim))
+    assert [i for i, *_ in got] == [0, 1, 2, 3]
+    for (i, gw, gh, mode, raw), want in zip(got, frames):
+        assert (gw, gh, mode) == (w, h, "RGB")
+        assert raw == want, f"frame {i} drifted"
+
+
+def test_animation_palette_overflow_refused():
+    w, h = 16, 16
+    frames = [
+        bytes((k * 40 + x, y, x + y)[c] % 256
+              for y in range(h) for x in range(w) for c in range(3))
+        for k in range(4)
+    ]
+    with pytest.raises(G.GifError, match="across frames"):
+        G.gif_encode_animation(w, h, frames)
