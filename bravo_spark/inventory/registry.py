@@ -110,8 +110,9 @@ GATE_PRIORITY = [
 
 # r9 rotation candidates (mirror-green, never driver-checked): the new
 # multimodal_jpeg_roundtrip, multimodal_gif_roundtrip,
-# multimodal_gif_frame_sample, and audio_wav_features (the pure-Python
-# JPEG/GIF/WAV codecs end-to-end) go first; then the rest of the TPC-H tail — q7/q8/q11/q12/q13/q15/
+# multimodal_gif_frame_sample, audio_wav_features, and
+# video_avi_frame_sample (the pure-Python JPEG/GIF/WAV/AVI codecs
+# end-to-end) go first; then the rest of the TPC-H tail — q7/q8/q11/q12/q13/q15/
 # q16/q17 (plus shaped q4/q5/q10/q14/q18) over r9-r10 to retire the whole
 # tail; the sampling family
 # (domain_mixture_sample, hash_sample, stratified_sample, train_val_split,

@@ -566,6 +566,96 @@ def audio_wav_features(spark, sf_dir):
 
 
 @query(
+    "video_avi_frame_sample",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+    2 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 7 AS n_frames,
+    16 + 8 * (CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 3) AS w,
+    16 + 8 * (CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) % 2) AS h
+  FROM documents)
+SELECT doc_id, w, h, n_frames, unnest(list_distinct(
+  [CAST(0 AS BIGINT), n_frames // 2, n_frames - 1])) AS frame_idx,
+  CAST(1 AS BIGINT) AS within_tol
+FROM meta
+ORDER BY doc_id, frame_idx
+""",
+)
+def video_avi_frame_sample(spark, sf_dir):
+    """The VIDEO modality end-to-end, pure Python: per document, build an
+    MJPEG AVI (md5-derived frame count and dims; every frame a real
+    baseline JPEG from inventory/jpeg.py), then DEMUX the container
+    (inventory/avi.py RIFF walk), sample first/middle/last frames, and
+    REALLY DECODE each sampled frame's JPEG bytes, reporting a
+    within-tolerance flag against the generator (≤3, the smooth-content
+    quantization floor at q95). This is the actual video-training
+    frame-extraction job with the codec chain real instead of stubbed;
+    non-MJPEG codecs (H.264 etc.) refuse by name rather than fake
+    frames. The oracle derives dims/count/indices from the same md5 and
+    asserts within_tol = 1 for every sampled frame, so a demux offset,
+    index, or codec regression flips real rows red. Arrow-batched 1→k
+    mapInPandas, map-only plan."""
+    from bravo_spark.inventory.avi import avi_encode_mjpeg, avi_iter_frames
+    from bravo_spark.inventory.jpeg import jpeg_decode_pixels, jpeg_encode
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def sample_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib as _hl
+
+        def frame_raw(w: int, h: int, k: int) -> bytes:
+            # wrap-free gradients (dims ≤ 32, k ≤ 8): smooth content so
+            # the q95 JPEG round trip stays within the ±3 floor
+            return bytes(
+                (x * 6 + k * 3, y * 5, x * 2 + y * 2 + k * 2)[c]
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = _hl.md5(bytes(payload)).hexdigest()
+                n = 2 + int(digest[0:8], 16) % 7
+                w = 16 + 8 * (int(digest[8:16], 16) % 3)
+                h = 16 + 8 * (int(digest[16:24], 16) % 2)
+                raws = [frame_raw(w, h, k) for k in range(n)]
+                avi = avi_encode_mjpeg(
+                    w, h,
+                    [jpeg_encode(w, h, "RGB", r, quality=95) for r in raws],
+                    fps=10,
+                )
+                jpegs = dict(avi_iter_frames(avi))
+                assert len(jpegs) == n
+                for idx in sorted({0, n // 2, n - 1}):
+                    got_w, got_h, mode, out = jpeg_decode_pixels(jpegs[idx])
+                    ok = (
+                        1
+                        if (got_w, got_h, mode) == (w, h, "RGB")
+                        and max(
+                            abs(a - b) for a, b in zip(out, raws[idx])
+                        ) <= 3
+                        else 0
+                    )
+                    rows.append((doc_id, got_w, got_h, n, idx, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "w", "h", "n_frames", "frame_idx", "within_tol",
+                ],
+            )
+
+    return docs.mapInPandas(
+        sample_batches,
+        schema="doc_id long, w long, h long, n_frames long, frame_idx long,"
+               " within_tol long",
+    )
+
+
+@query(
     "word_freq_topk",
     oracle=(
         "SELECT w, cnt FROM ("

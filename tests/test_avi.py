@@ -1,0 +1,158 @@
+"""Pure-Python MJPEG-AVI demux/mux (inventory/avi.py).
+
+Ground truth: the muxer stores JPEG payloads verbatim, so mux→demux is
+byte-exact; decoded frame pixels are covered by the JPEG codec's own
+pins. Hand-mutations pin the refusal paths (foreign codecs by name,
+forged sizes, truncations)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from bravo_spark.inventory import avi as V
+from bravo_spark.inventory import jpeg as J
+
+
+def _frames(w: int, h: int, n: int) -> list[bytes]:
+    return [
+        J.jpeg_encode(
+            w, h, "RGB",
+            bytes(
+                (x * 6 + k * 3, y * 5, x * 2 + y * 2 + k * 2)[c]
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            ),
+            quality=95,
+        )
+        for k in range(n)
+    ]
+
+
+def test_mux_demux_byte_exact():
+    frames = _frames(24, 16, 5)
+    payload = V.avi_encode_mjpeg(24, 16, frames, fps=10)
+    assert V.avi_meta(payload) == (24, 16, 5, 10_000, 500)
+    got = list(V.avi_iter_frames(payload))
+    assert [i for i, _ in got] == list(range(5))
+    assert [f for _, f in got] == frames
+
+
+def test_demuxed_frames_really_decode():
+    w, h = 16, 16
+    frames = _frames(w, h, 3)
+    payload = V.avi_encode_mjpeg(w, h, frames)
+    for _, jpeg in V.avi_iter_frames(payload):
+        gw, gh, mode, raw = J.jpeg_decode_pixels(jpeg)
+        assert (gw, gh, mode) == (w, h, "RGB") and len(raw) == w * h * 3
+
+
+def test_odd_sized_frames_word_aligned():
+    """RIFF chunks pad odd sizes; a frame with an odd byte length must not
+    desync the walk."""
+    frames = _frames(17, 9, 4)
+    assert any(len(f) & 1 for f in frames), "fixture should hit odd sizes"
+    payload = V.avi_encode_mjpeg(17, 9, frames)
+    assert [f for _, f in V.avi_iter_frames(payload)] == frames
+
+
+def test_foreign_codec_refused_by_name():
+    payload = V.avi_encode_mjpeg(16, 16, _frames(16, 16, 2))
+    for fourcc in (b"H264", b"VP90", b"DIB "):
+        bad = payload.replace(b"MJPG", fourcc)
+        with pytest.raises(V.AviError, match="MJPEG only"):
+            V.avi_meta(bad)
+
+
+def test_not_avi_refused():
+    with pytest.raises(V.AviError, match="RIFF/AVI"):
+        V.avi_meta(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(V.AviError, match="RIFF/AVI"):
+        V.avi_meta(b"\x00" * 40)
+
+
+def test_forged_chunk_size_refused():
+    payload = bytearray(V.avi_encode_mjpeg(16, 16, _frames(16, 16, 2)))
+    movi_at = bytes(payload).find(b"movi")
+    # the movi LIST's size field sits 8 bytes before its list-type
+    struct.pack_into("<I", payload, movi_at - 4, 2_000_000_000)
+    with pytest.raises(V.AviError, match="overruns"):
+        V.avi_meta(bytes(payload))
+
+
+def test_headerless_movi_refused():
+    """movi data before any stream header must refuse, not guess."""
+    movi = b"LIST" + struct.pack("<I", 4 + 8) + b"movi" + b"00dc" + struct.pack("<I", 0)
+    body = b"AVI " + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(V.AviError, match="movi before"):
+        V.avi_meta(payload)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cut=st.integers(0, 300),
+    flip_pos=st.integers(0, 299),
+    flip_val=st.integers(1, 255),
+    mode=st.sampled_from(["truncate", "flip", "both"]),
+)
+def test_malformed_streams_fail_cleanly(cut, flip_pos, flip_val, mode):
+    good = V.avi_encode_mjpeg(16, 16, _frames(16, 16, 3))
+    data = bytearray(good)
+    if mode in ("truncate", "both"):
+        data = data[: max(4, len(data) - cut % len(data))]
+    if mode in ("flip", "both") and len(data) > 5:
+        p = 4 + flip_pos % (len(data) - 4)
+        data[p] ^= flip_val
+    try:
+        w, h, n, fps_milli, dur = V.avi_meta(bytes(data))
+        assert 0 < w < 1 << 20 and 0 < h < 1 << 20 and n >= 1
+    except (V.AviError, ValueError):
+        pass
+
+
+def test_second_stream_video_uses_right_chunk_prefix():
+    """A file whose FIRST stream is audio must read '01dc' frames, not
+    '00dc' — the stream index is positional."""
+    frames = _frames(16, 16, 2)
+    base = V.avi_encode_mjpeg(16, 16, frames)
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(t, body):
+        return chunk(b"LIST", t + body)
+
+    audio_strh = (
+        b"auds" + b"\x00" * 4
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 100, 0, 0, 0, 0)
+        + struct.pack("<HHHH", 0, 0, 0, 0)
+    )
+    audio_strl = lst(b"strl", chunk(b"strh", audio_strh) + chunk(b"strf", bytes(16)))
+    video_strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 2, 0, 0, 0, 0)
+        + struct.pack("<HHHH", 0, 0, 16, 16)
+    )
+    video_strf = struct.pack(
+        "<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG", 16 * 16 * 3, 0, 0, 0, 0
+    )
+    video_strl = lst(b"strl", chunk(b"strh", video_strh) + chunk(b"strf", video_strf))
+    avih = bytes(56)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + audio_strl + video_strl)
+    # stream 0 is audio ('00wb'), stream 1 is the video ('01dc'); an
+    # unrelated '01wb' chunk must also be ignored by the frame walk
+    movi = lst(
+        b"movi",
+        chunk(b"01wb", b"\x00" * 10)
+        + chunk(b"01dc", frames[0])
+        + chunk(b"00wb", b"\x00" * 8)
+        + chunk(b"01dc", frames[1]),
+    )
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = [f for _, f in V.avi_iter_frames(payload)]
+    assert got == frames
