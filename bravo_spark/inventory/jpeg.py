@@ -300,6 +300,7 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None  # (w, h, components)
+    progressive = False
     restart_interval = 0
     pos = 2
 
@@ -353,9 +354,10 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
                 table = _HuffTable(bits, list(body[i : i + n]))
                 i += n
                 (huff_dc if tc == 0 else huff_ac)[th] = table
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             if frame is not None:
                 raise JpegError("multiple SOF segments")
+            progressive = marker == 0xC2
             precision = body[0]
             if precision != 8:
                 raise JpegError(f"unsupported sample precision {precision} (only 8-bit)")
@@ -376,8 +378,6 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
                     raise JpegError(f"bad sampling factors {h_s}x{v_s}")
                 comps.append({"id": cid, "h": h_s, "v": v_s, "tq": tq})
             frame = (w_img, h_img, comps)
-        elif marker == 0xC2:
-            raise JpegError("progressive JPEG (SOF2) not supported pure-Python")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02X})"
@@ -387,6 +387,11 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise JpegError("SOS before SOF")
+            if progressive:
+                return _decode_progressive(
+                    payload, pos, body, frame, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
             ns = body[0]
             w_img, h_img, comps = frame
             if ns != len(comps):
@@ -466,7 +471,16 @@ def _decode_scan(
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_count += 1
 
-    # upsample to full resolution and crop
+    return _assemble(frame, planes)
+
+
+def _assemble(frame, planes) -> tuple[int, int, str, bytes]:
+    """Upsample component planes to full resolution, crop to the image
+    rectangle, and color-convert (shared by the baseline and progressive
+    paths)."""
+    w_img, h_img, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -517,6 +531,302 @@ def _decode_block(br: _BitReader, dct: _HuffTable, act: _HuffTable) -> np.ndarra
         coeffs[ZIGZAG[k]] = _extend(br.receive(s), s)
         k += 1
     return coeffs
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (SOF2): coefficients accumulate across scans —
+# spectral selection (Ss..Se bands) and successive approximation (Ah/Al
+# bit planes), per ITU T.81 Annex G.1.2 — then one reconstruction pass.
+# ---------------------------------------------------------------------------
+
+
+def _decode_progressive(
+    payload: bytes,
+    pos: int,
+    sos_body: bytes,
+    frame,
+    qt,
+    huff_dc,
+    huff_ac,
+    restart_interval: int,
+) -> tuple[int, int, str, bytes]:
+    w_img, h_img, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w_img + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h_img + 8 * vmax - 1) // (8 * vmax)
+    total_px = sum((mcux * c["h"] * 8) * (mcuy * c["v"] * 8) for c in comps)
+    if total_px > 64_000_000:
+        raise JpegError("image too large for in-container decode (>64 MP planes)")
+
+    # coefficient store: MCU-padded block grid per component; non-
+    # interleaved scans iterate only the ceil(sample/8) sub-grid
+    coefs = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+    for ci, c in enumerate(comps):
+        cw = (w_img * c["h"] + hmax - 1) // hmax
+        ch = (h_img * c["v"] + vmax - 1) // vmax
+        c["bw"] = (cw + 7) // 8
+        c["bh"] = (ch + 7) // 8
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+
+    n_scans = 0
+    while True:
+        n_scans += 1
+        if n_scans > 64:
+            raise JpegError("more than 64 progressive scans (corrupt stream)")
+        pos = _progressive_scan(
+            payload, pos, sos_body, comps, by_id, coefs,
+            huff_dc, huff_ac, restart_interval, mcux, mcuy,
+        )
+        # walk markers between scans (DHT/DRI/DQT updates, then SOS or EOI)
+        sos_body = None
+        while sos_body is None:
+            if pos + 2 > len(payload):
+                # missing EOI: tolerate (decode what we have), like baseline
+                return _progressive_reconstruct(frame, qt, coefs, mcux, mcuy)
+            if payload[pos] != 0xFF:
+                raise JpegError(f"marker expected at offset {pos}")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                return _progressive_reconstruct(frame, qt, coefs, mcux, mcuy)
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                continue
+            if pos + 2 > len(payload):
+                raise JpegError("truncated marker segment header")
+            seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+            if seglen < 2 or pos + seglen > len(payload):
+                raise JpegError("marker segment overruns payload")
+            body = payload[pos + 2 : pos + seglen]
+            pos += seglen
+            if marker == 0xC4:  # DHT between scans
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    i += 1
+                    bits = list(body[i : i + 16])
+                    i += 16
+                    n = sum(bits)
+                    table = _HuffTable(bits, list(body[i : i + n]))
+                    i += n
+                    (huff_dc if tc == 0 else huff_ac)[th] = table
+            elif marker == 0xDD:
+                restart_interval = struct.unpack(">H", body[0:2])[0]
+            elif marker == 0xDA:
+                sos_body = body
+            # DQT/APPn/COM between scans: skipped (tables fixed per frame)
+
+
+def _progressive_scan(
+    payload, pos, sos_body, comps, by_id, coefs,
+    huff_dc, huff_ac, restart_interval, mcux, mcuy,
+) -> int:
+    """Decode one progressive scan; returns the payload offset of the
+    marker that ended the entropy data."""
+    ns = sos_body[0]
+    scan_comps = []
+    for c in range(ns):
+        cs, tdta = sos_body[1 + 2 * c : 3 + 2 * c]
+        if cs not in by_id:
+            raise JpegError("SOS component id not in frame")
+        scan_comps.append((by_id[cs], tdta >> 4, tdta & 0x0F))
+    ss = sos_body[1 + 2 * ns]
+    se = sos_body[2 + 2 * ns]
+    ahal = sos_body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if ss > 63 or se > 63 or se < ss:
+        raise JpegError(f"bad spectral band {ss}..{se}")
+    if ss == 0 and se != 0:
+        raise JpegError("progressive scan mixes DC and AC (Ss=0, Se>0)")
+    if ss > 0 and ns != 1:
+        raise JpegError("progressive AC scan must be single-component")
+    if al > 13 or (ah and ah != al + 1):
+        raise JpegError(f"bad successive approximation Ah={ah} Al={al}")
+
+    br = _BitReader(payload, pos)
+    eobrun = 0
+
+    if ss == 0:
+        # DC scan — interleaved over the MCU grid when ns>1, else the
+        # component's own block grid
+        preds = [0] * len(scan_comps)
+        if ns > 1:
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    units.append((my, mx))
+            mcu_count = 0
+            for my, mx in units:
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    br.restart()
+                    preds = [0] * len(scan_comps)
+                for si, (ci, td, _ta) in enumerate(scan_comps):
+                    c = comps[ci]
+                    for iy in range(c["v"]):
+                        for ix in range(c["h"]):
+                            block = coefs[ci][my * c["v"] + iy, mx * c["h"] + ix]
+                            preds[si] = _dc_unit(
+                                br, block, ah, al, huff_dc, td, preds[si]
+                            )
+                mcu_count += 1
+        else:
+            ci, td, _ta = scan_comps[0]
+            c = comps[ci]
+            count = 0
+            for byi in range(c["bh"]):
+                for bxi in range(c["bw"]):
+                    if restart_interval and count and count % restart_interval == 0:
+                        br.restart()
+                        preds = [0]
+                    block = coefs[ci][byi, bxi]
+                    preds[0] = _dc_unit(br, block, ah, al, huff_dc, td, preds[0])
+                    count += 1
+    else:
+        ci, _td, ta = scan_comps[0]
+        c = comps[ci]
+        if ta not in huff_ac:
+            raise JpegError("SOS references missing Huffman table")
+        act = huff_ac[ta]
+        count = 0
+        for byi in range(c["bh"]):
+            for bxi in range(c["bw"]):
+                if restart_interval and count and count % restart_interval == 0:
+                    br.restart()
+                    eobrun = 0
+                block = coefs[ci][byi, bxi]
+                if ah == 0:
+                    eobrun = _ac_first_unit(br, block, ss, se, al, act, eobrun)
+                else:
+                    eobrun = _ac_refine_unit(br, block, ss, se, al, act, eobrun)
+                count += 1
+
+    # the scan's entropy data ends at the next non-RST marker
+    if br.marker is None:
+        p = br.pos
+        while p < len(payload):
+            if (
+                payload[p] == 0xFF
+                and p + 1 < len(payload)
+                and payload[p + 1] not in (0x00,)
+                and not (0xD0 <= payload[p + 1] <= 0xD7)
+            ):
+                return p
+            p += 1
+        return len(payload)
+    return br.pos
+
+
+def _dc_unit(br, block, ah, al, huff_dc, td, pred):
+    if ah == 0:  # first DC scan: Huffman-coded diffs of DC >> Al
+        if td not in huff_dc:
+            raise JpegError("SOS references missing Huffman table")
+        t = br.decode(huff_dc[td])
+        if t > 15:
+            raise JpegError("DC category > 15")
+        pred += _extend(br.receive(t), t)
+        block[0] = pred << al
+    else:  # refinement: one raw bit per block
+        if br.read_bit():
+            block[0] |= 1 << al
+    return pred
+
+
+def _ac_first_unit(br, block, ss, se, al, act, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise JpegError("AC run past spectral band")
+        block[ZIGZAG[k]] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_unit(br, block, ss, se, al, act, eobrun) -> int:
+    """Successive-approximation AC refinement (T.81 G.1.2.3): existing
+    nonzero coefficients receive one correction bit when passed; runs and
+    ZRL count only zero-history positions; an EOB run corrects the band
+    remainder of each covered block."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode(act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: ZRL — advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("AC refinement magnitude must be 1")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                ze = ZIGZAG[k]
+                cur = int(block[ze])
+                if cur != 0:
+                    if br.read_bit() and (cur & p1) == 0:
+                        block[ze] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            ze = ZIGZAG[k]
+            cur = int(block[ze])
+            if cur != 0 and br.read_bit() and (cur & p1) == 0:
+                block[ze] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_reconstruct(frame, qt, coefs, mcux, mcuy):
+    w_img, h_img, comps = frame
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise JpegError(f"component references missing DQT table {c['tq']}")
+        q = qt[c["tq"]]
+        bh, bw = coefs[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for byi in range(bh):
+            for bxi in range(bw):
+                block = (coefs[ci][byi, bxi] * q).reshape(8, 8).astype(np.float64)
+                plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = (
+                    _C.T @ block @ _C + 128.0
+                )
+        planes.append(plane)
+    return _assemble(frame, planes)
 
 
 # ---------------------------------------------------------------------------
@@ -761,5 +1071,189 @@ def jpeg_encode(
             mcu_count += 1
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (SOF2): successive-approximation DC (Al=1 then the
+# refinement bit-plane) + spectral-selection AC bands. This is the test
+# harness's ground truth for the progressive DECODER paths above — the
+# round trip must equal the baseline pipeline bit-for-bit, since both
+# quantize identically. (AC successive approximation is deliberately NOT
+# emitted: its correction-bit interleaving has no independent in-container
+# validator, so that decoder path is pinned by a hand-assembled spec
+# vector and real-world progressive files instead.)
+# ---------------------------------------------------------------------------
+
+
+def jpeg_encode_progressive(
+    w: int,
+    h: int,
+    mode: str,
+    raw: bytes,
+    *,
+    quality: int = 90,
+    sampling: str = "444",
+) -> bytes:
+    """Encode raw pixels as a progressive (SOF2) JFIF JPEG with the scan
+    script: interleaved DC (Al=1) → DC refinement → per-component AC
+    bands 1-5 and 6-63. Same quantization as :func:`jpeg_encode`, so
+    ``jpeg_decode_pixels`` returns identical pixels for both encodings."""
+    if mode not in ("L", "RGB"):
+        raise JpegError(f"jpeg_encode supports L/RGB, not {mode!r}")
+    bpp = 1 if mode == "L" else 3
+    if len(raw) != w * h * bpp:
+        raise JpegError(f"raw length {len(raw)} != {w}x{h}x{bpp}")
+    if w == 0 or h == 0 or w > 65535 or h > 65535:
+        raise JpegError("bad image dimensions")
+    if sampling not in _SAMPLINGS:
+        raise JpegError(f"unknown sampling {sampling!r} (444/422/420)")
+
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, bpp).astype(np.float64)
+    if mode == "L":
+        planes = [px[:, :, 0]]
+        factors = [(1, 1)]
+        qts = [_scaled_qt(_QT_LUMA, quality)]
+        qids = [0]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        factors = _SAMPLINGS[sampling]
+        hmax_ = max(f[0] for f in factors)
+        vmax_ = max(f[1] for f in factors)
+        planes = [
+            y,
+            _box_downsample(cb, hmax_ // factors[1][0], vmax_ // factors[1][1]),
+            _box_downsample(cr, hmax_ // factors[2][0], vmax_ // factors[2][1]),
+        ]
+        qts = [_scaled_qt(_QT_LUMA, quality), _scaled_qt(_QT_CHROMA, quality)]
+        qids = [0, 1, 1]
+    ncomp = len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # quantized zigzag coefficients for every block of the padded grids
+    qz_all = []
+    for (fh, fv), p, qi in zip(factors, planes, qids):
+        th, tw = mcuy * fv * 8, mcux * fh * 8
+        pad = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        q = qts[qi].reshape(-1)[ZIGZAG].astype(np.float64)
+        grid = np.zeros((th // 8, tw // 8, 64), dtype=np.int64)
+        for byi in range(th // 8):
+            for bxi in range(tw // 8):
+                block = pad[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] - 128.0
+                zz = (_C @ block @ _C.T).reshape(-1)[ZIGZAG]
+                grid[byi, bxi] = (
+                    np.sign(zz) * np.floor(np.abs(zz) / q + 0.5)
+                ).astype(np.int64)
+        qz_all.append(grid)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tq, q in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(q.reshape(-1)[ZIGZAG[i]]) for i in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        out += bytes([ci + 1, (fh << 4) | fv, qids[ci]])
+    tables = (
+        [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+        if ncomp == 1
+        else [
+            (0x00, _DC_LUMA), (0x10, _AC_LUMA),
+            (0x01, _DC_CHROMA), (0x11, _AC_CHROMA),
+        ]
+    )
+    for tclass, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals)) + bytes([tclass])
+        out += bytes(bits) + bytes(vals)
+    dc_tabs = [_encode_table(*_DC_LUMA)] + [_encode_table(*_DC_CHROMA)] * (ncomp - 1)
+    ac_tabs = [_encode_table(*_AC_LUMA)] + [_encode_table(*_AC_CHROMA)] * (ncomp - 1)
+
+    def sos(comp_ids, ss, se, ah, al_):
+        seg = bytearray(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        )
+        for ci in comp_ids:
+            td_ta = 0x00 if ci == 0 else 0x11
+            seg += bytes([ci + 1, td_ta])
+        seg += bytes([ss, se, (ah << 4) | al_])
+        return seg
+
+    # scan 1: interleaved DC, Al=1
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                fh, fv = factors[ci]
+                for iy in range(fv):
+                    for ix in range(fh):
+                        v = int(qz_all[ci][my * fv + iy, mx * fh + ix, 0]) >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t, bits_ = _magnitude(diff)
+                        code, n = dc_tabs[ci][t]
+                        bw.write(code, n)
+                        bw.write(bits_, t)
+    bw.flush()
+    out += sos(list(range(ncomp)), 0, 0, 0, 1) + bw.out
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                fh, fv = factors[ci]
+                for iy in range(fv):
+                    for ix in range(fh):
+                        bw.write(int(qz_all[ci][my * fv + iy, mx * fh + ix, 0]) & 1, 1)
+    bw.flush()
+    out += sos(list(range(ncomp)), 0, 0, 1, 0) + bw.out
+
+    # per-component AC bands (non-interleaved; grid = ceil(sample/8))
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        cw = (w * fh + hmax - 1) // hmax
+        ch = (h * fv + vmax - 1) // vmax
+        bw_blocks = (cw + 7) // 8
+        bh_blocks = (ch + 7) // 8
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            for byi in range(bh_blocks):
+                for bxi in range(bw_blocks):
+                    qz = qz_all[ci][byi, bxi]
+                    run = 0
+                    emitted = False
+                    for k in range(ss, se + 1):
+                        v = int(qz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, n = ac_tabs[ci][0xF0]
+                            bw.write(code, n)
+                            run -= 16
+                        t, bits_ = _magnitude(v)
+                        code, n = ac_tabs[ci][(run << 4) | t]
+                        bw.write(code, n)
+                        bw.write(bits_, t)
+                        run = 0
+                        emitted = True
+                    if run or not emitted:
+                        code, n = ac_tabs[ci][0x00]  # EOB (run of 1)
+                        bw.write(code, n)
+            bw.flush()
+            out += sos([ci], ss, se, 0, 0) + bw.out
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -10,13 +10,14 @@ Three tiers, selected at runtime per payload:
    actually filters on (dims, aspect, megapixels) — no image library
    needed.
 2. **Pixel operations**: all three major containers decode PURE-PYTHON —
-   PNG in the common profile (8-bit, non-interlaced; stdlib ``zlib``
-   inflate + RFC 2083 scanline un-filtering, below), baseline sequential
-   JPEG (``inventory/jpeg.py``: Huffman + numpy IDCT, 4:2:0/4:2:2,
-   restart markers), and GIF87a/89a (``inventory/gif.py``: full LZW,
-   interlace, transparency) — real pixels with zero dependencies,
-   bit-identical in every environment. The remainder (progressive JPEG,
-   exotic PNG profiles) uses Pillow when installed, a named
+   PNG at 8-bit depth, sequential AND Adam7-interlaced (stdlib ``zlib``
+   inflate + RFC 2083 scanline un-filtering, below), JPEG both baseline
+   sequential and PROGRESSIVE (``inventory/jpeg.py``: Huffman + numpy
+   IDCT, 4:2:0/4:2:2, restart markers, SOF2 spectral selection +
+   successive approximation), and GIF87a/89a (``inventory/gif.py``: full
+   LZW, interlace, transparency) — real pixels with zero dependencies,
+   bit-identical in every environment. The remainder (arithmetic-coded /
+   12-bit JPEG, 16-bit PNG) uses Pillow when installed, a named
    :class:`ImportError` otherwise — never silent garbage.
 3. **Deterministic fake** (fallback for payloads that are not images,
    e.g. the synthetic text corpus): md5-derived dims, stable across
@@ -241,11 +242,30 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+# Adam7 pass grid (RFC 2083 §2.6): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int):
+    """(x0, y0, dx, dy, pass_w, pass_h) for each NON-EMPTY Adam7 pass."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
 def png_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     """(width, height, mode, raw) — pure-Python PNG pixel decode for the
-    common profile; named ValueError on unsupported profiles (16-bit,
-    interlaced, sub-byte palettes). Palette images are depalettized to
-    RGB so downstream consumers see channels, not indices."""
+    common profile, sequential AND Adam7-interlaced (each interlace pass
+    is its own filtered sub-image, un-filtered independently then
+    scattered onto the output grid); named ValueError on the remaining
+    profiles (16-bit, sub-byte palettes). Palette images are
+    depalettized to RGB so downstream consumers see channels, not
+    indices."""
     import zlib
 
     if not payload.startswith(_PNG_MAGIC):
@@ -270,20 +290,25 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
         raise ValueError(f"PNG color type {ctype} is invalid")
     if comp != 0 or filt != 0:
         raise ValueError("PNG compression/filter method must be 0")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} is invalid")
     if w <= 0 or h <= 0:
         raise ValueError(f"non-positive image dims {w}x{h}")
     if w * h > 1 << 26:  # 64 Mpx decompression-bomb guard: a tiny IDAT
         # can claim arbitrary dims; refuse before allocating w*h buffers
         raise ValueError(f"image dims {w}x{h} exceed the 64-megapixel cap")
     bpp = _PNG_CHANNELS[ctype]
-    # bounded inflate: the stream must decompress to EXACTLY h scanlines
-    # (h * (stride+1) bytes). A plain zlib.decompress would allocate
+    # bounded inflate: the stream must decompress to EXACTLY the scanline
+    # total (per-pass for Adam7). A plain zlib.decompress would allocate
     # whatever the stream inflates to — a small-dims header with a
     # gigabyte IDAT bypasses the megapixel cap above — so cap the output
     # at the expected size and refuse both short and oversized streams.
-    expected = h * (w * bpp + 1)
+    if interlace:
+        expected = sum(
+            ph * (pw * bpp + 1) for _x0, _y0, _dx, _dy, pw, ph in _adam7_passes(w, h)
+        )
+    else:
+        expected = h * (w * bpp + 1)
     dec = zlib.decompressobj()
     try:
         inflated = dec.decompress(bytes(idat), expected)
@@ -295,7 +320,22 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
             f"PNG pixel stream inflates to {len(inflated) + len(extra)}+ "
             f"bytes where exactly {expected} are expected for {w}x{h}"
         )
-    raw = _png_unfilter(inflated, w, h, bpp)
+    if interlace:
+        raw_buf = bytearray(w * h * bpp)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            sub_len = ph * (pw * bpp + 1)
+            sub = _png_unfilter(inflated[pos : pos + sub_len], pw, ph, bpp)
+            pos += sub_len
+            for j in range(ph):
+                row = j * pw * bpp
+                for i in range(pw):
+                    dst = ((y0 + j * dy) * w + (x0 + i * dx)) * bpp
+                    src = row + i * bpp
+                    raw_buf[dst : dst + bpp] = sub[src : src + bpp]
+        raw = bytes(raw_buf)
+    else:
+        raw = _png_unfilter(inflated, w, h, bpp)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG has no PLTE chunk")
@@ -366,13 +406,13 @@ def _resample_nearest(
 def decode_pixels(payload: bytes):
     """Full pixel decode → (width, height, mode, raw bytes).
 
-    All three major containers decode PURE-PYTHON — PNG (common profile,
-    codec above), baseline sequential JPEG (SOF0/SOF1 incl. 4:2:0/4:2:2,
-    inventory/jpeg.py), and GIF87a/89a first frame (full LZW,
-    inventory/gif.py) — same result whether or not Pillow is installed.
-    The remainder (progressive JPEG, exotic PNG profiles) uses Pillow
-    when present and raises a named error otherwise — pixel values are
-    never faked."""
+    All three major containers decode PURE-PYTHON — PNG (8-bit,
+    sequential + Adam7, codec above), JPEG baseline AND progressive
+    (SOF0/SOF1/SOF2 incl. 4:2:0/4:2:2, inventory/jpeg.py), and GIF87a/89a
+    first frame (full LZW, inventory/gif.py) — same result whether or not
+    Pillow is installed. The remainder (arithmetic/12-bit JPEG, 16-bit
+    PNG) uses Pillow when present and raises a named error otherwise —
+    pixel values are never faked."""
     if payload.startswith(_PNG_MAGIC):
         try:
             return png_decode_pixels(payload)

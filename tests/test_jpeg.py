@@ -121,16 +121,18 @@ def test_reencode_stability():
 
 def test_out_of_profile_refusals_name_the_feature():
     base = J.jpeg_encode(8, 8, "L", bytes(64), quality=90)
-    # flip SOF0 (0xC0) to SOF2 (progressive)
-    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(J.JpegError, match="progressive"):
-        J.jpeg_decode_pixels(prog)
     # arithmetic-coded sequential
     arith = base.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(J.JpegError, match="coding process"):
         J.jpeg_decode_pixels(arith)
     with pytest.raises(J.JpegError, match="SOI"):
-        J.jpeg_decode_pixels(b"\x89PNG\r\n\x1a\n")
+        J.jpeg_decode_pixels(b"\x80PNG\r\n\x1a\n")
+    # SOF2 is SUPPORTED since r8 — but a baseline-shaped SOS header
+    # (Ss=0, Se=63) inside a progressive frame is structurally invalid
+    # and must refuse as malformed, not decode garbage
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(J.JpegError, match="mixes DC and AC"):
+        J.jpeg_decode_pixels(prog)
 
 
 def test_forged_dims_bomb_refused():
@@ -231,10 +233,118 @@ def test_decode_pixels_dispatches_jpeg_pure_python():
     assert len(rraw) == rw * rh * 3
 
 
-def test_progressive_without_pillow_refuses_by_name():
-    if mm.pil_available():
-        pytest.skip("Pillow present: progressive would decode via Pillow")
-    base = J.jpeg_encode(8, 8, "L", bytes(64), quality=90)
-    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(J.JpegError, match="progressive"):
-        mm.decode_pixels(prog)
+def test_progressive_dispatches_pure_python():
+    """SOF2 is in-profile since r8: the dispatcher decodes a progressive
+    stream pure-Python instead of routing it to Pillow."""
+    raw = _gradient_rgb(12, 8)
+    prog = J.jpeg_encode_progressive(12, 8, "RGB", raw, quality=95)
+    w, h, m, out = mm.decode_pixels(prog)
+    assert (w, h, m) == (12, 8, "RGB")
+    assert out == J.jpeg_decode_pixels(J.jpeg_encode(12, 8, "RGB", raw, quality=95))[3]
+
+
+@pytest.mark.parametrize("sampling", ["444", "420"])
+def test_progressive_equals_baseline(sampling):
+    """Progressive encode (DC successive approximation + AC spectral
+    bands) must decode to EXACTLY the baseline encoding's pixels — both
+    quantize identically, so any divergence is a scan-path bug."""
+    w0, h0 = 37, 21
+    raw = _gradient_rgb(w0, h0)
+    base = J.jpeg_decode_pixels(J.jpeg_encode(w0, h0, "RGB", raw, quality=95,
+                                              sampling=sampling))
+    prog = J.jpeg_decode_pixels(
+        J.jpeg_encode_progressive(w0, h0, "RGB", raw, quality=95,
+                                  sampling=sampling)
+    )
+    assert base == prog
+
+
+def test_progressive_grayscale_equals_baseline():
+    g = bytes(((x * 5 + y * 3) % 256) for y in range(19) for x in range(33))
+    base = J.jpeg_decode_pixels(J.jpeg_encode(33, 19, "L", g, quality=85))
+    prog = J.jpeg_decode_pixels(J.jpeg_encode_progressive(33, 19, "L", g, quality=85))
+    assert base == prog
+
+
+def _prog_vector_payload(scan2_entropy: bytes) -> bytes:
+    """Minimal 8x8 grayscale SOF2 stream with custom 2-entry Huffman
+    tables, a trivial DC scan, an AC first scan (Al=1) establishing
+    coefficient k=1, and a caller-supplied refinement scan."""
+    out = bytearray(b"\xff\xd8")
+    # DQT 0: all ones (dequantization is identity)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1]) * 64
+    # SOF2 8x8, 1 component, 1x1 sampling
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DC table 0: single symbol 0 (category 0) -> code '0'
+    out += b"\xff\xc4" + struct.pack(">H", 20) + b"\x00"
+    out += bytes([1] + [0] * 15) + bytes([0])
+    # AC table 0: symbols 0x01, 0x00 -> codes 00, 01 (len 2)
+    out += b"\xff\xc4" + struct.pack(">H", 21) + b"\x10"
+    out += bytes([0, 2] + [0] * 14) + bytes([0x01, 0x00])
+    # AC table 1 (refinement): symbols 0x11, 0x00 -> codes 00, 01
+    out += b"\xff\xc4" + struct.pack(">H", 21) + b"\x11"
+    out += bytes([0, 2] + [0] * 14) + bytes([0x11, 0x00])
+    # scan 1: DC, Ah=0 Al=0, diff 0 -> code '0', padded 0111 1111
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0x00])
+    out += bytes([0b01111111])
+    # scan 2: AC 1..63 first, Al=1, table 0:
+    #   sym 0x01 ('00') value bit 1  -> coeff k=1 becomes extend(1,1)<<1 = 2
+    #   sym 0x00 ('01') EOB          -> bits 00 1 01 + pad -> 0b00101111
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0x01])
+    out += bytes([0b00101111])
+    # scan 3: AC 1..63 refinement Ah=1 Al=0 (byte 0x10), table 1
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x01, 1, 63, 0x10])
+    out += scan2_entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_ac_refinement_hand_vector():
+    """Spec-derived bit-level pin of the AC refinement path (T.81
+    G.1.2.3), hand-assembled because our encoder deliberately never emits
+    it: after the first AC scan the block holds k1=2; the refinement scan
+    sends [sym 0x11]['0' sign]['1' correction][sym 0x00 EOB]:
+
+    - sym 0x11 = run 1, magnitude 1 -> a NEW coefficient (-1, sign bit 0)
+      lands after skipping one zero-history position;
+    - walking to it passes k1 (nonzero history) whose correction bit '1'
+      raises it 2 -> 3;
+    - EOB corrects the (empty) remainder.
+
+    Expected block: k1 = 3, k3 = -1 -> IDCT is fully determined."""
+    # bits: 00 (sym 0x11) 0 (sign: negative) 1 (correction for k1) 01 (EOB)
+    #       -> 0b0001 0111 with 1-padding -> 0x17
+    payload = _prog_vector_payload(bytes([0b00010111]))
+    w, h, mode, raw = J.jpeg_decode_pixels(payload)
+    assert (w, h, mode) == (8, 8, "L")
+    # reproduce the expected pixels from the coefficient block directly
+    coeffs = np.zeros(64)
+    coeffs[J.ZIGZAG[1]] = 3.0
+    coeffs[J.ZIGZAG[3]] = -1.0
+    px = J._C.T @ coeffs.reshape(8, 8) @ J._C + 128.0
+    want = np.clip(np.rint(px), 0, 255).astype(np.uint8).tobytes()
+    assert raw == want
+
+
+_REAL_PROGRESSIVE = [
+    p
+    for p in (
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+        "rust/html/embedded-book/assets/f3.jpg",
+    )
+    if os.path.exists(p)
+]
+
+
+@pytest.mark.skipif(not _REAL_PROGRESSIVE, reason="no progressive JPEG on disk")
+def test_foreign_progressive_stream_decodes():
+    """A real progressive photo (libjpeg-style scan script incl. AC
+    successive approximation) decodes to a header-consistent buffer with
+    photographic statistics — the in-the-wild pin for the scan paths our
+    encoder never emits."""
+    payload = open(_REAL_PROGRESSIVE[0], "rb").read()
+    w, h, m, raw = J.jpeg_decode_pixels(payload)
+    assert (w, h) == mm.parse_image_dims(payload)
+    assert m == "RGB" and len(raw) == w * h * 3
+    a = np.frombuffer(raw, dtype=np.uint8)
+    assert 40 < a.mean() < 220 and a.std() > 20  # not garbage, not flat

@@ -268,10 +268,16 @@ def test_png_unsupported_profiles_refused_by_name():
     )
     with pytest.raises(ValueError, match="bit depth"):
         mm.png_decode_pixels(base(struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)))
-    with pytest.raises(ValueError, match="interlaced"):
-        mm.png_decode_pixels(base(struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)))
+    with pytest.raises(ValueError, match="interlace method"):
+        mm.png_decode_pixels(base(struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)))
     with pytest.raises(ValueError, match="PLTE"):
         mm.png_decode_pixels(base(struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)))
+    # Adam7 interlace is SUPPORTED since r8 (a 1x1 interlaced image is a
+    # single pass-1 scanline) — proves the profile left the refusal list
+    w, h, mode, raw = mm.png_decode_pixels(
+        base(struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+    )
+    assert (w, h, mode, raw) == (1, 1, "L", b"\x00")
 
 
 def test_decode_query_runtime_selection(spark):
@@ -449,3 +455,60 @@ def test_png_idat_bomb_with_small_dims_refused():
     )
     with pytest.raises(ValueError, match="inflates"):
         mm.png_decode_pixels(bomb)
+
+
+def test_adam7_interlaced_png_decodes():
+    """Hand-assemble an Adam7-interlaced PNG (our encoder is sequential
+    only): the same RGB image stored as 7 independently-filtered passes
+    must decode to the SAME pixels as the sequential encoding — exercises
+    pass geometry, per-pass unfiltering, and the scatter."""
+    from bravo_spark.inventory.multimodal import _adam7_passes
+
+    for w, h in [(12, 9), (8, 8), (1, 1), (3, 2), (17, 5)]:
+        pixel = lambda x, y: ((x * 37) % 256, (y * 53) % 256, (x + y) % 256)
+        raw = bytes(c for y in range(h) for x in range(w) for c in pixel(x, y))
+        # per-pass streams, filter type 0 on every scanline
+        passes = bytearray()
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            for j in range(ph):
+                passes.append(0)
+                for i in range(pw):
+                    passes += bytes(pixel(x0 + i * dx, y0 + j * dy))
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+        payload = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(passes)))
+            + chunk(b"IEND", b"")
+        )
+        gw, gh, mode, got = mm.png_decode_pixels(payload)
+        assert (gw, gh, mode) == (w, h, "RGB"), (w, h)
+        assert got == raw, f"interlaced {w}x{h} drifted"
+
+
+def test_adam7_bad_inflate_size_refused():
+    """An interlaced header whose IDAT inflates to the SEQUENTIAL size
+    (missing the extra per-pass filter bytes) must refuse loudly."""
+    w, h = 12, 9
+    raw_seq = bytes((0,)) * 0
+    lines = b"".join(b"\x00" + bytes(w * 3) for _ in range(h))
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates to"):
+        mm.png_decode_pixels(payload)
