@@ -102,12 +102,15 @@ def _parse(payload: bytes):
     if data is None:
         raise WavError("missing data chunk")
     audio_format, channels, sample_rate, _rate, _align, bits = fmt
-    if audio_format != 1:
-        name = {3: "IEEE float", 6: "A-law", 7: "mu-law", 0xFFFE: "extensible"}.get(
+    if audio_format not in (1, 6, 7):
+        name = {3: "IEEE float", 0xFFFE: "extensible"}.get(
             audio_format, f"format {audio_format}"
         )
         raise WavError(f"non-integer-PCM WAV ({name}) not supported pure-Python")
-    if bits not in (8, 16, 24, 32):
+    if audio_format in (6, 7):
+        if bits != 8:
+            raise WavError(f"G.711 WAV must be 8-bit, got {bits}")
+    elif bits not in (8, 16, 24, 32):
         raise WavError(f"PCM bit depth {bits} unsupported (8/16/24/32)")
     if channels < 1 or sample_rate < 1:
         raise WavError("corrupt fmt chunk (zero channels or rate)")
@@ -117,13 +120,39 @@ def _parse(payload: bytes):
         data = data[: len(data) - len(data) % (width * channels)]
     if len(data) // width > _MAX_SAMPLES:
         raise WavError("audio too large for in-container decode")
-    return channels, sample_rate, bits, data
+    return audio_format, channels, sample_rate, bits, data
+
+
+# G.711 expansion (the public-domain Sun g711.c formulas, as in the ITU
+# spec): 8-bit companded byte → 13/14-bit signed linear sample
+def _ulaw_to_linear(u: int) -> int:
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
+def _alaw_to_linear(a: int) -> int:
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_ULAW_TABLE = [_ulaw_to_linear(i) for i in range(256)]
+_ALAW_TABLE = [_alaw_to_linear(i) for i in range(256)]
 
 
 def wav_meta(payload: bytes) -> tuple[int, int, int, int, int]:
     """(sample_rate, channels, bits, n_frames, duration_ms) from the
-    container — header-level, but the data chunk's framing is validated."""
-    channels, sample_rate, bits, data = _parse(payload)
+    container — header-level, but the data chunk's framing is validated.
+    ``bits`` is the STORED width (8 for G.711 streams)."""
+    _fmt, channels, sample_rate, bits, data = _parse(payload)
     n_frames = len(data) // (channels * bits // 8)
     return sample_rate, channels, bits, n_frames, n_frames * 1000 // sample_rate
 
@@ -131,8 +160,13 @@ def wav_meta(payload: bytes) -> tuple[int, int, int, int, int]:
 def wav_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     """(sample_rate, channels, bits, samples) — interleaved ints, signed
     for ≥16-bit, unsigned for 8-bit (the WAV convention, preserved so
-    encode(decode(x)) is byte-exact)."""
-    channels, sample_rate, bits, data = _parse(payload)
+    encode(decode(x)) is byte-exact for linear PCM). G.711 A-law/µ-law
+    streams EXPAND to signed linear samples and report bits=16 — the
+    companded byte is a storage format, not a sample value."""
+    fmt, channels, sample_rate, bits, data = _parse(payload)
+    if fmt in (6, 7):
+        table = _ALAW_TABLE if fmt == 6 else _ULAW_TABLE
+        return sample_rate, channels, 16, [table[b] for b in data]
     width = bits // 8
     samples = []
     if bits == 8:

@@ -95,6 +95,10 @@ def _parse(payload: bytes):
                     )
                 width = _u32(payload, b + 4)
                 height = _u32(payload, b + 8)
+                if width == 0 or height == 0 or width * height > 64_000_000:
+                    raise AviError(
+                        f"bad AVI video dimensions {width}x{height}"
+                    )
                 rate, scale = r_ or 0, s_ or 1
                 stream_index = n_streams_seen
         n_streams_seen += 1

@@ -10,14 +10,15 @@ Three tiers, selected at runtime per payload:
    actually filters on (dims, aspect, megapixels) — no image library
    needed.
 2. **Pixel operations**: all three major containers decode PURE-PYTHON —
-   PNG at 8-bit depth, sequential AND Adam7-interlaced (stdlib ``zlib``
-   inflate + RFC 2083 scanline un-filtering, below), JPEG both baseline
-   sequential and PROGRESSIVE (``inventory/jpeg.py``: Huffman + numpy
-   IDCT, 4:2:0/4:2:2, restart markers, SOF2 spectral selection +
-   successive approximation), and GIF87a/89a (``inventory/gif.py``: full
-   LZW, interlace, transparency) — real pixels with zero dependencies,
-   bit-identical in every environment. The remainder (arithmetic-coded /
-   12-bit JPEG, 16-bit PNG) uses Pillow when installed, a named
+   PNG at every standard depth (1/2/4/8/16-bit, all five color types,
+   sequential AND Adam7-interlaced; stdlib ``zlib`` inflate + RFC 2083
+   scanline un-filtering, below), JPEG both baseline sequential and
+   PROGRESSIVE (``inventory/jpeg.py``: Huffman + numpy IDCT,
+   4:2:0/4:2:2, restart markers, SOF2 spectral selection + successive
+   approximation), and GIF87a/89a (``inventory/gif.py``: full LZW,
+   interlace, transparency) — real pixels with zero dependencies,
+   bit-identical in every environment. The residue (arithmetic-coded /
+   12-bit JPEG) uses Pillow when installed, a named
    :class:`ImportError` otherwise — never silent garbage.
 3. **Deterministic fake** (fallback for payloads that are not images,
    e.g. the synthetic text corpus): md5-derived dims, stable across
@@ -163,12 +164,11 @@ def pil_available() -> bool:
 
 # ---------------------------------------------------------------------------
 # Pure-Python PNG pixel codec (RFC 2083): stdlib zlib inflate + scanline
-# un-filtering. Covers the common profile — 8-bit depth, color types 0
-# (gray), 2 (RGB), 3 (palette, depalettized to RGB), 4 (gray+alpha), 6
-# (RGBA), no interlace. Everything else raises a NAMED ValueError and
-# decode_pixels falls through to Pillow when present. This makes the
-# pixel tier real and testable with no dependency at all; Pillow remains
-# the fast path for JPEG/GIF and exotic PNG profiles.
+# un-filtering. Covers every standard profile — depths 1/2/4/8/16, color
+# types 0 (gray), 2 (RGB), 3 (palette, depalettized to RGB), 4
+# (gray+alpha), 6 (RGBA), sequential and Adam7-interlaced. Structurally
+# invalid headers raise a NAMED ValueError. This makes the pixel tier
+# real and testable with no dependency at all.
 # ---------------------------------------------------------------------------
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -194,11 +194,11 @@ def _png_chunks(payload: bytes):
     raise ValueError("PNG payload has no IEND")
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes:
+def _png_unfilter(raw: bytes, stride: int, h: int, bpp: int) -> bytes:
     """Reverse per-scanline filtering (RFC 2083 §6): each scanline is a
-    filter-type byte then ``w * bpp`` filtered bytes; reconstruction uses
-    the left (a), up (b), and up-left (c) reconstructed neighbors."""
-    stride = w * bpp
+    filter-type byte then ``stride`` filtered bytes; reconstruction uses
+    the left (a), up (b), and up-left (c) reconstructed neighbors, ``bpp``
+    BYTES apart (for sub-byte depths the spec fixes bpp = 1)."""
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG pixel stream truncated")
     out = bytearray(h * stride)
@@ -284,10 +284,17 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     if ihdr is None:
         raise ValueError("PNG payload has no IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {ctype} is invalid")
+    if depth in (1, 2, 4):
+        if ctype not in (0, 3):
+            raise ValueError(
+                f"PNG depth {depth} only valid for gray/palette, not type {ctype}"
+            )
+    elif depth not in (8, 16):
+        raise ValueError(f"PNG bit depth {depth} is invalid")
+    elif depth == 16 and ctype == 3:
+        raise ValueError("PNG 16-bit palette is invalid")
     if comp != 0 or filt != 0:
         raise ValueError("PNG compression/filter method must be 0")
     if interlace not in (0, 1):
@@ -297,7 +304,44 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     if w * h > 1 << 26:  # 64 Mpx decompression-bomb guard: a tiny IDAT
         # can claim arbitrary dims; refuse before allocating w*h buffers
         raise ValueError(f"image dims {w}x{h} exceed the 64-megapixel cap")
-    bpp = _PNG_CHANNELS[ctype]
+    channels = _PNG_CHANNELS[ctype]
+    # scanline geometry depends on depth: sub-byte rows pack MSB-first
+    # into ceil(w*depth/8) bytes (filter distance 1); 16-bit rows carry
+    # two big-endian bytes per sample
+    bits_px = depth * channels
+    fbpp = max(1, bits_px // 8)
+
+    def row_stride(pw: int) -> int:
+        return (pw * bits_px + 7) // 8
+
+    def decode_sub(buf: bytes, pw: int, ph: int) -> bytes:
+        """One (sub-)image's filtered scanlines → pw*ph*channels 8-bit
+        samples: unfilter at byte level, then normalize the depth —
+        sub-byte grays scale to full range, palette indices pass through,
+        16-bit samples reduce to their high byte (the standard 16→8
+        reduction; no pixel is invented)."""
+        stride = row_stride(pw)
+        un = _png_unfilter(buf, stride, ph, fbpp)
+        if depth == 8:
+            return un
+        out = bytearray(pw * ph * channels)
+        if depth == 16:
+            out[:] = un[0::2]
+            return bytes(out)
+        maxval = (1 << depth) - 1
+        per_byte = 8 // depth
+        o = 0
+        for y in range(ph):
+            base = y * stride
+            for x in range(pw):
+                b = un[base + x // per_byte]
+                shift = 8 - depth * (x % per_byte + 1)
+                v = (b >> shift) & maxval
+                # gray scales to 8-bit; palette indices stay raw
+                out[o] = v * 255 // maxval if ctype == 0 else v
+                o += 1
+        return bytes(out)
+
     # bounded inflate: the stream must decompress to EXACTLY the scanline
     # total (per-pass for Adam7). A plain zlib.decompress would allocate
     # whatever the stream inflates to — a small-dims header with a
@@ -305,10 +349,11 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     # at the expected size and refuse both short and oversized streams.
     if interlace:
         expected = sum(
-            ph * (pw * bpp + 1) for _x0, _y0, _dx, _dy, pw, ph in _adam7_passes(w, h)
+            ph * (row_stride(pw) + 1)
+            for _x0, _y0, _dx, _dy, pw, ph in _adam7_passes(w, h)
         )
     else:
-        expected = h * (w * bpp + 1)
+        expected = h * (row_stride(w) + 1)
     dec = zlib.decompressobj()
     try:
         inflated = dec.decompress(bytes(idat), expected)
@@ -320,12 +365,13 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
             f"PNG pixel stream inflates to {len(inflated) + len(extra)}+ "
             f"bytes where exactly {expected} are expected for {w}x{h}"
         )
+    bpp = channels  # 8-bit samples from here on
     if interlace:
         raw_buf = bytearray(w * h * bpp)
         pos = 0
         for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
-            sub_len = ph * (pw * bpp + 1)
-            sub = _png_unfilter(inflated[pos : pos + sub_len], pw, ph, bpp)
+            sub_len = ph * (row_stride(pw) + 1)
+            sub = decode_sub(inflated[pos : pos + sub_len], pw, ph)
             pos += sub_len
             for j in range(ph):
                 row = j * pw * bpp
@@ -335,7 +381,7 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
                     raw_buf[dst : dst + bpp] = sub[src : src + bpp]
         raw = bytes(raw_buf)
     else:
-        raw = _png_unfilter(inflated, w, h, bpp)
+        raw = decode_sub(inflated, w, h)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG has no PLTE chunk")
@@ -406,13 +452,13 @@ def _resample_nearest(
 def decode_pixels(payload: bytes):
     """Full pixel decode → (width, height, mode, raw bytes).
 
-    All three major containers decode PURE-PYTHON — PNG (8-bit,
-    sequential + Adam7, codec above), JPEG baseline AND progressive
-    (SOF0/SOF1/SOF2 incl. 4:2:0/4:2:2, inventory/jpeg.py), and GIF87a/89a
-    first frame (full LZW, inventory/gif.py) — same result whether or not
-    Pillow is installed. The remainder (arithmetic/12-bit JPEG, 16-bit
-    PNG) uses Pillow when present and raises a named error otherwise —
-    pixel values are never faked."""
+    All three major containers decode PURE-PYTHON — PNG at every
+    standard depth (1/2/4/8/16-bit, sequential + Adam7, codec above),
+    JPEG baseline AND progressive (SOF0/SOF1/SOF2 incl. 4:2:0/4:2:2,
+    inventory/jpeg.py), and GIF87a/89a first frame (full LZW,
+    inventory/gif.py) — same result whether or not Pillow is installed.
+    The residue (arithmetic/12-bit JPEG) uses Pillow when present and
+    raises a named error otherwise — pixel values are never faked."""
     if payload.startswith(_PNG_MAGIC):
         try:
             return png_decode_pixels(payload)

@@ -79,11 +79,16 @@ def test_eight_bit_recentering():
 def test_out_of_profile_refusals_name_the_codec():
     base = bytearray(A.wav_encode(8000, 1, 16, [0] * 10))
     fmt_at = base.find(b"fmt ") + 8
-    for code, name in [(3, "IEEE float"), (7, "mu-law"), (0xFFFE, "extensible")]:
+    for code, name in [(3, "IEEE float"), (0xFFFE, "extensible")]:
         mut = bytearray(base)
         struct.pack_into("<H", mut, fmt_at, code)
         with pytest.raises(A.WavError, match=name):
             A.wav_decode(bytes(mut))
+    # G.711 decodes since r8 — but only at its spec width
+    mut = bytearray(base)
+    struct.pack_into("<H", mut, fmt_at, 7)  # mu-law with 16-bit: invalid
+    with pytest.raises(A.WavError, match="8-bit"):
+        A.wav_decode(bytes(mut))
     with pytest.raises(A.WavError, match="RIFF"):
         A.wav_decode(b"OggS" + bytes(40))
 
@@ -155,3 +160,61 @@ def test_foreign_encoder_files_parse_and_roundtrip():
         re = A.wav_encode(sr2, ch2, bits2, samples)
         assert A.wav_decode(re)[3] == samples
     assert len(set(metas)) == 1  # same recording at every depth
+
+def _g711_wav(fmt_code: int, data: bytes, rate: int = 8000) -> bytes:
+    hdr = struct.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(hdr) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(hdr)) + hdr
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_g711_golden_values():
+    """Spec-derived expansion pins (ITU G.711 / the public-domain g711.c
+    formulas): extreme and mid-scale bytes for both laws."""
+    # 16-bit-linear scale (audioop width-2 convention): mu-law full
+    # scale is +/-32124, the two zero codes decode to exactly 0
+    assert A._ULAW_TABLE[0x00] == -32124
+    assert A._ULAW_TABLE[0x80] == 32124
+    assert A._ULAW_TABLE[0xFF] == 0
+    assert A._ULAW_TABLE[0x7F] == 0
+    # A-law full scale is +/-32256 at codes 0x2A/0xAA
+    assert A._ALAW_TABLE[0x2A] == -32256
+    assert A._ALAW_TABLE[0xAA] == 32256
+    # both laws are odd-symmetric about the sign bit
+    for i in range(128):
+        assert A._ALAW_TABLE[i] == -A._ALAW_TABLE[i | 0x80]
+        assert A._ULAW_TABLE[i] == -A._ULAW_TABLE[i | 0x80]
+
+
+def test_g711_decodes_to_linear():
+    data = bytes(range(0, 250, 5))
+    for code, table in ((6, A._ALAW_TABLE), (7, A._ULAW_TABLE)):
+        sr, ch, bits, got = A.wav_decode(_g711_wav(code, data))
+        assert (sr, ch, bits) == (8000, 1, 16)  # expanded to linear
+        assert got == [table[b] for b in data]
+    # meta reports the STORED width
+    assert A.wav_meta(_g711_wav(7, data))[2] == 8
+
+
+def test_g711_cross_validated_against_audioop():
+    """Full 256-value cross-check of both expansion tables against
+    CPython's audioop (removed in 3.13 — skip where absent)."""
+    audioop = pytest.importorskip("audioop")
+    for i in range(256):
+        assert A._ULAW_TABLE[i] == struct.unpack(
+            "<h", audioop.ulaw2lin(bytes([i]), 2)
+        )[0], f"ulaw byte {i}"
+        assert A._ALAW_TABLE[i] == struct.unpack(
+            "<h", audioop.alaw2lin(bytes([i]), 2)
+        )[0], f"alaw byte {i}"
+
+
+def test_g711_features_run():
+    """The DSP feature path works on expanded G.711 samples (no 8-bit
+    recentering — the expansion already yields signed linear)."""
+    data = bytes([0x00, 0x80] * 50)  # full-scale mu-law alternation
+    f = A.pcm_features(_g711_wav(7, data))
+    assert f["peak"] == 32124 and f["zero_crossings"] == 99
+    assert f["rms_milli"] == 32124 * 1000

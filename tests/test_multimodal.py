@@ -266,12 +266,21 @@ def test_png_unsupported_profiles_refused_by_name():
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b"")
     )
+    # depth 16 decodes since r8 (high-byte reduction, see the depth
+    # tests below) — depth 3 stays structurally invalid
     with pytest.raises(ValueError, match="bit depth"):
-        mm.png_decode_pixels(base(struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)))
+        mm.png_decode_pixels(base(struct.pack(">IIBBBBB", 1, 1, 3, 0, 0, 0, 0)))
     with pytest.raises(ValueError, match="interlace method"):
         mm.png_decode_pixels(base(struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)))
     with pytest.raises(ValueError, match="PLTE"):
         mm.png_decode_pixels(base(struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)))
+    sixteen = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\xAB\xCD"))  # filter + 1 sample
+        + chunk(b"IEND", b"")
+    )
+    assert mm.png_decode_pixels(sixteen) == (1, 1, "L", b"\xAB")
     # Adam7 interlace is SUPPORTED since r8 (a 1x1 interlaced image is a
     # single pass-1 scanline) — proves the profile left the refusal list
     w, h, mode, raw = mm.png_decode_pixels(
@@ -512,3 +521,109 @@ def test_adam7_bad_inflate_size_refused():
     )
     with pytest.raises(ValueError, match="inflates to"):
         mm.png_decode_pixels(payload)
+
+
+def _png_chunked(ihdr_body: bytes, idat_raw: bytes, plte: bytes | None = None) -> bytes:
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_body)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b"")
+
+
+def test_png_sub_byte_palette_depths():
+    """1/2/4-bit palette PNGs (MSB-first packing, padded row tails)
+    depalettize to the same RGB as the equivalent 8-bit encoding."""
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7))  # 4 colors
+    for depth, w in ((1, 10), (2, 7), (4, 5)):
+        h = 3
+        maxidx = min(4, 1 << depth) - 1
+        idx = [[(x + y) % (maxidx + 1) for x in range(w)] for y in range(h)]
+        per_byte = 8 // depth
+        rows = bytearray()
+        for y in range(h):
+            rows.append(0)  # filter None
+            acc, n, line = 0, 0, bytearray()
+            for x in range(w):
+                acc = (acc << depth) | idx[y][x]
+                n += 1
+                if n == per_byte:
+                    line.append(acc)
+                    acc, n = 0, 0
+            if n:
+                line.append(acc << (depth * (per_byte - n)))
+            rows += line
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+        gw, gh, mode, raw = mm.png_decode_pixels(_png_chunked(ihdr, bytes(rows), plte))
+        assert (gw, gh, mode) == (w, h, "RGB")
+        want = bytes(
+            c for y in range(h) for x in range(w)
+            for c in plte[idx[y][x] * 3 : idx[y][x] * 3 + 3]
+        )
+        assert raw == want, f"depth {depth}"
+
+
+def test_png_one_bit_gray_scales_to_full_range():
+    # 1-bit gray: 0 -> 0, 1 -> 255 (sample scaling, not raw bit values)
+    w, h = 9, 2
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)
+        rows += bytes([0b10101010, 0b10000000] if y == 0 else [0b01010101, 0])
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+    gw, gh, mode, raw = mm.png_decode_pixels(_png_chunked(ihdr, bytes(rows)))
+    assert (gw, gh, mode) == (w, h, "L")
+    assert raw[:9] == bytes([255, 0, 255, 0, 255, 0, 255, 0, 255])
+    assert raw[9:] == bytes([0, 255, 0, 255, 0, 255, 0, 255, 0])
+
+
+def test_png_16_bit_reduces_to_high_byte():
+    """16-bit samples decode via the standard high-byte reduction — the
+    gradient survives, Sub filtering at the 2-byte distance included."""
+    w, h = 6, 2
+    rows = bytearray()
+    samples = [[(x * 4096 + y * 999) & 0xFFFF for x in range(w)] for y in range(h)]
+    for y in range(h):
+        rows.append(0)
+        for x in range(w):
+            rows += struct.pack(">H", samples[y][x])
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    gw, gh, mode, raw = mm.png_decode_pixels(_png_chunked(ihdr, bytes(rows)))
+    assert (gw, gh, mode) == (w, h, "L")
+    assert raw == bytes(s >> 8 for row in samples for s in row)
+    # RGB 16-bit with a Sub-filtered row
+    w = 4
+    px0 = [struct.pack(">HHH", x * 1000, 65535 - x * 900, x * 77) for x in range(w)]
+    line0 = b"".join(px0)
+    row0 = b"\x00" + line0
+    # row 1 = row 0 shifted; encode with Sub (type 1, bpp=6)
+    line1 = b"".join(struct.pack(">HHH", x * 1000 + 256, 65535 - x * 900 - 512,
+                                 x * 77 + 3) for x in range(w))
+    filt = bytearray(b"\x01")
+    for i in range(len(line1)):
+        a = line1[i - 6] if i >= 6 else 0
+        filt.append((line1[i] - a) & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, 2, 16, 2, 0, 0, 0)
+    gw, gh, mode, raw = mm.png_decode_pixels(_png_chunked(ihdr, bytes(row0 + filt)))
+    assert (gw, gh, mode) == (w, 2, "RGB")
+    want0 = bytes(b for p in px0 for b in p[0::2])
+    assert raw[: w * 3] == want0
+    assert raw[w * 3 : w * 3 + 3] == bytes(
+        (256 >> 8, (65535 - 512) >> 8, 3 >> 8)
+    )
+
+
+def test_png_invalid_depth_combos_refused():
+    for depth, ctype, msg in (
+        (16, 3, "16-bit palette"),
+        (2, 2, "only valid for gray/palette"),
+        (3, 0, "bit depth 3"),
+    ):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, 0)
+        with pytest.raises(ValueError, match=msg):
+            mm.png_decode_pixels(_png_chunked(ihdr, b"\x00\x00"))
