@@ -451,3 +451,21 @@ def test_q20_semi_join_chain(plans):
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     assert "LeftSemi" in p or "ExistenceJoin" in p
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_r8_modality_queries_are_map_only_and_pruned(plans):
+    """The r8 codec-backed queries (JPEG/GIF roundtrips, GIF frame
+    sampling, WAV features, AVI frame sampling) are per-payload work:
+    their plans must be pure map — zero Exchanges — with the parquet
+    scan pruned to exactly (doc_id, text). A shuffle or a wider scan
+    here multiplies a 100 TB transcode's cost for nothing."""
+    for name in (
+        "multimodal_jpeg_roundtrip",
+        "multimodal_gif_roundtrip",
+        "multimodal_gif_frame_sample",
+        "audio_wav_features",
+        "video_avi_frame_sample",
+    ):
+        p = plans(name)
+        assert "Exchange" not in p, name
+        assert "struct<doc_id:bigint,text:string>" in p, name
