@@ -1096,7 +1096,13 @@ def tpch_q10_returns(spark, sf_dir):
 @query(
     "tpch_q14_promo",
     oracle=(
-        "SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_revenue_pct FROM ("
+        # promo*100 stays EXACT in decimal; the ratio is then ONE
+        # correctly-rounded IEEE division of two correctly-rounded casts —
+        # `100.0 * promo / total` was TWO float ops whose type promotion
+        # differs between engines (DuckDB's 100.0 is DECIMAL, Spark's is
+        # DOUBLE) and diverged by 1 ULP on the sf0.001 fixture
+        "SELECT CAST(promo * 100 AS DOUBLE) / CAST(total AS DOUBLE)"
+        "  AS promo_revenue_pct FROM ("
         " SELECT sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN"
         "   CAST(l.l_extendedprice AS DECIMAL(14,2))"
         "   * (1 - CAST(l.l_discount AS DECIMAL(14,2))) ELSE 0 END) AS promo,"
@@ -1128,9 +1134,10 @@ def tpch_q14_promo(spark, sf_dir):
         .agg(promo.alias("promo"), F.sum(rev).alias("total"))
     )
     return agg.select(
-        (F.lit(100.0) * F.col("promo") / F.col("total"))
-        .cast("double")
-        .alias("promo_revenue_pct")
+        (
+            (F.col("promo") * F.lit(100)).cast("double")
+            / F.col("total").cast("double")
+        ).alias("promo_revenue_pct")
     )
 
 

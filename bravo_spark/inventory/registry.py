@@ -108,25 +108,41 @@ GATE_PRIORITY = [
     "multimodal_decode",
 ]
 
-# r9 rotation candidates (mirror-green, never driver-checked): the new
-# multimodal_jpeg_roundtrip, multimodal_gif_roundtrip,
-# multimodal_gif_frame_sample, audio_wav_features, and
-# video_avi_frame_sample (the pure-Python JPEG/GIF/WAV/AVI codecs
-# end-to-end) go first; then the rest of the TPC-H tail — q7/q8/q11/q12/q13/q15/
-# q16/q17 (plus shaped q4/q5/q10/q14/q18) over r9-r10 to retire the whole
-# tail; the sampling family
-# (domain_mixture_sample, hash_sample, stratified_sample, train_val_split,
-# funnel_conversion, retention_cohorts, per_key_trend,
-# hourly_counts_gapfill); formats (json/csv/orc roundtrips, bucketed_join,
-# partitioned_prune_scan); relational breadth (outer joins, range_join,
+# The r9 rotation, STAGED AS EXECUTABLE DATA — the r7 failure mode was a
+# staged rotation that lived only in a comment and never shipped. To
+# execute in r9 (FIRST commit of the round):
+#   1. confirm each OUT row below is green in CORRECTNESS_r08 (if one is
+#      red, keep it in the gate and drop its pair from this round);
+#   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
+#   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
+# OUTs are the r6 wave (3 driver-green rounds r6-r8 after this round's
+# gate) plus ttl_state_roundtrip (4 rounds, r5-r8; its TTL codec path
+# stays pytest-golden); INs are the r8 modality additions and the next
+# TPC-H tail tranche. test_registry pins this list's consistency against
+# the live registry so it cannot silently rot. Still unstaged after r9:
+# tpch_q17, the sampling family (domain_mixture_sample, hash_sample,
+# stratified_sample, train_val_split, funnel/retention/trend,
+# hourly_counts_gapfill), formats (json/csv/orc, bucketed_join,
+# partitioned_prune_scan), relational breadth (outer joins, range_join,
 # scalar_subquery_counts, pivot, grouping_sets, salted_skew_agg,
-# percentiles, approx_sketch_accuracy); checkpoint_rewind. Swap in for
-# rows that will then hold 3+ consecutive driver-green rounds (the r6
-# rotation wave: DataSource scans, dedup_lines/substring_clean/
-# keep_corpus/lsh_quality_eval, text_rarity, embedding_quantize,
-# shard_shuffle, bpe_pair_counts, source_mixture_report). The rotation
-# ledger (which rows were driver-checked in which round) lives in
-# COVERAGE.md.
+# percentiles, approx_sketch_accuracy), checkpoint_rewind, the recall
+# evals, embedding_norms, doc_embedding_join, kmeans_lloyd_centroids,
+# snapshot_rescale. The rotation ledger lives in COVERAGE.md.
+R9_STAGED_SWAPS = [
+    # (rotate OUT once r8-green, rotate IN — never driver-checked)
+    ("snapshot_datasource_scan", "multimodal_jpeg_roundtrip"),
+    ("checkpoint_datasource_scan", "multimodal_gif_roundtrip"),
+    ("dedup_lines", "multimodal_gif_frame_sample"),
+    ("dedup_substring_clean", "audio_wav_features"),
+    ("dedup_keep_corpus", "video_avi_frame_sample"),
+    ("dedup_lsh_quality_eval", "tpch_q7_volume"),
+    ("text_rarity", "tpch_q8_market_share"),
+    ("embedding_quantize", "tpch_q11_important_stock"),
+    ("shard_shuffle", "tpch_q12_late_lines"),
+    ("bpe_pair_counts", "tpch_q13_custdist"),
+    ("source_mixture_report", "tpch_q15_top_supplier"),
+    ("ttl_state_roundtrip", "tpch_q16_supplier_cnt"),
+]
 
 
 def gate_ordered(mapping: dict) -> dict:

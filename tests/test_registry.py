@@ -117,3 +117,25 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
             if unsortable(field.dataType):
                 offenders.append(f"{name}.{field.name}: {field.dataType}")
     assert not offenders, f"unsortable gate columns: {offenders}"
+
+
+def test_r9_staged_rotation_is_consistent():
+    """The staged r9 rotation (registry.R9_STAGED_SWAPS) must stay
+    executable: every OUT name is currently IN the gate window, every IN
+    name is a registered never-gated query, and the swap keeps the window
+    at exactly 50 distinct names. Pins the staging as live data — the r7
+    regression was a staged rotation that existed only in a comment and
+    silently rotted."""
+    from bravo_spark.inventory.registry import R9_STAGED_SWAPS
+
+    qs = _entry().queries()
+    window = set(GATE_PRIORITY)
+    outs = [o for o, _ in R9_STAGED_SWAPS]
+    ins = [i for _, i in R9_STAGED_SWAPS]
+    assert len(set(outs)) == len(outs) and len(set(ins)) == len(ins)
+    for o in outs:
+        assert o in window, f"staged OUT {o} is not in the current gate"
+    for i in ins:
+        assert i in qs, f"staged IN {i} is not a registered query"
+        assert i not in window, f"staged IN {i} is already gated"
+    assert len(window - set(outs) | set(ins)) == 50
