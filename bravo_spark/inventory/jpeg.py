@@ -188,6 +188,22 @@ class _HuffTable:
                 raise JpegError("DHT: over-subscribed Huffman table")
             code <<= 1
         self.values = values
+        # 12-bit prefix LUT: maps the next 12 stream bits to (symbol,
+        # code length) for every code of ≤12 bits (virtually all codes in
+        # real tables) — turns the per-bit decode loop into one index.
+        # Codes of 13-16 bits fall back to the canonical walk.
+        lut: list[tuple[int, int] | None] = [None] * (1 << 12)
+        code, k = 0, 0
+        for length in range(1, 13):
+            for _ in range(bits[length - 1]):
+                base = code << (12 - length)
+                sym = values[k]
+                for suffix in range(1 << (12 - length)):
+                    lut[base | suffix] = (sym, length)
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut = lut
 
 
 class _BitReader:
@@ -239,6 +255,14 @@ class _BitReader:
         return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def decode(self, table: _HuffTable) -> int:
+        # fast path: one 12-bit LUT probe (the _fill contract guarantees
+        # ≥25 buffered bits, padding included, so the peek never starves)
+        if self.nbits < 12:
+            self._fill()
+        hit = table.lut[(self.acc >> (self.nbits - 12)) & 0xFFF]
+        if hit is not None:
+            self.nbits -= hit[1]
+            return hit[0]
         code = self.read_bit()
         length = 1
         while code > table.maxcode[length]:
