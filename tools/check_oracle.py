@@ -81,26 +81,48 @@ def frame_digest(df) -> tuple[int, list[str], str]:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--sf",
+        default="/root/testdata/sf0.01",
+        help="fixture dir, or 'all' to sweep sf0.001/sf0.01/sf0.1 — the "
+        "three-scale sweep is what caught the tpch_q14 1-ULP divergence "
+        "(degenerate small-data shapes diverge where big ones agree)",
+    )
     ap.add_argument("--show-diff", action="store_true")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    import duckdb
-
     import __spark_entry__ as entry
-    from bravo_spark.inventory.registry import GATE_PRIORITY
     from bravo_spark.session import get_spark
 
     spark = get_spark(app_name="oracle_check", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
+
+    sf_dirs = (
+        [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
+        if args.sf == "all"
+        else [args.sf]
+    )
+    total_failures = 0
+    for sf_dir in sf_dirs:
+        if len(sf_dirs) > 1:
+            print(f"=== {sf_dir} ===")
+        total_failures += _run_sf(spark, entry, sf_dir, args)
+    spark.stop()
+    return 1 if total_failures else 0
+
+
+def _run_sf(spark, entry, sf_dir: str, args) -> int:
+    import duckdb
+
+    from bravo_spark.inventory.registry import GATE_PRIORITY
 
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
     qs = entry.queries()
@@ -110,7 +132,7 @@ def main() -> int:
     for name in names:
         fn = qs[name]
         try:
-            sdf = fn(spark, args.sf).toPandas()
+            sdf = fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"[FAIL] {name}: SPARK ERROR")
             traceback.print_exc(limit=8)
@@ -156,8 +178,7 @@ def main() -> int:
                 for r in list(orows - srows)[:5]:
                     print("       oracle-only:", r.replace("\x1f", " | ")[:200])
     print(f"\n{len(names) - failures}/{len(names)} ok")
-    spark.stop()
-    return 1 if failures else 0
+    return failures
 
 
 if __name__ == "__main__":
