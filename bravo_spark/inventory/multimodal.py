@@ -483,6 +483,14 @@ def decode_pixels(payload: bytes):
         except GifError:
             if not pil_available():
                 raise
+    elif payload[:2] == b"BM":
+        from bravo_spark.inventory.bmp import BmpError, bmp_decode_pixels
+
+        try:
+            return bmp_decode_pixels(payload)
+        except BmpError:
+            if not pil_available():
+                raise
     try:
         import io
 
@@ -538,6 +546,14 @@ def resize_pixels(payload: bytes, *, box: int = 256) -> bytes:
         try:
             decoded = gif_decode_pixels(payload)
         except GifError:
+            if not pil_available():
+                raise
+    elif payload[:2] == b"BM":
+        from bravo_spark.inventory.bmp import BmpError, bmp_decode_pixels
+
+        try:
+            decoded = bmp_decode_pixels(payload)
+        except BmpError:
             if not pil_available():
                 raise
     if decoded is not None:

@@ -116,11 +116,11 @@ def test_pixel_tier_refuses_by_name_without_pillow():
     malformed."""
     if mm.pil_available():
         pytest.skip("Pillow installed — refusal path not reachable")
-    bmp = b"BM" + bytes(64)  # a container with no pure-Python tier
+    webp = b"RIFF" + bytes(4) + b"WEBPVP8 " + bytes(32)  # no pure tier
     with pytest.raises(ImportError, match="Pillow"):
-        mm.decode_pixels(bmp)
+        mm.decode_pixels(webp)
     with pytest.raises(ImportError, match="Pillow"):
-        mm.resize_pixels(bmp)
+        mm.resize_pixels(webp)
     from bravo_spark.inventory.gif import GifError
     from bravo_spark.inventory.jpeg import JpegError
 
