@@ -24,7 +24,16 @@ from __future__ import annotations
 import math
 import struct
 
-__all__ = ["WavError", "wav_encode", "wav_decode", "wav_meta", "pcm_features"]
+__all__ = [
+    "WavError",
+    "wav_encode",
+    "wav_decode",
+    "wav_meta",
+    "aiff_decode",
+    "au_decode",
+    "audio_decode",
+    "pcm_features",
+]
 
 _MAX_SAMPLES = 256_000_000  # in-container decode ceiling (~16 min of 48k stereo)
 
@@ -180,19 +189,164 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     return sample_rate, channels, bits, samples
 
 
+def _f80_to_int(raw: bytes) -> int:
+    """80-bit IEEE extended float (AIFF's sampleRate field) → nearest int.
+    Layout: 1 sign + 15 exponent (bias 16383) + 64 mantissa with explicit
+    integer bit."""
+    if len(raw) != 10:
+        raise WavError("extended float must be 10 bytes")
+    sign = raw[0] >> 7
+    exponent = ((raw[0] & 0x7F) << 8) | raw[1]
+    mantissa = int.from_bytes(raw[2:10], "big")
+    if exponent == 0 and mantissa == 0:
+        return 0
+    if exponent == 0x7FFF:
+        raise WavError("non-finite AIFF sample rate")
+    # value = mantissa * 2^(exponent - 16383 - 63)
+    shift = exponent - 16383 - 63
+    val = mantissa << shift if shift >= 0 else (mantissa + (1 << (-shift - 1))) >> -shift
+    return -val if sign else val
+
+
+def _be_pcm(data: bytes, bits: int) -> list[int]:
+    """Big-endian SIGNED PCM (the AIFF/AU convention at every depth,
+    including 8-bit — unlike WAV's unsigned 8-bit)."""
+    width = bits // 8
+    half = 1 << (bits - 1)
+    full = 1 << bits
+    out = []
+    for i in range(0, len(data) - len(data) % width, width):
+        v = int.from_bytes(data[i : i + width], "big")
+        out.append(v - full if v >= half else v)
+    return out
+
+
+def aiff_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """AIFF / AIFC (IFF 'FORM') decode → (sample_rate, channels, bits,
+    signed interleaved samples). AIFC compression types 'NONE' (BE PCM),
+    'sowt' (LE PCM), and G.711 'alaw'/'ulaw' decode; others refuse by
+    name."""
+    if len(payload) < 12 or payload[:4] != b"FORM":
+        raise WavError("not an AIFF payload (missing FORM)")
+    form_type = payload[8:12]
+    if form_type not in (b"AIFF", b"AIFC"):
+        raise WavError(f"FORM type {form_type!r} is not AIFF/AIFC")
+    pos = 12
+    n = len(payload)
+    channels = bits = rate = nframes = None
+    comp = b"NONE"
+    data = None
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body_end = pos + 8 + size
+        if body_end > n:
+            raise WavError(f"AIFF chunk {tag!r} overruns payload")
+        body = payload[pos + 8 : body_end]
+        if tag == b"COMM":
+            if len(body) < 18:
+                raise WavError("COMM chunk too short")
+            channels, nframes, bits = struct.unpack(">hIh", body[:8])
+            rate = _f80_to_int(body[8:18])
+            if form_type == b"AIFC" and len(body) >= 22:
+                comp = body[18:22]
+        elif tag == b"SSND":
+            if len(body) < 8:
+                raise WavError("SSND chunk too short")
+            offset, _blk = struct.unpack(">II", body[:8])
+            data = body[8 + offset :]
+        pos = body_end + (size & 1)  # chunks are word-aligned
+    if channels is None or data is None:
+        raise WavError("AIFF missing COMM or SSND chunk")
+    if channels < 1 or rate < 1:
+        raise WavError("corrupt COMM chunk")
+    if comp in (b"NONE", b"sowt"):
+        if bits not in (8, 16, 24, 32):
+            raise WavError(f"AIFF PCM bit depth {bits} unsupported")
+        if len(data) // (bits // 8) > _MAX_SAMPLES:
+            raise WavError("audio too large for in-container decode")
+        if comp == b"sowt":  # little-endian PCM (Mac convention)
+            width = bits // 8
+            half, full = 1 << (bits - 1), 1 << bits
+            samples = []
+            for i in range(0, len(data) - len(data) % width, width):
+                v = int.from_bytes(data[i : i + width], "little")
+                samples.append(v - full if v >= half else v)
+        else:
+            samples = _be_pcm(data, bits)
+        return rate, channels, bits, samples
+    if comp in (b"alaw", b"ALAW", b"ulaw", b"ULAW"):
+        table = _ALAW_TABLE if comp.lower() == b"alaw" else _ULAW_TABLE
+        if len(data) > _MAX_SAMPLES:
+            raise WavError("audio too large for in-container decode")
+        return rate, channels, 16, [table[b] for b in data]
+    raise WavError(
+        f"AIFC compression {comp!r} not supported pure-Python "
+        "(NONE/sowt/alaw/ulaw only)"
+    )
+
+
+_AU_ENCODINGS = {1: ("ulaw", 8), 2: ("pcm", 8), 3: ("pcm", 16),
+                 4: ("pcm", 24), 5: ("pcm", 32), 27: ("alaw", 8)}
+
+
+def au_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Sun/NeXT .au decode → (sample_rate, channels, bits, signed
+    samples). Encodings: µ-law (1), A-law (27), linear PCM 8/16/24/32
+    (2-5); floats and ADPCM refuse by name."""
+    if len(payload) < 24 or payload[:4] != b".snd":
+        raise WavError("not an AU payload (missing .snd)")
+    offset, size, encoding, rate, channels = struct.unpack(
+        ">IIIII", payload[4:24]
+    )
+    if offset < 24 or offset > len(payload):
+        raise WavError("AU data offset out of range")
+    if channels < 1 or rate < 1:
+        raise WavError("corrupt AU header")
+    end = len(payload) if size == 0xFFFFFFFF else min(len(payload), offset + size)
+    data = payload[offset:end]
+    if encoding not in _AU_ENCODINGS:
+        name = {6: "float32", 7: "float64", 23: "G.721 ADPCM"}.get(
+            encoding, f"encoding {encoding}"
+        )
+        raise WavError(f"AU {name} not supported pure-Python")
+    kind, bits = _AU_ENCODINGS[encoding]
+    if len(data) // max(1, bits // 8) > _MAX_SAMPLES:
+        raise WavError("audio too large for in-container decode")
+    if kind == "ulaw":
+        return rate, channels, 16, [_ULAW_TABLE[b] for b in data]
+    if kind == "alaw":
+        return rate, channels, 16, [_ALAW_TABLE[b] for b in data]
+    return rate, channels, bits, _be_pcm(data, bits)
+
+
+def audio_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Container-dispatching decode: RIFF/WAVE, AIFF/AIFC, or Sun .au by
+    magic → the shared (rate, channels, bits, samples) contract."""
+    if payload[:4] == b"RIFF":
+        return wav_decode(payload)
+    if payload[:4] == b"FORM":
+        return aiff_decode(payload)
+    if payload[:4] == b".snd":
+        return au_decode(payload)
+    raise WavError("unrecognized audio container (RIFF/FORM/.snd)")
+
+
 def pcm_features(payload: bytes) -> dict[str, int]:
     """Integer-exact signal features of the FIRST channel:
 
     - ``n_frames``, ``duration_ms`` (floor),
-    - ``peak``: max |sample| (8-bit values are re-centered by -128 first),
+    - ``peak``: max |sample| (WAV 8-bit values are re-centered by -128
+      first — AIFF/AU 8-bit is already signed),
     - ``rms_milli``: isqrt(sum(s²) * 1_000_000 // n) — RMS in integer
       milli-units, exact for any engine that has isqrt,
     - ``zero_crossings``: sign flips between consecutive frames (zero
       samples carry the previous sign, the standard convention).
     """
-    sample_rate, channels, bits, samples = wav_decode(payload)
+    is_wav = payload[:4] == b"RIFF"
+    sample_rate, channels, bits, samples = audio_decode(payload)
     first = samples[::channels]
-    if bits == 8:
+    if bits == 8 and is_wav:
         first = [s - 128 for s in first]
     n = len(first)
     if n == 0:

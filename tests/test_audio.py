@@ -218,3 +218,122 @@ def test_g711_features_run():
     f = A.pcm_features(_g711_wav(7, data))
     assert f["peak"] == 32124 and f["zero_crossings"] == 99
     assert f["rms_milli"] == 32124 * 1000
+
+
+def test_extended_float_parse():
+    # hand vectors: 11025 = 0x400C AC44...0, 44100, 1, 0
+    assert A._f80_to_int(bytes.fromhex("400CAC44000000000000")) == 11025
+    assert A._f80_to_int(bytes.fromhex("400EAC44000000000000")) == 44100
+    assert A._f80_to_int(bytes.fromhex("3FFF8000000000000000")) == 1
+    assert A._f80_to_int(bytes(10)) == 0
+    with pytest.raises(A.WavError, match="non-finite"):
+        A._f80_to_int(bytes.fromhex("7FFF8000000000000000"))
+
+
+_AUDIODATA = (
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+    "test/audiodata/"
+)
+
+
+@pytest.mark.skipif(
+    not glob.glob(_AUDIODATA + "pluck-pcm16.*"), reason="no audio fixtures"
+)
+def test_cross_container_same_recording():
+    """CPython ships ONE recording as WAV, AIFF, and AU — three container
+    formats, three endiannesses, independently converted. All three must
+    decode to the same frame count/rate/width and near-identical samples
+    (the conversions carry ±11 LSB of dither), and the G.711-companded
+    AIFC/AU variants must expand to the same signal within one companding
+    quantization step. The strongest possible foreign validation: four
+    parsers agreeing on the same ground truth."""
+    wav = A.wav_decode(open(_AUDIODATA + "pluck-pcm16.wav", "rb").read())
+    aif = A.aiff_decode(open(_AUDIODATA + "pluck-pcm16.aiff", "rb").read())
+    au = A.au_decode(open(_AUDIODATA + "pluck-pcm16.au", "rb").read())
+    assert wav[:3] == aif[:3] == au[:3] == (11025, 2, 16)
+    assert len(wav[3]) == len(aif[3]) == len(au[3])
+    assert max(abs(a - b) for a, b in zip(wav[3], aif[3])) <= 16
+    assert max(abs(a - b) for a, b in zip(wav[3], au[3])) <= 16
+    # companded variants: same signal within the G.711 step size
+    alaw = A.aiff_decode(open(_AUDIODATA + "pluck-alaw.aifc", "rb").read())
+    ulaw = A.au_decode(open(_AUDIODATA + "pluck-ulaw.au", "rb").read())
+    assert alaw[:3] == ulaw[:3] == (11025, 2, 16)
+    assert max(abs(a - b) for a, b in zip(wav[3], alaw[3])) <= 1024
+    assert max(abs(a - b) for a, b in zip(wav[3], ulaw[3])) <= 1024
+
+
+@pytest.mark.skipif(
+    not glob.glob(_AUDIODATA + "pluck-pcm8.aiff"), reason="no audio fixtures"
+)
+def test_aiff_every_depth_consistent():
+    metas = []
+    for bits in (8, 16, 24, 32):
+        r = A.aiff_decode(open(_AUDIODATA + f"pluck-pcm{bits}.aiff", "rb").read())
+        metas.append((r[0], r[1], len(r[3])))
+        assert r[2] == bits
+    assert len(set(metas)) == 1
+
+
+def test_audio_decode_dispatches_by_magic():
+    pcm = A.wav_encode(8000, 1, 16, [5, -5] * 10)
+    assert A.audio_decode(pcm)[3] == [5, -5] * 10
+    with pytest.raises(A.WavError, match="unrecognized audio container"):
+        A.audio_decode(b"OggS" + bytes(40))
+
+
+def test_au_refusals_and_hand_built():
+    # hand-built AU: .snd header, 16-bit BE PCM
+    data = struct.pack(">hh", 1000, -1000) * 5
+    payload = b".snd" + struct.pack(">IIIII", 24, len(data), 3, 8000, 1) + data
+    rate, ch, bits, samples = A.au_decode(payload)
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert samples == [1000, -1000] * 5
+    # float encoding refuses by name
+    bad = b".snd" + struct.pack(">IIIII", 24, 4, 6, 8000, 1) + bytes(4)
+    with pytest.raises(A.WavError, match="float32"):
+        A.au_decode(bad)
+
+
+def test_aiff_sowt_little_endian_variant():
+    # hand-built AIFC with 'sowt' (little-endian) PCM
+    comm = struct.pack(">hIh", 1, 3, 16) + bytes.fromhex("400CAC44000000000000")
+    comm += b"sowt" + b"\x00"  # comp type + empty pstring name
+    ssnd = struct.pack(">II", 0, 0) + struct.pack("<hhh", 100, -200, 300)
+    def chunk(tag, body):
+        return tag + struct.pack(">I", len(body)) + body + (b"\x00" * (len(body) & 1))
+    payload = b"FORM" + struct.pack(">I", 4 + 8 + len(comm) + 8 + len(ssnd) + 2) + b"AIFC"
+    payload += chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    rate, ch, bits, samples = A.aiff_decode(payload)
+    assert (rate, ch, bits) == (11025, 1, 16)
+    assert samples == [100, -200, 300]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    container=st.sampled_from(["aiff", "au"]),
+    cut=st.integers(0, 80),
+    flip_pos=st.integers(0, 79),
+    flip_val=st.integers(1, 255),
+)
+def test_aiff_au_malformed_fail_cleanly(container, cut, flip_pos, flip_val):
+    if container == "au":
+        data = struct.pack(">h", 123) * 30
+        good = b".snd" + struct.pack(">IIIII", 24, len(data), 3, 8000, 1) + data
+    else:
+        comm = struct.pack(">hIh", 1, 30, 16) + bytes.fromhex("400CAC44000000000000")
+        ssnd = struct.pack(">II", 0, 0) + struct.pack(">h", 123) * 30
+        good = (
+            b"FORM" + struct.pack(">I", 4 + 16 + 26 + 8 + len(ssnd)) + b"AIFF"
+            + b"COMM" + struct.pack(">I", 18) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        )
+    data_ = bytearray(good)
+    data_ = data_[: max(4, len(data_) - cut % len(data_))]
+    if len(data_) > 5:
+        p = 4 + flip_pos % (len(data_) - 4)
+        data_[p] ^= flip_val
+    try:
+        rate, ch, bits, samples = A.audio_decode(bytes(data_))
+        assert rate >= 1 and ch >= 1
+    except (A.WavError, ValueError):
+        pass
