@@ -1,10 +1,12 @@
 """Pure-Python BMP (Windows DIB) codec — the last common legacy raster.
 
-Uncompressed BI_RGB bitmaps decode to RGB: BITMAPINFOHEADER (and the
-larger V4/V5 headers that embed it), 1/4/8-bit paletted and 16/24/32-bit
-direct color, bottom-up and top-down row orders, 4-byte row padding.
-Compressed variants (RLE4/RLE8, bitfields beyond the canonical 565/555)
-refuse BY NAME — pixel values are never faked. The 24-bit encoder is the
+BI_RGB bitmaps decode to RGB: BITMAPINFOHEADER (and the larger V4/V5
+headers that embed it), 1/4/8-bit paletted and 16/24/32-bit direct
+color, bottom-up and top-down row orders, 4-byte row padding, plus the
+RLE4/RLE8 compressions (encoded runs, word-aligned absolute segments,
+delta skips, end-of-line/bitmap escapes). Bitfields beyond the canonical
+565/555/888 and JPEG/PNG-in-BMP refuse BY NAME — pixel values are never
+faked. The 24-bit encoder is the
 test ground truth: BMP is lossless, so encode→decode is byte-exact.
 
 IMPORTANT: this codec is deliberately NOT wired into
@@ -70,8 +72,16 @@ def bmp_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
                 f"BMP bitfield masks {tuple(hex(m) for m in masks)} not "
                 "supported (canonical 565/555/888 only)"
             )
+    elif compression in (1, 2):
+        want_bpp = 8 if compression == 1 else 4
+        if bpp != want_bpp:
+            raise BmpError(
+                f"BMP RLE{want_bpp} needs {want_bpp}-bit depth, got {bpp}"
+            )
+        if top_down:
+            raise BmpError("RLE BMP cannot be top-down (spec)")
     elif compression != 0:
-        name = {1: "RLE8", 2: "RLE4", 4: "JPEG-in-BMP", 5: "PNG-in-BMP"}.get(
+        name = {4: "JPEG-in-BMP", 5: "PNG-in-BMP"}.get(
             compression, f"compression {compression}"
         )
         raise BmpError(f"BMP {name} not supported pure-Python")
@@ -88,6 +98,21 @@ def bmp_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
             payload[pal_at + 4 * i : pal_at + 4 * i + 3]  # BGR(A) quads
             for i in range(n)
         ]
+
+    if compression in (1, 2):
+        idx = _decode_rle(payload, data_offset, w, h, rle4=compression == 2)
+        out = bytearray(w * h * 3)
+        o = 0
+        for row in range(h):
+            src = (h - 1 - row) * w  # RLE rows are bottom-up
+            for x in range(w):
+                i = idx[src + x]
+                if i >= len(palette):
+                    raise BmpError(f"palette index {i} out of range")
+                bgr = palette[i]
+                out[o : o + 3] = (bgr[2], bgr[1], bgr[0])
+                o += 3
+        return w, h, "RGB", bytes(out)
 
     stride = (w * bpp + 31) // 32 * 4
     need = stride * h
@@ -137,6 +162,76 @@ def bmp_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
                 out[o : o + 3] = (bgr[2], bgr[1], bgr[0])
                 o += 3
     return w, h, "RGB", bytes(out)
+
+
+def _decode_rle(
+    payload: bytes, pos: int, w: int, h: int, *, rle4: bool
+) -> bytearray:
+    """RLE8/RLE4 palette-index decode (bottom-up row order, as stored):
+    (count, value) runs, 0-escapes for end-of-line (0), end-of-bitmap
+    (1), delta (2: dx, dy), and word-aligned absolute runs (≥3).
+    Undefined (skipped) pixels are index 0, the conventional fill."""
+    idx = bytearray(w * h)  # file order: row 0 is the BOTTOM row
+    x = y = 0
+    n = len(payload)
+    while True:
+        if pos + 2 > n:
+            raise BmpError("RLE stream truncated (no end-of-bitmap)")
+        count, val = payload[pos], payload[pos + 1]
+        pos += 2
+        if count > 0 or val >= 3:  # any branch that WRITES pixels
+            if y >= h:
+                raise BmpError("RLE data beyond the last row")
+        if count > 0:  # encoded run
+            if rle4:
+                pair = ((val >> 4) & 0xF, val & 0xF)
+                for i in range(count):
+                    if x >= w:
+                        break  # spec allows runs to stop at line end
+                    idx[y * w + x] = pair[i & 1]
+                    x += 1
+            else:
+                end = min(x + count, w)
+                idx[y * w + x : y * w + end] = bytes([val]) * (end - x)
+                x = end
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise BmpError("RLE rows exceed declared height")
+            continue
+        if val == 1:  # end of bitmap
+            return idx
+        if val == 2:  # delta
+            if pos + 2 > n:
+                raise BmpError("RLE delta truncated")
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+            if x > w or y >= h + 1:
+                raise BmpError("RLE delta escapes the bitmap")
+            continue
+        # absolute mode: `val` literal indices, padded to a word boundary
+        if rle4:
+            nbytes = (val + 1) // 2
+            pad = (nbytes & 1)
+            if pos + nbytes + pad > n:
+                raise BmpError("RLE absolute run truncated")
+            for i in range(val):
+                if x >= w:
+                    break
+                b = payload[pos + i // 2]
+                idx[y * w + x] = (b >> 4) & 0xF if i % 2 == 0 else b & 0xF
+                x += 1
+            pos += nbytes + pad
+        else:
+            pad = val & 1
+            if pos + val + pad > n:
+                raise BmpError("RLE absolute run truncated")
+            end = min(x + val, w)
+            idx[y * w + x : y * w + end] = payload[pos : pos + (end - x)]
+            x = end
+            pos += val + pad
 
 
 def bmp_encode(w: int, h: int, mode: str, raw: bytes) -> bytes:

@@ -163,3 +163,85 @@ def test_decode_pixels_dispatches_bmp_pure_python():
     png = mm.resize_pixels(payload, box=8)
     rw, rh, rm, rraw = mm.png_decode_pixels(png)
     assert (rw, rh) == mm.fit_box(20, 12, 8) and rm == "RGB"
+
+
+def test_rle8_decodes():
+    """Hand-assembled RLE8: runs, an absolute segment (word-padded), a
+    delta skip (skipped pixels = index 0), end-of-line, end-of-bitmap."""
+    pal = bytes((0, 0, 200, 0,  0, 200, 0, 0,  200, 0, 0, 0,  7, 7, 7, 0))
+    # 6x2 image. Bottom row (file row 0): run 3x idx1, absolute [2,3,2], pad
+    # Top row: run 2x idx2, delta (2,0) skips two -> idx0, then 2x idx3... but
+    # only 6 wide: run2 + skip2 + run2 = 6
+    rle = bytes((
+        3, 1,  0, 3, 2, 3, 2, 0,   # run + absolute(3: 2,3,2) + pad byte
+        0, 0,                      # end of line
+        2, 2,  0, 2, 2, 0,  2, 3,  # run 2x2, delta dx=2, run 2x3
+        0, 1,                      # end of bitmap
+    ))
+    payload = _hand_bmp(6, 2, 8, rle, palette=pal, compression=1)
+    w, h, m, out = B.bmp_decode_pixels(payload)
+    assert (w, h, m) == (6, 2, "RGB")
+    px = [tuple(out[i : i + 3]) for i in range(0, len(out), 3)]
+    red, green, blue, gray = (200, 0, 0), (0, 200, 0), (0, 0, 200), (7, 7, 7)
+    # image row 0 = TOP = file row 1: 2x blue, 2x red(skipped->idx0), 2x gray
+    assert px[:6] == [blue, blue, red, red, gray, gray]
+    # image row 1 = BOTTOM = file row 0: 3x green, then abs 2,3,2 -> blue,gray,blue
+    assert px[6:] == [green, green, green, blue, gray, blue]
+
+
+def test_rle4_decodes():
+    pal = bytes((0, 0, 200, 0,  0, 200, 0, 0,  200, 0, 0, 0,  7, 7, 7, 0))
+    # 5x1: run of 4 alternating idx 1,2 then absolute 1 value idx3 (padded)
+    rle = bytes((4, 0x12,  0, 3, 0x30, 0x00,  0, 1))
+    # absolute count 3 would need... keep: abs run of 3 nibbles = 2 bytes + pad
+    payload = _hand_bmp(5, 1, 4, rle, palette=pal, compression=2)
+    w, h, m, out = B.bmp_decode_pixels(payload)
+    px = [tuple(out[i : i + 3]) for i in range(0, len(out), 3)]
+    green, blue = (0, 200, 0), (0, 0, 200)
+    gray = (7, 7, 7)
+    red = (200, 0, 0)
+    # run: 1,2,1,2 -> green,blue,green,blue; absolute: 3,0,0 but width caps at 5
+    assert px == [green, blue, green, blue, gray]
+
+
+def test_rle_refusals():
+    pal = bytes(16)
+    with pytest.raises(B.BmpError, match="truncated"):
+        B.bmp_decode_pixels(_hand_bmp(4, 2, 8, bytes((4, 1)), palette=pal,
+                                      compression=1))
+    with pytest.raises(B.BmpError, match="needs 8-bit"):
+        B.bmp_decode_pixels(_hand_bmp(4, 2, 4, bytes((0, 1)), palette=pal,
+                                      compression=1))
+    with pytest.raises(B.BmpError, match="top-down"):
+        B.bmp_decode_pixels(_hand_bmp(4, 2, 8, bytes((0, 1)), palette=pal,
+                                      compression=1, top_down=True))
+    # writes or line advances past the declared height must refuse
+    with pytest.raises(B.BmpError, match="exceed declared height"):
+        B.bmp_decode_pixels(_hand_bmp(4, 1, 8, bytes((0, 0, 0, 0, 2, 0, 0, 1)),
+                                      palette=pal, compression=1))
+    with pytest.raises(B.BmpError, match="beyond the last row"):
+        B.bmp_decode_pixels(_hand_bmp(4, 1, 8, bytes((0, 0, 2, 5, 0, 1)),
+                                      palette=pal, compression=1))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    cut=st.integers(0, 40),
+    flip_pos=st.integers(0, 39),
+)
+def test_rle_fuzz_never_hangs(seed, cut, flip_pos):
+    import random
+
+    rnd = random.Random(seed)
+    rle = bytes(rnd.randrange(256) for _ in range(40)) + bytes((0, 1))
+    pal = bytes(64)
+    payload = bytearray(_hand_bmp(8, 4, 8, rle, palette=pal, compression=1))
+    payload = payload[: max(54, len(payload) - cut)]
+    if len(payload) > 55:
+        payload[54 + flip_pos % (len(payload) - 54)] ^= 0xFF
+    try:
+        w, h, _, raw = B.bmp_decode_pixels(bytes(payload))
+        assert len(raw) == w * h * 3
+    except (B.BmpError, ValueError):
+        pass
