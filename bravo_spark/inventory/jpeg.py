@@ -239,6 +239,10 @@ class _BitReader:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
             self.nbits += 8
+        # drop already-consumed high bits: reads only decrement nbits, so
+        # without this mask acc retains the whole consumed bitstream and
+        # every shift is O(stream length) — quadratic decode on large files
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -884,6 +888,8 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # same bound as _BitReader._fill: keep only the unflushed tail
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:

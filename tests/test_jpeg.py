@@ -348,3 +348,48 @@ def test_foreign_progressive_stream_decodes():
     assert m == "RGB" and len(raw) == w * h * 3
     a = np.frombuffer(raw, dtype=np.uint8)
     assert 40 < a.mean() < 220 and a.std() > 20  # not garbage, not flat
+
+
+def test_bitreader_accumulator_stays_bounded():
+    """The _BitReader/_BitWriter accumulators must stay O(1): reads only
+    decrement nbits, so without the post-fill mask acc retains every
+    consumed bit as an unbounded bigint and each shift is O(stream
+    length) — quadratic decode (27x at 256x256, an effective hang on a
+    legitimate multi-megapixel file within the 64 MP cap)."""
+    rng = np.random.default_rng(11)
+    # avoid 0xFF bytes so the stream never terminates on a marker
+    data = bytes(int(b) % 0xFF for b in rng.integers(0, 255, size=50_000))
+    br = J._BitReader(data, 0)
+    for i in range(len(data) * 8 - 64):
+        if i % 3 == 0:
+            br.receive(2)
+            i += 1  # receive(2) consumed an extra bit's worth below
+        else:
+            br.read_bit()
+        # _fill exits with nbits in [25,32] and masks acc to nbits bits;
+        # reads then only decrement nbits, so bit_length stays <= 32
+        assert br.acc.bit_length() <= 32 and br.nbits <= 32
+        if br.pos > len(data) - 16:
+            break
+
+    bw = J._BitWriter()
+    for k in range(100_000):
+        bw.write(k & 0x3FF, 11)
+        assert bw.acc.bit_length() <= bw.nbits <= 18
+
+
+def test_large_baseline_decode_linear_time():
+    """4 MP baseline grayscale roundtrip completes in seconds (linear in
+    stream size). Pre-fix the quadratic accumulator made this effectively
+    hang; generous wall bound so slow CI never flakes."""
+    import time
+
+    w = h = 2048
+    raw = ((np.add.outer(np.arange(h) * 11, np.arange(w) * 7) % 256)
+           .astype(np.uint8).tobytes())
+    payload = J.jpeg_encode(w, h, "L", raw, quality=85)
+    t0 = time.monotonic()
+    ww, hh, m, out = J.jpeg_decode_pixels(payload)
+    elapsed = time.monotonic() - t0
+    assert (ww, hh, m) == (w, h, "L") and len(out) == w * h
+    assert elapsed < 60, f"4 MP decode took {elapsed:.1f}s - quadratic again?"
