@@ -36,9 +36,10 @@ GATE_PRIORITY = [
     # 7 driver-green rounds — grouped sort-reduce stays driver-covered by
     # the savepoint writer inside snapshot_roundtrip, window functions by
     # sessionize-family mirror rows + tpch_q2 (in, window-decorrelated)
-    # r6 rotation: the engine-integration DataSource contracts
-    # (pushFilters absorption, Arrow batch read, write-commit durability)
-    "snapshot_datasource_scan", "checkpoint_datasource_scan",
+    # r10 rotation: the DataSource contracts rotated out after 4
+    # driver-green rounds (r6-r9) — pushFilters absorption and the Arrow
+    # batch path stay plan-pinned in test_datasource/test_plans, and the
+    # underlying scan/write code runs inside the retained roundtrips.
     # Spark state-store read/rewrite surgery (the bravo workflow on Spark's
     # own checkpoints). r8 rotation: rocksdb_state_read gets its FIRST
     # driver check (zip time-travel + changelog replay read path —
@@ -54,8 +55,10 @@ GATE_PRIORITY = [
     # rotated out after three driver-green rounds (r5-r7) — kryo_custom_class
     # retains the full Kryo path incl. registrations, snapshot_roundtrip
     # the uncompressed sibling of the same section codec, and the UDTF
-    # expand shape stays pytest-pinned in test_custom_readers.
-    "ttl_state_roundtrip",
+    # expand shape stays pytest-pinned in test_custom_readers. r10:
+    # ttl_state_roundtrip rotated out after 5 driver-green rounds (r5-r9);
+    # the TTL unwrap/write-back codecs stay golden-tested in
+    # test_codecs/test_staterows/test_vectorized.
     "type_change_migration",
     "operator_state_roundtrip",
     "file_sink_rewind", "kryo_custom_class",
@@ -66,11 +69,12 @@ GATE_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "dedup_clusters",
-    # r6 rotation: the r5 dedup/pipeline additions (line-level boilerplate,
-    # Lee-et-al span removal, cluster→kept corpus, LSH precision/recall
-    # eval, composed end-to-end decision)
-    "dedup_lines", "dedup_substring_clean", "dedup_keep_corpus",
-    "dedup_lsh_quality_eval", "pipeline_clean_corpus",
+    # r10 rotation: the r6 dedup additions (dedup_lines,
+    # dedup_substring_clean, dedup_keep_corpus, dedup_lsh_quality_eval)
+    # rotated out after 4 driver-green rounds (r6-r9) — their inverted-index
+    # and cluster-contraction paths stay exercised by the retained
+    # ngram/embedding/clusters rows and the composed pipeline below.
+    "pipeline_clean_corpus",
     # ANN + retrieval family (ann_cosine_topk rotated out in r6 — it is
     # the exact baseline the retained lsh/ivf rows rescore against;
     # ann_sketch_topk rotated out in r8 after 7 driver-green rounds, its
@@ -93,9 +97,16 @@ GATE_PRIORITY = [
     "tpch_q21_waiting_supplier",
     "tpch_q2_min_cost_supplier", "tpch_q19_disjunctive",
     "tpch_q20_part_promotion", "tpch_q22_global_sales",
-    # r6 rotation: the r5 text/sampling/embedding additions
-    "text_rarity", "embedding_quantize", "shard_shuffle",
-    "bpe_pair_counts", "source_mixture_report",
+    # r10 rotation: the remaining never-driver-checked TPC-H tail — q7
+    # dual-role nation join, q8 market share, q11 grouped threshold, q12
+    # shipmode buckets, q13 outer-join custdist, q15 window-max revenue
+    # view, q16 distinct-count with NOT IN. (The r5 text/sampling wave —
+    # text_rarity, embedding_quantize, shard_shuffle, bpe_pair_counts,
+    # source_mixture_report — rotated out after 4 driver-green rounds
+    # r6-r9.)
+    "tpch_q7_volume", "tpch_q8_market_share", "tpch_q11_important_stock",
+    "tpch_q12_late_lines", "tpch_q13_custdist", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
     # r8 rotation: the r6 additions' first driver check — the real pixel
     # pipeline, the Gopher dup-ngram filter, the lang-id confusion matrix,
     # the temperature mixture (div-by-zero guard landed first), and
@@ -103,45 +114,55 @@ GATE_PRIORITY = [
     "multimodal_pixel_resize", "text_dup_ngram_stats",
     "text_langid_accuracy", "source_mixture_temperature",
     "sequence_pack",
+    # r10 rotation: the r8 media-codec additions' first driver check —
+    # pure-Python JPEG/GIF roundtrips, real GIF frame sampling, the audio
+    # feature path (WAV containers + integer DSP), and MJPEG-AVI demux
+    # with real per-frame JPEG decode.
+    "multimodal_jpeg_roundtrip", "multimodal_gif_roundtrip",
+    "multimodal_gif_frame_sample", "audio_wav_features",
+    "video_avi_frame_sample",
     # text / multimodal flagships (lang_id rotated out in r5;
     # multimodal_decode stays: tier-selector source column)
     "multimodal_decode",
 ]
 
-# The r9 rotation, STAGED AS EXECUTABLE DATA — the r7 failure mode was a
-# staged rotation that lived only in a comment and never shipped. To
-# execute in r9 (FIRST commit of the round):
-#   1. confirm each OUT row below is green in CORRECTNESS_r08 (if one is
+# The NEXT rotation, STAGED AS EXECUTABLE DATA — the r7 failure mode was
+# a staged rotation that lived only in a comment and never shipped. (The
+# r9-staged swaps executed in r10 — r9 shipped no commits, shifting the
+# schedule by one round.) To execute in r11 (FIRST commit of the round):
+#   1. confirm each OUT row below is green in CORRECTNESS_r10 (if one is
 #      red, keep it in the gate and drop its pair from this round);
 #   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
 #   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
-# OUTs are the r6 wave (3 driver-green rounds r6-r8 after this round's
-# gate) plus ttl_state_roundtrip (4 rounds, r5-r8; its TTL codec path
-# stays pytest-golden); INs are the r8 modality additions and the next
-# TPC-H tail tranche. test_registry pins this list's consistency against
-# the live registry so it cannot silently rot. Still unstaged after r9:
-# tpch_q17, the sampling family (domain_mixture_sample, hash_sample,
-# stratified_sample, train_val_split, funnel/retention/trend,
-# hourly_counts_gapfill), formats (json/csv/orc, bucketed_join,
-# partitioned_prune_scan), relational breadth (outer joins, range_join,
-# scalar_subquery_counts, pivot, grouping_sets, salted_skew_agg,
-# percentiles, approx_sketch_accuracy), checkpoint_rewind, the recall
-# evals, embedding_norms, doc_embedding_join, kmeans_lloyd_centroids,
-# snapshot_rescale. The rotation ledger lives in COVERAGE.md.
-R9_STAGED_SWAPS = [
-    # (rotate OUT once r8-green, rotate IN — never driver-checked)
-    ("snapshot_datasource_scan", "multimodal_jpeg_roundtrip"),
-    ("checkpoint_datasource_scan", "multimodal_gif_roundtrip"),
-    ("dedup_lines", "multimodal_gif_frame_sample"),
-    ("dedup_substring_clean", "audio_wav_features"),
-    ("dedup_keep_corpus", "video_avi_frame_sample"),
-    ("dedup_lsh_quality_eval", "tpch_q7_volume"),
-    ("text_rarity", "tpch_q8_market_share"),
-    ("embedding_quantize", "tpch_q11_important_stock"),
-    ("shard_shuffle", "tpch_q12_late_lines"),
-    ("bpe_pair_counts", "tpch_q13_custdist"),
-    ("source_mixture_report", "tpch_q15_top_supplier"),
-    ("ttl_state_roundtrip", "tpch_q16_supplier_cnt"),
+# OUTs are the r8 wave (driver-green r8+r9, 3 consecutive rounds once
+# CORRECTNESS_r10 lands); INs are tpch_q17, the sampling family, and the
+# format/layout contracts — all never driver-checked. test_registry pins
+# this list's consistency against the live registry so it cannot
+# silently rot. Still unstaged after r11: retention_cohorts,
+# per_key_trend, hourly_counts_gapfill, relational breadth (outer joins,
+# range_join, scalar_subquery_counts, pivot, grouping_sets,
+# salted_skew_agg, percentiles, approx_sketch_accuracy),
+# checkpoint_rewind, streaming_static_join, the recall evals,
+# embedding_norms, doc_embedding_join, kmeans_lloyd_centroids,
+# snapshot_rescale, bpe_train_merges, the text additions
+# (text_repetition, text_normalize, quality_filter_pipeline,
+# text_redact_pii, text_levenshtein_pairs, word_freq_topk,
+# text_length_histogram), multimodal_resize / multimodal_frame_sample /
+# multimodal_embed. The rotation ledger lives in COVERAGE.md.
+R11_STAGED_SWAPS = [
+    # (rotate OUT once r10-green, rotate IN — never driver-checked)
+    ("tpch_q2_min_cost_supplier", "tpch_q17_small_qty"),
+    ("tpch_q19_disjunctive", "json_source_roundtrip"),
+    ("tpch_q20_part_promotion", "csv_source_roundtrip"),
+    ("tpch_q22_global_sales", "orc_source_roundtrip"),
+    ("rocksdb_state_read", "bucketed_join"),
+    ("checkpoint_write_roundtrip", "partitioned_prune_scan"),
+    ("multimodal_pixel_resize", "hash_sample"),
+    ("text_dup_ngram_stats", "stratified_sample"),
+    ("text_langid_accuracy", "train_val_split"),
+    ("source_mixture_temperature", "domain_mixture_sample"),
+    ("ann_knn_label_eval", "leakage_safe_split"),
+    ("sequence_pack", "funnel_conversion"),
 ]
 
 

@@ -49,20 +49,19 @@ def test_flagship_families_inside_window():
         # r5 rotation survivors: the reference-fidelity conformance analogs
         # (pojo/kryo value rows, the compressed-snapshot variant, and
         # custom_reader_expand rotated out in r8 after 3 driver-green
-        # rounds — kryo_custom_class / snapshot_roundtrip / pytest pins
+        # rounds; ttl_state_roundtrip out in r10 after 5 —
+        # kryo_custom_class / snapshot_roundtrip / pytest pins
         # retain their paths)
-        "ttl_state_roundtrip", "type_change_migration",
+        "type_change_migration",
         "operator_state_roundtrip",
         "file_sink_rewind", "kryo_custom_class",
-        # r6 rotation: the DataSource contracts + r5 dedup/text/sampling
-        # additions (dedup_exact/ann_cosine_topk/streaming_window_counts/
-        # tpch_q1 rotated out after 5 driver-green rounds — each retained
-        # a sibling covering its path)
-        "snapshot_datasource_scan", "checkpoint_datasource_scan",
+        # dedup/retrieval/streaming spine (the r6 dedup additions and the
+        # r5 text/sampling wave rotated out in r10 after 4 driver-green
+        # rounds each; the DataSource contracts likewise — plan-pinned in
+        # test_datasource/test_plans)
         "dedup_ngram_jaccard",
         "dedup_embedding_lsh", "dedup_clusters",
-        "dedup_lines", "dedup_substring_clean", "dedup_keep_corpus",
-        "dedup_lsh_quality_eval", "pipeline_clean_corpus",
+        "pipeline_clean_corpus",
         "ann_ivf_topk",
         "text_bm25_topk",
         "streaming_window_counts_watermarked",
@@ -70,8 +69,6 @@ def test_flagship_families_inside_window():
         "tpch_q3",
         "tpch_q6_forecast", "tpch_q9_product_profit",
         "tpch_q21_waiting_supplier",
-        "text_rarity", "embedding_quantize", "shard_shuffle",
-        "bpe_pair_counts", "source_mixture_report",
         # r8 rotation: first driver check for the TPC-H tail's four most
         # distinctive plans, the RocksDB read/write engine-integration
         # pair, and the r6 additions
@@ -81,6 +78,14 @@ def test_flagship_families_inside_window():
         "multimodal_pixel_resize", "text_dup_ngram_stats",
         "text_langid_accuracy", "source_mixture_temperature",
         "ann_knn_label_eval", "sequence_pack",
+        # r10 rotation: the r8 media-codec additions and the TPC-H tail
+        "multimodal_jpeg_roundtrip", "multimodal_gif_roundtrip",
+        "multimodal_gif_frame_sample", "audio_wav_features",
+        "video_avi_frame_sample",
+        "tpch_q7_volume", "tpch_q8_market_share",
+        "tpch_q11_important_stock", "tpch_q12_late_lines",
+        "tpch_q13_custdist", "tpch_q15_top_supplier",
+        "tpch_q16_supplier_cnt",
     ):
         assert name in window, f"{name} fell out of the correctness gate"
 
@@ -119,19 +124,19 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
     assert not offenders, f"unsortable gate columns: {offenders}"
 
 
-def test_r9_staged_rotation_is_consistent():
-    """The staged r9 rotation (registry.R9_STAGED_SWAPS) must stay
-    executable: every OUT name is currently IN the gate window, every IN
-    name is a registered never-gated query, and the swap keeps the window
-    at exactly 50 distinct names. Pins the staging as live data — the r7
-    regression was a staged rotation that existed only in a comment and
-    silently rotted."""
-    from bravo_spark.inventory.registry import R9_STAGED_SWAPS
+def test_staged_rotation_is_consistent():
+    """The staged next-round rotation (registry.R11_STAGED_SWAPS) must
+    stay executable: every OUT name is currently IN the gate window, every
+    IN name is a registered never-gated query, and the swap keeps the
+    window at exactly 50 distinct names. Pins the staging as live data —
+    the r7 regression was a staged rotation that existed only in a comment
+    and silently rotted."""
+    from bravo_spark.inventory.registry import R11_STAGED_SWAPS
 
     qs = _entry().queries()
     window = set(GATE_PRIORITY)
-    outs = [o for o, _ in R9_STAGED_SWAPS]
-    ins = [i for _, i in R9_STAGED_SWAPS]
+    outs = [o for o, _ in R11_STAGED_SWAPS]
+    ins = [i for _, i in R11_STAGED_SWAPS]
     assert len(set(outs)) == len(outs) and len(set(ins)) == len(ins)
     for o in outs:
         assert o in window, f"staged OUT {o} is not in the current gate"
