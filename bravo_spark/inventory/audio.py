@@ -1,13 +1,19 @@
-"""Pure-Python WAV/PCM audio codec + deterministic signal features.
+"""Pure-Python audio codecs (WAV / AIFF / AU) + deterministic features.
 
 The audio modality for the training-data pipeline, same tier contract as
-the image codecs (inventory/multimodal.py, jpeg.py, gif.py): RIFF/WAVE
-containers with integer PCM (8/16/24/32-bit, any channel count) decode
-REAL samples in-container with zero dependencies; compressed codecs
-(float PCM, A-law/µ-law, MP3-in-RIFF, extensible subformats we can't
-verify) refuse BY NAME — sample values are never faked. The encoder
-writes canonical 44-byte-header PCM WAV and is the test ground truth:
-integer PCM is lossless, so encode→decode round trips byte-exactly.
+the image codecs (inventory/multimodal.py, jpeg.py, gif.py). Three
+containers decode REAL samples in-container with zero dependencies:
+RIFF/WAVE, AIFF/AIFC (incl. 'sowt' little-endian and 80-bit
+extended-float rates), and Sun/NeXT .au. Sample formats: integer PCM
+(8/16/24/32-bit, any channel count, both endiannesses), G.711 A-law and
+µ-law expansion (audioop-cross-validated, reported as 16-bit linear),
+and IEEE float/double frames (WAV format 3, AU encodings 6/7, AIFC
+fl32/fl64) normalized to 16-bit linear via one shared clamp-and-round.
+Everything out of profile — MP3-in-RIFF, WAVE_FORMAT_EXTENSIBLE,
+ADPCM, non-finite float samples — refuses BY NAME; sample values are
+never faked. The encoder writes canonical 44-byte-header PCM WAV and is
+the test ground truth: integer PCM is lossless, so encode→decode round
+trips byte-exactly.
 
 Feature extraction (``pcm_features``) is integer-exact — peak, RMS in
 integer milli-units via isqrt, zero crossings, duration — so a SQL
@@ -111,12 +117,15 @@ def _parse(payload: bytes):
     if data is None:
         raise WavError("missing data chunk")
     audio_format, channels, sample_rate, _rate, _align, bits = fmt
-    if audio_format not in (1, 6, 7):
-        name = {3: "IEEE float", 0xFFFE: "extensible"}.get(
+    if audio_format not in (1, 3, 6, 7):
+        name = {0xFFFE: "extensible"}.get(
             audio_format, f"format {audio_format}"
         )
-        raise WavError(f"non-integer-PCM WAV ({name}) not supported pure-Python")
-    if audio_format in (6, 7):
+        raise WavError(f"non-PCM WAV ({name}) not supported pure-Python")
+    if audio_format == 3:
+        if bits not in (32, 64):
+            raise WavError(f"IEEE-float WAV must be 32- or 64-bit, got {bits}")
+    elif audio_format in (6, 7):
         if bits != 8:
             raise WavError(f"G.711 WAV must be 8-bit, got {bits}")
     elif bits not in (8, 16, 24, 32):
@@ -157,6 +166,34 @@ _ULAW_TABLE = [_ulaw_to_linear(i) for i in range(256)]
 _ALAW_TABLE = [_alaw_to_linear(i) for i in range(256)]
 
 
+def _float_to_i16(data: bytes, bits: int, byteorder: str) -> list[int]:
+    """IEEE float frames → signed 16-bit linear samples, the shared
+    normalization for float WAV (LE), float AU (BE), and AIFC fl32/fl64
+    (BE): clamp to [-1, 1], scale by 32767, round half away from zero.
+    Like G.711, the float is a storage format — bits reports 16.
+    Non-finite samples refuse by name (values are never faked)."""
+    width = bits // 8
+    count = len(data) // width
+    if count > _MAX_SAMPLES:
+        raise WavError("audio too large for in-container decode")
+    kind = "f" if bits == 32 else "d"
+    vals = struct.unpack(
+        ("<" if byteorder == "little" else ">") + str(count) + kind,
+        data[: count * width],
+    )
+    out = []
+    for f in vals:
+        if not math.isfinite(f):
+            raise WavError("non-finite float sample (NaN/Inf)")
+        if f > 1.0:
+            f = 1.0
+        elif f < -1.0:
+            f = -1.0
+        mag = math.floor(abs(f) * 32767 + 0.5)
+        out.append(mag if f >= 0 else -mag)
+    return out
+
+
 def wav_meta(payload: bytes) -> tuple[int, int, int, int, int]:
     """(sample_rate, channels, bits, n_frames, duration_ms) from the
     container — header-level, but the data chunk's framing is validated.
@@ -171,8 +208,12 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     for ≥16-bit, unsigned for 8-bit (the WAV convention, preserved so
     encode(decode(x)) is byte-exact for linear PCM). G.711 A-law/µ-law
     streams EXPAND to signed linear samples and report bits=16 — the
-    companded byte is a storage format, not a sample value."""
+    companded byte is a storage format, not a sample value. IEEE-float
+    streams (format 3, 32/64-bit) likewise normalize to 16-bit linear
+    via clamp-and-round (see _float_to_i16)."""
     fmt, channels, sample_rate, bits, data = _parse(payload)
+    if fmt == 3:
+        return sample_rate, channels, 16, _float_to_i16(data, bits, "little")
     if fmt in (6, 7):
         table = _ALAW_TABLE if fmt == 6 else _ULAW_TABLE
         return sample_rate, channels, 16, [table[b] for b in data]
@@ -224,8 +265,8 @@ def _be_pcm(data: bytes, bits: int) -> list[int]:
 def aiff_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     """AIFF / AIFC (IFF 'FORM') decode → (sample_rate, channels, bits,
     signed interleaved samples). AIFC compression types 'NONE' (BE PCM),
-    'sowt' (LE PCM), and G.711 'alaw'/'ulaw' decode; others refuse by
-    name."""
+    'sowt' (LE PCM), G.711 'alaw'/'ulaw', and IEEE 'fl32'/'fl64'
+    (normalized to 16-bit linear) decode; others refuse by name."""
     if len(payload) < 12 or payload[:4] != b"FORM":
         raise WavError("not an AIFF payload (missing FORM)")
     form_type = payload[8:12]
@@ -280,20 +321,25 @@ def aiff_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
         if len(data) > _MAX_SAMPLES:
             raise WavError("audio too large for in-container decode")
         return rate, channels, 16, [table[b] for b in data]
+    if comp in (b"fl32", b"FL32", b"fl64", b"FL64"):
+        fbits = 32 if comp.lower() == b"fl32" else 64
+        return rate, channels, 16, _float_to_i16(data, fbits, "big")
     raise WavError(
         f"AIFC compression {comp!r} not supported pure-Python "
-        "(NONE/sowt/alaw/ulaw only)"
+        "(NONE/sowt/alaw/ulaw/fl32/fl64 only)"
     )
 
 
 _AU_ENCODINGS = {1: ("ulaw", 8), 2: ("pcm", 8), 3: ("pcm", 16),
-                 4: ("pcm", 24), 5: ("pcm", 32), 27: ("alaw", 8)}
+                 4: ("pcm", 24), 5: ("pcm", 32), 27: ("alaw", 8),
+                 6: ("float", 32), 7: ("float", 64)}
 
 
 def au_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     """Sun/NeXT .au decode → (sample_rate, channels, bits, signed
     samples). Encodings: µ-law (1), A-law (27), linear PCM 8/16/24/32
-    (2-5); floats and ADPCM refuse by name."""
+    (2-5), IEEE float/double (6/7, normalized to 16-bit linear); ADPCM
+    refuses by name."""
     if len(payload) < 24 or payload[:4] != b".snd":
         raise WavError("not an AU payload (missing .snd)")
     offset, size, encoding, rate, channels = struct.unpack(
@@ -306,9 +352,7 @@ def au_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     end = len(payload) if size == 0xFFFFFFFF else min(len(payload), offset + size)
     data = payload[offset:end]
     if encoding not in _AU_ENCODINGS:
-        name = {6: "float32", 7: "float64", 23: "G.721 ADPCM"}.get(
-            encoding, f"encoding {encoding}"
-        )
+        name = {23: "G.721 ADPCM"}.get(encoding, f"encoding {encoding}")
         raise WavError(f"AU {name} not supported pure-Python")
     kind, bits = _AU_ENCODINGS[encoding]
     if len(data) // max(1, bits // 8) > _MAX_SAMPLES:
@@ -317,6 +361,8 @@ def au_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
         return rate, channels, 16, [_ULAW_TABLE[b] for b in data]
     if kind == "alaw":
         return rate, channels, 16, [_ALAW_TABLE[b] for b in data]
+    if kind == "float":
+        return rate, channels, 16, _float_to_i16(data, bits, "big")
     return rate, channels, bits, _be_pcm(data, bits)
 
 

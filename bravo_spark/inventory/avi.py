@@ -173,9 +173,12 @@ def avi_encode_mjpeg(
         n, 0, 1,           # total frames, initial frames, streams
         max_size, w, h, 0, 0, 0, 0,
     )
+    # AVISTREAMHEADER: flags, wPriority, wLanguage, then exactly 8 dwords
+    # (InitialFrames, Scale, Rate, Start, Length, SuggestedBufferSize,
+    # Quality, SampleSize) before the rcFrame shorts — 56 bytes total
     strh = (
         b"vids" + b"MJPG"
-        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_size, 0, 0, 0)
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_size, 0, 0)
         + struct.pack("<HHHH", 0, 0, w, h)
     )
     strf = struct.pack(

@@ -56,10 +56,15 @@ def bmp_decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     if planes != 1:
         raise BmpError(f"BMP planes must be 1, got {planes}")
     masks = None
-    if compression == 3 and bpp in (16, 32):
+    if compression == 3 and bpp not in (16, 32):
+        raise BmpError(
+            f"BMP BI_BITFIELDS with {bpp}-bit depth not supported "
+            "(16/32-bit only)"
+        )
+    if compression == 3:
         # BI_BITFIELDS: only the two canonical 16-bit layouts and the
         # byte-aligned 32-bit layout decode; exotic masks refuse
-        if 14 + hdr_size < 54 and len(payload) < 66:
+        if len(payload) < 66:
             raise BmpError("BI_BITFIELDS masks truncated")
         masks = struct.unpack_from("<III", payload, 54)
         known = {

@@ -79,11 +79,15 @@ def test_eight_bit_recentering():
 def test_out_of_profile_refusals_name_the_codec():
     base = bytearray(A.wav_encode(8000, 1, 16, [0] * 10))
     fmt_at = base.find(b"fmt ") + 8
-    for code, name in [(3, "IEEE float"), (0xFFFE, "extensible")]:
-        mut = bytearray(base)
-        struct.pack_into("<H", mut, fmt_at, code)
-        with pytest.raises(A.WavError, match=name):
-            A.wav_decode(bytes(mut))
+    mut = bytearray(base)
+    struct.pack_into("<H", mut, fmt_at, 0xFFFE)
+    with pytest.raises(A.WavError, match="extensible"):
+        A.wav_decode(bytes(mut))
+    # float WAV decodes since r10 — but only at its spec widths
+    mut = bytearray(base)
+    struct.pack_into("<H", mut, fmt_at, 3)  # IEEE float claiming 16-bit
+    with pytest.raises(A.WavError, match="IEEE-float"):
+        A.wav_decode(bytes(mut))
     # G.711 decodes since r8 — but only at its spec width
     mut = bytearray(base)
     struct.pack_into("<H", mut, fmt_at, 7)  # mu-law with 16-bit: invalid
@@ -288,9 +292,9 @@ def test_au_refusals_and_hand_built():
     rate, ch, bits, samples = A.au_decode(payload)
     assert (rate, ch, bits) == (8000, 1, 16)
     assert samples == [1000, -1000] * 5
-    # float encoding refuses by name
-    bad = b".snd" + struct.pack(">IIIII", 24, 4, 6, 8000, 1) + bytes(4)
-    with pytest.raises(A.WavError, match="float32"):
+    # ADPCM refuses by name (float decodes since r10)
+    bad = b".snd" + struct.pack(">IIIII", 24, 4, 23, 8000, 1) + bytes(4)
+    with pytest.raises(A.WavError, match="ADPCM"):
         A.au_decode(bad)
 
 
@@ -337,3 +341,85 @@ def test_aiff_au_malformed_fail_cleanly(container, cut, flip_pos, flip_val):
         assert rate >= 1 and ch >= 1
     except (A.WavError, ValueError):
         pass
+
+
+def _float_wav(vals, bits=32, rate=8000, channels=1) -> bytes:
+    kind = "f" if bits == 32 else "d"
+    data = struct.pack("<%d%s" % (len(vals), kind), *vals)
+    hdr = struct.pack(
+        "<HHIIHH", 3, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(hdr) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(hdr)) + hdr
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_float_wav_golden_values():
+    """IEEE-float WAV (format 3) normalizes to 16-bit linear: clamp to
+    [-1, 1], scale by 32767, round half away from zero. Golden vector
+    cross-checked against CPython floats."""
+    vals = [0.0, 1.0, -1.0, 0.5, -0.5, 2.5, -7.0, 1.0 / 3.0]
+    expect = [0, 32767, -32767, 16384, -16384, 32767, -32767,
+              round(32767 / 3)]
+    rate, ch, bits, samples = A.wav_decode(_float_wav(vals))
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert samples == expect
+    # 64-bit double path hits the same values exactly for these inputs
+    assert A.wav_decode(_float_wav(vals, bits=64))[3] == expect
+
+
+def test_float_rounding_is_half_away_from_zero():
+    # 0.5/32767 scales to exactly 0.5 in magnitude -> rounds to 1, not 0
+    eps = 0.5 / 32767
+    _, _, _, s = A.wav_decode(_float_wav([eps, -eps], bits=64))
+    assert s == [1, -1]
+
+
+def test_float_nonfinite_refuses_by_name():
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(A.WavError, match="non-finite"):
+            A.wav_decode(_float_wav([0.0, bad]))
+
+
+def test_float_cross_container_agreement():
+    """The same float recording stored as WAV (LE), AU encoding 6 (BE
+    f32), AU encoding 7 (BE f64), and AIFC fl32/fl64 must decode to the
+    same 16-bit linear samples through the one shared normalizer."""
+    vals = [0.25, -0.75, 0.001, -0.001, 0.9999, -0.123456]
+    want = A.wav_decode(_float_wav(vals))[3]
+
+    au32 = b".snd" + struct.pack(
+        ">IIIII", 24, 4 * len(vals), 6, 8000, 1
+    ) + struct.pack(">%df" % len(vals), *vals)
+    au64 = b".snd" + struct.pack(
+        ">IIIII", 24, 8 * len(vals), 7, 8000, 1
+    ) + struct.pack(">%dd" % len(vals), *vals)
+    assert A.au_decode(au32)[3] == want
+    assert A.au_decode(au64)[3] == want
+
+    for comp, kind, width in ((b"fl32", "f", 4), (b"fl64", "d", 8)):
+        comm = struct.pack(">hIh", 1, len(vals), width * 8)
+        comm += bytes.fromhex("400BFA00000000000000")  # 8000 Hz as f80
+        comm += comp + b"\x00"
+        ssnd = struct.pack(">II", 0, 0) + struct.pack(
+            ">%d%s" % (len(vals), kind), *vals
+        )
+        body = (
+            b"AIFC"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm + (b"\x00" * (len(comm) & 1))
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        )
+        payload = b"FORM" + struct.pack(">I", len(body)) + body
+        got = A.aiff_decode(payload)
+        assert got[0] == 8000 and got[2] == 16
+        assert got[3] == want, comp
+
+
+def test_float_wav_features_run():
+    feats = A.pcm_features(_float_wav([0.5, -0.5] * 20))
+    assert feats["n_frames"] == 40
+    assert feats["peak"] == 16384
+    assert feats["zero_crossings"] == 39

@@ -157,3 +157,22 @@ def test_second_stream_video_uses_right_chunk_prefix():
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     got = [f for _, f in V.avi_iter_frames(payload)]
     assert got == frames
+
+def test_strh_is_spec_56_bytes_with_rcframe_at_48():
+    """AVISTREAMHEADER has exactly 8 dwords between wLanguage and rcFrame;
+    the muxer once wrote a stray 9th, shifting rcFrame so spec-strict
+    third-party parsers misread it. Pin the 56-byte layout and the frame
+    rectangle's offset."""
+    frames = _frames(16, 8, 2)
+    payload = V.avi_encode_mjpeg(16, 8, frames, fps=10)
+    pos = payload.index(b"strh")
+    size = struct.unpack_from("<I", payload, pos + 4)[0]
+    assert size == 56
+    body = payload[pos + 8 : pos + 8 + size]
+    assert body[:4] == b"vids" and body[4:8] == b"MJPG"
+    scale, rate = struct.unpack_from("<II", body, 20)
+    assert (scale, rate) == (1, 10)
+    length = struct.unpack_from("<I", body, 32)[0]
+    assert length == 2
+    left, top, right, bottom = struct.unpack_from("<HHHH", body, 48)
+    assert (left, top, right, bottom) == (0, 0, 16, 8)

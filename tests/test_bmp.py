@@ -245,3 +245,29 @@ def test_rle_fuzz_never_hangs(seed, cut, flip_pos):
         assert len(raw) == w * h * 3
     except (B.BmpError, ValueError):
         pass
+
+
+def test_bitfields_truncated_raises_bmperror_not_struct_error():
+    """A BI_BITFIELDS payload cut before the mask dwords (offset 66) must
+    raise BmpError — pre-fix the guard could never fire for hdr_size>=40
+    and a raw struct.error leaked past decode_pixels' tiered fallback.
+    Plain 40-byte info header: the masks follow it OUTSIDE hdr_size, so
+    the header-overrun check cannot catch the cut."""
+    head = b"BM" + struct.pack("<IHHI", 66, 0, 0, 66)
+    head += struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 16, 3, 0, 0, 0, 0, 0,
+    )
+    assert len(head) == 54
+    for cut in (54, 60, 65):
+        with pytest.raises(B.BmpError, match="truncated"):
+            B.bmp_decode_pixels(head[:cut] + b"\x00" * max(0, cut - 54))
+
+
+def test_bitfields_with_invalid_depth_refuses_by_name():
+    """BI_BITFIELDS is only defined for 16/32-bit depths; a 24-bit payload
+    claiming it must refuse naming BI_BITFIELDS, not fall through to a
+    generic compression refusal (or worse, BI_RGB decode)."""
+    rows = bytes(6) + b"\x00\x00"
+    payload = _hand_bmp(2, 1, 24, rows, compression=3)
+    with pytest.raises(B.BmpError, match="BI_BITFIELDS.*24"):
+        B.bmp_decode_pixels(payload)
