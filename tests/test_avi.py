@@ -61,9 +61,11 @@ def test_odd_sized_frames_word_aligned():
 
 def test_foreign_codec_refused_by_name():
     payload = V.avi_encode_mjpeg(16, 16, _frames(16, 16, 2))
+    # 'DIB ' stays here: uncompressed frames are signaled by
+    # biCompression == 0, not by a 'DIB ' fourcc IN the compression field
     for fourcc in (b"H264", b"VP90", b"DIB "):
         bad = payload.replace(b"MJPG", fourcc)
-        with pytest.raises(V.AviError, match="MJPEG only"):
+        with pytest.raises(V.AviError, match="MJPEG/DIB only"):
             V.avi_meta(bad)
 
 
@@ -176,3 +178,59 @@ def test_strh_is_spec_56_bytes_with_rcframe_at_48():
     assert length == 2
     left, top, right, bottom = struct.unpack_from("<HHHH", body, 48)
     assert (left, top, right, bottom) == (0, 0, 16, 8)
+
+
+def _rgb_frames(w, h, n):
+    return [
+        bytes(((x + y * 3 + k * 11 + c * 5) % 256)
+              for y in range(h) for x in range(w) for c in range(3))
+        for k in range(n)
+    ]
+
+
+def test_dib_mux_demux_pixel_exact():
+    """Uncompressed 'DIB ' AVI: BI_RGB 24-bit frames are lossless, so
+    mux → avi_iter_frames_pixels recovers every frame byte-exactly
+    through the BMP pixel tier."""
+    frames = _rgb_frames(13, 7, 4)  # odd width: exercises row padding
+    payload = V.avi_encode_dib(13, 7, frames, fps=8)
+    assert V.avi_frame_codec(payload) == "dib"
+    assert V.avi_meta(payload) == (13, 7, 4, 8000, 500)
+    got = list(V.avi_iter_frames_pixels(payload))
+    assert [i for i, *_ in got] == list(range(4))
+    for i, fw, fh, mode, raw in got:
+        assert (fw, fh, mode) == (13, 7, "RGB")
+        assert raw == frames[i]
+
+
+def test_mjpeg_pixels_iterator_matches_direct_decode():
+    frames = _frames(16, 16, 2)
+    payload = V.avi_encode_mjpeg(16, 16, frames)
+    assert V.avi_frame_codec(payload) == "mjpg"
+    for (i, fw, fh, mode, raw), jpeg in zip(
+        V.avi_iter_frames_pixels(payload), frames
+    ):
+        assert (fw, fh, mode, raw) == J.jpeg_decode_pixels(jpeg)
+
+
+def test_dib_stored_frames_are_bare_pixel_arrays():
+    # 4-wide 24-bit rows are already 4-byte aligned: stride == w*3
+    frames = _rgb_frames(4, 2, 1)
+    payload = V.avi_encode_dib(4, 2, frames)
+    (_, stored), = V.avi_iter_frames(payload)
+    assert len(stored) == 4 * 2 * 3
+    # bottom-up BGR: the stored first row is the source LAST row reversed
+    top = frames[0][:12]
+    last_row_bgr = bytes(
+        b for x in range(4)
+        for b in frames[0][12 + 3 * x : 12 + 3 * x + 3][::-1]
+    )
+    assert stored[:12] == last_row_bgr
+    assert stored[12:15] == top[2::-1]
+
+
+def test_dib_bad_frame_size_refused():
+    with pytest.raises(V.AviError, match="not 4x2 RGB"):
+        V.avi_encode_dib(4, 2, [bytes(10)])
+    with pytest.raises(V.AviError, match="at least one frame"):
+        V.avi_encode_dib(4, 2, [])
