@@ -88,6 +88,34 @@ def wav_encode(
     )
 
 
+def wav_encode_float(
+    sample_rate: int, channels: int, vals: list[float], *, bits: int = 32
+) -> bytes:
+    """Canonical IEEE-float RIFF/WAVE encode (format 3, 32- or 64-bit
+    little-endian frames) — the test/query ground truth for the float
+    decode path."""
+    if bits not in (32, 64):
+        raise WavError(f"IEEE-float WAV must be 32- or 64-bit, got {bits}")
+    if channels < 1 or sample_rate < 1:
+        raise WavError("channels and sample_rate must be positive")
+    if len(vals) % channels:
+        raise WavError("sample count not a whole number of frames")
+    width = bits // 8
+    kind = "f" if bits == 32 else "d"
+    data = struct.pack("<%d%s" % (len(vals), kind), *vals)
+    fmt = struct.pack(
+        "<HHIIHH", 3, channels, sample_rate,
+        sample_rate * channels * width, channels * width, bits,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def _parse(payload: bytes):
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise WavError("not a RIFF/WAVE payload")

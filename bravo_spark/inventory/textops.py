@@ -566,6 +566,86 @@ def audio_wav_features(spark, sf_dir):
 
 
 @query(
+    "audio_float_features",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+    200 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 800 AS n,
+    100 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 900 AS m,
+    5 + CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) % 36 AS period
+  FROM documents)
+SELECT doc_id, n AS n_frames, n // 8 AS duration_ms,
+  CAST(FLOOR((3 * m * 32767.0) / 65536.0 + 0.5) AS BIGINT) AS peak,
+  CAST(FLOOR((3 * m * 32767.0) / 65536.0 + 0.5) AS BIGINT) * 1000
+    AS rms_milli,
+  (n - 1) // period AS zero_crossings
+FROM params
+""",
+)
+def audio_float_features(spark, sf_dir):
+    """The FLOAT-PCM audio path end-to-end: per document, synthesize a
+    square wave with md5-derived amplitude numerator m (float value
+    ±3m/65536 — a dyadic rational, exactly representable in float32, so
+    the normalization floor(|f|*32767 + 0.5) is reproducible closed-form
+    in any IEEE engine yet NOT the identity), container it as a real
+    IEEE-float RIFF/WAVE (format 3), decode through the shared
+    clamp-and-round normalizer, and extract the integer-exact features.
+    The oracle recomputes peak = floor(3m*32767/65536 + 0.5) and
+    RMS = peak exactly (square wave), so the driver's hash check covers
+    the float parse +
+    normalization + DSP path. Arrow-batched mapInPandas, map-only."""
+    from bravo_spark.inventory.audio import pcm_features, wav_encode_float
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def feature_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib as _hl
+        import struct as _st
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = _hl.md5(bytes(payload)).hexdigest()
+                n = 200 + int(digest[0:8], 16) % 800
+                m = 100 + int(digest[8:16], 16) % 900
+                period = 5 + int(digest[16:24], 16) % 36
+                # dyadic rational (odd numerator 3m over 2^16):
+                # exactly representable in float32, and the normalizer's
+                # floor(|f|*32767 + 0.5) is NOT the identity on it, so
+                # the oracle genuinely re-derives the quantization
+                amp = (3 * m) / 65536.0
+                # round-trip through float32 exactly as storage will
+                amp = _st.unpack("<f", _st.pack("<f", amp))[0]
+                wave = [
+                    amp if (i // period) % 2 == 0 else -amp
+                    for i in range(n)
+                ]
+                feats = pcm_features(wav_encode_float(8000, 1, wave))
+                rows.append(
+                    (
+                        doc_id, feats["n_frames"], feats["duration_ms"],
+                        feats["peak"], feats["rms_milli"],
+                        feats["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "duration_ms", "peak",
+                    "rms_milli", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        feature_batches,
+        schema="doc_id long, n_frames long, duration_ms long, peak long,"
+               " rms_milli long, zero_crossings long",
+    )
+
+
+@query(
     "video_avi_frame_sample",
     oracle="""
 WITH meta AS (
@@ -652,6 +732,93 @@ def video_avi_frame_sample(spark, sf_dir):
         sample_batches,
         schema="doc_id long, w long, h long, n_frames long, frame_idx long,"
                " within_tol long",
+    )
+
+
+@query(
+    "video_dib_frame_sample",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+    2 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 6 AS n_frames,
+    9 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 12 AS w,
+    7 + CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) % 8 AS h
+  FROM documents)
+SELECT doc_id, w, h, n_frames, unnest(list_distinct(
+  [CAST(0 AS BIGINT), n_frames // 2, n_frames - 1])) AS frame_idx,
+  CAST(1 AS BIGINT) AS exact
+FROM meta
+ORDER BY doc_id, frame_idx
+""",
+)
+def video_dib_frame_sample(spark, sf_dir):
+    """The RAW-video path of the video modality: per document, build an
+    uncompressed 'DIB ' AVI (md5-derived frame count and dims; every
+    frame a raw RGB gradient), demux it, and decode the sampled
+    first/middle/last frames through the BMP pixel tier
+    (avi_iter_frames_pixels). BI_RGB 24-bit is lossless, so the check is
+    BYTE-EXACT recovery (exact = 1) — stricter than the MJPEG sibling's
+    quantization tolerance; any demux offset, stride/padding, or
+    bottom-up row-order regression flips real rows red. Deliberately
+    odd, non-word-aligned widths exercise the 4-byte row padding.
+    Arrow-batched 1→k mapInPandas, map-only plan — the same shape as
+    video_avi_frame_sample (cf. reference test strategy: bravo's
+    roundtrip conformance tests, src/test/java/com/king/bravo)."""
+    from bravo_spark.inventory.avi import (
+        avi_encode_dib,
+        avi_iter_frames_pixels,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def sample_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib as _hl
+
+        def frame_raw(w: int, h: int, k: int) -> bytes:
+            return bytes(
+                ((x * 7 + k * 13) % 256, (y * 11 + k) % 256,
+                 (x + y * 3 + k * 29) % 256)[c]
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = _hl.md5(bytes(payload)).hexdigest()
+                n = 2 + int(digest[0:8], 16) % 6
+                w = 9 + int(digest[8:16], 16) % 12  # hits odd widths
+                h = 7 + int(digest[16:24], 16) % 8
+                raws = [frame_raw(w, h, k) for k in range(n)]
+                avi = avi_encode_dib(w, h, raws, fps=10)
+                decoded = {
+                    i: (fw, fh, mode, out)
+                    for i, fw, fh, mode, out in avi_iter_frames_pixels(avi)
+                }
+                assert len(decoded) == n
+                for idx in sorted({0, n // 2, n - 1}):
+                    fw, fh, mode, out = decoded[idx]
+                    ok = (
+                        1
+                        if (fw, fh, mode) == (w, h, "RGB")
+                        and out == raws[idx]
+                        else 0
+                    )
+                    rows.append((doc_id, fw, fh, n, idx, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "w", "h", "n_frames", "frame_idx", "exact",
+                ],
+            )
+
+    return docs.mapInPandas(
+        sample_batches,
+        schema="doc_id long, w long, h long, n_frames long, frame_idx long,"
+               " exact long",
     )
 
 

@@ -423,3 +423,19 @@ def test_float_wav_features_run():
     assert feats["n_frames"] == 40
     assert feats["peak"] == 16384
     assert feats["zero_crossings"] == 39
+
+
+def test_wav_encode_float_is_canonical():
+    """wav_encode_float writes the same bytes as the hand-built format-3
+    container and round-trips through wav_decode; 64-bit double variant
+    included."""
+    vals = [0.25, -0.125, 0.75, -0.5]
+    assert A.wav_encode_float(8000, 1, vals) == _float_wav(vals)
+    assert A.wav_encode_float(8000, 1, vals, bits=64) == _float_wav(vals, bits=64)
+    sr, ch, bits, samples = A.wav_decode(A.wav_encode_float(11025, 2, vals))
+    assert (sr, ch, bits) == (11025, 2, 16)
+    assert samples == [8192, -4096, 24575, -16384]
+    with pytest.raises(A.WavError, match="32- or 64-bit"):
+        A.wav_encode_float(8000, 1, vals, bits=16)
+    with pytest.raises(A.WavError, match="whole number of frames"):
+        A.wav_encode_float(8000, 3, vals)
