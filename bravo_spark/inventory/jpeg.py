@@ -462,7 +462,7 @@ def _decode_scan(
     if total_px > 64_000_000:
         raise JpegError("image too large for in-container decode (>64 MP planes)")
 
-    planes = []
+    coef = []
     for c in comps:
         if c["tq"] not in qt:
             raise JpegError(f"component references missing DQT table {c['tq']}")
@@ -471,8 +471,8 @@ def _decode_scan(
         td, ta = scan_sel[c["id"]]
         if td not in huff_dc or ta not in huff_ac:
             raise JpegError("SOS references missing Huffman table")
-        planes.append(
-            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        coef.append(
+            np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
         )
 
     br = _BitReader(data, pos)
@@ -486,19 +486,19 @@ def _decode_scan(
             for ci, c in enumerate(comps):
                 td, ta = scan_sel[c["id"]]
                 dct, act = huff_dc[td], huff_ac[ta]
-                q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         coeffs = _decode_block(br, dct, act)
                         coeffs[0] += pred[ci]
                         pred[ci] = coeffs[0]
-                        block = (coeffs * q).reshape(8, 8).astype(np.float64)
-                        px = _C.T @ block @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                        coef[ci][my * c["v"] + by, mx * c["h"] + bx] = coeffs
             mcu_count += 1
 
+    # one batched dequant + IDCT per plane — the entropy loop above is
+    # inherently serial, but the transform is not
+    planes = [
+        _idct_plane(coef[ci], qt[c["tq"]]) for ci, c in enumerate(comps)
+    ]
     return _assemble(frame, planes)
 
 
@@ -535,11 +535,39 @@ def _assemble(frame, planes) -> tuple[int, int, str, bytes]:
     return w_img, h_img, "RGB", out.tobytes()
 
 
-def _decode_block(br: _BitReader, dct: _HuffTable, act: _HuffTable) -> np.ndarray:
+def _idct_plane(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Batched dequantize + 2-D IDCT: (bh, bw, 64) natural-order integer
+    coefficients → (bh*8, bw*8) float pixel plane with the +128 level
+    shift. One broadcasted matmul pair replaces per-block 8×8 products;
+    row-chunked so the float64 transient stays bounded at the 64 MP
+    cap."""
+    bh, bw = coef.shape[:2]
+    qv = q.reshape(64).astype(np.float64)
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    chunk = max(1, 2_000_000 // max(1, bw * 64))  # ~2M coeffs per slice
+    for r0 in range(0, bh, chunk):
+        part = coef[r0 : r0 + chunk].astype(np.float64) * qv
+        n = part.shape[0]
+        blocks = part.reshape(n, bw, 8, 8)
+        # C.T @ block @ C as two axis contractions — ONE big GEMM each,
+        # instead of gufunc-looped per-block 8×8 matmuls (~60× faster)
+        t1 = np.tensordot(blocks, _C, axes=([2], [0]))  # → (n,bw,col,i)
+        px = np.tensordot(t1, _C, axes=([2], [0])) + 128.0  # → (n,bw,i,l)
+        out[r0 * 8 : (r0 + n) * 8] = (
+            px.transpose(0, 2, 1, 3).reshape(n * 8, bw * 8)
+        )
+    return out
+
+
+_ZIGZAG_L = ZIGZAG.tolist()  # plain-int lookup for the hot decode loop
+
+
+def _decode_block(br: _BitReader, dct: _HuffTable, act: _HuffTable) -> list[int]:
     """One 8×8 block of dequantization-ready coefficients in NATURAL
-    (row-major) order; [0] is the DC *difference* (caller adds the
-    predictor)."""
-    coeffs = np.zeros(64, dtype=np.int32)
+    (row-major) order as a plain Python list (scalar numpy writes are
+    ~3× slower in this hot loop); [0] is the DC *difference* (caller
+    adds the predictor)."""
+    coeffs = [0] * 64
     t = br.decode(dct)
     if t > 15:
         raise JpegError("DC category > 15")
@@ -556,7 +584,7 @@ def _decode_block(br: _BitReader, dct: _HuffTable, act: _HuffTable) -> np.ndarra
         k += r
         if k > 63:
             raise JpegError("AC run past end of block")
-        coeffs[ZIGZAG[k]] = _extend(br.receive(s), s)
+        coeffs[_ZIGZAG_L[k]] = _extend(br.receive(s), s)
         k += 1
     return coeffs
 
@@ -844,16 +872,7 @@ def _progressive_reconstruct(frame, qt, coefs, mcux, mcuy):
     for ci, c in enumerate(comps):
         if c["tq"] not in qt:
             raise JpegError(f"component references missing DQT table {c['tq']}")
-        q = qt[c["tq"]]
-        bh, bw = coefs[ci].shape[:2]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        for byi in range(bh):
-            for bxi in range(bw):
-                block = (coefs[ci][byi, bxi] * q).reshape(8, 8).astype(np.float64)
-                plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = (
-                    _C.T @ block @ _C + 128.0
-                )
-        planes.append(plane)
+        planes.append(_idct_plane(coefs[ci], qt[c["tq"]]))
     return _assemble(frame, planes)
 
 
@@ -917,49 +936,62 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, (v if v >= 0 else v - 1) & ((1 << t) - 1)
 
 
-def _encode_plane_blocks(
-    bw: _BitWriter,
-    plane: np.ndarray,
-    q: np.ndarray,
-    dc_tab,
-    ac_tab,
-    pred: int,
-) -> int:
-    h, w = plane.shape
-    for y0 in range(0, h, 8):
-        for x0 in range(0, w, 8):
-            block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-            coeffs = _C @ block @ _C.T
-            # round-half-away quantization, the conventional choice
-            zz = coeffs.reshape(-1)[ZIGZAG]
-            qz = np.sign(zz) * np.floor(np.abs(zz) / q.reshape(-1)[ZIGZAG] + 0.5)
-            qz = qz.astype(np.int64)
-            diff = int(qz[0]) - pred
-            pred = int(qz[0])
-            t, bits_ = _magnitude(diff)
-            code, n = dc_tab[t]
+def _quantized_blocks(pad: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) round-half-away quantized coefficients in ZIGZAG
+    order for every 8×8 block of an 8-multiple plane — one batched
+    forward DCT per row-chunk instead of per-block 8×8 matmuls. The ONE
+    quantization routine both the baseline and progressive encoders use,
+    so their coefficient grids are identical by construction."""
+    h, w = pad.shape
+    bh, bw = h // 8, w // 8
+    qv = q.reshape(64)[ZIGZAG].astype(np.float64)
+    out = np.empty((bh, bw, 64), dtype=np.int64)
+    chunk = max(1, 2_000_000 // max(1, bw * 64))  # bound the float64 transient
+    for r0 in range(0, bh, chunk):
+        rows = pad[r0 * 8 : (r0 + chunk) * 8] - 128.0  # contiguous first
+        n = rows.shape[0] // 8
+        blocks = rows.reshape(n, 8, bw, 8).transpose(0, 2, 1, 3)
+        # C @ block @ C.T as two axis contractions (one big GEMM each)
+        t1 = np.tensordot(blocks, _C, axes=([2], [1]))  # → (n,bw,col,i)
+        t2 = np.tensordot(t1, _C, axes=([2], [1]))  # → (n,bw,i,l)
+        zz = t2.reshape(n, bw, 64)[:, :, ZIGZAG]
+        # round half away from zero in one pass: trunc(x + copysign(.5,x))
+        out[r0 : r0 + n] = (zz / qv + np.copysign(0.5, zz)).astype(np.int64)
+    return out
+
+
+def _write_block(bw: _BitWriter, qz: list[int], dc_tab, ac_tab, pred: int) -> int:
+    """Entropy-code one block's ZIGZAG-order quantized coefficients
+    (plain Python list) and return the new DC predictor."""
+    diff = qz[0] - pred
+    t, bits_ = _magnitude(diff)
+    code, n = dc_tab[t]
+    bw.write(code, n)
+    bw.write(bits_, t)
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if qz[k]:
+            last_nz = k
+            break
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = qz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, n = ac_tab[0xF0]  # ZRL
             bw.write(code, n)
-            bw.write(bits_, t)
-            run = 0
-            last_nz = int(np.max(np.nonzero(qz)[0])) if np.any(qz[1:]) else 0
-            for k in range(1, 64):
-                v = int(qz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, n = ac_tab[0xF0]  # ZRL
-                    bw.write(code, n)
-                    run -= 16
-                t, bits_ = _magnitude(v)
-                code, n = ac_tab[(run << 4) | t]
-                bw.write(code, n)
-                bw.write(bits_, t)
-                run = 0
-            if last_nz < 63:
-                code, n = ac_tab[0x00]  # EOB
-                bw.write(code, n)
-    return pred
+            run -= 16
+        t, bits_ = _magnitude(v)
+        code, n = ac_tab[(run << 4) | t]
+        bw.write(code, n)
+        bw.write(bits_, t)
+        run = 0
+    if last_nz < 63:
+        code, n = ac_tab[0x00]  # EOB
+        bw.write(code, n)
+    return qz[0]
 
 
 _SAMPLINGS = {
@@ -1036,13 +1068,14 @@ def jpeg_encode(
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    # pad each plane to its MCU-grid size by edge replication
-    padded = []
-    for (fh, fv), p in zip(factors, planes):
+    # pad each plane to its MCU-grid size by edge replication, then
+    # quantize every block in one batched pass (zigzag-order int lists;
+    # only the serial entropy write remains in the MCU loop)
+    qz_lists = []
+    for (fh, fv), p, qi in zip(factors, planes, qids):
         th, tw = mcuy * fv * 8, mcux * fh * 8
-        padded.append(
-            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
-        )
+        pad = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        qz_lists.append(_quantized_blocks(pad, qts[qi]).tolist())
 
     out = bytearray(b"\xff\xd8")
     out += (
@@ -1092,11 +1125,9 @@ def jpeg_encode(
                 fh, fv = factors[ci]
                 for by in range(fv):
                     for bx in range(fh):
-                        y0 = (my * fv + by) * 8
-                        x0 = (mx * fh + bx) * 8
-                        preds[ci] = _encode_plane_blocks(
-                            bw, padded[ci][y0 : y0 + 8, x0 : x0 + 8],
-                            qts[qids[ci]], dc_tabs[ci], ac_tabs[ci], preds[ci],
+                        preds[ci] = _write_block(
+                            bw, qz_lists[ci][my * fv + by][mx * fh + bx],
+                            dc_tabs[ci], ac_tabs[ci], preds[ci],
                         )
             mcu_count += 1
     bw.flush()
@@ -1167,21 +1198,14 @@ def jpeg_encode_progressive(
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    # quantized zigzag coefficients for every block of the padded grids
+    # quantized zigzag coefficients for every block of the padded grids —
+    # the SAME batched routine as the baseline encoder, so both encodings
+    # carry identical coefficients by construction
     qz_all = []
     for (fh, fv), p, qi in zip(factors, planes, qids):
         th, tw = mcuy * fv * 8, mcux * fh * 8
         pad = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
-        q = qts[qi].reshape(-1)[ZIGZAG].astype(np.float64)
-        grid = np.zeros((th // 8, tw // 8, 64), dtype=np.int64)
-        for byi in range(th // 8):
-            for bxi in range(tw // 8):
-                block = pad[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] - 128.0
-                zz = (_C @ block @ _C.T).reshape(-1)[ZIGZAG]
-                grid[byi, bxi] = (
-                    np.sign(zz) * np.floor(np.abs(zz) / q + 0.5)
-                ).astype(np.int64)
-        qz_all.append(grid)
+        qz_all.append(_quantized_blocks(pad, qts[qi]))
 
     out = bytearray(b"\xff\xd8")
     out += (
