@@ -14,5 +14,6 @@ from bravo_spark.inventory import streaming  # noqa: F401
 from bravo_spark.inventory import sampling  # noqa: F401
 from bravo_spark.inventory import formats  # noqa: F401
 from bravo_spark.inventory import tpch  # noqa: F401
+from bravo_spark.inventory import graph  # noqa: F401
 from bravo_spark.inventory import pipeline  # noqa: F401
 from bravo_spark.inventory import state_store  # noqa: F401
