@@ -566,6 +566,73 @@ def audio_wav_features(spark, sf_dir):
 
 
 @query(
+    "quality_calibration_by_source",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+    len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS score
+  FROM documents),
+ranked AS (
+  SELECT source, score,
+    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM scored)
+SELECT source,
+  CASE WHEN n = 1 THEN 0
+       ELSE LEAST(9, ((rk - 1) * 10) // (n - 1)) END AS decile,
+  count(*) AS n_docs, min(score) AS min_score, max(score) AS max_score
+FROM ranked
+GROUP BY source, CASE WHEN n = 1 THEN 0
+                      ELSE LEAST(9, ((rk - 1) * 10) // (n - 1)) END
+""",
+)
+def quality_calibration_by_source(spark, sf_dir):
+    """Per-domain quality calibration: a raw quality signal (here token
+    count; any integer score plugs in) is NOT comparable across sources
+    — a p50 news article and a p50 forum post differ wildly — so rank-
+    normalize within source before any global threshold. Deciles are
+    computed from integer ranks with floor division (no percent_rank
+    float), so every bucket boundary is bit-identical cross-engine; ties
+    break on doc_id for determinism.
+
+    Scale shape: one shuffle on the calibration key (source), ranking as
+    a within-partition window, then partial-aggregated decile stats —
+    output is O(sources × 10). The exact-rank form is the
+    oracle-checkable variant; at 100 TB with mega-domains you'd swap the
+    window for approx percentile boundaries (approx_sketch_accuracy
+    gates that path) and keep this as the acceptance check."""
+    from pyspark.sql import Window as _W
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).cast("long").alias("score"),
+    )
+    w = _W.partitionBy("source").orderBy("score", "doc_id")
+    ranked = scored.select(
+        "source",
+        "score",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(_W.partitionBy("source")).alias("n"),
+    )
+    decile = F.when(F.col("n") == 1, F.lit(0)).otherwise(
+        F.least(F.lit(9), F.expr("((rk - 1) * 10) div (n - 1)"))
+    )
+    return (
+        ranked.withColumn("decile", decile.cast("long"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+@query(
     "audio_float_features",
     oracle="""
 WITH params AS (

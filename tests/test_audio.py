@@ -439,3 +439,31 @@ def test_wav_encode_float_is_canonical():
         A.wav_encode_float(8000, 1, vals, bits=16)
     with pytest.raises(A.WavError, match="whole number of frames"):
         A.wav_encode_float(8000, 3, vals)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cut=st.integers(0, 80),
+    flip_pos=st.integers(0, 79),
+    flip_val=st.integers(1, 255),
+    mode=st.sampled_from(["truncate", "flip", "both"]),
+)
+def test_float_malformed_streams_fail_cleanly(cut, flip_pos, flip_val, mode):
+    """The float-WAV path honors the same never-hang contract as integer
+    PCM: truncations and bitflips either decode to a plausible frame or
+    raise WavError — never a raw struct.error, never a hang. A flipped
+    exponent byte can surface NaN/Inf, which must refuse by name."""
+    good = A.wav_encode_float(8000, 1, [((i * 13) % 200 - 100) / 128.0
+                                        for i in range(30)])
+    data = bytearray(good)
+    if mode in ("truncate", "both"):
+        data = data[: max(4, len(data) - cut % len(data))]
+    if mode in ("flip", "both") and len(data) > 5:
+        p = 4 + flip_pos % (len(data) - 4)
+        data[p] ^= flip_val
+    try:
+        sr, ch, bits, samples = A.wav_decode(bytes(data))
+        assert sr >= 1 and ch >= 1 and bits in (8, 16, 24, 32)
+        assert all(-32767 <= s <= 32767 for s in samples) or bits != 16
+    except (A.WavError, ValueError):
+        pass
