@@ -151,3 +151,97 @@ def partitioned_prune_scan(spark, sf_dir):
     return back.groupBy("event_type").agg(
         F.count("*").alias("cnt"), F.max("user_id").alias("max_user")
     )
+
+
+_MERGE_ORACLE = """
+WITH bucketed AS (
+  SELECT doc_id, text, n_chars,
+    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 20 AS b
+  FROM documents),
+changeset AS (
+  SELECT doc_id AS key, 'delete' AS op, NULL AS new_text
+  FROM bucketed WHERE b = 0
+  UNION ALL
+  SELECT doc_id AS key, 'update' AS op, text || ' [rev2]' AS new_text
+  FROM bucketed WHERE b = 1
+  UNION ALL
+  SELECT doc_id + 10000000 AS key, 'insert' AS op, 'new: ' || text AS new_text
+  FROM bucketed WHERE b = 2),
+merged AS (
+  SELECT
+    CASE
+      WHEN c.op IS NULL THEN 'kept'
+      WHEN c.op = 'delete' THEN 'deleted'
+      WHEN c.op = 'update' THEN 'updated'
+      ELSE 'inserted' END AS status,
+    CASE
+      WHEN c.op IS NULL THEN t.text
+      WHEN c.op = 'delete' THEN NULL
+      ELSE c.new_text END AS final_text
+  FROM bucketed t
+  FULL OUTER JOIN changeset c ON t.doc_id = c.key)
+SELECT status, count(*) AS n_docs,
+  CAST(COALESCE(SUM(length(final_text)), 0) AS BIGINT) AS sum_chars
+FROM merged GROUP BY status
+"""
+
+
+@query("corpus_merge_upsert", oracle=_MERGE_ORACLE)
+def corpus_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics without a table format: apply a changeset
+    (deletes / updates / inserts, here md5-derived so the oracle can
+    recompute it) to the corpus via ONE full-outer join on the key —
+    matched+delete drops the row, matched+update rewrites it, unmatched
+    source rows insert, unmatched target rows pass through. This is the
+    dataset-versioning primitive (tombstone + rewrite + append) that
+    Delta/Iceberg MERGE compiles to; on plain parquet you run exactly
+    this join and rewrite the partition.
+
+    Scale shape: one shuffle on the merge key for each side of the join
+    (the changeset side is usually far smaller — broadcast it when it
+    fits); output here is the O(4)-row audit summary with an integer
+    content checksum per status, so the driver hash-checks the full
+    merge decision table. Cf. reference transform flow
+    (bravo/README.md:127-166) — read, modify, write back — generalized
+    to row-level changesets."""
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+        % 20
+    )
+    bucketed = docs.withColumn("b", b)
+    deletes = bucketed.filter(F.col("b") == 0).select(
+        F.col("doc_id").alias("key"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("new_text"),
+    )
+    updates = bucketed.filter(F.col("b") == 1).select(
+        F.col("doc_id").alias("key"),
+        F.lit("update").alias("op"),
+        F.concat(F.col("text"), F.lit(" [rev2]")).alias("new_text"),
+    )
+    inserts = bucketed.filter(F.col("b") == 2).select(
+        (F.col("doc_id") + 10_000_000).alias("key"),
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("new: "), F.col("text")).alias("new_text"),
+    )
+    changeset = deletes.unionByName(updates).unionByName(inserts)
+    merged = bucketed.join(
+        changeset, bucketed["doc_id"] == changeset["key"], "full_outer"
+    ).select(
+        F.when(F.col("op").isNull(), F.lit("kept"))
+        .when(F.col("op") == "delete", F.lit("deleted"))
+        .when(F.col("op") == "update", F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+        .alias("status"),
+        F.when(F.col("op").isNull(), F.col("text"))
+        .when(F.col("op") == "delete", F.lit(None).cast("string"))
+        .otherwise(F.col("new_text"))
+        .alias("final_text"),
+    )
+    return merged.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.length("final_text")), F.lit(0)).alias("sum_chars"),
+    )
