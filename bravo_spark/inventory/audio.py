@@ -33,12 +33,15 @@ import struct
 __all__ = [
     "WavError",
     "wav_encode",
+    "wav_encode_float",
     "wav_decode",
     "wav_meta",
     "aiff_decode",
     "au_decode",
     "audio_decode",
+    "pcm_decimate",
     "pcm_features",
+    "signal_features",
 ]
 
 _MAX_SAMPLES = 256_000_000  # in-container decode ceiling (~16 min of 48k stereo)
@@ -406,6 +409,19 @@ def audio_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     raise WavError("unrecognized audio container (RIFF/FORM/.snd)")
 
 
+def pcm_decimate(samples: list[int], k: int) -> list[int]:
+    """Integer boxcar decimation by ``k``: each output sample is the
+    floor mean of ``k`` consecutive inputs (single channel). The
+    anti-alias prefilter + downsample pair of a 48k→16k/16k→8k resample
+    chain, kept integer-exact (floor division) so results are
+    bit-identical in any engine; a trailing partial window is dropped
+    whole, mirroring the codecs' torn-frame rule."""
+    if k < 1:
+        raise WavError("decimation factor must be >= 1")
+    n = len(samples) - len(samples) % k
+    return [sum(samples[i : i + k]) // k for i in range(0, n, k)]
+
+
 def pcm_features(payload: bytes) -> dict[str, int]:
     """Integer-exact signal features of the FIRST channel:
 
@@ -422,6 +438,12 @@ def pcm_features(payload: bytes) -> dict[str, int]:
     first = samples[::channels]
     if bits == 8 and is_wav:
         first = [s - 128 for s in first]
+    return signal_features(first, sample_rate)
+
+
+def signal_features(first: list[int], sample_rate: int) -> dict[str, int]:
+    """The feature computation of :func:`pcm_features` over an already-
+    decoded single-channel signal (e.g. after :func:`pcm_decimate`)."""
     n = len(first)
     if n == 0:
         return {

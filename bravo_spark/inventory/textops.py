@@ -713,6 +713,82 @@ def audio_float_features(spark, sf_dir):
 
 
 @query(
+    "audio_resample_features",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+    5 * (40 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 160) AS n,
+    100 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 900 AS amp,
+    5 * (1 + CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) % 7) AS period
+  FROM documents)
+SELECT doc_id, n // 5 AS n_frames, (n // 5) * 1000 // 1600 AS duration_ms,
+  amp AS peak, amp * 1000 AS rms_milli,
+  (n // 5 - 1) // (period // 5) AS zero_crossings
+FROM params
+""",
+)
+def audio_resample_features(spark, sf_dir):
+    """The resample stage of an audio pipeline: decode a real 16-bit
+    PCM WAV, boxcar-decimate by 5 (the integer-exact anti-alias +
+    downsample pair of a 48k→16k chain), and extract features of the
+    downsampled signal. Wave length and period are multiples of the
+    factor, so every boxcar window lies inside one square-wave plateau
+    and the decimated signal is closed-form — a square wave of length
+    n/5 and period p/5 at the same amplitude — which the oracle
+    recomputes from the same md5: any off-by-one in window alignment,
+    the torn-window drop rule, or the floor mean flips real rows red.
+    Arrow-batched mapInPandas, map-only."""
+    from bravo_spark.inventory.audio import (
+        pcm_decimate,
+        signal_features,
+        wav_decode,
+        wav_encode,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def feature_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = _hl.md5(bytes(payload)).hexdigest()
+                n = 5 * (40 + int(digest[0:8], 16) % 160)
+                amp = 100 + int(digest[8:16], 16) % 900
+                period = 5 * (1 + int(digest[16:24], 16) % 7)
+                wave = [
+                    amp if (i // period) % 2 == 0 else -amp for i in range(n)
+                ]
+                _sr, _ch, _bits, samples = wav_decode(
+                    wav_encode(8000, 1, 16, wave)
+                )
+                feats = signal_features(pcm_decimate(samples, 5), 1600)
+                rows.append(
+                    (
+                        doc_id, feats["n_frames"], feats["duration_ms"],
+                        feats["peak"], feats["rms_milli"],
+                        feats["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "duration_ms", "peak",
+                    "rms_milli", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        feature_batches,
+        schema="doc_id long, n_frames long, duration_ms long, peak long,"
+               " rms_milli long, zero_crossings long",
+    )
+
+
+@query(
     "video_avi_frame_sample",
     oracle="""
 WITH meta AS (

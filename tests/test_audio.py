@@ -467,3 +467,28 @@ def test_float_malformed_streams_fail_cleanly(cut, flip_pos, flip_val, mode):
         assert all(-32767 <= s <= 32767 for s in samples) or bits != 16
     except (A.WavError, ValueError):
         pass
+
+
+def test_pcm_decimate_golden():
+    """Boxcar decimation: floor mean per window, trailing partial window
+    dropped whole, negatives floor toward -inf only when unaligned
+    (plateau-aligned windows are exact)."""
+    assert A.pcm_decimate([1, 2, 3, 4, 5, 6], 2) == [1, 3, 5]
+    assert A.pcm_decimate([10, 10, -10, -10], 2) == [10, -10]
+    assert A.pcm_decimate([1, 2, 3, 4, 5], 2) == [1, 3]  # torn window
+    assert A.pcm_decimate([-1, -2], 2) == [-2]  # floor: (-3)//2 = -2
+    assert A.pcm_decimate([7, 8, 9], 1) == [7, 8, 9]
+    with pytest.raises(A.WavError, match=">= 1"):
+        A.pcm_decimate([1], 0)
+
+
+def test_decimated_square_wave_is_square():
+    amp, period, n, k = 500, 15, 150, 5
+    wave = [amp if (i // period) % 2 == 0 else -amp for i in range(n)]
+    dec = A.pcm_decimate(wave, k)
+    want = [amp if (i // (period // k)) % 2 == 0 else -amp
+            for i in range(n // k)]
+    assert dec == want
+    f = A.signal_features(dec, 1600)
+    assert f["peak"] == amp and f["rms_milli"] == amp * 1000
+    assert f["zero_crossings"] == (n // k - 1) // (period // k)

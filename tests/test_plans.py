@@ -465,9 +465,11 @@ def test_r8_modality_queries_are_map_only_and_pruned(plans):
         "multimodal_gif_frame_sample",
         "audio_wav_features",
         "video_avi_frame_sample",
-        # r10 additions: float-PCM audio and raw-DIB video, same contract
+        # r10 additions: float-PCM audio, raw-DIB video, and the
+        # decimation stage, same contract
         "audio_float_features",
         "video_dib_frame_sample",
+        "audio_resample_features",
     ):
         p = plans(name)
         assert "Exchange" not in p, name
