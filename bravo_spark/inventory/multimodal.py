@@ -449,6 +449,49 @@ def _resample_nearest(
     return bytes(out)
 
 
+def resample_bilinear(
+    raw: bytes, w: int, h: int, bpp: int, out_w: int, out_h: int
+) -> bytes:
+    """Integer fixed-point bilinear resample — the kernel real training
+    pipelines resize with (nearest keeps hard aliasing), kept
+    bit-identical across environments: no float scale factors anywhere.
+
+    Same CENTER-based grid as ``_resample_nearest``: the source
+    coordinate of output ``d`` is ``(d + 0.5) * in/out - 0.5``, carried
+    as the exact numerator ``(2d + 1) * in - out`` over denominator
+    ``2 * out`` (clamped to [0, (in-1)*2*out] at the edges, where the
+    interpolation degenerates to the edge pixel). The four-tap weighted
+    sum stays an exact integer over ``(2*out_w) * (2*out_h)`` and is
+    rounded half-up once at the end, so linear gradients reproduce
+    closed-form — the property the oracle checks."""
+    import numpy as np
+
+    arr = (
+        np.frombuffer(raw, dtype=np.uint8)
+        .reshape(h, w, bpp)
+        .astype(np.int64)
+    )
+
+    def axis(inn: int, out: int):
+        den = 2 * out
+        d = np.arange(out, dtype=np.int64)
+        pos = np.clip((2 * d + 1) * inn - out, 0, (inn - 1) * den)
+        i0 = pos // den
+        fn = pos - i0 * den
+        i1 = np.minimum(i0 + 1, inn - 1)
+        fn = np.where(i0 >= inn - 1, 0, fn)
+        return i0, i1, fn, den
+
+    x0, x1, fx, dx = axis(w, out_w)
+    y0, y1, fy, dy = axis(h, out_h)
+    fxc = fx[None, :, None]
+    top = arr[y0][:, x0] * (dx - fxc) + arr[y0][:, x1] * fxc
+    bot = arr[y1][:, x0] * (dx - fxc) + arr[y1][:, x1] * fxc
+    num = top * (dy - fy)[:, None, None] + bot * fy[:, None, None]
+    den = dx * dy
+    return ((num + den // 2) // den).astype(np.uint8).tobytes()
+
+
 def decode_pixels(payload: bytes):
     """Full pixel decode → (width, height, mode, raw bytes).
 

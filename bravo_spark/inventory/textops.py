@@ -713,6 +713,100 @@ def audio_float_features(spark, sf_dir):
 
 
 @query(
+    "multimodal_bilinear_resize",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+    8 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 17 AS w,
+    6 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 11 AS h,
+    10 + CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) % 40 AS p,
+    1 + CAST(('0x' || substr(md5(text), 25, 4)) AS BIGINT) % 5 AS q,
+    1 + CAST(('0x' || substr(md5(text), 29, 4)) AS BIGINT) % 5 AS r
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, p, q, r, idx,
+    LEAST(GREATEST((2 * (idx % 16) + 1) * w - 16, 0), (w - 1) * 32) AS sx,
+    LEAST(GREATEST((2 * (idx // 16) + 1) * h - 10, 0), (h - 1) * 20) AS sy
+  FROM params, (SELECT UNNEST(generate_series(0, 159)) AS idx) g)
+SELECT doc_id,
+  CAST(16 AS BIGINT) AS out_w, CAST(10 AS BIGINT) AS out_h,
+  CAST(SUM(((p * 640 + q * sx * 20 + r * sy * 32 + 320) // 640)
+      * (idx + 1)) AS BIGINT) AS checksum,
+  CAST(1 AS BIGINT) AS exact
+FROM px GROUP BY doc_id
+""",
+)
+def multimodal_bilinear_resize(spark, sf_dir):
+    """The BILINEAR tier of the pixel pipeline, value-checked: per
+    document, synthesize a linear grayscale gradient p + q·x + r·y
+    (md5-derived, wrap-free by construction), round-trip it through the
+    real PNG codec, resample to 16×10 with the integer fixed-point
+    bilinear kernel, and checksum the actual output pixels
+    (Σ value·(idx+1)). Bilinear interpolation reproduces linear
+    polynomials, so the oracle recomputes every output pixel closed-form
+    — p·D + q·sx·dy + r·sy·dx over D with one half-up rounding — from
+    the same md5 and GROUP-BY-sums the identical checksum: any grid,
+    clamp, weight, or rounding drift flips real rows red (stronger than
+    a tolerance flag — exact values). Arrow-batched mapInPandas,
+    map-only."""
+    from bravo_spark.inventory.multimodal import (
+        png_decode_pixels,
+        png_encode,
+        resample_bilinear,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    OW, OH = 16, 10
+
+    def resize_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = _hl.md5(bytes(payload)).hexdigest()
+                w = 8 + int(digest[0:8], 16) % 17
+                h = 6 + int(digest[8:16], 16) % 11
+                p = 10 + int(digest[16:24], 16) % 40
+                q = 1 + int(digest[24:28], 16) % 5
+                r = 1 + int(digest[28:32], 16) % 5
+                raw = bytes(
+                    p + q * x + r * y for y in range(h) for x in range(w)
+                )
+                gw, gh, mode, back = png_decode_pixels(
+                    png_encode(w, h, "L", raw)
+                )
+                assert (gw, gh, mode, back) == (w, h, "L", raw)
+                out = resample_bilinear(back, w, h, 1, OW, OH)
+                checksum = sum(v * (i + 1) for i, v in enumerate(out))
+                # closed form of the same fixed-point spec
+                dx, dy = 2 * OW, 2 * OH
+                expect = 0
+                for idx in range(OW * OH):
+                    sx = min(max((2 * (idx % OW) + 1) * w - OW, 0),
+                             (w - 1) * dx)
+                    sy = min(max((2 * (idx // OW) + 1) * h - OH, 0),
+                             (h - 1) * dy)
+                    num = p * dx * dy + q * sx * dy + r * sy * dx
+                    expect += ((num + dx * dy // 2) // (dx * dy)) * (idx + 1)
+                rows.append(
+                    (doc_id, OW, OH, checksum, 1 if checksum == expect else 0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_w", "out_h", "checksum", "exact"],
+            )
+
+    return docs.mapInPandas(
+        resize_batches,
+        schema="doc_id long, out_w long, out_h long, checksum long,"
+               " exact long",
+    )
+
+
+@query(
     "audio_resample_features",
     oracle="""
 WITH params AS (

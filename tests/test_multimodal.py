@@ -627,3 +627,37 @@ def test_png_invalid_depth_combos_refused():
         ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, 0)
         with pytest.raises(ValueError, match=msg):
             mm.png_decode_pixels(_png_chunked(ihdr, b"\x00\x00"))
+
+
+def test_bilinear_resample_linear_gradient_closed_form():
+    """Bilinear interpolation reproduces linear polynomials: resampling
+    p + q*x + r*y gives the gradient evaluated at the fixed-point source
+    coordinates with one half-up rounding — the exactness the oracle of
+    multimodal_bilinear_resize relies on."""
+    from bravo_spark.inventory.multimodal import resample_bilinear
+
+    w, h, p, q, r = 11, 9, 30, 4, 3
+    raw = bytes(p + q * x + r * y for y in range(h) for x in range(w))
+    ow, oh = 16, 10
+    out = resample_bilinear(raw, w, h, 1, ow, oh)
+    dx, dy = 2 * ow, 2 * oh
+    for idx, v in enumerate(out):
+        sx = min(max((2 * (idx % ow) + 1) * w - ow, 0), (w - 1) * dx)
+        sy = min(max((2 * (idx // ow) + 1) * h - oh, 0), (h - 1) * dy)
+        num = p * dx * dy + q * sx * dy + r * sy * dx
+        assert v == (num + dx * dy // 2) // (dx * dy), idx
+
+
+def test_bilinear_identity_and_edges():
+    from bravo_spark.inventory.multimodal import resample_bilinear
+
+    raw = bytes(range(24))
+    # identity resize returns the input exactly (all weights land on taps)
+    assert resample_bilinear(raw, 6, 4, 1, 6, 4) == raw
+    # 1x1 output of a constant image is the constant
+    assert resample_bilinear(bytes([77] * 25), 5, 5, 1, 1, 1) == bytes([77])
+    # 1-pixel source upscales to the constant
+    assert resample_bilinear(bytes([9]), 1, 1, 1, 4, 4) == bytes([9] * 16)
+    # RGB interleave: channels resample independently
+    rgb = bytes([10, 200, 50] * 4)
+    assert resample_bilinear(rgb, 2, 2, 3, 1, 1) == bytes([10, 200, 50])

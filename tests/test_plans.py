@@ -470,6 +470,7 @@ def test_r8_modality_queries_are_map_only_and_pruned(plans):
         "audio_float_features",
         "video_dib_frame_sample",
         "audio_resample_features",
+        "multimodal_bilinear_resize",
     ):
         p = plans(name)
         assert "Exchange" not in p, name
