@@ -245,3 +245,56 @@ def corpus_merge_upsert(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.coalesce(F.sum(F.length("final_text")), F.lit(0)).alias("sum_chars"),
     )
+
+
+_EVOLUTION_ORACLE = (
+    "SELECT event_type, count(*) AS n_total,"
+    " CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_with_value,"
+    " CAST(sum(CASE WHEN event_id % 2 = 1"
+    " THEN CAST(value AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS sum_value"
+    " FROM events GROUP BY event_type"
+)
+
+
+@query("schema_evolution_merge", oracle=_EVOLUTION_ORACLE)
+def schema_evolution_merge(spark, sf_dir):
+    """Schema evolution on a growing parquet dataset: batch 1 was
+    written before the ``value`` column existed, batch 2 after. Reading
+    the directory with ``mergeSchema`` must union the schemas and
+    null-fill the missing column for old files — the exact situation a
+    long-lived 100 TB corpus is always in (columns arrive mid-life;
+    rewriting history is off the table). The aggregate separates
+    per-type totals from value-bearing rows, so a reader that dropped
+    old batches, dropped the new column, or zero-filled instead of
+    null-filling diverges from the oracle, which recomputes straight
+    from the source table.
+
+    Scale note: mergeSchema pays a footer read per file at planning —
+    on a real lake you pin the merged schema in the metastore and pass
+    it explicitly; this query is the correctness contract for that
+    merged read either way."""
+    ev = catalog.table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"bravo_fmt_evolve_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type"
+    ).write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(out, "batch=2")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.count("value").alias("n_with_value"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(12,2)")),
+            F.lit(0).cast("decimal(12,2)"),
+        )
+        .cast("double")
+        .alias("sum_value"),
+    )
