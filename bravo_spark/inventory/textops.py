@@ -713,6 +713,80 @@ def audio_float_features(spark, sf_dir):
 
 
 @query(
+    "corpus_drift_tv",
+    oracle=f"""
+WITH toks AS (
+  SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 2 AS half,
+    unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+  FROM documents),
+counts AS (
+  SELECT w,
+    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oa,
+    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ob
+  FROM toks GROUP BY w),
+top AS (
+  SELECT w, oa, ob FROM (
+    SELECT w, oa, ob,
+      row_number() OVER (ORDER BY oa + ob DESC, w) AS rk
+    FROM counts) r WHERE rk <= 50),
+tot AS (SELECT CAST(sum(oa) AS BIGINT) AS na,
+               CAST(sum(ob) AS BIGINT) AS nb FROM top)
+SELECT na AS n_tokens_a, nb AS n_tokens_b,
+  CAST(SUM(abs(oa * nb - ob * na) * 1000000 // (2 * na * nb))
+       AS BIGINT) AS tv_ppm
+FROM top, tot GROUP BY na, nb
+""",
+)
+def corpus_drift_tv(spark, sf_dir):
+    """Corpus drift monitoring: total-variation distance between two
+    corpus snapshots' token distributions over the vocabulary head
+    (top-50 tokens by combined count, deterministic tie-break) — the
+    acceptance check before a refreshed crawl replaces last month's in a
+    training mix. Snapshots here are the md5-parity halves so the oracle
+    can recompute them; in production they are two crawl dates.
+
+    Integer-exact by construction: TV = ½·Σ|p_a − p_b| is computed as
+    per-term floor((|o_a·n_b − o_b·n_a|·10⁶) / (2·n_a·n_b)) — flooring
+    PER TERM keeps every intermediate inside int64 (a summed numerator
+    times 10⁶ overflows) and both engines floor identically; the ≤50-unit
+    downward bias is part of the metric's definition. One shuffle on the
+    token, a 50-row head, and a scalar join — output is one row."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    half = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+        % 2
+    )
+    toks = docs.select(
+        half.alias("half"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("w"),
+    )
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("oa"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("ob"),
+    )
+    from pyspark.sql import Window as _W
+
+    rk = F.row_number().over(
+        _W.orderBy((F.col("oa") + F.col("ob")).desc(), F.col("w"))
+    )
+    top = counts.withColumn("rk", rk).filter(F.col("rk") <= 50)
+    tot = top.agg(
+        F.sum("oa").alias("na"), F.sum("ob").alias("nb")
+    )
+    return top.crossJoin(F.broadcast(tot)).groupBy("na", "nb").agg(
+        F.sum(
+            F.expr("abs(oa * nb - ob * na) * 1000000L div (2 * na * nb)")
+        ).alias("tv_ppm")
+    ).select(
+        F.col("na").alias("n_tokens_a"),
+        F.col("nb").alias("n_tokens_b"),
+        F.col("tv_ppm"),
+    )
+
+
+@query(
     "multimodal_bilinear_resize",
     oracle="""
 WITH params AS (
