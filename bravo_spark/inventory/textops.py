@@ -1671,19 +1671,24 @@ def multimodal_resize(spark, sf_dir):
 @query(
     "multimodal_embed",
     oracle=(
-        "SELECT doc_id, ["
-        + ", ".join(
-            f"CAST(('0x' || substr(md5(text || '{j}'), 1, 8)) AS BIGINT)"
-            " % 1000 / 1000.0"
+        "SELECT doc_id, "
+        + " || ',' || ".join(
+            "CAST(CAST(('0x' || substr(md5(text || '"
+            f"{j}'), 1, 8)) AS BIGINT) % 1000 AS VARCHAR)"
             for j in range(8)
         )
-        + "] AS embedding FROM documents"
+        + " AS embedding_csv FROM documents"
     ),
 )
 def multimodal_embed(spark, sf_dir):
     """Feature extraction over a binary payload via mapInPandas returning
     array<double> — the Arrow batch shape a real vision/audio encoder would
-    use (swap the md5 stand-in for the model forward pass)."""
+    use (swap the md5 stand-in for the model forward pass). The CHECKED
+    projection serializes the vector to integer-milli CSV: the driver
+    canonicalizes results with a pandas sort over every column, where an
+    array cell is unhashable and burns the slot with a harness TypeError
+    (the CORRECTNESS_r06 failure mode) — engine APIs keep the typed
+    array, the correctness row checks its exact content as a string."""
     docs = catalog.table_spread(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
@@ -1708,7 +1713,19 @@ def multimodal_embed(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
 
-    return docs.mapInPandas(embed_batches, "doc_id long, embedding array<double>")
+    typed = docs.mapInPandas(
+        embed_batches, "doc_id long, embedding array<double>"
+    )
+    return typed.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding",
+                lambda v: F.round(v * 1000).cast("long").cast("string"),
+            ),
+        ).alias("embedding_csv"),
+    )
 
 
 # ---------------------------------------------------------------------------

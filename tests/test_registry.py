@@ -114,9 +114,14 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
             return any(unsortable(f.dataType) for f in dt.fields)
         return False
 
+    from bravo_spark.inventory.registry import R11_STAGED_SWAPS
+
     qs = _entry().queries()
     offenders = []
-    for name in GATE_PRIORITY:
+    # the staged rotation INs are checked too: a staged query with an
+    # unsortable schema would burn its very first gate slot on flip
+    names = list(GATE_PRIORITY) + [i for _, i in R11_STAGED_SWAPS]
+    for name in names:
         schema = qs[name](spark, sf_dir).schema
         for field in schema.fields:
             if unsortable(field.dataType):
