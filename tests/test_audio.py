@@ -492,3 +492,32 @@ def test_decimated_square_wave_is_square():
     f = A.signal_features(dec, 1600)
     assert f["peak"] == amp and f["rms_milli"] == amp * 1000
     assert f["zero_crossings"] == (n // k - 1) // (period // k)
+
+
+_SNDHDR_DIR = (
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+    "test/sndhdrdata"
+)
+_SNDHDR = glob.glob(_SNDHDR_DIR + "/sndhdr.*")
+
+
+@pytest.mark.skipif(not _SNDHDR, reason="no sndhdr fixtures on disk")
+def test_second_foreign_cross_container_family():
+    """CPython's sndhdr fixtures are a SECOND independent recording
+    shipped as WAV+AIFF+AIFC+AU (44.1 kHz stereo this time — different
+    rate/channel shape from the pluck set): all four parsers must agree
+    on the same ground truth, and the exotic containers (8SVX, HCOM,
+    SNDT, VOC) must refuse cleanly, 8SVX naming its FORM type."""
+    decoded = {}
+    for ext in ("wav", "aiff", "aifc", "au"):
+        payload = open(f"{_SNDHDR_DIR}/sndhdr.{ext}", "rb").read()
+        decoded[ext] = A.audio_decode(payload)
+    assert len({d[:3] for d in decoded.values()}) == 1  # rate/ch/bits
+    assert decoded["wav"][:3] == (44100, 2, 16)
+    samples = {ext: d[3] for ext, d in decoded.items()}
+    assert all(s == samples["wav"] for s in samples.values())
+    with pytest.raises(A.WavError, match="8SVX"):
+        A.audio_decode(open(f"{_SNDHDR_DIR}/sndhdr.8svx", "rb").read())
+    for exotic in ("hcom", "sndt", "voc"):
+        with pytest.raises(A.WavError):
+            A.audio_decode(open(f"{_SNDHDR_DIR}/sndhdr.{exotic}", "rb").read())
