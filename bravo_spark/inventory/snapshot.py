@@ -725,3 +725,90 @@ def checkpoint_datasource_scan(spark, sf_dir):
         .filter(F.col("state_name") == "Count")
     )
     return sr.read_value_kv(ck.resolve_lsm(raw), "Count", fc.LONG, fc.LONG)
+
+
+@query(
+    "savepoint_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events
+  WHERE user_id % 17 != 0 GROUP BY user_id),
+v2 AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events
+  WHERE user_id % 13 != 0 AND event_id % 11 != 0 GROUP BY user_id),
+joined AS (
+  SELECT
+    CASE WHEN v1.k IS NULL THEN 'added'
+         WHEN v2.k IS NULL THEN 'removed'
+         WHEN v1.c = v2.c THEN 'same'
+         ELSE 'changed' END AS status,
+    v1.c AS c1, v2.c AS c2
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS sum_v1,
+  CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS sum_v2
+FROM joined GROUP BY status
+""",
+)
+def savepoint_diff(spark, sf_dir):
+    """Diff two savepoints — the audit the reference's whole workflow
+    exists for (inspect state before/after a fix,
+    bravo/README.md:127-166): which keys were added, removed, or changed
+    by a state surgery, and by how much. Both versions are REAL binary
+    savepoints (encode P9 → write S7 → read S2 → decode P1, twice), so
+    the diff also re-proves the round trip on two differently-shaped
+    state sets; the classification is one full-outer join on the key.
+    The versions differ three ways by construction — users dropped from
+    v1, users dropped from v2, and per-event thinning that changes
+    surviving counts — so every diff status carries real rows.
+
+    Scale shape: two savepoint scans + one join shuffle on the key;
+    output is the O(4)-row audit summary. Driver holds only file
+    handles."""
+    ev = catalog.table(spark, sf_dir, "events")
+    v1 = (
+        ev.filter(F.col("user_id") % 17 != 0)
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").alias("value"))
+    )
+    v2 = (
+        ev.filter((F.col("user_id") % 13 != 0) & (F.col("event_id") % 11 != 0))
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").alias("value"))
+    )
+    dirs = []
+    for tag, kv in (("v1", v1), ("v2", v2)):
+        rows = sr.kv_to_state_rows(
+            kv, "Count", fc.LONG, fc.LONG, max_parallelism=128
+        )
+        out = os.path.join(
+            tempfile.gettempdir(), f"bravo_spdiff_{tag}_{os.getpid()}"
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        sp.write_savepoint(
+            rows, out, max_parallelism=128, parallelism=4,
+            state_ids={"Count": 0},
+        )
+        dirs.append(out)
+    r1 = sp.read_savepoint_kv(spark, dirs[0], "Count", fc.LONG, fc.LONG)
+    r2 = sp.read_savepoint_kv(spark, dirs[1], "Count", fc.LONG, fc.LONG)
+    joined = r1.select(
+        F.col("key").alias("k1"), F.col("value").alias("c1")
+    ).join(
+        r2.select(F.col("key").alias("k2"), F.col("value").alias("c2")),
+        F.col("k1") == F.col("k2"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("k1").isNull(), F.lit("added"))
+        .when(F.col("k2").isNull(), F.lit("removed"))
+        .when(F.col("c1") == F.col("c2"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(status.alias("status"), "c1", "c2").groupBy(
+        "status"
+    ).agg(
+        F.count("*").alias("n_keys"),
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("sum_v1"),
+        F.coalesce(F.sum("c2"), F.lit(0)).alias("sum_v2"),
+    )
