@@ -492,6 +492,54 @@ def resample_bilinear(
     return ((num + den // 2) // den).astype(np.uint8).tobytes()
 
 
+def _to_gray(raw: bytes, w: int, h: int, bpp: int) -> bytes:
+    """Integer ITU-R 601 luma (the JPEG Y formula in 16-bit fixed point,
+    rounded half up) — deterministic grayscale for the perceptual
+    hashes."""
+    if bpp == 1:
+        return raw
+    import numpy as np
+
+    arr = (
+        np.frombuffer(raw, dtype=np.uint8)
+        .reshape(h * w, bpp)
+        .astype(np.int64)
+    )
+    y = (
+        19595 * arr[:, 0] + 38470 * arr[:, 1] + 7471 * arr[:, 2] + 32768
+    ) >> 16
+    return y.astype(np.uint8).tobytes()
+
+
+def dhash64(raw: bytes, w: int, h: int, bpp: int) -> int:
+    """64-bit difference hash: grayscale → bilinear resample to 9×8 →
+    one bit per horizontal neighbor pair (left < right). Robust to
+    re-encoding and small photometric shifts — THE cheap image near-dup
+    key (group equal hashes, or band the 64 bits for Hamming-near
+    buckets, exactly like the text SimHash path)."""
+    g = _to_gray(raw, w, h, bpp)
+    small = resample_bilinear(g, w, h, 1, 9, 8)
+    bits = 0
+    for y in range(8):
+        row = small[y * 9 : y * 9 + 9]
+        for x in range(8):
+            bits = (bits << 1) | (1 if row[x] < row[x + 1] else 0)
+    return bits
+
+
+def ahash64(raw: bytes, w: int, h: int, bpp: int) -> int:
+    """64-bit average hash: grayscale → bilinear 8×8 → one bit per pixel
+    (above the integer mean). Coarser than dHash; the pair disagreeing
+    is a useful second opinion before declaring near-duplicates."""
+    g = _to_gray(raw, w, h, bpp)
+    small = resample_bilinear(g, w, h, 1, 8, 8)
+    mean = sum(small) // 64
+    bits = 0
+    for v in small:
+        bits = (bits << 1) | (1 if v > mean else 0)
+    return bits
+
+
 def decode_pixels(payload: bytes):
     """Full pixel decode → (width, height, mode, raw bytes).
 

@@ -713,6 +713,92 @@ def audio_float_features(spark, sf_dir):
 
 
 @query(
+    "image_phash_dedup",
+    oracle="""
+SELECT doc_id,
+  18 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 19 AS w,
+  14 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 11 AS h,
+  CAST(1 AS BIGINT) AS shift_invariant,
+  CAST(1 AS BIGINT) AS jpeg_stable
+FROM documents
+""",
+)
+def image_phash_dedup(spark, sf_dir):
+    """Perceptual image hashing — the image analog of SimHash text
+    dedup: dHash/aHash keys group byte-different but visually-identical
+    images (recompressed, brightness-shifted), exactly the near-dups a
+    crawl corpus is full of. Per document: synthesize a smooth tent
+    gradient (md5-derived, wrap-free), then check the two contracts that
+    make the hash a dedup key:
+
+    - ``shift_invariant``: a +5 brightness shift must produce the
+      IDENTICAL 64-bit dHash and aHash — structurally exact for our
+      integer pipeline (both hashes compare values whose order a
+      constant shift preserves; the aHash integer mean shifts by
+      exactly 5), so the oracle asserts 1 closed-form.
+    - ``jpeg_stable``: a quality-95 JPEG round trip must stay within
+      Hamming distance 10 of 64 (random pairs sit near 32). The tent's
+      downsampled neighbor steps (≥6 gray levels) dominate the ±3
+      quantization floor everywhere but the apex column, bounding the
+      flippable bits well under the threshold.
+
+    At scale the 64-bit key feeds the same machinery as text SimHash:
+    group equal keys, or band the bits for Hamming-near buckets.
+    Arrow-batched mapInPandas, map-only."""
+    from bravo_spark.inventory.jpeg import jpeg_decode_pixels, jpeg_encode
+    from bravo_spark.inventory.multimodal import ahash64, dhash64
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = _hl.md5(bytes(payload)).hexdigest()
+                w = 18 + int(digest[0:8], 16) % 19
+                h = 14 + int(digest[8:16], 16) % 11
+                p = 40 + int(digest[16:24], 16) % 40
+                q = 3 + int(digest[24:28], 16) % 3
+                r = 1 + int(digest[28:32], 16) % 3
+                raw = bytes(
+                    p + q * min(x, w - 1 - x) + r * y
+                    for y in range(h)
+                    for x in range(w)
+                )
+                d0, a0 = dhash64(raw, w, h, 1), ahash64(raw, w, h, 1)
+                shifted = bytes(v + 5 for v in raw)
+                d1, a1 = dhash64(shifted, w, h, 1), ahash64(shifted, w, h, 1)
+                gw, gh, mode, back = jpeg_decode_pixels(
+                    jpeg_encode(w, h, "L", raw, quality=95)
+                )
+                assert (gw, gh, mode) == (w, h, "L")
+                d2, a2 = dhash64(back, w, h, 1), ahash64(back, w, h, 1)
+                hd = bin(d0 ^ d2).count("1")
+                ha = bin(a0 ^ a2).count("1")
+                rows.append(
+                    (
+                        doc_id, w, h,
+                        1 if (d0 == d1 and a0 == a1) else 0,
+                        1 if (hd <= 10 and ha <= 10) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "w", "h", "shift_invariant", "jpeg_stable"],
+            )
+
+    return docs.mapInPandas(
+        hash_batches,
+        schema="doc_id long, w long, h long, shift_invariant long,"
+               " jpeg_stable long",
+    )
+
+
+@query(
     "corpus_drift_tv",
     oracle=f"""
 WITH toks AS (

@@ -471,6 +471,7 @@ def test_r8_modality_queries_are_map_only_and_pruned(plans):
         "video_dib_frame_sample",
         "audio_resample_features",
         "multimodal_bilinear_resize",
+        "image_phash_dedup",
     ):
         p = plans(name)
         assert "Exchange" not in p, name
