@@ -422,6 +422,30 @@ def pcm_decimate(samples: list[int], k: int) -> list[int]:
     return [sum(samples[i : i + k]) // k for i in range(0, n, k)]
 
 
+def energy_fingerprint(samples: list[int], n_windows: int) -> int:
+    """Acoustic fingerprint: split the signal into ``n_windows`` equal
+    windows, compute each window's integer energy (sum of squares), and
+    emit one bit per consecutive pair (later window louder). The
+    Shazam-style energy-delta sketch reduced to its integer-exact core:
+    gain changes scale every energy by the same square, so the
+    fingerprint is invariant under amplification — the property that
+    makes it a dedup/match key across re-levelled copies. Trailing
+    samples beyond the last full window are dropped whole."""
+    if n_windows < 2:
+        raise WavError("fingerprint needs at least 2 windows")
+    wlen = len(samples) // n_windows
+    if wlen == 0:
+        raise WavError("signal shorter than the window count")
+    energies = [
+        sum(s * s for s in samples[i * wlen : (i + 1) * wlen])
+        for i in range(n_windows)
+    ]
+    bits = 0
+    for a, b in zip(energies, energies[1:]):
+        bits = (bits << 1) | (1 if b > a else 0)
+    return bits
+
+
 def pcm_features(payload: bytes) -> dict[str, int]:
     """Integer-exact signal features of the FIRST channel:
 

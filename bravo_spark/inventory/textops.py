@@ -712,6 +712,83 @@ def audio_float_features(spark, sf_dir):
     )
 
 
+_FP_NIBS = ",\n    ".join(
+    f"CAST(('0x' || substr(md5(text), {i + 1}, 1)) AS BIGINT) AS n{i}"
+    for i in range(16)
+)
+_FP_BITS = " + ".join(
+    f"(CASE WHEN n{i + 1} > n{i} THEN {1 << (14 - i)} ELSE 0 END)"
+    for i in range(15)
+)
+
+
+@query(
+    "audio_fingerprint",
+    oracle=f"""
+WITH nibs AS (
+  SELECT doc_id,
+    {_FP_NIBS}
+  FROM documents)
+SELECT doc_id, CAST({_FP_BITS} AS BIGINT) AS fingerprint,
+  CAST(1 AS BIGINT) AS gain_invariant
+FROM nibs
+""",
+)
+def audio_fingerprint(spark, sf_dir):
+    """Acoustic fingerprinting, value-checked: per document, synthesize
+    a 16-window signal whose window amplitudes come from the md5
+    nibbles, round-trip it through real 16-bit PCM WAV, and compute the
+    energy-delta fingerprint (one bit per consecutive window pair — the
+    Shazam-style sketch's integer-exact core). Window energy is
+    amp²·window_len exactly for a square wave, so consecutive-energy
+    comparisons ARE consecutive-nibble comparisons and the oracle
+    recomputes the exact 15-bit fingerprint integer from the same md5 —
+    a windowing offset, energy overflow, or bit-order bug flips real
+    values red. ``gain_invariant`` pins the key's dedup property: a 3×
+    amplified copy fingerprints identically (energies scale by the same
+    square). Arrow-batched mapInPandas, map-only."""
+    from bravo_spark.inventory.audio import (
+        energy_fingerprint,
+        wav_decode,
+        wav_encode,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    N_WIN, WLEN, PERIOD = 16, 32, 8
+
+    def fp_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = _hl.md5(bytes(payload)).hexdigest()
+                wave = []
+                for wdx in range(N_WIN):
+                    amp = 100 + 50 * int(digest[wdx], 16)
+                    wave += [
+                        amp if (i // PERIOD) % 2 == 0 else -amp
+                        for i in range(WLEN)
+                    ]
+                _sr, _ch, _bits, samples = wav_decode(
+                    wav_encode(8000, 1, 16, wave)
+                )
+                fp = energy_fingerprint(samples, N_WIN)
+                louder = [min(3 * s, 32767) for s in samples]
+                inv = 1 if energy_fingerprint(louder, N_WIN) == fp else 0
+                rows.append((doc_id, fp, inv))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fingerprint", "gain_invariant"]
+            )
+
+    return docs.mapInPandas(
+        fp_batches,
+        schema="doc_id long, fingerprint long, gain_invariant long",
+    )
+
+
 @query(
     "image_phash_dedup",
     oracle="""

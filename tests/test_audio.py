@@ -521,3 +521,17 @@ def test_second_foreign_cross_container_family():
     for exotic in ("hcom", "sndt", "voc"):
         with pytest.raises(A.WavError):
             A.audio_decode(open(f"{_SNDHDR_DIR}/sndhdr.{exotic}", "rb").read())
+
+
+def test_energy_fingerprint_golden_and_invariance():
+    # 4 windows of 2 samples: energies 2, 8, 8, 32 -> bits (8>2, 8>8, 32>8)
+    s = [1, -1, 2, -2, 2, 2, 4, -4]
+    assert A.energy_fingerprint(s, 4) == 0b101
+    # gain invariance: scaling every sample scales every energy equally
+    assert A.energy_fingerprint([3 * v for v in s], 4) == 0b101
+    # trailing partial window dropped whole
+    assert A.energy_fingerprint(s + [99], 4) == 0b101
+    with pytest.raises(A.WavError, match="at least 2"):
+        A.energy_fingerprint(s, 1)
+    with pytest.raises(A.WavError, match="shorter"):
+        A.energy_fingerprint([1, 2], 4)

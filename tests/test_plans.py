@@ -472,6 +472,7 @@ def test_r8_modality_queries_are_map_only_and_pruned(plans):
         "audio_resample_features",
         "multimodal_bilinear_resize",
         "image_phash_dedup",
+        "audio_fingerprint",
     ):
         p = plans(name)
         assert "Exchange" not in p, name
