@@ -876,6 +876,79 @@ def image_phash_dedup(spark, sf_dir):
 
 
 @query(
+    "heavy_hitters_two_phase",
+    oracle=(
+        "SELECT w, cnt FROM ("
+        " SELECT w, count(*) AS cnt, row_number() OVER ("
+        "  ORDER BY count(*) DESC, w) AS rk"
+        f" FROM (SELECT unnest(regexp_extract_all(lower(text),"
+        f" '{TOKEN_RE}')) AS w FROM documents) t GROUP BY w) r"
+        " WHERE rk <= 20"
+    ),
+)
+def heavy_hitters_two_phase(spark, sf_dir):
+    """Exact top-20 tokens WITHOUT ever shuffling the full vocabulary —
+    the two-phase heavy-hitters pattern a 100 TB corpus needs:
+
+    1. map-side SpaceSaving summaries (capacity 200) per partition via
+       ``mapInPandas`` — zero shuffle, each partition emits ≤200
+       candidate tokens;
+    2. exact recount restricted to the candidate union (a broadcast
+       semi-join keeps only candidate tokens, so the one aggregation
+       shuffle carries candidates instead of the whole vocabulary),
+       then the tiny global top-k.
+
+    Merged SpaceSaving summaries cover every item above N/capacity, so
+    with capacity ≫ k the candidate set provably contains the true
+    top-k and the recounted output is EXACT — which is why the oracle
+    is simply the exact top-20 SQL: if the sketch phase ever dropped a
+    true heavy hitter, the hash goes red. Estimates are never reported;
+    the sketch only proposes, exact counts decide."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("w")
+    )
+
+    def spacesaving_batches(batches: Iterator[pd.DataFrame]):
+        # one summary per PARTITION (batches of the same partition
+        # stream through a single call)
+        counters: dict[str, int] = {}
+        cap = 200
+        for pdf in batches:
+            for w in pdf["w"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < cap:
+                    counters[w] = 1
+                else:
+                    # evict the minimum (deterministic tie: smallest key)
+                    mk = min(counters, key=lambda k: (counters[k], k))
+                    mv = counters.pop(mk)
+                    counters[w] = mv + 1
+        yield pd.DataFrame({"w": list(counters.keys())})
+
+    candidates = (
+        words.mapInPandas(spacesaving_batches, schema="w string")
+        .distinct()
+    )
+    recount = (
+        words.join(F.broadcast(candidates), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window as _W
+
+    rk = F.row_number().over(_W.orderBy(F.col("cnt").desc(), F.col("w")))
+    return (
+        recount.withColumn("rk", rk)
+        .filter(F.col("rk") <= 20)
+        .select("w", "cnt")
+    )
+
+
+@query(
     "corpus_drift_tv",
     oracle=f"""
 WITH toks AS (
