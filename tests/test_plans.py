@@ -477,3 +477,14 @@ def test_r8_modality_queries_are_map_only_and_pruned(plans):
         p = plans(name)
         assert "Exchange" not in p, name
         assert "struct<doc_id:bigint,text:string>" in p, name
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(plans):
+    """The two-phase heavy-hitters recount must stay a broadcast
+    semi-join against the tiny candidate set — a sort-merge or shuffle
+    join here would drag the full token stream through an exchange,
+    which is exactly what the pattern exists to avoid."""
+    p = plans("heavy_hitters_two_phase")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
