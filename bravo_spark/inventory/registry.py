@@ -41,15 +41,17 @@ GATE_PRIORITY = [
     # batch path stay plan-pinned in test_datasource/test_plans, and the
     # underlying scan/write code runs inside the retained roundtrips.
     # Spark state-store read/rewrite surgery (the bravo workflow on Spark's
-    # own checkpoints). r8 rotation: rocksdb_state_read gets its FIRST
-    # driver check (zip time-travel + changelog replay read path —
-    # rewrite exercises it only post-surgery).
+    # own checkpoints). r11 rotation: rocksdb_state_read and
+    # checkpoint_write_roundtrip rotated out after 3 driver-green rounds
+    # (r8-r10) — the SST/changelog read path stays driver-covered by
+    # rocksdb_state_rewrite (which reads before surgery) and the
+    # checkpoint write loop by checkpoint_roundtrip + pytest.
     "spark_state_read", "spark_state_rewrite", "rocksdb_state_rewrite",
-    "rocksdb_state_read",
-    # r8 rotation: checkpoint_write_roundtrip's first driver check — the
-    # write_incremental_checkpoint → pure-Python RocksDB DB → re-read
-    # loop, the one S7-beyond-reference path the gate never saw.
-    "checkpoint_write_roundtrip",
+    # r11 rotation: the format/layout contracts' first driver check — the
+    # json/csv/orc source roundtrips, the co-located bucketed join, and
+    # partition pruning on a hive-layout write.
+    "json_source_roundtrip", "csv_source_roundtrip", "orc_source_roundtrip",
+    "bucketed_join", "partitioned_prune_scan",
     # reference-fidelity conformance analogs (r5 rotation). r8: pojo/kryo
     # value rows, the compressed-snapshot variant, and custom_reader_expand
     # rotated out after three driver-green rounds (r5-r7) — kryo_custom_class
@@ -78,9 +80,10 @@ GATE_PRIORITY = [
     # ANN + retrieval family (ann_cosine_topk rotated out in r6 — it is
     # the exact baseline the retained lsh/ivf rows rescore against;
     # ann_sketch_topk rotated out in r8 after 7 driver-green rounds, its
-    # Hamming-rank path recall-gated in pytest). r8 in: ann_knn_label_eval
-    # (exact top-k + deterministic majority vote, never driver-checked).
-    "ann_lsh_bucket", "ann_ivf_topk", "ann_knn_label_eval",
+    # Hamming-rank path recall-gated in pytest; ann_knn_label_eval
+    # rotated out in r11 after 3 driver-green rounds r8-r10 — its exact
+    # top-k core is ann_lsh/ivf's rescore path).
+    "ann_lsh_bucket", "ann_ivf_topk",
     "text_bm25_topk",
     # streaming (plain window_counts rotated out in r6 after 5 driver-green
     # rounds — the retained watermarked variant runs the same micro-batch
@@ -88,15 +91,14 @@ GATE_PRIORITY = [
     # rotated out in r5)
     "streaming_window_counts_watermarked",
     "streaming_stateful_counts",
-    # TPC-H: headline q3 + the most distinctive long-tail plans. r8
-    # rotation: q2 (window-decorrelated min), q19 (disjunctive per-side
-    # pushdown), q20 (semi-join chain), q22 (broadcast anti) get their
-    # first driver check alongside the retained q6/q9/q21.
+    # TPC-H: headline q3 + the most distinctive long-tail plans. r11
+    # rotation: the r8 wave q2/q19/q20/q22 rotated out after 3
+    # driver-green rounds (r8-r10); q17 (correlated avg-quantity
+    # threshold — the last never-driver-checked TPC-H row) rotates in.
     "tpch_q3",
     "tpch_q6_forecast", "tpch_q9_product_profit",
     "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier", "tpch_q19_disjunctive",
-    "tpch_q20_part_promotion", "tpch_q22_global_sales",
+    "tpch_q17_small_qty",
     # r10 rotation: the remaining never-driver-checked TPC-H tail — q7
     # dual-role nation join, q8 market share, q11 grouped threshold, q12
     # shipmode buckets, q13 outer-join custdist, q15 window-max revenue
@@ -107,13 +109,16 @@ GATE_PRIORITY = [
     "tpch_q7_volume", "tpch_q8_market_share", "tpch_q11_important_stock",
     "tpch_q12_late_lines", "tpch_q13_custdist", "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
-    # r8 rotation: the r6 additions' first driver check — the real pixel
-    # pipeline, the Gopher dup-ngram filter, the lang-id confusion matrix,
-    # the temperature mixture (div-by-zero guard landed first), and
-    # sequence_pack for the sampling family's distinct bin-packing plan.
-    "multimodal_pixel_resize", "text_dup_ngram_stats",
-    "text_langid_accuracy", "source_mixture_temperature",
-    "sequence_pack",
+    # r11 rotation: the sampling family's first driver check — salted
+    # hash sampling, per-stratum exact rates, deterministic train/val
+    # hashing, temperature-weighted domain mixture, group-atomic
+    # leakage-safe splits, plus the funnel sessionization plan. (The r8
+    # wave multimodal_pixel_resize / text_dup_ngram_stats /
+    # text_langid_accuracy / source_mixture_temperature / sequence_pack
+    # rotated out after 3 driver-green rounds r8-r10.)
+    "hash_sample", "stratified_sample", "train_val_split",
+    "domain_mixture_sample", "leakage_safe_split",
+    "funnel_conversion",
     # r10 rotation: the r8 media-codec additions' first driver check —
     # pure-Python JPEG/GIF roundtrips, real GIF frame sampling, the audio
     # feature path (WAV containers + integer DSP), and MJPEG-AVI demux
@@ -128,41 +133,62 @@ GATE_PRIORITY = [
 
 # The NEXT rotation, STAGED AS EXECUTABLE DATA — the r7 failure mode was
 # a staged rotation that lived only in a comment and never shipped. (The
-# r9-staged swaps executed in r10 — r9 shipped no commits, shifting the
-# schedule by one round.) To execute in r11 (FIRST commit of the round):
-#   1. confirm each OUT row below is green in CORRECTNESS_r10 (if one is
+# r9-staged swaps executed in r10 after the r9 stall; the r11-staged
+# swaps executed on schedule as r11's first commit.) To execute in r12
+# (FIRST commit of the round):
+#   1. confirm each OUT row below is green in CORRECTNESS_r11 (if one is
 #      red, keep it in the gate and drop its pair from this round);
 #   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
 #   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
-# OUTs are the r8 wave (driver-green r8+r9, 3 consecutive rounds once
-# CORRECTNESS_r10 lands); INs are tpch_q17, the sampling family, and the
-# format/layout contracts — all never driver-checked. test_registry pins
-# this list's consistency against the live registry so it cannot
-# silently rot. Still unstaged after r11: retention_cohorts,
-# per_key_trend, hourly_counts_gapfill, relational breadth (outer joins,
-# range_join, scalar_subquery_counts, pivot, grouping_sets,
-# salted_skew_agg, percentiles, approx_sketch_accuracy),
+# This is a BIGGER rotation (14 swaps, not 12) per the r10 verdict: it
+# covers ALL thirteen r10 query additions plus snapshot_rescale (the one
+# remaining reference use-case without driver proof). OUTs all have >=5
+# driver-green rounds; their paths stay mirror-verified and
+# pytest/plan-pinned (named per-pair below). REGISTRATION FREEZE: no
+# net-new query registration until never-driver-checked < 25 (policy
+# note in COVERAGE.md) — after this rotation executes the count is 23,
+# so the freeze lifts at r12. Still unstaged after r12:
+# retention_cohorts, per_key_trend, hourly_counts_gapfill, relational
+# breadth (outer joins, range_join, scalar_subquery_counts, pivot,
+# grouping_sets, salted_skew_agg, percentiles, approx_sketch_accuracy),
 # checkpoint_rewind, streaming_static_join, the recall evals,
 # embedding_norms, doc_embedding_join, kmeans_lloyd_centroids,
-# snapshot_rescale, bpe_train_merges, the text additions
-# (text_repetition, text_normalize, quality_filter_pipeline,
-# text_redact_pii, text_levenshtein_pairs, word_freq_topk,
-# text_length_histogram), multimodal_resize / multimodal_frame_sample /
-# multimodal_embed. The rotation ledger lives in COVERAGE.md.
-R11_STAGED_SWAPS = [
-    # (rotate OUT once r10-green, rotate IN — never driver-checked)
-    ("tpch_q2_min_cost_supplier", "tpch_q17_small_qty"),
-    ("tpch_q19_disjunctive", "json_source_roundtrip"),
-    ("tpch_q20_part_promotion", "csv_source_roundtrip"),
-    ("tpch_q22_global_sales", "orc_source_roundtrip"),
-    ("rocksdb_state_read", "bucketed_join"),
-    ("checkpoint_write_roundtrip", "partitioned_prune_scan"),
-    ("multimodal_pixel_resize", "hash_sample"),
-    ("text_dup_ngram_stats", "stratified_sample"),
-    ("text_langid_accuracy", "train_val_split"),
-    ("source_mixture_temperature", "domain_mixture_sample"),
-    ("ann_knn_label_eval", "leakage_safe_split"),
-    ("sequence_pack", "funnel_conversion"),
+# bpe_train_merges, the text additions (text_repetition, text_normalize,
+# quality_filter_pipeline, text_redact_pii, text_levenshtein_pairs,
+# word_freq_topk, text_length_histogram), multimodal_resize /
+# multimodal_frame_sample / multimodal_embed. The rotation ledger lives
+# in COVERAGE.md.
+R12_STAGED_SWAPS = [
+    # (rotate OUT once r11-green, rotate IN — never driver-checked)
+    # tpch q6/q9/q21: 6 green rounds r5-r10; q3 stays as the TPC-H spine
+    ("tpch_q6_forecast", "pagerank_centrality"),
+    ("tpch_q9_product_profit", "savepoint_diff"),
+    ("tpch_q21_waiting_supplier", "heavy_hitters_two_phase"),
+    # type_change_migration / operator_state_roundtrip / file_sink_rewind:
+    # 6 green rounds r5-r10; kryo_custom_class retains the full codec
+    # path, snapshot_roundtrip the savepoint lifecycle, and the rewind /
+    # operator-state paths stay pytest-restart-proven
+    ("type_change_migration", "corpus_merge_upsert"),
+    ("operator_state_roundtrip", "schema_evolution_merge"),
+    ("file_sink_rewind", "audio_float_features"),
+    # multimodal_decode: 8 green rounds (r1,r3-r10); the tier-selector
+    # source column stays pinned by the retained jpeg/gif/audio/video rows
+    ("multimodal_decode", "video_dib_frame_sample"),
+    # dedup_embedding_lsh / dedup_clusters: 8 green rounds r3-r10;
+    # dedup_ngram_jaccard keeps the dedup spine in the gate
+    ("dedup_embedding_lsh", "audio_resample_features"),
+    ("dedup_clusters", "snapshot_rescale"),
+    # ann_lsh_bucket / ann_ivf_topk / text_bm25_topk: 8 green rounds
+    # r3-r10; recall evals keep the rescore contract mirror-verified
+    ("ann_lsh_bucket", "multimodal_bilinear_resize"),
+    ("ann_ivf_topk", "image_phash_dedup"),
+    ("text_bm25_topk", "audio_fingerprint"),
+    # streaming_stateful_counts: 8 green rounds r3-r10; the watermarked
+    # window row keeps Structured Streaming in the gate
+    ("streaming_stateful_counts", "corpus_drift_tv"),
+    # pipeline_clean_corpus: 5 green rounds r6-r10; its composed stages
+    # are individually retained or mirror-verified
+    ("pipeline_clean_corpus", "quality_calibration_by_source"),
 ]
 
 

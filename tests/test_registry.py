@@ -69,15 +69,17 @@ def test_flagship_families_inside_window():
         "tpch_q3",
         "tpch_q6_forecast", "tpch_q9_product_profit",
         "tpch_q21_waiting_supplier",
-        # r8 rotation: first driver check for the TPC-H tail's four most
-        # distinctive plans, the RocksDB read/write engine-integration
-        # pair, and the r6 additions
-        "tpch_q2_min_cost_supplier", "tpch_q19_disjunctive",
-        "tpch_q20_part_promotion", "tpch_q22_global_sales",
-        "rocksdb_state_read", "checkpoint_write_roundtrip",
-        "multimodal_pixel_resize", "text_dup_ngram_stats",
-        "text_langid_accuracy", "source_mixture_temperature",
-        "ann_knn_label_eval", "sequence_pack",
+        # r11 rotation: first driver check for tpch_q17, the json/csv/orc
+        # format roundtrips, the layout contracts, and the sampling
+        # family (the r8 wave rotated out after 3 driver-green rounds
+        # r8-r10 — paths retained per registry.py comments)
+        "tpch_q17_small_qty",
+        "json_source_roundtrip", "csv_source_roundtrip",
+        "orc_source_roundtrip",
+        "bucketed_join", "partitioned_prune_scan",
+        "hash_sample", "stratified_sample", "train_val_split",
+        "domain_mixture_sample", "leakage_safe_split",
+        "funnel_conversion",
         # r10 rotation: the r8 media-codec additions and the TPC-H tail
         "multimodal_jpeg_roundtrip", "multimodal_gif_roundtrip",
         "multimodal_gif_frame_sample", "audio_wav_features",
@@ -114,13 +116,13 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
             return any(unsortable(f.dataType) for f in dt.fields)
         return False
 
-    from bravo_spark.inventory.registry import R11_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R12_STAGED_SWAPS
 
     qs = _entry().queries()
     offenders = []
     # the staged rotation INs are checked too: a staged query with an
     # unsortable schema would burn its very first gate slot on flip
-    names = list(GATE_PRIORITY) + [i for _, i in R11_STAGED_SWAPS]
+    names = list(GATE_PRIORITY) + [i for _, i in R12_STAGED_SWAPS]
     for name in names:
         schema = qs[name](spark, sf_dir).schema
         for field in schema.fields:
@@ -130,18 +132,18 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
 
 
 def test_staged_rotation_is_consistent():
-    """The staged next-round rotation (registry.R11_STAGED_SWAPS) must
+    """The staged next-round rotation (registry.R12_STAGED_SWAPS) must
     stay executable: every OUT name is currently IN the gate window, every
     IN name is a registered never-gated query, and the swap keeps the
     window at exactly 50 distinct names. Pins the staging as live data —
     the r7 regression was a staged rotation that existed only in a comment
     and silently rotted."""
-    from bravo_spark.inventory.registry import R11_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R12_STAGED_SWAPS
 
     qs = _entry().queries()
     window = set(GATE_PRIORITY)
-    outs = [o for o, _ in R11_STAGED_SWAPS]
-    ins = [i for _, i in R11_STAGED_SWAPS]
+    outs = [o for o, _ in R12_STAGED_SWAPS]
+    ins = [i for _, i in R12_STAGED_SWAPS]
     assert len(set(outs)) == len(outs) and len(set(ins)) == len(ins)
     for o in outs:
         assert o in window, f"staged OUT {o} is not in the current gate"
