@@ -890,20 +890,39 @@ def heavy_hitters_two_phase(spark, sf_dir):
     """Exact top-20 tokens WITHOUT ever shuffling the full vocabulary —
     the two-phase heavy-hitters pattern a 100 TB corpus needs:
 
-    1. map-side SpaceSaving summaries (capacity 200) per partition via
-       ``mapInPandas`` — zero shuffle, each partition emits ≤200
-       candidate tokens;
+    1. map-side weighted-SpaceSaving summaries (capacity 200) per
+       partition via ``mapInPandas`` — zero shuffle, each partition
+       emits ≤200 candidate tokens plus one total row carrying its
+       token count and whether it ever evicted;
     2. exact recount restricted to the candidate union (a broadcast
        semi-join keeps only candidate tokens, so the one aggregation
        shuffle carries candidates instead of the whole vocabulary),
        then the tiny global top-k.
 
-    Merged SpaceSaving summaries cover every item above N/capacity, so
-    with capacity ≫ k the candidate set provably contains the true
-    top-k and the recounted output is EXACT — which is why the oracle
-    is simply the exact top-20 SQL: if the sketch phase ever dropped a
-    true heavy hitter, the hash goes red. Estimates are never reported;
-    the sketch only proposes, exact counts decide."""
+    The sketch phase is vectorized: each Arrow batch is pre-reduced
+    with ``value_counts()`` (C-side), and the SpaceSaving structure is
+    updated once per UNIQUE token with its batch count — the classic
+    weighted-SpaceSaving update, whose per-partition guarantee (any
+    absent token's true partition count ≤ the minimum counter ≤
+    N_p/capacity) is order- and weight-independent. Eviction uses a
+    lazy-deletion heap, so each update is O(log cap) amortized instead
+    of an O(cap) min() scan.
+
+    Coverage is a THEOREM for the key union, not an assumption: a token
+    absent from every partition summary has global count ≤ Σ N_p/cap =
+    N/cap. That alone does NOT prove the true top-k is covered on a
+    flat distribution (a 20th-ranked token could hide below N/cap), so
+    the plan VALIDATES the precondition at runtime instead of asserting
+    it: the output is exact iff no partition ever evicted (summaries =
+    exact per-partition vocabularies) OR the recounted 20th candidate
+    count exceeds N/cap (then any non-candidate is strictly outranked
+    by 20 candidates). When neither holds the query raises via
+    ``assert_true`` rather than silently returning a wrong "exact"
+    top-k — the refuse-loudly posture; on such corpora run the plain
+    exact group-by instead. The oracle is the exact top-20 SQL, so a
+    dropped heavy hitter OR a spurious raise turns the row red.
+    Estimates are never reported; the sketch only proposes, exact
+    counts decide."""
     docs = catalog.table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(
@@ -911,28 +930,8 @@ def heavy_hitters_two_phase(spark, sf_dir):
         ).alias("w")
     )
 
-    def spacesaving_batches(batches: Iterator[pd.DataFrame]):
-        # one summary per PARTITION (batches of the same partition
-        # stream through a single call)
-        counters: dict[str, int] = {}
-        cap = 200
-        for pdf in batches:
-            for w in pdf["w"]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < cap:
-                    counters[w] = 1
-                else:
-                    # evict the minimum (deterministic tie: smallest key)
-                    mk = min(counters, key=lambda k: (counters[k], k))
-                    mv = counters.pop(mk)
-                    counters[w] = mv + 1
-        yield pd.DataFrame({"w": list(counters.keys())})
-
-    candidates = (
-        words.mapInPandas(spacesaving_batches, schema="w string")
-        .distinct()
-    )
+    cap = 200
+    candidates, totals = _spacesaving_sketch(words, cap=cap)
     recount = (
         words.join(F.broadcast(candidates), "w", "left_semi")
         .groupBy("w")
@@ -941,11 +940,107 @@ def heavy_hitters_two_phase(spark, sf_dir):
     from pyspark.sql import Window as _W
 
     rk = F.row_number().over(_W.orderBy(F.col("cnt").desc(), F.col("w")))
+    top = recount.withColumn("rk", rk).filter(F.col("rk") <= 20)
+    # runtime validation of the coverage precondition (metadata-scale:
+    # ≤20 rows × one totals row). kth = the worst recounted candidate in
+    # the returned window; exact iff no eviction anywhere or kth·cap > N.
+    guard = F.assert_true(
+        (F.col("ev") == 0) | (F.col("kth") * F.lit(cap) > F.col("n_total")),
+        "heavy_hitters_two_phase: sketch coverage precondition failed "
+        "(flat head distribution) — rerun with a larger capacity or the "
+        "plain exact group-by",
+    )
     return (
-        recount.withColumn("rk", rk)
-        .filter(F.col("rk") <= 20)
+        top.withColumn("kth", F.min("cnt").over(_W.partitionBy()))
+        .crossJoin(F.broadcast(totals))
+        .filter(guard.isNull())
         .select("w", "cnt")
     )
+
+
+def _spacesaving_reduce(series_iter, cap: int):
+    """Weighted SpaceSaving over an iterable of pandas string Series
+    (one per Arrow batch): returns ``(counters, n_seen, evicted,
+    n_updates)``. Each batch is pre-reduced C-side with
+    ``value_counts()`` and the summary updated once per UNIQUE token
+    with its batch count — n_updates counts exactly those Python
+    iterations, pinned O(unique-per-batch) by
+    tests/test_heavy_hitters.py. Eviction pops a lazy-deletion heap
+    (stale entries carry counts strictly below the live value, because
+    a live counter only grows and a re-inserted key restarts above its
+    eviction floor), so updates are O(log cap) amortized; ties evict
+    the smallest (count, key) exactly like the min() scan it replaces.
+
+    Invariant (weighted SpaceSaving, order-independent): any token
+    absent from ``counters`` has true weight ≤ min(counters.values())
+    ≤ n_seen/cap — the per-partition half of the coverage theorem in
+    heavy_hitters_two_phase's docstring."""
+    import heapq
+
+    counters: dict[str, int] = {}
+    heap: list[tuple[int, str]] = []  # lazy (count, key) entries
+    n_seen = 0
+    evicted = 0
+    n_updates = 0
+    for series in series_iter:
+        n_seen += len(series)
+        # C-side pre-reduction: one Python-loop iteration per UNIQUE
+        # token in the batch (sorted for deterministic eviction order)
+        vc = series.value_counts().sort_index()
+        for w, c in vc.items():
+            n_updates += 1
+            c = int(c)
+            if w in counters:
+                counters[w] += c
+                heapq.heappush(heap, (counters[w], w))
+            elif len(counters) < cap:
+                counters[w] = c
+                heapq.heappush(heap, (c, w))
+            else:
+                while counters.get(heap[0][1]) != heap[0][0]:
+                    heapq.heappop(heap)
+                mv, mk = heapq.heappop(heap)
+                del counters[mk]
+                counters[w] = mv + c
+                heapq.heappush(heap, (mv + c, w))
+                evicted = 1
+    return counters, n_seen, evicted, n_updates
+
+
+def _spacesaving_sketch(words, cap: int):
+    """Per-partition weighted SpaceSaving over a single string column
+    ``w``: returns (candidates DF ['w'], totals DF ['n_total','ev'])
+    where n_total is the global token count and ev flags whether any
+    partition evicted. One pass, zero shuffle; the sketch output is
+    metadata-scale (≤ cap+1 rows per partition) and cached so its two
+    consumers never rescan the token stream."""
+
+    def spacesaving_batches(batches: Iterator[pd.DataFrame]):
+        # one summary per PARTITION (batches of the same partition
+        # stream through a single call)
+        counters, n_seen, evicted, _ = _spacesaving_reduce(
+            (pdf["w"] for pdf in batches), cap
+        )
+        yield pd.DataFrame(
+            {
+                "w": list(counters.keys()) + [None],
+                "n": [None] * len(counters) + [n_seen],
+                "ev": [None] * len(counters) + [evicted],
+            }
+        )
+
+    from bravo_spark import llmops
+
+    sketch = llmops._cache(
+        words.mapInPandas(
+            spacesaving_batches, schema="w string, n long, ev long"
+        )
+    )
+    candidates = sketch.filter(F.col("w").isNotNull()).select("w").distinct()
+    totals = sketch.filter(F.col("w").isNull()).agg(
+        F.sum("n").alias("n_total"), F.max("ev").alias("ev")
+    )
+    return candidates, totals
 
 
 @query(
