@@ -1063,7 +1063,8 @@ top AS (
 tot AS (SELECT CAST(sum(oa) AS BIGINT) AS na,
                CAST(sum(ob) AS BIGINT) AS nb FROM top)
 SELECT na AS n_tokens_a, nb AS n_tokens_b,
-  CAST(SUM(abs(oa * nb - ob * na) * 1000000 // (2 * na * nb))
+  CAST(SUM(abs(CAST(oa AS HUGEINT) * nb - CAST(ob AS HUGEINT) * na)
+           * 1000000 // (2 * CAST(na AS HUGEINT) * nb))
        AS BIGINT) AS tv_ppm
 FROM top, tot GROUP BY na, nb
 """,
@@ -1077,11 +1078,15 @@ def corpus_drift_tv(spark, sf_dir):
     can recompute them; in production they are two crawl dates.
 
     Integer-exact by construction: TV = ½·Σ|p_a − p_b| is computed as
-    per-term floor((|o_a·n_b − o_b·n_a|·10⁶) / (2·n_a·n_b)) — flooring
-    PER TERM keeps every intermediate inside int64 (a summed numerator
-    times 10⁶ overflows) and both engines floor identically; the ≤50-unit
-    downward bias is part of the metric's definition. One shuffle on the
-    token, a 50-row head, and a scalar join — output is one row."""
+    per-term floor((|o_a·n_b − o_b·n_a|·10⁶) / (2·n_a·n_b)) in 128-bit
+    integer arithmetic — DECIMAL(38,0) on Spark (whose ``div`` is exact
+    integral division), HUGEINT on DuckDB — because o·n·10⁶ ~ N²·10⁶
+    leaves int64 once per-snapshot totals reach ~3 M tokens (and Spark
+    would wrap while DuckDB raises); 38 digits cover corpora past 10¹⁵
+    tokens. Flooring PER TERM keeps the summed result identical across
+    engines; the ≤50-unit downward bias is part of the metric's
+    definition. One shuffle on the token, a 50-row head, and a scalar
+    join — output is one row."""
     docs = catalog.table(spark, sf_dir, "documents")
     half = (
         F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
@@ -1108,7 +1113,10 @@ def corpus_drift_tv(spark, sf_dir):
     )
     return top.crossJoin(F.broadcast(tot)).groupBy("na", "nb").agg(
         F.sum(
-            F.expr("abs(oa * nb - ob * na) * 1000000L div (2 * na * nb)")
+            F.expr(
+            "abs(CAST(oa AS DECIMAL(38,0)) * nb - CAST(ob AS DECIMAL(38,0))"
+            " * na) * 1000000 div (2 * CAST(na AS DECIMAL(38,0)) * nb)"
+        )
         ).alias("tv_ppm")
     ).select(
         F.col("na").alias("n_tokens_a"),
