@@ -817,7 +817,11 @@ def image_phash_dedup(spark, sf_dir):
       Hamming distance 10 of 64 (random pairs sit near 32). The tent's
       downsampled neighbor steps (≥6 gray levels) dominate the ±3
       quantization floor everywhere but the apex column, bounding the
-      flippable bits well under the threshold.
+      flippable bits well under the threshold — and the bound is not
+      an informal argument: tests/test_phash_grid.py exhaustively
+      sweeps ALL 75,240 reachable (w, h, p, q, r) combinations, so the
+      oracle's closed-form ``1`` is verified for every input any
+      corpus can md5-derive.
 
     At scale the 64-bit key feeds the same machinery as text SimHash:
     group equal keys, or band the bits for Hamming-near buckets.
