@@ -9,9 +9,13 @@ extended-float rates), and Sun/NeXT .au. Sample formats: integer PCM
 µ-law expansion (audioop-cross-validated, reported as 16-bit linear),
 and IEEE float/double frames (WAV format 3, AU encodings 6/7, AIFC
 fl32/fl64) normalized to 16-bit linear via one shared clamp-and-round.
-Everything out of profile — MP3-in-RIFF, WAVE_FORMAT_EXTENSIBLE,
-ADPCM, non-finite float samples — refuses BY NAME; sample values are
-never faked. The encoder writes canonical 44-byte-header PCM WAV and is
+WAVE_FORMAT_EXTENSIBLE (0xFFFE) parses the 22-byte extension's
+KSDATAFORMAT SubFormat GUID and dispatches to the same int-PCM /
+float / G.711 paths, so extensible and plain headers over identical
+frames decode identically. Everything out of profile — MP3-in-RIFF,
+ADPCM, unknown subformat GUIDs, left-aligned sub-width extensible
+samples (valid bits < container bits), non-finite float samples —
+refuses BY NAME; sample values are never faked. The encoder writes canonical 44-byte-header PCM WAV and is
 the test ground truth: integer PCM is lossless, so encode→decode round
 trips byte-exactly.
 
@@ -34,6 +38,7 @@ __all__ = [
     "WavError",
     "wav_encode",
     "wav_encode_float",
+    "wav_encode_extensible",
     "wav_decode",
     "wav_meta",
     "aiff_decode",
@@ -119,11 +124,79 @@ def wav_encode_float(
     )
 
 
+# the fixed 12-byte tail of every KSDATAFORMAT_SUBTYPE_* GUID
+# ({xxxxxxxx-0000-0010-8000-00aa00389b71}); Data1 carries the format tag
+_KS_GUID_SUFFIX = bytes.fromhex("00001000800000aa00389b71")
+
+
+def _resolve_extensible(fmt_body: bytes, bits: int) -> int:
+    """WAVE_FORMAT_EXTENSIBLE fmt chunk → the underlying format tag.
+    Layout after the 16-byte base: cbSize(2) wValidBitsPerSample(2)
+    dwChannelMask(4) SubFormat GUID(16). Unknown GUIDs, short
+    extensions, and left-aligned sub-container-width samples
+    (valid_bits < container bits) refuse by name — values are never
+    faked."""
+    if len(fmt_body) < 40:
+        raise WavError("extensible WAV fmt chunk shorter than 40 bytes")
+    (cb_size, valid_bits) = struct.unpack("<HH", fmt_body[16:20])
+    if cb_size < 22:
+        raise WavError(f"extensible WAV cbSize {cb_size} < 22")
+    guid = fmt_body[24:40]
+    if guid[4:] != _KS_GUID_SUFFIX:
+        raise WavError(
+            f"extensible WAV subformat GUID {guid.hex()} not a "
+            "KSDATAFORMAT subtype"
+        )
+    sub = int.from_bytes(guid[:4], "little")
+    if sub not in (1, 3, 6, 7):
+        raise WavError(
+            f"extensible WAV subformat {sub} not supported pure-Python"
+        )
+    if valid_bits not in (0, bits):
+        raise WavError(
+            f"extensible WAV with {valid_bits} valid of {bits} container "
+            "bits (left-aligned sub-width PCM) not supported pure-Python"
+        )
+    return sub
+
+
+def wav_encode_extensible(
+    sample_rate: int, channels: int, bits: int, samples, *, sub: int = 1
+) -> bytes:
+    """Re-wrap canonical PCM/float WAV as WAVE_FORMAT_EXTENSIBLE (the
+    40-byte fmt chunk modern multi-channel tools emit) — the test
+    ground truth for the extensible decode path: identical frames must
+    decode identically through both headers."""
+    if sub == 1:
+        base = wav_encode(sample_rate, channels, bits, samples)
+    elif sub == 3:
+        base = wav_encode_float(sample_rate, channels, samples, bits=bits)
+    else:
+        raise WavError(f"extensible encode supports sub 1/3, got {sub}")
+    # canonical layout: RIFF(12) fmt(8+16) data(8+...)
+    data = base[44:]
+    fmt = (
+        base[20:36]  # the 16-byte base fmt, format tag patched below
+        + struct.pack("<HHI", 22, bits, (1 << channels) - 1)
+        + sub.to_bytes(4, "little")
+        + _KS_GUID_SUFFIX
+    )
+    fmt = struct.pack("<H", 0xFFFE) + fmt[2:]
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def _parse(payload: bytes):
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise WavError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
     n = len(payload)
     while pos + 8 <= n:
@@ -137,6 +210,7 @@ def _parse(payload: bytes):
             if len(body) < 16:
                 raise WavError("fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif tag == b"data":
             data = body
             if fmt is not None:
@@ -148,11 +222,16 @@ def _parse(payload: bytes):
     if data is None:
         raise WavError("missing data chunk")
     audio_format, channels, sample_rate, _rate, _align, bits = fmt
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format tag lives in the
+        # 22-byte extension's KSDATAFORMAT SubFormat GUID (Data1 =
+        # format tag, fixed 12-byte suffix); dispatch to the existing
+        # int-PCM / IEEE-float / G.711 paths
+        audio_format = _resolve_extensible(fmt_body, bits)
     if audio_format not in (1, 3, 6, 7):
-        name = {0xFFFE: "extensible"}.get(
-            audio_format, f"format {audio_format}"
+        raise WavError(
+            f"non-PCM WAV (format {audio_format}) not supported pure-Python"
         )
-        raise WavError(f"non-PCM WAV ({name}) not supported pure-Python")
     if audio_format == 3:
         if bits not in (32, 64):
             raise WavError(f"IEEE-float WAV must be 32- or 64-bit, got {bits}")

@@ -535,3 +535,99 @@ def test_energy_fingerprint_golden_and_invariance():
         A.energy_fingerprint(s, 1)
     with pytest.raises(A.WavError, match="shorter"):
         A.energy_fingerprint([1, 2], 4)
+
+
+def test_extensible_agrees_with_plain_pcm():
+    # WAVE_FORMAT_EXTENSIBLE over identical frames must decode
+    # identically to the canonical header — int PCM at every depth,
+    # mono and stereo
+    for bits in (8, 16, 24, 32):
+        lo = 0 if bits == 8 else -(1 << (bits - 1))
+        hi = 255 if bits == 8 else (1 << (bits - 1)) - 1
+        samples = [lo, hi, (lo + hi) // 2, 0 if bits != 8 else 1] * 3
+        for ch in (1, 2):
+            plain = A.wav_decode(A.wav_encode(8000, ch, bits, samples))
+            ext = A.wav_decode(
+                A.wav_encode_extensible(8000, ch, bits, samples)
+            )
+            assert ext == plain
+            # and the header really is extensible
+            payload = A.wav_encode_extensible(8000, ch, bits, samples)
+            fmt_at = payload.find(b"fmt ") + 8
+            assert struct.unpack_from("<H", payload, fmt_at)[0] == 0xFFFE
+
+
+def test_extensible_agrees_with_plain_float():
+    vals = [0.0, 0.5, -0.5, 1.0, -1.0, 0.25, -0.125, 0.75]
+    for bits in (32, 64):
+        plain = A.wav_decode(A.wav_encode_float(8000, 2, vals, bits=bits))
+        ext = A.wav_decode(
+            A.wav_encode_extensible(8000, 2, bits, vals, sub=3)
+        )
+        assert ext == plain
+        assert plain[2] == 16  # float normalizes to 16-bit linear
+
+
+def test_extensible_meta_reports_container():
+    payload = A.wav_encode_extensible(44100, 2, 24, [0] * 12)
+    assert A.wav_meta(payload) == (44100, 2, 24, 6, 0)
+
+
+def test_extensible_refusals_name_the_profile():
+    good = bytearray(A.wav_encode_extensible(8000, 1, 16, [1, -1] * 4))
+    fmt_at = good.find(b"fmt ") + 8
+
+    # unknown SubFormat GUID suffix
+    mut = bytearray(good)
+    mut[fmt_at + 30] ^= 0xFF  # inside the GUID tail
+    with pytest.raises(A.WavError, match="KSDATAFORMAT"):
+        A.wav_decode(bytes(mut))
+
+    # known suffix but unsupported subformat (2 = ADPCM)
+    mut = bytearray(good)
+    struct.pack_into("<I", mut, fmt_at + 24, 2)
+    with pytest.raises(A.WavError, match="subformat 2"):
+        A.wav_decode(bytes(mut))
+
+    # left-aligned sub-width samples (valid 12 of 16 bits)
+    mut = bytearray(good)
+    struct.pack_into("<H", mut, fmt_at + 18, 12)
+    with pytest.raises(A.WavError, match="12 valid of 16"):
+        A.wav_decode(bytes(mut))
+
+    # truncated extension (cbSize < 22)
+    mut = bytearray(good)
+    struct.pack_into("<H", mut, fmt_at + 16, 10)
+    with pytest.raises(A.WavError, match="cbSize"):
+        A.wav_decode(bytes(mut))
+
+
+def test_extensible_valid_bits_zero_is_tolerated():
+    # some writers leave wValidBitsPerSample = 0 (unspecified)
+    payload = bytearray(A.wav_encode_extensible(8000, 1, 16, [5, -5] * 4))
+    fmt_at = payload.find(b"fmt ") + 8
+    struct.pack_into("<H", payload, fmt_at + 18, 0)
+    assert A.wav_decode(bytes(payload))[3] == [5, -5] * 4
+
+
+def test_extensible_g711_subformats_dispatch():
+    # hand-wrap a mu-law stream in an extensible header: must expand
+    # through the same G.711 table as format tag 7
+    codes = bytes(range(0, 16))
+    plain = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + len(codes)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", len(codes)) + codes
+    )
+    fmt_ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000, 1, 8)
+        + struct.pack("<HHI", 22, 8, 1)
+        + (7).to_bytes(4, "little") + A._KS_GUID_SUFFIX
+    )
+    ext = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 40 + 8 + len(codes)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 40) + fmt_ext
+        + b"data" + struct.pack("<I", len(codes)) + codes
+    )
+    assert A.wav_decode(ext) == A.wav_decode(plain)
