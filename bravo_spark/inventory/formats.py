@@ -17,12 +17,12 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import functions as F
 
 from bravo_spark import catalog
 from bravo_spark.inventory.registry import query
+from bravo_spark.inventory.scratch import scratch_dir, scratch_path
 
 _AGG_ORACLE = (
     "SELECT event_type, count(*) AS cnt,"
@@ -37,8 +37,7 @@ _SCHEMA = "event_id long, user_id long, event_type string, value double"
 
 def _roundtrip(spark, sf_dir, fmt: str):
     ev = catalog.table(spark, sf_dir, "events").select(*_COLS)
-    out = os.path.join(tempfile.gettempdir(), f"bravo_fmt_{fmt}_{os.getpid()}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir(f"fmt_{fmt}")
     writer = ev.write.mode("overwrite")
     if fmt == "csv":
         writer = writer.option("header", "true")
@@ -138,9 +137,7 @@ def partitioned_prune_scan(spark, sf_dir):
     import hashlib
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(
-        tempfile.gettempdir(), f"bravo_part_events_{tag}_{os.getpid()}"
-    )
+    out = scratch_path(f"part_events_{tag}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         shutil.rmtree(out, ignore_errors=True)
@@ -277,10 +274,7 @@ def schema_evolution_merge(spark, sf_dir):
     ev = catalog.table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    out = os.path.join(
-        tempfile.gettempdir(), f"bravo_fmt_evolve_{os.getpid()}"
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("fmt_evolve")
     ev.filter(F.col("event_id") % 2 == 0).select(
         "event_id", "user_id", "event_type"
     ).write.mode("overwrite").parquet(os.path.join(out, "batch=1"))

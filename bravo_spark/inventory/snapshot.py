@@ -10,14 +10,13 @@ Any byte-level asymmetry in the codec/writer/reader breaks the hash match.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import functions as F
 
 from bravo_spark import catalog
 from bravo_spark.codecs import flink as fc
 from bravo_spark.inventory.registry import query
+from bravo_spark.inventory.scratch import scratch_dir
 from bravo_spark.sources import savepoint as sp
 from bravo_spark.sources import staterows as sr
 
@@ -32,10 +31,7 @@ def snapshot_roundtrip(spark, sf_dir):
         F.count("*").alias("value")
     )
     rows = sr.kv_to_state_rows(counts, "Count", fc.LONG, fc.LONG, max_parallelism=128)
-    out = os.path.join(
-        tempfile.gettempdir(), f"bravo_snapshot_rt_{os.getpid()}"
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("snapshot_rt")
     sp.write_savepoint(
         rows, out, max_parallelism=128, parallelism=4, state_ids={"Count": 0}
     )
@@ -70,8 +66,6 @@ def checkpoint_roundtrip(spark, sf_dir):
     on shared storage (the real inputs it stands in for — Flink
     checkpoints — already live there)."""
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     import pandas as _pd
 
@@ -138,8 +132,7 @@ def checkpoint_roundtrip(spark, sf_dir):
                 }
             )
 
-    out = _os.path.join(_tempfile.gettempdir(), f"bravo_ckpt_rt_{_os.getpid()}")
-    _shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("ckpt_rt")
     _os.makedirs(out)
 
     encoded = (
@@ -206,8 +199,7 @@ def snapshot_state_filter(spark, sf_dir):
     rows = sr.kv_to_state_rows(clicks, "clicks", fc.LONG, fc.LONG).unionByName(
         sr.kv_to_state_rows(views, "views", fc.LONG, fc.LONG)
     )
-    out = os.path.join(tempfile.gettempdir(), f"bravo_snapshot_sf_{os.getpid()}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("snapshot_sf")
     sp.write_savepoint(
         rows, out, max_parallelism=128, parallelism=4,
         state_ids={"clicks": 0, "views": 1},
@@ -233,10 +225,7 @@ def snapshot_rescale(spark, sf_dir):
         F.count("*").alias("value")
     )
     rows = sr.kv_to_state_rows(counts, "Count", fc.LONG, fc.LONG, max_parallelism=128)
-    base = os.path.join(tempfile.gettempdir(), f"bravo_rescale_{os.getpid()}")
-    src, dst = base + "_src", base + "_dst"
-    for d in (src, dst):
-        shutil.rmtree(d, ignore_errors=True)
+    src, dst = scratch_dir("rescale_src"), scratch_dir("rescale_dst")
     sp.write_savepoint(
         rows, src, max_parallelism=128, parallelism=4, state_ids={"Count": 0}
     )
@@ -275,10 +264,7 @@ def checkpoint_write_roundtrip(spark, sf_dir):
         fc.LONG,
         max_parallelism=128,
     )
-    out = os.path.join(
-        tempfile.gettempdir(), f"bravo_ckpt_write_{os.getpid()}"
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("ckpt_write")
     ck.write_incremental_checkpoint(
         rows, out, max_parallelism=128, parallelism=4
     )
@@ -318,8 +304,7 @@ def pojo_value_kv(spark, sf_dir):
         ).alias("value"),
     )
     rows = sr.kv_to_state_rows(src, "PojoCount", fc.LONG, pj, max_parallelism=128)
-    out = os.path.join(tempfile.gettempdir(), f"bravo_pojo_rt_{os.getpid()}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("pojo_rt")
     sp.write_savepoint(
         rows, out, max_parallelism=128, parallelism=4,
         state_ids={"PojoCount": 0},
@@ -356,8 +341,7 @@ def kryo_value_kv(spark, sf_dir):
         F.count("*").alias("value")
     )
     rows = sr.kv_to_state_rows(counts, "KryoCount", fc.LONG, kc, max_parallelism=128)
-    out = os.path.join(tempfile.gettempdir(), f"bravo_kryo_rt_{os.getpid()}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("kryo_rt")
     sp.write_savepoint(
         rows, out, max_parallelism=128, parallelism=4,
         state_ids={"KryoCount": 0},
@@ -416,10 +400,7 @@ def kryo_custom_class(spark, sf_dir):
         ).alias("value"),
     )
     rows = sr.kv_to_state_rows(src, "UserStats", fc.LONG, kc, max_parallelism=128)
-    out = os.path.join(
-        tempfile.gettempdir(), f"bravo_kryo_cc_{os.getpid()}"
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("kryo_cc")
     sp.write_savepoint(
         rows, out, max_parallelism=128, parallelism=4,
         state_ids={"UserStats": 0},
@@ -452,10 +433,7 @@ def snapshot_roundtrip_compressed(spark, sf_dir):
         F.count("*").alias("value")
     )
     rows = sr.kv_to_state_rows(counts, "Count", fc.LONG, fc.LONG, max_parallelism=128)
-    out = os.path.join(
-        tempfile.gettempdir(), f"bravo_snapshot_rtc_{os.getpid()}"
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("snapshot_rtc")
     sp.write_savepoint(
         rows, out, max_parallelism=128, parallelism=4,
         state_ids={"Count": 0}, compression=True,
@@ -483,10 +461,7 @@ def type_change_migration(spark, sf_dir):
         F.sum(F.floor("value").cast("long")).cast("string").alias("value")
     )
     rows = sr.kv_to_state_rows(sums, "sum", fc.LONG, fc.STRING, max_parallelism=128)
-    out1 = os.path.join(tempfile.gettempdir(), f"bravo_mig1_{os.getpid()}")
-    out2 = os.path.join(tempfile.gettempdir(), f"bravo_mig2_{os.getpid()}")
-    for d in (out1, out2):
-        shutil.rmtree(d, ignore_errors=True)
+    out1, out2 = scratch_dir("mig1"), scratch_dir("mig2")
     sp.write_savepoint(
         rows, out1, max_parallelism=128, parallelism=4, state_ids={"sum": 0}
     )
@@ -535,10 +510,7 @@ def operator_state_roundtrip(spark, sf_dir):
     for t, c in counts.items():
         b0.get_broadcast_state("counts")[t] = int(c)
         b1.get_broadcast_state("counts")[t] = int(c)
-    src = os.path.join(tempfile.gettempdir(), f"bravo_ops1_{os.getpid()}")
-    dst = os.path.join(tempfile.gettempdir(), f"bravo_ops2_{os.getpid()}")
-    for d in (src, dst):
-        shutil.rmtree(d, ignore_errors=True)
+    src, dst = scratch_dir("ops1"), scratch_dir("ops2")
     ops.write_operator_state(src, [b0, b1])
 
     def bump(_i, b):
@@ -577,8 +549,7 @@ def ttl_state_roundtrip(spark, sf_dir):
         counts, "Count", fc.LONG, fc.LONG, max_parallelism=128,
         ttl_ts=1_700_000_000_000,
     )
-    out = os.path.join(tempfile.gettempdir(), f"bravo_ttl_rt_{os.getpid()}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("ttl_rt")
     sp.write_savepoint(
         rows, out, max_parallelism=128, parallelism=4, state_ids={"Count": 0}
     )
@@ -610,8 +581,7 @@ def custom_reader_expand(spark, sf_dir):
         F.count("*").alias("value")
     )
     rows = sr.kv_to_state_rows(counts, "Count", fc.LONG, fc.LONG, max_parallelism=128)
-    out = os.path.join(tempfile.gettempdir(), f"bravo_x1_rt_{os.getpid()}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("x1_rt")
     sp.write_savepoint(
         rows, out, max_parallelism=128, parallelism=4, state_ids={"Count": 0}
     )
@@ -662,10 +632,7 @@ def snapshot_datasource_scan(spark, sf_dir):
         counts.select("key", (F.col("value") * 1000).alias("value")),
         "Decoy", fc.LONG, fc.LONG, max_parallelism=128,
     )
-    out = os.path.join(
-        tempfile.gettempdir(), f"bravo_snapshot_ds_{os.getpid()}"
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("snapshot_ds")
     ds.register(spark)
     (
         rows.unionByName(decoy)
@@ -709,10 +676,7 @@ def checkpoint_datasource_scan(spark, sf_dir):
         kv.select("key", (F.col("value") * 1000).alias("value")),
         "Decoy", fc.LONG, fc.LONG, max_parallelism=128,
     )
-    out = os.path.join(
-        tempfile.gettempdir(), f"bravo_ckpt_ds_{os.getpid()}"
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("ckpt_ds")
     ck.write_incremental_checkpoint(
         rows.unionByName(decoy), out, max_parallelism=128, parallelism=4,
         state_ids={"Count": 0, "Decoy": 1},  # statically known — skips the
@@ -781,10 +745,7 @@ def savepoint_diff(spark, sf_dir):
         rows = sr.kv_to_state_rows(
             kv, "Count", fc.LONG, fc.LONG, max_parallelism=128
         )
-        out = os.path.join(
-            tempfile.gettempdir(), f"bravo_spdiff_{tag}_{os.getpid()}"
-        )
-        shutil.rmtree(out, ignore_errors=True)
+        out = scratch_dir(f"spdiff_{tag}")
         sp.write_savepoint(
             rows, out, max_parallelism=128, parallelism=4,
             state_ids={"Count": 0},

@@ -41,7 +41,9 @@ def _run_streaming_agg(spark, sf_dir: str) -> str:
     return the checkpoint dir. count(*) and sum(floor(value)) keep the agg
     buffers integer-typed, so state values are deterministic across engines
     (float sums are order-dependent; see the decimal trick elsewhere)."""
-    ckpt = tempfile.mkdtemp(prefix="bravo_spark_state_")
+    from bravo_spark.inventory.scratch import register_for_exit
+
+    ckpt = register_for_exit(tempfile.mkdtemp(prefix="bravo_spark_state_"))
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -249,13 +251,13 @@ def _run_agg_over(spark, df_writer, inp, ckpt):
 
 
 def _rewind_workdir(tag: str) -> str:
-    """pid-named work dir for the rewind queries — recreated (not leaked)
-    on every run, like the snapshot.py fixtures."""
+    """pid-named work dir for the rewind queries — cleared at allocation
+    and removed at process exit, like the snapshot.py fixtures."""
     import os
-    import shutil
 
-    work = os.path.join(tempfile.gettempdir(), f"bravo_{tag}_{os.getpid()}")
-    shutil.rmtree(work, ignore_errors=True)
+    from bravo_spark.inventory.scratch import scratch_dir
+
+    work = scratch_dir(tag)
     os.makedirs(os.path.join(work, "in"))
     return work
 
