@@ -12,10 +12,14 @@ fl32/fl64) normalized to 16-bit linear via one shared clamp-and-round.
 WAVE_FORMAT_EXTENSIBLE (0xFFFE) parses the 22-byte extension's
 KSDATAFORMAT SubFormat GUID and dispatches to the same int-PCM /
 float / G.711 paths, so extensible and plain headers over identical
-frames decode identically. Everything out of profile — MP3-in-RIFF,
-ADPCM, unknown subformat GUIDs, left-aligned sub-width extensible
-samples (valid bits < container bits), non-finite float samples —
-refuses BY NAME; sample values are never faked. The encoder writes canonical 44-byte-header PCM WAV and is
+frames decode identically. IMA/DVI ADPCM (format 0x11) expands its
+block-structured nibble stream through the spec step/index tables
+(decode core cross-validated against CPython's audioop per block,
+reported as 16-bit linear). Everything out of profile — MP3-in-RIFF,
+MS ADPCM (format 2), 3-bit IMA variants, unknown subformat GUIDs,
+left-aligned sub-width extensible samples (valid bits < container
+bits), non-finite float samples — refuses BY NAME; sample values are
+never faked. The encoder writes canonical 44-byte-header PCM WAV and is
 the test ground truth: integer PCM is lossless, so encode→decode round
 trips byte-exactly.
 
@@ -39,6 +43,7 @@ __all__ = [
     "wav_encode",
     "wav_encode_float",
     "wav_encode_extensible",
+    "wav_encode_adpcm",
     "wav_decode",
     "wav_meta",
     "aiff_decode",
@@ -148,11 +153,14 @@ def _resolve_extensible(fmt_body: bytes, bits: int) -> int:
             "KSDATAFORMAT subtype"
         )
     sub = int.from_bytes(guid[:4], "little")
-    if sub not in (1, 3, 6, 7):
+    if sub not in (1, 3, 6, 7, 0x11):
         raise WavError(
             f"extensible WAV subformat {sub} not supported pure-Python"
         )
-    if valid_bits not in (0, bits):
+    if sub != 0x11 and valid_bits not in (0, bits):
+        # for compressed subformats (ADPCM) the union field is
+        # wSamplesPerBlock, not valid bits — the block-align derivation
+        # in _parse is authoritative there
         raise WavError(
             f"extensible WAV with {valid_bits} valid of {bits} container "
             "bits (left-aligned sub-width PCM) not supported pure-Python"
@@ -228,10 +236,28 @@ def _parse(payload: bytes):
         # format tag, fixed 12-byte suffix); dispatch to the existing
         # int-PCM / IEEE-float / G.711 paths
         audio_format = _resolve_extensible(fmt_body, bits)
-    if audio_format not in (1, 3, 6, 7):
+    if audio_format not in (1, 3, 6, 7, 0x11):
         raise WavError(
             f"non-PCM WAV (format {audio_format}) not supported pure-Python"
         )
+    if channels < 1 or sample_rate < 1:
+        raise WavError("corrupt fmt chunk (zero channels or rate)")
+    if audio_format == 0x11:
+        # IMA/DVI ADPCM: block-structured nibble stream, width logic below
+        # does not apply (bits = 4)
+        if bits != 4:
+            raise WavError(f"IMA ADPCM WAV must be 4-bit, got {bits}")
+        if _align <= 4 * channels or _align % (4 * channels):
+            raise WavError(
+                f"IMA ADPCM block align {_align} invalid for "
+                f"{channels} channel(s) (header + 4-byte data words)"
+            )
+        # tolerate a trailing partial block (truncated file): drop it
+        data = data[: len(data) - len(data) % _align]
+        spb = (_align - 4 * channels) * 2 // channels + 1
+        if (len(data) // _align) * spb * channels > _MAX_SAMPLES:
+            raise WavError("audio too large for in-container decode")
+        return audio_format, channels, sample_rate, bits, data, _align
     if audio_format == 3:
         if bits not in (32, 64):
             raise WavError(f"IEEE-float WAV must be 32- or 64-bit, got {bits}")
@@ -240,15 +266,13 @@ def _parse(payload: bytes):
             raise WavError(f"G.711 WAV must be 8-bit, got {bits}")
     elif bits not in (8, 16, 24, 32):
         raise WavError(f"PCM bit depth {bits} unsupported (8/16/24/32)")
-    if channels < 1 or sample_rate < 1:
-        raise WavError("corrupt fmt chunk (zero channels or rate)")
     width = bits // 8
     if len(data) % (width * channels):
         # tolerate a trailing partial frame (truncated file): drop it
         data = data[: len(data) - len(data) % (width * channels)]
     if len(data) // width > _MAX_SAMPLES:
         raise WavError("audio too large for in-container decode")
-    return audio_format, channels, sample_rate, bits, data
+    return audio_format, channels, sample_rate, bits, data, _align
 
 
 # G.711 expansion (the public-domain Sun g711.c formulas, as in the ITU
@@ -274,6 +298,178 @@ def _alaw_to_linear(a: int) -> int:
 
 _ULAW_TABLE = [_ulaw_to_linear(i) for i in range(256)]
 _ALAW_TABLE = [_alaw_to_linear(i) for i in range(256)]
+
+
+# IMA/DVI ADPCM (WAV format 0x11): the IMA reference step-size and index
+# tables, identical to CPython audioop's — the decode core is
+# cross-validated against audioop.adpcm2lin per block in test_audio.py
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(n: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA nibble → (new predictor, new step index), the exact
+    integer recurrence of the IMA ADPCM reference (and audioop)."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    if pred > 32767:
+        pred = 32767
+    elif pred < -32768:
+        pred = -32768
+    idx += _IMA_INDEX_TABLE[n]
+    if idx < 0:
+        idx = 0
+    elif idx > 88:
+        idx = 88
+    return pred, idx
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, align: int) -> list[int]:
+    """IMA ADPCM WAV data chunk → interleaved signed 16-bit samples.
+    Each ``align``-byte block carries a 4-byte header per channel
+    (initial sample int16 LE + step index + reserved) — the header
+    sample IS the block's first output sample — then nibble data LOW
+    nibble first, interleaved across channels in 4-byte words."""
+    out: list[int] = []
+    spb = (align - 4 * channels) * 2 // channels + 1
+    for boff in range(0, len(data), align):
+        block = data[boff : boff + align]
+        preds: list[int] = []
+        idxs: list[int] = []
+        chans: list[list[int]] = []
+        for c in range(channels):
+            p = int.from_bytes(block[c * 4 : c * 4 + 2], "little", signed=True)
+            i = block[c * 4 + 2]
+            if i > 88:
+                raise WavError(f"IMA ADPCM step index {i} out of range")
+            preds.append(p)
+            idxs.append(i)
+            chans.append([p])
+        body = block[4 * channels :]
+        for woff in range(0, len(body), 4 * channels):
+            for c in range(channels):
+                p, i = preds[c], idxs[c]
+                samples = chans[c]
+                for b in body[woff + c * 4 : woff + c * 4 + 4]:
+                    p, i = _ima_step(b & 0x0F, p, i)
+                    samples.append(p)
+                    p, i = _ima_step(b >> 4, p, i)
+                    samples.append(p)
+                preds[c], idxs[c] = p, i
+        for k in range(spb):
+            for c in range(channels):
+                out.append(chans[c][k])
+    return out
+
+
+def wav_encode_adpcm(
+    sample_rate: int,
+    channels: int,
+    samples: list[int],
+    *,
+    block_align: int | None = None,
+) -> bytes:
+    """IMA ADPCM WAV encoder (format 0x11) — the test ground truth for
+    the decode path. Interleaved signed 16-bit input; the final partial
+    block pads by holding the last frame (a decoder reports the padded
+    length — ADPCM is block-quantized, like every real encoder). The
+    step index carries across blocks per channel (the reference encoder
+    behavior); each block header re-anchors the predictor exactly, so
+    decode error never accumulates across blocks."""
+    if channels < 1 or sample_rate < 1:
+        raise WavError("channels and sample_rate must be positive")
+    if block_align is None:
+        block_align = 256 * channels
+    if block_align <= 4 * channels or block_align % (4 * channels):
+        raise WavError(
+            f"IMA ADPCM block align {block_align} invalid for "
+            f"{channels} channel(s)"
+        )
+    if len(samples) % channels:
+        raise WavError("sample count not a whole number of frames")
+    for s in samples:
+        if not -32768 <= s <= 32767:
+            raise WavError(f"sample {s} outside 16-bit range")
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    n_frames = len(samples) // channels
+    frames = [
+        samples[f * channels : (f + 1) * channels] for f in range(n_frames)
+    ]
+    idxs = [0] * channels
+    blocks = bytearray()
+    for boff in range(0, n_frames, spb):
+        chunk = frames[boff : boff + spb]
+        while len(chunk) < spb:  # hold the last frame to fill the block
+            chunk.append(chunk[-1])
+        header = bytearray()
+        nibbles: list[list[int]] = []
+        for c in range(channels):
+            pred = chunk[0][c]
+            header += int(pred & 0xFFFF).to_bytes(2, "little")
+            header += bytes((idxs[c], 0))
+            ch_nibs = []
+            i = idxs[c]
+            for k in range(1, spb):
+                s = chunk[k][c]
+                step = _IMA_STEP_TABLE[i]
+                diff = s - pred
+                n = 0
+                if diff < 0:
+                    n = 8
+                    diff = -diff
+                if diff >= step:
+                    n |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    n |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    n |= 1
+                pred, i = _ima_step(n, pred, i)
+                ch_nibs.append(n)
+            if len(ch_nibs) % 2:
+                ch_nibs.append(0)
+            nibbles.append(ch_nibs)
+            idxs[c] = i
+        body = bytearray()
+        per_ch_bytes = [
+            bytes(
+                nb[j] | (nb[j + 1] << 4) for j in range(0, len(nb), 2)
+            )
+            for nb in nibbles
+        ]
+        for woff in range(0, len(per_ch_bytes[0]), 4):
+            for c in range(channels):
+                body += per_ch_bytes[c][woff : woff + 4]
+        blocks += header + body
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, channels, sample_rate, byte_rate, block_align, 4, 2, spb,
+    )
+    data = bytes(blocks)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
 
 
 def _float_to_i16(data: bytes, bits: int, byteorder: str) -> list[int]:
@@ -307,9 +503,14 @@ def _float_to_i16(data: bytes, bits: int, byteorder: str) -> list[int]:
 def wav_meta(payload: bytes) -> tuple[int, int, int, int, int]:
     """(sample_rate, channels, bits, n_frames, duration_ms) from the
     container — header-level, but the data chunk's framing is validated.
-    ``bits`` is the STORED width (8 for G.711 streams)."""
-    _fmt, channels, sample_rate, bits, data = _parse(payload)
-    n_frames = len(data) // (channels * bits // 8)
+    ``bits`` is the STORED width (8 for G.711 streams, 4 for IMA
+    ADPCM)."""
+    fmt, channels, sample_rate, bits, data, align = _parse(payload)
+    if fmt == 0x11:
+        spb = (align - 4 * channels) * 2 // channels + 1
+        n_frames = (len(data) // align) * spb
+    else:
+        n_frames = len(data) // (channels * bits // 8)
     return sample_rate, channels, bits, n_frames, n_frames * 1000 // sample_rate
 
 
@@ -320,8 +521,15 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     streams EXPAND to signed linear samples and report bits=16 — the
     companded byte is a storage format, not a sample value. IEEE-float
     streams (format 3, 32/64-bit) likewise normalize to 16-bit linear
-    via clamp-and-round (see _float_to_i16)."""
-    fmt, channels, sample_rate, bits, data = _parse(payload)
+    via clamp-and-round (see _float_to_i16). IMA ADPCM blocks (format
+    0x11) expand through the spec's step/index tables and report
+    bits=16 as well."""
+    fmt, channels, sample_rate, bits, data, align = _parse(payload)
+    if fmt == 0x11:
+        return (
+            sample_rate, channels, 16,
+            _ima_adpcm_decode(data, channels, align),
+        )
     if fmt == 3:
         return sample_rate, channels, 16, _float_to_i16(data, bits, "little")
     if fmt in (6, 7):

@@ -631,3 +631,137 @@ def test_extensible_g711_subformats_dispatch():
         + b"data" + struct.pack("<I", len(codes)) + codes
     )
     assert A.wav_decode(ext) == A.wav_decode(plain)
+
+
+def _audioop_or_skip():
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+        return audioop
+    except ImportError:  # removed in Python 3.13
+        pytest.skip("audioop unavailable")
+
+
+def test_ima_adpcm_roundtrip_mono_and_meta():
+    import math
+
+    sig = [int(9000 * math.sin(x / 40)) for x in range(2000)]
+    pay = A.wav_encode_adpcm(8000, 1, sig)
+    sr, ch, bits, out = A.wav_decode(pay)
+    assert (sr, ch, bits) == (8000, 1, 16)
+    # block-quantized length: padded up to a whole number of blocks
+    spb = (256 - 4) * 2 + 1
+    n_blocks = -(-len(sig) // spb)
+    assert len(out) == n_blocks * spb
+    assert A.wav_meta(pay) == (8000, 1, 4, n_blocks * spb,
+                               n_blocks * spb * 1000 // 8000)
+    # every block re-anchors the predictor, so the first sample of each
+    # block is EXACT; between anchors the slow signal tracks closely
+    for b in range(n_blocks):
+        assert out[b * spb] == sig[min(b * spb, len(sig) - 1)]
+    err = max(abs(a - b) for a, b in zip(sig, out))
+    assert err < 2000, err
+
+
+def test_ima_adpcm_decode_cross_validated_against_audioop():
+    """Per block: seed audioop's (predictor, index) state from the block
+    header, swap each body byte's nibbles (WAV is low-nibble-first,
+    audioop high-first), and the decoded samples must match exactly —
+    on encoder output AND on adversarial random nibble streams."""
+    import math
+    import random
+
+    audioop = _audioop_or_skip()
+
+    def ref_block(block, align):
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        idx = block[2]
+        swapped = bytes(
+            ((b & 0x0F) << 4) | (b >> 4) for b in block[4:]
+        )
+        lin, _ = audioop.adpcm2lin(swapped, 2, (pred, idx))
+        n = len(lin) // 2
+        return [pred] + list(struct.unpack(f"<{n}h", lin))
+
+    sig = [int(11000 * math.sin(x / 9)) for x in range(1500)]
+    pay = A.wav_encode_adpcm(8000, 1, sig, block_align=128)
+    data = pay[pay.find(b"data") + 8 :]
+    assert len(data) % 128 == 0 and len(data) > 0
+    decoded = A.wav_decode(pay)[3]
+    spb = (128 - 4) * 2 + 1
+    for k, boff in enumerate(range(0, len(data), 128)):
+        block = data[boff : boff + 128]
+        assert decoded[k * spb : (k + 1) * spb] == ref_block(block, 128)
+
+    rng = random.Random(5)
+    for _ in range(20):
+        body = bytes(rng.randrange(256) for _ in range(44))
+        hdr = struct.pack(
+            "<hBB", rng.randrange(-32768, 32768), rng.randrange(89), 0
+        )
+        block = hdr + body
+        assert A._ima_adpcm_decode(block, 1, len(block)) == ref_block(
+            block, len(block)
+        )
+
+
+def test_ima_adpcm_stereo_channels_independent():
+    # stereo with twice the mono block align has the same samples-per-
+    # block; per-channel state is independent, so the deinterleaved
+    # stereo decode must equal the two mono decodes
+    import math
+
+    left = [int(7000 * math.sin(x / 25)) for x in range(1200)]
+    right = [int(5000 * math.cos(x / 17)) for x in range(1200)]
+    inter = [v for pair in zip(left, right) for v in pair]
+    st = A.wav_decode(A.wav_encode_adpcm(8000, 2, inter, block_align=512))[3]
+    ml = A.wav_decode(A.wav_encode_adpcm(8000, 1, left, block_align=256))[3]
+    mr = A.wav_decode(A.wav_encode_adpcm(8000, 1, right, block_align=256))[3]
+    assert st[0::2] == ml
+    assert st[1::2] == mr
+
+
+def test_ima_adpcm_refusals_name_the_profile():
+    pay = bytearray(A.wav_encode_adpcm(8000, 1, [0] * 505))
+    fmt_at = pay.find(b"fmt ") + 8
+
+    # 3-bit IMA variant
+    mut = bytearray(pay)
+    struct.pack_into("<H", mut, fmt_at + 14, 3)
+    with pytest.raises(A.WavError, match="4-bit"):
+        A.wav_decode(bytes(mut))
+
+    # block align not a multiple of 4 bytes/channel
+    mut = bytearray(pay)
+    struct.pack_into("<H", mut, fmt_at + 12, 255)
+    with pytest.raises(A.WavError, match="block align"):
+        A.wav_decode(bytes(mut))
+
+    # corrupt step index in a block header
+    mut = bytearray(pay)
+    mut[pay.find(b"data") + 8 + 2] = 97
+    with pytest.raises(A.WavError, match="step index"):
+        A.wav_decode(bytes(mut))
+
+    # MS ADPCM still refuses by name
+    mut = bytearray(pay)
+    struct.pack_into("<H", mut, fmt_at, 2)
+    with pytest.raises(A.WavError, match="format 2"):
+        A.wav_decode(bytes(mut))
+
+    with pytest.raises(A.WavError, match="block align"):
+        A.wav_encode_adpcm(8000, 1, [0] * 8, block_align=9)
+
+
+def test_ima_adpcm_trailing_partial_block_dropped():
+    pay = A.wav_encode_adpcm(8000, 1, [100] * 1010, block_align=256)
+    # truncate mid-block (fixing the size fields): only whole blocks decode
+    raw = bytearray(pay[: len(pay) - 100])
+    struct.pack_into("<I", raw, 4, len(raw) - 8)
+    data_at = bytes(raw).find(b"data")
+    struct.pack_into("<I", raw, data_at + 4, len(raw) - data_at - 8)
+    spb = (256 - 4) * 2 + 1
+    assert len(A.wav_decode(bytes(raw))[3]) == spb
