@@ -35,13 +35,17 @@ TTL_BYTES = 8
 
 class ByteReader:
     # kryo_refs carries the per-value Kryo reference-resolution context
-    # (codecs/kryo.py) so nested container codecs share the one graph
-    __slots__ = ("buf", "pos", "kryo_refs")
+    # (codecs/kryo.py) so nested container codecs share the one graph;
+    # kryo_pending_slot is the read-id a container codec adopts BEFORE
+    # decoding its children (Kryo's kryo.reference(...) order), which is
+    # what lets cyclic graphs materialize as cyclic Python containers
+    __slots__ = ("buf", "pos", "kryo_refs", "kryo_pending_slot")
 
     def __init__(self, buf: bytes, pos: int = 0):
         self.buf = buf
         self.pos = pos
         self.kryo_refs = None
+        self.kryo_pending_slot = -1
 
     def read(self, n: int) -> bytes:
         b = self.buf[self.pos : self.pos + n]

@@ -25,12 +25,17 @@ last char's high bit set, OR 0x80 alone for null.
 
 Every branch is cross-validated in tests/test_kryo.py against the real
 Kryo shipped inside this Spark's JVM (both reference-tracking settings,
-both directions). Reference resolution is supported for the ACYCLIC case:
+both directions). Reference resolution is FULL for container graphs:
 back-reference markers (> 1) return the already-decoded object from the
-per-value graph, and repeated class names resolve through the per-value
-nameId cache. CYCLIC graphs (a back-reference to an object still being
-constructed) are refused by name — they cannot materialize as a value
-column.
+per-value graph, repeated class names resolve through the per-value
+nameId cache, and container codecs register their result object BEFORE
+decoding children (Kryo's ``kryo.reference`` order) — so CYCLIC graphs
+(arr[0] = arr) decode to genuinely cyclic Python lists/dicts and encode
+back with real back-reference markers (the write side tracks container
+identity per value). A cyclic value still cannot materialize as a Spark
+COLUMN (Arrow cannot serialize it) — cycles are a driver-side surgery
+surface; only cycles through non-adopting payloads (immutable or custom
+codecs) keep the named refusal.
 
 Job-registered classes (the reference restores *whatever* serializer the
 snapshot metadata names, ``reader/OperatorStateReader.java:100-104``)
@@ -253,8 +258,10 @@ def _read_ref(r: ByteReader):
     if obj is _PENDING:
         raise KryoError(
             f"cyclic Kryo back-reference (read-id {idx} is still being "
-            "constructed): cyclic object graphs cannot decode to a value "
-            "column — only acyclic graphs are supported"
+            "constructed) through a non-adopting payload codec: only "
+            "container codecs (list/map/array) can materialize cycles — "
+            "a custom codec must register its object before decoding "
+            "children to participate in a cycle"
         )
     return "ref", obj
 
@@ -263,6 +270,22 @@ def _fill_ref(r: ByteReader, slot: int, value):
     if slot >= 0 and r.kryo_refs is not None:
         r.kryo_refs.objects[slot] = value
     return value
+
+
+def _adopt_pending(r: ByteReader, obj) -> None:
+    """Container codecs call this right after creating their (empty,
+    mutable) result object and BEFORE decoding children — mirroring
+    Kryo's ``kryo.reference(object)`` registration order. A child's
+    back-reference to the enclosing container then resolves to the same
+    Python object, so CYCLIC graphs (arr[0] = arr) materialize as
+    genuinely cyclic Python lists/dicts instead of refusing. The
+    ``_PENDING`` refusal in :func:`_read_ref` remains for cycles through
+    non-adopting codecs (immutable or custom payloads), which cannot be
+    patched after the fact."""
+    slot = r.kryo_pending_slot
+    if slot >= 0 and r.kryo_refs is not None:
+        r.kryo_refs.objects[slot] = obj
+    r.kryo_pending_slot = -1
 
 
 def read_kryo_value(
@@ -281,13 +304,15 @@ def read_kryo_value(
     registration id ≥ 9, or a fully-qualified class name; the latter two
     need a matching ``registrations`` entry supplying the payload codec.
 
-    Reference-resolution markers are honored for the ACYCLIC case: a
-    back-reference returns the already-decoded object, class-name ids
-    resolve through the per-value nameId cache (Kryo writes a repeated
-    class's name once per value), and container payload codecs (e.g.
-    :func:`object_array_codec`) share the graph through the reader.
-    Cyclic graphs are refused by name — they cannot materialize as a
-    value column."""
+    Reference-resolution markers are fully honored: a back-reference
+    returns the already-decoded object, class-name ids resolve through
+    the per-value nameId cache (Kryo writes a repeated class's name once
+    per value), and container payload codecs (e.g.
+    :func:`object_array_codec`) register their result object before
+    decoding children — so cyclic container graphs decode to genuinely
+    cyclic Python lists/dicts (a driver-side surgery surface; Arrow
+    cannot serialize them into a column). Cycles through non-adopting
+    payloads are refused by name."""
     regs = registrations or {}
     # auto-reset: one writeClassAndObject value == one graph
     with _read_graph(r):
@@ -332,7 +357,12 @@ def _read_tagged(
                 kind, got = _read_ref(r)
                 if kind == "ref":
                     return got
-                return _fill_ref(r, got, codec.decode(r))
+                r.kryo_pending_slot = got
+                try:
+                    val = codec.decode(r)
+                finally:
+                    r.kryo_pending_slot = -1
+                return _fill_ref(r, got, val)
             return codec.decode(r)
         if cls != "[B":
             raise KryoError(
@@ -362,7 +392,12 @@ def _read_tagged(
             kind, got = _read_ref(r)
             if kind == "ref":
                 return got
-            return _fill_ref(r, got, codec.decode(r))
+            r.kryo_pending_slot = got
+            try:
+                val = codec.decode(r)
+            finally:
+                r.kryo_pending_slot = -1
+            return _fill_ref(r, got, val)
         return codec.decode(r)
     if rid == _ID_INT:
         return _zz_dec(read_varint(r))
@@ -410,21 +445,78 @@ def _read_graph(r: ByteReader):
             r.kryo_refs = None
 
 
+class _WGraph:
+    """WRITE-side reference graph: ``n`` counts every new-object marker
+    written (the reader assigns one read-id per marker, in the same
+    preorder), ``ids`` records identity → (read-id, class-expect) for
+    MUTABLE CONTAINERS only — the objects a Python value graph can share
+    or cycle through."""
+
+    __slots__ = ("n", "ids")
+
+    def __init__(self):
+        self.n = 0
+        self.ids: dict[int, tuple[int, object]] = {}
+
+
 @contextmanager
 def _write_names():
-    """WRITE-side twin of :func:`_read_graph`: one nameId cache per
-    top-level value, whichever encode entry point opened it. Without a
-    shared cache a container writing two name-form elements would emit
-    nameId 0 + the full name twice — bytes every conforming reader
-    (including ours) misparses."""
+    """WRITE-side twin of :func:`_read_graph`: one nameId cache AND one
+    reference graph per top-level value, whichever encode entry point
+    opened it. Without a shared name cache a container writing two
+    name-form elements would emit nameId 0 + the full name twice — bytes
+    every conforming reader (including ours) misparses; without the
+    shared reference graph a cyclic container would recurse forever."""
     top = getattr(_WRITE_TLS, "names", None) is None
     if top:
         _WRITE_TLS.names = {}
+        _WRITE_TLS.wgraph = _WGraph()
     try:
         yield
     finally:
         if top:
             _WRITE_TLS.names = None
+            _WRITE_TLS.wgraph = None
+
+
+def _write_marker(value, expect_cls) -> tuple[bytes, bool]:
+    """One reference marker on the write side (Kryo's
+    writeReferenceOrNull): ``(varint(1), False)`` for a new object —
+    advancing the read-id counter the reader will mirror — or
+    ``(varint(read_id + 2), True)`` for a container already written in
+    this value, in which case the caller must NOT write a payload.
+    Identity is tracked for lists/dicts only; immutable values always
+    write fresh (stream-legal, and byte-identical to the pre-cycle
+    encoder)."""
+    g = _WRITE_TLS.wgraph
+    if isinstance(value, (list, dict)):
+        hit = g.ids.get(id(value))
+        if hit is not None:
+            return write_varint(hit[0] + 2), True
+        g.ids[id(value)] = (g.n, expect_cls)
+    g.n += 1
+    return write_varint(1), False
+
+
+def _backref_element(v) -> bytes | None:
+    """Class tag + back-reference bytes when ``v`` is a container already
+    written in this value's graph (the only way a cycle or shared
+    container reaches a container element encoder), else None. The class
+    tag re-uses the class recorded at the object's first write — Kryo
+    writes the class on EVERY occurrence, with the nameId cache
+    compressing repeats."""
+    g = getattr(_WRITE_TLS, "wgraph", None)
+    if g is None or not isinstance(v, (list, dict)):
+        return None
+    hit = g.ids.get(id(v))
+    if hit is None:
+        return None
+    gid, cls = hit
+    if isinstance(cls, int):
+        tag = write_varint(cls + 2)
+    else:
+        tag = write_varint(_TAG_NAME) + _write_class_name(cls)
+    return tag + write_varint(gid + 2)
 
 
 def _write_class_name(cls: str) -> bytes:
@@ -452,9 +544,12 @@ def write_kryo_value(
     type (a key of ``_EXPECT``, a registration id ≥ 9, or a class name —
     the latter two encode via their ``registrations`` payload codec).
 
-    Duplicate objects inside one value are written as fresh objects, not
-    back-references — stream-legal (the reader simply assigns each its
-    own read-id); class NAMES do cache per value, as Kryo requires."""
+    Duplicate IMMUTABLE values inside one value are written as fresh
+    objects, not back-references — stream-legal (the reader simply
+    assigns each its own read-id). Duplicate CONTAINER objects (same
+    list/dict instance, including self-referential cycles) ARE written
+    as back-reference markers — the only stream-legal encoding of a
+    cycle; class NAMES cache per value, as Kryo requires."""
     with _write_names():
         return _write_tagged(
             value, expect, references=references,
@@ -480,7 +575,10 @@ def _write_tagged(
             )
         out = write_varint(expect + 2)
         if references:
-            out += write_varint(1)
+            marker, back = _write_marker(value, expect)
+            out += marker
+            if back:
+                return out
         return out + codec.encode(value)
     if expect not in _EXPECT:
         codec = regs.get(expect)
@@ -488,12 +586,15 @@ def _write_tagged(
             raise KryoError(f"unsupported Kryo expect type {expect!r}")
         out = write_varint(_TAG_NAME) + _write_class_name(expect)
         if references:
-            out += write_varint(1)
+            marker, back = _write_marker(value, expect)
+            out += marker
+            if back:
+                return out
         return out + codec.encode(value)
     if expect == "bytes":
         out = write_varint(_TAG_NAME) + _write_class_name("[B")
         if references:
-            out += write_varint(1)
+            out += _write_marker(value, None)[0]
         return out + write_varint(len(value) + 1) + bytes(value)
     rid = _EXPECT[expect]
     out = write_varint(rid + 2)
@@ -501,7 +602,7 @@ def _write_tagged(
         return out + write_varint(_zz_enc(int(value), 32))
     if rid == _ID_STRING:
         if references:
-            out += write_varint(1)
+            out += _write_marker(value, None)[0]
         return out + write_kryo_string(value)
     if rid == _ID_FLOAT:
         return out + struct.pack(">f", value)
@@ -570,7 +671,24 @@ def kryo_codec(
     return Codec(f"kryo<{expect}>", enc, dec, -1, fields=fields)
 
 
-def _infer_element_expect(v) -> str:
+def _enc_element(v, *, references: bool, regs: dict) -> bytes:
+    """One container element as writeClassAndObject bytes: NULL tag,
+    a class-tag + back-reference pair for a container already written in
+    this value (how cycles and shared sub-containers encode), or a fresh
+    tagged write with the element type inferred from the Python type."""
+    if v is None:
+        return write_varint(_TAG_NULL)
+    if references:
+        back = _backref_element(v)
+        if back is not None:
+            return back
+    return _write_tagged(
+        v, _infer_element_expect(v, regs), references=references,
+        registrations=regs,
+    )
+
+
+def _infer_element_expect(v, regs: dict | None = None) -> str:
     if isinstance(v, bool):
         return "boolean"
     if isinstance(v, str):
@@ -581,6 +699,18 @@ def _infer_element_expect(v) -> str:
         return "int" if -(2**31) <= v < 2**31 else "long"
     if isinstance(v, float):
         return "double"
+    # nested containers: a Python list/dict maps onto whichever container
+    # class the caller registered (ArrayList preferred over Object[] when
+    # both are present — the common Flink state shape); a registrations
+    # mapping is the single source of truth for class choice, exactly as
+    # on the decode side
+    if regs:
+        if isinstance(v, list):
+            for cls in ("java.util.ArrayList", "[Ljava.lang.Object;"):
+                if cls in regs:
+                    return cls
+        if isinstance(v, dict) and "java.util.HashMap" in regs:
+            return "java.util.HashMap"
     raise KryoError(
         f"cannot infer a Kryo element type for {type(v).__name__}; "
         "encode via an explicit registrations payload codec"
@@ -602,7 +732,10 @@ def object_array_codec(
     once (nameId cache) — both JVM-cross-validated in tests/test_kryo.py.
     Encoding infers element tags from the Python types (bool/str/bytes/
     int/float) and writes duplicates as fresh objects (stream-legal)."""
-    regs = registrations or {}
+    # preserve the caller's dict IDENTITY (even empty): the
+    # self-referential registration pattern inserts this codec's own
+    # class into the same mapping AFTER construction
+    regs = {} if registrations is None else registrations
 
     def enc(vals) -> bytes:
         if vals is None:
@@ -610,13 +743,7 @@ def object_array_codec(
         with _write_names():
             out = write_varint(len(vals) + 1)
             for v in vals:
-                if v is None:
-                    out += write_varint(_TAG_NULL)
-                else:
-                    out += _write_tagged(
-                        v, _infer_element_expect(v),
-                        references=references, registrations=regs,
-                    )
+                out += _enc_element(v, references=references, regs=regs)
         return out
 
     def dec(r: ByteReader):
@@ -627,10 +754,17 @@ def object_array_codec(
             n = read_varint(r)
             if n == 0:
                 return None
-            return [
-                read_kryo_value(r, references=references, registrations=regs)
-                for _ in range(n - 1)
-            ]
+            out: list = []
+            # register BEFORE children (Kryo's reference order): a child
+            # back-reference to this array decodes to this same list
+            _adopt_pending(r, out)
+            for _ in range(n - 1):
+                out.append(
+                    read_kryo_value(
+                        r, references=references, registrations=regs
+                    )
+                )
+            return out
 
     return Codec("kryo-object-array", enc, dec, -1)
 
@@ -645,7 +779,10 @@ def collection_codec(
     ``registrations={"java.util.ArrayList": collection_codec(...)}``.
     Elements share the enclosing value's reference graph; encoding infers
     element tags like :func:`object_array_codec`."""
-    regs = registrations or {}
+    # preserve the caller's dict IDENTITY (even empty): the
+    # self-referential registration pattern inserts this codec's own
+    # class into the same mapping AFTER construction
+    regs = {} if registrations is None else registrations
 
     def enc(vals) -> bytes:
         if vals is None:
@@ -662,22 +799,21 @@ def collection_codec(
         with _write_names():
             out = write_varint(len(vals))
             for v in vals:
-                if v is None:
-                    out += write_varint(_TAG_NULL)
-                else:
-                    out += _write_tagged(
-                        v, _infer_element_expect(v),
-                        references=references, registrations=regs,
-                    )
+                out += _enc_element(v, references=references, regs=regs)
         return out
 
     def dec(r: ByteReader):
         with _read_graph(r):
             n = read_varint(r)
-            return [
-                read_kryo_value(r, references=references, registrations=regs)
-                for _ in range(n)
-            ]
+            out: list = []
+            _adopt_pending(r, out)
+            for _ in range(n):
+                out.append(
+                    read_kryo_value(
+                        r, references=references, registrations=regs
+                    )
+                )
+            return out
 
     return Codec("kryo-collection", enc, dec, -1)
 
@@ -691,7 +827,10 @@ def map_codec(
     ``registrations={"java.util.HashMap": map_codec(...)}``. A decoded
     key that is unhashable in Python (e.g. a nested collection) is
     refused by name."""
-    regs = registrations or {}
+    # preserve the caller's dict IDENTITY (even empty): the
+    # self-referential registration pattern inserts this codec's own
+    # class into the same mapping AFTER construction
+    regs = {} if registrations is None else registrations
 
     def enc(d) -> bytes:
         if d is None:
@@ -704,19 +843,14 @@ def map_codec(
             out = write_varint(len(d))
             for kk, vv in d.items():
                 for v in (kk, vv):
-                    if v is None:
-                        out += write_varint(_TAG_NULL)
-                    else:
-                        out += _write_tagged(
-                            v, _infer_element_expect(v),
-                            references=references, registrations=regs,
-                        )
+                    out += _enc_element(v, references=references, regs=regs)
         return out
 
     def dec(r: ByteReader):
         with _read_graph(r):
             n = read_varint(r)
             out = {}
+            _adopt_pending(r, out)
             for _ in range(n):
                 kk = read_kryo_value(
                     r, references=references, registrations=regs

@@ -363,20 +363,157 @@ def test_acyclic_back_reference_same_instance(jk):
     assert native.count(kr.write_varint(777777)) == 1
 
 
-def test_cyclic_back_reference_refused_by_name(jk):
-    """arr[0] = arr — the JVM happily writes the cycle; our decoder must
-    refuse it BY NAME (the slot is still pending), never hang or return
-    garbage."""
+def test_cyclic_object_array_decodes_and_roundtrips(jk):
+    """arr[0] = arr — the JVM writes the cycle; our decoder registers the
+    container before its children (Kryo's reference order), so the result
+    is a genuinely cyclic Python list. Our re-encode emits a real
+    back-reference marker (our own decoder recovers the identity) and
+    the JVM reads our bytes back into a self-referential array. (Byte
+    equality with the JVM stream is NOT asserted: Kryo uses its
+    ASCII short-string fast path for the class name where we always
+    emit the spec's varint-flag form — both readers accept both.)"""
     j = jk.j
     arr = j.java.lang.reflect.Array.newInstance(
         j.java.lang.Class.forName("java.lang.Object"), 1
     )
     j.java.lang.reflect.Array.set(arr, 0, arr)
     native = jk.write(arr, True)
-    with pytest.raises(kr.KryoError, match="cyclic"):
+    got = kr.read_kryo_value(
+        ByteReader(native), references=True, expect=OBJ_ARRAY,
+        registrations=_arr_regs(True),
+    )
+    assert len(got) == 1 and got[0] is got  # identity, not deep-eq
+    ours = kr.write_kryo_value(
+        got, OBJ_ARRAY, references=True, registrations=_arr_regs(True)
+    )
+    # the cycle survives our own decode of our own bytes...
+    got2 = kr.read_kryo_value(
+        ByteReader(ours), references=True, expect=OBJ_ARRAY,
+        registrations=_arr_regs(True),
+    )
+    assert len(got2) == 1 and got2[0] is got2
+    # ...and the REAL Kryo reads our bytes into a self-referential array
+    back = jk.read(ours, True)
+    elem = j.java.lang.reflect.Array.get(back, 0)
+    assert elem.equals(back)  # Object[] equals == identity
+
+
+def test_cyclic_arraylist_and_hashmap_decode(jk):
+    """Self-referential ArrayList and HashMap-value cycles through the
+    collection/map codecs, JVM-written."""
+    j = jk.j
+    lst = j.java.util.ArrayList()
+    lst.add(lst)
+    lst.add("tail")
+    regs = {}
+    regs["java.util.ArrayList"] = kr.collection_codec(
+        references=True, registrations=regs
+    )
+    got = kr.read_kryo_value(
+        ByteReader(jk.write(lst, True)), references=True,
+        expect="java.util.ArrayList", registrations=regs,
+    )
+    assert len(got) == 2 and got[0] is got and got[1] == "tail"
+
+    m = j.java.util.HashMap()
+    m.put("self", m)
+    m.put("n", j.java.lang.Integer(3))
+    mregs = {}
+    mregs["java.util.HashMap"] = kr.map_codec(
+        references=True, registrations=mregs
+    )
+    gm = kr.read_kryo_value(
+        ByteReader(jk.write(m, True)), references=True,
+        expect="java.util.HashMap", registrations=mregs,
+    )
+    assert gm["self"] is gm and gm["n"] == 3
+
+
+def test_mutual_cycle_roundtrips_through_jvm(jk):
+    """Two ArrayLists referencing each other: decode to mutually cyclic
+    Python lists, re-encode, and the JVM reads our bytes back into the
+    same mutual structure (a == b.get(0).get(0))."""
+    j = jk.j
+    a = j.java.util.ArrayList()
+    b = j.java.util.ArrayList()
+    a.add(b)
+    b.add(a)
+    regs = {}
+    regs["java.util.ArrayList"] = kr.collection_codec(
+        references=True, registrations=regs
+    )
+    got = kr.read_kryo_value(
+        ByteReader(jk.write(a, True)), references=True,
+        expect="java.util.ArrayList", registrations=regs,
+    )
+    assert got[0][0] is got and got[0] is not got
+    ours = kr.write_kryo_value(
+        got, "java.util.ArrayList", references=True, registrations=regs
+    )
+    back = jk.read(ours, True)
+    assert back.get(0).get(0).equals(back) is True or back.get(0).get(
+        0
+    ) == back  # JVM identity through py4j equality
+
+
+def test_shared_subcontainer_decodes_to_same_object(jk):
+    """An ACYCLIC duplicate container ([inner, inner]) decodes to the
+    same Python list twice, and our re-encode emits ONE payload plus a
+    back-reference (the inner list's contents appear once in the
+    bytes)."""
+    j = jk.j
+    inner = j.java.util.ArrayList()
+    inner.add(j.java.lang.Integer(424243))
+    outer = j.java.util.ArrayList()
+    outer.add(inner)
+    outer.add(inner)
+    regs = {}
+    regs["java.util.ArrayList"] = kr.collection_codec(
+        references=True, registrations=regs
+    )
+    got = kr.read_kryo_value(
+        ByteReader(jk.write(outer, True)), references=True,
+        expect="java.util.ArrayList", registrations=regs,
+    )
+    assert got[0] is got[1] and got[0] == [424243]
+    ours = kr.write_kryo_value(
+        got, "java.util.ArrayList", references=True, registrations=regs
+    )
+    assert ours.count(kr.write_varint(kr._zz_enc(424243, 32))) == 1
+    back = jk.read(ours, True)
+    assert back.get(0) == back.get(1)
+
+
+def test_cycle_through_non_adopting_codec_still_refused():
+    """A cycle whose pending object is a CUSTOM payload (not a container
+    the decoder can pre-register) must still refuse by name — the object
+    cannot be patched after the fact. Hand-built bytes: class-name form,
+    new-object marker, payload = one child that back-references read-id
+    0 (the custom object itself, still pending)."""
+    child_codec = {}
+
+    def dec_payload(r):
+        return kr.read_kryo_value(
+            r, references=True, registrations=child_codec
+        )
+
+    from bravo_spark.codecs.flink import Codec
+
+    box = Codec("box", lambda v: b"", dec_payload, -1)
+    child_codec["com.example.Box"] = box
+    # tag: name form, nameId 0 + class name, marker 1 (new, read-id 0),
+    # payload: child = name form nameId 0 (cached), marker 2 (ref id 0)
+    data = (
+        kr.write_varint(1)  # _TAG_NAME
+        + kr.write_varint(0) + kr.write_kryo_string("com.example.Box")
+        + kr.write_varint(1)  # new object -> read-id 0
+        + kr.write_varint(1) + kr.write_varint(0)  # child: same class
+        + kr.write_varint(2)  # back-reference to read-id 0: pending
+    )
+    with pytest.raises(kr.KryoError, match="still being constructed"):
         kr.read_kryo_value(
-            ByteReader(native), references=True, expect=OBJ_ARRAY,
-            registrations=_arr_regs(True),
+            ByteReader(data), references=True,
+            expect="com.example.Box", registrations=child_codec,
         )
 
 
