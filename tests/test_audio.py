@@ -765,3 +765,32 @@ def test_ima_adpcm_trailing_partial_block_dropped():
     struct.pack_into("<I", raw, data_at + 4, len(raw) - data_at - 8)
     spb = (256 - 4) * 2 + 1
     assert len(A.wav_decode(bytes(raw))[3]) == spb
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cut=st.integers(0, 120),
+    flip_pos=st.integers(0, 119),
+    flip_val=st.integers(1, 255),
+    mode=st.sampled_from(["truncate", "flip", "both"]),
+)
+def test_adpcm_malformed_streams_fail_cleanly(cut, flip_pos, flip_val, mode):
+    # the never-hang contract for the block-structured path: any
+    # truncation/bitflip either decodes (to in-range samples) or raises
+    # the named error — never hangs, never returns out-of-range values
+    good = A.wav_encode_adpcm(
+        8000, 1, [((i * 131) % 4000) - 2000 for i in range(600)],
+        block_align=64,
+    )
+    data = bytearray(good)
+    if mode in ("truncate", "both"):
+        data = data[: max(4, len(data) - cut % len(data))]
+    if mode in ("flip", "both") and len(data) > 5:
+        p = 4 + flip_pos % (len(data) - 4)
+        data[p] ^= flip_val
+    try:
+        sr, ch, bits, samples = A.wav_decode(bytes(data))
+        assert sr >= 1 and ch >= 1
+        assert all(-32768 <= s <= 32767 for s in samples)
+    except (A.WavError, ValueError):
+        pass
