@@ -664,3 +664,58 @@ def test_decoder_malformed_streams_fail_cleanly(cut, flip_pos, flip_val, mode, r
         )
     except (kr.KryoError, EOFError):
         pass  # named, controlled refusals
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_reference_graph_roundtrip_property(data):
+    """Random container DAGs with SHARED sub-containers (and optional
+    self-cycles) survive our own encode→decode: values equal where
+    acyclic, and every identity relation (shared or cyclic) is
+    preserved — the write-side graph must mirror the reader's read-id
+    preorder exactly, or back-references land on the wrong slot."""
+    regs = {}
+    regs["java.util.ArrayList"] = kr.collection_codec(
+        references=True, registrations=regs
+    )
+
+    scalars = st.one_of(
+        st.integers(-(2**31), 2**31 - 1),
+        st.text(max_size=6),
+        st.booleans(),
+        st.none(),
+    )
+    # a pool of leaf lists, some reused in several places
+    pool = [
+        data.draw(st.lists(scalars, max_size=4)) for _ in range(3)
+    ]
+    top = []
+    for _ in range(data.draw(st.integers(1, 6))):
+        kind = data.draw(st.integers(0, 3))
+        if kind == 0:
+            top.append(data.draw(scalars))
+        elif kind == 1:
+            top.append(pool[data.draw(st.integers(0, 2))])  # shared
+        elif kind == 2:
+            top.append(list(pool[0]))  # equal but distinct
+        else:
+            top.append(top)  # self-cycle
+    ours = kr.write_kryo_value(
+        top, "java.util.ArrayList", references=True, registrations=regs
+    )
+    got = kr.read_kryo_value(
+        ByteReader(ours), references=True,
+        expect="java.util.ArrayList", registrations=regs,
+    )
+    assert len(got) == len(top)
+    # identity relations are preserved pairwise
+    for i in range(len(top)):
+        for j in range(i + 1, len(top)):
+            if isinstance(top[i], list) and top[i] is top[j]:
+                assert got[i] is got[j], (i, j)
+        if top[i] is top:
+            assert got[i] is got
+    # acyclic values compare equal element-wise
+    for i, v in enumerate(top):
+        if v is not top:
+            assert got[i] == v

@@ -483,8 +483,12 @@ def test_heavy_hitters_recount_is_broadcast_semi(plans):
     """The two-phase heavy-hitters recount must stay a broadcast
     semi-join against the tiny candidate set — a sort-merge or shuffle
     join here would drag the full token stream through an exchange,
-    which is exactly what the pattern exists to avoid."""
+    which is exactly what the pattern exists to avoid. The sketch
+    output must be CACHED (InMemoryTableScan): its two consumers
+    (candidate broadcast + the totals for the runtime coverage guard)
+    would otherwise each rescan and re-sketch the whole token stream."""
     p = plans("heavy_hitters_two_phase")
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p
