@@ -15,8 +15,14 @@ float / G.711 paths, so extensible and plain headers over identical
 frames decode identically. IMA/DVI ADPCM (format 0x11) expands its
 block-structured nibble stream through the spec step/index tables
 (decode core cross-validated against CPython's audioop per block,
-reported as 16-bit linear). Everything out of profile — MP3-in-RIFF,
-MS ADPCM (format 2), 3-bit IMA variants, unknown subformat GUIDs,
+reported as 16-bit linear). MS ADPCM (format 0x02) decodes too: each
+block header re-anchors BOTH history samples and selects a predictor
+pair from the fmt extension's coefficient table, then the spec
+recurrence (predict /256 truncating toward zero, signed-nibble × delta,
+fixed adaptation table with floor 16) expands one nibble per sample,
+high nibble first, channel-alternating — pinned by hand-computed spec
+vectors including a negative-product truncation case. Everything out
+of profile — MP3-in-RIFF, 3-bit IMA variants, unknown subformat GUIDs,
 left-aligned sub-width extensible samples (valid bits < container
 bits), non-finite float samples — refuses BY NAME; sample values are
 never faked. The encoder writes canonical 44-byte-header PCM WAV and is
@@ -44,6 +50,7 @@ __all__ = [
     "wav_encode_float",
     "wav_encode_extensible",
     "wav_encode_adpcm",
+    "wav_encode_msadpcm",
     "wav_decode",
     "wav_meta",
     "aiff_decode",
@@ -236,12 +243,22 @@ def _parse(payload: bytes):
         # format tag, fixed 12-byte suffix); dispatch to the existing
         # int-PCM / IEEE-float / G.711 paths
         audio_format = _resolve_extensible(fmt_body, bits)
-    if audio_format not in (1, 3, 6, 7, 0x11):
+    if audio_format not in (1, 2, 3, 6, 7, 0x11):
         raise WavError(
             f"non-PCM WAV (format {audio_format}) not supported pure-Python"
         )
     if channels < 1 or sample_rate < 1:
         raise WavError("corrupt fmt chunk (zero channels or rate)")
+    if audio_format == 2:
+        # MS ADPCM: block-structured nibble stream; the fmt extension
+        # carries wSamplesPerBlock and the predictor coefficient table
+        if bits != 4:
+            raise WavError(f"MS ADPCM WAV must be 4-bit, got {bits}")
+        spb, coefs = _ms_adpcm_fmt(fmt_body, channels, _align)
+        data = data[: len(data) - len(data) % _align]  # whole blocks only
+        if (len(data) // _align) * spb * channels > _MAX_SAMPLES:
+            raise WavError("audio too large for in-container decode")
+        return audio_format, channels, sample_rate, bits, data, _align, fmt_body
     if audio_format == 0x11:
         # IMA/DVI ADPCM: block-structured nibble stream, width logic below
         # does not apply (bits = 4)
@@ -257,7 +274,7 @@ def _parse(payload: bytes):
         spb = (_align - 4 * channels) * 2 // channels + 1
         if (len(data) // _align) * spb * channels > _MAX_SAMPLES:
             raise WavError("audio too large for in-container decode")
-        return audio_format, channels, sample_rate, bits, data, _align
+        return audio_format, channels, sample_rate, bits, data, _align, fmt_body
     if audio_format == 3:
         if bits not in (32, 64):
             raise WavError(f"IEEE-float WAV must be 32- or 64-bit, got {bits}")
@@ -272,7 +289,7 @@ def _parse(payload: bytes):
         data = data[: len(data) - len(data) % (width * channels)]
     if len(data) // width > _MAX_SAMPLES:
         raise WavError("audio too large for in-container decode")
-    return audio_format, channels, sample_rate, bits, data, _align
+    return audio_format, channels, sample_rate, bits, data, _align, fmt_body
 
 
 # G.711 expansion (the public-domain Sun g711.c formulas, as in the ITU
@@ -472,6 +489,244 @@ def wav_encode_adpcm(
     )
 
 
+# MS ADPCM (WAV format 0x02): the public Microsoft multimedia spec's
+# fixed adaptation table and the seven standard predictor pairs (files
+# carry the table in the fmt extension; the standard seven lead it).
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+_MS_STD_COEFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+]
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """C-style integer division (truncate toward zero) — the MS ADPCM
+    predictor divides a possibly-negative product by 256, and floor
+    division would be off by one on negative remainders."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _ms_adpcm_fmt(fmt_body: bytes, channels: int, align: int):
+    """MS ADPCM fmt extension → (samples_per_block, coefficient pairs).
+    Layout after the 16-byte base: cbSize(2) wSamplesPerBlock(2)
+    wNumCoef(2) then wNumCoef (iCoef1, iCoef2) int16 pairs. Out-of-range
+    block geometry refuses by name."""
+    if len(fmt_body) < 22:
+        raise WavError("MS ADPCM fmt extension truncated")
+    cb_size, spb, n_coef = struct.unpack("<HHH", fmt_body[16:22])
+    if cb_size < 4 + 4 * n_coef or n_coef < 1:
+        raise WavError(f"MS ADPCM cbSize {cb_size} / wNumCoef {n_coef} invalid")
+    if len(fmt_body) < 22 + 4 * n_coef:
+        raise WavError("MS ADPCM coefficient table truncated")
+    coefs = [
+        struct.unpack("<hh", fmt_body[22 + 4 * k : 26 + 4 * k])
+        for k in range(n_coef)
+    ]
+    if align <= 7 * channels:
+        raise WavError(
+            f"MS ADPCM block align {align} too small for "
+            f"{channels} channel(s) (7-byte header per channel)"
+        )
+    capacity = (align - 7 * channels) * 2 // channels + 2
+    if not 2 <= spb <= capacity:
+        raise WavError(
+            f"MS ADPCM samples-per-block {spb} outside [2, {capacity}] "
+            f"for block align {align}"
+        )
+    return spb, coefs
+
+
+def _ms_adpcm_decode(
+    data: bytes, channels: int, align: int, spb: int, coefs
+) -> list[int]:
+    """MS ADPCM data chunk → interleaved signed 16-bit samples. Each
+    ``align``-byte block carries a per-channel header (bPredictor byte,
+    iDelta int16, iSamp1 int16, iSamp2 int16 — each field grouped
+    across channels) whose iSamp2/iSamp1 ARE the block's first two
+    output samples, then one nibble per sample HIGH nibble first,
+    alternating channels per nibble. The recurrence is the spec's:
+    predict from the two prior samples via the block's coefficient
+    pair (/256 truncating toward zero), add signed-nibble × delta,
+    clamp, then adapt delta through the fixed table (floor 16)."""
+    out: list[int] = []
+    n_coef = len(coefs)
+    for boff in range(0, len(data) - len(data) % align, align):
+        block = data[boff : boff + align]
+        preds = []
+        for c in range(channels):
+            p = block[c]
+            if p >= n_coef:
+                raise WavError(
+                    f"MS ADPCM predictor {p} out of range (table has "
+                    f"{n_coef})"
+                )
+            preds.append(coefs[p])
+        base = channels
+        deltas = [
+            int.from_bytes(block[base + 2 * c : base + 2 * c + 2],
+                           "little", signed=True)
+            for c in range(channels)
+        ]
+        base += 2 * channels
+        s1 = [
+            int.from_bytes(block[base + 2 * c : base + 2 * c + 2],
+                           "little", signed=True)
+            for c in range(channels)
+        ]
+        base += 2 * channels
+        s2 = [
+            int.from_bytes(block[base + 2 * c : base + 2 * c + 2],
+                           "little", signed=True)
+            for c in range(channels)
+        ]
+        chans = [[s2[c], s1[c]] for c in range(channels)]
+        body = block[7 * channels :]
+        need = (spb - 2) * channels
+        for k in range(need):
+            b = body[k >> 1]
+            n = (b >> 4) if (k & 1) == 0 else (b & 0x0F)
+            c = k % channels
+            c1, c2 = preds[c]
+            pred = _trunc_div(chans[c][-1] * c1 + chans[c][-2] * c2, 256)
+            sn = n - 16 if n >= 8 else n
+            pred += sn * deltas[c]
+            if pred > 32767:
+                pred = 32767
+            elif pred < -32768:
+                pred = -32768
+            chans[c].append(pred)
+            d = (_MS_ADAPT[n] * deltas[c]) >> 8
+            deltas[c] = 16 if d < 16 else d
+        for k in range(spb):
+            for c in range(channels):
+                out.append(chans[c][k])
+    return out
+
+
+def wav_encode_msadpcm(
+    sample_rate: int,
+    channels: int,
+    samples: list[int],
+    *,
+    block_align: int | None = None,
+) -> bytes:
+    """MS ADPCM WAV encoder (format 0x02) — the test ground truth for
+    the decode path. Interleaved signed 16-bit input; the final partial
+    block pads by holding the last frame (block-quantized, like every
+    real encoder). Per block and channel it trial-encodes all seven
+    standard predictors and keeps the least-total-error one; the block
+    header re-anchors both history samples exactly, so signals the
+    chosen predictor tracks exactly (constants via (256,0), linear
+    ramps via (512,-256)) round-trip sample-exact."""
+    if channels < 1 or sample_rate < 1:
+        raise WavError("channels and sample_rate must be positive")
+    if block_align is None:
+        block_align = 256 * channels
+    if block_align <= 7 * channels:
+        raise WavError(
+            f"MS ADPCM block align {block_align} invalid for "
+            f"{channels} channel(s)"
+        )
+    if (block_align - 7 * channels) * 2 % channels:
+        raise WavError(
+            f"MS ADPCM block align {block_align} leaves a fractional "
+            f"nibble count per channel"
+        )
+    if len(samples) % channels:
+        raise WavError("sample count not a whole number of frames")
+    for s in samples:
+        if not -32768 <= s <= 32767:
+            raise WavError(f"sample {s} outside 16-bit range")
+    spb = (block_align - 7 * channels) * 2 // channels + 2
+    n_frames = len(samples) // channels
+    frames = [
+        samples[f * channels : (f + 1) * channels] for f in range(n_frames)
+    ]
+
+    def trial(ch_samples, c1, c2):
+        # simulate the exact decoder recurrence; returns (error, nibbles)
+        s2, s1 = ch_samples[0], ch_samples[1]
+        delta = 16
+        nibs = []
+        err_total = 0
+        for target in ch_samples[2:]:
+            pred = _trunc_div(s1 * c1 + s2 * c2, 256)
+            sn = _trunc_div(target - pred, delta)
+            if sn > 7:
+                sn = 7
+            elif sn < -8:
+                sn = -8
+            n = sn + 16 if sn < 0 else sn
+            rec = pred + sn * delta
+            if rec > 32767:
+                rec = 32767
+            elif rec < -32768:
+                rec = -32768
+            err_total += abs(rec - target)
+            s2, s1 = s1, rec
+            nibs.append(n)
+            d = (_MS_ADAPT[n] * delta) >> 8
+            delta = 16 if d < 16 else d
+        return err_total, nibs
+
+    blocks = bytearray()
+    for boff in range(0, n_frames, spb):
+        chunk = frames[boff : boff + spb]
+        while len(chunk) < spb:  # hold the last frame to fill the block
+            chunk.append(chunk[-1] if chunk else [0] * channels)
+        best_pred = []
+        best_nibs = []
+        for c in range(channels):
+            ch = [fr[c] for fr in chunk]
+            best = None
+            for pi, (c1, c2) in enumerate(_MS_STD_COEFS):
+                err, nibs = trial(ch, c1, c2)
+                if best is None or err < best[0]:
+                    best = (err, pi, nibs)
+            best_pred.append(best[1])
+            best_nibs.append(best[2])
+        header = bytearray(bytes(best_pred))
+        for c in range(channels):
+            header += (16).to_bytes(2, "little")  # iDelta, fixed trial seed
+        for c in range(channels):
+            header += int(chunk[1][c] & 0xFFFF).to_bytes(2, "little")
+        for c in range(channels):
+            header += int(chunk[0][c] & 0xFFFF).to_bytes(2, "little")
+        # nibble stream: sample-major, channel-minor, high nibble first
+        body = bytearray()
+        acc = 0
+        nbits = 0
+        for k in range((spb - 2) * channels):
+            n = best_nibs[k % channels][k // channels]
+            acc = (acc << 4) | n
+            nbits += 4
+            if nbits == 8:
+                body.append(acc)
+                acc = 0
+                nbits = 0
+        if nbits:
+            body.append(acc << 4)
+        blocks += header + body
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        2, channels, sample_rate, byte_rate, block_align, 4, 32, spb,
+    ) + struct.pack("<H", len(_MS_STD_COEFS)) + b"".join(
+        struct.pack("<hh", a, b) for a, b in _MS_STD_COEFS
+    )
+    data = bytes(blocks)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def _float_to_i16(data: bytes, bits: int, byteorder: str) -> list[int]:
     """IEEE float frames → signed 16-bit linear samples, the shared
     normalization for float WAV (LE), float AU (BE), and AIFC fl32/fl64
@@ -505,9 +760,12 @@ def wav_meta(payload: bytes) -> tuple[int, int, int, int, int]:
     container — header-level, but the data chunk's framing is validated.
     ``bits`` is the STORED width (8 for G.711 streams, 4 for IMA
     ADPCM)."""
-    fmt, channels, sample_rate, bits, data, align = _parse(payload)
+    fmt, channels, sample_rate, bits, data, align, fmt_body = _parse(payload)
     if fmt == 0x11:
         spb = (align - 4 * channels) * 2 // channels + 1
+        n_frames = (len(data) // align) * spb
+    elif fmt == 2:
+        spb, _coefs = _ms_adpcm_fmt(fmt_body, channels, align)
         n_frames = (len(data) // align) * spb
     else:
         n_frames = len(data) // (channels * bits // 8)
@@ -523,12 +781,19 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     streams (format 3, 32/64-bit) likewise normalize to 16-bit linear
     via clamp-and-round (see _float_to_i16). IMA ADPCM blocks (format
     0x11) expand through the spec's step/index tables and report
-    bits=16 as well."""
-    fmt, channels, sample_rate, bits, data, align = _parse(payload)
+    bits=16 as well; MS ADPCM blocks (format 0x02) expand through the
+    coefficient-predictor recurrence, same report."""
+    fmt, channels, sample_rate, bits, data, align, fmt_body = _parse(payload)
     if fmt == 0x11:
         return (
             sample_rate, channels, 16,
             _ima_adpcm_decode(data, channels, align),
+        )
+    if fmt == 2:
+        spb, coefs = _ms_adpcm_fmt(fmt_body, channels, align)
+        return (
+            sample_rate, channels, 16,
+            _ms_adpcm_decode(data, channels, align, spb, coefs),
         )
     if fmt == 3:
         return sample_rate, channels, 16, _float_to_i16(data, bits, "little")

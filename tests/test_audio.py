@@ -746,10 +746,11 @@ def test_ima_adpcm_refusals_name_the_profile():
     with pytest.raises(A.WavError, match="step index"):
         A.wav_decode(bytes(mut))
 
-    # MS ADPCM still refuses by name
+    # retagging the IMA fmt chunk as MS ADPCM fails by name: the IMA
+    # extension (cbSize 2) cannot carry the MS coefficient table
     mut = bytearray(pay)
     struct.pack_into("<H", mut, fmt_at, 2)
-    with pytest.raises(A.WavError, match="format 2"):
+    with pytest.raises(A.WavError, match="MS ADPCM fmt extension"):
         A.wav_decode(bytes(mut))
 
     with pytest.raises(A.WavError, match="block align"):
@@ -779,6 +780,151 @@ def test_adpcm_malformed_streams_fail_cleanly(cut, flip_pos, flip_val, mode):
     # truncation/bitflip either decodes (to in-range samples) or raises
     # the named error — never hangs, never returns out-of-range values
     good = A.wav_encode_adpcm(
+        8000, 1, [((i * 131) % 4000) - 2000 for i in range(600)],
+        block_align=64,
+    )
+    data = bytearray(good)
+    if mode in ("truncate", "both"):
+        data = data[: max(4, len(data) - cut % len(data))]
+    if mode in ("flip", "both") and len(data) > 5:
+        p = 4 + flip_pos % (len(data) - 4)
+        data[p] ^= flip_val
+    try:
+        sr, ch, bits, samples = A.wav_decode(bytes(data))
+        assert sr >= 1 and ch >= 1
+        assert all(-32768 <= s <= 32767 for s in samples)
+    except (A.WavError, ValueError):
+        pass
+
+
+# ---------------------------------------------------------------- MS ADPCM
+
+
+def _ms_wav(align, spb, blocks, channels=1, rate=8000, coefs=None):
+    """Hand-assemble an MS ADPCM WAV (format 0x02) around raw blocks."""
+    coefs = A._MS_STD_COEFS if coefs is None else coefs
+    fmt = struct.pack(
+        "<HHIIHHHH", 2, channels, rate, 4000, align, 4,
+        4 + 4 * len(coefs), spb,
+    ) + struct.pack("<H", len(coefs)) + b"".join(
+        struct.pack("<hh", a, b) for a, b in coefs
+    )
+    data = b"".join(blocks)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_ms_adpcm_hand_vector_spec_recurrence():
+    # hand-computed per the Microsoft spec: predictor 1 = (512, -256),
+    # delta 16, history s1=100 s2=50, nibbles 1, -1, 0, 2, -8, 4
+    # (high nibble first).  Every expected value below was worked by
+    # hand through predict = (s1*512 + s2*(-256))/256, +nibble*delta,
+    # delta' = max(16, adapt[n]*delta >> 8).
+    blk = bytes([1]) + struct.pack("<hhh", 16, 100, 50) + bytes(
+        [0x1F, 0x02, 0x84]
+    )
+    sr, ch, bits, out = A.wav_decode(_ms_wav(10, 8, [blk]))
+    assert (sr, ch, bits) == (8000, 1, 16)
+    assert out == [50, 100, 166, 216, 266, 348, 302, 448]
+
+
+def test_ms_adpcm_division_truncates_toward_zero():
+    # predictor 5 = (460, -208) with s1=-1, s2=-2: the product is -44,
+    # and the spec's C division gives trunc(-44/256) = 0 — floor
+    # division would give -1 and the first predicted sample would
+    # diverge.  All-zero nibbles then pin the whole tail.
+    blk = bytes([5]) + struct.pack("<hhh", 16, -1, -2) + bytes(3)
+    assert A.wav_decode(_ms_wav(10, 8, [blk]))[3] == [-2, -1] + [0] * 6
+
+
+def test_ms_adpcm_roundtrip_exact_for_tracked_signals():
+    # signals the chosen predictor tracks exactly are sample-exact:
+    # constants via (256, 0), linear ramps via (512, -256)
+    const = [1234] * 600
+    sr, ch, bits, out = A.wav_decode(A.wav_encode_msadpcm(8000, 1, const))
+    assert (sr, ch, bits) == (8000, 1, 16)
+    assert out[:600] == const  # tail is block padding (held last frame)
+    assert all(s == 1234 for s in out[600:])
+
+    ramp = [-3000 + 7 * i for i in range(600)]
+    out = A.wav_decode(A.wav_encode_msadpcm(8000, 1, ramp))[3]
+    assert out[:600] == ramp
+
+    # stereo: constant left, ramp right — channels stay independent
+    left, right = [500] * 400, [-2000 + 9 * i for i in range(400)]
+    inter = [v for pair in zip(left, right) for v in pair]
+    out = A.wav_decode(A.wav_encode_msadpcm(8000, 2, inter))[3]
+    assert out[: len(inter)] == inter
+
+
+def test_ms_adpcm_meta_and_partial_block():
+    pay = A.wav_encode_msadpcm(8000, 1, [100] * 1010, block_align=64)
+    spb = (64 - 7) * 2 + 2  # 116 samples per mono block
+    sr, ch, bits, n_frames, dur = A.wav_meta(pay)
+    assert (sr, ch, bits) == (8000, 1, 4)  # stored width
+    assert n_frames % spb == 0 and n_frames >= 1010
+    # truncate mid-block (fixing the size fields): only whole blocks decode
+    raw = bytearray(pay[: len(pay) - 30])
+    struct.pack_into("<I", raw, 4, len(raw) - 8)
+    data_at = bytes(raw).find(b"data")
+    struct.pack_into("<I", raw, data_at + 4, len(raw) - data_at - 8)
+    out = A.wav_decode(bytes(raw))[3]
+    assert len(out) % spb == 0 and len(out) < 1010
+
+
+def test_ms_adpcm_refusals_name_the_profile():
+    good = bytearray(A.wav_encode_msadpcm(8000, 1, [0] * 300))
+    fmt_at = good.find(b"fmt ") + 8
+
+    # predictor index beyond the coefficient table
+    mut = bytearray(good)
+    mut[bytes(good).find(b"data") + 8] = 9
+    with pytest.raises(A.WavError, match="predictor 9 out of range"):
+        A.wav_decode(bytes(mut))
+
+    # samples-per-block beyond the block's nibble capacity
+    mut = bytearray(good)
+    struct.pack_into("<H", mut, fmt_at + 18, 60000)
+    with pytest.raises(A.WavError, match="samples-per-block"):
+        A.wav_decode(bytes(mut))
+
+    # coefficient table claimed longer than the chunk carries
+    mut = bytearray(good)
+    struct.pack_into("<H", mut, fmt_at + 20, 40)
+    with pytest.raises(A.WavError, match="MS ADPCM"):
+        A.wav_decode(bytes(mut))
+
+    # block align too small for the per-channel headers
+    mut = bytearray(good)
+    struct.pack_into("<H", mut, fmt_at + 12, 7)
+    with pytest.raises(A.WavError, match="block align"):
+        A.wav_decode(bytes(mut))
+
+    # MS ADPCM must be 4-bit
+    mut = bytearray(good)
+    struct.pack_into("<H", mut, fmt_at + 14, 8)
+    with pytest.raises(A.WavError, match="4-bit"):
+        A.wav_decode(bytes(mut))
+
+    with pytest.raises(A.WavError, match="block align"):
+        A.wav_encode_msadpcm(8000, 1, [0] * 8, block_align=7)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cut=st.integers(0, 120),
+    flip_pos=st.integers(0, 119),
+    flip_val=st.integers(1, 255),
+    mode=st.sampled_from(["truncate", "flip", "both"]),
+)
+def test_ms_adpcm_malformed_streams_fail_cleanly(cut, flip_pos, flip_val, mode):
+    # the never-hang contract, same as the IMA path: any truncation or
+    # bitflip either decodes to in-range samples or raises the named
+    # error — never hangs, never returns out-of-range values
+    good = A.wav_encode_msadpcm(
         8000, 1, [((i * 131) % 4000) - 2000 for i in range(600)],
         block_align=64,
     )
