@@ -144,10 +144,13 @@ _KS_GUID_SUFFIX = bytes.fromhex("00001000800000aa00389b71")
 def _resolve_extensible(fmt_body: bytes, bits: int) -> int:
     """WAVE_FORMAT_EXTENSIBLE fmt chunk → the underlying format tag.
     Layout after the 16-byte base: cbSize(2) wValidBitsPerSample(2)
-    dwChannelMask(4) SubFormat GUID(16). Unknown GUIDs, short
-    extensions, and left-aligned sub-container-width samples
-    (valid_bits < container bits) refuse by name — values are never
-    faked."""
+    dwChannelMask(4) SubFormat GUID(16). Integer PCM accepts
+    ``valid_bits <= bits`` (left-aligned sub-width samples — the spec's
+    20-in-24 layout; the decode masks the insignificant low bits, see
+    ``_extensible_pcm_shift``). Unknown GUIDs, short extensions,
+    ``valid_bits > bits``, and sub-width FLOAT containers (the spec
+    defines no left-aligned float layout) refuse by name — values are
+    never faked."""
     if len(fmt_body) < 40:
         raise WavError("extensible WAV fmt chunk shorter than 40 bytes")
     (cb_size, valid_bits) = struct.unpack("<HH", fmt_body[16:20])
@@ -164,15 +167,37 @@ def _resolve_extensible(fmt_body: bytes, bits: int) -> int:
         raise WavError(
             f"extensible WAV subformat {sub} not supported pure-Python"
         )
-    if sub != 0x11 and valid_bits not in (0, bits):
+    if sub == 1:
+        if valid_bits > bits:
+            raise WavError(
+                f"extensible WAV claims {valid_bits} valid bits in a "
+                f"{bits}-bit container"
+            )
+    elif sub != 0x11 and valid_bits not in (0, bits):
         # for compressed subformats (ADPCM) the union field is
         # wSamplesPerBlock, not valid bits — the block-align derivation
-        # in _parse is authoritative there
+        # in _parse is authoritative there; float/G.711 have no
+        # left-aligned sub-width layout in the spec
         raise WavError(
             f"extensible WAV with {valid_bits} valid of {bits} container "
-            "bits (left-aligned sub-width PCM) not supported pure-Python"
+            "bits (sub-width non-integer PCM) not supported pure-Python"
         )
     return sub
+
+
+def _extensible_pcm_shift(fmt_body: bytes, fmt: int, bits: int) -> int:
+    """Low-bit count to zero in each decoded integer-PCM sample: for a
+    WAVE_FORMAT_EXTENSIBLE container whose wValidBitsPerSample is below
+    the container width, the valid bits are LEFT-aligned and the spec
+    requires the remaining low bits be ignored (writers should zero
+    them). 0 for plain headers, full-width containers, and the
+    unspecified valid_bits = 0 case."""
+    if fmt != 1 or len(fmt_body) < 20:
+        return 0
+    if struct.unpack_from("<H", fmt_body)[0] != 0xFFFE:
+        return 0
+    valid = struct.unpack_from("<H", fmt_body, 18)[0]
+    return bits - valid if 0 < valid < bits else 0
 
 
 def wav_encode_extensible(
