@@ -12,7 +12,10 @@ fl32/fl64) normalized to 16-bit linear via one shared clamp-and-round.
 WAVE_FORMAT_EXTENSIBLE (0xFFFE) parses the 22-byte extension's
 KSDATAFORMAT SubFormat GUID and dispatches to the same int-PCM /
 float / G.711 paths, so extensible and plain headers over identical
-frames decode identically. IMA/DVI ADPCM (format 0x11) expands its
+frames decode identically; sub-width integer PCM (wValidBitsPerSample
+< container bits, the spec's left-aligned 20-in-24 layout) decodes
+with the insignificant low bits zeroed, so writer garbage in the pad
+bits never reaches the samples. IMA/DVI ADPCM (format 0x11) expands its
 block-structured nibble stream through the spec step/index tables
 (decode core cross-validated against CPython's audioop per block,
 reported as 16-bit linear). MS ADPCM (format 0x02) decodes too: each
@@ -23,9 +26,9 @@ fixed adaptation table with floor 16) expands one nibble per sample,
 high nibble first, channel-alternating — pinned by hand-computed spec
 vectors including a negative-product truncation case. Everything out
 of profile — MP3-in-RIFF, 3-bit IMA variants, unknown subformat GUIDs,
-left-aligned sub-width extensible samples (valid bits < container
-bits), non-finite float samples — refuses BY NAME; sample values are
-never faked. The encoder writes canonical 44-byte-header PCM WAV and is
+sub-width extensible FLOAT/G.711 (the spec defines no left-aligned
+layout for them), non-finite float samples — refuses BY NAME; sample
+values are never faked. The encoder writes canonical 44-byte-header PCM WAV and is
 the test ground truth: integer PCM is lossless, so encode→decode round
 trips byte-exactly.
 
@@ -141,16 +144,18 @@ def wav_encode_float(
 _KS_GUID_SUFFIX = bytes.fromhex("00001000800000aa00389b71")
 
 
-def _resolve_extensible(fmt_body: bytes, bits: int) -> int:
-    """WAVE_FORMAT_EXTENSIBLE fmt chunk → the underlying format tag.
+def _resolve_extensible(fmt_body: bytes, bits: int) -> tuple[int, int]:
+    """WAVE_FORMAT_EXTENSIBLE fmt chunk → ``(format tag, pcm_shift)``.
     Layout after the 16-byte base: cbSize(2) wValidBitsPerSample(2)
     dwChannelMask(4) SubFormat GUID(16). Integer PCM accepts
     ``valid_bits <= bits`` (left-aligned sub-width samples — the spec's
-    20-in-24 layout; the decode masks the insignificant low bits, see
-    ``_extensible_pcm_shift``). Unknown GUIDs, short extensions,
-    ``valid_bits > bits``, and sub-width FLOAT containers (the spec
-    defines no left-aligned float layout) refuse by name — values are
-    never faked."""
+    20-in-24 layout); ``pcm_shift`` is the count of insignificant low
+    bits the decode must zero in each sample (``bits - valid_bits``
+    when ``0 < valid_bits < bits``, else 0 — plain full-width and the
+    unspecified ``valid_bits = 0`` case mask nothing). Unknown GUIDs,
+    short extensions, ``valid_bits > bits``, and sub-width FLOAT
+    containers (the spec defines no left-aligned float layout) refuse
+    by name — values are never faked."""
     if len(fmt_body) < 40:
         raise WavError("extensible WAV fmt chunk shorter than 40 bytes")
     (cb_size, valid_bits) = struct.unpack("<HH", fmt_body[16:20])
@@ -167,12 +172,15 @@ def _resolve_extensible(fmt_body: bytes, bits: int) -> int:
         raise WavError(
             f"extensible WAV subformat {sub} not supported pure-Python"
         )
+    shift = 0
     if sub == 1:
         if valid_bits > bits:
             raise WavError(
                 f"extensible WAV claims {valid_bits} valid bits in a "
                 f"{bits}-bit container"
             )
+        if 0 < valid_bits < bits:
+            shift = bits - valid_bits
     elif sub != 0x11 and valid_bits not in (0, bits):
         # for compressed subformats (ADPCM) the union field is
         # wSamplesPerBlock, not valid bits — the block-align derivation
@@ -182,22 +190,7 @@ def _resolve_extensible(fmt_body: bytes, bits: int) -> int:
             f"extensible WAV with {valid_bits} valid of {bits} container "
             "bits (sub-width non-integer PCM) not supported pure-Python"
         )
-    return sub
-
-
-def _extensible_pcm_shift(fmt_body: bytes, fmt: int, bits: int) -> int:
-    """Low-bit count to zero in each decoded integer-PCM sample: for a
-    WAVE_FORMAT_EXTENSIBLE container whose wValidBitsPerSample is below
-    the container width, the valid bits are LEFT-aligned and the spec
-    requires the remaining low bits be ignored (writers should zero
-    them). 0 for plain headers, full-width containers, and the
-    unspecified valid_bits = 0 case."""
-    if fmt != 1 or len(fmt_body) < 20:
-        return 0
-    if struct.unpack_from("<H", fmt_body)[0] != 0xFFFE:
-        return 0
-    valid = struct.unpack_from("<H", fmt_body, 18)[0]
-    return bits - valid if 0 < valid < bits else 0
+    return sub, shift
 
 
 def wav_encode_extensible(
@@ -262,12 +255,14 @@ def _parse(payload: bytes):
     if data is None:
         raise WavError("missing data chunk")
     audio_format, channels, sample_rate, _rate, _align, bits = fmt
+    shift = 0
     if audio_format == 0xFFFE:
         # WAVE_FORMAT_EXTENSIBLE: the real format tag lives in the
         # 22-byte extension's KSDATAFORMAT SubFormat GUID (Data1 =
         # format tag, fixed 12-byte suffix); dispatch to the existing
-        # int-PCM / IEEE-float / G.711 paths
-        audio_format = _resolve_extensible(fmt_body, bits)
+        # int-PCM / IEEE-float / G.711 paths. shift = low bits to zero
+        # for left-aligned sub-width integer PCM (valid_bits < bits).
+        audio_format, shift = _resolve_extensible(fmt_body, bits)
     if audio_format not in (1, 2, 3, 6, 7, 0x11):
         raise WavError(
             f"non-PCM WAV (format {audio_format}) not supported pure-Python"
@@ -283,7 +278,7 @@ def _parse(payload: bytes):
         data = data[: len(data) - len(data) % _align]  # whole blocks only
         if (len(data) // _align) * spb * channels > _MAX_SAMPLES:
             raise WavError("audio too large for in-container decode")
-        return audio_format, channels, sample_rate, bits, data, _align, fmt_body
+        return audio_format, channels, sample_rate, bits, data, _align, fmt_body, shift
     if audio_format == 0x11:
         # IMA/DVI ADPCM: block-structured nibble stream, width logic below
         # does not apply (bits = 4)
@@ -299,7 +294,7 @@ def _parse(payload: bytes):
         spb = (_align - 4 * channels) * 2 // channels + 1
         if (len(data) // _align) * spb * channels > _MAX_SAMPLES:
             raise WavError("audio too large for in-container decode")
-        return audio_format, channels, sample_rate, bits, data, _align, fmt_body
+        return audio_format, channels, sample_rate, bits, data, _align, fmt_body, shift
     if audio_format == 3:
         if bits not in (32, 64):
             raise WavError(f"IEEE-float WAV must be 32- or 64-bit, got {bits}")
@@ -314,7 +309,7 @@ def _parse(payload: bytes):
         data = data[: len(data) - len(data) % (width * channels)]
     if len(data) // width > _MAX_SAMPLES:
         raise WavError("audio too large for in-container decode")
-    return audio_format, channels, sample_rate, bits, data, _align, fmt_body
+    return audio_format, channels, sample_rate, bits, data, _align, fmt_body, shift
 
 
 # G.711 expansion (the public-domain Sun g711.c formulas, as in the ITU
@@ -785,7 +780,7 @@ def wav_meta(payload: bytes) -> tuple[int, int, int, int, int]:
     container — header-level, but the data chunk's framing is validated.
     ``bits`` is the STORED width (8 for G.711 streams, 4 for IMA
     ADPCM)."""
-    fmt, channels, sample_rate, bits, data, align, fmt_body = _parse(payload)
+    fmt, channels, sample_rate, bits, data, align, fmt_body, shift = _parse(payload)
     if fmt == 0x11:
         spb = (align - 4 * channels) * 2 // channels + 1
         n_frames = (len(data) // align) * spb
@@ -808,7 +803,7 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     0x11) expand through the spec's step/index tables and report
     bits=16 as well; MS ADPCM blocks (format 0x02) expand through the
     coefficient-predictor recurrence, same report."""
-    fmt, channels, sample_rate, bits, data, align, fmt_body = _parse(payload)
+    fmt, channels, sample_rate, bits, data, align, fmt_body, shift = _parse(payload)
     if fmt == 0x11:
         return (
             sample_rate, channels, 16,
@@ -835,6 +830,14 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
         for i in range(0, len(data), width):
             v = int.from_bytes(data[i : i + width], "little")
             samples.append(v - full if v >= half else v)
+    if shift:
+        # extensible sub-width integer PCM (valid_bits < container
+        # bits): the valid bits are LEFT-aligned and the spec says the
+        # low bits are insignificant — zero them so a writer that left
+        # garbage there decodes identically to one that zeroed them
+        # (works on two's-complement for signed and on unsigned 8-bit)
+        mask = ~((1 << shift) - 1)
+        samples = [v & mask for v in samples]
     return sample_rate, channels, bits, samples
 
 

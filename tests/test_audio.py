@@ -589,17 +589,55 @@ def test_extensible_refusals_name_the_profile():
     with pytest.raises(A.WavError, match="subformat 2"):
         A.wav_decode(bytes(mut))
 
-    # left-aligned sub-width samples (valid 12 of 16 bits)
-    mut = bytearray(good)
-    struct.pack_into("<H", mut, fmt_at + 18, 12)
-    with pytest.raises(A.WavError, match="12 valid of 16"):
-        A.wav_decode(bytes(mut))
-
     # truncated extension (cbSize < 22)
     mut = bytearray(good)
     struct.pack_into("<H", mut, fmt_at + 16, 10)
     with pytest.raises(A.WavError, match="cbSize"):
         A.wav_decode(bytes(mut))
+
+    # valid_bits > container bits is a lie, not a layout
+    mut = bytearray(good)
+    struct.pack_into("<H", mut, fmt_at + 18, 20)
+    with pytest.raises(A.WavError, match="20 valid bits"):
+        A.wav_decode(bytes(mut))
+
+    # sub-width FLOAT has no left-aligned layout in the spec: refuse
+    flt = bytearray(A.wav_encode_extensible(8000, 1, 32, [0.5, -0.5], sub=3))
+    fmt_at = flt.find(b"fmt ") + 8
+    struct.pack_into("<H", flt, fmt_at + 18, 24)
+    with pytest.raises(A.WavError, match="24 valid of 32"):
+        A.wav_decode(bytes(flt))
+
+
+def test_extensible_subwidth_pcm_masks_low_bits():
+    # The spec's left-aligned sub-width layout (e.g. 20-in-24): the low
+    # container bits are insignificant, so a writer that left garbage
+    # there must decode sample-identical to one that zeroed them.
+    cases = [
+        (16, 12, [0x1230, -0x4560, 0x7FF0, -0x8000, 0, 0x0010]),
+        (24, 20, [0x12345 << 4, -(0x54321 << 4), 0x7FFFF << 4, 0, 16, -16]),
+    ]
+    for bits, valid, clean_samples in cases:
+        shift = bits - valid
+        width = bits // 8
+        ext = bytearray(
+            A.wav_encode_extensible(8000, 1, bits, clean_samples)
+        )
+        fmt_at = ext.find(b"fmt ") + 8
+        struct.pack_into("<H", ext, fmt_at + 18, valid)
+        # clean sub-width file decodes exactly the encoded samples
+        assert A.wav_decode(bytes(ext))[3] == clean_samples
+
+        # now fill every pad bit with garbage in the data chunk
+        data_at = bytes(ext).find(b"data") + 8
+        dirty = bytearray(ext)
+        for i in range(len(clean_samples)):
+            dirty[data_at + i * width] |= (1 << shift) - 1
+        got = A.wav_decode(bytes(dirty))
+        assert got[3] == clean_samples, f"{valid}-in-{bits} mask failed"
+        # and it agrees with the plain-header twin over the same frames
+        plain = A.wav_decode(A.wav_encode(8000, 1, bits, clean_samples))
+        assert got == plain
 
 
 def test_extensible_valid_bits_zero_is_tolerated():
