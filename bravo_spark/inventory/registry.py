@@ -60,44 +60,71 @@ GATE_PRIORITY = [
     # expand shape stays pytest-pinned in test_custom_readers. r10:
     # ttl_state_roundtrip rotated out after 5 driver-green rounds (r5-r9);
     # the TTL unwrap/write-back codecs stay golden-tested in
-    # test_codecs/test_staterows/test_vectorized.
-    "type_change_migration",
-    "operator_state_roundtrip",
-    "file_sink_rewind", "kryo_custom_class",
+    # test_codecs/test_staterows/test_vectorized. r12: type_change_migration
+    # / operator_state_roundtrip / file_sink_rewind rotated out after 6
+    # driver-green rounds (r5-r11) — kryo_custom_class keeps the codec
+    # path, snapshot_roundtrip the savepoint lifecycle, and the rewind /
+    # operator-state paths stay pytest-restart-proven. In their slots:
+    # the r10 corpus-maintenance additions' first driver check
+    # (merge-upsert CDC, schema-evolution union, float-WAV features).
+    "corpus_merge_upsert",
+    "schema_evolution_merge",
+    "audio_float_features", "kryo_custom_class",
     # dedup family (dedup_exact rotated out in r6 after 5 driver-green
     # rounds; dedup_minhash_lsh rotated out in r8 after 7 — its band-bucket
     # equi-join survives inside dedup_lsh_quality_eval and dedup_clusters'
-    # pair input; embedding_cosine is the exact baseline of embedding_lsh)
+    # pair input; embedding_cosine is the exact baseline of embedding_lsh).
+    # r12: dedup_embedding_lsh / dedup_clusters rotated out after 8
+    # driver-green rounds (r3-r10 + r11) — dedup_ngram_jaccard keeps the
+    # dedup spine (inverted index + self-join) in the gate. In their
+    # slots: audio_resample_features (integer polyphase decimate) and
+    # snapshot_rescale — the last reference use-case (README.md:44)
+    # without driver proof (re-key + keygroup re-shard, api.py:251).
     "dedup_ngram_jaccard",
-    "dedup_embedding_lsh",
-    "dedup_clusters",
+    "audio_resample_features",
+    "snapshot_rescale",
     # r10 rotation: the r6 dedup additions (dedup_lines,
     # dedup_substring_clean, dedup_keep_corpus, dedup_lsh_quality_eval)
     # rotated out after 4 driver-green rounds (r6-r9) — their inverted-index
     # and cluster-contraction paths stay exercised by the retained
-    # ngram/embedding/clusters rows and the composed pipeline below.
-    "pipeline_clean_corpus",
+    # ngram row and the mirror. r12: pipeline_clean_corpus rotated out
+    # after 6 driver-green rounds (r6-r11); its composed stages are
+    # individually retained or mirror-verified. In its slot: the r10
+    # per-source quality calibration (grouped distribution stats).
+    "quality_calibration_by_source",
     # ANN + retrieval family (ann_cosine_topk rotated out in r6 — it is
     # the exact baseline the retained lsh/ivf rows rescore against;
     # ann_sketch_topk rotated out in r8 after 7 driver-green rounds, its
     # Hamming-rank path recall-gated in pytest; ann_knn_label_eval
     # rotated out in r11 after 3 driver-green rounds r8-r10 — its exact
-    # top-k core is ann_lsh/ivf's rescore path).
-    "ann_lsh_bucket", "ann_ivf_topk",
-    "text_bm25_topk",
+    # top-k core is ann_lsh/ivf's rescore path). r12: ann_lsh_bucket /
+    # ann_ivf_topk / text_bm25_topk rotated out after 9 driver-green
+    # rounds (r3-r11) — the recall evals keep the rescore contract
+    # mirror-verified. In their slots: the r10 media additions' first
+    # driver check (bilinear resize, phash dedup, audio fingerprint).
+    "multimodal_bilinear_resize", "image_phash_dedup",
+    "audio_fingerprint",
     # streaming (plain window_counts rotated out in r6 after 5 driver-green
     # rounds — the retained watermarked variant runs the same micro-batch
     # window path plus bounded state; static_join/dedup/session/ss-join
-    # rotated out in r5)
+    # rotated out in r5). r12: streaming_stateful_counts rotated out
+    # after 9 driver-green rounds (r3-r11) — the watermarked window row
+    # keeps Structured Streaming in the gate. In its slot: corpus
+    # drift-TV (128-bit integer total-variation between corpus snapshots).
     "streaming_window_counts_watermarked",
-    "streaming_stateful_counts",
+    "corpus_drift_tv",
     # TPC-H: headline q3 + the most distinctive long-tail plans. r11
     # rotation: the r8 wave q2/q19/q20/q22 rotated out after 3
     # driver-green rounds (r8-r10); q17 (correlated avg-quantity
-    # threshold — the last never-driver-checked TPC-H row) rotates in.
+    # threshold — the last never-driver-checked TPC-H row) rotated in.
+    # r12: q6/q9/q21 rotated out after 7 driver-green rounds (r5-r11) —
+    # q3 + the r10/r11 TPC-H waves keep the TPC-H spine in the gate. In
+    # their slots: pagerank_centrality (Pregel-shaped fixed-point),
+    # savepoint_diff (cross-savepoint state delta), and the r11-hardened
+    # heavy_hitters_two_phase (vectorized SpaceSaving + coverage guard).
     "tpch_q3",
-    "tpch_q6_forecast", "tpch_q9_product_profit",
-    "tpch_q21_waiting_supplier",
+    "pagerank_centrality", "savepoint_diff",
+    "heavy_hitters_two_phase",
     "tpch_q17_small_qty",
     # r10 rotation: the remaining never-driver-checked TPC-H tail — q7
     # dual-role nation join, q8 market share, q11 grouped threshold, q12
@@ -126,69 +153,60 @@ GATE_PRIORITY = [
     "multimodal_jpeg_roundtrip", "multimodal_gif_roundtrip",
     "multimodal_gif_frame_sample", "audio_wav_features",
     "video_avi_frame_sample",
-    # text / multimodal flagships (lang_id rotated out in r5;
-    # multimodal_decode stays: tier-selector source column)
-    "multimodal_decode",
+    # text / multimodal flagships (lang_id rotated out in r5). r12:
+    # multimodal_decode rotated out after 9 driver-green rounds
+    # (r1, r3-r11) — the tier-selector source column stays pinned by the
+    # retained jpeg/gif/audio/video rows. In its slot: DIB-AVI frame
+    # sampling (uncompressed video demux, the codec path MJPEG doesn't
+    # cover).
+    "video_dib_frame_sample",
 ]
 
 # The NEXT rotation, STAGED AS EXECUTABLE DATA — the r7 failure mode was
 # a staged rotation that lived only in a comment and never shipped. (The
 # r9-staged swaps executed in r10 after the r9 stall; the r11-staged
-# swaps executed on schedule as r11's first commit.) To execute in r12
-# (FIRST commit of the round):
-#   1. confirm each OUT row below is green in CORRECTNESS_r11 (if one is
+# swaps executed on schedule as r11's first commit; the r12-staged
+# 14-swap rotation executed on schedule as r12's first substantive
+# commit, taking never-driver-checked to 23 and lifting the
+# registration freeze.) To execute in r13 (FIRST commit of the round):
+#   1. confirm each OUT row below is green in CORRECTNESS_r12 (if one is
 #      red, keep it in the gate and drop its pair from this round);
 #   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
 #   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
-# This is a BIGGER rotation (14 swaps, not 12) per the r10 verdict: it
-# covers ALL thirteen r10 query additions plus snapshot_rescale (the one
-# remaining reference use-case without driver proof). OUTs all have >=5
-# driver-green rounds; their paths stay mirror-verified and
-# pytest/plan-pinned (named per-pair below). REGISTRATION FREEZE: no
-# net-new query registration until never-driver-checked < 25 (policy
-# note in COVERAGE.md) — after this rotation executes the count is 23,
-# so the freeze lifts at r12. Still unstaged after r12:
-# retention_cohorts, per_key_trend, hourly_counts_gapfill, relational
-# breadth (outer joins, range_join, scalar_subquery_counts, pivot,
-# grouping_sets, salted_skew_agg, percentiles, approx_sketch_accuracy),
-# checkpoint_rewind, streaming_static_join, the recall evals,
-# embedding_norms, doc_embedding_join, kmeans_lloyd_centroids,
-# bpe_train_merges, the text additions (text_repetition, text_normalize,
-# quality_filter_pipeline, text_redact_pii, text_levenshtein_pairs,
-# word_freq_topk, text_length_histogram), multimodal_resize /
-# multimodal_frame_sample / multimodal_embed. The rotation ledger lives
-# in COVERAGE.md.
-R12_STAGED_SWAPS = [
-    # (rotate OUT once r11-green, rotate IN — never driver-checked)
-    # tpch q6/q9/q21: 6 green rounds r5-r10; q3 stays as the TPC-H spine
-    ("tpch_q6_forecast", "pagerank_centrality"),
-    ("tpch_q9_product_profit", "savepoint_diff"),
-    ("tpch_q21_waiting_supplier", "heavy_hitters_two_phase"),
-    # type_change_migration / operator_state_roundtrip / file_sink_rewind:
-    # 6 green rounds r5-r10; kryo_custom_class retains the full codec
-    # path, snapshot_roundtrip the savepoint lifecycle, and the rewind /
-    # operator-state paths stay pytest-restart-proven
-    ("type_change_migration", "corpus_merge_upsert"),
-    ("operator_state_roundtrip", "schema_evolution_merge"),
-    ("file_sink_rewind", "audio_float_features"),
-    # multimodal_decode: 8 green rounds (r1,r3-r10); the tier-selector
-    # source column stays pinned by the retained jpeg/gif/audio/video rows
-    ("multimodal_decode", "video_dib_frame_sample"),
-    # dedup_embedding_lsh / dedup_clusters: 8 green rounds r3-r10;
-    # dedup_ngram_jaccard keeps the dedup spine in the gate
-    ("dedup_embedding_lsh", "audio_resample_features"),
-    ("dedup_clusters", "snapshot_rescale"),
-    # ann_lsh_bucket / ann_ivf_topk / text_bm25_topk: 8 green rounds
-    # r3-r10; recall evals keep the rescore contract mirror-verified
-    ("ann_lsh_bucket", "multimodal_bilinear_resize"),
-    ("ann_ivf_topk", "image_phash_dedup"),
-    ("text_bm25_topk", "audio_fingerprint"),
-    # streaming_stateful_counts: 8 green rounds r3-r10; the watermarked
-    # window row keeps Structured Streaming in the gate
-    ("streaming_stateful_counts", "corpus_drift_tv"),
-    # pipeline_clean_corpus: 5 green rounds r6-r10; its composed stages
-    # are individually retained or mirror-verified
-    ("pipeline_clean_corpus", "quality_calibration_by_source"),
+# 12 swaps: INs are 12 of the 23 never-driver-checked rows, prioritized
+# per the r11 verdict — checkpoint_rewind + streaming_static_join (the
+# state-surgery/streaming rows a real user hits daily), the analytics
+# pair, the text-cleaning additions, and the embedding family. After
+# execution never-driver-checked drops to 11 (the four recall evals,
+# text_levenshtein_pairs, text_repetition, text_length_histogram,
+# bpe_train_merges, multimodal_resize / multimodal_frame_sample /
+# multimodal_embed) — all mirror-verified every session. The rotation
+# ledger lives in COVERAGE.md.
+R13_STAGED_SWAPS = [
+    # (rotate OUT once r12-green, rotate IN — never driver-checked)
+    # e1/e2: 11 driver-green rounds r1-r11; murmur keygroup parity stays
+    # golden-pinned in test_codecs + exercised inside every roundtrip
+    ("e1_keygroup", "checkpoint_rewind"),
+    ("e2_operator_index", "streaming_static_join"),
+    # snapshot_state_filter: 11 green rounds; the pushdown stays
+    # plan-pinned (test_datasource/test_plans) and the byte-skip scan
+    # runs inside the retained snapshot_roundtrip
+    ("snapshot_state_filter", "retention_cohorts"),
+    # spark_state_read/rewrite: 9 green rounds r2-r11 (read is rewrite's
+    # first phase); rocksdb_state_rewrite keeps state-store surgery in
+    # the gate and checkpoint_rewind (IN) covers the same family's
+    # rewind path; restart-continuation stays pytest-proven
+    ("spark_state_read", "per_key_trend"),
+    ("spark_state_rewrite", "kmeans_lloyd_centroids"),
+    # the r10 TPC-H wave: 3 green rounds r10-r12 (the r11 precedent for
+    # rotation eligibility); tpch_q3 + q17 keep the TPC-H spine
+    ("tpch_q7_volume", "approx_sketch_accuracy"),
+    ("tpch_q8_market_share", "quality_filter_pipeline"),
+    ("tpch_q11_important_stock", "text_normalize"),
+    ("tpch_q12_late_lines", "text_redact_pii"),
+    ("tpch_q13_custdist", "word_freq_topk"),
+    ("tpch_q15_top_supplier", "doc_embedding_join"),
+    ("tpch_q16_supplier_cnt", "embedding_norms"),
 ]
 
 

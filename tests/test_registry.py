@@ -46,29 +46,24 @@ def test_flagship_families_inside_window():
     for name in (
         "snapshot_roundtrip", "checkpoint_roundtrip",
         "spark_state_read", "spark_state_rewrite", "rocksdb_state_rewrite",
-        # r5 rotation survivors: the reference-fidelity conformance analogs
-        # (pojo/kryo value rows, the compressed-snapshot variant, and
-        # custom_reader_expand rotated out in r8 after 3 driver-green
-        # rounds; ttl_state_roundtrip out in r10 after 5 —
-        # kryo_custom_class / snapshot_roundtrip / pytest pins
-        # retain their paths)
-        "type_change_migration",
-        "operator_state_roundtrip",
-        "file_sink_rewind", "kryo_custom_class",
-        # dedup/retrieval/streaming spine (the r6 dedup additions and the
-        # r5 text/sampling wave rotated out in r10 after 4 driver-green
-        # rounds each; the DataSource contracts likewise — plan-pinned in
-        # test_datasource/test_plans)
+        # r12 rotation: the r11-staged 14-swap flip — first driver check
+        # for the thirteen r10 additions + snapshot_rescale (the last
+        # reference use-case without driver proof); the rotated-out
+        # conformance/dedup/ANN/streaming rows' paths stay retained per
+        # registry.py per-pair comments
+        "kryo_custom_class",
+        "corpus_merge_upsert", "schema_evolution_merge",
+        "audio_float_features", "snapshot_rescale",
+        "pagerank_centrality", "savepoint_diff",
+        "heavy_hitters_two_phase", "corpus_drift_tv",
+        "quality_calibration_by_source",
+        "audio_resample_features", "multimodal_bilinear_resize",
+        "image_phash_dedup", "audio_fingerprint",
+        "video_dib_frame_sample",
+        # dedup/retrieval/streaming spine
         "dedup_ngram_jaccard",
-        "dedup_embedding_lsh", "dedup_clusters",
-        "pipeline_clean_corpus",
-        "ann_ivf_topk",
-        "text_bm25_topk",
         "streaming_window_counts_watermarked",
-        "streaming_stateful_counts",
         "tpch_q3",
-        "tpch_q6_forecast", "tpch_q9_product_profit",
-        "tpch_q21_waiting_supplier",
         # r11 rotation: first driver check for tpch_q17, the json/csv/orc
         # format roundtrips, the layout contracts, and the sampling
         # family (the r8 wave rotated out after 3 driver-green rounds
@@ -116,13 +111,13 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
             return any(unsortable(f.dataType) for f in dt.fields)
         return False
 
-    from bravo_spark.inventory.registry import R12_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R13_STAGED_SWAPS
 
     qs = _entry().queries()
     offenders = []
     # the staged rotation INs are checked too: a staged query with an
     # unsortable schema would burn its very first gate slot on flip
-    names = list(GATE_PRIORITY) + [i for _, i in R12_STAGED_SWAPS]
+    names = list(GATE_PRIORITY) + [i for _, i in R13_STAGED_SWAPS]
     for name in names:
         schema = qs[name](spark, sf_dir).schema
         for field in schema.fields:
@@ -132,18 +127,18 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
 
 
 def test_staged_rotation_is_consistent():
-    """The staged next-round rotation (registry.R12_STAGED_SWAPS) must
+    """The staged next-round rotation (registry.R13_STAGED_SWAPS) must
     stay executable: every OUT name is currently IN the gate window, every
     IN name is a registered never-gated query, and the swap keeps the
     window at exactly 50 distinct names. Pins the staging as live data —
     the r7 regression was a staged rotation that existed only in a comment
     and silently rotted."""
-    from bravo_spark.inventory.registry import R12_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R13_STAGED_SWAPS
 
     qs = _entry().queries()
     window = set(GATE_PRIORITY)
-    outs = [o for o, _ in R12_STAGED_SWAPS]
-    ins = [i for _, i in R12_STAGED_SWAPS]
+    outs = [o for o, _ in R13_STAGED_SWAPS]
+    ins = [i for _, i in R13_STAGED_SWAPS]
     assert len(set(outs)) == len(outs) and len(set(ins)) == len(ins)
     for o in outs:
         assert o in window, f"staged OUT {o} is not in the current gate"
