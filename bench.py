@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_lang_id",
     "text_token_count",
+    "heavy_hitters_two_phase",
     "ann_cosine_topk",
     "ann_lsh_bucket",
     "streaming_window_counts",
