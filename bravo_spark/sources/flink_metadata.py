@@ -28,17 +28,20 @@ Apache Flink 1.7's ``SavepointV2Serializer`` (public source):
 - stream handles: NULL_HANDLE, or FILE_STREAM_STATE_HANDLE [i64 size]
   [UTF path], or BYTE_STREAM_STATE_HANDLE [UTF name][i32 len][bytes]
 
-Validated three ways: round-trip; golden byte vectors HAND-ASSEMBLED in
+Validated four ways: round-trip; golden byte vectors HAND-ASSEMBLED in
 tests/test_flink_metadata.py from the serializer's documented write
 sequence (java.io.DataOutputStream big-endian primitives + writeUTF —
 MODIFIED UTF-8: NUL as C0 80, astral chars as CESU-8 surrogate pairs);
-and a foreign-layout vector exercising sections this module's writer
+a foreign-layout vector exercising sections this module's writer
 never produces (legacy state entries, zero-subtask operators,
 BROADCAST/empty-offset states, incremental handles on the raw side,
-literal modified-UTF-8 name bytes) — i.e. the parser is pinned to bytes
-it did not and COULD not itself produce. A file written by an actual
-Flink cluster is not available in this container; that residual risk is
-recorded in COVERAGE.md.
+literal modified-UTF-8 name bytes); and — removing even the emulation
+from the trust chain — a full metadata stream written by the REAL
+``java.io.DataOutputStream`` inside Spark's JVM (the exact primitives
+SavepointV2Serializer calls), which both deserializes correctly and
+re-serializes byte-exactly, with writeUTF cross-pinned per-string. A
+file written by an actual Flink cluster is still not available in this
+container; that residual risk is recorded in COVERAGE.md.
 """
 
 from __future__ import annotations

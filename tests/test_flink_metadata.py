@@ -584,3 +584,146 @@ def test_writer_property_fuzz_roundtrip():
         back = fm.deserialize(buf)
         assert back == sp, f"graph changed through the wire (seed {seed})"
         assert fm.serialize(back) == buf, f"not a fixpoint (seed {seed})"
+
+
+# --- JVM-written vectors: the REAL java.io.DataOutputStream ---------------
+#
+# Everything above emulates DataOutputStream; the tests below remove even
+# that emulation from the trust chain by producing the bytes inside this
+# Spark's JVM with the actual JDK class — the very primitives
+# (writeInt/writeLong/writeByte/writeUTF) Flink's SavepointV2Serializer
+# calls (StateMetadataUtils.java:59-74 loads what those wrote). A wrong
+# modified-UTF-8 table, endianness, or sign convention in our codec would
+# diverge from these bytes even if the Python emulation repeated the bug.
+
+
+@pytest.fixture()
+def jdos(spark):
+    j = spark._jvm
+
+    class D:
+        def __init__(self):
+            self.bos = j.java.io.ByteArrayOutputStream()
+            self.d = j.java.io.DataOutputStream(self.bos)
+
+        def write_int(self, v):
+            self.d.writeInt(v - (1 << 32) if v >= (1 << 31) else v)
+            return self
+
+        def write_long(self, v):
+            self.d.writeLong(v)
+            return self
+
+        def write_byte(self, v):
+            self.d.writeByte(v)
+            return self
+
+        def write_utf(self, s):
+            self.d.writeUTF(s)
+            return self
+
+        def write(self, b):
+            self.d.write(b, 0, len(b))
+            return self
+
+        def bytes(self):
+            self.d.flush()
+            return bytes(self.bos.toByteArray())
+
+    return D
+
+
+def test_jvm_writeutf_matches_codec(jdos):
+    """Our modified-UTF-8 encoder (length-prefixed _w_utf) must be
+    byte-identical to the JDK's DataOutputStream.writeUTF for every
+    profile the savepoint format can carry: ASCII, Latin-1, CJK, an
+    embedded NUL (C0 80), and astral chars (CESU-8 surrogate pairs)."""
+    cases = [
+        "",
+        "a",
+        "state-name",
+        "héllo çödec",
+        "キー状態",
+        "mixed ascii + ünïcode + 漢字",
+        "nul\x00inside",
+        "astral \U0001D11E\U0001F389 pair",
+        "\U0001F600" * 40,
+        "x" * 300,
+    ]
+    for s in cases:
+        jvm_bytes = jdos().write_utf(s).bytes()
+        assert fm._w_utf(s) == jvm_bytes, f"writeUTF divergence on {s!r}"
+
+
+def test_jvm_dataoutputstream_metadata_vector(jdos):
+    """A full SavepointV2 _metadata stream written by the REAL
+    DataOutputStream (the serializer's exact output primitives), covering
+    both keyed-handle kinds, an operator-state handle with a NUL+astral
+    state name through the real writeUTF, and a master state. Pins
+    deserialize against JDK-produced bytes and serialize to a byte-exact
+    re-encode of them."""
+    d = jdos()
+    d.write_int(0x4960672D).write_int(2).write_long(42)
+    d.write_int(1)  # one master state
+    d.write_int(0xC96B1696).write_int(3).write(b"\x09\x08\x07")
+    d.write_int(2)  # two operators
+
+    # operator 0: one subtask, managed KEY_GROUPS + op-state with a
+    # modified-UTF-8-hostile name, raw sides null
+    d.write(operator_id("jvm-op-a")).write_int(1).write_int(128)
+    d.write_int(1)
+    d.write_int(0).write_long(-1).write_int(0)
+    d.write_int(1)  # managed operator-state handle present
+    d.write_byte(4)  # PARTITIONABLE_OPERATOR_STATE_HANDLE
+    d.write_int(1)
+    d.write_utf("st\x00ate\U0001F389")  # REAL writeUTF does the encoding
+    d.write_byte(1)  # MODE_UNION
+    d.write_int(2).write_long(0).write_long(77)
+    d.write_byte(1)  # byte-stream delegate
+    d.write_utf("delegate-ünït")
+    d.write_int(2).write(b"\xab\xcd")
+    d.write_int(0)  # no raw op-state
+    d.write_byte(3)  # managed keyed: KEY_GROUPS_HANDLE
+    d.write_int(0).write_int(2).write_long(0).write_long(123)
+    d.write_byte(2)  # file stream handle
+    d.write_long(4096).write_utf("file:/sp-42/op-a/keyed")
+    d.write_byte(0)  # raw keyed: null
+
+    # operator 1: one subtask, managed incremental keyed handle only
+    d.write(operator_id("jvm-op-b")).write_int(1).write_int(4096)
+    d.write_int(1)
+    d.write_int(0).write_long(-1).write_int(0)
+    d.write_int(0).write_int(0)
+    d.write_byte(5)  # INCREMENTAL_KEY_GROUPS_HANDLE
+    d.write_long(42).write_utf("backend-漢字")
+    d.write_int(0).write_int(4096)
+    d.write_byte(2)
+    d.write_long(512).write_utf("file:/cp-42/meta")
+    d.write_int(1)
+    d.write_utf("000042.sst")
+    d.write_byte(2)
+    d.write_long(1 << 31).write_utf("file:/shared/000042.sst")
+    d.write_int(0)
+    d.write_byte(0)  # raw keyed: null
+
+    raw = d.bytes()
+    sp = fm.deserialize(raw)
+    assert sp.checkpoint_id == 42
+    assert sp.master_states == [b"\x09\x08\x07"]
+    a, b = sp.operators
+    assert a.operator_id == operator_id("jvm-op-a")
+    (st,) = a.subtasks
+    name, mode, offsets = st.managed_op.states[0]
+    assert name == "st\x00ate\U0001F389"
+    assert mode == fm.MODE_UNION and offsets == [0, 77]
+    assert st.managed_op.stream.data == b"\xab\xcd"
+    assert st.managed_keyed.start_key_group == 0
+    assert st.managed_keyed.offsets == [0, 123]
+    assert st.managed_keyed.stream.path == "file:/sp-42/op-a/keyed"
+    (stb,) = b.subtasks
+    inc = stb.managed_keyed
+    assert isinstance(inc, fm.IncrementalKeyedHandle)
+    assert inc.backend_id == "backend-漢字"
+    assert inc.shared[0][1].size == 1 << 31
+    # and our writer reproduces the JDK bytes exactly
+    assert fm.serialize(sp) == raw

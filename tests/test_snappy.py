@@ -104,3 +104,81 @@ def test_frame_skippable_chunks_ignored():
 @given(st.binary(max_size=200000))
 def test_frame_roundtrip(data):
     assert snappy.frame_decompress(snappy.frame_compress(data)) == data
+
+
+# --- foreign vectors from the REAL xerial snappy-java (Spark's JVM) -------
+#
+# Flink's SnappyStreamCompressionDecorator wraps key-group sections in
+# org.xerial.snappy.SnappyFramedOutputStream — the exact class below. A
+# compressed savepoint section from a real Flink cluster is therefore
+# byte-compatible with these streams, which (unlike our literal-only
+# compressor) contain genuinely compressed chunks: the decompressor's
+# first true-compressor pin.
+
+
+def _jvm_framed_compress(spark, payload: bytes) -> bytes:
+    j = spark._jvm
+    bos = j.java.io.ByteArrayOutputStream()
+    out = j.org.xerial.snappy.SnappyFramedOutputStream(bos)
+    out.write(payload, 0, len(payload))
+    out.close()
+    return bytes(bos.toByteArray())
+
+
+def test_xerial_framed_stream_decodes(spark):
+    # compressible payload (xerial emits real copy-op chunks), an
+    # incompressible tail (xerial falls back to uncompressed chunks), and
+    # a >64 KiB body (multiple frames)
+    import random
+
+    rnd = random.Random(12)
+    payloads = [
+        b"",
+        b"abc" * 10,
+        bytes(range(256)) * 600,                       # compressible, 2+ frames
+        bytes(rnd.randrange(256) for _ in range(70000)),  # incompressible
+        (b"the quick brown fox " * 4000) + bytes(rnd.randrange(256) for _ in range(500)),
+    ]
+    for payload in payloads:
+        framed = _jvm_framed_compress(spark, payload)
+        assert snappy.frame_decompress(framed) == payload
+
+
+def test_xerial_framed_key_group_section_decodes(spark):
+    """End-to-end composition a real compressed savepoint exercises: a
+    key-group section serialized by our writer, compressed by the REAL
+    xerial framed stream (what Flink's snappy decorator produces), then
+    frame_decompress + iter_key_group_section recover the rows."""
+    from bravo_spark.codecs import flink as fl
+
+    entries = [
+        (0, b"\x05k1-ns", b"value-one"),
+        (0, b"\x05k2-ns", b"v" * 3000),
+        (3, b"\x05k3-ns", b""),
+    ]
+    section = fl.write_key_group_section(entries)
+    framed = _jvm_framed_compress(spark, section * 1)
+    back = snappy.frame_decompress(framed)
+    assert back == section
+    rows = list(fl.iter_key_group_section(
+        back, {0: "counts", 3: "windows"}))
+    assert rows == [
+        ("counts", b"\x05k1-ns", b"value-one"),
+        ("counts", b"\x05k2-ns", b"v" * 3000),
+        ("windows", b"\x05k3-ns", b""),
+    ]
+
+
+def test_our_framed_output_decodes_in_jvm(spark):
+    """The reverse direction: sections our writer frame-compresses must
+    be readable by the real xerial SnappyFramedInputStream — i.e. a real
+    Flink restore could consume a savepoint we wrote with compression."""
+    j = spark._jvm
+    payload = (b"write-side interop " * 800) + bytes(range(256))
+    framed = snappy.frame_compress(payload)
+    bis = j.java.io.ByteArrayInputStream(framed)
+    sin = j.org.xerial.snappy.SnappyFramedInputStream(bis)
+    bos = j.java.io.ByteArrayOutputStream()
+    sin.transferTo(bos)  # read fully (JDK 9+)
+    sin.close()
+    assert bytes(bos.toByteArray()) == payload
