@@ -978,3 +978,141 @@ def test_ms_adpcm_malformed_streams_fail_cleanly(cut, flip_pos, flip_val, mode):
         assert all(-32768 <= s <= 32767 for s in samples)
     except (A.WavError, ValueError):
         pass
+
+
+# --- adversarial block headers: refusal-by-name vs silent wrong samples ---
+#
+# The truncation/bitflip fuzz above pins never-hang; these pin the SHARPER
+# contract the module docstring promises: a header field that selects
+# decode SEMANTICS (MS predictor index, IMA step index, fmt-level block
+# geometry) refuses BY NAME when out of range, while fields that merely
+# carry state (deltas, anchor samples, the IMA reserved byte) decode to
+# in-range values — corrupt state is representable, corrupt semantics is
+# not, and the two outcomes must never blur into "silently wrong".
+
+
+def _ms_payload(channels):
+    frames = [((i * 131) % 4000) - 2000 for i in range(600 * channels)]
+    return bytearray(
+        A.wav_encode_msadpcm(8000, channels, frames, block_align=64 * channels)
+    )
+
+
+def _ima_payload(channels):
+    frames = [((i * 97) % 4000) - 2000 for i in range(600 * channels)]
+    return bytearray(
+        A.wav_encode_adpcm(8000, channels, frames, block_align=64 * channels)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    channels=st.sampled_from([1, 2]),
+    block=st.integers(0, 8),
+    chan=st.integers(0, 1),
+    bad=st.integers(7, 255),
+)
+def test_ms_adpcm_predictor_out_of_range_refuses_by_name(
+    channels, block, chan, bad
+):
+    raw = _ms_payload(channels)
+    align = 64 * channels
+    data_at = bytes(raw).find(b"data", 36) + 8
+    n_blocks = (len(raw) - data_at) // align
+    pos = data_at + (block % n_blocks) * align + (chan % channels)
+    raw[pos] = bad  # bPredictor: the 7-entry standard table has ids 0-6
+    with pytest.raises(A.WavError, match="predictor"):
+        A.wav_decode(bytes(raw))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    channels=st.sampled_from([1, 2]),
+    block=st.integers(0, 8),
+    chan=st.integers(0, 1),
+    bad=st.integers(89, 255),
+)
+def test_ima_step_index_out_of_range_refuses_by_name(channels, block, chan, bad):
+    raw = _ima_payload(channels)
+    align = 64 * channels
+    data_at = bytes(raw).find(b"data", 36) + 8
+    n_blocks = (len(raw) - data_at) // align
+    pos = data_at + (block % n_blocks) * align + (chan % channels) * 4 + 2
+    raw[pos] = bad  # step index: the IMA table has 89 entries (0-88)
+    with pytest.raises(A.WavError, match="step index"):
+        A.wav_decode(bytes(raw))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    channels=st.sampled_from([1, 2]),
+    bad_spb=st.one_of(st.integers(0, 1), st.integers(2000, 65535)),
+)
+def test_ms_adpcm_spb_inconsistent_with_align_refuses(channels, bad_spb):
+    # wSamplesPerBlock outside [2, capacity(block_align)] is a geometry
+    # lie: decoding would read nibbles past the block. Refuse by name.
+    raw = _ms_payload(channels)
+    fmt_at = bytes(raw).find(b"fmt ") + 8
+    struct.pack_into("<H", raw, fmt_at + 18, bad_spb)
+    with pytest.raises(A.WavError, match="samples-per-block"):
+        A.wav_decode(bytes(raw))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    channels=st.sampled_from([1, 2]),
+    bad_align=st.integers(0, 600),
+)
+def test_ima_block_align_inconsistent_refuses(channels, bad_align):
+    # nBlockAlign must leave room for the 4-byte-per-channel header and
+    # frame whole 4-byte data words per channel; anything else refuses
+    if bad_align > 4 * channels and bad_align % (4 * channels) == 0:
+        return  # valid geometry — covered by the positive tests
+    raw = _ima_payload(channels)
+    fmt_at = bytes(raw).find(b"fmt ") + 8
+    struct.pack_into("<H", raw, fmt_at + 12, bad_align)
+    with pytest.raises(A.WavError, match="block align"):
+        A.wav_decode(bytes(raw))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    channels=st.sampled_from([1, 2]),
+    block=st.integers(0, 8),
+    chan=st.integers(0, 1),
+    val=st.integers(0, 255),
+)
+def test_ima_reserved_byte_is_ignored(channels, block, chan, val):
+    # the 4th header byte per channel is reserved: ANY value must decode
+    # to the identical samples (state bytes never become refusals)
+    raw = _ima_payload(channels)
+    want = A.wav_decode(bytes(raw))
+    align = 64 * channels
+    data_at = bytes(raw).find(b"data", 36) + 8
+    n_blocks = (len(raw) - data_at) // align
+    pos = data_at + (block % n_blocks) * align + (chan % channels) * 4 + 3
+    raw[pos] = val
+    assert A.wav_decode(bytes(raw)) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    channels=st.sampled_from([1, 2]),
+    block=st.integers(0, 8),
+    chan=st.integers(0, 1),
+    val=st.integers(-32768, 32767),
+)
+def test_ms_adpcm_corrupt_delta_decodes_in_range(channels, block, chan, val):
+    # iDelta is STATE, not semantics: any int16 value decodes (the
+    # adaptation floor clamps it to >=16 on the first step) to in-range
+    # samples of the exact original length — corrupt audio, never a crash
+    raw = _ms_payload(channels)
+    n_want = len(A.wav_decode(bytes(raw))[3])
+    align = 64 * channels
+    data_at = bytes(raw).find(b"data", 36) + 8
+    n_blocks = (len(raw) - data_at) // align
+    pos = data_at + (block % n_blocks) * align + channels + 2 * (chan % channels)
+    struct.pack_into("<h", raw, pos, val)
+    sr, ch, bits, samples = A.wav_decode(bytes(raw))
+    assert len(samples) == n_want
+    assert all(-32768 <= s <= 32767 for s in samples)
