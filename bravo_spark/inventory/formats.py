@@ -292,3 +292,79 @@ def schema_evolution_merge(spark, sf_dir):
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@query("xml_source_roundtrip", oracle=_AGG_ORACLE)
+def xml_source_roundtrip(spark, sf_dir):
+    """XML round-trip through Spark 4's built-in xml source (rowTag
+    framing) — the config/feed interchange format enterprise pipelines
+    still ingest. Same explicit-schema discipline as json/csv: schema
+    inference over XML is a full extra parse of the corpus, so the read
+    declares the schema. Scale shape: identical to the other flat-file
+    formats — distributed write, splittable-by-file read, one shuffle
+    for the verification aggregate."""
+    ev = catalog.table(spark, sf_dir, "events").select(*_COLS)
+    out = scratch_dir("fmt_xml")
+    ev.write.mode("overwrite").format("xml").option("rowTag", "event").save(out)
+    back = (
+        spark.read.schema(_SCHEMA).option("rowTag", "event").format("xml").load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+_BINARY_INGEST_ORACLE = (
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes,"
+    " md5(text) AS digest FROM documents"
+)
+
+
+@query("binary_file_ingest", oracle=_BINARY_INGEST_ORACLE)
+def binary_file_ingest(spark, sf_dir):
+    """The multimodal corpus's real ingest path: opaque payload files on
+    disk → Spark's ``binaryFile`` source → (path, length, content) rows
+    that feed the decode tiers (inventory/multimodal.py). The fixture
+    materializes one file per document (executor-side writes via
+    foreachPartition — never a driver loop), then the read proves
+    identity: per-file byte length and md5 must match the source text's
+    UTF-8 bytes exactly, so any content or framing corruption in either
+    direction fails the oracle.
+
+    Scale shape: binaryFile is listing-bound — at 100 TB the levers are
+    a partitioned directory layout + ``pathGlobFilter`` (prune before
+    listing), ``recursiveFileLookup`` for nested drops, and
+    ``spark.sql.files.maxPartitionBytes`` to pack small files into
+    sane tasks; content bytes stay in executor memory per-file, so
+    multi-GB payloads belong in sliced object-store reads instead."""
+    import hashlib
+
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = scratch_path(f"binfiles_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+
+        def _write(rows):
+            for r in rows:
+                with open(os.path.join(out, f"doc_{r.doc_id}.txt"), "wb") as f:
+                    f.write(r.text.encode("utf-8"))
+
+        docs.foreachPartition(_write)
+        open(marker, "w").close()
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(out)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
