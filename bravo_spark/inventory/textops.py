@@ -1090,7 +1090,11 @@ def corpus_drift_tv(spark, sf_dir):
     tokens. Flooring PER TERM keeps the summed result identical across
     engines; the ≤50-unit downward bias is part of the metric's
     definition. One shuffle on the token, a 50-row head, and a scalar
-    join — output is one row."""
+    join — output is one row. The 50-row head is CACHED because both the
+    TV sum and its na/nb normalizer derive from it: uncached, the
+    broadcast-scalar branch would re-execute the whole scan+explode+agg
+    lineage, doubling the dominant corpus pass (plan-pinned in
+    test_plans: exactly one Generate/explode in the physical plan)."""
     docs = catalog.table(spark, sf_dir, "documents")
     half = (
         F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
@@ -1111,7 +1115,11 @@ def corpus_drift_tv(spark, sf_dir):
     rk = F.row_number().over(
         _W.orderBy((F.col("oa") + F.col("ob")).desc(), F.col("w"))
     )
-    top = counts.withColumn("rk", rk).filter(F.col("rk") <= 50)
+    from bravo_spark import llmops as _llm
+
+    top = _llm._cache(
+        counts.withColumn("rk", rk).filter(F.col("rk") <= 50)
+    )
     tot = top.agg(
         F.sum("oa").alias("na"), F.sum("ob").alias("nb")
     )

@@ -492,3 +492,72 @@ def test_heavy_hitters_recount_is_broadcast_semi(plans):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "InMemoryTableScan" in p
+
+
+# --- r12 rotation: plan pins for the newly gated rows ---------------------
+
+
+def test_merge_upsert_is_one_full_outer_smj(plans):
+    # MERGE semantics = exactly one full-outer sort-merge join on the
+    # key; the md5-bucket changeset filters push into the parquet scans
+    p = plans("corpus_merge_upsert")
+    assert "FullOuter" in p and "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_savepoint_diff_is_full_outer_equijoin(plans):
+    p = plans("savepoint_diff")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_quality_calibration_single_exchange(plans):
+    # rank window, count window, and the final group-by all reuse the
+    # hash partitioning on source: one Exchange total — at 100 TB the
+    # per-source distribution stats cost one shuffle, not three
+    p = plans("quality_calibration_by_source")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p  # JVM-side end to end
+
+
+def test_corpus_drift_tv_single_corpus_pass(plans):
+    # both the TV sum and its na/nb normalizer read the CACHED 50-row
+    # head: the scan+explode lineage materializes once, not once per
+    # branch (the BroadcastNestedLoopJoin is the broadcast-scalar
+    # pattern — right side is the 1-row totals aggregate)
+    p = plans("corpus_drift_tv")
+    assert p.count("InMemoryTableScan") == 2
+    assert "TakeOrderedAndProject" in p  # top-50 never global-sorts the vocab
+
+
+def test_xml_roundtrip_prunes_and_partial_aggs(plans):
+    p = plans("xml_source_roundtrip")
+    assert "FileScan xml" in p
+    assert "event_id" not in p  # unused column pruned from the xml scan
+    assert "partial_count" in p  # map-side combine before the shuffle
+
+
+def test_binary_file_ingest_is_map_only(plans):
+    # ingest = list + read + project: zero shuffles, no Python UDF (md5
+    # and the path regex are JVM expressions)
+    p = plans("binary_file_ingest")
+    assert "FileScan binaryFile" in p
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_schema_evolution_merge_single_scan(plans):
+    # both pre- and post-evolution batches resolve to ONE mergeSchema
+    # parquet scan + one aggregation shuffle
+    p = plans("schema_evolution_merge")
+    assert p.count("FileScan parquet") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_rescale_and_pagerank_no_pathological_joins(plans):
+    for name in ("snapshot_rescale", "pagerank_centrality"):
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
