@@ -1223,3 +1223,58 @@ def approx_sketch_accuracy(spark, sf_dir):
         "event_type", "exact_users", "exact_p50",
         hll_ok.alias("hll_ok"), td_ok.alias("tdigest_ok"),
     )
+
+
+_VARIANT_SPARK_SQL = """
+WITH j AS (
+  SELECT doc_id, concat(
+    '{"lang":"', substr(md5(text), 1, 2),
+    '","score":', CAST(n_chars % 100 AS STRING),
+    ',"tags":["t', CAST(doc_id % 7 AS STRING),
+    '","u', CAST(doc_id % 3 AS STRING), '"]}') AS js
+  FROM documents),
+v AS (SELECT doc_id, parse_json(js) AS var FROM j)
+SELECT doc_id,
+  variant_get(var, '$.lang', 'string') AS lang,
+  variant_get(var, '$.score', 'long') AS score,
+  variant_get(var, '$.tags[1]', 'string') AS tag1,
+  try_variant_get(var, '$.quality.sub', 'string') AS missing
+FROM v
+"""
+
+_VARIANT_DUCK_SQL = """
+WITH j AS (
+  SELECT doc_id,
+    '{"lang":"' || substr(md5(text), 1, 2) ||
+    '","score":' || CAST(n_chars % 100 AS VARCHAR) ||
+    ',"tags":["t' || CAST(doc_id % 7 AS VARCHAR) ||
+    '","u' || CAST(doc_id % 3 AS VARCHAR) || '"]}' AS js
+  FROM documents)
+SELECT doc_id,
+  json_extract_string(js, '$.lang') AS lang,
+  CAST(json_extract(js, '$.score') AS BIGINT) AS score,
+  json_extract_string(js, '$.tags[1]') AS tag1,
+  json_extract_string(js, '$.quality.sub') AS missing
+FROM j
+"""
+
+
+@query("json_variant_extract", oracle=_VARIANT_DUCK_SQL)
+def json_variant_extract(spark, sf_dir):
+    """Semi-structured metadata processing through Spark 4's VARIANT
+    type: parse each document's JSON sidecar ONCE into the binary
+    variant encoding, then typed-path extraction (``variant_get`` with
+    nested object / array-index / missing-path cases; the miss goes
+    through ``try_variant_get`` and must surface as NULL, not an error).
+    The JSON is deterministically derived from the row so the DuckDB
+    oracle rebuilds the identical string and extracts with its JSON
+    functions — any divergence in path semantics, typed casts, or null
+    handling flips the hash.
+
+    Scale shape: this is the 100 TB replacement for repeated
+    ``get_json_object`` calls — each of those re-parses the JSON string
+    per call per row, while a variant column parses once at ingest and
+    every extraction is a binary offset walk (and parquet-stored
+    variants shred into columns). Map-only: scan → project, no shuffle,
+    no Python."""
+    return spark.sql(_VARIANT_SPARK_SQL)
