@@ -29,9 +29,17 @@ GATE_PRIORITY = [
     # and the DataSource scan contracts below)
     # §2.1/2.2 savepoint lifecycle S1-S9 + E1-E2 (window_state_min rotated
     # out in r8 after 7 driver-green rounds; P7 shares the P1 decode path
-    # plus pytest-pinned TimeWindow bounds)
-    "snapshot_roundtrip", "checkpoint_roundtrip", "snapshot_state_filter",
-    "e1_keygroup", "e2_operator_index",
+    # plus pytest-pinned TimeWindow bounds). r13 rotation: e1_keygroup /
+    # e2_operator_index (11 driver-green rounds r1-r12) and
+    # snapshot_state_filter (11 rounds) rotated out — murmur keygroup
+    # parity stays golden-pinned in test_codecs and runs inside every
+    # retained roundtrip; the pushdown stays plan-pinned in
+    # test_datasource/test_plans. In their slots: checkpoint_rewind (the
+    # state-surgery rewind path a real user hits daily),
+    # streaming_static_join (stream-static broadcast enrichment), and
+    # retention_cohorts (cohort analytics) — first driver checks.
+    "snapshot_roundtrip", "checkpoint_roundtrip",
+    "checkpoint_rewind", "streaming_static_join", "retention_cohorts",
     # §2.4-2.8 relational core: a1/last_write_wins rotated out in r8 after
     # 7 driver-green rounds — grouped sort-reduce stays driver-covered by
     # the savepoint writer inside snapshot_roundtrip, window functions by
@@ -46,7 +54,15 @@ GATE_PRIORITY = [
     # (r8-r10) — the SST/changelog read path stays driver-covered by
     # rocksdb_state_rewrite (which reads before surgery) and the
     # checkpoint write loop by checkpoint_roundtrip + pytest.
-    "spark_state_read", "spark_state_rewrite", "rocksdb_state_rewrite",
+    # r13 rotation: spark_state_read / spark_state_rewrite rotated out
+    # after 10 driver-green rounds (r2-r12; read is rewrite's first
+    # phase) — rocksdb_state_rewrite keeps state-store surgery in the
+    # gate and checkpoint_rewind (in, above) covers the same family's
+    # rewind path; restart-continuation stays pytest-proven. In their
+    # slots: per_key_trend (grouped linear-regression slopes) and
+    # kmeans_lloyd_centroids (the IVF clustering fixed-point) — first
+    # driver checks.
+    "per_key_trend", "kmeans_lloyd_centroids", "rocksdb_state_rewrite",
     # r11 rotation: the format/layout contracts' first driver check — the
     # json/csv/orc source roundtrips, the co-located bucketed join, and
     # partition pruning on a hive-layout write.
@@ -132,10 +148,16 @@ GATE_PRIORITY = [
     # view, q16 distinct-count with NOT IN. (The r5 text/sampling wave —
     # text_rarity, embedding_quantize, shard_shuffle, bpe_pair_counts,
     # source_mixture_report — rotated out after 4 driver-green rounds
-    # r6-r9.)
-    "tpch_q7_volume", "tpch_q8_market_share", "tpch_q11_important_stock",
-    "tpch_q12_late_lines", "tpch_q13_custdist", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
+    # r6-r9.) r13 rotation: that whole r10 TPC-H wave rotated out after
+    # 3 driver-green rounds (r10-r12, the r11 eligibility precedent) —
+    # tpch_q3 + tpch_q17 keep the TPC-H spine in the gate. In their
+    # slots, first driver checks for: approx_sketch_accuracy (HLL/KLL
+    # sketch error vs exact), the text-cleaning tail (quality_filter
+    # pipeline, NFKC-style normalize, PII redaction, word-frequency
+    # top-k), and the embedding family (doc↔embedding join, norms).
+    "approx_sketch_accuracy", "quality_filter_pipeline", "text_normalize",
+    "text_redact_pii", "word_freq_topk", "doc_embedding_join",
+    "embedding_norms",
     # r11 rotation: the sampling family's first driver check — salted
     # hash sampling, per-stratum exact rates, deterministic train/val
     # hashing, temperature-weighted domain mixture, group-atomic
@@ -167,46 +189,50 @@ GATE_PRIORITY = [
 # r9-staged swaps executed in r10 after the r9 stall; the r11-staged
 # swaps executed on schedule as r11's first commit; the r12-staged
 # 14-swap rotation executed on schedule as r12's first substantive
-# commit, taking never-driver-checked to 23 and lifting the
-# registration freeze.) To execute in r13 (FIRST commit of the round):
-#   1. confirm each OUT row below is green in CORRECTNESS_r12 (if one is
+# commit; the r13-staged 12-swap rotation executed on schedule as r13's
+# first commit — all 12 OUTs confirmed green in CORRECTNESS_r12.)
+# To execute in r14 (FIRST commit of the round):
+#   1. confirm each OUT row below is green in CORRECTNESS_r13 (if one is
 #      red, keep it in the gate and drop its pair from this round);
 #   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
 #   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
-# 12 swaps: INs are 12 of the 23 never-driver-checked rows, prioritized
-# per the r11 verdict — checkpoint_rewind + streaming_static_join (the
-# state-surgery/streaming rows a real user hits daily), the analytics
-# pair, the text-cleaning additions, and the embedding family. After
-# execution never-driver-checked drops to 11 (the four recall evals,
-# text_levenshtein_pairs, text_repetition, text_length_histogram,
-# bpe_train_merges, multimodal_resize / multimodal_frame_sample /
-# multimodal_embed) — all mirror-verified every session. The rotation
-# ledger lives in COVERAGE.md.
-R13_STAGED_SWAPS = [
-    # (rotate OUT once r12-green, rotate IN — never driver-checked)
-    # e1/e2: 11 driver-green rounds r1-r11; murmur keygroup parity stays
-    # golden-pinned in test_codecs + exercised inside every roundtrip
-    ("e1_keygroup", "checkpoint_rewind"),
-    ("e2_operator_index", "streaming_static_join"),
-    # snapshot_state_filter: 11 green rounds; the pushdown stays
-    # plan-pinned (test_datasource/test_plans) and the byte-skip scan
-    # runs inside the retained snapshot_roundtrip
-    ("snapshot_state_filter", "retention_cohorts"),
-    # spark_state_read/rewrite: 9 green rounds r2-r11 (read is rewrite's
-    # first phase); rocksdb_state_rewrite keeps state-store surgery in
-    # the gate and checkpoint_rewind (IN) covers the same family's
-    # rewind path; restart-continuation stays pytest-proven
-    ("spark_state_read", "per_key_trend"),
-    ("spark_state_rewrite", "kmeans_lloyd_centroids"),
-    # the r10 TPC-H wave: 3 green rounds r10-r12 (the r11 precedent for
-    # rotation eligibility); tpch_q3 + q17 keep the TPC-H spine
-    ("tpch_q7_volume", "approx_sketch_accuracy"),
-    ("tpch_q8_market_share", "quality_filter_pipeline"),
-    ("tpch_q11_important_stock", "text_normalize"),
-    ("tpch_q12_late_lines", "text_redact_pii"),
-    ("tpch_q13_custdist", "word_freq_topk"),
-    ("tpch_q15_top_supplier", "doc_embedding_join"),
-    ("tpch_q16_supplier_cnt", "embedding_norms"),
+# 14 swaps: INs are ALL 14 remaining never-driver-checked rows — the
+# four ANN recall evals, bpe_train_merges, the multimodal engine-API
+# trio, the text-analysis tail, and the three r12 post-freeze source
+# registrations. After execution the never-driver-checked count is ZERO
+# for the first time; every registered query will have been
+# driver-checked at least once. The rotation ledger lives in COVERAGE.md.
+R14_STAGED_SWAPS = [
+    # (rotate OUT once r13-green, rotate IN — never driver-checked)
+    # the r11 source-roundtrip wave: 3 green rounds r11-r13 (the r11
+    # eligibility precedent); their scan/write paths stay pytest-pinned
+    # in test_formats, and the three INs are the same family's newer
+    # formats (XML, binaryFile, JSON-variant extraction)
+    ("json_source_roundtrip", "json_variant_extract"),
+    ("csv_source_roundtrip", "xml_source_roundtrip"),
+    ("orc_source_roundtrip", "binary_file_ingest"),
+    # the r10 media wave: 4 green rounds r10-r13; the pure-Python codec
+    # paths stay golden-pinned in test_jpeg/test_gif/test_audio/test_avi,
+    # and the INs are the engine-API layer over the same codecs
+    # (tier-select resize, frame sampling, deterministic embed stub)
+    ("multimodal_jpeg_roundtrip", "multimodal_resize"),
+    ("multimodal_gif_roundtrip", "multimodal_frame_sample"),
+    ("multimodal_gif_frame_sample", "multimodal_embed"),
+    # audio/video rows: 4 green rounds r10-r13; integer-DSP feature and
+    # demux paths stay pinned in test_audio/test_avi; INs are the text
+    # tail (banded Levenshtein pairs, repetition ratios, length bins)
+    ("audio_wav_features", "text_levenshtein_pairs"),
+    ("video_avi_frame_sample", "text_repetition"),
+    ("tpch_q17_small_qty", "text_length_histogram"),
+    # the r11 sampling wave: 3 green rounds r11-r13; hash-split
+    # determinism stays pytest-pinned in test_sampling; INs are the four
+    # recall evals (exact-vs-LSH/IVF/PQ/clustered overlap) and the full
+    # BPE trainer — the rescore/merge contracts only the mirror has seen
+    ("hash_sample", "ann_recall_eval"),
+    ("stratified_sample", "ann_ivf_recall_eval"),
+    ("train_val_split", "ann_pq_recall_eval"),
+    ("domain_mixture_sample", "ann_ivf_clustered_recall"),
+    ("leakage_safe_split", "bpe_train_merges"),
 ]
 
 

@@ -45,7 +45,17 @@ def test_flagship_families_inside_window():
     window = set(GATE_PRIORITY)
     for name in (
         "snapshot_roundtrip", "checkpoint_roundtrip",
-        "spark_state_read", "spark_state_rewrite", "rocksdb_state_rewrite",
+        "rocksdb_state_rewrite",
+        # r13 rotation: the r12-staged 12-swap flip — first driver check
+        # for checkpoint_rewind, streaming_static_join, the analytics
+        # pair, the text-cleaning tail, and the embedding family; the
+        # rotated-out e1/e2/filter/state-read-rewrite/TPC-H-wave rows'
+        # paths stay retained per registry.py per-pair comments
+        "checkpoint_rewind", "streaming_static_join", "retention_cohorts",
+        "per_key_trend", "kmeans_lloyd_centroids",
+        "approx_sketch_accuracy", "quality_filter_pipeline",
+        "text_normalize", "text_redact_pii", "word_freq_topk",
+        "doc_embedding_join", "embedding_norms",
         # r12 rotation: the r11-staged 14-swap flip — first driver check
         # for the thirteen r10 additions + snapshot_rescale (the last
         # reference use-case without driver proof); the rotated-out
@@ -79,10 +89,6 @@ def test_flagship_families_inside_window():
         "multimodal_jpeg_roundtrip", "multimodal_gif_roundtrip",
         "multimodal_gif_frame_sample", "audio_wav_features",
         "video_avi_frame_sample",
-        "tpch_q7_volume", "tpch_q8_market_share",
-        "tpch_q11_important_stock", "tpch_q12_late_lines",
-        "tpch_q13_custdist", "tpch_q15_top_supplier",
-        "tpch_q16_supplier_cnt",
     ):
         assert name in window, f"{name} fell out of the correctness gate"
 
@@ -111,13 +117,13 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
             return any(unsortable(f.dataType) for f in dt.fields)
         return False
 
-    from bravo_spark.inventory.registry import R13_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R14_STAGED_SWAPS
 
     qs = _entry().queries()
     offenders = []
     # the staged rotation INs are checked too: a staged query with an
     # unsortable schema would burn its very first gate slot on flip
-    names = list(GATE_PRIORITY) + [i for _, i in R13_STAGED_SWAPS]
+    names = list(GATE_PRIORITY) + [i for _, i in R14_STAGED_SWAPS]
     for name in names:
         schema = qs[name](spark, sf_dir).schema
         for field in schema.fields:
@@ -127,18 +133,18 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
 
 
 def test_staged_rotation_is_consistent():
-    """The staged next-round rotation (registry.R13_STAGED_SWAPS) must
+    """The staged next-round rotation (registry.R14_STAGED_SWAPS) must
     stay executable: every OUT name is currently IN the gate window, every
     IN name is a registered never-gated query, and the swap keeps the
     window at exactly 50 distinct names. Pins the staging as live data —
     the r7 regression was a staged rotation that existed only in a comment
     and silently rotted."""
-    from bravo_spark.inventory.registry import R13_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R14_STAGED_SWAPS
 
     qs = _entry().queries()
     window = set(GATE_PRIORITY)
-    outs = [o for o, _ in R13_STAGED_SWAPS]
-    ins = [i for _, i in R13_STAGED_SWAPS]
+    outs = [o for o, _ in R14_STAGED_SWAPS]
+    ins = [i for _, i in R14_STAGED_SWAPS]
     assert len(set(outs)) == len(outs) and len(set(ins)) == len(ins)
     for o in outs:
         assert o in window, f"staged OUT {o} is not in the current gate"
