@@ -338,7 +338,18 @@ def binary_file_ingest(spark, sf_dir):
     listing), ``recursiveFileLookup`` for nested drops, and
     ``spark.sql.files.maxPartitionBytes`` to pack small files into
     sane tasks; content bytes stay in executor memory per-file, so
-    multi-GB payloads belong in sliced object-store reads instead."""
+    multi-GB payloads belong in sliced object-store reads instead.
+
+    LOCAL-MODE ASSUMPTION (fixture only): the foreachPartition writers
+    resolve ``out`` on each executor, which lands on the DRIVER's
+    filesystem only because local mode shares it. On a real cluster the
+    files would scatter across executor-local disks and the driver-side
+    ``_SUCCESS`` marker + ``binaryFile`` read would see an empty or
+    partial directory — production ingest writes payloads to a SHARED
+    filesystem / object store (s3a://, hdfs://) where every executor's
+    path resolves to the same namespace, and this function's read half
+    works unchanged. The write half here exists only to manufacture the
+    fixture in-sandbox."""
     import hashlib
 
     docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")

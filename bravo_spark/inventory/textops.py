@@ -1035,7 +1035,7 @@ def _spacesaving_sketch(words, cap: int):
 
     from bravo_spark import llmops
 
-    sketch = llmops._cache(
+    sketch = llmops.track_cache(
         words.mapInPandas(
             spacesaving_batches, schema="w string, n long, ev long"
         )
@@ -1117,7 +1117,7 @@ def corpus_drift_tv(spark, sf_dir):
     )
     from bravo_spark import llmops as _llm
 
-    top = _llm._cache(
+    top = _llm.track_cache(
         counts.withColumn("rk", rk).filter(F.col("rk") <= 50)
     )
     tot = top.agg(

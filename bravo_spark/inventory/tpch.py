@@ -576,7 +576,7 @@ def tpch_q11_important_stock(spark, sf_dir):
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(val).alias("val"))
     )
-    v = llmops._cache(v)
+    v = llmops.track_cache(v)
     total = v.agg(
         (F.sum("val") * F.lit("0.001").cast("decimal(6,4)")).alias("threshold")
     )

@@ -25,10 +25,20 @@ TOKEN_RE = "[a-z0-9]+"
 _LIVE_CACHES: list[DataFrame] = []
 
 
-def _cache(df: DataFrame) -> DataFrame:
+def track_cache(df: DataFrame) -> DataFrame:
+    """Cache ``df`` and enroll it in the release_caches() lifecycle.
+
+    PUBLIC contract for other modules (e.g. inventory/textops.py) that
+    want query-cycle-scoped caching: anything cached through here is
+    unpersisted by the registry wrapper's release_caches() before the
+    next query, so repeated queries never accrete executor memory."""
     df = df.cache()
     _LIVE_CACHES.append(df)
     return df
+
+
+# internal alias (predates the public name; same object, same lifecycle)
+_cache = track_cache
 
 
 def release_caches() -> None:
@@ -894,7 +904,11 @@ def _bpe_round(
 
 
 def bpe_train(
-    df: DataFrame, text_col: str, *, n_merges: int = 10
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 10,
+    _round_probe=None,
 ) -> list[tuple[str, str]]:
     """Train ``n_merges`` BPE merges on the corpus; returns the ordered
     merge list [(left, right), ...] — the artifact a tokenizer ships.
@@ -911,7 +925,20 @@ def bpe_train(
     scans; here per-round shuffle work tracks the affected-word volume,
     which shrinks as training converges. Both state relations truncate
     lineage with ``localCheckpoint`` so the plan doesn't grow with the
-    merge count. Ties break on (left, right) for determinism — the
+    merge count — the same 4^k-lineage guard ``connected_components``
+    documents. 100 TB cost statement: each round's eager
+    ``localCheckpoint`` MATERIALIZES both state relations to executor
+    block storage — per round that is one full write+read of the
+    distinct-word vocabulary (|distinct words| ≪ corpus; for web-scale
+    text ~10⁷-10⁸ rows, a few GB serialized) and of the pair-count
+    table (≤ |vocab| × avg-word-len rows). At 32k merges this
+    materialization, not the shuffles, dominates the train; it is the
+    price of a bounded plan and bounded per-round recompute, and it
+    amortizes because the corpus itself is touched exactly once
+    (``_word_vocab``'s initial scan). The per-merge 1-row argmax
+    ``collect`` is an inherent driver round-trip of greedy BPE (the
+    merge order IS a sequential decision process); each is
+    metadata-scale. Ties break on (left, right) for determinism — the
     incremental counts are integer-exact, so the argmax sequence is
     identical to the full-recount formulation's."""
     vocab = _word_vocab(df, text_col).select(
@@ -943,6 +970,11 @@ def bpe_train(
         pair_counts = new_counts.localCheckpoint()
         prev_v.unpersist()
         prev_c.unpersist()
+        if _round_probe is not None:
+            # test hook: lets tests/test_llmops.py pin that per-round
+            # plan depth is INVARIANT across merges (the localCheckpoint
+            # truncation doing its job) without exposing loop state
+            _round_probe(len(merges), vocab, pair_counts)
     # the final checkpoints drain with the other intermediates at the next
     # release_caches() (registry query wrapper / long-session callers)
     _LIVE_CACHES.append(vocab)

@@ -790,6 +790,46 @@ def test_bpe_train_100_merges_bounded_and_exact(spark):
     assert len(got) == 100  # the corpus genuinely sustains 100 merges
 
 
+def test_bpe_train_plan_depth_is_merge_invariant(spark):
+    """The per-round localCheckpoint must keep the state relations' plan
+    depth CONSTANT across merges — the same lineage-growth failure
+    connected_components guards against (un-truncated, the round's
+    union/join lineage compounds per merge and the plan alone OOMs the
+    driver long before merge 50). Pin: the analyzed-plan string of both
+    state relations at merge 50 is no deeper than at merge 1 (identical
+    shape modulo plan ids: a checkpoint scan + the coalesce/agg cap)."""
+    from bravo_spark import llmops
+
+    sylls = ["ba", "ne", "ko", "ri", "ta", "lu", "mo", "se"]
+    words = []
+    for i, a in enumerate(sylls):
+        for j, b in enumerate(sylls):
+            words.extend([a + b] * (1 + (i * 3 + j) % 5))
+            words.append(a + b + sylls[(i + j) % 8])
+    texts = [" ".join(words[k::7]) for k in range(7)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    depths: dict[int, tuple[int, int]] = {}
+
+    def probe(merge_no, vocab, counts):
+        if merge_no in (1, 25, 50):
+            depths[merge_no] = (
+                vocab._jdf.queryExecution().analyzed().toString().count("\n"),
+                counts._jdf.queryExecution().analyzed().toString().count("\n"),
+            )
+
+    merges = llmops.bpe_train(docs, "text", n_merges=50, _round_probe=probe)
+    assert len(merges) == 50
+    assert set(depths) == {1, 25, 50}
+    v1, c1 = depths[1]
+    for merge_no in (25, 50):
+        vn, cn = depths[merge_no]
+        assert vn <= v1, f"vocab plan grew by merge {merge_no}: {vn} > {v1}"
+        assert cn <= c1, f"counts plan grew by merge {merge_no}: {cn} > {c1}"
+
+
 def test_tws_query_is_env_gated():
     """transformWithStateInPandas needs protobuf for its driver worker;
     the query must register exactly when that dependency exists, so the
