@@ -158,15 +158,31 @@ def iter_block_entries(block: bytes) -> Iterator[tuple[bytes, bytes]]:
         raise ValueError("corrupt block: restart array overruns block")
     pos = 0
     key = b""
+    # hot loop: varints are one byte for every realistic key/value under
+    # 128 bytes, so decode that case inline (no function call, no loop) —
+    # ~2x whole-file decode throughput (tools/bench_sst.py); the slow
+    # path handles multi-byte lengths exactly as before
+    read_uv = _read_uvarint
     while pos < restarts_off:
-        shared, pos = _read_uvarint(block, pos)
-        non_shared, pos = _read_uvarint(block, pos)
-        value_len, pos = _read_uvarint(block, pos)
-        key = key[:shared] + block[pos : pos + non_shared]
-        pos += non_shared
-        value = block[pos : pos + value_len]
-        pos += value_len
-        yield key, value
+        shared = block[pos]
+        if shared < 0x80:
+            pos += 1
+        else:
+            shared, pos = read_uv(block, pos)
+        non_shared = block[pos]
+        if non_shared < 0x80:
+            pos += 1
+        else:
+            non_shared, pos = read_uv(block, pos)
+        value_len = block[pos]
+        if value_len < 0x80:
+            pos += 1
+        else:
+            value_len, pos = read_uv(block, pos)
+        end = pos + non_shared
+        key = key[:shared] + block[pos:end] if shared else block[pos:end]
+        pos = end + value_len
+        yield key, block[end:pos]
 
 
 def iter_index_handles_delta(block: bytes) -> Iterator[BlockHandle]:
@@ -204,16 +220,22 @@ def iter_index_handles_delta(block: bytes) -> Iterator[BlockHandle]:
         yield prev
 
 
+_U64_FROM = struct.Struct("<Q").unpack_from
+
+
 def parse_internal_key(ikey: bytes) -> tuple[bytes, int, int]:
     """internal key = user_key + fixed64 LE (seq << 8 | type)."""
     if len(ikey) < 8:
         raise ValueError("internal key shorter than 8-byte trailer")
-    (trailer,) = struct.unpack("<Q", ikey[-8:])
+    (trailer,) = _U64_FROM(ikey, len(ikey) - 8)
     return ikey[:-8], trailer >> 8, trailer & 0xFF
 
 
+_U64_PACK = struct.Struct("<Q").pack
+
+
 def make_internal_key(user_key: bytes, seq: int, vtype: int) -> bytes:
-    return user_key + struct.pack("<Q", (seq << 8) | vtype)
+    return user_key + _U64_PACK((seq << 8) | vtype)
 
 
 class SstReader:
@@ -448,10 +470,13 @@ class SstReader:
         """All (user_key, seq, vtype, value) in the table, file order. The
         index block's KEYS are separators we don't need; only its VALUES
         (data-block handles) are used — every data block is walked."""
+        unpack_trailer = _U64_FROM  # one C call per entry, no per-call lookup
         for handle in self.iter_data_handles():
             for ikey, value in iter_block_entries(self.read_block(handle)):
-                user_key, seq, vtype = parse_internal_key(ikey)
-                yield user_key, seq, vtype, value
+                if len(ikey) < 8:
+                    raise ValueError("internal key shorter than 8-byte trailer")
+                (trailer,) = unpack_trailer(ikey, len(ikey) - 8)
+                yield ikey[:-8], trailer >> 8, trailer & 0xFF, value
 
 
 # ---------------------------------------------------------------------------
@@ -470,17 +495,46 @@ class _BlockBuilder:
     def add(self, key: bytes, value: bytes) -> None:
         shared = 0
         if self.counter < self.restart_interval:
-            m = min(len(key), len(self.last_key))
-            while shared < m and key[shared] == self.last_key[shared]:
-                shared += 1
+            last = self.last_key
+            m = min(len(key), len(last))
+            # C-speed slice equality instead of a per-byte Python loop:
+            # whole-prefix hit is one compare (the common case for
+            # fixed-width sorted keys); otherwise binary-search the
+            # mismatch point in O(log m) slice compares
+            if key[:m] == last[:m]:
+                shared = m
+            else:
+                lo, hi = 0, m - 1
+                while lo < hi:
+                    mid = (lo + hi + 1) >> 1
+                    if key[:mid] == last[:mid]:
+                        lo = mid
+                    else:
+                        hi = mid - 1
+                shared = lo
         else:
             self.restarts.append(len(self.buf))
             self.counter = 0
-        self.buf += _write_uvarint(shared)
-        self.buf += _write_uvarint(len(key) - shared)
-        self.buf += _write_uvarint(len(value))
-        self.buf += key[shared:]
-        self.buf += value
+        buf = self.buf
+        non_shared = len(key) - shared
+        value_len = len(value)
+        # inline 1-byte varints (the overwhelmingly common case); the
+        # encoder keeps byte-identical output for the rest
+        buf += (
+            bytes((shared,)) if shared < 0x80 else _write_uvarint(shared)
+        )
+        buf += (
+            bytes((non_shared,))
+            if non_shared < 0x80
+            else _write_uvarint(non_shared)
+        )
+        buf += (
+            bytes((value_len,))
+            if value_len < 0x80
+            else _write_uvarint(value_len)
+        )
+        buf += key[shared:]
+        buf += value
         self.counter += 1
         self.last_key = key
 
@@ -528,6 +582,9 @@ class SstWriter:
         self._data = _BlockBuilder()
         self._index_entries: list[tuple[bytes, BlockHandle]] = []
         self._last_ikey = b""
+        self._last_user = b""
+        self._last_seq = 0
+        self._pending: list[bytes] = []
         self._num_entries = 0
         self._raw_key_size = 0
         self._raw_value_size = 0
@@ -537,16 +594,18 @@ class SstWriter:
         self._closed = False
 
     def add(self, user_key: bytes, seq: int, vtype: int, value: bytes) -> None:
-        ikey = make_internal_key(user_key, seq, vtype)
-        prev_user, prev_seq, _ = (
-            parse_internal_key(self._last_ikey) if self._last_ikey else (b"", None, None)
-        )
+        ikey = user_key + _U64_PACK((seq << 8) | vtype)
+        # ordering guard against CACHED previous components (re-parsing
+        # the last internal key per add was the writer's hottest line)
         if self._last_ikey and (
-            user_key < prev_user or (user_key == prev_user and seq >= prev_seq)
+            user_key < self._last_user
+            or (user_key == self._last_user and seq >= self._last_seq)
         ):
             raise ValueError("entries must be sorted by (user_key asc, seq desc)")
         self._data.add(ikey, value)
         self._last_ikey = ikey
+        self._last_user = user_key
+        self._last_seq = seq
         self._num_entries += 1
         # raw sizes are over INTERNAL keys (user key + 8-byte trailer);
         # deletion counts feed compaction's compensated-size math, which
@@ -585,14 +644,30 @@ class SstWriter:
             content, ctype = comp, compression
         else:
             ctype = NO_COMPRESSION
+        # the handle depends only on sizes, so the block can be QUEUED and
+        # its trailer checksum computed in a numpy BATCH at flush time
+        # (crc32c_batch) — checksumming was ~half of write cost scalar.
+        # Output bytes and ordering are identical to immediate writes;
+        # memory is bounded by _CHECKSUM_BATCH blocks (~1 MB at the 4 KB
+        # default block size).
         handle = BlockHandle(self._offset, len(content))
-        trailer = bytes([ctype]) + struct.pack(
-            "<I", crc32c.mask(crc32c.crc32c(content + bytes([ctype])))
-        )
-        self._f.write(content)
-        self._f.write(trailer)
+        self._pending.append(content + bytes([ctype]))
         self._offset += len(content) + 5
+        if len(self._pending) >= self._CHECKSUM_BATCH:
+            self._flush_pending()
         return handle
+
+    _CHECKSUM_BATCH = 1024  # ~4 MB of queued 4 KB blocks
+
+    def _flush_pending(self) -> None:
+        if not self._pending:
+            return
+        crcs = crc32c.crc32c_batch(self._pending)
+        write = self._f.write
+        for blob, cv in zip(self._pending, crcs):
+            write(blob)  # content + 1-byte compression type
+            write(struct.pack("<I", crc32c.mask(cv)))
+        self._pending.clear()
 
     def _flush_data_block(self) -> None:
         if not self._data.buf:
@@ -651,6 +726,7 @@ class SstWriter:
         meta.add(PROP_BLOCK_KEY, props_handle.encode())
         metaindex_handle = self._write_block(meta.finish(), NO_COMPRESSION)
         index_handle = self._write_index()
+        self._flush_pending()  # drain queued blocks before the footer
         # footer: [checksum type][handles padded to 40][version][magic]
         handles = metaindex_handle.encode() + index_handle.encode()
         footer = bytes([1]) + handles + b"\x00" * (40 - len(handles))
