@@ -136,21 +136,29 @@ _METHOD_RAW = 0x10
 _METHOD_LZ4 = 0x20
 
 
-def encode_stream(payload: bytes, block_size: int = 32 * 1024) -> bytes:
+def encode_stream(
+    payload: bytes, block_size: int = 32 * 1024, *, _compress=None
+) -> bytes:
     """Frame ``payload`` as an lz4-java ``LZ4BlockOutputStream`` stream —
     the layout Spark's state-store files use under the default
     ``spark.sql.streaming.stateStore.compression.codec=lz4``. Per block:
     magic, token (method | log2(blockSize)-10), compressedLen,
     originalLen, XXH32(seed 0x9747b28c) of the original bytes (all LE
     ints), then the block; terminated by an empty RAW block. lz4-java's
-    reader verifies the checksum, so it must be bit-exact."""
+    reader verifies the checksum, so it must be bit-exact.
+
+    ``_compress`` is the codecs/fastpath.py injection point for the raw
+    block compressor (the checksum covers the ORIGINAL bytes, so any
+    valid LZ4 block encoder yields a stream lz4-java accepts — pinned by
+    decoding with the real LZ4BlockInputStream in test_spark_state)."""
+    block_compress = _compress or compress_block
     level = max((block_size - 1).bit_length() - 10, 0)
     token_raw = _METHOD_RAW | level
     token_lz4 = _METHOD_LZ4 | level
     out = bytearray()
     for i in range(0, len(payload), block_size):
         chunk = payload[i : i + block_size]
-        comp = compress_block(chunk)
+        comp = block_compress(chunk)
         # lz4-java keeps only the low 28 bits of the hash
         check = xxh32(chunk, _LZ4_JAVA_SEED) & 0xFFFFFFF
         if len(comp) >= len(chunk):

@@ -127,13 +127,27 @@ _CHUNK_UNCOMPRESSED = 0x01
 _MAX_UNCOMPRESSED_CHUNK = 65536
 
 
-def frame_compress(data: bytes) -> bytes:
-    """Whole-buffer framed compression (stream identifier + data chunks)."""
+def frame_compress(data: bytes, *, _compress=None, _crc_batch=None) -> bytes:
+    """Whole-buffer framed compression (stream identifier + data chunks).
+
+    ``_compress`` / ``_crc_batch`` let codecs/fastpath.py swap in the
+    native chunk compressor and the numpy-batched CRC while this module
+    keeps sole ownership of the FRAMING layout (the part pinned against
+    org.xerial streams in tests/test_snappy.py)."""
+    chunk_compress = _compress or compress
+    chunks = [
+        data[pos : pos + _MAX_UNCOMPRESSED_CHUNK]
+        for pos in range(0, len(data), _MAX_UNCOMPRESSED_CHUNK)
+    ]
+    crcs = (
+        _crc_batch(chunks)
+        if _crc_batch is not None
+        else [crc32c.crc32c(c) for c in chunks]
+    )
     out = bytearray(STREAM_IDENTIFIER)
-    for pos in range(0, len(data), _MAX_UNCOMPRESSED_CHUNK):
-        chunk = data[pos : pos + _MAX_UNCOMPRESSED_CHUNK]
-        crc = crc32c.mask(crc32c.crc32c(chunk))
-        comp = compress(chunk)
+    for chunk, crc in zip(chunks, crcs):
+        crc = crc32c.mask(crc)
+        comp = chunk_compress(chunk)
         if len(comp) < len(chunk):
             body = struct.pack("<I", crc) + comp
             ctype = _CHUNK_COMPRESSED
@@ -146,10 +160,18 @@ def frame_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
-def frame_decompress(data: bytes) -> bytes:
-    """Whole-buffer framed decompression; verifies chunk CRCs."""
+def frame_decompress(data: bytes, *, _decompress=None, _crc_batch=None) -> bytes:
+    """Whole-buffer framed decompression; verifies chunk CRCs.
+
+    ``_decompress`` / ``_crc_batch`` are fastpath injection points, same
+    contract as :func:`frame_compress` — parsing, error behavior, and the
+    verify-every-chunk guarantee are identical on both paths (CRCs are
+    checked after all chunks decode when batching; a mismatch still
+    raises before any byte is returned)."""
+    chunk_decompress = _decompress or decompress
     pos = 0
-    out = bytearray()
+    chunks: list[bytes] = []
+    stored_crcs: list[int] = []
     while pos < len(data):
         ctype = data[pos]
         length = int.from_bytes(data[pos + 1 : pos + 4], "little")
@@ -163,11 +185,18 @@ def frame_decompress(data: bytes) -> bytes:
             (crc,) = struct.unpack("<I", body[:4])
             chunk = body[4:]
             if ctype == _CHUNK_COMPRESSED:
-                chunk = decompress(chunk)
-            if crc32c.mask(crc32c.crc32c(chunk)) != crc:
-                raise ValueError("snappy frame CRC mismatch")
-            out += chunk
+                chunk = chunk_decompress(chunk)
+            chunks.append(chunk)
+            stored_crcs.append(crc)
         elif 0x02 <= ctype <= 0x7F:  # unskippable reserved
             raise ValueError(f"unskippable snappy chunk type {ctype:#x}")
         # 0x80..0xFE: skippable — ignore
-    return bytes(out)
+    actual = (
+        _crc_batch(chunks)
+        if _crc_batch is not None
+        else [crc32c.crc32c(c) for c in chunks]
+    )
+    for stored, a in zip(stored_crcs, actual):
+        if crc32c.mask(a) != stored:
+            raise ValueError("snappy frame CRC mismatch")
+    return b"".join(chunks)

@@ -55,16 +55,19 @@ METADATA_FILE = "_bravo_metadata"
 def _frame_compress(buf: bytes) -> bytes:
     """Per-key-group Snappy compression (StateMetadataUtils.java:142-146 /
     RocksDBSavepointWriter.java:71-72 analog): sections are framed-Snappy
-    streams. Uses the C binding when present, else the pure-Python codec
-    (codecs/snappy.py) — same wire format either way."""
+    streams. Dispatch order: the python-snappy C binding if installed,
+    else codecs/fastpath.py (pyarrow's libsnappy chunks + numpy-batched
+    chunk CRCs inside our framing writer), else the pure-Python codec —
+    same wire format all three ways (pinned against org.xerial framed
+    streams in tests/test_snappy.py)."""
     try:
         import snappy  # type: ignore
 
         return snappy.StreamCompressor().compress(buf)
     except ImportError:
-        from bravo_spark.codecs import snappy as psnappy
+        from bravo_spark.codecs import fastpath
 
-        return psnappy.frame_compress(buf)
+        return fastpath.frame_compress(buf)
 
 
 def _frame_decompress(buf: bytes) -> bytes:
@@ -73,9 +76,9 @@ def _frame_decompress(buf: bytes) -> bytes:
 
         return snappy.StreamDecompressor().decompress(buf)
     except ImportError:
-        from bravo_spark.codecs import snappy as psnappy
+        from bravo_spark.codecs import fastpath
 
-        return psnappy.frame_decompress(buf)
+        return fastpath.frame_decompress(buf)
 
 
 @dataclass

@@ -48,8 +48,7 @@ from pyspark.sql import types as T
 
 import time
 
-from bravo_spark.codecs import lz4 as plz4
-from bravo_spark.codecs import snappy as psnappy
+from bravo_spark.codecs import fastpath
 from bravo_spark.codecs.crc32c import crc32c
 
 SNAPPY_MAGIC = b"\x82SNAPPY\x00"
@@ -66,7 +65,7 @@ _SUPPORTED = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
 # ---------------------------------------------------------------------------
 
 
-_lz4_block_decompress = plz4.decompress_block  # shared raw-block decoder
+_lz4_block_decompress = fastpath.lz4_decompress_block  # shared raw-block decoder
 
 
 def decode_stream(raw: bytes) -> bytes:
@@ -76,7 +75,7 @@ def decode_stream(raw: bytes) -> bytes:
         while pos < len(raw):
             (blen,) = struct.unpack(">I", raw[pos : pos + 4])
             pos += 4
-            out += psnappy.decompress(raw[pos : pos + blen])
+            out += fastpath.snappy_decompress(raw[pos : pos + blen])
             pos += blen
         return bytes(out)
     if raw[:8] == LZ4_MAGIC:
@@ -102,9 +101,9 @@ def decode_stream(raw: bytes) -> bytes:
                 raise ValueError(f"unknown LZ4Block method 0x{method:02x}")
         return bytes(out)
     if raw[:4] == ZSTD_FRAME_MAGIC:
-        from bravo_spark.codecs import zstd as pzstd
-
-        return pzstd.decompress(raw)
+        # content size is absent from streaming-written frame headers, so
+        # this takes the stream decoder (native via pyarrow, else pure)
+        return fastpath.zstd_decompress_stream(raw)
     raise ValueError(
         "unrecognized state-file framing (supported: xerial snappy, "
         "lz4-java block, zstd frames; lzf is not)"
@@ -115,7 +114,7 @@ def encode_stream_snappy(payload: bytes, block_size: int = 32 * 1024) -> bytes:
     out = bytearray(SNAPPY_MAGIC)
     out += struct.pack(">II", 1, 1)
     for i in range(0, len(payload), block_size):
-        comp = psnappy.compress(payload[i : i + block_size])
+        comp = fastpath.snappy_compress(payload[i : i + block_size])
         out += struct.pack(">I", len(comp))
         out += comp
     return bytes(out)
@@ -132,13 +131,16 @@ def encode_stream_like(original: bytes | None, payload: bytes) -> bytes:
     if original is not None and original[:8] == SNAPPY_MAGIC:
         return encode_stream_snappy(payload)
     if original is not None and original[:4] == ZSTD_FRAME_MAGIC:
-        raise ValueError(
-            "cannot rewrite a zstd-compressed state file: this module "
-            "decodes zstd (codecs/zstd.py) but ships no encoder; rerun "
-            "the query with codec lz4 or snappy to make its state "
-            "rewritable"
-        )
-    return plz4.encode_stream(payload)
+        if not fastpath.available:
+            raise ValueError(
+                "cannot rewrite a zstd-compressed state file: the pure "
+                "zstd codec is decode-only and pyarrow (whose libzstd "
+                "provides the encoder) is unavailable; rerun the query "
+                "with codec lz4 or snappy to make its state rewritable"
+            )
+        # Spark's ZSTDCompressionCodec reads any standard frame
+        return fastpath.zstd_compress(payload)
+    return fastpath.lz4_java_encode_stream(payload)
 
 
 # ---------------------------------------------------------------------------

@@ -20,12 +20,13 @@ semantics across SSTs (shadowing by sequence number, tombstones, merge
 operands) are applied DISTRIBUTIVELY in sources/checkpoint.py, not here.
 
 The writer produces structurally faithful tables (restart intervals,
-properties/metaindex/index blocks, real block-trailer CRC32Cs, optional
-raw-Snappy block compression, correct footer magic): golden-vector tests
-parse hand-built files, and the checkpoint_roundtrip query reads multi-SST
-fixtures with shadowing/tombstones/merges. Byte-validation against a
-native-RocksDB-produced file is not possible in this container and is
-called out in COVERAGE.md.
+properties/metaindex/index blocks, real block-trailer CRC32Cs, block
+compression via codecs/fastpath.py, correct footer magic): golden-vector
+tests parse hand-built files, and the checkpoint_roundtrip query reads
+multi-SST fixtures with shadowing/tombstones/merges. Both directions are
+cross-validated against REAL RocksDB (rocksdbjni ships inside Spark):
+tests/test_rocksdb_native.py reads native-written files byte-exactly and
+has native RocksDB verify + iterate our writer's output.
 
 Value types (rocksdb/db/dbformat.h): 0 deletion, 1 value, 2 merge,
 7 single-deletion.
@@ -38,8 +39,7 @@ from dataclasses import dataclass
 from typing import Iterator
 
 from bravo_spark.codecs import crc32c
-from bravo_spark.codecs import lz4 as plz4
-from bravo_spark.codecs import snappy as psnappy
+from bravo_spark.codecs import fastpath
 from bravo_spark.codecs import xxh
 
 # rocksdb/table/format.cc
@@ -55,8 +55,9 @@ LZ4_COMPRESSION = 4
 LZ4HC_COMPRESSION = 5  # same block format as LZ4; HC is an encoder choice
 ZSTD_COMPRESSION = 7  # varint32 decompressed size + zstd frame (always —
 # kZSTD postdates compress_format_version 2, util/compression.h)
-# present in the format but no codec ships in this container — read_block
-# raises naming the algorithm so the gap is explicit, not a corrupt-file error
+# xpress (Windows-only) has no codec anywhere in this environment —
+# read_block raises naming the algorithm so the gap is explicit, not a
+# corrupt-file error
 _UNSUPPORTED_COMPRESSION = {6: "xpress"}
 
 # rocksdb/include/rocksdb/table.h BlockBasedTableOptions::IndexType
@@ -345,7 +346,7 @@ class SstReader:
         if compression == NO_COMPRESSION:
             return raw
         if compression == SNAPPY_COMPRESSION:
-            return psnappy.decompress(raw)
+            return fastpath.snappy_decompress(raw)
         if compression == ZLIB_COMPRESSION:
             import zlib
 
@@ -375,8 +376,11 @@ class SstReader:
             else:
                 (size,) = struct.unpack("<Q", raw[:8])
                 pos = 8
-            return plz4.decompress_block(raw[pos:], size)
+            return fastpath.lz4_decompress_block(raw[pos:], size)
         if compression == ZSTD_COMPRESSION:
+            if fastpath.available:
+                size, pos = _read_uvarint(raw, 0)
+                return fastpath.zstd_decompress(raw[pos:], size)
             from bravo_spark.codecs import zstd as pzstd
 
             return _sized_decompress(raw, pzstd.decompress)
@@ -623,7 +627,7 @@ class SstWriter:
 
     def _write_block(self, content: bytes, compression: int) -> BlockHandle:
         if compression == SNAPPY_COMPRESSION:
-            comp = psnappy.compress(content)
+            comp = fastpath.snappy_compress(content)
         elif compression == ZLIB_COMPRESSION:
             import zlib
 
@@ -634,7 +638,16 @@ class SstWriter:
 
             comp = _write_uvarint(len(content)) + bz2.compress(content)
         elif compression in (LZ4_COMPRESSION, LZ4HC_COMPRESSION):
-            comp = _write_uvarint(len(content)) + plz4.compress_block(content)
+            comp = _write_uvarint(len(content)) + fastpath.lz4_compress_block(
+                content
+            )
+        elif compression == ZSTD_COMPRESSION:
+            # write support exists only through the native codec (the
+            # pure zstd implementation is decode-only); fastpath raises
+            # a named error when pyarrow is unavailable
+            comp = _write_uvarint(len(content)) + fastpath.zstd_compress(
+                content
+            )
         elif compression == NO_COMPRESSION:
             comp = None
         else:

@@ -65,11 +65,22 @@ def test_schema_guard_rejects_nested():
 
 
 def test_lz4_block_roundtrip_against_reference_vectors():
-    # literals-only block: token 0x30, 3 literal bytes
+    """Format vectors for the PURE block decoder (codecs/lz4.py). The
+    second vector is deliberately lenient-only: its final sequence ends
+    in a match, which the LZ4 spec forbids for well-formed blocks and
+    liblz4 (the fastpath decoder behind ss._lz4_block_decompress)
+    rejects — real compressors never emit it, so the production path
+    only needs spec-conforming blocks (covered by test_fastpath's
+    cross-decoding) plus the strict literals-only vector below."""
+    from bravo_spark.codecs import lz4 as plz4
+
+    # literals-only block: token 0x30, 3 literal bytes — spec-strict,
+    # both decoders accept it
     assert ss._lz4_block_decompress(b"\x30abc", 3) == b"abc"
+    assert plz4.decompress_block(b"\x30abc", 3) == b"abc"
     # overlap copy (RLE): literal 'a' then match offset 1 len 8 -> 'a'*9
     blk = b"\x14a\x01\x00\x00"
-    assert ss._lz4_block_decompress(blk, 9) == b"a" * 9
+    assert plz4.decompress_block(blk, 9) == b"a" * 9
 
 
 def test_lz4_java_framing_raw_blocks():
