@@ -570,9 +570,16 @@ class SstWriter:
         merge_operator: str | None = "StringAppendOperator",
         index_type: int = INDEX_BINARY_SEARCH,
         index_partition_entries: int = 64,
+        checksum_type: int = 1,
     ):
         if index_type not in (INDEX_BINARY_SEARCH, INDEX_TWO_LEVEL):
             raise ValueError("index_type must be INDEX_BINARY_SEARCH or INDEX_TWO_LEVEL")
+        if checksum_type not in (1, 2, 3, 4):
+            raise ValueError(
+                "checksum_type must be 1 (crc32c), 2 (xxhash32), "
+                "3 (xxhash64) or 4 (XXH3)"
+            )
+        self.checksum_type = checksum_type
         self.path = path
         self.cf_name = column_family
         self.cf_id = column_family_id
@@ -675,11 +682,25 @@ class SstWriter:
     def _flush_pending(self) -> None:
         if not self._pending:
             return
-        crcs = crc32c.crc32c_batch(self._pending)
+        ct = self.checksum_type
+        if ct == 1:  # kCRC32c — numpy-batched, then RocksDB-masked
+            sums = [crc32c.mask(c) for c in crc32c.crc32c_batch(self._pending)]
+        elif ct == 2:  # kxxHash: covers content + type byte, unmasked
+            sums = [xxh.xxh32(blob) for blob in self._pending]
+        elif ct == 3:  # kxxHash64, low 32 bits
+            sums = [xxh.xxh64(blob) & 0xFFFFFFFF for blob in self._pending]
+        else:  # kXXH3: hash EXCLUDES the type byte, folded in afterwards
+            # via ModifyChecksumForLastByte (see read_block's verifier,
+            # cross-validated against rocksdbjni-written kXXH3 files)
+            sums = [
+                (xxh.xxh3_64(blob[:-1]) ^ (blob[-1] * 0x6B9083D9))
+                & 0xFFFFFFFF
+                for blob in self._pending
+            ]
         write = self._f.write
-        for blob, cv in zip(self._pending, crcs):
+        for blob, cv in zip(self._pending, sums):
             write(blob)  # content + 1-byte compression type
-            write(struct.pack("<I", crc32c.mask(cv)))
+            write(struct.pack("<I", cv))
         self._pending.clear()
 
     def _flush_data_block(self) -> None:
@@ -742,7 +763,9 @@ class SstWriter:
         self._flush_pending()  # drain queued blocks before the footer
         # footer: [checksum type][handles padded to 40][version][magic]
         handles = metaindex_handle.encode() + index_handle.encode()
-        footer = bytes([1]) + handles + b"\x00" * (40 - len(handles))
+        footer = (
+            bytes([self.checksum_type]) + handles + b"\x00" * (40 - len(handles))
+        )
         footer += struct.pack("<I", 2)
         footer += struct.pack("<Q", BLOCK_BASED_MAGIC)
         assert len(footer) == _FOOTER_NEW

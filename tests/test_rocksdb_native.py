@@ -266,3 +266,38 @@ def test_live_rocksdb_flush_seqnos_and_tombstones(jvm, tmp_path):
     assert by_key[b"alpha"][1:] == (sstmod.TYPE_VALUE, b"v1-new")
     assert by_key[b"beta"][1] == sstmod.TYPE_DELETION
     assert by_key[b"gamma"][1:] == (sstmod.TYPE_VALUE, b"v3")
+
+
+def test_our_writer_checksum_types_verified_by_native_reader(jvm, tmp_path):
+    """SstWriter's checksum_type option (r13): files we declare as
+    kCRC32c / kxxHash / kxxHash64 / kXXH3 must pass REAL RocksDB's
+    verifyChecksum() and iterate identically — the write-side twin of
+    test_native_checksum_types_verified. (RocksDB reads honor the
+    footer-declared type independent of footer version, so a
+    version-2 footer with kXXH3 is legal for readers even though
+    RocksDB's own writer would pick a newer format_version.)"""
+    entries = _entries(500)
+    for ct_id, ct_name in [
+        (1, "kCRC32c"), (2, "kxxHash"), (3, "kxxHash64"), (4, "kXXH3"),
+    ]:
+        path = str(tmp_path / f"ours_ct{ct_id}.sst")
+        w = sstmod.SstWriter(
+            path, compression=sstmod.SNAPPY_COMPRESSION, checksum_type=ct_id
+        )
+        for k, v in entries:
+            w.add(k, 0, sstmod.TYPE_VALUE, v)
+        w.finish()
+
+        opts = jvm.org.rocksdb.Options()
+        r = jvm.org.rocksdb.SstFileReader(opts)
+        r.open(path)
+        r.verifyChecksum()
+        ro = jvm.org.rocksdb.ReadOptions()
+        ro.setVerifyChecksums(True)
+        it = r.newIterator(ro)
+        it.seekToFirst()
+        got = []
+        while it.isValid():
+            got.append((bytes(it.key()), bytes(it.value())))
+            it.next()
+        assert got == entries, f"{ct_name}: native reader saw different entries"
