@@ -561,3 +561,75 @@ def test_rescale_and_pagerank_no_pathological_joins(plans):
         p = plans(name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+# --- r13 rotation INs: the newly gated queries keep their scale shapes ---
+# (checkpoint_rewind / streaming_static_join / kmeans_lloyd_centroids are
+# excluded by design: their query fns EXECUTE streaming restarts or Lloyd
+# rounds as side effects, so "the plan" is just the final tiny readback —
+# their scale posture is documented in their docstrings and proven by the
+# oracle + restart tests instead.)
+
+
+def test_retention_cohorts_broadcasts_cohort_table(plans):
+    """The per-user first-seen table rides back onto the fact scan as a
+    broadcast — a shuffle join here would double-shuffle the fact at
+    100 TB."""
+    p = plans("retention_cohorts")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_per_key_trend_is_single_shuffle_grouped_pandas(plans):
+    """applyInPandas = exactly one Exchange (the group-key shuffle) feeding
+    FlatMapGroupsInPandas; a second exchange would mean the OLS stage
+    re-partitioned needlessly."""
+    p = plans("per_key_trend")
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange") == 1
+
+
+def test_approx_sketch_accuracy_single_fact_scan(plans):
+    """Exact + approximate aggregates (HLL, t-digest) compute in ONE pass
+    over events — the point of sketches; a second scan or a join to
+    compare exact-vs-approx would defeat it."""
+    p = plans("approx_sketch_accuracy")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+
+
+def test_text_normalize_and_redact_are_map_only_jvm(plans):
+    """NFKC-ish normalization and PII redaction are regexp/translate
+    chains: zero shuffles, zero Python workers — pure map-side JVM at any
+    scale."""
+    for name in ("text_normalize", "text_redact_pii"):
+        p = plans(name)
+        assert "Exchange" not in p, name
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_word_freq_topk_has_partial_agg_and_tiny_topk(plans):
+    """Two-phase vocabulary count: map-side partial aggregation before the
+    word shuffle (the 100 TB lever — combiners collapse per-partition
+    duplicates), then the global top-k runs on the tiny counted relation
+    (one more exchange), never on raw tokens."""
+    p = plans("word_freq_topk")
+    assert "partial_count" in p or "partial count" in p.lower()
+    assert p.count("Exchange") <= 3  # word shuffle + single-partition topk
+    assert "BatchEvalPython" not in p
+
+
+def test_doc_embedding_join_is_hash_equi_join(plans):
+    """The cross-modal id join must stay a hash equi-join (broadcast at
+    fixture scale, bucketed/co-located at 100 TB) — never a nested-loop."""
+    p = plans("doc_embedding_join")
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_embedding_norms_is_map_only_jvm(plans):
+    """L2 norms via F.aggregate over the vector column: no shuffle, no
+    Python — the norm of 10^9 embeddings is a pure scan."""
+    p = plans("embedding_norms")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
