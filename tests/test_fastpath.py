@@ -152,3 +152,51 @@ def test_sst_zstd_write_roundtrip(tmp_path):
     r = sstmod.SstReader(path, verify_checksums=True)
     got = [(k, s, t, v) for k, s, t, v in r.iter_entries()]
     assert got == entries
+
+
+# --- property fuzz: fast and pure implementations are interchangeable ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _blob = st.binary(min_size=0, max_size=70_000)
+
+    @given(_blob)
+    @settings(max_examples=60, deadline=None)
+    def test_prop_snappy_interchangeable(data):
+        assert psnappy.decompress(fastpath.snappy_compress(data)) == data
+        assert fastpath.snappy_decompress(psnappy.compress(data)) == data
+
+    @given(_blob)
+    @settings(max_examples=60, deadline=None)
+    def test_prop_lz4_interchangeable(data):
+        assert (
+            plz4.decompress_block(fastpath.lz4_compress_block(data), len(data))
+            == data
+        )
+        assert (
+            fastpath.lz4_decompress_block(plz4.compress_block(data), len(data))
+            == data
+        )
+
+    @given(_blob)
+    @settings(max_examples=40, deadline=None)
+    def test_prop_zstd_pure_decodes_native(data):
+        assert pzstd.decompress(fastpath.zstd_compress(data)) == data
+
+    @given(_blob)
+    @settings(max_examples=40, deadline=None)
+    def test_prop_snappy_framing_interchangeable(data):
+        assert psnappy.frame_decompress(fastpath.frame_compress(data)) == data
+        assert fastpath.frame_decompress(psnappy.frame_compress(data)) == data
+
+    @given(st.lists(st.binary(min_size=0, max_size=5000), max_size=40))
+    @settings(max_examples=40, deadline=None)
+    def test_prop_crc32c_batch_matches_scalar(blobs):
+        from bravo_spark.codecs.crc32c import crc32c, crc32c_batch
+
+        assert crc32c_batch(blobs) == [crc32c(b) for b in blobs]
+
+except ImportError:  # hypothesis is baked into this container; belt+braces
+    pass
