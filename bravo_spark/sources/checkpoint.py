@@ -245,6 +245,7 @@ def write_incremental_checkpoint(
     max_parallelism: int,
     parallelism: int,
     state_ids: dict[str, int] | None = None,
+    compression: int = sstmod.SNAPPY_COMPRESSION,
 ) -> dict:
     """The write half of S4 — one step beyond the reference, which only
     writes FULL savepoints (writer/OperatorStateWriter.java:225-283) and
@@ -311,7 +312,9 @@ def write_incremental_checkpoint(
         out = []
         for op, families in by_op.items():
             dbdir = os.path.join(path, f"op-{op}")
-            sizes = build_db_dir_multi_cf(dbdir, families, cf_ids=cf_ids)
+            sizes = build_db_dir_multi_cf(
+                dbdir, families, cf_ids=cf_ids, compression=compression
+            )
             out.append(
                 pd.DataFrame(
                     {"op_index": [op], "files": [_json.dumps(sizes)]}

@@ -147,6 +147,7 @@ def build_db_dir_multi_cf(
     cf_ids: dict[str, int] | None = None,
     manifest_number: int = 1,
     wal_number: int = 2,
+    compression: int = sstmod.SNAPPY_COMPRESSION,
 ) -> dict[str, int]:
     """Create an openable RocksDB directory with one column family (and
     one L0 SST) per entry of ``families``: {cf_name: [(user_key, seq,
@@ -160,7 +161,12 @@ def build_db_dir_multi_cf(
     kColumnFamilyAdd edit followed by a CF-scoped edit registering its
     SST — the same record sequence a live RocksDB emits for
     CreateColumnFamily + flush. Real rocksdbjni must open the result
-    (tests cross-validate, incl. listColumnFamilies)."""
+    (tests cross-validate, incl. listColumnFamilies).
+
+    ``compression`` defaults to snappy — RocksDB's own production default
+    — now that block compression is real and cheap (codecs/fastpath.py);
+    pass ``sstmod.NO_COMPRESSION`` / ``ZSTD_COMPRESSION`` to match a
+    target cluster's column-family options."""
     os.makedirs(path, exist_ok=True)
     names = sorted(families)
     ids = dict(cf_ids or {n: i + 1 for i, n in enumerate(names)})
@@ -178,7 +184,8 @@ def build_db_dir_multi_cf(
         sst_name = f"{fno:06d}.sst"
         sst_path = os.path.join(path, sst_name)
         with sstmod.SstWriter(
-            sst_path, column_family=name, column_family_id=ids[name]
+            sst_path, column_family=name, column_family_id=ids[name],
+            compression=compression,
         ) as w:
             for ukey, seq, vtype, value in rows:
                 w.add(ukey, seq, vtype, value)
