@@ -30,6 +30,16 @@ def crc32c(data: bytes, crc: int = 0) -> int:
 _TABLE_NP = None  # lazily-built numpy mirror of _TABLE
 
 
+# blobs longer than this are checksummed scalar even inside a batch: the
+# vectorized path pads every message to the longest one (maxlen x n bytes
+# of matrix + maxlen loop iterations), so one multi-MB outlier — e.g. the
+# monolithic index block an SstWriter flushes at finish() alongside its
+# leftover 4 KB data blocks — would cost GBs of padding and run far
+# SLOWER than the plain loop. 64 KiB keeps the matrix within a few MB at
+# the 1024-block writer batch while covering every realistic data block.
+_BATCH_MAX_LEN = 65536
+
+
 def crc32c_batch(blobs: list[bytes]) -> list[int]:
     """CRC-32C of MANY byte strings at once. The per-byte recurrence is
     sequential WITHIN a message, but independent messages advance in
@@ -38,11 +48,23 @@ def crc32c_batch(blobs: list[bytes]) -> list[int]:
     loop at realistic SST block batches (measured in tools/bench_sst.py),
     which turns block-trailer checksumming from ~half of SST write cost
     into noise. Messages are sorted by length descending so finished rows
-    simply retire off the active prefix; results return in input order,
-    bit-identical to :func:`crc32c`."""
+    simply retire off the active prefix; oversized outliers (see
+    ``_BATCH_MAX_LEN``) take the scalar loop so one huge blob can't blow
+    up the padded matrix; results return in input order, bit-identical to
+    :func:`crc32c`."""
     n = len(blobs)
     if n < 8:  # numpy dispatch overhead beats the win on tiny batches
         return [crc32c(b) for b in blobs]
+    if any(len(b) > _BATCH_MAX_LEN for b in blobs):
+        small_idx = [i for i, b in enumerate(blobs) if len(b) <= _BATCH_MAX_LEN]
+        out = [0] * n
+        small_crcs = crc32c_batch([blobs[i] for i in small_idx])
+        for i, cv in zip(small_idx, small_crcs):
+            out[i] = cv
+        for i, b in enumerate(blobs):
+            if len(b) > _BATCH_MAX_LEN:
+                out[i] = crc32c(b)
+        return out
     import numpy as np
 
     global _TABLE_NP

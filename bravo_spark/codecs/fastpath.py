@@ -17,41 +17,45 @@ from per-byte Python to C throughput.
 
 from __future__ import annotations
 
+from bravo_spark.codecs.snappy import _read_uvarint
 
-def _load():
-    try:
-        import pyarrow as pa
-
-        return {
-            "snappy": pa.Codec("snappy"),
-            "lz4_raw": pa.Codec("lz4_raw"),
-            "zstd": pa.Codec("zstd"),
-        }
-    except Exception:  # pyarrow absent or built without a codec
-        return None
+_UNSET = object()
+_CODECS: dict | None | object = _UNSET  # lazily resolved on first use
 
 
-_CODECS = _load()
+def _codecs() -> dict | None:
+    """Resolve the native codec table on FIRST USE, not at import —
+    importing bravo_spark.sources.sst for an uncompressed read (or just
+    parse_internal_key) must not pay pyarrow's import cost. Tests may
+    monkeypatch ``_CODECS = None`` to force the pure branch."""
+    global _CODECS
+    if _CODECS is _UNSET:
+        try:
+            import pyarrow as pa
 
-available: bool = _CODECS is not None
+            _CODECS = {
+                "snappy": pa.Codec("snappy"),
+                "lz4_raw": pa.Codec("lz4_raw"),
+                "zstd": pa.Codec("zstd"),
+            }
+        except Exception:  # pyarrow absent or built without a codec
+            _CODECS = None
+    return _CODECS  # type: ignore[return-value]
 
 
-def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
-    result = shift = 0
-    while True:
-        b = buf[pos]
-        pos += 1
-        result |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return result, pos
-        shift += 7
+def __getattr__(name: str):
+    # keep the documented `fastpath.available` module attribute, computed
+    # lazily so reading it is what triggers the pyarrow load
+    if name == "available":
+        return _codecs() is not None
+    raise AttributeError(name)
 
 
 def snappy_compress(data: bytes) -> bytes:
     """Raw-snappy stream (varint preamble + stream), libsnappy-compressed
     when available (the pure fallback is always-valid literal-only)."""
-    if _CODECS is not None:
-        return bytes(_CODECS["snappy"].compress(data))
+    if _codecs() is not None:
+        return bytes(_codecs()["snappy"].compress(data))
     from bravo_spark.codecs import snappy as ps
 
     return ps.compress(data)
@@ -59,10 +63,10 @@ def snappy_compress(data: bytes) -> bytes:
 
 def snappy_decompress(stream: bytes) -> bytes:
     """Decode a raw-snappy stream (the declared size is in its preamble)."""
-    if _CODECS is not None:
+    if _codecs() is not None:
         size, _pos = _read_uvarint(stream, 0)
         try:
-            return bytes(_CODECS["snappy"].decompress(stream, size))
+            return bytes(_codecs()["snappy"].decompress(stream, size))
         except Exception as e:  # pyarrow raises OSError on corruption
             raise ValueError(f"corrupt snappy: {e}") from e
     from bravo_spark.codecs import snappy as ps
@@ -72,17 +76,17 @@ def snappy_decompress(stream: bytes) -> bytes:
 
 def lz4_compress_block(data: bytes) -> bytes:
     """Raw LZ4 block (no frame, no length header — RocksDB block shape)."""
-    if _CODECS is not None:
-        return bytes(_CODECS["lz4_raw"].compress(data))
+    if _codecs() is not None:
+        return bytes(_codecs()["lz4_raw"].compress(data))
     from bravo_spark.codecs import lz4 as plz4
 
     return plz4.compress_block(data)
 
 
 def lz4_decompress_block(block: bytes, dlen: int) -> bytes:
-    if _CODECS is not None:
+    if _codecs() is not None:
         try:
-            return bytes(_CODECS["lz4_raw"].decompress(block, dlen))
+            return bytes(_codecs()["lz4_raw"].decompress(block, dlen))
         except Exception as e:
             raise ValueError(f"corrupt lz4 block: {e}") from e
     from bravo_spark.codecs import lz4 as plz4
@@ -95,18 +99,18 @@ def zstd_compress(data: bytes) -> bytes:
     (the RFC 8878 implementation is decode-only), so this raises when
     pyarrow is unavailable — callers expose zstd WRITE paths only through
     here."""
-    if _CODECS is None:
+    if _codecs() is None:
         raise ValueError(
             "no zstd compressor in this environment (pyarrow unavailable; "
             "the pure-Python zstd codec is decode-only)"
         )
-    return bytes(_CODECS["zstd"].compress(data))
+    return bytes(_codecs()["zstd"].compress(data))
 
 
 def zstd_decompress(frame: bytes, dlen: int) -> bytes:
-    if _CODECS is not None:
+    if _codecs() is not None:
         try:
-            return bytes(_CODECS["zstd"].decompress(frame, dlen))
+            return bytes(_codecs()["zstd"].decompress(frame, dlen))
         except Exception as e:
             raise ValueError(f"corrupt zstd frame: {e}") from e
     from bravo_spark.codecs import zstd as pz
@@ -124,7 +128,7 @@ def zstd_decompress_stream(frame: bytes) -> bytes:
     (streaming writers often omit the header field — e.g. Spark's
     ZSTDCompressionCodec state files). Uses pyarrow's CompressedInputStream
     when available, else the pure RFC 8878 decoder."""
-    if _CODECS is not None:
+    if _codecs() is not None:
         import pyarrow as pa
 
         try:
@@ -143,7 +147,7 @@ def lz4_java_encode_stream(payload: bytes, block_size: int = 32 * 1024) -> bytes
     marker stay owned by codecs/lz4.py either way)."""
     from bravo_spark.codecs import lz4 as plz4
 
-    if _CODECS is None:
+    if _codecs() is None:
         return plz4.encode_stream(payload, block_size)
     return plz4.encode_stream(payload, block_size, _compress=lz4_compress_block)
 
@@ -155,7 +159,7 @@ def frame_compress(data: bytes) -> bytes:
     finds back-references the literal-only pure compressor doesn't)."""
     from bravo_spark.codecs import snappy as ps
 
-    if _CODECS is None:
+    if _codecs() is None:
         return ps.frame_compress(data)
     return ps.frame_compress(
         data, _compress=snappy_compress, _crc_batch=_crc_batch
@@ -165,7 +169,7 @@ def frame_compress(data: bytes) -> bytes:
 def frame_decompress(data: bytes) -> bytes:
     from bravo_spark.codecs import snappy as ps
 
-    if _CODECS is None:
+    if _codecs() is None:
         return ps.frame_decompress(data)
     return ps.frame_decompress(
         data, _decompress=snappy_decompress, _crc_batch=_crc_batch

@@ -164,14 +164,28 @@ def frame_decompress(data: bytes, *, _decompress=None, _crc_batch=None) -> bytes
     """Whole-buffer framed decompression; verifies chunk CRCs.
 
     ``_decompress`` / ``_crc_batch`` are fastpath injection points, same
-    contract as :func:`frame_compress` — parsing, error behavior, and the
-    verify-every-chunk guarantee are identical on both paths (CRCs are
-    checked after all chunks decode when batching; a mismatch still
-    raises before any byte is returned)."""
+    contract as :func:`frame_compress`. Verification stays INCREMENTAL on
+    both paths: the scalar path checks every chunk as it decodes (exactly
+    the pre-batching behavior), the batched path flushes a pending window
+    of at most ``_CRC_WINDOW`` chunks — and before any parse error — so a
+    corrupt early chunk raises "CRC mismatch" without first decoding a
+    multi-GB stream, and CRC errors still win over later parse errors."""
     chunk_decompress = _decompress or decompress
     pos = 0
-    chunks: list[bytes] = []
-    stored_crcs: list[int] = []
+    out: list[bytes] = []
+    pending: list[bytes] = []
+    pending_crcs: list[int] = []
+
+    def flush_pending() -> None:
+        if not pending:
+            return
+        for stored, a in zip(pending_crcs, _crc_batch(pending)):
+            if crc32c.mask(a) != stored:
+                raise ValueError("snappy frame CRC mismatch")
+        out.extend(pending)
+        pending.clear()
+        pending_crcs.clear()
+
     while pos < len(data):
         ctype = data[pos]
         length = int.from_bytes(data[pos + 1 : pos + 4], "little")
@@ -179,6 +193,7 @@ def frame_decompress(data: bytes, *, _decompress=None, _crc_batch=None) -> bytes
         pos += 4 + length
         if ctype == 0xFF:  # stream identifier
             if body != STREAM_IDENTIFIER[4:]:
+                flush_pending()  # earlier CRC corruption outranks this
                 raise ValueError("bad snappy stream identifier")
             continue
         if ctype in (_CHUNK_COMPRESSED, _CHUNK_UNCOMPRESSED):
@@ -186,17 +201,23 @@ def frame_decompress(data: bytes, *, _decompress=None, _crc_batch=None) -> bytes
             chunk = body[4:]
             if ctype == _CHUNK_COMPRESSED:
                 chunk = chunk_decompress(chunk)
-            chunks.append(chunk)
-            stored_crcs.append(crc)
+            if _crc_batch is None:
+                if crc32c.mask(crc32c.crc32c(chunk)) != crc:
+                    raise ValueError("snappy frame CRC mismatch")
+                out.append(chunk)
+            else:
+                pending.append(chunk)
+                pending_crcs.append(crc)
+                if len(pending) >= _CRC_WINDOW:
+                    flush_pending()
         elif 0x02 <= ctype <= 0x7F:  # unskippable reserved
+            flush_pending()  # earlier CRC corruption outranks this
             raise ValueError(f"unskippable snappy chunk type {ctype:#x}")
         # 0x80..0xFE: skippable — ignore
-    actual = (
-        _crc_batch(chunks)
-        if _crc_batch is not None
-        else [crc32c.crc32c(c) for c in chunks]
-    )
-    for stored, a in zip(stored_crcs, actual):
-        if crc32c.mask(a) != stored:
-            raise ValueError("snappy frame CRC mismatch")
-    return b"".join(chunks)
+    flush_pending()
+    return b"".join(out)
+
+
+# batched-CRC verification window for frame_decompress: 64 chunks × 64 KiB
+# = 4 MiB of decoded data held back at most before its CRCs are checked
+_CRC_WINDOW = 64

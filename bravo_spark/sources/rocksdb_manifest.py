@@ -246,6 +246,7 @@ def build_db_dir(
     manifest_number: int = 5,
     wal_number: int = 4,
     seq: int = 1,
+    compression: int = sstmod.SNAPPY_COMPRESSION,
 ) -> dict[str, int]:
     """Create a complete RocksDB DB directory at ``path`` whose single L0
     SST holds ``entries`` (sorted by user key, all at sequence ``seq``,
@@ -259,7 +260,7 @@ def build_db_dir(
     entries = sorted(entries)
     sst_name = f"{sst_file_number:06d}.sst"
     sst_path = os.path.join(path, sst_name)
-    w = sstmod.SstWriter(sst_path)
+    w = sstmod.SstWriter(sst_path, compression=compression)
     for k, v in entries:
         w.add(k, seq, sstmod.TYPE_VALUE, v)
     w.finish()

@@ -668,8 +668,11 @@ class SstWriter:
         # its trailer checksum computed in a numpy BATCH at flush time
         # (crc32c_batch) — checksumming was ~half of write cost scalar.
         # Output bytes and ordering are identical to immediate writes;
-        # memory is bounded by _CHECKSUM_BATCH blocks (~1 MB at the 4 KB
-        # default block size).
+        # memory is bounded by _CHECKSUM_BATCH blocks (~4 MB at the 4 KB
+        # default block size, plus whatever single oversized block — e.g.
+        # the monolithic index at finish() — is in flight; crc32c_batch
+        # routes such outliers to the scalar loop so they never inflate
+        # the vectorization matrix).
         handle = BlockHandle(self._offset, len(content))
         self._pending.append(content + bytes([ctype]))
         self._offset += len(content) + 5

@@ -117,8 +117,6 @@ def test_pure_fallback_branch(monkeypatch):
         plz4.decompress_block(fastpath.lz4_compress_block(data), len(data))
         == data
     )
-    frame = pzstd  # pure module present
-    native_frame = None
     import pyarrow as pa
 
     native_frame = bytes(pa.Codec("zstd").compress(data))
