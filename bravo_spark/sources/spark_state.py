@@ -22,7 +22,10 @@ On-disk format (sql/execution/streaming/state/HDFSBackedStateStoreProvider):
   valueLen -1 = tombstone (delta files only), keyLen -1 = EOF;
 - key/value bytes are UnsafeRow: 8-byte null-bit header word(s), 8-byte
   slots per field, var-length fields appended 8-byte-aligned with
-  (offset << 32 | size) in the slot;
+  (offset << 32 | size) in the slot — including NESTED array/map/struct
+  regions and decimals (r13), so applyInPandasWithState /
+  flatMapGroupsWithState state (stored as a struct value column wrapping
+  the user state schema) reads and rewrites like any aggregation state;
 - state at version N = greatest snapshot ≤ N + deltas up to N (we replay
   exactly that, applying tombstones);
 - per-partition ``_metadata/schema`` carries the key/value StructType
@@ -144,59 +147,284 @@ def encode_stream_like(original: bytes | None, payload: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# UnsafeRow codec (flat schemas)
+# UnsafeRow codec (flat + nested schemas)
 # ---------------------------------------------------------------------------
+# Format: org.apache.spark.sql.catalyst.expressions.UnsafeRow /
+# UnsafeArrayData / UnsafeMapData (all public Spark source). Rows: null-bit
+# words, one 8-byte slot per field (fixed value, or offset<<32|size into
+# the row's variable region, offsets RELATIVE TO THE ROW BASE). Arrays:
+# [8B numElements][null words][values: n * elementSize rounded up to 8]
+# [variable region], element offsets relative to the ARRAY base. Maps:
+# [8B key-array byte size][key UnsafeArrayData][value UnsafeArrayData].
+# Nested structs/arrays/maps are embedded regions with their own base.
+# Decimals: precision <= 18 is the unscaled long in the slot; wider is the
+# unscaled value's two's-complement bytes (java.math.BigInteger layout) in
+# the variable region. Cross-validated against bytes produced by Spark's
+# own UnsafeProjection and read back through JVM UnsafeRow getters
+# (tests/test_spark_state.py).
 
 
 def _check_schema(schema: T.StructType) -> None:
+    def ok(dt: T.DataType) -> bool:
+        if isinstance(dt, _SUPPORTED + (T.DateType,)):
+            return True
+        if isinstance(dt, T.DecimalType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return ok(dt.keyType) and ok(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return False
+
     for f in schema.fields:
-        if not isinstance(f.dataType, _SUPPORTED):
+        if not ok(f.dataType):
             raise ValueError(
                 f"UnsafeRow codec: unsupported field type {f.dataType} "
-                f"({f.name}); flat primitive/string/binary schemas only"
+                f"({f.name}); primitives/string/binary/decimal and "
+                f"array/map/struct compositions of them only"
             )
 
 
-def decode_unsafe_row(buf: bytes, schema: T.StructType) -> tuple:
+def _is_fixed(dt: T.DataType) -> bool:
+    if isinstance(dt, T.DecimalType):
+        return dt.precision <= 18
+    return isinstance(
+        dt,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.DoubleType,
+         T.FloatType, T.BooleanType, T.TimestampType, T.DateType),
+    )
+
+
+def _elem_size(dt: T.DataType) -> int:
+    """UnsafeArrayData element stride (UnsafeArrayData.calculateSizeOfUnderlyingByteArray)."""
+    if isinstance(dt, (T.BooleanType, T.ByteType)):
+        return 1
+    if isinstance(dt, T.ShortType):
+        return 2
+    if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+        return 4
+    return 8  # long/double/timestamp, decimal(<=18), and offset+size refs
+
+
+_EPOCH = None
+
+
+def _ts_decode(us: int):
+    import datetime as _dt
+
+    global _EPOCH
+    if _EPOCH is None:
+        _EPOCH = _dt.datetime(1970, 1, 1)
+    return _EPOCH + _dt.timedelta(microseconds=us)
+
+
+def _ts_encode(v) -> int:
+    import datetime as _dt
+
+    global _EPOCH
+    if _EPOCH is None:
+        _EPOCH = _dt.datetime(1970, 1, 1)
+    return int((v.replace(tzinfo=None) - _EPOCH).total_seconds() * 1_000_000)
+
+
+def _dec_unscaled(v, scale: int) -> int:
+    """Exact unscaled integer of a Decimal — a LOCAL high-precision context,
+    because the default context's 28 significant digits silently ROUNDS a
+    decimal(38,x) during scaleb (observed: ...56789 -> ...56790)."""
+    import decimal as _dec
+
+    with _dec.localcontext() as ctx:
+        ctx.prec = 100
+        return int(v.scaleb(scale).to_integral_value())
+
+
+def _dec_from_unscaled(unscaled: int, scale: int):
+    import decimal as _dec
+
+    with _dec.localcontext() as ctx:
+        ctx.prec = 100
+        return _dec.Decimal(unscaled).scaleb(-scale)
+
+
+def _decode_fixed(buf: bytes, off: int, dt: T.DataType):
+    """One fixed-width value at absolute offset ``off`` (slot or array cell)."""
+    if isinstance(dt, T.LongType):
+        return struct.unpack_from("<q", buf, off)[0]
+    if isinstance(dt, T.TimestampType):
+        return _ts_decode(struct.unpack_from("<q", buf, off)[0])
+    if isinstance(dt, T.IntegerType):
+        return struct.unpack_from("<i", buf, off)[0]
+    if isinstance(dt, T.DateType):
+        import datetime as _dt
+
+        return _dt.date(1970, 1, 1) + _dt.timedelta(
+            days=struct.unpack_from("<i", buf, off)[0]
+        )
+    if isinstance(dt, T.ShortType):
+        return struct.unpack_from("<h", buf, off)[0]
+    if isinstance(dt, T.ByteType):
+        return struct.unpack_from("<b", buf, off)[0]
+    if isinstance(dt, T.DoubleType):
+        return struct.unpack_from("<d", buf, off)[0]
+    if isinstance(dt, T.FloatType):
+        return struct.unpack_from("<f", buf, off)[0]
+    if isinstance(dt, T.BooleanType):
+        return bool(buf[off])
+    if isinstance(dt, T.DecimalType):  # precision <= 18: unscaled long
+        return _dec_from_unscaled(struct.unpack_from("<q", buf, off)[0], dt.scale)
+    raise AssertionError(f"not fixed-width: {dt}")
+
+
+def _decode_region(buf: bytes, base: int, size: int, dt: T.DataType):
+    """One variable-length value whose region is buf[base:base+size]."""
+    if isinstance(dt, T.StringType):
+        return bytes(buf[base : base + size]).decode()
+    if isinstance(dt, T.BinaryType):
+        return bytes(buf[base : base + size])
+    if isinstance(dt, T.DecimalType):  # precision > 18: BigInteger bytes
+        return _dec_from_unscaled(
+            int.from_bytes(buf[base : base + size], "big", signed=True),
+            dt.scale,
+        )
+    if isinstance(dt, T.StructType):
+        return _decode_row_at(buf, base, dt)
+    if isinstance(dt, T.ArrayType):
+        return _decode_array_at(buf, base, dt.elementType)
+    if isinstance(dt, T.MapType):
+        (ksize,) = struct.unpack_from("<q", buf, base)
+        keys = _decode_array_at(buf, base + 8, dt.keyType)
+        vals = _decode_array_at(buf, base + 8 + ksize, dt.valueType)
+        return dict(zip(keys, vals))
+    raise AssertionError(f"not var-length: {dt}")
+
+
+def _decode_array_at(buf: bytes, base: int, et: T.DataType) -> list:
+    (n,) = struct.unpack_from("<q", buf, base)
+    words = (n + 63) // 64
+    nulls = int.from_bytes(buf[base + 8 : base + 8 + 8 * words], "little")
+    values_off = base + 8 + 8 * words
+    es = _elem_size(et)
+    fixed = _is_fixed(et)
+    out = []
+    for i in range(n):
+        if nulls >> i & 1:
+            out.append(None)
+            continue
+        cell = values_off + i * es
+        if fixed:
+            out.append(_decode_fixed(buf, cell, et))
+        else:
+            (oas,) = struct.unpack_from("<q", buf, cell)
+            out.append(
+                _decode_region(buf, base + (oas >> 32), oas & 0xFFFFFFFF, et)
+            )
+    return out
+
+
+def _decode_row_at(buf: bytes, base: int, schema: T.StructType) -> tuple:
     nf = len(schema.fields)
     header = 8 * ((nf + 63) // 64)
-    (bits,) = struct.unpack("<Q", buf[0:8]) if nf <= 64 else (
-        int.from_bytes(buf[0:header], "little"),
-    )
+    bits = int.from_bytes(buf[base : base + header], "little")
     out = []
     for i, f in enumerate(schema.fields):
         if bits >> i & 1:
             out.append(None)
             continue
-        slot = header + 8 * i
+        slot = base + header + 8 * i
         dt = f.dataType
-        if isinstance(dt, T.LongType):
-            out.append(struct.unpack_from("<q", buf, slot)[0])
-        elif isinstance(dt, T.TimestampType):
-            import datetime as _dt
-
-            us = struct.unpack_from("<q", buf, slot)[0]
-            out.append(
-                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
-            )
-        elif isinstance(dt, T.IntegerType):
-            out.append(struct.unpack_from("<i", buf, slot)[0])
-        elif isinstance(dt, T.ShortType):
-            out.append(struct.unpack_from("<h", buf, slot)[0])
-        elif isinstance(dt, T.ByteType):
-            out.append(struct.unpack_from("<b", buf, slot)[0])
-        elif isinstance(dt, T.DoubleType):
-            out.append(struct.unpack_from("<d", buf, slot)[0])
-        elif isinstance(dt, T.FloatType):
-            out.append(struct.unpack_from("<f", buf, slot)[0])
-        elif isinstance(dt, T.BooleanType):
-            out.append(bool(buf[slot]))
-        else:  # string / binary
+        if _is_fixed(dt):
+            out.append(_decode_fixed(buf, slot, dt))
+        else:
             (oas,) = struct.unpack_from("<q", buf, slot)
-            off, size = oas >> 32, oas & 0xFFFFFFFF
-            data = buf[off : off + size]
-            out.append(data.decode() if isinstance(dt, T.StringType) else data)
+            out.append(
+                _decode_region(buf, base + (oas >> 32), oas & 0xFFFFFFFF, dt)
+            )
     return tuple(out)
+
+
+def decode_unsafe_row(buf: bytes, schema: T.StructType) -> tuple:
+    return _decode_row_at(buf, 0, schema)
+
+
+def _pack_fixed(target: bytearray, off: int, v, dt: T.DataType) -> None:
+    if isinstance(dt, T.LongType):
+        struct.pack_into("<q", target, off, int(v))
+    elif isinstance(dt, T.TimestampType):
+        struct.pack_into("<q", target, off, _ts_encode(v))
+    elif isinstance(dt, T.IntegerType):
+        struct.pack_into("<i", target, off, int(v))
+    elif isinstance(dt, T.DateType):
+        import datetime as _dt
+
+        struct.pack_into("<i", target, off, (v - _dt.date(1970, 1, 1)).days)
+    elif isinstance(dt, T.ShortType):
+        struct.pack_into("<h", target, off, int(v))
+    elif isinstance(dt, T.ByteType):
+        struct.pack_into("<b", target, off, int(v))
+    elif isinstance(dt, T.DoubleType):
+        struct.pack_into("<d", target, off, float(v))
+    elif isinstance(dt, T.FloatType):
+        struct.pack_into("<f", target, off, float(v))
+    elif isinstance(dt, T.BooleanType):
+        target[off] = 1 if v else 0
+    elif isinstance(dt, T.DecimalType):
+        struct.pack_into("<q", target, off, _dec_unscaled(v, dt.scale))
+    else:
+        raise AssertionError(f"not fixed-width: {dt}")
+
+
+def _encode_region(v, dt: T.DataType) -> bytes:
+    """One variable-length value as a self-contained region (offsets inside
+    are relative to the region's own start, per the Unsafe* formats)."""
+    if isinstance(dt, T.StringType):
+        return v.encode()
+    if isinstance(dt, T.BinaryType):
+        return bytes(v)
+    if isinstance(dt, T.DecimalType):
+        unscaled = _dec_unscaled(v, dt.scale)
+        length = max(1, (unscaled.bit_length() + 8) // 8)  # BigInteger layout
+        return unscaled.to_bytes(length, "big", signed=True)
+    if isinstance(dt, T.StructType):
+        return encode_unsafe_row(tuple(v), dt)
+    if isinstance(dt, T.ArrayType):
+        return _encode_array(list(v), dt.elementType)
+    if isinstance(dt, T.MapType):
+        items = list(v.items())
+        karr = _encode_array([k for k, _ in items], dt.keyType)
+        varr = _encode_array([x for _, x in items], dt.valueType)
+        return struct.pack("<q", len(karr)) + karr + varr
+    raise AssertionError(f"not var-length: {dt}")
+
+
+def _encode_array(values: list, et: T.DataType) -> bytes:
+    n = len(values)
+    words = (n + 63) // 64
+    es = _elem_size(et)
+    values_bytes = (n * es + 7) // 8 * 8
+    header = 8 + 8 * words
+    fixed = bytearray(header + values_bytes)
+    struct.pack_into("<q", fixed, 0, n)
+    var = bytearray()
+    nulls = 0
+    is_fixed = _is_fixed(et)
+    for i, v in enumerate(values):
+        if v is None:
+            nulls |= 1 << i
+            continue
+        cell = header + i * es
+        if is_fixed:
+            _pack_fixed(fixed, cell, v, et)
+        else:
+            data = _encode_region(v, et)
+            off = len(fixed) + len(var)  # relative to the array base
+            struct.pack_into("<q", fixed, cell, (off << 32) | len(data))
+            var += data
+            if len(data) % 8:
+                var += b"\x00" * (8 - len(data) % 8)
+    fixed[8 : 8 + 8 * words] = nulls.to_bytes(8 * words, "little")
+    return bytes(fixed) + bytes(var)
 
 
 def encode_unsafe_row(values: tuple, schema: T.StructType) -> bytes:
@@ -211,28 +439,10 @@ def encode_unsafe_row(values: tuple, schema: T.StructType) -> bytes:
             bits |= 1 << i
             continue
         dt = f.dataType
-        if isinstance(dt, T.LongType):
-            struct.pack_into("<q", fixed, slot, int(v))
-        elif isinstance(dt, T.TimestampType):
-            import datetime as _dt
-
-            epoch = _dt.datetime(1970, 1, 1)
-            us = int((v.replace(tzinfo=None) - epoch).total_seconds() * 1_000_000)
-            struct.pack_into("<q", fixed, slot, us)
-        elif isinstance(dt, T.IntegerType):
-            struct.pack_into("<i", fixed, slot, int(v))
-        elif isinstance(dt, T.ShortType):
-            struct.pack_into("<h", fixed, slot, int(v))
-        elif isinstance(dt, T.ByteType):
-            struct.pack_into("<b", fixed, slot, int(v))
-        elif isinstance(dt, T.DoubleType):
-            struct.pack_into("<d", fixed, slot, float(v))
-        elif isinstance(dt, T.FloatType):
-            struct.pack_into("<f", fixed, slot, float(v))
-        elif isinstance(dt, T.BooleanType):
-            fixed[slot] = 1 if v else 0
+        if _is_fixed(dt):
+            _pack_fixed(fixed, slot, v, dt)
         else:
-            data = v.encode() if isinstance(v, str) else bytes(v)
+            data = _encode_region(v, dt)
             off = header + 8 * nf + len(var)
             struct.pack_into("<q", fixed, slot, (off << 32) | len(data))
             var += data

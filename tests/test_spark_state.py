@@ -57,11 +57,167 @@ def test_unsafe_row_nulls_and_empty_string():
         assert ss.decode_unsafe_row(ss.encode_unsafe_row(vals, schema), schema) == vals
 
 
-def test_schema_guard_rejects_nested():
-    # validation happens once at the read/write API boundary, not per row
-    schema = T.StructType([T.StructField("m", T.MapType(T.StringType(), T.LongType()))])
+def test_schema_guard_rejects_unsupported_leaf():
+    # nested array/map/struct/decimal are supported (r13); the guard now
+    # rejects only leaves the codec has no layout for, however deeply
+    # they're nested — validation once at the API boundary, not per row
+    ok = T.StructType([
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("a", T.ArrayType(T.StructType([
+            T.StructField("d", T.DecimalType(30, 5))]))),
+    ])
+    ss._check_schema(ok)  # must not raise
+    bad = T.StructType([
+        T.StructField("a", T.ArrayType(T.DayTimeIntervalType()))
+    ])
     with pytest.raises(ValueError, match="unsupported field type"):
-        ss._check_schema(schema)
+        ss._check_schema(bad)
+
+
+_NESTED_CASES = [
+    (
+        T.StructType([
+            T.StructField("a", T.ArrayType(T.LongType())),
+            T.StructField("s", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]),
+        ([1, 2, 3, None, -9], "hello", 42),
+    ),
+    (
+        T.StructType([
+            T.StructField("m", T.MapType(T.StringType(), T.IntegerType())),
+            T.StructField("b", T.ArrayType(T.StringType())),
+        ]),
+        ({"x": 1, "yy": 2}, ["aa", None, "c" * 20]),
+    ),
+    (
+        T.StructType([
+            T.StructField("st", T.StructType([
+                T.StructField("i", T.IntegerType()),
+                T.StructField("t", T.ArrayType(T.DoubleType())),
+            ])),
+            T.StructField("d", T.DecimalType(10, 2)),
+            T.StructField("dd", T.DecimalType(30, 5)),
+            T.StructField("dt", T.DateType()),
+            T.StructField("ab", T.ArrayType(T.BooleanType())),
+            T.StructField("am", T.ArrayType(T.MapType(T.LongType(), T.StringType()))),
+        ]),
+        (
+            (7, [1.5, -2.5]),
+            __import__("decimal").Decimal("123.45"),
+            __import__("decimal").Decimal("123456789012345678901234.56789"),
+            __import__("datetime").date(2020, 5, 17),
+            [True, False, None, True],
+            [{1: "a"}, None, {2: "bb", 3: "ccc"}],
+        ),
+    ),
+]
+
+
+def _norm(v):
+    from pyspark.sql import Row as _Row
+
+    if isinstance(v, (_Row, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    return v
+
+
+@pytest.mark.parametrize("case", range(len(_NESTED_CASES)))
+def test_nested_unsafe_row_decode_matches_spark(spark, case):
+    """DECODE oracle is Spark itself: the bytes of the UnsafeRow Spark's
+    own UnsafeProjection produces for a nested row (arrays incl. null
+    elements, maps, nested structs, wide and narrow decimals, dates,
+    array-of-map) must decode to the original values."""
+    schema, row = _NESTED_CASES[case]
+    df = spark.createDataFrame([row], schema)
+    raw = bytes(df._jdf.queryExecution().toRdd().first().getBytes())
+    assert _norm(ss.decode_unsafe_row(raw, schema)) == _norm(tuple(row))
+
+
+def _jvm_get(j, i, dt):
+    """Read value i from a JVM SpecializedGetters (UnsafeRow /
+    UnsafeArrayData) with the REAL typed getters — the strongest possible
+    check that bytes we encoded are laid out exactly as Spark expects."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(dt, T.LongType):
+        return j.getLong(i)
+    if isinstance(dt, T.TimestampType):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=j.getLong(i))
+    if isinstance(dt, T.IntegerType):
+        return j.getInt(i)
+    if isinstance(dt, T.DateType):
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=j.getInt(i))
+    if isinstance(dt, T.ShortType):
+        return j.getShort(i)
+    if isinstance(dt, T.ByteType):
+        return j.getByte(i)
+    if isinstance(dt, T.DoubleType):
+        return j.getDouble(i)
+    if isinstance(dt, T.FloatType):
+        return j.getFloat(i)
+    if isinstance(dt, T.BooleanType):
+        return j.getBoolean(i)
+    if isinstance(dt, T.StringType):
+        return j.getUTF8String(i).toString()
+    if isinstance(dt, T.BinaryType):
+        return bytes(j.getBinary(i))
+    if isinstance(dt, T.DecimalType):
+        v = j.getDecimal(i, dt.precision, dt.scale).toJavaBigDecimal()
+        # py4j auto-converts java.math.BigDecimal to decimal.Decimal
+        return v if isinstance(v, _dec.Decimal) else _dec.Decimal(v.toPlainString())
+    if isinstance(dt, T.StructType):
+        st = j.getStruct(i, len(dt.fields))
+        return tuple(
+            None if st.isNullAt(k) else _jvm_get(st, k, f.dataType)
+            for k, f in enumerate(dt.fields)
+        )
+    if isinstance(dt, T.ArrayType):
+        ja = j.getArray(i)
+        return [
+            None if ja.isNullAt(k) else _jvm_get(ja, k, dt.elementType)
+            for k in range(ja.numElements())
+        ]
+    if isinstance(dt, T.MapType):
+        jm = j.getMap(i)
+        ka, va = jm.keyArray(), jm.valueArray()
+        return {
+            _jvm_get(ka, k, dt.keyType): (
+                None if va.isNullAt(k) else _jvm_get(va, k, dt.valueType)
+            )
+            for k in range(jm.numElements())
+        }
+    raise AssertionError(dt)
+
+
+@pytest.mark.parametrize("case", range(len(_NESTED_CASES)))
+def test_nested_unsafe_row_encode_read_by_jvm(spark, case):
+    """ENCODE oracle is Spark itself: point a JVM UnsafeRow at OUR bytes
+    and read every field back through the real typed getters (getArray /
+    getMap / getStruct / getDecimal / getUTF8String, recursively) — any
+    layout error in our encoding surfaces as a wrong value or a JVM
+    exception."""
+    schema, row = _NESTED_CASES[case]
+    ours = ss.encode_unsafe_row(tuple(row), schema)
+    # our own decoder round-trips
+    assert _norm(ss.decode_unsafe_row(ours, schema)) == _norm(tuple(row))
+    jvm = spark._jvm
+    ur = jvm.org.apache.spark.sql.catalyst.expressions.UnsafeRow(
+        len(schema.fields)
+    )
+    ur.pointTo(ours, len(ours))
+    got = tuple(
+        None if ur.isNullAt(i) else _jvm_get(ur, i, f.dataType)
+        for i, f in enumerate(schema.fields)
+    )
+    # float32 round-trips through Java exactly for these literals; decimals
+    # compare as Decimal objects
+    assert _norm(got) == _norm(tuple(row))
 
 
 def test_lz4_block_roundtrip_against_reference_vectors():
@@ -400,12 +556,17 @@ def test_schema_file_structural_parse_v1_v2_chunked():
     assert (k, v) == (_KEY_SCHEMA, _VAL_SCHEMA)
     with pytest.raises(ValueError, match="version tag"):
         ss._parse_schema_file(utf("garbage") + utf(kj) + utf(vj))
-    # nested type parses structurally, then fails loudly in _check_schema
+    # nested struct types parse structurally AND pass the guard (the r13
+    # codec handles them); an unsupported LEAF inside still fails loudly
     nested = T.StructType([T.StructField("s", T.StructType([T.StructField("x", T.LongType())]))])
     nj = json.dumps(nested.jsonValue())
     k, _ = ss._parse_schema_file(utf("v2") + struct.pack(">i", 1) + utf(nj) + struct.pack(">i", 1) + utf(vj))
+    ss._check_schema(k)  # nested is supported now
+    bad = T.StructType([T.StructField("s", T.StructType([T.StructField("x", T.DayTimeIntervalType())]))])
+    bj = json.dumps(bad.jsonValue())
+    kb, _ = ss._parse_schema_file(utf("v2") + struct.pack(">i", 1) + utf(bj) + struct.pack(">i", 1) + utf(vj))
     with pytest.raises(ValueError, match="unsupported field type"):
-        ss._check_schema(k)
+        ss._check_schema(kb)
 
 
 def test_write_validates_missing_columns(spark, tmp_path):
@@ -886,3 +1047,90 @@ def test_source_log_cuts_parse_offsets_file(tmp_path):
     )
     cuts = ss._source_log_cuts(str(tmp_path), 7)
     assert cuts == {"0": 5, "1": -1}
+
+
+def test_rewrite_then_restart_nested_array_state(spark, tmp_path):
+    """The decisive nested-codec proof, end to end against Spark's own
+    machinery: an applyInPandasWithState query whose user state schema is
+    (seen array<long>, cnt long) — stored by Spark as a NESTED struct
+    value column — has its state read, patched (tombstone one key,
+    prepend a sentinel into the array INSIDE the struct), and rewritten;
+    the restarted real query must load OUR nested UnsafeRow encoding and
+    continue from the patched values."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.compression.codec", "snappy"
+    )
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "k string, v long"
+    ).coalesce(1).write.parquet(inp)
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            seen, _cnt = state.get
+            seen = list(seen)
+        else:
+            seen = []
+        for pdf in pdf_iter:
+            seen.extend(int(x) for x in pdf["v"])
+        state.update((seen, len(seen)))
+        yield pd.DataFrame(
+            {"k": [key[0]], "seen": [seen], "cnt": [len(seen)]}
+        )
+
+    def run():
+        got = {}
+        schema = spark.read.parquet(inp).schema
+        stream = spark.readStream.schema(schema).parquet(inp)
+        out = stream.groupBy("k").applyInPandasWithState(
+            fn, "k string, seen array<long>, cnt long",
+            "seen array<long>, cnt long", "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+        def sink(df, _bid):
+            for r in df.collect():
+                got[r["k"]] = (list(r["seen"]), r["cnt"])
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return got
+
+    assert run() == {"a": ([1, 2], 2), "b": ([5], 1)}
+
+    st = ss.read_spark_state(spark, ckpt)
+    assert "groupState" in st.columns  # the nested struct value column
+    patched = (
+        st.drop("partition_id")
+        .where(F.col("k") != "b")
+        .withColumn(
+            "groupState",
+            F.col("groupState").withField(
+                "seen",
+                F.concat(
+                    F.array(F.lit(999).cast("long")),
+                    F.col("groupState.seen"),
+                ),
+            ),
+        )
+    )
+    ss.write_spark_state(spark, ckpt, patched)
+    back = {
+        r["k"]: list(r["groupState"]["seen"])
+        for r in ss.read_spark_state(spark, ckpt).collect()
+    }
+    assert back == {"a": [999, 1, 2]}
+
+    spark.createDataFrame(
+        [("a", 10), ("b", 7)], "k string, v long"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    assert run() == {"a": ([999, 1, 2, 10], 4), "b": ([7], 1)}
