@@ -1134,3 +1134,75 @@ def test_rewrite_then_restart_nested_array_state(spark, tmp_path):
         [("a", 10), ("b", 7)], "k string, v long"
     ).coalesce(1).write.mode("append").parquet(inp)
     assert run() == {"a": ([999, 1, 2, 10], 4), "b": ([7], 1)}
+
+
+def test_reader_matches_sparks_builtin_statestore_source(spark, tmp_path):
+    """Independent oracle: Spark 4 ships its own state reader
+    (``spark.read.format("statestore")``). Our reader must return exactly
+    the same keys and values — for flat aggregation state AND for the
+    nested applyInPandasWithState struct state — so any drift in framing,
+    UnsafeRow layout, or snapshot+delta replay shows up as a diff against
+    the engine's own implementation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.compression.codec", "snappy"
+    )
+    # --- flat agg state ---
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5), ("c", 9)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    _run_agg(spark, inp, ckpt)
+
+    ours = {
+        r["k"]: (r[2], r[3])
+        for r in ss.read_spark_state(spark, ckpt).collect()
+    }
+    builtin = {
+        r["key"]["k"]: (r["value"]["count"], r["value"]["sum"])
+        for r in spark.read.format("statestore").load(ckpt).collect()
+    }
+    assert ours == builtin and len(ours) == 3
+
+    # --- nested struct state (applyInPandasWithState) ---
+    inp2, ckpt2 = str(tmp_path / "in2"), str(tmp_path / "ckpt2")
+    spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 7)], "k string, v long"
+    ).coalesce(1).write.parquet(inp2)
+
+    def fn(key, pdf_iter, state):
+        seen = list(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            seen.extend(int(x) for x in pdf["v"])
+        state.update((seen, len(seen)))
+        yield pd.DataFrame({"k": [key[0]], "n": [len(seen)]})
+
+    schema = spark.read.parquet(inp2).schema
+    stream = spark.readStream.schema(schema).parquet(inp2)
+    out = stream.groupBy("k").applyInPandasWithState(
+        fn, "k string, n long", "seen array<long>, cnt long",
+        "update", GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.foreachBatch(lambda df, b: df.count())
+        .outputMode("update")
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    ours2 = {
+        r["k"]: (list(r["groupState"]["seen"]), r["groupState"]["cnt"])
+        for r in ss.read_spark_state(spark, ckpt2).collect()
+    }
+    builtin2 = {
+        r["key"]["k"]: (
+            list(r["value"]["groupState"]["seen"]),
+            r["value"]["groupState"]["cnt"],
+        )
+        for r in spark.read.format("statestore").load(ckpt2).collect()
+    }
+    assert ours2 == builtin2 == {"x": ([1, 2], 2), "y": ([7], 1)}
