@@ -401,3 +401,101 @@ def test_write_incremental_checkpoint_roundtrip_and_native_open(spark, tmp_path)
         finally:
             db.close()
     assert total == len(kvs)  # every key landed in exactly one subtask DB
+
+
+def test_rocksdb_nested_array_state_rewrite_then_restart(spark, tmp_path):
+    """Nested-state surgery on the RocksDB provider: an
+    applyInPandasWithState query (state schema ``seen array<long>, cnt
+    long``, stored as a nested struct value) checkpointed into a
+    changelog-checkpointing RocksDB store is read, patched inside the
+    nested struct, rewritten, and the restarted real query continues from
+    the patched values — the provider x nested-codec combination the
+    HDFS-provider twin (test_spark_state) can't cover."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    cl = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(cl, "true")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.compression.codec", "snappy"
+    )
+    try:
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 5)], "k string, v long"
+        ).coalesce(1).write.parquet(inp)
+
+        def fn(key, pdf_iter, state):
+            seen = list(state.get[0]) if state.exists else []
+            for pdf in pdf_iter:
+                seen.extend(int(x) for x in pdf["v"])
+            state.update((seen, len(seen)))
+            yield pd.DataFrame(
+                {"k": [key[0]], "seen": [seen], "cnt": [len(seen)]}
+            )
+
+        def run():
+            got = {}
+            schema = spark.read.parquet(inp).schema
+            stream = spark.readStream.schema(schema).parquet(inp)
+            out = stream.groupBy("k").applyInPandasWithState(
+                fn, "k string, seen array<long>, cnt long",
+                "seen array<long>, cnt long", "update",
+                GroupStateTimeout.NoTimeout,
+            )
+
+            def sink(df, _bid):
+                for r in df.collect():
+                    got[r["k"]] = (list(r["seen"]), r["cnt"])
+
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return got
+
+        assert run() == {"a": ([1, 2], 2), "b": ([5], 1)}
+
+        st = rs.read_rocksdb_spark_state(spark, ckpt)
+        assert "groupState" in st.columns
+        patched = (
+            st.drop("partition_id")
+            .where(F.col("k") != "b")
+            .withColumn(
+                "groupState",
+                F.col("groupState").withField(
+                    "seen",
+                    F.concat(
+                        F.array(F.lit(999).cast("long")),
+                        F.col("groupState.seen"),
+                    ),
+                ),
+            )
+        )
+        rs.write_rocksdb_spark_state(spark, ckpt, patched)
+        back = {
+            r["k"]: list(r["groupState"]["seen"])
+            for r in rs.read_rocksdb_spark_state(spark, ckpt).collect()
+        }
+        assert back == {"a": [999, 1, 2]}
+
+        spark.createDataFrame(
+            [("a", 10), ("b", 7)], "k string, v long"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        assert run() == {"a": ([999, 1, 2, 10], 4), "b": ([7], 1)}
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(cl, "false")
