@@ -1206,3 +1206,86 @@ def test_reader_matches_sparks_builtin_statestore_source(spark, tmp_path):
         for r in spark.read.format("statestore").load(ckpt2).collect()
     }
     assert ours2 == builtin2 == {"x": ([1, 2], 2), "y": ([7], 1)}
+
+
+# --- property fuzz: nested UnsafeRow codec round-trips arbitrary shapes ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def _leaf_types():
+        return st.sampled_from([
+            T.LongType(), T.IntegerType(), T.ShortType(), T.ByteType(),
+            T.DoubleType(), T.BooleanType(), T.StringType(), T.BinaryType(),
+        ])
+
+    def _dtypes(depth=2):
+        if depth == 0:
+            return _leaf_types()
+        sub = _dtypes(depth - 1)
+        return st.one_of(
+            _leaf_types(),
+            sub.map(T.ArrayType),
+            st.tuples(_leaf_types(), sub).map(lambda kv: T.MapType(*kv)),
+            st.lists(sub, min_size=1, max_size=3).map(
+                lambda ts: T.StructType(
+                    [T.StructField(f"f{i}", t) for i, t in enumerate(ts)]
+                )
+            ),
+        )
+
+    def _value_for(dt):
+        if isinstance(dt, T.LongType):
+            return st.integers(-(2**63), 2**63 - 1)
+        if isinstance(dt, T.IntegerType):
+            return st.integers(-(2**31), 2**31 - 1)
+        if isinstance(dt, T.ShortType):
+            return st.integers(-(2**15), 2**15 - 1)
+        if isinstance(dt, T.ByteType):
+            return st.integers(-128, 127)
+        if isinstance(dt, T.DoubleType):
+            return st.floats(allow_nan=False, width=64)
+        if isinstance(dt, T.BooleanType):
+            return st.booleans()
+        if isinstance(dt, T.StringType):
+            return st.text(max_size=20)
+        if isinstance(dt, T.BinaryType):
+            return st.binary(max_size=20)
+        if isinstance(dt, T.ArrayType):
+            return st.lists(
+                st.none() | _value_for(dt.elementType), max_size=5
+            )
+        if isinstance(dt, T.MapType):
+            return st.dictionaries(
+                _value_for(dt.keyType),
+                st.none() | _value_for(dt.valueType),
+                max_size=4,
+            )
+        if isinstance(dt, T.StructType):
+            return st.tuples(
+                *[st.none() | _value_for(f.dataType) for f in dt.fields]
+            )
+        raise AssertionError(dt)
+
+    @given(st.data())
+    @settings(max_examples=150, deadline=None)
+    def test_prop_nested_unsafe_row_roundtrip(data):
+        """Random nested schemas (arrays/maps/structs to depth 2 over all
+        primitive leaves) with random values incl. nulls at every level:
+        encode -> decode must be the identity. The JVM-oracle tests pin
+        the LAYOUT against Spark; this pins total-function behavior over
+        the shape space (empty arrays/maps, unicode, extreme ints...)."""
+        dts = data.draw(st.lists(_dtypes(), min_size=1, max_size=4))
+        schema = T.StructType(
+            [T.StructField(f"c{i}", t) for i, t in enumerate(dts)]
+        )
+        row = tuple(
+            data.draw(st.none() | _value_for(f.dataType))
+            for f in schema.fields
+        )
+        got = ss.decode_unsafe_row(ss.encode_unsafe_row(row, schema), schema)
+        assert _norm(got) == _norm(row)
+
+except ImportError:  # hypothesis is baked into this container
+    pass
