@@ -25,6 +25,7 @@ HEADLINE = [
     "window_state_min",
     "last_write_wins",
     "snapshot_roundtrip",
+    "snapshot_roundtrip_compressed",
     "checkpoint_roundtrip",
     "dedup_exact",
     "dedup_minhash_lsh",
