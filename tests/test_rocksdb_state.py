@@ -499,3 +499,37 @@ def test_rocksdb_nested_array_state_rewrite_then_restart(spark, tmp_path):
             "HDFSBackedStateStoreProvider",
         )
         spark.conf.set(cl, "false")
+
+
+def test_rocksdb_reader_matches_sparks_builtin_statestore_source(spark, tmp_path):
+    """Independent oracle for the RocksDB-provider reader: Spark 4's own
+    spark.read.format('statestore') opens the same checkpoint with a real
+    RocksDB; our pure-Python SST scan + changelog replay must return the
+    identical state."""
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 5), ("c", 9)], "k string, v int"
+        ).coalesce(1).write.parquet(inp)
+        _run_agg(spark, inp, ckpt)
+
+        ours = {
+            r["k"]: (r[2], r[3])
+            for r in rs.read_rocksdb_spark_state(spark, ckpt).collect()
+        }
+        builtin = {
+            r["key"]["k"]: (r["value"]["count"], r["value"]["sum"])
+            for r in spark.read.format("statestore").load(ckpt).collect()
+        }
+        assert ours == builtin and len(ours) == 3
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
