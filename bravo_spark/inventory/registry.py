@@ -196,10 +196,12 @@ GATE_PRIORITY = [
 #      red, keep it in the gate and drop its pair from this round);
 #   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
 #   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
-# 14 swaps: INs are ALL 14 remaining never-driver-checked rows — the
+# 15 swaps: INs are ALL 15 remaining never-driver-checked rows — the
 # four ANN recall evals, bpe_train_merges, the multimodal engine-API
-# trio, the text-analysis tail, and the three r12 post-freeze source
-# registrations. After execution the never-driver-checked count is ZERO
+# trio, the text-analysis tail, the three r12 post-freeze source
+# registrations, and the r13-registered nested_state_rewrite (the
+# nested-UnsafeRow surgery proof, mirror-green at all three scales on
+# registration). After execution the never-driver-checked count is ZERO
 # for the first time; every registered query will have been
 # driver-checked at least once. The rotation ledger lives in COVERAGE.md.
 R14_STAGED_SWAPS = [
@@ -233,6 +235,11 @@ R14_STAGED_SWAPS = [
     ("train_val_split", "ann_pq_recall_eval"),
     ("domain_mixture_sample", "ann_ivf_clustered_recall"),
     ("leakage_safe_split", "bpe_train_merges"),
+    # kryo_custom_class: 6 green rounds r8-r13 (pending r13); the full
+    # Kryo path stays JVM-cross-validated in test_kryo. In its slot: the
+    # r13 nested-state surgery proof (applyInPandasWithState array state
+    # patched inside the nested struct, real-query restart, SQL oracle)
+    ("kryo_custom_class", "nested_state_rewrite"),
 ]
 
 

@@ -380,3 +380,115 @@ def file_sink_rewind(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+_NESTED_REWRITE_ORACLE = """
+SELECT k,
+       CASE WHEN k % 2 = 0 THEN cnt_all + 1 ELSE cnt_odd END AS cnt,
+       CAST(CASE WHEN k % 2 = 0 THEN sum_all - 1 ELSE sum_odd END
+            AS BIGINT) AS seen_sum,
+       CASE WHEN k % 2 = 0 THEN -1 ELSE min_odd END AS seen_min
+FROM (
+  SELECT user_id % 7 AS k,
+         count(*) AS cnt_all,
+         sum(event_id) AS sum_all,
+         count(*) FILTER (WHERE event_id % 2 = 1) AS cnt_odd,
+         sum(event_id) FILTER (WHERE event_id % 2 = 1) AS sum_odd,
+         min(event_id) FILTER (WHERE event_id % 2 = 1) AS min_odd
+  FROM events GROUP BY 1
+) WHERE k % 2 = 0 OR cnt_odd > 0
+"""
+
+
+@query("nested_state_rewrite", oracle=_NESTED_REWRITE_ORACLE)
+def nested_state_rewrite(spark, sf_dir):
+    """NESTED-state surgery, oracle-checked end to end (r13): an
+    ``applyInPandasWithState`` query keeps per-key state ``(seen
+    array<long>, cnt long)`` — which Spark stores as a nested STRUCT value
+    column — over the even-event_id half of ``events``; the state is then
+    patched OUTSIDE the query (odd keys tombstoned, a ``-1`` sentinel
+    inserted into every surviving key's array, inside the nested struct),
+    rewritten with ``write_spark_state``, and the REAL query restarted on
+    the odd half. The final state projects to scalars (cnt, array sum,
+    array min), so the DuckDB oracle can state the outcome exactly: even
+    keys carry all their events plus the sentinel; odd keys carry only
+    the odd half (their patched-away state never existed at restart).
+
+    This is the driver-level proof of the r13 nested UnsafeRow codec
+    (arrays/maps/structs/decimals) — the pytest twins pin the byte layout
+    against Spark's own UnsafeProjection/getters; this query pins the
+    whole surgery loop against Spark's replay machinery with an
+    independent SQL oracle.
+
+    Scale: identical posture to ``checkpoint_rewind`` — the streaming agg
+    shuffles once on the key; the state scan/rewrite is one task per
+    state partition; the patch is a pure DataFrame transform on the
+    nested column (JVM ``withField``/``concat``, no Python row work)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 7).alias("k"), F.col("event_id").alias("v")
+    )
+    work = _rewind_workdir("nested_rw")
+    inp = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+
+    def accumulate(key, pdf_iter, state):
+        seen = list(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            seen.extend(int(x) for x in pdf["v"])
+        seen.sort()  # order-insensitive state: batch arrival order varies
+        state.update((seen, len(seen)))
+        yield pd.DataFrame({"k": [key[0]], "n": [len(seen)]})
+
+    def run_batch():
+        schema = "k long, v long"
+        stream = spark.readStream.schema(schema).parquet(inp)
+        out = stream.groupBy("k").applyInPandasWithState(
+            accumulate, "k long, n long", "seen array<long>, cnt long",
+            "update", GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.foreachBatch(lambda df, _b: df.count())
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _land_batch(work, ev.filter(F.col("v") % 2 == 0), "b0.parquet")
+    run_batch()
+
+    st = read_spark_state(spark, ckpt)
+    patched = (
+        st.drop("partition_id")
+        .where(F.col("k") % 2 == 0)  # tombstone odd keys
+        .withColumn(
+            "groupState",
+            F.col("groupState").withField(
+                "seen",
+                F.concat(
+                    F.array(F.lit(-1).cast("long")),
+                    F.col("groupState.seen"),
+                ),
+            ).withField("cnt", F.col("groupState.cnt") + 1),
+        )
+    )
+    write_spark_state(spark, ckpt, patched)
+
+    _land_batch(work, ev.filter(F.col("v") % 2 == 1), "b1.parquet")
+    run_batch()
+
+    final = read_spark_state(spark, ckpt)
+    return final.select(
+        "k",
+        F.col("groupState.cnt").alias("cnt"),
+        F.aggregate(
+            "groupState.seen", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("seen_sum"),
+        F.array_min("groupState.seen").alias("seen_min"),
+    )
