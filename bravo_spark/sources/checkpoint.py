@@ -87,13 +87,24 @@ def discover_sst_files(ckpt_dir: str) -> list[str]:
     return list_sst_files(ckpt_dir)
 
 
-def iter_sst_entries(path: str, state_filter: Callable[[str], bool]):
+def iter_sst_entries(
+    path: str,
+    state_filter: Callable[[str], bool],
+    *,
+    verify_checksums: bool = False,
+):
     """Scan ONE SST with CF pruning → (state_name, key_ns, seq, vtype,
     value) rows. The column family named in the properties block decides
     in O(footer+props) whether any data block is read at all; 'default'
     (Flink's unused CF 0) is always skipped. The one per-file loop both
-    scan front doors (mapInPandas and the DataSource) share."""
-    reader = sstmod.SstReader(path)
+    scan front doors (mapInPandas and the DataSource) share.
+
+    ``verify_checksums=True`` verifies every block trailer (all four
+    RocksDB checksum types, incl. kXXH3's modifiers) before decoding —
+    the integrity-audit mode for checkpoints of uncertain provenance;
+    off by default because verification is per-byte Python work on top
+    of the scan."""
+    reader = sstmod.SstReader(path, verify_checksums=verify_checksums)
     name = reader.column_family_name
     if name == "default" or not state_filter(name):
         return  # CF pushdown: footer+props read, data blocks skipped
@@ -102,13 +113,15 @@ def iter_sst_entries(path: str, state_filter: Callable[[str], bool]):
 
 
 def _scan_ssts(
-    pdf_iter: Iterator[pd.DataFrame], state_filter: Callable[[str], bool]
+    pdf_iter: Iterator[pd.DataFrame],
+    state_filter: Callable[[str], bool],
+    verify_checksums: bool = False,
 ):
     for pdf in pdf_iter:
         for path in pdf["path"]:
             names, keys, seqs, types, vals = [], [], [], [], []
             for name, user_key, seq, vtype, value in iter_sst_entries(
-                path, state_filter
+                path, state_filter, verify_checksums=verify_checksums
             ):
                 names.append(name)
                 keys.append(user_key)
@@ -155,8 +168,12 @@ def read_incremental_checkpoint(
     state_filter: Callable[[str], bool] | None = None,
     state_names: list[str] | None = None,
     files: list[str] | None = None,
+    verify_checksums: bool = False,
 ) -> DataFrame:
-    """Incremental checkpoint → universal state-row relation."""
+    """Incremental checkpoint → universal state-row relation.
+    ``verify_checksums=True`` block-verifies every SST during the scan
+    (integrity audit; corrupt blocks fail the task loudly instead of
+    decoding garbage)."""
     if state_names is not None:
         selected = set(state_names)
         state_filter = lambda n: n in selected  # noqa: E731
@@ -169,7 +186,8 @@ def read_incremental_checkpoint(
     ).repartition(max(1, len(paths)))  # one SST per task
 
     raw = frame.mapInPandas(
-        lambda it: _scan_ssts(it, state_filter), schema=_RAW_SCHEMA
+        lambda it: _scan_ssts(it, state_filter, verify_checksums),
+        schema=_RAW_SCHEMA,
     )
     return resolve_lsm(raw)
 

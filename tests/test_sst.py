@@ -777,3 +777,39 @@ def test_sst_writer_deferred_trailers_byte_identical(tmp_path):
         return path.read_bytes()
 
     assert write(tmp_path / "a.sst", 1) == write(tmp_path / "b.sst", 1024)
+
+
+def test_checkpoint_scan_verify_checksums(tmp_path, spark):
+    """read_incremental_checkpoint(verify_checksums=True) verifies every
+    block during the distributed scan: a clean checkpoint reads
+    identically to the unverified scan, and one flipped data byte fails
+    the task loudly instead of decoding garbage."""
+    entries = {
+        "Count": [
+            (struct.pack(">Q", i), 1, sst.TYPE_VALUE, struct.pack(">q", i * 3))
+            for i in range(500)
+        ]
+    }
+    out = str(tmp_path / "ck")
+    ck.write_sst_fixture(out, entries, compression=sst.SNAPPY_COMPRESSION)
+
+    clean = ck.read_incremental_checkpoint(spark, out, verify_checksums=True)
+    plain = ck.read_incremental_checkpoint(spark, out)
+    assert sorted(r["key_ns"] for r in clean.collect()) == sorted(
+        r["key_ns"] for r in plain.collect()
+    )
+
+    # corrupt one byte inside the first data block
+    path = ck.list_sst_files(out)[0]
+    r = sst.SstReader(path)
+    h = next(iter(r.iter_data_handles()))
+    buf = bytearray(open(path, "rb").read())
+    buf[h.offset + h.size // 2] ^= 0xFF
+    open(path, "wb").write(bytes(buf))
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="checksum|corrupt|snappy"):
+        ck.read_incremental_checkpoint(
+            spark, out, verify_checksums=True
+        ).count()
