@@ -488,6 +488,11 @@ class SstReader:
 # ---------------------------------------------------------------------------
 
 
+# 1-byte varint lookup (values < 0x80): indexing a prebuilt table beats a
+# bytes((v,)) construction per length field in the writer's hot loop
+_B1 = [bytes((i,)) for i in range(0x80)]
+
+
 class _BlockBuilder:
     def __init__(self, restart_interval: int = 16):
         self.restart_interval = restart_interval
@@ -495,6 +500,7 @@ class _BlockBuilder:
         self.restarts = [0]
         self.counter = 0
         self.last_key = b""
+        self.size = 8  # len(buf) + 4*len(restarts) + 4, kept incrementally
 
     def add(self, key: bytes, value: bytes) -> None:
         shared = 0
@@ -519,26 +525,27 @@ class _BlockBuilder:
         else:
             self.restarts.append(len(self.buf))
             self.counter = 0
+            self.size += 4
         buf = self.buf
+        before = len(buf)
         non_shared = len(key) - shared
         value_len = len(value)
         # inline 1-byte varints (the overwhelmingly common case); the
         # encoder keeps byte-identical output for the rest
+        buf += _B1[shared] if shared < 0x80 else _write_uvarint(shared)
         buf += (
-            bytes((shared,)) if shared < 0x80 else _write_uvarint(shared)
-        )
-        buf += (
-            bytes((non_shared,))
+            _B1[non_shared]
             if non_shared < 0x80
             else _write_uvarint(non_shared)
         )
         buf += (
-            bytes((value_len,))
+            _B1[value_len]
             if value_len < 0x80
             else _write_uvarint(value_len)
         )
         buf += key[shared:]
         buf += value
+        self.size += len(buf) - before
         self.counter += 1
         self.last_key = key
 
@@ -548,10 +555,6 @@ class _BlockBuilder:
             out += struct.pack("<I", r)
         out += struct.pack("<I", len(self.restarts))
         return bytes(out)
-
-    @property
-    def size(self) -> int:
-        return len(self.buf) + 4 * len(self.restarts) + 4
 
 
 class SstWriter:
