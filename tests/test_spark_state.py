@@ -1289,3 +1289,34 @@ try:
 
 except ImportError:  # hypothesis is baked into this container
     pass
+
+
+def test_wide_row_multiword_null_bits(spark):
+    """Rows with more than 64 fields use a multi-WORD null bitset header;
+    pin the codec's wide path (70 fields, nulls scattered past bit 63)
+    against Spark's own UnsafeProjection bytes and the JVM getters."""
+    n = 70
+    schema = T.StructType(
+        [T.StructField(f"c{i}", T.LongType()) for i in range(n - 1)]
+        + [T.StructField("tail", T.ArrayType(T.StringType()))]
+    )
+    row = tuple(
+        None if i % 7 == 0 else i * 1000 for i in range(n - 1)
+    ) + (["end", None, "x" * 30],)
+
+    # decode oracle: Spark's own bytes
+    df = spark.createDataFrame([row], schema)
+    raw = bytes(df._jdf.queryExecution().toRdd().first().getBytes())
+    assert _norm(ss.decode_unsafe_row(raw, schema)) == _norm(row)
+
+    # encode oracle: JVM getters over our bytes
+    ours = ss.encode_unsafe_row(row, schema)
+    assert _norm(ss.decode_unsafe_row(ours, schema)) == _norm(row)
+    jvm = spark._jvm
+    ur = jvm.org.apache.spark.sql.catalyst.expressions.UnsafeRow(n)
+    ur.pointTo(ours, len(ours))
+    got = tuple(
+        None if ur.isNullAt(i) else _jvm_get(ur, i, f.dataType)
+        for i, f in enumerate(schema.fields)
+    )
+    assert _norm(got) == _norm(row)
