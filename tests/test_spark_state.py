@@ -1320,3 +1320,28 @@ def test_wide_row_multiword_null_bits(spark):
         for i, f in enumerate(schema.fields)
     )
     assert _norm(got) == _norm(row)
+
+
+def test_wide_array_multiword_null_bits(spark):
+    """Arrays with more than 64 elements use multi-word null bitsets in
+    UnsafeArrayData; pin both directions against Spark for a 100-element
+    long array (nulls scattered past bit 63) and a var-length twin."""
+    schema = T.StructType([
+        T.StructField("a", T.ArrayType(T.LongType())),
+        T.StructField("b", T.ArrayType(T.StringType())),
+    ])
+    row = (
+        [None if i % 9 == 0 else i for i in range(100)],
+        [None if i % 11 == 0 else f"s{i}" for i in range(80)],
+    )
+    df = spark.createDataFrame([row], schema)
+    raw = bytes(df._jdf.queryExecution().toRdd().first().getBytes())
+    assert _norm(ss.decode_unsafe_row(raw, schema)) == _norm(row)
+
+    ours = ss.encode_unsafe_row(row, schema)
+    assert _norm(ss.decode_unsafe_row(ours, schema)) == _norm(row)
+    jvm = spark._jvm
+    ur = jvm.org.apache.spark.sql.catalyst.expressions.UnsafeRow(2)
+    ur.pointTo(ours, len(ours))
+    got = tuple(_jvm_get(ur, i, f.dataType) for i, f in enumerate(schema.fields))
+    assert _norm(got) == _norm(row)
