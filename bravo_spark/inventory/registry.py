@@ -65,8 +65,13 @@ GATE_PRIORITY = [
     "per_key_trend", "kmeans_lloyd_centroids", "rocksdb_state_rewrite",
     # r11 rotation: the format/layout contracts' first driver check — the
     # json/csv/orc source roundtrips, the co-located bucketed join, and
-    # partition pruning on a hive-layout write.
-    "json_source_roundtrip", "csv_source_roundtrip", "orc_source_roundtrip",
+    # partition pruning on a hive-layout write. r14 rotation: the three
+    # source roundtrips rotated out after 3 driver-green rounds (r11-r13,
+    # the eligibility precedent) — scan/write paths stay pytest-pinned in
+    # test_formats. In their slots, the same family's newer formats'
+    # first driver check: JSON-variant extraction, XML roundtrip,
+    # binaryFile ingest.
+    "json_variant_extract", "xml_source_roundtrip", "binary_file_ingest",
     "bucketed_join", "partitioned_prune_scan",
     # reference-fidelity conformance analogs (r5 rotation). r8: pojo/kryo
     # value rows, the compressed-snapshot variant, and custom_reader_expand
@@ -83,9 +88,14 @@ GATE_PRIORITY = [
     # operator-state paths stay pytest-restart-proven. In their slots:
     # the r10 corpus-maintenance additions' first driver check
     # (merge-upsert CDC, schema-evolution union, float-WAV features).
+    # r14: kryo_custom_class rotated out after 6 driver-green rounds
+    # (r8-r13) — the full Kryo path stays JVM-cross-validated in
+    # test_kryo. In its slot: nested_state_rewrite (r13-registered
+    # nested-UnsafeRow surgery proof — array state patched inside the
+    # nested struct, real-query restart, SQL oracle), first driver check.
     "corpus_merge_upsert",
     "schema_evolution_merge",
-    "audio_float_features", "kryo_custom_class",
+    "audio_float_features", "nested_state_rewrite",
     # dedup family (dedup_exact rotated out in r6 after 5 driver-green
     # rounds; dedup_minhash_lsh rotated out in r8 after 7 — its band-bucket
     # equi-join survives inside dedup_lsh_quality_eval and dedup_clusters'
@@ -138,10 +148,14 @@ GATE_PRIORITY = [
     # their slots: pagerank_centrality (Pregel-shaped fixed-point),
     # savepoint_diff (cross-savepoint state delta), and the r11-hardened
     # heavy_hitters_two_phase (vectorized SpaceSaving + coverage guard).
+    # r14: tpch_q17_small_qty rotated out after 3 driver-green rounds
+    # (r11-r13) — q3 keeps the TPC-H spine in the gate. In its slot:
+    # text_length_histogram (binned length distribution), first driver
+    # check.
     "tpch_q3",
     "pagerank_centrality", "savepoint_diff",
     "heavy_hitters_two_phase",
-    "tpch_q17_small_qty",
+    "text_length_histogram",
     # r10 rotation: the remaining never-driver-checked TPC-H tail — q7
     # dual-role nation join, q8 market share, q11 grouped threshold, q12
     # shipmode buckets, q13 outer-join custdist, q15 window-max revenue
@@ -165,16 +179,29 @@ GATE_PRIORITY = [
     # wave multimodal_pixel_resize / text_dup_ngram_stats /
     # text_langid_accuracy / source_mixture_temperature / sequence_pack
     # rotated out after 3 driver-green rounds r8-r10.)
-    "hash_sample", "stratified_sample", "train_val_split",
-    "domain_mixture_sample", "leakage_safe_split",
+    # r14: the r11 sampling wave (hash_sample, stratified_sample,
+    # train_val_split, domain_mixture_sample, leakage_safe_split) rotated
+    # out after 3 driver-green rounds (r11-r13) — hash-split determinism
+    # stays pytest-pinned in test_sampling. In their slots, first driver
+    # checks for the rescore/merge contracts only the mirror has seen:
+    # the four ANN recall evals (exact-vs-LSH/IVF/PQ/clustered overlap)
+    # and the full BPE trainer.
+    "ann_recall_eval", "ann_ivf_recall_eval", "ann_pq_recall_eval",
+    "ann_ivf_clustered_recall", "bpe_train_merges",
     "funnel_conversion",
     # r10 rotation: the r8 media-codec additions' first driver check —
     # pure-Python JPEG/GIF roundtrips, real GIF frame sampling, the audio
     # feature path (WAV containers + integer DSP), and MJPEG-AVI demux
-    # with real per-frame JPEG decode.
-    "multimodal_jpeg_roundtrip", "multimodal_gif_roundtrip",
-    "multimodal_gif_frame_sample", "audio_wav_features",
-    "video_avi_frame_sample",
+    # with real per-frame JPEG decode. r14: that whole media wave rotated
+    # out after 4 driver-green rounds (r10-r13) — the codec paths stay
+    # golden-pinned in test_jpeg/test_gif/test_audio/test_avi. In their
+    # slots, first driver checks for: the engine-API layer over the same
+    # codecs (tier-select resize, frame sampling, deterministic embed
+    # stub) and the text tail (banded Levenshtein pairs, repetition
+    # ratios).
+    "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_embed", "text_levenshtein_pairs",
+    "text_repetition",
     # text / multimodal flagships (lang_id rotated out in r5). r12:
     # multimodal_decode rotated out after 9 driver-green rounds
     # (r1, r3-r11) — the tier-selector source column stays pinned by the
@@ -186,60 +213,44 @@ GATE_PRIORITY = [
 
 # The NEXT rotation, STAGED AS EXECUTABLE DATA — the r7 failure mode was
 # a staged rotation that lived only in a comment and never shipped. (The
-# r9-staged swaps executed in r10 after the r9 stall; the r11-staged
-# swaps executed on schedule as r11's first commit; the r12-staged
-# 14-swap rotation executed on schedule as r12's first substantive
-# commit; the r13-staged 12-swap rotation executed on schedule as r13's
-# first commit — all 12 OUTs confirmed green in CORRECTNESS_r12.)
-# To execute in r14 (FIRST commit of the round):
-#   1. confirm each OUT row below is green in CORRECTNESS_r13 (if one is
+# r9-staged swaps executed in r10 after the r9 stall; the r11/r12/r13
+# stagings executed on schedule as their round's first commit; the
+# r13-staged 15-swap rotation executed on schedule as r14's first
+# commit — all 15 OUTs confirmed green in CORRECTNESS_r13, and the
+# never-driver-checked count reached ZERO: every one of the 183
+# registered queries has driver-side proof at least once.)
+# To execute in r15 (FIRST commit of the round):
+#   1. confirm each OUT row below is green in CORRECTNESS_r14 (if one is
 #      red, keep it in the gate and drop its pair from this round);
 #   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
 #   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
-# 15 swaps: INs are ALL 15 remaining never-driver-checked rows — the
-# four ANN recall evals, bpe_train_merges, the multimodal engine-API
-# trio, the text-analysis tail, the three r12 post-freeze source
-# registrations, and the r13-registered nested_state_rewrite (the
-# nested-UnsafeRow surgery proof, mirror-green at all three scales on
-# registration). After execution the never-driver-checked count is ZERO
-# for the first time; every registered query will have been
-# driver-checked at least once. The rotation ledger lives in COVERAGE.md.
-R14_STAGED_SWAPS = [
-    # (rotate OUT once r13-green, rotate IN — never driver-checked)
-    # the r11 source-roundtrip wave: 3 green rounds r11-r13 (the r11
-    # eligibility precedent); their scan/write paths stay pytest-pinned
-    # in test_formats, and the three INs are the same family's newer
-    # formats (XML, binaryFile, JSON-variant extraction)
-    ("json_source_roundtrip", "json_variant_extract"),
-    ("csv_source_roundtrip", "xml_source_roundtrip"),
-    ("orc_source_roundtrip", "binary_file_ingest"),
-    # the r10 media wave: 4 green rounds r10-r13; the pure-Python codec
-    # paths stay golden-pinned in test_jpeg/test_gif/test_audio/test_avi,
-    # and the INs are the engine-API layer over the same codecs
-    # (tier-select resize, frame sampling, deterministic embed stub)
-    ("multimodal_jpeg_roundtrip", "multimodal_resize"),
-    ("multimodal_gif_roundtrip", "multimodal_frame_sample"),
-    ("multimodal_gif_frame_sample", "multimodal_embed"),
-    # audio/video rows: 4 green rounds r10-r13; integer-DSP feature and
-    # demux paths stay pinned in test_audio/test_avi; INs are the text
-    # tail (banded Levenshtein pairs, repetition ratios, length bins)
-    ("audio_wav_features", "text_levenshtein_pairs"),
-    ("video_avi_frame_sample", "text_repetition"),
-    ("tpch_q17_small_qty", "text_length_histogram"),
-    # the r11 sampling wave: 3 green rounds r11-r13; hash-split
-    # determinism stays pytest-pinned in test_sampling; INs are the four
-    # recall evals (exact-vs-LSH/IVF/PQ/clustered overlap) and the full
-    # BPE trainer — the rescore/merge contracts only the mirror has seen
-    ("hash_sample", "ann_recall_eval"),
-    ("stratified_sample", "ann_ivf_recall_eval"),
-    ("train_val_split", "ann_pq_recall_eval"),
-    ("domain_mixture_sample", "ann_ivf_clustered_recall"),
-    ("leakage_safe_split", "bpe_train_merges"),
-    # kryo_custom_class: 6 green rounds r8-r13 (pending r13); the full
-    # Kryo path stays JVM-cross-validated in test_kryo. In its slot: the
-    # r13 nested-state surgery proof (applyInPandasWithState array state
-    # patched inside the nested struct, real-query restart, SQL oracle)
-    ("kryo_custom_class", "nested_state_rewrite"),
+# With the never-checked pool empty, rotation now cycles the
+# LONGEST-AGO-CHECKED rows back in for periodic re-proof, oldest last
+# driver check first (the r1-only wave, last proven 13 rounds ago, then
+# the r2 relational wave). OUTs are the r12 wave — first checked r12, so
+# r12+r13+r14 = 3 consecutive green rounds (the r11 eligibility
+# precedent) once CORRECTNESS_r14 confirms. 14 swaps:
+R15_STAGED_SWAPS = [
+    # (rotate OUT once r14-green, rotate IN — re-proof, last checked r1)
+    # the five r1-only rows: driver-proven exactly once, 13 rounds ago;
+    # mirror-green every session since
+    ("pagerank_centrality", "dedup_embedding_cosine"),
+    ("savepoint_diff", "dedup_minhash_signatures"),
+    ("heavy_hitters_two_phase", "multimodal_meta"),
+    ("corpus_merge_upsert", "text_fingerprint"),
+    ("schema_evolution_merge", "text_token_count"),
+    # the r2 relational wave (last checked r2, 12 rounds ago): the
+    # distinctive join/agg plans — anti/semi/asof/range joins, cube and
+    # distinct aggregates, percentiles, window analytics, full outer
+    ("audio_float_features", "anti_join"),
+    ("video_dib_frame_sample", "asof_join"),
+    ("audio_resample_features", "cube_agg"),
+    ("snapshot_rescale", "distinct_agg"),
+    ("multimodal_bilinear_resize", "full_outer_join"),
+    ("image_phash_dedup", "percentiles"),
+    ("audio_fingerprint", "semi_join"),
+    ("corpus_drift_tv", "window_analytics"),
+    ("quality_calibration_by_source", "range_join_clicks_before_purchase"),
 ]
 
 

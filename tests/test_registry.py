@@ -33,6 +33,25 @@ def test_first_window_is_gate_priority_in_order():
     assert qs[: len(GATE_PRIORITY)] == GATE_PRIORITY
 
 
+def test_coverage_totals_match_registry():
+    """COVERAGE.md's headline totals line must equal ``len(QUERIES)`` —
+    the r13 verdict found it stale at "179" two rounds running (the r12
+    post-freeze registrations and nested_state_rewrite never bumped it).
+    Generated-from-registry isn't possible for a markdown file, so this
+    pin is the enforcement: registering a query without updating the
+    ledger headline now fails the suite."""
+    import pathlib
+    import re
+
+    qs = _entry().queries()
+    text = pathlib.Path(__file__).resolve().parents[1].joinpath(
+        "COVERAGE.md").read_text()
+    m = re.search(r"\*\*Totals: (\d+) queries\*\*", text)
+    assert m, "COVERAGE.md headline '**Totals: N queries**' not found"
+    assert int(m.group(1)) == len(qs), (
+        f"COVERAGE.md says {m.group(1)} queries, registry has {len(qs)}")
+
+
 def test_every_gate_query_has_an_oracle():
     # the gate window must produce hash-checked rows, not weaker rows-only
     # checks — so every windowed query needs DuckDB oracle SQL
@@ -56,12 +75,24 @@ def test_flagship_families_inside_window():
         "approx_sketch_accuracy", "quality_filter_pipeline",
         "text_normalize", "text_redact_pii", "word_freq_topk",
         "doc_embedding_join", "embedding_norms",
+        # r14 rotation: the r13-staged 15-swap flip — first driver check
+        # for ALL remaining never-checked rows (recall evals, BPE
+        # trainer, multimodal engine-API trio, text tail, the three r12
+        # post-freeze sources, nested_state_rewrite); the rotated-out
+        # source/sampling/media/kryo rows' paths stay retained per
+        # registry.py per-pair comments
+        "ann_recall_eval", "ann_ivf_recall_eval", "ann_pq_recall_eval",
+        "ann_ivf_clustered_recall", "bpe_train_merges",
+        "multimodal_resize", "multimodal_frame_sample", "multimodal_embed",
+        "text_levenshtein_pairs", "text_repetition",
+        "text_length_histogram",
+        "xml_source_roundtrip", "binary_file_ingest",
+        "json_variant_extract", "nested_state_rewrite",
         # r12 rotation: the r11-staged 14-swap flip — first driver check
         # for the thirteen r10 additions + snapshot_rescale (the last
         # reference use-case without driver proof); the rotated-out
         # conformance/dedup/ANN/streaming rows' paths stay retained per
         # registry.py per-pair comments
-        "kryo_custom_class",
         "corpus_merge_upsert", "schema_evolution_merge",
         "audio_float_features", "snapshot_rescale",
         "pagerank_centrality", "savepoint_diff",
@@ -74,21 +105,13 @@ def test_flagship_families_inside_window():
         "dedup_ngram_jaccard",
         "streaming_window_counts_watermarked",
         "tpch_q3",
-        # r11 rotation: first driver check for tpch_q17, the json/csv/orc
-        # format roundtrips, the layout contracts, and the sampling
-        # family (the r8 wave rotated out after 3 driver-green rounds
-        # r8-r10 — paths retained per registry.py comments)
-        "tpch_q17_small_qty",
-        "json_source_roundtrip", "csv_source_roundtrip",
-        "orc_source_roundtrip",
+        # r11 rotation survivors: the layout contracts and the funnel
+        # plan (the format roundtrips, sampling family, tpch_q17, the
+        # r10 media wave, and kryo_custom_class rotated out in r14 after
+        # 3-6 driver-green rounds — paths retained per registry.py
+        # comments)
         "bucketed_join", "partitioned_prune_scan",
-        "hash_sample", "stratified_sample", "train_val_split",
-        "domain_mixture_sample", "leakage_safe_split",
         "funnel_conversion",
-        # r10 rotation: the r8 media-codec additions and the TPC-H tail
-        "multimodal_jpeg_roundtrip", "multimodal_gif_roundtrip",
-        "multimodal_gif_frame_sample", "audio_wav_features",
-        "video_avi_frame_sample",
     ):
         assert name in window, f"{name} fell out of the correctness gate"
 
@@ -117,13 +140,13 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
             return any(unsortable(f.dataType) for f in dt.fields)
         return False
 
-    from bravo_spark.inventory.registry import R14_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R15_STAGED_SWAPS
 
     qs = _entry().queries()
     offenders = []
     # the staged rotation INs are checked too: a staged query with an
     # unsortable schema would burn its very first gate slot on flip
-    names = list(GATE_PRIORITY) + [i for _, i in R14_STAGED_SWAPS]
+    names = list(GATE_PRIORITY) + [i for _, i in R15_STAGED_SWAPS]
     for name in names:
         schema = qs[name](spark, sf_dir).schema
         for field in schema.fields:
@@ -133,18 +156,20 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
 
 
 def test_staged_rotation_is_consistent():
-    """The staged next-round rotation (registry.R14_STAGED_SWAPS) must
+    """The staged next-round rotation (registry.R15_STAGED_SWAPS) must
     stay executable: every OUT name is currently IN the gate window, every
-    IN name is a registered never-gated query, and the swap keeps the
-    window at exactly 50 distinct names. Pins the staging as live data —
-    the r7 regression was a staged rotation that existed only in a comment
-    and silently rotted."""
-    from bravo_spark.inventory.registry import R14_STAGED_SWAPS
+    IN name is a registered query not currently gated (with the
+    never-checked pool at zero since r14, INs are re-proof rows cycling
+    back in, oldest last-check first), and the swap keeps the window at
+    exactly 50 distinct names. Pins the staging as live data — the r7
+    regression was a staged rotation that existed only in a comment and
+    silently rotted."""
+    from bravo_spark.inventory.registry import R15_STAGED_SWAPS
 
     qs = _entry().queries()
     window = set(GATE_PRIORITY)
-    outs = [o for o, _ in R14_STAGED_SWAPS]
-    ins = [i for _, i in R14_STAGED_SWAPS]
+    outs = [o for o, _ in R15_STAGED_SWAPS]
+    ins = [i for _, i in R15_STAGED_SWAPS]
     assert len(set(outs)) == len(outs) and len(set(ins)) == len(ins)
     for o in outs:
         assert o in window, f"staged OUT {o} is not in the current gate"
