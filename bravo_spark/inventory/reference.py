@@ -550,8 +550,11 @@ def tpch_q3(spark, sf_dir):
             o.filter(F.col("o_orderdate") < cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
+        # no broadcast hint: the filtered customer side is ~20% of an
+        # sf-proportional table (billions of rows at TPC-H-100TB) — AQE
+        # broadcasts it at fixture scale and picks SMJ at real scale
         .join(
-            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
     )
@@ -868,14 +871,16 @@ def window_analytics(spark, sf_dir):
 )
 def left_outer_join(spark, sf_dir):
     """Left join against a filtered build side: nulls preserved for the
-    non-matching majority (the filter keeps the broadcast side small)."""
+    non-matching majority. No broadcast hint — the filtered customer side
+    is still sf-proportional (~20% of the table), so join selection is
+    AQE's call: broadcast at fixture scale, sort-merge at real scale."""
     c = (
         catalog.table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey", "c_name")
     )
     o = catalog.table(spark, sf_dir, "orders")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
         "o_orderkey", "o_custkey", "c_name"
     )
 

@@ -189,14 +189,19 @@ def funnel_conversion(spark, sf_dir):
     ),
 )
 def retention_cohorts(spark, sf_dir):
-    """Cohort retention matrix: first-seen day × activity day. The cohort
-    table is per-key-small and broadcast back onto the fact scan."""
+    """Cohort retention matrix: first-seen day × activity day. The
+    first-seen timestamp is a window min over ``user_id`` — ONE shuffle on
+    the key and no join at all. (The previous formulation broadcast the
+    ``groupBy(user_id).min(ts)`` cohort table back onto the fact scan:
+    one row PER USER, i.e. scale-factor-proportional — a forced broadcast
+    that hard-fails past Spark's broadcast limit at real corpus scale.)"""
+    from pyspark.sql import Window
+
     ev = catalog.table(spark, sf_dir, "events")
-    cohorts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    joined = ev.join(F.broadcast(cohorts), "user_id")
-    return joined.select(
+    first_ts = F.min("ts").over(Window.partitionBy("user_id"))
+    return ev.select(
         "user_id",
-        F.unix_timestamp(F.date_trunc("day", "first_ts")).alias("cohort_day"),
+        F.unix_timestamp(F.date_trunc("day", first_ts)).alias("cohort_day"),
         F.unix_timestamp(F.date_trunc("day", "ts")).alias("activity_day"),
     ).groupBy("cohort_day", "activity_day").agg(
         F.count_distinct("user_id").alias("active_users")
