@@ -27,6 +27,7 @@ HEADLINE = [
     "snapshot_roundtrip",
     "snapshot_roundtrip_compressed",
     "checkpoint_roundtrip",
+    "rocksdb_state_rewrite",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

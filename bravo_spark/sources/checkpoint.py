@@ -169,11 +169,16 @@ def read_incremental_checkpoint(
     state_names: list[str] | None = None,
     files: list[str] | None = None,
     verify_checksums: bool = False,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Incremental checkpoint → universal state-row relation.
     ``verify_checksums=True`` block-verifies every SST during the scan
     (integrity audit; corrupt blocks fail the task loudly instead of
-    decoding garbage)."""
+    decoding garbage). ``skew_safe=True`` swaps the default collect_list
+    LSM resolution for :func:`resolve_lsm_streamed` — use for audit scans
+    of checkpoints that may hold merge-heavy keys (millions of operands),
+    where the default's per-key memory and quadratic concat fold would
+    hurt; see the bounds note on :func:`resolve_lsm`."""
     if state_names is not None:
         selected = set(state_names)
         state_filter = lambda n: n in selected  # noqa: E731
@@ -189,7 +194,7 @@ def read_incremental_checkpoint(
         lambda it: _scan_ssts(it, state_filter, verify_checksums),
         schema=_RAW_SCHEMA,
     )
-    return resolve_lsm(raw)
+    return resolve_lsm_streamed(raw) if skew_safe else resolve_lsm(raw)
 
 
 def resolve_lsm(raw: DataFrame) -> DataFrame:
@@ -199,7 +204,21 @@ def resolve_lsm(raw: DataFrame) -> DataFrame:
     (state_name, key_ns), everything else builtin expressions. Shared by
     ``read_incremental_checkpoint`` and the ``bravo_checkpoint``
     DataSource front door (sources/datasource.py), whose scan yields the
-    same raw relation."""
+    same raw relation.
+
+    PER-KEY BOUNDS: ``collect_list`` gathers every surviving version of a
+    key into ONE array row, so peak per-key memory is
+    O(sum of all version payloads + per-element struct overhead) — for a
+    pathological key that accumulated millions of merge operands this is
+    a single-row executor-memory bound (RocksDB itself degrades on such a
+    key, but it streams; this doesn't). Worse, the JVM concat fold over
+    that array recopies the accumulated buffer per operand, so time is
+    QUADRATIC in a key's merge-operand count (measured: 14 s at 5k
+    operands, 189 s at 20k). Both bounds are per-key, so the normal case
+    — bounded operand counts between compactions — is unaffected. For
+    audit scans over checkpoints that may contain merge-heavy keys, use
+    :func:`resolve_lsm_streamed`, which sort-folds each key in Arrow-batch
+    order: linear time, and holds only the folded value bytes per key."""
     resolved = (
         raw.groupBy("state_name", "key_ns")
         .agg(F.collect_list(F.struct("seq", "vtype", "value")).alias("es"))
@@ -221,6 +240,66 @@ def resolve_lsm(raw: DataFrame) -> DataFrame:
         .select("state_name", "key_ns", "value")
     )
     return resolved
+
+
+def resolve_lsm_streamed(raw: DataFrame) -> DataFrame:
+    """Skew-safe variant of :func:`resolve_lsm` for the audit path: same
+    shuffle on (state_name, key_ns), but instead of ``collect_list`` the
+    versions are sorted within each partition by (key, seq) and folded in
+    Arrow-batch order — ascending seq means each non-merge entry simply
+    RESETS the fold (a put replaces the buffer, a tombstone clears it)
+    and each merge operand appends, so peak per-key memory is just the
+    folded value bytes, never the full version array. A key with millions
+    of merge operands streams through ~10k-row batches instead of
+    materializing one giant array row. Output and semantics are identical
+    to ``resolve_lsm`` (equivalence is pytest-pinned, including the
+    100k-operand skew case)."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key: tuple | None = None
+        buf: bytearray | None = None
+        out_names: list[str] = []
+        out_keys: list[bytes] = []
+        out_vals: list[bytes] = []
+
+        def emit():
+            if cur_key is not None and buf is not None:
+                out_names.append(cur_key[0])
+                out_keys.append(cur_key[1])
+                out_vals.append(bytes(buf))
+
+        for pdf in batches:
+            for name, key_ns, vtype, value in zip(
+                pdf["state_name"], pdf["key_ns"], pdf["vtype"], pdf["value"]
+            ):
+                k = (name, bytes(key_ns))
+                if k != cur_key:
+                    emit()
+                    cur_key, buf = k, None
+                if vtype == 1:  # put: replaces everything older
+                    buf = bytearray(value)
+                elif vtype == 2:  # merge operand: StringAppend fold
+                    if buf is None:
+                        buf = bytearray(value)
+                    else:
+                        buf += b"," + bytes(value)
+                else:  # tombstone (0/7): clears
+                    buf = None
+            if out_vals:
+                yield pd.DataFrame(
+                    {"state_name": out_names, "key_ns": out_keys, "value": out_vals}
+                )
+                out_names, out_keys, out_vals = [], [], []
+        emit()
+        if out_vals:
+            yield pd.DataFrame(
+                {"state_name": out_names, "key_ns": out_keys, "value": out_vals}
+            )
+
+    shaped = raw.repartition("state_name", "key_ns").sortWithinPartitions(
+        "state_name", "key_ns", "seq"
+    )
+    return shaped.mapInPandas(fold, schema="state_name string, key_ns binary, value binary")
 
 
 def write_sst_fixture(

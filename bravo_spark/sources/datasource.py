@@ -392,7 +392,12 @@ class CheckpointDataSource(DataSource):
     ``state_name`` EqualTo/In predicates reach ``pushFilters`` and become
     COLUMN-FAMILY pruning: each SST names its column family in its
     properties block, so a non-selected file costs a footer+properties
-    read and its data blocks are never touched."""
+    read and its data blocks are never touched.
+
+    ``.option("verify_checksums", "true")`` switches on the
+    integrity-audit mode (same contract as the functional API's kwarg):
+    every block trailer is verified before decode, so a corrupt
+    checkpoint fails the task loudly instead of yielding garbage."""
 
     @classmethod
     def name(cls) -> str:
@@ -410,11 +415,20 @@ class CheckpointDataSource(DataSource):
 class CheckpointScanReader(_StateNamePushdownReader):
     _WHAT = "a checkpoint directory"
 
+    def __init__(self, options):
+        super().__init__(options)
+        # integrity-audit mode (r13 functional-API option, plumbed through
+        # the format front door): verify every block trailer before decode
+        self.verify_checksums = (
+            str(options.get("verify_checksums", "false")).lower() == "true"
+        )
+
     def partitions(self):
         from bravo_spark.sources.checkpoint import discover_sst_files
 
         if self.state_names is not None and not self.state_names:
-            return [InputPartition(json.dumps({"file": None, "names": []}))]
+            return [InputPartition(json.dumps(
+                {"file": None, "names": [], "verify": False}))]
         names = sorted(self.state_names) if self.state_names is not None else None
         # either layout: a Flink checkpoint (_metadata walk) or a
         # transferred/self-written directory (glob) — same discovery the
@@ -425,9 +439,11 @@ class CheckpointScanReader(_StateNamePushdownReader):
         # would crash read(None) — mirror SavepointScanReader's
         # {file: None} fallback partition
         return [
-            InputPartition(json.dumps({"file": p, "names": names}))
+            InputPartition(json.dumps(
+                {"file": p, "names": names, "verify": self.verify_checksums}))
             for p in discover_sst_files(self.path)
-        ] or [InputPartition(json.dumps({"file": None, "names": names}))]
+        ] or [InputPartition(json.dumps(
+            {"file": None, "names": names, "verify": False}))]
 
     def read(self, partition: InputPartition):
         import pyarrow as pa
@@ -443,7 +459,7 @@ class CheckpointScanReader(_StateNamePushdownReader):
         )
         names, keys, seqs, types, vals = [], [], [], [], []
         for name, user_key, seq, vtype, value in iter_sst_entries(
-            spec["file"], state_filter
+            spec["file"], state_filter, verify_checksums=spec["verify"]
         ):
             names.append(name)
             keys.append(user_key)

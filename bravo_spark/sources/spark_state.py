@@ -164,6 +164,18 @@ def encode_stream_like(original: bytes | None, payload: bytes) -> bytes:
 # (tests/test_spark_state.py).
 
 
+def _hashable_decode(dt: T.DataType) -> bool:
+    """True iff values of ``dt`` decode to hashable Python objects (maps
+    decode to dict, so their KEYS must be hashable: arrays/maps decode to
+    list/dict — never; structs decode to tuples — only if every nested
+    field does)."""
+    if isinstance(dt, (T.ArrayType, T.MapType)):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_hashable_decode(f.dataType) for f in dt.fields)
+    return True
+
+
 def _check_schema(schema: T.StructType) -> None:
     def ok(dt: T.DataType) -> bool:
         if isinstance(dt, _SUPPORTED + (T.DateType,)):
@@ -173,6 +185,14 @@ def _check_schema(schema: T.StructType) -> None:
         if isinstance(dt, T.ArrayType):
             return ok(dt.elementType)
         if isinstance(dt, T.MapType):
+            if not _hashable_decode(dt.keyType):
+                # would decode to an unhashable dict key and TypeError
+                # mid-scan; fail here, at schema-check time, by name
+                raise ValueError(
+                    f"UnsafeRow codec: map key type {dt.keyType} decodes to "
+                    "an unhashable Python object (maps decode to dict); "
+                    "array/map-typed map keys are unsupported"
+                )
             return ok(dt.keyType) and ok(dt.valueType)
         if isinstance(dt, T.StructType):
             return all(ok(f.dataType) for f in dt.fields)
@@ -221,12 +241,17 @@ def _ts_decode(us: int):
 
 
 def _ts_encode(v) -> int:
+    """Exact integer microseconds since epoch from the timedelta COMPONENTS —
+    ``total_seconds()*1e6`` is a float round-trip that truncates ~1.2% of
+    microsecond-resolution timestamps off by 1us (2**53 < microseconds in a
+    century), silently drifting fields a rewrite never touched."""
     import datetime as _dt
 
     global _EPOCH
     if _EPOCH is None:
         _EPOCH = _dt.datetime(1970, 1, 1)
-    return int((v.replace(tzinfo=None) - _EPOCH).total_seconds() * 1_000_000)
+    d = v.replace(tzinfo=None) - _EPOCH
+    return d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
 
 
 def _dec_unscaled(v, scale: int) -> int:
@@ -296,7 +321,16 @@ def _decode_region(buf: bytes, base: int, size: int, dt: T.DataType):
         (ksize,) = struct.unpack_from("<q", buf, base)
         keys = _decode_array_at(buf, base + 8, dt.keyType)
         vals = _decode_array_at(buf, base + 8 + ksize, dt.valueType)
-        return dict(zip(keys, vals))
+        m = dict(zip(keys, vals))
+        if len(m) != len(keys):
+            # legal in files written before Spark enforced map-key dedup;
+            # collapsing would silently shrink the map on rewrite
+            raise ValueError(
+                f"UnsafeRow codec: map with {len(keys)} entries has "
+                f"duplicate keys (decodes to {len(m)}); refusing to "
+                "collapse them silently"
+            )
+        return m
     raise AssertionError(f"not var-length: {dt}")
 
 
@@ -384,8 +418,10 @@ def _encode_region(v, dt: T.DataType) -> bytes:
         return bytes(v)
     if isinstance(dt, T.DecimalType):
         unscaled = _dec_unscaled(v, dt.scale)
-        length = max(1, (unscaled.bit_length() + 8) // 8)  # BigInteger layout
-        return unscaled.to_bytes(length, "big", signed=True)
+        # minimal two's-complement, exactly BigInteger.toByteArray: bitLength
+        # excludes the sign bit, so -128 is ONE byte (0x80), not ff80
+        bl = (~unscaled).bit_length() if unscaled < 0 else unscaled.bit_length()
+        return unscaled.to_bytes(bl // 8 + 1, "big", signed=True)
     if isinstance(dt, T.StructType):
         return encode_unsafe_row(tuple(v), dt)
     if isinstance(dt, T.ArrayType):
@@ -435,10 +471,17 @@ def encode_unsafe_row(values: tuple, schema: T.StructType) -> bytes:
     var = bytearray()
     for i, (v, f) in enumerate(zip(values, schema.fields)):
         slot = header + 8 * i
+        dt = f.dataType
+        wide_dec = isinstance(dt, T.DecimalType) and dt.precision > 18
         if v is None:
             bits |= 1 << i
+            if wide_dec:
+                # UnsafeWriter.write(Decimal) reserves 16 var bytes even for
+                # null and records the offset "for future update"
+                off = header + 8 * nf + len(var)
+                struct.pack_into("<q", fixed, slot, off << 32)
+                var += b"\x00" * 16
             continue
-        dt = f.dataType
         if _is_fixed(dt):
             _pack_fixed(fixed, slot, v, dt)
         else:
@@ -446,8 +489,11 @@ def encode_unsafe_row(values: tuple, schema: T.StructType) -> bytes:
             off = header + 8 * nf + len(var)
             struct.pack_into("<q", fixed, slot, (off << 32) | len(data))
             var += data
-            if len(data) % 8:
-                var += b"\x00" * (8 - len(data) % 8)
+            # wide decimals always consume a zeroed 16-byte region in rows
+            # (UnsafeWriter grow(16)); other var types pad to the next word
+            pad_to = 16 if wide_dec else (len(data) + 7) // 8 * 8
+            if len(data) < pad_to:
+                var += b"\x00" * (pad_to - len(data))
     fixed[0:header] = bits.to_bytes(header, "little")
     return bytes(fixed) + bytes(var)
 

@@ -380,3 +380,52 @@ def test_datasource_writer_append_parallelism_mismatch_refuses(
     import os as _os
 
     assert not [p for p in _os.listdir(out) if p.endswith(".tmp")]
+
+
+def test_checkpoint_datasource_verify_checksums(spark, tmp_path):
+    """.option("verify_checksums", "true") through the bravo_checkpoint
+    front door (the functional API got it in r13): a clean checkpoint
+    reads identically to the unverified scan; one flipped data-block byte
+    fails the task loudly instead of decoding garbage."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from bravo_spark.sources import checkpoint as ck
+    from bravo_spark.sources import sst as sstmod
+
+    entries = {
+        "Count": [
+            (_struct.pack(">Q", i), 1, sstmod.TYPE_VALUE, _struct.pack(">q", i * 3))
+            for i in range(500)
+        ]
+    }
+    out = str(tmp_path / "ck")
+    ck.write_sst_fixture(out, entries, compression=sstmod.SNAPPY_COMPRESSION)
+    ds.register(spark)
+
+    verified = (
+        spark.read.format("bravo_checkpoint")
+        .option("verify_checksums", "true")
+        .load(out)
+    )
+    plain = spark.read.format("bravo_checkpoint").load(out)
+    assert sorted(bytes(r["key_ns"]) for r in verified.collect()) == sorted(
+        bytes(r["key_ns"]) for r in plain.collect()
+    )
+
+    # corrupt one byte inside the first data block
+    path = ck.list_sst_files(out)[0]
+    h = next(iter(sstmod.SstReader(path).iter_data_handles()))
+    buf = bytearray(open(path, "rb").read())
+    buf[h.offset + h.size // 2] ^= 0xFF
+    open(path, "wb").write(bytes(buf))
+
+    with _pytest.raises(Exception, match="checksum|corrupt|snappy"):
+        spark.read.format("bravo_checkpoint").option(
+            "verify_checksums", "true"
+        ).load(out).count()
+    # and the option parses through the reader ctor
+    r = ds.CheckpointScanReader({"path": out, "verify_checksums": "true"})
+    assert r.verify_checksums is True
+    assert ds.CheckpointScanReader({"path": out}).verify_checksums is False

@@ -1345,3 +1345,149 @@ def test_wide_array_multiword_null_bits(spark):
     ur.pointTo(ours, len(ours))
     got = tuple(_jvm_get(ur, i, f.dataType) for i, f in enumerate(schema.fields))
     assert _norm(got) == _norm(row)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13 regressions: timestamp exactness, wide-decimal byte identity,
+# map-key hashability, duplicate map keys, zstd rewrite-restart
+# ---------------------------------------------------------------------------
+
+
+def test_ts_encode_exact_microseconds():
+    """float total_seconds()*1e6 truncates ~1.2% of microsecond-resolution
+    timestamps between 1970 and 2100 off by 1us (2**53 < a century of
+    microseconds) — the encoder must use exact timedelta components."""
+    import datetime as _dt
+    import random
+
+    epoch = _dt.datetime(1970, 1, 1)
+    # a pinned victim of the float path: int(total_seconds()*1e6) loses 1us
+    us = 2_248_336_590_165_013
+    v = epoch + _dt.timedelta(microseconds=us)
+    assert int((v - epoch).total_seconds() * 1_000_000) != us  # float DOES drift
+    assert ss._ts_encode(v) == us
+
+    rng = random.Random(1337)
+    for _ in range(20_000):
+        us = rng.randrange(0, 4_102_444_800_000_000)  # 1970..2100
+        v = epoch + _dt.timedelta(microseconds=us)
+        assert ss._ts_encode(v) == us
+        assert ss._ts_decode(ss._ts_encode(v)) == v
+
+
+def test_wide_decimal_byte_identity_with_jvm(spark):
+    """Rewritten rows holding precision>18 decimals must be BYTE-identical
+    to UnsafeProjection output: minimal two's-complement (-128 is one byte
+    0x80, per BigInteger.toByteArray), a zeroed 16-byte var region per wide
+    decimal in rows — reserved even when the value is NULL, with the offset
+    recorded (UnsafeWriter.write(Decimal) 'keep the offset for future
+    update') — and 8-byte-word rounding inside arrays."""
+    import decimal as _dec
+
+    D = _dec.Decimal
+    cases = [
+        D("-1.28"),   # unscaled -128: the non-minimal-encoding boundary
+        D("-0.01"),   # unscaled -1 -> ff
+        D("0.00"),
+        D("1.27"),    # unscaled 127 -> 7f
+        D("1.28"),    # unscaled 128 -> 0080
+        None,         # null still consumes 16 var bytes in rows
+    ]
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("d", T.DecimalType(20, 2)),
+    ])
+    for v in cases:
+        row = (5, v)
+        df = spark.createDataFrame([row], schema)
+        jvm_bytes = bytes(df._jdf.queryExecution().toRdd().first().getBytes())
+        assert ss.encode_unsafe_row(row, schema) == jvm_bytes, v
+
+    arr_schema = T.StructType(
+        [T.StructField("ad", T.ArrayType(T.DecimalType(20, 2)))]
+    )
+    arr_row = ([D("-1.28"), None, D("1.27")],)
+    df = spark.createDataFrame([arr_row], arr_schema)
+    jvm_bytes = bytes(df._jdf.queryExecution().toRdd().first().getBytes())
+    assert ss.encode_unsafe_row(arr_row, arr_schema) == jvm_bytes
+
+
+def test_map_key_unhashable_rejected_at_schema_check():
+    """Array/map-typed map KEYS decode to unhashable list/dict — reject at
+    schema-check time by name, not TypeError mid-scan. Struct keys stay
+    allowed (they decode to hashable tuples) unless they nest an array."""
+    bad = T.StructType([
+        T.StructField("m", T.MapType(T.ArrayType(T.LongType()), T.StringType()))
+    ])
+    with pytest.raises(ValueError, match="map key type"):
+        ss._check_schema(bad)
+    nested_bad = T.StructType([
+        T.StructField("m", T.MapType(
+            T.StructType([T.StructField("x", T.ArrayType(T.LongType()))]),
+            T.StringType(),
+        ))
+    ])
+    with pytest.raises(ValueError, match="map key type"):
+        ss._check_schema(nested_bad)
+    ok = T.StructType([
+        T.StructField("m", T.MapType(
+            T.StructType([T.StructField("x", T.LongType())]), T.StringType()
+        ))
+    ])
+    ss._check_schema(ok)  # struct-of-primitives key decodes to a tuple
+
+
+def test_duplicate_map_keys_rejected_loudly():
+    """Maps with duplicate keys (legal in state files written before Spark
+    enforced dedup) must raise, not silently collapse and shrink on
+    rewrite."""
+    karr = ss._encode_array([1, 1], T.LongType())
+    varr = ss._encode_array(["a", "b"], T.StringType())
+    region = struct.pack("<q", len(karr)) + karr + varr
+    mt = T.MapType(T.LongType(), T.StringType())
+    with pytest.raises(ValueError, match="duplicate keys"):
+        ss._decode_region(region, 0, len(region), mt)
+    # the non-duplicate twin decodes fine
+    karr2 = ss._encode_array([1, 2], T.LongType())
+    region2 = struct.pack("<q", len(karr2)) + karr2 + varr
+    assert ss._decode_region(region2, 0, len(region2), mt) == {1: "a", 2: "b"}
+
+
+def test_rewrite_then_restart_zstd_codec(spark, tmp_path):
+    """zstd twin of the lz4/snappy restart proofs: rewrite state written
+    with stateStore.compression.codec=zstd (pyarrow-produced frames) and
+    prove the restarted query's REAL ZstdInputStreamNoFinalizer reads it."""
+    spark.conf.set("spark.sql.streaming.stateStore.compression.codec", "zstd")
+    try:
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 5)], "k string, v int"
+        ).coalesce(1).write.parquet(inp)
+        assert _run_agg(spark, inp, ckpt) == {"a": (2, 3), "b": (1, 5)}
+
+        # the files really are zstd frames
+        sdir = ss._state_dir(ckpt, 0)
+        pid = ss._partitions(sdir)[0]
+        ver = ss.latest_version(ckpt)
+        delta = os.path.join(sdir, str(pid), f"{ver}.delta")
+        assert open(delta, "rb").read(4) == ss.ZSTD_FRAME_MAGIC
+
+        st = ss.read_spark_state(spark, ckpt)
+        cnt_col = st.columns[2]
+        patched = (
+            st.drop("partition_id")
+            .where(F.col("k") != "b")
+            .withColumn(cnt_col, F.col(cnt_col) + F.lit(100))
+        )
+        ss.write_spark_state(spark, ckpt, patched)
+        assert open(delta, "rb").read(4) == ss.ZSTD_FRAME_MAGIC  # codec kept
+
+        spark.createDataFrame(
+            [("a", 10), ("b", 7)], "k string, v int"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        out2 = _run_agg(spark, inp, ckpt)
+        assert out2 == {"a": (103, 13), "b": (1, 7)}
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.compression.codec", "lz4"
+        )

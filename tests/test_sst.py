@@ -813,3 +813,90 @@ def test_checkpoint_scan_verify_checksums(tmp_path, spark):
         ck.read_incremental_checkpoint(
             spark, out, verify_checksums=True
         ).count()
+
+
+def test_resolve_lsm_streamed_equivalence(spark, tmp_path):
+    """The skew-safe sort-fold variant must produce the exact relation the
+    collect_list formulation does — across puts, shadowing, tombstones,
+    merge-only keys, and merges both before and after the base."""
+    d = str(tmp_path / "ckpt_eq")
+    ck.write_sst_fixture(
+        d,
+        {
+            "s": [
+                (_kns(1), 10, sst.TYPE_VALUE, b"old"),
+                (_kns(2), 11, sst.TYPE_VALUE, b"dead"),
+                (_kns(3), 12, sst.TYPE_MERGE, b"m0"),
+            ]
+        },
+    )
+    ck.write_sst_fixture(
+        d,
+        {
+            "s": [
+                (_kns(1), 20, sst.TYPE_VALUE, b"new"),
+                (_kns(2), 21, sst.TYPE_SINGLE_DELETION, b""),
+                (_kns(3), 22, sst.TYPE_MERGE, b"m1"),
+                (_kns(1), 23, sst.TYPE_MERGE, b"tail"),
+            ]
+        },
+    )
+    paths = ck.discover_sst_files(d)
+    frame = spark.createDataFrame([(p,) for p in paths], schema="path string")
+    raw = frame.mapInPandas(
+        lambda it: ck._scan_ssts(it, lambda _n: True, False), schema=ck._RAW_SCHEMA
+    )
+    want = sorted(
+        (r["state_name"], bytes(r["key_ns"]), bytes(r["value"]))
+        for r in ck.resolve_lsm(raw).collect()
+    )
+    got = sorted(
+        (r["state_name"], bytes(r["key_ns"]), bytes(r["value"]))
+        for r in ck.resolve_lsm_streamed(raw).collect()
+    )
+    assert got == want
+    assert len(got) == 2  # key 2 tombstoned
+    # the front-door flag routes to the same variant
+    front = sorted(
+        (r["state_name"], bytes(r["key_ns"]), bytes(r["value"]))
+        for r in ck.read_incremental_checkpoint(spark, d, skew_safe=True).collect()
+    )
+    assert front == want
+
+
+def test_resolve_lsm_streamed_skewed_key_100k_operands(spark):
+    """The documented resolve_lsm bound: one key accumulating 100k merge
+    operands. The streamed variant folds it in Arrow-batch order (peak
+    per-key memory = folded value bytes, linear time); the collect_list
+    formulation is QUADRATIC in operand count on such a key (each JVM
+    concat step recopies the accumulated buffer — measured 14s at 5k,
+    189s at 20k operands), so the 100k case runs streamed-only against a
+    Python-computed expectation and the byte-for-byte cross-check against
+    resolve_lsm runs at 2k where the quadratic path is still cheap."""
+    n = 100_000
+    rows = [("s", b"\x00hot", 1, sst.TYPE_VALUE, b"base")] + [
+        ("s", b"\x00hot", 2 + i, sst.TYPE_MERGE, str(i).encode()) for i in range(n)
+    ]
+    # a second, normal key proves the fold doesn't bleed state across keys
+    rows.append(("s", b"\x00cold", 5, sst.TYPE_VALUE, b"v"))
+    raw = spark.createDataFrame(rows, schema=ck._RAW_SCHEMA)
+    got = {
+        bytes(r["key_ns"]): bytes(r["value"])
+        for r in ck.resolve_lsm_streamed(raw).collect()
+    }
+    expect = b"base," + b",".join(str(i).encode() for i in range(n))
+    assert got[b"\x00hot"] == expect
+    assert got[b"\x00cold"] == b"v"
+
+    # byte-for-byte equivalence vs the collect_list formulation, at a
+    # size where its quadratic fold is still fast
+    small = spark.createDataFrame(rows[:2001] + rows[-1:], schema=ck._RAW_SCHEMA)
+    want = {
+        bytes(r["key_ns"]): bytes(r["value"])
+        for r in ck.resolve_lsm(small).collect()
+    }
+    got_small = {
+        bytes(r["key_ns"]): bytes(r["value"])
+        for r in ck.resolve_lsm_streamed(small).collect()
+    }
+    assert got_small == want
