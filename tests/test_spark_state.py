@@ -1411,6 +1411,30 @@ def test_wide_decimal_byte_identity_with_jvm(spark):
     jvm_bytes = bytes(df._jdf.queryExecution().toRdd().first().getBytes())
     assert ss.encode_unsafe_row(arr_row, arr_schema) == jvm_bytes
 
+    # nested shapes: the 16-byte reservation recurses into nested-struct
+    # rows (incl. the null case), while map key/value arrays and
+    # array-of-struct cells keep UnsafeArrayWriter's 8-byte rounding
+    nested_cases = [
+        (T.StructType([T.StructField("s", T.StructType([
+            T.StructField("x", T.LongType()),
+            T.StructField("d", T.DecimalType(20, 2)),
+        ]))]), ((7, D("-1.28")),)),
+        (T.StructType([T.StructField("s", T.StructType([
+            T.StructField("x", T.LongType()),
+            T.StructField("d", T.DecimalType(20, 2)),
+        ]))]), ((7, None),)),
+        (T.StructType([T.StructField("m", T.MapType(
+            T.StringType(), T.DecimalType(20, 2)))]),
+         ({"a": D("-1.28"), "b": None},)),
+        (T.StructType([T.StructField("a", T.ArrayType(T.StructType([
+            T.StructField("d", T.DecimalType(25, 3)),
+        ])))]), ([(D("-0.128"),), (None,)],)),
+    ]
+    for nschema, nrow in nested_cases:
+        df = spark.createDataFrame([nrow], nschema)
+        jvm_bytes = bytes(df._jdf.queryExecution().toRdd().first().getBytes())
+        assert ss.encode_unsafe_row(nrow, nschema) == jvm_bytes, nschema
+
 
 def test_map_key_unhashable_rejected_at_schema_check():
     """Array/map-typed map KEYS decode to unhashable list/dict — reject at
