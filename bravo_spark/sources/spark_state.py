@@ -752,6 +752,10 @@ def write_spark_state(
     *,
     operator_id: int = 0,
     version: int | None = None,
+    store_name: str | None = None,
+    key_schema: T.StructType | None = None,
+    value_schema: T.StructType | None = None,
+    partition_key_cols: list[str] | None = None,
 ) -> int:
     """Rewrite one state version so that, after replay, the operator's
     state equals ``df`` exactly (keys of the current state missing from
@@ -759,14 +763,31 @@ def write_spark_state(
     value columns (names per ``read_state_schema``); rows are routed to
     partitions with Spark's own ``pmod(murmur3(key), n)`` so a restarted
     query finds every key where it expects it. Returns the version written.
-    """
+
+    Named stores (the write twin of ``read_spark_state``'s
+    ``store_name``): a stream-stream join keeps four schema-file-less
+    stores per partition, so pass ``store_name`` plus explicit
+    ``key_schema``/``value_schema``. CRITICAL for joins: Spark routes a
+    row to its state partition by the JOIN KEY alone, but
+    ``keyWithIndexToValue``'s store key is (join key, index) — pass
+    ``partition_key_cols=[<join key cols>]`` there, or every re-routed
+    row lands in the wrong partition and the restarted join silently
+    loses it. Sibling stores must be patched coherently
+    (``keyToNumValues``'s count == that key's index count in
+    ``keyWithIndexToValue``); this writer patches one store per call."""
     if version is None:
-        version = latest_version(checkpoint_dir, operator_id)
-    key_schema, value_schema = read_state_schema(checkpoint_dir, operator_id)
+        version = latest_version(checkpoint_dir, operator_id, store_name)
+    if key_schema is None or value_schema is None:
+        if store_name is not None:
+            raise ValueError(
+                "named stores have no checkpoint schema file; pass "
+                "key_schema and value_schema explicitly"
+            )
+        key_schema, value_schema = read_state_schema(checkpoint_dir, operator_id)
     _check_schema(key_schema)
     _check_schema(value_schema)
-    sdir = _state_dir(checkpoint_dir, operator_id)
-    parts = _partitions(sdir)
+    sdir = _state_dir(checkpoint_dir, operator_id, store_name)
+    parts = _partitions(sdir, store_name)
     n = len(parts)
     key_names = [f.name for f in key_schema.fields]
     val_names = [
@@ -790,8 +811,14 @@ def write_spark_state(
             )
         ]
     )
+    part_cols = partition_key_cols if partition_key_cols is not None else key_names
+    unknown = [c for c in part_cols if c not in key_names]
+    if unknown:
+        raise ValueError(
+            f"partition_key_cols {unknown} are not key columns {key_names}"
+        )
     routed = typed.select(
-        F.pmod(F.hash(*key_names), F.lit(n)).cast("int").alias("_pid"),
+        F.pmod(F.hash(*part_cols), F.lit(n)).cast("int").alias("_pid"),
         *key_names,
         *val_names,
     ).repartition(n, "_pid")
@@ -806,14 +833,16 @@ def write_spark_state(
             vb = encode_unsafe_row(tuple(r[1 + nk :]), value_schema)
             by_pid.setdefault(pid, {})[kb] = vb
         for pid in by_pid:
-            _rewrite_partition_version(os.path.join(sdir, str(pid)), version, by_pid[pid])
+            _rewrite_partition_version(
+                _pdir(sdir, pid, store_name), version, by_pid[pid]
+            )
             yield pid
 
     # partitions with no desired rows still need their tombstone-only delta
     touched = set(routed.rdd.mapPartitions(write_partition).collect())
     for pid in parts:
         if pid not in touched:
-            _rewrite_partition_version(os.path.join(sdir, str(pid)), version, {})
+            _rewrite_partition_version(_pdir(sdir, pid, store_name), version, {})
     return version
 
 

@@ -1515,3 +1515,114 @@ def test_rewrite_then_restart_zstd_codec(spark, tmp_path):
         spark.conf.set(
             "spark.sql.streaming.stateStore.compression.codec", "lz4"
         )
+
+
+def test_stream_stream_join_state_rewrite_restart(spark, tmp_path):
+    """Named-store WRITE twin: surgically remove one user's buffered rows
+    from a stream-stream interval join's left-side stores
+    (keyToNumValues + keyWithIndexToValue, patched coherently), then
+    restart the REAL join on new right-side input — the deleted user's
+    match must not appear while other users' matches do.
+    keyWithIndexToValue routes by the JOIN KEY alone (its store key adds
+    the index), exercising partition_key_cols."""
+    import datetime as _dt
+
+    inp_l = str(tmp_path / "left")
+    inp_r = str(tmp_path / "right")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    t0 = _dt.datetime(2030, 1, 1, 10, 0, 0)
+
+    spark.createDataFrame(
+        [(1, t0), (2, t0)], "uid long, lts timestamp"
+    ).coalesce(1).write.parquet(inp_l)
+    spark.createDataFrame(
+        [(1, t0 + _dt.timedelta(minutes=1))], "r_uid long, rts timestamp"
+    ).coalesce(1).write.parquet(inp_r)
+
+    def run():
+        left = (
+            spark.readStream.schema("uid long, lts timestamp")
+            .parquet(inp_l)
+            .withWatermark("lts", "10 minutes")
+        )
+        right = (
+            spark.readStream.schema("r_uid long, rts timestamp")
+            .parquet(inp_r)
+            .withWatermark("rts", "10 minutes")
+        )
+        j = left.join(
+            right,
+            (F.col("uid") == F.col("r_uid"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        # memory sink cannot recover an append-mode query from a
+        # checkpoint; the parquet sink can, and output accumulates
+        q = (
+            j.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r["uid"], r["rts"]) for r in spark.read.parquet(outdir).collect()
+        }
+
+    out1 = run()
+    assert out1 == {(1, t0 + _dt.timedelta(minutes=1))}
+
+    counts_key = T.StructType([T.StructField("uid", T.LongType())])
+    counts_val = T.StructType([T.StructField("count", T.LongType())])
+    rows_key = T.StructType(
+        [T.StructField("uid", T.LongType()), T.StructField("index", T.LongType())]
+    )
+    rows_val = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("lts", T.TimestampType()),
+            T.StructField("matched", T.BooleanType()),
+        ]
+    )
+    counts = ss.read_spark_state(
+        spark, ckpt, store_name="left-keyToNumValues",
+        key_schema=counts_key, value_schema=counts_val,
+    )
+    assert {r["uid"] for r in counts.collect()} == {1, 2}
+    rows = ss.read_spark_state(
+        spark, ckpt, store_name="left-keyWithIndexToValue",
+        key_schema=rows_key, value_schema=rows_val,
+    )
+
+    # coherent patch: user 2 vanishes from BOTH left stores
+    ss.write_spark_state(
+        spark, ckpt, counts.drop("partition_id").where(F.col("uid") != 2),
+        store_name="left-keyToNumValues",
+        key_schema=counts_key, value_schema=counts_val,
+    )
+    ss.write_spark_state(
+        spark, ckpt, rows.drop("partition_id").where(F.col("uid") != 2),
+        store_name="left-keyWithIndexToValue",
+        key_schema=rows_key, value_schema=rows_val,
+        partition_key_cols=["uid"],
+    )
+
+    # our reader sees the patch
+    left_now = ss.read_spark_state(
+        spark, ckpt, store_name="left-keyWithIndexToValue",
+        key_schema=rows_key, value_schema=rows_val,
+    )
+    assert {r["uid"] for r in left_now.collect()} == {1}
+
+    # the decisive step: new right rows for BOTH users, restart the REAL
+    # join on our files — user 1 matches, user 2's buffered row is gone
+    t2 = t0 + _dt.timedelta(minutes=2)
+    spark.createDataFrame(
+        [(1, t2), (2, t2)], "r_uid long, rts timestamp"
+    ).coalesce(1).write.mode("append").parquet(inp_r)
+    out2 = run()
+    assert (1, t2) in out2
+    assert all(uid != 2 for uid, _ in out2), out2
