@@ -492,3 +492,139 @@ def nested_state_rewrite(spark, sf_dir):
         ).alias("seen_sum"),
         F.array_min("groupState.seen").alias("seen_min"),
     )
+
+
+_JOIN_STATE_REWRITE_ORACLE = """
+WITH l AS (SELECT user_id AS k, event_id AS a FROM events WHERE event_id % 50 = 0),
+     r1 AS (SELECT user_id AS k, event_id AS b FROM events WHERE event_id % 100 = 25),
+     r2 AS (SELECT user_id AS k, event_id AS b FROM events WHERE event_id % 100 = 75),
+     m AS (SELECT l.k, a, b FROM l JOIN r1 ON l.k = r1.k
+           UNION ALL
+           SELECT l.k, a, b FROM l JOIN r2 ON l.k = r2.k WHERE l.k % 5 <> 0)
+SELECT k, count(*) AS pairs,
+       CAST(sum(a) AS BIGINT) AS sum_a,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM m GROUP BY k
+"""
+
+
+@query("join_state_rewrite", oracle=_JOIN_STATE_REWRITE_ORACLE)
+def join_state_rewrite(spark, sf_dir):
+    """Stream-stream JOIN state surgery, oracle-checked end to end: a real
+    equi-join of two file streams buffers its left side in the four
+    schema-file-less named stores (``left-keyToNumValues``,
+    ``left-keyWithIndexToValue``, right twins; the shape the reference
+    operates on for Flink two-input operators). After batch 0 (all left
+    rows + the first right half), every ``k % 5 == 0`` user's buffered
+    left rows are surgically removed from BOTH left stores — coherently,
+    counts matching surviving indices — with ``write_spark_state``'s
+    named-store write path, and the REAL join restarts on the second
+    right half. Batch-0 matches were already emitted, so the oracle is
+    exact: all pairs against the first right half, only surviving users'
+    pairs against the second.
+
+    ``keyWithIndexToValue`` routes by the join key alone while its store
+    key appends the buffer index — ``partition_key_cols`` proves the
+    routing contract the restarted join depends on. No watermark: inner
+    equi-joins never evict, so streaming equals the batch join exactly.
+
+    Scale: the join shuffles both streams once on the key (Spark's own
+    plan); the state scan/rewrite is one task per state partition; the
+    surgery predicate is a pure DataFrame filter. Match density is
+    bounded by the event_id modulus, not table size squared."""
+    import os
+
+    from pyspark.sql import types as T
+
+    ev = catalog.table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 50 == 0).select(
+        F.col("user_id").alias("k"), F.col("event_id").alias("a")
+    )
+    r1 = ev.filter(F.col("event_id") % 100 == 25).select(
+        F.col("user_id").alias("rk"), F.col("event_id").alias("b")
+    )
+    r2 = ev.filter(F.col("event_id") % 100 == 75).select(
+        F.col("user_id").alias("rk"), F.col("event_id").alias("b")
+    )
+
+    work = _rewind_workdir("join_rw")
+    lin = os.path.join(work, "in")  # left stream dir (pre-made by helper)
+    rin = os.path.join(work, "rin")
+    outp = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(rin)
+
+    def land(df, dirname, name):
+        import glob
+        import shutil
+
+        tmp = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        shutil.copyfile(
+            glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(dirname, name),
+        )
+        shutil.rmtree(tmp)
+
+    def run_batch():
+        ls = spark.readStream.schema("k long, a long").parquet(lin)
+        rs = spark.readStream.schema("rk long, b long").parquet(rin)
+        j = ls.join(rs, F.col("k") == F.col("rk")).select("k", "a", "b")
+        q = (
+            j.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    land(left, lin, "l0.parquet")
+    land(r1, rin, "r0.parquet")
+    run_batch()
+
+    counts_key = T.StructType([T.StructField("k", T.LongType())])
+    counts_val = T.StructType([T.StructField("count", T.LongType())])
+    rows_key = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("index", T.LongType())]
+    )
+    rows_val = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("matched", T.BooleanType()),
+        ]
+    )
+    counts = read_spark_state(
+        spark, ckpt, store_name="left-keyToNumValues",
+        key_schema=counts_key, value_schema=counts_val,
+    )
+    rows = read_spark_state(
+        spark, ckpt, store_name="left-keyWithIndexToValue",
+        key_schema=rows_key, value_schema=rows_val,
+    )
+    write_spark_state(
+        spark, ckpt, counts.drop("partition_id").where(F.col("k") % 5 != 0),
+        store_name="left-keyToNumValues",
+        key_schema=counts_key, value_schema=counts_val,
+    )
+    write_spark_state(
+        spark, ckpt, rows.drop("partition_id").where(F.col("k") % 5 != 0),
+        store_name="left-keyWithIndexToValue",
+        key_schema=rows_key, value_schema=rows_val,
+        partition_key_cols=["k"],
+    )
+
+    land(r2, rin, "r1.parquet")
+    run_batch()
+
+    return (
+        spark.read.parquet(outp)
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("pairs"),
+            F.sum("a").alias("sum_a"),
+            F.sum("b").alias("sum_b"),
+        )
+    )
