@@ -44,12 +44,19 @@ STATE_ENCODING_VERSION = 0
 
 
 def _state_dir(checkpoint_dir: str, operator_id: int, store_name: str) -> str:
-    base = os.path.join(checkpoint_dir, "state", str(operator_id))
-    return base if store_name == "default" else os.path.join(base, store_name)
+    return os.path.join(checkpoint_dir, "state", str(operator_id))
 
 
 def _partition_dirs(sdir: str) -> list[int]:
     return sorted(int(d) for d in os.listdir(sdir) if d.isdigit())
+
+
+def _pdir(sdir: str, pid: int, store_name: str) -> str:
+    """One partition's file dir; named stores (stream-stream join sides)
+    nest one level deeper — ``state/<op>/<pid>/<store_name>/`` — exactly
+    like the HDFS-backed provider's layout."""
+    p = os.path.join(sdir, str(pid))
+    return p if store_name == "default" else os.path.join(p, store_name)
 
 
 def _version_metadata(pdir: str, version: int) -> dict:
@@ -70,7 +77,7 @@ def latest_version(
     vers = [
         int(stem)
         for p in _partition_dirs(sdir)
-        for f in os.listdir(os.path.join(sdir, str(p)))
+        for f in os.listdir(_pdir(sdir, p, store_name))
         for stem, _, ext in [f.partition(".")]
         if ext in ("zip", "changelog") and stem.isdigit()
     ]
@@ -164,14 +171,25 @@ def read_rocksdb_spark_state(
     operator_id: int = 0,
     version: int | None = None,
     store_name: str = "default",
+    key_schema: T.StructType | None = None,
+    value_schema: T.StructType | None = None,
 ) -> DataFrame:
     """A RocksDB state-store operator's state as a DataFrame —
     ``partition_id`` + key columns + value columns, same surface as the
     HDFS-backed ``read_spark_state``. One task per state partition; each
-    task opens only its partition's zip + SSTs."""
+    task opens only its partition's zip + SSTs. Named stores (a
+    stream-stream join's four per-partition stores) write no checkpoint
+    schema file — pass explicit ``key_schema``/``value_schema``, exactly
+    as with the HDFS-backed reader."""
     if version is None:
         version = latest_version(checkpoint_dir, operator_id, store_name)
-    key_schema, value_schema = read_state_schema(checkpoint_dir, operator_id)
+    if key_schema is None or value_schema is None:
+        if store_name != "default":
+            raise ValueError(
+                "named stores have no checkpoint schema file; pass "
+                "key_schema and value_schema explicitly"
+            )
+        key_schema, value_schema = read_state_schema(checkpoint_dir, operator_id)
     _check_schema(key_schema)
     _check_schema(value_schema)
     sdir = _state_dir(checkpoint_dir, operator_id, store_name)
@@ -190,7 +208,7 @@ def read_rocksdb_spark_state(
 
     def scan(pids):
         for pid in pids:
-            state = _load_partition_state(os.path.join(sdir, str(pid)), version)
+            state = _load_partition_state(_pdir(sdir, pid, store_name), version)
             for kb, vb in state.items():
                 yield (
                     (pid,)
@@ -210,11 +228,17 @@ def write_rocksdb_spark_state(
     operator_id: int = 0,
     version: int | None = None,
     store_name: str = "default",
+    key_schema: T.StructType | None = None,
+    value_schema: T.StructType | None = None,
+    partition_key_cols: list[str] | None = None,
 ) -> int:
     """Rewrite one committed version of a RocksDB-provider store so that,
     after the restarted query loads it, the operator's state equals ``df``
     exactly — the same surgery contract as the HDFS-backed
-    ``write_spark_state``.
+    ``write_spark_state``, including its named-store kwargs: explicit
+    ``key_schema``/``value_schema`` for schema-file-less stores and
+    ``partition_key_cols`` for stores routed by a key prefix (a join's
+    ``keyWithIndexToValue``).
 
     Both checkpoint layouts are rewritable. Changelog mode
     (``spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
@@ -241,7 +265,13 @@ def write_rocksdb_spark_state(
 
     if version is None:
         version = latest_version(checkpoint_dir, operator_id, store_name)
-    key_schema, value_schema = read_state_schema(checkpoint_dir, operator_id)
+    if key_schema is None or value_schema is None:
+        if store_name != "default":
+            raise ValueError(
+                "named stores have no checkpoint schema file; pass "
+                "key_schema and value_schema explicitly"
+            )
+        key_schema, value_schema = read_state_schema(checkpoint_dir, operator_id)
     _check_schema(key_schema)
     _check_schema(value_schema)
     sdir = _state_dir(checkpoint_dir, operator_id, store_name)
@@ -249,7 +279,7 @@ def write_rocksdb_spark_state(
     n = len(parts)
 
     for pid in parts:
-        pdir = os.path.join(sdir, str(pid))
+        pdir = _pdir(sdir, pid, store_name)
         if not os.path.exists(
             os.path.join(pdir, f"{version}.changelog")
         ) and not os.path.exists(os.path.join(pdir, f"{version}.zip")):
@@ -277,8 +307,14 @@ def write_rocksdb_spark_state(
             )
         ]
     )
+    part_cols = partition_key_cols if partition_key_cols is not None else key_names
+    unknown = [c for c in part_cols if c not in key_names]
+    if unknown:
+        raise ValueError(
+            f"partition_key_cols {unknown} are not key columns {key_names}"
+        )
     routed = typed.select(
-        F.pmod(F.hash(*key_names), F.lit(n)).cast("int").alias("_pid"),
+        F.pmod(F.hash(*part_cols), F.lit(n)).cast("int").alias("_pid"),
         *key_names,
         *val_names,
     ).repartition(n, "_pid")
@@ -295,14 +331,14 @@ def write_rocksdb_spark_state(
             by_pid.setdefault(pid, {})[kb] = val
         for pid in by_pid:
             _rewrite_changelog_version(
-                os.path.join(sdir, str(pid)), version, by_pid[pid]
+                _pdir(sdir, pid, store_name), version, by_pid[pid]
             )
             yield pid
 
     touched = set(routed.rdd.mapPartitions(write_partition).collect())
     for pid in parts:
         if pid not in touched:
-            _rewrite_changelog_version(os.path.join(sdir, str(pid)), version, {})
+            _rewrite_changelog_version(_pdir(sdir, pid, store_name), version, {})
     return version
 
 

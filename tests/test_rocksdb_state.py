@@ -533,3 +533,110 @@ def test_rocksdb_reader_matches_sparks_builtin_statestore_source(spark, tmp_path
             "org.apache.spark.sql.execution.streaming.state."
             "HDFSBackedStateStoreProvider",
         )
+
+
+def test_rocksdb_join_state_rewrite_restart(spark, tmp_path):
+    """RocksDB-provider twin of the stream-stream join surgery: the four
+    named join stores land as real rocksdbjni checkpoints; read the left
+    side with explicit schemas, coherently remove one user's buffered
+    rows from both left stores (keyWithIndexToValue routed by the join
+    key alone via partition_key_cols), and restart the REAL join — the
+    deleted user's match must not appear."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        inp_l = str(tmp_path / "left")
+        inp_r = str(tmp_path / "right")
+        ckpt = str(tmp_path / "ckpt")
+        outdir = str(tmp_path / "out")
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "uid long, a long"
+        ).coalesce(1).write.parquet(inp_l)
+        spark.createDataFrame(
+            [(1, 100)], "r_uid long, b long"
+        ).coalesce(1).write.parquet(inp_r)
+
+        def run():
+            ls = spark.readStream.schema("uid long, a long").parquet(inp_l)
+            rs_ = spark.readStream.schema("r_uid long, b long").parquet(inp_r)
+            j = ls.join(rs_, F.col("uid") == F.col("r_uid")).select(
+                "uid", "a", "b"
+            )
+            q = (
+                j.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", outdir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return {
+                (r["uid"], r["b"]) for r in spark.read.parquet(outdir).collect()
+            }
+
+        assert run() == {(1, 100)}
+
+        counts_key = T.StructType([T.StructField("uid", T.LongType())])
+        counts_val = T.StructType([T.StructField("count", T.LongType())])
+        rows_key = T.StructType(
+            [T.StructField("uid", T.LongType()), T.StructField("index", T.LongType())]
+        )
+        rows_val = T.StructType(
+            [
+                T.StructField("uid", T.LongType()),
+                T.StructField("a", T.LongType()),
+                T.StructField("matched", T.BooleanType()),
+            ]
+        )
+        # named store without schemas refuses by name
+        with pytest.raises(ValueError, match="explicit"):
+            rs.read_rocksdb_spark_state(
+                spark, ckpt, store_name="left-keyToNumValues"
+            )
+        counts = rs.read_rocksdb_spark_state(
+            spark, ckpt, store_name="left-keyToNumValues",
+            key_schema=counts_key, value_schema=counts_val,
+        )
+        assert {r["uid"] for r in counts.collect()} == {1, 2}
+        rows = rs.read_rocksdb_spark_state(
+            spark, ckpt, store_name="left-keyWithIndexToValue",
+            key_schema=rows_key, value_schema=rows_val,
+        )
+        rs.write_rocksdb_spark_state(
+            spark, ckpt, counts.drop("partition_id").where(F.col("uid") != 2),
+            store_name="left-keyToNumValues",
+            key_schema=counts_key, value_schema=counts_val,
+        )
+        rs.write_rocksdb_spark_state(
+            spark, ckpt, rows.drop("partition_id").where(F.col("uid") != 2),
+            store_name="left-keyWithIndexToValue",
+            key_schema=rows_key, value_schema=rows_val,
+            partition_key_cols=["uid"],
+        )
+        left_now = rs.read_rocksdb_spark_state(
+            spark, ckpt, store_name="left-keyWithIndexToValue",
+            key_schema=rows_key, value_schema=rows_val,
+        )
+        assert {r["uid"] for r in left_now.collect()} == {1}
+
+        spark.createDataFrame(
+            [(1, 101), (2, 201)], "r_uid long, b long"
+        ).coalesce(1).write.mode("append").parquet(inp_r)
+        out2 = run()
+        assert (1, 101) in out2
+        assert all(uid != 2 for uid, _ in out2), out2
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
