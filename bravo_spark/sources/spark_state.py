@@ -180,6 +180,10 @@ def _check_schema(schema: T.StructType) -> None:
     def ok(dt: T.DataType) -> bool:
         if isinstance(dt, _SUPPORTED + (T.DateType,)):
             return True
+        if isinstance(dt, T.NullType):
+            # streaming dropDuplicates stores its value as one NullType
+            # field named __dummy__ — an always-null 8-byte slot
+            return True
         if isinstance(dt, T.DecimalType):
             return True
         if isinstance(dt, T.ArrayType):
@@ -213,7 +217,8 @@ def _is_fixed(dt: T.DataType) -> bool:
     return isinstance(
         dt,
         (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.DoubleType,
-         T.FloatType, T.BooleanType, T.TimestampType, T.DateType),
+         T.FloatType, T.BooleanType, T.TimestampType, T.DateType,
+         T.NullType),
     )
 
 
@@ -299,6 +304,8 @@ def _decode_fixed(buf: bytes, off: int, dt: T.DataType):
         return bool(buf[off])
     if isinstance(dt, T.DecimalType):  # precision <= 18: unscaled long
         return _dec_from_unscaled(struct.unpack_from("<q", buf, off)[0], dt.scale)
+    if isinstance(dt, T.NullType):  # always-null slot whose null bit lied
+        return None
     raise AssertionError(f"not fixed-width: {dt}")
 
 
@@ -405,6 +412,8 @@ def _pack_fixed(target: bytearray, off: int, v, dt: T.DataType) -> None:
         target[off] = 1 if v else 0
     elif isinstance(dt, T.DecimalType):
         struct.pack_into("<q", target, off, _dec_unscaled(v, dt.scale))
+    elif isinstance(dt, T.NullType):
+        raise ValueError(f"NullType field can only hold None, got {v!r}")
     else:
         raise AssertionError(f"not fixed-width: {dt}")
 

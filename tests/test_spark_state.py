@@ -1626,3 +1626,96 @@ def test_stream_stream_join_state_rewrite_restart(spark, tmp_path):
     out2 = run()
     assert (1, t2) in out2
     assert all(uid != 2 for uid, _ in out2), out2
+
+
+def test_drop_duplicates_state_rewrite_restart(spark, tmp_path):
+    """Streaming dropDuplicates keeps one state row per seen key with a
+    single always-null NullType value field (``__dummy__``). Surgically
+    FORGETTING a key must make its next occurrence pass the filter again
+    after a restart, while remembered keys stay suppressed."""
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], "k string, seq long"
+    ).coalesce(1).write.parquet(inp)
+
+    def run():
+        q = (
+            spark.readStream.schema("k string, seq long")
+            .parquet(inp)
+            .dropDuplicates(["k"])
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r["k"], r["seq"]) for r in spark.read.parquet(outdir).collect()
+        )
+
+    out1 = run()
+    assert [k for k, _ in out1] == ["a", "b"]
+
+    st = ss.read_spark_state(spark, ckpt)
+    assert st.columns == ["partition_id", "k", "__dummy__"]
+    assert sorted(r["k"] for r in st.collect()) == ["a", "b"]
+    assert all(r["__dummy__"] is None for r in st.collect())
+
+    # forget key a; keep b (the NullType value round-trips as None)
+    ss.write_spark_state(
+        spark, ckpt, st.drop("partition_id").where(F.col("k") != "a")
+    )
+
+    spark.createDataFrame(
+        [("a", 10), ("b", 20)], "k string, seq long"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    out2 = run()
+    # a re-emitted with its NEW seq; b still suppressed
+    assert ("a", 10) in out2
+    assert ("b", 20) not in out2
+
+
+def test_session_window_state_reads(spark, tmp_path):
+    """Session-window aggregation state self-describes through the schema
+    file with a struct-typed session_window column (start/end timestamps)
+    and a composite key — pin that the reader decodes it and agrees with
+    the query's own output."""
+    import datetime as _dt
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = _dt.datetime(2030, 1, 1, 10, 0, 0)
+    spark.createDataFrame(
+        [("u", t0), ("u", t0 + _dt.timedelta(seconds=30)),
+         ("v", t0 + _dt.timedelta(minutes=20))],
+        "k string, ts timestamp",
+    ).coalesce(1).write.parquet(inp)
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema("k string, ts timestamp")
+        .parquet(inp)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), F.col("k"))
+        .agg(F.count("*").alias("cnt"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    want = {
+        (r["k"], r["session_window"]["start"], r["cnt"])
+        for r in spark.table(name).collect()
+    }
+    st = ss.read_spark_state(spark, ckpt)
+    got = {
+        (r["k"], r["session_window"]["start"], r["count"])
+        for r in st.collect()
+    }
+    assert got == want and len(got) == 2
