@@ -335,10 +335,17 @@ def write_rocksdb_spark_state(
             )
             yield pid
 
+    # distributed for the same reason as the HDFS writer: the tombstone
+    # pass replays each untouched partition's prior state, which must not
+    # serialize through the driver
     touched = set(routed.rdd.mapPartitions(write_partition).collect())
-    for pid in parts:
-        if pid not in touched:
-            _rewrite_changelog_version(_pdir(sdir, pid, store_name), version, {})
+    untouched = [pid for pid in parts if pid not in touched]
+    if untouched:
+        spark.sparkContext.parallelize(untouched, len(untouched)).foreach(
+            lambda pid: _rewrite_changelog_version(
+                _pdir(sdir, pid, store_name), version, {}
+            )
+        )
     return version
 
 

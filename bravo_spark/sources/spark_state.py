@@ -847,11 +847,18 @@ def write_spark_state(
             )
             yield pid
 
-    # partitions with no desired rows still need their tombstone-only delta
+    # partitions with no desired rows still need their tombstone-only delta;
+    # distributed like the data partitions — the driver loop this replaces
+    # would load each partition's full prior state driver-side, a
+    # bottleneck when most of a wide store is being cleared
     touched = set(routed.rdd.mapPartitions(write_partition).collect())
-    for pid in parts:
-        if pid not in touched:
-            _rewrite_partition_version(_pdir(sdir, pid, store_name), version, {})
+    untouched = [pid for pid in parts if pid not in touched]
+    if untouched:
+        spark.sparkContext.parallelize(untouched, len(untouched)).foreach(
+            lambda pid: _rewrite_partition_version(
+                _pdir(sdir, pid, store_name), version, {}
+            )
+        )
     return version
 
 
