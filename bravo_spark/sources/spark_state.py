@@ -35,7 +35,11 @@ Scale: one Spark task per state partition (mapPartitions over partition
 ids); each task touches only its partition's files — the same split the
 store itself uses. The writer routes rows with ``pmod(hash(key), n)`` —
 Spark's Murmur3 HashPartitioning — so rewritten files land exactly where
-the restarted query expects them.
+the restarted query expects them. Tasks access checkpoint files with
+plain ``open()``/``os``, so on a multi-node cluster the checkpoint path
+must be a filesystem every executor mounts (NFS/FUSE-mounted object
+store); the per-partition task split means no single node ever holds
+more than one partition's state.
 """
 
 from __future__ import annotations
