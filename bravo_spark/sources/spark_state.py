@@ -636,6 +636,62 @@ def read_state_schema(
     return _parse_schema_file(raw)
 
 
+def migrate_spark_state_schema(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    df: DataFrame,
+    *,
+    new_value_schema: T.StructType,
+    new_key_schema: T.StructType | None = None,
+    operator_id: int = 0,
+    version: int | None = None,
+) -> int:
+    """Evolve a store's schema IN PLACE so a MODIFIED query restarts on it.
+
+    Changing a stateful query's state schema between runs fails Spark's
+    StateSchemaCompatibilityChecker (STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE)
+    because the checkpoint's ``_metadata/schema`` still records the old
+    layout. This rewrites both halves of the contract: every existing
+    schema file is re-serialized with the new StructTypes (same v2
+    ``writeUTF`` framing the checker parses; stale Hadoop checksum
+    dotfiles dropped), and the state rows are rewritten as ``df`` —
+    already transformed by the caller to the new shape (e.g. the old
+    state with a null-initialized new column). After this, restarting the
+    EVOLVED query finds schema equality and continues from the migrated
+    values — the Spark analog of the reference's X2 type-change
+    migration for Flink state (KeyedStateReader custom deserializers).
+
+    Returns the version written. Scale: schema files are one per store
+    (driver-side metadata); the row rewrite is ``write_spark_state`` —
+    one task per state partition."""
+    old_key, _old_val = read_state_schema(checkpoint_dir, operator_id)
+    key_schema = new_key_schema if new_key_schema is not None else old_key
+    _check_schema(key_schema)
+    _check_schema(new_value_schema)
+    sdir = _state_dir(checkpoint_dir, operator_id)
+    wrote = False
+    for pid in _partitions(sdir):
+        meta = os.path.join(sdir, str(pid), "_metadata")
+        if os.path.exists(os.path.join(meta, "schema")):
+            write_state_schema(
+                os.path.join(sdir, str(pid)), key_schema, new_value_schema
+            )
+            for stale in (".schema.crc", "schema.crc", ".schema.crc.crc"):
+                p = os.path.join(meta, stale)
+                if os.path.exists(p):
+                    os.remove(p)
+            wrote = True
+    if not wrote:
+        raise FileNotFoundError(
+            f"no _metadata/schema under any partition of {sdir}"
+        )
+    # the row rewrite reads the JUST-EVOLVED schema file, so rows encode
+    # and route in the new layout; tombstones cover old keys by raw bytes
+    return write_spark_state(
+        spark, checkpoint_dir, df, operator_id=operator_id, version=version
+    )
+
+
 def _iter_records(payload: bytes):
     pos = 0
     while pos + 4 <= len(payload):

@@ -1813,3 +1813,100 @@ def test_unsafe_row_byte_identity_fuzz_vs_jvm(spark):
         jvm_bytes = bytes(df._jdf.queryExecution().toRdd().first().getBytes())
         ours = ss.encode_unsafe_row(row, schema)
         assert ours == jvm_bytes, (case, schema.simpleString(), row)
+
+
+def test_state_schema_evolution_migration_restart(spark, tmp_path):
+    """Schema-evolution surgery: an applyInPandasWithState query whose
+    user state grows a column between runs fails Spark's
+    StateSchemaCompatibilityChecker cold; migrate_spark_state_schema
+    rewrites the checkpoint's schema file AND the state rows (new column
+    null-initialized), after which the EVOLVED query restarts and
+    continues from the migrated values."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v long"
+    ).coalesce(1).write.parquet(inp)
+
+    def mk_fn(with_min):
+        def fn(key, pdf_iter, state):
+            if with_min:
+                tot, mn = state.get if state.exists else (0, None)
+            else:
+                (tot,) = state.get if state.exists else (0,)
+                mn = None
+            vals = [int(x) for pdf in pdf_iter for x in pdf["v"]]
+            tot += sum(vals)
+            if with_min:
+                cand = vals + ([mn] if mn is not None else [])
+                mn = min(cand) if cand else None
+                state.update((tot, mn))
+            else:
+                state.update((tot,))
+            yield pd.DataFrame({"k": [key[0]], "tot": [tot]})
+        return fn
+
+    def run(with_min):
+        st_schema = "tot long, mn long" if with_min else "tot long"
+        q = (
+            spark.readStream.schema("k string, v long")
+            .parquet(inp)
+            .groupBy("k")
+            .applyInPandasWithState(
+                mk_fn(with_min), "k string, tot long", st_schema,
+                "update", GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.foreachBatch(lambda df, _b: df.count())
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(False)
+    spark.createDataFrame(
+        [("a", 5)], "k string, v long"
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    # cold restart with the evolved schema fails the compatibility check
+    with pytest.raises(Exception, match="SCHEMA_NOT_COMPATIBLE"):
+        run(True)
+
+    # migrate: old value wraps user state in a groupState struct — evolve
+    # THAT struct, initializing the new column to null
+    old_key, old_val = ss.read_state_schema(ckpt)
+    gs = next(f for f in old_val.fields if f.name == "groupState")
+    new_gs = T.StructType(
+        list(gs.dataType.fields) + [T.StructField("mn", T.LongType())]
+    )
+    new_val = T.StructType([
+        T.StructField(f.name, new_gs if f.name == "groupState" else f.dataType)
+        for f in old_val.fields
+    ])
+    st = ss.read_spark_state(spark, ckpt)
+    migrated = st.drop("partition_id").withColumn(
+        "groupState",
+        F.struct(
+            F.col("groupState.tot").alias("tot"),
+            F.lit(None).cast("long").alias("mn"),
+        ),
+    )
+    ss.migrate_spark_state_schema(spark, ckpt, migrated, new_value_schema=new_val)
+
+    # self-describing read sees the evolved shape
+    k2, v2 = ss.read_state_schema(ckpt)
+    assert k2 == old_key and v2 == new_val
+    now = {r["k"]: tuple(r["groupState"]) for r in ss.read_spark_state(spark, ckpt).collect()}
+    assert now == {"a": (1, None), "b": (2, None)}
+
+    # the decisive step: the EVOLVED query restarts and continues
+    run(True)
+    final = {
+        r["k"]: tuple(r["groupState"])
+        for r in ss.read_spark_state(spark, ckpt).collect()
+    }
+    assert final == {"a": (6, 5), "b": (2, None)}
