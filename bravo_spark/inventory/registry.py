@@ -251,13 +251,16 @@ R15_STAGED_SWAPS = [
     ("audio_fingerprint", "semi_join"),
     ("corpus_drift_tv", "window_analytics"),
     ("quality_calibration_by_source", "range_join_clicks_before_purchase"),
-    # r14 net-new registration, staged per the pair-with-staging rule:
-    # join_state_rewrite (stream-stream join named-store surgery with a
-    # restart proof; mirror-green at sf0.001/0.01/0.1 the round it
-    # landed) rotates in over bucketed_join — green r12+r13, eligible
-    # once CORRECTNESS_r14 confirms; its bucketing plan stays pinned in
-    # tests/test_plans.py
+    # r14 net-new registrations, staged per the pair-with-staging rule
+    # (both mirror-green at sf0.001/0.01/0.1 the round they landed; both
+    # OUTs green r12+r13, eligible once CORRECTNESS_r14 confirms, their
+    # plans staying pinned in tests/test_plans.py):
+    # join_state_rewrite — stream-stream join named-store surgery with a
+    # restart proof
     ("bucketed_join", "join_state_rewrite"),
+    # state_schema_migration — schema-evolution surgery (evolved query
+    # cold-fails, migrated checkpoint restarts), the X2 analog
+    ("partitioned_prune_scan", "state_schema_migration"),
 ]
 
 

@@ -628,3 +628,117 @@ def join_state_rewrite(spark, sf_dir):
             F.sum("b").alias("sum_b"),
         )
     )
+
+
+_SCHEMA_MIGRATION_ORACLE = """
+SELECT user_id % 7 AS k,
+       CAST(sum(event_id) AS BIGINT) AS tot,
+       CAST((CASE WHEN count(*) FILTER (WHERE event_id % 2 = 0) > 0
+                  THEN 1000 ELSE 0 END)
+            + count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS cnt
+FROM events GROUP BY 1
+"""
+
+
+@query("state_schema_migration", oracle=_SCHEMA_MIGRATION_ORACLE)
+def state_schema_migration(spark, sf_dir):
+    """Schema-EVOLUTION surgery, oracle-checked end to end: an
+    ``applyInPandasWithState`` query sums values into ``(tot long)`` state
+    over the even-event_id half of ``events``; the user then evolves the
+    query to ALSO count events — which cold-fails the restart with
+    STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE. ``migrate_spark_state_schema``
+    rewrites the checkpoint's schema file to the evolved layout and the
+    state rows with the new column seeded to 1000 (a sentinel only the
+    migration path could produce), and the EVOLVED query restarts on the
+    odd half. Final state is exact for the oracle: ``tot`` is the full
+    sum either way; ``cnt`` is 1000 + the odd-event count for keys that
+    existed at migration, just the odd count otherwise. The Spark analog
+    of the reference's X2 type-change migration
+    (KeyedStateReader custom deserializers, SURVEY §2.11).
+
+    Scale: identical posture to ``nested_state_rewrite`` — one streaming
+    shuffle on the key per batch; schema files are per-store metadata;
+    the row migration is ``write_spark_state``'s one task per state
+    partition."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bravo_spark.sources.spark_state import (
+        migrate_spark_state_schema,
+        read_state_schema,
+    )
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 7).alias("k"), F.col("event_id").alias("v")
+    )
+    work = _rewind_workdir("schema_mig")
+    inp = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+
+    def mk_fn(evolved):
+        def fn(key, pdf_iter, state):
+            if evolved:
+                tot, cnt = state.get if state.exists else (0, 0)
+            else:
+                (tot,) = state.get if state.exists else (0,)
+                cnt = 0
+            vals = [int(x) for pdf in pdf_iter for x in pdf["v"]]
+            tot += sum(vals)
+            if evolved:
+                cnt += len(vals)
+                state.update((tot, cnt))
+            else:
+                state.update((tot,))
+            yield pd.DataFrame({"k": [key[0]], "tot": [tot]})
+        return fn
+
+    def run_batch(evolved):
+        st_schema = "tot long, cnt long" if evolved else "tot long"
+        stream = spark.readStream.schema("k long, v long").parquet(inp)
+        out = stream.groupBy("k").applyInPandasWithState(
+            mk_fn(evolved), "k long, tot long", st_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.foreachBatch(lambda df, _b: df.count())
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _land_batch(work, ev.filter(F.col("v") % 2 == 0), "b0.parquet")
+    run_batch(False)
+
+    _old_key, old_val = read_state_schema(ckpt)
+    gs = next(f for f in old_val.fields if f.name == "groupState")
+    new_gs = T.StructType(
+        list(gs.dataType.fields) + [T.StructField("cnt", T.LongType())]
+    )
+    new_val = T.StructType([
+        T.StructField(f.name, new_gs if f.name == "groupState" else f.dataType)
+        for f in old_val.fields
+    ])
+    st = read_spark_state(spark, ckpt)
+    migrated = st.drop("partition_id").withColumn(
+        "groupState",
+        F.struct(
+            F.col("groupState.tot").alias("tot"),
+            F.lit(1000).cast("long").alias("cnt"),
+        ),
+    )
+    migrate_spark_state_schema(spark, ckpt, migrated, new_value_schema=new_val)
+
+    _land_batch(work, ev.filter(F.col("v") % 2 == 1), "b1.parquet")
+    run_batch(True)
+
+    final = read_spark_state(spark, ckpt)
+    return final.select(
+        "k",
+        F.col("groupState.tot").alias("tot"),
+        F.col("groupState.cnt").alias("cnt"),
+    )

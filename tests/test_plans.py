@@ -588,11 +588,12 @@ def test_rescale_and_pagerank_no_pathological_joins(plans):
 # excluded by design: their query fns EXECUTE streaming restarts or Lloyd
 # rounds as side effects, so "the plan" is just the final tiny readback —
 # their scale posture is documented in their docstrings and proven by the
-# oracle + restart tests instead. Same exclusion for the r14 registration
-# join_state_rewrite: it executes two streaming-join batches plus the
-# named-store surgery; its scale posture is in its docstring and its proof
-# is the oracle + the join restart tests in test_spark_state /
-# test_rocksdb_state.)
+# oracle + restart tests instead. Same exclusion for the r14 registrations
+# join_state_rewrite (two streaming-join batches plus named-store surgery;
+# proof = oracle + the join restart tests in test_spark_state /
+# test_rocksdb_state) and state_schema_migration (two stateful batches
+# around a schema-file rewrite; proof = oracle + the evolution restart
+# test in test_spark_state).)
 
 
 def test_retention_cohorts_window_min_no_join(plans):
