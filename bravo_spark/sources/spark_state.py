@@ -645,6 +645,7 @@ def migrate_spark_state_schema(
     new_key_schema: T.StructType | None = None,
     operator_id: int = 0,
     version: int | None = None,
+    provider: str = "hdfs",
 ) -> int:
     """Evolve a store's schema IN PLACE so a MODIFIED query restarts on it.
 
@@ -661,9 +662,17 @@ def migrate_spark_state_schema(
     values — the Spark analog of the reference's X2 type-change
     migration for Flink state (KeyedStateReader custom deserializers).
 
+    ``provider`` picks the row-rewrite backend: ``"hdfs"`` (default,
+    delta files) or ``"rocksdb"`` (changelog/zip checkpoints via
+    ``write_rocksdb_spark_state``) — both providers keep the schema file
+    in the same per-partition ``_metadata/schema`` location, so the
+    schema half is shared.
+
     Returns the version written. Scale: schema files are one per store
-    (driver-side metadata); the row rewrite is ``write_spark_state`` —
+    (driver-side metadata); the row rewrite is the provider writer's
     one task per state partition."""
+    if provider not in ("hdfs", "rocksdb"):
+        raise ValueError(f"provider must be 'hdfs' or 'rocksdb', got {provider!r}")
     old_key, _old_val = read_state_schema(checkpoint_dir, operator_id)
     key_schema = new_key_schema if new_key_schema is not None else old_key
     _check_schema(key_schema)
@@ -687,6 +696,12 @@ def migrate_spark_state_schema(
         )
     # the row rewrite reads the JUST-EVOLVED schema file, so rows encode
     # and route in the new layout; tombstones cover old keys by raw bytes
+    if provider == "rocksdb":
+        from bravo_spark.sources.rocksdb_state import write_rocksdb_spark_state
+
+        return write_rocksdb_spark_state(
+            spark, checkpoint_dir, df, operator_id=operator_id, version=version
+        )
     return write_spark_state(
         spark, checkpoint_dir, df, operator_id=operator_id, version=version
     )

@@ -640,3 +640,106 @@ def test_rocksdb_join_state_rewrite_restart(spark, tmp_path):
             "org.apache.spark.sql.execution.streaming.state."
             "HDFSBackedStateStoreProvider",
         )
+
+
+def test_rocksdb_schema_evolution_migration_restart(spark, tmp_path):
+    """RocksDB-provider twin of the schema-evolution surgery: the evolved
+    query cold-fails STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE; after
+    migrate_spark_state_schema(provider="rocksdb") rewrites the shared
+    _metadata/schema file and the rows through the RocksDB writer, the
+    evolved query restarts and continues from migrated values."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bravo_spark.sources import spark_state as ss
+
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        inp = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1), ("b", 2)], "k string, v long"
+        ).coalesce(1).write.parquet(inp)
+
+        def mk_fn(evolved):
+            def fn(key, pdf_iter, state):
+                if evolved:
+                    tot, mn = state.get if state.exists else (0, None)
+                else:
+                    (tot,) = state.get if state.exists else (0,)
+                    mn = None
+                vals = [int(x) for pdf in pdf_iter for x in pdf["v"]]
+                tot += sum(vals)
+                if evolved:
+                    cand = vals + ([mn] if mn is not None else [])
+                    mn = min(cand) if cand else None
+                    state.update((tot, mn))
+                else:
+                    state.update((tot,))
+                yield pd.DataFrame({"k": [key[0]], "tot": [tot]})
+            return fn
+
+        def run(evolved):
+            st_schema = "tot long, mn long" if evolved else "tot long"
+            q = (
+                spark.readStream.schema("k string, v long")
+                .parquet(inp)
+                .groupBy("k")
+                .applyInPandasWithState(
+                    mk_fn(evolved), "k string, tot long", st_schema,
+                    "update", GroupStateTimeout.NoTimeout,
+                )
+                .writeStream.foreachBatch(lambda df, _b: df.count())
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run(False)
+        spark.createDataFrame(
+            [("a", 5)], "k string, v long"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+        with pytest.raises(Exception, match="SCHEMA_NOT_COMPATIBLE"):
+            run(True)
+
+        old_key, old_val = ss.read_state_schema(ckpt)
+        gs = next(f for f in old_val.fields if f.name == "groupState")
+        new_gs = T.StructType(
+            list(gs.dataType.fields) + [T.StructField("mn", T.LongType())]
+        )
+        new_val = T.StructType([
+            T.StructField(f.name, new_gs if f.name == "groupState" else f.dataType)
+            for f in old_val.fields
+        ])
+        st = rs.read_rocksdb_spark_state(spark, ckpt)
+        migrated = st.drop("partition_id").withColumn(
+            "groupState",
+            F.struct(
+                F.col("groupState.tot").alias("tot"),
+                F.lit(None).cast("long").alias("mn"),
+            ),
+        )
+        ss.migrate_spark_state_schema(
+            spark, ckpt, migrated, new_value_schema=new_val, provider="rocksdb"
+        )
+        run(True)
+        final = {
+            r["k"]: tuple(r["groupState"])
+            for r in rs.read_rocksdb_spark_state(spark, ckpt).collect()
+        }
+        assert final == {"a": (6, 5), "b": (2, None)}
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
