@@ -1910,3 +1910,126 @@ def test_state_schema_evolution_migration_restart(spark, tmp_path):
         for r in ss.read_spark_state(spark, ckpt).collect()
     }
     assert final == {"a": (6, 5), "b": (2, None)}
+
+
+def test_drop_duplicates_within_watermark_state_reads(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state self-describes: one row per
+    seen key whose value is the expiry instant (event time + delay) in
+    microseconds — pin the decode against the closed-form expiry."""
+    import datetime as _dt
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = _dt.datetime(2030, 1, 1, 10, 0, 0)
+    spark.createDataFrame(
+        [("a", t0), ("b", t0 + _dt.timedelta(seconds=30)), ("a", t0)],
+        "k string, ts timestamp",
+    ).coalesce(1).write.parquet(inp)
+    q = (
+        spark.readStream.schema("k string, ts timestamp")
+        .parquet(inp)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    st = ss.read_spark_state(spark, ckpt)
+    assert st.columns == ["partition_id", "k", "expiresAtMicros"]
+    epoch = _dt.datetime(1970, 1, 1)
+    delay = _dt.timedelta(minutes=10)
+    want = {
+        "a": int((t0 + delay - epoch).total_seconds()) * 1_000_000,
+        "b": int((t0 + _dt.timedelta(seconds=30) + delay - epoch).total_seconds())
+        * 1_000_000,
+    }
+    got = {r["k"]: r["expiresAtMicros"] for r in st.collect()}
+    assert got == want
+
+
+def test_timer_reschedule_surgery_fires_timeout(spark, tmp_path):
+    """Timer surgery: patch one key's ``timeoutTimestamp`` into the past
+    and the restarted applyInPandasWithState query fires that key's
+    timeout handler (hasTimedOut path) while untouched keys' far-future
+    timers stay silent. NOTE: ProcessingTimeTimeout keeps an availableNow
+    query alive to evaluate future timers, so the runner bounds batches
+    and stops the query explicitly."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v long"
+    ).coalesce(1).write.parquet(inp)
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"k": [key[0]], "tot": [-999]})
+            return
+        (tot,) = state.get if state.exists else (0,)
+        tot += sum(int(x) for pdf in pdf_iter for x in pdf["v"])
+        state.update((tot,))
+        state.setTimeoutDuration(3600_000)  # 1h: never fires naturally here
+        yield pd.DataFrame({"k": [key[0]], "tot": [tot]})
+
+    def run(max_batches):
+        got, seen = [], [0]
+
+        def sink(df, _bid):
+            got.extend((r["k"], r["tot"]) for r in df.collect())
+            seen[0] += 1
+
+        q = (
+            spark.readStream.schema("k string, v long")
+            .parquet(inp)
+            .groupBy("k")
+            .applyInPandasWithState(
+                fn, "k string, tot long", "tot long",
+                "update", GroupStateTimeout.ProcessingTimeTimeout,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        t0 = _time.time()
+        while q.isActive and _time.time() - t0 < 90 and seen[0] < max_batches:
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        return sorted(got)
+
+    assert run(1) == [("a", 1), ("b", 2)]
+
+    st = ss.read_spark_state(spark, ckpt)
+    assert st.columns[-1] == "timeoutTimestamp"
+    patched = st.drop("partition_id").withColumn(
+        "timeoutTimestamp",
+        F.when(F.col("k") == "a", F.lit(1).cast("long")).otherwise(
+            F.col("timeoutTimestamp")
+        ),
+    )
+    ss.write_spark_state(spark, ckpt, patched)
+
+    spark.createDataFrame(
+        [("c", 9)], "k string, v long"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    out2 = run(2)
+    assert ("a", -999) in out2  # the rescheduled timer fired
+    assert ("c", 9) in out2
+    assert all(k != "b" for k, _ in out2)  # untouched timer stayed silent
+    final = {
+        r["k"]: tuple(r["groupState"])
+        for r in ss.read_spark_state(spark, ckpt).collect()
+    }
+    assert final == {"b": (2,), "c": (9,)}  # a's state removed by the handler
