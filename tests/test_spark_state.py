@@ -1813,6 +1813,9 @@ def test_unsafe_row_byte_identity_fuzz_vs_jvm(spark):
         jvm_bytes = bytes(df._jdf.queryExecution().toRdd().first().getBytes())
         ours = ss.encode_unsafe_row(row, schema)
         assert ours == jvm_bytes, (case, schema.simpleString(), row)
+        # and the decode direction: Spark's own bytes back to the values
+        got = ss.decode_unsafe_row(jvm_bytes, schema)
+        assert _norm(got) == _norm(row), (case, schema.simpleString())
 
 
 def test_state_schema_evolution_migration_restart(spark, tmp_path):
