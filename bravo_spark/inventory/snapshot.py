@@ -73,11 +73,17 @@ def checkpoint_roundtrip(spark, sf_dir):
     from bravo_spark.sources import sst as sstmod
 
     ev = catalog.table(spark, sf_dir, "events")
-    total = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    partial = (
-        ev.filter(F.col("event_id") % 2 == 0)
-        .groupBy("user_id")
-        .agg(F.count("*").alias("cnt"))
+    # ONE scan for both levels: total and even-only counts as conditional
+    # aggregates of the same groupBy (two separate aggs would scan the
+    # source twice — the difference between one pass and two at 100 TB)
+    counts = ev.groupBy("user_id").agg(
+        F.count("*").alias("cnt_total"),
+        F.count(F.when(F.col("event_id") % 2 == 0, 1)).alias("cnt_partial"),
+    )
+    total = counts.select("user_id", F.col("cnt_total").alias("cnt"))
+    # users with no even events had no row in the filtered formulation
+    partial = counts.filter(F.col("cnt_partial") > 0).select(
+        "user_id", F.col("cnt_partial").alias("cnt")
     )
     ghosts = spark.range(10_000_000, 10_000_005).select(
         F.col("id").alias("user_id")
