@@ -2036,3 +2036,49 @@ def test_timer_reschedule_surgery_fires_timeout(spark, tmp_path):
         for r in ss.read_spark_state(spark, ckpt).collect()
     }
     assert final == {"b": (2,), "c": (9,)}  # a's state removed by the handler
+
+
+def test_streaming_global_limit_state_rewrite_restart(spark, tmp_path):
+    """Streaming global limit keeps ONE state row (NullType key, row-count
+    value). Surgically lowering the stored count makes the restarted query
+    admit more rows before the limit trips again — proving NullType KEYS
+    encode/route through the write path as well."""
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "v long"
+    ).coalesce(1).write.parquet(inp)
+
+    def run():
+        q = (
+            spark.readStream.schema("v long")
+            .parquet(inp)
+            .limit(3)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(outdir).count()
+
+    assert run() == 3
+    st = ss.read_spark_state(spark, ckpt)
+    assert st.columns == ["partition_id", "key", "value"]
+    rows = st.collect()
+    assert len(rows) == 1 and rows[0]["key"] is None and rows[0]["value"] == 3
+
+    # pretend only one row was admitted so far
+    patched = st.drop("partition_id").withColumn("value", F.lit(1).cast("long"))
+    ss.write_spark_state(spark, ckpt, patched)
+    got = ss.read_spark_state(spark, ckpt).collect()
+    assert got[0]["key"] is None and got[0]["value"] == 1
+
+    # new input: the restarted limit admits 2 more rows (1 -> 3), then stops
+    spark.createDataFrame(
+        [(100 + i,) for i in range(10)], "v long"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    assert run() == 5  # 3 from run 1 + 2 newly admitted
