@@ -1282,3 +1282,63 @@ def rewind_checkpoint(checkpoint_dir: str, batch_id: int) -> list[str]:
                 os.remove(p)
                 removed.append(p)
     return removed
+
+
+def read_streaming_progress(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """A query's batch history as a DataFrame — the audit companion to
+    :func:`rewind_checkpoint` (inspect watermarks/offsets, pick the batch
+    to rewind to, verify afterwards). One row per planned batch from the
+    ``offsets/<b>`` log (``v1`` header, a metadata JSON line, then one
+    offset line per source), joined with ``commits/<b>`` for completion
+    and the post-batch watermark. Driver-side file parsing — the logs are
+    metadata bounded by Spark's retention (default 100 batches), never
+    data-scale."""
+    odir = os.path.join(checkpoint_dir, "offsets")
+    if not os.path.isdir(odir):
+        raise FileNotFoundError(f"{checkpoint_dir} has no offsets log")
+    cdir = os.path.join(checkpoint_dir, "commits")
+
+    def parse_commit(bid: int):
+        p = os.path.join(cdir, str(bid))
+        if not os.path.exists(p):
+            return None
+        lines = open(p).read().splitlines()
+        try:
+            return json.loads(lines[1]).get("nextBatchWatermarkMs")
+        except (IndexError, json.JSONDecodeError):
+            return None
+
+    rows = []
+    for f in sorted(os.listdir(odir)):
+        if not f.isdigit():
+            continue
+        bid = int(f)
+        lines = open(os.path.join(odir, f)).read().splitlines()
+        if not lines or not lines[0].startswith("v"):
+            raise ValueError(f"unrecognized offsets log header in {f!r}")
+        try:
+            meta = json.loads(lines[1]) if len(lines) > 1 else {}
+        except json.JSONDecodeError:
+            meta = {}
+        committed_wm = parse_commit(bid)
+        rows.append(
+            (
+                bid,
+                os.path.exists(os.path.join(cdir, str(bid))),
+                meta.get("batchTimestampMs"),
+                meta.get("batchWatermarkMs"),
+                committed_wm,
+                list(lines[2:]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("batch_id", T.LongType(), False),
+            T.StructField("committed", T.BooleanType(), False),
+            T.StructField("batch_timestamp_ms", T.LongType(), True),
+            T.StructField("batch_watermark_ms", T.LongType(), True),
+            T.StructField("next_batch_watermark_ms", T.LongType(), True),
+            T.StructField("source_offsets", T.ArrayType(T.StringType()), True),
+        ]),
+    )

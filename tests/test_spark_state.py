@@ -2082,3 +2082,33 @@ def test_streaming_global_limit_state_rewrite_restart(spark, tmp_path):
         [(100 + i,) for i in range(10)], "v long"
     ).coalesce(1).write.mode("append").parquet(inp)
     assert run() == 5  # 3 from run 1 + 2 newly admitted
+
+
+def test_read_streaming_progress(spark, tmp_path):
+    """The batch-history audit surface: one row per planned batch with
+    commit status, batch timestamp, and watermarks — consistent with the
+    query's own logs across a rewind."""
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    _run_agg(spark, inp, ckpt)
+    spark.createDataFrame(
+        [("b", 2)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    _run_agg(spark, inp, ckpt)
+
+    prog = ss.read_streaming_progress(spark, ckpt)
+    rows = {r["batch_id"]: r for r in prog.collect()}
+    assert set(rows) == {0, 1}
+    assert all(r["committed"] for r in rows.values())
+    assert all(r["batch_timestamp_ms"] > 0 for r in rows.values())
+    assert all(len(r["source_offsets"]) == 1 for r in rows.values())
+
+    # after a rewind the history reflects the cut
+    ss.rewind_checkpoint(ckpt, 0)
+    rows2 = {r["batch_id"]: r for r in ss.read_streaming_progress(spark, ckpt).collect()}
+    assert set(rows2) == {0} and rows2[0]["committed"]
+
+    with pytest.raises(FileNotFoundError):
+        ss.read_streaming_progress(spark, str(tmp_path / "nope"))
