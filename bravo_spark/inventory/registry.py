@@ -72,7 +72,14 @@ GATE_PRIORITY = [
     # first driver check: JSON-variant extraction, XML roundtrip,
     # binaryFile ingest.
     "json_variant_extract", "xml_source_roundtrip", "binary_file_ingest",
-    "bucketed_join", "partitioned_prune_scan",
+    # r15 rotation: bucketed_join / partitioned_prune_scan rotated out
+    # after 4 driver-green rounds (r11-r14) — bucketed co-location and
+    # hive-layout pruning stay plan-pinned in test_plans/test_formats. In
+    # their slots (the pair-with-staging rule for the r14 net-new
+    # registrations): join_state_rewrite (stream-stream join named-store
+    # surgery, restart-proven) and state_schema_migration (schema-
+    # evolution surgery, the X2 analog on Spark's own backend).
+    "join_state_rewrite", "state_schema_migration",
     # reference-fidelity conformance analogs (r5 rotation). r8: pojo/kryo
     # value rows, the compressed-snapshot variant, and custom_reader_expand
     # rotated out after three driver-green rounds (r5-r7) — kryo_custom_class
@@ -93,9 +100,16 @@ GATE_PRIORITY = [
     # test_kryo. In its slot: nested_state_rewrite (r13-registered
     # nested-UnsafeRow surgery proof — array state patched inside the
     # nested struct, real-query restart, SQL oracle), first driver check.
-    "corpus_merge_upsert",
-    "schema_evolution_merge",
-    "audio_float_features", "nested_state_rewrite",
+    # r15 rotation: the r12 wave reached 3 consecutive driver-green
+    # rounds (r12-r14) and rotated out; with the never-checked pool at
+    # zero, INs are periodic re-proof rows, oldest last driver check
+    # first — the five r1-only rows (last proven r1, 14 rounds ago) and
+    # nine of the r2 relational wave (last proven r2). Rotated out here:
+    # corpus_merge_upsert / schema_evolution_merge / audio_float_features
+    # (CDC merge + union-evolution + float-WAV paths stay pytest-pinned).
+    "text_fingerprint",
+    "text_token_count",
+    "anti_join", "nested_state_rewrite",
     # dedup family (dedup_exact rotated out in r6 after 5 driver-green
     # rounds; dedup_minhash_lsh rotated out in r8 after 7 — its band-bucket
     # equi-join survives inside dedup_lsh_quality_eval and dedup_clusters'
@@ -107,8 +121,11 @@ GATE_PRIORITY = [
     # snapshot_rescale — the last reference use-case (README.md:44)
     # without driver proof (re-key + keygroup re-shard, api.py:251).
     "dedup_ngram_jaccard",
-    "audio_resample_features",
-    "snapshot_rescale",
+    # r15: audio_resample_features / snapshot_rescale rotated out
+    # (r12-r14 green; polyphase decimate stays golden-tested in
+    # test_audio, re-key/re-shard in test_api). In: r2 re-proof rows.
+    "cube_agg",
+    "distinct_agg",
     # r10 rotation: the r6 dedup additions (dedup_lines,
     # dedup_substring_clean, dedup_keep_corpus, dedup_lsh_quality_eval)
     # rotated out after 4 driver-green rounds (r6-r9) — their inverted-index
@@ -117,7 +134,10 @@ GATE_PRIORITY = [
     # after 6 driver-green rounds (r6-r11); its composed stages are
     # individually retained or mirror-verified. In its slot: the r10
     # per-source quality calibration (grouped distribution stats).
-    "quality_calibration_by_source",
+    # r15: quality_calibration_by_source rotated out (r12-r14 green;
+    # decile calibration stays mirror-verified). In: the event-time
+    # range join, last driver-proven r2.
+    "range_join_clicks_before_purchase",
     # ANN + retrieval family (ann_cosine_topk rotated out in r6 — it is
     # the exact baseline the retained lsh/ivf rows rescore against;
     # ann_sketch_topk rotated out in r8 after 7 driver-green rounds, its
@@ -128,8 +148,12 @@ GATE_PRIORITY = [
     # rounds (r3-r11) — the recall evals keep the rescore contract
     # mirror-verified. In their slots: the r10 media additions' first
     # driver check (bilinear resize, phash dedup, audio fingerprint).
-    "multimodal_bilinear_resize", "image_phash_dedup",
-    "audio_fingerprint",
+    # r15: the r12 media wave (bilinear resize, phash dedup, audio
+    # fingerprint) rotated out after r12-r14 green — kernels stay
+    # golden-tested in test_multimodal/test_phash_grid/test_audio. In:
+    # r2 re-proof rows (full outer join, exact percentiles, semi join).
+    "full_outer_join", "percentiles",
+    "semi_join",
     # streaming (plain window_counts rotated out in r6 after 5 driver-green
     # rounds — the retained watermarked variant runs the same micro-batch
     # window path plus bounded state; static_join/dedup/session/ss-join
@@ -138,7 +162,9 @@ GATE_PRIORITY = [
     # keeps Structured Streaming in the gate. In its slot: corpus
     # drift-TV (128-bit integer total-variation between corpus snapshots).
     "streaming_window_counts_watermarked",
-    "corpus_drift_tv",
+    # r15: corpus_drift_tv rotated out (r12-r14 green; 128-bit TV math
+    # stays pinned in test_drift_tv). In: window analytics, last r2.
+    "window_analytics",
     # TPC-H: headline q3 + the most distinctive long-tail plans. r11
     # rotation: the r8 wave q2/q19/q20/q22 rotated out after 3
     # driver-green rounds (r8-r10); q17 (correlated avg-quantity
@@ -153,8 +179,14 @@ GATE_PRIORITY = [
     # text_length_histogram (binned length distribution), first driver
     # check.
     "tpch_q3",
-    "pagerank_centrality", "savepoint_diff",
-    "heavy_hitters_two_phase",
+    # r15: pagerank_centrality / savepoint_diff / heavy_hitters_two_phase
+    # rotated out (r12-r14 green; the Pregel fixed-point, state diff, and
+    # SpaceSaving coverage guard stay pytest/mirror-verified). In: three
+    # of the five r1-only rows — driver-proven exactly once, 14 rounds
+    # ago (dedup_embedding_cosine is the exact-cosine dedup baseline,
+    # minhash signature extraction, and the multimodal metadata plumbing).
+    "dedup_embedding_cosine", "dedup_minhash_signatures",
+    "multimodal_meta",
     "text_length_histogram",
     # r10 rotation: the remaining never-driver-checked TPC-H tail — q7
     # dual-role nation join, q8 market share, q11 grouped threshold, q12
@@ -205,62 +237,51 @@ GATE_PRIORITY = [
     # text / multimodal flagships (lang_id rotated out in r5). r12:
     # multimodal_decode rotated out after 9 driver-green rounds
     # (r1, r3-r11) — the tier-selector source column stays pinned by the
-    # retained jpeg/gif/audio/video rows. In its slot: DIB-AVI frame
-    # sampling (uncompressed video demux, the codec path MJPEG doesn't
-    # cover).
-    "video_dib_frame_sample",
+    # retained jpeg/gif/audio/video rows. r15: video_dib_frame_sample
+    # rotated out (r12-r14 green; DIB demux stays golden-tested in
+    # test_avi). In: the as-of join, last driver-proven r2.
+    "asof_join",
 ]
 
 # The NEXT rotation, STAGED AS EXECUTABLE DATA — the r7 failure mode was
 # a staged rotation that lived only in a comment and never shipped. (The
-# r9-staged swaps executed in r10 after the r9 stall; the r11/r12/r13
+# r9-staged swaps executed in r10 after the r9 stall; the r11-r14
 # stagings executed on schedule as their round's first commit; the
-# r13-staged 15-swap rotation executed on schedule as r14's first
-# commit — all 15 OUTs confirmed green in CORRECTNESS_r13, and the
-# never-driver-checked count reached ZERO: every one of the 183
-# registered queries has driver-side proof at least once.)
-# To execute in r15 (FIRST commit of the round):
-#   1. confirm each OUT row below is green in CORRECTNESS_r14 (if one is
+# r14-staged 16-swap rotation executed on schedule as r15's first
+# commit — all 16 OUTs confirmed green in CORRECTNESS_r14.)
+# To execute in r16 (FIRST commit of the round):
+#   1. confirm each OUT row below is green in CORRECTNESS_r15 (if one is
 #      red, keep it in the gate and drop its pair from this round);
 #   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
 #   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
-# With the never-checked pool empty, rotation now cycles the
+# With the never-checked pool at zero since r14, rotation cycles the
 # LONGEST-AGO-CHECKED rows back in for periodic re-proof, oldest last
-# driver check first (the r1-only wave, last proven 13 rounds ago, then
-# the r2 relational wave). OUTs are the r12 wave — first checked r12, so
-# r12+r13+r14 = 3 consecutive green rounds (the r11 eligibility
-# precedent) once CORRECTNESS_r14 confirms. 14 swaps:
-R15_STAGED_SWAPS = [
-    # (rotate OUT once r14-green, rotate IN — re-proof, last checked r1)
-    # the five r1-only rows: driver-proven exactly once, 13 rounds ago;
-    # mirror-green every session since
-    ("pagerank_centrality", "dedup_embedding_cosine"),
-    ("savepoint_diff", "dedup_minhash_signatures"),
-    ("heavy_hitters_two_phase", "multimodal_meta"),
-    ("corpus_merge_upsert", "text_fingerprint"),
-    ("schema_evolution_merge", "text_token_count"),
-    # the r2 relational wave (last checked r2, 12 rounds ago): the
-    # distinctive join/agg plans — anti/semi/asof/range joins, cube and
-    # distinct aggregates, percentiles, window analytics, full outer
-    ("audio_float_features", "anti_join"),
-    ("video_dib_frame_sample", "asof_join"),
-    ("audio_resample_features", "cube_agg"),
-    ("snapshot_rescale", "distinct_agg"),
-    ("multimodal_bilinear_resize", "full_outer_join"),
-    ("image_phash_dedup", "percentiles"),
-    ("audio_fingerprint", "semi_join"),
-    ("corpus_drift_tv", "window_analytics"),
-    ("quality_calibration_by_source", "range_join_clicks_before_purchase"),
-    # r14 net-new registrations, staged per the pair-with-staging rule
-    # (both mirror-green at sf0.001/0.01/0.1 the round they landed; both
-    # OUTs green r12+r13, eligible once CORRECTNESS_r14 confirms, their
-    # plans staying pinned in tests/test_plans.py):
-    # join_state_rewrite — stream-stream join named-store surgery with a
-    # restart proof
-    ("bucketed_join", "join_state_rewrite"),
-    # state_schema_migration — schema-evolution surgery (evolved query
-    # cold-fails, migrated checkpoint restarts), the X2 analog
-    ("partitioned_prune_scan", "state_schema_migration"),
+# driver check first. After the r15 flip the oldest pool is the
+# remaining r2 relational/TPC-H wave (16 rows, last driver-proven r2,
+# 14 rounds ago) — 12 cycle in here, the final four (scalar_functions,
+# tpch_q10_returns, tpch_q14_promo, tpch_q18_having) in r17. OUTs are
+# the r13 wave — first checked r13, so r13+r14+r15 = 3 consecutive
+# green rounds (the r11 eligibility precedent) once CORRECTNESS_r15
+# confirms. 12 swaps:
+R16_STAGED_SWAPS = [
+    # (rotate OUT once r15-green, rotate IN — re-proof, last checked r2)
+    # set-ops / grouping shapes
+    ("checkpoint_rewind", "except_all_keys"),
+    ("streaming_static_join", "intersect_keys"),
+    ("retention_cohorts", "rollup_agg"),
+    ("per_key_trend", "grouping_sets_agg"),
+    ("kmeans_lloyd_centroids", "salted_skew_agg"),
+    # semi-structured / pivot / correlated-subquery plans
+    ("approx_sketch_accuracy", "json_extract_agg"),
+    ("quality_filter_pipeline", "pivot_event_values"),
+    ("text_normalize", "scalar_subquery_counts"),
+    ("text_redact_pii", "left_outer_join"),
+    ("word_freq_topk", "hourly_counts_gapfill"),
+    # TPC-H re-proof: q4's EXISTS shape, and q5_star whose join strategy
+    # changed this round (the forced dims broadcast removed per the r14
+    # verdict) — driver re-proof of the changed plan
+    ("doc_embedding_join", "tpch_q4_shaped"),
+    ("embedding_norms", "tpch_q5_star"),
 ]
 
 

@@ -88,29 +88,24 @@ def test_flagship_families_inside_window():
         "text_length_histogram",
         "xml_source_roundtrip", "binary_file_ingest",
         "json_variant_extract", "nested_state_rewrite",
-        # r12 rotation: the r11-staged 14-swap flip — first driver check
-        # for the thirteen r10 additions + snapshot_rescale (the last
-        # reference use-case without driver proof); the rotated-out
-        # conformance/dedup/ANN/streaming rows' paths stay retained per
-        # registry.py per-pair comments
-        "corpus_merge_upsert", "schema_evolution_merge",
-        "audio_float_features", "snapshot_rescale",
-        "pagerank_centrality", "savepoint_diff",
-        "heavy_hitters_two_phase", "corpus_drift_tv",
-        "quality_calibration_by_source",
-        "audio_resample_features", "multimodal_bilinear_resize",
-        "image_phash_dedup", "audio_fingerprint",
-        "video_dib_frame_sample",
+        # r15 rotation: the r14-staged 16-swap flip — periodic re-proof
+        # of the r1-only wave (last driver-proven r1) and nine of the r2
+        # relational wave, plus the two r14 net-new surgery rows; the
+        # rotated-out r12-wave and layout-contract rows' paths stay
+        # retained per registry.py per-pair comments
+        "dedup_embedding_cosine", "dedup_minhash_signatures",
+        "multimodal_meta", "text_fingerprint", "text_token_count",
+        "anti_join", "asof_join", "cube_agg", "distinct_agg",
+        "full_outer_join", "percentiles", "semi_join",
+        "window_analytics", "range_join_clicks_before_purchase",
+        "join_state_rewrite", "state_schema_migration",
         # dedup/retrieval/streaming spine
         "dedup_ngram_jaccard",
         "streaming_window_counts_watermarked",
         "tpch_q3",
-        # r11 rotation survivors: the layout contracts and the funnel
-        # plan (the format roundtrips, sampling family, tpch_q17, the
-        # r10 media wave, and kryo_custom_class rotated out in r14 after
-        # 3-6 driver-green rounds — paths retained per registry.py
-        # comments)
-        "bucketed_join", "partitioned_prune_scan",
+        # r11 rotation survivor: the funnel plan (bucketed_join /
+        # partitioned_prune_scan rotated out in r15 after 4 driver-green
+        # rounds — co-location and pruning stay plan-pinned)
         "funnel_conversion",
     ):
         assert name in window, f"{name} fell out of the correctness gate"
@@ -140,13 +135,13 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
             return any(unsortable(f.dataType) for f in dt.fields)
         return False
 
-    from bravo_spark.inventory.registry import R15_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R16_STAGED_SWAPS
 
     qs = _entry().queries()
     offenders = []
     # the staged rotation INs are checked too: a staged query with an
     # unsortable schema would burn its very first gate slot on flip
-    names = list(GATE_PRIORITY) + [i for _, i in R15_STAGED_SWAPS]
+    names = list(GATE_PRIORITY) + [i for _, i in R16_STAGED_SWAPS]
     for name in names:
         schema = qs[name](spark, sf_dir).schema
         for field in schema.fields:
@@ -156,7 +151,7 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
 
 
 def test_staged_rotation_is_consistent():
-    """The staged next-round rotation (registry.R15_STAGED_SWAPS) must
+    """The staged next-round rotation (registry.R16_STAGED_SWAPS) must
     stay executable: every OUT name is currently IN the gate window, every
     IN name is a registered query not currently gated (with the
     never-checked pool at zero since r14, INs are re-proof rows cycling
@@ -164,12 +159,12 @@ def test_staged_rotation_is_consistent():
     exactly 50 distinct names. Pins the staging as live data — the r7
     regression was a staged rotation that existed only in a comment and
     silently rotted."""
-    from bravo_spark.inventory.registry import R15_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R16_STAGED_SWAPS
 
     qs = _entry().queries()
     window = set(GATE_PRIORITY)
-    outs = [o for o, _ in R15_STAGED_SWAPS]
-    ins = [i for _, i in R15_STAGED_SWAPS]
+    outs = [o for o, _ in R16_STAGED_SWAPS]
+    ins = [i for _, i in R16_STAGED_SWAPS]
     assert len(set(outs)) == len(outs) and len(set(ins)) == len(ins)
     for o in outs:
         assert o in window, f"staged OUT {o} is not in the current gate"
