@@ -164,8 +164,11 @@ def f4_named_subset(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # §2.4 join — the reference's composed enrichment join
 # (ValueStateTransformationTest.java:84-85: count state ⋈ deltas, then map).
-# Broadcast the dim side explicitly — at 100 TB the per-key counts are huge,
-# the enrichment table is not.
+# No join hint: the enrichment side here is `customer`, which is scale-
+# factor-proportional (~15 B rows at TPC-H-100TB) — forcing a broadcast
+# of it was the r14 verdict's top scale-killer. Join *selection* is
+# Catalyst/AQE's job; at small SF it still picks broadcast on its own,
+# at 100 TB it degrades gracefully to a shuffled hash/sort-merge join.
 # ---------------------------------------------------------------------------
 
 
@@ -185,7 +188,7 @@ def join_enrich(spark, sf_dir):
         F.col("c_custkey").alias("key"), F.col("c_acctbal").cast(DEC).alias("delta")
     )
     return (
-        counts.join(F.broadcast(deltas), on="key", how="inner")
+        counts.join(deltas, on="key", how="inner")
         .select(
             "key",
             (F.col("cnt") * 2 + F.col("delta")).cast("double").alias("value"),
@@ -725,8 +728,11 @@ def json_extract_agg(spark, sf_dir):
     ),
 )
 def tpch_q5_star(spark, sf_dir):
-    """Star join: fact lineitem⋈orders with three broadcastable dims; the
-    region/nation/supplier chain collapses into broadcast hash joins."""
+    """Star join: fact lineitem⋈orders joined to a supplier⋈nation⋈region
+    chain. nation (25 rows) and region (5) broadcast by hint; the composed
+    `dims` relation is NOT hinted — supplier is sf-proportional (~1 B rows
+    at 100 TB, ~20% surviving the ASIA filter), so its join strategy is
+    left to Catalyst/AQE (r14 verdict)."""
     c = catalog.table(spark, sf_dir, "customer")
     o = catalog.table(spark, sf_dir, "orders")
     li = catalog.table(spark, sf_dir, "lineitem")
@@ -744,7 +750,7 @@ def tpch_q5_star(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(dims), (li.l_suppkey == F.col("s_suppkey"))
+        .join(dims, (li.l_suppkey == F.col("s_suppkey"))
               & (c.c_nationkey == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))

@@ -232,9 +232,11 @@ def streaming_stateful_counts(spark, sf_dir):
 )
 def streaming_static_join(spark, sf_dir):
     """Stream-static enrichment join: the streaming micro-batch side joins a
-    static dimension (re-broadcast per batch by Spark), then aggregates in
-    complete mode — the canonical streaming enrichment shape. availableNow
-    makes the result equal the batch join the oracle computes."""
+    static dimension, then aggregates in complete mode — the canonical
+    streaming enrichment shape. availableNow makes the result equal the
+    batch join the oracle computes. The static side is NOT hinted:
+    customer is sf-proportional and a forced broadcast is re-executed per
+    micro-batch (r14 verdict) — the stream planner/AQE picks the strategy."""
     cust = catalog.table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
@@ -246,7 +248,7 @@ def streaming_static_join(spark, sf_dir):
         .select("user_id", "value")
     )
     agg = (
-        stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+        stream.join(cust, stream.user_id == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("cnt"),
