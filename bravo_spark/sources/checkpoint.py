@@ -169,16 +169,17 @@ def read_incremental_checkpoint(
     state_names: list[str] | None = None,
     files: list[str] | None = None,
     verify_checksums: bool = False,
-    skew_safe: bool = False,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Incremental checkpoint → universal state-row relation.
     ``verify_checksums=True`` block-verifies every SST during the scan
     (integrity audit; corrupt blocks fail the task loudly instead of
-    decoding garbage). ``skew_safe=True`` swaps the default collect_list
-    LSM resolution for :func:`resolve_lsm_streamed` — use for audit scans
-    of checkpoints that may hold merge-heavy keys (millions of operands),
-    where the default's per-key memory and quadratic concat fold would
-    hurt; see the bounds note on :func:`resolve_lsm`."""
+    decoding garbage). LSM resolution defaults to the linear
+    :func:`resolve_lsm_streamed` fold (r15 — a merge-heavy key is safe by
+    DEFAULT, nobody has to remember a flag on the one checkpoint that has
+    one); ``skew_safe=False`` opts back into the JVM-side collect_list
+    fold, faster on uniformly tiny per-key version counts but per-key
+    QUADRATIC in merge-operand count — see :func:`resolve_lsm_collected`."""
     if state_names is not None:
         selected = set(state_names)
         state_filter = lambda n: n in selected  # noqa: E731
@@ -194,17 +195,32 @@ def read_incremental_checkpoint(
         lambda it: _scan_ssts(it, state_filter, verify_checksums),
         schema=_RAW_SCHEMA,
     )
-    return resolve_lsm_streamed(raw) if skew_safe else resolve_lsm(raw)
+    return resolve_lsm(raw, skew_safe=skew_safe)
 
 
-def resolve_lsm(raw: DataFrame) -> DataFrame:
+def resolve_lsm(raw: DataFrame, *, skew_safe: bool = True) -> DataFrame:
     """LSM resolution over the raw per-version SST relation
     (state_name, key_ns, seq, vtype, value): newest-seq shadowing,
     tombstones, StringAppend merge-operand folding — one shuffle on
-    (state_name, key_ns), everything else builtin expressions. Shared by
-    ``read_incremental_checkpoint`` and the ``bravo_checkpoint``
-    DataSource front door (sources/datasource.py), whose scan yields the
-    same raw relation.
+    (state_name, key_ns). Shared by ``read_incremental_checkpoint`` and
+    the ``bravo_checkpoint`` DataSource front door
+    (sources/datasource.py), whose scan yields the same raw relation.
+
+    Routes to the linear :func:`resolve_lsm_streamed` fold by DEFAULT
+    (r15): its time and per-key memory are linear in a key's version
+    count, so a checkpoint with one merge-heavy key (millions of
+    StringAppend operands) resolves safely without anyone remembering a
+    flag. ``skew_safe=False`` opts into :func:`resolve_lsm_collected`,
+    the JVM-side collect_list fold — marginally faster when every key's
+    version count is tiny, but per-key quadratic (measured: 14 s at 5k
+    operands, 189 s at 20k); equivalence between the two is
+    pytest-pinned to 100k operands."""
+    return resolve_lsm_streamed(raw) if skew_safe else resolve_lsm_collected(raw)
+
+
+def resolve_lsm_collected(raw: DataFrame) -> DataFrame:
+    """The pre-r15 default: LSM resolution with ``collect_list`` + builtin
+    expressions, everything JVM-side.
 
     PER-KEY BOUNDS: ``collect_list`` gathers every surviving version of a
     key into ONE array row, so peak per-key memory is
@@ -215,10 +231,8 @@ def resolve_lsm(raw: DataFrame) -> DataFrame:
     that array recopies the accumulated buffer per operand, so time is
     QUADRATIC in a key's merge-operand count (measured: 14 s at 5k
     operands, 189 s at 20k). Both bounds are per-key, so the normal case
-    — bounded operand counts between compactions — is unaffected. For
-    audit scans over checkpoints that may contain merge-heavy keys, use
-    :func:`resolve_lsm_streamed`, which sort-folds each key in Arrow-batch
-    order: linear time, and holds only the folded value bytes per key."""
+    — bounded operand counts between compactions — is unaffected; that is
+    why this variant remains available behind ``skew_safe=False``."""
     resolved = (
         raw.groupBy("state_name", "key_ns")
         .agg(F.collect_list(F.struct("seq", "vtype", "value")).alias("es"))
@@ -243,17 +257,17 @@ def resolve_lsm(raw: DataFrame) -> DataFrame:
 
 
 def resolve_lsm_streamed(raw: DataFrame) -> DataFrame:
-    """Skew-safe variant of :func:`resolve_lsm` for the audit path: same
-    shuffle on (state_name, key_ns), but instead of ``collect_list`` the
-    versions are sorted within each partition by (key, seq) and folded in
-    Arrow-batch order — ascending seq means each non-merge entry simply
-    RESETS the fold (a put replaces the buffer, a tombstone clears it)
-    and each merge operand appends, so peak per-key memory is just the
-    folded value bytes, never the full version array. A key with millions
-    of merge operands streams through ~10k-row batches instead of
-    materializing one giant array row. Output and semantics are identical
-    to ``resolve_lsm`` (equivalence is pytest-pinned, including the
-    100k-operand skew case)."""
+    """The default LSM fold since r15: same shuffle on
+    (state_name, key_ns) as :func:`resolve_lsm_collected`, but instead of
+    ``collect_list`` the versions are sorted within each partition by
+    (key, seq) and folded in Arrow-batch order — ascending seq means each
+    non-merge entry simply RESETS the fold (a put replaces the buffer, a
+    tombstone clears it) and each merge operand appends, so peak per-key
+    memory is just the folded value bytes, never the full version array.
+    A key with millions of merge operands streams through ~10k-row
+    batches instead of materializing one giant array row. Output and
+    semantics are identical to ``resolve_lsm_collected`` (equivalence is
+    pytest-pinned, including the 100k-operand skew case)."""
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cur_key: tuple | None = None

@@ -387,7 +387,10 @@ class CheckpointDataSource(DataSource):
     contract. Yields the RAW per-version relation (state_name, key_ns,
     seq, vtype, value): apply :func:`bravo_spark.sources.checkpoint.
     resolve_lsm` on top for the merged view, exactly as
-    ``read_incremental_checkpoint`` does.
+    ``read_incremental_checkpoint`` does — which since r15 defaults to
+    the linear streamed fold (merge-heavy keys are safe by default;
+    ``resolve_lsm(raw, skew_safe=False)`` opts back into the JVM
+    collect_list fold).
 
     ``state_name`` EqualTo/In predicates reach ``pushFilters`` and become
     COLUMN-FAMILY pruning: each SST names its column family in its

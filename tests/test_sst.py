@@ -848,7 +848,7 @@ def test_resolve_lsm_streamed_equivalence(spark, tmp_path):
     )
     want = sorted(
         (r["state_name"], bytes(r["key_ns"]), bytes(r["value"]))
-        for r in ck.resolve_lsm(raw).collect()
+        for r in ck.resolve_lsm_collected(raw).collect()
     )
     got = sorted(
         (r["state_name"], bytes(r["key_ns"]), bytes(r["value"]))
@@ -856,12 +856,39 @@ def test_resolve_lsm_streamed_equivalence(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 2  # key 2 tombstoned
-    # the front-door flag routes to the same variant
+    # the DEFAULT front door (no flag) routes to the streamed fold since
+    # r15 — and still produces the identical relation
     front = sorted(
         (r["state_name"], bytes(r["key_ns"]), bytes(r["value"]))
-        for r in ck.read_incremental_checkpoint(spark, d, skew_safe=True).collect()
+        for r in ck.read_incremental_checkpoint(spark, d).collect()
     )
     assert front == want
+    # and the opt-out routes to the collected fold, same relation
+    legacy = sorted(
+        (r["state_name"], bytes(r["key_ns"]), bytes(r["value"]))
+        for r in ck.read_incremental_checkpoint(
+            spark, d, skew_safe=False
+        ).collect()
+    )
+    assert legacy == want
+
+
+def test_resolve_lsm_default_is_streamed(spark):
+    """The r15 default flip, pinned at the plan level: resolve_lsm with no
+    flag must route to the streamed fold (MapInPandas, no collect_list
+    aggregate); skew_safe=False must route to the JVM collect_list fold."""
+    raw = spark.createDataFrame(
+        [("s", b"\x00k", 1, sst.TYPE_VALUE, b"v")], schema=ck._RAW_SCHEMA
+    )
+    default_plan = ck.resolve_lsm(raw)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in default_plan
+    assert "collect_list" not in default_plan
+    legacy_plan = (
+        ck.resolve_lsm(raw, skew_safe=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_list" in legacy_plan
+    assert "MapInPandas" not in legacy_plan
 
 
 def test_resolve_lsm_streamed_skewed_key_100k_operands(spark):
@@ -872,7 +899,8 @@ def test_resolve_lsm_streamed_skewed_key_100k_operands(spark):
     concat step recopies the accumulated buffer — measured 14s at 5k,
     189s at 20k operands), so the 100k case runs streamed-only against a
     Python-computed expectation and the byte-for-byte cross-check against
-    resolve_lsm runs at 2k where the quadratic path is still cheap."""
+    the collected fold runs at 2k where the quadratic path is still
+    cheap."""
     n = 100_000
     rows = [("s", b"\x00hot", 1, sst.TYPE_VALUE, b"base")] + [
         ("s", b"\x00hot", 2 + i, sst.TYPE_MERGE, str(i).encode()) for i in range(n)
@@ -893,7 +921,7 @@ def test_resolve_lsm_streamed_skewed_key_100k_operands(spark):
     small = spark.createDataFrame(rows[:2001] + rows[-1:], schema=ck._RAW_SCHEMA)
     want = {
         bytes(r["key_ns"]): bytes(r["value"])
-        for r in ck.resolve_lsm(small).collect()
+        for r in ck.resolve_lsm_collected(small).collect()
     }
     got_small = {
         bytes(r["key_ns"]): bytes(r["value"])
