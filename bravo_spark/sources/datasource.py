@@ -431,7 +431,8 @@ class CheckpointScanReader(_StateNamePushdownReader):
 
         if self.state_names is not None and not self.state_names:
             return [InputPartition(json.dumps(
-                {"file": None, "names": [], "verify": False}))]
+                {"file": None, "names": [],
+                 "verify": self.verify_checksums}))]
         names = sorted(self.state_names) if self.state_names is not None else None
         # either layout: a Flink checkpoint (_metadata walk) or a
         # transferred/self-written directory (glob) — same discovery the
@@ -441,12 +442,16 @@ class CheckpointScanReader(_StateNamePushdownReader):
         # Spark replaces an empty partitions list with [None], which
         # would crash read(None) — mirror SavepointScanReader's
         # {file: None} fallback partition
+        # the fallback partition carries the verify flag too: read()
+        # returns immediately on file=None today, but a refactor that
+        # makes it non-trivial must not silently drop the audit mode
         return [
             InputPartition(json.dumps(
                 {"file": p, "names": names, "verify": self.verify_checksums}))
             for p in discover_sst_files(self.path)
         ] or [InputPartition(json.dumps(
-            {"file": None, "names": names, "verify": False}))]
+            {"file": None, "names": names,
+             "verify": self.verify_checksums}))]
 
     def read(self, partition: InputPartition):
         import pyarrow as pa

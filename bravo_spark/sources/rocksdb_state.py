@@ -74,15 +74,33 @@ def latest_version(
     checkpoint_dir: str, operator_id: int = 0, store_name: str = "default"
 ) -> int:
     sdir = _state_dir(checkpoint_dir, operator_id, store_name)
-    vers = [
-        int(stem)
-        for p in _partition_dirs(sdir)
-        for f in os.listdir(_pdir(sdir, p, store_name))
-        for stem, _, ext in [f.partition(".")]
-        if ext in ("zip", "changelog") and stem.isdigit()
-    ]
+    vers: list[int] = []
+    missing: list[int] = []
+    for p in _partition_dirs(sdir):
+        pdir = _pdir(sdir, p, store_name)
+        if not os.path.isdir(pdir):
+            # a partition without the named-store subdirectory: either a
+            # store-name typo (then EVERY partition is missing it) or a
+            # partially-written checkpoint (then only some are) — skip it
+            # here, but name the store if nothing is left
+            missing.append(p)
+            continue
+        vers.extend(
+            int(stem)
+            for f in os.listdir(pdir)
+            for stem, _, ext in [f.partition(".")]
+            if ext in ("zip", "changelog") and stem.isdigit()
+        )
     if not vers:
-        raise FileNotFoundError(f"no committed RocksDB versions under {sdir}")
+        detail = (
+            f" (store {store_name!r} missing in partition dirs {missing})"
+            if missing
+            else ""
+        )
+        raise FileNotFoundError(
+            f"no committed RocksDB versions for store {store_name!r} under "
+            f"{sdir}{detail}"
+        )
     return max(vers)
 
 

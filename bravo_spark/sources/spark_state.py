@@ -1309,9 +1309,9 @@ def read_streaming_progress(spark: SparkSession, checkpoint_dir: str) -> DataFra
             return None
 
     rows = []
-    for f in sorted(os.listdir(odir)):
-        if not f.isdigit():
-            continue
+    # numeric sort: lexicographic ordering puts batch 10 before batch 2
+    # once a query passes 9 batches
+    for f in sorted((f for f in os.listdir(odir) if f.isdigit()), key=int):
         bid = int(f)
         lines = open(os.path.join(odir, f)).read().splitlines()
         if not lines or not lines[0].startswith("v"):

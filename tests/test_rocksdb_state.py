@@ -743,3 +743,23 @@ def test_rocksdb_schema_evolution_migration_restart(spark, tmp_path):
             "org.apache.spark.sql.execution.streaming.state."
             "HDFSBackedStateStoreProvider",
         )
+
+
+def test_latest_version_names_missing_store(tmp_path):
+    """latest_version on a store-name typo (or a partially-written
+    checkpoint) must raise an error NAMING the store and the partitions
+    missing it, not an opaque listdir FileNotFoundError (r15 advice) —
+    and a partition legitimately missing a named store must be skipped,
+    not fatal."""
+    ckpt = tmp_path / "ckpt"
+    sdir = ckpt / "state" / "0"
+    (sdir / "0").mkdir(parents=True)  # partition 0: no named-store subdir
+    (sdir / "1" / "left-store").mkdir(parents=True)
+    (sdir / "1" / "left-store" / "3.changelog").write_bytes(b"")
+
+    # typo'd store: every partition misses it — error names store + parts
+    with pytest.raises(FileNotFoundError, match=r"'left-stor'.*\[0, 1\]"):
+        rs.latest_version(str(ckpt), 0, "left-stor")
+
+    # partially-present store: partition 0 is skipped, version found in 1
+    assert rs.latest_version(str(ckpt), 0, "left-store") == 3

@@ -2112,3 +2112,21 @@ def test_read_streaming_progress(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         ss.read_streaming_progress(spark, str(tmp_path / "nope"))
+
+
+def test_read_streaming_progress_numeric_batch_order(spark, tmp_path):
+    """Offset-log files must sort NUMERICALLY: lexicographic ordering puts
+    batch 10 before batch 2 once a query passes 9 batches (r15 advice).
+    Synthesized 12-batch log — a real 12-batch streaming run would take
+    minutes for the same pin."""
+    import os
+
+    ckpt = tmp_path / "ckpt"
+    odir = ckpt / "offsets"
+    odir.mkdir(parents=True)
+    for bid in range(12):
+        (odir / str(bid)).write_text('v1\n{"batchTimestampMs":%d}\n{}' % (1000 + bid))
+    (odir / ".crc-junk").write_text("ignored")  # non-digit entries skipped
+    rows = ss.read_streaming_progress(spark, str(ckpt)).collect()
+    assert [r["batch_id"] for r in rows] == list(range(12))
+    assert not any(r["committed"] for r in rows)  # no commits dir
