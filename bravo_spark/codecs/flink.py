@@ -206,6 +206,9 @@ class Codec:
     # POJO codecs carry their member (name, Codec) pairs so readers can map
     # the value to a Spark StructType; None for scalar/opaque codecs
     fields: tuple = None
+    # tuple codecs carry their component codecs so the Tuple1 key unwrap
+    # (unwrap_tuple1_key) can recover the single field codec; None otherwise
+    components: tuple = None
 
 
 def _mk_fixed(name: str, writer, reader, length: int) -> Codec:
@@ -238,7 +241,28 @@ def tuple_codec(*codecs: Codec) -> Codec:
     def dec(r: ByteReader):
         return tuple(c.decode(r) for c in codecs)
 
-    return Codec("tuple<" + ",".join(c.name for c in codecs) + ">", enc, dec, -1)
+    return Codec(
+        "tuple<" + ",".join(c.name for c in codecs) + ">",
+        enc,
+        dec,
+        -1,
+        components=tuple(codecs),
+    )
+
+
+def unwrap_tuple1_key(codec: Codec) -> Codec:
+    """Transparent Tuple1 key unwrap, mirroring the reference
+    (reader/OperatorStateReader.java:110-119): when the restored key
+    serializer is a TupleSerializer of ``Tuple1`` the reference swaps in
+    the single field serializer, so keys surface as bare values instead
+    of 1-tuples. A Tuple1's wire format IS its field's wire format
+    (TupleSerializer writes fields back-to-back with no header), so the
+    swap is byte-identical both directions — decode yields the field,
+    encode accepts the bare value. Applied automatically by every keyed
+    reader and by ``kv_to_state_rows``; wider tuples pass through."""
+    if codec.components is not None and len(codec.components) == 1:
+        return codec.components[0]
+    return codec
 
 
 # --- POJO (flink-core PojoSerializer) ---

@@ -423,6 +423,7 @@ def read_savepoint_kv(
 
     if max_parallelism is None:
         max_parallelism = read_savepoint_meta(path).max_parallelism
+    key_codec = _fc.unwrap_tuple1_key(key_codec)  # reference Tuple1 parity
 
     splits, id_to_name, state_filter, compressed = _plan_scan(
         path, [state_name], None, splits_per_file

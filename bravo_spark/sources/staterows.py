@@ -144,6 +144,7 @@ def read_value_kv(
     Fixed-width codec pairs decode through the numpy fast path
     (codecs.vectorized); everything else uses the scalar codecs.
     """
+    key_codec = fc.unwrap_tuple1_key(key_codec)  # reference Tuple1 parity
     prefix = fc.key_group_prefix_bytes(max_parallelism)
 
     def decode(key_ns: bytes, value: bytes):
@@ -209,6 +210,7 @@ def read_list_flatten(
 ) -> DataFrame:
     """P3 — list state exploded to (key, element)
     (reader/ListStateFlattenReader.java:39-63)."""
+    key_codec = fc.unwrap_tuple1_key(key_codec)  # reference Tuple1 parity
     prefix = fc.key_group_prefix_bytes(max_parallelism)
 
     def decode(key_ns: bytes, value: bytes):
@@ -236,6 +238,7 @@ def read_list_as_list(
     ttl: bool = False,
 ) -> DataFrame:
     """P4 — list state as (key, ARRAY<V>) (reader/ListStateListReader.java:43-60)."""
+    key_codec = fc.unwrap_tuple1_key(key_codec)  # reference Tuple1 parity
     prefix = fc.key_group_prefix_bytes(max_parallelism)
 
     def decode(key_ns: bytes, value: bytes):
@@ -265,6 +268,7 @@ def read_map_entries(
     """P5 — map state as (key, map_key, value) triplets
     (reader/MapStateKKVReader.java:51-82). Null map values are rejected, as
     in the reference (:78-80)."""
+    key_codec = fc.unwrap_tuple1_key(key_codec)  # reference Tuple1 parity
     prefix = fc.key_group_prefix_bytes(max_parallelism)
 
     def decode(key_ns: bytes, value: bytes):
@@ -321,6 +325,7 @@ def read_window_kv(
     (reader/KeyedStateReader.java:46-48,258-273). The window namespace bytes
     (TimeWindow start/end longs) follow the key; we skip them like the
     reference's value reader does."""
+    key_codec = fc.unwrap_tuple1_key(key_codec)  # reference Tuple1 parity
     prefix = fc.key_group_prefix_bytes(max_parallelism)
 
     def decode(key_ns: bytes, value: bytes):
@@ -368,6 +373,7 @@ def kv_to_state_rows(
     (per element), and map (per entry) states alike."""
     if ttl_ts is not None and ttl_col is not None:
         raise ValueError("pass ttl_ts or ttl_col, not both")
+    key_codec = fc.unwrap_tuple1_key(key_codec)  # reference Tuple1 parity
 
     def encode(batches: Iterator[pd.DataFrame]):
         from bravo_spark.codecs import vectorized as vz
@@ -546,6 +552,7 @@ def read_window_kv_with_bounds(
     """P7 (full) — window-contents rows with the TimeWindow namespace
     decoded: the 16 namespace bytes after the key are (start, end) epoch-ms
     longs (Flink TimeWindow.Serializer layout)."""
+    key_codec = fc.unwrap_tuple1_key(key_codec)  # reference Tuple1 parity
     prefix = fc.key_group_prefix_bytes(max_parallelism)
 
     def decode(key_ns: bytes, value: bytes):

@@ -327,3 +327,52 @@ def test_adaptive_scan_splits(tmp_path):
     # explicit override keeps the fixed per-file behavior
     splits3, *_ = sp._plan_scan(str(d2), None, None, splits_per_file=5)
     assert len(splits3) == 5
+
+
+def test_tuple1_key_transparent_unwrap(spark, tmp_path):
+    """Reference parity (reader/OperatorStateReader.java:110-119): a
+    Tuple1-keyed state round-trips without the caller unwrapping Flink's
+    tuple — keys surface as bare values, and writing back with the same
+    Tuple1 codec and bare keys is byte-identical to the unwrapped codec
+    (TupleSerializer writes fields back-to-back with no header, so
+    Tuple1<T> bytes == T bytes)."""
+    t1 = fc.tuple_codec(fc.LONG)
+    kv = _kv_df(spark, [(k, k * 3) for k in range(25)], key_type="long",
+                value_type="long")
+    # fixture "written by Flink with a Tuple1<Long> key serializer":
+    # byte-identical to LONG-keyed rows
+    rows = sr.kv_to_state_rows(kv, "Count", fc.LONG, fc.LONG)
+
+    # read with the Tuple1 codec: bare longs, not 1-tuples
+    got = sorted(tuple(r) for r in sr.read_value_kv(rows, "Count", t1, fc.LONG).collect())
+    assert got == [(k, k * 3) for k in range(25)]
+
+    # write-back with the Tuple1 codec accepts bare keys and produces the
+    # byte-identical relation (key_ns AND key_group routing)
+    rows_t1 = sr.kv_to_state_rows(kv, "Count", t1, fc.LONG)
+    a = sorted((bytes(r["key_ns"]), bytes(r["value"]))
+               for r in sr.with_key_group_column(rows, max_parallelism=128)
+               .select("key_ns", "value").collect())
+    b = sorted((bytes(r["key_ns"]), bytes(r["value"]))
+               for r in sr.with_key_group_column(rows_t1, max_parallelism=128)
+               .select("key_ns", "value").collect())
+    assert a == b
+
+    # the fused savepoint reader unwraps too
+    meta = sp.write_savepoint(
+        rows, str(tmp_path / "sv_t1"), max_parallelism=128, parallelism=2
+    )
+    assert meta is not None
+    fused = sorted(
+        tuple(r)
+        for r in sp.read_savepoint_kv(
+            spark, str(tmp_path / "sv_t1"), "Count", t1, fc.LONG
+        ).collect()
+    )
+    assert fused == [(k, k * 3) for k in range(25)]
+
+    # wider tuples are NOT unwrapped: decode still yields real tuples
+    t2 = fc.tuple_codec(fc.LONG, fc.INT)
+    assert fc.unwrap_tuple1_key(t2) is t2
+    r = fc.ByteReader(fc.LONG.encode(7) + fc.INT.encode(3))
+    assert t2.decode(r) == (7, 3)
