@@ -28,6 +28,9 @@ HEADLINE = [
     "snapshot_roundtrip_compressed",
     "checkpoint_roundtrip",
     "rocksdb_state_rewrite",
+    # r15: the HDFS-backed provider twin — the more common provider in
+    # the wild — gets a wall number too (r14 verdict task 4)
+    "spark_state_rewrite",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
