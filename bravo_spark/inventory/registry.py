@@ -282,6 +282,17 @@ R16_STAGED_SWAPS = [
     # verdict) — driver re-proof of the changed plan
     ("doc_embedding_join", "tpch_q4_shaped"),
     ("embedding_norms", "tpch_q5_star"),
+    # r15 net-new registrations, staged per the pair-with-staging rule
+    # (both mirror-green at sf0.001/0.01/0.1 the round they landed):
+    # text_chunk_overlap — overlapping-window chunking, map-only
+    ("funnel_conversion", "text_chunk_overlap"),
+    # spark_state_diff — cross-version state delta on Spark's own
+    # backend (the savepoint_diff twin); it RUNS two streaming
+    # lifecycles itself, and join_state_rewrite / state_schema_migration /
+    # nested_state_rewrite / rocksdb_state_rewrite stay gated, so
+    # Structured Streaming keeps ample gate coverage after the
+    # watermarked-window row rotates out (9 driver-green rounds, r6-r14)
+    ("streaming_window_counts_watermarked", "spark_state_diff"),
 ]
 
 

@@ -742,3 +742,81 @@ def state_schema_migration(spark, sf_dir):
         F.col("groupState.tot").alias("tot"),
         F.col("groupState.cnt").alias("cnt"),
     )
+
+
+@query(
+    "spark_state_diff",
+    oracle=(
+        "WITH h1 AS (SELECT event_type, count(*) AS c FROM events"
+        " WHERE user_id % 2 = 0 GROUP BY 1),"
+        " al AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1)"
+        " SELECT al.event_type,"
+        " CAST(coalesce(h1.c, 0) AS BIGINT) AS cnt_before,"
+        " CAST(al.c AS BIGINT) AS cnt_after,"
+        " CAST(al.c - coalesce(h1.c, 0) AS BIGINT) AS delta_cnt"
+        " FROM al LEFT JOIN h1 ON al.event_type = h1.event_type"
+    ),
+)
+def spark_state_diff(spark, sf_dir):
+    """Cross-version state delta on Spark's OWN backend — the twin of
+    ``savepoint_diff`` (which diffs two Flink savepoints): run a real
+    streaming aggregation over the first half of the events (one
+    availableNow lifecycle → state version v1), append the second half
+    and continue the same checkpoint (→ v2), then read BOTH committed
+    versions of the store and report per-key before/after/delta. This is
+    the audit a real operator runs before surgery: what changed between
+    two checkpoints of the same query.
+
+    Scale shape: each version read is one task per state partition
+    touching only that partition's files; the diff itself is a 1:1
+    equi-join on the grouping key (co-partitioned at real scale); the
+    only collects are directory handles. The oracle recomputes both
+    snapshots from the raw events."""
+    import os
+
+    from bravo_spark.inventory.scratch import register_for_exit
+    from bravo_spark.sources.spark_state import latest_version
+
+    inp = register_for_exit(tempfile.mkdtemp(prefix="bravo_diff_in_"))
+    ckpt = register_for_exit(tempfile.mkdtemp(prefix="bravo_diff_ck_"))
+    events = catalog.table(spark, sf_dir, "events")
+    half1 = events.where(F.col("user_id") % 2 == 0)
+    half2 = events.where(F.col("user_id") % 2 != 0)
+
+    def run_batch(df, mode):
+        df.write.mode(mode).parquet(inp)
+        stream = spark.readStream.schema(events.schema).parquet(inp)
+        agg = stream.groupBy("event_type").agg(F.count("*").alias("cnt"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"diff_{uuid.uuid4().hex[:8]}")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return latest_version(ckpt)
+
+    v1 = run_batch(half1, "overwrite")
+    v2 = run_batch(half2, "append")
+    assert v2 > v1, (v1, v2)
+
+    def snap(version):
+        st = read_spark_state(spark, ckpt, version=version)
+        c = st.columns  # [partition_id, event_type, cnt]
+        return st.select(F.col(c[1]).alias("event_type"), F.col(c[2]).alias("cnt"))
+
+    before, after = snap(v1), snap(v2)
+    return (
+        after.alias("a")
+        .join(before.alias("b"), on="event_type", how="left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("b.cnt"), F.lit(0)).cast("long").alias("cnt_before"),
+            F.col("a.cnt").cast("long").alias("cnt_after"),
+            (F.col("a.cnt") - F.coalesce(F.col("b.cnt"), F.lit(0)))
+            .cast("long")
+            .alias("delta_cnt"),
+        )
+    )

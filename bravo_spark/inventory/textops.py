@@ -2196,3 +2196,37 @@ def text_dup_ngram_stats(spark, sf_dir):
     with map-side partial max; joins are 1:1 on doc_id (co-partitioned);
     no UDFs anywhere."""
     return spark.sql(_dup_ngram_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunking: the RAG/pretraining sequence-prep step. Engine API
+# llmops.chunk_documents; oracle regenerates every chunk with
+# generate_series + substr.
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH ex AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST(floor((length(text) - 1) / 150) AS BIGINT))) AS ci
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       substr(text, CAST(ci * 150 + 1 AS BIGINT), 200) AS chunk,
+       CAST(length(substr(text, CAST(ci * 150 + 1 AS BIGINT), 200)) AS BIGINT)
+         AS chunk_chars
+FROM ex
+"""
+
+
+@query("text_chunk_overlap", oracle=_CHUNK_ORACLE)
+def text_chunk_overlap(spark, sf_dir):
+    """Overlapping fixed-window chunking (size 200, stride 150 — 50-char
+    overlap): chunk i covers characters [i*150, i*150+200). Scale shape:
+    map-only JVM expressions (sequence → explode → substring), zero
+    shuffles, zero Python — at 100 TB a pure scan with ~1.33× output
+    amplification. The oracle regenerates every chunk, so the value hash
+    proves offsets, overlap, and tail handling byte-for-byte."""
+    from bravo_spark import llmops as lo
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    return lo.chunk_documents(docs, "doc_id", "text", size=200, stride=150)

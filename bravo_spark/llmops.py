@@ -1641,3 +1641,51 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    size: int = 200,
+    stride: int = 150,
+    out_col: str = "chunk",
+) -> DataFrame:
+    """Overlapping fixed-window chunking — the sequence-prep step every
+    RAG index and pretraining pipeline runs before embedding/packing:
+    chunk i covers characters [i*stride, i*stride + size) of the
+    document, so consecutive chunks overlap by ``size - stride``
+    characters and every character lands in at least one chunk.
+
+    Map-only JVM expressions end to end: ``sequence`` builds the chunk
+    offsets from the document length, ``explode`` fans them out, and
+    ``substring`` slices — zero shuffles, zero Python, so at 100 TB this
+    is a pure scan whose output is ~size/stride × the input bytes.
+    Empty/NULL documents yield no chunks (there is nothing to index)."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError(
+            f"stride {stride} > size {size} would drop characters between "
+            "consecutive chunks"
+        )
+    n = F.length(F.col(text_col))
+    return (
+        df.where(n > 0)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+            ).alias("_ci"),
+            F.col(text_col).alias("_t"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_ci").cast("long").alias("chunk_idx"),
+            F.expr(f"substring(_t, _ci * {stride} + 1, {size})").alias(out_col),
+        )
+        .withColumn(
+            f"{out_col}_chars", F.length(F.col(out_col)).cast("long")
+        )
+    )

@@ -839,3 +839,41 @@ def test_tws_query_is_env_gated():
     from bravo_spark.inventory import streaming as stm
 
     assert ("streaming_tws_counts" in e.queries()) == stm._tws_available()
+
+
+def test_chunk_documents_offsets_overlap_and_edges(spark):
+    """Every character is covered, consecutive chunks overlap by
+    size - stride, the tail chunk is short, boundary-length docs get no
+    phantom empty chunk, and empty/NULL docs vanish."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 10),   # len 10, size 4 stride 3 -> offsets 0,3,6,9
+            (2, "xyz"),      # shorter than one chunk -> 1 chunk
+            (3, "b" * 7),    # exactly offsets 0,3,6 (6+4 > 7 -> tail len 1)
+            (4, ""),         # empty -> no chunks
+            (5, None),       # null -> no chunks
+            (6, "c" * 6),    # len == 2*stride: offsets 0,3 (no empty at 6)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk"], r["chunk_chars"])
+        for r in llmops.chunk_documents(
+            docs, "doc_id", "text", size=4, stride=3
+        ).collect()
+    }
+    assert got == {
+        (1, 0): ("aaaa", 4), (1, 1): ("aaaa", 4), (1, 2): ("aaaa", 4),
+        (1, 3): ("a", 1),
+        (2, 0): ("xyz", 3),
+        (3, 0): ("bbbb", 4), (3, 1): ("bbbb", 4), (3, 2): ("b", 1),
+        (6, 0): ("cccc", 4), (6, 1): ("ccc", 3),
+    }
+    # reconstruction: stitching chunk[k][:stride] recovers the document
+    text10 = "".join(got[(1, k)][0][:3] for k in range(3)) + got[(1, 3)][0]
+    assert text10 == "a" * 10
+
+    with pytest.raises(ValueError, match="stride.*size"):
+        llmops.chunk_documents(docs, "doc_id", "text", size=3, stride=4)
+    with pytest.raises(ValueError, match="positive"):
+        llmops.chunk_documents(docs, "doc_id", "text", size=0, stride=1)

@@ -86,8 +86,13 @@ def test_tpch_q3_pushes_date_ranges_no_pathological_join(plans):
 
 def test_scan_only_ops_have_no_shuffle(plans):
     # per-document ops are map-only: any Exchange is a regression
-    for name in ("text_fingerprint", "text_token_count", "multimodal_meta"):
-        assert "Exchange" not in plans(name), name
+    # (text_chunk_overlap: sequence→explode→substring must also stay
+    # JVM-side — a Python eval node would put every chunk through Arrow)
+    for name in ("text_fingerprint", "text_token_count", "multimodal_meta",
+                 "text_chunk_overlap"):
+        p = plans(name)
+        assert "Exchange" not in p, name
+        assert "BatchEvalPython" not in p, name
 
 
 def test_single_shuffle_aggregations(plans):
@@ -616,7 +621,10 @@ def test_rescale_and_pagerank_no_pathological_joins(plans):
 # proof = oracle + the join restart tests in test_spark_state /
 # test_rocksdb_state) and state_schema_migration (two stateful batches
 # around a schema-file rewrite; proof = oracle + the evolution restart
-# test in test_spark_state).)
+# test in test_spark_state). Same exclusion for the r15 registration
+# spark_state_diff (two streaming lifecycles on one checkpoint; the
+# returned plan is just the tiny v1⋈v2 readback join; scale posture
+# documented in its docstring, proof = oracle at three SFs).)
 
 
 def test_streaming_static_join_has_no_forced_broadcast():
