@@ -293,6 +293,12 @@ R16_STAGED_SWAPS = [
     # Structured Streaming keeps ample gate coverage after the
     # watermarked-window row rotates out (9 driver-green rounds, r6-r14)
     ("streaming_window_counts_watermarked", "spark_state_diff"),
+    # dedup_semantic_clusters — SemDeDup (cluster, then within-cluster
+    # cosine pruning); OUT dedup_ngram_jaccard has 14 consecutive
+    # driver-green rounds (r1-r14), stays in the headline bench every
+    # round and mirror-verified, and the gate keeps a dedup row via the
+    # semantic variant
+    ("dedup_ngram_jaccard", "dedup_semantic_clusters"),
 ]
 
 

@@ -924,3 +924,84 @@ def ann_knn_label_eval(spark, sf_dir):
             ).cast("long").alias("n_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup = k-means
+# cluster the embeddings, then drop near-duplicates WITHIN each cluster by
+# pairwise cosine — the pairwise work is bounded by cluster size, never
+# corpus², which is the whole point of clustering first (at 100 TB, k
+# scales with the corpus so clusters stay a few thousand vectors). Reuses
+# the Lloyd fixture/refinement above; keep rule: lowest id in a near-dup
+# pair survives (greedy, deterministic).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.99
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_lloyd_ctes()},
+asg_f AS (
+  SELECT id, e, cid FROM (
+    SELECT v.id, v.e, c.cid,
+      row_number() OVER (PARTITION BY v.id ORDER BY
+        {_CCOS.format(a='v.e', b='c.ce')} DESC, c.cid) rn
+    FROM cv v CROSS JOIN cent_f c) t WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.id AS id
+  FROM asg_f a JOIN asg_f b ON a.cid = b.cid AND a.id < b.id
+  WHERE {_CCOS.format(a='a.e', b='b.e')} >= {_SEMDEDUP_T})
+SELECT f.id, f.cid,
+  CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM asg_f f LEFT JOIN dup d ON f.id = d.id
+"""
+
+
+@query("dedup_semantic_clusters", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup: Lloyd-refined k-means assignment, then within-cluster
+    near-dup pruning at cosine >= 0.99 (keep the lowest id). Scale shape:
+    the centroid relation (k rows) broadcasts; assignment is one pass;
+    the pair join is an EQUI-join on cluster id (SMJ at scale, no
+    nested-loop anywhere — pinned), so pairwise cost is sum(cluster²),
+    bounded by choosing k ∝ corpus size exactly as the paper does. The
+    oracle replays clustering AND pruning, so the value hash proves
+    assignments, pair cosines, and the keep rule."""
+    cv = _clustered_cv(spark, sf_dir)
+    cent = _lloyd_refine(cv)
+    ccos = _dot_col(F.col("e"), F.col("ce")) / (
+        _norm_col(F.col("e")) * _norm_col(F.col("ce"))
+    )
+    wc = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    from bravo_spark.llmops import track_cache
+
+    # cache the assignment: it feeds both sides of the pair join AND the
+    # final keep projection — without the cache the Lloyd chain (and its
+    # full corpus scans) replays three times (query-cycle-scoped; the
+    # registry wrapper unpersists before the next query)
+    asg = track_cache(
+        cv.join(F.broadcast(cent))  # k centroids: genuinely fixed-size
+        .select("id", "e", "cid", ccos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("id", "e", "cid")
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    pcos = _dot_col(F.col("a.e"), F.col("b.e")) / (
+        _norm_col(F.col("a.e")) * _norm_col(F.col("b.e"))
+    )
+    dup = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid"))
+               & (F.col("a.id") < F.col("b.id")))
+        .where(pcos >= _SEMDEDUP_T)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return (
+        asg.select("id", "cid")
+        .join(dup.withColumn("_d", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            "cid",
+            F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        )
+    )

@@ -716,3 +716,16 @@ def test_embedding_norms_is_map_only_jvm(plans):
     p = plans("embedding_norms")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_semantic_dedup_cluster_pair_join_shape(plans):
+    """SemDeDup's pairwise work must stay an equi-join on cluster id
+    (SMJ/shuffled at scale) — a CartesianProduct would mean the corpus²
+    product leaked back. The only nested-loop joins allowed are the
+    k-row centroid broadcasts inside Lloyd/assignment (fixed-size by
+    construction). The assignment must be cached: without it the Lloyd
+    chain replays for each of its three consumers."""
+    p = plans("dedup_semantic_clusters")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert p.count("InMemoryTableScan") >= 2, p.count("InMemoryTableScan")
