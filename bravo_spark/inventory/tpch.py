@@ -214,11 +214,13 @@ def tpch_q15_top_supplier(spark, sf_dir):
 )
 def tpch_q16_supplier_cnt(spark, sf_dir):
     """Q16 shape (lineitem standing in for partsupp): distinct supplier
-    counts per part class, excluding blacklisted suppliers. NOT IN becomes a
-    broadcast anti join (the exclusion list is tiny and non-null, so the
-    NULL-semantics trap of NOT IN doesn't bite); count(DISTINCT) expands to
-    the standard two-phase distinct-then-count aggregation on the group
-    keys."""
+    counts per part class, excluding blacklisted suppliers. NOT IN becomes
+    an anti join (the exclusion list is non-null, so the NULL-semantics
+    trap of NOT IN doesn't bite); count(DISTINCT) expands to the standard
+    two-phase distinct-then-count aggregation on the group keys. The
+    exclusion side is UNHINTED (r15): supplier is sf-proportional (~1 B
+    rows at 100 TB, ~9% with negative balance), so join selection belongs
+    to AQE — broadcast at fixture scale, shuffled anti at real scale."""
     bad = (
         catalog.table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
@@ -229,7 +231,7 @@ def tpch_q16_supplier_cnt(spark, sf_dir):
         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
     )
     li = catalog.table(spark, sf_dir, "lineitem").join(
-        F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti"
+        bad, F.col("l_suppkey") == bad.s_suppkey, "left_anti"
     )
     return (
         li.join(p, li.l_partkey == p.p_partkey)
@@ -656,9 +658,12 @@ def tpch_q12_late_lines(spark, sf_dir):
 def tpch_q20_part_promotion(spark, sf_dir):
     """Q20 shape: suppliers who moved serious volume of one product line in
     a year, within a region — nested IN subqueries become a chain of semi
-    joins (part filter broadcasts into the fact scan, the grouped HAVING
-    relation semi-joins supplier, the nation-region lookup broadcasts).
-    Shipped quantity stands in for partsupp availability."""
+    joins (the grouped HAVING relation semi-joins supplier, the
+    nation-region lookup broadcasts). The filtered part side is UNHINTED
+    (r15): part is sf-proportional (~20 B rows at 100 TB; the name LIKE
+    keeps a few percent — still hundreds of millions), so its semi-join
+    strategy is AQE's call; nation (25 rows) keeps its hint. Shipped
+    quantity stands in for partsupp availability."""
     parts = catalog.table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%gear%")
     )
@@ -667,7 +672,7 @@ def tpch_q20_part_promotion(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     movers = (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        li.join(parts, li.l_partkey == parts.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty"))
         .filter(F.col("qty") > 200)

@@ -493,12 +493,28 @@ def test_datasource_isin_pushdown_fully_absorbed(spark, tmp_path):
 
 def test_q20_semi_join_chain(plans):
     """Q20's part-promotion shape must decorrelate to a semi-join chain
-    (no correlated re-execution, no cartesian) with the small dims
-    broadcast — one of the four most distinctive TPC-H tail plans."""
+    (no correlated re-execution, no cartesian) — one of the four most
+    distinctive TPC-H tail plans. Only the region (5 rows) and nation
+    (25 rows) lookups may carry hints (r15): the filtered part side is
+    sf-proportional, so its strategy is AQE's call — a third hint means
+    the part broadcast crept back."""
     p = plans("tpch_q20_part_promotion")
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     assert "LeftSemi" in p or "ExistenceJoin" in p
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    analyzed = plans("tpch_q20_part_promotion", "analyzed")
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+
+
+def test_q16_exclusion_side_unhinted(plans):
+    """Q16's NOT-IN exclusion list (suppliers with negative balance) is
+    sf-proportional — the r15 sweep found it force-broadcast. Pin the
+    fix: anti join stays, no hint residue anywhere in the query."""
+    p = plans("tpch_q16_supplier_cnt")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ResolvedHint" not in plans("tpch_q16_supplier_cnt", "analyzed")
 
 
 def test_r8_modality_queries_are_map_only_and_pruned(plans):
