@@ -501,3 +501,41 @@ def _rewrite_zip_version(
         _finalize_state_file(os.path.join(pdir, f"{version}.zip"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def compact_rocksdb_checkpoint(
+    spark,
+    checkpoint_dir: str,
+    *,
+    operator_id: int = 0,
+    store_name: str = "default",
+    version: int | None = None,
+) -> int:
+    """Fold a changelog-checkpointing store's replay chain into a full
+    snapshot zip at ``version`` — exactly the upload RocksDBFileManager's
+    background maintenance produces, done offline on demand. A query
+    restarted at ``version`` then opens the zip's SST directly with ZERO
+    changelog replay (both Spark's restore and our reader pick the
+    greatest snapshot ≤ version first). Changelogs stay behind, so time
+    travel to older versions is unaffected; the zip write is tmp+rename
+    crash-safe; replaced-version SST orphans are left for the store's own
+    maintenance, like the surgery writer. One task per state partition;
+    the driver sees partition ids only. Returns the compacted version."""
+    if version is None:
+        version = latest_version(checkpoint_dir, operator_id, store_name)
+    sdir = _state_dir(checkpoint_dir, operator_id, store_name)
+    pids = [
+        p for p in _partition_dirs(sdir)
+        if os.path.isdir(_pdir(sdir, p, store_name))
+    ]
+
+    def compact_one(pid: int) -> int:
+        pdir = _pdir(sdir, pid, store_name)
+        desired = _load_partition_state(pdir, version)
+        _rewrite_zip_version(pdir, version, desired)
+        return pid
+
+    spark.sparkContext.parallelize(pids, max(1, len(pids))).map(
+        compact_one
+    ).collect()  # partition ids only
+    return version

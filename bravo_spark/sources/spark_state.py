@@ -1342,3 +1342,58 @@ def read_streaming_progress(spark: SparkSession, checkpoint_dir: str) -> DataFra
             T.StructField("source_offsets", T.ArrayType(T.StringType()), True),
         ]),
     )
+
+
+def compact_spark_checkpoint(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    *,
+    operator_id: int = 0,
+    store_name: str | None = None,
+    version: int | None = None,
+) -> int:
+    """Fold the delta-replay chain into a full ``{version}.snapshot`` per
+    partition — exactly the file HDFSBackedStateStoreProvider's background
+    maintenance (``doSnapshot``) uploads, produced offline on demand. A
+    query restarted at ``version`` then loads the snapshot directly
+    instead of replaying every delta since the last one — the fix for the
+    "N quick batches, restore replays N deltas" restart cliff on
+    checkpoints whose maintenance never caught up. Deltas stay behind
+    (time travel to older versions is unaffected); an existing snapshot
+    at ``version`` is rewritten idempotently; writes are tmp+rename
+    crash-safe via the shared finalizer. One task per state partition;
+    the driver sees partition ids only. Returns the compacted version."""
+    if version is None:
+        version = latest_version(checkpoint_dir, operator_id, store_name)
+    sdir = _state_dir(checkpoint_dir, operator_id)
+    pids = _partitions(sdir, store_name)
+
+    def compact_one(pid: int) -> int:
+        pdir = _pdir(sdir, pid, store_name)
+        desired = _load_partition_state(pdir, version)
+        payload = bytearray()
+        for kb, vb in desired.items():
+            payload += struct.pack(">i", len(kb)) + kb
+            payload += struct.pack(">i", len(vb)) + vb
+        payload += struct.pack(">i", -1)
+        # frame like the store's own files: an existing snapshot first,
+        # else the version's delta (a restarted query decompresses with
+        # its configured codec, not by sniffing)
+        like = None
+        snap = os.path.join(pdir, f"{version}.snapshot")
+        delta = os.path.join(pdir, f"{version}.delta")
+        if os.path.exists(snap):
+            like = open(snap, "rb").read()
+        elif os.path.exists(delta):
+            like = open(delta, "rb").read()
+        tmp = os.path.join(pdir, f".{version}.snapshot.tmp")
+        with open(tmp, "wb") as f:
+            f.write(encode_stream_like(like, bytes(payload)))
+        os.replace(tmp, snap)
+        _finalize_state_file(snap)
+        return pid
+
+    spark.sparkContext.parallelize(pids, max(1, len(pids))).map(
+        compact_one
+    ).collect()  # partition ids only
+    return version

@@ -2130,3 +2130,66 @@ def test_read_streaming_progress_numeric_batch_order(spark, tmp_path):
     rows = ss.read_streaming_progress(spark, str(ckpt)).collect()
     assert [r["batch_id"] for r in rows] == list(range(12))
     assert not any(r["committed"] for r in rows)  # no commits dir
+
+
+def test_compact_spark_checkpoint_then_restart(spark, tmp_path):
+    """Offline snapshot compaction on the HDFS-backed provider: fold the
+    delta chain into {v}.snapshot per partition (the file doSnapshot
+    maintenance would have written). The snapshot path alone must
+    reproduce the state, our reader must see identical rows, and Spark's
+    own restarted query must continue from the compacted checkpoint —
+    restoring via the snapshot, not a full delta replay."""
+    import glob
+    import os
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    _run_agg(spark, inp, ckpt)
+    spark.createDataFrame(
+        [("a", 10), ("c", 4)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    out2 = _run_agg(spark, inp, ckpt)
+
+    ver = ss.latest_version(ckpt)
+    assert not glob.glob(f"{ckpt}/state/0/*/{ver}.snapshot"), "already there"
+    before = {
+        r[1]: (r[2], r[3]) for r in ss.read_spark_state(spark, ckpt).collect()
+    }
+    assert before == out2
+
+    assert ss.compact_spark_checkpoint(spark, ckpt) == ver
+    pdirs = glob.glob(f"{ckpt}/state/0/[0-9]*")
+    assert pdirs and all(
+        os.path.exists(os.path.join(p, f"{ver}.snapshot")) for p in pdirs
+    )
+    # the snapshot alone carries the full state: replaying from it with
+    # zero deltas equals the delta-chain replay
+    for p in pdirs:
+        raw = ss.decode_stream(
+            open(os.path.join(p, f"{ver}.snapshot"), "rb").read()
+        )
+        snap_state = {
+            k: v for k, v in ss._iter_records(raw) if v is not None
+        }
+        assert snap_state == ss._load_partition_state(p, ver)
+    after = {
+        r[1]: (r[2], r[3]) for r in ss.read_spark_state(spark, ckpt).collect()
+    }
+    assert after == before
+
+    # Spark itself restarts on the compacted checkpoint and continues
+    spark.createDataFrame(
+        [("a", 100), ("d", 7)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    out3 = _run_agg(spark, inp, ckpt)
+    assert out3 == {"a": (4, 113), "b": (1, 5), "c": (1, 4), "d": (1, 7)}
+
+    # idempotent: compacting again rewrites the same snapshot in place
+    ver2 = ss.latest_version(ckpt)
+    assert ss.compact_spark_checkpoint(spark, ckpt, version=ver2) == ver2
+    final = {
+        r[1]: (r[2], r[3]) for r in ss.read_spark_state(spark, ckpt).collect()
+    }
+    assert final == out3
