@@ -1397,3 +1397,63 @@ def compact_spark_checkpoint(
         compact_one
     ).collect()  # partition ids only
     return version
+
+
+def patch_watermark(
+    checkpoint_dir: str, watermark_ms: int, *, batch_id: int | None = None
+) -> int:
+    """Set the watermark the restarted query resumes with — the "reopen a
+    window that closed too early" surgery. One poisoned far-future event
+    time (clock skew, a bad producer) advances the watermark irreversibly
+    and every later legitimate-but-now-"late" row is silently dropped;
+    no engine API can lower it back. The resume value lives in the
+    checkpoint: ``offsets/<b>``'s metadata line (``batchWatermarkMs`` —
+    MicroBatchExecution seeds its WatermarkTracker from the latest entry)
+    and, when batch ``b`` committed, ``commits/<b>``'s
+    ``nextBatchWatermarkMs`` (used in preference when the latest planned
+    batch completed). Both are rewritten in place, tmp+rename, with
+    integrity sidecars regenerated when present and stale Hadoop dotfiles
+    dropped — same hygiene as the rewind. ``batch_id`` defaults to the
+    latest planned batch. Returns the batch id patched.
+
+    The watermark stays monotonic from the patched value onward: the
+    restarted query takes max(patched, new event maxima - delay), so
+    raising is also possible (e.g. force-close a stuck session window)."""
+    odir = os.path.join(checkpoint_dir, "offsets")
+    if not os.path.isdir(odir):
+        raise FileNotFoundError(f"{checkpoint_dir} has no offsets log")
+    if batch_id is None:
+        bids = [int(f) for f in os.listdir(odir) if f.isdigit()]
+        if not bids:
+            raise FileNotFoundError(f"no offsets entries under {odir}")
+        batch_id = max(bids)
+
+    def rewrite(path: str, line_idx: int, field: str) -> None:
+        lines = open(path).read().splitlines()
+        if not lines or not lines[0].startswith("v"):
+            raise ValueError(f"unrecognized log header in {path!r}")
+        meta = json.loads(lines[line_idx]) if len(lines) > line_idx else {}
+        meta[field] = int(watermark_ms)
+        lines = (lines + [""] * (line_idx + 1 - len(lines)))[: max(
+            len(lines), line_idx + 1
+        )]
+        lines[line_idx] = json.dumps(meta, separators=(",", ":"))
+        tmp = path + ".bravo_tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines))
+        os.replace(tmp, path)
+        name = os.path.basename(path)
+        dot = os.path.join(os.path.dirname(path), f".{name}.crc")
+        if os.path.exists(f"{path}.crc"):
+            _finalize_state_file(path)  # regenerates both sidecars
+        elif os.path.exists(dot):
+            os.remove(dot)  # stale Hadoop checksum would fail the read
+
+    opath = os.path.join(odir, str(batch_id))
+    if not os.path.exists(opath):
+        raise FileNotFoundError(f"no offsets entry for batch {batch_id}")
+    rewrite(opath, 1, "batchWatermarkMs")
+    cpath = os.path.join(checkpoint_dir, "commits", str(batch_id))
+    if os.path.exists(cpath):
+        rewrite(cpath, 1, "nextBatchWatermarkMs")
+    return batch_id

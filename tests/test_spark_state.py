@@ -2193,3 +2193,71 @@ def test_compact_spark_checkpoint_then_restart(spark, tmp_path):
         r[1]: (r[2], r[3]) for r in ss.read_spark_state(spark, ckpt).collect()
     }
     assert final == out3
+
+
+def test_patch_watermark_reopens_closed_window(spark, tmp_path):
+    """Watermark surgery: one far-future event advances the watermark and
+    later legitimate rows are silently dropped as late — no engine API
+    lowers it back. patch_watermark rewrites the resume watermark in the
+    offsets metadata (and the commit log's nextBatchWatermarkMs), so the
+    restarted query accepts the reopened window again — proven by Spark's
+    own late-row filtering before and after the patch."""
+    import datetime
+    import os
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+
+    def ts(sec):
+        return datetime.datetime.fromtimestamp(sec, datetime.timezone.utc)
+
+    def run_batch(rows, mode):
+        spark.createDataFrame(rows, "ts timestamp").coalesce(1).write.mode(
+            mode
+        ).parquet(inp)
+        schema = spark.read.parquet(inp).schema
+        stream = spark.readStream.schema(schema).parquet(inp)
+        agg = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "10 seconds").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        # memory sink can't recover an update-mode checkpoint; foreachBatch
+        # can (assertions read the state store directly anyway)
+        q = (
+            agg.writeStream.foreachBatch(lambda df, bid: df.count())
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def state_windows():
+        st = ss.read_spark_state(spark, ckpt)
+        return {
+            (int(r[1]["start"].timestamp()), int(r[1]["end"].timestamp())): r[2]
+            for r in st.collect()
+        }
+
+    # batch 0: t=200 races the watermark forward to 190; the t=100 window
+    # is evicted at end of batch
+    run_batch([(ts(100),), (ts(200),)], "overwrite")
+    assert state_windows() == {(200, 210): 1}
+
+    # a late-but-legitimate row (t=150 < watermark 190) is dropped by
+    # Spark's own late-row filter: state unchanged
+    run_batch([(ts(150),)], "append")
+    assert state_windows() == {(200, 210): 1}
+
+    # surgery: lower the resume watermark below the reopened window
+    patched = ss.patch_watermark(ckpt, 140_000)
+    prog = {
+        r["batch_id"]: r
+        for r in ss.read_streaming_progress(spark, ckpt).collect()
+    }
+    assert prog[patched]["batch_watermark_ms"] == 140_000
+    assert prog[patched]["next_batch_watermark_ms"] == 140_000
+
+    # the same-window row is now accepted on restart
+    run_batch([(ts(155),)], "append")
+    assert state_windows() == {(200, 210): 1, (150, 160): 1}
