@@ -539,3 +539,58 @@ def compact_rocksdb_checkpoint(
         compact_one
     ).collect()  # partition ids only
     return version
+
+
+def gc_rocksdb_checkpoint(
+    spark,
+    checkpoint_dir: str,
+    *,
+    operator_id: int = 0,
+    store_name: str = "default",
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete SST files no committed version references — the offline
+    analog of RocksDBFileManager's deleteOrphanFiles. The surgery and
+    compaction writers deliberately leave a replaced version's old SSTs
+    behind (crash-safe: the new zip is durable before anything else
+    changes); against a live query the store's own maintenance reaps
+    them, but an offline-patched checkpoint has no maintenance, so this
+    is the reclaim step. A file is an orphan iff NO ``{v}.zip``'s
+    metadata lists its dfs name — every retained version keeps
+    time-traveling. Version files themselves (zips, changelogs) are never
+    touched. ``dry_run=True`` lists without deleting. One task per state
+    partition; the driver sees only the (file-count-bounded) removed
+    paths. Run against a quiescent checkpoint — a running query may be
+    mid-upload of a not-yet-committed version's files."""
+    sdir = _state_dir(checkpoint_dir, operator_id, store_name)
+    pids = [
+        p for p in _partition_dirs(sdir)
+        if os.path.isdir(_pdir(sdir, p, store_name))
+    ]
+
+    def gc_one(pid: int) -> list[str]:
+        pdir = _pdir(sdir, pid, store_name)
+        ssts_dir = os.path.join(pdir, "SSTs")
+        if not os.path.isdir(ssts_dir):
+            return []
+        referenced: set[str] = set()
+        for f in os.listdir(pdir):
+            stem, _, ext = f.partition(".")
+            if ext == "zip" and stem.isdigit():
+                meta = _version_metadata(pdir, int(stem))
+                referenced.update(
+                    e["dfsSstFileName"] for e in meta.get("sstFiles", [])
+                )
+        removed = []
+        for f in sorted(os.listdir(ssts_dir)):
+            if f not in referenced:
+                path = os.path.join(ssts_dir, f)
+                if not dry_run:
+                    os.remove(path)
+                removed.append(path)
+        return removed
+
+    out = spark.sparkContext.parallelize(pids, max(1, len(pids))).map(
+        gc_one
+    ).collect()
+    return [p for part in out for p in part]

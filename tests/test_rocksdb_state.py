@@ -828,3 +828,63 @@ def test_compact_rocksdb_changelog_checkpoint_then_restart(spark, tmp_path):
             "HDFSBackedStateStoreProvider",
         )
         spark.conf.set(cl, "false")
+
+
+def test_gc_rocksdb_checkpoint_reaps_only_orphans(spark, tmp_path):
+    """GC deletes exactly the SSTs no version's zip references: compact
+    twice at the same version (the rewrite orphans the first snapshot's
+    SST), gc, and prove the referenced file survives, time travel to the
+    zip version still works, and Spark's own restart continues."""
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    cl = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(cl, "true")
+    try:
+        import glob
+
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1), ("b", 5)], "k string, v int"
+        ).coalesce(1).write.parquet(inp)
+        _run_agg(spark, inp, ckpt)
+        ver = rs.compact_rocksdb_checkpoint(spark, ckpt)
+        rs.compact_rocksdb_checkpoint(spark, ckpt, version=ver)  # orphan #1
+
+        pdirs = glob.glob(f"{ckpt}/state/0/[0-9]*")
+        n_ssts = sum(len(os.listdir(os.path.join(p, "SSTs"))) for p in pdirs)
+        before = {
+            r[1]: (r[2], r[3])
+            for r in rs.read_rocksdb_spark_state(spark, ckpt).collect()
+        }
+
+        planned = rs.gc_rocksdb_checkpoint(spark, ckpt, dry_run=True)
+        assert planned and all(os.path.exists(p) for p in planned)
+        removed = rs.gc_rocksdb_checkpoint(spark, ckpt)
+        assert sorted(removed) == sorted(planned)
+        assert not any(os.path.exists(p) for p in removed)
+        n_left = sum(len(os.listdir(os.path.join(p, "SSTs"))) for p in pdirs)
+        assert n_left == n_ssts - len(removed) and n_left > 0
+
+        # referenced snapshot still reads; idempotent second gc is a no-op
+        after = {
+            r[1]: (r[2], r[3])
+            for r in rs.read_rocksdb_spark_state(spark, ckpt, version=ver).collect()
+        }
+        assert after == before
+        assert rs.gc_rocksdb_checkpoint(spark, ckpt) == []
+
+        # Spark itself restarts on the gc'd checkpoint and continues
+        spark.createDataFrame(
+            [("a", 10)], "k string, v int"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        assert _run_agg(spark, inp, ckpt) == {"a": (2, 11), "b": (1, 5)}
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(cl, "false")
