@@ -594,3 +594,56 @@ def gc_rocksdb_checkpoint(
         gc_one
     ).collect()
     return [p for part in out for p in part]
+
+
+def prune_rocksdb_checkpoint(
+    spark,
+    checkpoint_dir: str,
+    *,
+    retain_versions: int = 2,
+    operator_id: int = 0,
+    store_name: str = "default",
+) -> list[str]:
+    """Retention pruning for the RocksDB provider: make ``floor = latest
+    - retain_versions + 1`` self-contained by compacting a full snapshot
+    zip there (:func:`compact_rocksdb_checkpoint`), delete every older
+    ``.zip``/``.changelog`` (and sidecars), then reap the SSTs the
+    deleted zips alone referenced (:func:`gc_rocksdb_checkpoint`).
+    Restores at any version ≥ floor keep working; time travel below the
+    floor is given up — that is the reclaim. Returns the deleted paths.
+    Run against a quiescent checkpoint."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    latest = latest_version(checkpoint_dir, operator_id, store_name)
+    floor = latest - retain_versions + 1
+    if floor <= 1:
+        return []
+    compact_rocksdb_checkpoint(
+        spark, checkpoint_dir, operator_id=operator_id,
+        store_name=store_name, version=floor,
+    )
+    sdir = _state_dir(checkpoint_dir, operator_id, store_name)
+    removed: list[str] = []
+    for pid in _partition_dirs(sdir):
+        pdir = _pdir(sdir, pid, store_name)
+        if not os.path.isdir(pdir):
+            continue
+        for f in sorted(os.listdir(pdir)):
+            stem = f
+            if stem.startswith("."):
+                stem = stem[1:]
+            stem, _, ext = stem.partition(".")
+            if not stem.isdigit() or int(stem) >= floor:
+                continue
+            if not (".zip" in f or ".changelog" in f):
+                continue
+            path = os.path.join(pdir, f)
+            os.remove(path)
+            removed.append(path)
+    removed.extend(
+        gc_rocksdb_checkpoint(
+            spark, checkpoint_dir, operator_id=operator_id,
+            store_name=store_name,
+        )
+    )
+    return removed

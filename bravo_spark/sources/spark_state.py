@@ -1457,3 +1457,49 @@ def patch_watermark(
     if os.path.exists(cpath):
         rewrite(cpath, 1, "nextBatchWatermarkMs")
     return batch_id
+
+
+def prune_spark_checkpoint(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    *,
+    retain_versions: int = 2,
+    operator_id: int = 0,
+    store_name: str | None = None,
+) -> list[str]:
+    """Retention pruning — the offline analog of the provider's
+    ``minVersionsToRetain`` maintenance: make ``floor = latest -
+    retain_versions + 1`` self-contained by compacting a full
+    ``{floor}.snapshot`` (see :func:`compact_spark_checkpoint`), then
+    delete every older ``.delta``/``.snapshot`` (and sidecars). Restores
+    at any version ≥ floor keep working (the snapshot anchors the replay
+    chain); time travel below the floor is deliberately given up — that
+    is the reclaim. Returns the deleted paths. Run against a quiescent
+    checkpoint."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    latest = latest_version(checkpoint_dir, operator_id, store_name)
+    floor = latest - retain_versions + 1
+    if floor <= 1:
+        return []
+    compact_spark_checkpoint(
+        spark, checkpoint_dir, operator_id=operator_id,
+        store_name=store_name, version=floor,
+    )
+    sdir = _state_dir(checkpoint_dir, operator_id)
+    removed: list[str] = []
+    for pid in _partitions(sdir, store_name):
+        pdir = _pdir(sdir, pid, store_name)
+        for f in sorted(os.listdir(pdir)):
+            stem = f
+            if stem.startswith("."):
+                stem = stem[1:]
+            stem, _, ext = stem.partition(".")
+            if not stem.isdigit() or int(stem) >= floor:
+                continue
+            if not (".delta" in f or ".snapshot" in f):
+                continue
+            path = os.path.join(pdir, f)
+            os.remove(path)
+            removed.append(path)
+    return removed

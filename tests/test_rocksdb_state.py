@@ -888,3 +888,65 @@ def test_gc_rocksdb_checkpoint_reaps_only_orphans(spark, tmp_path):
             "HDFSBackedStateStoreProvider",
         )
         spark.conf.set(cl, "false")
+
+
+def test_prune_rocksdb_checkpoint_retention(spark, tmp_path):
+    """Retention pruning on the changelog-mode RocksDB provider: zip at
+    the floor, older changelogs dropped, orphans reaped; versions >=
+    floor read, the real query restarts."""
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    cl = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(cl, "true")
+    try:
+        import glob
+
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1)], "k string, v int"
+        ).coalesce(1).write.parquet(inp)
+        _run_agg(spark, inp, ckpt)
+        spark.createDataFrame(
+            [("b", 2)], "k string, v int"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        _run_agg(spark, inp, ckpt)
+        spark.createDataFrame(
+            [("a", 3)], "k string, v int"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        out3 = _run_agg(spark, inp, ckpt)
+
+        assert rs.latest_version(ckpt) == 3
+        removed = rs.prune_rocksdb_checkpoint(spark, ckpt, retain_versions=2)
+        assert removed and all(not os.path.exists(p) for p in removed)
+        assert any("1.changelog" in p for p in removed)
+        pdirs = glob.glob(f"{ckpt}/state/0/[0-9]*")
+        assert all(os.path.exists(os.path.join(p, "2.zip")) for p in pdirs)
+
+        got3 = {
+            r[1]: (r[2], r[3])
+            for r in rs.read_rocksdb_spark_state(spark, ckpt).collect()
+        }
+        assert got3 == out3
+        assert {
+            r[1]
+            for r in rs.read_rocksdb_spark_state(spark, ckpt, version=2).collect()
+        } == {"a", "b"}
+        with pytest.raises(Exception):
+            rs.read_rocksdb_spark_state(spark, ckpt, version=1).collect()
+
+        spark.createDataFrame(
+            [("c", 9)], "k string, v int"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        assert _run_agg(spark, inp, ckpt) == {
+            "a": (2, 4), "b": (1, 2), "c": (1, 9)
+        }
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(cl, "false")

@@ -2261,3 +2261,52 @@ def test_patch_watermark_reopens_closed_window(spark, tmp_path):
     # the same-window row is now accepted on restart
     run_batch([(ts(155),)], "append")
     assert state_windows() == {(200, 210): 1, (150, 160): 1}
+
+
+def test_prune_spark_checkpoint_retention(spark, tmp_path):
+    """Retention pruning: compact a snapshot at the floor version, drop
+    older deltas/snapshots. Versions >= floor stay readable and the real
+    query restarts; the pruned version is genuinely gone."""
+    import glob
+    import os
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    _run_agg(spark, inp, ckpt)
+    spark.createDataFrame(
+        [("b", 2)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    _run_agg(spark, inp, ckpt)
+    spark.createDataFrame(
+        [("a", 3)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    out3 = _run_agg(spark, inp, ckpt)
+
+    latest = ss.latest_version(ckpt)
+    assert latest == 3
+    removed = ss.prune_spark_checkpoint(spark, ckpt, retain_versions=2)
+    assert removed and all(not os.path.exists(p) for p in removed)
+    assert all("1.delta" in p or "1.snapshot" in p for p in removed), removed
+    pdirs = glob.glob(f"{ckpt}/state/0/[0-9]*")
+    assert all(os.path.exists(os.path.join(p, "2.snapshot")) for p in pdirs)
+
+    # floor and latest still read; below the floor is gone
+    got3 = {
+        r[1]: (r[2], r[3]) for r in ss.read_spark_state(spark, ckpt).collect()
+    }
+    assert got3 == out3
+    assert {
+        r[1] for r in ss.read_spark_state(spark, ckpt, version=2).collect()
+    } == {"a", "b"}
+    with pytest.raises(Exception):
+        ss.read_spark_state(spark, ckpt, version=1).collect()
+
+    # the real query restarts on the pruned checkpoint
+    spark.createDataFrame(
+        [("c", 9)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    assert _run_agg(spark, inp, ckpt) == {
+        "a": (2, 4), "b": (1, 2), "c": (1, 9)
+    }
