@@ -966,42 +966,10 @@ def dedup_semantic_clusters(spark, sf_dir):
     bounded by choosing k ∝ corpus size exactly as the paper does. The
     oracle replays clustering AND pruning, so the value hash proves
     assignments, pair cosines, and the keep rule."""
-    cv = _clustered_cv(spark, sf_dir)
-    cent = _lloyd_refine(cv)
-    ccos = _dot_col(F.col("e"), F.col("ce")) / (
-        _norm_col(F.col("e")) * _norm_col(F.col("ce"))
-    )
-    wc = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
-    from bravo_spark.llmops import track_cache
+    from bravo_spark import llmops
 
-    # cache the assignment: it feeds both sides of the pair join AND the
-    # final keep projection — without the cache the Lloyd chain (and its
-    # full corpus scans) replays three times (query-cycle-scoped; the
-    # registry wrapper unpersists before the next query)
-    asg = track_cache(
-        cv.join(F.broadcast(cent))  # k centroids: genuinely fixed-size
-        .select("id", "e", "cid", ccos.alias("ccos"))
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("id", "e", "cid")
-    )
-    a, b = asg.alias("a"), asg.alias("b")
-    pcos = _dot_col(F.col("a.e"), F.col("b.e")) / (
-        _norm_col(F.col("a.e")) * _norm_col(F.col("b.e"))
-    )
-    dup = (
-        a.join(b, (F.col("a.cid") == F.col("b.cid"))
-               & (F.col("a.id") < F.col("b.id")))
-        .where(pcos >= _SEMDEDUP_T)
-        .select(F.col("b.id").alias("id"))
-        .distinct()
-    )
-    return (
-        asg.select("id", "cid")
-        .join(dup.withColumn("_d", F.lit(1)), "id", "left")
-        .select(
-            "id",
-            "cid",
-            F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("keep"),
-        )
-    )
+    cv = _clustered_cv(spark, sf_dir)
+    cent = _lloyd_refine(cv).select("cid", "ce")
+    return llmops.semantic_dedup(
+        cv, cent, id_col="id", vec_col="e", threshold=_SEMDEDUP_T
+    ).withColumnRenamed("cluster_id", "cid")

@@ -1689,3 +1689,71 @@ def chunk_documents(
             f"{out_col}_chars", F.length(F.col(out_col)).cast("long")
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every vector to its nearest
+    centroid by cosine, then within each cluster mark the higher-id
+    member of every pair with cosine >= ``threshold`` as a duplicate —
+    keep-lowest-id, greedy and deterministic. Returns
+    (id_col, cluster_id, keep int).
+
+    ``centroids`` is (cluster_id, centroid array) — typically
+    :func:`kmeans_centroids` output — and broadcasts (k rows). The
+    pairwise join is an EQUI-join on cluster_id, so the work is
+    sum(cluster²), bounded by choosing k ∝ corpus size exactly as the
+    paper does; nothing here is ever corpus². The assignment caches for
+    its three consumers (query-cycle-scoped via release_caches)."""
+    c_id, c_vec = centroids.columns[0], centroids.columns[1]
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def norm(a):
+        return F.sqrt(dot(a, a))
+
+    cent = centroids.select(
+        F.col(c_id).alias("_cid"), F.col(c_vec).alias("_ce")
+    )
+    ccos = dot(F.col("_e"), F.col("_ce")) / (
+        norm(F.col("_e")) * norm(F.col("_ce"))
+    )
+    wc = Window.partitionBy("_id").orderBy(F.col("_ccos").desc(), F.col("_cid"))
+    asg = track_cache(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
+        .join(F.broadcast(cent))  # k centroids: fixed-size by contract
+        .select("_id", "_e", "_cid", ccos.alias("_ccos"))
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "_e", "_cid")
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    pcos = dot(F.col("a._e"), F.col("b._e")) / (
+        norm(F.col("a._e")) * norm(F.col("b._e"))
+    )
+    dup = (
+        a.join(b, (F.col("a._cid") == F.col("b._cid"))
+               & (F.col("a._id") < F.col("b._id")))
+        .where(pcos >= F.lit(threshold))
+        .select(F.col("b._id").alias("_id"))
+        .distinct()
+    )
+    return (
+        asg.select("_id", "_cid")
+        .join(dup.withColumn("_d", F.lit(1)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cid").alias("cluster_id"),
+            F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        )
+    )

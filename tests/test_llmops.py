@@ -877,3 +877,38 @@ def test_chunk_documents_offsets_overlap_and_edges(spark):
         llmops.chunk_documents(docs, "doc_id", "text", size=3, stride=4)
     with pytest.raises(ValueError, match="positive"):
         llmops.chunk_documents(docs, "doc_id", "text", size=0, stride=1)
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """semantic_dedup on a hand-built fixture: two tight clusters around
+    orthogonal axes plus one outlier. Within each cluster every pair is
+    above threshold, so only the lowest id survives; the outlier (its own
+    nearest centroid, nothing similar) always survives."""
+    vecs = [
+        (0, [10.0, 0.1]),   # cluster 0
+        (1, [10.0, 0.2]),
+        (2, [9.9, 0.15]),
+        (10, [0.1, 10.0]),  # cluster 1
+        (11, [0.2, 10.0]),
+        (20, [-7.0, -7.0]),  # outlier: nearest centroid irrelevant, no dup
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, -1.0])],
+        "cluster_id long, centroid array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in llmops.semantic_dedup(df, cents, threshold=0.99).collect()
+    }
+    assert got == {
+        0: (0, 1), 1: (0, 0), 2: (0, 0),
+        10: (1, 1), 11: (1, 0),
+        20: (2, 1),
+    }
+    # a stricter threshold keeps everything
+    strict = {
+        r["vec_id"]: r["keep"]
+        for r in llmops.semantic_dedup(df, cents, threshold=0.9999999).collect()
+    }
+    assert all(strict.values())
