@@ -2310,3 +2310,74 @@ def test_prune_spark_checkpoint_retention(spark, tmp_path):
     assert _run_agg(spark, inp, ckpt) == {
         "a": (2, 4), "b": (1, 2), "c": (1, 9)
     }
+
+
+def test_flink_savepoint_bootstraps_spark_query(spark, tmp_path):
+    """Cross-engine state migration — the reason a reference user can
+    switch: take a FLINK savepoint's keyed count state, read it with the
+    savepoint source, and write it INTO a Spark Structured Streaming
+    checkpoint with the state writer, so the restarted SPARK query
+    continues counting exactly where the Flink job left off. Every step
+    is an existing public API; this test pins the composition."""
+    from bravo_spark.codecs import flink as fc
+    from bravo_spark.sources import savepoint as sp
+    from bravo_spark.sources import staterows as sr
+
+    # --- the Flink side: a count-per-key savepoint (as the reference's
+    # jobs write: ValueState<Long> keyed by int)
+    flink_counts = {1: 10, 2: 20, 3: 30}
+    kv = spark.createDataFrame(
+        [(k, v) for k, v in flink_counts.items()], "key int, value long"
+    )
+    rows = sr.kv_to_state_rows(kv, "Count", fc.INT, fc.LONG)
+    svp = str(tmp_path / "flink_savepoint")
+    sp.write_savepoint(rows, svp, max_parallelism=128, parallelism=2)
+
+    # --- the Spark side: the successor streaming query (count per key),
+    # checkpointed once on a seed batch so the checkpoint skeleton
+    # (schema files, offsets, partition layout) exists
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+
+    def run_batch(rows_, mode):
+        spark.createDataFrame(rows_, "k int").coalesce(1).write.mode(
+            mode
+        ).parquet(inp)
+        schema = spark.read.parquet(inp).schema
+        stream = spark.readStream.schema(schema).parquet(inp)
+        agg = stream.groupBy("k").agg(F.count("*").alias("cnt"))
+        q = (
+            agg.writeStream.foreachBatch(lambda df, bid: df.count())
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_batch([(999,)], "overwrite")  # seed: replaced by the migration
+
+    # --- the migration: Flink savepoint -> typed kv -> the Spark store's
+    # exact (key, value) shape -> state writer (replaces the seed state)
+    back = sp.read_savepoint(spark, svp)
+    migrated = sr.read_value_kv(back, "Count", fc.INT, fc.LONG)
+    key_schema, value_schema = ss.read_state_schema(ckpt)
+    k_name = key_schema.fields[0].name
+    v_name = value_schema.fields[0].name
+    desired = migrated.select(
+        F.col("key").cast(key_schema.fields[0].dataType).alias(k_name),
+        F.col("value").cast(value_schema.fields[0].dataType).alias(v_name),
+    )
+    ss.write_spark_state(spark, ckpt, desired)
+
+    got = {
+        r[1]: r[2] for r in ss.read_spark_state(spark, ckpt).collect()
+    }
+    assert got == flink_counts  # seed key 999 tombstoned by the writer
+
+    # --- the proof: Spark's own restarted query continues from Flink's
+    # counts on new input
+    run_batch([(1,), (1,), (3,), (4,)], "append")
+    final = {
+        r[1]: r[2] for r in ss.read_spark_state(spark, ckpt).collect()
+    }
+    assert final == {1: 12, 2: 20, 3: 31, 4: 1}
