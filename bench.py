@@ -42,6 +42,13 @@ HEADLINE = [
     "streaming_window_counts",
     "streaming_stateful_counts",
     "sessionize",
+    # r15 registrations' first wall numbers (the per-family precedent):
+    # SemDeDup, overlapping chunking, cross-version state diff (the last
+    # runs two real streaming lifecycles — restart-floor-dominated like
+    # the rewrite rows)
+    "dedup_semantic_clusters",
+    "text_chunk_overlap",
+    "spark_state_diff",
 ]
 
 
