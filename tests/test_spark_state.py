@@ -2425,3 +2425,66 @@ def test_spark_state_exports_to_flink_savepoint(spark, tmp_path):
     assert {r["key"]: r["value"] for r in back.collect()} == {
         1: 2, 2: 1, 3: 3
     }
+
+
+def test_prune_noop_when_history_short(spark, tmp_path):
+    """retain_versions >= history: floor <= 1 means nothing to reclaim —
+    explicit no-op, and the guard rejects nonsense retention."""
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    _run_agg(spark, inp, ckpt)
+    assert ss.prune_spark_checkpoint(spark, ckpt, retain_versions=5) == []
+    with pytest.raises(ValueError, match="retain_versions"):
+        ss.prune_spark_checkpoint(spark, ckpt, retain_versions=0)
+    # state untouched
+    assert {r[1] for r in ss.read_spark_state(spark, ckpt).collect()} == {"a"}
+
+
+def test_patch_watermark_explicit_batch_and_errors(spark, tmp_path):
+    """patch_watermark with an explicit batch id rewrites THAT entry;
+    missing checkpoints and batches fail loudly by name."""
+    import datetime
+    import os
+
+    with pytest.raises(FileNotFoundError):
+        ss.patch_watermark(str(tmp_path / "nope"), 1000)
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+
+    def ts(sec):
+        return datetime.datetime.fromtimestamp(sec, datetime.timezone.utc)
+
+    def run_batch(rows, mode):
+        spark.createDataFrame(rows, "ts timestamp").coalesce(1).write.mode(
+            mode
+        ).parquet(inp)
+        schema = spark.read.parquet(inp).schema
+        stream = spark.readStream.schema(schema).parquet(inp)
+        agg = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "10 seconds").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(lambda df, bid: df.count())
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_batch([(ts(100),)], "overwrite")
+    run_batch([(ts(200),)], "append")
+    with pytest.raises(FileNotFoundError, match="batch 99"):
+        ss.patch_watermark(ckpt, 1000, batch_id=99)
+    assert ss.patch_watermark(ckpt, 123_456, batch_id=0) == 0
+    prog = {
+        r["batch_id"]: r
+        for r in ss.read_streaming_progress(spark, ckpt).collect()
+    }
+    assert prog[0]["batch_watermark_ms"] == 123_456
+    # the latest entry is untouched — only the named batch was patched
+    assert prog[max(prog)]["batch_watermark_ms"] != 123_456
