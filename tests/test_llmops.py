@@ -912,3 +912,23 @@ def test_semantic_dedup_keep_rule(spark):
         for r in llmops.semantic_dedup(df, cents, threshold=0.9999999).collect()
     }
     assert all(strict.values())
+
+
+def test_chunk_documents_counts_characters_not_bytes(spark):
+    """Offsets and lengths are CHARACTER-based (Spark substring/length
+    semantics, matching the DuckDB oracle), so multi-byte text chunks at
+    the same boundaries as ASCII."""
+    text = "日本語テキスト処理の検証用"  # 13 chars, 3 bytes each in UTF-8
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["chunk_idx"]: (r["chunk"], r["chunk_chars"])
+        for r in llmops.chunk_documents(
+            df, "doc_id", "text", size=5, stride=4
+        ).collect()
+    }
+    assert got == {
+        0: (text[0:5], 5),
+        1: (text[4:9], 5),
+        2: (text[8:13], 5),
+        3: (text[12:13], 1),
+    }
