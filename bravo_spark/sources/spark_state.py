@@ -1376,16 +1376,23 @@ def compact_spark_checkpoint(
             payload += struct.pack(">i", len(kb)) + kb
             payload += struct.pack(">i", len(vb)) + vb
         payload += struct.pack(">i", -1)
-        # frame like the store's own files: an existing snapshot first,
-        # else the version's delta (a restarted query decompresses with
-        # its configured codec, not by sniffing)
+        # frame like the store's own files (a restarted query decompresses
+        # with its configured codec, not by sniffing): the version's
+        # snapshot, else its delta, else ANY state file in the partition —
+        # only a store with no files at all falls back to lz4 (Spark's
+        # default codec)
         like = None
         snap = os.path.join(pdir, f"{version}.snapshot")
         delta = os.path.join(pdir, f"{version}.delta")
-        if os.path.exists(snap):
-            like = open(snap, "rb").read()
-        elif os.path.exists(delta):
-            like = open(delta, "rb").read()
+        candidates = [snap, delta] + sorted(
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith((".delta", ".snapshot"))
+        )
+        for c in candidates:
+            if os.path.exists(c):
+                like = open(c, "rb").read()
+                break
         tmp = os.path.join(pdir, f".{version}.snapshot.tmp")
         with open(tmp, "wb") as f:
             f.write(encode_stream_like(like, bytes(payload)))

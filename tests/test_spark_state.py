@@ -2488,3 +2488,36 @@ def test_patch_watermark_explicit_batch_and_errors(spark, tmp_path):
     assert prog[0]["batch_watermark_ms"] == 123_456
     # the latest entry is untouched — only the named batch was patched
     assert prog[max(prog)]["batch_watermark_ms"] != 123_456
+
+
+def test_compact_follows_store_codec_snappy(spark, tmp_path):
+    """A restarted query decompresses state files with its CONFIGURED
+    codec, not by sniffing — so a compacted snapshot must carry the
+    store's framing. Run the query under snappy, compact, and restart
+    under snappy: the snapshot is snappy-framed and the query continues."""
+    import glob
+    import os
+
+    spark.conf.set("spark.sql.streaming.stateStore.compression.codec", "snappy")
+    try:
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1)], "k string, v int"
+        ).coalesce(1).write.parquet(inp)
+        _run_agg(spark, inp, ckpt)
+        spark.createDataFrame(
+            [("b", 2)], "k string, v int"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        _run_agg(spark, inp, ckpt)
+
+        ver = ss.compact_spark_checkpoint(spark, ckpt)
+        for p in glob.glob(f"{ckpt}/state/0/[0-9]*"):
+            raw = open(os.path.join(p, f"{ver}.snapshot"), "rb").read()
+            assert raw[:8] == ss.SNAPPY_MAGIC, raw[:8]
+
+        spark.createDataFrame(
+            [("a", 9)], "k string, v int"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        assert _run_agg(spark, inp, ckpt) == {"a": (2, 10), "b": (1, 2)}
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.compression.codec", "lz4")
