@@ -356,3 +356,19 @@ def test_write_savepoint_rejects_out_of_range_first_group(spark, tmp_path):
             rows, str(tmp_path / "bad"), max_parallelism=100, parallelism=1,
             state_ids={"Count": 0},
         )
+
+
+def test_maintenance_namespace_exports():
+    """The one-import checkpoint-maintenance surface stays complete."""
+    from bravo_spark import maintenance as m
+
+    for name in m.__all__:
+        assert callable(getattr(m, name)), name
+    # the families an operator reaches for, by name
+    for required in (
+        "compact_spark_checkpoint", "compact_rocksdb_checkpoint",
+        "gc_rocksdb_checkpoint", "prune_spark_checkpoint",
+        "prune_rocksdb_checkpoint", "patch_watermark",
+        "rewind_checkpoint", "read_streaming_progress",
+    ):
+        assert required in m.__all__, required
