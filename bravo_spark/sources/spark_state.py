@@ -1510,3 +1510,20 @@ def prune_spark_checkpoint(
             os.remove(path)
             removed.append(path)
     return removed
+
+
+def list_store_names(checkpoint_dir: str, operator_id: int = 0) -> list[str]:
+    """The operator's NAMED stores (a stream-stream join keeps four per
+    partition: left/right keyToNumValues + keyWithIndexToValue); empty
+    when the operator uses the single default store. Use to drive
+    per-store maintenance: every maintenance entry point takes
+    ``store_name``, so compacting a join checkpoint is a loop over this
+    list."""
+    sdir = _state_dir(checkpoint_dir, operator_id)
+    names: set[str] = set()
+    for pid in _partitions(sdir):
+        p = os.path.join(sdir, str(pid))
+        for d in os.listdir(p):
+            if d != "_metadata" and os.path.isdir(os.path.join(p, d)):
+                names.add(d)
+    return sorted(names)

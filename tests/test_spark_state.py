@@ -2521,3 +2521,92 @@ def test_compact_follows_store_codec_snappy(spark, tmp_path):
         assert _run_agg(spark, inp, ckpt) == {"a": (2, 10), "b": (1, 2)}
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.compression.codec", "lz4")
+
+
+def test_compact_named_join_stores_then_restart(spark, tmp_path):
+    """Maintenance on MULTI-STORE operators: discover a stream-stream
+    join's four named stores with list_store_names, compact each, and
+    prove state equality plus a correct restarted join on new input."""
+    import datetime as _dt
+    import glob
+    import os
+
+    inp_l = str(tmp_path / "left")
+    inp_r = str(tmp_path / "right")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    t0 = _dt.datetime(2030, 1, 1, 10, 0, 0)
+
+    spark.createDataFrame(
+        [(1, t0), (2, t0)], "uid long, lts timestamp"
+    ).coalesce(1).write.parquet(inp_l)
+    spark.createDataFrame(
+        [(1, t0 + _dt.timedelta(minutes=1))], "r_uid long, rts timestamp"
+    ).coalesce(1).write.parquet(inp_r)
+
+    def run():
+        left = (
+            spark.readStream.schema("uid long, lts timestamp")
+            .parquet(inp_l)
+            .withWatermark("lts", "10 minutes")
+        )
+        right = (
+            spark.readStream.schema("r_uid long, rts timestamp")
+            .parquet(inp_r)
+            .withWatermark("rts", "10 minutes")
+        )
+        j = left.join(
+            right,
+            (F.col("uid") == F.col("r_uid"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r["uid"], r["rts"]) for r in spark.read.parquet(outdir).collect()
+        }
+
+    assert run() == {(1, t0 + _dt.timedelta(minutes=1))}
+
+    names = ss.list_store_names(ckpt)
+    assert names == [
+        "left-keyToNumValues", "left-keyWithIndexToValue",
+        "right-keyToNumValues", "right-keyWithIndexToValue",
+    ]
+
+    counts_key = T.StructType([T.StructField("uid", T.LongType())])
+    counts_val = T.StructType([T.StructField("count", T.LongType())])
+
+    def left_counts():
+        return {
+            r["uid"]: r["count"]
+            for r in ss.read_spark_state(
+                spark, ckpt, store_name="left-keyToNumValues",
+                key_schema=counts_key, value_schema=counts_val,
+            ).collect()
+        }
+
+    before = left_counts()
+    assert before == {1: 1, 2: 1}
+    for name in names:
+        ver = ss.compact_spark_checkpoint(spark, ckpt, store_name=name)
+        snaps = glob.glob(f"{ckpt}/state/0/[0-9]*/{name}/{ver}.snapshot")
+        assert snaps, name
+    assert left_counts() == before
+
+    # the restarted join still matches buffered left rows on new input
+    spark.createDataFrame(
+        [(2, t0 + _dt.timedelta(minutes=2))], "r_uid long, rts timestamp"
+    ).coalesce(1).write.mode("append").parquet(inp_r)
+    assert run() == {
+        (1, t0 + _dt.timedelta(minutes=1)),
+        (2, t0 + _dt.timedelta(minutes=2)),
+    }
