@@ -2610,3 +2610,86 @@ def test_compact_named_join_stores_then_restart(spark, tmp_path):
         (1, t0 + _dt.timedelta(minutes=1)),
         (2, t0 + _dt.timedelta(minutes=2)),
     }
+
+
+def test_multi_operator_checkpoint_reads_both_operators(spark, tmp_path):
+    """A query with TWO stateful operators (dropDuplicates -> aggregation)
+    checkpoints state under state/0 AND state/1; both read through
+    operator_id, each self-describing via its own schema file, and
+    per-operator maintenance (compaction) works independently."""
+    import glob
+    import os
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 9)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    agg = (
+        stream.dropDuplicates(["k", "v"])
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (
+        agg.writeStream.foreachBatch(lambda df, bid: df.count())
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    op_dirs = sorted(
+        int(d) for d in os.listdir(os.path.join(ckpt, "state")) if d.isdigit()
+    )
+    assert op_dirs == [0, 1]
+
+    # identify the operators by their state shape: the agg keys by k with
+    # a count buffer; dropDuplicates keys by (k, v) with a null dummy
+    shapes = {}
+    for op in op_dirs:
+        key_s, _val_s = ss.read_state_schema(ckpt, op)
+        shapes[op] = [f.name for f in key_s.fields]
+    agg_op = next(op for op, cols in shapes.items() if cols == ["k"])
+    dedup_op = next(op for op, cols in shapes.items() if cols == ["k", "v"])
+    assert agg_op != dedup_op
+
+    agg_state = {
+        r[1]: r[2]
+        for r in ss.read_spark_state(spark, ckpt, operator_id=agg_op).collect()
+    }
+    assert agg_state == {"a": 2, "b": 1}
+    dedup_keys = {
+        (r[1], r[2])
+        for r in ss.read_spark_state(spark, ckpt, operator_id=dedup_op).collect()
+    }
+    assert dedup_keys == {("a", 1), ("a", 2), ("b", 9)}
+
+    # per-operator maintenance: compact only the dedup operator; its
+    # snapshot appears, the agg operator is untouched
+    ver = ss.compact_spark_checkpoint(spark, ckpt, operator_id=dedup_op)
+    assert glob.glob(f"{ckpt}/state/{dedup_op}/[0-9]*/{ver}.snapshot")
+    assert not glob.glob(f"{ckpt}/state/{agg_op}/[0-9]*/*.snapshot")
+
+    # and the query restarts on the partially-compacted checkpoint
+    spark.createDataFrame(
+        [("a", 2), ("a", 3)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    q = (
+        spark.readStream.schema(schema).parquet(inp)
+        .dropDuplicates(["k", "v"])
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .writeStream.foreachBatch(lambda df, bid: df.count())
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {
+        r[1]: r[2]
+        for r in ss.read_spark_state(spark, ckpt, operator_id=agg_op).collect()
+    }
+    assert final == {"a": 3, "b": 1}  # ("a",2) deduped, ("a",3) new
