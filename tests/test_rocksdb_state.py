@@ -950,3 +950,101 @@ def test_prune_rocksdb_checkpoint_retention(spark, tmp_path):
             "HDFSBackedStateStoreProvider",
         )
         spark.conf.set(cl, "false")
+
+
+def test_timer_reschedule_surgery_rocksdb_provider(spark, tmp_path):
+    """The RocksDB-provider twin of the timer-reschedule surgery: patch a
+    key's timeoutTimestamp into the past via the RocksDB state writer and
+    the restarted applyInPandasWithState query fires that key's
+    hasTimedOut handler, untouched timers stay silent."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bravo_spark.sources import spark_state as ss
+
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    cl = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(cl, "true")
+    try:
+        inp = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1), ("b", 2)], "k string, v long"
+        ).coalesce(1).write.parquet(inp)
+
+        def fn(key, pdf_iter, state):
+            if state.hasTimedOut:
+                state.remove()
+                yield pd.DataFrame({"k": [key[0]], "tot": [-999]})
+                return
+            (tot,) = state.get if state.exists else (0,)
+            tot += sum(int(x) for pdf in pdf_iter for x in pdf["v"])
+            state.update((tot,))
+            state.setTimeoutDuration(3600_000)
+            yield pd.DataFrame({"k": [key[0]], "tot": [tot]})
+
+        def run(max_batches):
+            got, seen = [], [0]
+
+            def sink(df, _bid):
+                got.extend((r["k"], r["tot"]) for r in df.collect())
+                seen[0] += 1
+
+            q = (
+                spark.readStream.schema("k string, v long")
+                .parquet(inp)
+                .groupBy("k")
+                .applyInPandasWithState(
+                    fn, "k string, tot long", "tot long",
+                    "update", GroupStateTimeout.ProcessingTimeTimeout,
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            t0 = _time.time()
+            while q.isActive and _time.time() - t0 < 90 and seen[0] < max_batches:
+                _time.sleep(0.5)
+            q.stop()
+            q.awaitTermination(60)
+            return sorted(got)
+
+        assert run(1) == [("a", 1), ("b", 2)]
+
+        st = rs.read_rocksdb_spark_state(spark, ckpt)
+        assert st.columns[-1] == "timeoutTimestamp"
+        patched = st.drop("partition_id").withColumn(
+            "timeoutTimestamp",
+            F.when(F.col("k") == "a", F.lit(1).cast("long")).otherwise(
+                F.col("timeoutTimestamp")
+            ),
+        )
+        rs.write_rocksdb_spark_state(spark, ckpt, patched)
+
+        spark.createDataFrame(
+            [("c", 9)], "k string, v long"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        out2 = run(2)
+        assert ("a", -999) in out2
+        assert ("c", 9) in out2
+        assert all(k != "b" for k, _ in out2)
+        final = {
+            r["k"]: tuple(r["groupState"])
+            for r in rs.read_rocksdb_spark_state(spark, ckpt).collect()
+        }
+        assert final == {"b": (2,), "c": (9,)}
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(cl, "false")
