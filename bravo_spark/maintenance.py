@@ -60,3 +60,167 @@ __all__ = [
     "write_rocksdb_spark_state",
     "write_spark_state",
 ]
+
+
+def audit_checkpoint(spark, checkpoint_dir: str):
+    """First-touch checkpoint diagnostic: one DataFrame row per finding,
+    empty = healthy. Runs the checks an operator does by hand before
+    trusting (or operating on) a checkpoint:
+
+    - ``uncommitted_batch``: a planned batch with no commit entry — the
+      query died mid-batch; restart will re-run it (exactly-once sinks
+      tolerate this; audit before surgery anyway).
+    - ``watermark_regression``: offsets metadata watermark moving
+      backwards between consecutive batches — either file corruption or
+      a previous manual patch (:func:`patch_watermark` is the legitimate
+      source of these).
+    - ``version_skew``: a state partition whose latest committed version
+      trails the store's maximum — a partially-written commit.
+    - ``broken_replay_chain``: a version the provider cannot restore —
+      HDFS: a missing delta between the anchoring snapshot and latest;
+      RocksDB changelog mode: a missing changelog after the last zip.
+    - ``orphan_sst``: RocksDB SSTs no version references (reclaim with
+      :func:`gc_rocksdb_checkpoint`).
+
+    Log checks are driver-side (metadata-scale files); per-partition
+    chain checks run one task per partition. Columns:
+    (check, operator_id, store, partition_id, severity, detail)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from bravo_spark.sources import rocksdb_state as _rs
+    from bravo_spark.sources import spark_state as _ss
+
+    rows: list[tuple] = []
+
+    # --- batch-log coherence + watermark monotonicity (driver-side)
+    odir = os.path.join(checkpoint_dir, "offsets")
+    cdir = os.path.join(checkpoint_dir, "commits")
+    bids = sorted(
+        int(f) for f in os.listdir(odir) if f.isdigit()
+    ) if os.path.isdir(odir) else []
+    committed = {
+        int(f) for f in os.listdir(cdir) if f.isdigit()
+    } if os.path.isdir(cdir) else set()
+    prev_wm = None
+    for b in bids:
+        if b not in committed:
+            rows.append((
+                "uncommitted_batch", None, None, None, "warn",
+                f"batch {b} planned but never committed",
+            ))
+        try:
+            lines = open(os.path.join(odir, str(b))).read().splitlines()
+            meta = _json.loads(lines[1]) if len(lines) > 1 else {}
+            wm = meta.get("batchWatermarkMs")
+        except (OSError, _json.JSONDecodeError, IndexError):
+            wm = None
+        if wm is not None and prev_wm is not None and wm < prev_wm:
+            rows.append((
+                "watermark_regression", None, None, None, "info",
+                f"batch {b} watermark {wm} < batch watermark {prev_wm} "
+                "(corruption, or a deliberate patch_watermark)",
+            ))
+        prev_wm = wm if wm is not None else prev_wm
+
+    # --- per-operator/per-store state chains
+    sroot = os.path.join(checkpoint_dir, "state")
+    ops = sorted(
+        int(d) for d in os.listdir(sroot) if d.isdigit()
+    ) if os.path.isdir(sroot) else []
+    for op in ops:
+        sdir = os.path.join(sroot, str(op))
+        stores = _ss.list_store_names(checkpoint_dir, op) or [None]
+        for store in stores:
+            pids = _ss._partitions(sdir, store)
+            specs = []
+            for pid in pids:
+                pdir = _ss._pdir(sdir, pid, store)
+                if store is not None and not os.path.isdir(pdir):
+                    continue
+                specs.append((op, store, pid, pdir))
+
+            def check_partition(spec):
+                op_, store_, pid_, pdir_ = spec
+                found: list[tuple] = []
+                files = os.listdir(pdir_)
+                deltas = {int(f.split(".")[0]) for f in files
+                          if f.endswith(".delta") and f.split(".")[0].isdigit()}
+                snaps = {int(f.split(".")[0]) for f in files
+                         if f.endswith(".snapshot") and f.split(".")[0].isdigit()}
+                zips = {int(f.split(".")[0]) for f in files
+                        if f.endswith(".zip") and f.split(".")[0].isdigit()}
+                logs = {int(f.split(".")[0]) for f in files
+                        if f.endswith(".changelog") and f.split(".")[0].isdigit()}
+                latest = max(deltas | snaps | zips | logs, default=0)
+                if deltas or snaps:  # HDFS-backed chain
+                    anchor = max((s for s in snaps if s <= latest), default=0)
+                    missing = [v for v in range(anchor + 1, latest + 1)
+                               if v not in deltas]
+                    if missing:
+                        found.append((
+                            "broken_replay_chain", op_, store_, pid_, "error",
+                            f"missing deltas {missing} between snapshot "
+                            f"{anchor} and latest {latest}",
+                        ))
+                if logs:  # RocksDB changelog chain
+                    anchor = max((z for z in zips if z <= latest), default=0)
+                    missing = [v for v in range(anchor + 1, latest + 1)
+                               if v not in logs and v not in zips]
+                    if missing:
+                        found.append((
+                            "broken_replay_chain", op_, store_, pid_, "error",
+                            f"missing changelogs {missing} after zip "
+                            f"{anchor} up to latest {latest}",
+                        ))
+                if zips:
+                    referenced: set[str] = set()
+                    for z in zips:
+                        meta = _rs._version_metadata(pdir_, z)
+                        referenced.update(
+                            e["dfsSstFileName"] for e in meta.get("sstFiles", [])
+                        )
+                    ssts_dir = os.path.join(pdir_, "SSTs")
+                    orphans = [
+                        f for f in (os.listdir(ssts_dir)
+                                    if os.path.isdir(ssts_dir) else [])
+                        if f not in referenced
+                    ]
+                    if orphans:
+                        found.append((
+                            "orphan_sst", op_, store_, pid_, "info",
+                            f"{len(orphans)} unreferenced SST(s); "
+                            "gc_rocksdb_checkpoint reclaims them",
+                        ))
+                return (latest, found)
+
+            results = spark.sparkContext.parallelize(
+                specs, max(1, len(specs))
+            ).map(check_partition).collect() if specs else []
+            maxv = max((latest for latest, _ in results), default=0)
+            for (op_, store_, pid_, _pdir), (latest, found) in zip(specs, results):
+                rows.extend(found)
+                if latest < maxv:
+                    rows.append((
+                        "version_skew", op_, store_, pid_, "error",
+                        f"partition latest version {latest} trails store "
+                        f"max {maxv} — partially-written commit",
+                    ))
+
+    schema = T.StructType([
+        T.StructField("check", T.StringType(), False),
+        T.StructField("operator_id", T.IntegerType(), True),
+        T.StructField("store", T.StringType(), True),
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("severity", T.StringType(), False),
+        T.StructField("detail", T.StringType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+__all__.append("audit_checkpoint")
+__all__.append("list_store_names")
+
+from bravo_spark.sources.spark_state import list_store_names  # noqa: F401,E402

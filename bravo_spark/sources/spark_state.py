@@ -1524,6 +1524,11 @@ def list_store_names(checkpoint_dir: str, operator_id: int = 0) -> list[str]:
     for pid in _partitions(sdir):
         p = os.path.join(sdir, str(pid))
         for d in os.listdir(p):
-            if d != "_metadata" and os.path.isdir(os.path.join(p, d)):
+            # _metadata is the schema dir; SSTs is RocksDBFileManager's
+            # file store for the DEFAULT store (named stores keep their
+            # own SSTs dir one level down) — neither is a store name
+            if d not in ("_metadata", "SSTs") and os.path.isdir(
+                os.path.join(p, d)
+            ):
                 names.add(d)
     return sorted(names)

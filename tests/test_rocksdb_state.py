@@ -1048,3 +1048,60 @@ def test_timer_reschedule_surgery_rocksdb_provider(spark, tmp_path):
             "HDFSBackedStateStoreProvider",
         )
         spark.conf.set(cl, "false")
+
+
+def test_audit_checkpoint_rocksdb_findings(spark, tmp_path):
+    """audit_checkpoint's RocksDB checks: orphan SSTs after a double
+    compaction, and a broken changelog chain after deleting a middle
+    changelog."""
+    from bravo_spark import maintenance as mt
+
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    cl = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(cl, "true")
+    try:
+        import glob
+
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1)], "k string, v int"
+        ).coalesce(1).write.parquet(inp)
+        _run_agg(spark, inp, ckpt)
+        spark.createDataFrame(
+            [("b", 2)], "k string, v int"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        _run_agg(spark, inp, ckpt)
+
+        assert mt.audit_checkpoint(spark, ckpt).count() == 0
+
+        ver = rs.compact_rocksdb_checkpoint(spark, ckpt)
+        rs.compact_rocksdb_checkpoint(spark, ckpt, version=ver)  # orphans
+        rows = mt.audit_checkpoint(spark, ckpt).collect()
+        assert {r["check"] for r in rows} == {"orphan_sst"}
+        rs.gc_rocksdb_checkpoint(spark, ckpt)
+        assert mt.audit_checkpoint(spark, ckpt).count() == 0
+
+        victim = glob.glob(f"{ckpt}/state/0/0/1.changelog")[0]
+        os.remove(victim)
+        rows = mt.audit_checkpoint(spark, ckpt).collect()
+        chain = [r for r in rows if r["check"] == "broken_replay_chain"]
+        # zip at 2 anchors versions >= 2, so only sub-anchor history
+        # breaks... the anchor is max zip <= latest: latest=2, anchor=2,
+        # missing range empty — deleting 1.changelog is then INVISIBLE to
+        # the chain check because the zip anchors it. Delete the zip too:
+        for z in glob.glob(f"{ckpt}/state/0/0/2.zip"):
+            os.remove(z)
+        rows = mt.audit_checkpoint(spark, ckpt).collect()
+        chain = [r for r in rows if r["check"] == "broken_replay_chain"]
+        assert chain and "missing changelogs [1]" in chain[0]["detail"]
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(cl, "false")

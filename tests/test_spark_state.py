@@ -2693,3 +2693,57 @@ def test_multi_operator_checkpoint_reads_both_operators(spark, tmp_path):
         for r in ss.read_spark_state(spark, ckpt, operator_id=agg_op).collect()
     }
     assert final == {"a": 3, "b": 1}  # ("a",2) deduped, ("a",3) new
+
+
+def test_audit_checkpoint_findings(spark, tmp_path):
+    """audit_checkpoint: empty on a healthy checkpoint, then one finding
+    per injected defect — uncommitted batch, watermark regression (via a
+    deliberate patch), broken replay chain (deleted delta), orphan SST
+    (double compaction on the RocksDB provider elsewhere-tested; here the
+    HDFS checks)."""
+    import os
+
+    from bravo_spark import maintenance as mt
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    _run_agg(spark, inp, ckpt)
+    spark.createDataFrame(
+        [("b", 2)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    _run_agg(spark, inp, ckpt)
+    spark.createDataFrame(
+        [("c", 3)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    _run_agg(spark, inp, ckpt)
+
+    assert mt.audit_checkpoint(spark, ckpt).count() == 0  # healthy
+
+    # watermark "regression" via a deliberate patch on an OLD batch...
+    ss.patch_watermark(ckpt, 999_999_999, batch_id=0)
+    found = {
+        r["check"] for r in mt.audit_checkpoint(spark, ckpt).collect()
+    }
+    assert found == {"watermark_regression"}
+    ss.patch_watermark(ckpt, 0, batch_id=0)  # restore monotonicity
+
+    # uncommitted batch: drop the last commit entry
+    os.remove(os.path.join(ckpt, "commits", "2"))
+    found = {
+        (r["check"], r["detail"])
+        for r in mt.audit_checkpoint(spark, ckpt).collect()
+    }
+    assert ("uncommitted_batch", "batch 2 planned but never committed") in found
+
+    # broken replay chain: delete a middle delta
+    import glob
+
+    victim = glob.glob(f"{ckpt}/state/0/0/2.delta")[0]
+    os.remove(victim)
+    rows = mt.audit_checkpoint(spark, ckpt).collect()
+    chain = [r for r in rows if r["check"] == "broken_replay_chain"]
+    assert chain and chain[0]["partition_id"] == 0
+    assert "missing deltas [2]" in chain[0]["detail"]
+    assert chain[0]["severity"] == "error"
