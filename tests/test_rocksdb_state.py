@@ -1011,7 +1011,7 @@ def test_timer_reschedule_surgery_rocksdb_provider(spark, tmp_path):
                 .start()
             )
             t0 = _time.time()
-            while q.isActive and _time.time() - t0 < 90 and seen[0] < max_batches:
+            while q.isActive and _time.time() - t0 < 150 and seen[0] < max_batches:
                 _time.sleep(0.5)
             q.stop()
             q.awaitTermination(60)
