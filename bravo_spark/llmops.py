@@ -1757,3 +1757,30 @@ def semantic_dedup(
             F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("keep"),
         )
     )
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic simple random sample of EXACTLY ``k`` rows: rank by
+    ``md5(salt || id)`` and keep the k smallest. Unlike Bernoulli
+    sampling (``hash_sample``-style fraction filters) the output size is
+    exact, and unlike ``ORDER BY rand()`` it is reproducible — the same
+    (corpus, salt, k) always selects the same rows, and adding rows
+    never evicts a selected row unless the newcomer hashes lower
+    (bounded churn, the property shard-stable eval sets need).
+
+    Scale shape: Catalyst plans ORDER BY+LIMIT as TakeOrderedAndProject
+    — each partition keeps its local top-k and only k rows per partition
+    reach the driver-side merge, never a full sort (plan-pinned). k is
+    assumed driver-friendly (an eval-set size, not a corpus size)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    ranked = df.withColumn(
+        "_rk", F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    )
+    return ranked.orderBy("_rk").limit(k).drop("_rk")

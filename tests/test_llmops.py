@@ -932,3 +932,33 @@ def test_chunk_documents_counts_characters_not_bytes(spark):
         2: (text[8:13], 5),
         3: (text[12:13], 1),
     }
+
+
+def test_exact_k_sample_deterministic_topk(spark):
+    """exact_k_sample: exact size, reproducible, salt-sensitive, stable
+    under corpus growth (selected set changes only by hash-order
+    eviction), and planned as TakeOrderedAndProject — never a global
+    sort."""
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    s1 = {r["doc_id"] for r in llmops.exact_k_sample(df, 50).collect()}
+    s2 = {r["doc_id"] for r in llmops.exact_k_sample(df, 50).collect()}
+    assert len(s1) == 50 and s1 == s2
+    s3 = {r["doc_id"] for r in llmops.exact_k_sample(df, 50, salt="x").collect()}
+    assert s3 != s1 and len(s3) == 50
+
+    # growth: the old selection stays except where a newcomer hashes lower
+    bigger = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    s4 = {r["doc_id"] for r in llmops.exact_k_sample(bigger, 50).collect()}
+    assert len(s4) == 50 and s4 & s1  # overlap survives growth
+
+    plan = (
+        llmops.exact_k_sample(df, 50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+    with pytest.raises(ValueError, match="positive"):
+        llmops.exact_k_sample(df, 0)
