@@ -928,3 +928,40 @@ def test_resolve_lsm_streamed_skewed_key_100k_operands(spark):
         for r in ck.resolve_lsm_streamed(small).collect()
     }
     assert got_small == want
+
+
+def test_resolve_lsm_fold_equivalence_fuzz(spark):
+    """Property fuzz over random LSM version graphs: for ANY multiset of
+    (key, seq, vtype) versions — puts, StringAppend merges, tombstones,
+    single-deletes, duplicate seqs across keys, merge-before-base,
+    merge-only keys — the streamed sort-fold and the collect_list fold
+    produce the identical resolved relation. Seeded RNG (no
+    Date/random-in-worker), one Spark round per case batch."""
+    import random
+
+    rng = random.Random(48151623)
+    for case in range(6):
+        keys = [f"k{i}".encode() for i in range(rng.randint(1, 8))]
+        rows = []
+        seq = 1
+        for _ in range(rng.randint(1, 60)):
+            k = rng.choice(keys)
+            vtype = rng.choice(
+                [sst.TYPE_VALUE, sst.TYPE_MERGE, sst.TYPE_MERGE,
+                 sst.TYPE_DELETION, sst.TYPE_SINGLE_DELETION]
+            )
+            val = f"v{seq}".encode() if vtype in (
+                sst.TYPE_VALUE, sst.TYPE_MERGE
+            ) else b""
+            rows.append(("s", b"\x00" + k, seq, vtype, val))
+            seq += rng.randint(1, 3)
+        raw = spark.createDataFrame(rows, schema=ck._RAW_SCHEMA)
+        collected = sorted(
+            (r["state_name"], bytes(r["key_ns"]), bytes(r["value"]))
+            for r in ck.resolve_lsm_collected(raw).collect()
+        )
+        streamed = sorted(
+            (r["state_name"], bytes(r["key_ns"]), bytes(r["value"]))
+            for r in ck.resolve_lsm_streamed(raw).collect()
+        )
+        assert streamed == collected, f"case {case}: {rows}"
