@@ -1784,3 +1784,32 @@ def exact_k_sample(
         "_rk", F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     )
     return ranked.orderBy("_rk").limit(k).drop("_rk")
+
+
+def strip_markup(
+    df: DataFrame, text_col: str, *, out_col: str = "clean_text"
+) -> DataFrame:
+    """HTML/XML → text for web-crawl corpora: drop <script>/<style>
+    blocks and comments WITH their contents, strip remaining tags,
+    decode the common entities, and collapse the whitespace the removals
+    leave behind. Entirely JVM-side ``regexp_replace`` chains — map-only,
+    zero Python, zero shuffles; not a browser (no JS, no CSS layout),
+    which is exactly the trade every large-scale crawl pipeline makes."""
+    c = F.col(text_col)
+    # containers whose CONTENT is noise, then comments, then any tag
+    for pat in (
+        r"(?is)<script\b[^>]*>.*?</script>",
+        r"(?is)<style\b[^>]*>.*?</style>",
+        r"(?s)<!--.*?-->",
+        r"(?s)<[^>]+>",
+    ):
+        c = F.regexp_replace(c, pat, " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        c = F.regexp_replace(c, ent, rep)
+    # numeric character references (decimal + hex) for the ASCII range
+    c = F.regexp_replace(c, r"&#x?[0-9a-fA-F]{1,6};", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)

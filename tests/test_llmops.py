@@ -962,3 +962,25 @@ def test_exact_k_sample_deterministic_topk(spark):
 
     with pytest.raises(ValueError, match="positive"):
         llmops.exact_k_sample(df, 0)
+
+
+def test_strip_markup_drops_script_content_and_decodes_entities(spark):
+    html = (
+        "<html><head><style>body{color:red}</style>"
+        "<script type='text/js'>var x = '<b>not text</b>';</script></head>"
+        "<body><!-- comment with <tags> -->"
+        "<h1 class='t'>Title &amp; subtitle</h1>"
+        "<p>1 &lt; 2, &quot;q&quot;, it&#39;s&nbsp;here&#8212;done</p>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    got = llmops.strip_markup(df, "text").collect()[0]["clean_text"]
+    assert got == "Title & subtitle 1 < 2, \"q\", it's here done"
+    # script/style/comment CONTENT is gone, not just the tags
+    assert "color" not in got and "var x" not in got and "comment" not in got
+    # map-only plan, no Python
+    plan = (
+        llmops.strip_markup(df, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
