@@ -1813,3 +1813,47 @@ def strip_markup(
     c = F.regexp_replace(c, r"&#x?[0-9a-fA-F]{1,6};", " ")
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col, c)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    size: int = 512,
+    stride: int | None = None,
+    out_col: str = "chunk_tokens",
+) -> DataFrame:
+    """Token-level sibling of :func:`chunk_documents`, for post-tokenizer
+    pipelines: window i covers tokens [i*stride, i*stride + size) of the
+    array column, so ``stride == size`` (the default) packs back-to-back
+    training sequences and ``stride < size`` gives the overlapping
+    windows long-context eval sets use. Map-only JVM expressions
+    (``sequence`` → ``explode`` → ``slice``); empty/NULL token arrays
+    yield no chunks."""
+    if stride is None:
+        stride = size
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError(
+            f"stride {stride} > size {size} would drop tokens between "
+            "consecutive chunks"
+        )
+    n = F.size(F.col(tokens_col))
+    return (
+        df.where(n > 0)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+            ).alias("_ci"),
+            F.col(tokens_col).alias("_t"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_ci").cast("long").alias("chunk_idx"),
+            F.expr(f"slice(_t, _ci * {stride} + 1, {size})").alias(out_col),
+        )
+        .withColumn(f"{out_col}_len", F.size(F.col(out_col)).cast("long"))
+    )

@@ -984,3 +984,44 @@ def test_strip_markup_drops_script_content_and_decodes_entities(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_tokens_packs_and_overlaps(spark):
+    """chunk_tokens: back-to-back packing at stride==size, overlap at
+    stride<size, exact reconstruction, empty arrays vanish."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "tokens": [[f"t{i}" for i in range(10)], []]}
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, tokens array<string>")
+
+    packed = {
+        r["chunk_idx"]: r["chunk_tokens"]
+        for r in llmops.chunk_tokens(df, "doc_id", "tokens", size=4).collect()
+    }
+    assert packed == {
+        0: ["t0", "t1", "t2", "t3"],
+        1: ["t4", "t5", "t6", "t7"],
+        2: ["t8", "t9"],
+    }
+    # reconstruction is exact at stride == size
+    assert [t for i in sorted(packed) for t in packed[i]] == [
+        f"t{i}" for i in range(10)
+    ]
+
+    overlapped = {
+        r["chunk_idx"]: (r["chunk_tokens"], r["chunk_tokens_len"])
+        for r in llmops.chunk_tokens(
+            df, "doc_id", "tokens", size=4, stride=3
+        ).collect()
+    }
+    assert overlapped[0] == (["t0", "t1", "t2", "t3"], 4)
+    assert overlapped[1] == (["t3", "t4", "t5", "t6"], 4)
+    assert overlapped[3] == (["t9"], 1)
+
+    plan = (
+        llmops.chunk_tokens(df, "doc_id", "tokens", size=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
