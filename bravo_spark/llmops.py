@@ -1857,3 +1857,79 @@ def chunk_tokens(
         )
         .withColumn(f"{out_col}_len", F.size(F.col(out_col)).cast("long"))
     )
+
+
+def hash_ngram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 4096,
+    ngram: int = 1,
+) -> DataFrame:
+    """FastText-style feature hashing: word n-grams bucketed into a fixed
+    ``dim``-dimensional space by the engine's md5-derived 32-bit hash —
+    the feature extraction half of a linear text-quality classifier.
+    Output is the LONG form (id, bucket, count): joinable, sortable, and
+    shuffle-light (one partial-aggregated shuffle on (id, bucket));
+    downstream scoring never materializes a dense vector."""
+    if dim <= 0 or ngram <= 0:
+        raise ValueError("dim and ngram must be positive")
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)").alias(
+            "_ws"
+        ),
+    )
+    if ngram > 1:
+        # guard inside the expression: sequence(1, 0) DESCENDS in Spark,
+        # so a too-short document must yield array() before any slice runs
+        grams = toks.select(
+            F.col(id_col),
+            F.expr(
+                f"CASE WHEN size(_ws) >= {ngram} THEN"
+                f" transform(sequence(1, size(_ws) - {ngram - 1}),"
+                f" i -> array_join(slice(_ws, i, {ngram}), ' '))"
+                " ELSE array() END"
+            ).alias("_gs"),
+        )
+    else:
+        grams = toks.select(F.col(id_col), F.col("_ws").alias("_gs"))
+    return (
+        grams.select(F.col(id_col), F.explode("_gs").alias("_g"))
+        .select(
+            F.col(id_col),
+            (F.expr(_h32("_g")) % dim).cast("int").alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("long").alias("count"))
+    )
+
+
+def linear_text_score(
+    features: DataFrame,
+    weights: list[float],
+    *,
+    id_col: str = "doc_id",
+    bias: float = 0.0,
+) -> DataFrame:
+    """Apply a trained linear classifier over :func:`hash_ngram_features`
+    output: score(doc) = bias + Σ weights[bucket] · count, normalized by
+    the document's total feature count (so long documents don't dominate).
+    ``weights`` is the dense ``dim``-length vector — a genuinely
+    fixed-size relation, broadcast. Returns (id, score double)."""
+    spark = features.sparkSession
+    w = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(weights)], "bucket int, w double"
+    )
+    return (
+        features.join(F.broadcast(w), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.lit(float(bias))
+                + F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("count"))
+                / F.sum("count")
+            ).alias("score")
+        )
+    )

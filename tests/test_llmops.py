@@ -1025,3 +1025,45 @@ def test_chunk_tokens_packs_and_overlaps(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hash_ngram_features_and_linear_score(spark):
+    """Feature hashing matches a Python recomputation of the same
+    md5-bucket function, bigrams cover adjacent pairs, and the linear
+    scorer reproduces a hand-computed normalized dot product."""
+    import hashlib
+
+    def bucket(g, dim):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % dim
+
+    df = spark.createDataFrame(
+        [(1, "good text good"), (2, "bad")], "doc_id long, text string"
+    )
+    feats = llmops.hash_ngram_features(df, "doc_id", "text", dim=64)
+    got = {
+        (r["doc_id"], r["bucket"]): r["count"] for r in feats.collect()
+    }
+    assert got == {
+        (1, bucket("good", 64)): 2,
+        (1, bucket("text", 64)): 1,
+        (2, bucket("bad", 64)): 1,
+    }
+
+    bi = llmops.hash_ngram_features(df, "doc_id", "text", dim=64, ngram=2)
+    got_bi = {
+        (r["doc_id"], r["bucket"]): r["count"] for r in bi.collect()
+    }
+    assert got_bi == {
+        (1, bucket("good text", 64)): 1,
+        (1, bucket("text good", 64)): 1,
+    }  # doc 2 has no bigram
+
+    weights = [0.0] * 64
+    weights[bucket("good", 64)] = 3.0
+    weights[bucket("bad", 64)] = -6.0
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in llmops.linear_text_score(feats, weights, bias=1.0).collect()
+    }
+    assert scores[1] == 1.0 + (3.0 * 2) / 3  # (2 good + 1 text) / 3 tokens
+    assert scores[2] == 1.0 - 6.0
