@@ -470,3 +470,70 @@ def read_savepoint_kv(
             yield pd.DataFrame({"key": keys, "value": vals}, columns=["key", "value"])
 
     return _split_frame(spark, splits).mapInPandas(scan_decode, schema=schema)
+
+
+LATEST_POINTER = "LATEST"
+
+
+def streaming_savepoint_sink(
+    path: str,
+    state_name: str,
+    key_codec,
+    value_codec,
+    *,
+    max_parallelism: int = 128,
+    parallelism: int = 1,
+    key_col: str = "key",
+    value_col: str = "value",
+    keep_history: bool = True,
+):
+    """A ``foreachBatch`` function that maintains a FLINK-READABLE mirror
+    of a streaming aggregation's state: every micro-batch (complete-mode
+    output) is serialized as a full savepoint under
+    ``{path}/batch-{id}/`` and ``{path}/LATEST`` flips to it atomically
+    (write-temp + ``os.replace``), so a Flink-side consumer — or this
+    engine's own savepoint source — always sees one consistent snapshot
+    and never a half-written one. ``keep_history=False`` deletes the
+    superseded batch dir after the pointer flip (the pointer is already
+    durable, so a crash between the two steps leaves only garbage, never
+    a dangling pointer).
+
+    Use with ``.outputMode("complete")`` — each batch must carry the
+    FULL keyed result, exactly the savepoint semantic. Read the mirror
+    back with :func:`latest_savepoint_path` + ``read_savepoint``."""
+
+    def write_batch(df, batch_id: int) -> None:
+        import shutil
+
+        from bravo_spark.sources import staterows as sr
+
+        target = os.path.join(path, f"batch-{batch_id}")
+        kv = df.select(
+            df[key_col].alias("key"), df[value_col].alias("value")
+        )
+        rows = sr.kv_to_state_rows(
+            kv, state_name, key_codec, value_codec,
+            max_parallelism=max_parallelism,
+        )
+        write_savepoint(
+            rows, target,
+            max_parallelism=max_parallelism, parallelism=parallelism,
+        )
+        prev = latest_savepoint_path(path)
+        tmp = os.path.join(path, f".{LATEST_POINTER}.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"batch-{batch_id}")
+        os.replace(tmp, os.path.join(path, LATEST_POINTER))
+        if not keep_history and prev is not None and prev != target:
+            shutil.rmtree(prev, ignore_errors=True)
+
+    return write_batch
+
+
+def latest_savepoint_path(path: str) -> str | None:
+    """The directory ``{path}/LATEST`` points to, or None before the
+    first committed batch."""
+    p = os.path.join(path, LATEST_POINTER)
+    if not os.path.exists(p):
+        return None
+    return os.path.join(path, open(p).read().strip())

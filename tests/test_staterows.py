@@ -376,3 +376,61 @@ def test_tuple1_key_transparent_unwrap(spark, tmp_path):
     assert fc.unwrap_tuple1_key(t2) is t2
     r = fc.ByteReader(fc.LONG.encode(7) + fc.INT.encode(3))
     assert t2.decode(r) == (7, 3)
+
+
+def test_streaming_savepoint_sink_mirrors_live_state(spark, tmp_path):
+    """The continuous Flink-mirror: a streaming aggregation in complete
+    mode writes a full savepoint per batch through foreachBatch, flips
+    the LATEST pointer atomically, and (keep_history=False) reaps the
+    superseded snapshot. The mirror always reads back as the exact batch
+    result."""
+    import os
+    import uuid as _uuid
+
+    inp = str(tmp_path / "in")
+    mirror = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(rows, mode):
+        spark.createDataFrame(rows, "key int, v int").coalesce(1).write.mode(
+            mode
+        ).parquet(inp)
+        schema = spark.read.parquet(inp).schema
+        agg = (
+            spark.readStream.schema(schema).parquet(inp)
+            .groupBy("key")
+            .agg(F.count("*").cast("long").alias("value"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                sp.streaming_savepoint_sink(
+                    mirror, "Count", fc.INT, fc.LONG,
+                    max_parallelism=128, parallelism=2,
+                    keep_history=False,
+                )
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def read_mirror():
+        latest = sp.latest_savepoint_path(mirror)
+        assert latest is not None
+        back = sp.read_savepoint(spark, latest)
+        return {
+            r["key"]: r["value"]
+            for r in sr.read_value_kv(back, "Count", fc.INT, fc.LONG).collect()
+        }
+
+    run([(1, 0), (1, 0), (2, 0)], "overwrite")
+    assert read_mirror() == {1: 2, 2: 1}
+    first = sp.latest_savepoint_path(mirror)
+
+    run([(2, 0), (3, 0)], "append")
+    assert read_mirror() == {1: 2, 2: 2, 3: 1}
+    # pointer flipped and the superseded snapshot was reaped
+    assert sp.latest_savepoint_path(mirror) != first
+    assert not os.path.exists(first)
