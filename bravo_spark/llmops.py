@@ -1933,3 +1933,144 @@ def linear_text_score(
             ).alias("score")
         )
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_iter: int = 5,
+) -> dict:
+    """Build a PERSISTED IVF index: k-means centroids + per-vector cell
+    assignments, written as two parquet relations under ``path``
+    (``centroids/``, ``assignments/`` — the latter PARTITIONED BY cell,
+    so a probe reads only its cells' files) plus a tiny JSON manifest.
+    Build once, query many: :func:`load_ivf_index` + :func:`ivf_topk`
+    skip the clustering AND the corpus-wide assignment pass entirely,
+    and cell-partition pruning turns each query into ~n_probe/n_clusters
+    of the corpus in FILE terms, not just shuffle terms."""
+    import json as _json
+    import os as _os
+
+    cents = kmeans_centroids(
+        df, id_col=id_col, vec_col=vec_col,
+        n_clusters=n_clusters, n_iter=n_iter,
+    ).select("cid", F.col("ce").alias("centroid"))
+    cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+
+    spark = df.sparkSession
+    cent = spark.read.parquet(_os.path.join(path, "centroids"))
+    dbl = F.col(vec_col).cast("array<double>")
+    vecs = df.select(F.col(id_col).alias("id"), dbl.alias("e"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(x):
+        return F.sqrt(dot(x, x))
+
+    ccos = dot(F.col("e"), F.col("centroid")) / (
+        norm(F.col("e")) * norm(F.col("centroid"))
+    )
+    wc = Window.partitionBy("id").orderBy(F.col("_c").desc(), F.col("cid"))
+    asg = (
+        vecs.join(F.broadcast(cent))
+        .select("id", "e", "cid", ccos.alias("_c"))
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("e").alias(vec_col),
+            F.col("cid").alias("cell"),
+        )
+    )
+    asg.write.mode("overwrite").partitionBy("cell").parquet(
+        _os.path.join(path, "assignments")
+    )
+    manifest = {
+        "version": 1, "id_col": id_col, "vec_col": vec_col,
+        "n_clusters": n_clusters, "n_iter": n_iter,
+    }
+    with open(_os.path.join(path, "_bravo_ivf.json"), "w") as f:
+        _json.dump(manifest, f)
+    return manifest
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
+    """(assignments, centroids, manifest) of a :func:`build_ivf_index`
+    index. ``assignments`` is cell-partitioned parquet — a filter on
+    ``cell`` becomes PartitionFilters (file pruning), which is what makes
+    the persisted index cheaper than re-assigning per query batch."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_bravo_ivf.json")) as f:
+        manifest = _json.load(f)
+    asg = spark.read.parquet(_os.path.join(path, "assignments"))
+    cent = spark.read.parquet(_os.path.join(path, "centroids"))
+    return asg, cent, manifest
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: probe the ``n_probe`` nearest cells
+    per query against the PRE-ASSIGNED corpus — no clustering, no
+    corpus-wide assignment, and the cell filter prunes parquet partitions
+    so only the probed cells' files are read. Returns
+    (query_id, neighbor_id, cos) top-k per query, identical contract to
+    :func:`ivf_topk`."""
+    asg, cent, mf = load_ivf_index(spark, path)
+    id_col, vec_col = mf["id_col"], mf["vec_col"]
+    dbl = F.col(vec_col).cast("array<double>")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(x):
+        return F.sqrt(dot(x, x))
+
+    q = queries.select(F.col(id_col).alias("query_id"), dbl.alias("qe"))
+    qcos = dot(F.col("qe"), F.col("centroid")) / (
+        norm(F.col("qe")) * norm(F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_c").desc(), F.col("cell"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "qe", F.col("cid").alias("cell"), qcos.alias("_c"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qe", "cell")
+    )
+    pcos = dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce")))
+    cand = probes.join(
+        asg.select(
+            F.col("cell"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("ce"),
+        ),
+        "cell",
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", pcos.alias("cos"))
+        .withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1067,3 +1067,44 @@ def test_hash_ngram_features_and_linear_score(spark):
     }
     assert scores[1] == 1.0 + (3.0 * 2) / 3  # (2 good + 1 text) / 3 tokens
     assert scores[2] == 1.0 - 6.0
+
+
+def test_persisted_ivf_index_build_search(spark, tmp_path, sf_dir):
+    """Build-once-query-many: the persisted IVF index searches without
+    re-clustering, its results match the in-memory ivf_topk on the same
+    centroids, and the probe's cell filter reaches the parquet scan as a
+    PartitionFilter (file pruning, not just shuffle pruning)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    mf = llmops.build_ivf_index(emb, idx, n_clusters=8, n_iter=2)
+    assert mf["n_clusters"] == 8
+
+    queries = emb.where(F.col("vec_id") < 5)
+    got = llmops.ivf_index_search(spark, idx, queries, k=3, n_probe=2)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 3 for v in by_q.values())
+
+    # parity with the in-memory path on the same centroids
+    asg, cent, _ = llmops.load_ivf_index(spark, idx)
+    mem = llmops.ivf_topk(
+        emb, queries, cent.select(F.col("cid").alias("vec_id"),
+                                  F.col("centroid").alias("embedding")),
+        k=3, n_probe=2,
+    )
+    mem_by_q = {}
+    for r in mem.collect():
+        mem_by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert {q: sorted(v) for q, v in by_q.items()} == {
+        q: sorted(v) for q, v in mem_by_q.items()
+    }
+
+    # the cell probe prunes parquet PARTITIONS
+    plan = (
+        llmops.ivf_index_search(spark, idx, queries, k=3, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(cell" in plan, plan[:2000]
