@@ -2074,3 +2074,55 @@ def ivf_index_search(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def ivf_index_append(spark, path: str, df: DataFrame) -> int:
+    """Incremental index maintenance: assign NEW vectors with the saved
+    centroids and APPEND them to the cell-partitioned assignments — no
+    recluster, no touch of existing files (parquet append into the
+    partition dirs). The centroids drift as the corpus grows; rebuild
+    with :func:`build_ivf_index` when recall evals (ann_*_recall_eval)
+    say so. Returns the number of vectors appended."""
+    import os as _os
+
+    asg, cent, mf = load_ivf_index(spark, path)
+    id_col, vec_col = mf["id_col"], mf["vec_col"]
+    # coerce to the INDEX's column types: parquet append with a
+    # differently-typed id (int literal vs the corpus's bigint) would
+    # poison the partition dirs with schema-mismatched files
+    id_type = dict(asg.dtypes)[id_col]
+    vec_type = dict(asg.dtypes)[vec_col]
+    dbl = F.col(vec_col).cast("array<double>")
+    vecs = df.select(
+        F.col(id_col).cast(id_type).alias("id"), dbl.alias("e")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(x):
+        return F.sqrt(dot(x, x))
+
+    ccos = dot(F.col("e"), F.col("centroid")) / (
+        norm(F.col("e")) * norm(F.col("centroid"))
+    )
+    wc = Window.partitionBy("id").orderBy(F.col("_c").desc(), F.col("cid"))
+    newly = (
+        vecs.join(F.broadcast(cent))
+        .select("id", "e", "cid", ccos.alias("_c"))
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("e").cast(vec_type).alias(vec_col),
+            F.col("cid").alias("cell"),
+        )
+    )
+    n = newly.count()
+    newly.write.mode("append").partitionBy("cell").parquet(
+        _os.path.join(path, "assignments")
+    )
+    return n

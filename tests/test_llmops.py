@@ -1108,3 +1108,26 @@ def test_persisted_ivf_index_build_search(spark, tmp_path, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(cell" in plan, plan[:2000]
+
+
+def test_ivf_index_append_searchable(spark, tmp_path, sf_dir):
+    """Appended vectors join the index without a recluster and become
+    searchable: a near-duplicate of a query vector appended post-build
+    must surface as its top neighbor."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    llmops.build_ivf_index(emb, idx, n_clusters=8, n_iter=2)
+
+    # append an exact copy of query 0's vector under a fresh id
+    clone = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.lit(10_000_000).alias("vec_id"), "embedding",
+                F.lit(None).cast("int").alias("label"))
+    )
+    assert llmops.ivf_index_append(spark, idx, clone) == 1
+
+    got = llmops.ivf_index_search(
+        spark, idx, emb.where(F.col("vec_id") == 0), k=1, n_probe=2
+    ).collect()
+    assert got[0]["neighbor_id"] == 10_000_000  # cosine 1.0 duplicate
+    assert abs(got[0]["cos"] - 1.0) < 1e-12
