@@ -1105,3 +1105,104 @@ def test_audit_checkpoint_rocksdb_findings(spark, tmp_path):
             "HDFSBackedStateStoreProvider",
         )
         spark.conf.set(cl, "false")
+
+
+def test_compact_named_join_stores_rocksdb(spark, tmp_path):
+    """RocksDB twin of the named-store maintenance proof: compact all
+    four stream-stream join stores (changelog mode), per-store zips
+    appear, left-side counts read identically, and the restarted join
+    still matches buffered rows on new right-side input."""
+    import datetime as _dt
+    import glob
+
+    from pyspark.sql import types as T
+
+    from bravo_spark.sources import spark_state as ss
+
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    cl = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(cl, "true")
+    try:
+        inp_l = str(tmp_path / "left")
+        inp_r = str(tmp_path / "right")
+        ckpt = str(tmp_path / "ckpt")
+        outdir = str(tmp_path / "out")
+        t0 = _dt.datetime(2030, 1, 1, 10, 0, 0)
+        spark.createDataFrame(
+            [(1, t0), (2, t0)], "uid long, lts timestamp"
+        ).coalesce(1).write.parquet(inp_l)
+        spark.createDataFrame(
+            [(1, t0 + _dt.timedelta(minutes=1))], "r_uid long, rts timestamp"
+        ).coalesce(1).write.parquet(inp_r)
+
+        def run():
+            left = (
+                spark.readStream.schema("uid long, lts timestamp")
+                .parquet(inp_l).withWatermark("lts", "10 minutes")
+            )
+            right = (
+                spark.readStream.schema("r_uid long, rts timestamp")
+                .parquet(inp_r).withWatermark("rts", "10 minutes")
+            )
+            j = left.join(
+                right,
+                (F.col("uid") == F.col("r_uid"))
+                & (F.col("rts") >= F.col("lts"))
+                & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+            )
+            q = (
+                j.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", outdir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return {
+                (r["uid"], r["rts"])
+                for r in spark.read.parquet(outdir).collect()
+            }
+
+        assert run() == {(1, t0 + _dt.timedelta(minutes=1))}
+
+        names = ss.list_store_names(ckpt)
+        assert len(names) == 4
+        counts_key = T.StructType([T.StructField("uid", T.LongType())])
+        counts_val = T.StructType([T.StructField("count", T.LongType())])
+
+        def left_counts():
+            return {
+                r["uid"]: r["count"]
+                for r in rs.read_rocksdb_spark_state(
+                    spark, ckpt, store_name="left-keyToNumValues",
+                    key_schema=counts_key, value_schema=counts_val,
+                ).collect()
+            }
+
+        before = left_counts()
+        assert before == {1: 1, 2: 1}
+        for name in names:
+            ver = rs.compact_rocksdb_checkpoint(spark, ckpt, store_name=name)
+            assert glob.glob(f"{ckpt}/state/0/[0-9]*/{name}/{ver}.zip"), name
+        assert left_counts() == before
+
+        spark.createDataFrame(
+            [(2, t0 + _dt.timedelta(minutes=2))], "r_uid long, rts timestamp"
+        ).coalesce(1).write.mode("append").parquet(inp_r)
+        assert run() == {
+            (1, t0 + _dt.timedelta(minutes=1)),
+            (2, t0 + _dt.timedelta(minutes=2)),
+        }
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(cl, "false")
