@@ -1698,6 +1698,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    transitive: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign every vector to its nearest
     centroid by cosine, then within each cluster mark the higher-id
@@ -1710,7 +1711,14 @@ def semantic_dedup(
     pairwise join is an EQUI-join on cluster_id, so the work is
     sum(cluster²), bounded by choosing k ∝ corpus size exactly as the
     paper does; nothing here is ever corpus². The assignment caches for
-    its three consumers (query-cycle-scoped via release_caches)."""
+    its three consumers (query-cycle-scoped via release_caches).
+
+    ``transitive=True`` keeps ONE representative per transitive
+    similarity GROUP (connected components over the above-threshold
+    pairs, O(log n) star contraction) — the paper-faithful semantics.
+    The default greedy rule drops a row only when some LOWER-id row is
+    directly above threshold, so a chain c~d~a where only d sees a
+    keeps BOTH a and c; transitive keeps just a."""
     c_id, c_vec = centroids.columns[0], centroids.columns[1]
 
     def dot(a, b):
@@ -1741,13 +1749,21 @@ def semantic_dedup(
     pcos = dot(F.col("a._e"), F.col("b._e")) / (
         norm(F.col("a._e")) * norm(F.col("b._e"))
     )
-    dup = (
+    pairs = (
         a.join(b, (F.col("a._cid") == F.col("b._cid"))
                & (F.col("a._id") < F.col("b._id")))
         .where(pcos >= F.lit(threshold))
-        .select(F.col("b._id").alias("_id"))
-        .distinct()
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
     )
+    if transitive:
+        comp = connected_components(pairs)
+        dup = (
+            comp.where(F.col(comp.columns[0]) != F.col(comp.columns[1]))
+            .select(F.col(comp.columns[0]).alias("_id"))
+            .distinct()
+        )
+    else:
+        dup = pairs.select(F.col("doc_b").alias("_id")).distinct()
     return (
         asg.select("_id", "_cid")
         .join(dup.withColumn("_d", F.lit(1)), "_id", "left")

@@ -1131,3 +1131,31 @@ def test_ivf_index_append_searchable(spark, tmp_path, sf_dir):
     ).collect()
     assert got[0]["neighbor_id"] == 10_000_000  # cosine 1.0 duplicate
     assert abs(got[0]["cos"] - 1.0) < 1e-12
+
+
+def test_semantic_dedup_transitive_vs_greedy(spark):
+    """The chain case where the two keep rules differ: c~d and d~a are
+    above threshold but c~a is not. Greedy (lower-id direct neighbor)
+    keeps {a, c}; transitive (one representative per connected
+    component) keeps only a."""
+    vecs = [
+        (1, [1.0, 0.0]),    # a
+        (2, [1.0, 0.14]),   # c — similar to d only
+        (3, [1.0, 0.07]),   # d — similar to both a and c
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.05])], "cluster_id long, centroid array<double>"
+    )
+    greedy = {
+        r["vec_id"]: r["keep"]
+        for r in llmops.semantic_dedup(df, cents, threshold=0.995).collect()
+    }
+    assert greedy == {1: 1, 2: 1, 3: 0}
+    trans = {
+        r["vec_id"]: r["keep"]
+        for r in llmops.semantic_dedup(
+            df, cents, threshold=0.995, transitive=True
+        ).collect()
+    }
+    assert trans == {1: 1, 2: 0, 3: 0}
