@@ -81,6 +81,8 @@ def audit_checkpoint(spark, checkpoint_dir: str):
       RocksDB changelog mode: a missing changelog after the last zip.
     - ``orphan_sst``: RocksDB SSTs no version references (reclaim with
       :func:`gc_rocksdb_checkpoint`).
+    - ``corrupt_snapshot``: a version zip the metadata parser cannot
+      read (torn write, truncation) — reported, never a crash.
 
     Log checks are driver-side (metadata-scale files); per-partition
     chain checks run one task per partition. Columns:
@@ -177,11 +179,23 @@ def audit_checkpoint(spark, checkpoint_dir: str):
                         ))
                 if zips:
                     referenced: set[str] = set()
-                    for z in zips:
-                        meta = _rs._version_metadata(pdir_, z)
+                    bad_zips = []
+                    for z in sorted(zips):
+                        # the auditor must REPORT a torn/corrupt zip, not
+                        # crash on the very defect it exists to find
+                        try:
+                            meta = _rs._version_metadata(pdir_, z)
+                        except Exception as ex:  # noqa: BLE001
+                            bad_zips.append((z, str(ex)[:80]))
+                            continue
                         referenced.update(
                             e["dfsSstFileName"] for e in meta.get("sstFiles", [])
                         )
+                    for z, why in bad_zips:
+                        found.append((
+                            "corrupt_snapshot", op_, store_, pid_, "error",
+                            f"version {z} zip unreadable: {why}",
+                        ))
                     ssts_dir = os.path.join(pdir_, "SSTs")
                     orphans = [
                         f for f in (os.listdir(ssts_dir)

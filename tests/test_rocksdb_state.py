@@ -1206,3 +1206,41 @@ def test_compact_named_join_stores_rocksdb(spark, tmp_path):
             "HDFSBackedStateStoreProvider",
         )
         spark.conf.set(cl, "false")
+
+
+def test_audit_reports_corrupt_zip_instead_of_crashing(spark, tmp_path):
+    """A torn snapshot zip must surface as a corrupt_snapshot finding —
+    the auditor cannot crash on the defect it exists to find."""
+    from bravo_spark import maintenance as mt
+
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    cl = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(cl, "true")
+    try:
+        import glob
+
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1)], "k string, v int"
+        ).coalesce(1).write.parquet(inp)
+        _run_agg(spark, inp, ckpt)
+        rs.compact_rocksdb_checkpoint(spark, ckpt)
+
+        victim = sorted(glob.glob(f"{ckpt}/state/0/*/1.zip"))[0]
+        with open(victim, "r+b") as f:
+            f.truncate(10)  # torn write
+        rows = mt.audit_checkpoint(spark, ckpt).collect()
+        corrupt = [r for r in rows if r["check"] == "corrupt_snapshot"]
+        assert corrupt and corrupt[0]["severity"] == "error"
+        assert "version 1 zip unreadable" in corrupt[0]["detail"]
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(cl, "false")
