@@ -73,8 +73,13 @@ def _version_metadata(pdir: str, version: int) -> dict:
 def latest_version(
     checkpoint_dir: str, operator_id: int = 0, store_name: str = "default"
 ) -> int:
+    """The newest version EVERY present partition has (min of
+    per-partition maxes) — the last CONSISTENT version; a killed query's
+    torn in-flight version (only some partitions committed their
+    zip/changelog) is never selected, so reads and rewrites don't fail
+    on the missing files."""
     sdir = _state_dir(checkpoint_dir, operator_id, store_name)
-    vers: list[int] = []
+    per_part: list[int] = []
     missing: list[int] = []
     for p in _partition_dirs(sdir):
         pdir = _pdir(sdir, p, store_name)
@@ -85,13 +90,15 @@ def latest_version(
             # here, but name the store if nothing is left
             missing.append(p)
             continue
-        vers.extend(
+        vs = [
             int(stem)
             for f in os.listdir(pdir)
             for stem, _, ext in [f.partition(".")]
             if ext in ("zip", "changelog") and stem.isdigit()
-        )
-    if not vers:
+        ]
+        if vs:
+            per_part.append(max(vs))
+    if not per_part:
         detail = (
             f" (store {store_name!r} missing in partition dirs {missing})"
             if missing
@@ -101,7 +108,7 @@ def latest_version(
             f"no committed RocksDB versions for store {store_name!r} under "
             f"{sdir}{detail}"
         )
-    return max(vers)
+    return min(per_part)
 
 
 def _load_partition_state(pdir: str, version: int) -> dict[bytes, bytes]:

@@ -756,16 +756,25 @@ def _load_partition_state(pdir: str, version: int) -> dict[bytes, bytes]:
 def latest_version(
     checkpoint_dir: str, operator_id: int = 0, store_name: str | None = None
 ) -> int:
+    """The newest version EVERY partition has (min of per-partition
+    maxes) — the last CONSISTENT version. A killed query can leave a
+    torn in-flight version where only some partitions wrote their delta;
+    the raw max would select it and every read/rewrite of that partition
+    would fail on the missing file. Partitions with no state files at
+    all are skipped (a store that was never populated there)."""
     sdir = _state_dir(checkpoint_dir, operator_id)
-    vers = [
-        int(f.split(".")[0])
-        for p in _partitions(sdir)
-        for f in os.listdir(_pdir(sdir, p, store_name))
-        if f.endswith(".delta")
-    ]
-    if not vers:
+    per_part = []
+    for p in _partitions(sdir):
+        vs = [
+            int(f.split(".")[0])
+            for f in os.listdir(_pdir(sdir, p, store_name))
+            if f.endswith(".delta")
+        ]
+        if vs:
+            per_part.append(max(vs))
+    if not per_part:
         raise FileNotFoundError(f"no state versions under {sdir}")
-    return max(vers)
+    return min(per_part)
 
 
 def read_spark_state(

@@ -2747,3 +2747,32 @@ def test_audit_checkpoint_findings(spark, tmp_path):
     assert chain and chain[0]["partition_id"] == 0
     assert "missing deltas [2]" in chain[0]["detail"]
     assert chain[0]["severity"] == "error"
+
+
+def test_latest_version_skips_torn_inflight_version(spark, tmp_path):
+    """A killed query can leave a torn in-flight version — only some
+    partitions wrote their delta. latest_version must return the last
+    CONSISTENT version (min of per-partition maxes), so default reads
+    and rewrites never chase the missing files."""
+    import glob
+    import shutil
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    _run_agg(spark, inp, ckpt)
+    spark.createDataFrame(
+        [("b", 2)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    out2 = _run_agg(spark, inp, ckpt)
+    assert ss.latest_version(ckpt) == 2
+
+    # simulate the torn commit: ONE partition gains a v3 delta
+    some = sorted(glob.glob(f"{ckpt}/state/0/[0-9]*/2.delta"))[0]
+    shutil.copyfile(some, some.replace("2.delta", "3.delta"))
+    assert ss.latest_version(ckpt) == 2  # not 3
+    got = {
+        r[1]: (r[2], r[3]) for r in ss.read_spark_state(spark, ckpt).collect()
+    }
+    assert got == out2  # default read lands on the consistent version
