@@ -38,8 +38,18 @@ GATE_PRIORITY = [
     # state-surgery rewind path a real user hits daily),
     # streaming_static_join (stream-static broadcast enrichment), and
     # retention_cohorts (cohort analytics) — first driver checks.
+    # r16 rotation: the r13 wave (checkpoint_rewind, streaming_static_join,
+    # retention_cohorts, per_key_trend, kmeans_lloyd_centroids, the
+    # text-cleaning tail, the embedding pair, approx_sketch_accuracy,
+    # funnel_conversion) rotated out after 3 consecutive driver-green
+    # rounds (r13-r15) along with the two 9-green-plus spine rows whose
+    # slots the r15 net-new registrations take (pair-with-staging rule);
+    # rewind/static-join/surgery paths stay pytest-restart-proven and the
+    # retained rocksdb/join/schema/nested surgery rows keep the family in
+    # the gate. In: the remaining r2 relational wave (12 re-proof rows,
+    # last driver-proven r2, 14 rounds ago) + the three r15 net-new INs.
     "snapshot_roundtrip", "checkpoint_roundtrip",
-    "checkpoint_rewind", "streaming_static_join", "retention_cohorts",
+    "except_all_keys", "intersect_keys", "rollup_agg",
     # §2.4-2.8 relational core: a1/last_write_wins rotated out in r8 after
     # 7 driver-green rounds — grouped sort-reduce stays driver-covered by
     # the savepoint writer inside snapshot_roundtrip, window functions by
@@ -62,7 +72,7 @@ GATE_PRIORITY = [
     # slots: per_key_trend (grouped linear-regression slopes) and
     # kmeans_lloyd_centroids (the IVF clustering fixed-point) — first
     # driver checks.
-    "per_key_trend", "kmeans_lloyd_centroids", "rocksdb_state_rewrite",
+    "grouping_sets_agg", "salted_skew_agg", "rocksdb_state_rewrite",
     # r11 rotation: the format/layout contracts' first driver check — the
     # json/csv/orc source roundtrips, the co-located bucketed join, and
     # partition pruning on a hive-layout write. r14 rotation: the three
@@ -120,7 +130,7 @@ GATE_PRIORITY = [
     # slots: audio_resample_features (integer polyphase decimate) and
     # snapshot_rescale — the last reference use-case (README.md:44)
     # without driver proof (re-key + keygroup re-shard, api.py:251).
-    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
     # r15: audio_resample_features / snapshot_rescale rotated out
     # (r12-r14 green; polyphase decimate stays golden-tested in
     # test_audio, re-key/re-shard in test_api). In: r2 re-proof rows.
@@ -161,7 +171,7 @@ GATE_PRIORITY = [
     # after 9 driver-green rounds (r3-r11) — the watermarked window row
     # keeps Structured Streaming in the gate. In its slot: corpus
     # drift-TV (128-bit integer total-variation between corpus snapshots).
-    "streaming_window_counts_watermarked",
+    "spark_state_diff",
     # r15: corpus_drift_tv rotated out (r12-r14 green; 128-bit TV math
     # stays pinned in test_drift_tv). In: window analytics, last r2.
     "window_analytics",
@@ -201,9 +211,9 @@ GATE_PRIORITY = [
     # sketch error vs exact), the text-cleaning tail (quality_filter
     # pipeline, NFKC-style normalize, PII redaction, word-frequency
     # top-k), and the embedding family (doc↔embedding join, norms).
-    "approx_sketch_accuracy", "quality_filter_pipeline", "text_normalize",
-    "text_redact_pii", "word_freq_topk", "doc_embedding_join",
-    "embedding_norms",
+    "json_extract_agg", "pivot_event_values", "scalar_subquery_counts",
+    "left_outer_join", "hourly_counts_gapfill", "tpch_q4_shaped",
+    "tpch_q5_star",
     # r11 rotation: the sampling family's first driver check — salted
     # hash sampling, per-stratum exact rates, deterministic train/val
     # hashing, temperature-weighted domain mixture, group-atomic
@@ -220,7 +230,7 @@ GATE_PRIORITY = [
     # and the full BPE trainer.
     "ann_recall_eval", "ann_ivf_recall_eval", "ann_pq_recall_eval",
     "ann_ivf_clustered_recall", "bpe_train_merges",
-    "funnel_conversion",
+    "text_chunk_overlap",
     # r10 rotation: the r8 media-codec additions' first driver check —
     # pure-Python JPEG/GIF roundtrips, real GIF frame sampling, the audio
     # feature path (WAV containers + integer DSP), and MJPEG-AVI demux
@@ -245,60 +255,32 @@ GATE_PRIORITY = [
 
 # The NEXT rotation, STAGED AS EXECUTABLE DATA — the r7 failure mode was
 # a staged rotation that lived only in a comment and never shipped. (The
-# r9-staged swaps executed in r10 after the r9 stall; the r11-r14
+# r9-staged swaps executed in r10 after the r9 stall; the r11-r15
 # stagings executed on schedule as their round's first commit; the
-# r14-staged 16-swap rotation executed on schedule as r15's first
-# commit — all 16 OUTs confirmed green in CORRECTNESS_r14.)
-# To execute in r16 (FIRST commit of the round):
-#   1. confirm each OUT row below is green in CORRECTNESS_r15 (if one is
+# r15-staged 15-swap rotation executed on schedule as r16's first
+# commit — all 15 OUTs confirmed green in CORRECTNESS_r15.)
+# To execute in r17 (FIRST commit of the round):
+#   1. confirm each OUT row below is green in CORRECTNESS_r16 (if one is
 #      red, keep it in the gate and drop its pair from this round);
 #   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
 #   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
-# With the never-checked pool at zero since r14, rotation cycles the
-# LONGEST-AGO-CHECKED rows back in for periodic re-proof, oldest last
-# driver check first. After the r15 flip the oldest pool is the
-# remaining r2 relational/TPC-H wave (16 rows, last driver-proven r2,
-# 14 rounds ago) — 12 cycle in here, the final four (scalar_functions,
-# tpch_q10_returns, tpch_q14_promo, tpch_q18_having) in r17. OUTs are
-# the r13 wave — first checked r13, so r13+r14+r15 = 3 consecutive
-# green rounds (the r11 eligibility precedent) once CORRECTNESS_r15
-# confirms. 12 swaps:
-R16_STAGED_SWAPS = [
-    # (rotate OUT once r15-green, rotate IN — re-proof, last checked r2)
-    # set-ops / grouping shapes
-    ("checkpoint_rewind", "except_all_keys"),
-    ("streaming_static_join", "intersect_keys"),
-    ("retention_cohorts", "rollup_agg"),
-    ("per_key_trend", "grouping_sets_agg"),
-    ("kmeans_lloyd_centroids", "salted_skew_agg"),
-    # semi-structured / pivot / correlated-subquery plans
-    ("approx_sketch_accuracy", "json_extract_agg"),
-    ("quality_filter_pipeline", "pivot_event_values"),
-    ("text_normalize", "scalar_subquery_counts"),
-    ("text_redact_pii", "left_outer_join"),
-    ("word_freq_topk", "hourly_counts_gapfill"),
-    # TPC-H re-proof: q4's EXISTS shape, and q5_star whose join strategy
-    # changed this round (the forced dims broadcast removed per the r14
-    # verdict) — driver re-proof of the changed plan
-    ("doc_embedding_join", "tpch_q4_shaped"),
-    ("embedding_norms", "tpch_q5_star"),
-    # r15 net-new registrations, staged per the pair-with-staging rule
-    # (both mirror-green at sf0.001/0.01/0.1 the round they landed):
-    # text_chunk_overlap — overlapping-window chunking, map-only
-    ("funnel_conversion", "text_chunk_overlap"),
-    # spark_state_diff — cross-version state delta on Spark's own
-    # backend (the savepoint_diff twin); it RUNS two streaming
-    # lifecycles itself, and join_state_rewrite / state_schema_migration /
-    # nested_state_rewrite / rocksdb_state_rewrite stay gated, so
-    # Structured Streaming keeps ample gate coverage after the
-    # watermarked-window row rotates out (9 driver-green rounds, r6-r14)
-    ("streaming_window_counts_watermarked", "spark_state_diff"),
-    # dedup_semantic_clusters — SemDeDup (cluster, then within-cluster
-    # cosine pruning); OUT dedup_ngram_jaccard has 14 consecutive
-    # driver-green rounds (r1-r14), stays in the headline bench every
-    # round and mirror-verified, and the gate keeps a dedup row via the
-    # semantic variant
-    ("dedup_ngram_jaccard", "dedup_semantic_clusters"),
+# After the r16 flip every query in the registry has at least one
+# driver-green proof, and the final four r2 rows (scalar_functions,
+# tpch_q10_returns, tpch_q14_promo, tpch_q18_having — last driver-proven
+# r2) cycle back in here, completing the full re-proof of the r1/r2
+# waves. OUTs are drawn from the r14 wave — first checked r14, so
+# r14+r15+r16 = 3 consecutive green rounds (the r11 eligibility
+# precedent) once CORRECTNESS_r16 confirms. The four ANN recall evals
+# rotate out together: their exact-vs-approx rescore contracts stay
+# mirror-verified and recall-gated in tests/test_similarity.py, and the
+# retained kmeans/IVF rows keep the retrieval family driver-covered via
+# the r16 net-new registrations below.
+R17_STAGED_SWAPS = [
+    # (rotate OUT once r16-green, rotate IN — re-proof, last checked r2)
+    ("ann_recall_eval", "scalar_functions"),
+    ("ann_ivf_recall_eval", "tpch_q10_returns"),
+    ("ann_pq_recall_eval", "tpch_q14_promo"),
+    ("ann_ivf_clustered_recall", "tpch_q18_having"),
 ]
 
 

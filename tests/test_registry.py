@@ -65,16 +65,18 @@ def test_flagship_families_inside_window():
     for name in (
         "snapshot_roundtrip", "checkpoint_roundtrip",
         "rocksdb_state_rewrite",
-        # r13 rotation: the r12-staged 12-swap flip — first driver check
-        # for checkpoint_rewind, streaming_static_join, the analytics
-        # pair, the text-cleaning tail, and the embedding family; the
-        # rotated-out e1/e2/filter/state-read-rewrite/TPC-H-wave rows'
-        # paths stay retained per registry.py per-pair comments
-        "checkpoint_rewind", "streaming_static_join", "retention_cohorts",
-        "per_key_trend", "kmeans_lloyd_centroids",
-        "approx_sketch_accuracy", "quality_filter_pipeline",
-        "text_normalize", "text_redact_pii", "word_freq_topk",
-        "doc_embedding_join", "embedding_norms",
+        # r16 rotation: the r15-staged 15-swap flip — the r13 wave rotated
+        # out after 3 consecutive driver-green rounds (r13-r15); in their
+        # slots the remaining r2 relational wave (12 re-proof rows) plus
+        # the three r15 net-new registrations per the pair-with-staging
+        # rule; the rotated-out rewind/static-join/analytics/text-tail/
+        # embedding paths stay retained per registry.py per-pair comments
+        "except_all_keys", "intersect_keys", "rollup_agg",
+        "grouping_sets_agg", "salted_skew_agg",
+        "json_extract_agg", "pivot_event_values",
+        "scalar_subquery_counts", "left_outer_join",
+        "hourly_counts_gapfill", "tpch_q4_shaped", "tpch_q5_star",
+        "text_chunk_overlap", "spark_state_diff",
         # r14 rotation: the r13-staged 15-swap flip — first driver check
         # for ALL remaining never-checked rows (recall evals, BPE
         # trainer, multimodal engine-API trio, text tail, the three r12
@@ -99,14 +101,13 @@ def test_flagship_families_inside_window():
         "full_outer_join", "percentiles", "semi_join",
         "window_analytics", "range_join_clicks_before_purchase",
         "join_state_rewrite", "state_schema_migration",
-        # dedup/retrieval/streaming spine
-        "dedup_ngram_jaccard",
-        "streaming_window_counts_watermarked",
+        # dedup/retrieval/streaming spine: the ngram row rotated out in
+        # r16 after 14 driver-green rounds (stays benched + mirror-green);
+        # SemDeDup keeps a dedup row gated, spark_state_diff keeps
+        # Structured Streaming lifecycles gated alongside the retained
+        # surgery rows
+        "dedup_semantic_clusters",
         "tpch_q3",
-        # r11 rotation survivor: the funnel plan (bucketed_join /
-        # partitioned_prune_scan rotated out in r15 after 4 driver-green
-        # rounds — co-location and pruning stay plan-pinned)
-        "funnel_conversion",
     ):
         assert name in window, f"{name} fell out of the correctness gate"
 
@@ -135,13 +136,13 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
             return any(unsortable(f.dataType) for f in dt.fields)
         return False
 
-    from bravo_spark.inventory.registry import R16_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R17_STAGED_SWAPS
 
     qs = _entry().queries()
     offenders = []
     # the staged rotation INs are checked too: a staged query with an
     # unsortable schema would burn its very first gate slot on flip
-    names = list(GATE_PRIORITY) + [i for _, i in R16_STAGED_SWAPS]
+    names = list(GATE_PRIORITY) + [i for _, i in R17_STAGED_SWAPS]
     for name in names:
         schema = qs[name](spark, sf_dir).schema
         for field in schema.fields:
@@ -151,7 +152,7 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
 
 
 def test_staged_rotation_is_consistent():
-    """The staged next-round rotation (registry.R16_STAGED_SWAPS) must
+    """The staged next-round rotation (registry.R17_STAGED_SWAPS) must
     stay executable: every OUT name is currently IN the gate window, every
     IN name is a registered query not currently gated (with the
     never-checked pool at zero since r14, INs are re-proof rows cycling
@@ -159,12 +160,12 @@ def test_staged_rotation_is_consistent():
     exactly 50 distinct names. Pins the staging as live data — the r7
     regression was a staged rotation that existed only in a comment and
     silently rotted."""
-    from bravo_spark.inventory.registry import R16_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R17_STAGED_SWAPS
 
     qs = _entry().queries()
     window = set(GATE_PRIORITY)
-    outs = [o for o, _ in R16_STAGED_SWAPS]
-    ins = [i for _, i in R16_STAGED_SWAPS]
+    outs = [o for o, _ in R17_STAGED_SWAPS]
+    ins = [i for _, i in R17_STAGED_SWAPS]
     assert len(set(outs)) == len(outs) and len(set(ins)) == len(ins)
     for o in outs:
         assert o in window, f"staged OUT {o} is not in the current gate"
