@@ -83,6 +83,15 @@ def audit_checkpoint(spark, checkpoint_dir: str):
       :func:`gc_rocksdb_checkpoint`).
     - ``corrupt_snapshot``: a version zip the metadata parser cannot
       read (torn write, truncation) — reported, never a crash.
+    - ``sidecar_crc_mismatch``: a state file whose
+      ChecksumCheckpointFileManager ``<file>.crc`` sidecar disagrees
+      with the file's actual CRC32C/size (bit rot, or a manual edit
+      that skipped the sidecar refresh) — the restart would die with
+      CHECKPOINT_FILE_CHECKSUM_VERIFICATION_FAILED; a MISSING sidecar
+      is fine (the manager tolerates absence, not disagreement).
+    - ``log_gap``: a hole INSIDE the offsets/commits batch-id sequence
+      (leading purge by minBatchesToRetain is normal; an interior gap
+      means a deleted/never-written log entry and breaks replay).
 
     Log checks are driver-side (metadata-scale files); per-partition
     chain checks run one task per partition. Columns:
@@ -106,6 +115,15 @@ def audit_checkpoint(spark, checkpoint_dir: str):
     committed = {
         int(f) for f in os.listdir(cdir) if f.isdigit()
     } if os.path.isdir(cdir) else set()
+    for log_name, present in (("offsets", set(bids)), ("commits", committed)):
+        if present:
+            holes = sorted(set(range(min(present), max(present) + 1)) - present)
+            if holes:
+                rows.append((
+                    "log_gap", None, None, None, "error",
+                    f"{log_name} log missing batch ids {holes} inside "
+                    f"[{min(present)}, {max(present)}]",
+                ))
     prev_wm = None
     for b in bids:
         if b not in committed:
@@ -145,9 +163,45 @@ def audit_checkpoint(spark, checkpoint_dir: str):
                 specs.append((op, store, pid, pdir))
 
             def check_partition(spec):
+                from bravo_spark.codecs.crc32c import crc32c as _crc32c
+
                 op_, store_, pid_, pdir_ = spec
                 found: list[tuple] = []
                 files = os.listdir(pdir_)
+                for f in files:
+                    # verify ChecksumCheckpointFileManager sidecars that
+                    # EXIST — absence is tolerated on load, disagreement
+                    # kills the restart
+                    if not f.endswith(
+                        (".delta", ".snapshot", ".zip", ".changelog")
+                    ) or f.startswith(".") or f + ".crc" not in files:
+                        continue
+                    main = os.path.join(pdir_, f)
+                    try:
+                        side = _json.loads(
+                            open(os.path.join(pdir_, f + ".crc")).read()
+                        )
+                        data = open(main, "rb").read()
+                    except (OSError, _json.JSONDecodeError) as ex:
+                        found.append((
+                            "sidecar_crc_mismatch", op_, store_, pid_,
+                            "error", f"{f}.crc unreadable: {str(ex)[:80]}",
+                        ))
+                        continue
+                    v = _crc32c(data)
+                    if v >= 1 << 31:
+                        v -= 1 << 32  # sidecar stores the Java signed int
+                    want_v = side.get("value")
+                    want_n = side.get("mainFileSize")
+                    if want_v != v or (
+                        want_n is not None and want_n != len(data)
+                    ):
+                        found.append((
+                            "sidecar_crc_mismatch", op_, store_, pid_,
+                            "error",
+                            f"{f}: sidecar says crc={want_v} size={want_n},"
+                            f" file has crc={v} size={len(data)}",
+                        ))
                 deltas = {int(f.split(".")[0]) for f in files
                           if f.endswith(".delta") and f.split(".")[0].isdigit()}
                 snaps = {int(f.split(".")[0]) for f in files
@@ -200,7 +254,10 @@ def audit_checkpoint(spark, checkpoint_dir: str):
                     orphans = [
                         f for f in (os.listdir(ssts_dir)
                                     if os.path.isdir(ssts_dir) else [])
+                        # checksum sidecars ride along with their SST —
+                        # only actual data files can be orphans
                         if f not in referenced
+                        and not f.startswith(".") and not f.endswith(".crc")
                     ]
                     if orphans:
                         found.append((

@@ -590,7 +590,15 @@ def gc_rocksdb_checkpoint(
                 )
         removed = []
         for f in sorted(os.listdir(ssts_dir)):
-            if f not in referenced:
+            # a checksum sidecar ("name.crc" / Hadoop ".name.crc") lives
+            # and dies with its main file — never reap one whose SST is
+            # still referenced
+            main = f
+            if main.endswith(".crc"):
+                main = main[:-4]
+                if main.startswith("."):
+                    main = main[1:]
+            if main not in referenced:
                 path = os.path.join(ssts_dir, f)
                 if not dry_run:
                     os.remove(path)

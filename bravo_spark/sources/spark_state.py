@@ -760,20 +760,34 @@ def latest_version(
     maxes) — the last CONSISTENT version. A killed query can leave a
     torn in-flight version where only some partitions wrote their delta;
     the raw max would select it and every read/rewrite of that partition
-    would fail on the missing file. Partitions with no state files at
-    all are skipped (a store that was never populated there)."""
+    would fail on the missing file. Partitions with no state files, or
+    (for a named store) without the store's subdirectory, are skipped —
+    the RocksDB twin's contract."""
     sdir = _state_dir(checkpoint_dir, operator_id)
-    per_part = []
+    per_part: list[int] = []
+    missing: list[int] = []
     for p in _partitions(sdir):
+        pdir = _pdir(sdir, p, store_name)
+        if not os.path.isdir(pdir):
+            # named store absent in this partition: a store-name typo
+            # (every partition missing) or a partially-written checkpoint
+            # (some missing) — skip, but name the store if nothing is left
+            missing.append(p)
+            continue
         vs = [
             int(f.split(".")[0])
-            for f in os.listdir(_pdir(sdir, p, store_name))
+            for f in os.listdir(pdir)
             if f.endswith(".delta")
         ]
         if vs:
             per_part.append(max(vs))
     if not per_part:
-        raise FileNotFoundError(f"no state versions under {sdir}")
+        detail = (
+            f" (store {store_name!r} missing in partition dirs {missing})"
+            if missing
+            else ""
+        )
+        raise FileNotFoundError(f"no state versions under {sdir}{detail}")
     return min(per_part)
 
 
@@ -1375,7 +1389,12 @@ def compact_spark_checkpoint(
     if version is None:
         version = latest_version(checkpoint_dir, operator_id, store_name)
     sdir = _state_dir(checkpoint_dir, operator_id)
-    pids = _partitions(sdir, store_name)
+    # a partition without the named store's subdirectory has nothing to
+    # compact (see latest_version) — skip it rather than crash the job
+    pids = [
+        p for p in _partitions(sdir, store_name)
+        if os.path.isdir(_pdir(sdir, p, store_name))
+    ]
 
     def compact_one(pid: int) -> int:
         pdir = _pdir(sdir, pid, store_name)
@@ -1506,6 +1525,10 @@ def prune_spark_checkpoint(
     removed: list[str] = []
     for pid in _partitions(sdir, store_name):
         pdir = _pdir(sdir, pid, store_name)
+        if not os.path.isdir(pdir):
+            # named store absent in this partition (see latest_version) —
+            # skipping beats crashing mid-prune after deletions started
+            continue
         for f in sorted(os.listdir(pdir)):
             stem = f
             if stem.startswith("."):

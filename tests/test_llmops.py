@@ -975,7 +975,9 @@ def test_strip_markup_drops_script_content_and_decodes_entities(spark):
     )
     df = spark.createDataFrame([(1, html)], "doc_id long, text string")
     got = llmops.strip_markup(df, "text").collect()[0]["clean_text"]
-    assert got == "Title & subtitle 1 < 2, \"q\", it's here done"
+    # &#8212; (em dash) DECODES to "-" since r16 — punctuation refs are
+    # real text in a crawl, not noise
+    assert got == "Title & subtitle 1 < 2, \"q\", it's here-done"
     # script/style/comment CONTENT is gone, not just the tags
     assert "color" not in got and "var x" not in got and "comment" not in got
     # map-only plan, no Python
@@ -1159,3 +1161,49 @@ def test_semantic_dedup_transitive_vs_greedy(spark):
         ).collect()
     }
     assert trans == {1: 1, 2: 0, 3: 0}
+
+
+def test_strip_markup_numeric_refs_decode_before_entities(spark):
+    """r16 advice: common numeric character references DECODE (a crawl's
+    curly apostrophes are real text), the rest are removed, and the
+    numeric pass runs BEFORE entity decoding so escaped references
+    ("&amp;#65;") yield their literal text instead of double-decoding
+    to nothing."""
+    text = (
+        "it&#8217;s &#8220;quoted&#8221; &#x2019;hex&#x2019; "
+        "dash&#8211;here ref &#9731; stays: &amp;#65; and &amp;lt;"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = llmops.strip_markup(df, "text").collect()[0]["clean_text"]
+    assert got == (
+        "it's \"quoted\" 'hex' dash-here ref stays: &#65; and &lt;"
+    )
+
+
+def test_persisted_ivf_index_file_uri(spark, tmp_path, sf_dir):
+    """The index manifest routes through the Hadoop FS layer (r15
+    verdict: local open() silently landed it on the driver's disk for
+    an hdfs://-rooted index) — a file: URI root must build, load, and
+    search end-to-end, and the manifest must exist NEXT TO the
+    relations under that root."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    idx = f"file://{tmp_path}/ivf_uri"
+    mf = llmops.build_ivf_index(emb, idx, n_clusters=4, n_iter=1)
+    # the manifest landed under the URI root, not some cwd-relative spot
+    assert os.path.exists(f"{tmp_path}/ivf_uri/_bravo_ivf.json")
+    asg, cent, mf2 = llmops.load_ivf_index(spark, idx)
+    assert mf2 == mf
+    got = llmops.ivf_index_search(
+        spark, idx, emb.where(F.col("vec_id") < 3), k=2, n_probe=2
+    ).collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    # append through the same FS layer
+    clone = emb.where(F.col("vec_id") == 0).select(
+        F.lit(10_000_001).alias("vec_id"), "embedding",
+        F.lit(None).cast("int").alias("label"),
+    )
+    assert llmops.ivf_index_append(spark, idx, clone) == 1

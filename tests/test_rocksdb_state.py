@@ -1244,3 +1244,52 @@ def test_audit_reports_corrupt_zip_instead_of_crashing(spark, tmp_path):
             "HDFSBackedStateStoreProvider",
         )
         spark.conf.set(cl, "false")
+
+
+def test_audit_sidecar_crc_mismatch_rocksdb(spark, tmp_path):
+    """sidecar_crc_mismatch on the RocksDB provider: tamper a version
+    zip's bytes without refreshing its ChecksumCheckpointFileManager
+    sidecar — audit reports it; refreshing the sidecar clears it."""
+    from bravo_spark import maintenance as mt
+    from bravo_spark.sources.spark_state import _finalize_state_file
+
+    prop = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        prop,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        import glob
+
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", 1)], "k string, v int"
+        ).coalesce(1).write.parquet(inp)
+        _run_agg(spark, inp, ckpt)
+
+        assert mt.audit_checkpoint(spark, ckpt).count() == 0
+
+        zips = [
+            z for z in sorted(glob.glob(f"{ckpt}/state/0/0/*.zip"))
+            if os.path.exists(z + ".crc")
+        ]
+        assert zips, "no zip sidecars written — check provider config"
+        with open(zips[0], "ab") as f:
+            f.write(b"\x00")
+        rows = mt.audit_checkpoint(spark, ckpt).collect()
+        hits = [r for r in rows if r["check"] == "sidecar_crc_mismatch"]
+        assert hits and os.path.basename(zips[0]) in hits[0]["detail"]
+        # NOTE the tampered zip is still a VALID zip (trailing junk is
+        # ignored by the central-directory parser), so corrupt_snapshot
+        # stays silent — the sidecar check is what catches this class
+        _finalize_state_file(zips[0])
+        assert not [
+            r for r in mt.audit_checkpoint(spark, ckpt).collect()
+            if r["check"] == "sidecar_crc_mismatch"
+        ]
+    finally:
+        spark.conf.set(
+            prop,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )

@@ -2776,3 +2776,113 @@ def test_latest_version_skips_torn_inflight_version(spark, tmp_path):
         r[1]: (r[2], r[3]) for r in ss.read_spark_state(spark, ckpt).collect()
     }
     assert got == out2  # default read lands on the consistent version
+
+
+def test_latest_version_names_missing_named_store(tmp_path):
+    """The HDFS-provider twin of the RocksDB contract (r16 advice):
+    latest_version on a store-name typo must raise an error NAMING the
+    store and the partitions missing it — not an opaque listdir
+    FileNotFoundError — and a partition legitimately missing a named
+    store (partially-written checkpoint) is skipped, not fatal."""
+    ckpt = tmp_path / "ckpt"
+    sdir = ckpt / "state" / "0"
+    (sdir / "0").mkdir(parents=True)  # partition 0: no named-store subdir
+    (sdir / "1" / "left-store").mkdir(parents=True)
+    (sdir / "1" / "left-store" / "3.delta").write_bytes(b"")
+
+    with pytest.raises(FileNotFoundError, match=r"'left-stor'.*\[0, 1\]"):
+        ss.latest_version(str(ckpt), 0, "left-stor")
+
+    assert ss.latest_version(str(ckpt), 0, "left-store") == 3
+
+
+def test_prune_skips_partition_missing_named_store(spark, tmp_path):
+    """prune_spark_checkpoint over a named store must skip a partition
+    that lacks the store subdirectory (r16 advice) — crashing mid-prune
+    after some files were already deleted leaves the checkpoint worse
+    than either outcome."""
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    for i in range(3):
+        spark.createDataFrame(
+            [(chr(98 + i), 2 + i)], "k string, v int"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        _run_agg(spark, inp, ckpt)
+    # give ONE partition a named-store layout alias of the default store:
+    # hardlink the default files under a store-name subdir so the named
+    # path exists in exactly one partition
+    import glob
+    import shutil
+
+    parts = sorted(glob.glob(f"{ckpt}/state/0/[0-9]*"))
+    src = parts[0]
+    named = os.path.join(src, "only-here")
+    os.makedirs(named)
+    for f in os.listdir(src):
+        if f.endswith((".delta", ".snapshot")):
+            shutil.copyfile(os.path.join(src, f), os.path.join(named, f))
+    # all other partitions lack "only-here" — prune must not crash on them
+    removed = ss.prune_spark_checkpoint(
+        spark, ckpt, retain_versions=1, store_name="only-here"
+    )
+    assert all("only-here" in p for p in removed)
+
+
+def test_audit_sidecar_crc_mismatch_and_log_gap(spark, tmp_path):
+    """The two r16 audit classes, defect-injection tested like the
+    original five: a state file whose ChecksumCheckpointFileManager
+    sidecar disagrees with its content (the restart-killing defect a
+    MISSING-sidecar check can't see), and an interior hole in the
+    offsets batch-id sequence (leading retention purge must NOT count)."""
+    import glob
+
+    from bravo_spark import maintenance as mt
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    _run_agg(spark, inp, ckpt)
+    spark.createDataFrame(
+        [("b", 2)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    _run_agg(spark, inp, ckpt)
+    spark.createDataFrame(
+        [("c", 3)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    _run_agg(spark, inp, ckpt)
+
+    assert mt.audit_checkpoint(spark, ckpt).count() == 0  # healthy
+
+    # inject: rewrite a delta's BYTES without refreshing its sidecar —
+    # exactly the hand-edit _finalize_state_file exists to prevent
+    deltas = sorted(glob.glob(f"{ckpt}/state/0/0/*.delta"))
+    victims = [d for d in deltas if os.path.exists(d + ".crc")]
+    assert victims, "no sidecars written — check provider config"
+    victim = victims[0]
+    with open(victim, "ab") as f:
+        f.write(b"\x00")
+    rows = mt.audit_checkpoint(spark, ckpt).collect()
+    hits = [r for r in rows if r["check"] == "sidecar_crc_mismatch"]
+    assert hits and hits[0]["severity"] == "error"
+    assert os.path.basename(victim) in hits[0]["detail"]
+    ss._finalize_state_file(victim)  # refresh the sidecar
+    # (the appended byte is now blessed; chain checks don't read content)
+    assert not [
+        r for r in mt.audit_checkpoint(spark, ckpt).collect()
+        if r["check"] == "sidecar_crc_mismatch"
+    ]
+
+    # inject: interior hole in the offsets log
+    os.remove(os.path.join(ckpt, "offsets", "1"))
+    rows = mt.audit_checkpoint(spark, ckpt).collect()
+    gaps = [r for r in rows if r["check"] == "log_gap"]
+    assert gaps and "offsets log missing batch ids [1]" in gaps[0]["detail"]
+    # leading purge is NOT a gap: drop batch 0 from both logs
+    os.rename(os.path.join(ckpt, "offsets", "0"),
+              os.path.join(ckpt, "offsets", "1"))
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    rows = mt.audit_checkpoint(spark, ckpt).collect()
+    assert not [r for r in rows if r["check"] == "log_gap"]
