@@ -281,6 +281,17 @@ R17_STAGED_SWAPS = [
     ("ann_ivf_recall_eval", "tpch_q10_returns"),
     ("ann_pq_recall_eval", "tpch_q14_promo"),
     ("ann_ivf_clustered_recall", "tpch_q18_having"),
+    # r16 net-new registrations, staged per the pair-with-staging rule
+    # (all four mirror-green at sf0.001/0.01/0.1 the round they landed;
+    # OUTs from the r14 wave, 3 consecutive greens once CORRECTNESS_r16
+    # confirms):
+    # persisted-IVF lifecycle keeps the retrieval family gated after the
+    # four recall evals rotate out above
+    ("bpe_train_merges", "ann_ivf_index_search"),
+    # text family swaps 1:1 within the family
+    ("text_levenshtein_pairs", "text_markup_strip"),
+    ("text_repetition", "text_chunk_tokens"),
+    ("text_length_histogram", "text_hash_features_classify"),
 ]
 
 

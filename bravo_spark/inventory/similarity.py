@@ -973,3 +973,63 @@ def dedup_semantic_clusters(spark, sf_dir):
     return llmops.semantic_dedup(
         cv, cent, id_col="id", vec_col="e", threshold=_SEMDEDUP_T
     ).withColumnRenamed("cluster_id", "cid")
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (llmops.build_ivf_index / ivf_index_search): the
+# build-once-query-many path. Same clustered fixture + Lloyd centroids as
+# ann_ivf_clustered_recall, but the assignment is WRITTEN as
+# cell-partitioned parquet plus a Hadoop-FS manifest and the search goes
+# through load_ivf_index — so the oracle hash proves the whole persisted
+# lifecycle: centroid serialization, cell routing, partition-pruned probe,
+# rescore, and top-k, not just the in-memory math.
+# ---------------------------------------------------------------------------
+
+_IVF_INDEX_NPROBE = 2
+
+_IVF_INDEX_ORACLE = f"""
+WITH {_lloyd_ctes()},
+asg_f AS (
+  SELECT id, e, cid FROM (
+    SELECT v.id, v.e, c.cid,
+      row_number() OVER (PARTITION BY v.id ORDER BY
+        {_CCOS.format(a='v.e', b='c.ce')} DESC, c.cid) rn
+    FROM cv v CROSS JOIN cent_f c) t WHERE rn = 1),
+probes AS (
+  SELECT id AS query_id, e AS qe, cid FROM (
+    SELECT v.id, v.e, c.cid,
+      row_number() OVER (PARTITION BY v.id ORDER BY
+        {_CCOS.format(a='v.e', b='c.ce')} DESC, c.cid) rn
+    FROM cv v CROSS JOIN cent_f c WHERE v.id < {N_QUERIES}) t
+  WHERE rn <= {_IVF_INDEX_NPROBE})
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT p.query_id, a.id AS neighbor_id,
+    {_CCOS.format(a='p.qe', b='a.e')} AS cos,
+    row_number() OVER (PARTITION BY p.query_id ORDER BY
+      {_CCOS.format(a='p.qe', b='a.e')} DESC, a.id) AS rk
+  FROM probes p JOIN asg_f a ON a.cid = p.cid AND a.id <> p.query_id) r
+WHERE rk <= {TOP_K}
+"""
+
+
+@query("ann_ivf_index_search", oracle=_IVF_INDEX_ORACLE)
+def ann_ivf_index_search(spark, sf_dir):
+    """Persisted-IVF lifecycle: build the index (frozen Lloyd centroids,
+    cell-partitioned parquet assignments, Hadoop-FS manifest), then
+    answer queries through load_ivf_index + the partition-pruned probe.
+    Scale shape: build is one assignment pass + one partitioned write;
+    a search reads ~n_probe/k of the corpus in FILE terms (parquet
+    PartitionFilters, pinned in tests/test_llmops.py), broadcasts only
+    the k-row centroid relation, and never re-clusters."""
+    import tempfile
+
+    from bravo_spark import llmops
+
+    cv = _clustered_cv(spark, sf_dir)
+    cent = _lloyd_refine(cv).select("cid", F.col("ce").alias("centroid"))
+    path = tempfile.mkdtemp(prefix="bravo_ivf_idx_")
+    llmops.build_ivf_index(cv, path, id_col="id", vec_col="e", centroids=cent)
+    return llmops.ivf_index_search(
+        spark, path, cv.where(F.col("id") < N_QUERIES),
+        k=TOP_K, n_probe=_IVF_INDEX_NPROBE,
+    )

@@ -2230,3 +2230,199 @@ def text_chunk_overlap(spark, sf_dir):
 
     docs = catalog.table(spark, sf_dir, "documents")
     return lo.chunk_documents(docs, "doc_id", "text", size=200, stride=150)
+
+
+# ---------------------------------------------------------------------------
+# Markup stripping: the crawl→text step. Engine API llmops.strip_markup;
+# the query wraps each document in a deterministic crawl-artifact template
+# (script/style/comment noise, tags, escaped + numeric entities) so the
+# value hash proves container removal, tag stripping, the numeric-ref
+# decode ORDER (escaped refs must surface literally), and whitespace
+# collapse. The oracle replays the exact replacement chain.
+# ---------------------------------------------------------------------------
+
+_MARKUP_PREFIX = (
+    "<html><head><style>p{color:red}</style><script>var doc="
+)
+_MARKUP_MID = (
+    ';</script></head><body><!-- crawl artifact --><p class="main">'
+)
+_MARKUP_SUFFIX = " &#8212; it&#8217;s &amp;#169; archived</p></body></html>"
+
+# the strip chain, in llmops.strip_markup's order (containers, comments,
+# tags; numeric punctuation decode; numeric removal; named entities with
+# &amp; LAST; whitespace collapse)
+_MARKUP_STEPS = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]+>", " "),
+    (r"&#(?:39|x0*27);", "'"),
+    (r"&#(?:34|x0*22);", '"'),
+    (r"&#(?:8216|8217|x0*201[89]);", "'"),
+    (r"&#(?:8220|8221|x0*201[cCdD]);", '"'),
+    (r"&#(?:8211|8212|x0*201[34]);", "-"),
+    (r"&#(?:160|x0*[aA]0);", " "),
+    (r"&#x?[0-9a-fA-F]{1,6};", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&apos;", "'"),
+    (r"&amp;", "&"),
+    (r"\s+", " "),
+]
+
+
+def _markup_strip_oracle() -> str:
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "t"
+    for pat, rep in _MARKUP_STEPS:
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+    html = (
+        f"'{q(_MARKUP_PREFIX)}' || CAST(doc_id AS VARCHAR) || "
+        f"'{q(_MARKUP_MID)}' || text || '{q(_MARKUP_SUFFIX)}'"
+    )
+    return (
+        f"WITH h AS (SELECT doc_id, {html} AS t FROM documents)\n"
+        f"SELECT doc_id, trim({expr}) AS clean_text FROM h"
+    )
+
+
+@query("text_markup_strip", oracle=_markup_strip_oracle())
+def text_markup_strip(spark, sf_dir):
+    """HTML→text over a deterministic crawl-artifact wrapping of every
+    document. Scale shape: entirely JVM-side regexp_replace chains —
+    map-only, zero Python, zero shuffles (the same class as the other
+    text scans); at 100 TB this is a pure scan whose cost is the regex
+    engine, which is why the chain stays in whole-stage codegen."""
+    from bravo_spark import llmops as lo
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_MARKUP_PREFIX),
+            F.col("doc_id").cast("string"),
+            F.lit(_MARKUP_MID),
+            F.col("text"),
+            F.lit(_MARKUP_SUFFIX),
+        ).alias("text"),
+    )
+    return lo.strip_markup(html, "text").select("doc_id", "clean_text")
+
+
+# ---------------------------------------------------------------------------
+# Token-level chunking (llmops.chunk_tokens): the post-tokenizer sibling
+# of text_chunk_overlap — overlapping windows over the token ARRAY, not
+# the character stream. Gate projection serializes the chunk (space-join)
+# per the no-array-columns rule; the oracle regenerates every window.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOK_SIZE = 64
+_CHUNK_TOK_STRIDE = 48
+
+_CHUNK_TOKENS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+ex AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(
+           0, CAST(floor((len(ws) - 1) / {_CHUNK_TOK_STRIDE}.0) AS BIGINT)
+         )) AS ci
+  FROM toks WHERE len(ws) > 0)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+  array_to_string(
+    ws[ci*{_CHUNK_TOK_STRIDE}+1 : ci*{_CHUNK_TOK_STRIDE}+{_CHUNK_TOK_SIZE}],
+    ' ') AS chunk_text,
+  CAST(len(
+    ws[ci*{_CHUNK_TOK_STRIDE}+1 : ci*{_CHUNK_TOK_STRIDE}+{_CHUNK_TOK_SIZE}]
+  ) AS BIGINT) AS n_tokens
+FROM ex
+"""
+
+
+@query("text_chunk_tokens", oracle=_CHUNK_TOKENS_ORACLE)
+def text_chunk_tokens(spark, sf_dir):
+    """Overlapping token-window chunking (size 64, stride 48): window i
+    covers tokens [i*48, i*48+64) of the whitespace token array. Scale
+    shape: map-only JVM expressions (split → filter → sequence → explode
+    → slice), zero shuffles, zero Python — the sequence(1,0)-descends
+    guard means short documents cost one branch, not a bad window."""
+    from bravo_spark import llmops as lo
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+        ).alias("toks"),
+    )
+    ch = lo.chunk_tokens(
+        toks, "doc_id", "toks",
+        size=_CHUNK_TOK_SIZE, stride=_CHUNK_TOK_STRIDE,
+    )
+    return ch.select(
+        "doc_id", "chunk_idx",
+        F.array_join("chunk_tokens", " ").alias("chunk_text"),
+        F.col("chunk_tokens_len").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear classification (llmops.hash_ngram_features +
+# linear_text_score): FastText-style quality scoring. Weights are a
+# deterministic DYADIC vector (k/64 — exactly representable, so the
+# double sum is order-independent and the hash check is exact on both
+# engines). The oracle replays tokenization, bigram hashing, bucketing,
+# and the normalized dot product.
+# ---------------------------------------------------------------------------
+
+_HASHFEAT_DIM = 64
+_HASHFEAT_BIAS = 0.25
+
+_HASHFEAT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
+  FROM documents),
+ix AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+  FROM toks WHERE len(ws) >= 2),
+feats AS (
+  SELECT doc_id,
+    CAST(CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 8)) AS BIGINT)
+         % {_HASHFEAT_DIM} AS INTEGER) AS bucket,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM ix GROUP BY doc_id, bucket)
+SELECT doc_id,
+  {_HASHFEAT_BIAS} + sum(CAST((bucket * 37) % 101 - 50 AS DOUBLE)
+                         / {_HASHFEAT_DIM} * cnt) / sum(cnt) AS score
+FROM feats GROUP BY doc_id
+"""
+
+
+@query("text_hash_features_classify", oracle=_HASHFEAT_ORACLE)
+def text_hash_features_classify(spark, sf_dir):
+    """Linear text-quality classifier over hashed bigram features:
+    score(doc) = bias + Σ w[bucket]·count / Σ count. Scale shape: the
+    feature extraction is one partial-aggregated shuffle on (doc_id,
+    bucket); the weight vector is dim rows — genuinely fixed-size —
+    and broadcasts; scoring is a second partial-aggregated shuffle on
+    doc_id. No dense vectors anywhere, no Python."""
+    from bravo_spark import llmops as lo
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    feats = lo.hash_ngram_features(
+        docs, "doc_id", "text", dim=_HASHFEAT_DIM, ngram=2
+    )
+    weights = [
+        ((b * 37) % 101 - 50) / _HASHFEAT_DIM for b in range(_HASHFEAT_DIM)
+    ]
+    return lo.linear_text_score(
+        feats, weights, id_col="doc_id", bias=_HASHFEAT_BIAS
+    )

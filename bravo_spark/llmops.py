@@ -2014,6 +2014,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     n_iter: int = 5,
+    centroids: DataFrame | None = None,
 ) -> dict:
     """Build a PERSISTED IVF index: k-means centroids + per-vector cell
     assignments, written as two parquet relations under ``path``
@@ -2022,13 +2023,21 @@ def build_ivf_index(
     Build once, query many: :func:`load_ivf_index` + :func:`ivf_topk`
     skip the clustering AND the corpus-wide assignment pass entirely,
     and cell-partition pruning turns each query into ~n_probe/n_clusters
-    of the corpus in FILE terms, not just shuffle terms."""
+    of the corpus in FILE terms, not just shuffle terms.
+
+    ``centroids`` (cid int-like, centroid array<double>) skips the
+    internal k-means — rebuild an index around externally-trained or
+    frozen centroids (and the oracle-mirrored queries use it to pin the
+    assignment/probe math to an exactly-replayable centroid set)."""
     import json as _json
 
-    cents = kmeans_centroids(
-        df, id_col=id_col, vec_col=vec_col,
-        n_clusters=n_clusters, n_iter=n_iter,
-    ).select("cid", F.col("ce").alias("centroid"))
+    if centroids is not None:
+        cents = centroids.select("cid", "centroid")
+    else:
+        cents = kmeans_centroids(
+            df, id_col=id_col, vec_col=vec_col,
+            n_clusters=n_clusters, n_iter=n_iter,
+        ).select("cid", F.col("ce").alias("centroid"))
     cents.write.mode("overwrite").parquet(_index_path(path, "centroids"))
 
     spark = df.sparkSession

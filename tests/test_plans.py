@@ -745,3 +745,38 @@ def test_semantic_dedup_cluster_pair_join_shape(plans):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert p.count("InMemoryTableScan") >= 2, p.count("InMemoryTableScan")
+
+
+def test_markup_strip_and_chunk_tokens_are_map_only_jvm(plans):
+    """The r16 text registrations stay pure map: regexp chains /
+    split→sequence→explode→slice — zero shuffles, zero Python workers.
+    At 100 TB both are scans whose cost is the expression engine."""
+    for name in ("text_markup_strip", "text_chunk_tokens"):
+        p = plans(name)
+        assert "Exchange" not in p, name
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_hash_features_classify_shape(plans):
+    """Hashed-feature linear scoring: partial aggregation before each of
+    its two shuffles ((doc,bucket) feature counts, then per-doc score),
+    the dim-row weight relation broadcast (genuinely fixed-size — hint
+    allowed by the r14/r15 policy), and no Python anywhere."""
+    p = plans("text_hash_features_classify")
+    assert "partial_count" in p or "partial count" in p.lower()
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # feature shuffle + score shuffle (+ the weight broadcast which is
+    # not a data-scale exchange); anything beyond that is a regression
+    assert p.count("ShuffleExchange") <= 2 or p.count("Exchange hashpartitioning") <= 2
+
+
+def test_ivf_index_search_prunes_cells(plans):
+    """The persisted-IVF probe must reach the assignments scan as a
+    partition filter (cell-partitioned parquet → file pruning) and keep
+    every join an equi/broadcast join — the corpus never cross-joins
+    the query set. (The k-row centroid relation broadcast inside
+    assignment/probing is fixed-size by construction.)"""
+    p = plans("ann_ivf_index_search", "formatted")
+    assert "PartitionFilters: [isnotnull(cell" in p
+    assert "CartesianProduct" not in p
