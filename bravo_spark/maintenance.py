@@ -291,7 +291,72 @@ def audit_checkpoint(spark, checkpoint_dir: str):
     return spark.createDataFrame(rows, schema)
 
 
+def repair_sidecars(spark, checkpoint_dir: str, *, dry_run: bool = False):
+    """Regenerate every ChecksumCheckpointFileManager sidecar that
+    disagrees with its main file — the remediation for
+    ``sidecar_crc_mismatch`` findings from :func:`audit_checkpoint`
+    (after deliberate out-of-band edits, a copy through a tool that
+    didn't carry sidecars, or bit rot where the MAIN file is the one
+    you trust). Only files that already HAVE a sidecar are touched:
+    absence is tolerated on load, so manufacturing new sidecars would
+    add failure surface, not remove it. Works on both providers (delta/
+    snapshot and zip/changelog files). One task per state partition;
+    ``dry_run=True`` lists without rewriting. Returns the repaired (or
+    would-repair) main-file paths."""
+    import json as _json
+    import os
+
+    from bravo_spark.sources import spark_state as _ss
+
+    sroot = os.path.join(checkpoint_dir, "state")
+    ops = sorted(
+        int(d) for d in os.listdir(sroot) if d.isdigit()
+    ) if os.path.isdir(sroot) else []
+    specs = []
+    for op in ops:
+        sdir = os.path.join(sroot, str(op))
+        for store in _ss.list_store_names(checkpoint_dir, op) or [None]:
+            for pid in _ss._partitions(sdir, store):
+                pdir = _ss._pdir(sdir, pid, store)
+                if os.path.isdir(pdir):
+                    specs.append(pdir)
+
+    def repair_one(pdir: str) -> list[str]:
+        from bravo_spark.codecs.crc32c import crc32c as _crc32c
+
+        fixed: list[str] = []
+        files = os.listdir(pdir)
+        for f in files:
+            if not f.endswith(
+                (".delta", ".snapshot", ".zip", ".changelog")
+            ) or f.startswith(".") or f + ".crc" not in files:
+                continue
+            main = os.path.join(pdir, f)
+            try:
+                side = _json.loads(open(main + ".crc").read())
+            except (OSError, _json.JSONDecodeError):
+                side = {}
+            data = open(main, "rb").read()
+            v = _crc32c(data)
+            if v >= 1 << 31:
+                v -= 1 << 32
+            if side.get("value") == v and side.get("mainFileSize") == len(data):
+                continue
+            if not dry_run:
+                _ss._finalize_state_file(main)
+            fixed.append(main)
+        return fixed
+
+    if not specs:
+        return []
+    out = spark.sparkContext.parallelize(specs, max(1, len(specs))).map(
+        repair_one
+    ).collect()  # repaired paths only — file-count-bounded
+    return sorted(p for part in out for p in part)
+
+
 __all__.append("audit_checkpoint")
+__all__.append("repair_sidecars")
 __all__.append("list_store_names")
 
 from bravo_spark.sources.spark_state import list_store_names  # noqa: F401,E402
