@@ -2886,3 +2886,53 @@ def test_audit_sidecar_crc_mismatch_and_log_gap(spark, tmp_path):
     os.remove(os.path.join(ckpt, "commits", "0"))
     rows = mt.audit_checkpoint(spark, ckpt).collect()
     assert not [r for r in rows if r["check"] == "log_gap"]
+
+
+def test_repair_sidecars_fixes_audit_findings(spark, tmp_path):
+    """audit→repair loop: tamper two state files' bytes (sidecars now
+    stale), audit reports both, dry_run lists without touching, repair
+    regenerates exactly those sidecars, audit goes clean. Files without
+    sidecars are never given one."""
+    import glob
+
+    from bravo_spark import maintenance as mt
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1)], "k string, v int"
+    ).coalesce(1).write.parquet(inp)
+    _run_agg(spark, inp, ckpt)
+    spark.createDataFrame(
+        [("b", 2)], "k string, v int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    _run_agg(spark, inp, ckpt)
+
+    victims = [
+        d for d in sorted(glob.glob(f"{ckpt}/state/0/*/[0-9]*.delta"))
+        if os.path.exists(d + ".crc")
+    ][:2]
+    assert len(victims) == 2
+    for v in victims:
+        with open(v, "ab") as f:
+            f.write(b"\x00")
+
+    found = [
+        r for r in mt.audit_checkpoint(spark, ckpt).collect()
+        if r["check"] == "sidecar_crc_mismatch"
+    ]
+    assert len(found) == 2
+
+    listed = mt.repair_sidecars(spark, ckpt, dry_run=True)
+    assert listed == sorted(victims)
+    assert len([
+        r for r in mt.audit_checkpoint(spark, ckpt).collect()
+        if r["check"] == "sidecar_crc_mismatch"
+    ]) == 2  # dry run touched nothing
+
+    repaired = mt.repair_sidecars(spark, ckpt)
+    assert repaired == sorted(victims)
+    assert not [
+        r for r in mt.audit_checkpoint(spark, ckpt).collect()
+        if r["check"] == "sidecar_crc_mismatch"
+    ]
+    assert mt.repair_sidecars(spark, ckpt) == []  # idempotent
