@@ -54,6 +54,15 @@ FIXED_COST = [
     # SemDeDup and overlapping chunking are batch plans
     "dedup_semantic_clusters",
     "text_chunk_overlap",
+    # r16 registrations' first wall numbers: markup stripping, token
+    # chunking, hashed-feature classification (all map/agg batch), and
+    # the persisted-IVF lifecycle (build+search — writes an index dir
+    # per run, still batch: no streaming lifecycle, ordered last among
+    # fixed-cost rows because of the write)
+    "text_markup_strip",
+    "text_chunk_tokens",
+    "text_hash_features_classify",
+    "ann_ivf_index_search",
 ]
 
 # Rows that run one or more REAL streaming-query lifecycles (start,

@@ -5,8 +5,12 @@ Everything here works on Structured Streaming checkpoints at rest, on
 both state-store providers, without the engine running:
 
 - audit:    :func:`read_streaming_progress` (batch history),
-            :func:`spark_state_diff` is the query-level analog
-            (``__spark_entry__`` registers it)
+            :func:`audit_checkpoint` (8 defect classes, both
+            providers), :func:`spark_state_diff` is the query-level
+            analog (``__spark_entry__`` registers it)
+- repair:   :func:`repair_sidecars` (regenerate checksum sidecars that
+            disagree with their main file — the remediation for
+            ``sidecar_crc_mismatch`` findings)
 - surgery:  ``write_spark_state`` / ``write_rocksdb_spark_state``
             (patch state), :func:`patch_watermark` (reopen a window a
             poisoned event time closed), ``migrate_spark_state_schema``
