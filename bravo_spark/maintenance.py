@@ -6,8 +6,10 @@ both state-store providers, without the engine running:
 
 - audit:    :func:`read_streaming_progress` (batch history),
             :func:`audit_checkpoint` (8 defect classes, both
-            providers), :func:`spark_state_diff` is the query-level
-            analog (``__spark_entry__`` registers it)
+            providers), :func:`audit_savepoint` (the savepoint-layout
+            twin, 7 classes incl. a deep distributed decode probe);
+            :func:`spark_state_diff` is the query-level analog
+            (``__spark_entry__`` registers it)
 - repair:   :func:`repair_sidecars` (regenerate checksum sidecars that
             disagree with their main file — the remediation for
             ``sidecar_crc_mismatch`` findings)
@@ -359,7 +361,131 @@ def repair_sidecars(spark, checkpoint_dir: str, *, dry_run: bool = False):
     return sorted(p for part in out for p in part)
 
 
+def audit_savepoint(spark, path: str, *, deep: bool = False):
+    """First-touch SAVEPOINT diagnostic — the :func:`audit_checkpoint`
+    twin for the keyed-state savepoint layout (`_bravo_metadata` JSON +
+    per-subtask state files). One DataFrame row per finding, empty =
+    healthy. Driver-side checks are metadata-scale:
+
+    - ``metadata_unreadable``: the metadata file is missing or does not
+      parse — reported, never a crash.
+    - ``missing_state_file``: a metadata ``files[]`` entry whose path
+      does not exist (partial copy, interrupted write).
+    - ``keygroup_out_of_range``: a recorded key group outside
+      ``[0, max_parallelism)`` — the scan would route it to a key-group
+      range no reader selects.
+    - ``keygroup_duplicate``: the same key group recorded in two files —
+      key groups partition across subtask files exactly once, so reads
+      would double-count that group's rows.
+    - ``offset_out_of_bounds``: a key-group offset at/past its file's
+      size (truncated file or stale metadata).
+    - ``offset_disorder``: offsets not strictly increasing in key-group
+      order within a file — spans would have negative extents.
+
+    ``deep=True`` additionally DECODES every key-group span (one task
+    per span, the same distributed scan the readers use) and reports
+    ``decode_failure`` per (file, key_group) instead of crashing — the
+    truncation/corruption check that offsets alone can't prove."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from bravo_spark.sources import savepoint as _sp
+
+    rows: list[tuple] = []
+    schema = T.StructType([
+        T.StructField("check", T.StringType(), False),
+        T.StructField("op_index", T.IntegerType(), True),
+        T.StructField("file", T.StringType(), True),
+        T.StructField("key_group", T.IntegerType(), True),
+        T.StructField("severity", T.StringType(), False),
+        T.StructField("detail", T.StringType(), False),
+    ])
+
+    try:
+        meta = _sp.read_savepoint_meta(path)
+    except (OSError, ValueError, KeyError, _json.JSONDecodeError) as ex:
+        rows.append((
+            "metadata_unreadable", None, None, None, "error",
+            f"{_sp.METADATA_FILE}: {str(ex)[:120]}",
+        ))
+        return spark.createDataFrame(rows, schema)
+
+    seen: dict[int, str] = {}
+    spans_to_probe: list[tuple[str, int, int, int, int]] = []
+    for fmeta in meta.files:
+        fpath, op = fmeta["path"], int(fmeta.get("op_index", 0))
+        if not os.path.exists(fpath):
+            rows.append((
+                "missing_state_file", op, fpath, None, "error",
+                "metadata references a file that does not exist",
+            ))
+            continue
+        size = os.path.getsize(fpath)
+        kgs = sorted((int(k), int(v)) for k, v in fmeta["offsets"].items())
+        prev_off = -1
+        for i, (kg, off) in enumerate(kgs):
+            if not 0 <= kg < meta.max_parallelism:
+                rows.append((
+                    "keygroup_out_of_range", op, fpath, kg, "error",
+                    f"key group {kg} outside [0, {meta.max_parallelism})",
+                ))
+            dup = seen.get(kg)
+            if dup is not None:
+                rows.append((
+                    "keygroup_duplicate", op, fpath, kg, "error",
+                    f"key group {kg} also recorded in {dup}",
+                ))
+            else:
+                seen[kg] = fpath
+            if off >= size:
+                rows.append((
+                    "offset_out_of_bounds", op, fpath, kg, "error",
+                    f"offset {off} >= file size {size}",
+                ))
+            elif off <= prev_off:
+                rows.append((
+                    "offset_disorder", op, fpath, kg, "error",
+                    f"offset {off} not after previous {prev_off}",
+                ))
+            else:
+                end = kgs[i + 1][1] if i + 1 < len(kgs) else size
+                if end > off:
+                    spans_to_probe.append((fpath, op, kg, off, min(end, size)))
+            prev_off = max(prev_off, off)
+
+    if deep and spans_to_probe:
+        id_to_name = {v: k for k, v in meta.state_ids.items()}
+        compressed = meta.compression
+
+        def probe(span):
+            fpath, op, kg, off, end = span
+            try:
+                n = sum(
+                    1 for _ in _sp.iter_file_spans(
+                        fpath, [(kg, off, end)], id_to_name,
+                        lambda _n: True, compressed,
+                    )
+                )
+                return (fpath, op, kg, n, None)
+            except Exception as ex:  # noqa: BLE001 — report, don't crash
+                return (fpath, op, kg, -1, str(ex)[:120])
+
+        results = spark.sparkContext.parallelize(
+            spans_to_probe, max(1, min(len(spans_to_probe), 64))
+        ).map(probe).collect()  # one tuple per span — metadata-scale
+        for fpath, op, kg, n, err in results:
+            if err is not None:
+                rows.append((
+                    "decode_failure", op, fpath, kg, "error",
+                    f"key group {kg} span does not decode: {err}",
+                ))
+    return spark.createDataFrame(rows, schema)
+
+
 __all__.append("audit_checkpoint")
+__all__.append("audit_savepoint")
 __all__.append("repair_sidecars")
 __all__.append("list_store_names")
 

@@ -370,5 +370,64 @@ def test_maintenance_namespace_exports():
         "gc_rocksdb_checkpoint", "prune_spark_checkpoint",
         "prune_rocksdb_checkpoint", "patch_watermark",
         "rewind_checkpoint", "read_streaming_progress",
+        "audit_checkpoint", "audit_savepoint", "repair_sidecars",
     ):
         assert required in m.__all__, required
+
+
+def test_audit_savepoint_defect_injection(spark, tmp_path):
+    """audit_savepoint (r16): empty on a healthy savepoint (deep decode
+    included), then one finding per injected defect — truncated state
+    file (offset_out_of_bounds for the cut groups + decode_failure for
+    the span the cut tore), metadata pointing at a missing file,
+    duplicate key group, out-of-range key group, unreadable metadata."""
+    import json
+    import os
+
+    from bravo_spark import maintenance as mt
+    from bravo_spark.sources.savepoint import METADATA_FILE
+
+    base = _bootstrap(spark, tmp_path)
+    assert mt.audit_savepoint(spark, base, deep=True).count() == 0
+
+    mpath = os.path.join(base, METADATA_FILE)
+    meta = json.loads(open(mpath).read())
+
+    # truncate the largest state file mid-payload: offsets past the cut
+    # go out of bounds; the span straddling the cut stops decoding
+    fentry = max(meta["files"], key=lambda f: os.path.getsize(f["path"]))
+    size = os.path.getsize(fentry["path"])
+    cut = size - 3
+    with open(fentry["path"], "rb+") as f:
+        f.truncate(cut)
+    rows = mt.audit_savepoint(spark, base, deep=True).collect()
+    checks = {r["check"] for r in rows}
+    assert "decode_failure" in checks or "offset_out_of_bounds" in checks
+    assert all(r["severity"] == "error" for r in rows)
+    with open(fentry["path"], "ab") as f:
+        f.write(b"\x00" * (size - cut))  # restore length (content torn)
+
+    # metadata defects: missing file, duplicate kg, out-of-range kg
+    bad = json.loads(json.dumps(meta))
+    bad["files"].append({
+        "path": os.path.join(base, "no-such-file"),
+        "op_index": 0,
+        "offsets": {},
+    })
+    first_kg = sorted(bad["files"][0]["offsets"])[0]
+    bad["files"].append({
+        "path": bad["files"][0]["path"],
+        "op_index": 0,
+        "offsets": {first_kg: 0, "999999": 1},
+    })
+    open(mpath, "w").write(json.dumps(bad))
+    checks = {
+        r["check"] for r in mt.audit_savepoint(spark, base).collect()
+    }
+    assert {"missing_state_file", "keygroup_duplicate",
+            "keygroup_out_of_range"} <= checks
+
+    # unreadable metadata is a finding, not a crash
+    open(mpath, "w").write("{torn")
+    rows = mt.audit_savepoint(spark, base).collect()
+    assert [r["check"] for r in rows] == ["metadata_unreadable"]
