@@ -484,8 +484,153 @@ def audit_savepoint(spark, path: str, *, deep: bool = False):
     return spark.createDataFrame(rows, schema)
 
 
+def audit_flink_savepoint(spark, path: str):
+    """First-touch diagnostic for a FLINK-format savepoint (binary
+    ``_metadata``, SavepointV2 layout) — what an operator runs before
+    pointing state surgery (or a Flink restore) at a copied/relocated
+    savepoint directory. One DataFrame row per finding, empty = healthy.
+    All checks are driver-side metadata-scale (the ``_metadata`` file is
+    KBs; no state payload is read):
+
+    - ``metadata_unreadable``: the file is missing or does not parse —
+      reported, never a crash.
+    - ``missing_state_file``: a FileStateHandle whose ``file:`` path
+      exists neither absolutely nor by basename next to ``_metadata``
+      (the relocated-savepoint case Flink's own restore dies on).
+      Non-file schemes (hdfs:, s3:) are skipped — nothing to stat here.
+    - ``size_mismatch``: a resolvable handle file whose on-disk size
+      differs from the size the metadata recorded — a torn copy.
+    - ``offset_out_of_bounds``: a key-group offset at/past its handle's
+      recorded stream size. (An offsets/num_key_groups count mismatch
+      cannot exist in a parseable file — the wire format derives the
+      offset count from num_key_groups, so that defect surfaces as
+      ``metadata_unreadable``.)
+    - ``keygroup_overlap``: two subtasks of one operator claiming
+      intersecting key-group ranges (reads would double-count); a GAP in
+      coverage of ``[0, max_parallelism)`` is only ``info`` — empty
+      subtasks legitimately record no handle.
+    - ``subtask_index_out_of_range``: a subtask index at/past the
+      operator's recorded parallelism.
+
+    Columns: (check, operator_id, subtask, severity, detail)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from bravo_spark.sources import flink_metadata as fm
+
+    mpath = path
+    if os.path.isdir(path):
+        mpath = os.path.join(path, "_metadata")
+    base = os.path.dirname(mpath)
+
+    rows: list[tuple] = []
+    schema = T.StructType([
+        T.StructField("check", T.StringType(), False),
+        T.StructField("operator_id", T.StringType(), True),
+        T.StructField("subtask", T.IntegerType(), True),
+        T.StructField("severity", T.StringType(), False),
+        T.StructField("detail", T.StringType(), False),
+    ])
+
+    try:
+        with open(mpath, "rb") as f:
+            sp = fm.deserialize(f.read())
+    except (OSError, fm.FlinkMetadataError) as ex:
+        rows.append((
+            "metadata_unreadable", None, None, "error",
+            f"{mpath}: {str(ex)[:120]}",
+        ))
+        return spark.createDataFrame(rows, schema)
+
+    def check_stream(stream, opid, sti, what):
+        if stream is None or stream.kind != fm.FILE_STREAM_STATE_HANDLE:
+            return  # byte handles carry their data inline
+        p = stream.path or ""
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        elif "://" in p or p.startswith(("hdfs:", "s3:", "s3a:", "gs:")):
+            return  # remote scheme — nothing to stat locally
+        cand = p if os.path.isabs(p) and os.path.exists(p) else os.path.join(
+            base, os.path.basename(p)
+        )
+        if not os.path.exists(cand):
+            rows.append((
+                "missing_state_file", opid, sti, "error",
+                f"{what} handle {stream.path} not found (tried {cand})",
+            ))
+            return
+        actual = os.path.getsize(cand)
+        if stream.size >= 0 and actual != stream.size:
+            rows.append((
+                "size_mismatch", opid, sti, "error",
+                f"{what} handle {os.path.basename(cand)}: metadata says "
+                f"{stream.size} bytes, file has {actual} — torn copy",
+            ))
+
+    for op in sp.operators:
+        opid = op.operator_id.hex()
+        ranges: list[tuple[int, int, int]] = []
+        covered = 0
+        for st in op.subtasks:
+            sti = st.subtask_index
+            if sti >= op.parallelism or sti < 0:
+                rows.append((
+                    "subtask_index_out_of_range", opid, sti, "error",
+                    f"subtask {sti} outside [0, {op.parallelism})",
+                ))
+            for what, h in (("managed_keyed", st.managed_keyed),
+                            ("raw_keyed", st.raw_keyed)):
+                if h is None:
+                    continue
+                if isinstance(h, fm.KeyGroupsHandle):
+                    check_stream(h.stream, opid, sti, what)
+                    size = h.stream.size if h.stream else -1
+                    bad = [o for o in h.offsets if size >= 0 and o >= size]
+                    if bad:
+                        rows.append((
+                            "offset_out_of_bounds", opid, sti, "error",
+                            f"{what}: {len(bad)} offset(s) >= stream size "
+                            f"{size} (first: {bad[0]})",
+                        ))
+                    if what == "managed_keyed":
+                        ranges.append((h.start_key_group,
+                                       h.num_key_groups, sti))
+                        covered += h.num_key_groups
+                elif isinstance(h, fm.IncrementalKeyedHandle):
+                    check_stream(h.meta, opid, sti, f"{what}.meta")
+                    for name, stream in h.shared + h.private:
+                        check_stream(stream, opid, sti, f"{what}:{name}")
+                    if what == "managed_keyed":
+                        ranges.append((h.start_key_group,
+                                       h.num_key_groups, sti))
+                        covered += h.num_key_groups
+            for what, oh in (("managed_op", st.managed_op),
+                             ("raw_op", st.raw_op)):
+                if oh is not None:
+                    check_stream(oh.stream, opid, sti, what)
+
+        ranges.sort()
+        for (s1, n1, t1), (s2, n2, t2) in zip(ranges, ranges[1:]):
+            if s2 < s1 + n1:
+                rows.append((
+                    "keygroup_overlap", opid, t2, "error",
+                    f"subtask {t2} range [{s2}, {s2 + n2}) overlaps "
+                    f"subtask {t1} range [{s1}, {s1 + n1})",
+                ))
+        if ranges and covered < op.max_parallelism:
+            rows.append((
+                "keygroup_gap", opid, None, "info",
+                f"subtask ranges cover {covered} of {op.max_parallelism} "
+                "key groups (empty subtasks record no handle — benign "
+                "unless a restore expects state there)",
+            ))
+    return spark.createDataFrame(rows, schema)
+
+
 __all__.append("audit_checkpoint")
 __all__.append("audit_savepoint")
+__all__.append("audit_flink_savepoint")
 __all__.append("repair_sidecars")
 __all__.append("list_store_names")
 

@@ -727,3 +727,61 @@ def test_jvm_dataoutputstream_metadata_vector(jdos):
     assert inc.shared[0][1].size == 1 << 31
     # and our writer reproduces the JDK bytes exactly
     assert fm.serialize(sp) == raw
+
+
+def test_audit_flink_savepoint_defect_injection(spark, tmp_path):
+    """audit_flink_savepoint (r16): healthy savepoint dir (file handle
+    resolved by basename — the relocated case) audits clean; then one
+    finding per injected defect — missing handle file, torn copy (size
+    mismatch), offset past stream size, offsets/num mismatch,
+    overlapping subtask ranges, coverage gap (info), unreadable
+    metadata."""
+    from bravo_spark import maintenance as mt
+
+    spdir = tmp_path / "sp"
+    spdir.mkdir()
+    state = spdir / "op-0-abc"
+    state.write_bytes(b"\x01" * 640)
+
+    def write_meta(sp):
+        (spdir / "_metadata").write_bytes(fm.serialize(sp))
+
+    def handle(start, num, offsets, size=640, path="file:/moved/op-0-abc"):
+        return fm.KeyGroupsHandle(
+            start, num, offsets,
+            fm.StreamStateHandle(fm.FILE_STREAM_STATE_HANDLE, size, path=path),
+        )
+
+    op = fm.OperatorStateMeta(operator_id("my-op"), 2, 128)
+    op.subtasks.append(fm.SubtaskState(0, managed_keyed=handle(0, 64, list(range(0, 640, 10)))))
+    op.subtasks.append(fm.SubtaskState(1, managed_keyed=handle(64, 64, list(range(0, 640, 10)))))
+    write_meta(fm.FlinkSavepoint(7, [op]))
+    rows = mt.audit_flink_savepoint(spark, str(spdir)).collect()
+    assert rows == []  # absolute path dead, basename next to _metadata OK
+
+    # torn copy: shrink the state file
+    state.write_bytes(b"\x01" * 600)
+    checks = {r["check"] for r in mt.audit_flink_savepoint(spark, str(spdir)).collect()}
+    assert checks == {"size_mismatch"}
+    state.write_bytes(b"\x01" * 640)
+
+    # missing file + offset out of bounds + count mismatch + overlap + gap
+    op2 = fm.OperatorStateMeta(operator_id("my-op"), 3, 128)
+    op2.subtasks.append(fm.SubtaskState(0, managed_keyed=handle(0, 64, list(range(0, 640, 10)))))
+    # overlaps subtask 0's range and has an offset >= the stream size
+    op2.subtasks.append(fm.SubtaskState(1, managed_keyed=handle(32, 2, [0, 700])))
+    # file that exists nowhere
+    op2.subtasks.append(fm.SubtaskState(
+        2, managed_keyed=handle(96, 8, [0] * 8, path="file:/moved/op-9-zzz")))
+    write_meta(fm.FlinkSavepoint(8, [op2]))
+    rows = mt.audit_flink_savepoint(spark, str(spdir)).collect()
+    checks = {r["check"] for r in rows}
+    assert {"missing_state_file", "offset_out_of_bounds",
+            "keygroup_overlap"} <= checks
+    gaps = [r for r in rows if r["check"] == "keygroup_gap"]
+    assert gaps and gaps[0]["severity"] == "info"
+
+    # unreadable metadata is a finding, not a crash
+    (spdir / "_metadata").write_bytes(b"\x00bogus")
+    rows = mt.audit_flink_savepoint(spark, str(spdir)).collect()
+    assert [r["check"] for r in rows] == ["metadata_unreadable"]
