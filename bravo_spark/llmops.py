@@ -2220,3 +2220,52 @@ def ivf_index_append(spark, path: str, df: DataFrame) -> int:
     finally:
         newly.unpersist()
     return n
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Index-health relation for a persisted IVF index — the rebuild
+    signal :func:`ivf_index_append` defers to: per cell, the vector
+    count and the cosine-to-centroid distribution (mean/min). Appends
+    assign new vectors to FROZEN centroids, so over time cells bloat
+    unevenly and mean cosine drifts down; when the recall evals
+    (ann_*_recall_eval) or these numbers say so, rebuild with
+    :func:`build_ivf_index`. One distributed pass over the assignments
+    (map + one partial-aggregated shuffle on cell); the result is k rows
+    — metadata-scale. Columns: (cell, n_vectors, mean_cos, min_cos,
+    frac_of_corpus)."""
+    asg, cent, mf = load_ivf_index(spark, path)
+    vec_col = mf["vec_col"]
+    dbl = F.col(vec_col).cast("array<double>")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(x):
+        return F.sqrt(dot(x, x))
+
+    ccos = dot(F.col("e"), F.col("centroid")) / (
+        norm(F.col("e")) * norm(F.col("centroid"))
+    )
+    per_cell = (
+        asg.select(F.col("cell"), dbl.alias("e"))
+        .join(F.broadcast(cent.select(F.col("cid").alias("cell"),
+                                      "centroid")), "cell")
+        .select("cell", ccos.alias("_c"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.avg("_c").alias("mean_cos"),
+            F.min("_c").alias("min_cos"),
+        )
+    )
+    total = per_cell.agg(F.sum("n_vectors").alias("_t"))
+    return (
+        per_cell.join(F.broadcast(total))  # 1-row relation
+        .select(
+            "cell", "n_vectors", "mean_cos", "min_cos",
+            (F.col("n_vectors") / F.col("_t")).alias("frac_of_corpus"),
+        )
+    )

@@ -1207,3 +1207,47 @@ def test_persisted_ivf_index_file_uri(spark, tmp_path, sf_dir):
         F.lit(None).cast("int").alias("label"),
     )
     assert llmops.ivf_index_append(spark, idx, clone) == 1
+
+
+def test_ivf_index_stats_rebuild_signal(spark, tmp_path, sf_dir):
+    """ivf_index_stats: k rows, fractions sum to 1, counts right, and
+    appending a vector orthogonal to every centroid drags the global
+    min_cos down — the drift signal the stats exist to expose. Tight
+    synthetic blobs so the pre-append floor is high and the margin is
+    deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(60):  # blob A: axis 0
+        v = np.zeros(8); v[0] = 10.0
+        rows.append((i, [float(x) for x in v + 0.1 * rng.normal(size=8)]))
+    for i in range(60, 120):  # blob B: axis 1
+        v = np.zeros(8); v[1] = 10.0
+        rows.append((i, [float(x) for x in v + 0.1 * rng.normal(size=8)]))
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]}),
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf")
+    llmops.build_ivf_index(emb, idx, n_clusters=2, n_iter=3)
+    st = {r["cell"]: r for r in llmops.ivf_index_stats(spark, idx).collect()}
+    assert len(st) == 2
+    assert abs(sum(r["frac_of_corpus"] for r in st.values()) - 1.0) < 1e-9
+    assert sum(r["n_vectors"] for r in st.values()) == 120
+    floor = min(r["min_cos"] for r in st.values())
+    assert floor > 0.99  # tight blobs: everything hugs its centroid
+
+    # drift injection: a vector on axis 2 — orthogonal to BOTH centroids
+    ortho = [0.0] * 8
+    ortho[2] = 10.0
+    drifted = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [10_000_002], "embedding": [ortho]}),
+        "vec_id long, embedding array<double>",
+    )
+    assert llmops.ivf_index_append(spark, idx, drifted) == 1
+    st2 = {r["cell"]: r for r in llmops.ivf_index_stats(spark, idx).collect()}
+    assert sum(r["n_vectors"] for r in st2.values()) == 121
+    assert min(r["min_cos"] for r in st2.values()) < 0.2  # the signal
