@@ -79,3 +79,39 @@ def test_unpushed_filter_is_info(spark, sf_dir):
     # a plain comparison pushes (plus inferred IsNotNull) — quiet
     plain = docs.where(F.col("doc_id") > 10)
     assert "unpushed_scan_filter" not in _checks(plain)
+
+
+# Queries whose CONSTRUCTION runs work (streaming lifecycles, state
+# surgery, iterative driver loops, index writes) — linting them would
+# execute the side effect; their plan properties are pinned individually
+# in tests/test_plans.py where applicable.
+_SIDE_EFFECTFUL_MARKERS = (
+    "streaming", "rewrite", "rewind", "state_diff", "state_read",
+    "state_migration", "savepoint_diff", "rescale", "lloyd", "bpe_train",
+    "pagerank", "dedup_clusters", "dedup_semantic", "ivf_index_search",
+    "write_roundtrip", "sink",
+)
+
+
+def test_gate_window_has_no_lint_errors(spark, sf_dir):
+    """Standing net: every side-effect-free gate query's plan must lint
+    clean of ERROR findings (CartesianProduct, row-at-a-time Python
+    UDFs). A future registration that reintroduces either fails here
+    without needing a bespoke pin. (Warn-level findings are deliberate
+    in places — k-row centroid broadcasts, bounded top-k funnels — and
+    stay a judgment call, not a gate.)"""
+    import __spark_entry__ as e
+    from bravo_spark.inventory.registry import GATE_PRIORITY
+
+    qs = e.queries()
+    bad = {}
+    for name in GATE_PRIORITY:
+        if any(m in name for m in _SIDE_EFFECTFUL_MARKERS):
+            continue
+        errors = [
+            f for f in lint_plan(qs[name](spark, sf_dir))
+            if f.severity == "error"
+        ]
+        if errors:
+            bad[name] = [f.check for f in errors]
+    assert not bad, f"gate queries with lint errors: {bad}"
