@@ -431,3 +431,36 @@ def test_audit_savepoint_defect_injection(spark, tmp_path):
     open(mpath, "w").write("{torn")
     rows = mt.audit_savepoint(spark, base).collect()
     assert [r["check"] for r in rows] == ["metadata_unreadable"]
+
+
+def test_audit_savepoint_deep_on_compressed(spark, tmp_path):
+    """audit_savepoint(deep=True) must thread the metadata's compression
+    flag into the span probes: a healthy Snappy-framed savepoint decodes
+    clean, and truncating a compressed section surfaces as
+    decode_failure/offset_out_of_bounds rather than a crash."""
+    import os
+
+    from bravo_spark import maintenance as mt
+    from bravo_spark.codecs import flink as fc
+    from bravo_spark.sources import savepoint as sp
+    from bravo_spark.sources import staterows as sr
+
+    kv = spark.createDataFrame(
+        [(k, k * 11) for k in range(40)], "key int, value int"
+    )
+    rows = sr.kv_to_state_rows(kv, "s", fc.INT, fc.INT)
+    base = str(tmp_path / "c")
+    sp.write_savepoint(
+        rows, base, max_parallelism=128, parallelism=2, compression=True,
+    )
+    assert sp.read_savepoint_meta(base).compression is True
+    assert mt.audit_savepoint(spark, base, deep=True).count() == 0
+
+    meta = sp.read_savepoint_meta(base)
+    victim = max(meta.files, key=lambda f: os.path.getsize(f["path"]))
+    size = os.path.getsize(victim["path"])
+    with open(victim["path"], "rb+") as f:
+        f.truncate(size - 4)
+    rows_found = mt.audit_savepoint(spark, base, deep=True).collect()
+    checks = {r["check"] for r in rows_found}
+    assert checks & {"decode_failure", "offset_out_of_bounds"}, checks
