@@ -62,6 +62,10 @@ FIXED_COST = [
     "text_markup_strip",
     "text_chunk_tokens",
     "text_hash_features_classify",
+    # CCNet-shaped LM quality gate: 3 count shuffles + 5 token-level
+    # equi-joins — the heaviest pure-batch text row, so it runs after
+    # the map-only text rows
+    "text_lm_perplexity_filter",
     "ann_ivf_index_search",
 ]
 

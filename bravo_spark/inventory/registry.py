@@ -292,6 +292,13 @@ R17_STAGED_SWAPS = [
     ("text_levenshtein_pairs", "text_markup_strip"),
     ("text_repetition", "text_chunk_tokens"),
     ("text_length_histogram", "text_hash_features_classify"),
+    # second r16 registration batch: the CCNet-shaped stupid-backoff LM
+    # quality gate (train counts on a hash-split 80%, integer-micro-unit
+    # scoring of the held-out 20%) — mirror-green at all three SFs the
+    # day it landed; OUT from the r14 wave (multimodal_embed is the
+    # deterministic embed STUB, the family's least information-dense row;
+    # resize + frame_sample keep multimodal gated)
+    ("multimodal_embed", "text_lm_perplexity_filter"),
 ]
 
 

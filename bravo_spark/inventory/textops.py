@@ -2426,3 +2426,94 @@ def text_hash_features_classify(spark, sf_dir):
     return lo.linear_text_score(
         feats, weights, id_col="doc_id", bias=_HASHFEAT_BIAS
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM quality filter (CCNet-shaped): train stupid-backoff trigram
+# counts on a hash-split 80% of the corpus, score the held-out 20%, keep
+# documents whose mean transition probability clears the threshold. The
+# smoothing is Brants et al. 2007's stupid backoff — THE LM estimator
+# designed for distributed count-based training — and the pipeline shape
+# is CCNet's (Wenzek et al. 2020): LM-score crawl text, filter on the
+# score. Exact integer micro-units end-to-end (lm_score_micro), so the
+# oracle hashes bit-identically; the library twin (llmops.ngram_lm_score)
+# additionally derives a float perplexity proxy for human inspection,
+# which this gate projection drops.
+# ---------------------------------------------------------------------------
+
+_H32_SPARK_DOC = "cast(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+_H32_DUCK_DOC = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+_NGRAM_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_concat(['<s>', '<s>'],
+                     regexp_extract_all(lower(text), '{TOKEN_RE}')) AS t,
+         ({_H32_DUCK_DOC} % 10) < 8 AS is_train
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= 1
+),
+w3 AS (SELECT unnest(list_transform(range(3, len(t) + 1),
+                                    i -> [t[i-2], t[i-1], t[i]])) AS p
+       FROM toks WHERE is_train),
+tri AS (SELECT p[1] AS w2, p[2] AS w1, p[3] AS w, count(*) AS c
+        FROM w3 GROUP BY 1, 2, 3),
+w2g AS (SELECT unnest(list_transform(range(2, len(t) + 1),
+                                     i -> [t[i-1], t[i]])) AS p
+        FROM toks WHERE is_train),
+bi AS (SELECT p[1] AS w1, p[2] AS w, count(*) AS c FROM w2g GROUP BY 1, 2),
+u AS (SELECT unnest(t) AS w FROM toks WHERE is_train),
+uni AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM u),
+sc AS (SELECT doc_id, p[1] AS w2, p[2] AS w1, p[3] AS w FROM (
+         SELECT doc_id, unnest(list_transform(range(3, len(t) + 1),
+                               i -> [t[i-2], t[i-1], t[i]])) AS p
+         FROM toks WHERE NOT is_train)),
+scored AS (
+  SELECT sc.doc_id,
+    CASE WHEN t3.c IS NOT NULL THEN t3.c * 1000000 // bc.c
+         WHEN b2.c IS NOT NULL THEN b2.c * 400000 // uc.c
+         WHEN u1.c IS NOT NULL THEN u1.c * 160000 // tot.n
+         ELSE 160000 // tot.n END AS micro,
+    CASE WHEN t3.c IS NOT NULL THEN 3 WHEN b2.c IS NOT NULL THEN 2
+         WHEN u1.c IS NOT NULL THEN 1 ELSE 0 END AS o
+  FROM sc
+  LEFT JOIN tri t3 ON sc.w2 = t3.w2 AND sc.w1 = t3.w1 AND sc.w = t3.w
+  LEFT JOIN bi bc ON sc.w2 = bc.w1 AND sc.w1 = bc.w
+  LEFT JOIN bi b2 ON sc.w1 = b2.w1 AND sc.w = b2.w
+  LEFT JOIN uni uc ON sc.w1 = uc.w
+  LEFT JOIN uni u1 ON sc.w = u1.w
+  CROSS JOIN tot
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN o = 3 THEN 1 ELSE 0 END) AS BIGINT) AS tri_hits,
+  CAST(sum(CASE WHEN o = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bi_hits,
+  CAST(sum(CASE WHEN o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uni_hits,
+  CAST(sum(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+  CAST(CAST(sum(micro) AS BIGINT) // count(*) AS BIGINT) AS lm_score_micro,
+  CAST(CASE WHEN CAST(sum(micro) AS BIGINT) // count(*) >= 50000
+       THEN 1 ELSE 0 END AS INT) AS keep
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_lm_perplexity_filter", oracle=_NGRAM_LM_ORACLE)
+def text_lm_perplexity_filter(spark, sf_dir):
+    """CCNet-style LM quality gate over ``documents``: hash-split 80/20,
+    train trigram stupid-backoff counts on the 80 (llmops.ngram_lm_counts),
+    score the 20 (llmops.ngram_lm_score), keep at mean transition
+    probability >= 5% (50_000 micro-units; splits the fixture ~12/105). Scale: three vocabulary-sized
+    count shuffles + five token-level equi-joins + one broadcast 1-row
+    total — the canonical distributed-LM-scoring shape; nothing is
+    corpus-quadratic and nothing big is broadcast."""
+    from bravo_spark import llmops
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    is_train = F.expr(f"({_H32_SPARK_DOC} % 10) < 8")
+    lm = llmops.ngram_lm_counts(docs.filter(is_train), "text",
+                                token_re=TOKEN_RE)
+    return llmops.ngram_lm_score(
+        docs.filter(~is_train), lm, "text", "doc_id",
+        token_re=TOKEN_RE, keep_micro=50_000,
+    ).drop("ppl_proxy")

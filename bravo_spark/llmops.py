@@ -2269,3 +2269,208 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
             (F.col("n_vectors") / F.col("_t")).alias("frac_of_corpus"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model quality filter (CCNet-style, stupid backoff)
+# ---------------------------------------------------------------------------
+
+
+def ngram_lm_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    token_re: str = "[a-z0-9]+",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Train a trigram count model for stupid-backoff scoring
+    (Brants et al. 2007, "Large Language Models in Machine Translation" —
+    the smoothing explicitly designed for distributed MapReduce
+    estimation; CCNet, Wenzek et al. 2020, is the pipeline precedent for
+    LM-scoring crawl text before training).
+
+    Returns ``(tri, bi, uni, tot)``:
+
+    * ``tri``  — (w2, w1, w, c): trigram counts over ``<s> <s>``-padded
+      lowercase token streams (so the first real token of every document
+      trains a full-order event);
+    * ``bi``   — (w1, w, c): bigram counts over the same padded streams;
+    * ``uni``  — (w, c): unigram counts INCLUDING the pads (so every
+      backoff context that can occur at scoring time has a row);
+    * ``tot``  — a 1-row (n) relation with the unigram grand total.
+
+    Scale shape: one map-side n-gram explode per order feeding a partial-
+    aggregated ``groupBy`` — three shuffles whose outputs are VOCABULARY-
+    sized (heavy-tailed, far smaller than the corpus). No collect: the
+    grand total stays a 1-row relation for the scorer to broadcast.
+    Documents with zero tokens contribute nothing (and score as no rows):
+    Spark's ``sequence(3, 2)`` DESCENDS instead of emitting empty, so the
+    window builders filter them out up front."""
+    toks = docs.select(
+        F.concat(
+            F.array(F.lit("<s>"), F.lit("<s>")),
+            F.expr(f"regexp_extract_all(lower({text_col}), '{token_re}', 0)"),
+        ).alias("t")
+    ).filter(F.size("t") >= 3)
+    wins3 = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(3, size(t)), i ->"
+                " array(element_at(t, i-2), element_at(t, i-1),"
+                " element_at(t, i)))"
+            )
+        ).alias("p")
+    )
+    tri = wins3.groupBy(
+        F.col("p")[0].alias("w2"), F.col("p")[1].alias("w1"),
+        F.col("p")[2].alias("w"),
+    ).agg(F.count("*").alias("c"))
+    wins2 = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(t)), i ->"
+                " array(element_at(t, i-1), element_at(t, i)))"
+            )
+        ).alias("p")
+    )
+    bi = wins2.groupBy(
+        F.col("p")[0].alias("w1"), F.col("p")[1].alias("w")
+    ).agg(F.count("*").alias("c"))
+    unis = toks.select(F.explode("t").alias("w"))
+    uni = unis.groupBy("w").agg(F.count("*").alias("c"))
+    tot = unis.agg(F.count("*").alias("n"))
+    return tri, bi, uni, tot
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    lm: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    token_re: str = "[a-z0-9]+",
+    keep_micro: int = 10_000,
+) -> DataFrame:
+    """Score documents with stupid backoff against an
+    :func:`ngram_lm_counts` model and return per-document statistics.
+
+    Per token (context ``w2 w1``, word ``w``), in EXACT integer
+    micro-units so the result hashes identically on any engine (the
+    repo-wide integer-micro-unit discipline — float log-probs differ in
+    the last ulp across libms):
+
+    * trigram hit:  ``c(w2 w1 w) * 1_000_000 div c(w2 w1)``
+    * bigram hit:   ``c(w1 w) * 400_000 div c(w1)``   (α = 0.4)
+    * unigram hit:  ``c(w) * 160_000 div N``          (α² = 0.16)
+    * OOV:          ``160_000 div N``                 (count-1 floor)
+
+    Output columns: ``(id_col, n_tokens, tri_hits, bi_hits, uni_hits,
+    oov, lm_score_micro, keep, ppl_proxy)`` where ``lm_score_micro`` is
+    the integer mean of the per-token micro scores, ``keep`` is 1 iff it
+    reaches ``keep_micro``, and ``ppl_proxy`` (DOUBLE, the one float —
+    derived deterministically from the integer micro scores, for human
+    inspection; gate projections drop it) is
+    ``exp(-mean(ln(max(micro,1)/1e6)))`` — the stupid-backoff analog of
+    perplexity at micro-unit resolution.
+
+    Scale shape: the scorer is five shuffle equi-joins of token-level
+    rows against vocabulary-sized count relations plus one broadcast of
+    the 1-row total — the unavoidable shape of distributed LM scoring
+    (the counts are too big to broadcast at corpus scale); AQE handles
+    the skewed head words. One final ``groupBy`` back to document grain."""
+    tri, bi, uni, tot = lm
+    sc = (
+        docs.select(
+            F.col(id_col),
+            F.concat(
+                F.array(F.lit("<s>"), F.lit("<s>")),
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), '{token_re}', 0)"
+                ),
+            ).alias("t"),
+        )
+        .filter(F.size("t") >= 3)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(3, size(t)), i ->"
+                    " array(element_at(t, i-2), element_at(t, i-1),"
+                    " element_at(t, i)))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            id_col,
+            F.col("p")[0].alias("w2"), F.col("p")[1].alias("w1"),
+            F.col("p")[2].alias("w"),
+        )
+    )
+    j = (
+        sc.join(
+            tri.select(
+                F.col("w2").alias("t_w2"), F.col("w1").alias("t_w1"),
+                F.col("w").alias("t_w"), F.col("c").alias("tri_c"),
+            ),
+            (F.col("w2") == F.col("t_w2")) & (F.col("w1") == F.col("t_w1"))
+            & (F.col("w") == F.col("t_w")),
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("bc_w1"), F.col("w").alias("bc_w"),
+                F.col("c").alias("ctx3_c"),
+            ),
+            (F.col("w2") == F.col("bc_w1")) & (F.col("w1") == F.col("bc_w")),
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("b_w1"), F.col("w").alias("b_w"),
+                F.col("c").alias("bi_c"),
+            ),
+            (F.col("w1") == F.col("b_w1")) & (F.col("w") == F.col("b_w")),
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("uc_w"), F.col("c").alias("ctx2_c")),
+            F.col("w1") == F.col("uc_w"), "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("u_w"), F.col("c").alias("uni_c")),
+            F.col("w") == F.col("u_w"), "left",
+        )
+        .join(F.broadcast(tot))  # 1-row relation
+    )
+    micro = F.expr(
+        "CASE WHEN tri_c IS NOT NULL THEN tri_c * 1000000 DIV ctx3_c"
+        " WHEN bi_c IS NOT NULL THEN bi_c * 400000 DIV ctx2_c"
+        " WHEN uni_c IS NOT NULL THEN uni_c * 160000 DIV n"
+        " ELSE 160000 DIV n END"
+    )
+    order_hit = F.expr(
+        "CASE WHEN tri_c IS NOT NULL THEN 3 WHEN bi_c IS NOT NULL THEN 2"
+        " WHEN uni_c IS NOT NULL THEN 1 ELSE 0 END"
+    )
+    per_doc = (
+        j.select(id_col, micro.alias("micro"), order_hit.alias("o"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.expr("IF(o = 3, 1, 0)")).alias("tri_hits"),
+            F.sum(F.expr("IF(o = 2, 1, 0)")).alias("bi_hits"),
+            F.sum(F.expr("IF(o = 1, 1, 0)")).alias("uni_hits"),
+            F.sum(F.expr("IF(o = 0, 1, 0)")).alias("oov"),
+            F.sum("micro").alias("_sum_micro"),
+            F.avg(-F.log(F.greatest(F.col("micro"), F.lit(1)) / 1e6)).alias(
+                "_nll"
+            ),
+        )
+    )
+    return per_doc.select(
+        id_col, "n_tokens", "tri_hits", "bi_hits", "uni_hits", "oov",
+        F.expr("_sum_micro DIV n_tokens").alias("lm_score_micro"),
+        F.expr(
+            f"CAST(_sum_micro DIV n_tokens >= {keep_micro} AS INT)"
+        ).alias("keep"),
+        F.exp("_nll").alias("ppl_proxy"),
+    )
