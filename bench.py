@@ -66,6 +66,10 @@ FIXED_COST = [
     # equi-joins — the heaviest pure-batch text row, so it runs after
     # the map-only text rows
     "text_lm_perplexity_filter",
+    # WARC ingest: archive-grain binaryFile read + Arrow-batched parse
+    # (fixture archives are written once per process, so the timed runs
+    # measure the READ path)
+    "warc_ingest",
     "ann_ivf_index_search",
 ]
 

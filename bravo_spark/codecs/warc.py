@@ -1,0 +1,153 @@
+"""WARC (Web ARChive, ISO 28500 / WARC-1.1) reader and writer.
+
+The container format of web-crawl corpora: Common Crawl distributes raw
+crawls as ``.warc.gz``, extracted text as WET (``WARC-Type: conversion``)
+— the actual entry point of an LLM training-data pipeline. This module is
+the pure-Python codec half; the Spark plumbing (``binaryFile`` source →
+Arrow-batched parse) lives in ``inventory/formats.py``.
+
+Format (IIPC spec, warc-1.1 §4): each record is
+
+    WARC/1.0<CRLF>
+    <header-name>: <value><CRLF> ...
+    <CRLF>
+    <Content-Length bytes of payload>
+    <CRLF><CRLF>
+
+``.warc.gz`` compresses EACH RECORD AS ITS OWN GZIP MEMBER (spec annex C
+recommendation) so readers can split at member boundaries; the parser
+also accepts a single-member stream and plain uncompressed bytes.
+
+Strictness: framing errors raise ``WarcError`` with the byte offset —
+a crawl pipeline must *know* when an archive is torn, not silently skip
+tail records.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from typing import Iterable, Iterator
+
+_CRLF = b"\r\n"
+_VERSIONS = (b"WARC/1.0", b"WARC/1.1")
+
+
+class WarcError(ValueError):
+    """Malformed WARC framing (bad version line, length mismatch,
+    truncated record, missing record terminator)."""
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a possibly multi-member gzip stream (each WARC record
+    its own member) into one plain byte string."""
+    out = io.BytesIO()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip header expected
+        try:
+            out.write(d.decompress(data[pos:]))
+            out.write(d.flush())
+        except zlib.error as exc:
+            raise WarcError(f"bad gzip member at byte {pos}: {exc}") from exc
+        if not d.eof:
+            raise WarcError(f"truncated gzip member at byte {pos}")
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:  # pragma: no cover - defensive against zlib quirks
+            raise WarcError(f"gzip member at byte {pos} consumed nothing")
+        pos += consumed
+    return out.getvalue()
+
+
+def parse_warc(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield ``(headers, payload)`` per record. Accepts plain WARC bytes
+    or a (multi-member) gzip stream. Header names keep their original
+    case as keys; lookups by exact spec names (``WARC-Type``,
+    ``WARC-Target-URI``, ``Content-Length``) are the contract."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate (and require at most) blank space between records
+        while data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        eol = data.find(_CRLF, pos)
+        if eol < 0:
+            raise WarcError(f"no version line terminator at byte {pos}")
+        version = data[pos:eol]
+        if version not in _VERSIONS:
+            raise WarcError(
+                f"bad WARC version line at byte {pos}: {version[:20]!r}"
+            )
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = data.find(_CRLF, pos)
+            if eol < 0:
+                raise WarcError(f"unterminated header block at byte {pos}")
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break  # blank line: payload follows
+            if b":" not in line:
+                raise WarcError(f"header without ':' at byte {pos}: {line!r}")
+            k, v = line.split(b":", 1)
+            headers[k.decode("utf-8")] = v.strip().decode("utf-8")
+        try:
+            clen = int(headers["Content-Length"])
+        except KeyError:
+            raise WarcError(f"record at byte {pos} missing Content-Length")
+        except ValueError:
+            raise WarcError(
+                f"non-integer Content-Length at byte {pos}:"
+                f" {headers['Content-Length']!r}"
+            )
+        if pos + clen > n:
+            raise WarcError(
+                f"payload truncated at byte {pos}: need {clen},"
+                f" have {n - pos}"
+            )
+        payload = data[pos:pos + clen]
+        pos += clen
+        if data[pos:pos + 4] != _CRLF + _CRLF:
+            raise WarcError(
+                f"missing record terminator CRLFCRLF at byte {pos}"
+            )
+        pos += 4
+        yield headers, payload
+
+
+def write_warc(
+    records: Iterable[tuple[dict[str, str], bytes]],
+    *,
+    gzip_per_record: bool = True,
+) -> bytes:
+    """Serialize ``(headers, payload)`` pairs. ``Content-Length`` is
+    computed here (a caller-supplied value is ignored — the frame must
+    be self-consistent). With ``gzip_per_record`` each record becomes
+    its own gzip member, the splittable ``.warc.gz`` layout crawlers
+    emit; mtime/OS fields in the member header are pinned to zero so
+    output is byte-deterministic."""
+    out = io.BytesIO()
+    for headers, payload in records:
+        rec = io.BytesIO()
+        rec.write(b"WARC/1.0" + _CRLF)
+        for k, v in headers.items():
+            if k.lower() == "content-length":
+                continue
+            rec.write(f"{k}: {v}".encode("utf-8") + _CRLF)
+        rec.write(f"Content-Length: {len(payload)}".encode() + _CRLF)
+        rec.write(_CRLF)
+        rec.write(payload)
+        rec.write(_CRLF + _CRLF)
+        raw = rec.getvalue()
+        if gzip_per_record:
+            co = zlib.compressobj(9, zlib.DEFLATED, 31)
+            out.write(co.compress(raw) + co.flush())
+        else:
+            out.write(raw)
+    return out.getvalue()

@@ -379,3 +379,100 @@ def binary_file_ingest(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("digest"),
     )
+
+
+_WARC_INGEST_ORACLE = (
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes,"
+    " md5(text) AS digest FROM documents"
+)
+
+
+@query("warc_ingest", oracle=_WARC_INGEST_ORACLE)
+def warc_ingest(spark, sf_dir):
+    """Common Crawl-shaped ingest: ``.warc.gz`` archives (WET-style
+    ``WARC-Type: conversion`` records, one gzip member per record — the
+    splittable layout crawlers emit) → Spark's ``binaryFile`` source →
+    Arrow-batched pure-Python WARC parse (``codecs/warc.py``, ISO 28500
+    framing with strict Content-Length/terminator checks) → one row per
+    record. The oracle proves payload identity both directions: per-doc
+    byte length and md5 must equal the source text's UTF-8 bytes.
+
+    The fixture packs each ``documents`` partition into ONE archive
+    (executor-side foreachPartition — never a driver loop), mirroring
+    real WET shards (~thousands of records per .warc.gz).
+
+    Scale shape: archive-grain parallelism — one task per WARC file
+    (binaryFile never splits inside a file, which matches gzip-member
+    reality); at 100 TB the levers are shard size at WRITE time (keep
+    archives ~1 GiB), ``pathGlobFilter`` pruning, and
+    ``maxPartitionBytes`` packing of small shards. The parse is
+    mapInPandas (Arrow batches of whole archives), zero shuffles; the
+    same LOCAL-MODE fixture caveat as binary_file_ingest applies to the
+    write half only (production archives live on shared storage)."""
+    from pyspark.sql import types as T
+
+    from bravo_spark.codecs.warc import parse_warc, write_warc
+
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = scratch_path(f"warcfiles_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+
+        def _write(pid, rows):
+            recs = [
+                (
+                    {
+                        "WARC-Type": "conversion",
+                        "WARC-Target-URI": f"doc://{r.doc_id}",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                    },
+                    r.text.encode("utf-8"),
+                )
+                for r in rows
+            ]
+            if recs:
+                with open(os.path.join(out, f"shard_{pid:05d}.warc.gz"),
+                          "wb") as f:
+                    f.write(write_warc(recs))
+            return iter(())
+
+        docs.rdd.mapPartitionsWithIndex(_write).count()
+        open(marker, "w").close()
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+
+    def _parse(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, sizes, digests = [], [], []
+            for blob in pdf["content"]:
+                for headers, payload in parse_warc(bytes(blob)):
+                    uri = headers["WARC-Target-URI"]
+                    ids.append(int(uri.removeprefix("doc://")))
+                    sizes.append(len(payload))
+                    digests.append(_hl.md5(payload).hexdigest())
+            yield _pd.DataFrame(
+                {"doc_id": ids, "n_bytes": sizes, "digest": digests}
+            )
+
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(out)
+        .select("content")
+    )
+    return back.mapInPandas(_parse, schema)

@@ -299,6 +299,12 @@ R17_STAGED_SWAPS = [
     # deterministic embed STUB, the family's least information-dense row;
     # resize + frame_sample keep multimodal gated)
     ("multimodal_embed", "text_lm_perplexity_filter"),
+    # Common Crawl-shaped WARC/WET ingest (pure-Python ISO 28500 codec
+    # over binaryFile + mapInPandas) — mirror-green at all three SFs the
+    # day it landed; OUT binary_file_ingest keeps the family 1:1 (the
+    # WARC row itself exercises the binaryFile read path, plus the
+    # record framing on top)
+    ("binary_file_ingest", "warc_ingest"),
 ]
 
 

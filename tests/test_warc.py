@@ -1,0 +1,127 @@
+"""WARC codec (codecs/warc.py): framing, gzip members, strictness.
+
+The golden record is assembled by hand from the WARC-1.1 spec's framing
+rules (version line, header block, blank line, Content-Length payload,
+CRLFCRLF terminator) so the writer is pinned to the SPEC, not to itself.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+
+import pytest
+
+from bravo_spark.codecs.warc import WarcError, parse_warc, write_warc
+
+
+def _rec(uri: str, payload: bytes) -> tuple[dict, bytes]:
+    return (
+        {
+            "WARC-Type": "conversion",
+            "WARC-Target-URI": uri,
+            "WARC-Date": "2026-01-01T00:00:00Z",
+        },
+        payload,
+    )
+
+
+def test_hand_assembled_spec_record_parses():
+    payload = b"hello warc"
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: doc://7\r\n"
+        b"Content-Length: 10\r\n"
+        b"\r\n" + payload + b"\r\n\r\n"
+    )
+    [(h, p)] = list(parse_warc(raw))
+    assert p == payload
+    assert h["WARC-Type"] == "conversion"
+    assert h["WARC-Target-URI"] == "doc://7"
+
+
+def test_roundtrip_plain_and_gzip():
+    recs = [
+        _rec("doc://1", b"alpha"),
+        _rec("doc://2", "café — bytes".encode("utf-8")),
+        _rec("doc://3", b""),  # empty payload is legal
+    ]
+    for gz in (False, True):
+        blob = write_warc(recs, gzip_per_record=gz)
+        back = list(parse_warc(blob))
+        assert [(h["WARC-Target-URI"], p) for h, p in back] == [
+            (h["WARC-Target-URI"], p) for h, p in recs
+        ]
+
+
+def test_gzip_is_one_member_per_record_and_deterministic():
+    recs = [_rec("doc://1", b"a"), _rec("doc://2", b"b")]
+    blob = write_warc(recs)
+    assert blob == write_warc(recs)  # byte-deterministic (mtime pinned)
+    # two members: second gzip magic exists past the first member
+    assert blob.count(b"\x1f\x8b\x08") == 2
+    # stdlib gzip agrees on the concatenated-members content
+    assert b"doc://2" in gzip.decompress(blob)
+
+
+def test_payload_may_contain_crlfcrlf():
+    tricky = b"x\r\n\r\nWARC/1.0\r\n-not-a-record"
+    blob = write_warc([_rec("doc://9", tricky)], gzip_per_record=False)
+    [(_, p)] = list(parse_warc(blob))
+    assert p == tricky  # Content-Length framing, not delimiter scanning
+
+
+def test_content_length_truncation_raises():
+    raw = (
+        b"WARC/1.0\r\nContent-Length: 100\r\n\r\nshort\r\n\r\n"
+    )
+    with pytest.raises(WarcError, match="truncated"):
+        list(parse_warc(raw))
+
+
+def test_missing_terminator_raises():
+    raw = b"WARC/1.0\r\nContent-Length: 2\r\n\r\nab"  # no CRLFCRLF
+    with pytest.raises(WarcError, match="terminator"):
+        list(parse_warc(raw))
+
+
+def test_bad_version_line_raises():
+    with pytest.raises(WarcError, match="version"):
+        list(parse_warc(b"HTTP/1.1 200 OK\r\n\r\n"))
+
+
+def test_missing_content_length_raises():
+    raw = b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\nxx\r\n\r\n"
+    with pytest.raises(WarcError, match="Content-Length"):
+        list(parse_warc(raw))
+
+
+def test_torn_gzip_member_raises():
+    blob = write_warc([_rec("doc://1", b"abc" * 50)])
+    with pytest.raises(WarcError, match="gzip"):
+        list(parse_warc(blob[: len(blob) - 5]))
+
+
+def test_writer_recomputes_content_length():
+    # a lying caller-supplied Content-Length must be ignored
+    blob = write_warc(
+        [({"WARC-Type": "conversion", "Content-Length": "999"}, b"four")],
+        gzip_per_record=False,
+    )
+    [(h, p)] = list(parse_warc(blob))
+    assert p == b"four" and h["Content-Length"] == "4"
+
+
+def test_multi_member_stream_with_stdlib_written_member():
+    # interop: a member produced by the stdlib gzip module (mtime set,
+    # different deflate level) parses the same
+    rec_raw = write_warc([_rec("doc://5", b"stdlib member")],
+                         gzip_per_record=False)
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=12345) as f:
+        f.write(rec_raw)
+    blob = write_warc([_rec("doc://6", b"ours")]) + buf.getvalue()
+    uris = [h["WARC-Target-URI"] for h, _ in parse_warc(blob)]
+    assert uris == ["doc://6", "doc://5"]
