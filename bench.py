@@ -70,6 +70,10 @@ FIXED_COST = [
     # (fixture archives are written once per process, so the timed runs
     # measure the READ path)
     "warc_ingest",
+    # Avro OCF roundtrip: distributed write + archive-grain read through
+    # the pure-Python codec (timed runs include the write — it rewrites
+    # per run, unlike the write-once WARC fixture)
+    "avro_source_roundtrip",
     "ann_ivf_index_search",
 ]
 

@@ -476,3 +476,85 @@ def warc_ingest(spark, sf_dir):
         .select("content")
     )
     return back.mapInPandas(_parse, schema)
+
+
+@query("avro_source_roundtrip", oracle=_AGG_ORACLE)
+def avro_source_roundtrip(spark, sf_dir):
+    """Avro OCF round-trip — the Kafka-dump / data-lake interchange
+    format. This distribution bundles avro-1.12.1.jar but NOT the
+    spark-avro SQL source, so the round-trip drives the repo's pure-
+    Python OCF codec (``codecs/avro.py``, cross-validated both
+    directions against the real jar in ``tests/test_avro.py``): events
+    projection → one deflate-coded ``.avro`` file per partition
+    (executor-side) → ``binaryFile`` → Arrow-batched ``mapInPandas``
+    decode → the same verification aggregate as the other flat-format
+    round-trips, so loss in either direction fails the oracle.
+
+    Scale shape: file-grain parallelism on read (OCF blocks are
+    sync-marker-delimited, but binaryFile reads whole files — keep
+    shards ~1 GiB at write time, the same lever as WARC); the parse is
+    mapInPandas, zero shuffles before the verification aggregate."""
+    from pyspark.sql import types as T
+
+    from bravo_spark.codecs.avro import read_ocf, write_ocf
+
+    ev = catalog.table(spark, sf_dir, "events").select(*_COLS)
+    out = scratch_dir("fmt_avro")
+    os.makedirs(out, exist_ok=True)
+    avro_schema = {
+        "type": "record",
+        "name": "Event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "value", "type": "double"},
+        ],
+    }
+
+    def _write(pid, rows):
+        recs = [
+            {"event_id": r.event_id, "user_id": r.user_id,
+             "event_type": r.event_type, "value": r.value}
+            for r in rows
+        ]
+        if recs:
+            with open(os.path.join(out, f"part_{pid:05d}.avro"), "wb") as f:
+                f.write(write_ocf(avro_schema, recs, codec="deflate"))
+        return iter(())
+
+    ev.rdd.mapPartitionsWithIndex(_write).count()
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def _parse(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                _, recs = read_ocf(bytes(blob))
+                rows.extend(recs)
+            yield _pd.DataFrame(
+                rows, columns=["event_id", "user_id", "event_type", "value"]
+            )
+
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(out)
+        .select("content")
+        .mapInPandas(_parse, schema)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.max("user_id").alias("max_user"),
+    )

@@ -305,6 +305,11 @@ R17_STAGED_SWAPS = [
     # WARC row itself exercises the binaryFile read path, plus the
     # record framing on top)
     ("binary_file_ingest", "warc_ingest"),
+    # Avro OCF roundtrip through the new pure-Python codec (real-jar
+    # cross-validated both directions in test_avro.py) — mirror-green at
+    # all three SFs the day it landed; OUT xml_source_roundtrip keeps
+    # the flat-format family 1:1 (json_variant_extract stays retained)
+    ("xml_source_roundtrip", "avro_source_roundtrip"),
 ]
 
 

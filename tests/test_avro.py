@@ -1,0 +1,204 @@
+"""Avro OCF codec (codecs/avro.py): python roundtrips, malformation
+strictness, and CROSS-VALIDATION against the real avro-1.12.1.jar that
+ships in Spark's JVM — files we write are read by real Avro, files real
+Avro writes are read by us, across null/deflate/snappy codecs and the
+full supported type surface (the same both-directions discipline as the
+SST/rocksdbjni and Snappy/xerial pins).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import tempfile
+
+import pytest
+
+from bravo_spark.codecs.avro import AvroError, read_ocf, write_ocf
+
+_SCHEMA = {
+    "type": "record",
+    "name": "Ev",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "kind", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "blob", "type": "bytes"},
+        {"name": "maybe", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "color",
+            "type": {"type": "enum", "name": "Color",
+                     "symbols": ["RED", "GREEN", "BLUE"]},
+        },
+        {
+            "name": "fp",
+            "type": {"type": "fixed", "name": "Fp16", "size": 4},
+        },
+    ],
+}
+
+_ROWS = [
+    {
+        "id": i,
+        "kind": f"k{i % 3}",
+        "score": i * 0.5,
+        "flag": i % 2 == 0,
+        "blob": bytes([i % 256, 0xFF]),
+        "maybe": None if i % 4 == 0 else f"m{i}",
+        "tags": [f"t{j}" for j in range(i % 3)],
+        "attrs": {f"a{j}": i * j for j in range(i % 2 + 1)},
+        "color": ["RED", "GREEN", "BLUE"][i % 3],
+        "fp": bytes([i % 256] * 4),
+    }
+    for i in range(57)
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+def test_python_roundtrip(codec):
+    blob = write_ocf(_SCHEMA, _ROWS, codec=codec, records_per_block=10)
+    schema, recs = read_ocf(blob)
+    assert schema["name"] == "Ev"
+    assert list(recs) == _ROWS
+
+
+def test_deterministic_output():
+    assert write_ocf(_SCHEMA, _ROWS) == write_ocf(_SCHEMA, _ROWS)
+
+
+def test_negative_and_wide_longs_roundtrip():
+    sch = {"type": "record", "name": "L",
+           "fields": [{"name": "v", "type": "long"}]}
+    vals = [0, -1, 1, 63, -64, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+    _, recs = read_ocf(write_ocf(sch, [{"v": v} for v in vals]))
+    assert [r["v"] for r in recs] == vals
+
+
+def test_bad_magic_and_bad_codec_refuse_by_name():
+    with pytest.raises(AvroError, match="magic"):
+        list(read_ocf(b"PAR1aaaa")[1])
+    with pytest.raises(AvroError, match="zstandard"):
+        write_ocf(_SCHEMA, [], codec="zstandard")
+
+
+def test_sync_marker_mismatch_detected():
+    blob = bytearray(write_ocf(_SCHEMA, _ROWS[:5], codec="null"))
+    blob[-3] ^= 0xFF  # corrupt the trailing sync marker
+    _, recs = read_ocf(bytes(blob))
+    with pytest.raises(AvroError, match="sync"):
+        list(recs)
+
+
+def test_truncated_block_detected():
+    blob = write_ocf(_SCHEMA, _ROWS[:5], codec="null")
+    _, recs = read_ocf(blob[:-10])
+    with pytest.raises(AvroError):
+        list(recs)
+
+
+def test_union_value_must_match_a_branch():
+    sch = {"type": "record", "name": "U",
+           "fields": [{"name": "v", "type": ["null", "long"]}]}
+    with pytest.raises(AvroError, match="union"):
+        write_ocf(sch, [{"v": "not-a-long"}])
+
+
+# ---------------------------------------------------------------------------
+# cross-validation against the REAL avro jar in Spark's JVM
+# ---------------------------------------------------------------------------
+
+
+def _jvm(spark):
+    return spark._jvm
+
+
+def _real_read(spark, path):
+    jvm = _jvm(spark)
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    out = []
+    while reader.hasNext():
+        out.append(reader.next())
+    reader.close()
+    return out
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+def test_real_avro_reads_our_files(spark, codec):
+    sch = {
+        "type": "record", "name": "X",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+            {"name": "m", "type": ["null", "long"]},
+        ],
+    }
+    rows = [
+        {"id": i, "s": f"v{i}", "d": i / 7.0,
+         "m": None if i % 3 == 0 else i * i}
+        for i in range(123)
+    ]
+    blob = write_ocf(sch, rows, codec=codec, records_per_block=25)
+    path = os.path.join(tempfile.mkdtemp(), f"ours_{codec}.avro")
+    with open(path, "wb") as f:
+        f.write(blob)
+    got = _real_read(spark, path)
+    assert len(got) == len(rows)
+    for jrec, py in zip(got, rows):
+        assert jrec.get("id") == py["id"]
+        assert str(jrec.get("s")) == py["s"]
+        assert math.isclose(jrec.get("d"), py["d"], rel_tol=0, abs_tol=0)
+        assert jrec.get("m") == py["m"]
+
+
+@pytest.mark.parametrize("codec_factory", ["nullCodec", "deflateCodec",
+                                           "snappyCodec"])
+def test_we_read_real_avro_files(spark, codec_factory):
+    jvm = _jvm(spark)
+    sch_json = json.dumps(
+        {
+            "type": "record", "name": "Y",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "s", "type": "string"},
+                {"name": "tags", "type": {"type": "array",
+                                          "items": "string"}},
+            ],
+        }
+    )
+    sch = jvm.org.apache.avro.Schema.Parser().parse(sch_json)
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    cf = jvm.org.apache.avro.file.CodecFactory
+    if codec_factory == "deflateCodec":
+        w.setCodec(cf.deflateCodec(6))
+    elif codec_factory == "snappyCodec":
+        w.setCodec(cf.snappyCodec())
+    path = os.path.join(tempfile.mkdtemp(), f"real_{codec_factory}.avro")
+    w.create(sch, jvm.java.io.File(path))
+    for i in range(200):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+        rec.put("id", i)
+        rec.put("s", f"row {i} — utf8 ✓")
+        tags = jvm.java.util.ArrayList()
+        for j in range(i % 4):
+            tags.add(f"t{j}")
+        rec.put("tags", tags)
+        w.append(rec)
+    w.close()
+    with open(path, "rb") as f:
+        schema, recs = read_ocf(f.read())
+    rows = list(recs)
+    assert schema["name"] == "Y"
+    assert len(rows) == 200
+    assert rows[7] == {"id": 7, "s": "row 7 — utf8 ✓",
+                       "tags": ["t0", "t1", "t2"]}
+    assert rows[199]["tags"] == ["t0", "t1", "t2"]
