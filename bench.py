@@ -74,6 +74,10 @@ FIXED_COST = [
     # the pure-Python codec (timed runs include the write — it rewrites
     # per run, unlike the write-once WARC fixture)
     "avro_source_roundtrip",
+    # both index rows run a full build+probe lifecycle per run (write an
+    # index dir, then the pruned search) — batch, but write-floored, so
+    # they close the fixed-cost phase
+    "phrase_search_index",
     "ann_ivf_index_search",
 ]
 

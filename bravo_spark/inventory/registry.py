@@ -310,6 +310,12 @@ R17_STAGED_SWAPS = [
     # all three SFs the day it landed; OUT xml_source_roundtrip keeps
     # the flat-format family 1:1 (json_variant_extract stays retained)
     ("xml_source_roundtrip", "avro_source_roundtrip"),
+    # persisted positional inverted index + exact phrase search (the
+    # retrieval twin of ann_ivf_index_search) — mirror-green at all
+    # three SFs the day it landed; OUT json_variant_extract (r14 wave;
+    # variant extraction stays mirror-verified and the format family
+    # gains warc/avro INs in the same flip)
+    ("json_variant_extract", "phrase_search_index"),
 ]
 
 

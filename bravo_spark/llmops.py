@@ -2474,3 +2474,117 @@ def ngram_lm_score(
         ).alias("keep"),
         F.exp("_nll").alias("ppl_proxy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted positional inverted index + exact phrase search
+# ---------------------------------------------------------------------------
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_re: str = "[a-z0-9]+",
+    n_buckets: int = 64,
+) -> dict:
+    """Build a PERSISTED positional inverted index: posting rows
+    ``(term, doc_id, pos)`` written as parquet PARTITIONED BY
+    ``bucket = xxhash64(term) mod n_buckets`` under ``path`` plus a tiny
+    Hadoop-FS manifest — the text-retrieval twin of
+    :func:`build_ivf_index`. Build once, query many:
+    :func:`phrase_search` reads only the PHRASE TERMS' buckets in FILE
+    terms (partition pruning), so a k-term query touches ~k/n_buckets of
+    the index instead of rescanning the corpus.
+
+    Positions are 1-based token offsets in the lowercase ``token_re``
+    stream. One map-side posexplode, one partitioned write — no shuffle
+    beyond the writer's; posting lists are corpus-sized but
+    bucket-striped, and per-term skew (stopwords) spreads across files
+    inside the bucket partition."""
+    posts = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), '{token_re}', 0)"
+                )
+            ).alias("pos0", "term"),
+        )
+        .select(
+            "term",
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket"),
+        )
+    )
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(
+        _index_path(path, "postings")
+    )
+    manifest = {
+        "version": 1, "kind": "inverted_index", "id_col": id_col,
+        "token_re": token_re, "n_buckets": n_buckets,
+    }
+    import json as _json
+
+    _fs_write_text(
+        docs.sparkSession, _index_path(path, "_bravo_invidx.json"),
+        _json.dumps(manifest),
+    )
+    return manifest
+
+
+def load_inverted_index(spark: SparkSession, path: str):
+    """→ ``(postings DataFrame, manifest)``. The postings relation keeps
+    its ``bucket`` partition column so term filters prune at FILE level."""
+    import json as _json
+
+    manifest = _json.loads(
+        _fs_read_text(spark, _index_path(path, "_bravo_invidx.json"))
+    )
+    if manifest.get("kind") != "inverted_index":
+        raise ValueError(f"{path!r} is not an inverted index")
+    posts = spark.read.parquet(_index_path(path, "postings"))
+    return posts, manifest
+
+
+def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:
+    """Exact phrase search against a :func:`build_inverted_index` index:
+    per matching document, the match count and first (1-based) position.
+
+    The probe filters each phrase term's posting list down by
+    ``bucket`` (partition pruning — file-level) AND ``term`` (parquet
+    predicate pushdown — row-group level), then chains positional
+    adjacency equi-joins: term_i must appear at ``pos_0 + i``. k-1
+    shuffle joins of single-term posting lists — each a tiny fraction
+    of the index — then one groupBy back to document grain. Nothing
+    rescans text; that is the entire point of a persisted index."""
+    posts, mf = load_inverted_index(spark, path)
+    terms = __import__("re").findall(mf["token_re"], phrase.lower())
+    if not terms:
+        raise ValueError(f"phrase {phrase!r} has no tokens")
+    nb = mf["n_buckets"]
+
+    def posting(i: int, term: str) -> DataFrame:
+        return (
+            posts.filter(
+                (F.col("bucket") == F.pmod(F.xxhash64(F.lit(term)), F.lit(nb)))
+                & (F.col("term") == term)
+            )
+            # anchor every term's position to where the PHRASE starts
+            .select("doc_id", (F.col("pos") - i).alias("p0"))
+        )
+
+    cur = posting(0, terms[0])
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = posting(i, t).withColumnRenamed("doc_id", "d2")
+        cur = cur.join(
+            nxt, (cur["doc_id"] == nxt["d2"]) & (cur["p0"] == nxt["p0"]),
+            "inner",
+        ).select(cur["doc_id"], cur["p0"])
+    return cur.groupBy("doc_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("p0").alias("first_pos"),
+    )
