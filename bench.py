@@ -66,6 +66,8 @@ FIXED_COST = [
     # equi-joins — the heaviest pure-batch text row, so it runs after
     # the map-only text rows
     "text_lm_perplexity_filter",
+    # token-budget mixture: domain-grain agg + windowed cumsum
+    "token_budget_pack",
     # WARC ingest: archive-grain binaryFile read + Arrow-batched parse
     # (fixture archives are written once per process, so the timed runs
     # measure the READ path)

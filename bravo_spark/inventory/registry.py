@@ -316,6 +316,12 @@ R17_STAGED_SWAPS = [
     # variant extraction stays mirror-verified and the format family
     # gains warc/avro INs in the same flip)
     ("json_variant_extract", "phrase_search_index"),
+    # exact per-domain token-budget mixture selection (subsharded
+    # budgets — no domain serializes into one window task) — mirror-
+    # green at all three SFs the day it landed; OUT nested_state_rewrite
+    # (r14 wave; nested-UnsafeRow surgery stays pytest-restart-proven
+    # and the surgery family keeps join/schema/rocksdb rows in the gate)
+    ("nested_state_rewrite", "token_budget_pack"),
 ]
 
 

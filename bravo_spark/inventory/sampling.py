@@ -516,3 +516,74 @@ def source_mixture_temperature(spark, sf_dir):
     shuffle over the corpus; everything after runs on the ~#sources-row
     relation — metadata-scale at any corpus size."""
     return spark.sql(_mixture_temperature_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture packing: select documents per source until an
+# exact token budget fills — "compose a training mix of B tokens per
+# domain", the budgeted counterpart of the rate-based
+# domain_mixture_sample above. Scale-safe by construction: a single
+# per-domain cumulative sum would serialize each domain into one window
+# task, so the budget is SPLIT across 8 hash subshards (each gets
+# budget/8 and fills independently) — parallelism ∝ domains × shards,
+# selection stays deterministic (hash-ordered within shard), and the
+# kept total undershoots the exact budget by at most one document per
+# shard. Budget here: 25% of each source's own token mass, derived
+# in-plan (a domain-grain aggregate joined back — no collect).
+# ---------------------------------------------------------------------------
+
+_BUDGET_SHARDS = 8
+_BUDGET_FRACTION_DIV = 4  # keep ~1/4 of each source's tokens
+
+
+def _budget_sql(dialect: str) -> str:
+    if dialect == "duckdb":
+        h32 = _h32_duck
+        ntok = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+        strtype = "VARCHAR"
+        div = "//"
+    else:
+        h32 = _h32_spark
+        ntok = "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+        strtype = "STRING"
+        div = "DIV"
+    shard = (
+        h32(f"concat('bud:', CAST(doc_id AS {strtype}))")
+        + f" % {_BUDGET_SHARDS}"
+    )
+    order = h32(f"concat('ord:', CAST(doc_id AS {strtype}))")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, CAST({ntok} AS BIGINT) AS n_tokens,
+         {shard} AS shard, {order} AS ord
+  FROM documents
+),
+src AS (
+  SELECT source,
+         CAST(sum(n_tokens) {div} {_BUDGET_FRACTION_DIV} AS BIGINT)
+           AS budget
+  FROM d GROUP BY source
+),
+c AS (
+  SELECT d.doc_id, d.source, d.n_tokens, d.shard,
+         CAST(src.budget {div} {_BUDGET_SHARDS} AS BIGINT) AS shard_budget,
+         sum(d.n_tokens) OVER (
+           PARTITION BY d.source, d.shard
+           ORDER BY d.ord, d.doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d JOIN src ON d.source = src.source
+)
+SELECT doc_id, source, n_tokens
+FROM c WHERE cum <= shard_budget
+"""
+
+
+@query("token_budget_pack", oracle=_budget_sql("duckdb"))
+def token_budget_pack(spark, sf_dir):
+    """Exact-token-budget mixture selection: per source keep
+    hash-ordered documents until ~25% of that source's token mass is
+    reached, with the budget subsharded 8 ways so no domain serializes
+    into one window task. Deterministic on every engine and layout;
+    one domain-grain aggregate + one broadcastable join + one windowed
+    cumulative sum."""
+    return spark.sql(_budget_sql("spark"))
