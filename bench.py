@@ -68,6 +68,8 @@ FIXED_COST = [
     "text_lm_perplexity_filter",
     # token-budget mixture: domain-grain agg + windowed cumsum
     "token_budget_pack",
+    # EXIF tag/audit/redact lifecycle: map-only Arrow batches
+    "multimodal_exif_audit",
     # WARC ingest: archive-grain binaryFile read + Arrow-batched parse
     # (fixture archives are written once per process, so the timed runs
     # measure the READ path)

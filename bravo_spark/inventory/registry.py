@@ -322,6 +322,12 @@ R17_STAGED_SWAPS = [
     # (r14 wave; nested-UnsafeRow surgery stays pytest-restart-proven
     # and the surgery family keeps join/schema/rocksdb rows in the gate)
     ("nested_state_rewrite", "token_budget_pack"),
+    # EXIF audit + redaction (orientation/GPS parse, strip_exif PII
+    # redaction with pixel-identity proof) — mirror-green at all three
+    # SFs the day it landed; OUT multimodal_frame_sample (r14 wave; the
+    # AVI demux stays golden-tested and multimodal_resize keeps the
+    # family's pixel kernel in the gate, joined by this EXIF row)
+    ("multimodal_frame_sample", "multimodal_exif_audit"),
 ]
 
 

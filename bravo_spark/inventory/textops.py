@@ -2566,3 +2566,95 @@ def phrase_search_index(spark, sf_dir):
     path = scratch_dir("invidx")
     llmops.build_inverted_index(docs, path, token_re=TOKEN_RE)
     return llmops.phrase_search(spark, path, " ".join(_PHRASE))
+
+
+# ---------------------------------------------------------------------------
+# EXIF audit + redaction: the multimodal-pipeline metadata step. Every
+# document becomes a pixel-real JPEG (our own encoder) tagged with a
+# deterministic EXIF APP1 (orientation, and GPS for every third doc);
+# the audit parses the tags back, REDACTS (strip_exif), and proves the
+# redaction both removed the PII and left the pixel stream byte-
+# identical. GPS coordinates use degree+minute rationals whose FLOOR is
+# integer-exact, so every reported column is integer math the oracle
+# reproduces closed-form.
+# ---------------------------------------------------------------------------
+
+_EXIF_ORACLE = """
+SELECT doc_id,
+  CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS has_gps,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 60 AS BIGINT)
+       ELSE NULL END AS lat_floor,
+  CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 7) % 120 + 30 AS BIGINT)
+       ELSE NULL END AS lon_floor,
+  CAST(1 AS BIGINT) AS redacted_clean,
+  CAST(1 AS BIGINT) AS pixels_identical
+FROM documents
+"""
+
+
+@query("multimodal_exif_audit", oracle=_EXIF_ORACLE)
+def multimodal_exif_audit(spark, sf_dir):
+    """Tag → audit → redact lifecycle over a JPEG column
+    (inventory/exif.py): orientation = doc_id%8+1; every third document
+    carries GPS at (doc_id%60)°15'N, ((doc_id*7)%120+30)°30'E (floors
+    integer-exact by construction). The audit asserts strip_exif
+    removes the Exif APP1 entirely AND that the redacted file's decoded
+    pixels are byte-identical to the tagged file's — redaction must not
+    re-encode. One shared base JPEG is encoded once per executor; the
+    per-doc work is APP1 splice/parse — map-only mapInPandas, zero
+    shuffles."""
+    from bravo_spark.inventory import exif as ex
+    from bravo_spark.inventory.jpeg import jpeg_decode_pixels, jpeg_encode
+
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id")
+
+    def audit(batches: Iterator[pd.DataFrame]):
+        raw = bytes((x * 8 + y) % 256 for y in range(16) for x in range(16))
+        base = jpeg_encode(16, 16, "L", raw)
+        base_pix = jpeg_decode_pixels(base)[3]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                gps = (
+                    (doc_id % 60 + 15 / 60, (doc_id * 7) % 120 + 30 + 30 / 60)
+                    if doc_id % 3 == 0
+                    else None
+                )
+                tagged = ex.insert_exif(
+                    base,
+                    ex.build_exif_app1(
+                        orientation=doc_id % 8 + 1,
+                        datetime_str="2026:01:01 00:00:00",
+                        gps=gps,
+                        byte_order="II" if doc_id % 2 == 0 else "MM",
+                    ),
+                )
+                meta = ex.parse_exif(tagged)
+                red = ex.strip_exif(tagged)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "orientation": meta["orientation"],
+                        "has_gps": int(meta["gps"] is not None),
+                        "lat_floor": (
+                            int(meta["gps"][0]) if meta["gps"] else None
+                        ),
+                        "lon_floor": (
+                            int(meta["gps"][1]) if meta["gps"] else None
+                        ),
+                        "redacted_clean": int(ex.parse_exif(red) is None),
+                        "pixels_identical": int(
+                            jpeg_decode_pixels(red)[3] == base_pix
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        audit,
+        schema="doc_id long, orientation long, has_gps long,"
+        " lat_floor long, lon_floor long, redacted_clean long,"
+        " pixels_identical long",
+    )

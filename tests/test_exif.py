@@ -1,0 +1,134 @@
+"""EXIF codec (inventory/exif.py): hand-assembled spec vectors, both
+byte orders, GPS rational signs, strip/insert idempotence, and
+malformation strictness."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from bravo_spark.inventory.exif import (
+    ExifError,
+    build_exif_app1,
+    insert_exif,
+    parse_exif,
+    strip_exif,
+)
+
+# a minimal but real baseline JPEG (SOI + APP0/JFIF + EOI is not enough
+# for our marker walker only up to SOS; segments() stops at SOS, so a
+# truncated-but-marker-valid stream works for metadata purposes)
+_JPEG = (
+    b"\xff\xd8"  # SOI
+    b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
+    b"\xff\xdb\x00\x05\x00\x00\x00"  # tiny (bogus-but-framed) DQT
+    b"\xff\xd9"  # EOI treated as data past walker's interest
+)
+
+
+def _with_exif(**kw) -> bytes:
+    return insert_exif(_JPEG, build_exif_app1(**kw))
+
+
+def test_hand_assembled_spec_vector_parses():
+    # TIFF built by hand from TIFF 6.0 / EXIF 2.3: II, magic 42, IFD0 at
+    # 8 with ONE entry (Orientation=6), no next IFD
+    tiff = (
+        b"II" + struct.pack("<HI", 42, 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<H", 6) + b"\x00\x00"
+        + struct.pack("<I", 0)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    meta = parse_exif(_JPEG[:2] + app1 + _JPEG[2:])
+    assert meta["orientation"] == 6 and meta["byte_order"] == "II"
+    assert meta["gps"] is None
+
+
+@pytest.mark.parametrize("order", ["II", "MM"])
+def test_roundtrip_orientation_datetime_gps(order):
+    jpeg = _with_exif(
+        orientation=5,
+        datetime_str="2026:01/01 00:00:00".replace("/", ":"),
+        gps=(48.8583, 2.2945),
+        byte_order=order,
+    )
+    meta = parse_exif(jpeg)
+    assert meta["byte_order"] == order
+    assert meta["orientation"] == 5
+    assert meta["datetime"] == "2026:01:01 00:00:00"
+    lat, lon = meta["gps"]
+    assert abs(lat - 48.8583) < 1e-4 and abs(lon - 2.2945) < 1e-4
+
+
+def test_gps_south_west_signs():
+    meta = parse_exif(_with_exif(gps=(-33.8688, -151.2093 + 302.4186)))
+    lat, lon = meta["gps"]
+    assert lat < 0 and lon > 0
+    meta = parse_exif(_with_exif(gps=(-33.8688, -151.2093)))
+    lat, lon = meta["gps"]
+    assert abs(lat + 33.8688) < 1e-4 and abs(lon + 151.2093) < 1e-4
+
+
+def test_strip_removes_exif_only():
+    jpeg = _with_exif(orientation=3, gps=(1.0, 2.0))
+    clean = strip_exif(jpeg)
+    assert parse_exif(clean) is None
+    assert clean == _JPEG  # nothing else touched
+    assert strip_exif(clean) == clean  # idempotent
+
+
+def test_xmp_app1_passes_through():
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00<x/>"
+    app1 = b"\xff\xe1" + struct.pack(">H", len(xmp) + 2) + xmp
+    jpeg = _JPEG[:2] + app1 + _JPEG[2:]
+    assert parse_exif(jpeg) is None
+    assert strip_exif(jpeg) == jpeg  # XMP survives redaction
+
+
+def test_insert_is_idempotent_replace():
+    j1 = _with_exif(orientation=2)
+    j2 = insert_exif(j1, build_exif_app1(orientation=7))
+    assert parse_exif(j2)["orientation"] == 7
+    assert j2.count(b"Exif\x00\x00") == 1
+
+
+def test_malformed_raises():
+    with pytest.raises(ExifError, match="SOI"):
+        parse_exif(b"PNG...")
+    bad_tiff = b"Exif\x00\x00" + b"XX" + struct.pack("<HI", 42, 8)
+    app1 = b"\xff\xe1" + struct.pack(">H", len(bad_tiff) + 2) + bad_tiff
+    with pytest.raises(ExifError, match="byte order"):
+        parse_exif(_JPEG[:2] + app1 + _JPEG[2:])
+    # APP1 whose declared length overruns the available bytes
+    overrun = b"\xff\xd8\xff\xe1\x00\x50Exif\x00\x00II" + b"\x00" * 4
+    with pytest.raises(ExifError, match="overruns"):
+        parse_exif(overrun)
+    # IFD0 offset pointing past the TIFF stream
+    tiff = b"II" + struct.pack("<HI", 42, 9999)
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    with pytest.raises(ExifError, match="out of range"):
+        parse_exif(_JPEG[:2] + app1 + _JPEG[2:])
+
+
+def test_real_decoder_still_reads_tagged_image(spark):
+    """End-to-end with the repo's own JPEG codec: a pixel-real JPEG
+    gains EXIF, the decoder still decodes it, and redaction keeps the
+    pixel stream byte-identical."""
+    import numpy as np
+
+    from bravo_spark.inventory.jpeg import jpeg_decode_pixels, jpeg_encode
+
+    raw = bytes((x * 8 + y) % 256 for y in range(16) for x in range(16))
+    base = jpeg_encode(16, 16, "L", raw)
+    tagged = insert_exif(base, build_exif_app1(orientation=8,
+                                               gps=(10.5, -20.25)))
+    w, h, mode, pix = jpeg_decode_pixels(tagged)
+    assert (w, h) == (16, 16)
+    assert parse_exif(tagged)["orientation"] == 8
+    redacted = strip_exif(tagged)
+    assert parse_exif(redacted) is None
+    assert jpeg_decode_pixels(redacted)[3] == pix
