@@ -1,0 +1,162 @@
+"""Hypothesis roundtrip fuzz for the r16 container codecs (WARC, Avro
+OCF, EXIF): arbitrary payloads/values must survive write→read exactly,
+and random corruption must raise the codec's named error — never return
+wrong data silently.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from bravo_spark.codecs.avro import AvroError, read_ocf, write_ocf
+from bravo_spark.codecs.warc import WarcError, parse_warc, write_warc
+
+_HDR_VAL = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    recs=st.lists(
+        st.tuples(_HDR_VAL, st.binary(max_size=400)), min_size=0, max_size=8
+    ),
+    gz=st.booleans(),
+)
+def test_warc_roundtrip_fuzz(recs, gz):
+    records = [
+        ({"WARC-Type": "conversion", "WARC-Target-URI": f"doc://{u}"}, p)
+        for u, p in recs
+    ]
+    back = list(parse_warc(write_warc(records, gzip_per_record=gz)))
+    assert [(h["WARC-Target-URI"], p) for h, p in back] == [
+        (h["WARC-Target-URI"], p) for h, p in records
+    ]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    recs=st.lists(
+        st.tuples(st.binary(max_size=200)), min_size=1, max_size=6
+    ),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_warc_truncation_always_raises(recs, cut):
+    records = [({"WARC-Type": "resource"}, p) for (p,) in recs]
+    blob = write_warc(records, gzip_per_record=False)
+    try:
+        got = list(parse_warc(blob[:-cut]))
+    except WarcError:
+        return  # named failure is the contract
+    # the only acceptable non-error outcome is LOSING whole tail records,
+    # never corrupting payloads of the ones returned
+    assert len(got) < len(records)
+    for (h, p), (_, orig) in zip(got, records):
+        assert p == orig
+
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "F",
+    "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+        {"name": "d", "type": "double"},
+        {"name": "u", "type": ["null", "long"]},
+        {"name": "a", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+_AVRO_ROW = st.fixed_dictionaries(
+    {
+        "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "s": st.text(max_size=40),
+        "b": st.binary(max_size=60),
+        "d": st.floats(allow_nan=False),
+        "u": st.one_of(st.none(), st.integers(-(2**31), 2**31)),
+        "a": st.lists(st.integers(-(2**40), 2**40), max_size=6),
+        "m": st.dictionaries(st.text(max_size=8), st.text(max_size=12),
+                             max_size=4),
+    }
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rows=st.lists(_AVRO_ROW, min_size=0, max_size=12),
+    codec=st.sampled_from(["null", "deflate", "snappy"]),
+    per_block=st.integers(min_value=1, max_value=5),
+)
+def test_avro_roundtrip_fuzz(rows, codec, per_block):
+    blob = write_ocf(_AVRO_SCHEMA, rows, codec=codec,
+                     records_per_block=per_block)
+    _, recs = read_ocf(blob)
+    assert list(recs) == rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pos=st.integers(min_value=4),
+    delta=st.integers(min_value=1, max_value=255),
+)
+def test_avro_bitflip_never_silently_wrong(pos, delta):
+    rows = [{"i": i, "s": f"r{i}", "b": b"\x01\x02", "d": 0.5, "u": None,
+             "a": [i], "m": {}} for i in range(9)]
+    blob = bytearray(write_ocf(_AVRO_SCHEMA, rows, codec="deflate",
+                               records_per_block=3))
+    pos = 4 + pos % (len(blob) - 4)  # past magic; header/meta/blocks
+    blob[pos] = (blob[pos] + delta) % 256
+    try:
+        _, recs = read_ocf(bytes(blob))
+        got = list(recs)
+    except Exception:
+        return  # any raised error is acceptable; SILENCE is what we test
+    # OCF has no per-block checksum — sync markers + length framing are
+    # the only integrity layer — so a single flip may corrupt at most
+    # the ONE block it lands in (3 rows here). Rows from every other
+    # block must come back byte-identical and in order.
+    mutated = [r for r in got if r not in rows]
+    assert len(mutated) <= 3, f"flip at {pos} corrupted >1 block"
+    survivors = [r for r in got if r in rows]
+    expected_order = [r for r in rows if r in survivors]
+    assert survivors == expected_order
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    orientation=st.integers(min_value=1, max_value=8),
+    lat=st.floats(min_value=-89.999, max_value=89.999),
+    lon=st.floats(min_value=-179.999, max_value=179.999),
+    with_gps=st.booleans(),
+    order=st.sampled_from(["II", "MM"]),
+)
+def test_exif_roundtrip_fuzz(orientation, lat, lon, with_gps, order):
+    from bravo_spark.inventory.exif import (
+        build_exif_app1,
+        insert_exif,
+        parse_exif,
+        strip_exif,
+    )
+
+    jpeg = b"\xff\xd8\xff\xdb\x00\x05\x00\x00\x00"
+    tagged = insert_exif(
+        jpeg,
+        build_exif_app1(
+            orientation=orientation,
+            gps=(lat, lon) if with_gps else None,
+            byte_order=order,
+        ),
+    )
+    meta = parse_exif(tagged)
+    assert meta["orientation"] == orientation
+    assert meta["byte_order"] == order
+    if with_gps:
+        glat, glon = meta["gps"]
+        # degree+minute+centisecond rationals: <= 1/360000 deg + rounding
+        assert abs(glat - lat) < 1e-4 and abs(glon - lon) < 1e-4
+    else:
+        assert meta["gps"] is None
+    assert parse_exif(strip_exif(tagged)) is None
