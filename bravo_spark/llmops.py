@@ -2588,3 +2588,44 @@ def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:
         F.count("*").alias("n_matches"),
         F.min("p0").alias("first_pos"),
     )
+
+
+def save_ngram_lm(
+    lm: tuple[DataFrame, DataFrame, DataFrame, DataFrame], path: str
+) -> dict:
+    """Persist an :func:`ngram_lm_counts` model: the three count
+    relations and the 1-row total as parquet under ``path`` plus a tiny
+    Hadoop-FS manifest — train once on the big corpus, score many
+    (the same build-once contract as the IVF and inverted indexes).
+    All four writes are distributed; nothing is collected."""
+    import json as _json
+
+    tri, bi, uni, tot = lm
+    tri.write.mode("overwrite").parquet(_index_path(path, "tri"))
+    bi.write.mode("overwrite").parquet(_index_path(path, "bi"))
+    uni.write.mode("overwrite").parquet(_index_path(path, "uni"))
+    tot.write.mode("overwrite").parquet(_index_path(path, "tot"))
+    manifest = {"version": 1, "kind": "ngram_lm", "order": 3}
+    _fs_write_text(
+        tri.sparkSession, _index_path(path, "_bravo_ngram_lm.json"),
+        _json.dumps(manifest),
+    )
+    return manifest
+
+
+def load_ngram_lm(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """→ the ``(tri, bi, uni, tot)`` tuple :func:`ngram_lm_score`
+    consumes, backed by the persisted parquet relations."""
+    import json as _json
+
+    manifest = _json.loads(
+        _fs_read_text(spark, _index_path(path, "_bravo_ngram_lm.json"))
+    )
+    if manifest.get("kind") != "ngram_lm":
+        raise ValueError(f"{path!r} is not a persisted n-gram LM")
+    return tuple(
+        spark.read.parquet(_index_path(path, part))
+        for part in ("tri", "bi", "uni", "tot")
+    )

@@ -77,3 +77,36 @@ def test_bigram_and_unigram_backoff(spark, lm):
 def test_empty_doc_scores_no_rows(spark, lm):
     val = spark.createDataFrame([(3, "?!")], "doc_id long, text string")
     assert llmops.ngram_lm_score(val, lm, "text", "doc_id").count() == 0
+
+
+def test_save_load_scores_identically(spark, lm, tmp_path):
+    path = str(tmp_path / "lm")
+    llmops.save_ngram_lm(lm, path)
+    loaded = llmops.load_ngram_lm(spark, path)
+    val = spark.createDataFrame(
+        [(9, "a b c x"), (7, "b d c")], "doc_id long, text string"
+    )
+    direct = {
+        (r.doc_id, r.lm_score_micro, r.tri_hits, r.oov)
+        for r in llmops.ngram_lm_score(val, lm, "text", "doc_id").collect()
+    }
+    persisted = {
+        (r.doc_id, r.lm_score_micro, r.tri_hits, r.oov)
+        for r in llmops.ngram_lm_score(val, loaded, "text",
+                                       "doc_id").collect()
+    }
+    assert direct == persisted
+
+
+def test_load_wrong_kind_refused(spark, tmp_path):
+    import json
+
+    path = str(tmp_path / "notlm")
+    llmops._fs_write_text(
+        spark, llmops._index_path(path, "_bravo_ngram_lm.json"),
+        json.dumps({"kind": "ivf"}),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a persisted n-gram LM"):
+        llmops.load_ngram_lm(spark, path)
