@@ -2645,8 +2645,13 @@ def multimodal_exif_audit(spark, sf_dir):
                             int(meta["gps"][1]) if meta["gps"] else None
                         ),
                         "redacted_clean": int(ex.parse_exif(red) is None),
+                        # byte identity implies pixel identity (strip is
+                        # a segment splice, never a re-encode); the
+                        # decode runs only as a fallback proof if the
+                        # bytes ever diverge
                         "pixels_identical": int(
-                            jpeg_decode_pixels(red)[3] == base_pix
+                            red == base
+                            or jpeg_decode_pixels(red)[3] == base_pix
                         ),
                     }
                 )
