@@ -47,6 +47,21 @@ def test_hand_assembled_spec_vector_parses():
     assert meta["gps"] is None
 
 
+def test_hand_assembled_big_endian_vector_parses():
+    # the MM twin, built by hand: big-endian shorts/longs, value
+    # left-justified within the 4-byte field (TIFF 6.0 §2)
+    tiff = (
+        b"MM" + struct.pack(">HI", 42, 8)
+        + struct.pack(">H", 1)
+        + struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">H", 3) + b"\x00\x00"
+        + struct.pack(">I", 0)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    meta = parse_exif(_JPEG[:2] + app1 + _JPEG[2:])
+    assert meta["orientation"] == 3 and meta["byte_order"] == "MM"
+
+
 @pytest.mark.parametrize("order", ["II", "MM"])
 def test_roundtrip_orientation_datetime_gps(order):
     jpeg = _with_exif(
