@@ -127,6 +127,10 @@ class _Decoder:
         return v
 
     def raw(self, n: int) -> bytes:
+        if n < 0:
+            # a negative length varint would move the cursor BACKWARD —
+            # adversarial input could loop forever or silently re-read
+            raise AvroError(f"negative length {n} at byte {self.pos}")
         if self.pos + n > len(self.buf):
             raise AvroError(
                 f"need {n} bytes at {self.pos}, have {len(self.buf) - self.pos}"
@@ -280,7 +284,8 @@ def _matches(schema: Any, v: Any) -> bool:
     if t in ("int", "long"):
         return isinstance(v, int) and not isinstance(v, bool)
     if t in ("float", "double"):
-        return isinstance(v, float)
+        # whole numbers arrive as int from json.loads; 0 is a legal double
+        return isinstance(v, (float, int)) and not isinstance(v, bool)
     if t in ("bytes", "fixed"):
         return isinstance(v, (bytes, bytearray))
     if t in ("string", "enum"):
@@ -333,6 +338,10 @@ def read_ocf(data: bytes) -> tuple[dict[str, Any], Iterator[dict[str, Any]]]:
         while d.pos < len(d.buf):
             count = d.long()
             size = d.long()
+            if count < 0 or size < 0:
+                raise AvroError(
+                    f"negative block header ({count}, {size}) at {d.pos}"
+                )
             payload = d.raw(size)
             if d.raw(16) != sync:
                 raise AvroError(f"sync marker mismatch at byte {d.pos}")

@@ -60,6 +60,13 @@ def _gunzip_members(data: bytes) -> bytes:
     return out.getvalue()
 
 
+def _hdr(raw: bytes) -> str:
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 def parse_warc(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     """Yield ``(headers, payload)`` per record. Accepts plain WARC bytes
     or a (multi-member) gzip stream. Header names keep their original
@@ -96,7 +103,9 @@ def parse_warc(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
             if b":" not in line:
                 raise WarcError(f"header without ':' at byte {pos}: {line!r}")
             k, v = line.split(b":", 1)
-            headers[k.decode("utf-8")] = v.strip().decode("utf-8")
+            # UTF-8 per warc-1.1; older crawls carry latin-1 bytes in
+            # URIs — fall back losslessly rather than refuse the record
+            headers[_hdr(k)] = _hdr(v.strip())
         try:
             clen = int(headers["Content-Length"])
         except KeyError:
@@ -106,6 +115,11 @@ def parse_warc(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
                 f"non-integer Content-Length at byte {pos}:"
                 f" {headers['Content-Length']!r}"
             )
+        if clen < 0:
+            # a negative length would rewind the cursor and re-parse
+            # payload bytes as top-level records (nested WARC content is
+            # real — revisit/WAT records) — refuse loudly
+            raise WarcError(f"negative Content-Length {clen} at byte {pos}")
         if pos + clen > n:
             raise WarcError(
                 f"payload truncated at byte {pos}: need {clen},"
@@ -139,6 +153,15 @@ def write_warc(
         for k, v in headers.items():
             if k.lower() == "content-length":
                 continue
+            # header injection guard: a CR/LF inside a crawl-influenced
+            # value (URIs!) or a ':' in a name would misframe the record
+            # our own strict parser then rejects — refuse at write time
+            if any(c in k for c in ":\r\n"):
+                raise WarcError(f"illegal WARC header name {k!r}")
+            if "\r" in str(v) or "\n" in str(v):
+                raise WarcError(
+                    f"CR/LF in WARC header value for {k}: {v!r}"
+                )
             rec.write(f"{k}: {v}".encode("utf-8") + _CRLF)
         rec.write(f"Content-Length: {len(payload)}".encode() + _CRLF)
         rec.write(_CRLF)

@@ -126,7 +126,14 @@ def _value(tiff: bytes, fmt: str, entry: tuple):
 
 
 def _rational_to_deg(triplet) -> float:
-    (dn, dd), (mn, md), (sn, sd) = triplet
+    try:
+        (dn, dd), (mn, md), (sn, sd) = triplet
+    except (TypeError, ValueError) as exc:
+        raise ExifError(f"GPS coordinate is not a rational triplet: {exc}")
+    if 0 in (dd, md, sd):
+        # 0/0 rationals are common in real-world corrupt EXIF; a bare
+        # ZeroDivisionError would bypass callers' ExifError quarantine
+        raise ExifError("zero denominator in GPS rational")
     return dn / dd + mn / md / 60 + sn / sd / 3600
 
 
@@ -163,6 +170,8 @@ def parse_exif(jpeg: bytes) -> dict | None:
         out["datetime"] = _value(tiff, fmt, ifd0[TAG_DATETIME])
     if TAG_GPS_IFD in ifd0:
         gps_off = _value(tiff, fmt, ifd0[TAG_GPS_IFD])
+        if not isinstance(gps_off, int):
+            raise ExifError(f"GPS IFD pointer is not a scalar: {gps_off!r}")
         gps = _read_ifd(tiff, fmt, gps_off)
         if GPS_LAT in gps and GPS_LON in gps:
             lat = _rational_to_deg(_value(tiff, fmt, gps[GPS_LAT]))
@@ -227,7 +236,7 @@ def build_exif_app1(
     ifd0.sort(key=lambda e: e[0])  # spec: ascending tag order
     ifd0_off = 8
     ifd0_vals_off = ifd0_off + ifd_size(ifd0)
-    ifd0_vals = _collect_overflow(ifd0, ifd0_vals_off)
+    ifd0_vals = _collect_overflow(ifd0)
     gps_off = ifd0_vals_off + len(ifd0_vals)
     if gps is not None:
         ifd0 = [
@@ -235,7 +244,7 @@ def build_exif_app1(
             for t, ft, n, v in ifd0
         ]
     gps_vals_off = gps_off + (ifd_size(gps_entries) if gps_entries else 0)
-    gps_vals = _collect_overflow(gps_entries, gps_vals_off)
+    gps_vals = _collect_overflow(gps_entries)
 
     tiff = bytearray()
     tiff += byte_order.encode() + struct.pack(fmt + "HI", 42, ifd0_off)
@@ -253,8 +262,9 @@ def _pack_rationals(fmt: str, rats: list[tuple[int, int]]) -> bytes:
     return b"".join(struct.pack(fmt + "II", a, b) for a, b in rats)
 
 
-def _collect_overflow(entries, base_off: int) -> bytes:
-    """Bytes area for values wider than 4 bytes, in entry order."""
+def _collect_overflow(entries) -> bytes:
+    """Bytes area for values wider than 4 bytes, in entry order (the
+    matching per-entry offsets are assigned by ``_pack_ifd``'s roll)."""
     out = bytearray()
     for _, ftype, n, v in entries:
         if isinstance(v, bytes) and len(v) > 4:

@@ -2562,7 +2562,9 @@ def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:
     of the index — then one groupBy back to document grain. Nothing
     rescans text; that is the entire point of a persisted index."""
     posts, mf = load_inverted_index(spark, path)
-    terms = __import__("re").findall(mf["token_re"], phrase.lower())
+    import re as _re
+
+    terms = _re.findall(mf["token_re"], phrase.lower())
     if not terms:
         raise ValueError(f"phrase {phrase!r} has no tokens")
     nb = mf["n_buckets"]

@@ -202,3 +202,37 @@ def test_we_read_real_avro_files(spark, codec_factory):
     assert rows[7] == {"id": 7, "s": "row 7 — utf8 ✓",
                        "tags": ["t0", "t1", "t2"]}
     assert rows[199]["tags"] == ["t0", "t1", "t2"]
+
+
+def test_negative_varint_lengths_refused():
+    import struct as _struct
+
+    blob = bytearray(write_ocf(_SCHEMA, _ROWS[:3], codec="null"))
+    # find the first block header after the 16-byte sync and force the
+    # SIZE varint negative: zigzag(-1) = 0x01; block starts right after
+    # header metadata — instead, corrupt surgically via a fresh minimal
+    # container whose block size varint we control
+    sch = {"type": "record", "name": "T",
+           "fields": [{"name": "s", "type": "string"}]}
+    good = write_ocf(sch, [{"s": "abcd"}], codec="null")
+    # locate the block: it is count|size|payload|sync at the tail;
+    # payload is 1 record = len varint + bytes; sync is last 16 bytes
+    body_len = 1 + 1 + 4  # count=1 varint, size varint, payload(1+4)... 
+    # robust approach: parse offsets by re-reading until the records()
+    # loop start, then flip the size varint to 0x01 (-1 zigzag)
+    tail = len(good) - 16  # sync
+    payload_len = 1 + 4  # string len varint + 'abcd'
+    size_pos = tail - payload_len - 1
+    assert good[size_pos] == payload_len * 2  # zigzag(+n) = 2n
+    bad = bytearray(good)
+    bad[size_pos] = 0x01  # zigzag(-1)
+    _, recs = read_ocf(bytes(bad))
+    with pytest.raises(AvroError, match="negative"):
+        list(recs)
+
+
+def test_int_is_legal_for_double_union():
+    sch = {"type": "record", "name": "U",
+           "fields": [{"name": "x", "type": ["null", "double"]}]}
+    _, recs = read_ocf(write_ocf(sch, [{"x": 0}, {"x": None}, {"x": 1.5}]))
+    assert [r["x"] for r in recs] == [0.0, None, 1.5]

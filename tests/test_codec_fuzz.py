@@ -107,7 +107,17 @@ def test_avro_bitflip_never_silently_wrong(pos, delta):
              "a": [i], "m": {}} for i in range(9)]
     blob = bytearray(write_ocf(_AVRO_SCHEMA, rows, codec="deflate",
                                records_per_block=3))
-    pos = 4 + pos % (len(blob) - 4)  # past magic; header/meta/blocks
+    # flip only within the BLOCKS region: a flip inside the header's
+    # schema JSON can yield a DIFFERENT VALID schema (e.g. a renamed
+    # field) — a legitimately different file, not detectable corruption.
+    # The first sync marker (16 bytes, derived from the schema by the
+    # writer) ends the header.
+    import hashlib as _hl
+    import json as _json
+
+    sync = _hl.md5(b"bravo-avro:" + _json.dumps(_AVRO_SCHEMA).encode()).digest()
+    blocks_start = bytes(blob).index(sync) + 16
+    pos = blocks_start + pos % (len(blob) - blocks_start)
     blob[pos] = (blob[pos] + delta) % 256
     try:
         _, recs = read_ocf(bytes(blob))

@@ -147,3 +147,37 @@ def test_real_decoder_still_reads_tagged_image(spark):
     redacted = strip_exif(tagged)
     assert parse_exif(redacted) is None
     assert jpeg_decode_pixels(redacted)[3] == pix
+
+
+def test_zero_denominator_gps_raises_exif_error():
+    # real-world corrupt EXIF carries 0/0 rationals; the error class
+    # must stay ExifError so redaction pipelines can quarantine by type
+    jpeg = _with_exif(gps=(10.0, 20.0))
+    span_start = jpeg.find(b"Exif\x00\x00")
+    tiff = bytearray(jpeg)
+    # zero out every rational denominator (4-byte LE words following
+    # the GPS values area): simplest surgical corruption — find the
+    # degree numerator 10 and zero its denominator word
+    import struct as _struct
+
+    needle = _struct.pack("<II", 10, 1)
+    at = jpeg.find(needle, span_start)
+    assert at > 0
+    tiff[at + 4:at + 8] = b"\x00\x00\x00\x00"
+    with pytest.raises(ExifError, match="zero denominator"):
+        parse_exif(bytes(tiff))
+
+
+def test_gps_pointer_with_count_gt1_raises_exif_error():
+    jpeg = _with_exif(gps=(10.0, 20.0))
+    import struct as _struct
+
+    # find the GPS-IFD pointer entry (tag 0x8825, type LONG, count 1)
+    # and bump its count to 2 so _value returns a tuple
+    needle = _struct.pack("<HHI", 0x8825, 4, 1)
+    at = jpeg.find(needle)
+    assert at > 0
+    bad = bytearray(jpeg)
+    bad[at + 4:at + 8] = _struct.pack("<I", 2)
+    with pytest.raises(ExifError):
+        parse_exif(bytes(bad))

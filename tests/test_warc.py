@@ -125,3 +125,28 @@ def test_multi_member_stream_with_stdlib_written_member():
     blob = write_warc([_rec("doc://6", b"ours")]) + buf.getvalue()
     uris = [h["WARC-Target-URI"] for h, _ in parse_warc(blob)]
     assert uris == ["doc://6", "doc://5"]
+
+
+def test_negative_content_length_raises():
+    raw = b"WARC/1.0\r\nContent-Length: -4\r\n\r\n\r\n\r\nextra"
+    with pytest.raises(WarcError, match="negative Content-Length"):
+        list(parse_warc(raw))
+
+
+def test_header_injection_refused_at_write_time():
+    # crawl URIs are attacker-influenced: CR/LF in a value would
+    # misframe the record our own strict parser then rejects
+    with pytest.raises(WarcError, match="CR/LF"):
+        write_warc([({"WARC-Target-URI": "a\r\nX: y"}, b"p")])
+    with pytest.raises(WarcError, match="header name"):
+        write_warc([({"Bad:Name": "v"}, b"p")])
+
+
+def test_latin1_header_bytes_parse_losslessly():
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Target-URI: http://x/\xe9\r\n"  # latin-1 e-acute
+        b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    [(h, p)] = list(parse_warc(raw))
+    assert h["WARC-Target-URI"].endswith("é") and p == b"ok"
