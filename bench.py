@@ -70,6 +70,8 @@ FIXED_COST = [
     "token_budget_pack",
     # EXIF tag/audit/redact lifecycle: map-only Arrow batches
     "multimodal_exif_audit",
+    # orientation kernel: map-only numpy per image
+    "multimodal_orientation_normalize",
     # WARC ingest: archive-grain binaryFile read + Arrow-batched parse
     # (fixture archives are written once per process, so the timed runs
     # measure the READ path)

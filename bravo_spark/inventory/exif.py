@@ -315,3 +315,39 @@ def strip_exif(jpeg: bytes) -> bytes:
         if span is None:
             return out
         out = out[:span[0]] + out[span[1]:]
+
+
+# ---------------------------------------------------------------------------
+# orientation normalization: apply the EXIF orientation to pixels
+# ---------------------------------------------------------------------------
+
+# TIFF/EXIF orientation semantics (EXIF 2.3 §4.6.4 table 6): where the
+# row-0/column-0 of the STORED image sits in the VISUAL scene. Applying
+# the transform below yields the upright image.
+_ORIENT_OPS = {
+    1: lambda a: a,                        # upright
+    2: lambda a: a[:, ::-1],               # mirrored horizontally
+    3: lambda a: a[::-1, ::-1],            # rotated 180
+    4: lambda a: a[::-1, :],               # mirrored vertically
+    5: lambda a: a.transpose(1, 0),        # mirrored + rotated 270 CW
+    6: lambda a: a.transpose(1, 0)[:, ::-1],  # rotated 90 CW
+    7: lambda a: a.transpose(1, 0)[::-1, ::-1],  # mirrored + rotated 90 CW
+    8: lambda a: a.transpose(1, 0)[::-1, :],  # rotated 270 CW
+}
+
+
+def apply_orientation(raw: bytes, w: int, h: int, orientation: int) -> tuple[bytes, int, int]:
+    """Rotate/flip a grayscale pixel buffer upright per its EXIF
+    orientation → ``(raw, w, h)`` of the normalized image. Orientations
+    5–8 swap the output dimensions. Pure numpy views — no copy until the
+    final serialize. Unknown orientation values refuse by value (the
+    spec reserves 1–8; silently passing a corrupt value through would
+    feed sideways images to every downstream embedding)."""
+    import numpy as np
+
+    if orientation not in _ORIENT_OPS:
+        raise ExifError(f"orientation must be 1..8, got {orientation}")
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+    out = np.ascontiguousarray(_ORIENT_OPS[orientation](a))
+    oh, ow = out.shape
+    return out.tobytes(), ow, oh

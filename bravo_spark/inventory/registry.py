@@ -328,6 +328,13 @@ R17_STAGED_SWAPS = [
     # AVI demux stays golden-tested and multimodal_resize keeps the
     # family's pixel kernel in the gate, joined by this EXIF row)
     ("multimodal_frame_sample", "multimodal_exif_audit"),
+    # EXIF orientation normalization (all 8 spec transforms as a real
+    # numpy kernel, position-weighted checksum oracle) — mirror-green at
+    # all three SFs the day it landed; OUT multimodal_resize (r14 wave,
+    # the last eligible OUT; the bilinear kernel stays golden-tested in
+    # test_multimodal and the family keeps TWO gate rows: the EXIF
+    # audit + this pixel kernel)
+    ("multimodal_resize", "multimodal_orientation_normalize"),
 ]
 
 

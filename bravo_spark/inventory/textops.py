@@ -2663,3 +2663,98 @@ def multimodal_exif_audit(spark, sf_dir):
         " lat_floor long, lon_floor long, redacted_clean long,"
         " pixels_identical long",
     )
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation normalization: the pixel half of the EXIF story — a
+# camera-rotated image must be made upright BEFORE features/embeddings
+# (a sideways image embeds as a different document). The kernel
+# (exif.apply_orientation, all 8 EXIF 2.3 orientations) runs as real
+# numpy on a deterministic per-doc image; the oracle replays the
+# destination-coordinate arithmetic closed-form and sums the identical
+# position-weighted checksum, so a single misplaced pixel hash-fails.
+# In the real flow the orientation value comes from exif.parse_exif
+# (the multimodal_exif_audit row); here it is pinned to doc_id so the
+# oracle can replay it.
+# ---------------------------------------------------------------------------
+
+_ORIENT_W, _ORIENT_H = 24, 16
+
+_ORIENT_ORACLE = f"""
+WITH cells AS (
+  SELECT d.doc_id, d.o, g.i % {_ORIENT_W} AS x, g.i // {_ORIENT_W} AS y
+  FROM (SELECT doc_id, CAST(doc_id % 8 + 1 AS BIGINT) AS o
+        FROM documents) d
+  CROSS JOIN (SELECT unnest(range(0, {_ORIENT_W * _ORIENT_H})) AS i) g
+),
+mapped AS (
+  SELECT doc_id, o,
+    (3 * x + 7 * y + doc_id) % 256 AS px,
+    CASE o
+      WHEN 1 THEN x               WHEN 2 THEN {_ORIENT_W - 1} - x
+      WHEN 3 THEN {_ORIENT_W - 1} - x  WHEN 4 THEN x
+      WHEN 5 THEN y               WHEN 6 THEN {_ORIENT_H - 1} - y
+      WHEN 7 THEN {_ORIENT_H - 1} - y  WHEN 8 THEN y
+    END AS xd,
+    CASE o
+      WHEN 1 THEN y               WHEN 2 THEN y
+      WHEN 3 THEN {_ORIENT_H - 1} - y  WHEN 4 THEN {_ORIENT_H - 1} - y
+      WHEN 5 THEN x               WHEN 6 THEN x
+      WHEN 7 THEN {_ORIENT_W - 1} - x  WHEN 8 THEN {_ORIENT_W - 1} - x
+    END AS yd
+  FROM cells
+)
+SELECT doc_id, min(o) AS orientation,
+  CAST(CASE WHEN min(o) >= 5 THEN {_ORIENT_H} ELSE {_ORIENT_W} END
+       AS BIGINT) AS out_w,
+  CAST(CASE WHEN min(o) >= 5 THEN {_ORIENT_W} ELSE {_ORIENT_H} END
+       AS BIGINT) AS out_h,
+  CAST(sum(px * (1 + xd + 2 * yd)) AS BIGINT) AS checksum
+FROM mapped GROUP BY doc_id
+"""
+
+
+@query("multimodal_orientation_normalize", oracle=_ORIENT_ORACLE)
+def multimodal_orientation_normalize(spark, sf_dir):
+    """Upright every image per its EXIF orientation
+    (exif.apply_orientation — numpy rot/flip views, all 8 spec cases,
+    dims swap for 5-8) and prove pixel placement with a
+    position-weighted checksum the oracle recomputes closed-form.
+    Map-only mapInPandas, zero shuffles; at 100 TB this pipelines with
+    the payload scan exactly like the other decode tiers."""
+    import numpy as np
+
+    from bravo_spark.inventory import exif as ex
+
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id")
+    w, h = _ORIENT_W, _ORIENT_H
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+
+    def normalize(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = ((3 * xs + 7 * ys + doc_id) % 256).astype(np.uint8)
+                o = doc_id % 8 + 1
+                raw, ow, oh = ex.apply_orientation(img.tobytes(), w, h, o)
+                out = np.frombuffer(raw, np.uint8).reshape(oh, ow)
+                weights = (
+                    1 + np.arange(ow, dtype=np.int64)[None, :]
+                    + 2 * np.arange(oh, dtype=np.int64)[:, None]
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id, "orientation": o,
+                        "out_w": ow, "out_h": oh,
+                        "checksum": int((out.astype(np.int64) * weights).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        normalize,
+        schema="doc_id long, orientation long, out_w long, out_h long,"
+        " checksum long",
+    )

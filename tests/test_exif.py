@@ -181,3 +181,56 @@ def test_gps_pointer_with_count_gt1_raises_exif_error():
     bad[at + 4:at + 8] = _struct.pack("<I", 2)
     with pytest.raises(ExifError):
         parse_exif(bytes(bad))
+
+
+def test_apply_orientation_all_eight_hand_pinned():
+    """3x2 grid [[0,1,2],[3,4,5]] through every EXIF 2.3 orientation,
+    expected outputs derived by hand from the spec's table 6."""
+    import numpy as np
+
+    from bravo_spark.inventory.exif import apply_orientation
+
+    raw = bytes(range(6))
+    expected = {
+        1: [[0, 1, 2], [3, 4, 5]],
+        2: [[2, 1, 0], [5, 4, 3]],
+        3: [[5, 4, 3], [2, 1, 0]],
+        4: [[3, 4, 5], [0, 1, 2]],
+        5: [[0, 3], [1, 4], [2, 5]],
+        6: [[3, 0], [4, 1], [5, 2]],
+        7: [[5, 2], [4, 1], [3, 0]],
+        8: [[2, 5], [1, 4], [0, 3]],
+    }
+    for o, want in expected.items():
+        out, w, h = apply_orientation(raw, 3, 2, o)
+        got = np.frombuffer(out, np.uint8).reshape(h, w).tolist()
+        assert got == want, (o, got)
+        assert (w, h) == ((2, 3) if o >= 5 else (3, 2))
+
+
+def test_apply_orientation_involutions_and_inverses():
+    import numpy as np
+
+    from bravo_spark.inventory.exif import apply_orientation
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    raw = img.tobytes()
+    # flips and 180 are involutions
+    for o in (2, 3, 4, 5, 7):
+        once, w1, h1 = apply_orientation(raw, 24, 16, o)
+        twice, w2, h2 = apply_orientation(once, w1, h1, o)
+        assert (twice, w2, h2) == (raw, 24, 16), o
+    # 90 CW then 270 CW is identity
+    r90, w1, h1 = apply_orientation(raw, 24, 16, 6)
+    back, w2, h2 = apply_orientation(r90, w1, h1, 8)
+    assert (back, w2, h2) == (raw, 24, 16)
+
+
+def test_apply_orientation_rejects_out_of_range():
+    from bravo_spark.inventory.exif import apply_orientation
+
+    with pytest.raises(ExifError, match="1..8"):
+        apply_orientation(b"\x00" * 6, 3, 2, 9)
+    with pytest.raises(ExifError, match="1..8"):
+        apply_orientation(b"\x00" * 6, 3, 2, 0)
