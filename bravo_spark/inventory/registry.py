@@ -264,13 +264,15 @@ GATE_PRIORITY = [
 #      red, keep it in the gate and drop its pair from this round);
 #   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
 #   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
-# After the r16 flip every query in the registry has at least one
-# driver-green proof, and the final four r2 rows (scalar_functions,
-# tpch_q10_returns, tpch_q14_promo, tpch_q18_having — last driver-proven
-# r2) cycle back in here, completing the full re-proof of the r1/r2
-# waves. OUTs are drawn from the r14 wave — first checked r14, so
-# r14+r15+r16 = 3 consecutive green rounds (the r11 eligibility
-# precedent) once CORRECTNESS_r16 confirms. The four ANN recall evals
+# The final four r2 rows (scalar_functions, tpch_q10_returns,
+# tpch_q14_promo, tpch_q18_having — last driver-proven r2) cycle back
+# in here, completing the full re-proof of the r1/r2 waves; the SEVEN
+# r16 net-new registrations (mirror-green at all three SFs the day
+# each landed, never driver-checked) face the driver for the first
+# time at this flip. OUTs are drawn from the r14 wave — first checked
+# r14, so r14+r15+r16 = 3 consecutive green rounds (the r11
+# eligibility precedent) once CORRECTNESS_r16 confirms; every eligible
+# r14-wave OUT is consumed by this staging. The four ANN recall evals
 # rotate out together: their exact-vs-approx rescore contracts stay
 # mirror-verified and recall-gated in tests/test_similarity.py, and the
 # retained kmeans/IVF rows keep the retrieval family driver-covered via
