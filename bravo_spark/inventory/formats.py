@@ -441,6 +441,9 @@ def warc_ingest(spark, sf_dir):
                     f.write(write_warc(recs))
             return iter(())
 
+        # fixture-only RDD use: partition-indexed shard names need
+        # mapPartitionsWithIndex; production archives arrive on shared
+        # storage, they are not written by this query
         docs.rdd.mapPartitionsWithIndex(_write).count()
         open(marker, "w").close()
 
@@ -523,6 +526,8 @@ def avro_source_roundtrip(spark, sf_dir):
                 f.write(write_ocf(avro_schema, recs, codec="deflate"))
         return iter(())
 
+    # fixture-only RDD use (partition-indexed shard names); a real
+    # pipeline writes OCF shards from its producer, not from Spark
     ev.rdd.mapPartitionsWithIndex(_write).count()
 
     schema = T.StructType(
