@@ -1,0 +1,119 @@
+"""Avro OCF relation over Spark's ``binaryFile`` — batch, streaming,
+and a distributed writer.
+
+This distribution bundles the Avro jar but not the spark-avro SQL
+source, so these helpers supply the missing surface through the repo's
+pure-Python OCF codec (``codecs/avro.py``, real-jar cross-validated):
+
+* :func:`read_avro` — every ``.avro`` shard under ``path`` → rows.
+* :func:`read_avro_stream` — the same relation as a Structured
+  Streaming file source: newly landed shards flow exactly-once per
+  checkpoint (the Kafka-dump drop-directory shape).
+* :func:`write_avro` — distributed write, one OCF shard per partition.
+
+Reads are schema-ON-READ: the caller declares the Spark row schema
+(string DDL) and field values are taken from the decoded records by
+name — schema inference over 100 TB would be a full extra pass, the
+same rule the flat-file roundtrips follow.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def _parse_batches_factory(columns: list[str]):
+    def _parse(batches):
+        import pandas as pd
+
+        from bravo_spark.codecs.avro import read_ocf
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                _, recs = read_ocf(bytes(blob))
+                rows.extend(recs)
+            yield pd.DataFrame(
+                {c: [r.get(c) for r in rows] for c in columns}
+            )
+
+    return _parse
+
+
+def _columns_of(ddl_schema: str) -> list[str]:
+    return [f.split()[0] for f in ddl_schema.split(",")]
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: str, *, glob: str = "*.avro"
+) -> DataFrame:
+    """Batch OCF ingest: shard-grain tasks, Arrow-batched decode, zero
+    shuffles. ``schema`` is Spark DDL (``"id long, s string"``)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return files.select("content").mapInPandas(
+        _parse_batches_factory(_columns_of(schema)), schema
+    )
+
+
+def read_avro_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    glob: str = "*.avro",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming OCF ingest: each micro-batch decodes newly landed
+    shards exactly once per checkpoint."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path).select("content").mapInPandas(
+        _parse_batches_factory(_columns_of(schema)), schema
+    )
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    avro_schema: dict,
+    *,
+    codec: str = "deflate",
+) -> None:
+    """Distributed OCF write: one shard per partition, each produced
+    executor-side by the pure-Python writer. ``avro_schema`` is the
+    Avro record schema (dict form); its field names must exist as
+    DataFrame columns. LOCAL-MODE NOTE: like the fixture writers, the
+    per-task ``open()`` lands on the executor's filesystem — on a real
+    cluster point ``path`` at shared storage mounted on every executor
+    (or adapt to the object-store client); the read half is unaffected."""
+    from bravo_spark.codecs.avro import write_ocf
+
+    fields = [f["name"] for f in avro_schema["fields"]]
+    missing = [f for f in fields if f not in df.columns]
+    if missing:
+        raise ValueError(f"DataFrame lacks Avro schema fields: {missing}")
+    os.makedirs(path, exist_ok=True)
+
+    def _write(pid, rows):
+        recs = [{f: getattr(r, f) for f in fields} for r in rows]
+        if recs:
+            with open(os.path.join(path, f"part_{pid:05d}.avro"), "wb") as f:
+                f.write(write_ocf(avro_schema, recs, codec=codec))
+        return iter(())
+
+    df.select(*fields).rdd.mapPartitionsWithIndex(_write).count()
