@@ -409,9 +409,7 @@ def warc_ingest(spark, sf_dir):
     mapInPandas (Arrow batches of whole archives), zero shuffles; the
     same LOCAL-MODE fixture caveat as binary_file_ingest applies to the
     write half only (production archives live on shared storage)."""
-    from pyspark.sql import types as T
-
-    from bravo_spark.codecs.warc import parse_warc, write_warc
+    from bravo_spark.codecs.warc import write_warc
 
     docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
     import hashlib
@@ -447,38 +445,18 @@ def warc_ingest(spark, sf_dir):
         docs.rdd.mapPartitionsWithIndex(_write).count()
         open(marker, "w").close()
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("n_bytes", T.LongType()),
-            T.StructField("digest", T.StringType()),
-        ]
+    # read half: the library source (sources/warc_source.py) — ONE
+    # parser path shared with read_warc_stream and every user of the
+    # batch reader; JVM-side md5/length on the payload column
+    from bravo_spark.sources.warc_source import read_warc
+
+    return read_warc(spark, out).select(
+        F.regexp_extract(F.col("uri"), r"^doc://(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "n_bytes",
+        F.md5(F.col("payload")).alias("digest"),
     )
-
-    def _parse(batches):
-        import hashlib as _hl
-
-        import pandas as _pd
-
-        for pdf in batches:
-            ids, sizes, digests = [], [], []
-            for blob in pdf["content"]:
-                for headers, payload in parse_warc(bytes(blob)):
-                    uri = headers["WARC-Target-URI"]
-                    ids.append(int(uri.removeprefix("doc://")))
-                    sizes.append(len(payload))
-                    digests.append(_hl.md5(payload).hexdigest())
-            yield _pd.DataFrame(
-                {"doc_id": ids, "n_bytes": sizes, "digest": digests}
-            )
-
-    back = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc.gz")
-        .load(out)
-        .select("content")
-    )
-    return back.mapInPandas(_parse, schema)
 
 
 @query("avro_source_roundtrip", oracle=_AGG_ORACLE)

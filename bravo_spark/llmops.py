@@ -2631,3 +2631,56 @@ def load_ngram_lm(
         spark.read.parquet(_index_path(path, part))
         for part in ("tri", "bi", "uni", "tot")
     )
+
+
+def redact_exif(
+    df: DataFrame,
+    payload_col: str,
+    *,
+    out_col: str | None = None,
+    flag_col: str = "exif_redacted",
+) -> DataFrame:
+    """Strip Exif APP1 segments from every JPEG in a binary column —
+    the PII-redaction step a multimodal pipeline runs BEFORE anything
+    else touches crawl images (GPS tags are location PII). Non-JPEG
+    payloads pass through untouched with ``flag_col`` = 0; JPEGs gain
+    ``flag_col`` = 1 iff an Exif segment was actually removed. The
+    strip is a segment splice (inventory/exif.py) — pixels are never
+    re-encoded, so the operation is lossless and idempotent. Malformed
+    JPEG marker streams fail the task loudly (ExifError) rather than
+    letting PII slip through a "best-effort" pass. Map-only
+    mapInPandas; pipelines with the payload scan at any scale."""
+    from pyspark.sql import types as T
+
+    from bravo_spark.inventory.exif import strip_exif
+
+    out_col = out_col or payload_col
+    in_fields = df.schema.fields
+    schema = T.StructType(
+        [f for f in in_fields if f.name != out_col]
+        + [T.StructField(out_col, T.BinaryType())]
+        + [T.StructField(flag_col, T.IntegerType())]
+    )
+    other = [f.name for f in schema.fields
+             if f.name not in (out_col, flag_col)]
+
+    def scrub(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            cleaned, flags = [], []
+            for blob in pdf[payload_col]:
+                raw = bytes(blob) if blob is not None else None
+                if raw is None or raw[:2] != b"\xff\xd8":
+                    cleaned.append(raw)
+                    flags.append(0)
+                else:
+                    red = strip_exif(raw)
+                    cleaned.append(red)
+                    flags.append(int(red != raw))
+            out = _pd.DataFrame({c: pdf[c] for c in other})
+            out[out_col] = cleaned
+            out[flag_col] = flags
+            yield out
+
+    return df.mapInPandas(scrub, schema)

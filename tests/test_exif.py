@@ -234,3 +234,27 @@ def test_apply_orientation_rejects_out_of_range():
         apply_orientation(b"\x00" * 6, 3, 2, 9)
     with pytest.raises(ExifError, match="1..8"):
         apply_orientation(b"\x00" * 6, 3, 2, 0)
+
+
+def test_redact_exif_column(spark):
+    """llmops.redact_exif over a mixed binary column: tagged JPEGs are
+    scrubbed and flagged, untagged JPEGs and non-JPEGs pass through."""
+    from bravo_spark import llmops
+    from bravo_spark.inventory.jpeg import jpeg_encode
+
+    raw = bytes((x + y) % 256 for y in range(8) for x in range(8))
+    base = jpeg_encode(8, 8, "L", raw)
+    tagged = insert_exif(base, build_exif_app1(orientation=6,
+                                               gps=(1.0, 2.0)))
+    df = spark.createDataFrame(
+        [(1, tagged), (2, base), (3, b"not a jpeg"), (4, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in
+            llmops.redact_exif(df, "payload").collect()}
+    assert rows[1].exif_redacted == 1
+    assert parse_exif(bytes(rows[1].payload)) is None
+    assert bytes(rows[1].payload) == base  # splice back to the original
+    assert rows[2].exif_redacted == 0 and bytes(rows[2].payload) == base
+    assert rows[3].exif_redacted == 0
+    assert rows[4].payload is None and rows[4].exif_redacted == 0
