@@ -475,13 +475,10 @@ def avro_source_roundtrip(spark, sf_dir):
     sync-marker-delimited, but binaryFile reads whole files — keep
     shards ~1 GiB at write time, the same lever as WARC); the parse is
     mapInPandas, zero shuffles before the verification aggregate."""
-    from pyspark.sql import types as T
-
-    from bravo_spark.codecs.avro import read_ocf, write_ocf
+    from bravo_spark.sources.avro_source import read_avro, write_avro
 
     ev = catalog.table(spark, sf_dir, "events").select(*_COLS)
     out = scratch_dir("fmt_avro")
-    os.makedirs(out, exist_ok=True)
     avro_schema = {
         "type": "record",
         "name": "Event",
@@ -492,49 +489,12 @@ def avro_source_roundtrip(spark, sf_dir):
             {"name": "value", "type": "double"},
         ],
     }
-
-    def _write(pid, rows):
-        recs = [
-            {"event_id": r.event_id, "user_id": r.user_id,
-             "event_type": r.event_type, "value": r.value}
-            for r in rows
-        ]
-        if recs:
-            with open(os.path.join(out, f"part_{pid:05d}.avro"), "wb") as f:
-                f.write(write_ocf(avro_schema, recs, codec="deflate"))
-        return iter(())
-
-    # fixture-only RDD use (partition-indexed shard names); a real
-    # pipeline writes OCF shards from its producer, not from Spark
-    ev.rdd.mapPartitionsWithIndex(_write).count()
-
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-        ]
-    )
-
-    def _parse(batches):
-        import pandas as _pd
-
-        for pdf in batches:
-            rows = []
-            for blob in pdf["content"]:
-                _, recs = read_ocf(bytes(blob))
-                rows.extend(recs)
-            yield _pd.DataFrame(
-                rows, columns=["event_id", "user_id", "event_type", "value"]
-            )
-
-    back = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.avro")
-        .load(out)
-        .select("content")
-        .mapInPandas(_parse, schema)
+    # ONE writer and ONE reader path — the library source
+    # (sources/avro_source.py), shared with read_avro_stream
+    write_avro(ev, out, avro_schema)
+    back = read_avro(
+        spark, out, "event_id long, user_id long, event_type string,"
+        " value double"
     )
     return back.groupBy("event_type").agg(
         F.count("*").alias("cnt"),

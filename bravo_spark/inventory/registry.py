@@ -327,8 +327,9 @@ R17_STAGED_SWAPS = [
     # EXIF audit + redaction (orientation/GPS parse, strip_exif PII
     # redaction with pixel-identity proof) — mirror-green at all three
     # SFs the day it landed; OUT multimodal_frame_sample (r14 wave; the
-    # AVI demux stays golden-tested and multimodal_resize keeps the
-    # family's pixel kernel in the gate, joined by this EXIF row)
+    # AVI demux stays golden-tested; after BOTH multimodal swaps in
+    # this staging the family's two gate rows are this EXIF audit and
+    # the orientation pixel kernel below)
     ("multimodal_frame_sample", "multimodal_exif_audit"),
     # EXIF orientation normalization (all 8 spec transforms as a real
     # numpy kernel, position-weighted checksum oracle) — mirror-green at

@@ -2655,6 +2655,16 @@ def redact_exif(
     from bravo_spark.inventory.exif import strip_exif
 
     out_col = out_col or payload_col
+    # fail at PLAN time, not deep inside a task: a colliding flag_col
+    # (e.g. re-running over already-redacted output) would produce a
+    # duplicate schema field, and an out_col naming a different
+    # existing column would silently overwrite its data
+    if flag_col in df.columns:
+        raise ValueError(f"flag_col {flag_col!r} already exists in the"
+                         " DataFrame — name the new flag column")
+    if out_col != payload_col and out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} would overwrite an"
+                         " existing column")
     in_fields = df.schema.fields
     schema = T.StructType(
         [f for f in in_fields if f.name != out_col]

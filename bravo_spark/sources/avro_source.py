@@ -47,7 +47,11 @@ def _parse_batches_factory(columns: list[str]):
 
 
 def _columns_of(ddl_schema: str) -> list[str]:
-    return [f.split()[0] for f in ddl_schema.split(",")]
+    # a real DDL parse — naive comma-splitting breaks on parameterized
+    # and nested types (decimal(10,2), map<...>, struct<...>)
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(ddl_schema).fieldNames()
 
 
 def read_avro(
@@ -110,7 +114,10 @@ def write_avro(
     os.makedirs(path, exist_ok=True)
 
     def _write(pid, rows):
-        recs = [{f: getattr(r, f) for f in fields} for r in rows]
+        # index-based access: Row subclasses tuple, so getattr on a
+        # field named "count"/"index" returns the tuple METHOD, not the
+        # value; df.select(*fields) above fixed the positions
+        recs = [dict(zip(fields, r)) for r in rows]
         if recs:
             with open(os.path.join(path, f"part_{pid:05d}.avro"), "wb") as f:
                 f.write(write_ocf(avro_schema, recs, codec=codec))

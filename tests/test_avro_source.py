@@ -76,3 +76,42 @@ def test_streaming_restart_continuation(spark, tmp_path):
     shard("b.avro", 5, 9)
     assert drain() == set(range(9))  # only the new shard processed
     assert spark.read.parquet(out).count() == 9  # no reprocess
+
+
+def test_ddl_with_parameterized_and_nested_types(spark, tmp_path):
+    """Comma-splitting the DDL breaks on decimal(10,2)/struct<> — the
+    parse must use a real DDL parser."""
+    out = str(tmp_path / "ddl")
+    sch = {
+        "type": "record", "name": "D",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, [])], "id long, tags array<string>"
+    )
+    write_avro(df, out, sch)
+    back = read_avro(spark, out, "id long, tags array<string>")
+    rows = {r.id: list(r.tags) for r in back.collect()}
+    assert rows == {1: ["a", "b"], 2: []}
+
+
+def test_field_named_count_roundtrips(spark, tmp_path):
+    """Row subclasses tuple: getattr(row, 'count') is the tuple METHOD —
+    the writer must read values by position."""
+    out = str(tmp_path / "cnt")
+    sch = {
+        "type": "record", "name": "C",
+        "fields": [
+            {"name": "count", "type": "long"},
+            {"name": "index", "type": "long"},
+        ],
+    }
+    df = spark.createDataFrame([(5, 7), (8, 9)], "count long, index long")
+    write_avro(df, out, sch)
+    back = read_avro(spark, out, "count long, index long")
+    assert sorted((r["count"], r["index"]) for r in back.collect()) == [
+        (5, 7), (8, 9)
+    ]

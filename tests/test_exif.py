@@ -258,3 +258,18 @@ def test_redact_exif_column(spark):
     assert rows[2].exif_redacted == 0 and bytes(rows[2].payload) == base
     assert rows[3].exif_redacted == 0
     assert rows[4].payload is None and rows[4].exif_redacted == 0
+
+
+def test_redact_exif_refuses_column_collisions(spark):
+    from bravo_spark import llmops
+
+    df = spark.createDataFrame(
+        [(1, b"x", 0)], "doc_id long, payload binary, exif_redacted int"
+    )
+    with pytest.raises(ValueError, match="flag_col"):
+        llmops.redact_exif(df, "payload")
+    df2 = spark.createDataFrame(
+        [(1, b"x", b"y")], "doc_id long, payload binary, other binary"
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        llmops.redact_exif(df2, "payload", out_col="other")
