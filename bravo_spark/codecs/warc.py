@@ -67,13 +67,35 @@ def _hdr(raw: bytes) -> str:
         return raw.decode("latin-1")
 
 
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def _is_zstd(data: bytes) -> bool:
+    # standard frame, or a leading skippable frame (0x184D2A50-5F — the
+    # .warc.zst dictionary convention stores the dict in one)
+    return data[:4] == _ZSTD_MAGIC or (
+        len(data) >= 4
+        and data[1:4] == b"\x2a\x4d\x18"
+        and 0x50 <= data[0] <= 0x5F
+    )
+
+
 def parse_warc(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
-    """Yield ``(headers, payload)`` per record. Accepts plain WARC bytes
-    or a (multi-member) gzip stream. Header names keep their original
+    """Yield ``(headers, payload)`` per record. Accepts plain WARC bytes,
+    a (multi-member) gzip stream, or a (multi-frame) zstd stream
+    (``.warc.zst`` — newer Common Crawl drops; skippable dictionary
+    frames are skipped by the decoder). Header names keep their original
     case as keys; lookups by exact spec names (``WARC-Type``,
     ``WARC-Target-URI``, ``Content-Length``) are the contract."""
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
+    elif _is_zstd(data):
+        from bravo_spark.codecs import fastpath
+
+        try:
+            data = fastpath.zstd_decompress_stream(data)
+        except ValueError as exc:
+            raise WarcError(f"bad zstd stream: {exc}") from exc
     pos = 0
     n = len(data)
     while pos < n:
@@ -139,13 +161,20 @@ def write_warc(
     records: Iterable[tuple[dict[str, str], bytes]],
     *,
     gzip_per_record: bool = True,
+    compression: str | None = None,
 ) -> bytes:
     """Serialize ``(headers, payload)`` pairs. ``Content-Length`` is
     computed here (a caller-supplied value is ignored — the frame must
-    be self-consistent). With ``gzip_per_record`` each record becomes
-    its own gzip member, the splittable ``.warc.gz`` layout crawlers
-    emit; mtime/OS fields in the member header are pinned to zero so
-    output is byte-deterministic."""
+    be self-consistent). ``compression`` is ``"gzip"`` (default via the
+    legacy ``gzip_per_record`` flag), ``"zstd"`` (one frame per record —
+    the ``.warc.zst`` layout), or ``"none"``; one member/frame per
+    record keeps archives splittable. gzip members pin mtime/OS to zero
+    so output is byte-deterministic; zstd write requires the native
+    codec (fastpath) and refuses by name without it."""
+    if compression is None:
+        compression = "gzip" if gzip_per_record else "none"
+    if compression not in ("gzip", "zstd", "none"):
+        raise WarcError(f"unsupported WARC compression {compression!r}")
     out = io.BytesIO()
     for headers, payload in records:
         rec = io.BytesIO()
@@ -168,9 +197,13 @@ def write_warc(
         rec.write(payload)
         rec.write(_CRLF + _CRLF)
         raw = rec.getvalue()
-        if gzip_per_record:
+        if compression == "gzip":
             co = zlib.compressobj(9, zlib.DEFLATED, 31)
             out.write(co.compress(raw) + co.flush())
+        elif compression == "zstd":
+            from bravo_spark.codecs import fastpath
+
+            out.write(fastpath.zstd_compress(raw))
         else:
             out.write(raw)
     return out.getvalue()

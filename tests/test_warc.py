@@ -150,3 +150,29 @@ def test_latin1_header_bytes_parse_losslessly():
     )
     [(h, p)] = list(parse_warc(raw))
     assert h["WARC-Target-URI"].endswith("é") and p == b"ok"
+
+
+def test_zstd_warc_roundtrip_one_frame_per_record():
+    recs = [_rec("doc://1", b"alpha" * 20), _rec("doc://2", b"beta")]
+    blob = write_warc(recs, compression="zstd")
+    assert blob[:4] == b"\x28\xb5\x2f\xfd"
+    assert blob.count(b"\x28\xb5\x2f\xfd") >= 2  # one frame per record
+    back = list(parse_warc(blob))
+    assert [(h["WARC-Target-URI"], p) for h, p in back] == [
+        (h["WARC-Target-URI"], p) for h, p in recs
+    ]
+    # pure RFC 8878 decoder agrees on the same bytes
+    from bravo_spark.codecs import zstd as pz
+
+    assert b"doc://2" in pz.decompress(blob)
+
+
+def test_zstd_warc_truncation_raises():
+    blob = write_warc([_rec("doc://1", b"x" * 500)], compression="zstd")
+    with pytest.raises(WarcError, match="zstd"):
+        list(parse_warc(blob[:-9]))
+
+
+def test_unknown_compression_refused_by_name():
+    with pytest.raises(WarcError, match="lz77"):
+        write_warc([_rec("doc://1", b"x")], compression="lz77")
