@@ -2694,3 +2694,92 @@ def redact_exif(
             yield out
 
     return df.mapInPandas(scrub, schema)
+
+
+def train_linear_classifier(
+    features: DataFrame,
+    labels: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    iters: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> tuple[list[float], float]:
+    """Train the logistic-regression weights that
+    :func:`linear_text_score` applies — the missing training half of the
+    fastText-style quality classifier (features from
+    :func:`hash_ngram_features`, long form; ``labels`` is (id, 0/1)).
+
+    Full-batch gradient descent: each iteration is ONE distributed pass
+    — score every document with the current broadcast weights (the same
+    join/agg shape as the scorer itself), join the labels, push the
+    per-document logistic error back onto its feature buckets, and
+    aggregate per-bucket gradients. Only MODEL-sized data ever reaches
+    the driver (a ``dim``-length gradient per iteration, same scale as
+    the k-means centroid collects). Features are count-normalized per
+    document exactly as the scorer normalizes, so train and apply see
+    identical inputs.
+
+    Returns ``(weights, bias)`` ready for ``linear_text_score``."""
+    import math
+
+    if dim <= 0 or iters <= 0:
+        raise ValueError("dim and iters must be positive")
+    spark = features.sparkSession
+    lab = labels.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("_y")
+    )
+    totals = features.groupBy(id_col).agg(F.sum("count").alias("_tot"))
+    base = (
+        features.join(totals, id_col)
+        .join(lab, id_col)
+        .select(
+            id_col, "bucket",
+            (F.col("count") / F.col("_tot")).alias("_x"), "_y",
+        )
+    )
+    base = track_cache(base.cache())
+    n_docs = base.select(id_col).distinct().count()
+    if n_docs == 0:
+        raise ValueError("no labeled documents after the join")
+
+    w = [0.0] * dim
+    bias = 0.0
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(w) if x != 0.0] or [(0, 0.0)],
+            "bucket int, _w double",
+        )
+        scored = (
+            base.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy(id_col, "_y")
+            .agg(
+                (F.lit(bias)
+                 + F.sum(F.coalesce(F.col("_w"), F.lit(0.0)) * F.col("_x"))
+                 ).alias("_s")
+            )
+            # logistic error: sigmoid(s) - y, JVM-side
+            .select(
+                id_col,
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_s")))
+                 - F.col("_y")).alias("_e"),
+            )
+        )
+        grad_rows = (
+            base.join(scored, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("_e") * F.col("_x")).alias("_g"))
+            .collect()  # <= dim rows: model-scale, like k-means centroids
+        )
+        gbias = scored.agg(F.sum("_e")).first()[0] or 0.0
+        for r in grad_rows:
+            b = int(r.bucket)
+            w[b] -= lr * (r._g / n_docs + l2 * w[b])
+        bias -= lr * gbias / n_docs
+        if not all(math.isfinite(x) for x in w) or not math.isfinite(bias):
+            raise ValueError(
+                "training diverged (non-finite weights) — lower lr"
+            )
+    return w, bias
