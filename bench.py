@@ -1,11 +1,22 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is fully materialized via a
-count-ish action (collect on already-small results would hide exchange cost;
-we use ``df.write.format("noop")`` semantics via count()+collect of tiny
-results instead — see _run).
+Prints ONE COMPACT JSON line as the LAST line of output: {"metric": ...,
+"value": total_sec, "unit": "sec", "queries": {name: sec, 2 dp},
+"like_for_like_sec": r1-comparable subtotal, "sf": ...}. Each query is
+fully materialized via a count-ish action (collect on already-small
+results would hide exchange cost — see _run).
+
+Output contract (r17, after BENCH_r16.json failed to parse): the driver
+captures only the last ~2000 chars of combined stdout+stderr and parses
+the final JSON line. So (a) the headline line carries ONLY the fields
+above, with per-query seconds rounded to 2 decimals; (b) everything else
+— per-run spreads, load annotations, phase order, 3-decimal timings —
+goes to the BENCH_DETAIL.json side file next to this script; (c) the
+headline prints AFTER spark.stop() so no shutdown logging can land after
+it in the tail. tests/test_bench_contract.py pins the serialized
+headline under 1800 chars at the current row count, so registry growth
+cannot silently re-break the record.
 
 Structure (r16): the suite runs in two phases so restart-floor rows can
 never contaminate fixed-cost rows. Phase 1 times the pure-batch queries on
@@ -105,6 +116,35 @@ RESTART_FLOOR = [
 
 HEADLINE = FIXED_COST + RESTART_FLOOR
 
+# The 17 rows benched since round 1 (BENCH_r01.json's exact row set).
+# Their subtotal is reported as ``like_for_like_sec`` in the headline
+# JSON so the cross-round comparison vs the r1 baseline (13.575 s) is
+# machine-readable instead of a BASELINE.md footnote. Append-only in
+# spirit: rows may only leave this list if they leave HEADLINE entirely.
+LIKE_FOR_LIKE = [
+    "tpch_q1", "tpch_q3", "join_enrich", "a2_count_sum_per_key",
+    "window_state_min", "last_write_wins", "snapshot_roundtrip",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "text_lang_id", "text_token_count", "ann_cosine_topk",
+    "ann_lsh_bucket", "streaming_window_counts",
+    "streaming_stateful_counts", "sessionize",
+]
+
+
+def headline_payload(timings: dict[str, float], sf) -> dict:
+    """The compact driver-facing payload. Kept as a function so the
+    standing size test can serialize it for the live row count."""
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "like_for_like_sec": round(
+            sum(timings.get(k, 0.0) for k in LIKE_FOR_LIKE), 3
+        ),
+        "sf": sf,
+    }
+
 
 def _run(df) -> int:
     # force full materialization of every row (not just count pushdown):
@@ -183,27 +223,38 @@ def main() -> None:
     _drain_barrier()
     time_rows(RESTART_FLOOR)
 
-    total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full-precision diagnostics go to the side file, NOT the stdout line
+    # (load = 1-min load average [before, after] each row's timed runs: a
+    # row whose min is high AND whose load_before is high is an
+    # environment phase, not a plan regression).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
-                # 1-min load average [before, after] each row's timed runs:
-                # a row whose min is high AND whose load_before is high is
-                # an environment phase, not a plan regression
                 "load": loads,
                 "phase_order": {"fixed_cost": FIXED_COST,
                                 "restart_floor": RESTART_FLOOR},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "like_for_like_rows": LIKE_FOR_LIKE,
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
         )
-    )
+    print(f"# detail -> {detail_path}", file=sys.stderr)
+
+    # Stop Spark BEFORE the headline so no shutdown logging can follow it
+    # in the driver's combined-output tail capture.
     spark.stop()
+    sys.stderr.flush()
+    print(json.dumps(headline_payload(timings, sf_val)))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
