@@ -81,7 +81,7 @@ GATE_PRIORITY = [
     # test_formats. In their slots, the same family's newer formats'
     # first driver check: JSON-variant extraction, XML roundtrip,
     # binaryFile ingest.
-    "json_variant_extract", "xml_source_roundtrip", "binary_file_ingest",
+    "phrase_search_index", "avro_source_roundtrip", "warc_ingest",
     # r15 rotation: bucketed_join / partitioned_prune_scan rotated out
     # after 4 driver-green rounds (r11-r14) — bucketed co-location and
     # hive-layout pruning stay plan-pinned in test_plans/test_formats. In
@@ -119,7 +119,7 @@ GATE_PRIORITY = [
     # (CDC merge + union-evolution + float-WAV paths stay pytest-pinned).
     "text_fingerprint",
     "text_token_count",
-    "anti_join", "nested_state_rewrite",
+    "anti_join", "token_budget_pack",
     # dedup family (dedup_exact rotated out in r6 after 5 driver-green
     # rounds; dedup_minhash_lsh rotated out in r8 after 7 — its band-bucket
     # equi-join survives inside dedup_lsh_quality_eval and dedup_clusters'
@@ -197,7 +197,7 @@ GATE_PRIORITY = [
     # minhash signature extraction, and the multimodal metadata plumbing).
     "dedup_embedding_cosine", "dedup_minhash_signatures",
     "multimodal_meta",
-    "text_length_histogram",
+    "text_hash_features_classify",
     # r10 rotation: the remaining never-driver-checked TPC-H tail — q7
     # dual-role nation join, q8 market share, q11 grouped threshold, q12
     # shipmode buckets, q13 outer-join custdist, q15 window-max revenue
@@ -228,8 +228,8 @@ GATE_PRIORITY = [
     # checks for the rescore/merge contracts only the mirror has seen:
     # the four ANN recall evals (exact-vs-LSH/IVF/PQ/clustered overlap)
     # and the full BPE trainer.
-    "ann_recall_eval", "ann_ivf_recall_eval", "ann_pq_recall_eval",
-    "ann_ivf_clustered_recall", "bpe_train_merges",
+    "scalar_functions", "tpch_q10_returns", "tpch_q14_promo",
+    "tpch_q18_having", "ann_ivf_index_search",
     "text_chunk_overlap",
     # r10 rotation: the r8 media-codec additions' first driver check —
     # pure-Python JPEG/GIF roundtrips, real GIF frame sampling, the audio
@@ -241,9 +241,9 @@ GATE_PRIORITY = [
     # codecs (tier-select resize, frame sampling, deterministic embed
     # stub) and the text tail (banded Levenshtein pairs, repetition
     # ratios).
-    "multimodal_resize", "multimodal_frame_sample",
-    "multimodal_embed", "text_levenshtein_pairs",
-    "text_repetition",
+    "multimodal_orientation_normalize", "multimodal_exif_audit",
+    "text_lm_perplexity_filter", "text_markup_strip",
+    "text_chunk_tokens",
     # text / multimodal flagships (lang_id rotated out in r5). r12:
     # multimodal_decode rotated out after 9 driver-green rounds
     # (r1, r3-r11) — the tier-selector source column stays pinned by the
@@ -255,89 +255,43 @@ GATE_PRIORITY = [
 
 # The NEXT rotation, STAGED AS EXECUTABLE DATA — the r7 failure mode was
 # a staged rotation that lived only in a comment and never shipped. (The
-# r9-staged swaps executed in r10 after the r9 stall; the r11-r15
+# r9-staged swaps executed in r10 after the r9 stall; the r11-r16
 # stagings executed on schedule as their round's first commit; the
-# r15-staged 15-swap rotation executed on schedule as r16's first
-# commit — all 15 OUTs confirmed green in CORRECTNESS_r15.)
-# To execute in r17 (FIRST commit of the round):
-#   1. confirm each OUT row below is green in CORRECTNESS_r16 (if one is
+# r16-staged 15-swap rotation executed on schedule as r17's first
+# commit — all 15 OUTs confirmed green in CORRECTNESS_r16.)
+# To execute in r18 (FIRST commit of the round):
+#   1. confirm each OUT row below is green in CORRECTNESS_r17 (if one is
 #      red, keep it in the gate and drop its pair from this round);
 #   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
 #   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
-# The final four r2 rows (scalar_functions, tpch_q10_returns,
-# tpch_q14_promo, tpch_q18_having — last driver-proven r2) cycle back
-# in here, completing the full re-proof of the r1/r2 waves; the SEVEN
-# r16 net-new registrations (mirror-green at all three SFs the day
-# each landed, never driver-checked) face the driver for the first
-# time at this flip. OUTs are drawn from the r14 wave — first checked
-# r14, so r14+r15+r16 = 3 consecutive green rounds (the r11
-# eligibility precedent) once CORRECTNESS_r16 confirms; every eligible
-# r14-wave OUT is consumed by this staging. The four ANN recall evals
-# rotate out together: their exact-vs-approx rescore contracts stay
-# mirror-verified and recall-gated in tests/test_similarity.py, and the
-# retained kmeans/IVF rows keep the retrieval family driver-covered via
-# the r16 net-new registrations below.
-R17_STAGED_SWAPS = [
-    # (rotate OUT once r16-green, rotate IN — re-proof, last checked r2)
-    ("ann_recall_eval", "scalar_functions"),
-    ("ann_ivf_recall_eval", "tpch_q10_returns"),
-    ("ann_pq_recall_eval", "tpch_q14_promo"),
-    ("ann_ivf_clustered_recall", "tpch_q18_having"),
-    # r16 net-new registrations, staged per the pair-with-staging rule
-    # (all four mirror-green at sf0.001/0.01/0.1 the round they landed;
-    # OUTs from the r14 wave, 3 consecutive greens once CORRECTNESS_r16
-    # confirms):
-    # persisted-IVF lifecycle keeps the retrieval family gated after the
-    # four recall evals rotate out above
-    ("bpe_train_merges", "ann_ivf_index_search"),
-    # text family swaps 1:1 within the family
-    ("text_levenshtein_pairs", "text_markup_strip"),
-    ("text_repetition", "text_chunk_tokens"),
-    ("text_length_histogram", "text_hash_features_classify"),
-    # second r16 registration batch: the CCNet-shaped stupid-backoff LM
-    # quality gate (train counts on a hash-split 80%, integer-micro-unit
-    # scoring of the held-out 20%) — mirror-green at all three SFs the
-    # day it landed; OUT from the r14 wave (multimodal_embed is the
-    # deterministic embed STUB, the family's least information-dense row;
-    # resize + frame_sample keep multimodal gated)
-    ("multimodal_embed", "text_lm_perplexity_filter"),
-    # Common Crawl-shaped WARC/WET ingest (pure-Python ISO 28500 codec
-    # over binaryFile + mapInPandas) — mirror-green at all three SFs the
-    # day it landed; OUT binary_file_ingest keeps the family 1:1 (the
-    # WARC row itself exercises the binaryFile read path, plus the
-    # record framing on top)
-    ("binary_file_ingest", "warc_ingest"),
-    # Avro OCF roundtrip through the new pure-Python codec (real-jar
-    # cross-validated both directions in test_avro.py) — mirror-green at
-    # all three SFs the day it landed; OUT xml_source_roundtrip keeps
-    # the flat-format family 1:1 (json_variant_extract stays retained)
-    ("xml_source_roundtrip", "avro_source_roundtrip"),
-    # persisted positional inverted index + exact phrase search (the
-    # retrieval twin of ann_ivf_index_search) — mirror-green at all
-    # three SFs the day it landed; OUT json_variant_extract (r14 wave;
-    # variant extraction stays mirror-verified and the format family
-    # gains warc/avro INs in the same flip)
-    ("json_variant_extract", "phrase_search_index"),
-    # exact per-domain token-budget mixture selection (subsharded
-    # budgets — no domain serializes into one window task) — mirror-
-    # green at all three SFs the day it landed; OUT nested_state_rewrite
-    # (r14 wave; nested-UnsafeRow surgery stays pytest-restart-proven
-    # and the surgery family keeps join/schema/rocksdb rows in the gate)
-    ("nested_state_rewrite", "token_budget_pack"),
-    # EXIF audit + redaction (orientation/GPS parse, strip_exif PII
-    # redaction with pixel-identity proof) — mirror-green at all three
-    # SFs the day it landed; OUT multimodal_frame_sample (r14 wave; the
-    # AVI demux stays golden-tested; after BOTH multimodal swaps in
-    # this staging the family's two gate rows are this EXIF audit and
-    # the orientation pixel kernel below)
-    ("multimodal_frame_sample", "multimodal_exif_audit"),
-    # EXIF orientation normalization (all 8 spec transforms as a real
-    # numpy kernel, position-weighted checksum oracle) — mirror-green at
-    # all three SFs the day it landed; OUT multimodal_resize (r14 wave,
-    # the last eligible OUT; the bilinear kernel stays golden-tested in
-    # test_multimodal and the family keeps TWO gate rows: the EXIF
-    # audit + this pixel kernel)
-    ("multimodal_resize", "multimodal_orientation_normalize"),
+# OUTs are the r15 wave — first checked r15, so r15+r16+r17 = 3
+# consecutive green rounds (the r11 eligibility precedent) once
+# CORRECTNESS_r17 confirms. INs are periodic re-proof rows, oldest
+# last driver check first: the two r3-last rows (p6_map_values,
+# f4_named_subset) and eight r4-last rows from the early dedup/text/
+# decontamination and PQ/recall waves. Six eligible r15-wave OUTs
+# (percentiles, semi_join, window_analytics,
+# range_join_clicks_before_purchase, join_state_rewrite,
+# state_schema_migration) are deliberately NOT staged here — they are
+# reserved as pair slots for this round's net-new registrations
+# (pair-with-staging rule); each registration commit appends its pair.
+R18_STAGED_SWAPS = [
+    # (rotate OUT once r17-green, rotate IN — re-proof, oldest first)
+    # map-values projection + named-subset filter: last driver-proven r3
+    ("multimodal_meta", "p6_map_values"),
+    ("anti_join", "f4_named_subset"),
+    # the r4 PQ/recall wave — last driver-proven r4; the recall evals
+    # they feed rotated out in r17, so these INs return the
+    # PQ/sketch rescore contracts to the gate
+    ("cube_agg", "ann_pq_topk"),
+    ("distinct_agg", "ann_sketch_recall_eval"),
+    # early dedup/text wave — last driver-proven r4
+    ("dedup_embedding_cosine", "dedup_simhash"),
+    ("dedup_minhash_signatures", "dedup_incremental_batch"),
+    ("full_outer_join", "dedup_substring"),
+    ("text_fingerprint", "text_lang_id"),
+    ("text_token_count", "text_quality"),
+    ("asof_join", "decontaminate_overlap"),
 ]
 
 

@@ -83,13 +83,20 @@ def test_flagship_families_inside_window():
         # post-freeze sources, nested_state_rewrite); the rotated-out
         # source/sampling/media/kryo rows' paths stay retained per
         # registry.py per-pair comments
-        "ann_recall_eval", "ann_ivf_recall_eval", "ann_pq_recall_eval",
-        "ann_ivf_clustered_recall", "bpe_train_merges",
-        "multimodal_resize", "multimodal_frame_sample", "multimodal_embed",
-        "text_levenshtein_pairs", "text_repetition",
-        "text_length_histogram",
-        "xml_source_roundtrip", "binary_file_ingest",
-        "json_variant_extract", "nested_state_rewrite",
+        # r17 rotation: the r16-staged 15-swap flip — the r14 wave
+        # rotated out after 3 consecutive driver-green rounds (r14-r16);
+        # in their slots the final four r2 re-proof rows plus the
+        # eleven r16 net-new registrations (pair-with-staging rule);
+        # the rotated-out recall-eval/multimodal/text/source/surgery
+        # paths stay retained per registry.py per-pair comments
+        "scalar_functions", "tpch_q10_returns", "tpch_q14_promo",
+        "tpch_q18_having", "ann_ivf_index_search",
+        "multimodal_orientation_normalize", "multimodal_exif_audit",
+        "text_lm_perplexity_filter",
+        "text_markup_strip", "text_chunk_tokens",
+        "text_hash_features_classify",
+        "avro_source_roundtrip", "warc_ingest",
+        "phrase_search_index", "token_budget_pack",
         # r15 rotation: the r14-staged 16-swap flip — periodic re-proof
         # of the r1-only wave (last driver-proven r1) and nine of the r2
         # relational wave, plus the two r14 net-new surgery rows; the
@@ -136,13 +143,13 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
             return any(unsortable(f.dataType) for f in dt.fields)
         return False
 
-    from bravo_spark.inventory.registry import R17_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R18_STAGED_SWAPS
 
     qs = _entry().queries()
     offenders = []
     # the staged rotation INs are checked too: a staged query with an
     # unsortable schema would burn its very first gate slot on flip
-    names = list(GATE_PRIORITY) + [i for _, i in R17_STAGED_SWAPS]
+    names = list(GATE_PRIORITY) + [i for _, i in R18_STAGED_SWAPS]
     for name in names:
         schema = qs[name](spark, sf_dir).schema
         for field in schema.fields:
@@ -152,7 +159,7 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
 
 
 def test_staged_rotation_is_consistent():
-    """The staged next-round rotation (registry.R17_STAGED_SWAPS) must
+    """The staged next-round rotation (registry.R18_STAGED_SWAPS) must
     stay executable: every OUT name is currently IN the gate window, every
     IN name is a registered query not currently gated (with the
     never-checked pool at zero since r14, INs are re-proof rows cycling
@@ -160,12 +167,12 @@ def test_staged_rotation_is_consistent():
     exactly 50 distinct names. Pins the staging as live data — the r7
     regression was a staged rotation that existed only in a comment and
     silently rotted."""
-    from bravo_spark.inventory.registry import R17_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R18_STAGED_SWAPS
 
     qs = _entry().queries()
     window = set(GATE_PRIORITY)
-    outs = [o for o, _ in R17_STAGED_SWAPS]
-    ins = [i for _, i in R17_STAGED_SWAPS]
+    outs = [o for o, _ in R18_STAGED_SWAPS]
+    ins = [i for _, i in R18_STAGED_SWAPS]
     assert len(set(outs)) == len(outs) and len(set(ins)) == len(ins)
     for o in outs:
         assert o in window, f"staged OUT {o} is not in the current gate"
