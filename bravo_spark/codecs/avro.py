@@ -35,6 +35,39 @@ from typing import Any, Iterable, Iterator
 
 MAGIC = b"Obj\x01"
 
+# Decompression-bomb ceiling for a single deflate block. Real writers cap
+# blocks well under this (our own writer batches 1000 records); a block
+# inflating past it is adversarial, not data. Refusal is by name.
+MAX_BLOCK_BYTES = 1 << 30
+
+
+def _inflate_bounded(payload: bytes, pos: int) -> bytes:
+    """Raw-DEFLATE inflate with a hard output ceiling — a plain
+    ``zlib.decompress`` call materializes an unbounded output buffer,
+    so a few-KB bomb block could allocate tens of GB before failing."""
+    d = zlib.decompressobj(wbits=-15)
+    chunks: list[bytes] = []
+    total = 0
+    data = payload
+    while True:
+        try:
+            chunk = d.decompress(data, MAX_BLOCK_BYTES + 1 - total)
+        except zlib.error as e:
+            raise AvroError(f"corrupt deflate block at byte {pos}: {e}")
+        chunks.append(chunk)
+        total += len(chunk)
+        if total > MAX_BLOCK_BYTES:
+            raise AvroError(
+                f"deflate block at byte {pos} inflates past "
+                f"{MAX_BLOCK_BYTES} bytes"
+            )
+        if d.eof:
+            break
+        data = d.unconsumed_tail
+        if not data:
+            raise AvroError(f"truncated deflate block at byte {pos}")
+    return b"".join(chunks)
+
 
 class AvroError(ValueError):
     """Malformed Avro container/encoding, or an unsupported named
@@ -117,6 +150,16 @@ def _norm_schema(schema: Any, named: dict[str, Any]) -> Any:
     raise AvroError(f"unsupported schema node: {schema!r}")
 
 
+def _utf8(b: bytes, pos: int) -> str:
+    """UTF-8 decode that keeps the refusal-by-name contract: invalid
+    bytes raise AvroError with the byte offset, not a bare
+    UnicodeDecodeError."""
+    try:
+        return bytes(b).decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise AvroError(f"invalid UTF-8 string ending at byte {pos}: {e}")
+
+
 class _Decoder:
     def __init__(self, data: bytes | memoryview, pos: int = 0):
         self.buf = memoryview(data)
@@ -162,7 +205,7 @@ class _Decoder:
         if t == "bytes":
             return self.raw(self.long())
         if t == "string":
-            return self.raw(self.long()).decode("utf-8")
+            return _utf8(self.raw(self.long()), self.pos)
         if t == "record":
             return {f["name"]: self.value(f["type"]) for f in schema["fields"]}
         if t == "enum":
@@ -194,7 +237,7 @@ class _Decoder:
                     self.long()
                     n = -n
                 for _ in range(n):
-                    k = self.raw(self.long()).decode("utf-8")
+                    k = _utf8(self.raw(self.long()), self.pos)
                     out[k] = self.value(schema["values"])
         raise AvroError(f"unsupported Avro type {t!r}")
 
@@ -322,14 +365,14 @@ def read_ocf(data: bytes) -> tuple[dict[str, Any], Iterator[dict[str, Any]]]:
             d.long()
             n = -n
         for _ in range(n):
-            k = d.raw(d.long()).decode("utf-8")
+            k = _utf8(d.raw(d.long()), d.pos)
             meta[k] = d.raw(d.long())
     try:
         schema = json.loads(meta["avro.schema"])
     except KeyError:
         raise AvroError("container missing avro.schema metadata")
     schema = _norm_schema(schema, {})
-    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    codec = _utf8(meta.get("avro.codec", b"null"), d.pos)
     if codec not in _CODECS:
         raise AvroError(f"unsupported avro.codec {codec!r}")
     sync = d.raw(16)
@@ -346,7 +389,7 @@ def read_ocf(data: bytes) -> tuple[dict[str, Any], Iterator[dict[str, Any]]]:
             if d.raw(16) != sync:
                 raise AvroError(f"sync marker mismatch at byte {d.pos}")
             if codec == "deflate":
-                payload = zlib.decompress(payload, wbits=-15)
+                payload = _inflate_bounded(payload, d.pos)
             elif codec == "snappy":
                 body, crc = payload[:-4], payload[-4:]
                 from bravo_spark.codecs import fastpath
@@ -354,6 +397,19 @@ def read_ocf(data: bytes) -> tuple[dict[str, Any], Iterator[dict[str, Any]]]:
                 payload = fastpath.snappy_decompress(body)
                 if struct.pack(">I", zlib.crc32(payload)) != crc:
                     raise AvroError("snappy block CRC32 mismatch")
+            # Count bomb guard: every record encoding consumes at least
+            # one byte unless the schema is degenerate (null / zero-field
+            # record, which encodes to zero bytes — legal but rare), so a
+            # count far beyond the decoded payload size means a crafted
+            # header that would spin the loop for up to 2^63 iterations
+            # before the trailing bytes-consumed check could fire. The
+            # 64Ki floor keeps legal degenerate blocks decodable while
+            # bounding the spin. Refuse by name.
+            if count > max(len(payload), 65536):
+                raise AvroError(
+                    f"block claims {count} records in a "
+                    f"{len(payload)}-byte payload at byte {d.pos}"
+                )
             bd = _Decoder(payload)
             for _ in range(count):
                 yield bd.value(schema)

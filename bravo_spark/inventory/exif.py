@@ -194,6 +194,13 @@ def _deg_to_rationals(deg: float) -> list[tuple[int, int]]:
     d = int(deg)
     m = int((deg - d) * 60)
     s = round(((deg - d) * 60 - m) * 60 * 100)
+    # rounding can land on exactly 60.00 s for fractions just under a
+    # minute — carry into minutes (and degrees) so the parse-back value
+    # never floors one unit high
+    if s == 6000:
+        s, m = 0, m + 1
+        if m == 60:
+            m, d = 0, d + 1
     return [(d, 1), (m, 1), (s, 100)]
 
 

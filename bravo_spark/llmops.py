@@ -2639,6 +2639,7 @@ def redact_exif(
     *,
     out_col: str | None = None,
     flag_col: str = "exif_redacted",
+    quarantine: bool = False,
 ) -> DataFrame:
     """Strip Exif APP1 segments from every JPEG in a binary column —
     the PII-redaction step a multimodal pipeline runs BEFORE anything
@@ -2646,13 +2647,20 @@ def redact_exif(
     payloads pass through untouched with ``flag_col`` = 0; JPEGs gain
     ``flag_col`` = 1 iff an Exif segment was actually removed. The
     strip is a segment splice (inventory/exif.py) — pixels are never
-    re-encoded, so the operation is lossless and idempotent. Malformed
-    JPEG marker streams fail the task loudly (ExifError) rather than
-    letting PII slip through a "best-effort" pass. Map-only
-    mapInPandas; pipelines with the payload scan at any scale."""
+    re-encoded, so the operation is lossless and idempotent.
+
+    Malformed JPEG marker streams fail the task loudly (ExifError) by
+    default rather than letting PII slip through a "best-effort" pass.
+    Real crawl corpora always contain torn JPEGs, though, so
+    ``quarantine=True`` opts into isolating them instead of killing the
+    pipeline: the payload is NULLED (never passed through unredacted —
+    a torn marker stream may still carry an intact Exif segment) and
+    ``flag_col`` is set to -1 so the caller can route the originals to
+    a quarantine sink by flag. Map-only mapInPandas; pipelines with the
+    payload scan at any scale."""
     from pyspark.sql import types as T
 
-    from bravo_spark.inventory.exif import strip_exif
+    from bravo_spark.inventory.exif import ExifError, strip_exif
 
     out_col = out_col or payload_col
     # fail at PLAN time, not deep inside a task: a colliding flag_col
@@ -2684,8 +2692,15 @@ def redact_exif(
                 if raw is None or raw[:2] != b"\xff\xd8":
                     cleaned.append(raw)
                     flags.append(0)
-                else:
+                    continue
+                try:
                     red = strip_exif(raw)
+                except ExifError:
+                    if not quarantine:
+                        raise
+                    cleaned.append(None)
+                    flags.append(-1)
+                else:
                     cleaned.append(red)
                     flags.append(int(red != raw))
             out = _pd.DataFrame({c: pdf[c] for c in other})
@@ -2740,7 +2755,7 @@ def train_linear_classifier(
             (F.col("count") / F.col("_tot")).alias("_x"), "_y",
         )
     )
-    base = track_cache(base.cache())
+    base = track_cache(base)
     n_docs = base.select(id_col).distinct().count()
     if n_docs == 0:
         raise ValueError("no labeled documents after the join")
@@ -2774,9 +2789,14 @@ def train_linear_classifier(
             .collect()  # <= dim rows: model-scale, like k-means centroids
         )
         gbias = scored.agg(F.sum("_e")).first()[0] or 0.0
+        # L2 decays EVERY weight, not just buckets that produced a data
+        # gradient this iteration — otherwise untouched buckets never
+        # shrink and the result is not full-batch L2-regularized GD
+        if l2:
+            w = [x * (1.0 - lr * l2) for x in w]
         for r in grad_rows:
             b = int(r.bucket)
-            w[b] -= lr * (r._g / n_docs + l2 * w[b])
+            w[b] -= lr * r._g / n_docs
         bias -= lr * gbias / n_docs
         if not all(math.isfinite(x) for x in w) or not math.isfinite(bias):
             raise ValueError(

@@ -236,3 +236,67 @@ def test_int_is_legal_for_double_union():
            "fields": [{"name": "x", "type": ["null", "double"]}]}
     _, recs = read_ocf(write_ocf(sch, [{"x": 0}, {"x": None}, {"x": 1.5}]))
     assert [r["x"] for r in recs] == [0.0, None, 1.5]
+
+
+def test_count_bomb_refused():
+    """A crafted block header claiming ~2^40 records in a tiny payload
+    must refuse by name before the decode loop spins (the trailing
+    bytes-consumed check fires only AFTER all claimed records yield)."""
+    from bravo_spark.codecs.avro import _Decoder, _zigzag_encode
+
+    blob = bytearray(write_ocf(json.dumps(_SCHEMA), _ROWS[:5], codec="null"))
+    # locate the first block header: skip magic, metadata map, sync
+    d = _Decoder(bytes(blob))
+    d.raw(4)
+    n = d.long()
+    for _ in range(n):
+        d.raw(d.long())
+        d.raw(d.long())
+    assert d.long() == 0
+    d.raw(16)
+    header_at = d.pos
+    count = d.long()
+    size = d.long()
+    payload_and_rest = blob[d.pos:]
+    forged = (
+        bytes(blob[:header_at])
+        + _zigzag_encode(1 << 40)
+        + _zigzag_encode(size)
+        + bytes(payload_and_rest)
+    )
+    _, records = read_ocf(forged)
+    with pytest.raises(AvroError, match="claims .* records"):
+        list(records)
+
+
+def test_degenerate_zero_byte_records_still_decode():
+    """Zero-field records encode to zero bytes — a legal block can carry
+    more records than payload bytes; the bomb guard must not refuse it."""
+    schema = {"type": "record", "name": "Empty", "fields": []}
+    blob = write_ocf(json.dumps(schema), [{} for _ in range(100)])
+    _, records = read_ocf(blob)
+    assert list(records) == [{} for _ in range(100)]
+
+
+def test_invalid_utf8_refuses_as_avro_error():
+    schema = {"type": "record", "name": "S",
+              "fields": [{"name": "s", "type": "string"}]}
+    blob = bytearray(write_ocf(json.dumps(schema), [{"s": "abcd"}],
+                               codec="null"))
+    at = bytes(blob).rindex(b"abcd")
+    blob[at] = 0xFF  # lone 0xFF is never valid UTF-8
+    _, records = read_ocf(bytes(blob))
+    with pytest.raises(AvroError, match="invalid UTF-8"):
+        list(records)
+
+
+def test_truncated_deflate_block_refuses_by_name():
+    blob = bytearray(write_ocf(json.dumps(_SCHEMA), _ROWS, codec="deflate"))
+    # find the deflate payload (between the 2nd sync marker pair):
+    # corrupting any interior byte of the compressed stream must surface
+    # as AvroError, not a bare zlib.error
+    mid = len(blob) // 2
+    blob[mid] ^= 0xA5
+    _, records = read_ocf(bytes(blob))
+    with pytest.raises((AvroError,)):
+        list(records)

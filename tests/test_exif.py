@@ -273,3 +273,50 @@ def test_redact_exif_refuses_column_collisions(spark):
     )
     with pytest.raises(ValueError, match="overwrite"):
         llmops.redact_exif(df2, "payload", out_col="other")
+
+
+def test_gps_seconds_rounding_carries_into_minutes_and_degrees():
+    """Fractions just under a minute round to 60.00 s — the encoder must
+    carry into minutes (and degrees at 59'59.995"+) instead of emitting
+    an out-of-range 6000/100 seconds rational that parses one unit high."""
+    from bravo_spark.inventory.exif import _deg_to_rationals
+
+    # 10° 59' 59.9999" -> carries all the way to 11° 0' 0"
+    assert _deg_to_rationals(10 + 59 / 60 + 59.9999 / 3600) == [
+        (11, 1), (0, 1), (0, 100)]
+    # 10° 30' 59.9999" -> carries into minutes only
+    assert _deg_to_rationals(10 + 30 / 60 + 59.9999 / 3600) == [
+        (10, 1), (31, 1), (0, 100)]
+    # full encode->parse roundtrip stays within a rounding ulp
+    deg = 10 + 59 / 60 + 59.9999 / 3600
+    meta = parse_exif(_with_exif(gps=(deg, deg)))
+    lat, _ = meta["gps"]
+    assert abs(lat - deg) < 1e-4
+
+
+def test_redact_exif_quarantine_isolates_torn_jpegs(spark):
+    """Default stays fail-loud; quarantine=True nulls torn payloads and
+    flags them -1 instead of killing the job — a torn marker stream may
+    still carry intact Exif, so it must never pass through unredacted."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from bravo_spark import llmops
+    from bravo_spark.inventory.jpeg import jpeg_encode
+
+    raw = bytes((x * y) % 256 for y in range(8) for x in range(8))
+    base = jpeg_encode(8, 8, "L", raw)
+    tagged = insert_exif(base, build_exif_app1(orientation=2))
+    torn = tagged[: len(tagged) // 2]  # SOI intact, marker stream torn
+    df = spark.createDataFrame(
+        [(1, tagged), (2, torn), (3, b"plain text")],
+        "doc_id long, payload binary",
+    )
+
+    with pytest.raises(PythonException, match="overruns the file"):
+        llmops.redact_exif(df, "payload").collect()
+
+    rows = {r.doc_id: r for r in
+            llmops.redact_exif(df, "payload", quarantine=True).collect()}
+    assert rows[1].exif_redacted == 1 and bytes(rows[1].payload) == base
+    assert rows[2].exif_redacted == -1 and rows[2].payload is None
+    assert rows[3].exif_redacted == 0

@@ -60,3 +60,42 @@ def test_input_validation(spark, corpus):
         llmops.train_linear_classifier(
             feats, corpus.select("doc_id", "label"), dim=0
         )
+
+
+def test_l2_decays_untouched_buckets_exactly(spark, corpus):
+    """Full-batch L2 must shrink EVERY weight each iteration, including
+    buckets that produced no data gradient. With one labeled doc whose
+    features hit a known bucket set, a second iteration must multiply
+    the untouched buckets... there are none untouched within one doc's
+    buckets — so instead pin the closed form: after iter 1 all weights
+    outside the doc's buckets stay 0, and the doc's bucket weights after
+    iter 2 carry the (1 - lr*l2) decay factor applied to their iter-1
+    value before the iter-2 data gradient lands."""
+    import math
+
+    dim = 32
+    one = corpus.filter("doc_id = 0")
+    feats = llmops.hash_ngram_features(one, "doc_id", "text", dim=dim)
+    lab = one.select("doc_id", "label")
+    lr, l2 = 1.0, 0.25
+
+    rows = feats.collect()
+    tot = sum(r["count"] for r in rows)
+    xs = {int(r["bucket"]): r["count"] / tot for r in rows}
+
+    # replicate two exact full-batch iterations driver-side
+    w_ref, b_ref = [0.0] * dim, 0.0
+    for _ in range(2):
+        s = b_ref + sum(w_ref[b] * x for b, x in xs.items())
+        e = 1.0 / (1.0 + math.exp(-s)) - 1.0  # label = 1, n_docs = 1
+        w_ref = [x * (1.0 - lr * l2) for x in w_ref]
+        for b, x in xs.items():
+            w_ref[b] -= lr * e * x
+        b_ref -= lr * e
+
+    w, bias = llmops.train_linear_classifier(
+        feats, lab, dim=dim, iters=2, lr=lr, l2=l2
+    )
+    assert bias == pytest.approx(b_ref, rel=1e-9)
+    for i in range(dim):
+        assert w[i] == pytest.approx(w_ref[i], rel=1e-9, abs=1e-12)
