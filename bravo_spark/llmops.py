@@ -2271,6 +2271,141 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     )
 
 
+def ivf_index_compact(
+    spark,
+    path: str,
+    *,
+    min_mean_cos: float | None = None,
+    max_frac: float | None = None,
+    subsplit: int = 2,
+    n_iter: int = 3,
+) -> dict:
+    """Close the IVF maintenance loop: CONSUME the drift signal
+    :func:`ivf_index_stats` reports and recluster only the cells over
+    threshold. :func:`ivf_index_append` assigns new vectors to FROZEN
+    centroids, so a shifting corpus bloats some cells (probe cost grows)
+    and drags their cosine-to-centroid down (recall drops). This splits
+    each drifted cell into ``subsplit`` sub-cells via a WITHIN-CELL
+    k-means — healthy cells' parquet partitions are never rewritten.
+
+    A cell is drifted when ``mean_cos < min_mean_cos`` or
+    ``frac_of_corpus > max_frac`` (give at least one bound). The first
+    sub-cell reuses the old cell id, the rest get fresh ids, so the
+    assignment rewrite is a DYNAMIC partition overwrite touching only
+    the drifted + new ``cell=`` dirs; the centroid relation (k rows,
+    metadata-scale) is rewritten wholly and the manifest's n_clusters
+    updated. Drifted cells are few by the health predicate's nature;
+    each split is a distributed fit over one cell's files only
+    (PartitionFilters-pruned scan), so the driver loop is over a handful
+    of cells, never over vectors.
+
+    Returns ``{"drifted": [...], "new_cells": [...], "n_clusters": k'}``
+    — empty ``drifted`` means the index was healthy and nothing was
+    touched."""
+    import json as _json
+
+    if min_mean_cos is None and max_frac is None:
+        raise ValueError("give min_mean_cos and/or max_frac — a compaction"
+                         " with no health bound would recluster nothing")
+    if subsplit < 2:
+        raise ValueError("subsplit must be >= 2")
+    asg, cent, mf = load_ivf_index(spark, path)
+    id_col, vec_col = mf["id_col"], mf["vec_col"]
+
+    stats = ivf_index_stats(spark, path).collect()  # k rows: model-scale
+    drifted = sorted(
+        int(r.cell) for r in stats
+        if (min_mean_cos is not None and r.mean_cos < min_mean_cos)
+        or (max_frac is not None and r.frac_of_corpus > max_frac
+            and r.n_vectors >= subsplit)
+    )
+    if not drifted:
+        return {"drifted": [], "new_cells": [],
+                "n_clusters": mf["n_clusters"]}
+
+    vec_type = dict(asg.dtypes)[vec_col]
+    next_cid = max(int(r.cell) for r in stats) + 1
+    new_cells: list[int] = []
+    new_cent_rows: list[tuple[int, list[float]]] = []
+    rewrites = None
+    for cell in drifted:
+        members = asg.filter(F.col("cell") == cell)  # partition-pruned
+        sub = kmeans_centroids(
+            members, id_col=id_col, vec_col=vec_col,
+            n_clusters=subsplit, n_iter=n_iter,
+        ).collect()  # subsplit rows
+        # sub-cid 0 keeps the old cell id (its partition dir is
+        # overwritten in place); the rest allocate fresh ids
+        cid_map = {0: cell}
+        for j in range(1, len(sub)):
+            cid_map[j] = next_cid
+            new_cells.append(next_cid)
+            next_cid += 1
+        pairs = [(cid_map[int(r.cid)], [float(x) for x in r.ce])
+                 for r in sub]
+        new_cent_rows.extend(pairs)
+        subc = spark.createDataFrame(pairs,
+                                     "cid int, centroid array<double>")
+        dbl = F.col(vec_col).cast("array<double>")
+
+        def dot(x, y):
+            return F.aggregate(
+                F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        ccos = dot(F.col("e"), F.col("centroid")) / (
+            F.sqrt(dot(F.col("e"), F.col("e")))
+            * F.sqrt(dot(F.col("centroid"), F.col("centroid")))
+        )
+        wc = Window.partitionBy("id").orderBy(
+            F.col("_c").desc(), F.col("cid"))
+        reasg = (
+            members.select(F.col(id_col).alias("id"), dbl.alias("e"))
+            .join(F.broadcast(subc))
+            .select("id", "e", "cid", ccos.alias("_c"))
+            .withColumn("_rn", F.row_number().over(wc))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("id").alias(id_col),
+                F.col("e").cast(vec_type).alias(vec_col),
+                F.col("cid").alias("cell"),
+            )
+        )
+        rewrites = reasg if rewrites is None else rewrites.unionByName(reasg)
+
+    # one dynamic-overwrite write for ALL drifted cells: only the
+    # partitions present in `rewrites` (old drifted ids + new ids) are
+    # replaced; healthy cells' files are untouched. The eager
+    # localCheckpoint materializes the reassignment BEFORE the write and
+    # truncates lineage — the write target is the same parquet dir the
+    # plan reads, which Spark (correctly) refuses without it
+    rewrites = rewrites.localCheckpoint()
+    (rewrites.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("cell")
+     .parquet(_index_path(path, "assignments")))
+
+    # the centroid relation is k' rows (model-scale): merge driver-side
+    # so the overwrite never reads the path it replaces
+    gone = set(drifted)
+    kept_rows = [
+        (int(r.cid), [float(x) for x in r.centroid])
+        for r in cent.collect() if int(r.cid) not in gone
+    ]
+    spark.createDataFrame(
+        kept_rows + [(int(c), e) for c, e in new_cent_rows],
+        "cid int, centroid array<double>",
+    ).write.mode("overwrite").parquet(_index_path(path, "centroids"))
+
+    mf = dict(mf)
+    mf["n_clusters"] = int(mf["n_clusters"]) + len(new_cells)
+    _fs_write_text(spark, _index_path(path, "_bravo_ivf.json"),
+                   _json.dumps(mf))
+    return {"drifted": drifted, "new_cells": new_cells,
+            "n_clusters": mf["n_clusters"]}
+
+
 # ---------------------------------------------------------------------------
 # n-gram language-model quality filter (CCNet-style, stupid backoff)
 # ---------------------------------------------------------------------------

@@ -1251,3 +1251,91 @@ def test_ivf_index_stats_rebuild_signal(spark, tmp_path, sf_dir):
     st2 = {r["cell"]: r for r in llmops.ivf_index_stats(spark, idx).collect()}
     assert sum(r["n_vectors"] for r in st2.values()) == 121
     assert min(r["min_cos"] for r in st2.values()) < 0.2  # the signal
+
+
+def test_ivf_index_compact_recovers_recall(spark, tmp_path):
+    """The maintenance loop end-to-end: skewed ivf_index_append drags one
+    cell's mean cosine down (ivf_index_stats reports the drift), queries
+    between the drifted mass and a neighboring centroid probe the WRONG
+    cell (recall 0 at n_probe=1), and ivf_index_compact splits only the
+    drifted cell — after which the same queries recover full recall and
+    the healthy cell's parquet files are untouched."""
+    import math
+    import os
+
+    def ray(theta_deg, jitter, n, base_id):
+        rows = []
+        for i in range(n):
+            t = math.radians(theta_deg + jitter * ((i % 5) - 2))
+            rows.append((base_id + i, [math.cos(t), math.sin(t)]))
+        return rows
+
+    # two tight clusters at 0° and 90°; ids 0/1 seed the k-means init
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows += ray(0, 1.0, 20, 100)
+    rows += ray(90, 1.0, 20, 200)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    llmops.build_ivf_index(emb, idx, n_clusters=2, n_iter=4)
+
+    # corpus drift: a new mass at 40° — nearest frozen centroid is 0°,
+    # so every appended vector lands in cell A and dilutes it
+    drift_rows = ray(40, 1.0, 50, 300)
+    llmops.ivf_index_append(
+        spark, idx,
+        spark.createDataFrame(drift_rows,
+                              "vec_id long, embedding array<double>"),
+    )
+    stats = {int(r.cell): r for r in
+             llmops.ivf_index_stats(spark, idx).collect()}
+    drifted_cell = min(stats, key=lambda c: stats[c].mean_cos)
+    healthy_cell = max(stats, key=lambda c: stats[c].mean_cos)
+    assert stats[drifted_cell].mean_cos < 0.95 < stats[healthy_cell].mean_cos
+
+    healthy_dir = os.path.join(idx, "assignments", f"cell={healthy_cell}")
+    before = {f: os.path.getmtime(os.path.join(healthy_dir, f))
+              for f in os.listdir(healthy_dir)}
+
+    # queries at 50°: true neighbors are ALL in the drifted 40° mass,
+    # but the nearest frozen centroid is 90° — n_probe=1 probes the
+    # wrong cell and recall is zero
+    queries = spark.createDataFrame(
+        ray(50, 1.0, 5, 900), "vec_id long, embedding array<double>")
+    drift_ids = {r[0] for r in drift_rows}
+
+    def recall_at(k):
+        got = llmops.ivf_index_search(spark, idx, queries, k=k, n_probe=1)
+        hits = [r.neighbor_id in drift_ids for r in got.collect()]
+        return sum(hits) / max(len(hits), 1), len(hits)
+
+    r0, n0 = recall_at(3)
+    assert r0 == 0.0 and n0 == 15
+
+    report = llmops.ivf_index_compact(spark, idx, min_mean_cos=0.95)
+    assert report["drifted"] == [drifted_cell]
+    assert len(report["new_cells"]) == 1
+    assert report["n_clusters"] == 3
+
+    # recall recovers through the SAME search path
+    r1, n1 = recall_at(3)
+    assert r1 == 1.0 and n1 == 15
+
+    # the healthy cell's files were never rewritten
+    after = {f: os.path.getmtime(os.path.join(healthy_dir, f))
+             for f in os.listdir(healthy_dir)}
+    assert after == before
+
+    # the index is healthy again by its own drift signal
+    stats2 = llmops.ivf_index_stats(spark, idx).collect()
+    assert all(r.mean_cos >= 0.95 for r in stats2)
+    # and a healthy index is a no-op compact
+    assert llmops.ivf_index_compact(spark, idx, min_mean_cos=0.95) == {
+        "drifted": [], "new_cells": [], "n_clusters": 3}
+
+
+def test_ivf_index_compact_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="health bound"):
+        llmops.ivf_index_compact(spark, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="subsplit"):
+        llmops.ivf_index_compact(spark, str(tmp_path / "x"),
+                                 min_mean_cos=0.9, subsplit=1)
