@@ -387,33 +387,16 @@ _WARC_INGEST_ORACLE = (
 )
 
 
-@query("warc_ingest", oracle=_WARC_INGEST_ORACLE)
-def warc_ingest(spark, sf_dir):
-    """Common Crawl-shaped ingest: ``.warc.gz`` archives (WET-style
-    ``WARC-Type: conversion`` records, one gzip member per record — the
-    splittable layout crawlers emit) → Spark's ``binaryFile`` source →
-    Arrow-batched pure-Python WARC parse (``codecs/warc.py``, ISO 28500
-    framing with strict Content-Length/terminator checks) → one row per
-    record. The oracle proves payload identity both directions: per-doc
-    byte length and md5 must equal the source text's UTF-8 bytes.
+def _warc_fixture(spark, sf_dir) -> str:
+    """Write-once-per-process WET-style archive fixture: each
+    ``documents`` partition packed into ONE .warc.gz (executor-side —
+    never a driver loop), completeness-marked. Shared by the batch and
+    streaming ingest rows so both drive the same archives."""
+    import hashlib
 
-    The fixture packs each ``documents`` partition into ONE archive
-    (executor-side foreachPartition — never a driver loop), mirroring
-    real WET shards (~thousands of records per .warc.gz).
-
-    Scale shape: archive-grain parallelism — one task per WARC file
-    (binaryFile never splits inside a file, which matches gzip-member
-    reality); at 100 TB the levers are shard size at WRITE time (keep
-    archives ~1 GiB), ``pathGlobFilter`` pruning, and
-    ``maxPartitionBytes`` packing of small shards. The parse is
-    mapInPandas (Arrow batches of whole archives), zero shuffles; the
-    same LOCAL-MODE fixture caveat as binary_file_ingest applies to the
-    write half only (production archives live on shared storage)."""
     from bravo_spark.codecs.warc import write_warc
 
     docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
-    import hashlib
-
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     out = scratch_path(f"warcfiles_{tag}")
     marker = os.path.join(out, "_SUCCESS")
@@ -444,6 +427,32 @@ def warc_ingest(spark, sf_dir):
         # storage, they are not written by this query
         docs.rdd.mapPartitionsWithIndex(_write).count()
         open(marker, "w").close()
+    return out
+
+
+@query("warc_ingest", oracle=_WARC_INGEST_ORACLE)
+def warc_ingest(spark, sf_dir):
+    """Common Crawl-shaped ingest: ``.warc.gz`` archives (WET-style
+    ``WARC-Type: conversion`` records, one gzip member per record — the
+    splittable layout crawlers emit) → Spark's ``binaryFile`` source →
+    Arrow-batched pure-Python WARC parse (``codecs/warc.py``, ISO 28500
+    framing with strict Content-Length/terminator checks) → one row per
+    record. The oracle proves payload identity both directions: per-doc
+    byte length and md5 must equal the source text's UTF-8 bytes.
+
+    The fixture packs each ``documents`` partition into ONE archive
+    (executor-side foreachPartition — never a driver loop), mirroring
+    real WET shards (~thousands of records per .warc.gz).
+
+    Scale shape: archive-grain parallelism — one task per WARC file
+    (binaryFile never splits inside a file, which matches gzip-member
+    reality); at 100 TB the levers are shard size at WRITE time (keep
+    archives ~1 GiB), ``pathGlobFilter`` pruning, and
+    ``maxPartitionBytes`` packing of small shards. The parse is
+    mapInPandas (Arrow batches of whole archives), zero shuffles; the
+    same LOCAL-MODE fixture caveat as binary_file_ingest applies to the
+    write half only (production archives live on shared storage)."""
+    out = _warc_fixture(spark, sf_dir)
 
     # read half: the library source (sources/warc_source.py) — ONE
     # parser path shared with read_warc_stream and every user of the
@@ -497,6 +506,104 @@ def avro_source_roundtrip(spark, sf_dir):
         " value double"
     )
     return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+_AVRO_EVENT_SCHEMA = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+    ],
+}
+
+
+@query("warc_stream_ingest", oracle=_WARC_INGEST_ORACLE)
+def warc_stream_ingest(spark, sf_dir):
+    """The STREAMING half of the WARC ingest surface
+    (sources/warc_source.py:read_warc_stream): the same archives as
+    warc_ingest, consumed as a Structured Streaming file source
+    (availableNow drain into a memory sink) — each micro-batch parses
+    newly listed archives exactly once per checkpoint, which is how a
+    production crawl drop-directory is actually tailed. Restart
+    continuation (a shard landing AFTER the first drain processed
+    exactly once by a restarted query) is pinned in
+    tests/test_warc_source.py; this row puts the streaming read path —
+    schema, glob pruning, maxFilesPerTrigger batching, Arrow-batched
+    parse inside micro-batch tasks — in front of the driver's oracle.
+
+    Scale shape: identical to warc_ingest per batch (archive-grain
+    tasks, zero shuffles); maxFilesPerTrigger bounds a backfill batch so
+    a million-archive drop never becomes one giant micro-batch."""
+    import uuid
+
+    from bravo_spark.sources.warc_source import read_warc_stream
+
+    out = _warc_fixture(spark, sf_dir)
+    proj = read_warc_stream(spark, out, max_files_per_trigger=8).select(
+        F.regexp_extract(F.col("uri"), r"^doc://(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "n_bytes",
+        F.md5(F.col("payload")).alias("digest"),
+    )
+    name = f"warc_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        proj.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query("avro_stream_ingest", oracle=_AGG_ORACLE)
+def avro_stream_ingest(spark, sf_dir):
+    """The STREAMING half of the Avro OCF surface
+    (sources/avro_source.py:read_avro_stream): a write-once shard
+    fixture (the library's own distributed write_avro, deflate codec),
+    tailed as a Structured Streaming file source with an availableNow
+    drain into a memory sink, then the standard verification aggregate
+    over the sink — so decode loss in any micro-batch fails the oracle.
+    Restart continuation is pinned in tests/test_avro_source.py; this
+    row puts the streaming decode path in front of the driver.
+
+    Scale shape: shard-grain micro-batch tasks, Arrow-batched pure-
+    Python OCF decode, zero shuffles before the batch-side aggregate;
+    maxFilesPerTrigger bounds backfill batches."""
+    import hashlib
+    import uuid
+
+    from bravo_spark.sources.avro_source import read_avro_stream, write_avro
+
+    ev = catalog.table(spark, sf_dir, "events").select(*_COLS)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = scratch_path(f"avrostream_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        write_avro(ev, out, _AVRO_EVENT_SCHEMA)
+        open(marker, "w").close()
+
+    stream = read_avro_stream(spark, out, _SCHEMA, max_files_per_trigger=8)
+    name = f"avro_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).groupBy("event_type").agg(
         F.count("*").alias("cnt"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
         F.max("user_id").alias("max_user"),

@@ -269,12 +269,12 @@ GATE_PRIORITY = [
 # CORRECTNESS_r17 confirms. INs are periodic re-proof rows, oldest
 # last driver check first: the two r3-last rows (p6_map_values,
 # f4_named_subset) and eight r4-last rows from the early dedup/text/
-# decontamination and PQ/recall waves. Six eligible r15-wave OUTs
-# (percentiles, semi_join, window_analytics,
-# range_join_clicks_before_purchase, join_state_rewrite,
-# state_schema_migration) are deliberately NOT staged here — they are
-# reserved as pair slots for this round's net-new registrations
-# (pair-with-staging rule); each registration commit appends its pair.
+# decontamination and PQ/recall waves — plus the five r17 net-new
+# registrations (pair-with-staging rule; all mirror-green at
+# sf0.001/0.01/0.1 the day they landed), each paired against one of
+# the six reserved r15-wave OUT slots. The sixth
+# (state_schema_migration) stays in the gate unstaged — it becomes the
+# oldest eligible OUT for r19.
 R18_STAGED_SWAPS = [
     # (rotate OUT once r17-green, rotate IN — re-proof, oldest first)
     # map-values projection + named-subset filter: last driver-proven r3
@@ -292,6 +292,19 @@ R18_STAGED_SWAPS = [
     ("text_fingerprint", "text_lang_id"),
     ("text_token_count", "text_quality"),
     ("asof_join", "decontaminate_overlap"),
+    # r17 net-new registrations face the driver at the r18 flip
+    # (first driver checks; OUTs are the reserved r15-wave slots):
+    # the streaming halves of the WARC/Avro ingest surfaces
+    ("percentiles", "warc_stream_ingest"),
+    ("semi_join", "avro_stream_ingest"),
+    # persisted-LM lifecycle (save_ngram_lm/load_ngram_lm parity)
+    ("window_analytics", "ngram_lm_persist_score"),
+    # the column-level redact_exif API incl. its quarantine contract
+    ("range_join_clicks_before_purchase", "multimodal_exif_redact"),
+    # IVF maintenance surface (ivf_index_append + ivf_index_stats — the
+    # drift signal ivf_index_compact consumes, compact itself
+    # recall-gated in tests/test_llmops.py)
+    ("join_state_rewrite", "ann_ivf_index_stats"),
 ]
 
 

@@ -1033,3 +1033,68 @@ def ann_ivf_index_search(spark, sf_dir):
         spark, path, cv.where(F.col("id") < N_QUERIES),
         k=TOP_K, n_probe=_IVF_INDEX_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance surface (llmops.ivf_index_append +
+# ivf_index_stats): append a batch to the persisted index under the
+# FROZEN centroids, then read the per-cell health relation back. The
+# gate projection keeps the exactly-replayable columns — per-cell vector
+# count and min assignment cosine (the fixture's integer components make
+# every dot product exact, so cosines are bitwise identical across
+# engines); mean_cos / frac_of_corpus are float aggregates and stay
+# library-side (consumed by llmops.ivf_index_compact, which is
+# recall-gated in tests/test_llmops.py).
+# ---------------------------------------------------------------------------
+
+_IVF_STATS_APPEND_N = 50
+
+_IVF_STATS_ORACLE = f"""
+WITH {_lloyd_ctes()},
+allv AS (
+  SELECT id, e FROM cv
+  UNION ALL
+  SELECT id + 1000000 AS id, e FROM cv WHERE id < {_IVF_STATS_APPEND_N}),
+asg AS (
+  SELECT id, cid, ac FROM (
+    SELECT v.id, c.cid, {_CCOS.format(a='v.e', b='c.ce')} AS ac,
+      row_number() OVER (PARTITION BY v.id ORDER BY
+        {_CCOS.format(a='v.e', b='c.ce')} DESC, c.cid) rn
+    FROM allv v CROSS JOIN cent_f c) t WHERE rn = 1)
+SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_vectors,
+  min(ac) AS min_cos
+FROM asg GROUP BY cid
+"""
+
+
+@query("ann_ivf_index_stats", oracle=_IVF_STATS_ORACLE)
+def ann_ivf_index_stats(spark, sf_dir):
+    """Persisted-IVF maintenance lifecycle: build (frozen Lloyd
+    centroids), ivf_index_append a derived batch (the first
+    {_IVF_STATS_APPEND_N} vectors re-keyed — so the oracle can replay
+    the append's assignment exactly), then ivf_index_stats — the drift
+    signal ivf_index_compact consumes. Scale shape: the append assigns
+    only the batch (O(batch) work, parquet append into cell dirs); the
+    stats pass is one partial-aggregated shuffle on cell over the
+    assignments and returns k rows."""
+    import tempfile
+
+    from bravo_spark import llmops
+    from bravo_spark.inventory.scratch import register_for_exit
+
+    cv = _clustered_cv(spark, sf_dir)
+    cent = _lloyd_refine(cv).select("cid", F.col("ce").alias("centroid"))
+    path = register_for_exit(tempfile.mkdtemp(prefix="bravo_ivf_stats_"))
+    llmops.build_ivf_index(cv, path, id_col="id", vec_col="e",
+                           centroids=cent)
+    llmops.ivf_index_append(
+        spark, path,
+        cv.where(F.col("id") < _IVF_STATS_APPEND_N).select(
+            (F.col("id") + 1_000_000).alias("id"), "e"
+        ),
+    )
+    return llmops.ivf_index_stats(spark, path).select(
+        "cell",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        "min_cos",
+    )

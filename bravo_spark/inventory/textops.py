@@ -2758,3 +2758,117 @@ def multimodal_orientation_normalize(spark, sf_dir):
         schema="doc_id long, orientation long, out_w long, out_h long,"
         " checksum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted n-gram LM: the train-once/score-many half of the CCNet gate.
+# Same 80/20 split, same counts, same integer micro-unit scoring as
+# text_lm_perplexity_filter — but the count relations go THROUGH
+# llmops.save_ngram_lm / load_ngram_lm (parquet + Hadoop-FS manifest)
+# between training and scoring, so the oracle hash proves persistence
+# is lossless end-to-end (schema, values, and the manifest round-trip).
+# ---------------------------------------------------------------------------
+
+
+@query("ngram_lm_persist_score", oracle=_NGRAM_LM_ORACLE)
+def ngram_lm_persist_score(spark, sf_dir):
+    """The persisted-LM lifecycle: train stupid-backoff counts on the
+    hash-split 80%, save_ngram_lm → load_ngram_lm (the build-once
+    contract shared with the IVF and inverted indexes), score the
+    held-out 20% from the LOADED relations. The oracle is the direct
+    train+score replay (_NGRAM_LM_ORACLE) — any loss in persistence
+    shows up as a hash mismatch. Scale: the four saved relations are
+    vocabulary-sized parquet writes; scoring reads them back with
+    column pruning and joins per token exactly like the direct path."""
+    from bravo_spark import llmops
+    from bravo_spark.inventory.scratch import scratch_dir
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    is_train = F.expr(f"({_H32_SPARK_DOC} % 10) < 8")
+    lm = llmops.ngram_lm_counts(docs.filter(is_train), "text",
+                                token_re=TOKEN_RE)
+    path = scratch_dir("ngramlm")
+    llmops.save_ngram_lm(lm, path)
+    loaded = llmops.load_ngram_lm(spark, path)
+    return llmops.ngram_lm_score(
+        docs.filter(~is_train), loaded, "text", "doc_id",
+        token_re=TOKEN_RE, keep_micro=50_000,
+    ).drop("ppl_proxy")
+
+
+# ---------------------------------------------------------------------------
+# column-level EXIF redaction (llmops.redact_exif): the API a pipeline
+# actually calls — multimodal_exif_audit proves the splice primitives,
+# this row proves the COLUMN operator including its quarantine contract:
+# every 7th document's JPEG is torn mid-marker-stream, and with
+# quarantine=True those payloads null out with flag -1 while the rest
+# redact losslessly (flag 1, bytes spliced back to the untagged base).
+# ---------------------------------------------------------------------------
+
+_EXIF_REDACT_ORACLE = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS BIGINT)
+    AS exif_redacted,
+  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT)
+    AS splice_exact
+FROM documents
+"""
+
+
+@query("multimodal_exif_redact", oracle=_EXIF_REDACT_ORACLE)
+def multimodal_exif_redact(spark, sf_dir):
+    """redact_exif over a mixed-health JPEG column: docs tag a shared
+    pixel-real base JPEG with a deterministic Exif APP1 (GPS on every
+    third doc — the PII that must not survive), every 7th doc's payload
+    is TORN mid-stream, and quarantine=True isolates the torn ones
+    (payload NULL, flag -1 — never passed through unredacted) while
+    clean ones splice back to the byte-identical untagged base (flag 1,
+    proven via md5 against the plan-time base digest). Map-only: two
+    Arrow-batched mapInPandas stages (tag, redact) + a JVM-side md5
+    projection, zero shuffles."""
+    from bravo_spark import llmops
+    from bravo_spark.inventory import exif as ex
+    from bravo_spark.inventory.jpeg import jpeg_encode
+
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id")
+    raw = bytes((x * 8 + y) % 256 for y in range(16) for x in range(16))
+    base = jpeg_encode(16, 16, "L", raw)
+    import hashlib
+
+    base_md5 = hashlib.md5(base).hexdigest()
+
+    def tag(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                gps = (
+                    (doc_id % 60 + 0.25, (doc_id * 7) % 120 + 30 + 0.5)
+                    if doc_id % 3 == 0
+                    else None
+                )
+                tagged = ex.insert_exif(
+                    base,
+                    ex.build_exif_app1(
+                        orientation=doc_id % 8 + 1, gps=gps,
+                        byte_order="II" if doc_id % 2 == 0 else "MM",
+                    ),
+                )
+                if doc_id % 7 == 0:
+                    # tear INSIDE the APP1 (the smallest possible Exif
+                    # APP1 spans bytes 2..38), so the marker walk always
+                    # hits the truncation
+                    tagged = tagged[:20]
+                rows.append({"doc_id": doc_id, "payload": tagged})
+            yield pd.DataFrame(rows)
+
+    tagged = docs.mapInPandas(tag, schema="doc_id long, payload binary")
+    red = llmops.redact_exif(tagged, "payload", quarantine=True)
+    return red.select(
+        "doc_id",
+        F.col("exif_redacted").cast("long").alias("exif_redacted"),
+        F.when(F.md5(F.col("payload")) == base_md5, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("splice_exact"),
+    )

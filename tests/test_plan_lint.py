@@ -90,6 +90,9 @@ _SIDE_EFFECTFUL_MARKERS = (
     "state_migration", "savepoint_diff", "rescale", "lloyd", "bpe_train",
     "pagerank", "dedup_clusters", "dedup_semantic", "ivf_index_search",
     "write_roundtrip", "sink",
+    # r17 registrations: construction writes a fixture / persists an
+    # index or LM / runs a streaming drain before the returned plan
+    "ingest", "index_stats", "persist",
 )
 
 

@@ -29,6 +29,8 @@ SIDE_EFFECTFUL_MARKERS = (
     "pagerank", "dedup_clusters", "dedup_semantic", "ivf_index_search",
     "write_roundtrip", "sink", "source_roundtrip", "ingest",
     "phrase_search_index", "roundtrip",
+    # r17: construction persists an index/LM before the returned plan
+    "index_stats", "persist",
 )
 
 
