@@ -512,6 +512,19 @@ def audit_flink_savepoint(spark, path: str):
     - ``subtask_index_out_of_range``: a subtask index at/past the
       operator's recorded parallelism.
 
+    The NON-KEYED (operator-state) side gets the symmetric audit (r17):
+
+    - ``op_state_offset_out_of_bounds``: a per-partition offset at/past
+      its handle's recorded stream size (torn copy / stale metadata).
+    - ``op_state_offset_disorder``: a state's partition offsets not
+      strictly increasing — spans would have negative extents.
+    - ``op_state_unknown_mode``: a distribution-mode ordinal that is not
+      SPLIT_DISTRIBUTE/UNION/BROADCAST — redistribution on restore is
+      undefined.
+    - ``op_state_duplicate_name``: one state name recorded twice in a
+      single handle — a restore binds one offset set and silently drops
+      the other.
+
     Columns: (check, operator_id, subtask, severity, detail)."""
     import os
 
@@ -607,8 +620,58 @@ def audit_flink_savepoint(spark, path: str):
                         covered += h.num_key_groups
             for what, oh in (("managed_op", st.managed_op),
                              ("raw_op", st.raw_op)):
-                if oh is not None:
-                    check_stream(oh.stream, opid, sti, what)
+                if oh is None:
+                    continue
+                check_stream(oh.stream, opid, sti, what)
+                # the non-keyed side of the savepoint: each
+                # PartitionableOperatorStateHandle records, per state
+                # name, a distribution mode and the per-partition
+                # offsets into ONE stream — validate them against the
+                # recorded stream size the same way the keyed side's
+                # key-group offsets are
+                size = oh.stream.size if oh.stream else -1
+                seen_names: set[str] = set()
+                for name, mode, offsets in oh.states:
+                    if name in seen_names:
+                        rows.append((
+                            "op_state_duplicate_name", opid, sti, "error",
+                            f"{what}: state {name!r} recorded twice in "
+                            "one handle — a restore would bind one set "
+                            "of offsets and silently drop the other",
+                        ))
+                    seen_names.add(name)
+                    if mode not in (fm.MODE_SPLIT_DISTRIBUTE,
+                                    fm.MODE_UNION, fm.MODE_BROADCAST):
+                        rows.append((
+                            "op_state_unknown_mode", opid, sti, "error",
+                            f"{what}: state {name!r} distribution mode "
+                            f"{mode} is not SPLIT_DISTRIBUTE/UNION/"
+                            "BROADCAST — redistribution on restore is "
+                            "undefined",
+                        ))
+                    bad = [o for o in offsets if size >= 0 and o >= size]
+                    if bad:
+                        rows.append((
+                            "op_state_offset_out_of_bounds", opid, sti,
+                            "error",
+                            f"{what}: state {name!r} has {len(bad)} "
+                            f"offset(s) >= stream size {size} "
+                            f"(first: {bad[0]})",
+                        ))
+                    disorder = [
+                        (a, b) for a, b in zip(offsets, offsets[1:])
+                        if b <= a
+                    ]
+                    if disorder:
+                        rows.append((
+                            "op_state_offset_disorder", opid, sti,
+                            "error",
+                            f"{what}: state {name!r} offsets not "
+                            "strictly increasing (first: "
+                            f"{disorder[0][1]} after {disorder[0][0]}) — "
+                            "partition spans would have negative "
+                            "extents",
+                        ))
 
         ranges.sort()
         for (s1, n1, t1), (s2, n2, t2) in zip(ranges, ranges[1:]):

@@ -785,3 +785,84 @@ def test_audit_flink_savepoint_defect_injection(spark, tmp_path):
     (spdir / "_metadata").write_bytes(b"\x00bogus")
     rows = mt.audit_flink_savepoint(spark, str(spdir)).collect()
     assert [r["check"] for r in rows] == ["metadata_unreadable"]
+
+
+def test_audit_flink_savepoint_operator_state_defects(spark, tmp_path):
+    """The non-keyed audit symmetry (r17): a healthy operator-state
+    handle (file stream resolved by basename, in-bounds strictly
+    increasing offsets, known modes) audits clean; then one finding per
+    injected defect class — offset past the recorded stream size,
+    non-increasing offsets, an unknown distribution-mode ordinal, a
+    duplicate state name, and the shared stream checks (missing file /
+    torn copy) firing for operator-state streams too."""
+    from bravo_spark import maintenance as mt
+
+    spdir = tmp_path / "sp"
+    spdir.mkdir()
+    opfile = spdir / "op-state-xyz"
+    opfile.write_bytes(b"\x02" * 200)
+
+    def write_meta(states, *, size=200, path="file:/moved/op-state-xyz",
+                   kind=fm.FILE_STREAM_STATE_HANDLE, data=None):
+        op = fm.OperatorStateMeta(operator_id("np-op"), 1, 128)
+        op.subtasks.append(fm.SubtaskState(0, managed_op=fm.OperatorStateHandleMeta(
+            states,
+            fm.StreamStateHandle(kind, size, path=path, data=data),
+        )))
+        (spdir / "_metadata").write_bytes(
+            fm.serialize(fm.FlinkSavepoint(9, [op])))
+
+    def checks():
+        return sorted(
+            r["check"]
+            for r in mt.audit_flink_savepoint(spark, str(spdir)).collect()
+        )
+
+    # healthy: two states, strictly increasing in-bounds offsets, all
+    # three legal modes seen
+    write_meta([
+        ("bufferA", fm.MODE_SPLIT_DISTRIBUTE, [0, 50, 120]),
+        ("bufferB", fm.MODE_UNION, [0]),
+        ("rules", fm.MODE_BROADCAST, [10, 180]),
+    ])
+    assert checks() == []
+
+    # offset at/past the recorded stream size
+    write_meta([("bufferA", fm.MODE_SPLIT_DISTRIBUTE, [0, 200])])
+    assert checks() == ["op_state_offset_out_of_bounds"]
+
+    # offsets not strictly increasing
+    write_meta([("bufferA", fm.MODE_SPLIT_DISTRIBUTE, [0, 50, 50])])
+    assert checks() == ["op_state_offset_disorder"]
+
+    # unknown distribution mode ordinal
+    write_meta([("bufferA", 7, [0, 50])])
+    assert checks() == ["op_state_unknown_mode"]
+
+    # duplicate state name within one handle
+    write_meta([
+        ("bufferA", fm.MODE_SPLIT_DISTRIBUTE, [0]),
+        ("bufferA", fm.MODE_SPLIT_DISTRIBUTE, [50]),
+    ])
+    assert checks() == ["op_state_duplicate_name"]
+
+    # the shared stream checks also fire for operator-state streams:
+    # torn copy
+    opfile.write_bytes(b"\x02" * 150)
+    write_meta([("bufferA", fm.MODE_SPLIT_DISTRIBUTE, [0, 50])])
+    assert checks() == ["size_mismatch"]
+    # missing file
+    write_meta([("bufferA", fm.MODE_SPLIT_DISTRIBUTE, [0, 50])],
+               path="file:/moved/op-state-gone")
+    assert checks() == ["missing_state_file"]
+    opfile.write_bytes(b"\x02" * 200)
+
+    # byte-stream handles: offsets validate against the inline size too
+    write_meta([("bufferA", fm.MODE_SPLIT_DISTRIBUTE, [0, 99])],
+               kind=fm.BYTE_STREAM_STATE_HANDLE, size=100,
+               path="inline", data=b"\x00" * 100)
+    assert checks() == []
+    write_meta([("bufferA", fm.MODE_SPLIT_DISTRIBUTE, [0, 100])],
+               kind=fm.BYTE_STREAM_STATE_HANDLE, size=100,
+               path="inline", data=b"\x00" * 100)
+    assert checks() == ["op_state_offset_out_of_bounds"]
