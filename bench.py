@@ -81,8 +81,13 @@ FIXED_COST = [
     "token_budget_pack",
     # EXIF tag/audit/redact lifecycle: map-only Arrow batches
     "multimodal_exif_audit",
+    # r17: the column-level redact_exif API incl. quarantine — map-only
+    "multimodal_exif_redact",
     # orientation kernel: map-only numpy per image
     "multimodal_orientation_normalize",
+    # r17: persisted-LM lifecycle — trains AND persists/reloads the
+    # count relations per run (write-floored vs the direct lm filter)
+    "ngram_lm_persist_score",
     # WARC ingest: archive-grain binaryFile read + Arrow-batched parse
     # (fixture archives are written once per process, so the timed runs
     # measure the READ path)
@@ -96,6 +101,9 @@ FIXED_COST = [
     # they close the fixed-cost phase
     "phrase_search_index",
     "ann_ivf_index_search",
+    # r17: IVF maintenance lifecycle — build + append + stats pass per
+    # run (write-floored, the heaviest fixed-cost row by design)
+    "ann_ivf_index_stats",
 ]
 
 # Rows that run one or more REAL streaming-query lifecycles (start,
@@ -106,6 +114,10 @@ FIXED_COST = [
 RESTART_FLOOR = [
     "streaming_window_counts",
     "streaming_stateful_counts",
+    # r17: the streaming ingest rows each run ONE availableNow
+    # lifecycle over a write-once shard fixture (memory sink)
+    "warc_stream_ingest",
+    "avro_stream_ingest",
     "rocksdb_state_rewrite",
     # r15: the HDFS-backed provider twin — the more common provider in
     # the wild — gets a wall number too (r14 verdict task 4)
