@@ -780,3 +780,41 @@ def test_ivf_index_search_prunes_cells(plans):
     p = plans("ann_ivf_index_search", "formatted")
     assert "PartitionFilters: [isnotnull(cell" in p
     assert "CartesianProduct" not in p
+
+
+def test_ivf_index_stats_broadcasts_centroids_with_partial_agg(plans):
+    """The maintenance-stats pass must broadcast only the k-row centroid
+    relation against the assignments scan and partial-aggregate the
+    per-cell stats (map-side combine before the single shuffle on cell)
+    — never shuffle the corpus against the centroids or cross-join."""
+    p = plans("ann_ivf_index_stats")
+    assert "CartesianProduct" not in p
+    # exactly ONE keyless broadcast join is deliberate: the 1-row
+    # corpus-total relation joined onto the k-row per-cell aggregate
+    # (fixed-size both sides); any second one would be a real defect
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_exif_redact_is_map_only_arrow(plans):
+    """Tag -> redact -> verify is two Arrow-batched python stages + a
+    JVM md5 projection: zero exchanges, no per-row Python UDF."""
+    p = plans("multimodal_exif_redact")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p or "mapInPandas" in p.lower()
+    assert "BatchEvalPython" not in p  # row-at-a-time UDF never
+
+
+def test_ngram_lm_persist_scores_from_loaded_relations(plans):
+    """The persisted-scoring row must read the four saved count
+    relations as parquet scans (not retrain inline) and keep every
+    token join an equi-join."""
+    p = plans("ngram_lm_persist_score", "formatted")
+    assert p.count("Scan parquet") >= 4  # tri/bi/uni/tot read back
+    assert "CartesianProduct" not in p
+    # keyless broadcasts are the 1-row token-total relation only (the
+    # stupid-backoff denominator; it surfaces twice in the physical
+    # plan); every token-level join stays a hash equi-join
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
