@@ -18,10 +18,17 @@ declaration order.
 Type surface: null, boolean, int, long, float, double, bytes, string,
 record, enum, array, map, union, fixed. Codecs: ``null``, ``deflate``
 (raw DEFLATE per spec), ``snappy`` (block snappy + 4-byte big-endian
-CRC32 of the UNcompressed payload, per spec). Anything else
-(``zstandard``, ``bzip2``, ``xz``) refuses BY NAME — never wrong bytes.
-Logical types decode as their underlying primitive (documented
-pass-through; the annotations survive in the schema).
+CRC32 of the UNcompressed payload, per spec), and — since r17 —
+``bzip2`` (stdlib bz2, one complete bzip2 stream per block), ``xz``
+(stdlib lzma, one .xz stream per block), and ``zstandard`` (one zstd
+frame per block, via codecs/fastpath: pyarrow's bundled libzstd with
+the pure RFC 8878 decoder as fallback) — each cross-validated both
+directions against the real avro jar in ``tests/test_avro.py``. An
+unknown codec name still refuses BY NAME — never wrong bytes. All
+block decompressors are output-bounded (MAX_BLOCK_BYTES) so a crafted
+few-KB bomb block cannot allocate unbounded memory. Logical types
+decode as their underlying primitive (documented pass-through; the
+annotations survive in the schema).
 """
 
 from __future__ import annotations
@@ -346,7 +353,34 @@ def _matches(schema: Any, v: Any) -> bool:
 # container file
 # --------------------------------------------------------------------------
 
-_CODECS = ("null", "deflate", "snappy")
+_CODECS = ("null", "deflate", "snappy", "bzip2", "xz", "zstandard")
+
+
+def _bounded_obj_decompress(d, payload: bytes, pos: int, name: str) -> bytes:
+    """Shared bounded-output loop for the stdlib decompressor objects
+    (bz2.BZ2Decompressor / lzma.LZMADecompressor): same bomb ceiling and
+    refusal-by-name contract as the deflate path."""
+    chunks: list[bytes] = []
+    total = 0
+    data = payload
+    while True:
+        try:
+            chunk = d.decompress(data, MAX_BLOCK_BYTES + 1 - total)
+        except Exception as e:  # OSError (bz2) / LZMAError — corrupt
+            raise AvroError(f"corrupt {name} block at byte {pos}: {e}")
+        chunks.append(chunk)
+        total += len(chunk)
+        if total > MAX_BLOCK_BYTES:
+            raise AvroError(
+                f"{name} block at byte {pos} inflates past "
+                f"{MAX_BLOCK_BYTES} bytes"
+            )
+        if d.eof:
+            break
+        if d.needs_input:
+            raise AvroError(f"truncated {name} block at byte {pos}")
+        data = b""
+    return b"".join(chunks)
 
 
 def read_ocf(data: bytes) -> tuple[dict[str, Any], Iterator[dict[str, Any]]]:
@@ -397,6 +431,31 @@ def read_ocf(data: bytes) -> tuple[dict[str, Any], Iterator[dict[str, Any]]]:
                 payload = fastpath.snappy_decompress(body)
                 if struct.pack(">I", zlib.crc32(payload)) != crc:
                     raise AvroError("snappy block CRC32 mismatch")
+            elif codec == "bzip2":
+                import bz2
+
+                payload = _bounded_obj_decompress(
+                    bz2.BZ2Decompressor(), payload, d.pos, "bzip2")
+            elif codec == "xz":
+                import lzma
+
+                payload = _bounded_obj_decompress(
+                    lzma.LZMADecompressor(format=lzma.FORMAT_XZ),
+                    payload, d.pos, "xz")
+            elif codec == "zstandard":
+                from bravo_spark.codecs import fastpath
+
+                try:
+                    # stream decode: Java Avro's codec writes frames
+                    # without a guaranteed content-size header field
+                    payload = fastpath.zstd_decompress_stream(payload)
+                except ValueError as e:
+                    raise AvroError(
+                        f"corrupt zstandard block at byte {d.pos}: {e}")
+                if len(payload) > MAX_BLOCK_BYTES:
+                    raise AvroError(
+                        f"zstandard block at byte {d.pos} inflates past "
+                        f"{MAX_BLOCK_BYTES} bytes")
             # Count bomb guard: every record encoding consumes at least
             # one byte unless the schema is degenerate (null / zero-field
             # record, which encodes to zero bytes — legal but rare), so a
@@ -471,6 +530,18 @@ def write_ocf(
             payload = fastpath.snappy_compress(raw) + struct.pack(
                 ">I", zlib.crc32(raw)
             )
+        elif codec == "bzip2":
+            import bz2
+
+            payload = bz2.compress(payload)
+        elif codec == "xz":
+            import lzma
+
+            payload = lzma.compress(payload, format=lzma.FORMAT_XZ)
+        elif codec == "zstandard":
+            from bravo_spark.codecs import fastpath
+
+            payload = fastpath.zstd_compress(payload)
         hdr = _Encoder()
         hdr.long(len(batch))
         hdr.long(len(payload))

@@ -1,9 +1,11 @@
 """Avro OCF codec (codecs/avro.py): python roundtrips, malformation
 strictness, and CROSS-VALIDATION against the real avro-1.12.1.jar that
 ships in Spark's JVM — files we write are read by real Avro, files real
-Avro writes are read by us, across null/deflate/snappy codecs and the
-full supported type surface (the same both-directions discipline as the
-SST/rocksdbjni and Snappy/xerial pins).
+Avro writes are read by us, across ALL SIX spec codecs
+(null/deflate/snappy/bzip2/xz/zstandard — the last three closed the r16
+named-refusal residual in r17) and the full supported type surface (the
+same both-directions discipline as the SST/rocksdbjni and Snappy/xerial
+pins).
 """
 
 from __future__ import annotations
@@ -58,7 +60,8 @@ _ROWS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy",
+                                   "bzip2", "xz", "zstandard"])
 def test_python_roundtrip(codec):
     blob = write_ocf(_SCHEMA, _ROWS, codec=codec, records_per_block=10)
     schema, recs = read_ocf(blob)
@@ -81,8 +84,8 @@ def test_negative_and_wide_longs_roundtrip():
 def test_bad_magic_and_bad_codec_refuse_by_name():
     with pytest.raises(AvroError, match="magic"):
         list(read_ocf(b"PAR1aaaa")[1])
-    with pytest.raises(AvroError, match="zstandard"):
-        write_ocf(_SCHEMA, [], codec="zstandard")
+    with pytest.raises(AvroError, match="lz77-custom"):
+        write_ocf(_SCHEMA, [], codec="lz77-custom")
 
 
 def test_sync_marker_mismatch_detected():
@@ -129,7 +132,8 @@ def _real_read(spark, path):
     return out
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy",
+                                   "bzip2", "xz", "zstandard"])
 def test_real_avro_reads_our_files(spark, codec):
     sch = {
         "type": "record", "name": "X",
@@ -159,7 +163,8 @@ def test_real_avro_reads_our_files(spark, codec):
 
 
 @pytest.mark.parametrize("codec_factory", ["nullCodec", "deflateCodec",
-                                           "snappyCodec"])
+                                           "snappyCodec", "bzip2Codec",
+                                           "xzCodec", "zstandardCodec"])
 def test_we_read_real_avro_files(spark, codec_factory):
     jvm = _jvm(spark)
     sch_json = json.dumps(
@@ -182,6 +187,12 @@ def test_we_read_real_avro_files(spark, codec_factory):
         w.setCodec(cf.deflateCodec(6))
     elif codec_factory == "snappyCodec":
         w.setCodec(cf.snappyCodec())
+    elif codec_factory == "bzip2Codec":
+        w.setCodec(cf.bzip2Codec())
+    elif codec_factory == "xzCodec":
+        w.setCodec(cf.xzCodec(6))
+    elif codec_factory == "zstandardCodec":
+        w.setCodec(cf.zstandardCodec(3))
     path = os.path.join(tempfile.mkdtemp(), f"real_{codec_factory}.avro")
     w.create(sch, jvm.java.io.File(path))
     for i in range(200):
