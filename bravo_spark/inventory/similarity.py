@@ -1024,10 +1024,14 @@ def ann_ivf_index_search(spark, sf_dir):
     import tempfile
 
     from bravo_spark import llmops
+    from bravo_spark.inventory.scratch import register_for_exit
 
     cv = _clustered_cv(spark, sf_dir)
     cent = _lloyd_refine(cv).select("cid", F.col("ce").alias("centroid"))
-    path = tempfile.mkdtemp(prefix="bravo_ivf_idx_")
+    # per-call dir (this row deliberately times the full build+probe
+    # lifecycle), but registered for exit cleanup — repeated bench runs
+    # previously leaked one index dir per call for the process lifetime
+    path = register_for_exit(tempfile.mkdtemp(prefix="bravo_ivf_idx_"))
     llmops.build_ivf_index(cv, path, id_col="id", vec_col="e", centroids=cent)
     return llmops.ivf_index_search(
         spark, path, cv.where(F.col("id") < N_QUERIES),
