@@ -73,6 +73,13 @@ def _inflate_bounded(payload: bytes, pos: int) -> bytes:
         data = d.unconsumed_tail
         if not data:
             raise AvroError(f"truncated deflate block at byte {pos}")
+    if d.unused_data:
+        # the block's byte size frames the stream exactly — bytes after
+        # the DEFLATE end-of-stream are a format violation, not padding
+        raise AvroError(
+            f"{len(d.unused_data)} junk byte(s) after deflate stream "
+            f"end in block at byte {pos}"
+        )
     return b"".join(chunks)
 
 
@@ -380,6 +387,11 @@ def _bounded_obj_decompress(d, payload: bytes, pos: int, name: str) -> bytes:
         if d.needs_input:
             raise AvroError(f"truncated {name} block at byte {pos}")
         data = b""
+    if d.unused_data:
+        raise AvroError(
+            f"{len(d.unused_data)} junk byte(s) after {name} stream "
+            f"end in block at byte {pos}"
+        )
     return b"".join(chunks)
 
 

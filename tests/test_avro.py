@@ -311,3 +311,41 @@ def test_truncated_deflate_block_refuses_by_name():
     _, records = read_ocf(bytes(blob))
     with pytest.raises((AvroError,)):
         list(records)
+
+
+@pytest.mark.parametrize("codec", ["deflate", "bzip2", "xz"])
+def test_trailing_junk_after_compressed_stream_refused(codec):
+    """The block size frames the compressed stream exactly — bytes after
+    the stream's end marker inside a block are a format violation and
+    must refuse by name, not silently drop."""
+    import struct as _struct
+
+    blob = bytearray(write_ocf(json.dumps(_SCHEMA), _ROWS[:5],
+                               codec=codec))
+    # locate the (only) block: header after magic+meta+sync; splice 3
+    # junk bytes after the compressed payload and bump the size varint
+    from bravo_spark.codecs.avro import _Decoder, _zigzag_encode
+
+    d = _Decoder(bytes(blob))
+    d.raw(4)
+    n = d.long()
+    for _ in range(n):
+        d.raw(d.long())
+        d.raw(d.long())
+    assert d.long() == 0
+    d.raw(16)
+    header_at = d.pos
+    count = d.long()
+    size = d.long()
+    payload = bytes(blob[d.pos:d.pos + size])
+    sync_and_rest = bytes(blob[d.pos + size:])
+    forged = (
+        bytes(blob[:header_at])
+        + _zigzag_encode(count)
+        + _zigzag_encode(size + 3)
+        + payload + b"\x00\x01\x02"
+        + sync_and_rest
+    )
+    _, records = read_ocf(forged)
+    with pytest.raises(AvroError, match="junk byte"):
+        list(records)
