@@ -456,18 +456,38 @@ def read_ocf(data: bytes) -> tuple[dict[str, Any], Iterator[dict[str, Any]]]:
                     payload, d.pos, "xz")
             elif codec == "zstandard":
                 from bravo_spark.codecs import fastpath
+                from bravo_spark.codecs import zstd as pz
 
+                # header-only framing + bomb pre-checks before any
+                # decode work: exactly ONE data frame per block (the
+                # trailing-junk contract the other codecs enforce), and
+                # a declared content size must fit the block ceiling
+                try:
+                    kind, clen, csize = pz.inspect_frame(payload)
+                except pz.ZstdError as e:
+                    raise AvroError(
+                        f"corrupt zstandard block at byte {d.pos}: {e}")
+                if kind != "zstd":
+                    raise AvroError(
+                        f"zstandard block at byte {d.pos} starts with a "
+                        f"{kind} frame, not a data frame")
+                if clen != len(payload):
+                    raise AvroError(
+                        f"{len(payload) - clen} junk byte(s) after "
+                        f"zstd frame end in block at byte {d.pos}")
+                if csize is not None and csize > MAX_BLOCK_BYTES:
+                    raise AvroError(
+                        f"zstandard block at byte {d.pos} declares "
+                        f"{csize} bytes, past {MAX_BLOCK_BYTES}")
                 try:
                     # stream decode: Java Avro's codec writes frames
-                    # without a guaranteed content-size header field
-                    payload = fastpath.zstd_decompress_stream(payload)
+                    # without a guaranteed content-size header field —
+                    # the bound holds even then
+                    payload = fastpath.zstd_decompress_stream(
+                        payload, max_bytes=MAX_BLOCK_BYTES)
                 except ValueError as e:
                     raise AvroError(
                         f"corrupt zstandard block at byte {d.pos}: {e}")
-                if len(payload) > MAX_BLOCK_BYTES:
-                    raise AvroError(
-                        f"zstandard block at byte {d.pos} inflates past "
-                        f"{MAX_BLOCK_BYTES} bytes")
             # Count bomb guard: every record encoding consumes at least
             # one byte unless the schema is degenerate (null / zero-field
             # record, which encodes to zero bytes — legal but rare), so a

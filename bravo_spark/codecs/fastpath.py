@@ -123,22 +123,49 @@ def zstd_decompress(frame: bytes, dlen: int) -> bytes:
     return out
 
 
-def zstd_decompress_stream(frame: bytes) -> bytes:
+def zstd_decompress_stream(frame: bytes, *, max_bytes: int | None = None) -> bytes:
     """Decode a zstd frame whose content size is NOT known in advance
     (streaming writers often omit the header field — e.g. Spark's
     ZSTDCompressionCodec state files). Uses pyarrow's CompressedInputStream
-    when available, else the pure RFC 8878 decoder."""
+    when available, else the pure RFC 8878 decoder.
+
+    ``max_bytes`` bounds the decompressed output: the pyarrow path reads
+    at most ``max_bytes + 1`` bytes (so a bomb frame never materializes
+    past the ceiling); the pure path decodes whole frames and checks
+    after the fact (callers wanting a hard pre-bound should also check
+    the frame's declared content size via ``zstd.inspect_frame``)."""
     if _codecs() is not None:
         import pyarrow as pa
 
         try:
             with pa.input_stream(pa.BufferReader(frame), compression="zstd") as s:
-                return s.read()
+                if max_bytes is None:
+                    return s.read()
+                chunks: list[bytes] = []
+                total = 0
+                while True:
+                    # loop to EOF: a short read must never truncate a
+                    # LEGAL frame, only the ceiling may stop us
+                    chunk = s.read(max_bytes + 1 - total)
+                    if not chunk:
+                        break
+                    chunks.append(bytes(chunk))
+                    total += len(chunk)
+                    if total > max_bytes:
+                        raise ValueError(
+                            f"zstd frame inflates past {max_bytes} bytes"
+                        )
+        except ValueError:
+            raise
         except Exception as e:
             raise ValueError(f"corrupt zstd frame: {e}") from e
+        return b"".join(chunks)
     from bravo_spark.codecs import zstd as pz
 
-    return pz.decompress(frame)
+    out = pz.decompress(frame)
+    if max_bytes is not None and len(out) > max_bytes:
+        raise ValueError(f"zstd frame inflates past {max_bytes} bytes")
+    return out
 
 
 def lz4_java_encode_stream(payload: bytes, block_size: int = 32 * 1024) -> bytes:

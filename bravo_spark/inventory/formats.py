@@ -488,28 +488,12 @@ def avro_source_roundtrip(spark, sf_dir):
 
     ev = catalog.table(spark, sf_dir, "events").select(*_COLS)
     out = scratch_dir("fmt_avro")
-    avro_schema = {
-        "type": "record",
-        "name": "Event",
-        "fields": [
-            {"name": "event_id", "type": "long"},
-            {"name": "user_id", "type": "long"},
-            {"name": "event_type", "type": "string"},
-            {"name": "value", "type": "double"},
-        ],
-    }
     # ONE writer and ONE reader path — the library source
-    # (sources/avro_source.py), shared with read_avro_stream
-    write_avro(ev, out, avro_schema)
-    back = read_avro(
-        spark, out, "event_id long, user_id long, event_type string,"
-        " value double"
-    )
-    return back.groupBy("event_type").agg(
-        F.count("*").alias("cnt"),
-        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
-        F.max("user_id").alias("max_user"),
-    )
+    # (sources/avro_source.py), shared with read_avro_stream — and ONE
+    # schema + verification aggregate shared with the streaming row
+    write_avro(ev, out, _AVRO_EVENT_SCHEMA)
+    back = read_avro(spark, out, _SCHEMA)
+    return _event_verification_agg(back)
 
 
 _AVRO_EVENT_SCHEMA = {
@@ -522,6 +506,41 @@ _AVRO_EVENT_SCHEMA = {
         {"name": "value", "type": "double"},
     ],
 }
+
+
+def _event_verification_agg(df):
+    """The shared flat-format verification aggregate (_AGG_ORACLE's
+    Spark twin) — one definition for the batch and streaming rows."""
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+def _drain_to_memory(spark, stream, name: str):
+    """availableNow drain into a memory sink with a FIXED per-row table
+    name: the previous invocation's temp view (one full result copy on
+    the driver) is dropped first so repeated bench/correctness runs
+    never accrete sink tables. A drain that does not finish within the
+    timeout is stopped and FAILS loudly — returning a partial table
+    would misdiagnose as a decode bug downstream."""
+    spark.catalog.dropTempView(name)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            f"streaming drain into {name!r} did not finish in 300 s"
+        )
+    return spark.table(name)
 
 
 @query("warc_stream_ingest", oracle=_WARC_INGEST_ORACLE)
@@ -541,8 +560,6 @@ def warc_stream_ingest(spark, sf_dir):
     Scale shape: identical to warc_ingest per batch (archive-grain
     tasks, zero shuffles); maxFilesPerTrigger bounds a backfill batch so
     a million-archive drop never becomes one giant micro-batch."""
-    import uuid
-
     from bravo_spark.sources.warc_source import read_warc_stream
 
     out = _warc_fixture(spark, sf_dir)
@@ -553,16 +570,7 @@ def warc_stream_ingest(spark, sf_dir):
         "n_bytes",
         F.md5(F.col("payload")).alias("digest"),
     )
-    name = f"warc_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        proj.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _drain_to_memory(spark, proj, "warc_stream_sink")
 
 
 @query("avro_stream_ingest", oracle=_AGG_ORACLE)
@@ -580,7 +588,6 @@ def avro_stream_ingest(spark, sf_dir):
     Python OCF decode, zero shuffles before the batch-side aggregate;
     maxFilesPerTrigger bounds backfill batches."""
     import hashlib
-    import uuid
 
     from bravo_spark.sources.avro_source import read_avro_stream, write_avro
 
@@ -594,17 +601,6 @@ def avro_stream_ingest(spark, sf_dir):
         open(marker, "w").close()
 
     stream = read_avro_stream(spark, out, _SCHEMA, max_files_per_trigger=8)
-    name = f"avro_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name).groupBy("event_type").agg(
-        F.count("*").alias("cnt"),
-        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
-        F.max("user_id").alias("max_user"),
+    return _event_verification_agg(
+        _drain_to_memory(spark, stream, "avro_stream_sink")
     )

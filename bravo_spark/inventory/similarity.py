@@ -1075,8 +1075,8 @@ FROM asg GROUP BY cid
 def ann_ivf_index_stats(spark, sf_dir):
     """Persisted-IVF maintenance surface: build (frozen Lloyd
     centroids) + ivf_index_append of a derived batch (the first
-    {_IVF_STATS_APPEND_N} vectors re-keyed — so the oracle can replay
-    the append's assignment exactly) happen ONCE per process behind a
+    _IVF_STATS_APPEND_N = 50 vectors re-keyed — so the oracle can
+    replay the append's assignment exactly) happen ONCE per process behind a
     completeness marker (the same write-once fixture discipline as the
     WARC archives — the build/write lifecycle cost is already measured
     by ann_ivf_index_search); every call then runs ivf_index_stats —

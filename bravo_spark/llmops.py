@@ -2324,7 +2324,11 @@ def ivf_index_compact(
                 "n_clusters": mf["n_clusters"]}
 
     vec_type = dict(asg.dtypes)[vec_col]
-    next_cid = max(int(r.cell) for r in stats) + 1
+    # fresh ids come from the CENTROID relation, not the stats: a cell
+    # with zero assigned vectors has a centroid but no stats row, and
+    # re-minting its cid would leave two centroids with one id
+    cent_rows = cent.collect()  # k rows: model-scale
+    next_cid = max(int(r.cid) for r in cent_rows) + 1
     new_cells: list[int] = []
     new_cent_rows: list[tuple[int, list[float]]] = []
     rewrites = None
@@ -2374,24 +2378,32 @@ def ivf_index_compact(
         )
         rewrites = reasg if rewrites is None else rewrites.unionByName(reasg)
 
-    # one dynamic-overwrite write for ALL drifted cells: only the
-    # partitions present in `rewrites` (old drifted ids + new ids) are
-    # replaced; healthy cells' files are untouched. The eager
-    # localCheckpoint materializes the reassignment BEFORE the write and
-    # truncates lineage — the write target is the same parquet dir the
-    # plan reads, which Spark (correctly) refuses without it
+    # Materialize the reassignment BEFORE touching files: the eager
+    # localCheckpoint truncates lineage (the plan reads the same parquet
+    # dirs the rewrite replaces), then the drifted cells' partition dirs
+    # are DELETED explicitly and the reassignment appended. A dynamic
+    # partition overwrite would only replace partitions present in the
+    # new data — if a drifted cell's reused id receives no members from
+    # the within-cell reassignment, its stale directory would survive
+    # and every vector in it would be duplicated into the new cells.
     rewrites = rewrites.localCheckpoint()
-    (rewrites.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
+    asg_root = _index_path(path, "assignments")
+    fs, _, jvm = _hadoop_fs(spark, asg_root)
+    for cell in drifted:
+        cell_dir = jvm.org.apache.hadoop.fs.Path(
+            _index_path(asg_root, f"cell={cell}"))
+        if fs.exists(cell_dir):
+            fs.delete(cell_dir, True)
+    (rewrites.write.mode("append")
      .partitionBy("cell")
-     .parquet(_index_path(path, "assignments")))
+     .parquet(asg_root))
 
     # the centroid relation is k' rows (model-scale): merge driver-side
     # so the overwrite never reads the path it replaces
     gone = set(drifted)
     kept_rows = [
         (int(r.cid), [float(x) for x in r.centroid])
-        for r in cent.collect() if int(r.cid) not in gone
+        for r in cent_rows if int(r.cid) not in gone
     ]
     spark.createDataFrame(
         kept_rows + [(int(c), e) for c, e in new_cent_rows],

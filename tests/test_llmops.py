@@ -1339,3 +1339,43 @@ def test_ivf_index_compact_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="subsplit"):
         llmops.ivf_index_compact(spark, str(tmp_path / "x"),
                                  min_mean_cos=0.9, subsplit=1)
+
+
+def test_ivf_index_compact_never_remints_empty_cell_ids(spark, tmp_path):
+    """A centroid cell with ZERO assigned vectors has no stats row and
+    no cell= partition — fresh sub-cell ids must still never collide
+    with it (they come from the centroid relation, not the stats), and
+    the post-compact index must hold every vector exactly once."""
+    import math
+
+    def ray(t, n, b):
+        return [(b + i, [math.cos(math.radians(t + (i % 5 - 2))),
+                         math.sin(math.radians(t + (i % 5 - 2)))])
+                for i in range(n)]
+
+    emb = spark.createDataFrame(
+        ray(0, 20, 100) + ray(90, 20, 200),
+        "vec_id long, embedding array<double>")
+    # cell 2's centroid has negative cosine to every vector: never the
+    # argmax, so it stays empty
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-0.7071, -0.7071])],
+        "cid int, centroid array<double>")
+    idx = str(tmp_path / "ivf")
+    llmops.build_ivf_index(emb, idx, n_clusters=3, centroids=cents)
+
+    llmops.ivf_index_append(
+        spark, idx,
+        spark.createDataFrame(ray(40, 50, 300),
+                              "vec_id long, embedding array<double>"))
+    report = llmops.ivf_index_compact(spark, idx, min_mean_cos=0.95)
+    assert report["drifted"] == [0]
+    # the fresh id skips PAST the empty cell's cid 2
+    assert report["new_cells"] == [3]
+
+    asg, cent, _ = llmops.load_ivf_index(spark, idx)
+    cids = [int(r.cid) for r in cent.collect()]
+    assert sorted(cids) == [0, 1, 2, 3] and len(set(cids)) == 4
+    # every vector exactly once: no stale drifted-partition leftovers
+    assert asg.count() == 90
+    assert asg.select("vec_id").distinct().count() == 90
