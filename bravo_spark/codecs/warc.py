@@ -38,21 +38,50 @@ class WarcError(ValueError):
     truncated record, missing record terminator)."""
 
 
+# Archive decompression-bomb ceiling: legitimate WET/WARC text archives
+# inflate ~3-10×; 512× the compressed size (floor 64 MiB so tiny
+# archives aren't over-constrained) bounds an adversarial member/frame
+# without refusing any real crawl drop. Crawl ingest parses untrusted
+# bytes BY DEFINITION, so the decompressors must never materialize
+# unbounded output before a size check can run.
+_MAX_INFLATE_RATIO = 512
+_MIN_INFLATE_CAP = 64 << 20
+
+
+def _inflate_cap(n_compressed: int) -> int:
+    return max(n_compressed * _MAX_INFLATE_RATIO, _MIN_INFLATE_CAP)
+
+
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a possibly multi-member gzip stream (each WARC record
-    its own member) into one plain byte string."""
+    its own member) into one plain byte string, output-bounded against
+    decompression bombs."""
+    cap = _inflate_cap(len(data))
     out = io.BytesIO()
+    total = 0
     pos = 0
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)  # 31 = gzip header expected
-        try:
-            out.write(d.decompress(data[pos:]))
-            out.write(d.flush())
-        except zlib.error as exc:
-            raise WarcError(f"bad gzip member at byte {pos}: {exc}") from exc
-        if not d.eof:
-            raise WarcError(f"truncated gzip member at byte {pos}")
+        feed = data[pos:]
+        while True:
+            try:
+                chunk = d.decompress(feed, cap + 1 - total)
+            except zlib.error as exc:
+                raise WarcError(
+                    f"bad gzip member at byte {pos}: {exc}") from exc
+            out.write(chunk)
+            total += len(chunk)
+            if total > cap:
+                raise WarcError(
+                    f"archive inflates past {cap} bytes "
+                    f"({_MAX_INFLATE_RATIO}x its compressed size) — "
+                    "decompression bomb")
+            if d.eof:
+                break
+            feed = d.unconsumed_tail
+            if not feed:
+                raise WarcError(f"truncated gzip member at byte {pos}")
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:  # pragma: no cover - defensive against zlib quirks
             raise WarcError(f"gzip member at byte {pos} consumed nothing")
@@ -93,7 +122,8 @@ def parse_warc(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         from bravo_spark.codecs import fastpath
 
         try:
-            data = fastpath.zstd_decompress_stream(data)
+            data = fastpath.zstd_decompress_stream(
+                data, max_bytes=_inflate_cap(len(data)))
         except ValueError as exc:
             raise WarcError(f"bad zstd stream: {exc}") from exc
     pos = 0

@@ -176,3 +176,22 @@ def test_zstd_warc_truncation_raises():
 def test_unknown_compression_refused_by_name():
     with pytest.raises(WarcError, match="lz77"):
         write_warc([_rec("doc://1", b"x")], compression="lz77")
+
+
+def test_gzip_bomb_archive_refused():
+    """A tiny .warc.gz inflating past 512x its compressed size (64 MiB
+    floor) must refuse by name, never OOM the parsing task — crawl
+    archives are untrusted bytes by definition."""
+    import gzip as _gzip
+
+    bomb = _gzip.compress(b"\x00" * (70 << 20))  # ~70 KiB -> 70 MiB
+    with pytest.raises(WarcError, match="decompression bomb"):
+        list(parse_warc(bomb))
+
+
+def test_zstd_bomb_archive_refused():
+    from bravo_spark.codecs import fastpath
+
+    bomb = fastpath.zstd_compress(b"\x00" * (70 << 20))
+    with pytest.raises(WarcError, match="bad zstd stream"):
+        list(parse_warc(bomb))
