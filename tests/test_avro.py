@@ -349,3 +349,41 @@ def test_trailing_junk_after_compressed_stream_refused(codec):
     _, records = read_ocf(forged)
     with pytest.raises(AvroError, match="junk byte"):
         list(records)
+
+
+def test_hypothesis_random_records_roundtrip_all_codecs():
+    """Property fuzz: random record values over the full type surface
+    must round-trip bit-exactly through every codec."""
+    from hypothesis import given, settings, strategies as st
+
+    sch = {
+        "type": "record", "name": "F",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "d", "type": "double"},
+            {"name": "u", "type": ["null", "string"]},
+            {"name": "a", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    rec = st.fixed_dictionaries({
+        "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "s": st.text(max_size=40),
+        "b": st.binary(max_size=40),
+        "d": st.floats(allow_nan=False),
+        "u": st.none() | st.text(max_size=10),
+        "a": st.lists(st.integers(min_value=-(2**31), max_value=2**31),
+                      max_size=8),
+    })
+
+    @settings(max_examples=25, deadline=None)
+    @given(rows=st.lists(rec, max_size=20),
+           codec=st.sampled_from(["null", "deflate", "snappy",
+                                  "bzip2", "xz", "zstandard"]))
+    def check(rows, codec):
+        _, recs = read_ocf(write_ocf(sch, rows, codec=codec,
+                                     records_per_block=7))
+        assert list(recs) == rows
+
+    check()

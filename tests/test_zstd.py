@@ -210,3 +210,44 @@ def test_dictionary_frames_rejected():
     )
     with pytest.raises(zstd.ZstdError, match="dictionary"):
         zstd.decompress(frame)
+
+
+def test_inspect_frame_matches_libzstd_lengths():
+    """inspect_frame must measure EXACTLY the frame libzstd produced —
+    for every compressibility profile and level — and report the
+    declared content size; trailing bytes are never counted."""
+    for seed in range(20):
+        rng = random.Random(1000 + seed)
+        n = rng.randrange(0, 30_000)
+        parts = []
+        while sum(map(len, parts)) < n:
+            r = rng.random()
+            if r < 0.3:
+                parts.append(rng.randbytes(rng.randrange(1, 100)))
+            elif r < 0.6:
+                parts.append(b"rep-%d " % rng.randrange(5) * rng.randrange(1, 30))
+            else:
+                parts.append(bytes([rng.randrange(4)]) * rng.randrange(1, 500))
+        data = b"".join(parts)[:n]
+        level = rng.choice((1, 3, 9, 19))
+        frame = _codec(level).compress(data, asbytes=True)
+        kind, clen, csize = zstd.inspect_frame(frame)
+        assert kind == "zstd"
+        assert clen == len(frame)
+        assert csize is None or csize == len(data)
+        # a second frame appended must not change the first measurement
+        kind2, clen2, _ = zstd.inspect_frame(frame + frame)
+        assert (kind2, clen2) == ("zstd", len(frame))
+
+
+def test_inspect_frame_skippable_and_errors():
+    import struct as _struct
+
+    sk = _struct.pack("<II", 0x184D2A50, 6) + b"dictab"
+    assert zstd.inspect_frame(sk) == ("skippable", 14, None)
+    with pytest.raises(zstd.ZstdError, match="magic"):
+        zstd.inspect_frame(b"\x00\x01\x02\x03\x04")
+    frame = _codec(3).compress(b"hello world" * 50, asbytes=True)
+    for cut in (2, 5, len(frame) - 1):
+        with pytest.raises(zstd.ZstdError):
+            zstd.inspect_frame(frame[:cut])
