@@ -734,3 +734,68 @@ def dedup_lsh_quality_eval(spark, sf_dir):
             " AS recall_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup (r17): the FIRST dedup stage of a CommonCrawl-shaped
+# pipeline — CCNet/RefinedWeb collapse scheme/host/tracking-param URL
+# variants BEFORE any content pass. The fixture synthesizes four
+# deterministic variant classes per URL group from doc_id, runs the
+# real canonicalizer (llmops.canonicalize_urls — urllib-backed, not a
+# regexp approximation), and dedups on the canonical form; the oracle
+# replays the variants' canonical form CLOSED-FORM from doc_id, so a
+# canonicalizer that fails to collapse (or over-collapses) any variant
+# class hash-fails.
+# ---------------------------------------------------------------------------
+
+_URL_DEDUP_ORACLE = """
+WITH syn AS (
+  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
+),
+canon AS (
+  SELECT doc_id,
+    'site' || CAST(g % 50 AS VARCHAR) || '.example/p/' || CAST(g AS VARCHAR)
+      || CASE WHEN v = 3 THEN '?a=1&b=2' ELSE '' END AS canonical_url
+  FROM syn
+)
+SELECT canonical_url,
+  CAST(count(*) AS BIGINT) AS n_dupes,
+  CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM canon GROUP BY canonical_url
+"""
+
+
+@query("dedup_url_canonical", oracle=_URL_DEDUP_ORACLE)
+def dedup_url_canonical(spark, sf_dir):
+    """URL canonicalization + dedup: four messy variants per group —
+    plain https, shouted ``HTTP://WWW.…:80`` with a fragment, ``:443``
+    with a trailing slash and a ``utm_source`` param, and one with real
+    params in shuffled order plus a ``utm_campaign`` — must collapse to
+    one canonical form (the param-bearing variant keeps its sorted
+    non-tracking params, so each group yields exactly two canonicals).
+    Keep rule: lowest doc_id. Scale shape: canonicalization is map-only
+    Arrow batches; the dedup is ONE shuffle on the canonical string —
+    the same hash-groupBy spine as dedup_exact."""
+    from bravo_spark import llmops
+
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") / 4).cast("long")
+    host = F.concat(F.lit("site"), (g % 50).cast("string"),
+                    F.lit(".example"))
+    pth = F.concat(F.lit("/p/"), g.cast("string"))
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, pth))
+        .when(v == 1, F.concat(F.lit("HTTP://WWW."), F.upper(host),
+                               F.lit(":80"), pth, F.lit("#frag")))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"),
+                               pth, F.lit("/?utm_source=x")))
+        .otherwise(F.concat(F.lit("https://"), host, pth,
+                            F.lit("?b=2&utm_campaign=y&a=1")))
+    )
+    with_urls = docs.select("doc_id", url.alias("url"))
+    canon = llmops.canonicalize_urls(with_urls, "url")
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").alias("n_dupes"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )

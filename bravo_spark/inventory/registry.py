@@ -269,12 +269,12 @@ GATE_PRIORITY = [
 # CORRECTNESS_r17 confirms. INs are periodic re-proof rows, oldest
 # last driver check first: the two r3-last rows (p6_map_values,
 # f4_named_subset) and eight r4-last rows from the early dedup/text/
-# decontamination and PQ/recall waves — plus the five r17 net-new
+# decontamination and PQ/recall waves — plus the six r17 net-new
 # registrations (pair-with-staging rule; all mirror-green at
 # sf0.001/0.01/0.1 the day they landed), each paired against one of
-# the six reserved r15-wave OUT slots. The sixth
-# (state_schema_migration) stays in the gate unstaged — it becomes the
-# oldest eligible OUT for r19.
+# the six reserved r15-wave OUT slots. Every eligible r15-wave OUT is
+# consumed by this staging; r19's OUT pool starts with the r16 wave
+# (first checked r16 — 3 greens once CORRECTNESS_r18 confirms).
 R18_STAGED_SWAPS = [
     # (rotate OUT once r17-green, rotate IN — re-proof, oldest first)
     # map-values projection + named-subset filter: last driver-proven r3
@@ -305,6 +305,10 @@ R18_STAGED_SWAPS = [
     # drift signal ivf_index_compact consumes, compact itself
     # recall-gated in tests/test_llmops.py)
     ("join_state_rewrite", "ann_ivf_index_stats"),
+    # URL canonicalization + dedup — the first dedup stage of a
+    # CommonCrawl-shaped pipeline (urllib-backed canonicalizer, oracle
+    # replays the variant classes closed-form)
+    ("state_schema_migration", "dedup_url_canonical"),
 ]
 
 

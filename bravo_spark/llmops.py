@@ -420,6 +420,87 @@ def keep_cluster_representatives(
     )
 
 
+_TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_eid")
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str,
+    *,
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """URL canonicalization for crawl dedup — the FIRST dedup stage of a
+    CommonCrawl-shaped pipeline (CCNet / RefinedWeb run URL-level dedup
+    before any content pass, since a crawler revisits the same page
+    under scheme/host/tracking-param variants). Appends ``out_col``:
+
+    - scheme dropped (http/https fetch the same resource for dedup
+      purposes); host lowercased, leading ``www.`` and default ports
+      (:80/:443) stripped
+    - fragment dropped (never sent to the server)
+    - query: ``utm_*`` and click-tracking params (fbclid/gclid/...)
+      dropped; the REST kept and sorted by key so parameter order never
+      splits a dupe group
+    - path: trailing slash stripped (root becomes empty)
+
+    NULL or unparseable values canonicalize to NULL rather than failing
+    the pass — a crawl index always contains junk URLs, and a junk URL
+    is simply not a dedup key. Map-only Arrow-batched ``mapInPandas``;
+    composes with exact dedup / keep-lowest-id downstream."""
+    from pyspark.sql import types as T
+
+    fields = df.schema.fields
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists")
+    schema = T.StructType(list(fields) + [T.StructField(out_col,
+                                                        T.StringType())])
+    cols = [f.name for f in fields]
+
+    import re as _re
+
+    def canon_one(u) -> str | None:
+        if u is None:
+            return None
+        from urllib.parse import parse_qsl, urlencode, urlsplit
+
+        try:
+            s = str(u).strip()
+            if "://" not in s:
+                s = "http://" + s
+            parts = urlsplit(s)
+            host = (parts.hostname or "").lower()
+            # urlsplit accepts anything up to the first '/' as a netloc;
+            # a hostname with characters outside the DNS charset is junk
+            # (e.g. free text), not a dedup key
+            if not host or not _re.fullmatch(r"[a-z0-9]([a-z0-9.-]*[a-z0-9])?", host):
+                return None
+            if host.startswith("www."):
+                host = host[4:]
+            port = parts.port  # None for default/absent
+            if port is not None and port not in (80, 443):
+                host = f"{host}:{port}"
+            path = parts.path.rstrip("/")
+            q = [
+                (k, v)
+                for k, v in parse_qsl(parts.query, keep_blank_values=True)
+                if not k.startswith("utm_") and k not in _TRACKING_PARAMS
+            ]
+            query = urlencode(sorted(q))
+            return host + path + ("?" + query if query else "")
+        except ValueError:
+            return None
+
+    def canon(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            out = _pd.DataFrame({c: pdf[c] for c in cols})
+            out[out_col] = [canon_one(u) for u in pdf[url_col]]
+            yield out
+
+    return df.mapInPandas(canon, schema)
+
+
 def dedup_against_corpus(
     new_df: DataFrame,
     corpus: DataFrame,

@@ -1379,3 +1379,44 @@ def test_ivf_index_compact_never_remints_empty_cell_ids(spark, tmp_path):
     # every vector exactly once: no stale drifted-partition leftovers
     assert asg.count() == 90
     assert asg.select("vec_id").distinct().count() == 90
+
+
+def test_canonicalize_urls_rules(spark):
+    """The URL canonicalizer's contract, case by case: scheme/www/default
+    ports/fragments collapse, tracking params drop, real params sort,
+    non-default ports survive, junk canonicalizes to NULL (never fails
+    the pass), and the operation is idempotent on its own output."""
+    cases = [
+        (1, "https://Site.Example/p/1", "site.example/p/1"),
+        (2, "HTTP://WWW.SITE.EXAMPLE:80/p/1#frag", "site.example/p/1"),
+        (3, "https://site.example:443/p/1/?utm_source=x",
+         "site.example/p/1"),
+        (4, "https://site.example/p/1?b=2&utm_campaign=y&a=1",
+         "site.example/p/1?a=1&b=2"),
+        (5, "https://site.example:8080/p/1", "site.example:8080/p/1"),
+        (6, "site.example/p/1", "site.example/p/1"),  # scheme-less
+        (7, "https://site.example/", "site.example"),
+        (8, "http://site.example/p/1?fbclid=abc&gclid=x",
+         "site.example/p/1"),
+        (9, "not a url at all", None),
+        (10, None, None),
+        (11, "https://site.example:99999/p", None),  # invalid port
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "doc_id long, url string")
+    got = {r.doc_id: r.canonical_url
+           for r in llmops.canonicalize_urls(df, "url").collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    # idempotent: canonical forms are fixed points
+    fixed = spark.createDataFrame(
+        [(i, c) for i, c in got.items() if c is not None],
+        "doc_id long, url string")
+    again = {r.doc_id: r.canonical_url
+             for r in llmops.canonicalize_urls(fixed, "url").collect()}
+    assert again == {i: c for i, c in got.items() if c is not None}
+
+    with pytest.raises(ValueError, match="already exists"):
+        llmops.canonicalize_urls(df.withColumn("canonical_url", df.url),
+                                 "url")
