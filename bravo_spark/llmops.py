@@ -422,6 +422,55 @@ def keep_cluster_representatives(
 
 _TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_eid")
 
+_HOST_RE = None  # compiled lazily (module import stays cheap)
+
+
+def canonical_url_str(u) -> str | None:
+    """Canonicalize ONE URL string for dedup — the scalar core
+    :func:`canonicalize_urls` maps over a column (see there for the
+    rule set). Returns None for junk (non-DNS hostname, invalid port,
+    None input): a junk URL is not a dedup key, never an error."""
+    global _HOST_RE
+    if u is None:
+        return None
+    import re as _re
+    from urllib.parse import parse_qsl, quote, urlencode, urlsplit
+
+    if _HOST_RE is None:
+        _HOST_RE = _re.compile(r"[a-z0-9]([a-z0-9.-]*[a-z0-9])?")
+    try:
+        s = str(u).strip()
+        if "://" not in s:
+            s = "http://" + s
+        parts = urlsplit(s)
+        host = (parts.hostname or "").lower()
+        if host.startswith("www."):
+            host = host[4:]
+        # urlsplit accepts anything up to the first '/' as a netloc; a
+        # hostname outside the DNS charset is junk (e.g. free text).
+        # Validated AFTER the www. strip so the check sees the host the
+        # canonical form will carry (hypothesis found 'www.-0', whose
+        # stripped form fails the charset rule — idempotence demands
+        # judging the output, not the input)
+        if not host or not _HOST_RE.fullmatch(host):
+            return None
+        port = parts.port  # None for default/absent
+        if port is not None and port not in (80, 443):
+            host = f"{host}:{port}"
+        # percent-encode path characters outside the URL charset (raw
+        # spaces etc.) — '%' stays safe so already-encoded sequences
+        # survive, which keeps the form a fixed point
+        path = quote(parts.path.rstrip("/"), safe="/%")
+        q = [
+            (k, v)
+            for k, v in parse_qsl(parts.query, keep_blank_values=True)
+            if not k.startswith("utm_") and k not in _TRACKING_PARAMS
+        ]
+        query = urlencode(sorted(q))
+        return host + path + ("?" + query if query else "")
+    except ValueError:
+        return None
+
 
 def canonicalize_urls(
     df: DataFrame,
@@ -456,46 +505,12 @@ def canonicalize_urls(
                                                         T.StringType())])
     cols = [f.name for f in fields]
 
-    import re as _re
-
-    def canon_one(u) -> str | None:
-        if u is None:
-            return None
-        from urllib.parse import parse_qsl, urlencode, urlsplit
-
-        try:
-            s = str(u).strip()
-            if "://" not in s:
-                s = "http://" + s
-            parts = urlsplit(s)
-            host = (parts.hostname or "").lower()
-            # urlsplit accepts anything up to the first '/' as a netloc;
-            # a hostname with characters outside the DNS charset is junk
-            # (e.g. free text), not a dedup key
-            if not host or not _re.fullmatch(r"[a-z0-9]([a-z0-9.-]*[a-z0-9])?", host):
-                return None
-            if host.startswith("www."):
-                host = host[4:]
-            port = parts.port  # None for default/absent
-            if port is not None and port not in (80, 443):
-                host = f"{host}:{port}"
-            path = parts.path.rstrip("/")
-            q = [
-                (k, v)
-                for k, v in parse_qsl(parts.query, keep_blank_values=True)
-                if not k.startswith("utm_") and k not in _TRACKING_PARAMS
-            ]
-            query = urlencode(sorted(q))
-            return host + path + ("?" + query if query else "")
-        except ValueError:
-            return None
-
     def canon(batches):
         import pandas as _pd
 
         for pdf in batches:
             out = _pd.DataFrame({c: pdf[c] for c in cols})
-            out[out_col] = [canon_one(u) for u in pdf[url_col]]
+            out[out_col] = [canonical_url_str(u) for u in pdf[url_col]]
             yield out
 
     return df.mapInPandas(canon, schema)

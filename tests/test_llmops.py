@@ -1420,3 +1420,38 @@ def test_canonicalize_urls_rules(spark):
     with pytest.raises(ValueError, match="already exists"):
         llmops.canonicalize_urls(df.withColumn("canonical_url", df.url),
                                  "url")
+
+
+def test_canonical_url_str_idempotent_property():
+    """Property fuzz (no Spark needed — the scalar core is public):
+    canonicalization is a projection — canon(canon(u)) == canon(u)
+    whenever canon(u) is not None, across random URL-ish strings."""
+    from hypothesis import given, settings, strategies as st
+
+    host_label = st.text(alphabet="abcdefgh012-", min_size=1, max_size=8)
+    urlish = st.builds(
+        lambda scheme, www, labels, port, path, params, frag:
+            scheme + www + ".".join(labels) + port + "/" + "/".join(path)
+            + ("?" + "&".join(f"{k}={v}" for k, v in params) if params
+               else "")
+            + frag,
+        st.sampled_from(["http://", "https://", "HTTP://", ""]),
+        st.sampled_from(["www.", "WWW.", ""]),
+        st.lists(host_label, min_size=1, max_size=3),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(st.text(alphabet="abcXYZ019%+ ", max_size=6),
+                 max_size=3),
+        st.lists(st.tuples(
+            st.sampled_from(["a", "b", "utm_x", "fbclid", "z9"]),
+            st.text(alphabet="abc12%+ ", max_size=5)), max_size=4),
+        st.sampled_from(["", "#f", "#x/y?z"]),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(u=urlish)
+    def check(u):
+        c = llmops.canonical_url_str(u)
+        if c is not None:
+            assert llmops.canonical_url_str(c) == c
+
+    check()
