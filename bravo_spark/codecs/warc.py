@@ -120,10 +120,31 @@ def parse_warc(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         data = _gunzip_members(data)
     elif _is_zstd(data):
         from bravo_spark.codecs import fastpath
+        from bravo_spark.codecs import zstd as pz
 
+        cap = _inflate_cap(len(data))
+        # Header-only pre-check BEFORE any decode work: walk the frame
+        # sequence (a .warc.zst is multi-frame by design — one per
+        # record) and sum the declared content sizes. This bounds
+        # declared-size bombs even on the pure-Python decode path,
+        # where the stream decoder's max_bytes check is post-hoc; it
+        # also validates the frame framing itself. Frames that omit
+        # the content-size field stay covered by the decoder's bound.
+        pos, declared = 0, 0
         try:
-            data = fastpath.zstd_decompress_stream(
-                data, max_bytes=_inflate_cap(len(data)))
+            while pos < len(data):
+                _, clen, csize = pz.inspect_frame(data, pos)
+                pos += clen
+                declared += csize or 0
+        except pz.ZstdError as exc:
+            raise WarcError(f"bad zstd stream: {exc}") from exc
+        if declared > cap:
+            raise WarcError(
+                f"archive declares {declared} decompressed bytes, past "
+                f"{cap} ({_MAX_INFLATE_RATIO}x its compressed size) — "
+                "decompression bomb")
+        try:
+            data = fastpath.zstd_decompress_stream(data, max_bytes=cap)
         except ValueError as exc:
             raise WarcError(f"bad zstd stream: {exc}") from exc
     pos = 0

@@ -422,7 +422,13 @@ def keep_cluster_representatives(
 
 _TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_eid")
 
-_HOST_RE = None  # compiled lazily (module import stays cheap)
+# module-level: canonical_url_str runs once per URL row inside the
+# mapInPandas hot loop — per-call imports would be pure overhead there
+import re as _re_url  # noqa: E402
+from urllib.parse import parse_qsl, quote, urlencode, urlsplit  # noqa: E402
+
+_HOST_RE = _re_url.compile(r"[a-z0-9]([a-z0-9.-]*[a-z0-9])?")
+_SCHEME_RE = _re_url.compile(r"[A-Za-z][A-Za-z0-9+.-]*://")
 
 
 def canonical_url_str(u) -> str | None:
@@ -430,17 +436,13 @@ def canonical_url_str(u) -> str | None:
     :func:`canonicalize_urls` maps over a column (see there for the
     rule set). Returns None for junk (non-DNS hostname, invalid port,
     None input): a junk URL is not a dedup key, never an error."""
-    global _HOST_RE
     if u is None:
         return None
-    import re as _re
-    from urllib.parse import parse_qsl, quote, urlencode, urlsplit
-
-    if _HOST_RE is None:
-        _HOST_RE = _re.compile(r"[a-z0-9]([a-z0-9.-]*[a-z0-9])?")
     try:
         s = str(u).strip()
-        if "://" not in s:
+        # a scheme is a PREFIX — '://' anywhere later (a redirect URL in
+        # a query param, say) must not suppress the default prefix
+        if not _SCHEME_RE.match(s):
             s = "http://" + s
         parts = urlsplit(s)
         host = (parts.hostname or "").lower()
@@ -499,6 +501,9 @@ def canonicalize_urls(
     from pyspark.sql import types as T
 
     fields = df.schema.fields
+    if url_col not in df.columns:
+        raise ValueError(f"url_col {url_col!r} is not a column"
+                         f" (have: {df.columns})")
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists")
     schema = T.StructType(list(fields) + [T.StructField(out_col,

@@ -190,8 +190,12 @@ def test_gzip_bomb_archive_refused():
 
 
 def test_zstd_bomb_archive_refused():
+    """libzstd declares the content size, so the header-only pre-check
+    refuses BEFORE any decode work; match the bomb-specific text so a
+    regression that drops the guard can't hide behind an unrelated
+    decode error."""
     from bravo_spark.codecs import fastpath
 
     bomb = fastpath.zstd_compress(b"\x00" * (70 << 20))
-    with pytest.raises(WarcError, match="bad zstd stream"):
+    with pytest.raises(WarcError, match="decompression bomb"):
         list(parse_warc(bomb))
