@@ -48,6 +48,17 @@ GATE_PRIORITY = [
     # retained rocksdb/join/schema/nested surgery rows keep the family in
     # the gate. In: the remaining r2 relational wave (12 re-proof rows,
     # last driver-proven r2, 14 rounds ago) + the three r15 net-new INs.
+    # r18 rotation (the r17-staged 16-swap flip, executed as r18's first
+    # commit; all 16 OUTs confirmed green in CORRECTNESS_r17): the r15
+    # wave rotated out after 3 consecutive driver-green rounds (r15-r17)
+    # — its relational/join/window/surgery paths stay pytest/plan-pinned
+    # and mirror-verified. In their slots: periodic re-proof of the two
+    # r3-last rows (p6_map_values, f4_named_subset) and eight r4-last
+    # rows from the early dedup/text/decontamination and PQ/recall waves,
+    # plus first driver checks for the six r17 net-new registrations
+    # (pair-with-staging rule): warc_stream_ingest, avro_stream_ingest,
+    # ngram_lm_persist_score, multimodal_exif_redact, ann_ivf_index_stats,
+    # dedup_url_canonical.
     "snapshot_roundtrip", "checkpoint_roundtrip",
     "except_all_keys", "intersect_keys", "rollup_agg",
     # §2.4-2.8 relational core: a1/last_write_wins rotated out in r8 after
@@ -89,7 +100,11 @@ GATE_PRIORITY = [
     # registrations): join_state_rewrite (stream-stream join named-store
     # surgery, restart-proven) and state_schema_migration (schema-
     # evolution surgery, the X2 analog on Spark's own backend).
-    "join_state_rewrite", "state_schema_migration",
+    # r18: join_state_rewrite / state_schema_migration rotated out
+    # (r15-r17 green; both surgery paths stay restart-proven in
+    # test_spark_state/test_rocksdb_state). In: the r17 IVF-maintenance
+    # and URL-canonicalization registrations, first driver checks.
+    "ann_ivf_index_stats", "dedup_url_canonical",
     # reference-fidelity conformance analogs (r5 rotation). r8: pojo/kryo
     # value rows, the compressed-snapshot variant, and custom_reader_expand
     # rotated out after three driver-green rounds (r5-r7) — kryo_custom_class
@@ -117,9 +132,14 @@ GATE_PRIORITY = [
     # nine of the r2 relational wave (last proven r2). Rotated out here:
     # corpus_merge_upsert / schema_evolution_merge / audio_float_features
     # (CDC merge + union-evolution + float-WAV paths stay pytest-pinned).
-    "text_fingerprint",
-    "text_token_count",
-    "anti_join", "token_budget_pack",
+    # r18: text_fingerprint / text_token_count / anti_join rotated out
+    # (r15-r17 green; fingerprint+token paths stay benched and
+    # mirror-verified, anti-join plan-pinned in test_plans). In:
+    # lang-id + quality re-proofs (last r4) and the F4 named-subset
+    # filter re-proof (last r3).
+    "text_lang_id",
+    "text_quality",
+    "f4_named_subset", "token_budget_pack",
     # dedup family (dedup_exact rotated out in r6 after 5 driver-green
     # rounds; dedup_minhash_lsh rotated out in r8 after 7 — its band-bucket
     # equi-join survives inside dedup_lsh_quality_eval and dedup_clusters'
@@ -134,8 +154,12 @@ GATE_PRIORITY = [
     # r15: audio_resample_features / snapshot_rescale rotated out
     # (r12-r14 green; polyphase decimate stays golden-tested in
     # test_audio, re-key/re-shard in test_api). In: r2 re-proof rows.
-    "cube_agg",
-    "distinct_agg",
+    # r18: cube_agg / distinct_agg rotated out (r15-r17 green; both
+    # stay mirror-verified). In: the r4-last PQ/sketch rescore rows —
+    # their recall evals rotated out in r17, so these return the
+    # PQ/ADC and Hamming-rank contracts to the gate.
+    "ann_pq_topk",
+    "ann_sketch_recall_eval",
     # r10 rotation: the r6 dedup additions (dedup_lines,
     # dedup_substring_clean, dedup_keep_corpus, dedup_lsh_quality_eval)
     # rotated out after 4 driver-green rounds (r6-r9) — their inverted-index
@@ -147,7 +171,11 @@ GATE_PRIORITY = [
     # r15: quality_calibration_by_source rotated out (r12-r14 green;
     # decile calibration stays mirror-verified). In: the event-time
     # range join, last driver-proven r2.
-    "range_join_clicks_before_purchase",
+    # r18: range_join_clicks_before_purchase rotated out (r15-r17
+    # green; the event-time range join stays mirror-verified). In: the
+    # r17 column-level redact_exif registration incl. its quarantine
+    # contract, first driver check.
+    "multimodal_exif_redact",
     # ANN + retrieval family (ann_cosine_topk rotated out in r6 — it is
     # the exact baseline the retained lsh/ivf rows rescore against;
     # ann_sketch_topk rotated out in r8 after 7 driver-green rounds, its
@@ -162,8 +190,12 @@ GATE_PRIORITY = [
     # fingerprint) rotated out after r12-r14 green — kernels stay
     # golden-tested in test_multimodal/test_phash_grid/test_audio. In:
     # r2 re-proof rows (full outer join, exact percentiles, semi join).
-    "full_outer_join", "percentiles",
-    "semi_join",
+    # r18: full_outer_join / percentiles / semi_join rotated out
+    # (r15-r17 green; all three stay mirror-verified). In: the
+    # substring-dedup re-proof (last r4) and the r17 streaming halves
+    # of the WARC/Avro ingest surfaces, first driver checks.
+    "dedup_substring", "warc_stream_ingest",
+    "avro_stream_ingest",
     # streaming (plain window_counts rotated out in r6 after 5 driver-green
     # rounds — the retained watermarked variant runs the same micro-batch
     # window path plus bounded state; static_join/dedup/session/ss-join
@@ -174,7 +206,10 @@ GATE_PRIORITY = [
     "spark_state_diff",
     # r15: corpus_drift_tv rotated out (r12-r14 green; 128-bit TV math
     # stays pinned in test_drift_tv). In: window analytics, last r2.
-    "window_analytics",
+    # r18: window_analytics rotated out (r15-r17 green; window
+    # functions stay mirror-verified + plan-pinned). In: the r17
+    # persisted-LM lifecycle registration, first driver check.
+    "ngram_lm_persist_score",
     # TPC-H: headline q3 + the most distinctive long-tail plans. r11
     # rotation: the r8 wave q2/q19/q20/q22 rotated out after 3
     # driver-green rounds (r8-r10); q17 (correlated avg-quantity
@@ -195,8 +230,12 @@ GATE_PRIORITY = [
     # of the five r1-only rows — driver-proven exactly once, 14 rounds
     # ago (dedup_embedding_cosine is the exact-cosine dedup baseline,
     # minhash signature extraction, and the multimodal metadata plumbing).
-    "dedup_embedding_cosine", "dedup_minhash_signatures",
-    "multimodal_meta",
+    # r18: dedup_embedding_cosine / dedup_minhash_signatures /
+    # multimodal_meta rotated out (re-proven r15-r17). In: simhash +
+    # incremental-batch dedup re-proofs (last r4) and the P6
+    # map-values projection re-proof (last r3).
+    "dedup_simhash", "dedup_incremental_batch",
+    "p6_map_values",
     "text_hash_features_classify",
     # r10 rotation: the remaining never-driver-checked TPC-H tail — q7
     # dual-role nation join, q8 market share, q11 grouped threshold, q12
@@ -250,65 +289,54 @@ GATE_PRIORITY = [
     # retained jpeg/gif/audio/video rows. r15: video_dib_frame_sample
     # rotated out (r12-r14 green; DIB demux stays golden-tested in
     # test_avi). In: the as-of join, last driver-proven r2.
-    "asof_join",
+    # r18: asof_join rotated out (re-proven r15-r17; stays
+    # plan-pinned in test_plans). In: the decontamination-overlap
+    # re-proof (last r4).
+    "decontaminate_overlap",
 ]
 
 # The NEXT rotation, STAGED AS EXECUTABLE DATA — the r7 failure mode was
 # a staged rotation that lived only in a comment and never shipped. (The
-# r9-staged swaps executed in r10 after the r9 stall; the r11-r16
+# r9-staged swaps executed in r10 after the r9 stall; the r11-r17
 # stagings executed on schedule as their round's first commit; the
-# r16-staged 15-swap rotation executed on schedule as r17's first
-# commit — all 15 OUTs confirmed green in CORRECTNESS_r16.)
-# To execute in r18 (FIRST commit of the round):
-#   1. confirm each OUT row below is green in CORRECTNESS_r17 (if one is
+# r17-staged 16-swap rotation executed on schedule as r18's first
+# commit — all 16 OUTs confirmed green in CORRECTNESS_r17.)
+# To execute in r19 (FIRST commit of the round):
+#   1. confirm each OUT row below is green in CORRECTNESS_r18 (if one is
 #      red, keep it in the gate and drop its pair from this round);
 #   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
 #   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
-# OUTs are the r15 wave — first checked r15, so r15+r16+r17 = 3
+# OUTs are the r16 wave — first checked r16, so r16+r17+r18 = 3
 # consecutive green rounds (the r11 eligibility precedent) once
-# CORRECTNESS_r17 confirms. INs are periodic re-proof rows, oldest
-# last driver check first: the two r3-last rows (p6_map_values,
-# f4_named_subset) and eight r4-last rows from the early dedup/text/
-# decontamination and PQ/recall waves — plus the six r17 net-new
-# registrations (pair-with-staging rule; all mirror-green at
-# sf0.001/0.01/0.1 the day they landed), each paired against one of
-# the six reserved r15-wave OUT slots. Every eligible r15-wave OUT is
-# consumed by this staging; r19's OUT pool starts with the r16 wave
-# (first checked r16 — 3 greens once CORRECTNESS_r18 confirms).
-R18_STAGED_SWAPS = [
-    # (rotate OUT once r17-green, rotate IN — re-proof, oldest first)
-    # map-values projection + named-subset filter: last driver-proven r3
-    ("multimodal_meta", "p6_map_values"),
-    ("anti_join", "f4_named_subset"),
-    # the r4 PQ/recall wave — last driver-proven r4; the recall evals
-    # they feed rotated out in r17, so these INs return the
-    # PQ/sketch rescore contracts to the gate
-    ("cube_agg", "ann_pq_topk"),
-    ("distinct_agg", "ann_sketch_recall_eval"),
-    # early dedup/text wave — last driver-proven r4
-    ("dedup_embedding_cosine", "dedup_simhash"),
-    ("dedup_minhash_signatures", "dedup_incremental_batch"),
-    ("full_outer_join", "dedup_substring"),
-    ("text_fingerprint", "text_lang_id"),
-    ("text_token_count", "text_quality"),
-    ("asof_join", "decontaminate_overlap"),
-    # r17 net-new registrations face the driver at the r18 flip
-    # (first driver checks; OUTs are the reserved r15-wave slots):
-    # the streaming halves of the WARC/Avro ingest surfaces
-    ("percentiles", "warc_stream_ingest"),
-    ("semi_join", "avro_stream_ingest"),
-    # persisted-LM lifecycle (save_ngram_lm/load_ngram_lm parity)
-    ("window_analytics", "ngram_lm_persist_score"),
-    # the column-level redact_exif API incl. its quarantine contract
-    ("range_join_clicks_before_purchase", "multimodal_exif_redact"),
-    # IVF maintenance surface (ivf_index_append + ivf_index_stats — the
-    # drift signal ivf_index_compact consumes, compact itself
-    # recall-gated in tests/test_llmops.py)
-    ("join_state_rewrite", "ann_ivf_index_stats"),
-    # URL canonicalization + dedup — the first dedup stage of a
-    # CommonCrawl-shaped pipeline (urllib-backed canonicalizer, oracle
-    # replays the variant classes closed-form)
-    ("state_schema_migration", "dedup_url_canonical"),
+# CORRECTNESS_r18 confirms. INs are periodic re-proof rows, oldest
+# last driver check first: the four r4-last streaming/sessionization
+# rows and eleven r5-last rows from the projection/filter/relational/
+# dedup/ANN conformance waves. Every r16-wave OUT is consumed by this
+# staging; r20's OUT pool starts with the r17 wave (first checked r17
+# — 3 greens once CORRECTNESS_r19 confirms).
+R19_STAGED_SWAPS = [
+    # (rotate OUT once r18-green, rotate IN — re-proof, oldest first)
+    # the r4-last streaming/sessionization wave: real micro-batch
+    # lifecycles return to the gate as spark_state_diff rotates out
+    ("spark_state_diff", "streaming_dedup_counts"),
+    ("hourly_counts_gapfill", "streaming_session_windows"),
+    ("tpch_q4_shaped", "streaming_stream_stream_join"),
+    ("json_extract_agg", "sessionize"),
+    # r5-last relational/aggregation conformance rows
+    ("rollup_agg", "a2_count_sum_per_key"),
+    ("grouping_sets_agg", "sort_topk"),
+    ("salted_skew_agg", "join_enrich"),
+    ("tpch_q5_star", "tpch_q1"),
+    # r5-last filter/projection conformance rows (F2/F3, P2/P3)
+    ("except_all_keys", "f2_isin_filter"),
+    ("intersect_keys", "f3_anti_filter"),
+    ("pivot_event_values", "p2_value_only"),
+    ("scalar_subquery_counts", "p3_list_flatten"),
+    # r5-last dedup/ANN baselines (the exact siblings the retained
+    # LSH/IVF/semantic rows rescore against)
+    ("dedup_semantic_clusters", "dedup_exact"),
+    ("left_outer_join", "ann_cosine_topk"),
+    ("text_chunk_overlap", "streaming_window_counts"),
 ]
 
 

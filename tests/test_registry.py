@@ -97,17 +97,20 @@ def test_flagship_families_inside_window():
         "text_hash_features_classify",
         "avro_source_roundtrip", "warc_ingest",
         "phrase_search_index", "token_budget_pack",
-        # r15 rotation: the r14-staged 16-swap flip — periodic re-proof
-        # of the r1-only wave (last driver-proven r1) and nine of the r2
-        # relational wave, plus the two r14 net-new surgery rows; the
-        # rotated-out r12-wave and layout-contract rows' paths stay
-        # retained per registry.py per-pair comments
-        "dedup_embedding_cosine", "dedup_minhash_signatures",
-        "multimodal_meta", "text_fingerprint", "text_token_count",
-        "anti_join", "asof_join", "cube_agg", "distinct_agg",
-        "full_outer_join", "percentiles", "semi_join",
-        "window_analytics", "range_join_clicks_before_purchase",
-        "join_state_rewrite", "state_schema_migration",
+        # r18 rotation: the r17-staged 16-swap flip — the r15 wave
+        # rotated out after 3 consecutive driver-green rounds (r15-r17);
+        # in their slots the ten oldest-last-check re-proof rows (two
+        # r3-last, eight r4-last) plus first driver checks for the six
+        # r17 net-new registrations (pair-with-staging rule); the
+        # rotated-out relational/join/window/surgery paths stay retained
+        # per registry.py per-pair comments
+        "p6_map_values", "f4_named_subset", "ann_pq_topk",
+        "ann_sketch_recall_eval", "dedup_simhash",
+        "dedup_incremental_batch", "dedup_substring", "text_lang_id",
+        "text_quality", "decontaminate_overlap",
+        "warc_stream_ingest", "avro_stream_ingest",
+        "ngram_lm_persist_score", "multimodal_exif_redact",
+        "ann_ivf_index_stats", "dedup_url_canonical",
         # dedup/retrieval/streaming spine: the ngram row rotated out in
         # r16 after 14 driver-green rounds (stays benched + mirror-green);
         # SemDeDup keeps a dedup row gated, spark_state_diff keeps
@@ -143,13 +146,13 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
             return any(unsortable(f.dataType) for f in dt.fields)
         return False
 
-    from bravo_spark.inventory.registry import R18_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R19_STAGED_SWAPS
 
     qs = _entry().queries()
     offenders = []
     # the staged rotation INs are checked too: a staged query with an
     # unsortable schema would burn its very first gate slot on flip
-    names = list(GATE_PRIORITY) + [i for _, i in R18_STAGED_SWAPS]
+    names = list(GATE_PRIORITY) + [i for _, i in R19_STAGED_SWAPS]
     for name in names:
         schema = qs[name](spark, sf_dir).schema
         for field in schema.fields:
@@ -159,7 +162,7 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
 
 
 def test_staged_rotation_is_consistent():
-    """The staged next-round rotation (registry.R18_STAGED_SWAPS) must
+    """The staged next-round rotation (registry.R19_STAGED_SWAPS) must
     stay executable: every OUT name is currently IN the gate window, every
     IN name is a registered query not currently gated (with the
     never-checked pool at zero since r14, INs are re-proof rows cycling
@@ -167,12 +170,12 @@ def test_staged_rotation_is_consistent():
     exactly 50 distinct names. Pins the staging as live data — the r7
     regression was a staged rotation that existed only in a comment and
     silently rotted."""
-    from bravo_spark.inventory.registry import R18_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R19_STAGED_SWAPS
 
     qs = _entry().queries()
     window = set(GATE_PRIORITY)
-    outs = [o for o, _ in R18_STAGED_SWAPS]
-    ins = [i for _, i in R18_STAGED_SWAPS]
+    outs = [o for o, _ in R19_STAGED_SWAPS]
+    ins = [i for _, i in R19_STAGED_SWAPS]
     assert len(set(outs)) == len(outs) and len(set(ins)) == len(ins)
     for o in outs:
         assert o in window, f"staged OUT {o} is not in the current gate"
