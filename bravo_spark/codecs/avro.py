@@ -26,7 +26,11 @@ the pure RFC 8878 decoder as fallback) — each cross-validated both
 directions against the real avro jar in ``tests/test_avro.py``. An
 unknown codec name still refuses BY NAME — never wrong bytes. All
 block decompressors are output-bounded (MAX_BLOCK_BYTES) so a crafted
-few-KB bomb block cannot allocate unbounded memory. Logical types
+few-KB bomb block cannot allocate unbounded memory; relatedly, a block
+claiming more than ``max(len(payload), 65536)`` records is refused as
+a count bomb — a documented tightening over the spec, which permits a
+single block of arbitrarily many ZERO-byte records (null / empty-record
+schema). Real writers batch far below the 64Ki floor. Logical types
 decode as their underlying primitive (documented pass-through; the
 annotations survive in the schema).
 """
@@ -573,7 +577,15 @@ def write_ocf(
         elif codec == "zstandard":
             from bravo_spark.codecs import fastpath
 
-            payload = fastpath.zstd_compress(payload)
+            try:
+                payload = fastpath.zstd_compress(payload)
+            except ValueError as e:
+                # refusal-by-name contract: callers catch AvroError; the
+                # fastpath's bare ValueError (no zstd COMPRESSOR in a
+                # pyarrow-less environment — the pure codec only
+                # decodes) must surface as one
+                raise AvroError(
+                    f"cannot write zstandard codec: {e}") from e
         hdr = _Encoder()
         hdr.long(len(batch))
         hdr.long(len(payload))

@@ -129,11 +129,12 @@ def zstd_decompress_stream(frame: bytes, *, max_bytes: int | None = None) -> byt
     ZSTDCompressionCodec state files). Uses pyarrow's CompressedInputStream
     when available, else the pure RFC 8878 decoder.
 
-    ``max_bytes`` bounds the decompressed output: the pyarrow path reads
-    at most ``max_bytes + 1`` bytes (so a bomb frame never materializes
-    past the ceiling); the pure path decodes whole frames and checks
-    after the fact (callers wanting a hard pre-bound should also check
-    the frame's declared content size via ``zstd.inspect_frame``)."""
+    ``max_bytes`` bounds the decompressed output on BOTH paths: the
+    pyarrow path reads at most ``max_bytes + 1`` bytes, and the pure
+    path threads the bound into the frame decoder (checked per block
+    and per sequence match copy) — so a bomb frame never materializes
+    past the ceiling in either environment, even when it omits the
+    Frame_Content_Size header field."""
     if _codecs() is not None:
         import pyarrow as pa
 
@@ -162,10 +163,16 @@ def zstd_decompress_stream(frame: bytes, *, max_bytes: int | None = None) -> byt
         return b"".join(chunks)
     from bravo_spark.codecs import zstd as pz
 
-    out = pz.decompress(frame)
-    if max_bytes is not None and len(out) > max_bytes:
-        raise ValueError(f"zstd frame inflates past {max_bytes} bytes")
-    return out
+    # the bound is threaded INTO the decoder so a bomb frame that omits
+    # Frame_Content_Size refuses before materializing past the ceiling
+    # (a post-hoc len() check would allocate the whole bomb first)
+    try:
+        return pz.decompress(frame, max_bytes=max_bytes)
+    except pz.ZstdError as e:
+        if max_bytes is not None and "exceeds" in str(e):
+            raise ValueError(
+                f"zstd frame inflates past {max_bytes} bytes") from e
+        raise
 
 
 def lz4_java_encode_stream(payload: bytes, block_size: int = 32 * 1024) -> bytes:

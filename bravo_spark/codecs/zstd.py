@@ -431,8 +431,20 @@ def _sequence_table(block, pos, kind, fstate, mode):
     return pos
 
 
-def _decode_block(block: bytes, out: bytearray, fstate: _FrameState) -> None:
+def _decode_block(
+    block: bytes,
+    out: bytearray,
+    fstate: _FrameState,
+    limit: int | None = None,
+) -> None:
+    """Decode one compressed block into ``out``. ``limit`` bounds the
+    TOTAL length of ``out``: match copies are the bomb amplifier (one
+    block may carry ~97k sequences × ~128 KiB match length — gigabytes
+    from a few KiB of input), so the check runs inside the sequence
+    loop, refusing before the output materializes past the ceiling."""
     literals, pos = _decode_literals(block, fstate)
+    if limit is not None and len(out) + len(literals) > limit:
+        raise ZstdError(f"decoded output exceeds {limit}-byte bound")
     # --- sequences section header
     b0 = block[pos]
     if b0 == 0:
@@ -513,6 +525,8 @@ def _decode_block(block: bytes, out: bytearray, fstate: _FrameState) -> None:
         lit_pos += ll
         if offset > len(out):
             raise ZstdError("match offset beyond decoded output")
+        if limit is not None and len(out) + ml > limit:
+            raise ZstdError(f"decoded output exceeds {limit}-byte bound")
         if offset >= ml:
             start = len(out) - offset
             out += out[start : start + ml]
@@ -575,9 +589,21 @@ def _xxh64(data: bytes, seed: int = 0) -> int:
     return h
 
 
-def decompress(data: bytes, *, verify_checksum: bool = True) -> bytes:
+def decompress(
+    data: bytes,
+    *,
+    verify_checksum: bool = True,
+    max_bytes: int | None = None,
+) -> bytes:
     """Decode all zstd frames in ``data`` (skippable frames skipped) and
-    return the concatenated content."""
+    return the concatenated content.
+
+    ``max_bytes`` bounds the TOTAL decoded output — checked after every
+    block (raw/RLE/compressed) and, inside compressed blocks, after
+    every sequence's match copy, so a bomb frame that omits the
+    Frame_Content_Size header field (normal streaming-compressor
+    output, invisible to declared-size pre-checks) refuses BEFORE
+    materializing past the ceiling, never after."""
     out = bytearray()
     pos = 0
     n = len(data)
@@ -631,10 +657,14 @@ def decompress(data: bytes, *, verify_checksum: bool = True) -> bytes:
                 out += data[pos : pos + 1] * bsize
                 pos += 1
             elif btype == 2:
-                _decode_block(data[pos : pos + bsize], out, fstate)
+                _decode_block(data[pos : pos + bsize], out, fstate,
+                              max_bytes)
                 pos += bsize
             else:
                 raise ZstdError("reserved block type")
+            if max_bytes is not None and len(out) > max_bytes:
+                raise ZstdError(
+                    f"decoded output exceeds {max_bytes}-byte bound")
             if last:
                 break
         if content_size is not None and len(out) - frame_start != content_size:

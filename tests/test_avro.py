@@ -387,3 +387,20 @@ def test_hypothesis_random_records_roundtrip_all_codecs():
         assert list(recs) == rows
 
     check()
+
+
+def test_write_zstandard_without_compressor_raises_avro_error(monkeypatch):
+    """write_ocf(codec='zstandard') in a pyarrow-less environment must
+    surface the missing-compressor refusal AS AN AvroError (r17 ADVICE):
+    callers catching AvroError rely on the module's refusal-by-name
+    contract, and the fastpath's bare ValueError escapes that catch."""
+    from bravo_spark.codecs import fastpath
+
+    def _no_compressor(payload):
+        raise ValueError("no zstd compressor in this environment")
+
+    monkeypatch.setattr(fastpath, "zstd_compress", _no_compressor)
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "x", "type": "long"}]}
+    with pytest.raises(AvroError, match="zstandard"):
+        write_ocf(schema, [{"x": 1}], codec="zstandard")

@@ -198,3 +198,25 @@ try:
 
 except ImportError:  # hypothesis is baked into this container; belt+braces
     pass
+
+
+def test_stream_bound_holds_on_pure_path(monkeypatch):
+    """zstd_decompress_stream's max_bytes must bound the PURE fallback
+    too (r17 ADVICE): with pyarrow masked off, a no-Frame_Content_Size
+    bomb frame — the shape the WARC/Avro declared-size pre-checks can't
+    see — refuses at the ceiling instead of materializing the output."""
+    import pyarrow as pa
+
+    from bravo_spark.codecs import zstd as pz
+
+    data = b"bomb " * 40_000
+    buf = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(buf, "zstd") as s:
+        s.write(data)
+    frame = bytes(buf.getvalue())
+    assert pz.inspect_frame(frame)[2] is None  # no declared content size
+    monkeypatch.setattr(fastpath, "_CODECS", None)
+    with pytest.raises(ValueError, match="inflates past"):
+        fastpath.zstd_decompress_stream(frame, max_bytes=4096)
+    assert fastpath.zstd_decompress_stream(
+        frame, max_bytes=len(data)) == data

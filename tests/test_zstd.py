@@ -251,3 +251,42 @@ def test_inspect_frame_skippable_and_errors():
     for cut in (2, 5, len(frame) - 1):
         with pytest.raises(zstd.ZstdError):
             zstd.inspect_frame(frame[:cut])
+
+
+def _no_fcs_frame(data: bytes) -> bytes:
+    """A frame whose header OMITS Frame_Content_Size — what streaming
+    compressors emit (pyarrow's CompressedOutputStream here), invisible
+    to declared-size pre-checks like warc.py's inspect_frame gate."""
+    import pyarrow as pa
+
+    buf = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(buf, "zstd") as s:
+        s.write(data)
+    frame = bytes(buf.getvalue())
+    assert zstd.inspect_frame(frame)[2] is None  # genuinely undeclared
+    return frame
+
+
+def test_max_bytes_bounds_no_fcs_frame():
+    """decompress(max_bytes=...) must refuse a bomb frame BEFORE
+    materializing past the ceiling even when the frame omits
+    Frame_Content_Size — the r17 ADVICE gap: the pure fallback used to
+    decode the whole frame and len()-check after the fact."""
+    data = b"bomb " * 40_000  # ~200 KB from a ~34-byte frame
+    frame = _no_fcs_frame(data)
+    with pytest.raises(zstd.ZstdError, match="exceeds"):
+        zstd.decompress(frame, max_bytes=4096)
+    # the bound is a ceiling, not a truncation: at/above the true size
+    # the full content comes back byte-identical
+    assert zstd.decompress(frame, max_bytes=len(data)) == data
+    assert zstd.decompress(frame) == data
+
+
+def test_max_bytes_bounds_sequence_bomb_inside_one_block():
+    """The per-SEQUENCE check: a single compressed block can expand by
+    orders of magnitude through match copies, so the bound must fire
+    inside the block decode loop, not just between blocks."""
+    frame, expected = _frame_with_nseq(0x8000)  # one block, 128 KiB out
+    with pytest.raises(zstd.ZstdError, match="exceeds"):
+        zstd.decompress(frame, max_bytes=1024)
+    assert zstd.decompress(frame, max_bytes=len(expected)) == expected
