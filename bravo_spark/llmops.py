@@ -2116,6 +2116,18 @@ def _fs_read_text(spark, path: str) -> str:
     return bytes(data).decode("utf-8")
 
 
+# Commit marker for ivf_index_compact's crash-atomic file swap: written
+# AFTER the reassignment + merged centroids are fully staged, deleted as
+# the commit's last step. While it exists the live assignments/centroids
+# pair may be mid-swap, so load_ivf_index refuses by name.
+_COMPACT_MARKER = "_COMPACT_COMMIT.json"
+
+
+class IvfCompactInterrupted(RuntimeError):
+    """An ivf_index_compact commit was interrupted mid-swap; the index
+    refuses reads until :func:`finish_ivf_compact` rolls it forward."""
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -2196,9 +2208,23 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
     """(assignments, centroids, manifest) of a :func:`build_ivf_index`
     index. ``assignments`` is cell-partitioned parquet — a filter on
     ``cell`` becomes PartitionFilters (file pruning), which is what makes
-    the persisted index cheaper than re-assigning per query batch."""
+    the persisted index cheaper than re-assigning per query batch.
+
+    Refuses BY NAME while a :func:`ivf_index_compact` commit marker is
+    present: between the marker landing and its removal the live
+    assignments/centroids pair may be mid-swap (cells deleted but not
+    yet replaced, centroids out of sync with assignments) — serving it
+    would silently drop vectors. :func:`finish_ivf_compact` rolls the
+    staged commit forward and clears the marker."""
     import json as _json
 
+    fs, _, jvm = _hadoop_fs(spark, path)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(
+            _index_path(path, _COMPACT_MARKER))):
+        raise IvfCompactInterrupted(
+            f"{path}: an ivf_index_compact commit was interrupted "
+            f"({_COMPACT_MARKER} present) — run finish_ivf_compact() "
+            "to roll it forward before reading")
     manifest = _json.loads(
         _fs_read_text(spark, _index_path(path, "_bravo_ivf.json"))
     )
@@ -2392,10 +2418,16 @@ def ivf_index_compact(
     A cell is drifted when ``mean_cos < min_mean_cos`` or
     ``frac_of_corpus > max_frac`` (give at least one bound). The first
     sub-cell reuses the old cell id, the rest get fresh ids, so the
-    assignment rewrite is a DYNAMIC partition overwrite touching only
-    the drifted + new ``cell=`` dirs; the centroid relation (k rows,
-    metadata-scale) is rewritten wholly and the manifest's n_clusters
-    updated. Drifted cells are few by the health predicate's nature;
+    rewrite touches only the drifted + new ``cell=`` dirs; the centroid
+    relation (k rows, metadata-scale) is rewritten wholly and the
+    manifest's n_clusters updated. The swap is CRASH-ATOMIC: the
+    reassignment and merged centroids are fully staged first, then a
+    commit marker lands and the staged dirs are renamed over the live
+    ones — :func:`load_ivf_index` refuses by name while the marker
+    exists and :func:`finish_ivf_compact` rolls an interrupted commit
+    forward, so a death at any point can never serve an index that
+    silently dropped vectors. Drifted cells are few by the health
+    predicate's nature;
     each split is a distributed fit over one cell's files only
     (PartitionFilters-pruned scan), so the driver loop is over a handful
     of cells, never over vectors.
@@ -2463,12 +2495,20 @@ def ivf_index_compact(
             F.sqrt(dot(F.col("e"), F.col("e")))
             * F.sqrt(dot(F.col("centroid"), F.col("centroid")))
         )
-        wc = Window.partitionBy("id").orderBy(
+        # dedup per ROW, not per id: ivf_index_append never enforces id
+        # uniqueness (a re-run append is two legitimate copies), and a
+        # window on id alone would silently drop all but one copy — the
+        # compact contract is that ONLY cell membership changes. The
+        # synthetic key is unique per member row; the broadcast join
+        # fans each row out ×subsplit and the window folds it back to
+        # exactly one.
+        wc = Window.partitionBy("_row").orderBy(
             F.col("_c").desc(), F.col("cid"))
         reasg = (
             members.select(F.col(id_col).alias("id"), dbl.alias("e"))
+            .withColumn("_row", F.monotonically_increasing_id())
             .join(F.broadcast(subc))
-            .select("id", "e", "cid", ccos.alias("_c"))
+            .select("id", "e", "_row", "cid", ccos.alias("_c"))
             .withColumn("_rn", F.row_number().over(wc))
             .filter(F.col("_rn") == 1)
             .select(
@@ -2479,28 +2519,26 @@ def ivf_index_compact(
         )
         rewrites = reasg if rewrites is None else rewrites.unionByName(reasg)
 
-    # Materialize the reassignment BEFORE touching files: the eager
-    # localCheckpoint truncates lineage (the plan reads the same parquet
-    # dirs the rewrite replaces), then the drifted cells' partition dirs
-    # are DELETED explicitly and the reassignment appended. A dynamic
-    # partition overwrite would only replace partitions present in the
-    # new data — if a drifted cell's reused id receives no members from
-    # the within-cell reassignment, its stale directory would survive
-    # and every vector in it would be duplicated into the new cells.
-    rewrites = rewrites.localCheckpoint()
-    asg_root = _index_path(path, "assignments")
-    fs, _, jvm = _hadoop_fs(spark, asg_root)
-    for cell in drifted:
-        cell_dir = jvm.org.apache.hadoop.fs.Path(
-            _index_path(asg_root, f"cell={cell}"))
-        if fs.exists(cell_dir):
-            fs.delete(cell_dir, True)
-    (rewrites.write.mode("append")
+    # ---- crash-atomic commit: stage, mark, roll forward ----------------
+    # No live file is touched until the reassignment AND the merged
+    # centroid relation are fully staged next to the live dirs. Then the
+    # commit marker lands (naming exactly which live cell dirs die) and
+    # _apply_compact_commit executes the deletes+renames in an order
+    # that is idempotent under replay. A death at ANY point leaves the
+    # index either fully pre-compaction (marker never landed — the
+    # staging dirs are inert leftovers the next compact overwrites) or
+    # refusing by name until finish_ivf_compact rolls it forward —
+    # never a silently vector-dropping index. (A dynamic partition
+    # overwrite could not replace a reused cell id that receives no
+    # members, and a bare delete+append window had no recovery marker.)
+    stage_asg = _index_path(path, "_compact_stage_assignments")
+    stage_cent = _index_path(path, "_compact_stage_centroids")
+    (rewrites.write.mode("overwrite")
      .partitionBy("cell")
-     .parquet(asg_root))
+     .parquet(stage_asg))
 
     # the centroid relation is k' rows (model-scale): merge driver-side
-    # so the overwrite never reads the path it replaces
+    # so the staged write never reads the path its commit replaces
     gone = set(drifted)
     kept_rows = [
         (int(r.cid), [float(x) for x in r.centroid])
@@ -2509,14 +2547,88 @@ def ivf_index_compact(
     spark.createDataFrame(
         kept_rows + [(int(c), e) for c, e in new_cent_rows],
         "cid int, centroid array<double>",
-    ).write.mode("overwrite").parquet(_index_path(path, "centroids"))
+    ).write.mode("overwrite").parquet(stage_cent)
+
+    # drifted cells whose reused id received NO members have no staged
+    # cell dir; their stale live dirs must still die at commit, and the
+    # marker records them so replay deletes them too (they can never
+    # hold post-commit data — no staged dir takes their name)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    staged_names = {
+        st.getPath().getName()
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(stage_asg))
+    }
+    delete_only = [c for c in drifted
+                   if f"cell={c}" not in staged_names]
 
     mf = dict(mf)
     mf["n_clusters"] = int(mf["n_clusters"]) + len(new_cells)
-    _fs_write_text(spark, _index_path(path, "_bravo_ivf.json"),
-                   _json.dumps(mf))
+    marker = {"delete_only": delete_only, "manifest": mf}
+    _fs_write_text(spark, _index_path(path, _COMPACT_MARKER),
+                   _json.dumps(marker))
+    _apply_compact_commit(spark, path)
     return {"drifted": drifted, "new_cells": new_cells,
             "n_clusters": mf["n_clusters"]}
+
+
+def finish_ivf_compact(spark, path: str) -> bool:
+    """Roll an interrupted :func:`ivf_index_compact` commit FORWARD.
+    Returns True if a commit marker was found and applied, False if the
+    index was not mid-compaction. Safe to call at any time: the marker
+    only lands after the replacement data is fully staged, and every
+    commit step is idempotent under replay, so repeated crashes during
+    recovery converge on the committed index."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(
+            _index_path(path, _COMPACT_MARKER))):
+        return False
+    _apply_compact_commit(spark, path)
+    return True
+
+
+def _apply_compact_commit(spark, path: str) -> None:
+    """Execute (or re-execute) the staged compact commit. Replay-safe by
+    construction: a staged cell dir disappears exactly when its rename
+    lands, so on replay only the still-staged cells are (re)swapped; the
+    delete_only cells can never hold post-commit data; the manifest
+    rewrite is idempotent; the marker dies last."""
+    import json as _json
+
+    marker = _json.loads(
+        _fs_read_text(spark, _index_path(path, _COMPACT_MARKER)))
+    fs, _, jvm = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    asg_root = _index_path(path, "assignments")
+    stage_asg = P(_index_path(path, "_compact_stage_assignments"))
+    stage_cent = P(_index_path(path, "_compact_stage_centroids"))
+
+    for cell in marker["delete_only"]:
+        d = P(_index_path(asg_root, f"cell={cell}"))
+        if fs.exists(d):
+            fs.delete(d, True)
+    if fs.exists(stage_asg):
+        for st in fs.listStatus(stage_asg):
+            name = st.getPath().getName()
+            if not name.startswith("cell="):
+                continue  # _SUCCESS etc. die with the stage root
+            dst = P(_index_path(asg_root, name))
+            # a pre-existing dst is the STALE pre-compact dir of a
+            # reused cell id (the staged dir still existing proves its
+            # swap never landed) — replace it
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if not fs.rename(st.getPath(), dst):
+                raise IOError(f"compact commit: rename {name} failed")
+        fs.delete(stage_asg, True)
+    if fs.exists(stage_cent):
+        dst = P(_index_path(path, "centroids"))
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(stage_cent, dst):
+            raise IOError("compact commit: centroid swap rename failed")
+    _fs_write_text(spark, _index_path(path, "_bravo_ivf.json"),
+                   _json.dumps(marker["manifest"]))
+    fs.delete(P(_index_path(path, _COMPACT_MARKER)), False)
 
 
 # ---------------------------------------------------------------------------

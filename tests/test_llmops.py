@@ -1455,3 +1455,138 @@ def test_canonical_url_str_idempotent_property():
             assert llmops.canonical_url_str(c) == c
 
     check()
+
+
+def _ivf_ray(theta_deg, jitter, n, base_id):
+    import math
+
+    rows = []
+    for i in range(n):
+        t = math.radians(theta_deg + jitter * ((i % 5) - 2))
+        rows.append((base_id + i, [math.cos(t), math.sin(t)]))
+    return rows
+
+
+def _drifted_ivf(spark, tmp_path):
+    """A 2-cell index with one cell dragged under mean_cos 0.95 by a
+    skewed append — the same shape the recall-recovery test uses."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows += _ivf_ray(0, 1.0, 20, 100) + _ivf_ray(90, 1.0, 20, 200)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    llmops.build_ivf_index(emb, idx, n_clusters=2, n_iter=4)
+    llmops.ivf_index_append(
+        spark, idx,
+        spark.createDataFrame(_ivf_ray(40, 1.0, 50, 300),
+                              "vec_id long, embedding array<double>"))
+    stats = {int(r.cell): r for r in
+             llmops.ivf_index_stats(spark, idx).collect()}
+    drifted = min(stats, key=lambda c: stats[c].mean_cos)
+    return idx, drifted
+
+
+def test_ivf_index_compact_death_mid_commit_refuses_then_rolls_forward(
+        spark, tmp_path, monkeypatch):
+    """The r17 verdict's crash-atomicity gap, fault-injected: kill the
+    compaction BETWEEN the stale-cell delete and the staged-replacement
+    swap — the exact window where the old delete+append protocol served
+    a silently vector-dropping index. The marker protocol must instead
+    REFUSE reads by name, and finish_ivf_compact must converge on the
+    committed index (every vector exactly once, recall signal healthy)."""
+    import os
+    import shutil
+
+    idx, drifted = _drifted_ivf(spark, tmp_path)
+    real_apply = llmops._apply_compact_commit
+
+    def die_between_delete_and_swap(spark_, path_):
+        # the commit's first mutation: the stale drifted dir dies...
+        shutil.rmtree(os.path.join(path_, "assignments", f"cell={drifted}"))
+        # ...and the process dies before any staged rename lands
+        raise RuntimeError("injected death mid-commit")
+
+    monkeypatch.setattr(
+        llmops, "_apply_compact_commit", die_between_delete_and_swap)
+    with pytest.raises(RuntimeError, match="injected death"):
+        llmops.ivf_index_compact(spark, idx, min_mean_cos=0.95)
+
+    # the torn index refuses BY NAME on every read path — it never
+    # serves the state with the drifted cell's vectors missing
+    with pytest.raises(llmops.IvfCompactInterrupted,
+                       match="_COMPACT_COMMIT"):
+        llmops.load_ivf_index(spark, idx)
+    q = spark.createDataFrame(_ivf_ray(50, 1.0, 5, 900),
+                              "vec_id long, embedding array<double>")
+    with pytest.raises(llmops.IvfCompactInterrupted):
+        llmops.ivf_index_search(spark, idx, q, k=3, n_probe=1)
+    with pytest.raises(llmops.IvfCompactInterrupted):
+        llmops.ivf_index_stats(spark, idx)
+
+    # roll forward: the staged commit completes idempotently
+    monkeypatch.setattr(llmops, "_apply_compact_commit", real_apply)
+    assert llmops.finish_ivf_compact(spark, idx) is True
+    assert llmops.finish_ivf_compact(spark, idx) is False  # marker gone
+
+    asg, cent, mf = llmops.load_ivf_index(spark, idx)
+    assert asg.count() == 92
+    assert asg.select("vec_id").distinct().count() == 92
+    assert mf["n_clusters"] == 3
+    assert cent.count() == 3
+    # the index is healthy by its own drift signal — the committed
+    # compaction, not a half state
+    stats = llmops.ivf_index_stats(spark, idx).collect()
+    assert all(r.mean_cos >= 0.95 for r in stats)
+
+
+def test_ivf_index_compact_death_before_marker_reads_as_pre_compaction(
+        spark, tmp_path, monkeypatch):
+    """Death BEFORE the commit marker lands: the staging dirs are inert
+    leftovers and the index reads exactly as pre-compaction — still
+    drifted by its own signal, every vector present."""
+    idx, drifted = _drifted_ivf(spark, tmp_path)
+    real_write = llmops._fs_write_text
+
+    def die_on_marker(spark_, path_, text_):
+        if llmops._COMPACT_MARKER in path_:
+            raise RuntimeError("injected death before marker")
+        return real_write(spark_, path_, text_)
+
+    monkeypatch.setattr(llmops, "_fs_write_text", die_on_marker)
+    with pytest.raises(RuntimeError, match="before marker"):
+        llmops.ivf_index_compact(spark, idx, min_mean_cos=0.95)
+    monkeypatch.setattr(llmops, "_fs_write_text", real_write)
+
+    assert llmops.finish_ivf_compact(spark, idx) is False
+    asg, cent, mf = llmops.load_ivf_index(spark, idx)
+    assert asg.count() == 92
+    assert mf["n_clusters"] == 2 and cent.count() == 2
+    stats = {int(r.cell): r for r in
+             llmops.ivf_index_stats(spark, idx).collect()}
+    assert stats[drifted].mean_cos < 0.95  # untouched: still drifted
+    # and a re-run compact (staging overwritten) completes normally
+    report = llmops.ivf_index_compact(spark, idx, min_mean_cos=0.95)
+    assert report["drifted"] == [drifted]
+    assert llmops.load_ivf_index(spark, idx)[0].count() == 92
+
+
+def test_ivf_index_compact_keeps_duplicate_id_copies(spark, tmp_path):
+    """ivf_index_append never enforces id uniqueness (a re-run append is
+    two legitimate copies), so compaction must keep every ROW — the r17
+    ADVICE defect was a dedup window on id that silently dropped all but
+    one copy of each duplicate."""
+    idx, drifted = _drifted_ivf(spark, tmp_path)
+    # re-run the same drift append: every 300-series id now has 2 copies
+    llmops.ivf_index_append(
+        spark, idx,
+        spark.createDataFrame(_ivf_ray(40, 1.0, 50, 300),
+                              "vec_id long, embedding array<double>"))
+    before = llmops.load_ivf_index(spark, idx)[0].count()
+    assert before == 142  # 42 base + 2×50 drift
+
+    report = llmops.ivf_index_compact(spark, idx, min_mean_cos=0.95)
+    assert report["drifted"] == [drifted]
+    asg = llmops.load_ivf_index(spark, idx)[0]
+    assert asg.count() == 142  # only cell membership changed
+    dup_counts = (asg.filter("vec_id >= 300").groupBy("vec_id").count()
+                  .select("count").distinct().collect())
+    assert [int(r[0]) for r in dup_counts] == [2]
