@@ -748,21 +748,46 @@ def dedup_lsh_quality_eval(spark, sf_dir):
 # class hash-fails.
 # ---------------------------------------------------------------------------
 
-_URL_DEDUP_ORACLE = """
-WITH syn AS (
-  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
-),
-canon AS (
+# The closed-form canonical URL of the synthesized messy variants, as
+# SQL over documents — shared by the dedup row's oracle and the composed
+# pipeline's url_dup stage so both replay the SAME contract.
+_URL_CANON_SQL = """
   SELECT doc_id,
-    'site' || CAST(g % 50 AS VARCHAR) || '.example/p/' || CAST(g AS VARCHAR)
-      || CASE WHEN v = 3 THEN '?a=1&b=2' ELSE '' END AS canonical_url
-  FROM syn
-)
+    'site' || CAST((doc_id // 4) % 50 AS VARCHAR) || '.example/p/'
+      || CAST(doc_id // 4 AS VARCHAR)
+      || CASE WHEN doc_id % 4 = 3 THEN '?a=1&b=2' ELSE '' END
+      AS canonical_url
+  FROM documents
+"""
+
+_URL_DEDUP_ORACLE = f"""
 SELECT canonical_url,
   CAST(count(*) AS BIGINT) AS n_dupes,
   CAST(min(doc_id) AS BIGINT) AS keep_doc_id
-FROM canon GROUP BY canonical_url
+FROM ({_URL_CANON_SQL}) canon GROUP BY canonical_url
 """
+
+
+def _messy_url_col():
+    """The four deterministic messy-URL variant classes per doc_id —
+    plain https, shouted ``HTTP://WWW.…:80`` + fragment, ``:443`` +
+    trailing slash + utm_source, and shuffled real params + a
+    utm_campaign. The REAL canonicalizer must collapse them to the
+    closed forms ``_URL_CANON_SQL`` replays."""
+    g = (F.col("doc_id") / 4).cast("long")
+    host = F.concat(F.lit("site"), (g % 50).cast("string"),
+                    F.lit(".example"))
+    pth = F.concat(F.lit("/p/"), g.cast("string"))
+    v = F.col("doc_id") % 4
+    return (
+        F.when(v == 0, F.concat(F.lit("https://"), host, pth))
+        .when(v == 1, F.concat(F.lit("HTTP://WWW."), F.upper(host),
+                               F.lit(":80"), pth, F.lit("#frag")))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"),
+                               pth, F.lit("/?utm_source=x")))
+        .otherwise(F.concat(F.lit("https://"), host, pth,
+                            F.lit("?b=2&utm_campaign=y&a=1")))
+    )
 
 
 @query("dedup_url_canonical", oracle=_URL_DEDUP_ORACLE)
@@ -779,21 +804,7 @@ def dedup_url_canonical(spark, sf_dir):
     from bravo_spark import llmops
 
     docs = catalog.table(spark, sf_dir, "documents").select("doc_id")
-    g = (F.col("doc_id") / 4).cast("long")
-    host = F.concat(F.lit("site"), (g % 50).cast("string"),
-                    F.lit(".example"))
-    pth = F.concat(F.lit("/p/"), g.cast("string"))
-    v = F.col("doc_id") % 4
-    url = (
-        F.when(v == 0, F.concat(F.lit("https://"), host, pth))
-        .when(v == 1, F.concat(F.lit("HTTP://WWW."), F.upper(host),
-                               F.lit(":80"), pth, F.lit("#frag")))
-        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"),
-                               pth, F.lit("/?utm_source=x")))
-        .otherwise(F.concat(F.lit("https://"), host, pth,
-                            F.lit("?b=2&utm_campaign=y&a=1")))
-    )
-    with_urls = docs.select("doc_id", url.alias("url"))
+    with_urls = docs.select("doc_id", _messy_url_col().alias("url"))
     canon = llmops.canonicalize_urls(with_urls, "url")
     return canon.groupBy("canonical_url").agg(
         F.count("*").alias("n_dupes"),

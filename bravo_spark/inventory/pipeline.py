@@ -3,6 +3,12 @@ with a full audit trail of WHY — the end-to-end shape a production
 training-data pipeline actually ships, assembled from the engine's proven
 components rather than re-implemented:
 
+- ``url_dup``       — not the minimum-id holder of its canonical-URL group
+                      (the FIRST stage of a CCNet/RefinedWeb-shaped crawl
+                      pipeline: a crawler revisits the same page under
+                      scheme/host/tracking-param variants, so URL-level
+                      dedup runs before any content pass; r18, composing
+                      llmops.canonicalize_urls)
 - ``exact_dup``     — not the minimum-id holder of its identical-text group
 - ``near_dup``      — in a MinHash-LSH cluster, not its representative
 - ``low_quality``   — fails the Gopher/C4 rule set (quality_filter_pipeline)
@@ -26,7 +32,9 @@ from bravo_spark import catalog
 from bravo_spark.inventory.dedup import (
     _DECON_N,
     _DECON_ORACLE,
+    _URL_CANON_SQL,
     _cluster_cte_sql,
+    _messy_url_col,
     dedup_minhash_lsh,
 )
 from bravo_spark.inventory.registry import query
@@ -41,20 +49,28 @@ exact AS (
   FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text)))
         AS min_id FROM documents) t
 ),
+urld AS (
+  SELECT doc_id,
+    CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY canonical_url)
+         THEN 1 ELSE 0 END AS url_dup
+  FROM ({_URL_CANON_SQL}) uc
+),
 qual AS (SELECT doc_id, kept FROM ({_quality_filter_sql('duckdb')}) q),
 decon AS (SELECT doc_id FROM ({_DECON_ORACLE}) dd)
 SELECT d.doc_id,
   CASE WHEN d.doc_id % 97 = 0 THEN 1 ELSE 0 END AS is_eval,
+  u.url_dup,
   e.exact_dup,
   CASE WHEN cl.doc_id IS NOT NULL AND cl.doc_id <> cl.cluster_id
        THEN 1 ELSE 0 END AS near_dup,
   CASE WHEN q.kept = 0 THEN 1 ELSE 0 END AS low_quality,
   CASE WHEN dc.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated,
-  CASE WHEN d.doc_id % 97 <> 0 AND e.exact_dup = 0
+  CASE WHEN d.doc_id % 97 <> 0 AND u.url_dup = 0 AND e.exact_dup = 0
         AND (cl.doc_id IS NULL OR cl.doc_id = cl.cluster_id)
         AND q.kept = 1 AND dc.doc_id IS NULL
        THEN 1 ELSE 0 END AS keep
 FROM documents d
+JOIN urld u USING (doc_id)
 JOIN exact e USING (doc_id)
 LEFT JOIN cl ON d.doc_id = cl.doc_id
 JOIN qual q USING (doc_id)
@@ -65,10 +81,29 @@ LEFT JOIN decon dc ON d.doc_id = dc.doc_id
 @query("pipeline_clean_corpus", oracle=_pipeline_oracle())
 def pipeline_clean_corpus(spark, sf_dir):
     """Per-document keep/drop with audit flags, composed from the engine's
-    dedup/quality/decontamination components."""
+    URL-dedup/dedup/quality/decontamination components. Stage order
+    mirrors a production crawl pipeline: URL-level dedup first (cheapest
+    key, collapses refetches before any content pass), then content
+    dedup, quality, decontamination."""
     from bravo_spark import llmops
 
     docs = catalog.table_spread(spark, sf_dir, "documents")
+
+    # URL stage: synthesize the messy variants (documents carries no URL
+    # column), canonicalize with the REAL canonicalizer, flag non-min
+    # holders per canonical group — map-only Arrow batches + one shuffle
+    # on the canonical string
+    with_urls = docs.select("doc_id", _messy_url_col().alias("url"))
+    urld = llmops.canonicalize_urls(with_urls, "url").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy("canonical_url")),
+            1,
+        )
+        .otherwise(0)
+        .alias("url_dup"),
+    )
 
     exact = docs.select(
         "doc_id",
@@ -96,6 +131,7 @@ def pipeline_clean_corpus(spark, sf_dir):
 
     out = (
         docs.select("doc_id")
+        .join(urld, "doc_id")
         .join(exact, "doc_id")
         .join(cl, "doc_id", "left")
         .join(qual, "doc_id")
@@ -108,6 +144,7 @@ def pipeline_clean_corpus(spark, sf_dir):
     ).otherwise(0)
     keep = F.when(
         (F.col("doc_id") % 97 != 0)
+        & (F.col("url_dup") == 0)
         & (F.col("exact_dup") == 0)
         & (F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
         & (F.col("kept") == 1)
@@ -117,6 +154,7 @@ def pipeline_clean_corpus(spark, sf_dir):
     return out.select(
         "doc_id",
         F.when(F.col("doc_id") % 97 == 0, 1).otherwise(0).alias("is_eval"),
+        "url_dup",
         "exact_dup",
         near.alias("near_dup"),
         F.when(F.col("kept") == 0, 1).otherwise(0).alias("low_quality"),

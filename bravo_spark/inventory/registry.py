@@ -134,11 +134,16 @@ GATE_PRIORITY = [
     # (CDC merge + union-evolution + float-WAV paths stay pytest-pinned).
     # r18: text_fingerprint / text_token_count / anti_join rotated out
     # (r15-r17 green; fingerprint+token paths stay benched and
-    # mirror-verified, anti-join plan-pinned in test_plans). In:
-    # lang-id + quality re-proofs (last r4) and the F4 named-subset
-    # filter re-proof (last r3).
+    # mirror-verified, anti-join plan-pinned in test_plans). In: the
+    # lang-id re-proof (last r4), the F4 named-subset filter re-proof
+    # (last r3), and pipeline_clean_corpus — its contract CHANGED this
+    # round (the composed url_dup stage per the r17 verdict's task 3),
+    # and a changed-contract row re-proves in the SAME round's gate, so
+    # it takes the slot text_quality was staged for; text_quality (last
+    # r4, its rule set runs INSIDE the composed pipeline's quality
+    # stage) moves to the r19 staging below.
     "text_lang_id",
-    "text_quality",
+    "pipeline_clean_corpus",
     "f4_named_subset", "token_budget_pack",
     # dedup family (dedup_exact rotated out in r6 after 5 driver-green
     # rounds; dedup_minhash_lsh rotated out in r8 after 7 — its band-bucket
@@ -326,7 +331,11 @@ R19_STAGED_SWAPS = [
     ("rollup_agg", "a2_count_sum_per_key"),
     ("grouping_sets_agg", "sort_topk"),
     ("salted_skew_agg", "join_enrich"),
-    ("tpch_q5_star", "tpch_q1"),
+    # text_quality ceded its r18 slot to the changed-contract
+    # pipeline_clean_corpus (see GATE_PRIORITY) and re-proves here;
+    # tpch_q1 (r5-last) defers to the r20 pool — the TPC-H spine keeps
+    # q3 gated continuously and the whole tail was re-proven r10-r13
+    ("tpch_q5_star", "text_quality"),
     # r5-last filter/projection conformance rows (F2/F3, P2/P3)
     ("except_all_keys", "f2_isin_filter"),
     ("intersect_keys", "f3_anti_filter"),
