@@ -92,6 +92,10 @@ FIXED_COST = [
     # (fixture archives are written once per process, so the timed runs
     # measure the READ path)
     "warc_ingest",
+    # r18: raw-crawl HTML extraction — response-record WARC read + HTTP
+    # head/body split + charset decode + strip chain (write-once
+    # fixture; the timed surface is read+extract)
+    "warc_html_extract",
     # Avro OCF roundtrip: distributed write + archive-grain read through
     # the pure-Python codec (timed runs include the write — it rewrites
     # per run, unlike the write-once WARC fixture)

@@ -1,0 +1,165 @@
+"""HTTP/1.1 response-message parsing for WARC ``response`` records.
+
+Real Common Crawl ``.warc.gz`` is mostly ``WARC-Type: response`` records
+whose payload is the raw HTTP exchange the crawler captured — status
+line, header fields, entity body (RFC 9112 message framing; public).
+The WET ``conversion`` records the text pipeline consumes are DERIVED
+from these, so this module is the missing link between raw crawl
+archives and ``llmops.strip_markup``: split the head, resolve the body
+framing, decode the entity to text. The bravo reference ships no HTTP
+layer (it reads Flink state, not crawls); this belongs to the
+training-data extension surface alongside ``codecs/warc.py``.
+
+Framing (RFC 9112 §6): ``Transfer-Encoding: chunked`` wins over
+``Content-Length`` — hex chunk-size lines with optional extensions,
+a zero chunk, then optional trailer fields. A bare ``Content-Length``
+must match the remaining payload EXACTLY: a crawler writes the bytes it
+fetched, so a shortfall is a torn capture and surplus is misframing —
+both refuse by name (``HttpError`` with the byte offset) rather than
+silently yielding a truncated or padded body. Neither header → the body
+is everything after the head (the connection-close captures).
+
+Charset: the ``Content-Type`` ``charset`` parameter when it names a
+codec Python knows, else UTF-8 (the crawl-pipeline fallback — an
+unknown or absent charset must not drop the document); undecodable
+bytes become U+FFFD. A crawl always contains mojibake, and the
+deterministic replacement keeps downstream text oracle-replayable.
+
+Header names are case-insensitive per RFC 9110 §5.1, so the parsed dict
+keys are lowercased (unlike WARC headers, whose case the warc codec
+preserves); duplicate fields join with ", " and obs-fold continuation
+lines unfold to a single space (RFC 9112 §5.2).
+"""
+
+from __future__ import annotations
+
+import codecs as _codecs
+import re
+
+_CRLF = b"\r\n"
+
+_STATUS_RE = re.compile(rb"^HTTP/\d\.\d (\d{3})(?: |$)")
+_CHARSET_RE = re.compile(r'charset\s*=\s*"?([^";\s]+)"?', re.IGNORECASE)
+
+
+class HttpError(ValueError):
+    """Malformed HTTP/1.x message (bad status line, torn chunked
+    framing, Content-Length disagreeing with the captured bytes)."""
+
+
+def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
+    """``(status, headers, body)`` of one captured HTTP response.
+
+    ``headers`` keys are lowercased; values are latin-1-decoded verbatim
+    (header bytes are opaque octets per spec — the CHARSET decision
+    belongs to the entity body, see :func:`decode_entity`)."""
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0:
+        raise HttpError("no head terminator CRLFCRLF in HTTP message")
+    head, rest = payload[:sep], payload[sep + 4:]
+    lines = head.split(_CRLF)
+    m = _STATUS_RE.match(lines[0])
+    if not m:
+        raise HttpError(f"bad HTTP status line: {lines[0][:40]!r}")
+    status = int(m.group(1))
+    headers: dict[str, str] = {}
+    cur: str | None = None
+    for line in lines[1:]:
+        if line[:1] in (b" ", b"\t"):
+            # obs-fold: the continuation belongs to the previous field
+            if cur is None:
+                raise HttpError("continuation line before any header")
+            headers[cur] += " " + line.strip().decode("latin-1")
+            continue
+        if b":" not in line:
+            raise HttpError(f"HTTP header without ':': {line[:40]!r}")
+        k, v = line.split(b":", 1)
+        cur = k.strip().decode("latin-1").lower()
+        val = v.strip().decode("latin-1")
+        headers[cur] = headers[cur] + ", " + val if cur in headers else val
+
+    te = headers.get("transfer-encoding", "")
+    if "chunked" in te.lower():
+        body = dechunk(rest)
+    elif "content-length" in headers:
+        try:
+            n = int(headers["content-length"])
+        except ValueError:
+            raise HttpError(
+                f"non-integer Content-Length: {headers['content-length']!r}")
+        if n < 0:
+            raise HttpError(f"negative Content-Length {n}")
+        if n > len(rest):
+            raise HttpError(
+                f"Content-Length {n} but only {len(rest)} captured body "
+                "bytes — torn capture")
+        if len(rest) > n:
+            raise HttpError(
+                f"{len(rest) - n} bytes of trailing junk after the "
+                f"Content-Length {n} body")
+        body = rest
+    else:
+        body = rest  # connection-close framing: read to capture end
+    return status, headers, body
+
+
+def dechunk(data: bytes) -> bytes:
+    """Decode RFC 9112 §7.1 chunked transfer coding. Strict: a torn
+    chunk, bad size line, missing chunk-data CRLF, torn trailer, or
+    trailing junk after the final chunk refuses with the byte offset."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while True:
+        eol = data.find(_CRLF, pos)
+        if eol < 0:
+            raise HttpError(
+                f"chunked framing torn at byte {pos}: no chunk-size line")
+        size_field = data[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            raise HttpError(
+                f"bad chunk size at byte {pos}: {size_field[:20]!r}")
+        pos = eol + 2
+        if size == 0:
+            while True:  # optional trailer fields, then a bare CRLF
+                eol = data.find(_CRLF, pos)
+                if eol < 0:
+                    raise HttpError(f"chunked trailer torn at byte {pos}")
+                line = data[pos:eol]
+                pos = eol + 2
+                if not line:
+                    break
+            if pos != n:
+                raise HttpError(
+                    f"{n - pos} bytes of trailing junk after the final "
+                    "chunk")
+            return bytes(out)
+        if pos + size > n:
+            raise HttpError(
+                f"chunk of {size} bytes torn at byte {pos}: only "
+                f"{n - pos} captured")
+        out += data[pos:pos + size]
+        pos += size
+        if data[pos:pos + 2] != _CRLF:
+            raise HttpError(f"missing CRLF after chunk data at byte {pos}")
+        pos += 2
+
+
+def charset_name(headers: dict[str, str]) -> str:
+    """The normalized Python codec name the entity decodes with: the
+    Content-Type charset parameter when Python knows it, else utf-8."""
+    m = _CHARSET_RE.search(headers.get("content-type", ""))
+    if m:
+        try:
+            return _codecs.lookup(m.group(1)).name
+        except LookupError:
+            pass  # crawl junk charset token → the utf-8 fallback
+    return "utf-8"
+
+
+def decode_entity(headers: dict[str, str], body: bytes) -> str:
+    """Entity bytes → text via :func:`charset_name`; undecodable bytes
+    become U+FFFD (deterministic — mojibake must not drop a document)."""
+    return body.decode(charset_name(headers), errors="replace")

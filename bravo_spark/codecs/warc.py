@@ -125,11 +125,12 @@ def parse_warc(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         cap = _inflate_cap(len(data))
         # Header-only pre-check BEFORE any decode work: walk the frame
         # sequence (a .warc.zst is multi-frame by design — one per
-        # record) and sum the declared content sizes. This bounds
-        # declared-size bombs even on the pure-Python decode path,
-        # where the stream decoder's max_bytes check is post-hoc; it
-        # also validates the frame framing itself. Frames that omit
-        # the content-size field stay covered by the decoder's bound.
+        # record) and sum the declared content sizes — this refuses
+        # declared-size bombs for free and validates the frame framing
+        # itself. Frames that omit the content-size field are covered
+        # by the decoder's own bound, which both the pyarrow path and
+        # the pure RFC 8878 decoder now enforce DURING the decode
+        # (per block / per sequence), never post-hoc.
         pos, declared = 0, 0
         try:
             while pos < len(data):

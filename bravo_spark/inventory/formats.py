@@ -573,6 +573,166 @@ def warc_stream_ingest(spark, sf_dir):
     return _drain_to_memory(spark, proj, "warc_stream_sink")
 
 
+# ---------------------------------------------------------------------------
+# Full-WARC (response-record) HTML extraction — r18. warc_ingest consumes
+# WET conversion records (pre-extracted text); REAL raw Common Crawl
+# .warc.gz is mostly WARC-Type: response records whose payload is the
+# captured HTTP/1.1 message. This row drives the missing link: HTTP
+# head/body split + framing + charset decode (codecs/http.py) feeding
+# llmops.strip_markup. The fixture wraps each document in a deterministic
+# HTML template and captures it under four message shapes (doc_id % 4):
+# Content-Length + explicit UTF-8; chunked (with a chunk extension and a
+# trailer field) + charset ABSENT (the UTF-8 fallback); Content-Length +
+# ISO-8859-1 on a 404 (the latin-1 'café' marker proves a real non-UTF-8
+# decode); and a no-framing connection-close capture. The oracle replays
+# status, resolved charset, and the FULL strip chain closed-form.
+# ---------------------------------------------------------------------------
+
+_HTTP_HTML_PREFIX = "<html><head><title>Doc "
+_HTTP_HTML_MID = (
+    "</title><style>p{margin:0}</style></head>"
+    "<body><!-- captured --><p>"
+)
+_HTTP_HTML_SUFFIX = "</p><p>café &amp; co</p></body></html>"
+
+
+def _http_response_bytes(doc_id: int, text: str) -> bytes:
+    """The captured HTTP/1.1 message for one document — variant by
+    ``doc_id % 4`` (see the block comment above)."""
+    html = (f"{_HTTP_HTML_PREFIX}{doc_id}{_HTTP_HTML_MID}{text}"
+            f"{_HTTP_HTML_SUFFIX}")
+    v = doc_id % 4
+    if v == 2:
+        # latin-1 body: the corpus is ASCII, the template's é is not —
+        # a UTF-8 misread of this capture changes clean_text and
+        # hash-fails
+        body = html.encode("latin-1")
+        return (b"HTTP/1.1 404 Not Found\r\n"
+                b"Content-Type: text/html; charset=ISO-8859-1\r\n"
+                + f"Content-Length: {len(body)}\r\n".encode()
+                + b"\r\n" + body)
+    body = html.encode("utf-8")
+    if v == 0:
+        return (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=UTF-8\r\n"
+                + f"Content-Length: {len(body)}\r\n".encode()
+                + b"\r\n" + body)
+    if v == 3:
+        # connection-close capture: neither Content-Length nor
+        # Transfer-Encoding — body is everything after the head
+        return (b"HTTP/1.0 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                b"\r\n" + body)
+    # v == 1: chunked transfer coding, charset ABSENT (UTF-8 fallback),
+    # a chunk extension on the first chunk and a trailer field after
+    # the zero chunk — the full RFC 9112 §7.1 surface
+    chunks = [body[i:i + 64] for i in range(0, len(body), 64)]
+    enc = b""
+    for i, c in enumerate(chunks):
+        ext = b";cc=1" if i == 0 else b""
+        enc += b"%x" % len(c) + ext + b"\r\n" + c + b"\r\n"
+    enc += b"0\r\nX-Digest: fixture\r\n\r\n"
+    return (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n"
+            b"\r\n" + enc)
+
+
+def _warc_response_fixture(spark, sf_dir) -> str:
+    """Write-once-per-process raw-crawl fixture: each ``documents``
+    partition packed into ONE .warc.gz of ``WARC-Type: response``
+    records (executor-side — never a driver loop)."""
+    import hashlib
+
+    from bravo_spark.codecs.warc import write_warc
+
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = scratch_path(f"warcresp_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+
+        def _write(pid, rows):
+            recs = [
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": f"doc://{r.doc_id}",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    _http_response_bytes(int(r.doc_id), r.text),
+                )
+                for r in rows
+            ]
+            if recs:
+                with open(os.path.join(out, f"shard_{pid:05d}.warc.gz"),
+                          "wb") as f:
+                    f.write(write_warc(recs))
+            return iter(())
+
+        docs.rdd.mapPartitionsWithIndex(_write).count()
+        open(marker, "w").close()
+    return out
+
+
+def _warc_html_oracle() -> str:
+    from bravo_spark.inventory.textops import _sql_quote, _strip_chain_sql
+
+    q = _sql_quote
+    html = (
+        f"'{q(_HTTP_HTML_PREFIX)}' || CAST(doc_id AS VARCHAR) || "
+        f"'{q(_HTTP_HTML_MID)}' || text || '{q(_HTTP_HTML_SUFFIX)}'"
+    )
+    return (
+        f"WITH h AS (SELECT doc_id, {html} AS t FROM documents)\n"
+        "SELECT doc_id,\n"
+        "  CAST(CASE WHEN doc_id % 4 = 2 THEN 404 ELSE 200 END"
+        " AS INTEGER) AS http_status,\n"
+        "  CASE WHEN doc_id % 4 = 2 THEN 'iso8859-1' ELSE 'utf-8' END"
+        " AS charset,\n"
+        f"  trim({_strip_chain_sql('t')}) AS clean_text\n"
+        "FROM h"
+    )
+
+
+@query("warc_html_extract", oracle=_warc_html_oracle())
+def warc_html_extract(spark, sf_dir):
+    """Raw-crawl HTML extraction end-to-end: ``.warc.gz`` RESPONSE
+    records → binaryFile → WARC record split → HTTP head/body split
+    (status line, headers, chunked/Content-Length framing, charset from
+    Content-Type with UTF-8 fallback — ``codecs/http.py``) →
+    ``llmops.strip_markup``. The oracle replays status, resolved
+    charset, and the full strip chain closed-form, so a framing or
+    charset defect in ANY of the four captured message shapes
+    hash-fails.
+
+    Scale shape: archive-grain binaryFile tasks, two map-only
+    Arrow-batched stages (WARC split, HTTP parse) and a JVM-side regex
+    chain — zero shuffles at any corpus size; the write-once fixture
+    keeps the timed surface the READ+extract path."""
+    from bravo_spark import llmops as lo
+    from bravo_spark.sources.warc_source import read_warc
+
+    out = _warc_response_fixture(spark, sf_dir)
+    recs = read_warc(spark, out)
+    parsed = lo.extract_http_html(
+        recs.filter(F.col("warc_type") == "response"), "payload")
+    stripped = lo.strip_markup(
+        parsed.select(
+            F.regexp_extract(F.col("uri"), r"^doc://(\d+)$", 1)
+            .cast("long").alias("doc_id"),
+            "http_status",
+            F.col("http_charset").alias("charset"),
+            F.col("http_html").alias("t"),
+        ),
+        "t",
+    )
+    return stripped.select("doc_id", "http_status", "charset", "clean_text")
+
+
 @query("avro_stream_ingest", oracle=_AGG_ORACLE)
 def avro_stream_ingest(spark, sf_dir):
     """The STREAMING half of the Avro OCF surface

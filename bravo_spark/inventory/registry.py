@@ -345,7 +345,11 @@ R19_STAGED_SWAPS = [
     # LSH/IVF/semantic rows rescore against)
     ("dedup_semantic_clusters", "dedup_exact"),
     ("left_outer_join", "ann_cosine_topk"),
-    ("text_chunk_overlap", "streaming_window_counts"),
+    # pair-with-staging rule: the r18 net-new warc_html_extract takes
+    # this slot (mirror-green at all three SFs the day it landed);
+    # streaming_window_counts (r5-last) defers to the r20 pool — r19
+    # already rotates four streaming rows back in
+    ("text_chunk_overlap", "warc_html_extract"),
 ]
 
 

@@ -2274,13 +2274,23 @@ _MARKUP_STEPS = [
 ]
 
 
-def _markup_strip_oracle() -> str:
-    def q(s: str) -> str:
-        return s.replace("'", "''")
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
 
-    expr = "t"
+
+def _strip_chain_sql(expr: str) -> str:
+    """``expr`` wrapped in llmops.strip_markup's exact replacement chain
+    as DuckDB SQL — shared by every oracle that replays the strip
+    (text_markup_strip here; warc_html_extract in formats.py)."""
     for pat, rep in _MARKUP_STEPS:
-        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+        expr = (f"regexp_replace({expr}, '{_sql_quote(pat)}',"
+                f" '{_sql_quote(rep)}', 'g')")
+    return expr
+
+
+def _markup_strip_oracle() -> str:
+    q = _sql_quote
+    expr = _strip_chain_sql("t")
     html = (
         f"'{q(_MARKUP_PREFIX)}' || CAST(doc_id AS VARCHAR) || "
         f"'{q(_MARKUP_MID)}' || text || '{q(_MARKUP_SUFFIX)}'"

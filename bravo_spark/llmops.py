@@ -521,6 +521,81 @@ def canonicalize_urls(
     return df.mapInPandas(canon, schema)
 
 
+def extract_http_html(
+    df: DataFrame,
+    payload_col: str,
+    *,
+    prefix: str = "http_",
+    quarantine: bool = False,
+) -> DataFrame:
+    """Parse captured HTTP/1.1 response messages — the payload of WARC
+    ``WARC-Type: response`` records, i.e. what raw Common Crawl archives
+    actually hold — into typed columns: ``<prefix>status`` (int),
+    ``<prefix>charset`` (the resolved entity codec name) and
+    ``<prefix>html`` (the framing-resolved, charset-decoded entity).
+    This is the step between the WARC record split
+    (``sources/warc_source.py``) and :func:`strip_markup`: chunked
+    transfer coding and Content-Length framing are resolved by
+    ``codecs/http.py`` (strict RFC 9112 — refusal by name with byte
+    offsets), the charset comes from Content-Type with UTF-8 fallback.
+
+    A malformed message fails the task loudly by default. Real crawls
+    always contain torn captures, so ``quarantine=True`` opts into
+    isolating them instead of killing the pipeline: charset and html
+    are NULLed and status set to -1, so the caller routes the original
+    records to a quarantine sink by flag. Map-only Arrow-batched
+    ``mapInPandas`` — pipelines with the archive scan at any scale."""
+    from pyspark.sql import types as T
+
+    from bravo_spark.codecs.http import (
+        HttpError,
+        decode_entity,
+        charset_name,
+        parse_http_response,
+    )
+
+    status_col, charset_col, html_col = (
+        prefix + "status", prefix + "charset", prefix + "html")
+    for c in (status_col, charset_col, html_col):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} already exists — pick a"
+                             " different prefix")
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(status_col, T.IntegerType()),
+           T.StructField(charset_col, T.StringType()),
+           T.StructField(html_col, T.StringType())]
+    )
+    cols = df.columns
+
+    def parse(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            st, cs, tx = [], [], []
+            for payload in pdf[payload_col]:
+                try:
+                    status, headers, body = parse_http_response(
+                        bytes(payload))
+                except HttpError:
+                    if not quarantine:
+                        raise
+                    st.append(-1)
+                    cs.append(None)
+                    tx.append(None)
+                    continue
+                st.append(status)
+                cs.append(charset_name(headers))
+                tx.append(decode_entity(headers, body))
+            out = _pd.DataFrame({c: pdf[c] for c in cols})
+            out[status_col] = _pd.array(st, dtype="Int32")
+            out[charset_col] = cs
+            out[html_col] = tx
+            yield out
+
+    return df.mapInPandas(parse, schema)
+
+
 def dedup_against_corpus(
     new_df: DataFrame,
     corpus: DataFrame,

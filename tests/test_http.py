@@ -1,0 +1,179 @@
+"""codecs/http.py: HTTP/1.1 response parsing for WARC response records —
+framing (Content-Length / chunked / connection-close), charset
+resolution, and the malformation classes a raw crawl actually contains
+(torn chunked framing, wrong Content-Length, non-UTF-8 charsets)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bravo_spark.codecs.http import (
+    HttpError,
+    charset_name,
+    dechunk,
+    decode_entity,
+    parse_http_response,
+)
+
+
+def _msg(head: bytes, body: bytes = b"") -> bytes:
+    return head + b"\r\n" + body
+
+
+def test_content_length_framing():
+    body = b"<html><p>hello</p></html>"
+    payload = _msg(
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=UTF-8\r\n"
+        + b"Content-Length: %d\r\n" % len(body),
+        body,
+    )
+    status, headers, got = parse_http_response(payload)
+    assert status == 200
+    assert headers["content-type"] == "text/html; charset=UTF-8"
+    assert got == body
+    assert charset_name(headers) == "utf-8"
+
+
+def test_chunked_framing_with_extensions_and_trailer():
+    chunks = [b"<html><p>", b"chunked body", b"</p></html>"]
+    enc = b""
+    for i, c in enumerate(chunks):
+        ext = b";name=v" if i == 0 else b""
+        enc += b"%x" % len(c) + ext + b"\r\n" + c + b"\r\n"
+    enc += b"0\r\nX-Trailer: t\r\n\r\n"
+    payload = _msg(
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n",
+        enc,
+    )
+    status, headers, got = parse_http_response(payload)
+    assert status == 200
+    assert got == b"".join(chunks)
+    assert charset_name(headers) == "utf-8"  # absent → fallback
+
+
+def test_connection_close_framing_reads_to_end():
+    body = b"no framing headers at all"
+    payload = _msg(b"HTTP/1.0 200 OK\r\nContent-Type: text/plain\r\n", body)
+    status, _, got = parse_http_response(payload)
+    assert (status, got) == (200, body)
+
+
+def test_chunked_wins_over_content_length():
+    # RFC 9112 §6.3: Transfer-Encoding takes precedence
+    enc = b"5\r\nhello\r\n0\r\n\r\n"
+    payload = _msg(
+        b"HTTP/1.1 200 OK\r\n"
+        b"Transfer-Encoding: chunked\r\n"
+        b"Content-Length: 999\r\n",
+        enc,
+    )
+    assert parse_http_response(payload)[2] == b"hello"
+
+
+def test_obs_fold_and_duplicate_headers():
+    payload = _msg(
+        b"HTTP/1.1 200 OK\r\n"
+        b"X-Note: first\r\n"
+        b"\t folded\r\n"
+        b"X-Dup: a\r\n"
+        b"X-Dup: b\r\n"
+        b"Content-Length: 0\r\n",
+    )
+    _, headers, _ = parse_http_response(payload)
+    assert headers["x-note"] == "first folded"
+    assert headers["x-dup"] == "a, b"
+
+
+def test_status_line_and_head_malformations():
+    with pytest.raises(HttpError, match="head terminator"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nX: 1\r\n")
+    with pytest.raises(HttpError, match="status line"):
+        parse_http_response(b"ICY 200 OK\r\n\r\n")
+    with pytest.raises(HttpError, match="without ':'"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nbadline\r\n\r\n")
+    with pytest.raises(HttpError, match="continuation"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\n folded-first\r\n\r\n")
+
+
+def test_wrong_content_length_both_directions():
+    # shortfall: torn capture — never silently truncate
+    with pytest.raises(HttpError, match="torn capture"):
+        parse_http_response(_msg(
+            b"HTTP/1.1 200 OK\r\nContent-Length: 10\r\n", b"short"))
+    # surplus: misframing — never silently pad
+    with pytest.raises(HttpError, match="trailing junk"):
+        parse_http_response(_msg(
+            b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n", b"abcdef"))
+    with pytest.raises(HttpError, match="negative"):
+        parse_http_response(_msg(
+            b"HTTP/1.1 200 OK\r\nContent-Length: -5\r\n", b""))
+    with pytest.raises(HttpError, match="non-integer"):
+        parse_http_response(_msg(
+            b"HTTP/1.1 200 OK\r\nContent-Length: ten\r\n", b""))
+
+
+def test_torn_chunked_framing_classes():
+    # chunk data torn mid-chunk
+    with pytest.raises(HttpError, match="torn at byte"):
+        dechunk(b"ff\r\nonly a few bytes")
+    # no size line terminator
+    with pytest.raises(HttpError, match="no chunk-size line"):
+        dechunk(b"5")
+    # garbage size
+    with pytest.raises(HttpError, match="bad chunk size"):
+        dechunk(b"zz\r\nhello\r\n0\r\n\r\n")
+    # missing CRLF after chunk data
+    with pytest.raises(HttpError, match="missing CRLF"):
+        dechunk(b"5\r\nhelloXX0\r\n\r\n")
+    # torn trailer section
+    with pytest.raises(HttpError, match="trailer torn"):
+        dechunk(b"5\r\nhello\r\n0\r\nX-T: 1")
+    # junk after the terminal chunk
+    with pytest.raises(HttpError, match="trailing junk"):
+        dechunk(b"5\r\nhello\r\n0\r\n\r\nEXTRA")
+
+
+def test_charset_resolution_and_decode():
+    # explicit non-UTF-8 charset decodes through the named codec
+    headers = {"content-type": 'text/html; charset="ISO-8859-1"'}
+    assert charset_name(headers) == "iso8859-1"
+    assert decode_entity(headers, b"caf\xe9") == "café"
+    # the same bytes misread as UTF-8 would NOT round-trip — prove the
+    # charset actually drives the decode
+    assert decode_entity({}, b"caf\xe9") == "caf�"
+    # unknown charset token → utf-8 fallback, not a refusal
+    assert charset_name({"content-type": "text/html; charset=bogus-9"}) \
+        == "utf-8"
+    # undecodable bytes under the resolved codec → U+FFFD, never a crash
+    assert decode_entity(
+        {"content-type": "text/html; charset=utf-8"}, b"\xff\xfe") \
+        == "��"
+
+
+def test_extract_http_html_quarantine(spark):
+    """The column-level API's quarantine contract: a torn capture NULLs
+    the extracted columns with status -1 instead of killing the task;
+    strict mode (default) fails loudly."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from bravo_spark import llmops
+
+    good = _msg(b"HTTP/1.1 200 OK\r\nContent-Length: 4\r\n", b"good")
+    torn = _msg(b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n", b"short")
+    df = spark.createDataFrame([(1, good), (2, torn)], "id long, p binary")
+
+    out = {r.id: r for r in
+           llmops.extract_http_html(df, "p", quarantine=True).collect()}
+    assert out[1].http_status == 200 and out[1].http_html == "good"
+    assert out[2].http_status == -1
+    assert out[2].http_charset is None and out[2].http_html is None
+
+    with pytest.raises(PythonException, match="torn capture"):
+        llmops.extract_http_html(df, "p").collect()
+
+    with pytest.raises(ValueError, match="already exists"):
+        llmops.extract_http_html(
+            df.withColumn("http_status", df.id), "p")
