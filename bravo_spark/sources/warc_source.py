@@ -18,6 +18,7 @@ silently dropping tail records.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _BINARYFILE_SCHEMA = (
     "path string, modificationTime timestamp, length long, content binary"
@@ -88,3 +89,114 @@ def read_warc_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return _records(reader.load(path))
+
+
+def write_warc_shards(
+    records: DataFrame,
+    path: str,
+    *,
+    uri_col: str = "uri",
+    payload_col: str = "payload",
+    warc_type: str = "conversion",
+    warc_date: str = "2026-01-01T00:00:00Z",
+    compression: str = "gzip",
+    extra_headers: dict[str, str] | None = None,
+) -> int:
+    """Distributed WARC writer: each partition of ``records`` becomes
+    ONE ``shard_{partition:05d}.warc.{gz,zst,warc}`` under ``path`` —
+    the splittable one-member-per-record layout ``codecs/warc.py``
+    emits, so :func:`read_warc` (and any spec reader) gets archive-grain
+    parallelism back. Returns the number of records written.
+
+    ``warc_date`` is an explicit parameter (not wall-clock) so output
+    archives are byte-deterministic — same input, same bytes, which is
+    what makes the WET-conversion round trip oracle-checkable. Shard
+    size is controlled the Spark way: ``repartition(n)`` upstream picks
+    the shard count (keep archives ~1 GiB at crawl scale).
+
+    Per-partition imperative IO is the one legitimate RDD-adjacent use:
+    shard naming needs the partition index, so this is
+    ``mapPartitionsWithIndex`` writing through the pure-Python codec —
+    the plan ABOVE it stays declarative."""
+    import os
+
+    from bravo_spark.codecs.warc import write_warc
+
+    ext = {"gzip": "warc.gz", "zstd": "warc.zst", "none": "warc"}
+    if compression not in ext:
+        raise ValueError(f"unsupported WARC compression {compression!r}")
+    suffix = ext[compression]
+    base_headers = {"WARC-Type": warc_type, "WARC-Date": warc_date}
+    base_headers.update(extra_headers or {})
+    os.makedirs(path, exist_ok=True)
+    src = records.select(
+        F.col(uri_col).cast("string").alias("uri"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def _write(pid, rows):
+        recs = []
+        for r in rows:
+            payload = r.payload
+            if isinstance(payload, str):
+                payload = payload.encode("utf-8")
+            recs.append((
+                {**base_headers, "WARC-Target-URI": r.uri},
+                bytes(payload) if payload is not None else b"",
+            ))
+        if recs:
+            shard = os.path.join(path, f"shard_{pid:05d}.{suffix}")
+            with open(shard, "wb") as f:
+                f.write(write_warc(recs, compression=compression))
+        yield len(recs)
+
+    return sum(src.rdd.mapPartitionsWithIndex(_write).collect())
+
+
+def wet_convert(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    glob: str = "*.warc.gz",
+    quarantine: bool = True,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    compression: str = "gzip",
+) -> dict:
+    """The Common Crawl WET extraction, end to end: raw ``.warc.gz``
+    response archives under ``src`` → HTTP head/body split + framing +
+    charset decode (``codecs/http.py``) → ``llmops.strip_markup`` →
+    WET-style ``WARC-Type: conversion`` archives under ``dst`` that
+    :func:`read_warc` (or any WET consumer, e.g. the warc_ingest path)
+    reads back. Returns ``{"converted": n, "quarantined": m}``.
+
+    ``quarantine=True`` (the crawl default) counts torn HTTP captures
+    instead of failing the job; ``False`` fails loudly on the first.
+    Scale shape: archive-grain read tasks, two map-only Arrow stages,
+    a JVM regex chain, and a partition-grain shard write — ZERO
+    shuffles; shard count follows the input partitioning (repartition
+    upstream of ``src`` file layout to resize output archives)."""
+    from bravo_spark import llmops
+
+    recs = read_warc(spark, src, glob=glob)
+    parsed = llmops.extract_http_html(
+        recs.filter(F.col("warc_type") == "response"),
+        "payload",
+        quarantine=quarantine,
+    )
+    stripped = llmops.strip_markup(
+        parsed.withColumnRenamed("http_html", "t"), "t"
+    ).persist()  # counted AND written: one materialization, not two plans
+    try:
+        ok = stripped.filter(F.col("http_status") != -1)
+        n_bad = stripped.filter(F.col("http_status") == -1).count()
+        n = write_warc_shards(
+            ok.select("uri", F.col("clean_text").alias("payload")),
+            dst,
+            warc_type="conversion",
+            warc_date=warc_date,
+            compression=compression,
+        )
+    finally:
+        stripped.unpersist()
+    return {"converted": n, "quarantined": n_bad}

@@ -86,3 +86,90 @@ def test_torn_archive_fails_loudly(spark, tmp_path):
         f.write(blob[:-7])
     with pytest.raises(Exception, match="WarcError|gzip|truncated"):
         read_warc(spark, d).count()
+
+
+def _response_archive(tmp_path, name, messages):
+    """One .warc.gz of WARC-Type: response records."""
+    import os
+
+    from bravo_spark.codecs.warc import write_warc
+
+    recs = [
+        ({"WARC-Type": "response", "WARC-Target-URI": uri,
+          "WARC-Date": "2026-01-01T00:00:00Z",
+          "Content-Type": "application/http; msgtype=response"}, msg)
+        for uri, msg in messages
+    ]
+    src = str(tmp_path / "raw")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "wb") as f:
+        f.write(write_warc(recs))
+    return src
+
+
+def test_wet_convert_end_to_end(spark, tmp_path):
+    """The Common Crawl WET loop: raw response archives in, conversion
+    archives out, torn captures quarantined (counted, never written),
+    and the output readable back through the SAME reader the WET ingest
+    path uses."""
+    from bravo_spark.sources.warc_source import read_warc, wet_convert
+
+    html = b"<html><body><p>hello &amp; goodbye</p></body></html>"
+    good = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=UTF-8\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(html) + html)
+    chunked = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"Transfer-Encoding: chunked\r\n\r\n"
+               + b"%x\r\n" % len(html) + html + b"\r\n0\r\n\r\n")
+    torn = (b"HTTP/1.1 200 OK\r\nContent-Length: 999\r\n\r\nshort")
+    src = _response_archive(tmp_path, "a.warc.gz", [
+        ("http://x.example/1", good),
+        ("http://x.example/2", chunked),
+        ("http://x.example/3", torn),
+    ])
+    dst = str(tmp_path / "wet")
+    report = wet_convert(spark, src, dst)
+    assert report == {"converted": 2, "quarantined": 1}
+
+    back = {r.uri: r for r in read_warc(spark, dst).collect()}
+    assert set(back) == {"http://x.example/1", "http://x.example/2"}
+    for r in back.values():
+        assert r.warc_type == "conversion"
+        assert bytes(r.payload).decode() == "hello & goodbye"
+
+    # strict mode fails loudly on the torn capture instead
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="torn capture"):
+        wet_convert(spark, src, str(tmp_path / "wet2"), quarantine=False)
+
+
+def test_write_warc_shards_deterministic_and_sharded(spark, tmp_path):
+    """Same input → byte-identical archives (pinned warc_date, mtime-0
+    gzip members), one shard per partition, readable back."""
+    import hashlib
+    import os
+
+    from bravo_spark.sources.warc_source import read_warc, write_warc_shards
+
+    df = spark.createDataFrame(
+        [(f"doc://{i}", f"text {i}".encode()) for i in range(20)],
+        "uri string, payload binary",
+    ).repartition(4)
+    digests = []
+    for run in ("w1", "w2"):
+        out = str(tmp_path / run)
+        n = write_warc_shards(df, out)
+        assert n == 20
+        shards = sorted(os.listdir(out))
+        assert len([s for s in shards if s.endswith(".warc.gz")]) == 4
+        digests.append(hashlib.md5(b"".join(
+            open(os.path.join(out, s), "rb").read() for s in shards
+        )).hexdigest())
+    assert digests[0] == digests[1]
+    got = read_warc(spark, str(tmp_path / "w1")).collect()
+    assert sorted(bytes(r.payload).decode() for r in got) \
+        == sorted(f"text {i}" for i in range(20))
+
+    with pytest.raises(ValueError, match="compression"):
+        write_warc_shards(df, str(tmp_path / "w3"), compression="7z")
