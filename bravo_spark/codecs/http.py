@@ -19,6 +19,14 @@ both refuse by name (``HttpError`` with the byte offset) rather than
 silently yielding a truncated or padded body. Neither header → the body
 is everything after the head (the connection-close captures).
 
+Content-Encoding (RFC 9110 §8.4): crawlers store the entity AS FETCHED,
+so captured bodies are frequently gzip- or deflate-compressed.
+:func:`decode_entity` inflates ``gzip``/``x-gzip`` and ``deflate``
+(both the spec's zlib-wrapped form and the bare-DEFLATE form real
+servers emit) with a hard output bound — untrusted crawl bytes must
+never inflate unbounded — and refuses other tokens (br, zstd, …) BY
+NAME rather than decoding the compressed bytes as text.
+
 Charset: the ``Content-Type`` ``charset`` parameter when it names a
 codec Python knows, else UTF-8 (the crawl-pipeline fallback — an
 unknown or absent charset must not drop the document); undecodable
@@ -147,6 +155,52 @@ def dechunk(data: bytes) -> bytes:
         pos += 2
 
 
+# Entity decompression-bomb ceiling — the same posture as codecs/warc.py's
+# archive cap: legitimate HTML inflates ~3-20x; 512x the compressed entity
+# (floor 64 MiB) bounds an adversarial capture without refusing real pages.
+_MAX_INFLATE_RATIO = 512
+_MIN_INFLATE_CAP = 64 << 20
+
+
+def _inflate_bounded(body: bytes, wbits: int) -> bytes:
+    import zlib
+
+    cap = max(len(body) * _MAX_INFLATE_RATIO, _MIN_INFLATE_CAP)
+    d = zlib.decompressobj(wbits=wbits)
+    try:
+        out = d.decompress(body, cap + 1)
+    except zlib.error as exc:
+        raise HttpError(f"bad compressed entity: {exc}") from exc
+    if len(out) > cap:
+        raise HttpError(
+            f"entity inflates past {cap} bytes ({_MAX_INFLATE_RATIO}x its "
+            "compressed size) — decompression bomb")
+    # trailing junk after the compressed stream is tolerated (crawl
+    # captures routinely carry padding); a stream that never finished is
+    # a torn capture
+    if not d.eof:
+        raise HttpError("compressed entity truncated — torn capture")
+    return out
+
+
+def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
+    """Undo ``Content-Encoding`` on a captured entity: gzip/x-gzip and
+    deflate (zlib-wrapped per spec, with the bare-DEFLATE fallback real
+    servers emit) inflate OUTPUT-BOUNDED; ``identity``/absent pass
+    through; anything else refuses by name."""
+    token = headers.get("content-encoding", "").strip().lower()
+    if token in ("", "identity"):
+        return body
+    if token in ("gzip", "x-gzip"):
+        return _inflate_bounded(body, 31)
+    if token == "deflate":
+        try:
+            return _inflate_bounded(body, 15)   # spec: zlib-wrapped
+        except HttpError:
+            return _inflate_bounded(body, -15)  # the wild: raw DEFLATE
+    raise HttpError(f"unsupported Content-Encoding {token!r}")
+
+
 def charset_name(headers: dict[str, str]) -> str:
     """The normalized Python codec name the entity decodes with: the
     Content-Type charset parameter when Python knows it, else utf-8."""
@@ -160,6 +214,9 @@ def charset_name(headers: dict[str, str]) -> str:
 
 
 def decode_entity(headers: dict[str, str], body: bytes) -> str:
-    """Entity bytes → text via :func:`charset_name`; undecodable bytes
-    become U+FFFD (deterministic — mojibake must not drop a document)."""
-    return body.decode(charset_name(headers), errors="replace")
+    """Entity bytes → text: :func:`decode_content_encoding` first (the
+    captured entity may be gzip/deflate as fetched), then
+    :func:`charset_name`; undecodable bytes become U+FFFD
+    (deterministic — mojibake must not drop a document)."""
+    return decode_content_encoding(headers, body).decode(
+        charset_name(headers), errors="replace")

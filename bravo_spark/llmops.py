@@ -537,7 +537,9 @@ def extract_http_html(
     (``sources/warc_source.py``) and :func:`strip_markup`: chunked
     transfer coding and Content-Length framing are resolved by
     ``codecs/http.py`` (strict RFC 9112 — refusal by name with byte
-    offsets), the charset comes from Content-Type with UTF-8 fallback.
+    offsets), gzip/deflate Content-Encoding inflates output-bounded
+    (entities are captured AS FETCHED), and the charset comes from
+    Content-Type with UTF-8 fallback.
 
     A malformed message fails the task loudly by default. Real crawls
     always contain torn captures, so ``quarantine=True`` opts into

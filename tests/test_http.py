@@ -177,3 +177,51 @@ def test_extract_http_html_quarantine(spark):
     with pytest.raises(ValueError, match="already exists"):
         llmops.extract_http_html(
             df.withColumn("http_status", df.id), "p")
+
+
+def test_content_encoding_gzip_and_deflate():
+    import zlib
+
+    from bravo_spark.codecs.http import decode_content_encoding
+
+    plain = b"<html><p>compressed entity</p></html>"
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    gz = co.compress(plain) + co.flush()
+    assert decode_content_encoding({"content-encoding": "gzip"}, gz) == plain
+    assert decode_content_encoding({"content-encoding": "x-gzip"}, gz) \
+        == plain
+    # spec deflate (zlib-wrapped) AND the bare-DEFLATE form servers emit
+    assert decode_content_encoding(
+        {"content-encoding": "deflate"}, zlib.compress(plain)) == plain
+    raw = zlib.compressobj(9, zlib.DEFLATED, -15)
+    assert decode_content_encoding(
+        {"content-encoding": "deflate"},
+        raw.compress(plain) + raw.flush()) == plain
+    # identity / absent pass through; unknown tokens refuse by name
+    assert decode_content_encoding({}, plain) == plain
+    assert decode_content_encoding(
+        {"content-encoding": "identity"}, plain) == plain
+    with pytest.raises(HttpError, match="br"):
+        decode_content_encoding({"content-encoding": "br"}, plain)
+    # torn compressed stream refuses rather than yielding a prefix
+    with pytest.raises(HttpError, match="torn capture"):
+        decode_content_encoding({"content-encoding": "gzip"}, gz[:-4])
+    # decode_entity composes encoding + charset
+    assert decode_entity(
+        {"content-encoding": "gzip",
+         "content-type": "text/html; charset=utf-8"}, gz) == plain.decode()
+
+
+def test_content_encoding_bomb_bounded(monkeypatch):
+    """A tiny gzip body declaring a huge expansion refuses at the
+    ceiling instead of materializing it (the cap floor is lowered for
+    the test — 64 MiB of zeros would be slow, not wrong)."""
+    import zlib
+
+    from bravo_spark.codecs import http as h
+
+    monkeypatch.setattr(h, "_MIN_INFLATE_CAP", 1 << 16)
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    bomb = co.compress(b"\x00" * (1 << 22)) + co.flush()  # 4 MiB from ~4 KB
+    with pytest.raises(HttpError, match="decompression bomb"):
+        h.decode_content_encoding({"content-encoding": "gzip"}, bomb)
