@@ -201,22 +201,45 @@ def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
     raise HttpError(f"unsupported Content-Encoding {token!r}")
 
 
-def charset_name(headers: dict[str, str]) -> str:
-    """The normalized Python codec name the entity decodes with: the
-    Content-Type charset parameter when Python knows it, else utf-8."""
+# HTML meta charset declarations, both forms, within the sniff window:
+# <meta charset="..."> (HTML5) and
+# <meta http-equiv="Content-Type" content="text/html; charset=..."> —
+# matched on the raw BYTES (any ASCII-compatible encoding declares
+# itself in ASCII; a UTF-16 page can't, which is why the window is a
+# fallback, not an authority over the header).
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?([A-Za-z0-9_][A-Za-z0-9._-]*)""",
+    re.IGNORECASE,
+)
+_SNIFF_WINDOW = 1024  # what the WHATWG prescan reads
+
+
+def charset_name(headers: dict[str, str], body: bytes = b"") -> str:
+    """The normalized Python codec name the entity decodes with:
+    the Content-Type charset parameter when Python knows it, else an
+    HTML ``<meta charset>`` / http-equiv declaration in the first
+    ``1024`` bytes of ``body`` (the WHATWG prescan window — real pages
+    routinely declare their encoding only in markup), else utf-8."""
     m = _CHARSET_RE.search(headers.get("content-type", ""))
     if m:
         try:
             return _codecs.lookup(m.group(1)).name
         except LookupError:
-            pass  # crawl junk charset token → the utf-8 fallback
+            pass  # crawl junk charset token → keep sniffing
+    m2 = _META_CHARSET_RE.search(body[:_SNIFF_WINDOW])
+    if m2:
+        try:
+            return _codecs.lookup(m2.group(1).decode("ascii")).name
+        except LookupError:
+            pass
     return "utf-8"
 
 
 def decode_entity(headers: dict[str, str], body: bytes) -> str:
     """Entity bytes → text: :func:`decode_content_encoding` first (the
     captured entity may be gzip/deflate as fetched), then
-    :func:`charset_name`; undecodable bytes become U+FFFD
-    (deterministic — mojibake must not drop a document)."""
-    return decode_content_encoding(headers, body).decode(
-        charset_name(headers), errors="replace")
+    :func:`charset_name` over the header AND the decompressed bytes'
+    meta prescan; undecodable bytes become U+FFFD (deterministic —
+    mojibake must not drop a document)."""
+    raw = decode_content_encoding(headers, body)
+    return raw.decode(charset_name(headers, raw), errors="replace")

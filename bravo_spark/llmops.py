@@ -551,8 +551,8 @@ def extract_http_html(
 
     from bravo_spark.codecs.http import (
         HttpError,
-        decode_entity,
         charset_name,
+        decode_content_encoding,
         parse_http_response,
     )
 
@@ -579,6 +579,7 @@ def extract_http_html(
                 try:
                     status, headers, body = parse_http_response(
                         bytes(payload))
+                    body = decode_content_encoding(headers, body)
                 except HttpError:
                     if not quarantine:
                         raise
@@ -586,9 +587,13 @@ def extract_http_html(
                     cs.append(None)
                     tx.append(None)
                     continue
+                # one charset resolution drives BOTH the reported
+                # column and the decode (header param → meta prescan
+                # → utf-8)
+                name = charset_name(headers, body)
                 st.append(status)
-                cs.append(charset_name(headers))
-                tx.append(decode_entity(headers, body))
+                cs.append(name)
+                tx.append(body.decode(name, errors="replace"))
             out = _pd.DataFrame({c: pdf[c] for c in cols})
             out[status_col] = _pd.array(st, dtype="Int32")
             out[charset_col] = cs

@@ -225,3 +225,24 @@ def test_content_encoding_bomb_bounded(monkeypatch):
     bomb = co.compress(b"\x00" * (1 << 22)) + co.flush()  # 4 MiB from ~4 KB
     with pytest.raises(HttpError, match="decompression bomb"):
         h.decode_content_encoding({"content-encoding": "gzip"}, bomb)
+
+
+def test_meta_charset_prescan():
+    """Header lacks a charset param → the WHATWG-style prescan of the
+    first 1024 body bytes finds the markup declaration; a header param
+    stays authoritative over a disagreeing meta tag."""
+    h = {"content-type": "text/html"}
+    body5 = b'<html><head><meta charset="windows-1252"></head>caf\xe9'
+    assert charset_name(h, body5) == "cp1252"
+    assert decode_entity(h, body5).endswith("café")
+    legacy = (b'<html><head><meta http-equiv="Content-Type" '
+              b'content="text/html; charset=ISO-8859-1"></head>x')
+    assert charset_name(h, legacy) == "iso8859-1"
+    # declaration OUTSIDE the 1024-byte window is not sniffed
+    far = b"<html>" + b" " * 1100 + b'<meta charset="ISO-8859-1">'
+    assert charset_name(h, far) == "utf-8"
+    # header param wins over the meta tag
+    assert charset_name(
+        {"content-type": "text/html; charset=utf-8"}, legacy) == "utf-8"
+    # unknown meta token → utf-8 fallback, same as the header rule
+    assert charset_name(h, b'<meta charset="bogus-enc">') == "utf-8"
