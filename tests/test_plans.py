@@ -818,3 +818,25 @@ def test_ngram_lm_persist_scores_from_loaded_relations(plans):
     # plan); every token-level join stays a hash equi-join
     assert p.count("BroadcastNestedLoopJoin") <= 2
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_warc_html_extract_is_shuffle_free_arrow(plans):
+    """Raw-crawl HTML extraction must stay archive-grain map-only: a
+    binaryFile scan, two Arrow-batched python stages (WARC record
+    split, HTTP parse), and the JVM regex strip chain — zero exchanges,
+    no row-at-a-time Python UDF, no join of any kind."""
+    p = plans("warc_html_extract")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p
+    assert p.lower().count("mapinpandas") >= 2  # WARC split + HTTP parse
+
+
+def test_pipeline_url_stage_single_shuffle_on_canonical(plans):
+    """The composed pipeline's r18 url_dup stage adds exactly one
+    window shuffle keyed on the canonical string and one Arrow stage
+    (the canonicalizer) — no Cartesian, no row-at-a-time UDF."""
+    p = plans("pipeline_clean_corpus")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "hashpartitioning(canonical_url" in p
