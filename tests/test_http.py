@@ -246,3 +246,56 @@ def test_meta_charset_prescan():
         {"content-type": "text/html; charset=utf-8"}, legacy) == "utf-8"
     # unknown meta token → utf-8 fallback, same as the header rule
     assert charset_name(h, b'<meta charset="bogus-enc">') == "utf-8"
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        body=st.binary(max_size=4096),
+        cuts=st.lists(st.integers(min_value=1, max_value=512),
+                      max_size=24),
+        status=st.integers(min_value=100, max_value=599),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_prop_chunked_roundtrip(body, cuts, status):
+        """ANY chunking of ANY body must decode back byte-identically
+        through the full message parser — the encoder here is an
+        independent re-statement of RFC 9112 §7.1."""
+        chunks, pos = [], 0
+        for c in cuts:
+            if pos >= len(body):
+                break
+            chunks.append(body[pos:pos + c])
+            pos += c
+        if pos < len(body):
+            chunks.append(body[pos:])
+        enc = b"".join(b"%x\r\n" % len(c) + c + b"\r\n"
+                       for c in chunks if c)
+        enc += b"0\r\n\r\n"
+        payload = (
+            b"HTTP/1.1 %d X\r\nTransfer-Encoding: chunked\r\n\r\n" % status
+            + enc)
+        got_status, _, got = parse_http_response(payload)
+        assert (got_status, got) == (status, body)
+
+    @given(body=st.binary(max_size=4096))
+    @settings(max_examples=60, deadline=None)
+    def test_prop_content_length_roundtrip(body):
+        payload = (b"HTTP/1.1 200 OK\r\nContent-Length: %d\r\n\r\n"
+                   % len(body) + body)
+        assert parse_http_response(payload)[2] == body
+
+    @given(data=st.binary(max_size=2048))
+    @settings(max_examples=60, deadline=None)
+    def test_prop_dechunk_never_hangs_or_misreads(data):
+        """Arbitrary bytes either decode as legal chunked framing or
+        refuse with HttpError — never an unhandled exception."""
+        try:
+            dechunk(data)
+        except HttpError:
+            pass
+
+except ImportError:  # hypothesis is baked in; belt+braces
+    pass
