@@ -169,7 +169,12 @@ def zstd_decompress_stream(frame: bytes, *, max_bytes: int | None = None) -> byt
     try:
         return pz.decompress(frame, max_bytes=max_bytes)
     except pz.ZstdError as e:
-        if max_bytes is not None and "exceeds" in str(e):
+        # match the bound refusal's exact message prefix — a bare
+        # 'exceeds' substring also matches two CORRUPTION errors
+        # ('jump table exceeds…', 'sequence literal length exceeds…'),
+        # which must not be mislabeled as decompression bombs
+        if max_bytes is not None and str(e).startswith(
+                "decoded output exceeds"):
             raise ValueError(
                 f"zstd frame inflates past {max_bytes} bytes") from e
         raise

@@ -86,17 +86,26 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
         val = v.strip().decode("latin-1")
         headers[cur] = headers[cur] + ", " + val if cur in headers else val
 
-    te = headers.get("transfer-encoding", "")
-    if "chunked" in te.lower():
+    te_tokens = [t.strip().lower()
+                 for t in headers.get("transfer-encoding", "").split(",")
+                 if t.strip()]
+    unsupported = [t for t in te_tokens if t not in ("chunked", "identity")]
+    if unsupported:
+        # transfer-coded compression (gzip/compress/deflate as TRANSFER
+        # codings) is not implemented — passing the still-coded bytes
+        # through as document text would be wrong bytes, so refuse by
+        # name instead
+        raise HttpError(
+            f"unsupported Transfer-Encoding {unsupported[0]!r}")
+    if "chunked" in te_tokens:
         body = dechunk(rest)
     elif "content-length" in headers:
-        try:
-            n = int(headers["content-length"])
-        except ValueError:
-            raise HttpError(
-                f"non-integer Content-Length: {headers['content-length']!r}")
-        if n < 0:
-            raise HttpError(f"negative Content-Length {n}")
+        cl = headers["content-length"].strip()
+        # strict digits only: Python's int() accepts '+10' and '1_0',
+        # which RFC 9110's 1*DIGIT does not
+        if not re.fullmatch(r"[0-9]+", cl):
+            raise HttpError(f"non-integer Content-Length: {cl!r}")
+        n = int(cl)
         if n > len(rest):
             raise HttpError(
                 f"Content-Length {n} but only {len(rest)} captured body "
@@ -124,11 +133,13 @@ def dechunk(data: bytes) -> bytes:
             raise HttpError(
                 f"chunked framing torn at byte {pos}: no chunk-size line")
         size_field = data[pos:eol].split(b";", 1)[0].strip()
-        try:
-            size = int(size_field, 16)
-        except ValueError:
+        # strict 1*HEXDIG (RFC 9112): Python's int(x, 16) accepts '-2',
+        # '+f', and '1_0', any of which would silently re-frame the
+        # stream instead of refusing it
+        if not re.fullmatch(rb"[0-9a-fA-F]+", size_field):
             raise HttpError(
                 f"bad chunk size at byte {pos}: {size_field[:20]!r}")
+        size = int(size_field, 16)
         pos = eol + 2
         if size == 0:
             while True:  # optional trailer fields, then a bare CRLF
@@ -194,9 +205,17 @@ def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
     if token in ("gzip", "x-gzip"):
         return _inflate_bounded(body, 31)
     if token == "deflate":
+        import zlib
+
         try:
             return _inflate_bounded(body, 15)   # spec: zlib-wrapped
-        except HttpError:
+        except HttpError as e:
+            # retry as the bare-DEFLATE form ONLY when the zlib wrapper
+            # failed to parse — a bomb or truncation refusal is final,
+            # and retrying it would mask the named refusal behind a
+            # generic corruption error
+            if not isinstance(e.__cause__, zlib.error):
+                raise
             return _inflate_bounded(body, -15)  # the wild: raw DEFLATE
     raise HttpError(f"unsupported Content-Encoding {token!r}")
 
@@ -220,19 +239,27 @@ def charset_name(headers: dict[str, str], body: bytes = b"") -> str:
     HTML ``<meta charset>`` / http-equiv declaration in the first
     ``1024`` bytes of ``body`` (the WHATWG prescan window — real pages
     routinely declare their encoding only in markup), else utf-8."""
+    for token in _declared_charsets(headers, body):
+        try:
+            info = _codecs.lookup(token)
+        except LookupError:
+            continue  # crawl junk charset token → keep falling back
+        # codecs.lookup also resolves NON-TEXT codecs (zlib, hex,
+        # base64, rot13) — bytes.decode() then raises LookupError at
+        # decode time, so a crafted charset token would kill the task
+        # instead of falling back; only text encodings qualify
+        if getattr(info, "_is_text_encoding", True):
+            return info.name
+    return "utf-8"
+
+
+def _declared_charsets(headers: dict[str, str], body: bytes):
     m = _CHARSET_RE.search(headers.get("content-type", ""))
     if m:
-        try:
-            return _codecs.lookup(m.group(1)).name
-        except LookupError:
-            pass  # crawl junk charset token → keep sniffing
+        yield m.group(1)
     m2 = _META_CHARSET_RE.search(body[:_SNIFF_WINDOW])
     if m2:
-        try:
-            return _codecs.lookup(m2.group(1).decode("ascii")).name
-        except LookupError:
-            pass
-    return "utf-8"
+        yield m2.group(1).decode("ascii")
 
 
 def decode_entity(headers: dict[str, str], body: bytes) -> str:

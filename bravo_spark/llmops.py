@@ -577,6 +577,11 @@ def extract_http_html(
             st, cs, tx = [], [], []
             for payload in pdf[payload_col]:
                 try:
+                    # a NULL payload (upstream join/union artifact) is a
+                    # torn capture for quarantine purposes — bytes(None)
+                    # would TypeError past the except below
+                    if payload is None:
+                        raise HttpError("NULL payload")
                     status, headers, body = parse_http_response(
                         bytes(payload))
                     body = decode_content_encoding(headers, body)
@@ -2261,10 +2266,16 @@ def build_ivf_index(
     ccos = dot(F.col("e"), F.col("centroid")) / (
         norm(F.col("e")) * norm(F.col("centroid"))
     )
-    wc = Window.partitionBy("id").orderBy(F.col("_c").desc(), F.col("cid"))
+    # argmax per ROW, not per id: the index persists every input row
+    # exactly once (ids need not be unique — a unioned re-run batch is
+    # two legitimate copies), so the dedup key is a synthetic row key,
+    # the same contract ivf_index_append and ivf_index_compact keep
+    wc = Window.partitionBy("_row").orderBy(F.col("_c").desc(),
+                                            F.col("cid"))
     asg = (
-        vecs.join(F.broadcast(cent))
-        .select("id", "e", "cid", ccos.alias("_c"))
+        vecs.withColumn("_row", F.monotonically_increasing_id())
+        .join(F.broadcast(cent))
+        .select("id", "e", "_row", "cid", ccos.alias("_c"))
         .withColumn("_rn", F.row_number().over(wc))
         .filter(F.col("_rn") == 1)
         .select(
@@ -2405,10 +2416,15 @@ def ivf_index_append(spark, path: str, df: DataFrame) -> int:
     ccos = dot(F.col("e"), F.col("centroid")) / (
         norm(F.col("e")) * norm(F.col("centroid"))
     )
-    wc = Window.partitionBy("id").orderBy(F.col("_c").desc(), F.col("cid"))
+    # argmax per ROW (see build_ivf_index): an append batch carrying the
+    # same id twice keeps both copies — a per-id window would silently
+    # drop vectors from the index
+    wc = Window.partitionBy("_row").orderBy(F.col("_c").desc(),
+                                            F.col("cid"))
     newly = (
-        vecs.join(F.broadcast(cent))
-        .select("id", "e", "cid", ccos.alias("_c"))
+        vecs.withColumn("_row", F.monotonically_increasing_id())
+        .join(F.broadcast(cent))
+        .select("id", "e", "_row", "cid", ccos.alias("_c"))
         .withColumn("_rn", F.row_number().over(wc))
         .filter(F.col("_rn") == 1)
         .select(

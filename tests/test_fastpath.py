@@ -220,3 +220,39 @@ def test_stream_bound_holds_on_pure_path(monkeypatch):
         fastpath.zstd_decompress_stream(frame, max_bytes=4096)
     assert fastpath.zstd_decompress_stream(
         frame, max_bytes=len(data)) == data
+
+
+def test_corrupt_frame_not_mislabeled_as_bomb(monkeypatch):
+    """Review finding: the pure decoder's corruption errors whose text
+    contains 'exceeds' ('sequence literal length exceeds literals') must
+    surface as corruption, not be remapped to the bomb refusal."""
+    import pyarrow as pa
+
+    from bravo_spark.codecs import zstd as pz
+
+    monkeypatch.setattr(fastpath, "_CODECS", None)
+    data = b"corrupt me " * 400
+    buf = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(buf, "zstd") as s:
+        s.write(data)
+    frame = bytearray(buf.getvalue())
+    # flip bytes until the decode fails somewhere (any corruption error
+    # must keep its own message; only the bound refusal remaps)
+    seen = None
+    for i in range(12, len(frame)):
+        cand = bytes(frame[:i]) + bytes([frame[i] ^ 0xFF]) + bytes(frame[i+1:])
+        try:
+            pz.decompress(cand)
+        except pz.ZstdError as e:
+            seen = (cand, str(e))
+            break
+    assert seen is not None
+    cand, msg = seen
+    try:
+        fastpath.zstd_decompress_stream(cand, max_bytes=1 << 20)
+        raised = None
+    except ValueError as e:
+        raised = str(e)
+    assert raised is not None
+    assert "inflates past" not in raised or msg.startswith(
+        "decoded output exceeds")

@@ -107,12 +107,13 @@ def test_wrong_content_length_both_directions():
     with pytest.raises(HttpError, match="trailing junk"):
         parse_http_response(_msg(
             b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n", b"abcdef"))
-    with pytest.raises(HttpError, match="negative"):
-        parse_http_response(_msg(
-            b"HTTP/1.1 200 OK\r\nContent-Length: -5\r\n", b""))
-    with pytest.raises(HttpError, match="non-integer"):
-        parse_http_response(_msg(
-            b"HTTP/1.1 200 OK\r\nContent-Length: ten\r\n", b""))
+    # strict 1*DIGIT: negatives, '+' signs, and Python's underscore
+    # leniency all refuse (int('1_0') == 10 would mis-frame silently)
+    for bad in (b"-5", b"ten", b"+10", b"1_0"):
+        with pytest.raises(HttpError, match="non-integer"):
+            parse_http_response(_msg(
+                b"HTTP/1.1 200 OK\r\nContent-Length: " + bad + b"\r\n",
+                b"0123456789"))
 
 
 def test_torn_chunked_framing_classes():
@@ -299,3 +300,83 @@ try:
 
 except ImportError:  # hypothesis is baked in; belt+braces
     pass
+
+
+def test_review_findings_r18():
+    """Regression pins for the r18 self-review findings on this codec."""
+    import zlib
+
+    from bravo_spark.codecs.http import decode_content_encoding
+
+    # 1: a NON-TEXT codec name (zlib/hex/base64/rot13) must not win the
+    # charset resolution — bytes.decode('zlib') raises LookupError at
+    # decode time, long past the quarantine catch
+    for tok in ("zlib", "hex", "base64", "rot13"):
+        assert charset_name(
+            {"content-type": f"text/html; charset={tok}"}, b"") == "utf-8"
+        decode_entity({"content-type": f"text/html; charset={tok}"},
+                      b"safe")  # never raises
+    assert charset_name(
+        {"content-type": "text/html; charset=zlib"},
+        b'<meta charset="ISO-8859-1">') == "iso8859-1"  # falls THROUGH
+
+    # 2: non-chunked Transfer-Encoding tokens refuse by name — passing
+    # still-transfer-coded bytes through as text is wrong bytes
+    with pytest.raises(HttpError, match="Transfer-Encoding 'gzip'"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nx")
+    with pytest.raises(HttpError, match="Transfer-Encoding"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n"
+            b"\r\n1\r\nx\r\n0\r\n\r\n")
+    # 'identity' alone (or with chunked) stays legal
+    assert parse_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: identity\r\n"
+        b"Content-Length: 2\r\n\r\nok")[2] == b"ok"
+
+    # 3: chunk-size leniency — negative sizes must refuse, not silently
+    # re-frame (int('-2',16) used to step the cursor backwards)
+    with pytest.raises(HttpError, match="bad chunk size"):
+        dechunk(b"5\r\nhello\r\n-2\r\n0\r\n\r\n")
+    with pytest.raises(HttpError, match="bad chunk size"):
+        dechunk(b"1_0\r\n" + b"x" * 16 + b"\r\n0\r\n\r\n")
+    with pytest.raises(HttpError, match="bad chunk size"):
+        dechunk(b"+5\r\nhello\r\n0\r\n\r\n")
+
+    # 7: a zlib-wrapped deflate BOMB refusal must surface as the bomb,
+    # not be retried as raw DEFLATE and re-reported as corruption
+    import bravo_spark.codecs.http as h
+    comp = zlib.compress(b"\x00" * (1 << 22))
+    orig = h._MIN_INFLATE_CAP
+    h._MIN_INFLATE_CAP = 1 << 16
+    try:
+        with pytest.raises(HttpError, match="decompression bomb"):
+            decode_content_encoding({"content-encoding": "deflate"}, comp)
+        with pytest.raises(HttpError, match="torn capture"):
+            decode_content_encoding(
+                {"content-encoding": "deflate"},
+                zlib.compress(b"hello world")[:-4])
+    finally:
+        h._MIN_INFLATE_CAP = orig
+    # the bare-DEFLATE fallback itself still works
+    raw = zlib.compressobj(9, zlib.DEFLATED, -15)
+    assert decode_content_encoding(
+        {"content-encoding": "deflate"},
+        raw.compress(b"bare") + raw.flush()) == b"bare"
+
+
+def test_extract_http_html_null_payload_quarantines(spark):
+    """Review finding 6: a NULL payload quarantines like a torn capture
+    instead of TypeError-ing past the HttpError catch."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from bravo_spark import llmops
+
+    good = _msg(b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n", b"ok")
+    df = spark.createDataFrame([(1, good), (2, None)], "id long, p binary")
+    out = {r.id: r for r in
+           llmops.extract_http_html(df, "p", quarantine=True).collect()}
+    assert out[1].http_status == 200
+    assert out[2].http_status == -1 and out[2].http_html is None
+    with pytest.raises(PythonException, match="NULL payload"):
+        llmops.extract_http_html(df, "p").collect()

@@ -1590,3 +1590,32 @@ def test_ivf_index_compact_keeps_duplicate_id_copies(spark, tmp_path):
     dup_counts = (asg.filter("vec_id >= 300").groupBy("vec_id").count()
                   .select("count").distinct().collect())
     assert [int(r[0]) for r in dup_counts] == [2]
+
+
+def test_ivf_build_and_append_keep_duplicate_id_rows(spark, tmp_path):
+    """r18 self-review finding: the per-id argmax window in
+    build_ivf_index / ivf_index_append silently dropped all but one copy
+    of a duplicate id WITHIN one call — the same defect class the
+    compact fix codified. The index persists every input ROW."""
+    import math
+
+    def ray(t, n, b):
+        return [(b + i, [math.cos(math.radians(t + (i % 5 - 2))),
+                         math.sin(math.radians(t + (i % 5 - 2)))])
+                for i in range(n)]
+
+    base = ray(0, 10, 100) + ray(90, 10, 200)
+    emb = spark.createDataFrame(base + base,  # every id twice
+                                "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    llmops.build_ivf_index(emb, idx, n_clusters=2, n_iter=3)
+    asg = llmops.load_ivf_index(spark, idx)[0]
+    assert asg.count() == 40  # both copies of all 20 ids persisted
+
+    batch = ray(40, 5, 300)
+    n = llmops.ivf_index_append(
+        spark, idx,
+        spark.createDataFrame(batch + batch,
+                              "vec_id long, embedding array<double>"))
+    assert n == 10  # the unioned re-run batch appends every row
+    assert llmops.load_ivf_index(spark, idx)[0].count() == 50
