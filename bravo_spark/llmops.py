@@ -521,6 +521,108 @@ def canonicalize_urls(
     return df.mapInPandas(canon, schema)
 
 
+# anchor hrefs, both quote styles; group 1 is the raw reference. The
+# match is deliberately tag-shape-loose (crawl HTML is torn) but value
+# strict (no quotes/whitespace inside).
+_HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*["']\s*([^"'\s][^"']*)["']"""
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str,
+    base_col: str,
+    *,
+    out_col: str = "link",
+) -> DataFrame:
+    """The web-graph edge builder / crawl-frontier step: one output row
+    per anchor outlink — href values pulled from ``html_col``, resolved
+    against the record's base URI (stdlib ``urljoin``: relative paths,
+    protocol-relative ``//host``, rooted ``/path``), canonicalized with
+    :func:`canonical_url_str`, non-fetchable schemes (javascript:,
+    mailto:, data:) and fragment-only self-references dropped. Returns
+    ``df``'s columns minus ``html_col`` plus ``out_col`` — feed it to a
+    host-grain groupBy for the link graph :func:`host_link_graph` /
+    PageRank consume.
+
+    Scale shape: the href scan is a JVM-side ``regexp_extract_all`` +
+    ``explode`` (whole-stage codegen, output amplification = links per
+    page), then ONE Arrow-batched resolve stage — zero shuffles."""
+    from urllib.parse import urljoin, urlsplit
+
+    from pyspark.sql import types as T
+
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists")
+    keep = [c for c in df.columns if c != html_col]
+    hrefs = df.select(
+        *keep,
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), 1)
+        ).alias("_href"),
+    )
+    schema = T.StructType(
+        [f for f in hrefs.schema.fields if f.name != "_href"]
+        + [T.StructField(out_col, T.StringType())]
+    )
+
+    def resolve(batches):
+        import pandas as _pd
+
+        # positional zip, not itertuples: pandas renames the
+        # underscore-prefixed _href field to a positional name there
+        for pdf in batches:
+            out_rows = {c: [] for c in schema.fieldNames()}
+            for vals in zip(*(pdf[c] for c in keep),
+                            pdf["_href"], pdf[base_col]):
+                *kept, href, base = vals
+                try:
+                    absu = urljoin(str(base or ""), str(href).strip())
+                    scheme = urlsplit(absu).scheme.lower()
+                except ValueError:
+                    continue  # junk href: not a graph edge
+                if scheme not in ("http", "https"):
+                    continue  # javascript:/mailto:/data:/ftp: links
+                canon = canonical_url_str(absu)
+                if canon is None or canon == canonical_url_str(
+                        str(base or "")):
+                    continue  # junk or fragment-only self-reference
+                for c, v in zip(keep, kept):
+                    out_rows[c].append(v)
+                out_rows[out_col].append(canon)
+            yield _pd.DataFrame(out_rows)
+
+    return hrefs.mapInPandas(resolve, schema)
+
+
+def host_link_graph(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Collapse page-level outlinks to the HOST graph — (src_host,
+    dst_host, n_links), self-loops dropped — the relation PageRank-style
+    centrality and spam-neighborhood analysis run on. Accepts BOTH url
+    forms per column: raw URIs (the source page column usually is one)
+    and :func:`canonical_url_str` output — the host extraction strips an
+    optional scheme, port, and leading ``www.`` and lowercases, all
+    JVM-side. One partial-aggregated shuffle on the host pair."""
+
+    def host(col: str):
+        h = F.regexp_replace(F.col(col),
+                             r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+        h = F.split(h, "/", 2).getItem(0)
+        h = F.lower(F.split(h, ":", 2).getItem(0))
+        return F.regexp_replace(h, r"^www\.", "")
+
+    return (
+        edges.select(host(src_col).alias("src_host"),
+                     host(dst_col).alias("dst_host"))
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
 def extract_http_html(
     df: DataFrame,
     payload_col: str,

@@ -1619,3 +1619,63 @@ def test_ivf_build_and_append_keep_duplicate_id_rows(spark, tmp_path):
                               "vec_id long, embedding array<double>"))
     assert n == 10  # the unioned re-run batch appends every row
     assert llmops.load_ivf_index(spark, idx)[0].count() == 50
+
+
+def test_extract_links_and_host_graph(spark):
+    """The web-graph edge builder: href scan (JVM regex), base-URI
+    resolution, canonicalization, scheme/self-reference filtering, and
+    the host-grain collapse PageRank consumes."""
+    html = (
+        '<html><body>'
+        '<a href="relative/page">r</a>'
+        '<a href="/rooted?utm_source=x&b=1">q</a>'
+        "<a href='//other.example/pp'>protocol-relative</a>"
+        '<a href="https://abs.example/x#frag">abs</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '<a href="#section">self</a>'
+        '<img href="not-an-anchor.png">'
+        '</body></html>'
+    )
+    df = spark.createDataFrame(
+        [("http://www.site.example/dir/base", html)], "uri string, h string")
+    from bravo_spark import llmops
+
+    links = sorted(r.link for r in
+                   llmops.extract_links(df, "h", "uri").collect())
+    assert links == [
+        "abs.example/x",
+        "other.example/pp",
+        "site.example/dir/relative/page",
+        "site.example/rooted?b=1",
+    ]
+
+    edges = spark.createDataFrame(
+        [("a.example/1", "b.example/x"),
+         ("a.example/2", "b.example/y"),
+         ("a.example/3", "a.example/other-page"),  # self-loop at host grain
+         ("b.example/1", "a.example/z")],
+        "src string, dst string")
+    g = {(r.src_host, r.dst_host): r.n_links for r in
+         llmops.host_link_graph(edges, "src", "dst").collect()}
+    assert g == {("a.example", "b.example"): 2,
+                 ("b.example", "a.example"): 1}
+
+    with pytest.raises(ValueError, match="already exists"):
+        llmops.extract_links(df.withColumn("link", df.uri), "h", "uri")
+
+
+def test_host_link_graph_accepts_raw_uris(spark):
+    """The src column is usually the RAW page URI (scheme, maybe
+    www./port) while links are canonical — host extraction must
+    normalize both to the same grain."""
+    edges = spark.createDataFrame(
+        [("http://WWW.A.example:80/p1", "b.example/x"),
+         ("https://a.example/p2", "b.example/y"),
+         ("http://a.example/p3", "a.example/self")],
+        "src string, dst string")
+    from bravo_spark import llmops
+
+    g = {(r.src_host, r.dst_host): r.n_links for r in
+         llmops.host_link_graph(edges, "src", "dst").collect()}
+    assert g == {("a.example", "b.example"): 2}
