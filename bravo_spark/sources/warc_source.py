@@ -59,13 +59,21 @@ def _records(files: DataFrame) -> DataFrame:
 
 
 def read_warc(
-    spark: SparkSession, path: str, *, glob: str = "*.warc.gz"
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str = "*.warc.gz",
+    recursive: bool = False,
 ) -> DataFrame:
     """Batch WARC ingest: archive-grain tasks (binaryFile never splits a
-    file — matching gzip-member reality), zero shuffles."""
+    file — matching gzip-member reality), zero shuffles. ``glob``
+    matches FILENAMES (pathGlobFilter); ``recursive=True`` descends into
+    subdirectories — e.g. the ``batch_*/`` tree
+    :func:`wet_convert_stream` writes."""
     return _records(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
         .load(path)
     )
 
@@ -200,3 +208,70 @@ def wet_convert(
     finally:
         stripped.unpersist()
     return {"converted": n, "quarantined": n_bad}
+
+
+def wet_convert_stream(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    checkpoint: str,
+    *,
+    glob: str = "*.warc.gz",
+    quarantine: bool = True,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    compression: str = "gzip",
+    max_files_per_trigger: int | None = None,
+):
+    """The CONTINUOUS form of :func:`wet_convert`: tail a crawl drop
+    directory with the Structured Streaming file source and write each
+    micro-batch's extractions as WET conversion archives under
+    ``dst/batch_{epoch:06d}/`` — how a live crawl actually lands.
+
+    Exactly-once: the file-source log (``checkpoint``) guarantees each
+    archive enters exactly one micro-batch, and the epoch-keyed output
+    directory makes the foreachBatch WRITE idempotent — a batch retried
+    after a crash overwrites its own directory (cleared first) instead
+    of appending duplicates, so restart-from-checkpoint yields each
+    record exactly once in the output tree. Readers consume the whole
+    tree with ``read_warc(spark, dst, recursive=True)``.
+
+    Returns the started ``StreamingQuery`` (availableNow trigger — the
+    drain-and-restart model every streaming surface here uses; the
+    caller awaits termination, drops more archives, and calls again
+    with the same ``checkpoint`` to process only what is new)."""
+    import os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as _F
+
+    from bravo_spark import llmops
+
+    def _batch(records: DataFrame, epoch_id: int) -> None:
+        parsed = llmops.extract_http_html(
+            records.filter(_F.col("warc_type") == "response"),
+            "payload",
+            quarantine=quarantine,
+        )
+        ok = llmops.strip_markup(
+            parsed.withColumnRenamed("http_html", "t"), "t"
+        ).filter(_F.col("http_status") != -1)
+        batch_dir = os.path.join(dst, f"batch_{epoch_id:06d}")
+        # idempotent under batch REPLAY: the epoch names the directory,
+        # so a crash-retried batch replaces its own output
+        _shutil.rmtree(batch_dir, ignore_errors=True)
+        write_warc_shards(
+            ok.select("uri", _F.col("clean_text").alias("payload")),
+            batch_dir,
+            warc_type="conversion",
+            warc_date=warc_date,
+            compression=compression,
+        )
+
+    return (
+        read_warc_stream(spark, src, glob=glob,
+                         max_files_per_trigger=max_files_per_trigger)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -173,3 +173,42 @@ def test_write_warc_shards_deterministic_and_sharded(spark, tmp_path):
 
     with pytest.raises(ValueError, match="compression"):
         write_warc_shards(df, str(tmp_path / "w3"), compression="7z")
+
+
+def test_wet_convert_stream_restart_exactly_once(spark, tmp_path):
+    """The continuous WET pipeline: drop shard A, drain; drop shard B,
+    drain from the SAME checkpoint — A's records appear exactly once in
+    the output tree, B's join them; an empty third drain adds nothing."""
+    from bravo_spark.sources.warc_source import read_warc, wet_convert_stream
+
+    html = b"<html><p>page body</p></html>"
+    msg = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+           + b"Content-Length: %d\r\n\r\n" % len(html) + html)
+    src = str(tmp_path / "drop")
+    dst = str(tmp_path / "wet")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def shard(name, uris):
+        from bravo_spark.codecs.warc import write_warc
+
+        recs = [({"WARC-Type": "response", "WARC-Target-URI": u,
+                  "WARC-Date": "2026-01-01T00:00:00Z"}, msg) for u in uris]
+        with open(os.path.join(src, name), "wb") as f:
+            f.write(write_warc(recs))
+
+    def drain():
+        q = wet_convert_stream(spark, src, dst, ckpt)
+        assert q.awaitTermination(180)
+        got = read_warc(spark, dst, recursive=True)
+        return sorted(r.uri for r in got.collect())
+
+    shard("a.warc.gz", ["http://x/1", "http://x/2"])
+    assert drain() == ["http://x/1", "http://x/2"]
+    shard("b.warc.gz", ["http://x/3"])
+    assert drain() == ["http://x/1", "http://x/2", "http://x/3"]
+    assert drain() == ["http://x/1", "http://x/2", "http://x/3"]
+    # payloads are the stripped text, written as conversion records
+    rec = read_warc(spark, dst, recursive=True).collect()[0]
+    assert rec.warc_type == "conversion"
+    assert bytes(rec.payload).decode() == "page body"
