@@ -524,7 +524,9 @@ def canonicalize_urls(
 # anchor hrefs, both quote styles; group 1 is the raw reference. The
 # match is deliberately tag-shape-loose (crawl HTML is torn) but value
 # strict (no quotes/whitespace inside).
-_HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*["']\s*([^"'\s][^"']*)["']"""
+_HREF_RE = (
+    r"""(?i)<a\s[^>]*?(?<![\w-])href\s*=\s*["']\s*([^"'\s][^"']*)["']"""
+)  # the lookbehind keeps data-href/ng-href from stealing the match
 
 
 def extract_links(
@@ -553,6 +555,9 @@ def extract_links(
 
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists")
+    if "_href" in df.columns:
+        raise ValueError("column '_href' collides with the internal"
+                         " explode alias — rename it first")
     keep = [c for c in df.columns if c != html_col]
     hrefs = df.select(
         *keep,
@@ -570,21 +575,30 @@ def extract_links(
 
         # positional zip, not itertuples: pandas renames the
         # underscore-prefixed _href field to a positional name there
+        base_memo: dict = {}
+
+        def canon_base(b: str):
+            # a page explodes to MANY hrefs with the same base — memoize
+            # the base's canonical form instead of re-deriving it per edge
+            if b not in base_memo:
+                base_memo[b] = canonical_url_str(b)
+            return base_memo[b]
+
         for pdf in batches:
             out_rows = {c: [] for c in schema.fieldNames()}
             for vals in zip(*(pdf[c] for c in keep),
                             pdf["_href"], pdf[base_col]):
                 *kept, href, base = vals
+                base = str(base or "")
                 try:
-                    absu = urljoin(str(base or ""), str(href).strip())
+                    absu = urljoin(base, str(href).strip())
                     scheme = urlsplit(absu).scheme.lower()
                 except ValueError:
                     continue  # junk href: not a graph edge
                 if scheme not in ("http", "https"):
                     continue  # javascript:/mailto:/data:/ftp: links
                 canon = canonical_url_str(absu)
-                if canon is None or canon == canonical_url_str(
-                        str(base or "")):
+                if canon is None or canon == canon_base(base):
                     continue  # junk or fragment-only self-reference
                 for c, v in zip(keep, kept):
                     out_rows[c].append(v)
@@ -610,8 +624,17 @@ def host_link_graph(
     def host(col: str):
         h = F.regexp_replace(F.col(col),
                              r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
-        h = F.split(h, "/", 2).getItem(0)
-        h = F.lower(F.split(h, ":", 2).getItem(0))
+        # authority ends at the first /, ? or # (a canonical root URL
+        # can be "host?query" with no slash); userinfo ends at the last
+        # @ inside it ('user:pass@a.example' must not yield host 'user')
+        h = F.split(h, "[/?#]", 2).getItem(0)
+        h = F.regexp_replace(h, r"^[^@]*@", "")
+        h = F.lower(h)
+        # IPv6 literals keep their brackets; otherwise strip a :port
+        h = F.when(
+            h.startswith("["),
+            F.regexp_extract(h, r"^(\[[^\]]*\])", 1),
+        ).otherwise(F.split(h, ":", 2).getItem(0))
         return F.regexp_replace(h, r"^www\.", "")
 
     return (
@@ -2317,6 +2340,56 @@ class IvfCompactInterrupted(RuntimeError):
     refuses reads until :func:`finish_ivf_compact` rolls it forward."""
 
 
+def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per-row nearest-centroid assignment with NO shuffle of the
+    vector corpus and NO row key: the k-row centroid relation folds into
+    a 1-row array-of-structs broadcast (``collect_list`` — its
+    SinglePartition exchange moves k model-scale rows, never vectors),
+    and each
+    vector row computes its argmax in one JVM higher-order fold with a
+    VALUE-based tie-break (cos desc, cid asc), so the list's order never
+    matters. This replaces the previous broadcast-join + row_number
+    window, which (a) shuffled and (b) keyed row identity on
+    monotonically_increasing_id — nondeterministic under stage retry, so
+    a recomputed upstream partition could silently drop or duplicate
+    index rows on a flaky cluster. Every input row yields exactly one
+    output row by construction (a zero-norm vector scores NaN against
+    every centroid and lands in cell -1 rather than a wrong cell).
+
+    ``vecs``: (id, e array<double>); ``cent``: (cid, centroid).
+    Returns (id, e, cell)."""
+    cent_arr = F.broadcast(cent.agg(F.collect_list(
+        F.struct(F.col("cid").cast("int").alias("cid"),
+                 F.col("centroid").cast("array<double>").alias("ce"))
+    ).alias("_cents")))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    def cos(s):
+        return dot(F.col("e"), s["ce"]) / (
+            F.sqrt(dot(F.col("e"), F.col("e")))
+            * F.sqrt(dot(s["ce"], s["ce"])))
+
+    scored = F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(cos(s).alias("c"), s["cid"].alias("cid")),
+    )
+    zero = F.struct(F.lit(float("-inf")).alias("c"),
+                    F.lit(-1).cast("int").alias("cid"))
+    best = F.aggregate(
+        scored, zero,
+        lambda acc, s: F.when(
+            (s["c"] > acc["c"])
+            | ((s["c"] == acc["c"]) & (s["cid"] < acc["cid"])),
+            s,
+        ).otherwise(acc),
+    )
+    return vecs.crossJoin(cent_arr).select(
+        "id", "e", best["cid"].alias("cell"))
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -2356,35 +2429,13 @@ def build_ivf_index(
     dbl = F.col(vec_col).cast("array<double>")
     vecs = df.select(F.col(id_col).alias("id"), dbl.alias("e"))
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def norm(x):
-        return F.sqrt(dot(x, x))
-
-    ccos = dot(F.col("e"), F.col("centroid")) / (
-        norm(F.col("e")) * norm(F.col("centroid"))
-    )
-    # argmax per ROW, not per id: the index persists every input row
-    # exactly once (ids need not be unique — a unioned re-run batch is
-    # two legitimate copies), so the dedup key is a synthetic row key,
-    # the same contract ivf_index_append and ivf_index_compact keep
-    wc = Window.partitionBy("_row").orderBy(F.col("_c").desc(),
-                                            F.col("cid"))
-    asg = (
-        vecs.withColumn("_row", F.monotonically_increasing_id())
-        .join(F.broadcast(cent))
-        .select("id", "e", "_row", "cid", ccos.alias("_c"))
-        .withColumn("_rn", F.row_number().over(wc))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("id").alias(id_col),
-            F.col("e").alias(vec_col),
-            F.col("cid").alias("cell"),
-        )
+    # per-ROW argmax (ids need not be unique — a unioned re-run batch is
+    # two legitimate copies) with no shuffle and no synthetic row key:
+    # see _assign_cells
+    asg = _assign_cells(vecs, cent).select(
+        F.col("id").alias(id_col),
+        F.col("e").alias(vec_col),
+        "cell",
     )
     asg.write.mode("overwrite").partitionBy("cell").parquet(
         _index_path(path, "assignments")
@@ -2506,34 +2557,13 @@ def ivf_index_append(spark, path: str, df: DataFrame) -> int:
         F.col(id_col).cast(id_type).alias("id"), dbl.alias("e")
     )
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def norm(x):
-        return F.sqrt(dot(x, x))
-
-    ccos = dot(F.col("e"), F.col("centroid")) / (
-        norm(F.col("e")) * norm(F.col("centroid"))
-    )
-    # argmax per ROW (see build_ivf_index): an append batch carrying the
-    # same id twice keeps both copies — a per-id window would silently
-    # drop vectors from the index
-    wc = Window.partitionBy("_row").orderBy(F.col("_c").desc(),
-                                            F.col("cid"))
-    newly = (
-        vecs.withColumn("_row", F.monotonically_increasing_id())
-        .join(F.broadcast(cent))
-        .select("id", "e", "_row", "cid", ccos.alias("_c"))
-        .withColumn("_rn", F.row_number().over(wc))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("id").alias(id_col),
-            F.col("e").cast(vec_type).alias(vec_col),
-            F.col("cid").alias("cell"),
-        )
+    # per-ROW argmax (an append batch carrying the same id twice keeps
+    # both copies) with no shuffle and no synthetic row key: see
+    # _assign_cells
+    newly = _assign_cells(vecs, cent).select(
+        F.col("id").alias(id_col),
+        F.col("e").cast(vec_type).alias(vec_col),
+        "cell",
     )
     # persist before the count so the write appends EXACTLY the counted
     # rows — without it the plan executes twice and a non-deterministic
@@ -2684,38 +2714,18 @@ def ivf_index_compact(
         subc = spark.createDataFrame(pairs,
                                      "cid int, centroid array<double>")
         dbl = F.col(vec_col).cast("array<double>")
-
-        def dot(x, y):
-            return F.aggregate(
-                F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-
-        ccos = dot(F.col("e"), F.col("centroid")) / (
-            F.sqrt(dot(F.col("e"), F.col("e")))
-            * F.sqrt(dot(F.col("centroid"), F.col("centroid")))
-        )
-        # dedup per ROW, not per id: ivf_index_append never enforces id
-        # uniqueness (a re-run append is two legitimate copies), and a
-        # window on id alone would silently drop all but one copy — the
-        # compact contract is that ONLY cell membership changes. The
-        # synthetic key is unique per member row; the broadcast join
-        # fans each row out ×subsplit and the window folds it back to
-        # exactly one.
-        wc = Window.partitionBy("_row").orderBy(
-            F.col("_c").desc(), F.col("cid"))
-        reasg = (
-            members.select(F.col(id_col).alias("id"), dbl.alias("e"))
-            .withColumn("_row", F.monotonically_increasing_id())
-            .join(F.broadcast(subc))
-            .select("id", "e", "_row", "cid", ccos.alias("_c"))
-            .withColumn("_rn", F.row_number().over(wc))
-            .filter(F.col("_rn") == 1)
-            .select(
-                F.col("id").alias(id_col),
-                F.col("e").cast(vec_type).alias(vec_col),
-                F.col("cid").alias("cell"),
-            )
+        # per-ROW argmax: ivf_index_append never enforces id uniqueness
+        # (a re-run append is two legitimate copies) and the compact
+        # contract is that ONLY cell membership changes — _assign_cells
+        # yields exactly one output row per member row with no shuffle
+        # and no retry-fragile synthetic key
+        reasg = _assign_cells(
+            members.select(F.col(id_col).alias("id"), dbl.alias("e")),
+            subc,
+        ).select(
+            F.col("id").alias(id_col),
+            F.col("e").cast(vec_type).alias(vec_col),
+            "cell",
         )
         rewrites = reasg if rewrites is None else rewrites.unionByName(reasg)
 

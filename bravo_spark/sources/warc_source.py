@@ -233,7 +233,10 @@ def wet_convert_stream(
     after a crash overwrites its own directory (cleared first) instead
     of appending duplicates, so restart-from-checkpoint yields each
     record exactly once in the output tree. Readers consume the whole
-    tree with ``read_warc(spark, dst, recursive=True)``.
+    tree with ``read_warc(spark, dst, recursive=True)`` — and when a
+    non-default ``compression`` was chosen, the matching filename glob
+    too (``glob="*.warc.zst"`` for zstd, ``"*.warc"`` for none; the
+    reader's default only matches ``.warc.gz``).
 
     Returns the started ``StreamingQuery`` (availableNow trigger — the
     drain-and-restart model every streaming surface here uses; the

@@ -840,3 +840,22 @@ def test_pipeline_url_stage_single_shuffle_on_canonical(plans):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "hashpartitioning(canonical_url" in p
+
+
+def test_ivf_assignment_never_shuffles_vectors(spark):
+    """_assign_cells (build/append/compact assignment): the vector side
+    must be scan → broadcast-fold join → project — the only Exchange is
+    the SinglePartition fold of the k-row centroid relation. The
+    previous join+window shape shuffled the corpus AND keyed row
+    identity on monotonically_increasing_id (retry-nondeterministic)."""
+    from bravo_spark import llmops
+
+    vecs = spark.createDataFrame([(1, [1.0, 0.0])],
+                                 "id long, e array<double>")
+    cent = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+                                 "cid int, centroid array<double>")
+    p = llmops._assign_cells(vecs, cent)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in p and "monotonically" not in p
+    assert p.count("Exchange") == 2  # SinglePartition fold + its broadcast
+    assert "BroadcastExchange" in p and "Exchange SinglePartition" in p
