@@ -625,15 +625,20 @@ def host_link_graph(
         h = F.regexp_replace(F.col(col),
                              r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
         # authority ends at the first /, ? or # (a canonical root URL
-        # can be "host?query" with no slash); userinfo ends at the last
-        # @ inside it ('user:pass@a.example' must not yield host 'user')
+        # can be "host?query" with no slash); userinfo ends at the LAST
+        # @ inside it — RFC 3986, and a torn-crawl password may itself
+        # carry an unencoded '@' ('user:p@ss@a.example' → 'a.example')
         h = F.split(h, "[/?#]", 2).getItem(0)
-        h = F.regexp_replace(h, r"^[^@]*@", "")
+        h = F.regexp_replace(h, r"^.*@", "")
         h = F.lower(h)
-        # IPv6 literals keep their brackets; otherwise strip a :port
+        # IPv6 literals keep their brackets; a TORN bracket authority
+        # (no closing ']') keeps its own literal token rather than
+        # collapsing every such row into one bogus ''-host node;
+        # otherwise strip a :port
+        bracketed = F.regexp_extract(h, r"^(\[[^\]]*\])", 1)
         h = F.when(
             h.startswith("["),
-            F.regexp_extract(h, r"^(\[[^\]]*\])", 1),
+            F.when(bracketed != "", bracketed).otherwise(h),
         ).otherwise(F.split(h, ":", 2).getItem(0))
         return F.regexp_replace(h, r"^www\.", "")
 
@@ -2353,8 +2358,13 @@ def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     monotonically_increasing_id — nondeterministic under stage retry, so
     a recomputed upstream partition could silently drop or duplicate
     index rows on a flaky cluster. Every input row yields exactly one
-    output row by construction (a zero-norm vector scores NaN against
-    every centroid and lands in cell -1 rather than a wrong cell).
+    output row or the task refuses BY NAME: a zero-norm vector has no
+    direction to assign, so it raises (under the session's default ANSI
+    mode a bare division would abort with an opaque DIVIDE_BY_ZERO; a
+    silent sentinel cell would hide vectors from every health surface).
+    A zero-norm CENTROID is merely never the argmax (``try_divide``
+    scores it NULL); if NO centroid is cosine-comparable (empty or
+    all-degenerate relation) the row refuses by name too.
 
     ``vecs``: (id, e array<double>); ``cent``: (cid, centroid).
     Returns (id, e, cell)."""
@@ -2367,10 +2377,20 @@ def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
         return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
                            F.lit(0.0), lambda acc, v: acc + v)
 
+    # the vector's own norm is centroid-independent: compute it ONCE per
+    # row, not inside the k-element transform (k redundant O(d) folds)
+    self_norm = F.sqrt(dot(F.col("e"), F.col("e")))
+    guarded_norm = F.when(
+        self_norm == 0.0,
+        F.raise_error(F.lit(
+            "zero-norm vector cannot be cosine-assigned to an IVF cell")),
+    ).otherwise(self_norm)
+
     def cos(s):
-        return dot(F.col("e"), s["ce"]) / (
-            F.sqrt(dot(F.col("e"), F.col("e")))
-            * F.sqrt(dot(s["ce"], s["ce"])))
+        return F.try_divide(
+            dot(F.col("e"), s["ce"]),
+            F.col("_en") * F.sqrt(dot(s["ce"], s["ce"])),
+        )
 
     scored = F.transform(
         F.col("_cents"),
@@ -2386,8 +2406,17 @@ def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
             s,
         ).otherwise(acc),
     )
-    return vecs.crossJoin(cent_arr).select(
-        "id", "e", best["cid"].alias("cell"))
+    cell = F.when(
+        best["c"] == F.lit(float("-inf")),
+        F.raise_error(F.lit(
+            "no centroid is cosine-comparable (empty or zero-norm"
+            " centroid relation) — cannot assign IVF cells")),
+    ).otherwise(best["cid"])
+    return (
+        vecs.crossJoin(cent_arr)
+        .withColumn("_en", guarded_norm)
+        .select("id", "e", cell.alias("cell"))
+    )
 
 
 def build_ivf_index(

@@ -1713,3 +1713,49 @@ def test_host_link_graph_userinfo_ipv6_query(spark):
          llmops.host_link_graph(edges, "src", "dst").collect()}
     assert g == {("a.example", "b.example"): 2,
                  ("[2001:db8::1]", "b.example"): 1}
+
+
+def test_assign_cells_refuses_degenerate_norms(spark):
+    """r18 third-review pins: a zero-norm vector refuses BY NAME (ANSI
+    would otherwise abort with an opaque DIVIDE_BY_ZERO; a silent
+    sentinel cell would hide vectors from every health surface); a
+    zero-norm CENTROID is simply never the argmax; an all-degenerate
+    centroid relation refuses by name."""
+    from pyspark.errors.exceptions.captured import (
+        PythonException,
+        SparkRuntimeException,
+    )
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])],  # cid 1 has no direction
+        "cid int, centroid array<double>")
+    ok = spark.createDataFrame([(1, [0.5, 0.5]), (2, [0.9, 0.1])],
+                               "id long, e array<double>")
+    got = {r.id: r.cell for r in llmops._assign_cells(ok, cent).collect()}
+    assert got == {1: 0, 2: 0}  # the zero-norm centroid never wins
+
+    bad = spark.createDataFrame([(3, [0.0, 0.0])],
+                                "id long, e array<double>")
+    with pytest.raises((PythonException, SparkRuntimeException),
+                       match="zero-norm vector"):
+        llmops._assign_cells(bad, cent).collect()
+
+    all_degenerate = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "cid int, centroid array<double>")
+    with pytest.raises((PythonException, SparkRuntimeException),
+                       match="no centroid is cosine-comparable"):
+        llmops._assign_cells(ok, all_degenerate).collect()
+
+
+def test_host_link_graph_multi_at_and_torn_bracket(spark):
+    """Userinfo strips to the LAST '@'; a torn IPv6 bracket keeps its
+    own literal token instead of collapsing into a ''-host node."""
+    edges = spark.createDataFrame(
+        [("http://user:p@ss@a.example/x", "b.example/x"),
+         ("https://[2001:db8::1/x", "b.example/y")],
+        "src string, dst string")
+    g = {(r.src_host, r.dst_host) for r in
+         llmops.host_link_graph(edges, "src", "dst").collect()}
+    assert ("a.example", "b.example") in g
+    assert ("", "b.example") not in g
+    assert any(s.startswith("[2001:db8::1") for s, _ in g)
