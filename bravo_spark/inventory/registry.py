@@ -59,8 +59,18 @@ GATE_PRIORITY = [
     # (pair-with-staging rule): warc_stream_ingest, avro_stream_ingest,
     # ngram_lm_persist_score, multimodal_exif_redact, ann_ivf_index_stats,
     # dedup_url_canonical.
+    # r19 rotation (the r18-staged 15-swap flip, executed as r19's first
+    # commit; all 15 OUTs confirmed green in CORRECTNESS_r18): the r16
+    # wave rotated out after 3 consecutive driver-green rounds (r16-r18)
+    # — its relational/window/streaming-diff/chunking/semantic-dedup
+    # paths stay pytest/plan-pinned and mirror-verified. In their slots:
+    # periodic re-proof, oldest last driver check first — the four
+    # r4-last streaming/sessionization rows, ten r5-last conformance
+    # rows (F2/F3, P2/P3, relational/dedup/ANN baselines), the deferred
+    # text_quality re-proof, and the r18 net-new warc_html_extract
+    # (pair-with-staging rule).
     "snapshot_roundtrip", "checkpoint_roundtrip",
-    "except_all_keys", "intersect_keys", "rollup_agg",
+    "f2_isin_filter", "f3_anti_filter", "a2_count_sum_per_key",
     # §2.4-2.8 relational core: a1/last_write_wins rotated out in r8 after
     # 7 driver-green rounds — grouped sort-reduce stays driver-covered by
     # the savepoint writer inside snapshot_roundtrip, window functions by
@@ -83,7 +93,7 @@ GATE_PRIORITY = [
     # slots: per_key_trend (grouped linear-regression slopes) and
     # kmeans_lloyd_centroids (the IVF clustering fixed-point) — first
     # driver checks.
-    "grouping_sets_agg", "salted_skew_agg", "rocksdb_state_rewrite",
+    "sort_topk", "join_enrich", "rocksdb_state_rewrite",
     # r11 rotation: the format/layout contracts' first driver check — the
     # json/csv/orc source roundtrips, the co-located bucketed join, and
     # partition pruning on a hive-layout write. r14 rotation: the three
@@ -145,6 +155,10 @@ GATE_PRIORITY = [
     "text_lang_id",
     "pipeline_clean_corpus",
     "f4_named_subset", "token_budget_pack",
+    # r19: dedup_semantic_clusters rotated out (r16-r18 green; SemDeDup
+    # stays mirror-verified). In: dedup_exact — the exact-hash dedup
+    # baseline every LSH/semantic variant rescores against, last
+    # driver-proven r5.
     # dedup family (dedup_exact rotated out in r6 after 5 driver-green
     # rounds; dedup_minhash_lsh rotated out in r8 after 7 — its band-bucket
     # equi-join survives inside dedup_lsh_quality_eval and dedup_clusters'
@@ -155,7 +169,7 @@ GATE_PRIORITY = [
     # slots: audio_resample_features (integer polyphase decimate) and
     # snapshot_rescale — the last reference use-case (README.md:44)
     # without driver proof (re-key + keygroup re-shard, api.py:251).
-    "dedup_semantic_clusters",
+    "dedup_exact",
     # r15: audio_resample_features / snapshot_rescale rotated out
     # (r12-r14 green; polyphase decimate stays golden-tested in
     # test_audio, re-key/re-shard in test_api). In: r2 re-proof rows.
@@ -208,7 +222,10 @@ GATE_PRIORITY = [
     # after 9 driver-green rounds (r3-r11) — the watermarked window row
     # keeps Structured Streaming in the gate. In its slot: corpus
     # drift-TV (128-bit integer total-variation between corpus snapshots).
-    "spark_state_diff",
+    # r19: spark_state_diff rotated out (r16-r18 green; the cross-version
+    # state delta stays restart-proven in test_spark_state). In: the
+    # r4-last streaming exactly-once dedup lifecycle.
+    "streaming_dedup_counts",
     # r15: corpus_drift_tv rotated out (r12-r14 green; 128-bit TV math
     # stays pinned in test_drift_tv). In: window analytics, last r2.
     # r18: window_analytics rotated out (r15-r17 green; window
@@ -255,9 +272,19 @@ GATE_PRIORITY = [
     # sketch error vs exact), the text-cleaning tail (quality_filter
     # pipeline, NFKC-style normalize, PII redaction, word-frequency
     # top-k), and the embedding family (doc↔embedding join, norms).
-    "json_extract_agg", "pivot_event_values", "scalar_subquery_counts",
-    "left_outer_join", "hourly_counts_gapfill", "tpch_q4_shaped",
-    "tpch_q5_star",
+    # r19: the remaining r16-wave relational re-proof block rotated out
+    # (r16-r18 green; JSON extraction, pivot, scalar subqueries, outer
+    # join, gap-fill, and the TPC-H q4/q5 shapes all stay
+    # mirror-verified). In their slots: the r4-last sessionization /
+    # micro-batch lifecycles (window sessionize, session_window gap
+    # merge, watermarked stream-stream interval join), the r5-last
+    # F/P conformance rows, the exact-cosine ANN baseline, and the
+    # deferred text_quality re-proof (its rule set runs inside the
+    # composed pipeline's quality stage, gated above).
+    "sessionize", "p2_value_only", "p3_list_flatten",
+    "ann_cosine_topk", "streaming_session_windows",
+    "streaming_stream_stream_join",
+    "text_quality",
     # r11 rotation: the sampling family's first driver check — salted
     # hash sampling, per-stratum exact rates, deterministic train/val
     # hashing, temperature-weighted domain mixture, group-atomic
@@ -274,7 +301,11 @@ GATE_PRIORITY = [
     # and the full BPE trainer.
     "scalar_functions", "tpch_q10_returns", "tpch_q14_promo",
     "tpch_q18_having", "ann_ivf_index_search",
-    "text_chunk_overlap",
+    # r19: text_chunk_overlap rotated out (r16-r18 green; char-window
+    # chunking stays mirror-verified). In: the r18 net-new
+    # warc_html_extract (pair-with-staging rule — mirror-green at all
+    # three SFs the day it landed).
+    "warc_html_extract",
     # r10 rotation: the r8 media-codec additions' first driver check —
     # pure-Python JPEG/GIF roundtrips, real GIF frame sampling, the audio
     # feature path (WAV containers + integer DSP), and MJPEG-AVI demux
@@ -302,54 +333,50 @@ GATE_PRIORITY = [
 
 # The NEXT rotation, STAGED AS EXECUTABLE DATA — the r7 failure mode was
 # a staged rotation that lived only in a comment and never shipped. (The
-# r9-staged swaps executed in r10 after the r9 stall; the r11-r17
+# r9-staged swaps executed in r10 after the r9 stall; the r11-r18
 # stagings executed on schedule as their round's first commit; the
-# r17-staged 16-swap rotation executed on schedule as r18's first
-# commit — all 16 OUTs confirmed green in CORRECTNESS_r17.)
-# To execute in r19 (FIRST commit of the round):
-#   1. confirm each OUT row below is green in CORRECTNESS_r18 (if one is
+# r18-staged 15-swap rotation executed on schedule as r19's first
+# commit — all 15 OUTs confirmed green in CORRECTNESS_r18.)
+# To execute in r20 (FIRST commit of the round):
+#   1. confirm each OUT row below is green in CORRECTNESS_r19 (if one is
 #      red, keep it in the gate and drop its pair from this round);
 #   2. replace each OUT name with its paired IN name in GATE_PRIORITY;
 #   3. update the COVERAGE.md ledger and tests/test_registry.py pins.
-# OUTs are the r16 wave — first checked r16, so r16+r17+r18 = 3
+# OUTs are the r17 wave — first checked r17, so r17+r18+r19 = 3
 # consecutive green rounds (the r11 eligibility precedent) once
-# CORRECTNESS_r18 confirms. INs are periodic re-proof rows, oldest
-# last driver check first: the four r4-last streaming/sessionization
-# rows and eleven r5-last rows from the projection/filter/relational/
-# dedup/ANN conformance waves. Every r16-wave OUT is consumed by this
-# staging; r20's OUT pool starts with the r17 wave (first checked r17
-# — 3 greens once CORRECTNESS_r19 confirms).
-R19_STAGED_SWAPS = [
-    # (rotate OUT once r18-green, rotate IN — re-proof, oldest first)
-    # the r4-last streaming/sessionization wave: real micro-batch
-    # lifecycles return to the gate as spark_state_diff rotates out
-    ("spark_state_diff", "streaming_dedup_counts"),
-    ("hourly_counts_gapfill", "streaming_session_windows"),
-    ("tpch_q4_shaped", "streaming_stream_stream_join"),
-    ("json_extract_agg", "sessionize"),
-    # r5-last relational/aggregation conformance rows
-    ("rollup_agg", "a2_count_sum_per_key"),
-    ("grouping_sets_agg", "sort_topk"),
-    ("salted_skew_agg", "join_enrich"),
-    # text_quality ceded its r18 slot to the changed-contract
-    # pipeline_clean_corpus (see GATE_PRIORITY) and re-proves here;
-    # tpch_q1 (r5-last) defers to the r20 pool — the TPC-H spine keeps
-    # q3 gated continuously and the whole tail was re-proven r10-r13
-    ("tpch_q5_star", "text_quality"),
-    # r5-last filter/projection conformance rows (F2/F3, P2/P3)
-    ("except_all_keys", "f2_isin_filter"),
-    ("intersect_keys", "f3_anti_filter"),
-    ("pivot_event_values", "p2_value_only"),
-    ("scalar_subquery_counts", "p3_list_flatten"),
-    # r5-last dedup/ANN baselines (the exact siblings the retained
-    # LSH/IVF/semantic rows rescore against)
-    ("dedup_semantic_clusters", "dedup_exact"),
-    ("left_outer_join", "ann_cosine_topk"),
-    # pair-with-staging rule: the r18 net-new warc_html_extract takes
-    # this slot (mirror-green at all three SFs the day it landed);
-    # streaming_window_counts (r5-last) defers to the r20 pool — r19
-    # already rotates four streaming rows back in
-    ("text_chunk_overlap", "warc_html_extract"),
+# CORRECTNESS_r19 confirms. INs are periodic re-proof rows, oldest
+# last driver check first: the three r5-last rows deferred from the
+# r19 staging (tpch_q1, u1_union_bag, streaming_window_counts) and
+# twelve r7-last rows from the early projection/window/writer and
+# POJO/Kryo/compressed conformance waves. Every r17-wave OUT is
+# consumed by this staging; r21's OUT pool starts with the r18 wave
+# (the ten r18 re-proof rows + six r17 net-new registrations, first
+# checked r18 — 3 greens once CORRECTNESS_r20 confirms).
+R20_STAGED_SWAPS = [
+    # (rotate OUT once r19-green, rotate IN — re-proof, oldest first)
+    # the r5-last rows deferred from r19: the TPC-H spine head, the
+    # bag union, and the plain streaming window count
+    ("scalar_functions", "tpch_q1"),
+    ("tpch_q10_returns", "u1_union_bag"),
+    ("tpch_q14_promo", "streaming_window_counts"),
+    # r7-last projection/window/writer conformance rows (P1/P4/P5/P7,
+    # A1's grouped sort-reduce shape, the last-write-wins window)
+    ("text_markup_strip", "p1_value_kv"),
+    ("text_chunk_tokens", "p4_list_state"),
+    ("text_hash_features_classify", "p5_map_entries"),
+    ("tpch_q18_having", "window_state_min"),
+    ("text_lm_perplexity_filter", "a1_grouped_sort_reduce"),
+    ("warc_ingest", "last_write_wins"),
+    # r7-last codec/conformance rows: the POJO/Kryo value paths, the
+    # compressed-section savepoint sibling, the UDTF expand shape
+    ("token_budget_pack", "pojo_value_kv"),
+    ("multimodal_exif_audit", "kryo_value_kv"),
+    ("multimodal_orientation_normalize", "custom_reader_expand"),
+    ("avro_source_roundtrip", "snapshot_roundtrip_compressed"),
+    # r7-last dedup/ANN siblings: the banded-LSH pair join and the
+    # 256-bit Hamming rank+rescore path
+    ("phrase_search_index", "dedup_minhash_lsh"),
+    ("ann_ivf_index_search", "ann_sketch_topk"),
 ]
 
 

@@ -65,18 +65,21 @@ def test_flagship_families_inside_window():
     for name in (
         "snapshot_roundtrip", "checkpoint_roundtrip",
         "rocksdb_state_rewrite",
-        # r16 rotation: the r15-staged 15-swap flip — the r13 wave rotated
-        # out after 3 consecutive driver-green rounds (r13-r15); in their
-        # slots the remaining r2 relational wave (12 re-proof rows) plus
-        # the three r15 net-new registrations per the pair-with-staging
-        # rule; the rotated-out rewind/static-join/analytics/text-tail/
-        # embedding paths stay retained per registry.py per-pair comments
-        "except_all_keys", "intersect_keys", "rollup_agg",
-        "grouping_sets_agg", "salted_skew_agg",
-        "json_extract_agg", "pivot_event_values",
-        "scalar_subquery_counts", "left_outer_join",
-        "hourly_counts_gapfill", "tpch_q4_shaped", "tpch_q5_star",
-        "text_chunk_overlap", "spark_state_diff",
+        # r19 rotation: the r18-staged 15-swap flip — the r16 wave
+        # rotated out after 3 consecutive driver-green rounds (r16-r18);
+        # in their slots the four r4-last streaming/sessionization rows,
+        # ten r5-last conformance rows, the deferred text_quality
+        # re-proof, and the r18 net-new warc_html_extract
+        # (pair-with-staging rule); the rotated-out relational/window/
+        # chunking/semantic-dedup/state-diff paths stay retained per
+        # registry.py per-pair comments
+        "f2_isin_filter", "f3_anti_filter", "a2_count_sum_per_key",
+        "sort_topk", "join_enrich",
+        "sessionize", "p2_value_only",
+        "p3_list_flatten", "ann_cosine_topk",
+        "streaming_session_windows", "streaming_stream_stream_join",
+        "text_quality",
+        "warc_html_extract", "streaming_dedup_counts",
         # r14 rotation: the r13-staged 15-swap flip — first driver check
         # for ALL remaining never-checked rows (recall evals, BPE
         # trainer, multimodal engine-API trio, text tail, the three r12
@@ -116,10 +119,11 @@ def test_flagship_families_inside_window():
         "ann_ivf_index_stats", "dedup_url_canonical",
         # dedup/retrieval/streaming spine: the ngram row rotated out in
         # r16 after 14 driver-green rounds (stays benched + mirror-green);
-        # SemDeDup keeps a dedup row gated, spark_state_diff keeps
-        # Structured Streaming lifecycles gated alongside the retained
-        # surgery rows
-        "dedup_semantic_clusters",
+        # the exact-hash baseline keeps a dedup row gated (SemDeDup
+        # rotated out r19 after r16-r18 green), and the streaming
+        # dedup/session/ss-join lifecycles above keep Structured
+        # Streaming gated alongside the retained surgery rows
+        "dedup_exact",
         "tpch_q3",
     ):
         assert name in window, f"{name} fell out of the correctness gate"
@@ -149,13 +153,13 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
             return any(unsortable(f.dataType) for f in dt.fields)
         return False
 
-    from bravo_spark.inventory.registry import R19_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R20_STAGED_SWAPS
 
     qs = _entry().queries()
     offenders = []
     # the staged rotation INs are checked too: a staged query with an
     # unsortable schema would burn its very first gate slot on flip
-    names = list(GATE_PRIORITY) + [i for _, i in R19_STAGED_SWAPS]
+    names = list(GATE_PRIORITY) + [i for _, i in R20_STAGED_SWAPS]
     for name in names:
         schema = qs[name](spark, sf_dir).schema
         for field in schema.fields:
@@ -165,7 +169,7 @@ def test_gate_queries_have_driver_sortable_schemas(spark, sf_dir):
 
 
 def test_staged_rotation_is_consistent():
-    """The staged next-round rotation (registry.R19_STAGED_SWAPS) must
+    """The staged next-round rotation (registry.R20_STAGED_SWAPS) must
     stay executable: every OUT name is currently IN the gate window, every
     IN name is a registered query not currently gated (with the
     never-checked pool at zero since r14, INs are re-proof rows cycling
@@ -173,12 +177,12 @@ def test_staged_rotation_is_consistent():
     exactly 50 distinct names. Pins the staging as live data — the r7
     regression was a staged rotation that existed only in a comment and
     silently rotted."""
-    from bravo_spark.inventory.registry import R19_STAGED_SWAPS
+    from bravo_spark.inventory.registry import R20_STAGED_SWAPS
 
     qs = _entry().queries()
     window = set(GATE_PRIORITY)
-    outs = [o for o, _ in R19_STAGED_SWAPS]
-    ins = [i for _, i in R19_STAGED_SWAPS]
+    outs = [o for o, _ in R20_STAGED_SWAPS]
+    ins = [i for _, i in R20_STAGED_SWAPS]
     assert len(set(outs)) == len(outs) and len(set(ins)) == len(ins)
     for o in outs:
         assert o in window, f"staged OUT {o} is not in the current gate"
