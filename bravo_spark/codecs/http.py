@@ -21,11 +21,13 @@ is everything after the head (the connection-close captures).
 
 Content-Encoding (RFC 9110 §8.4): crawlers store the entity AS FETCHED,
 so captured bodies are frequently gzip- or deflate-compressed.
-:func:`decode_entity` inflates ``gzip``/``x-gzip`` and ``deflate``
+:func:`decode_entity` inflates ``gzip``/``x-gzip``, ``deflate``
 (both the spec's zlib-wrapped form and the bare-DEFLATE form real
-servers emit) with a hard output bound — untrusted crawl bytes must
-never inflate unbounded — and refuses other tokens (br, zstd, …) BY
-NAME rather than decoding the compressed bytes as text.
+servers emit) and ``zstd`` (RFC 8878, via the repo's own decoder —
+real Common Crawl captures carry it) with a hard output bound —
+untrusted crawl bytes must never inflate unbounded — and refuses other
+tokens (``br`` — no pure-Python brotli worth writing — multi-token
+chains, …) BY NAME rather than decoding the compressed bytes as text.
 
 Charset: the ``Content-Type`` ``charset`` parameter when it names a
 codec Python knows, else UTF-8 (the crawl-pipeline fallback — an
@@ -46,8 +48,12 @@ import re
 
 _CRLF = b"\r\n"
 
-_STATUS_RE = re.compile(rb"^HTTP/\d\.\d (\d{3})(?: |$)")
+# status version tolerates the dotless form real crawls hold ("HTTP/2
+# 200" — a crawler that spoke h2 but wrote an h1-style head) alongside
+# the RFC 9112 HTTP-version; the status code stays strict 3DIGIT
+_STATUS_RE = re.compile(rb"^HTTP/\d(?:\.\d)? (\d{3})(?: |$)")
 _CHARSET_RE = re.compile(r'charset\s*=\s*"?([^";\s]+)"?', re.IGNORECASE)
+_CHUNK_SIZE_LINE_RE = re.compile(rb"^[0-9a-fA-F]+(?:[ \t]*(?:;|$))")
 
 
 class HttpError(ValueError):
@@ -60,12 +66,23 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
 
     ``headers`` keys are lowercased; values are latin-1-decoded verbatim
     (header bytes are opaque octets per spec — the CHARSET decision
-    belongs to the entity body, see :func:`decode_entity`)."""
+    belongs to the entity body, see :func:`decode_entity`).
+
+    Head framing tolerates bare-LF line endings (real crawls hold
+    captures from servers that never emitted the CR) — the terminator
+    is whichever of CRLFCRLF / LFLF starts first, and each header line
+    sheds at most one trailing CR, so a spec-correct head parses
+    byte-identically to before."""
     sep = payload.find(_CRLF + _CRLF)
+    seplen = 4
+    sep_lf = payload.find(b"\n\n")
+    if sep_lf >= 0 and (sep < 0 or sep_lf < sep):
+        sep, seplen = sep_lf, 2
     if sep < 0:
         raise HttpError("no head terminator CRLFCRLF in HTTP message")
-    head, rest = payload[:sep], payload[sep + 4:]
-    lines = head.split(_CRLF)
+    head, rest = payload[:sep], payload[sep + seplen:]
+    lines = [ln[:-1] if ln.endswith(b"\r") else ln
+             for ln in head.split(b"\n")]
     m = _STATUS_RE.match(lines[0])
     if not m:
         raise HttpError(f"bad HTTP status line: {lines[0][:40]!r}")
@@ -98,7 +115,22 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
         raise HttpError(
             f"unsupported Transfer-Encoding {unsupported[0]!r}")
     if "chunked" in te_tokens:
-        body = dechunk(rest)
+        eol = rest.find(b"\n")
+        first = rest[: eol if eol >= 0 else len(rest)]
+        if first.endswith(b"\r"):
+            first = first[:-1]
+        if _CHUNK_SIZE_LINE_RE.match(first):
+            body = dechunk(rest)
+        else:
+            # known real-crawl quirk: the crawler stored the
+            # TRANSFER-DECODED body while retaining the
+            # Transfer-Encoding header. The evidence is positional —
+            # the very first line is not a chunk-size line, so the
+            # stream was never chunk-framed; a genuinely chunked body
+            # torn MID-stream still refuses inside dechunk. The
+            # retained Content-Length (if any) described the coded
+            # stream and is not enforced here.
+            body = rest
     elif "content-length" in headers:
         cl = headers["content-length"].strip()
         # strict digits only: Python's int() accepts '+10' and '1_0',
@@ -195,10 +227,12 @@ def _inflate_bounded(body: bytes, wbits: int) -> bytes:
 
 
 def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
-    """Undo ``Content-Encoding`` on a captured entity: gzip/x-gzip and
+    """Undo ``Content-Encoding`` on a captured entity: gzip/x-gzip,
     deflate (zlib-wrapped per spec, with the bare-DEFLATE fallback real
-    servers emit) inflate OUTPUT-BOUNDED; ``identity``/absent pass
-    through; anything else refuses by name."""
+    servers emit) and zstd (RFC 8878 — genuine Common Crawl captures
+    carry it) inflate OUTPUT-BOUNDED under the same 512x / 64 MiB
+    ceiling; ``identity``/absent pass through; anything else (``br``,
+    multi-token chains) refuses by name."""
     token = headers.get("content-encoding", "").strip().lower()
     if token in ("", "identity"):
         return body
@@ -217,6 +251,23 @@ def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
             if not isinstance(e.__cause__, zlib.error):
                 raise
             return _inflate_bounded(body, -15)  # the wild: raw DEFLATE
+    if token == "zstd":
+        from bravo_spark.codecs import fastpath
+
+        cap = max(len(body) * _MAX_INFLATE_RATIO, _MIN_INFLATE_CAP)
+        try:
+            # libzstd when pyarrow is present, the pure RFC 8878
+            # decoder otherwise; both paths enforce the bound DURING
+            # the decode (per read / per block+sequence), so a bomb
+            # frame never materializes past the ceiling
+            return fastpath.zstd_decompress_stream(body, max_bytes=cap)
+        except ValueError as exc:
+            if "past" in str(exc) or "bound" in str(exc):
+                raise HttpError(
+                    f"entity inflates past {cap} bytes "
+                    f"({_MAX_INFLATE_RATIO}x its compressed size) — "
+                    "decompression bomb") from exc
+            raise HttpError(f"bad compressed entity: {exc}") from exc
     raise HttpError(f"unsupported Content-Encoding {token!r}")
 
 
@@ -238,7 +289,12 @@ def charset_name(headers: dict[str, str], body: bytes = b"") -> str:
     the Content-Type charset parameter when Python knows it, else an
     HTML ``<meta charset>`` / http-equiv declaration in the first
     ``1024`` bytes of ``body`` (the WHATWG prescan window — real pages
-    routinely declare their encoding only in markup), else utf-8."""
+    routinely declare their encoding only in markup), else utf-8.
+
+    The meta prescan only applies in the context WHATWG defines it for:
+    a Content-Type naming an html/xml media type, or no Content-Type at
+    all. A text/plain or JSON body whose first bytes happen to contain
+    a meta-charset-shaped string must not have its decode hijacked."""
     for token in _declared_charsets(headers, body):
         try:
             info = _codecs.lookup(token)
@@ -253,10 +309,21 @@ def charset_name(headers: dict[str, str], body: bytes = b"") -> str:
     return "utf-8"
 
 
+_MARKUP_CT_RE = re.compile(
+    # text/html, application/xhtml+xml, text/xml, application/xml,
+    # image/svg+xml, … — any html or xml media type (incl. +xml suffix)
+    r"^\s*(?:[^;/\s]+)/(?:x?html|xml|[^;+\s]+\+xml)\s*(?:;|$)",
+    re.IGNORECASE,
+)
+
+
 def _declared_charsets(headers: dict[str, str], body: bytes):
-    m = _CHARSET_RE.search(headers.get("content-type", ""))
+    ct = headers.get("content-type", "")
+    m = _CHARSET_RE.search(ct)
     if m:
         yield m.group(1)
+    if ct.strip() and not _MARKUP_CT_RE.match(ct):
+        return  # non-markup media type: the meta prescan doesn't apply
     m2 = _META_CHARSET_RE.search(body[:_SNIFF_WINDOW])
     if m2:
         yield m2.group(1).decode("ascii")

@@ -573,18 +573,21 @@ def extract_links(
     def resolve(batches):
         import pandas as _pd
 
-        # positional zip, not itertuples: pandas renames the
-        # underscore-prefixed _href field to a positional name there
-        base_memo: dict = {}
-
-        def canon_base(b: str):
+        def canon_base(b: str, memo: dict):
             # a page explodes to MANY hrefs with the same base — memoize
             # the base's canonical form instead of re-deriving it per edge
-            if b not in base_memo:
-                base_memo[b] = canonical_url_str(b)
-            return base_memo[b]
+            if b not in memo:
+                memo[b] = canonical_url_str(b)
+            return memo[b]
 
         for pdf in batches:
+            # per-BATCH memo: a task over a large archive sees unbounded
+            # distinct bases across its lifetime, and a page's hrefs
+            # arrive within one explode batch anyway — the memo must not
+            # grow for the task's whole life
+            base_memo: dict = {}
+            # positional zip, not itertuples: pandas renames the
+            # underscore-prefixed _href field to a positional name there
             out_rows = {c: [] for c in schema.fieldNames()}
             for vals in zip(*(pdf[c] for c in keep),
                             pdf["_href"], pdf[base_col]):
@@ -598,7 +601,7 @@ def extract_links(
                 if scheme not in ("http", "https"):
                     continue  # javascript:/mailto:/data:/ftp: links
                 canon = canonical_url_str(absu)
-                if canon is None or canon == canon_base(base):
+                if canon is None or canon == canon_base(base, base_memo):
                     continue  # junk or fragment-only self-reference
                 for c, v in zip(keep, kept):
                     out_rows[c].append(v)
@@ -674,9 +677,13 @@ def extract_http_html(
     A malformed message fails the task loudly by default. Real crawls
     always contain torn captures, so ``quarantine=True`` opts into
     isolating them instead of killing the pipeline: charset and html
-    are NULLed and status set to -1, so the caller routes the original
-    records to a quarantine sink by flag. Map-only Arrow-batched
-    ``mapInPandas`` — pipelines with the archive scan at any scale."""
+    are NULLed, status set to -1, and ``<prefix>error`` records the
+    named refusal — so the caller routes the original records to a
+    quarantine sink by flag AND the drop profile is observable (group
+    by the reason, don't just count a total; ``wet_convert`` does).
+    ``<prefix>error`` is NULL on every successfully parsed row.
+    Map-only Arrow-batched ``mapInPandas`` — pipelines with the archive
+    scan at any scale."""
     from pyspark.sql import types as T
 
     from bravo_spark.codecs.http import (
@@ -686,9 +693,10 @@ def extract_http_html(
         parse_http_response,
     )
 
-    status_col, charset_col, html_col = (
-        prefix + "status", prefix + "charset", prefix + "html")
-    for c in (status_col, charset_col, html_col):
+    status_col, charset_col, html_col, error_col = (
+        prefix + "status", prefix + "charset", prefix + "html",
+        prefix + "error")
+    for c in (status_col, charset_col, html_col, error_col):
         if c in df.columns:
             raise ValueError(f"column {c!r} already exists — pick a"
                              " different prefix")
@@ -696,7 +704,8 @@ def extract_http_html(
         list(df.schema.fields)
         + [T.StructField(status_col, T.IntegerType()),
            T.StructField(charset_col, T.StringType()),
-           T.StructField(html_col, T.StringType())]
+           T.StructField(html_col, T.StringType()),
+           T.StructField(error_col, T.StringType())]
     )
     cols = df.columns
 
@@ -704,7 +713,7 @@ def extract_http_html(
         import pandas as _pd
 
         for pdf in batches:
-            st, cs, tx = [], [], []
+            st, cs, tx, er = [], [], [], []
             for payload in pdf[payload_col]:
                 try:
                     # a NULL payload (upstream join/union artifact) is a
@@ -715,12 +724,13 @@ def extract_http_html(
                     status, headers, body = parse_http_response(
                         bytes(payload))
                     body = decode_content_encoding(headers, body)
-                except HttpError:
+                except HttpError as exc:
                     if not quarantine:
                         raise
                     st.append(-1)
                     cs.append(None)
                     tx.append(None)
+                    er.append(str(exc))
                     continue
                 # one charset resolution drives BOTH the reported
                 # column and the decode (header param → meta prescan
@@ -729,10 +739,12 @@ def extract_http_html(
                 st.append(status)
                 cs.append(name)
                 tx.append(body.decode(name, errors="replace"))
+                er.append(None)
             out = _pd.DataFrame({c: pdf[c] for c in cols})
             out[status_col] = _pd.array(st, dtype="Int32")
             out[charset_col] = cs
             out[html_col] = tx
+            out[error_col] = er
             yield out
 
     return df.mapInPandas(parse, schema)

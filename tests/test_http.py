@@ -380,3 +380,156 @@ def test_extract_http_html_null_payload_quarantines(spark):
     assert out[2].http_status == -1 and out[2].http_html is None
     with pytest.raises(PythonException, match="NULL payload"):
         llmops.extract_http_html(df, "p").collect()
+
+
+# ---------------------------------------------------------------------------
+# r19: zstd Content-Encoding + real-crawl head/framing tolerances
+# ---------------------------------------------------------------------------
+
+
+def _zstd_frame(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    buf = pa.BufferOutputStream()
+    with pa.output_stream(buf, compression="zstd") as s:
+        s.write(data)
+    return bytes(buf.getvalue())
+
+
+def test_content_encoding_zstd_roundtrip():
+    """RFC 8878 entities (genuine Common Crawl carries them) inflate
+    through the same bounded path as gzip/deflate; torn frames refuse."""
+    from bravo_spark.codecs.http import decode_content_encoding
+
+    plain = b"<html><p>zstd entity body</p></html>" * 20
+    frame = _zstd_frame(plain)
+    assert decode_content_encoding(
+        {"content-encoding": "zstd"}, frame) == plain
+    # decode_entity composes the zstd inflate with the charset decode
+    assert decode_entity(
+        {"content-encoding": "zstd",
+         "content-type": "text/html; charset=utf-8"}, frame) \
+        == plain.decode()
+    # torn frame refuses by name rather than yielding a prefix
+    with pytest.raises(HttpError, match="bad compressed entity"):
+        decode_content_encoding({"content-encoding": "zstd"}, frame[:-5])
+    # garbage refuses too (bad magic)
+    with pytest.raises(HttpError, match="bad compressed entity"):
+        decode_content_encoding({"content-encoding": "zstd"}, b"nonsense")
+
+
+def test_content_encoding_zstd_bomb_bounded(monkeypatch):
+    """A zstd bomb entity refuses at the 512x/64MiB ceiling (floor
+    lowered for the test) — the bound holds during the decode on both
+    the libzstd and pure-decoder paths."""
+    from bravo_spark.codecs import http as h
+
+    monkeypatch.setattr(h, "_MIN_INFLATE_CAP", 1 << 16)
+    bomb = _zstd_frame(b"\x00" * (1 << 22))  # 4 MiB from a few KB
+    with pytest.raises(HttpError, match="decompression bomb"):
+        h.decode_content_encoding({"content-encoding": "zstd"}, bomb)
+
+
+def test_http2_style_status_line_tolerated():
+    """Real crawls hold h2-fetched captures written with an h1-style
+    head whose version has no dot ('HTTP/2 200') — parse, don't drop."""
+    status, headers, body = parse_http_response(
+        b"HTTP/2 200\r\ncontent-type: text/plain\r\ncontent-length: 2\r\n"
+        b"\r\nok")
+    assert status == 200 and body == b"ok"
+    assert headers["content-type"] == "text/plain"
+    # garbage protocols still refuse
+    with pytest.raises(HttpError, match="status line"):
+        parse_http_response(b"HTTP/x 200\r\n\r\n")
+
+
+def test_lf_only_head_tolerated():
+    """Bare-LF heads (servers that never emitted the CR) parse with the
+    same fields; a spec-correct CRLF head is untouched by the tolerance."""
+    status, headers, body = parse_http_response(
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\nContent-Length: 5\n"
+        b"\nhello")
+    assert (status, body) == (200, b"hello")
+    assert headers["content-type"] == "text/html"
+    # mixed endings: CRLF status line, LF header lines, LFLF terminator
+    status2, headers2, body2 = parse_http_response(
+        b"HTTP/1.1 404 Not Found\r\nX-A: 1\nX-B: 2\n\ngone")
+    assert (status2, body2) == (404, b"gone")
+    assert headers2 == {"x-a": "1", "x-b": "2"}
+
+
+def test_chunked_header_with_stored_decoded_body():
+    """The known real-crawl quirk: the crawler stored the
+    TRANSFER-DECODED body while retaining the Transfer-Encoding header.
+    Evidence is positional — the first line is not a chunk-size line,
+    so the stream was never chunk-framed; pass the body through. A
+    genuinely chunked body torn MID-stream still refuses."""
+    status, _, body = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"<html>already decoded</html>")
+    assert status == 200 and body == b"<html>already decoded</html>"
+    # a REAL chunked stream still dechunks
+    _, _, body2 = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n0\r\n\r\n")
+    assert body2 == b"hello"
+    # torn mid-stream (valid first size line, body cut short) refuses
+    with pytest.raises(HttpError, match="torn at byte"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"ff\r\nonly a few bytes")
+    # ambiguity guard: a decoded body whose first line IS a valid
+    # chunk-size line is treated as chunked and refuses loudly (named,
+    # quarantinable) — never silently mis-framed; only a first line
+    # that CANNOT be a size line takes the stored-decoded path
+    with pytest.raises(HttpError, match="chunk"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"deadbeef\r\nwas the codename")
+    # hex word followed by more prose on the SAME line is not a size
+    # line (no extension separator) → stored-decoded path
+    _, _, body3 = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"deadbeef was the codename")
+    assert body3 == b"deadbeef was the codename"
+
+
+def test_meta_prescan_gated_on_markup_content_type():
+    """The WHATWG prescan only applies to html/xml media types (or no
+    Content-Type): a JSON/plain body containing a meta-charset-shaped
+    byte string must not hijack the decode."""
+    sneaky = b'{"x": "<meta charset=\\"iso8859-5\\">"}'
+    # non-markup Content-Type: prescan suppressed → utf-8 fallback
+    assert charset_name(
+        {"content-type": "application/json"}, sneaky) == "utf-8"
+    assert charset_name({"content-type": "text/plain"}, sneaky) == "utf-8"
+    # markup types and ABSENT Content-Type still prescan
+    html = b'<meta charset="iso8859-5"><p>x</p>'
+    assert charset_name({"content-type": "text/html"}, html) == "iso8859-5"
+    assert charset_name(
+        {"content-type": "application/xhtml+xml"}, html) == "iso8859-5"
+    assert charset_name({"content-type": "text/xml"}, html) == "iso8859-5"
+    assert charset_name({}, html) == "iso8859-5"
+    # a header charset param on a non-markup type still wins as before
+    assert charset_name(
+        {"content-type": "application/json; charset=iso8859-1"}, sneaky) \
+        == "iso8859-1"
+
+
+def test_extract_http_html_error_column(spark):
+    """Quarantine reasons are observable per row: <prefix>error carries
+    the named refusal for quarantined rows and NULL for parsed rows."""
+    from bravo_spark import llmops
+
+    good = _msg(b"HTTP/1.1 200 OK\r\nContent-Length: 4\r\n", b"good")
+    torn = _msg(b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n", b"short")
+    unsupported = _msg(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\nContent-Length: 3\r\n",
+        b"xyz")
+    df = spark.createDataFrame(
+        [(1, good), (2, torn), (3, unsupported)], "id long, p binary")
+    out = {r.id: r for r in
+           llmops.extract_http_html(df, "p", quarantine=True).collect()}
+    assert out[1].http_error is None and out[1].http_status == 200
+    assert "torn capture" in out[2].http_error
+    assert "Content-Encoding 'br'" in out[3].http_error
