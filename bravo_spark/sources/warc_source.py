@@ -24,6 +24,30 @@ _BINARYFILE_SCHEMA = (
     "path string, modificationTime timestamp, length long, content binary"
 )
 
+
+def _resolve_fs(path: str):
+    """``(pyarrow FileSystem, fs-internal path)`` for a plain path or a
+    filesystem URI (``file:/...``, ``s3://...``, ``hdfs://...``, ...).
+
+    This is the EXECUTOR-SAFE half of the repo's filesystem plumbing:
+    ``llmops._hadoop_fs`` goes through the driver's py4j gateway into
+    the JVM Hadoop FS API, which a ``mapPartitions`` task does not have
+    — executors are plain Python workers. ``pyarrow.fs`` resolves the
+    same URI schemes natively in-process, so shard writers inside tasks
+    reach object storage instead of silently scattering output across
+    executor-local disks (the multi-node failure a bare ``open()``
+    invites)."""
+    import re as _re
+
+    from pyarrow import fs as pafs
+
+    if path.startswith("file:/") and not path.startswith("file://"):
+        # Hadoop-style single-slash file URI → proper RFC 3986 form
+        path = "file://" + path[len("file:"):]
+    if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", path):
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
 RECORD_SCHEMA = (
     "archive string, uri string, warc_type string,"
     " n_bytes long, payload binary"
@@ -122,12 +146,15 @@ def write_warc_shards(
     size is controlled the Spark way: ``repartition(n)`` upstream picks
     the shard count (keep archives ~1 GiB at crawl scale).
 
+    ``path`` may be a plain path or a filesystem URI — each task opens
+    its shard through :func:`_resolve_fs` (pyarrow.fs), so a WET
+    conversion at crawl scale writes to object storage, not just a
+    shared POSIX mount.
+
     Per-partition imperative IO is the one legitimate RDD-adjacent use:
     shard naming needs the partition index, so this is
     ``mapPartitionsWithIndex`` writing through the pure-Python codec —
     the plan ABOVE it stays declarative."""
-    import os
-
     from bravo_spark.codecs.warc import write_warc
 
     ext = {"gzip": "warc.gz", "zstd": "warc.zst", "none": "warc"}
@@ -136,7 +163,8 @@ def write_warc_shards(
     suffix = ext[compression]
     base_headers = {"WARC-Type": warc_type, "WARC-Date": warc_date}
     base_headers.update(extra_headers or {})
-    os.makedirs(path, exist_ok=True)
+    fs, base = _resolve_fs(path)
+    fs.create_dir(base, recursive=True)
     src = records.select(
         F.col(uri_col).cast("string").alias("uri"),
         F.col(payload_col).alias("payload"),
@@ -153,8 +181,13 @@ def write_warc_shards(
                 bytes(payload) if payload is not None else b"",
             ))
         if recs:
-            shard = os.path.join(path, f"shard_{pid:05d}.{suffix}")
-            with open(shard, "wb") as f:
+            # resolve from the path STRING inside the task (executors
+            # never receive driver-side handles); compression=None — the
+            # codec already emitted the gzip/zstd members, and pyarrow's
+            # extension sniffing would double-compress a .gz name
+            tfs, tbase = _resolve_fs(path)
+            shard = tbase.rstrip("/") + f"/shard_{pid:05d}.{suffix}"
+            with tfs.open_output_stream(shard, compression=None) as f:
                 f.write(write_warc(recs, compression=compression))
         yield len(recs)
 
@@ -176,13 +209,20 @@ def wet_convert(
     charset decode (``codecs/http.py``) → ``llmops.strip_markup`` →
     WET-style ``WARC-Type: conversion`` archives under ``dst`` that
     :func:`read_warc` (or any WET consumer, e.g. the warc_ingest path)
-    reads back. Returns ``{"converted": n, "quarantined": m}``.
+    reads back. Returns ``{"converted": n, "quarantined": m,
+    "quarantine_reasons": {reason_class: count}}`` — the reason profile
+    (refusal messages with digits collapsed to ``#`` so byte offsets
+    don't explode the cardinality) makes the drop rate OBSERVABLE per
+    cause: a crawl whose quarantine is 1% torn captures is healthy, one
+    that is 30% "unsupported Content-Encoding" needs a codec, and a
+    bare total cannot tell them apart.
 
-    ``quarantine=True`` (the crawl default) counts torn HTTP captures
+    ``quarantine=True`` (the crawl default) isolates torn HTTP captures
     instead of failing the job; ``False`` fails loudly on the first.
     Scale shape: archive-grain read tasks, two map-only Arrow stages,
     a JVM regex chain, and a partition-grain shard write — ZERO
-    shuffles; shard count follows the input partitioning (repartition
+    shuffles (the reason profile aggregates the quarantined sliver
+    only); shard count follows the input partitioning (repartition
     upstream of ``src`` file layout to resize output archives)."""
     from bravo_spark import llmops
 
@@ -197,7 +237,16 @@ def wet_convert(
     ).persist()  # counted AND written: one materialization, not two plans
     try:
         ok = stripped.filter(F.col("http_status") != -1)
-        n_bad = stripped.filter(F.col("http_status") == -1).count()
+        reasons = {
+            r["reason"]: r["n"]
+            for r in stripped.filter(F.col("http_status") == -1)
+            .groupBy(
+                F.regexp_replace("http_error", "[0-9]+", "#").alias(
+                    "reason")
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
         n = write_warc_shards(
             ok.select("uri", F.col("clean_text").alias("payload")),
             dst,
@@ -207,7 +256,11 @@ def wet_convert(
         )
     finally:
         stripped.unpersist()
-    return {"converted": n, "quarantined": n_bad}
+    return {
+        "converted": n,
+        "quarantined": sum(reasons.values()),
+        "quarantine_reasons": reasons,
+    }
 
 
 def wet_convert_stream(
@@ -242,14 +295,13 @@ def wet_convert_stream(
     drain-and-restart model every streaming surface here uses; the
     caller awaits termination, drops more archives, and calls again
     with the same ``checkpoint`` to process only what is new)."""
-    import os
-    import shutil as _shutil
-
     from pyspark.sql import functions as _F
 
     from bravo_spark import llmops
 
     def _batch(records: DataFrame, epoch_id: int) -> None:
+        from pyarrow import fs as _pafs
+
         parsed = llmops.extract_http_html(
             records.filter(_F.col("warc_type") == "response"),
             "payload",
@@ -258,10 +310,14 @@ def wet_convert_stream(
         ok = llmops.strip_markup(
             parsed.withColumnRenamed("http_html", "t"), "t"
         ).filter(_F.col("http_status") != -1)
-        batch_dir = os.path.join(dst, f"batch_{epoch_id:06d}")
+        batch_dir = dst.rstrip("/") + f"/batch_{epoch_id:06d}"
         # idempotent under batch REPLAY: the epoch names the directory,
-        # so a crash-retried batch replaces its own output
-        _shutil.rmtree(batch_dir, ignore_errors=True)
+        # so a crash-retried batch replaces its own output — the delete
+        # goes through the same pyarrow filesystem as the shard writes,
+        # so replay stays idempotent on object storage too
+        bfs, bpath = _resolve_fs(batch_dir)
+        if bfs.get_file_info(bpath).type != _pafs.FileType.NotFound:
+            bfs.delete_dir(bpath)
         write_warc_shards(
             ok.select("uri", _F.col("clean_text").alias("payload")),
             batch_dir,

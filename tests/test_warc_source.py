@@ -129,7 +129,13 @@ def test_wet_convert_end_to_end(spark, tmp_path):
     ])
     dst = str(tmp_path / "wet")
     report = wet_convert(spark, src, dst)
-    assert report == {"converted": 2, "quarantined": 1}
+    assert report["converted"] == 2
+    assert report["quarantined"] == 1
+    # the drop profile is observable per cause, with byte offsets
+    # collapsed so reason cardinality stays bounded
+    assert report["quarantine_reasons"] == {
+        "Content-Length # but only # captured body bytes — torn capture": 1
+    }
 
     back = {r.uri: r for r in read_warc(spark, dst).collect()}
     assert set(back) == {"http://x.example/1", "http://x.example/2"}
@@ -212,3 +218,95 @@ def test_wet_convert_stream_restart_exactly_once(spark, tmp_path):
     rec = read_warc(spark, dst, recursive=True).collect()[0]
     assert rec.warc_type == "conversion"
     assert bytes(rec.payload).decode() == "page body"
+
+
+def test_write_warc_shards_file_uri(spark, tmp_path):
+    """Shard IO goes through pyarrow.fs, so a filesystem URI target
+    works — the posture that reaches object storage on a real cluster
+    (a bare executor-side open() only ever reaches local disk). Both
+    Hadoop-style file:/ and RFC file:/// forms resolve, the written
+    tree is byte-identical to a plain-path write, and read_warc (Spark's
+    own Hadoop FS) reads it back."""
+    import hashlib
+
+    from bravo_spark.sources.warc_source import write_warc_shards
+
+    df = spark.createDataFrame(
+        [(f"doc://{i}", f"text {i}".encode()) for i in range(8)],
+        "uri string, payload binary",
+    ).repartition(2)
+
+    plain = str(tmp_path / "plain")
+    hadoop_uri = "file:" + str(tmp_path / "h1")
+    rfc_uri = "file://" + str(tmp_path / "h2")
+    assert write_warc_shards(df, plain) == 8
+    assert write_warc_shards(df, hadoop_uri) == 8
+    assert write_warc_shards(df, rfc_uri) == 8
+
+    def tree_md5(d):
+        names = sorted(os.listdir(d))
+        assert names, f"no shards under {d}"
+        return [
+            (n, hashlib.md5(open(os.path.join(d, n), "rb").read())
+             .hexdigest())
+            for n in names
+        ]
+
+    assert tree_md5(plain) == tree_md5(str(tmp_path / "h1")) \
+        == tree_md5(str(tmp_path / "h2"))
+    got = read_warc(spark, "file://" + str(tmp_path / "h1")).collect()
+    assert sorted(bytes(r.payload).decode() for r in got) \
+        == sorted(f"text {i}" for i in range(8))
+
+
+def test_wet_convert_stream_file_uri_dst(spark, tmp_path):
+    """The WET loop's epoch-dir replace goes through the same pyarrow
+    filesystem as the shard writes: a file:// dst drains and re-drains
+    idempotently (the crash-replay delete path exercises the fs route)."""
+    from bravo_spark.sources.warc_source import wet_convert_stream
+
+    html = b"<html><p>fs page</p></html>"
+    msg = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+           + b"Content-Length: %d\r\n\r\n" % len(html) + html)
+    src = str(tmp_path / "drop")
+    dst = "file://" + str(tmp_path / "wet")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    recs = [({"WARC-Type": "response", "WARC-Target-URI": "http://x/1",
+              "WARC-Date": "2026-01-01T00:00:00Z"}, msg)]
+    with open(os.path.join(src, "a.warc.gz"), "wb") as f:
+        f.write(write_warc(recs))
+
+    for _ in range(2):  # second drain replays nothing, adds nothing
+        q = wet_convert_stream(spark, src, dst, ckpt)
+        assert q.awaitTermination(180)
+        got = read_warc(spark, dst, recursive=True).collect()
+        assert [r.uri for r in got] == ["http://x/1"]
+        assert bytes(got[0].payload).decode() == "fs page"
+
+
+def test_wet_convert_zstd_encoded_capture(spark, tmp_path):
+    """A response entity stored with Content-Encoding: zstd (real
+    Common Crawl captures carry it) converts through the WET loop."""
+    import pyarrow as pa
+
+    from bravo_spark.sources.warc_source import read_warc, wet_convert
+
+    html = b"<html><body><p>zstd page body</p></body></html>"
+    buf = pa.BufferOutputStream()
+    with pa.output_stream(buf, compression="zstd") as s:
+        s.write(html)
+    frame = bytes(buf.getvalue())
+    msg = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+           b"Content-Encoding: zstd\r\n"
+           + b"Content-Length: %d\r\n\r\n" % len(frame) + frame)
+    recs = [({"WARC-Type": "response", "WARC-Target-URI": "http://z/1",
+              "WARC-Date": "2026-01-01T00:00:00Z"}, msg)]
+    src = str(tmp_path / "raw")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.warc.gz"), "wb") as f:
+        f.write(write_warc(recs))
+    report = wet_convert(spark, src, str(tmp_path / "wet"))
+    assert report["converted"] == 1 and report["quarantined"] == 0
+    rec = read_warc(spark, str(tmp_path / "wet")).collect()[0]
+    assert bytes(rec.payload).decode() == "zstd page body"
