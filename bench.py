@@ -96,6 +96,10 @@ FIXED_COST = [
     # head/body split + charset decode + strip chain (write-once
     # fixture; the timed surface is read+extract)
     "warc_html_extract",
+    # r19: crawl-edge extraction → host link graph (HTML built in-plan:
+    # no fixture, no write floor — regex explode + Arrow resolve + one
+    # agg shuffle)
+    "web_link_graph",
     # Avro OCF roundtrip: distributed write + archive-grain read through
     # the pure-Python codec (timed runs include the write — it rewrites
     # per run, unlike the write-once WARC fixture)

@@ -137,3 +137,92 @@ def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("v").alias("doc_id"), F.col("r").alias("rank_units"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Web link graph — r19. The crawl pipeline's edge-extraction stage
+# (llmops.extract_links -> llmops.host_link_graph, landed r18) under the
+# oracle gate: deterministic anchor-carrying HTML is built IN-PLAN from
+# `documents` (map-only JVM concat — no fixture, no write floor; the
+# crawl READ path is already gated by warc_html_extract), then hrefs are
+# regex-extracted, urljoin-resolved against the page URL, canonicalized,
+# and collapsed to the host graph. Each page carries the href forms a
+# real crawl holds: an absolute URL, a protocol-relative //host form
+# with a tracking param (dropped by canonicalization), a relative path
+# (same host -> host-grain self-loop, dropped), a javascript: link and a
+# bare #fragment (both dropped by extract_links), an uppercased
+# www.HOST:443 form (case/www/default-port collapse), plus a <link>
+# element and a data-href decoy the anchor regex must NOT match. The
+# oracle replays the surviving edge set closed-form from the doc_id
+# arithmetic.
+# ---------------------------------------------------------------------------
+
+_WEB_LINK_ORACLE = """
+WITH d AS (
+  SELECT doc_id % 13 AS s,
+         (7 * doc_id + 1) % 13 AS t1,
+         (3 * doc_id + 5) % 13 AS t2,
+         (5 * doc_id + 3) % 13 AS t3
+  FROM documents
+), e AS (
+  SELECT s, t1 AS t FROM d WHERE t1 <> s
+  UNION ALL SELECT s, t2 FROM d WHERE t2 <> s
+  UNION ALL SELECT s, t3 FROM d WHERE t3 <> s
+)
+SELECT 'h' || CAST(s AS VARCHAR) || '.example' AS src_host,
+       'h' || CAST(t AS VARCHAR) || '.example' AS dst_host,
+       count(*) AS n_links
+FROM e GROUP BY 1, 2
+"""
+
+
+@query("web_link_graph", oracle=_WEB_LINK_ORACLE)
+def web_link_graph(spark, sf_dir):
+    """Crawl-edge extraction end to end: per-document HTML (built
+    in-plan, deterministic anchors derived from doc_id) -> href regex
+    explode -> urljoin resolve + URL canonicalization (Arrow stage) ->
+    host collapse -> (src_host, dst_host, n_links). Proves which link
+    forms become graph edges: absolute and protocol-relative hrefs
+    survive (tracking params canonicalized away, case/www/:443
+    collapsed), relative same-host links die at the self-loop filter,
+    javascript:/#fragment links die at extraction, and non-anchor
+    href attributes (<link>, data-href) never match.
+
+    Scale shape: one JVM regex explode + one Arrow resolve stage
+    (zero shuffles), then host_link_graph's single partial-aggregated
+    shuffle on the host pair — the full corpus is never shuffled at
+    page grain."""
+    from bravo_spark import llmops as lo
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+    d = F.col("doc_id")
+
+    def host(expr):
+        return F.concat(F.lit("h"), (expr % 13).cast("string"),
+                        F.lit(".example"))
+
+    sid = d.cast("string")
+    page = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://www."), host(d), F.lit(":80/page/"),
+                 sid).alias("page_url"),
+        F.concat(
+            F.lit('<html><head><title>p</title>'
+                  '<link rel="alternate" href="http://nope.example/">'
+                  '</head><body><p>'),
+            F.substring("text", 1, 48),
+            F.lit('</p><a class="n" data-href="http://decoy.example/"'
+                  ' href="http://'),
+            host(d * 7 + 1), F.lit("/a/"), sid,
+            F.lit('">first</a><a href=\'//'),
+            host(d * 3 + 5), F.lit("/b?utm_source=x&id="), sid,
+            F.lit('\'>second</a><a href="/self/'), sid,
+            F.lit('">self</a><a href="javascript:void(0)">js</a>'
+                  '<a href="#frag">top</a><a href="http://WWW.'),
+            F.upper(host(d * 5 + 3)),
+            F.lit(':443/c">third</a></body></html>'),
+        ).alias("html"),
+    )
+    edges = lo.extract_links(page, "html", "page_url")
+    return lo.host_link_graph(edges, "page_url", "link")

@@ -373,10 +373,14 @@ R20_STAGED_SWAPS = [
     ("multimodal_exif_audit", "kryo_value_kv"),
     ("multimodal_orientation_normalize", "custom_reader_expand"),
     ("avro_source_roundtrip", "snapshot_roundtrip_compressed"),
-    # r7-last dedup/ANN siblings: the banded-LSH pair join and the
-    # 256-bit Hamming rank+rescore path
+    # r7-last dedup sibling: the banded-LSH pair join
     ("phrase_search_index", "dedup_minhash_lsh"),
-    ("ann_ivf_index_search", "ann_sketch_topk"),
+    # pair-with-staging rule: the r19 net-new web_link_graph takes this
+    # slot (mirror-green at all three SFs the day it landed);
+    # ann_sketch_topk (r7-last) defers to the r21 pool — its Hamming
+    # rank+rescore contract stays gated via ann_sketch_recall_eval
+    # (driver-green r18) and recall-pinned in pytest
+    ("ann_ivf_index_search", "web_link_graph"),
 ]
 
 

@@ -859,3 +859,16 @@ def test_ivf_assignment_never_shuffles_vectors(spark):
     assert "Window" not in p and "monotonically" not in p
     assert p.count("Exchange") == 2  # SinglePartition fold + its broadcast
     assert "BroadcastExchange" in p and "Exchange SinglePartition" in p
+
+
+def test_web_link_graph_single_exchange_no_joins(plans):
+    """Crawl-edge extraction -> host graph: JVM regex explode + ONE
+    Arrow resolve stage + one partial-aggregated shuffle on the host
+    pair. The page-grain corpus is never joined and never shuffled —
+    the only Exchange is the host-pair aggregation."""
+    p = plans("web_link_graph")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+    assert p.count("Exchange") == 1
+    assert p.lower().count("mapinpandas") == 1  # the urljoin/canon stage
+    assert "Generate" in p  # the href explode stays JVM-side
