@@ -153,7 +153,9 @@ def zstd_decompress_stream(frame: bytes, *, max_bytes: int | None = None) -> byt
                     chunks.append(bytes(chunk))
                     total += len(chunk)
                     if total > max_bytes:
-                        raise ValueError(
+                        from bravo_spark.codecs import zstd as pz
+
+                        raise pz.ZstdBoundError(
                             f"zstd frame inflates past {max_bytes} bytes"
                         )
         except ValueError:
@@ -168,16 +170,13 @@ def zstd_decompress_stream(frame: bytes, *, max_bytes: int | None = None) -> byt
     # (a post-hoc len() check would allocate the whole bomb first)
     try:
         return pz.decompress(frame, max_bytes=max_bytes)
-    except pz.ZstdError as e:
-        # match the bound refusal's exact message prefix — a bare
-        # 'exceeds' substring also matches two CORRUPTION errors
-        # ('jump table exceeds…', 'sequence literal length exceeds…'),
-        # which must not be mislabeled as decompression bombs
-        if max_bytes is not None and str(e).startswith(
-                "decoded output exceeds"):
-            raise ValueError(
-                f"zstd frame inflates past {max_bytes} bytes") from e
-        raise
+    except pz.ZstdBoundError as e:
+        # the bound refusal is a TYPE (not message prose), so corruption
+        # errors whose text happens to contain 'exceeds' ('jump table
+        # exceeds…', 'sequence literal length exceeds…') can never be
+        # mislabeled as decompression bombs
+        raise pz.ZstdBoundError(
+            f"zstd frame inflates past {max_bytes} bytes") from e
 
 
 def lz4_java_encode_stream(payload: bytes, block_size: int = 32 * 1024) -> bytes:

@@ -75,7 +75,11 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
     byte-identically to before."""
     sep = payload.find(_CRLF + _CRLF)
     seplen = 4
-    sep_lf = payload.find(b"\n\n")
+    # bound the bare-LF probe: only a LFLF starting before the CRLFCRLF
+    # can win, so a spec-correct message never pays a full-body scan
+    # (the entity is the bulk of every record on this hot path)
+    sep_lf = payload.find(b"\n\n", 0,
+                          sep + 2 if sep >= 0 else len(payload))
     if sep_lf >= 0 and (sep < 0 or sep_lf < sep):
         sep, seplen = sep_lf, 2
     if sep < 0:
@@ -116,20 +120,22 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
             f"unsupported Transfer-Encoding {unsupported[0]!r}")
     if "chunked" in te_tokens:
         eol = rest.find(b"\n")
-        first = rest[: eol if eol >= 0 else len(rest)]
-        if first.endswith(b"\r"):
-            first = first[:-1]
-        if _CHUNK_SIZE_LINE_RE.match(first):
+        first = rest[: eol if eol >= 0 else len(rest)].strip()
+        # .strip() above mirrors dechunk's own size-field leniency: a
+        # lenient server's '  4' size line must route to dechunk, not
+        # slip through the quirk path as raw framing bytes
+        if not rest or _CHUNK_SIZE_LINE_RE.match(first):
             body = dechunk(rest)
         else:
             # known real-crawl quirk: the crawler stored the
             # TRANSFER-DECODED body while retaining the
             # Transfer-Encoding header. The evidence is positional —
-            # the very first line is not a chunk-size line, so the
-            # stream was never chunk-framed; a genuinely chunked body
-            # torn MID-stream still refuses inside dechunk. The
-            # retained Content-Length (if any) described the coded
-            # stream and is not enforced here.
+            # the very first line CANNOT be a chunk-size line, so the
+            # stream was never chunk-framed; anything that could be
+            # chunk framing (incl. an EMPTY rest — torn at byte 0)
+            # goes to dechunk, where a genuinely torn stream still
+            # refuses by name. The retained Content-Length (if any)
+            # described the coded stream and is not enforced here.
             body = rest
     elif "content-length" in headers:
         cl = headers["content-length"].strip()
@@ -153,14 +159,27 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
 
 
 def dechunk(data: bytes) -> bytes:
-    """Decode RFC 9112 §7.1 chunked transfer coding. Strict: a torn
-    chunk, bad size line, missing chunk-data CRLF, torn trailer, or
-    trailing junk after the final chunk refuses with the byte offset."""
+    """Decode RFC 9112 §7.1 chunked transfer coding. Strict on the
+    FRAMING — a torn chunk, bad size line, missing chunk-data
+    terminator, torn trailer, or trailing junk after the final chunk
+    refuses with the byte offset — but each line terminator may be
+    CRLF or bare LF (the same CR-less-server tolerance the head parse
+    carries: a capture whose head lacked CRs frames its chunks the
+    same way; a spec-correct stream decodes byte-identically)."""
+
+    def line_end(pos: int) -> tuple[int, int]:
+        """(content_end, next_pos) of the line starting at ``pos``, or
+        (-1, -1) when no terminator remains."""
+        i = data.find(b"\n", pos)
+        if i < 0:
+            return -1, -1
+        return (i - 1, i + 1) if data[i - 1:i] == b"\r" else (i, i + 1)
+
     out = bytearray()
     pos = 0
     n = len(data)
     while True:
-        eol = data.find(_CRLF, pos)
+        eol, nxt = line_end(pos)
         if eol < 0:
             raise HttpError(
                 f"chunked framing torn at byte {pos}: no chunk-size line")
@@ -172,14 +191,14 @@ def dechunk(data: bytes) -> bytes:
             raise HttpError(
                 f"bad chunk size at byte {pos}: {size_field[:20]!r}")
         size = int(size_field, 16)
-        pos = eol + 2
+        pos = nxt
         if size == 0:
-            while True:  # optional trailer fields, then a bare CRLF
-                eol = data.find(_CRLF, pos)
+            while True:  # optional trailer fields, then a bare line end
+                eol, nxt = line_end(pos)
                 if eol < 0:
                     raise HttpError(f"chunked trailer torn at byte {pos}")
                 line = data[pos:eol]
-                pos = eol + 2
+                pos = nxt
                 if not line:
                     break
             if pos != n:
@@ -193,9 +212,12 @@ def dechunk(data: bytes) -> bytes:
                 f"{n - pos} captured")
         out += data[pos:pos + size]
         pos += size
-        if data[pos:pos + 2] != _CRLF:
+        if data[pos:pos + 2] == _CRLF:
+            pos += 2
+        elif data[pos:pos + 1] == b"\n":
+            pos += 1
+        else:
             raise HttpError(f"missing CRLF after chunk data at byte {pos}")
-        pos += 2
 
 
 # Entity decompression-bomb ceiling — the same posture as codecs/warc.py's
@@ -253,20 +275,23 @@ def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
             return _inflate_bounded(body, -15)  # the wild: raw DEFLATE
     if token == "zstd":
         from bravo_spark.codecs import fastpath
+        from bravo_spark.codecs.zstd import ZstdBoundError
 
         cap = max(len(body) * _MAX_INFLATE_RATIO, _MIN_INFLATE_CAP)
         try:
             # libzstd when pyarrow is present, the pure RFC 8878
             # decoder otherwise; both paths enforce the bound DURING
             # the decode (per read / per block+sequence), so a bomb
-            # frame never materializes past the ceiling
+            # frame never materializes past the ceiling — and raise
+            # the bound as a TYPE, so corruption can't be mislabeled
+
             return fastpath.zstd_decompress_stream(body, max_bytes=cap)
+        except ZstdBoundError as exc:
+            raise HttpError(
+                f"entity inflates past {cap} bytes "
+                f"({_MAX_INFLATE_RATIO}x its compressed size) — "
+                "decompression bomb") from exc
         except ValueError as exc:
-            if "past" in str(exc) or "bound" in str(exc):
-                raise HttpError(
-                    f"entity inflates past {cap} bytes "
-                    f"({_MAX_INFLATE_RATIO}x its compressed size) — "
-                    "decompression bomb") from exc
             raise HttpError(f"bad compressed entity: {exc}") from exc
     raise HttpError(f"unsupported Content-Encoding {token!r}")
 

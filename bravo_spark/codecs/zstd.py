@@ -38,6 +38,13 @@ class ZstdError(ValueError):
     pass
 
 
+class ZstdBoundError(ZstdError):
+    """Decoded output exceeded the caller's ``max_bytes`` ceiling — a
+    decompression bomb under the caller's bound. A DISTINCT type (not
+    just message prose) so callers classify bomb-vs-corruption refusals
+    by ``isinstance``, immune to message rewording."""
+
+
 # ---------------------------------------------------------------------------
 # bitstreams
 
@@ -444,7 +451,7 @@ def _decode_block(
     loop, refusing before the output materializes past the ceiling."""
     literals, pos = _decode_literals(block, fstate)
     if limit is not None and len(out) + len(literals) > limit:
-        raise ZstdError(f"decoded output exceeds {limit}-byte bound")
+        raise ZstdBoundError(f"decoded output exceeds {limit}-byte bound")
     # --- sequences section header
     b0 = block[pos]
     if b0 == 0:
@@ -526,7 +533,7 @@ def _decode_block(
         if offset > len(out):
             raise ZstdError("match offset beyond decoded output")
         if limit is not None and len(out) + ml > limit:
-            raise ZstdError(f"decoded output exceeds {limit}-byte bound")
+            raise ZstdBoundError(f"decoded output exceeds {limit}-byte bound")
         if offset >= ml:
             start = len(out) - offset
             out += out[start : start + ml]
@@ -663,7 +670,7 @@ def decompress(
             else:
                 raise ZstdError("reserved block type")
             if max_bytes is not None and len(out) > max_bytes:
-                raise ZstdError(
+                raise ZstdBoundError(
                     f"decoded output exceeds {max_bytes}-byte bound")
             if last:
                 break

@@ -189,12 +189,15 @@ def web_link_graph(spark, sf_dir):
     href attributes (<link>, data-href) never match.
 
     Scale shape: one JVM regex explode + one Arrow resolve stage
-    (zero shuffles), then host_link_graph's single partial-aggregated
+    (shuffle-free), then host_link_graph's single partial-aggregated
     shuffle on the host pair — the full corpus is never shuffled at
-    page grain."""
+    page grain. table_spread (not table): the per-href Python
+    urljoin/canonicalize stage is CPU-heavy per document, and the
+    fixture parquet is a single row group — at production scale the
+    spread is a no-op (see catalog.table_spread)."""
     from bravo_spark import llmops as lo
 
-    docs = catalog.table(spark, sf_dir, "documents").select(
+    docs = catalog.table_spread(spark, sf_dir, "documents").select(
         "doc_id", "text")
     d = F.col("doc_id")
 

@@ -533,3 +533,45 @@ def test_extract_http_html_error_column(spark):
     assert out[1].http_error is None and out[1].http_status == 200
     assert "torn capture" in out[2].http_error
     assert "Content-Encoding 'br'" in out[3].http_error
+
+
+def test_chunked_sniff_review_findings_r19():
+    """Post-review pins on the stored-decoded sniff: (a) a lenient
+    server's leading-whitespace size line routes to dechunk (which
+    tolerates it), never through the quirk path as raw framing bytes;
+    (b) an EMPTY body under TE: chunked is a torn stream (refuses), not
+    an empty document; (c) bare-LF chunked framing — the same CR-less
+    population the head tolerance serves — now dechunks."""
+    _, _, body = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"  4\r\nWiki\r\n0\r\n\r\n")
+    assert body == b"Wiki"
+    with pytest.raises(HttpError, match="chunk"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n")
+    # LF-only chunked stream, LF-only head — decodes end to end
+    _, _, body2 = parse_http_response(
+        b"HTTP/1.1 200 OK\nTransfer-Encoding: chunked\n\n"
+        b"4\nWiki\n5\npedia\n0\n\n")
+    assert body2 == b"Wikipedia"
+    # mixed: CRLF sizes, LF data terminators
+    assert dechunk(b"4\r\nWiki\n0\r\n\r\n") == b"Wiki"
+    # LF framing stays STRICT framing: torn mid-stream still refuses
+    with pytest.raises(HttpError, match="torn at byte"):
+        dechunk(b"ff\nonly a few bytes")
+
+
+def test_zstd_bound_is_a_type(monkeypatch):
+    """Bomb-vs-corruption classification is by exception TYPE
+    (ZstdBoundError), not message prose — both fastpath paths raise it
+    and http.py maps it to the named bomb refusal."""
+    from bravo_spark.codecs import fastpath
+    from bravo_spark.codecs import http as h
+    from bravo_spark.codecs.zstd import ZstdBoundError
+
+    bomb = _zstd_frame(b"\x00" * (1 << 22))
+    with pytest.raises(ZstdBoundError):
+        fastpath.zstd_decompress_stream(bomb, max_bytes=4096)
+    monkeypatch.setattr(h, "_MIN_INFLATE_CAP", 1 << 16)
+    with pytest.raises(HttpError, match="decompression bomb"):
+        h.decode_content_encoding({"content-encoding": "zstd"}, bomb)

@@ -861,14 +861,16 @@ def test_ivf_assignment_never_shuffles_vectors(spark):
     assert "BroadcastExchange" in p and "Exchange SinglePartition" in p
 
 
-def test_web_link_graph_single_exchange_no_joins(plans):
+def test_web_link_graph_single_agg_exchange_no_joins(plans):
     """Crawl-edge extraction -> host graph: JVM regex explode + ONE
     Arrow resolve stage + one partial-aggregated shuffle on the host
-    pair. The page-grain corpus is never joined and never shuffled —
-    the only Exchange is the host-pair aggregation."""
+    pair. The page-grain corpus is never joined; the only exchanges are
+    the host-pair aggregation and table_spread's fixture round-robin
+    (a no-op on multi-split production inputs)."""
     p = plans("web_link_graph")
     assert "Join" not in p
     assert "BatchEvalPython" not in p
-    assert p.count("Exchange") == 1
+    assert p.count("hashpartitioning") == 1  # the host-pair agg only
+    assert p.count("Exchange") <= 2  # agg + fixture spread, nothing else
     assert p.lower().count("mapinpandas") == 1  # the urljoin/canon stage
     assert "Generate" in p  # the href explode stays JVM-side
