@@ -170,3 +170,31 @@ def test_exif_roundtrip_fuzz(orientation, lat, lon, with_gps, order):
     else:
         assert meta["gps"] is None
     assert parse_exif(strip_exif(tagged)) is None
+
+
+@given(
+    body=st.binary(min_size=0, max_size=400),
+    cuts=st.lists(st.integers(min_value=0, max_value=400), max_size=6),
+    crlf_bits=st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_dechunk_roundtrip_fuzz_mixed_line_endings(body, cuts, crlf_bits):
+    """Any chunking of any body, framed with an arbitrary PER-LINE mix
+    of CRLF and bare-LF terminators (the r19 CR-less-server tolerance),
+    dechunks back to the body exactly."""
+    from bravo_spark.codecs.http import dechunk
+
+    bounds = sorted({c for c in cuts if c < len(body)} | {0, len(body)})
+    chunks = [body[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    term_i = 0
+
+    def term():
+        nonlocal term_i
+        t = b"\r\n" if (crlf_bits >> (term_i % 16)) & 1 else b"\n"
+        term_i += 1
+        return t
+
+    enc = b"".join(
+        b"%x" % len(c) + term() + c + term() for c in chunks
+    ) + b"0" + term() + term()
+    assert dechunk(enc) == body
