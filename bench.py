@@ -100,6 +100,9 @@ FIXED_COST = [
     # no fixture, no write floor — regex explode + Arrow resolve + one
     # agg shuffle)
     "web_link_graph",
+    # r19: TFRecord/Example training-shard ingest (write-once fixture;
+    # the timed surface is the read + per-record CRC + proto decode)
+    "tfrecord_example_roundtrip",
     # Avro OCF roundtrip: distributed write + archive-grain read through
     # the pure-Python codec (timed runs include the write — it rewrites
     # per run, unlike the write-once WARC fixture)

@@ -764,3 +764,88 @@ def avro_stream_ingest(spark, sf_dir):
     return _event_verification_agg(
         _drain_to_memory(spark, stream, "avro_stream_sink")
     )
+
+
+# ---------------------------------------------------------------------------
+# TFRecord / tf.train.Example — r19. The training-shard SINK format: a
+# cleaned corpus leaves the lake as TFRecord shards of Example messages
+# (the standard TF/JAX training input). codecs/tfrecord.py implements the
+# container framing (the SAME masked-crc32c primitive RocksDB trailers
+# use — cross-validated against rocksdbjni elsewhere) and the Example
+# protobuf wire subset by hand (no protobuf runtime in this env); the
+# fixture writes shards ONCE per process (executor-side), so the timed
+# surface is the read+decode path. The oracle proves the int64 AND bytes
+# feature kinds roundtrip: doc_id and n_bytes come back from Int64List
+# features, the digest from the BytesList payload.
+# ---------------------------------------------------------------------------
+
+_TFRECORD_ORACLE = (
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes,"
+    " md5(text) AS digest FROM documents"
+)
+
+
+def _tfrecord_fixture(spark, sf_dir) -> str:
+    """Write-once-per-process TFRecord shard fixture: each ``documents``
+    partition packed into ONE .tfrecord of Example records
+    (executor-side — never a driver loop), completeness-marked."""
+    import hashlib
+
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = scratch_path(f"tfrec_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+
+        def _write(pid, rows):
+            from bravo_spark.codecs.tfrecord import (
+                encode_example,
+                write_tfrecords,
+            )
+
+            recs = [
+                encode_example({
+                    "doc_id": int(r.doc_id),
+                    "text": r.text.encode("utf-8"),
+                    "n_bytes": len(r.text.encode("utf-8")),
+                })
+                for r in rows
+            ]
+            if recs:
+                with open(os.path.join(out, f"shard_{pid:05d}.tfrecord"),
+                          "wb") as f:
+                    f.write(write_tfrecords(recs))
+            return iter(())
+
+        docs.rdd.mapPartitionsWithIndex(_write).count()
+        open(marker, "w").close()
+    return out
+
+
+@query("tfrecord_example_roundtrip", oracle=_TFRECORD_ORACLE)
+def tfrecord_example_roundtrip(spark, sf_dir):
+    """TFRecord training-shard ingest: ``.tfrecord`` shards of
+    ``tf.train.Example`` records → ``binaryFile`` → Arrow-batched
+    record split (per-record masked-crc32c verification,
+    ``codecs/tfrecord.py``) → Example decode under an EXPLICIT feature
+    schema → typed columns. The oracle proves both feature kinds
+    roundtrip: ``doc_id``/``n_bytes`` return from Int64List features
+    and the md5 digest from the BytesList payload — a framing, varint,
+    or CRC defect in either direction hash-fails.
+
+    Scale shape: shard-grain binaryFile tasks (TFRecord has no sync
+    markers — a shard IS the parallelism grain, so shard count is the
+    knob, set upstream at write time), two Arrow-batched map stages,
+    zero shuffles at any corpus size."""
+    from bravo_spark.sources import tfrecord_source as tfs
+
+    out = _tfrecord_fixture(spark, sf_dir)
+    typed = tfs.decode_examples(
+        tfs.read_tfrecords(spark, out),
+        "record",
+        {"doc_id": "int", "text": "bytes", "n_bytes": "int"},
+    )
+    return typed.select(
+        "doc_id", "n_bytes", F.md5("text").alias("digest"))

@@ -359,10 +359,15 @@ R20_STAGED_SWAPS = [
     ("scalar_functions", "tpch_q1"),
     ("tpch_q10_returns", "u1_union_bag"),
     ("tpch_q14_promo", "streaming_window_counts"),
-    # r7-last projection/window/writer conformance rows (P1/P4/P5/P7,
+    # r7-last projection/window/writer conformance rows (P1/P5/P7,
     # A1's grouped sort-reduce shape, the last-write-wins window)
     ("text_markup_strip", "p1_value_kv"),
-    ("text_chunk_tokens", "p4_list_state"),
+    # pair-with-staging rule: the r19 net-new tfrecord_example_roundtrip
+    # takes this slot (mirror-green at all three SFs the day it landed);
+    # p4_list_state (r7-last) defers to the r21 pool — the list decode
+    # path it shares with P3 is gate-proven THIS round via
+    # p3_list_flatten, making it the most redundant re-proof IN
+    ("text_chunk_tokens", "tfrecord_example_roundtrip"),
     ("text_hash_features_classify", "p5_map_entries"),
     ("tpch_q18_having", "window_state_min"),
     ("text_lm_perplexity_filter", "a1_grouped_sort_reduce"),

@@ -874,3 +874,15 @@ def test_web_link_graph_single_agg_exchange_no_joins(plans):
     assert p.count("Exchange") <= 2  # agg + fixture spread, nothing else
     assert p.lower().count("mapinpandas") == 1  # the urljoin/canon stage
     assert "Generate" in p  # the href explode stays JVM-side
+
+
+def test_tfrecord_roundtrip_is_shuffle_free_arrow(plans):
+    """TFRecord ingest must stay shard-grain map-only: a binaryFile
+    scan, two Arrow-batched python stages (record split, Example
+    decode) and a JVM md5 projection — zero exchanges, no joins, no
+    row-at-a-time UDF."""
+    p = plans("tfrecord_example_roundtrip")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+    assert p.lower().count("mapinpandas") == 2  # split + decode
