@@ -103,6 +103,9 @@ FIXED_COST = [
     # r19: TFRecord/Example training-shard ingest (write-once fixture;
     # the timed surface is the read + per-record CRC + proto decode)
     "tfrecord_example_roundtrip",
+    # r19: WebDataset tar-shard ingest (write-once fixture; the timed
+    # surface is the shard read + sample grouping + JSON sidecar check)
+    "webdataset_roundtrip",
     # Avro OCF roundtrip: distributed write + archive-grain read through
     # the pure-Python codec (timed runs include the write — it rewrites
     # per run, unlike the write-once WARC fixture)

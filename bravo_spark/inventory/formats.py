@@ -849,3 +849,76 @@ def tfrecord_example_roundtrip(spark, sf_dir):
     )
     return typed.select(
         "doc_id", "n_bytes", F.md5("text").alias("digest"))
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shards — r19. The MULTIMODAL training-shard container
+# (one sample = adjacent tar members sharing a basename key), the
+# image/audio counterpart of the TFRecord sink. The fixture writes the
+# shards ONCE per process through the engine's own writer
+# (sources/webdataset_source.py — deterministic USTAR bytes via
+# pyarrow.fs); the timed surface is the shard read + sample grouping.
+# The oracle proves BOTH parts of every sample roundtrip: the text
+# payload by byte length + md5, the JSON sidecar by extracting its
+# doc_id and matching it against the key-derived one.
+# ---------------------------------------------------------------------------
+
+_WEBDATASET_ORACLE = (
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes,"
+    " md5(text) AS digest, doc_id AS json_doc_id FROM documents"
+)
+
+
+def _webdataset_fixture(spark, sf_dir) -> str:
+    """Write-once-per-process WebDataset shard fixture: each
+    ``documents`` partition becomes ONE .tar of (key.txt, key.json)
+    samples, written through the engine's own deterministic writer."""
+    import hashlib
+
+    from bravo_spark.sources.webdataset_source import (
+        write_webdataset_shards,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        F.format_string("%010d", F.col("doc_id")).alias("key"),
+        F.col("text").alias("txt"),
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+                 F.lit("}")).alias("meta"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = scratch_path(f"wds_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        write_webdataset_shards(docs, out, "key",
+                                {"txt": "txt", "meta": "json"})
+        open(marker, "w").close()
+    return out
+
+
+@query("webdataset_roundtrip", oracle=_WEBDATASET_ORACLE)
+def webdataset_roundtrip(spark, sf_dir):
+    """WebDataset ingest: ``.tar`` shards of (key.txt, key.json)
+    samples → ``binaryFile`` → Arrow-batched tar parse with the
+    WebDataset grouping rules (key up to the first dot, ADJACENT
+    members form a sample, non-adjacency refuses) → one row per sample
+    with both declared parts. The oracle proves the text payload
+    (byte length + md5) AND the JSON sidecar (its doc_id must equal
+    the key-derived one) — a grouping, adjacency, or payload defect
+    hash-fails.
+
+    Scale shape: shard-grain binaryFile tasks (tar streams
+    sequentially — a shard IS the parallelism grain, set upstream by
+    the writer's partitioning), one Arrow-batched map stage, JVM
+    projections, zero shuffles at any corpus size."""
+    from bravo_spark.sources.webdataset_source import read_webdataset
+
+    out = _webdataset_fixture(spark, sf_dir)
+    samples = read_webdataset(spark, out, ["txt", "json"])
+    return samples.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.length("txt").alias("n_bytes"),
+        F.md5("txt").alias("digest"),
+        F.get_json_object(F.col("json").cast("string"), "$.doc_id")
+        .cast("long").alias("json_doc_id"),
+    )

@@ -368,7 +368,11 @@ R20_STAGED_SWAPS = [
     # path it shares with P3 is gate-proven THIS round via
     # p3_list_flatten, making it the most redundant re-proof IN
     ("text_chunk_tokens", "tfrecord_example_roundtrip"),
-    ("text_hash_features_classify", "p5_map_entries"),
+    # pair-with-staging rule: the r19 net-new webdataset_roundtrip
+    # takes this slot (mirror-green at all three SFs the day it
+    # landed); p5_map_entries (r7-last) defers to the r21 pool — its
+    # map-state decode sibling p6_map_values is driver-green as of r18
+    ("text_hash_features_classify", "webdataset_roundtrip"),
     ("tpch_q18_having", "window_state_min"),
     ("text_lm_perplexity_filter", "a1_grouped_sort_reduce"),
     ("warc_ingest", "last_write_wins"),

@@ -886,3 +886,15 @@ def test_tfrecord_roundtrip_is_shuffle_free_arrow(plans):
     assert "Join" not in p
     assert "BatchEvalPython" not in p
     assert p.lower().count("mapinpandas") == 2  # split + decode
+
+
+def test_webdataset_roundtrip_is_shuffle_free_arrow(plans):
+    """WebDataset ingest must stay shard-grain map-only: a binaryFile
+    scan, ONE Arrow-batched python stage (tar parse + sample grouping)
+    and JVM projections (key cast, md5, get_json_object) — zero
+    exchanges, no joins, no row-at-a-time UDF."""
+    p = plans("webdataset_roundtrip")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+    assert p.lower().count("mapinpandas") == 1
