@@ -78,12 +78,10 @@ def write_tfrecords(records: Iterable[bytes]) -> bytes:
 MAX_RECORD_BYTES = 1 << 30
 
 
-def iter_tfrecords(data: bytes, *, verify: bool = True) -> Iterator[bytes]:
-    """Yield each record's payload bytes. Strict: a torn header/body,
-    a CRC mismatch (length or data), or an absurd declared length
-    refuses with the byte offset. ``verify=False`` skips the CRC checks
-    (framing errors still refuse) for read paths that re-verify
-    downstream."""
+def _walk_frames(data: bytes):
+    """Yield ``(offset, length_bytes, lcrc, record, dcrc)`` per record,
+    enforcing the framing (torn header/body, absurd declared length)
+    but NOT the CRCs — both verification strategies share this walk."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -93,8 +91,6 @@ def iter_tfrecords(data: bytes, *, verify: bool = True) -> Iterator[bytes]:
         length_bytes = data[pos:pos + 8]
         (length,) = struct.unpack("<Q", length_bytes)
         (lcrc,) = struct.unpack_from("<I", data, pos + 8)
-        if verify and _masked_crc(length_bytes) != lcrc:
-            raise TfRecordError(f"length CRC mismatch at byte {pos}")
         if length > MAX_RECORD_BYTES:
             raise TfRecordError(
                 f"record at byte {pos} declares {length} bytes, past "
@@ -106,10 +102,44 @@ def iter_tfrecords(data: bytes, *, verify: bool = True) -> Iterator[bytes]:
                 f"{n - body_start} payload bytes captured")
         rec = data[body_start:body_start + length]
         (dcrc,) = struct.unpack_from("<I", data, body_start + length)
+        yield pos, length_bytes, lcrc, rec, dcrc
+        pos = body_start + length + 4
+
+
+def iter_tfrecords(data: bytes, *, verify: bool = True) -> Iterator[bytes]:
+    """Yield each record's payload bytes. Strict: a torn header/body,
+    a CRC mismatch (length or data), or an absurd declared length
+    refuses with the byte offset. ``verify=False`` skips the CRC checks
+    (framing errors still refuse) for read paths that re-verify
+    downstream."""
+    for pos, length_bytes, lcrc, rec, dcrc in _walk_frames(data):
+        if verify and _masked_crc(length_bytes) != lcrc:
+            raise TfRecordError(f"length CRC mismatch at byte {pos}")
         if verify and _masked_crc(rec) != dcrc:
             raise TfRecordError(f"data CRC mismatch at byte {pos}")
         yield rec
-        pos = body_start + length + 4
+
+
+def read_all_tfrecords(data: bytes) -> list[bytes]:
+    """All records of one shard with BATCH CRC verification — the
+    vectorized ``crc32c_batch`` recurrence (25-80x the scalar loop)
+    checks every length word and payload in two numpy passes instead
+    of a per-byte Python loop per record. The shard read path's
+    entrypoint; identical refusal contract to :func:`iter_tfrecords`."""
+    from bravo_spark.codecs.crc32c import crc32c_batch
+
+    frames = list(_walk_frames(data))
+    blobs: list[bytes] = []
+    for _, length_bytes, _, rec, _ in frames:
+        blobs.append(length_bytes)
+        blobs.append(rec)
+    crcs = crc32c_batch(blobs)
+    for i, (pos, _, lcrc, _, dcrc) in enumerate(frames):
+        if mask(crcs[2 * i]) != lcrc:
+            raise TfRecordError(f"length CRC mismatch at byte {pos}")
+        if mask(crcs[2 * i + 1]) != dcrc:
+            raise TfRecordError(f"data CRC mismatch at byte {pos}")
+    return [f[3] for f in frames]
 
 
 # ---------------------------------------------------------------------------
@@ -139,6 +169,11 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
             raise TfRecordError(f"truncated varint at byte {start}")
         b = data[pos]
         pos += 1
+        if shift == 63 and (b & 0x7F) > 1:
+            # the 10th byte may only carry bit 63 — anything more
+            # yields a value past 2^64, which _signed64 would silently
+            # fold into a wrong int64 instead of refusing
+            raise TfRecordError(f"varint past 64 bits at byte {start}")
         result |= (b & 0x7F) << shift
         if not b & 0x80:
             return result, pos
@@ -177,6 +212,13 @@ def _encode_feature(values: list) -> bytes:
         )
         return _ld(1, inner)  # Feature.bytes_list
     if isinstance(v0, int):
+        for v in values:
+            if not -(1 << 63) <= v < (1 << 63):
+                # refuse by name — the modulo-2^64 varint wrap would
+                # otherwise write an apparently-valid shard that reads
+                # back sign-flipped
+                raise TfRecordError(
+                    f"int64 feature value {v} outside [-2^63, 2^63)")
         packed = b"".join(_write_varint(v) for v in values)
         return _ld(3, _ld(1, packed))  # Feature.int64_list, packed
     if isinstance(v0, float):
@@ -203,20 +245,6 @@ def encode_example(features: dict) -> bytes:
 
 # ---------------------------------------------------------------------------
 # tf.train.Example decode
-
-
-def _skip_field(data: bytes, pos: int, wire: int) -> int:
-    if wire == 0:  # varint
-        _, pos = _read_varint(data, pos)
-        return pos
-    if wire == 1:  # fixed64
-        return pos + 8
-    if wire == 2:  # length-delimited
-        ln, pos = _read_varint(data, pos)
-        return pos + ln
-    if wire == 5:  # fixed32
-        return pos + 4
-    raise TfRecordError(f"unknown protobuf wire type {wire} at byte {pos}")
 
 
 def _iter_fields(data: bytes) -> Iterator[tuple[int, int, bytes | int, int]]:

@@ -345,13 +345,17 @@ GATE_PRIORITY = [
 # OUTs are the r17 wave — first checked r17, so r17+r18+r19 = 3
 # consecutive green rounds (the r11 eligibility precedent) once
 # CORRECTNESS_r19 confirms. INs are periodic re-proof rows, oldest
-# last driver check first: the three r5-last rows deferred from the
+# last driver check first — the three r5-last rows deferred from the
 # r19 staging (tpch_q1, u1_union_bag, streaming_window_counts) and
-# twelve r7-last rows from the early projection/window/writer and
-# POJO/Kryo/compressed conformance waves. Every r17-wave OUT is
-# consumed by this staging; r21's OUT pool starts with the r18 wave
-# (the ten r18 re-proof rows + six r17 net-new registrations, first
-# checked r18 — 3 greens once CORRECTNESS_r20 confirms).
+# nine r7-last rows from the early projection/window/writer and
+# POJO/Kryo/compressed conformance waves — plus first driver checks
+# for the three r19 net-new registrations (pair-with-staging rule;
+# the displaced ann_sketch_topk / p4_list_state / p5_map_entries
+# re-proofs defer to the r21 pool, coverage rationale at each pair).
+# Every r17-wave OUT is consumed by this staging; r21's OUT pool
+# starts with the r18 wave (the ten r18 re-proof rows + six r17
+# net-new registrations, first checked r18 — 3 greens once
+# CORRECTNESS_r20 confirms).
 R20_STAGED_SWAPS = [
     # (rotate OUT once r19-green, rotate IN — re-proof, oldest first)
     # the r5-last rows deferred from r19: the TPC-H spine head, the

@@ -79,6 +79,13 @@ def encode_examples(
             item = getattr(v, "item", None)
             if item is not None and not isinstance(v, (int, float)):
                 v = item()
+            if isinstance(v, bool):
+                # bool is an int subclass — letting it launder into an
+                # Int64List here would bypass the codec's own by-name
+                # refusal (tf.train has no bool kind; cast upstream)
+                raise TfRecordError(
+                    f"bool feature values in column {col!r} are not a "
+                    "tf.train type — cast to int upstream")
             if isinstance(v, float):
                 if v != v:  # a Spark NULL int/float lands as NaN here
                     raise TfRecordError(
@@ -152,41 +159,31 @@ def write_tfrecord_shards(
     return sum(src.rdd.mapPartitionsWithIndex(_write).collect())
 
 
-# whole-file gzip inflate bound — same posture as codecs/warc.py
-_MAX_INFLATE_RATIO = 512
-_MIN_INFLATE_CAP = 64 << 20
-
-
 def _parse_batches(batches):
-    import gzip
-    import io
-
     import pandas as pd
 
-    from bravo_spark.codecs.tfrecord import TfRecordError, iter_tfrecords
+    from bravo_spark.codecs.tfrecord import TfRecordError, read_all_tfrecords
+    # the bounded multi-member gunzip (512x/64MiB output cap) already
+    # exists for WARC archives — one implementation of the bomb policy,
+    # not a third copy
+    from bravo_spark.codecs.warc import WarcError, _gunzip_members
 
     for pdf in batches:
         archives, idxs, recs = [], [], []
         for path, blob in zip(pdf["path"], pdf["content"]):
             data = bytes(blob)
-            if data[:2] == b"\x1f\x8b":
-                cap = max(len(data) * _MAX_INFLATE_RATIO, _MIN_INFLATE_CAP)
-                out = io.BytesIO()
-                with gzip.GzipFile(fileobj=io.BytesIO(data)) as g:
-                    while True:
-                        chunk = g.read(1 << 20)
-                        if not chunk:
-                            break
-                        out.write(chunk)
-                        if out.tell() > cap:
-                            raise TfRecordError(
-                                f"{path}: shard inflates past {cap} bytes "
-                                "— decompression bomb")
-                data = out.getvalue()
-            for i, rec in enumerate(iter_tfrecords(data)):
-                archives.append(path)
-                idxs.append(i)
-                recs.append(rec)
+            # keyed off the SUFFIX the writer controls, not a magic-byte
+            # sniff: an uncompressed shard whose first record length's
+            # low bytes happen to be 1f 8b must not be mis-inflated
+            if str(path).endswith(".gz"):
+                try:
+                    data = _gunzip_members(data)
+                except WarcError as exc:
+                    raise TfRecordError(f"{path}: {exc}") from exc
+            shard_recs = read_all_tfrecords(data)
+            archives.extend([path] * len(shard_recs))
+            idxs.extend(range(len(shard_recs)))
+            recs.extend(shard_recs)
         yield pd.DataFrame(
             {"archive": archives, "rec_index": idxs, "record": recs}
         )
@@ -253,10 +250,22 @@ def decode_examples(
 
         from bravo_spark.codecs.tfrecord import TfRecordError, decode_example
 
+        _want = {"bytes": bytes, "string": bytes, "int": int, "float": float}
+
         def pick(feats, name, kind):
             if name not in feats:
                 raise TfRecordError(f"feature {name!r} missing from Example")
             vals = feats[name]
+            # the decoded KIND must match the declared one — an int64
+            # feature declared "string" must refuse by name here, not
+            # crash in pandas/Arrow three layers down
+            want = _want[kind.split("_", 1)[0]]
+            wrong = [v for v in vals if not isinstance(v, want)]
+            if wrong:
+                raise TfRecordError(
+                    f"feature {name!r} holds "
+                    f"{type(wrong[0]).__name__} values, declared kind "
+                    f"is {kind!r}")
             if kind.startswith("string"):
                 vals = [v.decode("utf-8") for v in vals]
             if kind.endswith("_list"):

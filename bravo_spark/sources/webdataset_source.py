@@ -86,6 +86,18 @@ def write_webdataset_shards(
         for r in rows:
             if not r.key:
                 raise WebDatasetError("NULL/empty sample key")
+            if "." in r.key or "/" in r.key:
+                # the reader's grouping rules (basename, key up to the
+                # FIRST dot) would silently mutate such a key on the way
+                # back — 'v1.2' reads as key 'v1', 'logs/0001' as
+                # '0001' — so the writer refuses it by name
+                raise WebDatasetError(
+                    f"sample key {r.key!r} contains '.' or '/' — the "
+                    "WebDataset key grammar cannot round-trip it")
+            if len(r.key) + 1 + max(len(e) for e in exts) > 100:
+                raise WebDatasetError(
+                    f"sample key {r.key!r} makes a member name past "
+                    "USTAR's 100-char limit")
             for i in range(n_parts):
                 v = r[i + 1]
                 if v is None:

@@ -228,3 +228,82 @@ def test_torn_shard_fails_loudly(spark, tmp_path):
         f.write(blob[:-3])
     with pytest.raises(Exception, match="TfRecordError|torn|CRC"):
         read_tfrecords(spark, out).count()
+
+
+def test_review_findings_r19():
+    """Post-review pins: int64 range refusal at encode, >64-bit varint
+    refusal at decode, batch-CRC path refusals, and the magic-byte
+    shard that must NOT be mistaken for gzip."""
+    from bravo_spark.codecs.tfrecord import read_all_tfrecords
+
+    # out-of-int64 encode refuses by name (modulo wrap would read back
+    # sign-flipped)
+    for v in (1 << 63, -(1 << 63) - 1, 1 << 70):
+        with pytest.raises(TfRecordError, match="outside"):
+            encode_example({"n": v})
+    # a crafted 10-byte varint carrying bits past 2^64 refuses: build
+    # an Int64List whose packed run is ff*9 7f
+    bad = b"\xff" * 9 + b"\x7f"
+    feat = b"\x1a" + bytes([len(bad) + 2]) + b"\x0a" \
+        + bytes([len(bad)]) + bad
+    entry = b"\x0a\x01n\x12" + bytes([len(feat)]) + feat
+    ex = b"\x0a" + bytes([len(entry) + 2]) + b"\x0a" \
+        + bytes([len(entry)]) + entry
+    with pytest.raises(TfRecordError, match="past 64 bits"):
+        decode_example(ex)
+    # the max LEGAL 10-byte varint (bit 63 set) still decodes
+    assert decode_example(encode_example({"n": -1})) == {"n": [-1]}
+
+    # batch-CRC verification (the shard read path) refuses like the
+    # scalar path, with offsets
+    blob = write_tfrecords([b"abcdef", b"xyz"])
+    assert read_all_tfrecords(blob) == [b"abcdef", b"xyz"]
+    bad_data = bytearray(blob)
+    bad_data[12] ^= 0x01
+    with pytest.raises(TfRecordError, match="data CRC mismatch at byte 0"):
+        read_all_tfrecords(bytes(bad_data))
+    bad_len = bytearray(blob)
+    bad_len[8] ^= 0xFF
+    with pytest.raises(TfRecordError, match="length CRC"):
+        read_all_tfrecords(bytes(bad_len))
+
+
+def test_uncompressed_shard_with_gzip_magic_length(spark, tmp_path):
+    """An UNCOMPRESSED .tfrecord whose first record is exactly 0x8b1f
+    bytes starts with the gzip magic — inflate detection is by filename
+    suffix (which the writer controls), so it must read correctly."""
+    import os
+
+    from bravo_spark.sources.tfrecord_source import read_tfrecords
+
+    rec = b"\x00" * 0x8B1F  # length bytes 1f 8b 00 ...
+    blob = write_tfrecords([rec])
+    assert blob[:2] == b"\x1f\x8b"
+    d = str(tmp_path / "s")
+    os.makedirs(d)
+    with open(os.path.join(d, "shard_00000.tfrecord"), "wb") as f:
+        f.write(blob)
+    got = read_tfrecords(spark, d).collect()
+    assert len(got) == 1 and len(bytes(got[0].record)) == 0x8B1F
+
+
+def test_decode_kind_mismatch_and_bool_refusals(spark):
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from bravo_spark.sources.tfrecord_source import (
+        decode_examples,
+        encode_examples,
+        read_tfrecords,  # noqa: F401 (suite import symmetry)
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    enc = encode_examples(df, ["doc_id", "text"]).select("example")
+    # declared kind disagreeing with the stored kind refuses by name
+    with pytest.raises(PythonException, match="declared kind"):
+        decode_examples(enc, "example", {"doc_id": "string"}).collect()
+    with pytest.raises(PythonException, match="declared kind"):
+        decode_examples(enc, "example", {"text": "int"}).collect()
+    # a boolean column cannot launder into Int64List via the Spark path
+    bdf = spark.createDataFrame([(True,)], "flag boolean")
+    with pytest.raises(PythonException, match="bool feature"):
+        encode_examples(bdf, ["flag"]).count()

@@ -132,3 +132,19 @@ def test_refusal_classes(spark, tmp_path):
                                 {"txt": "txt"})
     with pytest.raises(ValueError, match="empty"):
         write_webdataset_shards(null_df, str(tmp_path / "w"), "key", {})
+
+
+def test_key_grammar_refusals(spark, tmp_path):
+    """Keys the reader's basename/first-dot rules cannot round-trip
+    refuse at WRITE time by name (post-review pin): dotted keys would
+    read back truncated, slashed keys lose their directory."""
+    for bad in ("v1.2", "logs/0001"):
+        df = spark.createDataFrame([(bad, "t")], "key string, txt string")
+        with pytest.raises(Exception, match="cannot round-trip"):
+            write_webdataset_shards(df, str(tmp_path / "w"), "key",
+                                    {"txt": "txt"})
+    long_key = "k" * 120
+    df = spark.createDataFrame([(long_key, "t")], "key string, txt string")
+    with pytest.raises(Exception, match="USTAR"):
+        write_webdataset_shards(df, str(tmp_path / "w2"), "key",
+                                {"txt": "txt"})
