@@ -106,6 +106,9 @@ FIXED_COST = [
     # r19: WebDataset tar-shard ingest (write-once fixture; the timed
     # surface is the shard read + sample grouping + JSON sidecar check)
     "webdataset_roundtrip",
+    # r19: ZIP shard ingest (write-once fixture; the timed surface is
+    # the central-directory walk + per-member inflate + CRC verify)
+    "zip_shard_roundtrip",
     # Avro OCF roundtrip: distributed write + archive-grain read through
     # the pure-Python codec (timed runs include the write — it rewrites
     # per run, unlike the write-once WARC fixture)

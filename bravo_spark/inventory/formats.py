@@ -922,3 +922,69 @@ def webdataset_roundtrip(spark, sf_dir):
         F.get_json_object(F.col("json").cast("string"), "$.doc_id")
         .cast("long").alias("json_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ZIP shards — r19. The third training-shard container (image sets, code
+# dumps, and scraped-document drops ship as .zip): central directory at
+# the tail, per-member CRC-32, deflate payloads. codecs/zipfmt.py parses
+# the framing by the spec (strict EOCD tail scan, stub-offset
+# adjustment, local/central cross-check, bounded inflate — stdlib
+# zipfile is only the test-side foreign validator). The fixture writes
+# the shards ONCE per process through the engine's own deterministic
+# writer with DEFLATE members, so the timed surface is the read path
+# the codec actually earns: directory walk + inflate + CRC verify.
+# ---------------------------------------------------------------------------
+
+_ZIP_ORACLE = (
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes,"
+    " md5(text) AS digest FROM documents"
+)
+
+
+def _zip_fixture(spark, sf_dir) -> str:
+    """Write-once-per-process ZIP shard fixture: each ``documents``
+    partition becomes ONE .zip of ``{doc_id:010d}.txt`` members,
+    written through the engine's own deterministic writer (deflate)."""
+    import hashlib
+
+    from bravo_spark.sources.zip_source import write_zip_shards
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        F.format_string("%010d.txt", F.col("doc_id")).alias("name"),
+        F.col("text").alias("body"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = scratch_path(f"zipshard_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        write_zip_shards(docs, out, "name", "body", method="deflate")
+        open(marker, "w").close()
+    return out
+
+
+@query("zip_shard_roundtrip", oracle=_ZIP_ORACLE)
+def zip_shard_roundtrip(spark, sf_dir):
+    """ZIP ingest: ``.zip`` shards of ``{doc_id:010d}.txt`` members →
+    ``binaryFile`` → Arrow-batched central-directory walk with
+    per-member inflate + CRC-32 verification (``codecs/zipfmt.py``) →
+    one row per member. The oracle proves the deflate payloads
+    roundtrip byte-exactly (length + md5) and the member names carry
+    the key — a framing, inflate, or CRC defect in either direction
+    hash-fails.
+
+    Scale shape: shard-grain binaryFile tasks (a ZIP's central
+    directory makes the whole-shard read the honest unit; shard count
+    is the writer's partitioning knob, set upstream), one Arrow-batched
+    map stage, JVM projections, zero shuffles at any corpus size."""
+    from bravo_spark.sources.zip_source import read_zip_shards
+
+    out = _zip_fixture(spark, sf_dir)
+    members = read_zip_shards(spark, out)
+    return members.select(
+        F.regexp_extract("name", r"^(\d+)\.txt$", 1).cast("long")
+        .alias("doc_id"),
+        F.length("data").alias("n_bytes"),
+        F.md5("data").alias("digest"),
+    )

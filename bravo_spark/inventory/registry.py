@@ -383,7 +383,14 @@ R20_STAGED_SWAPS = [
     # r7-last codec/conformance rows: the POJO/Kryo value paths, the
     # compressed-section savepoint sibling, the UDTF expand shape
     ("token_budget_pack", "pojo_value_kv"),
-    ("multimodal_exif_audit", "kryo_value_kv"),
+    # pair-with-staging rule: the r19 net-new zip_shard_roundtrip takes
+    # this slot (mirror-green at all three SFs the day it landed);
+    # kryo_value_kv (r7-last) defers to the r21 pool — its codec is
+    # JVM-Kryo cross-validated both directions in pytest, the deeper
+    # kryo_custom_class row was independently hash-verified in the r18
+    # judge batch, and the shallow value-kv reader shape stays in this
+    # staging via pojo_value_kv (same reader path, different codec)
+    ("multimodal_exif_audit", "zip_shard_roundtrip"),
     ("multimodal_orientation_normalize", "custom_reader_expand"),
     ("avro_source_roundtrip", "snapshot_roundtrip_compressed"),
     # r7-last dedup sibling: the banded-LSH pair join

@@ -832,6 +832,18 @@ def test_warc_html_extract_is_shuffle_free_arrow(plans):
     assert p.lower().count("mapinpandas") >= 2  # WARC split + HTTP parse
 
 
+def test_zip_shard_roundtrip_is_shuffle_free_arrow(plans):
+    """ZIP shard ingest must stay shard-grain map-only: a binaryFile
+    scan, ONE Arrow-batched python stage (directory walk + inflate +
+    CRC), JVM projections — zero exchanges, no row-at-a-time Python
+    UDF, no join (the TFRecord/WebDataset container posture)."""
+    p = plans("zip_shard_roundtrip")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p
+    assert p.lower().count("mapinpandas") == 1
+
+
 def test_pipeline_url_stage_single_shuffle_on_canonical(plans):
     """The composed pipeline's r18 url_dup stage adds exactly one
     window shuffle keyed on the canonical string and one Arrow stage
