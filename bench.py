@@ -109,6 +109,10 @@ FIXED_COST = [
     # r19: ZIP shard ingest (write-once fixture; the timed surface is
     # the central-directory walk + per-member inflate + CRC verify)
     "zip_shard_roundtrip",
+    # r19: SFT conversation validate+flatten (conversations built
+    # in-plan: no fixture, no write floor — from_json + higher-order
+    # array functions, map-only JVM)
+    "chat_sft_flatten",
     # Avro OCF roundtrip: distributed write + archive-grain read through
     # the pure-Python codec (timed runs include the write — it rewrites
     # per run, unlike the write-once WARC fixture)

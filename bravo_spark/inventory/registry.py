@@ -378,7 +378,13 @@ R20_STAGED_SWAPS = [
     # map-state decode sibling p6_map_values is driver-green as of r18
     ("text_hash_features_classify", "webdataset_roundtrip"),
     ("tpch_q18_having", "window_state_min"),
-    ("text_lm_perplexity_filter", "a1_grouped_sort_reduce"),
+    # pair-with-staging rule: the r19 net-new chat_sft_flatten takes
+    # this slot (mirror-green at all three SFs the day it landed);
+    # a1_grouped_sort_reduce (r7-last) defers to the r21 pool — A1's
+    # grouped sort-reduce IS the savepoint writer shape, which the
+    # gate-resident snapshot_roundtrip exercises end-to-end every
+    # driver run, making it the most redundant re-proof IN
+    ("text_lm_perplexity_filter", "chat_sft_flatten"),
     ("warc_ingest", "last_write_wins"),
     # r7-last codec/conformance rows: the POJO/Kryo value paths, the
     # compressed-section savepoint sibling, the UDTF expand shape

@@ -2894,3 +2894,127 @@ def multimodal_exif_redact(spark, sf_dir):
         .cast("long")
         .alias("splice_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chat/SFT conversation prep — r19. The step that turns a chat corpus
+# into model input: parse the JSON conversation column, validate the
+# turn structure (each rule a NAMED quarantine reason), flatten valid
+# conversations through the ChatML-shaped template. The conversations
+# are built IN-PLAN from documents (to_json over structs — so the
+# oracle can recompute everything closed-form, and the query proves
+# the JSON escape/unescape roundtrip: content flows text -> to_json ->
+# from_json -> template, and must md5-match the oracle's raw-text
+# template). Ten deterministic variants by doc_id % 10 cover all three
+# valid shapes and all seven named invalid reasons.
+# ---------------------------------------------------------------------------
+
+# P(role, content) = '<|im_start|>' || role || LF || content ||
+# '<|im_end|>' || LF — the flatten_chat default template
+_CHAT_ORACLE = """
+WITH t AS (
+  SELECT doc_id, doc_id % 10 AS m,
+    'You are a concise assistant.' AS sys,
+    'Please summarize: ' || substring(text, 1, 80) AS u1,
+    'Summary: ' || substring(text, 1, 40) || ' ...' AS a1,
+    'And how long is it?' AS u2,
+    'It is ' || CAST(length(text) AS VARCHAR) || ' characters.' AS a2
+  FROM documents
+)
+SELECT doc_id,
+  CASE m WHEN 3 THEN 'broken_alternation' WHEN 4 THEN 'unknown_role'
+         WHEN 5 THEN 'no_assistant_target' WHEN 6 THEN 'unparseable_json'
+         WHEN 7 THEN 'system_not_first' WHEN 8 THEN 'empty_conversation'
+         WHEN 9 THEN 'empty_content' END AS reason,
+  CASE m WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 4 END AS n_turns,
+  CASE m WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 END
+    AS n_assistant_turns,
+  CASE m WHEN 0 THEN length(a1) WHEN 1 THEN length(a1)
+         WHEN 2 THEN length(a1) + length(a2) END AS assistant_chars,
+  CASE m
+    WHEN 0 THEN md5('<|im_start|>system' || chr(10) || sys
+      || '<|im_end|>' || chr(10) || '<|im_start|>user' || chr(10) || u1
+      || '<|im_end|>' || chr(10) || '<|im_start|>assistant' || chr(10)
+      || a1 || '<|im_end|>' || chr(10))
+    WHEN 1 THEN md5('<|im_start|>user' || chr(10) || u1
+      || '<|im_end|>' || chr(10) || '<|im_start|>assistant' || chr(10)
+      || a1 || '<|im_end|>' || chr(10))
+    WHEN 2 THEN md5('<|im_start|>user' || chr(10) || u1
+      || '<|im_end|>' || chr(10) || '<|im_start|>assistant' || chr(10)
+      || a1 || '<|im_end|>' || chr(10) || '<|im_start|>user' || chr(10)
+      || u2 || '<|im_end|>' || chr(10) || '<|im_start|>assistant'
+      || chr(10) || a2 || '<|im_end|>' || chr(10))
+  END AS flat_digest
+FROM t
+"""
+
+
+@query("chat_sft_flatten", oracle=_CHAT_ORACLE)
+def chat_sft_flatten(spark, sf_dir):
+    """SFT conversation prep (``llmops.flatten_chat``): JSON
+    conversation arrays → ``from_json`` parse → per-turn validation
+    with named quarantine reasons (unparseable / empty / unknown role /
+    empty content / system-not-first / broken alternation / no
+    assistant target) → ChatML-shaped template flatten + turn stats.
+    The conversations are built in-plan from ``documents`` via
+    ``to_json`` over structs, so the oracle recomputes every column
+    closed-form from the raw text — including the md5 of the flattened
+    string, which proves the JSON escape/unescape roundtrip on real
+    document content (quotes, newlines, non-ASCII).
+
+    Scale shape: map-only JVM expressions end to end (``from_json`` +
+    higher-order array functions — zero Python, zero joins, zero
+    shuffles); validity is per-row, so the plan pipelines with the
+    parquet scan at any corpus size."""
+    from bravo_spark import llmops
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+    t = F.col("text")
+    m = F.col("doc_id") % 10
+    sys_c = F.lit("You are a concise assistant.")
+    u1 = F.concat(F.lit("Please summarize: "), F.substring(t, 1, 80))
+    a1 = F.concat(F.lit("Summary: "), F.substring(t, 1, 40),
+                  F.lit(" ..."))
+    u2 = F.lit("And how long is it?")
+    a2 = F.concat(F.lit("It is "), F.length(t).cast("string"),
+                  F.lit(" characters."))
+
+    def turn(role, content):
+        return F.struct(F.lit(role).alias("role"),
+                        content.alias("content"))
+
+    two_turn = F.to_json(F.array(turn("user", u1), turn("assistant", a1)))
+    conv = (
+        F.when(m == 0, F.to_json(F.array(
+            turn("system", sys_c), turn("user", u1),
+            turn("assistant", a1))))
+        .when(m == 1, two_turn)
+        .when(m == 2, F.to_json(F.array(
+            turn("user", u1), turn("assistant", a1),
+            turn("user", u2), turn("assistant", a2))))
+        .when(m == 3, F.to_json(F.array(
+            turn("user", u1), turn("user", u2), turn("assistant", a1))))
+        .when(m == 4, F.to_json(F.array(
+            turn("narrator", u1), turn("assistant", a1))))
+        .when(m == 5, F.to_json(F.array(
+            turn("user", u1), turn("assistant", a1), turn("user", u2))))
+        # torn JSON: the fixed 25-char prefix of the two-turn shape
+        .when(m == 6, F.substring(two_turn, 1, 25))
+        .when(m == 7, F.to_json(F.array(
+            turn("user", u1), turn("system", sys_c),
+            turn("assistant", a1))))
+        .when(m == 8, F.lit("[]"))
+        .otherwise(F.to_json(F.array(
+            turn("user", F.lit("")), turn("assistant", a1))))
+    )
+    src = docs.select("doc_id", conv.alias("conversation"))
+    out = llmops.flatten_chat(src, "conversation", quarantine=True)
+    return out.select(
+        "doc_id",
+        F.col("chat_reason").alias("reason"),
+        "n_turns",
+        "n_assistant_turns",
+        "assistant_chars",
+        F.md5("chat_text").alias("flat_digest"),
+    )

@@ -3414,3 +3414,149 @@ def train_linear_classifier(
                 "training diverged (non-finite weights) — lower lr"
             )
     return w, bias
+
+
+def flatten_chat(
+    df: DataFrame,
+    conv_col: str,
+    *,
+    roles: tuple[str, ...] = ("system", "user", "assistant"),
+    turn_prefix: str = "<|im_start|>",
+    turn_suffix: str = "<|im_end|>\n",
+    quarantine: bool = False,
+) -> DataFrame:
+    """SFT conversation prep: parse a JSON conversation column, validate
+    the turn structure, and flatten valid conversations into one
+    training string — the step that turns a chat corpus into model
+    input, and the last LLM-pipeline family this module lacked.
+
+    ``conv_col`` holds a JSON array of ``{"role": ..., "content": ...}``
+    turns (the common interchange shape of public chat corpora). A
+    conversation is VALID iff it parses, is non-empty, every role is in
+    ``roles``, every content is non-empty, at most one ``system`` turn
+    sits at index 0, the remaining turns alternate strictly
+    user/assistant starting with user, and the final turn is an
+    assistant turn (a conversation without an assistant target has
+    nothing to train on). Each rule has a named reason, assigned in
+    priority order: ``unparseable_json``, ``empty_conversation``,
+    ``unknown_role``, ``empty_content``, ``system_not_first``,
+    ``broken_alternation``, ``no_assistant_target``.
+
+    Adds columns: ``chat_reason`` (null = valid), ``chat_text`` (the
+    turns rendered as ``{prefix}{role}\\n{content}{suffix}`` and
+    concatenated — ChatML-shaped by default; null for invalid rows),
+    ``n_turns``, ``n_assistant_turns``, ``assistant_chars`` (null for
+    invalid rows). With ``quarantine=False`` (default) invalid rows are
+    DROPPED — the training-set path; ``quarantine=True`` keeps them
+    with the reason named, so the drop profile is observable (the
+    redact_exif posture: quarantine, don't silently skip).
+
+    Scale shape: everything is JVM-side (``from_json`` + higher-order
+    array functions) — zero Python, zero shuffles, map-only at any
+    corpus size; validity is decided per row with no cross-row state.
+    """
+    if "assistant" not in roles or "user" not in roles:
+        raise ValueError("roles must include 'user' and 'assistant'")
+    conv = F.from_json(
+        F.col(conv_col), "array<struct<role:string,content:string>>"
+    )
+    n = F.size(conv)
+    # ANSI-safe positional access (conv[0] throws out-of-bounds in
+    # Spark 4 ANSI mode; try_element_at is the sanctioned null form)
+    first_role = F.try_element_at(conv, F.lit(1)).getField("role")
+    last_role = F.try_element_at(conv, n).getField("role")
+    # turns after the optional leading system turn: must alternate
+    # user/assistant starting with user
+    body = F.when(
+        first_role == "system", F.slice(conv, 2, n - 1)
+    ).otherwise(conv)
+    bad_alternation = F.exists(
+        F.transform(
+            body,
+            lambda t, i: t.getField("role")
+            != F.when(i % 2 == 0, "user").otherwise("assistant"),
+        ),
+        lambda b: b,
+    )
+    reason = (
+        F.when(conv.isNull(), "unparseable_json")
+        .when(n == 0, "empty_conversation")
+        .when(
+            F.exists(
+                conv,
+                lambda t: t.getField("role").isNull()
+                | ~t.getField("role").isin(*roles),
+            ),
+            "unknown_role",
+        )
+        .when(
+            F.exists(
+                conv,
+                lambda t: t.getField("content").isNull()
+                | (F.length(t.getField("content")) == 0),
+            ),
+            "empty_content",
+        )
+        .when(
+            F.exists(body, lambda t: t.getField("role") == "system"),
+            "system_not_first",
+        )
+        .when(bad_alternation, "broken_alternation")
+        .when(last_role != "assistant", "no_assistant_target")
+    )
+    out = df.withColumn("chat_reason", reason).withColumn(
+        "_conv", conv
+    )
+    valid = F.col("chat_reason").isNull()
+    conv2 = F.col("_conv")
+    out = (
+        out.withColumn(
+            "chat_text",
+            F.when(
+                valid,
+                F.array_join(
+                    F.transform(
+                        conv2,
+                        lambda t: F.concat(
+                            F.lit(turn_prefix),
+                            t.getField("role"),
+                            F.lit("\n"),
+                            t.getField("content"),
+                            F.lit(turn_suffix),
+                        ),
+                    ),
+                    "",
+                ),
+            ),
+        )
+        .withColumn("n_turns", F.when(valid, F.size(conv2)))
+        .withColumn(
+            "n_assistant_turns",
+            F.when(
+                valid,
+                F.size(
+                    F.filter(
+                        conv2, lambda t: t.getField("role") == "assistant"
+                    )
+                ),
+            ),
+        )
+        .withColumn(
+            "assistant_chars",
+            F.when(
+                valid,
+                F.aggregate(
+                    F.filter(
+                        conv2, lambda t: t.getField("role") == "assistant"
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc
+                    + F.length(t.getField("content")).cast("long"),
+                ),
+            ),
+        )
+        .drop("_conv")
+    )
+    if not quarantine:
+        out = out.filter(valid)
+    return out

@@ -1759,3 +1759,101 @@ def test_host_link_graph_multi_at_and_torn_bracket(spark):
     assert ("a.example", "b.example") in g
     assert ("", "b.example") not in g
     assert any(s.startswith("[2001:db8::1") for s, _ in g)
+
+
+# ---------------------------------------------------------------------------
+# flatten_chat: SFT conversation validation + template flatten
+# ---------------------------------------------------------------------------
+
+_CHAT_ROWS = [
+    (0, '[{"role":"system","content":"be brief"},'
+        '{"role":"user","content":"hi"},'
+        '{"role":"assistant","content":"hello!"}]'),
+    (1, '[{"role":"user","content":"q"},{"role":"assistant","content":"a"}]'),
+    (2, '[{"role":"user","content":"q"},{"role":"user","content":"q2"},'
+        '{"role":"assistant","content":"a"}]'),
+    (3, '[{"role":"uesr","content":"q"},{"role":"assistant","content":"a"}]'),
+    (4, '[{"role":"user","content":"q"},{"role":"assistant","content":"a"},'
+        '{"role":"user","content":"more?"}]'),
+    (5, 'not json'),
+    (6, '[]'),
+    (7, '[{"role":"user","content":""},{"role":"assistant","content":"a"}]'),
+    (8, '[{"role":"user","content":"q"},{"role":"system","content":"x"},'
+        '{"role":"assistant","content":"a"}]'),
+    (9, None),
+    (10, '[{"role":"system","content":"only system"}]'),
+]
+
+
+def _chat_df(spark):
+    return spark.createDataFrame(_CHAT_ROWS, "id long, conv string")
+
+
+def test_flatten_chat_reasons_and_stats(spark):
+    got = {r.id: r for r in
+           llmops.flatten_chat(_chat_df(spark), "conv",
+                               quarantine=True).collect()}
+    assert got[0].chat_reason is None and got[1].chat_reason is None
+    assert got[2].chat_reason == "broken_alternation"
+    assert got[3].chat_reason == "unknown_role"
+    assert got[4].chat_reason == "no_assistant_target"
+    assert got[5].chat_reason == "unparseable_json"
+    assert got[6].chat_reason == "empty_conversation"
+    assert got[7].chat_reason == "empty_content"
+    assert got[8].chat_reason == "system_not_first"
+    assert got[9].chat_reason == "unparseable_json"
+    # a system-only conversation has no assistant target (empty body
+    # passes alternation vacuously; the last-turn rule catches it)
+    assert got[10].chat_reason == "no_assistant_target"
+    assert (got[0].n_turns, got[0].n_assistant_turns,
+            got[0].assistant_chars) == (3, 1, 6)
+    assert got[0].chat_text == (
+        "<|im_start|>system\nbe brief<|im_end|>\n"
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello!<|im_end|>\n")
+    # invalid rows carry no text/stats
+    assert got[4].chat_text is None and got[4].n_turns is None
+
+
+def test_flatten_chat_default_drops_invalid(spark):
+    out = llmops.flatten_chat(_chat_df(spark), "conv")
+    assert sorted(r.id for r in out.collect()) == [0, 1]
+
+
+def test_flatten_chat_reason_priority(spark):
+    """A conversation that is simultaneously unknown-role AND broken
+    alternation reports the higher-priority reason."""
+    df = spark.createDataFrame(
+        [(1, '[{"role":"narrator","content":"x"},'
+             '{"role":"narrator","content":"y"}]')],
+        "id long, conv string")
+    row = llmops.flatten_chat(df, "conv", quarantine=True).first()
+    assert row.chat_reason == "unknown_role"
+
+
+def test_flatten_chat_escape_roundtrip(spark):
+    """Content with quotes, backslashes, newlines, and non-ASCII must
+    survive the JSON escape/unescape into the flattened string."""
+    import json
+
+    tricky = 'say "hi\\n" é中文 \\ tab\there'
+    conv = json.dumps([{"role": "user", "content": tricky},
+                       {"role": "assistant", "content": tricky}])
+    df = spark.createDataFrame([(1, conv)], "id long, conv string")
+    row = llmops.flatten_chat(df, "conv").first()
+    assert row.chat_text == (
+        f"<|im_start|>user\n{tricky}<|im_end|>\n"
+        f"<|im_start|>assistant\n{tricky}<|im_end|>\n")
+    assert row.assistant_chars == len(tricky)
+
+
+def test_flatten_chat_custom_template_and_roles(spark):
+    df = spark.createDataFrame(
+        [(1, '[{"role":"user","content":"q"},'
+             '{"role":"assistant","content":"a"}]')],
+        "id long, conv string")
+    row = llmops.flatten_chat(
+        df, "conv", turn_prefix="[", turn_suffix="]").first()
+    assert row.chat_text == "[user\nq][assistant\na]"
+    with pytest.raises(ValueError, match="roles must include"):
+        llmops.flatten_chat(df, "conv", roles=("system", "bot"))

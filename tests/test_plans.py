@@ -844,6 +844,19 @@ def test_zip_shard_roundtrip_is_shuffle_free_arrow(plans):
     assert p.lower().count("mapinpandas") == 1
 
 
+def test_chat_sft_flatten_is_pure_jvm_map(plans):
+    """SFT conversation prep must stay map-only JVM: from_json +
+    higher-order array functions over the parquet scan — zero
+    exchanges, zero Python stages of ANY kind (not even Arrow), no
+    joins. This is the one pipeline family where everything the
+    operator needs is a built-in expression."""
+    p = plans("chat_sft_flatten")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+    assert "mapinpandas" not in p.lower()
+    assert "Join" not in p
+
+
 def test_pipeline_url_stage_single_shuffle_on_canonical(plans):
     """The composed pipeline's r18 url_dup stage adds exactly one
     window shuffle keyed on the canonical string and one Arrow stage
