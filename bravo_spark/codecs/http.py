@@ -54,6 +54,7 @@ _CRLF = b"\r\n"
 _STATUS_RE = re.compile(rb"^HTTP/\d(?:\.\d)? (\d{3})(?: |$)")
 _CHARSET_RE = re.compile(r'charset\s*=\s*"?([^";\s]+)"?', re.IGNORECASE)
 _CHUNK_SIZE_LINE_RE = re.compile(rb"^[0-9a-fA-F]+(?:[ \t]*(?:;|$))")
+_HEX_DIGITS = set(b"0123456789abcdefABCDEF"[i:i + 1] for i in range(22))
 
 
 class HttpError(ValueError):
@@ -124,18 +125,27 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
         # .strip() above mirrors dechunk's own size-field leniency: a
         # lenient server's '  4' size line must route to dechunk, not
         # slip through the quirk path as raw framing bytes
-        if not rest or _CHUNK_SIZE_LINE_RE.match(first):
+        if (not rest or _CHUNK_SIZE_LINE_RE.match(first)
+                or first[:1] in _HEX_DIGITS):
+            # the third arm: a first line that BEGINS with a hex digit
+            # but is not a clean size line ('4q', '4 5') is far more
+            # likely a chunk-framed stream with a corrupted size byte
+            # than a pre-decoded body — route it to dechunk so it
+            # refuses by name instead of passing framing bytes through
+            # as document text. (Cost: a pre-decoded TEXT body that
+            # happens to open with a bare hex digit — '4 out of 5 …' —
+            # quarantines; strictness over silent wrong bytes.)
             body = dechunk(rest)
         else:
             # known real-crawl quirk: the crawler stored the
             # TRANSFER-DECODED body while retaining the
             # Transfer-Encoding header. The evidence is positional —
-            # the very first line CANNOT be a chunk-size line, so the
-            # stream was never chunk-framed; anything that could be
-            # chunk framing (incl. an EMPTY rest — torn at byte 0)
-            # goes to dechunk, where a genuinely torn stream still
-            # refuses by name. The retained Content-Length (if any)
-            # described the coded stream and is not enforced here.
+            # the very first line cannot be the START of a chunk-size
+            # line, so the stream was never chunk-framed; anything that
+            # could be chunk framing (incl. an EMPTY rest — torn at
+            # byte 0) goes to dechunk, where a genuinely torn stream
+            # still refuses by name. The retained Content-Length (if
+            # any) described the coded stream and is not enforced here.
             body = rest
     elif "content-length" in headers:
         cl = headers["content-length"].strip()

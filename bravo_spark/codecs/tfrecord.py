@@ -206,6 +206,14 @@ def _encode_feature(values: list) -> bytes:
     if isinstance(v0, bool):  # bool is an int subclass — refuse by name
         raise TfRecordError("bool feature values are not a tf.train type")
     if isinstance(v0, (bytes, bytearray, str)):
+        for v in values:
+            if not isinstance(v, (bytes, bytearray, str)):
+                # the list's type is decided by its first element;
+                # bytes(5) would zero-fill a non-bytes straggler into
+                # an apparently-valid shard — refuse by name instead
+                raise TfRecordError(
+                    f"mixed feature value list: {type(v).__name__} in a "
+                    "bytes list")
         inner = b"".join(
             _ld(1, v.encode("utf-8") if isinstance(v, str) else bytes(v))
             for v in values
@@ -213,6 +221,10 @@ def _encode_feature(values: list) -> bytes:
         return _ld(1, inner)  # Feature.bytes_list
     if isinstance(v0, int):
         for v in values:
+            if isinstance(v, bool) or not isinstance(v, int):
+                raise TfRecordError(
+                    f"mixed feature value list: {type(v).__name__} in an "
+                    "int64 list")
             if not -(1 << 63) <= v < (1 << 63):
                 # refuse by name — the modulo-2^64 varint wrap would
                 # otherwise write an apparently-valid shard that reads
@@ -222,7 +234,17 @@ def _encode_feature(values: list) -> bytes:
         packed = b"".join(_write_varint(v) for v in values)
         return _ld(3, _ld(1, packed))  # Feature.int64_list, packed
     if isinstance(v0, float):
-        packed = b"".join(struct.pack("<f", v) for v in values)
+        for v in values:
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise TfRecordError(
+                    f"mixed feature value list: {type(v).__name__} in a "
+                    "float list")
+        try:
+            packed = b"".join(struct.pack("<f", v) for v in values)
+        except OverflowError as exc:
+            raise TfRecordError(
+                "float feature value outside float32 range "
+                "(tf.train.FloatList is float32)") from exc
         return _ld(2, _ld(1, packed))  # Feature.float_list, packed
     raise TfRecordError(f"unsupported feature value type {type(v0).__name__}")
 
@@ -238,7 +260,11 @@ def encode_example(features: dict) -> bytes:
     for name in sorted(features):
         v = features[name]
         values = list(v) if isinstance(v, (list, tuple)) else [v]
-        entry = _ld(1, name.encode("utf-8")) + _ld(2, _encode_feature(values))
+        try:
+            feat = _encode_feature(values)
+        except TfRecordError as exc:
+            raise TfRecordError(f"feature {name!r}: {exc}") from exc
+        entry = _ld(1, name.encode("utf-8")) + _ld(2, feat)
         entries += _ld(1, entry)  # Features.feature map entry
     return _ld(1, bytes(entries))  # Example.features
 

@@ -248,6 +248,15 @@ def write_zip(entries: Iterable[tuple[str, bytes]], *,
                            "reader's directory walk cannot distinguish "
                            "the copies")
         seen.add(name)
+        if len(seen) >= _MAX_U16:
+            # 65535 members is spec-legal, but writes n_total == 0xFFFF
+            # — the byte pattern THIS reader (and zip64-aware readers
+            # generally) treats as the zip64 marker and refuses. Stop
+            # one short so every archive we write, we can read.
+            raise ZipError(
+                "65535 members would set the zip64 marker (0xFFFF) in "
+                "the end record — repartition the writer's input into "
+                "smaller shards")
         raw_name = name.encode("utf-8")
         if len(raw_name) > _MAX_U16:
             raise ZipError(f"member name {name!r} exceeds 65535 bytes")
@@ -277,9 +286,6 @@ def write_zip(entries: Iterable[tuple[str, bytes]], *,
             raise ZipError("archive exceeds 4 GiB — zip64 territory; "
                            "repartition the writer's input")
     n = len(centrals)
-    if n > _MAX_U16:
-        raise ZipError(f"{n} members exceed a ZIP directory's 65535 "
-                       "limit — repartition the writer's input")
     cd = b"".join(centrals)
     eocd = _EOCD_SIG + struct.pack("<HHHHIIH", 0, 0, n, n, len(cd),
                                    offset, 0)

@@ -3457,6 +3457,15 @@ def flatten_chat(
     """
     if "assistant" not in roles or "user" not in roles:
         raise ValueError("roles must include 'user' and 'assistant'")
+    taken = {"chat_reason", "chat_text", "n_turns", "n_assistant_turns",
+             "assistant_chars", "_conv"}
+    clash = sorted(taken.intersection(df.columns))
+    if clash:
+        # the sibling contract (extract_http_html, canonicalize_urls):
+        # never silently clobber caller columns
+        raise ValueError(
+            f"column(s) {clash} already exist on the input — rename "
+            "them before flatten_chat")
     conv = F.from_json(
         F.col(conv_col), "array<struct<role:string,content:string>>"
     )

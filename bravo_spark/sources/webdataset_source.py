@@ -143,7 +143,18 @@ def read_webdataset(
     shuffles."""
     if not parts:
         raise ValueError("parts is empty — declare what a sample holds")
+    if len(set(parts)) != len(parts):
+        raise WebDatasetError(f"duplicate extensions in parts: {parts}")
     cols = {ext: ext.replace(".", "_") for ext in parts}
+    if len(set(cols.values())) != len(cols):
+        # 'seg.json' and 'seg_json' both map to column seg_json — the
+        # schema would declare it twice and the batch builder would
+        # crash with an unnamed pandas length error deep in a task
+        dup = sorted({c for c in cols.values()
+                      if list(cols.values()).count(c) > 1})
+        raise WebDatasetError(
+            f"part extensions collide after dot-to-underscore column "
+            f"mapping: {dup}")
     schema = "archive string, key string, " + ", ".join(
         f"`{c}` binary" for c in cols.values())
 

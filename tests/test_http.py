@@ -486,12 +486,16 @@ def test_chunked_header_with_stored_decoded_body():
         parse_http_response(
             b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
             b"deadbeef\r\nwas the codename")
-    # hex word followed by more prose on the SAME line is not a size
-    # line (no extension separator) → stored-decoded path
-    _, _, body3 = parse_http_response(
-        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
-        b"deadbeef was the codename")
-    assert body3 == b"deadbeef was the codename"
+    # a first line that merely BEGINS with hex digits ('deadbeef was
+    # …', '4q…') is far more likely a chunk frame with a corrupted
+    # size byte than a pre-decoded body — routed to dechunk, refuses
+    # by name (strictness over silently passing framing bytes; the
+    # cost is that a pre-decoded TEXT body opening with a bare hex
+    # word quarantines)
+    with pytest.raises(HttpError, match="chunk"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"deadbeef was the codename")
 
 
 def test_meta_prescan_gated_on_markup_content_type():
@@ -575,3 +579,19 @@ def test_zstd_bound_is_a_type(monkeypatch):
     monkeypatch.setattr(h, "_MIN_INFLATE_CAP", 1 << 16)
     with pytest.raises(HttpError, match="decompression bomb"):
         h.decode_content_encoding({"content-encoding": "zstd"}, bomb)
+
+
+def test_corrupted_chunk_size_line_refuses_not_passthrough():
+    """The chunked quirk (pre-decoded body behind a retained
+    Transfer-Encoding header) must not swallow a chunk-framed stream
+    whose size line is corrupted: a first line BEGINNING with a hex
+    digit routes to dechunk and refuses by name."""
+    for torn in (b"4q\r\nbody\r\n0\r\n\r\n", b"4 5\r\nbody\r\n0\r\n\r\n"):
+        raw = (b"HTTP/1.1 200 OK\r\ntransfer-encoding: chunked\r\n\r\n"
+               + torn)
+        with pytest.raises(HttpError, match="chunk"):
+            parse_http_response(raw)
+    # the quirk path still accepts a clearly-not-chunk-framed body
+    raw = (b"HTTP/1.1 200 OK\r\ntransfer-encoding: chunked\r\n\r\n"
+           b"<html>pre-decoded</html>")
+    assert parse_http_response(raw)[2] == b"<html>pre-decoded</html>"

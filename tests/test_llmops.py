@@ -1857,3 +1857,10 @@ def test_flatten_chat_custom_template_and_roles(spark):
     assert row.chat_text == "[user\nq][assistant\na]"
     with pytest.raises(ValueError, match="roles must include"):
         llmops.flatten_chat(df, "conv", roles=("system", "bot"))
+
+
+def test_flatten_chat_refuses_column_collisions(spark):
+    df = spark.createDataFrame([(1, "[]", 5)],
+                               "id long, conv string, n_turns long")
+    with pytest.raises(ValueError, match="already exist"):
+        llmops.flatten_chat(df, "conv", quarantine=True)

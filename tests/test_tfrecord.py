@@ -307,3 +307,34 @@ def test_decode_kind_mismatch_and_bool_refusals(spark):
     bdf = spark.createDataFrame([(True,)], "flag boolean")
     with pytest.raises(PythonException, match="bool feature"):
         encode_examples(bdf, ["flag"]).count()
+
+
+def test_mixed_value_lists_refuse_with_feature_name():
+    """The list's type is decided by its first element; stragglers of a
+    different type must refuse by name — bytes(5) would zero-fill an
+    int into an apparently-valid BytesList, and the int64 range check
+    would leak a bare TypeError on a str."""
+    from bravo_spark.codecs.tfrecord import TfRecordError, encode_example
+
+    with pytest.raises(TfRecordError, match="'b'.*int in a bytes list"):
+        encode_example({"b": [b"x", 5]})
+    with pytest.raises(TfRecordError, match="str in an int64 list"):
+        encode_example({"x": [1, "a"]})
+    with pytest.raises(TfRecordError, match="str in a float list"):
+        encode_example({"f": [1.5, "a"]})
+    with pytest.raises(TfRecordError, match="bool in an int64 list"):
+        encode_example({"x": [1, True]})
+    # int in a float-led list is deterministic and accepted
+    from bravo_spark.codecs.tfrecord import decode_example
+    ex = encode_example({"f": [1.5, 2]})
+    assert decode_example(ex)["f"] == [1.5, 2.0]
+
+
+def test_float32_overflow_refuses_with_feature_name():
+    from bravo_spark.codecs.tfrecord import TfRecordError, encode_example
+
+    with pytest.raises(TfRecordError, match="'f'.*float32 range"):
+        encode_example({"f": [1e39]})
+    # inf/nan are representable float32s — allowed
+    import math
+    encode_example({"f": [math.inf, math.nan]})

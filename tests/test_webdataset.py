@@ -148,3 +148,13 @@ def test_key_grammar_refusals(spark, tmp_path):
     with pytest.raises(Exception, match="USTAR"):
         write_webdataset_shards(df, str(tmp_path / "w2"), "key",
                                 {"txt": "txt"})
+
+
+def test_parts_column_collision_refuses_by_name(spark, tmp_path):
+    """'seg.json' and 'seg_json' both map to column seg_json — must
+    refuse at call time, not crash with a pandas length error inside a
+    task; literal duplicate parts refuse too."""
+    with pytest.raises(WebDatasetError, match="collide"):
+        read_webdataset(spark, str(tmp_path), ["seg.json", "seg_json"])
+    with pytest.raises(WebDatasetError, match="duplicate extensions"):
+        read_webdataset(spark, str(tmp_path), ["txt", "txt"])

@@ -293,3 +293,17 @@ def test_torn_shard_refuses_with_archive_path(spark, tmp_path):
         f.write(write_zip([("a.txt", b"ok")])[:-7])
     with pytest.raises(Exception, match="shard_00000.zip"):
         read_zip_shards(spark, out).collect()
+
+
+def test_member_count_boundary_write_read_symmetry():
+    """65534 members write and read back; 65535 refuses at write time —
+    n_total == 0xFFFF is the byte pattern the reader (and zip64-aware
+    readers generally) treats as the zip64 marker, so the writer must
+    never produce an archive its own read path refuses."""
+    entries = ((f"m{i:05d}", b"") for i in range(65534))
+    blob = write_zip(entries, method="stored")
+    got = parse_zip(blob)
+    assert len(got) == 65534 and got[0] == ("m00000", b"")
+    with pytest.raises(ZipError, match="zip64 marker"):
+        write_zip(((f"m{i:05d}", b"") for i in range(65535)),
+                  method="stored")
