@@ -113,6 +113,9 @@ FIXED_COST = [
     # in-plan: no fixture, no write floor — from_json + higher-order
     # array functions, map-only JVM)
     "chat_sft_flatten",
+    # r19: DPO preference-pair prep (triples built in-plan: no
+    # fixture — pure JVM string expressions, map-only)
+    "dpo_pair_prep",
     # Avro OCF roundtrip: distributed write + archive-grain read through
     # the pure-Python codec (timed runs include the write — it rewrites
     # per run, unlike the write-once WARC fixture)

@@ -377,7 +377,12 @@ R20_STAGED_SWAPS = [
     # landed); p5_map_entries (r7-last) defers to the r21 pool — its
     # map-state decode sibling p6_map_values is driver-green as of r18
     ("text_hash_features_classify", "webdataset_roundtrip"),
-    ("tpch_q18_having", "window_state_min"),
+    # pair-with-staging rule: the r19 net-new dpo_pair_prep takes this
+    # slot (mirror-green at all three SFs the day it landed);
+    # window_state_min (r7-last) defers to the r21 pool — P7 shares
+    # P1's value decode path and p1_value_kv is IN this same staging,
+    # with the TimeWindow bounds decode golden-pinned in test_codecs
+    ("tpch_q18_having", "dpo_pair_prep"),
     # pair-with-staging rule: the r19 net-new chat_sft_flatten takes
     # this slot (mirror-green at all three SFs the day it landed);
     # a1_grouped_sort_reduce (r7-last) defers to the r21 pool — A1's

@@ -3018,3 +3018,93 @@ def chat_sft_flatten(spark, sf_dir):
         "assistant_chars",
         F.md5("chat_text").alias("flat_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# preference-pair (DPO) prep — r19. The post-training companion of
+# chat_sft_flatten: validate (prompt, chosen, rejected) triples with
+# named reasons, render both completions through the same ChatML
+# template, and expose the length-gap bias diagnostic. Triples are
+# built IN-PLAN from documents (six deterministic variants by
+# doc_id % 6: two valid shapes with opposite-sign length gaps + all
+# four refusal reasons), so the oracle recomputes everything
+# closed-form — including both rendered-text digests.
+# ---------------------------------------------------------------------------
+
+_DPO_ORACLE = """
+WITH t AS (
+  SELECT doc_id, doc_id % 6 AS m,
+    'Please summarize: ' || substring(text, 1, 80) AS p,
+    'Summary: ' || substring(text, 1, 60) AS good,
+    'I cannot help with that.' AS bad
+  FROM documents
+)
+SELECT doc_id,
+  CASE m WHEN 2 THEN 'empty_prompt' WHEN 3 THEN 'empty_chosen'
+         WHEN 4 THEN 'empty_rejected' WHEN 5 THEN 'identical_pair'
+  END AS reason,
+  CASE m
+    WHEN 0 THEN md5('<|im_start|>user' || chr(10) || p || '<|im_end|>'
+      || chr(10) || '<|im_start|>assistant' || chr(10) || good
+      || '<|im_end|>' || chr(10))
+    WHEN 1 THEN md5('<|im_start|>user' || chr(10) || p || '<|im_end|>'
+      || chr(10) || '<|im_start|>assistant' || chr(10) || 'Yes.'
+      || '<|im_end|>' || chr(10))
+  END AS chosen_digest,
+  CASE m
+    WHEN 0 THEN md5('<|im_start|>user' || chr(10) || p || '<|im_end|>'
+      || chr(10) || '<|im_start|>assistant' || chr(10) || bad
+      || '<|im_end|>' || chr(10))
+    WHEN 1 THEN md5('<|im_start|>user' || chr(10) || p || '<|im_end|>'
+      || chr(10) || '<|im_start|>assistant' || chr(10) || good
+      || '<|im_end|>' || chr(10))
+  END AS rejected_digest,
+  CASE m WHEN 0 THEN length(good) - length(bad)
+         WHEN 1 THEN 4 - length(good) END AS length_gap
+FROM t
+"""
+
+
+@query("dpo_pair_prep", oracle=_DPO_ORACLE)
+def dpo_pair_prep(spark, sf_dir):
+    """Preference-pair (DPO) prep (``llmops.prep_preference_pairs``):
+    validate (prompt, chosen, rejected) triples — non-empty fields,
+    distinct completions — with a named reason per rule, render both
+    completions through the ChatML template chat_sft_flatten uses, and
+    compute the length-gap bias diagnostic. Triples are built in-plan
+    from ``documents`` (two valid variants with opposite-sign length
+    gaps + all four refusal reasons by doc_id % 6), so the oracle
+    recomputes both rendered digests and the gap closed-form.
+
+    Scale shape: pure JVM string expressions over the parquet scan —
+    map-only, zero Python, zero joins, zero shuffles."""
+    from bravo_spark import llmops
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+    m = F.col("doc_id") % 6
+    p = F.concat(F.lit("Please summarize: "),
+                 F.substring(F.col("text"), 1, 80))
+    good = F.concat(F.lit("Summary: "), F.substring(F.col("text"), 1, 60))
+    bad = F.lit("I cannot help with that.")
+    src = docs.select(
+        "doc_id",
+        F.when(m == 2, F.lit("")).otherwise(p).alias("prompt"),
+        (F.when(m == 1, F.lit("Yes."))
+         .when(m == 3, F.lit(""))
+         .when(m == 5, bad)
+         .otherwise(good)).alias("chosen"),
+        (F.when(m == 1, good)
+         .when(m == 4, F.lit(""))
+         .when(m == 5, bad)
+         .otherwise(bad)).alias("rejected"),
+    )
+    out = llmops.prep_preference_pairs(
+        src, "prompt", "chosen", "rejected", quarantine=True)
+    return out.select(
+        "doc_id",
+        F.col("pair_reason").alias("reason"),
+        F.md5("chosen_text").alias("chosen_digest"),
+        F.md5("rejected_text").alias("rejected_digest"),
+        "length_gap",
+    )

@@ -3569,3 +3569,75 @@ def flatten_chat(
     if not quarantine:
         out = out.filter(valid)
     return out
+
+
+def prep_preference_pairs(
+    df: DataFrame,
+    prompt_col: str,
+    chosen_col: str,
+    rejected_col: str,
+    *,
+    turn_prefix: str = "<|im_start|>",
+    turn_suffix: str = "<|im_end|>\n",
+    quarantine: bool = False,
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF reward-modeling) data prep — the
+    post-training companion of :func:`flatten_chat`: validate
+    (prompt, chosen, rejected) triples and render both completions
+    through the same chat template, so SFT and preference data leave
+    the pipeline in one consistent serialization.
+
+    A triple is VALID iff prompt, chosen, and rejected are all
+    non-null/non-empty and the two completions differ (an identical
+    pair carries zero preference signal and silently biases a DPO
+    loss toward its length prior). Named reasons, priority order:
+    ``empty_prompt``, ``empty_chosen``, ``empty_rejected``,
+    ``identical_pair``.
+
+    Adds columns: ``pair_reason`` (null = valid), ``chosen_text`` /
+    ``rejected_text`` (prompt as the user turn + completion as the
+    assistant turn, ChatML-shaped; null for invalid rows), and
+    ``length_gap`` (``length(chosen) - length(rejected)`` in chars —
+    THE standard length-bias diagnostic: a corpus whose mean gap is
+    far from zero teaches the reward model verbosity, so the column
+    exists to be aggregated, not filtered on). ``quarantine=False``
+    drops invalid rows; ``True`` keeps them with the reason named.
+
+    Scale shape: pure JVM string expressions, map-only, zero shuffles
+    at any corpus size; validity is per-row."""
+    taken = {"pair_reason", "chosen_text", "rejected_text", "length_gap"}
+    clash = sorted(taken.intersection(df.columns))
+    if clash:
+        raise ValueError(
+            f"column(s) {clash} already exist on the input — rename "
+            "them before prep_preference_pairs")
+    p = F.col(prompt_col)
+    c = F.col(chosen_col)
+    r = F.col(rejected_col)
+    reason = (
+        F.when(p.isNull() | (F.length(p) == 0), "empty_prompt")
+        .when(c.isNull() | (F.length(c) == 0), "empty_chosen")
+        .when(r.isNull() | (F.length(r) == 0), "empty_rejected")
+        .when(c == r, "identical_pair")
+    )
+
+    def render(completion):
+        return F.concat(
+            F.lit(turn_prefix + "user\n"), p, F.lit(turn_suffix),
+            F.lit(turn_prefix + "assistant\n"), completion,
+            F.lit(turn_suffix),
+        )
+
+    out = df.withColumn("pair_reason", reason)
+    valid = F.col("pair_reason").isNull()
+    out = (
+        out.withColumn("chosen_text", F.when(valid, render(c)))
+        .withColumn("rejected_text", F.when(valid, render(r)))
+        .withColumn(
+            "length_gap",
+            F.when(valid, (F.length(c) - F.length(r)).cast("long")),
+        )
+    )
+    if not quarantine:
+        out = out.filter(valid)
+    return out

@@ -1864,3 +1864,36 @@ def test_flatten_chat_refuses_column_collisions(spark):
                                "id long, conv string, n_turns long")
     with pytest.raises(ValueError, match="already exist"):
         llmops.flatten_chat(df, "conv", quarantine=True)
+
+
+def test_prep_preference_pairs_reasons_and_render(spark):
+    rows = [
+        (0, "p", "good answer", "bad answer"),
+        (1, "", "c", "r"),
+        (2, "p", None, "r"),
+        (3, "p", "c", ""),
+        (4, "p", "same", "same"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, prompt string, chosen string, rejected string")
+    got = {r.id: r for r in llmops.prep_preference_pairs(
+        df, "prompt", "chosen", "rejected", quarantine=True).collect()}
+    assert got[0].pair_reason is None
+    assert got[0].chosen_text == (
+        "<|im_start|>user\np<|im_end|>\n"
+        "<|im_start|>assistant\ngood answer<|im_end|>\n")
+    assert got[0].length_gap == len("good answer") - len("bad answer")
+    assert got[1].pair_reason == "empty_prompt"
+    assert got[2].pair_reason == "empty_chosen"
+    assert got[3].pair_reason == "empty_rejected"
+    assert got[4].pair_reason == "identical_pair"
+    assert got[4].chosen_text is None and got[4].length_gap is None
+    # default drops invalid
+    assert llmops.prep_preference_pairs(
+        df, "prompt", "chosen", "rejected").count() == 1
+    # column collision refuses
+    bad = spark.createDataFrame([(1, "p", "c", "r", 0)],
+                                "id long, prompt string, chosen string,"
+                                " rejected string, length_gap long")
+    with pytest.raises(ValueError, match="already exist"):
+        llmops.prep_preference_pairs(bad, "prompt", "chosen", "rejected")

@@ -857,6 +857,16 @@ def test_chat_sft_flatten_is_pure_jvm_map(plans):
     assert "Join" not in p
 
 
+def test_dpo_pair_prep_is_pure_jvm_map(plans):
+    """DPO pair prep must stay map-only JVM string expressions over
+    the parquet scan — zero exchanges, zero Python stages, no joins."""
+    p = plans("dpo_pair_prep")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+    assert "mapinpandas" not in p.lower()
+    assert "Join" not in p
+
+
 def test_pipeline_url_stage_single_shuffle_on_canonical(plans):
     """The composed pipeline's r18 url_dup stage adds exactly one
     window shuffle keyed on the canonical string and one Arrow stage
