@@ -3416,6 +3416,18 @@ def train_linear_classifier(
     return w, bias
 
 
+def _chat_turn(role, content, turn_prefix: str, turn_suffix: str):
+    """One rendered chat turn — ``{prefix}{role}\\n{content}{suffix}``.
+
+    THE serialization shared by :func:`flatten_chat` and
+    :func:`prep_preference_pairs`, factored out so the 'SFT and
+    preference data leave the pipeline in one consistent
+    serialization' guarantee is enforced by construction, not by two
+    hardcoded literals drifting apart (a cross-test pins it too)."""
+    return F.concat(F.lit(turn_prefix), role, F.lit("\n"), content,
+                    F.lit(turn_suffix))
+
+
 def flatten_chat(
     df: DataFrame,
     conv_col: str,
@@ -3526,13 +3538,9 @@ def flatten_chat(
                 F.array_join(
                     F.transform(
                         conv2,
-                        lambda t: F.concat(
-                            F.lit(turn_prefix),
-                            t.getField("role"),
-                            F.lit("\n"),
-                            t.getField("content"),
-                            F.lit(turn_suffix),
-                        ),
+                        lambda t: _chat_turn(
+                            t.getField("role"), t.getField("content"),
+                            turn_prefix, turn_suffix),
                     ),
                     "",
                 ),
@@ -3623,9 +3631,9 @@ def prep_preference_pairs(
 
     def render(completion):
         return F.concat(
-            F.lit(turn_prefix + "user\n"), p, F.lit(turn_suffix),
-            F.lit(turn_prefix + "assistant\n"), completion,
-            F.lit(turn_suffix),
+            _chat_turn(F.lit("user"), p, turn_prefix, turn_suffix),
+            _chat_turn(F.lit("assistant"), completion,
+                       turn_prefix, turn_suffix),
         )
 
     out = df.withColumn("pair_reason", reason)

@@ -1897,3 +1897,21 @@ def test_prep_preference_pairs_reasons_and_render(spark):
                                 " rejected string, length_gap long")
     with pytest.raises(ValueError, match="already exist"):
         llmops.prep_preference_pairs(bad, "prompt", "chosen", "rejected")
+
+
+def test_sft_and_dpo_share_one_turn_serialization(spark):
+    """The same (role, content) turn must render byte-identically
+    through flatten_chat and prep_preference_pairs — the 'one
+    consistent serialization across SFT and preference data'
+    guarantee, pinned across both functions."""
+    sft = spark.createDataFrame(
+        [(1, '[{"role":"user","content":"Q?"},'
+             '{"role":"assistant","content":"A!"}]')],
+        "id long, conv string")
+    dpo = spark.createDataFrame(
+        [(1, "Q?", "A!", "other")],
+        "id long, prompt string, chosen string, rejected string")
+    sft_text = llmops.flatten_chat(sft, "conv").first().chat_text
+    dpo_text = llmops.prep_preference_pairs(
+        dpo, "prompt", "chosen", "rejected").first().chosen_text
+    assert sft_text == dpo_text
