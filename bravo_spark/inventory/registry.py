@@ -347,11 +347,12 @@ GATE_PRIORITY = [
 # CORRECTNESS_r19 confirms. INs are periodic re-proof rows, oldest
 # last driver check first — the three r5-last rows deferred from the
 # r19 staging (tpch_q1, u1_union_bag, streaming_window_counts) and
-# nine r7-last rows from the early projection/window/writer and
+# six r7-last rows from the early projection/window/writer and
 # POJO/Kryo/compressed conformance waves — plus first driver checks
-# for the three r19 net-new registrations (pair-with-staging rule;
-# the displaced ann_sketch_topk / p4_list_state / p5_map_entries
-# re-proofs defer to the r21 pool, coverage rationale at each pair).
+# for the six r19 net-new registrations (pair-with-staging rule; the
+# displaced ann_sketch_topk / p4_list_state / p5_map_entries /
+# kryo_value_kv / a1_grouped_sort_reduce / window_state_min re-proofs
+# defer to the r21 pool, coverage rationale at each pair).
 # Every r17-wave OUT is consumed by this staging; r21's OUT pool
 # starts with the r18 wave (the ten r18 re-proof rows + six r17
 # net-new registrations, first checked r18 — 3 greens once
