@@ -307,3 +307,36 @@ def test_member_count_boundary_write_read_symmetry():
     with pytest.raises(ZipError, match="zip64 marker"):
         write_zip(((f"m{i:05d}", b"") for i in range(65535)),
                   method="stored")
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: arbitrary member sets roundtrip byte-exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_name_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="/\x00"),
+    min_size=1, max_size=40,
+).filter(lambda s: not s.endswith("/"))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    entries=st.lists(
+        st.tuples(_name_st, st.binary(max_size=2000)),
+        max_size=8,
+        unique_by=lambda e: e[0],
+    ),
+    method=st.sampled_from(["stored", "deflate"]),
+)
+def test_roundtrip_property(entries, method):
+    """write_zip → parse_zip is the identity for any unique-name member
+    set (arbitrary unicode names, arbitrary payloads incl. empty and
+    high-entropy), under both methods — and stdlib zipfile agrees."""
+    blob = write_zip(entries, method=method)
+    assert parse_zip(blob) == entries
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert [(i.filename, zf.read(i)) for i in zf.infolist()] == [
+        (n, bytes(d)) for n, d in entries]
