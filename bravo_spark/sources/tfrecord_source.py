@@ -210,6 +210,34 @@ def read_tfrecords(
     )
 
 
+def read_tfrecord_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str = "*.tfrecord*",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming TFRecord ingest — the drop-directory twin of
+    :func:`read_tfrecords` (the warc/avro streaming posture): each
+    micro-batch processes newly landed shards exactly once per
+    checkpoint (Structured Streaming's file-source log), through the
+    SAME Arrow parse stage as the batch reader — a continuously
+    arriving training-shard feed consumed without a rescan.
+    ``max_files_per_trigger`` bounds a batch for backfill."""
+    from bravo_spark.sources.warc_source import _BINARYFILE_SCHEMA
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path).select("path", "content").mapInPandas(
+        _parse_batches, RECORD_SCHEMA
+    )
+
+
 def decode_examples(
     df: DataFrame,
     record_col: str,

@@ -79,6 +79,26 @@ def write_zip_shards(
     return sum(src.rdd.mapPartitionsWithIndex(_write).collect())
 
 
+_MEMBER_SCHEMA = "archive string, name string, data binary"
+
+
+def _parse_batches(batches):
+    from bravo_spark.codecs.zipfmt import ZipError, iter_zip
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"archive": [], "name": [], "data": []}
+        for apath, blob in zip(pdf["path"], pdf["content"]):
+            try:
+                for name, data in iter_zip(bytes(blob)):
+                    out["archive"].append(apath)
+                    out["name"].append(name)
+                    out["data"].append(data)
+            except ZipError as exc:
+                raise ZipError(f"{apath}: {exc}") from exc
+        yield pd.DataFrame(out)
+
+
 def read_zip_shards(
     spark: SparkSession,
     path: str,
@@ -90,31 +110,40 @@ def read_zip_shards(
     payload CRC-verified by the codec. Torn/encrypted/zip64 shards
     refuse by name. Shard-grain binaryFile tasks, one Arrow-batched
     map stage, zero shuffles."""
-    from bravo_spark.codecs.zipfmt import ZipError, iter_zip
-
-    schema = "archive string, name string, data binary"
-
-    def _parse(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out = {"archive": [], "name": [], "data": []}
-            for apath, blob in zip(pdf["path"], pdf["content"]):
-                try:
-                    for name, data in iter_zip(bytes(blob)):
-                        out["archive"].append(apath)
-                        out["name"].append(name)
-                        out["data"].append(data)
-                except ZipError as exc:
-                    raise ZipError(f"{apath}: {exc}") from exc
-            yield pd.DataFrame(out)
-
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
     )
-    return files.select("path", "content").mapInPandas(_parse, schema)
+    return files.select("path", "content").mapInPandas(
+        _parse_batches, _MEMBER_SCHEMA)
 
 
-__all__ = ["write_zip_shards", "read_zip_shards"]
+def read_zip_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str = "*.zip",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming ZIP ingest — the drop-directory twin of
+    :func:`read_zip_shards` (the warc/avro streaming posture): each
+    micro-batch processes newly landed shards exactly once per
+    checkpoint (Structured Streaming's file-source log), through the
+    SAME Arrow parse stage as the batch reader.
+    ``max_files_per_trigger`` bounds a batch for backfill over a large
+    drop directory."""
+    from bravo_spark.sources.warc_source import _BINARYFILE_SCHEMA
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path).select("path", "content").mapInPandas(
+        _parse_batches, _MEMBER_SCHEMA)
+
+
+__all__ = ["write_zip_shards", "read_zip_shards", "read_zip_stream"]

@@ -338,3 +338,49 @@ def test_float32_overflow_refuses_with_feature_name():
     # inf/nan are representable float32s — allowed
     import math
     encode_example({"f": [math.inf, math.nan]})
+
+
+def test_streaming_restart_continuation(spark, tmp_path):
+    """read_tfrecord_stream: shards landing AFTER the first drain are
+    picked up by a restarted query from the same checkpoint, exactly
+    once (the warc/avro streaming contract), through the same
+    CRC-verified parse stage as the batch reader."""
+    import os
+
+    from bravo_spark.codecs.tfrecord import encode_example, write_tfrecords
+    from bravo_spark.sources.tfrecord_source import (
+        decode_examples,
+        read_tfrecord_stream,
+    )
+
+    d = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(d)
+
+    def shard(fname, ids):
+        recs = [encode_example({"doc_id": i}) for i in ids]
+        with open(os.path.join(d, fname), "wb") as f:
+            f.write(write_tfrecords(recs))
+
+    shard("s1.tfrecord", [1, 2])
+
+    def drain():
+        typed = decode_examples(
+            read_tfrecord_stream(spark, d), "record", {"doc_id": "int"})
+        q = (
+            typed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    assert drain() == {1, 2}
+    shard("s2.tfrecord", [3])
+    assert drain() == {1, 2, 3}
+    total_before = spark.read.parquet(out).count()
+    assert drain() == {1, 2, 3}
+    assert spark.read.parquet(out).count() == total_before == 3

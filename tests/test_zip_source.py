@@ -340,3 +340,41 @@ def test_roundtrip_property(entries, method):
     zf = zipfile.ZipFile(io.BytesIO(blob))
     assert [(i.filename, zf.read(i)) for i in zf.infolist()] == [
         (n, bytes(d)) for n, d in entries]
+
+
+def test_streaming_restart_continuation(spark, tmp_path):
+    """read_zip_stream: shards landing AFTER the first drain are picked
+    up by a restarted query from the same checkpoint, exactly once (the
+    warc/avro streaming contract)."""
+    from bravo_spark.sources.zip_source import read_zip_stream
+
+    d = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(d)
+
+    def shard(fname, entries):
+        with open(os.path.join(d, fname), "wb") as f:
+            f.write(write_zip(entries))
+
+    shard("s1.zip", [("a.txt", b"alpha"), ("b.txt", b"beta")])
+
+    def drain():
+        q = (
+            read_zip_stream(spark, d)
+            .select("name", "data")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.name for r in spark.read.parquet(out).collect()}
+
+    assert drain() == {"a.txt", "b.txt"}
+    shard("s2.zip", [("c.txt", b"gamma")])
+    assert drain() == {"a.txt", "b.txt", "c.txt"}
+    total_before = spark.read.parquet(out).count()
+    assert drain() == {"a.txt", "b.txt", "c.txt"}
+    assert spark.read.parquet(out).count() == total_before == 3
