@@ -23,9 +23,13 @@ Format discipline, matching the repo's other containers:
   and must reproduce EXACTLY the directory's uncompressed size — a
   lying length field refuses by name either way;
 - **named refusals** for what this reader will not guess at: encryption
-  (flag bit 0), compression methods other than stored/deflate, zip64
-  markers (a partition-grain shard writer never legitimately needs
-  them — repartition upstream instead), torn/overlapping structures;
+  (flag bit 0), compression methods other than stored/deflate,
+  torn/overlapping structures. zip64 archives READ fine — real
+  training datasets ship as >65535-member / >4 GiB zips (the ImageNet
+  shape): zip64 EOCD locator/record chain verified by the record's own
+  size field, masked CD fields resolved from the 0x0001 extra — while
+  the WRITER refuses zip64 (a partition-grain shard never legitimately
+  needs it; repartition upstream instead);
 - **deterministic writer**: fixed DOS timestamp (1980-01-01 00:00),
   UTF-8 name flag only, no extra fields, no comments — same input,
   same zlib build -> byte-identical shards (the WARC/TFRecord/
@@ -46,6 +50,7 @@ _EOCD_SIG = b"PK\x05\x06"
 _CEN_SIG = b"PK\x01\x02"
 _LOC_SIG = b"PK\x03\x04"
 _ZIP64_EOCD_LOC_SIG = b"PK\x06\x07"
+_ZIP64_EOCD_SIG = b"PK\x06\x06"
 
 _STORED = 0
 _DEFLATED = 8
@@ -105,31 +110,105 @@ def _find_eocd(data: bytes) -> int:
     raise ZipError("no end-of-central-directory record — torn or not a ZIP")
 
 
+def _read_eocd64(
+    data: bytes, eocd: int
+) -> tuple[int, int, int, int] | None:
+    """``(n_total, cd_size, cd_off, record_pos)`` from the zip64 EOCD
+    record, or None when the archive has no zip64 EOCD locator. The
+    locator sits in the 20 bytes before the EOCD; the zip64 EOCD
+    record it points at must END exactly where the locator begins
+    (record length is variable — extensible data — so the chain is
+    verified by the record's own size field, which also makes the
+    lookup immune to prepended-junk offset shift)."""
+    loc = eocd - 20
+    if loc < 0 or data[loc:loc + 4] != _ZIP64_EOCD_LOC_SIG:
+        return None
+    (loc_disk, _rec_off, n_disks) = struct.unpack_from("<IQI", data,
+                                                       loc + 4)
+    if loc_disk or n_disks > 1:
+        raise ZipError("multi-disk zip64 archives are not supported")
+    # find the record whose declared size lands it flush against the
+    # locator (the recorded absolute offset shifts under prepended junk)
+    pos = data.rfind(_ZIP64_EOCD_SIG, max(0, loc - 4096), loc)
+    while pos != -1:
+        (rec_size,) = struct.unpack_from("<Q", data, pos + 4)
+        if pos + 12 + rec_size == loc:
+            break
+        pos = data.rfind(_ZIP64_EOCD_SIG, max(0, loc - 4096), pos)
+    else:
+        raise ZipError("zip64 EOCD locator present but no zip64 EOCD "
+                       "record chains to it — torn archive")
+    if rec_size < 44:
+        raise ZipError("zip64 EOCD record shorter than its fixed fields")
+    (_vm, _vn, disk_no, cd_disk, n_here, n_total, cd_size,
+     cd_off) = struct.unpack_from("<HHIIQQQQ", data, pos + 12)
+    if disk_no or cd_disk or n_here != n_total:
+        raise ZipError("multi-disk ZIP archives are not supported")
+    return n_total, cd_size, cd_off, pos
+
+
+def _zip64_extra(extra: bytes, name: str, usize: int, csize: int,
+                 loc_off: int) -> tuple[int, int, int]:
+    """Resolve 0xFFFFFFFF-masked CD fields from the member's zip64
+    extra field (header ID 0x0001: 8-byte values for exactly the
+    masked fields, in usize/csize/loc_off order per APPNOTE 4.5.3)."""
+    need = ((usize == _MAX_U32) + (csize == _MAX_U32)
+            + (loc_off == _MAX_U32))
+    if not need:
+        return usize, csize, loc_off
+    pos = 0
+    while pos + 4 <= len(extra):
+        hid, hsize = struct.unpack_from("<HH", extra, pos)
+        body = extra[pos + 4:pos + 4 + hsize]
+        pos += 4 + hsize
+        if hid != 0x0001:
+            continue
+        if len(body) < 8 * need:
+            raise ZipError(
+                f"member {name!r}: zip64 extra field holds "
+                f"{len(body)} bytes for {need} masked field(s)")
+        vals = iter(struct.unpack_from(f"<{need}Q", body))
+        if usize == _MAX_U32:
+            usize = next(vals)
+        if csize == _MAX_U32:
+            csize = next(vals)
+        if loc_off == _MAX_U32:
+            loc_off = next(vals)
+        return usize, csize, loc_off
+    raise ZipError(f"member {name!r}: fields are 0xFFFFFFFF-masked but "
+                   "no zip64 extra field resolves them")
+
+
 def iter_zip(data: bytes) -> Iterator[tuple[str, bytes]]:
     """Yield ``(member name, decoded bytes)`` in central-directory
     order, CRC-verified. Directory entries (trailing ``/``, empty
     payload) are skipped — they are not members, matching the tar
-    reader's ``isreg()`` rule. Refuses by name on every structural or
-    integrity defect (see module docstring)."""
+    reader's ``isreg()`` rule. zip64 archives READ fine (real training
+    datasets ship as >65535-member / >4 GiB zips — the ImageNet shape);
+    only the WRITER refuses zip64, because a partition-grain shard
+    never needs it. Refuses by name on every structural or integrity
+    defect (see module docstring)."""
     eocd = _find_eocd(data)
     (disk_no, cd_disk, n_here, n_total, cd_size, cd_off,
      _comment_len) = struct.unpack_from("<HHHHIIH", data, eocd + 4)
     if disk_no or cd_disk or n_here != n_total:
         raise ZipError("multi-disk ZIP archives are not supported")
-    if (n_total == _MAX_U16 or cd_size == _MAX_U32 or cd_off == _MAX_U32
-            or data.rfind(_ZIP64_EOCD_LOC_SIG, max(0, eocd - 20),
-                          eocd) != -1):
-        raise ZipError(
-            "zip64 archive — a partition-grain shard never needs zip64; "
-            "repartition the writer's input into smaller shards")
+    z64 = _read_eocd64(data, eocd)
+    if z64 is not None:
+        # the CD ends where the zip64 EOCD record begins
+        n_total, cd_size, cd_off, cd_end = z64
+    elif n_total == _MAX_U16 or cd_size == _MAX_U32 or cd_off == _MAX_U32:
+        raise ZipError("EOCD carries zip64 markers but no zip64 EOCD "
+                       "locator — torn archive")
+    else:
+        cd_end = eocd
     # self-extracting stubs prepend bytes before the first local header;
     # every recorded offset shifts by the same amount (the standard
     # concatenation adjustment stdlib zipfile applies)
-    concat = eocd - (cd_off + cd_size)
+    concat = cd_end - (cd_off + cd_size)
     if concat < 0:
         raise ZipError("central directory overruns the end record")
     pos = cd_off + concat
-    cd_end = eocd
     for _ in range(n_total):
         if pos + 46 > cd_end:
             raise ZipError("central directory is torn (entry past its "
@@ -142,12 +221,13 @@ def iter_zip(data: bytes) -> Iterator[tuple[str, bytes]]:
         raw_name = data[pos + 46:pos + 46 + name_len]
         if len(raw_name) != name_len:
             raise ZipError("central directory is torn (truncated name)")
+        extra = data[pos + 46 + name_len:pos + 46 + name_len + extra_len]
         pos += 46 + name_len + extra_len + comment_len
         name = _dec_name(raw_name, flags)
         if flags & _FLAG_ENCRYPTED:
             raise ZipError(f"member {name!r} is encrypted — refusing")
-        if csize == _MAX_U32 or usize == _MAX_U32 or loc_off == _MAX_U32:
-            raise ZipError(f"member {name!r} carries zip64 markers")
+        usize, csize, loc_off = _zip64_extra(extra, name, usize, csize,
+                                             loc_off)
         if name.endswith("/") and usize == 0:
             continue  # directory entry, not a member
         yield name, _read_member(data, name, flags, method, crc,

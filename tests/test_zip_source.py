@@ -148,14 +148,6 @@ def test_encrypted_member_refuses_by_name():
         parse_zip(bytes(blob))
 
 
-def test_zip64_markers_refuse_by_name():
-    blob = bytearray(write_zip([("x.txt", b"abc")]))
-    eocd = bytes(blob).rfind(b"PK\x05\x06")
-    struct.pack_into("<HH", blob, eocd + 8, 0xFFFF, 0xFFFF)
-    with pytest.raises(ZipError, match="zip64"):
-        parse_zip(bytes(blob))
-
-
 def test_multi_disk_refuses():
     blob = bytearray(write_zip([("x.txt", b"abc")]))
     eocd = bytes(blob).rfind(b"PK\x05\x06")
@@ -378,3 +370,65 @@ def test_streaming_restart_continuation(spark, tmp_path):
     total_before = spark.read.parquet(out).count()
     assert drain() == {"a.txt", "b.txt", "c.txt"}
     assert spark.read.parquet(out).count() == total_before == 3
+
+
+# ---------------------------------------------------------------------------
+# zip64 READ (the writer still refuses zip64 — partition-grain shards
+# never need it; foreign training datasets DO arrive as zip64)
+# ---------------------------------------------------------------------------
+
+
+def test_zip64_member_extra_field_resolves_masked_sizes():
+    """force_zip64 members carry 0xFFFFFFFF-masked CD sizes resolved
+    from the 0x0001 extra field — the shape stdlib writes."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        with zf.open("big.bin", "w", force_zip64=True) as f:
+            f.write(b"payload " * 1000)
+        zf.writestr("small.txt", b"plain")
+    got = parse_zip(buf.getvalue())
+    assert [(n, len(d)) for n, d in got] == [("big.bin", 8000),
+                                             ("small.txt", 5)]
+    assert got[0][1] == b"payload " * 1000
+
+
+def _zip64_many(n=70000):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(n):
+            zf.writestr(f"m{i:05d}", b"")
+    return buf.getvalue()
+
+
+def test_zip64_eocd_chain_reads_past_65535_members():
+    """>65535 members (the ImageNet shape): the zip64 EOCD
+    locator/record chain carries the real count/offsets — including
+    under prepended junk (the chain is verified by the record's own
+    size field, so the concat adjustment still applies)."""
+    blob = _zip64_many()
+    got = parse_zip(blob)
+    assert len(got) == 70000 and got[-1] == ("m69999", b"")
+    junk = b"#!stub " * 16
+    assert len(parse_zip(junk + blob)) == 70000
+
+
+def test_zip64_torn_chain_refuses_by_name():
+    blob = bytearray(_zip64_many())
+    p = bytes(blob).rfind(b"PK\x06\x06")
+    blob[p] ^= 0xFF  # record signature gone: locator points at nothing
+    with pytest.raises(ZipError, match="zip64"):
+        parse_zip(bytes(blob))
+    blob2 = bytearray(_zip64_many())
+    struct.pack_into("<Q", blob2, p + 4, 9999)  # size breaks the chain
+    with pytest.raises(ZipError, match="zip64"):
+        parse_zip(bytes(blob2))
+
+
+def test_eocd_markers_without_locator_refuse():
+    """0xFFFF/0xFFFFFFFF markers in the EOCD with NO zip64 locator is a
+    torn archive, not a silent zero-member read."""
+    blob = bytearray(write_zip([("x.txt", b"abc")]))
+    eocd = bytes(blob).rfind(b"PK\x05\x06")
+    struct.pack_into("<HH", blob, eocd + 8, 0xFFFF, 0xFFFF)
+    with pytest.raises(ZipError, match="zip64"):
+        parse_zip(bytes(blob))
