@@ -1915,3 +1915,65 @@ def test_sft_and_dpo_share_one_turn_serialization(spark):
     dpo_text = llmops.prep_preference_pairs(
         dpo, "prompt", "chosen", "rejected").first().chosen_text
     assert sft_text == dpo_text
+
+
+def test_flatten_chat_cross_impl_fuzz(spark):
+    """200 seeded-random conversations (valid AND every invalid class,
+    tricky content: quotes, newlines, unicode, backslashes) through the
+    JVM path in ONE job, compared against an independent pure-Python
+    validator/renderer."""
+    import json
+    import random
+
+    rng = random.Random(0x5F7)
+    chars = 'ab "\\\n\té中 '
+    roles_pool = ["system", "user", "assistant", "narrator", None]
+
+    def rand_text():
+        return "".join(rng.choice(chars) for _ in range(rng.randrange(0, 12)))
+
+    rows = []
+    for i in range(200):
+        n = rng.randrange(0, 5)
+        conv = [{"role": rng.choice(roles_pool),
+                 "content": rand_text() if rng.random() < 0.9 else None}
+                for _ in range(n)]
+        if rng.random() < 0.5 and conv:
+            # bias toward structurally valid shapes so both branches fuzz
+            conv = [{"role": "user" if j % 2 == 0 else "assistant",
+                     "content": "t" + rand_text()}
+                    for j in range(max(2, n - n % 2))]
+            if rng.random() < 0.3:
+                conv.insert(0, {"role": "system", "content": "s"})
+        rows.append((i, json.dumps(conv)))
+
+    def py_expected(conv_json):
+        conv = json.loads(conv_json)
+        if not isinstance(conv, list) or len(conv) == 0:
+            return ("empty_conversation" if conv == [] else
+                    "unparseable_json", None)
+        roles = ("system", "user", "assistant")
+        if any(t.get("role") not in roles for t in conv):
+            return "unknown_role", None
+        if any(not t.get("content") for t in conv):
+            return "empty_content", None
+        body = conv[1:] if conv[0]["role"] == "system" else conv
+        if any(t["role"] == "system" for t in body):
+            return "system_not_first", None
+        want = ["user", "assistant"]
+        if any(t["role"] != want[j % 2] for j, t in enumerate(body)):
+            return "broken_alternation", None
+        if conv[-1]["role"] != "assistant":
+            return "no_assistant_target", None
+        text = "".join(f"<|im_start|>{t['role']}\n{t['content']}<|im_end|>\n"
+                       for t in conv)
+        return None, text
+
+    df = spark.createDataFrame(rows, "id long, conv string")
+    got = {r.id: r for r in llmops.flatten_chat(
+        df, "conv", quarantine=True).collect()}
+    for i, conv_json in rows:
+        reason, text = py_expected(conv_json)
+        assert got[i].chat_reason == reason, (i, conv_json, reason,
+                                              got[i].chat_reason)
+        assert got[i].chat_text == text, (i, conv_json)
