@@ -76,8 +76,9 @@ _FLAG_UTF8 = 0x0800
 
 
 class ZipError(ValueError):
-    """Malformed/unsupported ZIP shard (torn structure, bad CRC,
-    encryption, zip64, unknown compression method)."""
+    """Malformed/unsupported ZIP archive (torn structure, bad CRC,
+    encryption, unknown compression method, zip64 on the WRITE
+    path — reading zip64 is supported)."""
 
 
 def _dec_name(raw: bytes, flags: int) -> str:
@@ -123,21 +124,35 @@ def _read_eocd64(
     loc = eocd - 20
     if loc < 0 or data[loc:loc + 4] != _ZIP64_EOCD_LOC_SIG:
         return None
-    (loc_disk, _rec_off, n_disks) = struct.unpack_from("<IQI", data,
-                                                       loc + 4)
+    (loc_disk, rec_off, n_disks) = struct.unpack_from("<IQI", data,
+                                                      loc + 4)
     if loc_disk or n_disks > 1:
         raise ZipError("multi-disk zip64 archives are not supported")
-    # find the record whose declared size lands it flush against the
-    # locator (the recorded absolute offset shifts under prepended junk)
-    pos = data.rfind(_ZIP64_EOCD_SIG, max(0, loc - 4096), loc)
-    while pos != -1:
-        (rec_size,) = struct.unpack_from("<Q", data, pos + 4)
-        if pos + 12 + rec_size == loc:
-            break
-        pos = data.rfind(_ZIP64_EOCD_SIG, max(0, loc - 4096), pos)
-    else:
-        raise ZipError("zip64 EOCD locator present but no zip64 EOCD "
-                       "record chains to it — torn archive")
+
+    def _chains(p: int) -> bool:
+        # a candidate record must END flush against the locator, per
+        # its own declared size (fixed fields + extensible data)
+        if p < 0 or data[p:p + 4] != _ZIP64_EOCD_SIG or p + 12 > loc:
+            return False
+        (size,) = struct.unpack_from("<Q", data, p + 4)
+        return p + 12 + size == loc
+
+    # the recorded offset is exact for an unprepended archive; under
+    # prepended junk it shifts, so fall back to a backward scan for the
+    # record whose declared size lands it flush against the locator
+    # (bounded at 1 MiB of extensible data — far past anything real)
+    pos = rec_off if _chains(rec_off) else -1
+    if pos == -1:
+        win = max(0, loc - (1 << 20))
+        pos = data.rfind(_ZIP64_EOCD_SIG, win, loc)
+        while pos != -1 and not _chains(pos):
+            pos = data.rfind(_ZIP64_EOCD_SIG, win, pos)
+    if pos == -1:
+        raise ZipError(
+            "zip64 EOCD locator present but no zip64 EOCD record "
+            "chains to it (searched the recorded offset and the 1 MiB "
+            "before the locator) — torn archive")
+    (rec_size,) = struct.unpack_from("<Q", data, pos + 4)
     if rec_size < 44:
         raise ZipError("zip64 EOCD record shorter than its fixed fields")
     (_vm, _vn, disk_no, cd_disk, n_here, n_total, cd_size,
@@ -191,16 +206,20 @@ def iter_zip(data: bytes) -> Iterator[tuple[str, bytes]]:
     eocd = _find_eocd(data)
     (disk_no, cd_disk, n_here, n_total, cd_size, cd_off,
      _comment_len) = struct.unpack_from("<HHHHIIH", data, eocd + 4)
-    if disk_no or cd_disk or n_here != n_total:
-        raise ZipError("multi-disk ZIP archives are not supported")
     z64 = _read_eocd64(data, eocd)
     if z64 is not None:
-        # the CD ends where the zip64 EOCD record begins
+        # the zip64 record supersedes EVERY EOCD field (APPNOTE 4.4.19+:
+        # a zip64 writer may 0xFFFF-mask even the disk numbers in the
+        # EOCD — the record's own disk fields are checked inside
+        # _read_eocd64); the CD ends where the record begins
         n_total, cd_size, cd_off, cd_end = z64
-    elif n_total == _MAX_U16 or cd_size == _MAX_U32 or cd_off == _MAX_U32:
-        raise ZipError("EOCD carries zip64 markers but no zip64 EOCD "
-                       "locator — torn archive")
     else:
+        if disk_no or cd_disk or n_here != n_total:
+            raise ZipError("multi-disk ZIP archives are not supported")
+        if (n_total == _MAX_U16 or cd_size == _MAX_U32
+                or cd_off == _MAX_U32):
+            raise ZipError("EOCD carries zip64 markers but no zip64 "
+                           "EOCD locator — torn archive")
         cd_end = eocd
     # self-extracting stubs prepend bytes before the first local header;
     # every recorded offset shifts by the same amount (the standard

@@ -23,10 +23,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-_BINARYFILE_SCHEMA = (
-    "path string, modificationTime timestamp, length long, content binary"
-)
-
 
 def _parse_batches_factory(columns: list[str]):
     def _parse(batches):
@@ -79,14 +75,11 @@ def read_avro_stream(
 ) -> DataFrame:
     """Streaming OCF ingest: each micro-batch decodes newly landed
     shards exactly once per checkpoint."""
-    reader = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARYFILE_SCHEMA)
-        .option("pathGlobFilter", glob)
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path).select("content").mapInPandas(
+    from bravo_spark.sources.warc_source import _binaryfile_stream
+
+    return _binaryfile_stream(
+        spark, path, glob, max_files_per_trigger
+    ).select("content").mapInPandas(
         _parse_batches_factory(_columns_of(schema)), schema
     )
 

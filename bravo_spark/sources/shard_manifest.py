@@ -102,7 +102,14 @@ def verify_shards(
         raise ShardManifestError(
             f"{mpath}: unknown manifest format "
             f"{manifest.get('format')!r}")
-    want = manifest["shards"]
+    want = manifest.get("shards")
+    if not isinstance(want, dict) or not all(
+            isinstance(v, dict) for v in want.values()):
+        # right format string, wrong body (hand-edited/truncated JSON):
+        # refuse by name, never leak a KeyError/TypeError past the
+        # module's contract
+        raise ShardManifestError(
+            f"{mpath}: manifest 'shards' map is missing or malformed")
     got = _scan(spark, path, manifest.get("glob", "*"))
     missing = sorted(set(want) - set(got))
     extra = sorted(set(got) - set(want))

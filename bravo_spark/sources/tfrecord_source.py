@@ -224,18 +224,11 @@ def read_tfrecord_stream(
     SAME Arrow parse stage as the batch reader — a continuously
     arriving training-shard feed consumed without a rescan.
     ``max_files_per_trigger`` bounds a batch for backfill."""
-    from bravo_spark.sources.warc_source import _BINARYFILE_SCHEMA
+    from bravo_spark.sources.warc_source import _binaryfile_stream
 
-    reader = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARYFILE_SCHEMA)
-        .option("pathGlobFilter", glob)
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path).select("path", "content").mapInPandas(
-        _parse_batches, RECORD_SCHEMA
-    )
+    return _binaryfile_stream(
+        spark, path, glob, max_files_per_trigger
+    ).select("path", "content").mapInPandas(_parse_batches, RECORD_SCHEMA)
 
 
 def decode_examples(

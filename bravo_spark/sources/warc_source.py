@@ -25,6 +25,24 @@ _BINARYFILE_SCHEMA = (
 )
 
 
+def _binaryfile_stream(spark, path: str, glob: str,
+                       max_files_per_trigger: int | None):
+    """The shared drop-directory streaming scan every container twin
+    builds on (WARC, Avro, TFRecord, ZIP): a Structured Streaming
+    binaryFile source — exactly-once per checkpoint at file grain —
+    with the explicit schema a streaming source requires. One
+    implementation so a future option (latestFirst, cleanSource, …)
+    lands in every twin at once."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
 def _resolve_fs(path: str):
     """``(pyarrow FileSystem, fs-internal path)`` for a plain path or a
     filesystem URI (``file:/...``, ``s3://...``, ``hdfs://...``, ...).
@@ -113,14 +131,8 @@ def read_warc_stream(
     archives exactly once per checkpoint (Structured Streaming's file
     source log). ``max_files_per_trigger`` bounds a batch for backfill
     over a large drop directory."""
-    reader = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARYFILE_SCHEMA)
-        .option("pathGlobFilter", glob)
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return _records(reader.load(path))
+    return _records(
+        _binaryfile_stream(spark, path, glob, max_files_per_trigger))
 
 
 def write_warc_shards(

@@ -107,9 +107,10 @@ def read_zip_shards(
 ) -> DataFrame:
     """One row per member: ``(archive string, name string, data
     binary)``, in central-directory order within each shard, every
-    payload CRC-verified by the codec. Torn/encrypted/zip64 shards
-    refuse by name. Shard-grain binaryFile tasks, one Arrow-batched
-    map stage, zero shuffles."""
+    payload CRC-verified by the codec. Torn/encrypted shards refuse by
+    name; foreign zip64 archives (>65535 members / >4 GiB — the
+    ImageNet shape) READ fine. Shard-grain binaryFile tasks, one
+    Arrow-batched map stage, zero shuffles."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -133,17 +134,11 @@ def read_zip_stream(
     SAME Arrow parse stage as the batch reader.
     ``max_files_per_trigger`` bounds a batch for backfill over a large
     drop directory."""
-    from bravo_spark.sources.warc_source import _BINARYFILE_SCHEMA
+    from bravo_spark.sources.warc_source import _binaryfile_stream
 
-    reader = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARYFILE_SCHEMA)
-        .option("pathGlobFilter", glob)
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path).select("path", "content").mapInPandas(
-        _parse_batches, _MEMBER_SCHEMA)
+    return _binaryfile_stream(
+        spark, path, glob, max_files_per_trigger
+    ).select("path", "content").mapInPandas(_parse_batches, _MEMBER_SCHEMA)
 
 
 __all__ = ["write_zip_shards", "read_zip_shards", "read_zip_stream"]

@@ -120,3 +120,18 @@ def test_works_across_container_types_and_uris(spark, tmp_path):
     write_webdataset_shards(wds, w_out, "key", {"txt": "txt"})
     write_shard_manifest(spark, w_out, glob="*.tar")
     assert verify_shards(spark, "file://" + w_out)["n_shards"] == 2
+
+
+def test_right_format_wrong_body_refuses_by_name(spark, tmp_path):
+    """A manifest with the correct format string but a missing or
+    non-dict 'shards' map refuses as ShardManifestError, never a bare
+    KeyError/TypeError."""
+    out = _shards(spark, tmp_path, "wrongbody")
+    for body in ({"format": "bravo-shard-manifest/1"},
+                 {"format": "bravo-shard-manifest/1", "shards": ["x"]},
+                 {"format": "bravo-shard-manifest/1",
+                  "shards": {"a": "notadict"}}):
+        with open(os.path.join(out, MANIFEST_NAME), "w") as f:
+            json.dump(body, f)
+        with pytest.raises(ShardManifestError, match="malformed"):
+            verify_shards(spark, out)

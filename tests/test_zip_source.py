@@ -432,3 +432,14 @@ def test_eocd_markers_without_locator_refuse():
     struct.pack_into("<HH", blob, eocd + 8, 0xFFFF, 0xFFFF)
     with pytest.raises(ZipError, match="zip64"):
         parse_zip(bytes(blob))
+
+
+def test_zip64_masked_eocd_disk_fields_read_fine():
+    """APPNOTE 4.4.19/4.4.20: a zip64 writer may 0xFFFF-mask even the
+    EOCD disk-number fields, with the real values (0) in the zip64
+    record — such single-disk archives must read, not refuse as
+    multi-disk."""
+    blob = bytearray(_zip64_many(66000))
+    eocd = bytes(blob).rfind(b"PK\x05\x06")
+    struct.pack_into("<HH", blob, eocd + 4, 0xFFFF, 0xFFFF)
+    assert len(parse_zip(bytes(blob))) == 66000
