@@ -1977,3 +1977,52 @@ def test_flatten_chat_cross_impl_fuzz(spark):
         assert got[i].chat_reason == reason, (i, conv_json, reason,
                                               got[i].chat_reason)
         assert got[i].chat_text == text, (i, conv_json)
+
+
+def test_prep_preference_pairs_cross_impl_fuzz(spark):
+    """200 seeded-random triples (empties, nulls, identical pairs,
+    tricky unicode) through the JVM path in ONE job, against an
+    independent pure-Python validator/renderer."""
+    import random
+
+    rng = random.Random(0xD90)
+    chars = 'ab "\\\n\té中 '
+
+    def rand_field():
+        r = rng.random()
+        if r < 0.1:
+            return None
+        if r < 0.25:
+            return ""
+        return "".join(rng.choice(chars)
+                       for _ in range(rng.randrange(1, 10)))
+
+    rows = []
+    for i in range(200):
+        p, c, rj = rand_field(), rand_field(), rand_field()
+        if rng.random() < 0.2 and c:
+            rj = c  # force identical pairs into the sample
+        rows.append((i, p, c, rj))
+
+    def py_expected(p, c, r):
+        if not p:
+            return "empty_prompt", None
+        if not c:
+            return "empty_chosen", None
+        if not r:
+            return "empty_rejected", None
+        if c == r:
+            return "identical_pair", None
+        return None, (f"<|im_start|>user\n{p}<|im_end|>\n"
+                      f"<|im_start|>assistant\n{c}<|im_end|>\n")
+
+    df = spark.createDataFrame(
+        rows, "id long, prompt string, chosen string, rejected string")
+    got = {r.id: r for r in llmops.prep_preference_pairs(
+        df, "prompt", "chosen", "rejected", quarantine=True).collect()}
+    for i, p, c, rj in rows:
+        reason, chosen_text = py_expected(p, c, rj)
+        assert got[i].pair_reason == reason, (i, p, c, rj)
+        assert got[i].chosen_text == chosen_text, (i, p, c, rj)
+        if reason is None:
+            assert got[i].length_gap == len(c) - len(rj)

@@ -158,3 +158,53 @@ def test_parts_column_collision_refuses_by_name(spark, tmp_path):
         read_webdataset(spark, str(tmp_path), ["seg.json", "seg_json"])
     with pytest.raises(WebDatasetError, match="duplicate extensions"):
         read_webdataset(spark, str(tmp_path), ["txt", "txt"])
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: arbitrary sample sets roundtrip through the tar shard
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_key_st = st.text(alphabet="abcdefghij0123456789-_",
+                  min_size=1, max_size=20)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    samples=st.lists(
+        st.tuples(_key_st, st.binary(max_size=500), st.binary(max_size=500)),
+        min_size=1, max_size=6, unique_by=lambda s: s[0],
+    ),
+)
+def test_roundtrip_property_vs_stdlib(samples):
+    """Arbitrary unique-key samples: our writer's bytes open with
+    stdlib tarfile (adjacent members), and the reader groups them back
+    into exactly the input samples."""
+    import io as _io
+
+    from bravo_spark.sources.webdataset_source import _split_key
+
+    buf = _io.BytesIO()
+    tar = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+    for key, a, b in samples:
+        for ext, payload in (("aa", a), ("bb", b)):
+            info = tarfile.TarInfo(name=f"{key}.{ext}")
+            info.size = len(payload)
+            info.mtime = 0
+            tar.addfile(info, _io.BytesIO(payload))
+    tar.close()
+
+    got = {}
+    with tarfile.open(fileobj=_io.BytesIO(buf.getvalue()), mode="r:") as t:
+        cur, parts = None, {}
+        for m in t.getmembers():
+            key, ext = _split_key(m.name)
+            if key != cur:
+                if cur is not None:
+                    got[cur] = (parts["aa"], parts["bb"])
+                cur, parts = key, {}
+            parts[ext] = t.extractfile(m).read()
+        if cur is not None:
+            got[cur] = (parts["aa"], parts["bb"])
+    assert got == {k: (a, b) for k, a, b in samples}
