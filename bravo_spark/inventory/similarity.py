@@ -583,38 +583,59 @@ GROUP BY e.query_id
 
 
 def _clustered_cv(spark, sf_dir):
+    """Clustered-vector fixture relation, cached for the query cycle.
+
+    r19: every consumer (Lloyd seeds, each Lloyd round's assignment map,
+    the IVF build/append assignment, SemDeDup) sits in its own Spark job,
+    and each job re-evaluated the md5-per-dimension fixture expression
+    over the scan — ~5 evaluations per query run. The relation is
+    (corpus × D doubles) — derived data a production pipeline would have
+    as a materialized column — so cache it once per query cycle
+    (query-cycle-scoped via llmops.release_caches; recomputed from
+    parquet on every invocation, nothing persists across runs)."""
+    from bravo_spark.llmops import track_cache
+
     emb = catalog.table(spark, sf_dir, "embeddings")
-    return emb.select(F.col("vec_id").alias("id"), F.expr(_CV_SPARK).alias("e"))
+    return track_cache(
+        emb.select(F.col("vec_id").alias("id"), F.expr(_CV_SPARK).alias("e"))
+    )
 
 
 def _lloyd_refine(cv):
     """_LLOYD_ITERS Lloyd rounds as pure DataFrame ops (no driver collect:
     the centroid relation is K×D rows, broadcast between rounds). Means are
     bigint-sum / count — exact for the integer-component fixture, so the
-    result is bit-identical to the DuckDB oracle."""
+    result is bit-identical to the DuckDB oracle.
+
+    r19 optimization (guide §2.4): each round previously shuffled the
+    corpus twice — a corpus×k window argmax on id, then a corpus×D
+    posexplode into a (cid, pos) aggregation. Now the assignment is the
+    zero-shuffle broadcast argmax already pinned for the IVF family
+    (llmops._assign_cells: k-row array-of-structs fold, value tie-break
+    identical to the old ``ORDER BY ccos DESC, cid`` rn=1), and the
+    centroid update aggregates per-dimension sums in ONE partial-
+    aggregated groupBy(cid) — k groups, no row explosion. The cosine
+    expression tree and the bigint-sum/count mean are unchanged IEEE
+    operation-for-operation, so assignments and centroids stay
+    bit-identical (oracle hashes pinned at all three SFs)."""
+    from bravo_spark.llmops import _assign_cells
+
+    id_type = dict(cv.dtypes).get("id", "bigint")
     cent = cv.filter(F.col("id") < _CK).select(
         F.col("id").alias("cid"), F.col("e").alias("ce")
     )
+    sum_exprs = [f"sum(e[{d}]) AS _s{d}" for d in range(_CDIM)]
+    mean_arr = "array({})".format(", ".join(
+        f"CAST(CAST(_s{d} AS BIGINT) AS DOUBLE) / _n" for d in range(_CDIM)
+    ))
     for _ in range(_LLOYD_ITERS):
-        ccos = _dot_col(F.col("e"), F.col("ce")) / (
-            _norm_col(F.col("e")) * _norm_col(F.col("ce"))
-        )
-        wc = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
-        assigned = (
-            cv.join(F.broadcast(cent))
-            .select("id", "e", "cid", ccos.alias("ccos"))
-            .withColumn("rn", F.row_number().over(wc))
-            .filter(F.col("rn") == 1)
-        )
+        assigned = _assign_cells(
+            cv, cent.select("cid", F.col("ce").alias("centroid"))
+        ).select("id", "e", F.col("cell").cast(id_type).alias("cid"))
         cent = (
-            assigned.select("cid", F.posexplode("e").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                (F.sum("x").cast("bigint").cast("double") / F.count("*")).alias("m")
-            )
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cid", F.expr("transform(pm, p -> p.m)").alias("ce"))
+            assigned.groupBy("cid")
+            .agg(F.expr("count(*) AS _n"), *[F.expr(s) for s in sum_exprs])
+            .select("cid", F.expr(mean_arr).alias("ce"))
         )
     return cent
 

@@ -2060,20 +2060,26 @@ def semantic_dedup(
     def norm(a):
         return F.sqrt(dot(a, a))
 
-    cent = centroids.select(
-        F.col(c_id).alias("_cid"), F.col(c_vec).alias("_ce")
-    )
-    ccos = dot(F.col("_e"), F.col("_ce")) / (
-        norm(F.col("_e")) * norm(F.col("_ce"))
-    )
-    wc = Window.partitionBy("_id").orderBy(F.col("_ccos").desc(), F.col("_cid"))
+    # r19 optimization (guide §2.4): the nearest-centroid assignment was a
+    # corpus×k broadcast join + window argmax on _id — a full shuffle of
+    # the vector corpus before any pairwise work. _assign_cells is the
+    # zero-shuffle broadcast-fold argmax the IVF family already uses (same
+    # cosine expression tree, same max-cosine/lowest-cid tie-break, so
+    # assignments are bit-identical on any corpus without degenerate
+    # vectors; a zero-norm vector now refuses BY NAME instead of taking a
+    # NaN-ordered assignment — the IVF-family contract).
+    cid_type = dict(centroids.dtypes)[c_id]
     asg = track_cache(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
-        .join(F.broadcast(cent))  # k centroids: fixed-size by contract
-        .select("_id", "_e", "_cid", ccos.alias("_ccos"))
-        .withColumn("_rn", F.row_number().over(wc))
-        .filter(F.col("_rn") == 1)
-        .select("_id", "_e", "_cid")
+        _assign_cells(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e")),
+            centroids.select(
+                F.col(c_id).alias("cid"), F.col(c_vec).alias("centroid")
+            ),
+        ).select(
+            F.col("id").alias("_id"),
+            F.col("e").alias("_e"),
+            F.col("cell").cast(cid_type).alias("_cid"),
+        )
     )
     a, b = asg.alias("a"), asg.alias("b")
     pcos = dot(F.col("a._e"), F.col("b._e")) / (
@@ -2385,45 +2391,38 @@ def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
                  F.col("centroid").cast("array<double>").alias("ce"))
     ).alias("_cents")))
 
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
-                           F.lit(0.0), lambda acc, v: acc + v)
-
-    # the vector's own norm is centroid-independent: compute it ONCE per
-    # row, not inside the k-element transform (k redundant O(d) folds)
-    self_norm = F.sqrt(dot(F.col("e"), F.col("e")))
-    guarded_norm = F.when(
-        self_norm == 0.0,
-        F.raise_error(F.lit(
-            "zero-norm vector cannot be cosine-assigned to an IVF cell")),
-    ).otherwise(self_norm)
-
-    def cos(s):
-        return F.try_divide(
-            dot(F.col("e"), s["ce"]),
-            F.col("_en") * F.sqrt(dot(s["ce"], s["ce"])),
-        )
-
-    scored = F.transform(
-        F.col("_cents"),
-        lambda s: F.struct(cos(s).alias("c"), s["cid"].alias("cid")),
+    # r19 optimization (guide §1.2 step 2, per-task work — here the
+    # per-CALL work): the fold below was built through the Python
+    # higher-order-function API, which costs hundreds of py4j round
+    # trips per call (measured ~0.25 s per _assign_cells invocation of
+    # pure driver-side plan construction). The SAME expression tree
+    # parsed from one SQL string is a single round trip; semantics,
+    # tie-break, and the two refuse-by-name guards are unchanged
+    # (tests/test_llmops.py pins both guards, test_plans.py the shape).
+    dot = "aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0.0D, (acc, v) -> acc + v)"
+    self_dot = dot.format(x="e", y="e")
+    guarded_norm = F.expr(
+        f"CASE WHEN sqrt({self_dot}) = 0.0D THEN raise_error("
+        "'zero-norm vector cannot be cosine-assigned to an IVF cell') "
+        f"ELSE sqrt({self_dot}) END"
     )
-    zero = F.struct(F.lit(float("-inf")).alias("c"),
-                    F.lit(-1).cast("int").alias("cid"))
-    best = F.aggregate(
-        scored, zero,
-        lambda acc, s: F.when(
-            (s["c"] > acc["c"])
-            | ((s["c"] == acc["c"]) & (s["cid"] < acc["cid"])),
-            s,
-        ).otherwise(acc),
+    best = (
+        "aggregate("
+        " transform(_cents, s -> struct("
+        "   try_divide("
+        f"    {dot.format(x='e', y='s.ce')},"
+        f"    _en * sqrt({dot.format(x='s.ce', y='s.ce')})"
+        "   ) AS c, s.cid AS cid)),"
+        " struct(CAST('-Infinity' AS DOUBLE) AS c, CAST(-1 AS INT) AS cid),"
+        " (acc, s) -> IF(s.c > acc.c OR (s.c = acc.c AND s.cid < acc.cid),"
+        "               s, acc))"
     )
-    cell = F.when(
-        best["c"] == F.lit(float("-inf")),
-        F.raise_error(F.lit(
-            "no centroid is cosine-comparable (empty or zero-norm"
-            " centroid relation) — cannot assign IVF cells")),
-    ).otherwise(best["cid"])
+    cell = F.expr(
+        f"CASE WHEN ({best}).c = CAST('-Infinity' AS DOUBLE) THEN raise_error("
+        "'no centroid is cosine-comparable (empty or zero-norm"
+        " centroid relation) — cannot assign IVF cells') "
+        f"ELSE ({best}).cid END"
+    )
     return (
         vecs.crossJoin(cent_arr)
         .withColumn("_en", guarded_norm)

@@ -46,12 +46,28 @@ def tune(spark: SparkSession) -> SparkSession:
         # fixture parquet uses TIMESTAMP(NANOS); read as epoch-nanos long
         # and convert in the catalog (catalog.table)
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # r19: PySpark's per-DataFrame-op call-site capture (error
+        # attribution for query contexts) costs a Python stack walk + a
+        # py4j round trip on EVERY DataFrame method; across a
+        # construction-heavy plan that is tens of ms per query build
+        # (measured: ~30% of _lloyd_refine's driver-side build time).
+        # Purely an error-message nicety — results are unaffected.
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
     }
     for k, v in safe.items():
         try:
             conf.set(k, v)
         except Exception:
             pass  # immutable in this deployment — fine, it's advisory
+    # the flag above is read ONCE and cached process-wide at the first
+    # DataFrame op; clear the cache so a session tuned after some prior
+    # activity (the driver's own session) still picks it up
+    try:
+        from pyspark.errors import utils as _err_utils
+
+        _err_utils._enable_debugging_cache = None
+    except Exception:
+        pass
     return spark
 
 
