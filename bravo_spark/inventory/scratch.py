@@ -12,11 +12,54 @@ interpreter exit — the r10 verdict's temp-dir hygiene note.
 from __future__ import annotations
 
 import atexit
+import contextlib
 import os
 import shutil
 import tempfile
 
 _REGISTERED: set[str] = set()
+
+
+@contextlib.contextmanager
+def stream_state_partitions(spark, n: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` — which fixes a streaming
+    query's STATE partition count at first checkpoint — to a value sized
+    for the state actually being built, for the duration of a streaming
+    lifecycle.
+
+    The inventory's streaming rows aggregate to bounded-cardinality keys
+    (event types, users, hourly windows: ≤ a few thousand rows of state),
+    but inherited the session default of one state partition per core —
+    32 RocksDB/HDFS store instances, each with its own open, maintenance
+    thread, commit and checkpoint files, per lifecycle, to hold 5 keys
+    (guide §2.5: synthetic partitioning with far fewer keys than
+    partitions). State partition count should track key cardinality and
+    throughput, not the local core count: default
+    ``min(8, max(2, cpus))``, overridable with
+    ``BRAVO_STREAM_STATE_PARTITIONS`` for deployments whose keyed state
+    is genuinely high-cardinality. Restores the previous setting on
+    exit; a checkpoint CONTINUED under a different setting keeps its
+    recorded partitioning (Spark pins state partitions at creation)."""
+    key = "spark.sql.shuffle.partitions"
+    if n is None:
+        env = os.environ.get("BRAVO_STREAM_STATE_PARTITIONS")
+        if env is not None:
+            n = int(env)
+        else:
+            try:
+                cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+            except ValueError:
+                cpus = 8
+            n = min(8, max(2, cpus))
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def _register(path: str) -> str:

@@ -41,7 +41,10 @@ def _run_streaming_agg(spark, sf_dir: str) -> str:
     return the checkpoint dir. count(*) and sum(floor(value)) keep the agg
     buffers integer-typed, so state values are deterministic across engines
     (float sums are order-dependent; see the decimal trick elsewhere)."""
-    from bravo_spark.inventory.scratch import register_for_exit
+    from bravo_spark.inventory.scratch import (
+        register_for_exit,
+        stream_state_partitions,
+    )
 
     ckpt = register_for_exit(tempfile.mkdtemp(prefix="bravo_spark_state_"))
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -55,15 +58,16 @@ def _run_streaming_agg(spark, sf_dir: str) -> str:
         F.sum(F.floor("value").cast("long")).alias("sum_floor"),
     )
     name = f"state_agg_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return ckpt
 
 
@@ -227,6 +231,8 @@ def _run_agg_over(spark, df_writer, inp, ckpt):
     batch against ``ckpt``."""
     import uuid as _uuid
 
+    from bravo_spark.inventory.scratch import stream_state_partitions
+
     agg_schema = (
         "event_type string, user_id long, value double"
     )
@@ -238,15 +244,16 @@ def _run_agg_over(spark, df_writer, inp, ckpt):
         F.sum(F.floor("value").cast("long")).alias("sum_floor"),
     )
     name = f"rw_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -445,20 +452,23 @@ def nested_state_rewrite(spark, sf_dir):
         yield pd.DataFrame({"k": [key[0]], "n": [len(seen)]})
 
     def run_batch():
+        from bravo_spark.inventory.scratch import stream_state_partitions
+
         schema = "k long, v long"
         stream = spark.readStream.schema(schema).parquet(inp)
         out = stream.groupBy("k").applyInPandasWithState(
             accumulate, "k long, n long", "seen array<long>, cnt long",
             "update", GroupStateTimeout.NoTimeout,
         )
-        q = (
-            out.writeStream.foreachBatch(lambda df, _b: df.count())
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with stream_state_partitions(spark):
+            q = (
+                out.writeStream.foreachBatch(lambda df, _b: df.count())
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
 
     _land_batch(work, ev.filter(F.col("v") % 2 == 0), "b0.parquet")
     run_batch()
@@ -567,18 +577,21 @@ def join_state_rewrite(spark, sf_dir):
         shutil.rmtree(tmp)
 
     def run_batch():
+        from bravo_spark.inventory.scratch import stream_state_partitions
+
         ls = spark.readStream.schema("k long, a long").parquet(lin)
         rs = spark.readStream.schema("rk long, b long").parquet(rin)
         j = ls.join(rs, F.col("k") == F.col("rk")).select("k", "a", "b")
-        q = (
-            j.writeStream.format("parquet")
-            .outputMode("append")
-            .option("path", outp)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with stream_state_partitions(spark):
+            q = (
+                j.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", outp)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
 
     land(left, lin, "l0.parquet")
     land(r1, rin, "r0.parquet")
@@ -696,20 +709,23 @@ def state_schema_migration(spark, sf_dir):
         return fn
 
     def run_batch(evolved):
+        from bravo_spark.inventory.scratch import stream_state_partitions
+
         st_schema = "tot long, cnt long" if evolved else "tot long"
         stream = spark.readStream.schema("k long, v long").parquet(inp)
         out = stream.groupBy("k").applyInPandasWithState(
             mk_fn(evolved), "k long, tot long", st_schema,
             "update", GroupStateTimeout.NoTimeout,
         )
-        q = (
-            out.writeStream.foreachBatch(lambda df, _b: df.count())
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with stream_state_partitions(spark):
+            q = (
+                out.writeStream.foreachBatch(lambda df, _b: df.count())
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
 
     _land_batch(work, ev.filter(F.col("v") % 2 == 0), "b0.parquet")
     run_batch(False)
@@ -784,18 +800,21 @@ def spark_state_diff(spark, sf_dir):
     half2 = events.where(F.col("user_id") % 2 != 0)
 
     def run_batch(df, mode):
+        from bravo_spark.inventory.scratch import stream_state_partitions
+
         df.write.mode(mode).parquet(inp)
         stream = spark.readStream.schema(events.schema).parquet(inp)
         agg = stream.groupBy("event_type").agg(F.count("*").alias("cnt"))
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(f"diff_{uuid.uuid4().hex[:8]}")
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with stream_state_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(f"diff_{uuid.uuid4().hex[:8]}")
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
         return latest_version(ckpt)
 
     v1 = run_batch(half1, "overwrite")

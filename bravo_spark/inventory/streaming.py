@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from bravo_spark import catalog
 
 from bravo_spark.inventory.registry import query
+from bravo_spark.inventory.scratch import stream_state_partitions
 
 
 def _normalize_ts(df, col: str = "ts"):
@@ -79,14 +80,15 @@ def streaming_window_counts(spark, sf_dir):
         )
     )
     name = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     _ = static  # catalog registration side effect retained
     return spark.table(name)
 
@@ -141,14 +143,15 @@ def streaming_window_counts_watermarked(spark, sf_dir):
         )
     )
     name = f"stream_wm_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -198,14 +201,15 @@ def streaming_stateful_counts(spark, sf_dir):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"stream_stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     # update mode appends one row per key per micro-batch; availableNow can
     # run several batches (one per input file), so keep only the final state
     # per key. cnt is monotonically increasing within a key, making
@@ -256,14 +260,15 @@ def streaming_static_join(spark, sf_dir):
         )
     )
     name = f"stream_sjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -297,14 +302,15 @@ def streaming_dedup_counts(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -352,14 +358,15 @@ def streaming_session_windows(spark, sf_dir):
         )
     )
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -415,14 +422,15 @@ def streaming_stream_stream_join(spark, sf_dir):
         F.unix_micros("buy_ts").alias("buy_us"),
     )
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -514,14 +522,15 @@ def streaming_tws_counts(spark, sf_dir):
     spark.conf.set(provider_key, rocksdb)
     name = f"stream_tws_{uuid.uuid4().hex[:8]}"
     try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with stream_state_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
     finally:
         if prior is None:
             spark.conf.unset(provider_key)
