@@ -396,7 +396,13 @@ def _warc_fixture(spark, sf_dir) -> str:
 
     from bravo_spark.codecs.warc import write_warc
 
-    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    # 8 shards: read-parallel at archive grain (the fixture scan is one
+    # split, which packed EVERYTHING into a single archive read by one
+    # task), while staying one availableNow micro-batch for the
+    # streaming twin (max_files_per_trigger=8) and keeping each archive
+    # at realistic hundreds-of-records density
+    docs = (catalog.table(spark, sf_dir, "documents")
+            .select("doc_id", "text").repartition(8))
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     out = scratch_path(f"warcfiles_{tag}")
     marker = os.path.join(out, "_SUCCESS")
@@ -486,7 +492,12 @@ def avro_source_roundtrip(spark, sf_dir):
     mapInPandas, zero shuffles before the verification aggregate."""
     from bravo_spark.sources.avro_source import read_avro, write_avro
 
-    ev = catalog.table(spark, sf_dir, "events").select(*_COLS)
+    # table_spread: the fixture parquet is one row group, so the scan is
+    # ONE split and the pure-Python OCF encode (and the decode of the
+    # single resulting shard) ran on one core; production events carry
+    # many splits and the spread is a no-op (the web_link_graph
+    # precedent). Shards also land read-parallel this way.
+    ev = catalog.table_spread(spark, sf_dir, "events").select(*_COLS)
     out = scratch_dir("fmt_avro")
     # ONE writer and ONE reader path — the library source
     # (sources/avro_source.py), shared with read_avro_stream — and ONE
@@ -646,7 +657,9 @@ def _warc_response_fixture(spark, sf_dir) -> str:
 
     from bravo_spark.codecs.warc import write_warc
 
-    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    # 8 shards, same rationale as _warc_fixture
+    docs = (catalog.table(spark, sf_dir, "documents")
+            .select("doc_id", "text").repartition(8))
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     out = scratch_path(f"warcresp_{tag}")
     marker = os.path.join(out, "_SUCCESS")
@@ -757,7 +770,10 @@ def avro_stream_ingest(spark, sf_dir):
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         shutil.rmtree(out, ignore_errors=True)
-        write_avro(ev, out, _AVRO_EVENT_SCHEMA)
+        # 8 shards = exactly one availableNow micro-batch at
+        # max_files_per_trigger=8 below, with the per-shard decode
+        # spread across cores instead of one single-file task
+        write_avro(ev.repartition(8), out, _AVRO_EVENT_SCHEMA)
         open(marker, "w").close()
 
     stream = read_avro_stream(spark, out, _SCHEMA, max_files_per_trigger=8)
