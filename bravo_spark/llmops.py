@@ -3110,10 +3110,14 @@ def build_inverted_index(
     the index instead of rescanning the corpus.
 
     Positions are 1-based token offsets in the lowercase ``token_re``
-    stream. One map-side posexplode, one partitioned write — no shuffle
-    beyond the writer's; posting lists are corpus-sized but
-    bucket-striped, and per-term skew (stopwords) spreads across files
-    inside the bucket partition."""
+    stream. One map-side posexplode, then ONE shuffle on ``bucket``
+    before the partitioned write (r19, guide §6): without it every scan
+    task writes a file into every bucket directory — tasks × n_buckets
+    small files per build (measured 32×64 at bench scale; at corpus
+    scale the same layout is the classic small-files problem). Clustered
+    by bucket, the writer emits exactly one file per bucket per owning
+    task, and per-term skew (stopwords) still spreads across the rows
+    WITHIN a bucket file."""
     posts = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -3130,9 +3134,9 @@ def build_inverted_index(
             F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket"),
         )
     )
-    posts.write.mode("overwrite").partitionBy("bucket").parquet(
-        _index_path(path, "postings")
-    )
+    posts.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(_index_path(path, "postings"))
     manifest = {
         "version": 1, "kind": "inverted_index", "id_col": id_col,
         "token_re": token_re, "n_buckets": n_buckets,
