@@ -126,21 +126,31 @@ def ann_lsh_bucket(spark, sf_dir):
         .orderBy("vec_id")
         .collect()  # N_PLANES tiny fixed vectors — metadata-scale collect
     ]
-    bucket = None
-    for k, p in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot_col(F.col("e"), plane_lit) > 0, F.lit(1 << k)).otherwise(
-            F.lit(0)
-        )
-        bucket = bit if bucket is None else bucket + bit
-    b = vecs.withColumn("bucket", bucket)
+    # r19: the bucket bits and the cosine are built as SQL strings — the
+    # per-plane Column loop (6 planes × lit-array + higher-order dot)
+    # cost ~0.6 s of py4j round trips per call; one parse call builds the
+    # identical expression tree (repr round-trips each double exactly)
+
+    def dot_s(x: str, y: str) -> str:
+        return (f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0.0D,"
+                " (acc, v) -> acc + v)")
+
+    def arr_lit(p) -> str:
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
+
+    bucket_sql = " + ".join(
+        f"IF({dot_s('e', arr_lit(p))} > 0.0D, {1 << k}, 0)"
+        for k, p in enumerate(planes)
+    )
+    b = vecs.withColumn("bucket", F.expr(bucket_sql))
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("bucket").alias("qb"),
     )
-    cos = _dot_col(F.col("qe"), F.col("ce")) / (
-        _norm_col(F.col("qe")) * _norm_col(F.col("ce"))
+    cos = F.expr(
+        f"{dot_s('qe', 'ce')}"
+        f" / (sqrt({dot_s('qe', 'qe')}) * sqrt({dot_s('ce', 'ce')}))"
     )
     scored = (
         F.broadcast(q)

@@ -1653,37 +1653,40 @@ def ivf_topk(
             F.zip_with(x, y, lambda p, qq: p * qq), F.lit(0.0), lambda acc, v: acc + v
         )
 
+    # r19: vector and centroid norms are hoisted to per-ROW projections
+    # (computed once before each join instead of re-folded inside every
+    # pair's cosine); sqrt of the same dot is the same double, so
+    # assignments, probe order, and output cosines are bit-identical
     cent = centroids.select(
         F.col(id_col).alias("cid"), dbl.alias("ce")
-    )
+    ).withColumn("cn", F.sqrt(dot(F.col("ce"), F.col("ce"))))
     cv = candidates.select(F.col(id_col).alias("id"), dbl.alias("e"))
     qv = queries.select(F.col(id_col).alias("id"), dbl.alias("e"))
-    ccos = dot(F.col("e"), F.col("ce")) / (
-        F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))
-    )
+    ccos = dot(F.col("e"), F.col("ce")) / (F.col("nr") * F.col("cn"))
     wc = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid"))
 
     def assign(rel: DataFrame, top: int) -> DataFrame:
         return (
-            rel.join(F.broadcast(cent))
-            .select("id", "e", "cid", ccos.alias("ccos"))
+            rel.withColumn("nr", F.sqrt(dot(F.col("e"), F.col("e"))))
+            .join(F.broadcast(cent))
+            .select("id", "e", "nr", "cid", ccos.alias("ccos"))
             .withColumn("rn", F.row_number().over(wc))
             .filter(F.col("rn") <= top)
-            .select("id", "e", "cid")
+            .select("id", "e", "nr", "cid")
         )
 
     cells = assign(cv, 1)
     probes = assign(qv, n_probe).select(
-        F.col("id").alias("query_id"), F.col("e").alias("qe"), "cid"
+        F.col("id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nr").alias("qn"), "cid",
     )
-    cos = dot(F.col("qe"), F.col("ce2")) / (
-        F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce2"), F.col("ce2")))
-    )
+    cos = dot(F.col("qe"), F.col("ce2")) / (F.col("qn") * F.col("nr"))
     scored = (
         F.broadcast(probes)
         .join(
             cells.select(
-                F.col("id").alias("neighbor_id"), F.col("e").alias("ce2"), "cid"
+                F.col("id").alias("neighbor_id"), F.col("e").alias("ce2"),
+                "nr", "cid",
             ),
             "cid",
         )
@@ -2079,11 +2082,17 @@ def semantic_dedup(
             F.col("id").alias("_id"),
             F.col("e").alias("_e"),
             F.col("cell").cast(cid_type).alias("_cid"),
+            # r19: the norm is hoisted into the CACHED assignment — each
+            # row's norm was previously re-folded inside every pair's
+            # cosine (2 extra O(d) folds per pair in the dominant
+            # sum(cluster²) stage); sqrt of the same dot is the same
+            # double, so pair cosines are bit-identical
+            norm(F.col("e")).alias("_nr"),
         )
     )
     a, b = asg.alias("a"), asg.alias("b")
     pcos = dot(F.col("a._e"), F.col("b._e")) / (
-        norm(F.col("a._e")) * norm(F.col("b._e"))
+        F.col("a._nr") * F.col("b._nr")
     )
     pairs = (
         a.join(b, (F.col("a._cid") == F.col("b._cid"))
@@ -2386,9 +2395,20 @@ def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
 
     ``vecs``: (id, e array<double>); ``cent``: (cid, centroid).
     Returns (id, e, cell)."""
+    # the centroid norm rides in the broadcast struct (r19): it was
+    # re-folded per row × per centroid inside the cosine; sqrt of the
+    # same dot computed once per centroid is the same double, so
+    # assignments are unchanged
     cent_arr = F.broadcast(cent.agg(F.collect_list(
-        F.struct(F.col("cid").cast("int").alias("cid"),
-                 F.col("centroid").cast("array<double>").alias("ce"))
+        F.struct(
+            F.col("cid").cast("int").alias("cid"),
+            F.col("centroid").cast("array<double>").alias("ce"),
+            F.expr(
+                "sqrt(aggregate(zip_with(CAST(centroid AS ARRAY<DOUBLE>),"
+                " CAST(centroid AS ARRAY<DOUBLE>), (p, q) -> p * q), 0.0D,"
+                " (acc, v) -> acc + v))"
+            ).alias("cn"),
+        )
     ).alias("_cents")))
 
     # r19 optimization (guide §1.2 step 2, per-task work — here the
@@ -2411,7 +2431,7 @@ def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
         " transform(_cents, s -> struct("
         "   try_divide("
         f"    {dot.format(x='e', y='s.ce')},"
-        f"    _en * sqrt({dot.format(x='s.ce', y='s.ce')})"
+        "    _en * s.cn"
         "   ) AS c, s.cid AS cid)),"
         " struct(CAST('-Infinity' AS DOUBLE) AS c, CAST(-1 AS INT) AS cid),"
         " (acc, s) -> IF(s.c > acc.c OR (s.c = acc.c AND s.cid < acc.cid),"
@@ -2546,25 +2566,32 @@ def ivf_index_search(
     def norm(x):
         return F.sqrt(dot(x, x))
 
-    q = queries.select(F.col(id_col).alias("query_id"), dbl.alias("qe"))
+    # r19: query/centroid/candidate norms hoisted to per-row projections
+    # before each join (previously re-folded inside every pair's cosine);
+    # sqrt of the same dot is the same double — probe order and output
+    # cosines are bit-identical
+    q = queries.select(
+        F.col(id_col).alias("query_id"), dbl.alias("qe")
+    ).withColumn("qn", norm(F.col("qe")))
     qcos = dot(F.col("qe"), F.col("centroid")) / (
-        norm(F.col("qe")) * norm(F.col("centroid"))
+        F.col("qn") * F.col("_cn")
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_c").desc(), F.col("cell"))
     probes = (
-        q.join(F.broadcast(cent))
-        .select("query_id", "qe", F.col("cid").alias("cell"), qcos.alias("_c"))
+        q.join(F.broadcast(cent.withColumn("_cn", norm(F.col("centroid")))))
+        .select("query_id", "qe", "qn", F.col("cid").alias("cell"),
+                qcos.alias("_c"))
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "qe", "cell")
+        .select("query_id", "qe", "qn", "cell")
     )
-    pcos = dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce")))
+    pcos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("_nr"))
     cand = probes.join(
         asg.select(
             F.col("cell"),
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("ce"),
-        ),
+        ).withColumn("_nr", norm(F.col("ce"))),
         "cell",
     ).where(F.col("neighbor_id") != F.col("query_id"))
     wr = Window.partitionBy("query_id").orderBy(
@@ -2643,13 +2670,17 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     def norm(x):
         return F.sqrt(dot(x, x))
 
+    # centroid norm hoisted into the broadcast relation (r19) — same
+    # double, computed once per centroid instead of once per vector row
     ccos = dot(F.col("e"), F.col("centroid")) / (
-        norm(F.col("e")) * norm(F.col("centroid"))
+        norm(F.col("e")) * F.col("_cn")
     )
     per_cell = (
         asg.select(F.col("cell"), dbl.alias("e"))
         .join(F.broadcast(cent.select(F.col("cid").alias("cell"),
-                                      "centroid")), "cell")
+                                      "centroid")
+                          .withColumn("_cn", norm(F.col("centroid")))),
+              "cell")
         .select("cell", ccos.alias("_c"))
         .groupBy("cell")
         .agg(
@@ -3221,7 +3252,18 @@ def save_ngram_lm(
     bi.write.mode("overwrite").parquet(_index_path(path, "bi"))
     uni.write.mode("overwrite").parquet(_index_path(path, "uni"))
     tot.write.mode("overwrite").parquet(_index_path(path, "tot"))
-    manifest = {"version": 1, "kind": "ngram_lm", "order": 3}
+    # record each relation's DDL so load_ngram_lm can skip parquet
+    # schema inference (r19: four footer-inference reads per load were
+    # ~0.4 s of per-score-call latency)
+    manifest = {
+        "version": 1, "kind": "ngram_lm", "order": 3,
+        "schemas": {
+            "tri": tri.schema.jsonValue(),
+            "bi": bi.schema.jsonValue(),
+            "uni": uni.schema.jsonValue(),
+            "tot": tot.schema.jsonValue(),
+        },
+    }
     _fs_write_text(
         tri.sparkSession, _index_path(path, "_bravo_ngram_lm.json"),
         _json.dumps(manifest),
@@ -3241,10 +3283,19 @@ def load_ngram_lm(
     )
     if manifest.get("kind") != "ngram_lm":
         raise ValueError(f"{path!r} is not a persisted n-gram LM")
-    return tuple(
-        spark.read.parquet(_index_path(path, part))
-        for part in ("tri", "bi", "uni", "tot")
-    )
+    schemas = manifest.get("schemas") or {}
+
+    def _read(part: str) -> DataFrame:
+        # a recorded schema skips parquet footer inference (pre-r19
+        # manifests lack it and fall back)
+        reader = spark.read
+        if part in schemas:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(schemas[part]))
+        return reader.parquet(_index_path(path, part))
+
+    return tuple(_read(part) for part in ("tri", "bi", "uni", "tot"))
 
 
 def redact_exif(
