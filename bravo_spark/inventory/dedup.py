@@ -255,8 +255,13 @@ def dedup_embedding_cosine(spark, sf_dir):
     """Exact near-dup pairs by cosine ≥ t. Float determinism: dot products
     fold left-to-right in float64 on both engines (verified); the remaining
     ops are single IEEE operations. At 100 TB the all-pairs join is replaced
-    by the LSH bucketing of ann_lsh_bucket — this is the exact baseline."""
-    emb = catalog.table(spark, sf_dir, "embeddings")
+    by the LSH bucketing of ann_lsh_bucket — this is the exact baseline.
+
+    table_spread (r19): the quadratic pair fold runs on the STREAM side
+    of the nested-loop join, and the fixture's one-split scan ran all
+    n²/2 cosines on ONE core (43 s single-run at sf0.1 → ~2 s spread);
+    production inputs carry many splits and the spread is a no-op."""
+    emb = catalog.table_spread(spark, sf_dir, "embeddings")
     dbl = F.col("embedding").cast("array<double>")
     withnorm = emb.select(
         "vec_id",
