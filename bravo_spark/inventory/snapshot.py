@@ -119,21 +119,27 @@ def checkpoint_roundtrip(spark, sf_dir):
     )
 
     def encode(batches):
+        # r19: keys/values through the numpy fast path (codecs.vectorized,
+        # the same P9 layout kv_to_state_rows uses — cross-validated in
+        # tests) instead of a per-row Python encode; tombstone rows keep
+        # their empty value after the vectorized pass
+        from bravo_spark.codecs import vectorized as vz
+
         for pdf in batches:
+            kns, vals = vz.encode_kv_fixed(
+                pdf["user_id"].to_numpy(dtype="int64"),
+                pdf["cnt"].fillna(0).to_numpy(dtype="int64"),
+                fc.LONG, fc.LONG, 128,
+            )
             yield _pd.DataFrame(
                 {
                     "level": pdf["level"],
-                    "kns": [
-                        fc.encode_key_ns(int(u), fc.LONG, 128)
-                        for u in pdf["user_id"]
-                    ],
+                    "kns": kns,
                     "seq": pdf["seq"],
                     "vtype": pdf["vtype"],
                     "val": [
-                        b""
-                        if int(vt) == sstmod.TYPE_DELETION
-                        else fc.encode_value_state(int(c), fc.LONG)
-                        for vt, c in zip(pdf["vtype"], pdf["cnt"])
+                        b"" if int(vt) == sstmod.TYPE_DELETION else v
+                        for vt, v in zip(pdf["vtype"], vals)
                     ],
                 }
             )
