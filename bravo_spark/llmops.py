@@ -2366,6 +2366,16 @@ def _fs_read_text(spark, path: str) -> str:
 # pair may be mid-swap, so load_ivf_index refuses by name.
 _COMPACT_MARKER = "_COMPACT_COMMIT.json"
 
+# The double-precision dot-product fold, as ONE parseable SQL string.
+# The Python higher-order-function API (F.aggregate/F.zip_with with
+# Python lambdas) builds the identical expression tree but costs many
+# py4j round trips per fold (~1 ms each) — measured at ~0.3 s of pure
+# driver-side plan construction per ivf_index_search call (r19, guide
+# §1.2: per-call work). `0.0D` is the double literal (bare 0.0 would
+# parse as DECIMAL); the fold order and operations are exactly those of
+# the lambda form, so results are bit-identical.
+_DOT_SQL = "aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0.0D, (acc, v) -> acc + v)"
+
 
 class IvfCompactInterrupted(RuntimeError):
     """An ivf_index_compact commit was interrupted mid-swap; the index
@@ -2419,7 +2429,7 @@ def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     # parsed from one SQL string is a single round trip; semantics,
     # tie-break, and the two refuse-by-name guards are unchanged
     # (tests/test_llmops.py pins both guards, test_plans.py the shape).
-    dot = "aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0.0D, (acc, v) -> acc + v)"
+    dot = _DOT_SQL
     self_dot = dot.format(x="e", y="e")
     guarded_norm = F.expr(
         f"CASE WHEN sqrt({self_dot}) = 0.0D THEN raise_error("
@@ -2503,6 +2513,19 @@ def build_ivf_index(
     manifest = {
         "version": 1, "id_col": id_col, "vec_col": vec_col,
         "n_clusters": n_clusters, "n_iter": n_iter,
+        # record both relations' schemas so load_ivf_index skips parquet
+        # footer inference (r19: two inference reads were ~0.18 s of
+        # per-call latency on every search/stats/append — the
+        # load_ngram_lm pattern). `asg`'s schema lists the partition
+        # column `cell` LAST, matching partition-discovery order, so the
+        # read-back column order is unchanged. ivf_index_append coerces
+        # to the index's types and ivf_index_compact rewrites the same
+        # columns, so the recorded schemas stay valid for the index's
+        # whole maintenance lifecycle.
+        "schemas": {
+            "assignments": asg.schema.jsonValue(),
+            "centroids": cent.schema.jsonValue(),
+        },
     }
     _fs_write_text(
         spark, _index_path(path, "_bravo_ivf.json"), _json.dumps(manifest)
@@ -2534,8 +2557,20 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
     manifest = _json.loads(
         _fs_read_text(spark, _index_path(path, "_bravo_ivf.json"))
     )
-    asg = spark.read.parquet(_index_path(path, "assignments"))
-    cent = spark.read.parquet(_index_path(path, "centroids"))
+    schemas = manifest.get("schemas") or {}
+
+    def _read(part: str) -> DataFrame:
+        # a recorded schema skips parquet footer inference (pre-r19
+        # manifests lack it and fall back)
+        reader = spark.read
+        if part in schemas:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(schemas[part]))
+        return reader.parquet(_index_path(path, part))
+
+    asg = _read("assignments")
+    cent = _read("centroids")
     return asg, cent, manifest
 
 
@@ -2557,41 +2592,39 @@ def ivf_index_search(
     id_col, vec_col = mf["id_col"], mf["vec_col"]
     dbl = F.col(vec_col).cast("array<double>")
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def norm(x):
-        return F.sqrt(dot(x, x))
-
     # r19: query/centroid/candidate norms hoisted to per-row projections
     # before each join (previously re-folded inside every pair's cosine);
     # sqrt of the same dot is the same double — probe order and output
-    # cosines are bit-identical
+    # cosines are bit-identical. The folds parse from _DOT_SQL strings
+    # instead of the lambda API: ~0.3 s of py4j plan construction per
+    # call removed, identical expression tree (same as _assign_cells).
     q = queries.select(
         F.col(id_col).alias("query_id"), dbl.alias("qe")
-    ).withColumn("qn", norm(F.col("qe")))
-    qcos = dot(F.col("qe"), F.col("centroid")) / (
-        F.col("qn") * F.col("_cn")
+    ).withColumn("qn", F.expr(f"sqrt({_DOT_SQL.format(x='qe', y='qe')})"))
+    qcos = F.expr(
+        f"{_DOT_SQL.format(x='qe', y='centroid')} / (qn * _cn)"
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_c").desc(), F.col("cell"))
     probes = (
-        q.join(F.broadcast(cent.withColumn("_cn", norm(F.col("centroid")))))
+        q.join(F.broadcast(cent.withColumn(
+            "_cn",
+            F.expr(f"sqrt({_DOT_SQL.format(x='centroid', y='centroid')})"),
+        )))
         .select("query_id", "qe", "qn", F.col("cid").alias("cell"),
                 qcos.alias("_c"))
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= n_probe)
         .select("query_id", "qe", "qn", "cell")
     )
-    pcos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("_nr"))
+    pcos = F.expr(f"{_DOT_SQL.format(x='qe', y='ce')} / (qn * _nr)")
     cand = probes.join(
         asg.select(
             F.col("cell"),
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("ce"),
-        ).withColumn("_nr", norm(F.col("ce"))),
+        ).withColumn(
+            "_nr", F.expr(f"sqrt({_DOT_SQL.format(x='ce', y='ce')})")
+        ),
         "cell",
     ).where(F.col("neighbor_id") != F.col("query_id"))
     wr = Window.partitionBy("query_id").orderBy(
@@ -2661,25 +2694,21 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     vec_col = mf["vec_col"]
     dbl = F.col(vec_col).cast("array<double>")
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def norm(x):
-        return F.sqrt(dot(x, x))
-
     # centroid norm hoisted into the broadcast relation (r19) — same
-    # double, computed once per centroid instead of once per vector row
-    ccos = dot(F.col("e"), F.col("centroid")) / (
-        norm(F.col("e")) * F.col("_cn")
+    # double, computed once per centroid instead of once per vector row;
+    # folds from _DOT_SQL strings (the _assign_cells treatment) instead
+    # of the py4j lambda API
+    ccos = F.expr(
+        f"{_DOT_SQL.format(x='e', y='centroid')}"
+        f" / (sqrt({_DOT_SQL.format(x='e', y='e')}) * _cn)"
     )
     per_cell = (
         asg.select(F.col("cell"), dbl.alias("e"))
         .join(F.broadcast(cent.select(F.col("cid").alias("cell"),
                                       "centroid")
-                          .withColumn("_cn", norm(F.col("centroid")))),
+                          .withColumn("_cn", F.expr(
+                              f"sqrt({_DOT_SQL.format(x='centroid', y='centroid')})"
+                          ))),
               "cell")
         .select("cell", ccos.alias("_c"))
         .groupBy("cell")
