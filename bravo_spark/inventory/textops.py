@@ -20,6 +20,23 @@ from bravo_spark.inventory.registry import query
 
 TOKEN_RE = "[a-z0-9]+"
 
+
+def _docs_payload(spark, sf_dir):
+    """(doc_id, payload) scan for the per-document codec rows (JPEG/GIF/
+    AVI/DIB/WAV/phash/resample), SPREAD across the session's cores when
+    the fixture scan yields too few splits (catalog.table_spread — a
+    conditional round-robin that is a no-op at production split counts).
+    r20, guide §2.5 input skew: the pure-Python codec CPU *is* these
+    jobs, and the one-row-group fixture parquet previously serialized
+    all of it onto a single core (~50 s combined per full-registry
+    sweep). The exchange moves (doc_id, text) once — metadata-scale
+    next to the per-document codec work it unblocks — and the scan
+    stays pruned to exactly (doc_id, text) (pinned in
+    tests/test_plans.py::test_r8_modality_queries_are_map_only_and_pruned)."""
+    return catalog.table_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
 # ---------------------------------------------------------------------------
 # language ID: stopword-hit scoring over fixed per-language lists.
 # count(w) via the length-difference-of-replace trick — identical replace
@@ -331,9 +348,7 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     transcode distributes."""
     from bravo_spark.inventory.jpeg import jpeg_decode_pixels, jpeg_encode
 
-    docs = catalog.table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = _docs_payload(spark, sf_dir)
 
     def roundtrip_batches(batches: Iterator[pd.DataFrame]):
         import hashlib as _hl
@@ -392,9 +407,7 @@ def multimodal_gif_roundtrip(spark, sf_dir):
     real rows red. Arrow-batched mapInPandas, map-only plan."""
     from bravo_spark.inventory.gif import gif_decode_pixels, gif_encode
 
-    docs = catalog.table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = _docs_payload(spark, sf_dir)
 
     def roundtrip_batches(batches: Iterator[pd.DataFrame]):
         import hashlib as _hl
@@ -455,9 +468,7 @@ def multimodal_gif_frame_sample(spark, sf_dir):
     regression flips real rows red. 1→k mapInPandas, map-only plan."""
     from bravo_spark.inventory.gif import gif_encode_animation, gif_iter_frames
 
-    docs = catalog.table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = _docs_payload(spark, sf_dir)
 
     def sample_batches(batches: Iterator[pd.DataFrame]):
         import hashlib as _hl
@@ -525,9 +536,7 @@ def audio_wav_features(spark, sf_dir):
     tests/test_audio.py. Arrow-batched mapInPandas, map-only plan."""
     from bravo_spark.inventory.audio import pcm_features, wav_encode
 
-    docs = catalog.table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = _docs_payload(spark, sf_dir)
 
     def feature_batches(batches: Iterator[pd.DataFrame]):
         import hashlib as _hl
@@ -663,9 +672,7 @@ def audio_float_features(spark, sf_dir):
     normalization + DSP path. Arrow-batched mapInPandas, map-only."""
     from bravo_spark.inventory.audio import pcm_features, wav_encode_float
 
-    docs = catalog.table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = _docs_payload(spark, sf_dir)
 
     def feature_batches(batches: Iterator[pd.DataFrame]):
         import hashlib as _hl
@@ -753,9 +760,7 @@ def audio_fingerprint(spark, sf_dir):
         wav_encode,
     )
 
-    docs = catalog.table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = _docs_payload(spark, sf_dir)
     N_WIN, WLEN, PERIOD = 16, 32, 8
 
     def fp_batches(batches: Iterator[pd.DataFrame]):
@@ -829,9 +834,7 @@ def image_phash_dedup(spark, sf_dir):
     from bravo_spark.inventory.jpeg import jpeg_decode_pixels, jpeg_encode
     from bravo_spark.inventory.multimodal import ahash64, dhash64
 
-    docs = catalog.table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = _docs_payload(spark, sf_dir)
 
     def hash_batches(batches: Iterator[pd.DataFrame]):
         import hashlib as _hl
@@ -1180,9 +1183,7 @@ def multimodal_bilinear_resize(spark, sf_dir):
         resample_bilinear,
     )
 
-    docs = catalog.table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = _docs_payload(spark, sf_dir)
     OW, OH = 16, 10
 
     def resize_batches(batches: Iterator[pd.DataFrame]):
@@ -1264,9 +1265,7 @@ def audio_resample_features(spark, sf_dir):
         wav_encode,
     )
 
-    docs = catalog.table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = _docs_payload(spark, sf_dir)
 
     def feature_batches(batches: Iterator[pd.DataFrame]):
         import hashlib as _hl
@@ -1340,9 +1339,7 @@ def video_avi_frame_sample(spark, sf_dir):
     from bravo_spark.inventory.avi import avi_encode_mjpeg, avi_iter_frames
     from bravo_spark.inventory.jpeg import jpeg_decode_pixels, jpeg_encode
 
-    docs = catalog.table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = _docs_payload(spark, sf_dir)
 
     def sample_batches(batches: Iterator[pd.DataFrame]):
         import hashlib as _hl
@@ -1431,9 +1428,7 @@ def video_dib_frame_sample(spark, sf_dir):
         avi_iter_frames_pixels,
     )
 
-    docs = catalog.table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = _docs_payload(spark, sf_dir)
 
     def sample_batches(batches: Iterator[pd.DataFrame]):
         import hashlib as _hl

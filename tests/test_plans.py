@@ -520,9 +520,19 @@ def test_q16_exclusion_side_unhinted(plans):
 def test_r8_modality_queries_are_map_only_and_pruned(plans):
     """The r8 codec-backed queries (JPEG/GIF roundtrips, GIF frame
     sampling, WAV features, AVI frame sampling) are per-payload work:
-    their plans must be pure map — zero Exchanges — with the parquet
-    scan pruned to exactly (doc_id, text). A shuffle or a wider scan
-    here multiplies a 100 TB transcode's cost for nothing."""
+    their plans must stay map-shaped — no joins, no hash/aggregation
+    exchange — with the parquet scan pruned to exactly (doc_id, text).
+    A keyed shuffle or a wider scan here multiplies a 100 TB
+    transcode's cost for nothing.
+
+    r20 relaxation (guide §2.5): the previous zero-Exchange pin also
+    forbade catalog.table_spread's CONDITIONAL round-robin, which
+    serialized the per-document codec CPU onto one core whenever the
+    fixture scan yields fewer splits than cores/2 (the one-row-group
+    test parquet). The pin now allows AT MOST that single round-robin
+    exchange — and only the round-robin kind; table_spread itself is
+    a no-op at production split counts (pinned in
+    tests/test_registry.py::test_table_spread_noop_on_many_splits)."""
     for name in (
         "multimodal_jpeg_roundtrip",
         "multimodal_gif_roundtrip",
@@ -539,7 +549,11 @@ def test_r8_modality_queries_are_map_only_and_pruned(plans):
         "audio_fingerprint",
     ):
         p = plans(name)
-        assert "Exchange" not in p, name
+        assert p.count("Exchange") <= 1, name
+        assert "hashpartitioning" not in p, name
+        assert "Join" not in p, name
+        if "Exchange" in p:
+            assert "roundrobin" in p.lower(), name
         assert "struct<doc_id:bigint,text:string>" in p, name
 
 

@@ -190,3 +190,51 @@ def test_staged_rotation_is_consistent():
         assert i in qs, f"staged IN {i} is not a registered query"
         assert i not in window, f"staged IN {i} is already gated"
     assert len(window - set(outs) | set(ins)) == 50
+
+
+# --- r20: catalog.table_spread conditionality + driver-side split probe ----
+
+
+def test_estimated_scan_splits_matches_rdd_probe(spark, sf_dir, tmp_path):
+    """The driver-side FilePartition replay (catalog.estimated_scan_splits,
+    r20 — replaces the per-call df.rdd.getNumPartitions() probe) must
+    agree with Spark's real scan partitioning on both fixture shapes:
+    the single-file one-row-group parquet and a many-file directory."""
+    import os
+
+    from bravo_spark import catalog
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    est = catalog.estimated_scan_splits(spark, p)
+    assert est == spark.read.parquet(p).rdd.getNumPartitions()
+
+    many = str(tmp_path / "many.parquet")
+    spark.range(50_000).repartition(8).write.parquet(many)
+    est = catalog.estimated_scan_splits(spark, many)
+    assert est == spark.read.parquet(many).rdd.getNumPartitions()
+    assert est >= 2
+
+
+def test_table_spread_spreads_fixture_and_noop_on_many_splits(
+    spark, sf_dir, tmp_path
+):
+    """table_spread must round-robin the one-split fixture scan (the
+    per-document codec rows would otherwise run on one core) and must be
+    a NO-OP when the scan already yields >= cores/2 splits — the 100 TB
+    posture: production inputs carry many files/row groups and get a
+    plain scan with no extra exchange."""
+    import os
+
+    from bravo_spark import catalog
+
+    p = catalog.table_spread(spark, sf_dir, "documents")
+    assert "RoundRobinPartitioning" in p._jdf.queryExecution().executedPlan().toString()
+
+    many_dir = str(tmp_path / "sfmany")
+    os.makedirs(many_dir)
+    spark.range(50_000).repartition(8).write.parquet(
+        os.path.join(many_dir, "documents.parquet")
+    )
+    many = catalog.table_spread(spark, many_dir, "documents")
+    plan = many._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

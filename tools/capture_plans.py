@@ -42,6 +42,10 @@ def main() -> int:
         "plans", args.tag,
     )
     os.makedirs(outdir, exist_ok=True)
+    # r20 (advice): capture failures are still recorded in the output file
+    # so the artifact set stays complete, but they now fail the run —
+    # a broken plan construction must not hide inside a green exit code.
+    failed: list[str] = []
     for name in names:
         if name not in qs:
             print(f"# skip {name}: not registered", file=sys.stderr)
@@ -53,11 +57,15 @@ def main() -> int:
             )
         except Exception as exc:  # noqa: BLE001 - record, keep capturing
             plan = f"ERROR capturing plan: {exc!r}\n"
+            failed.append(name)
         fname = f"{name}_{args.suffix}.txt" if args.suffix else f"{name}.txt"
         with open(os.path.join(outdir, fname), "w") as fh:
             fh.write(plan)
         print(f"# {name}: {len(plan)} chars", file=sys.stderr)
     spark.stop()
+    if failed:
+        print(f"# {len(failed)} capture(s) FAILED: {failed}", file=sys.stderr)
+        return 1
     return 0
 
 
