@@ -522,15 +522,22 @@ def write_ocf(
     *,
     codec: str = "deflate",
     records_per_block: int = 1000,
-) -> bytes:
+    out=None,
+) -> bytes | None:
     """Serialize records into an OCF byte string. The sync marker is
-    derived from the schema (md5) so output is byte-deterministic."""
+    derived from the schema (md5) so output is byte-deterministic.
+    ``records`` is consumed LAZILY, one ``records_per_block`` block at a
+    time. r20: pass a binary file-like ``out`` to stream blocks straight
+    into it as they are encoded (returns None) — peak memory is then one
+    block plus the encoder's buffers regardless of record count; with the
+    default ``out=None`` the whole OCF is returned as bytes, unchanged."""
     if codec not in _CODECS:
         raise AvroError(f"unsupported avro.codec {codec!r}")
     schema_json = schema if isinstance(schema, str) else json.dumps(schema)
     norm = _norm_schema(json.loads(schema_json), {})
     sync = hashlib.md5(b"bravo-avro:" + schema_json.encode()).digest()
-    out = io.BytesIO()
+    sink = out
+    out = io.BytesIO() if sink is None else sink
     out.write(MAGIC)
     meta = _Encoder()
     meta.long(2)
@@ -599,4 +606,4 @@ def write_ocf(
         if len(batch) >= records_per_block:
             flush()
     flush()
-    return out.getvalue()
+    return None if sink is not None else out.getvalue()

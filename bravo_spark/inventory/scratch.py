@@ -35,20 +35,28 @@ def stream_state_partitions(spark, n: int | None = None):
     (guide §2.5: synthetic partitioning with far fewer keys than
     partitions). State partition count should track key cardinality and
     throughput, not the local core count: default
-    ``min(8, max(2, cpus))``, overridable with
+    ``min(8, max(2, defaultParallelism))``, overridable with
     ``BRAVO_STREAM_STATE_PARTITIONS`` for deployments whose keyed state
-    is genuinely high-cardinality. Restores the previous setting on
+    is genuinely high-cardinality. r20: the default derives from the
+    SESSION's actual parallelism (was the bench-harness env var
+    ``SPARK_GRAFT_CPUS``, which a library consumer on a real cluster
+    never sets), and a malformed/non-positive override is clamped
+    instead of poisoning every streaming lifecycle with an invalid
+    shuffle-partition count. Restores the previous setting on
     exit; a checkpoint CONTINUED under a different setting keeps its
     recorded partitioning (Spark pins state partitions at creation)."""
     key = "spark.sql.shuffle.partitions"
     if n is None:
         env = os.environ.get("BRAVO_STREAM_STATE_PARTITIONS")
         if env is not None:
-            n = int(env)
-        else:
             try:
-                cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+                n = max(1, int(env))
             except ValueError:
+                n = None
+        if n is None:
+            try:
+                cpus = int(spark.sparkContext.defaultParallelism)
+            except Exception:  # pragma: no cover - context mid-shutdown
                 cpus = 8
             n = min(8, max(2, cpus))
     old = spark.conf.get(key, None)

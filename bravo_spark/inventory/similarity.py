@@ -136,6 +136,17 @@ def ann_lsh_bucket(spark, sf_dir):
                 " (acc, v) -> acc + v)")
 
     def arr_lit(p) -> str:
+        # r20 (advice): repr of a non-finite double ('inf'/'nan') is not
+        # parseable SQL — degenerate plane data must fail BY NAME here,
+        # not as an opaque parse error downstream
+        import math
+
+        bad = [x for x in p if not math.isfinite(float(x))]
+        if bad:
+            raise ValueError(
+                f"LSH plane carries non-finite component(s) {bad!r} — "
+                "cannot build the bucket expression"
+            )
         return "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
 
     bucket_sql = " + ".join(
@@ -647,6 +658,12 @@ def _lloyd_refine(cv):
             .agg(F.expr("count(*) AS _n"), *[F.expr(s) for s in sum_exprs])
             .select("cid", F.expr(mean_arr).alias("ce"))
         )
+    # r20 note: eager localCheckpoint between rounds (lineage truncation,
+    # guide §3) was tried and REVERTED — interleaved A/B showed it flat on
+    # this family and a consistent ~+0.35 s regression on
+    # ann_ivf_clustered_recall: ReuseExchange already deduplicates the
+    # repeated Lloyd subtrees within a job, so the eager per-round jobs
+    # were pure added scheduling latency.
     return cent
 
 

@@ -2051,7 +2051,13 @@ def semantic_dedup(
     pairs, O(log n) star contraction) — the paper-faithful semantics.
     The default greedy rule drops a row only when some LOWER-id row is
     directly above threshold, so a chain c~d~a where only d sees a
-    keeps BOTH a and c; transitive keeps just a."""
+    keeps BOTH a and c; transitive keeps just a.
+
+    Degenerate inputs REFUSE BY NAME (since r19): a zero-norm vector has
+    no direction to cosine-assign, so the assignment raises with the
+    vector's condition spelled out instead of producing a NaN-ordered
+    cluster (the IVF-family contract — see :func:`_assign_cells`).
+    Callers with zero-norm embeddings must filter them first."""
     c_id, c_vec = centroids.columns[0], centroids.columns[1]
 
     def dot(a, b):

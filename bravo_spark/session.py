@@ -61,11 +61,17 @@ def tune(spark: SparkSession) -> SparkSession:
             pass  # immutable in this deployment — fine, it's advisory
     # the flag above is read ONCE and cached process-wide at the first
     # DataFrame op; clear the cache so a session tuned after some prior
-    # activity (the driver's own session) still picks it up
+    # activity (the driver's own session) still picks it up.
+    # PRIVATE-API NOTE (pyspark 4.1.x, pyspark/errors/utils.py): guarded
+    # with hasattr so a rename in a future PySpark degrades to a no-op
+    # of the cache reset only — the conf above still applies to any
+    # DataFrame created after tune() — instead of silently creating a
+    # dead attribute.
     try:
         from pyspark.errors import utils as _err_utils
 
-        _err_utils._enable_debugging_cache = None
+        if hasattr(_err_utils, "_enable_debugging_cache"):
+            _err_utils._enable_debugging_cache = None
     except Exception:
         pass
     return spark

@@ -110,18 +110,31 @@ def write_avro(
     # Python values incl. None for nulls — same dict shape the pickled
     # Rows produced) cut the boundary cost. The shard-per-partition
     # naming contract is preserved via TaskContext.partitionId().
+    # r20 (guide §5): records stream INTO the OCF encoder (write_ocf
+    # consumes lazily, block by block, straight into the open file) —
+    # the previous whole-partition ``recs`` list bounded peak memory by
+    # partition size; now it is one Arrow batch + one OCF block
+    # regardless of how large a partition is.
     def _write(batches):
+        import itertools
+
         from pyspark import TaskContext
 
         from bravo_spark.codecs.avro import write_ocf
 
-        recs = []
-        for batch in batches:
-            recs.extend(batch.to_pylist())
-        if recs:
-            pid = TaskContext.get().partitionId()
-            with open(os.path.join(path, f"part_{pid:05d}.avro"), "wb") as f:
-                f.write(write_ocf(avro_schema, recs, codec=codec))
+        recs = itertools.chain.from_iterable(
+            batch.to_pylist() for batch in batches
+        )
+        try:
+            first = next(recs)
+        except StopIteration:
+            return  # empty partition: no shard file (unchanged contract)
+        pid = TaskContext.get().partitionId()
+        with open(os.path.join(path, f"part_{pid:05d}.avro"), "wb") as f:
+            write_ocf(
+                avro_schema, itertools.chain([first], recs),
+                codec=codec, out=f,
+            )
         return
         yield  # pragma: no cover - marks _write as a generator
 

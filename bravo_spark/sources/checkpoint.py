@@ -267,47 +267,92 @@ def resolve_lsm_streamed(raw: DataFrame) -> DataFrame:
     A key with millions of merge operands streams through ~10k-row
     batches instead of materializing one giant array row. Output and
     semantics are identical to ``resolve_lsm_collected`` (equivalence is
-    pytest-pinned, including the 100k-operand skew case)."""
+    pytest-pinned, including the 100k-operand skew case).
+
+    r20 (guide §4): batches with NO merge operands — the overwhelmingly
+    common case for value state, every version a put or a tombstone —
+    resolve vectorized: ascending seq within a key means the LAST row of
+    each key group wins outright, so group boundaries come from one
+    shifted equality over the batch and the winners from a mask, no
+    per-row Python. A batch carrying any merge operand falls back to the
+    row fold; the cross-batch carry (``cur_key``/``buf``) is shared by
+    both paths, so keys spanning batch or path boundaries resolve
+    identically (pytest-pinned against the row fold, mixed batches
+    included)."""
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         cur_key: tuple | None = None
         buf: bytearray | None = None
-        out_names: list[str] = []
-        out_keys: list[bytes] = []
-        out_vals: list[bytes] = []
-
-        def emit():
-            if cur_key is not None and buf is not None:
-                out_names.append(cur_key[0])
-                out_keys.append(cur_key[1])
-                out_vals.append(bytes(buf))
 
         for pdf in batches:
-            for name, key_ns, vtype, value in zip(
-                pdf["state_name"], pdf["key_ns"], pdf["vtype"], pdf["value"]
-            ):
-                k = (name, bytes(key_ns))
-                if k != cur_key:
-                    emit()
-                    cur_key, buf = k, None
-                if vtype == 1:  # put: replaces everything older
-                    buf = bytearray(value)
-                elif vtype == 2:  # merge operand: StringAppend fold
-                    if buf is None:
+            if not len(pdf):
+                continue
+            out_names: list[str] = []
+            out_keys: list[bytes] = []
+            out_vals: list[bytes] = []
+            vt = pdf["vtype"].to_numpy()
+            if (vt == 2).any():
+                # row fold: merge operands need the running concatenation
+                for name, key_ns, vtype, value in zip(
+                    pdf["state_name"], pdf["key_ns"], vt, pdf["value"]
+                ):
+                    k = (name, bytes(key_ns))
+                    if k != cur_key:
+                        if cur_key is not None and buf is not None:
+                            out_names.append(cur_key[0])
+                            out_keys.append(cur_key[1])
+                            out_vals.append(bytes(buf))
+                        cur_key, buf = k, None
+                    if vtype == 1:  # put: replaces everything older
                         buf = bytearray(value)
-                    else:
-                        buf += b"," + bytes(value)
-                else:  # tombstone (0/7): clears
-                    buf = None
+                    elif vtype == 2:  # merge operand: StringAppend fold
+                        if buf is None:
+                            buf = bytearray(value)
+                        else:
+                            buf += b"," + bytes(value)
+                    else:  # tombstone (0/7): clears
+                        buf = None
+            else:
+                names = pdf["state_name"].to_numpy()
+                keys = pdf["key_ns"].to_numpy()
+                vals = pdf["value"].to_numpy()
+                first_key = (names[0], bytes(keys[0]))
+                if cur_key is not None and first_key != cur_key:
+                    # previous batch's final key ended at the boundary
+                    if buf is not None:
+                        out_names.append(cur_key[0])
+                        out_keys.append(cur_key[1])
+                        out_vals.append(bytes(buf))
+                # else: the carry's key continues into this batch, and
+                # with only puts/tombstones present every newer version
+                # RESETS the fold — the carry is simply superseded
+                if len(pdf) > 1:
+                    same = (names[1:] == names[:-1]) & (keys[1:] == keys[:-1])
+                    # row i ends a key group iff row i+1 starts a new one
+                    ends = np.flatnonzero(~same)
+                else:
+                    ends = np.empty(0, dtype=np.int64)
+                for i in ends:
+                    if vt[i] == 1:  # winner is a put -> the key survives
+                        out_names.append(names[i])
+                        out_keys.append(bytes(keys[i]))
+                        out_vals.append(bytes(vals[i]))
+                # the batch's final group carries into the next batch
+                cur_key = (names[-1], bytes(keys[-1]))
+                buf = bytearray(vals[-1]) if vt[-1] == 1 else None
             if out_vals:
                 yield pd.DataFrame(
                     {"state_name": out_names, "key_ns": out_keys, "value": out_vals}
                 )
-                out_names, out_keys, out_vals = [], [], []
-        emit()
-        if out_vals:
+        if cur_key is not None and buf is not None:
             yield pd.DataFrame(
-                {"state_name": out_names, "key_ns": out_keys, "value": out_vals}
+                {
+                    "state_name": [cur_key[0]],
+                    "key_ns": [cur_key[1]],
+                    "value": [bytes(buf)],
+                }
             )
 
     shaped = raw.repartition("state_name", "key_ns").sortWithinPartitions(

@@ -404,3 +404,19 @@ def test_write_zstandard_without_compressor_raises_avro_error(monkeypatch):
               "fields": [{"name": "x", "type": "long"}]}
     with pytest.raises(AvroError, match="zstandard"):
         write_ocf(schema, [{"x": 1}], codec="zstandard")
+
+
+def test_write_ocf_streaming_sink_identical_bytes():
+    """r20: write_ocf with a file-like ``out`` must stream the exact
+    bytes the buffered form returns (block boundaries, sync markers,
+    codec framing all identical) and return None."""
+    import io
+
+    for codec in ("null", "deflate", "snappy"):
+        want = write_ocf(_SCHEMA, _ROWS, codec=codec, records_per_block=7)
+        sink = io.BytesIO()
+        ret = write_ocf(
+            _SCHEMA, iter(_ROWS), codec=codec, records_per_block=7, out=sink
+        )
+        assert ret is None
+        assert sink.getvalue() == want

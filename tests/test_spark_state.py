@@ -2936,3 +2936,34 @@ def test_repair_sidecars_fixes_audit_findings(spark, tmp_path):
         if r["check"] == "sidecar_crc_mismatch"
     ]
     assert mt.repair_sidecars(spark, ckpt) == []  # idempotent
+
+
+def test_stream_state_partitions_derivation(spark, monkeypatch):
+    """r20: the default state-partition count derives from the SESSION's
+    defaultParallelism (not the bench-harness SPARK_GRAFT_CPUS env), the
+    BRAVO_STREAM_STATE_PARTITIONS override is guarded (malformed falls
+    back to the derivation, non-positive clamps to 1), and the prior
+    shuffle-partition setting is restored on exit."""
+    from bravo_spark.inventory.scratch import stream_state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    expect = min(8, max(2, spark.sparkContext.defaultParallelism))
+
+    monkeypatch.delenv("BRAVO_STREAM_STATE_PARTITIONS", raising=False)
+    with stream_state_partitions(spark):
+        assert spark.conf.get(key) == str(expect)
+    assert spark.conf.get(key) == before
+
+    monkeypatch.setenv("BRAVO_STREAM_STATE_PARTITIONS", "3")
+    with stream_state_partitions(spark):
+        assert spark.conf.get(key) == "3"
+
+    monkeypatch.setenv("BRAVO_STREAM_STATE_PARTITIONS", "0")
+    with stream_state_partitions(spark):
+        assert spark.conf.get(key) == "1"
+
+    monkeypatch.setenv("BRAVO_STREAM_STATE_PARTITIONS", "not-a-number")
+    with stream_state_partitions(spark):
+        assert spark.conf.get(key) == str(expect)
+    assert spark.conf.get(key) == before

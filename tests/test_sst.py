@@ -965,3 +965,48 @@ def test_resolve_lsm_fold_equivalence_fuzz(spark):
             for r in ck.resolve_lsm_streamed(raw).collect()
         )
         assert streamed == collected, f"case {case}: {rows}"
+
+
+def test_resolve_lsm_streamed_vectorized_batch_boundaries(spark):
+    """r20: the streamed fold's vectorized no-merge fast path must match
+    the collect_list fold exactly when key groups span Arrow batch
+    boundaries and when merge-carrying batches (row-fold path) interleave
+    with merge-free ones (vectorized path). Forced with a tiny
+    maxRecordsPerBatch so every boundary case actually occurs."""
+    rows = []
+    # 40 keys x 3 versions: put, shadowing put, and for every 4th key a
+    # tombstone on top; keys 37..39 additionally carry merge operands so
+    # some batches take the row-fold path
+    for k in range(40):
+        kns = b"\x00" + bytes([k])
+        rows.append(("s", kns, 1, sst.TYPE_VALUE, b"v1-%d" % k))
+        rows.append(("s", kns, 2, sst.TYPE_VALUE, b"v2-%d" % k))
+        if k % 4 == 0:
+            rows.append(("s", kns, 3, sst.TYPE_DELETION, b""))
+        if k >= 37:
+            rows.append(("s", kns, 4, sst.TYPE_MERGE, b"m-%d" % k))
+    raw = spark.createDataFrame(rows, schema=ck._RAW_SCHEMA)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")  # groups of 2-4 rows straddle every batch
+    try:
+        want = sorted(
+            (r["state_name"], bytes(r["key_ns"]), bytes(r["value"]))
+            for r in ck.resolve_lsm_collected(raw).collect()
+        )
+        got = sorted(
+            (r["state_name"], bytes(r["key_ns"]), bytes(r["value"]))
+            for r in ck.resolve_lsm_streamed(raw).collect()
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert got == want
+    # sanity on the semantics themselves: tombstoned keys absent unless a
+    # newer merge re-created them; shadowing keeps only v2
+    d = {k: v for _, k, v in got}
+    assert d[b"\x00\x01"] == b"v2-1"
+    assert b"\x00\x04" not in d  # tombstoned, no merge after
+    assert d[b"\x00" + bytes([38])] == b"v2-38,m-38"
